@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md) plus the
+  * *derived* reference-model tables (SURVEY.md §1): a GeoMesa-style catalog,
+  * a node registry, and command-result tables. The derivations are pure,
+  * deterministic functions of the corpus so each is equally expressible as a
+  * DuckDB CTE (see [[Oracle]]) — that's what makes every reference-parity
+  * operator oracle-testable.
+  *
+  * Scale note: every derived table is built with narrow ops only (no shuffle
+  * except where an aggregation is semantically required), so derivations
+  * stay cheap at 100 TB: they pipeline into the consuming operator and
+  * Catalyst prunes/pushes through them.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame   = table(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame   = table(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame   = table(spark, d, "region")
+  /** `events` carries a TIMESTAMP(NANOS) column Spark's vectorized reader
+    * rejects; read it as raw nanos (legacy conf) and floor to µs so Spark
+    * and the DuckDB oracle agree (FIXTURES.md caution). Oracles must cast
+    * the ns value the same way — compare at µs or coarser.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Portable deterministic 24-bit hash of a string column: the first 6 hex
+    * digits of md5, as a long in [0, 2^24). Identical in DuckDB via strpos
+    * arithmetic ([[Oracle.h24]]) — used wherever a derivation needs a
+    * pseudo-random but engine-agnostic selector.
+    */
+  def h24(c: Column): Column = conv(substring(md5(c), 1, 6), 16, 10).cast("long")
+
+  /** Index-table suffixes a GeoMesa SFT materializes in Cassandra. The
+    * reference manipulates these tables by name (it reads them out of the
+    * catalog's `value` column — /root/reference/geomesa_cassandra.py:48-52);
+    * we derive the same shape from the corpus.
+    */
+  val IndexSuffixes: Seq[String] = Seq("Z3", "Z2", "ID", "ATTR")
+
+  /** GeoMesa-style catalog table `(sft string, value string)` (SURVEY §1 #2),
+    * derived deterministically from `events.event_type`. Values carry
+    * whitespace + upper-case noise so the trim/lower normalization of the
+    * reference (/root/reference/geomesa.py:51) is observable, plus one
+    * non-prefix metadata row per SFT so the prefix filter
+    * (/root/reference/geomesa_cassandra.py:52) is observable.
+    *
+    * DuckDB twin: [[Oracle.catalogCte]].
+    */
+  def catalog(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfts = events(spark, sfDir).select(col("event_type").as("sft")).distinct()
+    val indexRows = sfts
+      .select(col("sft"),
+        explode(array(IndexSuffixes.map(lit): _*)).as("suffix"))
+      .select(col("sft"),
+        concat(lit("  CATALOG_"), upper(col("sft")), lit("_"), col("suffix"), lit("  "))
+          .as("value"))
+    val metaRows = sfts.select(col("sft"),
+      concat(lit("metadata_"), col("sft")).as("value"))
+    indexRows.unionAll(metaRows)
+  }
+
+  /** Node registry `(name, host, port, user, password)` (SURVEY §1 #1;
+    * /root/reference/remotes.json.example), derived from `supplier`.
+    * DuckDB twin: [[Oracle.registryCte]].
+    */
+  def registry(spark: SparkSession, sfDir: String): DataFrame =
+    supplier(spark, sfDir).select(
+      col("s_name").as("name"),
+      concat(lit("10.148.128."), (col("s_suppkey") % 250).cast("string")).as("host"),
+      lit(22).as("port"),
+      concat(lit("user_"), col("s_suppkey").cast("string")).as("user"),
+      concat(lit("pw_"), col("s_suppkey").cast("string")).as("password"))
+
+  /** Lowercased index-table names for every SFT — what
+    * `identify_schema_tables` yields (/root/reference/geomesa_cassandra.py:48-52).
+    */
+  def schemaTables(spark: SparkSession, sfDir: String): DataFrame =
+    catalog(spark, sfDir)
+      .select(col("sft"), lower(trim(col("value"))).as("table_name"))
+      .where(col("table_name").startsWith("catalog"))
+
+  /** Per-(node, table) `nodetool compactionstats` data lines (SURVEY §1 #5
+    * fixture). A deterministic subset of node × table pairs carries a
+    * compaction, formatted exactly like the output the reference's regex
+    * (/root/reference/node.py:111) parses.
+    */
+  def compactionLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = registry(spark, sfDir).select(col("name").as("node"))
+    val tabs = schemaTables(spark, sfDir).select(col("table_name"))
+    nodes.crossJoin(tabs)
+      .where((h24(col("node")) + h24(col("table_name"))) % 3 === 0)
+      .select(col("node"), col("table_name"),
+        concat(lit("c"), ((h24(col("node")) + h24(col("table_name"))) % 100000).cast("string"),
+          lit("-id   Compaction   ks1   "), col("table_name"),
+          lit("   5123456   10234567   bytes   50.05%")).as("line"))
+  }
+
+  /** Per-node `nodetool compactionstats` stdout blobs: header + sorted data
+    * lines, as one `CmdResult`-shaped row per node (SURVEY §1 #4).
+    */
+  def compactionStdout(spark: SparkSession, sfDir: String): DataFrame =
+    compactionLines(spark, sfDir)
+      .groupBy(col("node"))
+      .agg(concat(lit("pending tasks: 2\n"),
+        concat_ws("\n", array_sort(collect_list(col("line"))))).as("stdout"))
+      .select(col("node"), lit("nodetool compactionstats").as("command"),
+        col("stdout"), lit("").as("stderr"), lit(0).as("exit_status"))
+
+  /** Per-(node, table) `nodetool listsnapshots` lines, shaped for the
+    * reference's snapshot regex (/root/reference/node.py:153).
+    */
+  def snapshotLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = registry(spark, sfDir).select(col("name").as("node"))
+    val tabs = schemaTables(spark, sfDir).select(col("table_name"))
+    nodes.crossJoin(tabs)
+      .where((h24(col("node")) + h24(col("table_name"))) % 2 === 0)
+      .select(col("node"), col("table_name"),
+        concat(lit("snap_"), (h24(col("table_name")) % 1000).cast("string"),
+          lit("   ks1   "), col("table_name"),
+          lit("   12.3 MB   45.6 MB")).as("line"))
+  }
+
+  /** `DESCRIBE ks.<table>` outcomes per schema table (SURVEY §1 #8): tables
+    * whose h24 % 7 == 0 are "missing" (stderr carries `not found`,
+    * /root/reference/geomesa_cassandra.py:58), the rest exist (stdout carries
+    * `CREATE TABLE`, /root/reference/node.py:174-180).
+    */
+  def describeResults(spark: SparkSession, sfDir: String): DataFrame =
+    schemaTables(spark, sfDir).select(
+      col("sft"), col("table_name"),
+      when(h24(col("table_name")) % 7 === 0, lit(""))
+        .otherwise(concat(lit("CREATE TABLE ks1."), col("table_name"), lit(" (...)")))
+        .as("stdout"),
+      when(h24(col("table_name")) % 7 === 0,
+        concat(lit("'"), col("table_name"), lit("' not found in keyspace 'ks1'")))
+        .otherwise(lit("")).as("stderr"))
+
+  /** Per-node `nodetool info` stdout (SURVEY §1 #7): nodes with odd suppkey
+    * report all of Gossip/Thrift/Transport active (up per the liveness regex
+    * /root/reference/node.py:50-53); even ones report Gossip inactive.
+    */
+  def infoResults(spark: SparkSession, sfDir: String): DataFrame =
+    supplier(spark, sfDir).select(
+      col("s_name").as("node"),
+      when(col("s_suppkey") % 2 === 1, lit(
+        "ID : n\nGossip active : true\nThrift active : true\nNative Transport active : true\nLoad : 1 GiB"))
+        .otherwise(lit(
+          "ID : n\nGossip active : false\nThrift active : true\nNative Transport active : true\nLoad : 1 GiB"))
+        .as("stdout"))
+}
