@@ -11,6 +11,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     operators.CatalogPack,
     operators.ParsePack,
+    operators.LifecyclePack,
   )
 
   /** Flagship query (SURVEY §7 step 1): `identify_schema_tables` — the read

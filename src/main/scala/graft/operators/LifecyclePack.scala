@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{Oracle, QueryPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registration for [[LifecycleOps]] (SURVEY §2 rows ST1/ST2,
+  * M2–M9, T4, C1).
+  */
+object LifecyclePack extends QueryPack {
+  import Oracle._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st2_removal_plan" -> ((s, d) => LifecycleOps.removalPlan(s, d, "purchase")),
+    "m7_stop_commands" -> ((s, d) => LifecycleOps.stopCommands(s, d, "ks1", "catalog_purchase_z3")),
+    "m8_clear_snapshot_commands" -> ((s, d) => LifecycleOps.clearSnapshotCommands(s, d, "ks1", "catalog_purchase_z3")),
+    "m9_repair_plan" -> ((s, d) => LifecycleOps.repairPlan(s, d, "purchase")),
+    "m2_truncated" -> ((s, d) => LifecycleOps.truncated(s, d)),
+    "m3_after_drop" -> ((s, d) => LifecycleOps.afterDrop(s, d, "catalog_error_z3")),
+    "m4_m5_table_properties" -> ((s, d) => LifecycleOps.tableProperties(s, d, 86400, 3600)),
+    "m4_ttl_view" -> ((s, d) => LifecycleOps.ttlView(s, d, 7)),
+    "st1_restart_poll" -> ((s, d) => LifecycleOps.restartPoll(s, d)),
+  )
+
+  private val stagesValues = LifecycleOps.Stages
+    .map { case (i, n, t) => s"($i, '$n', '${t.replace("'", "''")}')" }
+    .mkString(", ")
+
+  private val compRe = """([0-9a-zA-Z_-]+)\s+([0-9a-zA-Z_]+)\s+([0-9a-zA-Z_-]+)\s+([0-9a-zA-Z_-]+)"""
+  private val snapRe = """([0-9a-zA-Z_-]+)\s+([0-9a-zA-Z_]+)\s+([0-9a-zA-Z_-]+)"""
+
+  val oracles: Map[String, String] = Map(
+    "st2_removal_plan" ->
+      withCtes(catalogCte)(
+        s"""SELECT CAST(st.stage_order AS BIGINT) AS stage_order, st.stage,
+           |  lower(trim(c.value)) AS table_name,
+           |  replace(st.cmd_template, '%s', lower(trim(c.value))) AS command
+           |FROM catalog c
+           |CROSS JOIN (VALUES $stagesValues) AS st(stage_order, stage, cmd_template)
+           |WHERE c.sft = 'purchase' AND lower(trim(c.value)) LIKE 'catalog%'""".stripMargin),
+    "m7_stop_commands" ->
+      withCtes(catalogCte, schemaTablesCte, registryCte, compactionLinesCte,
+        compactionStdoutCte)(
+        s"""SELECT node, 'nodetool stop -id ' || id AS command FROM (
+           |  SELECT node,
+           |    regexp_extract(line, '$compRe', 1) AS id,
+           |    regexp_extract(line, '$compRe', 3) AS keyspace,
+           |    regexp_extract(line, '$compRe', 4) AS table_name
+           |  FROM (SELECT node, unnest(string_split(stdout, chr(10))) AS line
+           |        FROM compaction_stdout)
+           |) WHERE id <> '' AND keyspace = 'ks1' AND table_name = 'catalog_purchase_z3'""".stripMargin),
+    "m8_clear_snapshot_commands" ->
+      withCtes(catalogCte, schemaTablesCte, registryCte, snapshotLinesCte)(
+        s"""SELECT node,
+           |  'nodetool clearsnapshot -t ' || regexp_extract(line, '$snapRe', 1)
+           |    || ' -- ks1' AS command
+           |FROM snapshot_lines
+           |WHERE regexp_extract(line, '$snapRe', 1) <> ''
+           |  AND regexp_extract(line, '$snapRe', 2) = 'ks1'
+           |  AND regexp_extract(line, '$snapRe', 3) = 'catalog_purchase_z3'""".stripMargin),
+    "m9_repair_plan" ->
+      withCtes(catalogCte, schemaTablesCte, registryCte)(
+        """SELECT r.name AS node, t.table_name,
+          |  'nodetool repair -pr ks1 ' || t.table_name AS command
+          |FROM registry r CROSS JOIN schema_tables t
+          |WHERE t.sft = 'purchase'""".stripMargin),
+    "m2_truncated" ->
+      withCtes(catalogCte)("SELECT sft, value FROM catalog WHERE false"),
+    "m3_after_drop" ->
+      withCtes(catalogCte, schemaTablesCte)(
+        "SELECT sft, table_name FROM schema_tables WHERE table_name <> 'catalog_error_z3'"),
+    "m4_m5_table_properties" ->
+      withCtes(catalogCte, schemaTablesCte)(
+        """SELECT table_name, p.prop, p.value FROM schema_tables
+          |CROSS JOIN (VALUES ('default_time_to_live', '86400'),
+          |                   ('gc_grace_seconds', '3600')) AS p(prop, value)""".stripMargin),
+    "m4_ttl_view" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, user_id
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >=
+        |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAY""".stripMargin,
+    "st1_restart_poll" ->
+      withCtes(registryCte)(
+        s"""SELECT name AS node,
+           |  CASE WHEN ${h24("name")} % 200 <= 150
+           |       THEN ${h24("name")} % 200 END AS first_up_attempt,
+           |  CASE WHEN ${h24("name")} % 200 <= 150
+           |       THEN (${h24("name")} % 200) * 2 END AS elapsed_sec,
+           |  (${h24("name")} % 200 > 150) AS timed_out
+           |FROM registry""".stripMargin),
+  )
+}
