@@ -12,6 +12,7 @@ object SparkEntry {
     operators.CatalogPack,
     operators.ParsePack,
     operators.LifecyclePack,
+    operators.RelationalPack,
   )
 
   /** Flagship query (SURVEY §7 step 1): `identify_schema_tables` — the read

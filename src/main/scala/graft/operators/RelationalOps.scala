@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational extension family (SURVEY §2 X-J, X-A, X-O, X-T): the join /
+  * aggregate / window / set-op / scalar-function surface the reference lacks,
+  * exercised TPC-H-style over the corpus.
+  *
+  * Scale design notes (local[32] tests, 1000-executor intent):
+  *  - Dimension joins (`region`, `nation`, filtered `customer`) are
+  *    explicitly `broadcast()` — no shuffle of the fact side.
+  *  - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once; AQE
+  *    coalesces partitions and handles skew at runtime.
+  *  - Aggregations use partial (map-side) aggregation automatically; sums
+  *    are computed in DECIMAL so results are order-independent — both for
+  *    the DuckDB oracle and for run-to-run determinism under retries at
+  *    scale (double summation is neither).
+  *  - Windows partition by a key (never a global orderBy except the
+  *    explicitly-global top-k, which Spark plans as TakeOrderedAndProject —
+  *    a per-partition heap + driver merge, no total sort).
+  */
+object RelationalOps {
+
+  /** Order-independent exact money sum: DECIMAL(12,2) per-row cast, decimal
+    * sum, final cast to double — bit-identical across engines and shuffles.
+    */
+  private def moneySum(c: Column): Column = sum(c.cast("decimal(12,2)")).cast("double")
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Exact per-row revenue: price * (1 - discount) in decimal. */
+  private def revenueExpr: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+
+  /** X-A: TPC-H Q1-shaped pricing summary — multi-aggregate groupBy with
+    * decimal-exact sums and sum/count averages.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueExpr).cast("double").as("sum_disc_price"),
+        sum(revenueExpr * (lit(1).cast("decimal(12,2)") + dec(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count("*")).as("avg_qty"),
+        count("*").as("count_order"))
+
+  /** X-J: Q3-shaped shipping-priority join — broadcast the filtered customer
+    * dimension, shuffle orders ⋈ lineitem once, top-10 via
+    * TakeOrderedAndProject.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenueExpr).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"),
+        col("revenue_dec").cast("double").as("revenue"))
+  }
+
+  /** X-J: Q5-shaped six-table join — local-supplier revenue by nation.
+    * region/nation broadcast; customer-nation = supplier-nation condition.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val reg = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, sfDir)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))),
+        col("o_custkey") === col("c_custkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+  }
+
+  /** X-J anti: customers that never ordered, counted per segment. */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count("*").as("n_customers"))
+
+  /** X-J semi: customers with at least one order above the threshold. */
+  def bigSpenders(spark: SparkSession, sfDir: String, minTotal: Double): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .where(col("o_totalprice") > minTotal).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count("*").as("n_customers"))
+
+  /** X-J as-of: for each error event, the most recent signup ts of the same
+    * user at-or-before it — the as-of join composed from built-ins (SURVEY §2
+    * X-J preference (a)): one window over (user, time), `last(_, ignoreNulls)`
+    * carrying the latest match forward. Single shuffle on user_id; no
+    * range-explosion, skew-safe under AQE.
+    */
+  def asOfLastSignup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+  }
+
+  /** X-O window: top-k orders per customer (rank + tie-break). */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** X-O window frame: per-customer running order total (unbounded-preceding
+    * frame, decimal-exact).
+    */
+  def runningOrderTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+  }
+
+  /** X-O top-k: global top-10 orders — Spark plans TakeOrderedAndProject
+    * (per-partition heaps, no full sort).
+    */
+  def topOrders(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** X-O set ops: customers ordering in both windows (INTERSECT) /
+    * only in the first (EXCEPT).
+    */
+  private def custkeysIn(spark: SparkSession, sfDir: String, y0: String, y1: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(y0).cast("timestamp") &&
+        col("o_orderdate") < lit(y1).cast("timestamp"))
+      .select(col("o_custkey"))
+
+  def repeatCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    custkeysIn(spark, sfDir, "1995-01-01", "1996-01-01")
+      .intersect(custkeysIn(spark, sfDir, "2000-01-01", "2001-01-01"))
+
+  def churnedCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    custkeysIn(spark, sfDir, "1995-01-01", "1996-01-01")
+      .except(custkeysIn(spark, sfDir, "2000-01-01", "2001-01-01"))
+
+  /** X-A: rollup over (returnflag, linestatus) — grouping-set aggregates
+    * with decimal-exact sums.
+    */
+  def returnsRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count("*").as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+
+  /** X-A: HLL sketch sanity — approx_count_distinct vs exact, asserted
+    * within 10% (the approx value itself is engine-specific; the invariant
+    * is portable).
+    */
+  def approxDistinctOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx"))
+      .select(col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")).cast("double") /
+          col("exact_orders") < 0.1).as("approx_within_10pct"))
+
+  /** X-T json: extract props.k per event (Spark: get_json_object; oracle
+    * mirrors via regex — no json extension dependency), aggregated by type.
+    */
+  def propsSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count("*").as("n"), sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+
+  /** X-T dates: monthly order volume — date_trunc + decimal-exact sums. */
+  def monthlyOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count("*").as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+
+  /** X-T date arithmetic: ship-delay stats per order priority. */
+  def shipDelay(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count("*").as("n"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate"))).as("sum_delay_days"),
+        (sum(datediff(col("l_shipdate"), col("o_orderdate"))).cast("double") / count("*"))
+          .as("avg_delay_days"))
+}

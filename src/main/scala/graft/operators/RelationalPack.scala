@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.QueryPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registration for [[RelationalOps]] (SURVEY §2 rows X-J,
+  * X-A, X-O, X-T).
+  */
+object RelationalPack extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xa_q1_pricing_summary" -> ((s, d) => RelationalOps.pricingSummary(s, d)),
+    "xj_q3_shipping_priority" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
+    "xj_q5_local_supplier" -> ((s, d) => RelationalOps.localSupplierVolume(s, d)),
+    "xj_anti_no_orders" -> ((s, d) => RelationalOps.customersWithoutOrders(s, d)),
+    "xj_semi_big_spenders" -> ((s, d) => RelationalOps.bigSpenders(s, d, 400000.0)),
+    "xj_asof_last_signup" -> ((s, d) => RelationalOps.asOfLastSignup(s, d)),
+    "xo_topk_per_customer" -> ((s, d) => RelationalOps.topOrdersPerCustomer(s, d, 2)),
+    "xo_running_total" -> ((s, d) => RelationalOps.runningOrderTotal(s, d)),
+    "xo_global_topk" -> ((s, d) => RelationalOps.topOrders(s, d, 10)),
+    "xo_intersect_repeat" -> ((s, d) => RelationalOps.repeatCustomers(s, d)),
+    "xo_except_churned" -> ((s, d) => RelationalOps.churnedCustomers(s, d)),
+    "xa_rollup_returns" -> ((s, d) => RelationalOps.returnsRollup(s, d)),
+    "xa_approx_distinct" -> ((s, d) => RelationalOps.approxDistinctOrders(s, d)),
+    "xt_json_props" -> ((s, d) => RelationalOps.propsSummary(s, d)),
+    "xt_monthly_orders" -> ((s, d) => RelationalOps.monthlyOrders(s, d)),
+    "xt_ship_delay" -> ((s, d) => RelationalOps.shipDelay(s, d)),
+  )
+
+  private val rev =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+  private def msum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "xa_q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${msum("l_quantity")} AS sum_qty,
+         |  ${msum("l_extendedprice")} AS sum_base_price,
+         |  CAST(sum($rev) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($rev * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "xj_q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(revenue_dec AS DOUBLE) AS revenue FROM (
+         |  SELECT l_orderkey, o_orderdate, sum($rev) AS revenue_dec
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |    AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+         |  GROUP BY l_orderkey, o_orderdate
+         |  ORDER BY revenue_dec DESC, l_orderkey LIMIT 10)""".stripMargin,
+    "xj_q5_local_supplier" ->
+      s"""SELECT n_name, CAST(sum($rev) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+    "xj_anti_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "xj_semi_big_spenders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "xj_asof_last_signup" ->
+      """SELECT event_id, user_id, ts, last_signup_ts FROM (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM events)
+        |WHERE event_type = 'error'""".stripMargin,
+    "xo_topk_per_customer" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2""".stripMargin,
+    "xo_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders""".stripMargin,
+    "xo_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "xo_intersect_repeat" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
+    "xo_except_churned" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
+    "xa_rollup_returns" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${msum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "xa_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS approx_within_10pct FROM lineitem""".stripMargin,
+    "xt_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(NULLIF(regexp_extract(props, '"k": (-?[0-9]+)', 1), '') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "xt_monthly_orders" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         |  count(*) AS n_orders, ${msum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+    "xt_ship_delay" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS sum_delay_days,
+        |  CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / count(*) AS avg_delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+  )
+}

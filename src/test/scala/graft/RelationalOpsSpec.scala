@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.RelationalOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RelationalOpsSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("pricingSummary pushes the shipdate filter to the parquet scan") {
+    val p = RelationalOps.pricingSummary(spark, Sf).queryExecution.toString
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+  }
+
+  test("shippingPriority broadcasts the customer dimension") {
+    assert(plan(RelationalOps.shippingPriority(spark, Sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan(RelationalOps.topOrders(spark, Sf, 10)).contains("TakeOrderedAndProject"))
+  }
+
+  test("asOf join: last_signup_ts <= error ts and is the max qualifying signup") {
+    val ev = Tables.events(spark, Sf).cache()
+    val result = RelationalOps.asOfLastSignup(spark, Sf).collect()
+    assert(result.nonEmpty)
+    val signups = ev.where(col("event_type") === "signup")
+      .select("user_id", "ts").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getTimestamp(1)).sorted).toMap
+    result.foreach { r =>
+      val t = r.getTimestamp(2)
+      val expected = signups.getOrElse(r.getLong(1), Array.empty[java.sql.Timestamp])
+        .filter(s => !s.after(t)).lastOption.orNull
+      assert(r.getTimestamp(3) == expected)
+    }
+  }
+
+  test("set ops are disjoint and cover the 1995 cohort") {
+    val repeat = RelationalOps.repeatCustomers(spark, Sf)
+    val churned = RelationalOps.churnedCustomers(spark, Sf)
+    assert(repeat.intersect(churned).count() == 0)
+    val cohort95 = Tables.orders(spark, Sf)
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().count()
+    assert(repeat.count() + churned.count() == cohort95)
+  }
+
+  test("rollup emits detail + subtotal + grand-total levels") {
+    val rows = RelationalOps.returnsRollup(spark, Sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, Sf).count())
+  }
+
+  test("approx distinct within its band") {
+    val r = RelationalOps.approxDistinctOrders(spark, Sf).collect().head
+    assert(r.getAs[Boolean]("approx_within_10pct"))
+  }
+}
