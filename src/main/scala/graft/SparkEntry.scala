@@ -13,6 +13,7 @@ object SparkEntry {
     operators.ParsePack,
     operators.LifecyclePack,
     operators.RelationalPack,
+    operators.TextDedupPack,
   )
 
   /** Flagship query (SURVEY §7 step 1): `identify_schema_tables` — the read

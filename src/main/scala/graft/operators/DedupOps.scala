@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (north-star extension, BASELINE.json): exact,
+  * MinHash+LSH banding, SimHash, n-gram Jaccard, and blocked
+  * embedding-cosine near-dup — the dedup toolkit of a large-scale
+  * training-data pipeline.
+  *
+  * Scale design: every variant is shuffle-bounded by design —
+  *  - exact dedup shuffles once on the content hash (never the content);
+  *  - MinHash shuffles (doc, band_key) rows; the candidate self-join keys on
+  *    band_key, so the join's fan-out is per-bucket, not corpus-wide — the
+  *    standard way pairwise dedup survives 100 TB (no O(n²) pairs ever
+  *    materialize outside a bucket);
+  *  - SimHash is one map-side-combinable aggregation over exploded words;
+  *  - embedding near-dup blocks pairs by (label, id-band) before the
+  *    quadratic step, bounding each block's pair count independently of
+  *    corpus size.
+  */
+object DedupOps {
+
+  val NumHashes = 8
+  val NumBands  = 4 // rows-per-band r = 2
+
+  /** Exact dedup: group identity by md5(text); keeper = min doc_id. The
+    * window partitions by the 128-bit content hash, so only hashes shuffle.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("text_hash"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+  }
+
+  /** Per-document MinHash signature: NumHashes independent min-hashes over
+    * distinct 3-gram shingles (hash j = h24 of "j:shingle" — the salted-hash
+    * family trick, oracle-portable).
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+      .distinct()
+    val aggs = (1 to NumHashes).map { j =>
+      min(h24(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature → NumBands band keys (md5 of the band's
+    * concatenated min-hashes).
+    */
+  def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = (1 to NumBands).map { b =>
+      struct(lit(b).as("band_no"),
+        md5(concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}"))).as("band_key"))
+    }
+    minhashSignatures(spark, sfDir)
+      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_no"), col("band.band_key"))
+  }
+
+  /** MinHash+LSH candidate pairs: documents sharing any band bucket.
+    * The self-join keys on (band_no, band_key) — per-bucket fan-out only.
+    */
+  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = minhashBands(spark, sfDir)
+    val a = b.select(col("doc_id").as("doc_a"), col("band_no"), col("band_key"))
+    val c = b.select(col("doc_id").as("doc_b"), col("band_no"), col("band_key"))
+    a.join(c, Seq("band_no", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard over the LSH candidates: exact |A∩B| / |A∪B| on distinct
+    * shingle sets — integer ratio, bit-exact across engines.
+    */
+  def jaccardOnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+      .distinct().cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("n_shingles"))
+    val pairs = minhashCandidates(spark, sfDir)
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count("*").as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** SimHash bit width. */
+  val SimhashBits = 16
+
+  /** SimHash: per-document 16-bit signature — each bit is the sign of the
+    * word-population's vote on that bit of the word hash. One exploded
+    * aggregation, map-side combinable.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val wordRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), h24(col("word")).as("h"))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
+    }
+    val sig = (0 until SimhashBits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    wordRows.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash collision groups: docs sharing an identical signature
+    * (Hamming-0 near-dup candidates).
+    */
+  def simhashGroups(spark: SparkSession, sfDir: String): DataFrame =
+    simhash(spark, sfDir)
+      .groupBy(col("simhash"))
+      .agg(count("*").as("n_docs"), min(col("doc_id")).as("keeper"))
+      .where(col("n_docs") > 1)
+
+  /** Blocked embedding-cosine near-dup: pairwise cosine within
+    * (label, id-band) blocks, double-cast before multiply (engine-portable),
+    * rounded to 6 dp. Pairs above `minCosine` survive. Block size bounds the
+    * quadratic step regardless of corpus size; at real scale the band would
+    * be an LSH bucket, not an id hash.
+    */
+  def embeddingNearDups(spark: SparkSession, sfDir: String, minCosine: Double): DataFrame = {
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), (col("vec_id") % 100).as("band"),
+        col("embedding"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val a = v.select(col("vec_id").as("vec_a"), col("label"), col("band"),
+      col("embedding").as("ea"))
+    val b = v.select(col("vec_id").as("vec_b"), col("label"), col("band"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("label", "band"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}

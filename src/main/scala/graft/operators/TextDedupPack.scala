@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Oracle, QueryPack}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registration for [[TextOps]] + [[DedupOps]] (north-star
+  * extensions: text analysis + deduplication). The oracle twins reproduce
+  * the shingle/minhash/simhash pipelines in portable DuckDB SQL.
+  */
+object TextDedupPack extends QueryPack {
+  import Oracle.h24
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "tx_quality_scores" -> ((s, d) => TextOps.qualityScores(s, d)),
+    "tx_language_id" -> ((s, d) => TextOps.languageId(s, d)),
+    "tx_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
+    "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
+    "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
+    "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
+    "dd_jaccard_candidates" -> ((s, d) => DedupOps.jaccardOnCandidates(s, d)),
+    "dd_simhash" -> ((s, d) => DedupOps.simhash(s, d)),
+    "dd_simhash_groups" -> ((s, d) => DedupOps.simhashGroups(s, d)),
+    "dd_embedding_neardups" -> ((s, d) => DedupOps.embeddingNearDups(s, d, 0.30)),
+  )
+
+  /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
+  private val shinglesCte =
+    """doc_shingles AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |)""".stripMargin
+
+  private val distinctShinglesCte =
+    "distinct_shingles AS (SELECT DISTINCT doc_id, shingle FROM doc_shingles)"
+
+  /** MinHash signature CTE (twin of [[DedupOps.minhashSignatures]]). */
+  private val mhCte = {
+    val mins = (1 to DedupOps.NumHashes)
+      .map(j => s"    min(${h24(s"'$j:' || shingle")}) AS mh$j")
+      .mkString(",\n")
+    s"mh AS (\n  SELECT doc_id,\n$mins\n  FROM distinct_shingles GROUP BY doc_id\n)"
+  }
+
+  /** LSH bands CTE (twin of [[DedupOps.minhashBands]]). */
+  private val bandsCte = {
+    val rows = (1 to DedupOps.NumBands).map { b =>
+      s"  SELECT doc_id, $b AS band_no, md5(CAST(mh${2 * b - 1} AS VARCHAR) || '_' || CAST(mh${2 * b} AS VARCHAR)) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL\n")
+    s"bands AS (\n$rows\n)"
+  }
+
+  private val candCte =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_no = b.band_no AND a.band_key = b.band_key
+      |  WHERE a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  private val stop = TextFunctions.LangProfiles.head._2
+    .map(s => s"'$s'").mkString(", ")
+
+  private def hitsSql(prof: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> x IN (${prof.map(s => s"'$s'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = Map(
+    "tx_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.TokenRe.replace("\\", "\\\\")}')) AS BIGINT) AS n_re_tokens
+         |FROM documents""".stripMargin,
+    "tx_quality_scores" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS avg_word_len,
+         |  CAST(${hitsSql(stopSeq)} AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stopword_ratio,
+         |  least(len(string_split(text, ' ')) / 100.0, 1.0) *
+         |    (0.5 + 0.5 * (CAST(${hitsSql(stopSeq)} AS DOUBLE)
+         |                  / len(string_split(text, ' ')))) AS quality_score
+         |FROM documents""".stripMargin,
+    "tx_language_id" -> {
+      val hitCols = TextFunctions.LangProfiles
+        .map { case (l, p) => s"  CAST(${hitsSql(p)} AS BIGINT) AS hits_$l" }
+        .mkString(",\n")
+      val best = "greatest(" + TextFunctions.LangProfiles.map { case (l, _) => s"hits_$l" }.mkString(", ") + ")"
+      val cases = TextFunctions.LangProfiles
+        .map { case (l, _) => s"WHEN hits_$l = best AND best > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""SELECT doc_id, ${TextFunctions.LangProfiles.map { case (l, _) => s"hits_$l" }.mkString(", ")},
+         |  CASE $cases ELSE 'und' END AS predicted_lang
+         |FROM (SELECT doc_id,\n$hitCols,
+         |  $best AS best
+         |  FROM documents)""".stripMargin
+    },
+    "tx_fingerprints" ->
+      Oracle.withCtes(shinglesCte)(
+        s"""SELECT doc_id, min(h) AS fingerprint,
+           |  min(CASE WHEN h = mn THEN shingle END) AS rep_shingle
+           |FROM (SELECT doc_id, shingle, h,
+           |        min(h) OVER (PARTITION BY doc_id) AS mn
+           |      FROM (SELECT doc_id, shingle, ${h24("shingle")} AS h
+           |            FROM doc_shingles))
+           |GROUP BY doc_id""".stripMargin),
+    "dd_exact" ->
+      """SELECT doc_id, md5(text) AS text_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents""".stripMargin,
+    "dd_minhash_signatures" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte)(
+        s"SELECT doc_id, ${(1 to DedupOps.NumHashes).map(j => s"mh$j").mkString(", ")} FROM mh"),
+    "dd_minhash_candidates" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)(
+        "SELECT doc_a, doc_b FROM cand"),
+    "dd_jaccard_candidates" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte,
+        "sizes AS (SELECT doc_id, count(*) AS n FROM distinct_shingles GROUP BY doc_id)",
+        """inter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN distinct_shingles sa ON sa.doc_id = c.doc_a
+          |  JOIN distinct_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY c.doc_a, c.doc_b
+          |)""".stripMargin)(
+        """SELECT c.doc_a, c.doc_b,
+          |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+          |  za.n AS n_a, zb.n AS n_b,
+          |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+          |    / (za.n + zb.n - coalesce(i.n_inter, 0)) AS jaccard
+          |FROM cand c
+          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          |JOIN sizes za ON za.doc_id = c.doc_a
+          |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin),
+    "dd_simhash" -> simhashSql(withGroups = false),
+    "dd_simhash_groups" -> simhashSql(withGroups = true),
+    "dd_embedding_neardups" ->
+      """WITH v AS (SELECT vec_id, label, vec_id % 100 AS band,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+        |    AS cosine
+        |FROM v a JOIN v b
+        |  ON a.label = b.label AND a.band = b.band AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+        |  >= 0.30""".stripMargin,
+  )
+
+  private def stopSeq: Seq[String] = TextFunctions.LangProfiles.head._2
+
+  private def simhashSql(withGroups: Boolean): String = {
+    val votes = (0 until DedupOps.SimhashBits)
+      .map(b => s"    CAST(sum(((h >> $b) & 1) * 2 - 1) AS BIGINT) AS v$b")
+      .mkString(",\n")
+    val sig = (0 until DedupOps.SimhashBits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val base =
+      s"""WITH wh AS (
+         |  SELECT doc_id, ${h24("word")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |), sv AS (
+         |  SELECT doc_id,
+         |$votes
+         |  FROM wh GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sv
+         |)""".stripMargin
+    if (withGroups)
+      base + """
+        |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM sig GROUP BY simhash HAVING count(*) > 1""".stripMargin
+    else base + "\nSELECT doc_id, simhash FROM sig"
+  }
+}

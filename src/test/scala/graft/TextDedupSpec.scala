@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{DedupOps, TextOps}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  test("shingles3: n words -> n-2 shingles; short text -> none") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.shingles3(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "b c d"))
+    assert(m(2L).isEmpty)
+    assert(m(3L) == Seq("x y z"))
+  }
+
+  test("token counts: regex tokenizer counts letter runs") {
+    val r = TextOps.tokenCounts(spark, Sf).agg(
+      min(col("n_ws_tokens")), max(col("n_ws_tokens"))).collect().head
+    assert(r.getLong(0) >= 10 && r.getLong(1) <= 99)
+  }
+
+  test("language id: word-soup corpus predicts a known profile or und") {
+    val langs = TextOps.languageId(spark, Sf)
+      .select("predicted_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "und")))
+  }
+
+  test("exact dedup: no duplicate texts in corpus -> no dups flagged") {
+    val d = DedupOps.exactDedup(spark, Sf)
+    assert(d.where(col("is_dup")).count() == 0)
+    assert(d.count() == Tables.documents(spark, Sf).count())
+  }
+
+  test("minhash signatures: identical texts share all hashes (self-consistency)") {
+    // signature of a doc joined to itself via candidates must have jaccard<=1
+    val sigs = DedupOps.minhashSignatures(spark, Sf)
+    assert(sigs.count() == Tables.documents(spark, Sf).count())
+    (1 to DedupOps.NumHashes).foreach { j =>
+      assert(sigs.where(col(s"mh$j").isNull).count() == 0)
+    }
+  }
+
+  test("jaccard on candidates is within [0,1] and symmetric-safe (a<b)") {
+    val j = DedupOps.jaccardOnCandidates(spark, Sf).collect()
+    j.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val jac = r.getAs[Double]("jaccard")
+      assert(jac >= 0.0 && jac <= 1.0)
+    }
+  }
+
+  test("simhash: 16-bit range and stable groups") {
+    val s = DedupOps.simhash(spark, Sf).collect()
+    s.foreach { r =>
+      val v = r.getAs[Long]("simhash")
+      assert(v >= 0 && v < (1 << DedupOps.SimhashBits))
+    }
+  }
+
+  test("embedding near-dups: cosine bounded, blocked by label") {
+    val d = DedupOps.embeddingNearDups(spark, Sf, -1.0).collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.000001 && c <= 1.000001)
+    }
+  }
+}
