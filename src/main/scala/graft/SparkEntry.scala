@@ -14,6 +14,7 @@ object SparkEntry {
     operators.LifecyclePack,
     operators.RelationalPack,
     operators.TextDedupPack,
+    operators.SimMediaPack,
   )
 
   /** Flagship query (SURVEY §7 step 1): `identify_schema_tables` — the read

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the similarity-search hot path (SURVEY §2
+  * UDF surface: "a Catalyst `Expression` with codegen ... beats a Scala
+  * UDF"). `FloatVecDot` computes Σ (double)aᵢ·(double)bᵢ over two
+  * `array<float>` columns inside WholeStageCodegen — no boxing, no
+  * higher-order-function interpreter, sequential accumulation (so results
+  * are bit-identical to the interpreted path and the DuckDB oracle's
+  * double-cast dot product).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  @volatile private var registered = Set.empty[String]
+
+  /** Register vec_dot for the session (idempotent); returns a Column-builder. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val key = spark.sessionState.toString
+    if (!registered.contains(key)) synchronized {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
+      registered += key
+    }
+  }
+
+  /** Σ aᵢ·bᵢ over two array<float> columns (codegen'd native expression). */
+  def vecDot(spark: SparkSession, a: String, b: String): Column = {
+    ensureRegistered(spark)
+    expr(s"vec_dot($a, $b)")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column family (north-star extension, BASELINE.json): treat
+  * media as opaque `binary` payloads with typed metadata, and run
+  * decode / feature-extract / frame-sample as batch functions over
+  * partitions.
+  *
+  * The container has no image/audio codecs, so the decode step is a STUB —
+  * [[MediaOps.decodeStub]] derives deterministic fake features from the
+  * payload checksum. Everything around it is real Spark plumbing: the binary
+  * column, the metadata schema, the typed `mapPartitions` batch shape (the
+  * Scala analog of `mapInPandas` — one iterator per partition, vectorizable
+  * batch-by-batch), and the frame-sampling explode.
+  */
+object MediaOps {
+
+  /** Media row after payload packing. */
+  case class MediaRow(doc_id: Long, n_bytes: Long, format: String, checksum: String)
+
+  /** Extracted pseudo-features (the stubbed "decoder" output). */
+  case class MediaFeatures(doc_id: Long, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** Pack `documents.text` as an opaque binary payload + typed metadata —
+    * the schema a real image/audio column would carry.
+    */
+  def payloads(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      length(col("text")).cast("long").as("n_bytes"),
+      lit("text/plain").as("format"),
+      md5(col("text")).as("checksum"))
+
+  /** Metadata-only projection (oracle-comparable: no raw binary). */
+  def metadata(spark: SparkSession, sfDir: String): DataFrame =
+    payloads(spark, sfDir).select("doc_id", "n_bytes", "format", "checksum")
+
+  /** STUB decoder: deterministic pseudo-features from the checksum — stands
+    * in for a real `decode → resize → embed` batch UDF. The mapPartitions
+    * shape is the real thing: one iterator per partition, no driver
+    * round-trips, safe to swap for a JNI/native decoder at scale.
+    */
+  def decodeStub(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    metadata(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        def feat(b: Int): Double = {
+          digest.reset()
+          val hex = digest.digest(s"${r.checksum}:$b".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 16777216.0
+        }
+        MediaFeatures(r.doc_id, feat(0), feat(1), feat(2), feat(3))
+      }
+    }
+  }
+
+  /** Frame sampling: fixed 32-byte frames of the payload with per-frame
+    * checksums — the video frame-extraction shape (explode over a computed
+    * frame index, narrow, codegen'd).
+    */
+  def frames(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), expr("(length(text) + 31) div 32"))).as("frame_no"))
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        expr("substring(text, (frame_no - 1) * 32 + 1, 32)").as("frame"),
+        md5(expr("substring(text, (frame_no - 1) * 32 + 1, 32)")).as("frame_md5"))
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{Oracle, QueryPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registration for [[SimilarityOps]] + [[MediaOps]]
+  * (north-star extensions: similarity search + multimodal columns).
+  */
+object SimMediaPack extends QueryPack {
+  import Oracle.h24
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    "sim_ivf_centroids" -> ((s, d) => SimilarityOps.centroids(s, d)
+      .selectExpr("label", "round(aggregate(centroid, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)), 4) AS centroid_sum")),
+    "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
+    "md_decode_features" -> ((s, d) => MediaOps.decodeStub(s, d).toDF()),
+    "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
+  )
+
+  private val vecCtes = Seq(
+    """qv AS (SELECT vec_id AS query_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+      |       FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin,
+    """vv AS (SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |       FROM embeddings)""".stripMargin)
+
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  private val centroidCtes = Seq(
+    """cent0 AS (
+      |  SELECT label, list(CAST(c AS FLOAT) ORDER BY i) AS centroid FROM (
+      |    SELECT label, i, round(avg(x), 5) AS c FROM (
+      |      SELECT label,
+      |        unnest(list_transform(embedding, y -> CAST(y AS DOUBLE))) AS x,
+      |        generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |    GROUP BY label, i)
+      |  GROUP BY label
+      |)""".stripMargin,
+    "cent AS (SELECT label, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS ce FROM cent0)")
+
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      Oracle.withCtes(vecCtes :+
+        s"""scored AS (
+           |  SELECT query_id, vec_id, ${cosSql("q", "e")} AS cosine
+           |  FROM qv CROSS JOIN vv WHERE vec_id <> query_id
+           |)""".stripMargin: _*)(
+        s"""SELECT query_id, vec_id, cosine, rank FROM (
+           |  SELECT query_id, vec_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
+    "sim_ivf_centroids" ->
+      Oracle.withCtes(centroidCtes: _*)(
+        """SELECT label,
+          |  round(list_sum(list_transform(ce, x -> x)), 4) AS centroid_sum
+          |FROM cent""".stripMargin),
+    "sim_ivf_topk" ->
+      Oracle.withCtes(vecCtes ++ centroidCtes ++ Seq(
+        s"""probe_scored AS (
+           |  SELECT query_id, q, label, ${cosSql("q", "ce")} AS c_cos
+           |  FROM qv CROSS JOIN cent
+           |)""".stripMargin,
+        s"""probes AS (
+           |  SELECT query_id, q, label FROM (
+           |    SELECT query_id, q, label,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY c_cos DESC, label) AS pr
+           |    FROM probe_scored)
+           |  WHERE pr <= ${SimilarityOps.NProbe}
+           |)""".stripMargin,
+        s"""ivf_scored AS (
+           |  SELECT p.query_id, v.vec_id, v.label, ${cosSql("p.q", "v.e")} AS cosine
+           |  FROM probes p JOIN vv v USING (label)
+           |  WHERE v.vec_id <> p.query_id
+           |)""".stripMargin): _*)(
+        s"""SELECT query_id, vec_id, label, cosine, rank FROM (
+           |  SELECT query_id, vec_id, label, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM ivf_scored)
+           |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
+    "md_metadata" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  'text/plain' AS format, md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "md_decode_features" -> {
+      def feat(b: Int) = s"${h24(s"md5(text) || ':$b'")} / 16777216.0"
+      s"""SELECT doc_id, ${feat(0)} AS f0, ${feat(1)} AS f1,
+         |  ${feat(2)} AS f2, ${feat(3)} AS f3
+         |FROM documents""".stripMargin
+    },
+    "md_frames" ->
+      """SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  substr(text, (frame_no - 1) * 32 + 1, 32) AS frame,
+        |  md5(substr(text, (frame_no - 1) * 32 + 1, 32)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(1, (length(text) + 31) // 32 + 1)) AS frame_no
+        |      FROM documents)""".stripMargin,
+  )
+}
