@@ -15,6 +15,7 @@ object SparkEntry {
     operators.RelationalPack,
     operators.TextDedupPack,
     operators.SimMediaPack,
+    operators.GeoPack,
   )
 
   /** Flagship query (SURVEY §7 step 1): `identify_schema_tables` — the read

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ZCurveExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial family (north-star: "geospatial UDFs matching GeoMesa's
+  * domain", BASELINE.json): Z2/Z3 curve keys and the range-scan shape they
+  * enable. Events gain deterministic synthetic coordinates (integer
+  * arithmetic on ids — oracle-portable), standing in for a real point
+  * column.
+  *
+  * Scale: z-keys are the sort/partition keys of a GeoMesa-style layout — a
+  * bbox query becomes `z2 BETWEEN zmin AND zmax` + exact refine, which
+  * parquet min/max row-group stats prune server-side. The encode itself is
+  * one codegen'd expression per row, shuffle-free.
+  */
+object GeoOps {
+
+  /** Deterministic synthetic coordinates: lon ∈ [-180, 179], lat ∈ [-90, 89]. */
+  def withCoords(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"), col("ts"), col("user_id"),
+      ((col("user_id") * 37 + col("event_id") * 11) % 360 - 180).as("lon"),
+      ((col("event_id") * 17 + col("user_id") * 5) % 180 - 90).as("lat"))
+
+  /** 16-bit scaled grid coords (GeoMesa Z2 resolution model). */
+  def scaled(spark: SparkSession, sfDir: String): DataFrame =
+    withCoords(spark, sfDir)
+      .withColumn("x", expr("(lon + 180) * 65535 div 360"))
+      .withColumn("y", expr("(lat + 90) * 65535 div 180"))
+
+  /** Z2 keys for every event point. */
+  def z2Keys(spark: SparkSession, sfDir: String): DataFrame =
+    scaled(spark, sfDir)
+      .withColumn("z2", ZCurveExpressions.z2(spark, "x", "y"))
+      .select(col("event_id"), col("lon"), col("lat"), col("x"), col("y"), col("z2"))
+
+  /** Z3 keys: 10-bit x, y and hour-bin time — the (space, time) key behind
+    * `catalog_<sft>_z3` tables.
+    */
+  def z3Keys(spark: SparkSession, sfDir: String): DataFrame =
+    withCoords(spark, sfDir)
+      .withColumn("x10", expr("(lon + 180) * 1023 div 360"))
+      .withColumn("y10", expr("(lat + 90) * 1023 div 180"))
+      .withColumn("t10", expr("(unix_timestamp(ts) div 3600) % 1024"))
+      .withColumn("z3", ZCurveExpressions.z3(spark, "x10", "y10", "t10"))
+      .select(col("event_id"), col("x10"), col("y10"), col("t10"), col("z3"))
+
+  /** Exact bbox filter — the refine step of a geo query. */
+  def bboxFilter(spark: SparkSession, sfDir: String,
+                 lonMin: Int, lonMax: Int, latMin: Int, latMax: Int): DataFrame =
+    withCoords(spark, sfDir)
+      .where(col("lon") >= lonMin && col("lon") <= lonMax &&
+        col("lat") >= latMin && col("lat") <= latMax)
+      .select(col("event_id"), col("lon"), col("lat"))
+
+  /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:
+    * one z2 BETWEEN range (with Morton false positives) then the precise
+    * predicate. Emits per-event coarse/exact flags for the bbox
+    * [-60..0] × [-30..30], so the oracle checks both the pruning set and
+    * the refinement.
+    */
+  def z2RangeScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val (lonMin, lonMax, latMin, latMax) = (-60, 0, -30, 30)
+    def sx(lon: Int) = (lon + 180) * 65535 / 360
+    def sy(lat: Int) = (lat + 90) * 65535 / 180
+    val zMin = zMorton(sx(lonMin), sy(latMin))
+    val zMax = zMorton(sx(lonMax), sy(latMax))
+    scaled(spark, sfDir)
+      .withColumn("z2", ZCurveExpressions.z2(spark, "x", "y"))
+      .where(col("z2").between(zMin, zMax))
+      .select(col("event_id"), col("z2"),
+        (col("lon").between(lonMin, lonMax) && col("lat").between(latMin, latMax))
+          .as("exact_match"))
+  }
+
+  /** Driver-side Morton for range endpoints (mirrors [[graft.functions.ZEncode2]]). */
+  def zMorton(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+}

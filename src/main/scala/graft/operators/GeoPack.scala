@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.QueryPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registration for [[GeoOps]] (GeoMesa-domain Z-curve
+  * extension). Oracle twins reproduce the Morton interleave with shift/mask
+  * arithmetic.
+  */
+object GeoPack extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_z2_keys" -> ((s, d) => GeoOps.z2Keys(s, d)),
+    "geo_z3_keys" -> ((s, d) => GeoOps.z3Keys(s, d)),
+    "geo_bbox_filter" -> ((s, d) => GeoOps.bboxFilter(s, d, -60, 0, -30, 30)),
+    "geo_z2_range_scan" -> ((s, d) => GeoOps.z2RangeScan(s, d)),
+  )
+
+  private val coordsCte =
+    """coords AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |    (user_id * 37 + event_id * 11) % 360 - 180 AS lon,
+      |    (event_id * 17 + user_id * 5) % 180 - 90 AS lat
+      |  FROM events
+      |)""".stripMargin
+
+  private val scaledCte =
+    """scaled AS (
+      |  SELECT *, (lon + 180) * 65535 // 360 AS x, (lat + 90) * 65535 // 180 AS y
+      |  FROM coords
+      |)""".stripMargin
+
+  /** Morton interleave as shift/mask arithmetic. */
+  private def z2Sql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  private def z3Sql(x: String, y: String, t: String): String =
+    (0 until 10).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (3 * i)} + (($y >> $i) & 1) * ${1L << (3 * i + 1)} + (($t >> $i) & 1) * ${1L << (3 * i + 2)}"
+    }.mkString("(", " + ", ")")
+
+  private val (zMin, zMax) = {
+    def sx(lon: Int) = (lon + 180) * 65535 / 360
+    def sy(lat: Int) = (lat + 90) * 65535 / 180
+    (GeoOps.zMorton(sx(-60), sy(-30)), GeoOps.zMorton(sx(0), sy(30)))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "geo_z2_keys" ->
+      s"""WITH $coordsCte, $scaledCte
+         |SELECT event_id, lon, lat, x, y,
+         |  CAST(${z2Sql("x", "y")} AS BIGINT) AS z2
+         |FROM scaled""".stripMargin,
+    "geo_z3_keys" ->
+      s"""WITH $coordsCte,
+         |z3c AS (
+         |  SELECT event_id,
+         |    (lon + 180) * 1023 // 360 AS x10,
+         |    (lat + 90) * 1023 // 180 AS y10,
+         |    (date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600) % 1024 AS t10
+         |  FROM coords
+         |)
+         |SELECT event_id, x10, y10, t10,
+         |  CAST(${z3Sql("x10", "y10", "t10")} AS BIGINT) AS z3
+         |FROM z3c""".stripMargin,
+    "geo_bbox_filter" ->
+      s"""WITH $coordsCte
+         |SELECT event_id, lon, lat FROM coords
+         |WHERE lon >= -60 AND lon <= 0 AND lat >= -30 AND lat <= 30""".stripMargin,
+    "geo_z2_range_scan" ->
+      s"""WITH $coordsCte, $scaledCte,
+         |zed AS (
+         |  SELECT event_id, lon, lat,
+         |    CAST(${z2Sql("x", "y")} AS BIGINT) AS z2
+         |  FROM scaled
+         |)
+         |SELECT event_id, z2,
+         |  (lon BETWEEN -60 AND 0 AND lat BETWEEN -30 AND 30) AS exact_match
+         |FROM zed WHERE z2 BETWEEN $zMin AND $zMax""".stripMargin,
+  )
+}

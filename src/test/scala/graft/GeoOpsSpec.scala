@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{ZEncode2, ZEncode3}
+import graft.operators.GeoOps
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+
+class GeoOpsSpec extends SparkSpec {
+
+  test("ZEncode2: known Morton values") {
+    def z(x: Int, y: Int): Long =
+      ZEncode2(Literal(x), Literal(y)).eval(null).asInstanceOf[Long]
+    assert(z(0, 0) == 0L)
+    assert(z(1, 0) == 1L)
+    assert(z(0, 1) == 2L)
+    assert(z(1, 1) == 3L)
+    assert(z(2, 0) == 4L)
+    assert(z(65535, 65535) == (1L << 32) - 1)
+    assert(z(5, 3) == 27L) // 101 interleave 011 -> 011011
+  }
+
+  test("ZEncode3: 3-way interleave") {
+    def z(x: Int, y: Int, t: Int): Long =
+      ZEncode3(Literal(x), Literal(y), Literal(t)).eval(null).asInstanceOf[Long]
+    assert(z(1, 0, 0) == 1L)
+    assert(z(0, 1, 0) == 2L)
+    assert(z(0, 0, 1) == 4L)
+    assert(z(1023, 1023, 1023) == (1L << 30) - 1)
+  }
+
+  test("codegen path equals interpreted path on corpus") {
+    val viaExpr = GeoOps.z2Keys(spark, Sf).select(sum(col("z2"))).collect().head.getLong(0)
+    val interpreted = GeoOps.scaled(spark, Sf).collect().map { r =>
+      GeoOps.zMorton(r.getAs[Long]("x"), r.getAs[Long]("y"))
+    }.sum
+    assert(viaExpr == interpreted)
+  }
+
+  test("z-range scan is a superset of the exact bbox result") {
+    val coarse = GeoOps.z2RangeScan(spark, Sf)
+    val exactInCoarse = coarse.where(col("exact_match")).count()
+    val exact = GeoOps.bboxFilter(spark, Sf, -60, 0, -30, 30).count()
+    assert(exactInCoarse == exact) // every exact hit fell inside the z-range
+    assert(coarse.count() >= exact) // Morton range has false positives
+  }
+
+  test("z2 preserves locality: nearby cells share high-order bits") {
+    val z1 = GeoOps.zMorton(1000, 2000)
+    val z2 = GeoOps.zMorton(1001, 2000)
+    assert((z1 >> 20) == (z2 >> 20))
+  }
+}
