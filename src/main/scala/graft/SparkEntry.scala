@@ -16,6 +16,7 @@ object SparkEntry {
     operators.TextDedupPack,
     operators.SimMediaPack,
     operators.GeoPack,
+    streaming.StreamingPack,
   )
 
   /** Flagship query (SURVEY §7 step 1): `identify_schema_tables` — the read

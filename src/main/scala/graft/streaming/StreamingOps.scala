@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming family (SURVEY §2 X-ST + ST1 + S4): tumbling / sliding /
+  * session windows, watermark semantics, and the level-split log sink.
+  *
+  * Each operator has a *batch-windowed* form (below — oracle-comparable,
+  * identical semantics to the streaming plan) and a true Structured
+  * Streaming form ([[streamingTumbling]]) exercised in tests via
+  * MemoryStream. At scale the streaming forms carry state in the state
+  * store keyed by (group, window) — the batch forms shuffle once on the
+  * same key, so the plans are cost-equivalent per micro-batch.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windows per event type (X-ST): `window()` groupBy —
+    * the exact groupBy key Structured Streaming would use.
+    */
+  def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes — each event lands in 2 windows. */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user, 10-minute gap (X-ST session_window). */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count("*").as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Watermark semantics, batch form: events older than (max ts − 15 min)
+    * are "late"; per-type on-time/late split — what
+    * `withWatermark("ts", "15 minutes")` drops in a stream.
+    */
+  def watermarkSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val wm = ev.agg((max(col("ts")) - expr("INTERVAL 15 MINUTES")).as("wm"))
+    ev.crossJoin(broadcast(wm))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("ts") >= col("wm"), 1)).as("n_on_time"),
+        count(when(col("ts") < col("wm"), 1)).as("n_late"))
+  }
+
+  /** S4 log sink read-side: the reference's dual-file logger
+    * (/root/reference/remote.py:103-133) — INFO+ stream plus an ERROR-only
+    * branch — as a level-tagged dataset filter.
+    */
+  def logRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("ERROR")).otherwise(lit("INFO"))
+        .as("level"),
+      concat(lit("event "), col("event_id").cast("string"), lit(" type="),
+        col("event_type")).as("message"))
+
+  def errorLogRows(spark: SparkSession, sfDir: String): DataFrame =
+    logRows(spark, sfDir).where(col("level") === "ERROR")
+
+  /** S4 effectful sink: write the full log and the error split — two
+    * branches of one lineage, the batch analog of a `foreachBatch` dual
+    * writer. Returns row counts (all, errors).
+    */
+  def writeLogSink(spark: SparkSession, sfDir: String, outDir: String): (Long, Long) = {
+    val rows = logRows(spark, sfDir).cache()
+    rows.write.mode("overwrite").parquet(s"$outDir/log_all")
+    rows.where(col("level") === "ERROR").write.mode("overwrite")
+      .parquet(s"$outDir/log_error")
+    (rows.count(), rows.where(col("level") === "ERROR").count())
+  }
+
+  /** True Structured Streaming tumbling aggregation with watermark — the
+    * streaming twin of [[tumblingCounts]]; fed by MemoryStream in tests.
+    */
+  def streamingTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, event_type: String)
+
+class StreamingSpec extends SparkSpec {
+
+  test("streamingTumbling over MemoryStream matches the batch window result") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val data = Tables.events(spark, Sf)
+      .select(col("ts"), col("event_type")).as[Ev].collect().toSeq
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.streamingTumbling(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = StreamingOps.tumblingCounts(spark, Sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows in append mode") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.streamingTumbling(stream.toDF())
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Ev(Timestamp.valueOf("2024-01-01 10:00:00"), "a"))
+      q.processAllAvailable()
+      // advance watermark far past the first window, then send a late row
+      stream.addData(Ev(Timestamp.valueOf("2024-01-02 10:00:00"), "a"))
+      q.processAllAvailable()
+      stream.addData(Ev(Timestamp.valueOf("2024-01-01 10:30:00"), "a")) // late
+      stream.addData(Ev(Timestamp.valueOf("2024-01-02 11:30:00"), "a")) // on time
+      q.processAllAvailable()
+      val rows = spark.table("wm_test")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      // the 10:00 window closed with exactly 1 row; the late 10:30 row was dropped
+      assert(rows.contains(("2024-01-01 10:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("log sink writes full log + error split (S4 dual writer)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_log").toString
+    val (all, errs) = StreamingOps.writeLogSink(spark, Sf, out)
+    val allBack = spark.read.parquet(s"$out/log_all").count()
+    val errBack = spark.read.parquet(s"$out/log_error").count()
+    assert(allBack == all && errBack == errs && errs < all)
+    assert(spark.read.parquet(s"$out/log_error")
+      .where(col("level") =!= "ERROR").count() == 0)
+  }
+
+  test("sessionCounts: session bounds contain their events, gap respected") {
+    val sessions = StreamingOps.sessionCounts(spark, Sf)
+      .where(col("user_id") === 7).orderBy(col("session_start")).collect()
+    assert(sessions.nonEmpty)
+    sessions.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(!a.getTimestamp(1).after(b.getTimestamp(0))) // no overlap
+      case _ =>
+    }
+  }
+}
