@@ -39,14 +39,23 @@ object DedupOps {
         (col("doc_id") =!= col("keeper")).as("is_dup"))
   }
 
+  /** Distinct (doc, shingle) rows — the shared scan of the whole MinHash
+    * chain. Callers that compose several stages cache this once instead of
+    * re-deriving it per stage.
+    */
+  def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+      .distinct()
+
   /** Per-document MinHash signature: NumHashes independent min-hashes over
     * distinct 3-gram shingles (hash j = h24 of "j:shingle" — the salted-hash
     * family trick, oracle-portable).
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-      .distinct()
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    signaturesFrom(distinctShingles(spark, sfDir))
+
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
     val aggs = (1 to NumHashes).map { j =>
       min(h24(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j")
     }
@@ -56,21 +65,25 @@ object DedupOps {
   /** LSH banding: signature → NumBands band keys (md5 of the band's
     * concatenated min-hashes).
     */
-  def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
+    bandsFrom(minhashSignatures(spark, sfDir))
+
+  private def bandsFrom(sigs: DataFrame): DataFrame = {
     val bands = (1 to NumBands).map { b =>
       struct(lit(b).as("band_no"),
         md5(concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}"))).as("band_key"))
     }
-    minhashSignatures(spark, sfDir)
-      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("band"))
       .select(col("doc_id"), col("band.band_no"), col("band.band_key"))
   }
 
   /** MinHash+LSH candidate pairs: documents sharing any band bucket.
     * The self-join keys on (band_no, band_key) — per-bucket fan-out only.
     */
-  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = minhashBands(spark, sfDir)
+  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    candidatesFrom(bandsFrom(signaturesFrom(distinctShingles(spark, sfDir))))
+
+  private def candidatesFrom(b: DataFrame): DataFrame = {
     val a = b.select(col("doc_id").as("doc_a"), col("band_no"), col("band_key"))
     val c = b.select(col("doc_id").as("doc_b"), col("band_no"), col("band_key"))
     a.join(c, Seq("band_no", "band_key"))
@@ -80,14 +93,14 @@ object DedupOps {
   }
 
   /** n-gram Jaccard over the LSH candidates: exact |A∩B| / |A∪B| on distinct
-    * shingle sets — integer ratio, bit-exact across engines.
+    * shingle sets — integer ratio, bit-exact across engines. The shingle
+    * scan is cached and shared by the candidate derivation, the sizes, and
+    * the intersection join (one explode instead of three).
     */
   def jaccardOnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-      .distinct().cache()
+    val sh = distinctShingles(spark, sfDir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("n_shingles"))
-    val pairs = minhashCandidates(spark, sfDir)
+    val pairs = candidatesFrom(bandsFrom(signaturesFrom(sh)))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))

@@ -1,0 +1,73 @@
+package graft
+
+import graft.sources.Registry
+import graft.sources.Registry.{CmdResult, NodeInfo}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("S1: remotes.json registry scan (map-of-structs to rows)") {
+    val dir = Files.createTempDirectory("graft_json")
+    val f = dir.resolve("remotes.json")
+    Files.writeString(f,
+      """{
+        |  "node1": {"host": "10.0.0.1", "port": 22, "user": "john", "password": "pw1"},
+        |  "node2": {"host": "10.0.0.2", "port": 2222, "user": "jane", "password": "pw2"}
+        |}""".stripMargin)
+    val reg = Registry.readRemotesJson(spark, f.toString).collect()
+      .map(r => r.getAs[String]("name") -> (r.getAs[String]("host"), r.getAs[Int]("port")))
+      .toMap
+    assert(reg == Map("node1" -> ("10.0.0.1", 22), "node2" -> ("10.0.0.2", 2222)))
+  }
+
+  test("S3/C1/C3: mapPartitions fan-out with error-as-value semantics") {
+    import spark.implicits._
+    val nodes = Seq(
+      NodeInfo("good", "10.0.0.1", 22, "u", "p"),
+      NodeInfo("bad", "10.0.0.2", 22, "u", "p")).toDS()
+    val results = Registry.runOnAll(nodes, "nodetool info") { (n, cmd) =>
+      if (n.name == "bad") throw new RuntimeException("connection refused")
+      (s"ran $cmd on ${n.name}", "", 0)
+    }.collect().map(r => r.node -> r).toMap
+    assert(results("good").exit_status == 0 &&
+      results("good").stdout.contains("ran nodetool info"))
+    assert(results("bad").exit_status == 255 &&
+      results("bad").stderr.contains("connection refused"))
+  }
+
+  test("X-S: csv and json round-trips preserve data") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.nation(spark, Sf)
+    src.write.mode("overwrite").option("header", true).csv(s"$dir/nation_csv")
+    src.write.mode("overwrite").json(s"$dir/nation_json")
+    val csvBack = spark.read.option("header", true).option("inferSchema", true)
+      .csv(s"$dir/nation_csv")
+    val jsonBack = spark.read.json(s"$dir/nation_json")
+    assert(csvBack.count() == src.count() && jsonBack.count() == src.count())
+    assert(csvBack.select("n_name").except(src.select("n_name")).count() == 0)
+  }
+
+  test("X-S: orc round-trip") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Tables.region(spark, Sf).write.mode("overwrite").orc(s"$dir/region_orc")
+    assert(spark.read.orc(s"$dir/region_orc").count() == 5)
+  }
+
+  test("fan-out feeds the parse pipeline end-to-end (EP3 shape)") {
+    import spark.implicits._
+    val nodes = Tables.registry(spark, Sf).as[NodeInfo]
+    val fixtureLine =
+      "c1-id   Compaction   ks1   catalog_purchase_z3   5123456   10234567   bytes   50.05%"
+    val results: org.apache.spark.sql.Dataset[CmdResult] =
+      Registry.runOnAll(nodes, "nodetool compactionstats") { (_, _) =>
+        (s"pending tasks: 1\n$fixtureLine", "", 0)
+      }
+    val parsed = results.toDF()
+      .select(col("node"), explode(split(col("stdout"), "\n")).as("line"))
+      .select(col("node"),
+        regexp_extract(col("line"), graft.operators.ParseOps.CompactionRe, 1).as("id"))
+      .where(col("id") =!= "")
+    assert(parsed.count() == nodes.count())
+  }
+}
