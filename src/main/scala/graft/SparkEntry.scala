@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
+    sources.SourcePack,
     operators.CatalogPack,
     operators.ParsePack,
     operators.LifecyclePack,
@@ -18,6 +19,18 @@ object SparkEntry {
     operators.GeoPack,
     streaming.StreamingPack,
   )
+
+  /** flatMap(_.toMap) would silently drop colliding keys across packs
+    * (shrinking the driver contract with no error) — assert disjointness.
+    */
+  private def disjointUnion[V](parts: Seq[Map[String, V]], what: String): Map[String, V] = {
+    val merged = parts.flatten.toMap
+    require(merged.size == parts.map(_.size).sum,
+      s"duplicate $what keys across packs: " +
+        parts.flatMap(_.keys).groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+          .mkString(", "))
+    merged
+  }
 
   /** Flagship query (SURVEY §7 step 1): `identify_schema_tables` — the read
     * side of the reference's schema-removal entry point
@@ -29,11 +42,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    disjointUnion(packs.map(_.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+    disjointUnion(packs.map(_.oracles), "oracle")
 }

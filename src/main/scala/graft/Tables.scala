@@ -20,6 +20,45 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Derived fixture tables are memoized + cached once per (session, sfDir)
+    * so per-query work measures the operator, not the fixture derivation:
+    * without this, e.g. every catalog query re-runs an events scan +
+    * distinct for what is logically a 25-row table. All cached tables are
+    * tiny (catalog/registry/command blobs — KBs at any SF); big corpus
+    * tables (lineitem, documents, events, ...) are never cached — they are
+    * the operators' real scan inputs.
+    */
+  private val derivedCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  private[graft] def derived(spark: SparkSession, sfDir: String, name: String)
+                            (build: => DataFrame): DataFrame =
+    derivedCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name), build.cache())
+
+  /** Eagerly materialize every derived fixture table (Bench warmup /
+    * Verify preamble).
+    */
+  def materializeDerived(spark: SparkSession, sfDir: String): Unit = {
+    catalog(spark, sfDir).count()
+    registry(spark, sfDir).count()
+    schemaTables(spark, sfDir).count()
+    compactionStdout(spark, sfDir).count()
+    snapshotLines(spark, sfDir).count()
+    describeResults(spark, sfDir).count()
+    infoResults(spark, sfDir).count()
+  }
+
+  /** Unpersist and drop this session's derived-table cache (long-lived
+    * sessions must not accumulate cached blocks — ADVICE r1).
+    */
+  def clearDerived(spark: SparkSession): Unit = {
+    val id = System.identityHashCode(spark)
+    derivedCache.keys.filter(_._1 == id).foreach { k =>
+      derivedCache.remove(k).foreach(_.unpersist())
+    }
+  }
+
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame   = table(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
@@ -63,38 +102,43 @@ object Tables {
     *
     * DuckDB twin: [[Oracle.catalogCte]].
     */
-  def catalog(spark: SparkSession, sfDir: String): DataFrame = {
-    val sfts = events(spark, sfDir).select(col("event_type").as("sft")).distinct()
-    val indexRows = sfts
-      .select(col("sft"),
-        explode(array(IndexSuffixes.map(lit): _*)).as("suffix"))
-      .select(col("sft"),
-        concat(lit("  CATALOG_"), upper(col("sft")), lit("_"), col("suffix"), lit("  "))
-          .as("value"))
-    val metaRows = sfts.select(col("sft"),
-      concat(lit("metadata_"), col("sft")).as("value"))
-    indexRows.unionAll(metaRows)
-  }
+  def catalog(spark: SparkSession, sfDir: String): DataFrame =
+    derived(spark, sfDir, "catalog") {
+      val sfts = events(spark, sfDir).select(col("event_type").as("sft")).distinct()
+      val indexRows = sfts
+        .select(col("sft"),
+          explode(array(IndexSuffixes.map(lit): _*)).as("suffix"))
+        .select(col("sft"),
+          concat(lit("  CATALOG_"), upper(col("sft")), lit("_"), col("suffix"), lit("  "))
+            .as("value"))
+      val metaRows = sfts.select(col("sft"),
+        concat(lit("metadata_"), col("sft")).as("value"))
+      indexRows.unionAll(metaRows)
+    }
 
   /** Node registry `(name, host, port, user, password)` (SURVEY §1 #1;
     * /root/reference/remotes.json.example), derived from `supplier`.
     * DuckDB twin: [[Oracle.registryCte]].
     */
   def registry(spark: SparkSession, sfDir: String): DataFrame =
-    supplier(spark, sfDir).select(
-      col("s_name").as("name"),
-      concat(lit("10.148.128."), (col("s_suppkey") % 250).cast("string")).as("host"),
-      lit(22).as("port"),
-      concat(lit("user_"), col("s_suppkey").cast("string")).as("user"),
-      concat(lit("pw_"), col("s_suppkey").cast("string")).as("password"))
+    derived(spark, sfDir, "registry") {
+      supplier(spark, sfDir).select(
+        col("s_name").as("name"),
+        concat(lit("10.148.128."), (col("s_suppkey") % 250).cast("string")).as("host"),
+        lit(22).as("port"),
+        concat(lit("user_"), col("s_suppkey").cast("string")).as("user"),
+        concat(lit("pw_"), col("s_suppkey").cast("string")).as("password"))
+    }
 
   /** Lowercased index-table names for every SFT — what
     * `identify_schema_tables` yields (/root/reference/geomesa_cassandra.py:48-52).
     */
   def schemaTables(spark: SparkSession, sfDir: String): DataFrame =
-    catalog(spark, sfDir)
-      .select(col("sft"), lower(trim(col("value"))).as("table_name"))
-      .where(col("table_name").startsWith("catalog"))
+    derived(spark, sfDir, "schema_tables") {
+      catalog(spark, sfDir)
+        .select(col("sft"), lower(trim(col("value"))).as("table_name"))
+        .where(col("table_name").startsWith("catalog"))
+    }
 
   /** Per-(node, table) `nodetool compactionstats` data lines (SURVEY §1 #5
     * fixture). A deterministic subset of node × table pairs carries a
@@ -116,26 +160,29 @@ object Tables {
     * lines, as one `CmdResult`-shaped row per node (SURVEY §1 #4).
     */
   def compactionStdout(spark: SparkSession, sfDir: String): DataFrame =
-    compactionLines(spark, sfDir)
-      .groupBy(col("node"))
-      .agg(concat(lit("pending tasks: 2\n"),
-        concat_ws("\n", array_sort(collect_list(col("line"))))).as("stdout"))
-      .select(col("node"), lit("nodetool compactionstats").as("command"),
-        col("stdout"), lit("").as("stderr"), lit(0).as("exit_status"))
+    derived(spark, sfDir, "compaction_stdout") {
+      compactionLines(spark, sfDir)
+        .groupBy(col("node"))
+        .agg(concat(lit("pending tasks: 2\n"),
+          concat_ws("\n", array_sort(collect_list(col("line"))))).as("stdout"))
+        .select(col("node"), lit("nodetool compactionstats").as("command"),
+          col("stdout"), lit("").as("stderr"), lit(0).as("exit_status"))
+    }
 
   /** Per-(node, table) `nodetool listsnapshots` lines, shaped for the
     * reference's snapshot regex (/root/reference/node.py:153).
     */
-  def snapshotLines(spark: SparkSession, sfDir: String): DataFrame = {
-    val nodes = registry(spark, sfDir).select(col("name").as("node"))
-    val tabs = schemaTables(spark, sfDir).select(col("table_name"))
-    nodes.crossJoin(tabs)
-      .where((h24(col("node")) + h24(col("table_name"))) % 2 === 0)
-      .select(col("node"), col("table_name"),
-        concat(lit("snap_"), (h24(col("table_name")) % 1000).cast("string"),
-          lit("   ks1   "), col("table_name"),
-          lit("   12.3 MB   45.6 MB")).as("line"))
-  }
+  def snapshotLines(spark: SparkSession, sfDir: String): DataFrame =
+    derived(spark, sfDir, "snapshot_lines") {
+      val nodes = registry(spark, sfDir).select(col("name").as("node"))
+      val tabs = schemaTables(spark, sfDir).select(col("table_name"))
+      nodes.crossJoin(tabs)
+        .where((h24(col("node")) + h24(col("table_name"))) % 2 === 0)
+        .select(col("node"), col("table_name"),
+          concat(lit("snap_"), (h24(col("table_name")) % 1000).cast("string"),
+            lit("   ks1   "), col("table_name"),
+            lit("   12.3 MB   45.6 MB")).as("line"))
+    }
 
   /** `DESCRIBE ks.<table>` outcomes per schema table (SURVEY §1 #8): tables
     * whose h24 % 7 == 0 are "missing" (stderr carries `not found`,
@@ -143,7 +190,8 @@ object Tables {
     * `CREATE TABLE`, /root/reference/node.py:174-180).
     */
   def describeResults(spark: SparkSession, sfDir: String): DataFrame =
-    schemaTables(spark, sfDir).select(
+    derived(spark, sfDir, "describe_results") {
+      schemaTables(spark, sfDir).select(
       col("sft"), col("table_name"),
       when(h24(col("table_name")) % 7 === 0, lit(""))
         .otherwise(concat(lit("CREATE TABLE ks1."), col("table_name"), lit(" (...)")))
@@ -151,17 +199,20 @@ object Tables {
       when(h24(col("table_name")) % 7 === 0,
         concat(lit("'"), col("table_name"), lit("' not found in keyspace 'ks1'")))
         .otherwise(lit("")).as("stderr"))
+    }
 
   /** Per-node `nodetool info` stdout (SURVEY §1 #7): nodes with odd suppkey
     * report all of Gossip/Thrift/Transport active (up per the liveness regex
     * /root/reference/node.py:50-53); even ones report Gossip inactive.
     */
   def infoResults(spark: SparkSession, sfDir: String): DataFrame =
-    supplier(spark, sfDir).select(
-      col("s_name").as("node"),
-      when(col("s_suppkey") % 2 === 1, lit(
-        "ID : n\nGossip active : true\nThrift active : true\nNative Transport active : true\nLoad : 1 GiB"))
-        .otherwise(lit(
-          "ID : n\nGossip active : false\nThrift active : true\nNative Transport active : true\nLoad : 1 GiB"))
-        .as("stdout"))
+    derived(spark, sfDir, "info_results") {
+      supplier(spark, sfDir).select(
+        col("s_name").as("node"),
+        when(col("s_suppkey") % 2 === 1, lit(
+          "ID : n\nGossip active : true\nThrift active : true\nNative Transport active : true\nLoad : 1 GiB"))
+          .otherwise(lit(
+            "ID : n\nGossip active : false\nThrift active : true\nNative Transport active : true\nLoad : 1 GiB"))
+          .as("stdout"))
+    }
 }

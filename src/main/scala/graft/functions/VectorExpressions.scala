@@ -65,17 +65,14 @@ case class FloatVecDot(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  @volatile private var registered = Set.empty[String]
 
-  /** Register vec_dot for the session (idempotent); returns a Column-builder. */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val key = spark.sessionState.toString
-    if (!registered.contains(key)) synchronized {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
-      registered += key
-    }
-  }
+  /** Register vec_dot for the session. Unconditional:
+    * createOrReplaceTempFunction is idempotent, and a keyed
+    * registered-set would grow unboundedly across sessions (ADVICE r1).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
 
   /** Σ aᵢ·bᵢ over two array<float> columns (codegen'd native expression). */
   def vecDot(spark: SparkSession, a: String, b: String): Column = {

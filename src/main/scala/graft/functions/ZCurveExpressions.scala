@@ -117,17 +117,15 @@ object ZCurveExpressions {
     case _ => false
   }
 
-  @volatile private var registered = Set.empty[String]
-
+  /** Register z2/z3 for the session. Unconditional:
+    * createOrReplaceTempFunction is idempotent, and a keyed
+    * registered-set would grow unboundedly across sessions (ADVICE r1).
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
-    val key = spark.sessionState.toString
-    if (!registered.contains(key)) synchronized {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "z2_encode", exprs => ZEncode2(exprs.head, exprs(1)), "built-in")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "z3_encode", exprs => ZEncode3(exprs.head, exprs(1), exprs(2)), "built-in")
-      registered += key
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z2_encode", exprs => ZEncode2(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z3_encode", exprs => ZEncode3(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 
   def z2(spark: SparkSession, x: String, y: String): Column = {

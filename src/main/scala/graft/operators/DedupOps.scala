@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *    standard way pairwise dedup survives 100 TB (no O(n²) pairs ever
   *    materialize outside a bucket);
   *  - SimHash is one map-side-combinable aggregation over exploded words;
-  *  - embedding near-dup blocks pairs by (label, id-band) before the
-  *    quadratic step, bounding each block's pair count independently of
-  *    corpus size.
+  *  - embedding near-dup blocks pairs by sign-random-projection buckets
+  *    (similarity-preserving, unlike an id hash) before the quadratic step,
+  *    bounding each block's pair count independently of corpus size.
   */
 object DedupOps {
 
@@ -40,13 +40,16 @@ object DedupOps {
   }
 
   /** Distinct (doc, shingle) rows — the shared scan of the whole MinHash
-    * chain. Callers that compose several stages cache this once instead of
-    * re-deriving it per stage.
+    * chain, memoized + cached once per (session, sfDir) so signatures,
+    * candidates, and Jaccard all reuse one materialization instead of
+    * re-exploding the corpus per stage.
     */
   def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-      .distinct()
+    Tables.derived(spark, sfDir, "distinct_shingles") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+        .distinct()
+    }
 
   /** Per-document MinHash signature: NumHashes independent min-hashes over
     * distinct 3-gram shingles (hash j = h24 of "j:shingle" — the salted-hash
@@ -98,7 +101,8 @@ object DedupOps {
     * the intersection join (one explode instead of three).
     */
   def jaccardOnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = distinctShingles(spark, sfDir).cache()
+    val sh = distinctShingles(spark, sfDir) // cached by the derived-table registry
+
     val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("n_shingles"))
     val pairs = candidatesFrom(bandsFrom(signaturesFrom(sh)))
     val inter = pairs
@@ -147,29 +151,93 @@ object DedupOps {
       .agg(count("*").as("n_docs"), min(col("doc_id")).as("keeper"))
       .where(col("n_docs") > 1)
 
-  /** Blocked embedding-cosine near-dup: pairwise cosine within
-    * (label, id-band) blocks, double-cast before multiply (engine-portable),
-    * rounded to 6 dp. Pairs above `minCosine` survive. Block size bounds the
-    * quadratic step regardless of corpus size; at real scale the band would
-    * be an LSH bucket, not an id hash.
+  /** Sub-bands the 16-bit SimHash splits into for neighbor search. */
+  val SimhashBands = 4 // 4 bits each
+
+  /** Hamming-≤3 SimHash neighbors via banding: split the 16-bit signature
+    * into 4 × 4-bit sub-bands and self-join on any matching sub-band. By
+    * pigeonhole, any pair within Hamming distance 3 shares at least one
+    * intact band, so this candidate set is *exact* for d ≤ 3 — near-misses
+    * surface, not just collisions — while the join stays bucketed (per-band
+    * fan-out only, never all-pairs).
+    */
+  def simhashNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhash(spark, sfDir)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashBands).map { b =>
+        struct(lit(b).as("band_no"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(15).as("band_val"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_no"), col("b.band_val"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("band_no"), col("band_val"))
+    val c = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("band_no"), col("band_val"))
+    a.join(c, Seq("band_no", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+      .where(col("hamming").between(1, 3))
+  }
+
+  /** Sign-random-projection LSH geometry: SrpTables independent hash tables
+    * of SrpBits hyperplane-sign bits each over the 64-dim embedding space.
+    * Weights are seeded md5 constants (3-decimal fixed-point in [-1, 1)), so
+    * the identical literals embed into the DuckDB oracle — both engines
+    * compute bit-identical double dot products and bucket ids.
+    */
+  val SrpTables = 4
+  val SrpBits   = 6
+  val EmbDim    = 64 // embeddings.embedding is list<float>[64] (FIXTURES.md)
+
+  private[operators] def srpWeight(table: Int, bit: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"srp:$table:$bit:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 2000 - 1000) / 1000.0
+  }
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** SRP bucket id for hash table `t` over an `array<float>` embedding. */
+  private def srpBucket(t: Int, e: Column): Column =
+    (0 until SrpBits).map { p =>
+      val w = array((0 until EmbDim).map(i => lit(srpWeight(t, p, i))): _*)
+      val dp = aggregate(zip_with(e, w, (x, wi) => x.cast("double") * wi),
+        lit(0.0), (acc, x) => acc + x)
+      when(dp >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-dup with *similarity-preserving* blocking: pairs
+    * are compared only when some SRP table buckets them together — unlike an
+    * id-band, nearby vectors (small angle) agree on hyperplane signs with
+    * high probability, so true near-dups co-locate (d ≤ cos⁻¹ recall ≈
+    * 1−(1−p^SrpBits)^SrpTables with p = 1−θ/π; ≈0.95 for cosine ≥ 0.95).
+    * The quadratic step stays bounded per bucket — never all-pairs — and the
+    * bucket count (SrpBits) scales up independently of the corpus.
     */
   def embeddingNearDups(spark: SparkSession, sfDir: String, minCosine: Double): DataFrame = {
-    val v = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), (col("vec_id") % 100).as("band"),
-        col("embedding"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    val a = v.select(col("vec_id").as("vec_a"), col("label"), col("band"),
-      col("embedding").as("ea"))
-    val b = v.select(col("vec_id").as("vec_b"), col("label"), col("band"),
-      col("embedding").as("eb"))
-    a.join(b, Seq("label", "band"))
+    val buckets = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until SrpTables).map { t =>
+          struct(lit(t).as("t"), srpBucket(t, col("embedding")).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+    val a = buckets.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("t"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("t"), col("bucket"))
+    a.join(b, Seq("t", "bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .select(col("label"), col("vec_a"), col("vec_b"),
-        round(dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
+      .select(col("vec_a"), col("vec_b"),
+        round(dotD(col("ea"), col("eb")) /
+          (sqrt(dotD(col("ea"), col("ea"))) * sqrt(dotD(col("eb"), col("eb")))), 6)
           .as("cosine"))
       .where(col("cosine") >= minCosine)
+      .distinct()
   }
 }

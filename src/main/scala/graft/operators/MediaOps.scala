@@ -39,6 +39,19 @@ object MediaOps {
   def metadata(spark: SparkSession, sfDir: String): DataFrame =
     payloads(spark, sfDir).select("doc_id", "n_bytes", "format", "checksum")
 
+  /** Registered decode query: the same pseudo-features as [[decodeStub]],
+    * computed with codegen'd built-ins (md5/conv chain) — no typed
+    * serialization in the plan. The `mapPartitions` decoder *shape* (the
+    * swap-in point for a real native codec) stays demonstrated and
+    * equivalence-tested by [[decodeStub]] in SimMediaSpec.
+    */
+  def decodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    def feat(b: Int) =
+      (conv(substring(md5(concat(col("checksum"), lit(s":$b"))), 1, 6), 16, 10)
+        .cast("long").cast("double") / 16777216.0).as(s"f$b")
+    payloads(spark, sfDir).select(col("doc_id"), feat(0), feat(1), feat(2), feat(3))
+  }
+
   /** STUB decoder: deterministic pseudo-features from the checksum — stands
     * in for a real `decode → resize → embed` batch UDF. The mapPartitions
     * shape is the real thing: one iterator per partition, no driver
@@ -66,8 +79,12 @@ object MediaOps {
     */
   def frames(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      // guard: sequence(1, 0) would yield [1, 0] (descending) for an empty
+      // text, emitting bogus frames where the oracle's range(1, 1) emits none
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), expr("(length(text) + 31) div 32"))).as("frame_no"))
+        explode(when(length(col("text")) > 0,
+          sequence(lit(1), expr("(length(text) + 31) div 32")))
+          .otherwise(array().cast("array<int>"))).as("frame_no"))
       .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
         expr("substring(text, (frame_no - 1) * 32 + 1, 32)").as("frame"),
         md5(expr("substring(text, (frame_no - 1) * 32 + 1, 32)")).as("frame_md5"))

@@ -113,21 +113,35 @@ object ParseOps {
       .agg(array_join(array_sort(collect_list(col("id"))), ",").as("ids"),
         count("*").as("n_compactions"))
 
+  /** Scale-safe positional index: sort (range-partitioned, distributed) then
+    * `zipWithIndex`, which computes global offsets from per-partition counts
+    * only — no partition-less Window, no single-partition funnel. 1-based to
+    * mirror SQL row_number.
+    */
+  private def withSortedIndex(df: DataFrame, sortCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.orderBy(col(sortCol))
+    val schema = sorted.schema.add("idx", LongType, nullable = false)
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+  }
+
   /** J1 done right: the reference's positional `zip(results, nodes)`
-    * (/root/reference/geomesa_cassandra.py:102) is order-dependent; keyed
-    * variant here joins on an explicit row_number index over a total order —
-    * deterministic under any partitioning.
+    * (/root/reference/geomesa_cassandra.py:102) is order-dependent; here the
+    * index is an explicit 1-based position over a total order, assigned via
+    * distributed sort + `zipWithIndex` (r1 used two partition-less Windows —
+    * the textbook single-partition scale-killer; this form shuffles for the
+    * range sort only and never funnels rows through one task).
     */
   def zipJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("table_name"))
-    val left = Tables.schemaTables(spark, sfDir)
-      .select(col("table_name"))
-      .withColumn("idx", row_number().over(w).cast("long"))
-    val right = Tables.describeResults(spark, sfDir)
-      .select(col("table_name"), (col("stderr") === "").as("tbl_exists"))
-      .withColumn("idx", row_number().over(Window.orderBy(col("table_name"))).cast("long"))
-      .drop("table_name")
+    val left = withSortedIndex(
+      Tables.schemaTables(spark, sfDir).select(col("table_name")), "table_name")
+    val right = withSortedIndex(
+      Tables.describeResults(spark, sfDir)
+        .select(col("table_name"), (col("stderr") === "").as("tbl_exists")),
+      "table_name").drop("table_name")
     left.join(right, Seq("idx"))
   }
 
@@ -151,6 +165,19 @@ object ParseOps {
   /** C4: named-node registry lookup (/root/reference/remote.py:75-100). */
   def namedLookup(spark: SparkSession, sfDir: String, name: String): DataFrame =
     Tables.registry(spark, sfDir).where(col("name") === name)
+
+  /** C4 error path: the reference raises a ValueError when a name is absent
+    * from the registry (/root/reference/remote.py:91-100). Errors are values
+    * here: one outcome row (name, found, error) — found=false carries the
+    * not-found message instead of silently returning an empty frame.
+    */
+  def namedLookupOutcome(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.registry(spark, sfDir)
+      .agg(count(when(col("name") === name, 1)).as("n"))
+      .select(lit(name).as("name"), (col("n") > 0).as("found"),
+        when(col("n") > 0, lit(null).cast("string"))
+          .otherwise(concat(lit("node '"), lit(name),
+            lit("' not found in remotes registry"))).as("error"))
 
   /** O1: coordinator pick — the reference uses `random.choice`
     * (/root/reference/cluster.py:42-43); we pin determinism by hashing:

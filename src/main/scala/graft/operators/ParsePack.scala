@@ -23,6 +23,7 @@ object ParsePack extends QueryPack {
     "j1_zip_join" -> ((s, d) => ParseOps.zipJoin(s, d)),
     "c3_cmd_outcomes" -> ((s, d) => ParseOps.cmdOutcomes(s, d)),
     "c4_named_lookup" -> ((s, d) => ParseOps.namedLookup(s, d, "Supplier#000000001")),
+    "c4_unknown_node" -> ((s, d) => ParseOps.namedLookupOutcome(s, d, "no-such-node")),
     "o1_pick_coordinator" -> ((s, d) => ParseOps.pickCoordinator(s, d)),
     "o2_seed_node" -> ((s, d) => ParseOps.seedNode(s, d)),
   )
@@ -107,6 +108,13 @@ object ParsePack extends QueryPack {
     "c4_named_lookup" ->
       withCtes(registryCte)(
         "SELECT name, host, port, \"user\", password FROM registry WHERE name = 'Supplier#000000001'"),
+    "c4_unknown_node" ->
+      withCtes(registryCte)(
+        """SELECT 'no-such-node' AS name, (n > 0) AS found,
+          |  CASE WHEN n > 0 THEN NULL
+          |       ELSE 'node ''no-such-node'' not found in remotes registry' END AS error
+          |FROM (SELECT count(CASE WHEN name = 'no-such-node' THEN 1 END) AS n
+          |      FROM registry)""".stripMargin),
     "o1_pick_coordinator" ->
       withCtes(registryCte)(
         "SELECT arg_min(name, md5(name)) AS coordinator FROM registry"),

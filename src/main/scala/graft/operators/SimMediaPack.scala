@@ -15,7 +15,7 @@ object SimMediaPack extends QueryPack {
       .selectExpr("label", "round(aggregate(centroid, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)), 4) AS centroid_sum")),
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
-    "md_decode_features" -> ((s, d) => MediaOps.decodeStub(s, d).toDF()),
+    "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
   )
 

@@ -58,18 +58,33 @@ object SimilarityOps {
 
   /** Per-label centroids (the "trained" IVF partition list): component-wise
     * mean over doubles, rounded to 5 dp so both engines derive identical
-    * centroids. Tiny aggregate: labels × dims rows.
+    * centroids. Tiny result (labels × dims) — memoized + cached once per
+    * (session, sfDir), so the full-corpus posexplode it takes to train runs
+    * exactly once no matter how many probe queries reuse it (r1 recomputed
+    * this subtree inside every IVF plan — the bench's worst query).
     */
   def centroids(spark: SparkSession, sfDir: String): DataFrame =
-    vecs(spark, sfDir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
-      .agg(round(avg(col("x").cast("double")), 5).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-        s => s.getField("c").cast("float")).as("centroid"))
+    Tables.derived(spark, sfDir, "ivf_centroids") {
+      vecs(spark, sfDir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(round(avg(col("x").cast("double")), 5).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c").cast("float")).as("centroid"))
+    }
 
-  /** IVF-style ANN: probe the NProbe nearest centroids' partitions only. */
+  /** IVF-style ANN: probe the NProbe nearest centroids' partitions only.
+    *
+    * Plan shape at scale: `centroids` is cached (trained once), the probe
+    * assignment is a tiny crossJoin against the cached centroid list, and
+    * the corpus⋈probes join is a **broadcast** hash join — the corpus side
+    * never shuffles, so the low cardinality of `label` cannot skew an
+    * exchange (there is none); each corpus partition streams once and emits
+    * rows only for the probes that target its labels. At a real 100-TB
+    * deployment the corpus would additionally be written partitioned by
+    * list id, turning the same probe set into partition pruning at the scan.
+    */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val cent = centroids(spark, sfDir)
     val q = queryVecs(spark, sfDir)

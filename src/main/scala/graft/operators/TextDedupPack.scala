@@ -22,6 +22,7 @@ object TextDedupPack extends QueryPack {
     "dd_jaccard_candidates" -> ((s, d) => DedupOps.jaccardOnCandidates(s, d)),
     "dd_simhash" -> ((s, d) => DedupOps.simhash(s, d)),
     "dd_simhash_groups" -> ((s, d) => DedupOps.simhashGroups(s, d)),
+    "dd_simhash_neighbors" -> ((s, d) => DedupOps.simhashNeighbors(s, d)),
     "dd_embedding_neardups" -> ((s, d) => DedupOps.embeddingNearDups(s, d, 0.30)),
   )
 
@@ -138,47 +139,74 @@ object TextDedupPack extends QueryPack {
           |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
           |JOIN sizes za ON za.doc_id = c.doc_a
           |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin),
-    "dd_simhash" -> simhashSql(withGroups = false),
-    "dd_simhash_groups" -> simhashSql(withGroups = true),
-    "dd_embedding_neardups" ->
-      """WITH v AS (SELECT vec_id, label, vec_id % 100 AS band,
-        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |           FROM embeddings)
-        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(a.e, b.e) /
-        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
-        |    AS cosine
-        |FROM v a JOIN v b
-        |  ON a.label = b.label AND a.band = b.band AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.e, b.e) /
-        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
-        |  >= 0.30""".stripMargin,
+    "dd_simhash" -> (simhashBase + "\nSELECT doc_id, simhash FROM sig"),
+    "dd_simhash_groups" -> (simhashBase + """
+      |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
+      |FROM sig GROUP BY simhash HAVING count(*) > 1""".stripMargin),
+    "dd_simhash_neighbors" -> {
+      val bandRows = (0 until DedupOps.SimhashBands)
+        .map(b => s"($b)").mkString(",")
+      simhashBase + s""",
+        |bands AS (
+        |  SELECT doc_id, simhash, b.band_no,
+        |         (simhash >> (b.band_no * 4)) & 15 AS band_val
+        |  FROM sig, (VALUES $bandRows) AS b(band_no)
+        |)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        |  FROM bands a JOIN bands c
+        |    ON a.band_no = c.band_no AND a.band_val = c.band_val
+        |  WHERE a.doc_id < c.doc_id)
+        |WHERE hamming BETWEEN 1 AND 3""".stripMargin
+    },
+    "dd_embedding_neardups" -> {
+      // identical SRP weight literals as DedupOps.srpWeight embeds in Spark
+      def wList(t: Int, p: Int): String =
+        (0 until DedupOps.EmbDim)
+          .map(i => f"${DedupOps.srpWeight(t, p, i)}%.3f").mkString("[", ", ", "]")
+      def bucketExpr(t: Int): String =
+        (0 until DedupOps.SrpBits).map { p =>
+          s"(CASE WHEN list_dot_product(e, ${wList(t, p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+      val tableRows = (0 until DedupOps.SrpTables).map { t =>
+        s"  SELECT vec_id, e, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM v"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |b AS (
+         |$tableRows
+         |)
+         |SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |  round(list_dot_product(a.e, c.e) /
+         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |    AS cosine
+         |FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE round(list_dot_product(a.e, c.e) /
+         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |  >= 0.30""".stripMargin
+    },
   )
 
   private def stopSeq: Seq[String] = TextFunctions.LangProfiles.head._2
 
-  private def simhashSql(withGroups: Boolean): String = {
+  /** Shared WITH-prefix for the simhash family (wh → sv → sig CTEs). */
+  private def simhashBase: String = {
     val votes = (0 until DedupOps.SimhashBits)
       .map(b => s"    CAST(sum(((h >> $b) & 1) * 2 - 1) AS BIGINT) AS v$b")
       .mkString(",\n")
     val sig = (0 until DedupOps.SimhashBits)
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    val base =
-      s"""WITH wh AS (
-         |  SELECT doc_id, ${h24("word")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-         |), sv AS (
-         |  SELECT doc_id,
-         |$votes
-         |  FROM wh GROUP BY doc_id
-         |), sig AS (
-         |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sv
-         |)""".stripMargin
-    if (withGroups)
-      base + """
-        |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
-        |FROM sig GROUP BY simhash HAVING count(*) > 1""".stripMargin
-    else base + "\nSELECT doc_id, simhash FROM sig"
+    s"""WITH wh AS (
+       |  SELECT doc_id, ${h24("word")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |), sv AS (
+       |  SELECT doc_id,
+       |$votes
+       |  FROM wh GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sv
+       |)""".stripMargin
   }
 }

@@ -61,16 +61,16 @@ object TextOps {
     * minimum-hash shingle of each document (rolling-hash family; the h24
     * hash plays the rolling polynomial's role, portable to the oracle).
     */
-  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hashed = Tables.documents(spark, sfDir)
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    // one hash aggregate, map-side combinable: min(struct(h, shingle))
+    // compares h first, then shingle — so .shingle is the lexicographically
+    // least shingle among min-hash achievers (h24 collisions at the min are
+    // rare but nonzero; arg_min alone would be nondeterministic there)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-      .select(col("doc_id"), col("shingle"), h24(col("shingle")).as("h"))
-      .withColumn("mn", min(col("h")).over(Window.partitionBy(col("doc_id"))))
-    // rep tie-break is min(shingle) among min-hash achievers: h24 collisions
-    // at the min are rare but nonzero — arg_min alone would be nondeterministic
-    hashed.groupBy(col("doc_id"))
-      .agg(min(col("h")).as("fingerprint"),
-        min(when(col("h") === col("mn"), col("shingle"))).as("rep_shingle"))
-  }
+      .select(col("doc_id"), struct(h24(col("shingle")).as("h"), col("shingle")).as("hs"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("hs")).as("mn"))
+      .select(col("doc_id"), col("mn.h").as("fingerprint"),
+        col("mn.shingle").as("rep_shingle"))
 }

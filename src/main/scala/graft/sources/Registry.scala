@@ -56,4 +56,33 @@ object Registry {
       }
     }
   }
+
+  /** Pure, deterministic stand-in executors for the SSH layer — injected
+    * into [[runOnAll]] so the fan-out engine itself is oracle-verifiable
+    * (the production executor would open a connection; these compute the
+    * same row shapes from node fields alone).
+    */
+  object PureExec {
+
+    /** Port-22 nodes answer; anything else refuses the connection (the
+      * thrown error becomes a C3 error-value row, exit 255).
+      */
+    def sshFixture(n: NodeInfo, cmd: String): (String, String, Int) =
+      if (n.port == 22) (s"$cmd: ok from ${n.name}@${n.host}", "", 0)
+      else throw new RuntimeException(s"connect to ${n.host}:${n.port} refused")
+
+    private def h24(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16)
+    }
+
+    /** Deterministically flaky fleet: nodes whose h24(name) % 10 == 0 fail
+      * (mirrors `return_exceptions=True` gathering at fleet scale).
+      */
+    def sshFlaky(n: NodeInfo, cmd: String): (String, String, Int) =
+      if (h24(n.name) % 10 == 0)
+        throw new RuntimeException(s"ssh: connection to ${n.host} failed")
+      else (s"$cmd: up 42 days on ${n.name}", "", 0)
+  }
 }

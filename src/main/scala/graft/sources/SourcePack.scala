@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.{Oracle, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registration for the source layer (SURVEY §2 S1/S3/C1):
+  * the registry JSON scan and the scatter-gather command runner — the
+  * reference's most-executed code paths (/root/reference/remote.py:52-90,
+  * cluster.py:147-148) — verified against the DuckDB oracle, not just unit
+  * tests (the one §2 territory the r1 driver couldn't see).
+  *
+  *  - `s1_registry_rows`: [[Registry.readRemotesJson]] over a committed
+  *    fixture remotes.json; oracle = DuckDB read_json_auto + manual unnest.
+  *  - `c1_run_on_all`: [[Registry.runOnAll]] fan-out over the fixture
+  *    registry with the pure port-22 executor — the non-22 node's thrown
+  *    error surfaces as a C3 error-value row.
+  *  - `s3_cmd_results`: the same runner over the corpus-derived registry
+  *    (fleet scale) with a deterministically flaky executor.
+  */
+object SourcePack extends QueryPack {
+
+  val FixturePath = "/root/repo/fixtures/remotes.json"
+  private val FixtureNames =
+    Seq("cass-edge-9", "cass-node-1", "cass-node-2", "cass-node-3")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_registry_rows" -> ((s, _) => Registry.readRemotesJson(s, FixturePath)),
+    "c1_run_on_all" -> ((s, _) => {
+      import s.implicits._
+      val nodes = Registry.readRemotesJson(s, FixturePath).as[Registry.NodeInfo]
+      Registry.runOnAll(nodes, "nodetool info")(Registry.PureExec.sshFixture).toDF()
+    }),
+    "s3_cmd_results" -> ((s, d) => {
+      import s.implicits._
+      val nodes = Tables.registry(s, d).as[Registry.NodeInfo]
+      Registry.runOnAll(nodes, "uptime")(Registry.PureExec.sshFlaky).toDF()
+    }),
+  )
+
+  /** Fixture registry rows via DuckDB's JSON reader: one struct column per
+    * node name, unnested by name (names are fixed by the committed fixture).
+    */
+  private val fixtureRegistryCte: String = {
+    val rows = FixtureNames.map { n =>
+      s"""  SELECT '$n' AS name, "$n".host AS host, CAST("$n".port AS INTEGER) AS port,
+         |         "$n"."user" AS "user", "$n".password AS password FROM j""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""j AS (SELECT * FROM read_json_auto('$FixturePath')),
+       |registry_rows AS (
+       |$rows
+       |)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "s1_registry_rows" ->
+      s"""WITH $fixtureRegistryCte
+         |SELECT name, host, port, "user", password FROM registry_rows""".stripMargin,
+    "c1_run_on_all" ->
+      s"""WITH $fixtureRegistryCte
+         |SELECT name AS node, 'nodetool info' AS command,
+         |  CASE WHEN port = 22
+         |       THEN 'nodetool info: ok from ' || name || '@' || host ELSE '' END AS stdout,
+         |  CASE WHEN port = 22 THEN ''
+         |       ELSE 'connect to ' || host || ':' || CAST(port AS VARCHAR) || ' refused'
+         |       END AS stderr,
+         |  CASE WHEN port = 22 THEN 0 ELSE 255 END AS exit_status
+         |FROM registry_rows""".stripMargin,
+    "s3_cmd_results" ->
+      Oracle.withCtes(Oracle.registryCte)(
+        s"""SELECT name AS node, 'uptime' AS command,
+           |  CASE WHEN ${Oracle.h24("name")} % 10 = 0 THEN ''
+           |       ELSE 'uptime: up 42 days on ' || name END AS stdout,
+           |  CASE WHEN ${Oracle.h24("name")} % 10 = 0
+           |       THEN 'ssh: connection to ' || host || ' failed' ELSE '' END AS stderr,
+           |  CASE WHEN ${Oracle.h24("name")} % 10 = 0 THEN 255 ELSE 0 END AS exit_status
+           |FROM registry""".stripMargin),
+  )
+}

@@ -77,10 +77,12 @@ object StreamingOps {
     */
   def writeLogSink(spark: SparkSession, sfDir: String, outDir: String): (Long, Long) = {
     val rows = logRows(spark, sfDir).cache()
-    rows.write.mode("overwrite").parquet(s"$outDir/log_all")
-    rows.where(col("level") === "ERROR").write.mode("overwrite")
-      .parquet(s"$outDir/log_error")
-    (rows.count(), rows.where(col("level") === "ERROR").count())
+    try {
+      rows.write.mode("overwrite").parquet(s"$outDir/log_all")
+      rows.where(col("level") === "ERROR").write.mode("overwrite")
+        .parquet(s"$outDir/log_error")
+      (rows.count(), rows.where(col("level") === "ERROR").count())
+    } finally rows.unpersist() // don't hold blocks past the sink's actions
   }
 
   /** True Structured Streaming tumbling aggregation with watermark — the
@@ -92,4 +94,48 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count("*").as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** One liveness probe observation for a node (ST1 input). */
+  case class Probe(node: String, is_up: Boolean)
+  /** Poll progress carried between micro-batches. */
+  case class PollState(attempts: Int)
+  /** Terminal poll outcome: status ∈ {up, timeout}. */
+  case class PollResult(node: String, status: String, attempts: Int)
+
+  /** ST1, true streaming form: the reference's restart poll — probe every
+    * 2 s until up, give up after 300 s (/root/reference/node.py:57-65) — as
+    * `flatMapGroupsWithState` keyed by node with a processing-time timeout.
+    * Each micro-batch of probes increments per-node state; the first up
+    * probe emits a terminal `up` row and clears state; a node whose probes
+    * stay down long enough for the timeout to fire emits `timeout` — exactly
+    * the reference's TimeoutError, as a row. The batch analog
+    * (`st1_restart_poll`, LifecycleOps) stays the oracle entry; this is the
+    * production-shaped twin (state store keyed by node, scales with fleet
+    * size, no driver-side loop).
+    */
+  def pollUntilUp(probes: org.apache.spark.sql.Dataset[Probe],
+                  timeoutMs: Long = 300000L): org.apache.spark.sql.Dataset[PollResult] = {
+    import probes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    probes.groupByKey(_.node).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      (node: String, it: Iterator[Probe], state: GroupState[PollState]) =>
+        if (state.hasTimedOut) {
+          val n = state.getOption.map(_.attempts).getOrElse(0)
+          state.remove()
+          Iterator(PollResult(node, "timeout", n))
+        } else {
+          val batch = it.toSeq
+          val attempts = state.getOption.map(_.attempts).getOrElse(0) + batch.size
+          if (batch.exists(_.is_up)) {
+            state.remove()
+            Iterator(PollResult(node, "up", attempts))
+          } else {
+            state.update(PollState(attempts))
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
+          }
+        }
+    }
+  }
 }

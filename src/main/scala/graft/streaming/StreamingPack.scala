@@ -43,7 +43,7 @@ object StreamingPack extends QueryPack {
     "xst_session_counts" ->
       s"""WITH $evCte,
          |flags AS (
-         |  SELECT user_id, ts,
+         |  SELECT user_id, ts, event_id,
          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          |              >= INTERVAL 10 MINUTE
@@ -51,7 +51,7 @@ object StreamingPack extends QueryPack {
          |  FROM e),
          |sess AS (
          |  SELECT user_id, ts,
-         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM flags)
          |SELECT min(ts) AS session_start,

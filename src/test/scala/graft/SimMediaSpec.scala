@@ -66,4 +66,13 @@ class SimMediaSpec extends SparkSpec {
     feats.foreach(m => Seq(m.f0, m.f1, m.f2, m.f3)
       .foreach(v => assert(v >= 0.0 && v < 1.0)))
   }
+
+  test("decodeFeatures (codegen'd query form) is value-identical to the mapPartitions stub") {
+    val stub = MediaOps.decodeStub(spark, Sf).collect()
+      .map(m => m.doc_id -> (m.f0, m.f1, m.f2, m.f3)).toMap
+    val exprForm = MediaOps.decodeFeatures(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(exprForm == stub)
+  }
 }

@@ -36,6 +36,19 @@ class SourcesSpec extends SparkSpec {
       results("bad").stderr.contains("connection refused"))
   }
 
+  test("S1+C1: committed fixture registry fans out; non-22 port surfaces as error row") {
+    import spark.implicits._
+    val nodes = Registry.readRemotesJson(spark, graft.sources.SourcePack.FixturePath)
+      .as[NodeInfo]
+    val rows = Registry.runOnAll(nodes, "nodetool info")(Registry.PureExec.sshFixture)
+      .collect().map(r => r.node -> r).toMap
+    assert(rows.size == 4)
+    assert(rows("cass-node-1").exit_status == 0 &&
+      rows("cass-node-1").stdout == "nodetool info: ok from cass-node-1@10.0.0.1")
+    assert(rows("cass-edge-9").exit_status == 255 &&
+      rows("cass-edge-9").stderr == "connect to 10.0.0.9:2222 refused")
+  }
+
   test("X-S: csv and json round-trips preserve data") {
     val dir = Files.createTempDirectory("graft_fmt").toString
     val src = Tables.nation(spark, Sf)

@@ -62,6 +62,34 @@ class StreamingSpec extends SparkSpec {
       .where(col("level") =!= "ERROR").count() == 0)
   }
 
+  test("pollUntilUp: stateful poll emits up after retries, keeps polling nodes silent (ST1)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{Probe, PollResult}
+    val stream = MemoryStream[Probe]
+    val q = StreamingOps.pollUntilUp(stream.toDS())
+      .writeStream.format("memory").queryName("poll_test")
+      .outputMode("append").start()
+    try {
+      // NOTE: processAllAvailable() is unusable here — once any group holds
+      // a processing-time timeout, every micro-batch reports it "requires
+      // another batch" for the timeout check, so the engine re-batches
+      // continuously and the no-new-data condition never sticks. Poll the
+      // sink with a deadline instead.
+      // batch 1: both nodes down — no terminal rows, state accumulates;
+      // batch 2: n1 comes up on its second probe; n2 still down.
+      // attempts == 2 holds whether the engine sees one micro-batch or two.
+      stream.addData(Probe("n1", is_up = false), Probe("n2", is_up = false))
+      stream.addData(Probe("n1", is_up = true), Probe("n2", is_up = false))
+      val deadline = System.currentTimeMillis() + 90000
+      while (spark.table("poll_test").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val out = spark.table("poll_test").as[PollResult].collect()
+      // n1 terminal after 2 probes; n2 (still polling, 300 s timeout) silent
+      assert(out.toSeq == Seq(PollResult("n1", "up", 2)))
+    } finally q.stop()
+  }
+
   test("sessionCounts: session bounds contain their events, gap respected") {
     val sessions = StreamingOps.sessionCounts(spark, Sf)
       .where(col("user_id") === 7).orderBy(col("session_start")).collect()

@@ -61,12 +61,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("embedding near-dups: cosine bounded, blocked by label") {
+  test("embedding near-dups: cosine bounded, SRP buckets co-locate near-identical vectors") {
     val d = DedupOps.embeddingNearDups(spark, Sf, -1.0).collect()
     assert(d.nonEmpty)
     d.foreach { r =>
       val c = r.getAs[Double]("cosine")
       assert(c >= -1.000001 && c <= 1.000001)
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
     }
+  }
+
+  test("simhash neighbors: banding is exact for Hamming <= 3") {
+    import spark.implicits._
+    val sigs = DedupOps.simhash(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    // brute-force ground truth over the small sf0.001 corpus
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h >= 1 && h <= 3
+    } yield (a, b, h)).toSet
+    val got = DedupOps.simhashNeighbors(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected)
   }
 }
