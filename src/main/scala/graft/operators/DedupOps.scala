@@ -53,10 +53,14 @@ object DedupOps {
 
   /** Per-document MinHash signature: NumHashes independent min-hashes over
     * distinct 3-gram shingles (hash j = h24 of "j:shingle" — the salted-hash
-    * family trick, oracle-portable).
+    * family trick, oracle-portable). Memoized like centroids: the signature
+    * table is the dedup chain's trained artifact (one row per doc, tiny
+    * relative to the corpus), reused by banding, candidates, and Jaccard.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    signaturesFrom(distinctShingles(spark, sfDir))
+    Tables.derived(spark, sfDir, "minhash_signatures") {
+      signaturesFrom(distinctShingles(spark, sfDir))
+    }
 
   private def signaturesFrom(sh: DataFrame): DataFrame = {
     val aggs = (1 to NumHashes).map { j =>
@@ -84,7 +88,9 @@ object DedupOps {
     * The self-join keys on (band_no, band_key) — per-bucket fan-out only.
     */
   def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
-    candidatesFrom(bandsFrom(signaturesFrom(distinctShingles(spark, sfDir))))
+    Tables.derived(spark, sfDir, "minhash_candidates") {
+      candidatesFrom(bandsFrom(minhashSignatures(spark, sfDir)))
+    }
 
   private def candidatesFrom(b: DataFrame): DataFrame = {
     val a = b.select(col("doc_id").as("doc_a"), col("band_no"), col("band_key"))
@@ -104,7 +110,7 @@ object DedupOps {
     val sh = distinctShingles(spark, sfDir) // cached by the derived-table registry
 
     val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("n_shingles"))
-    val pairs = candidatesFrom(bandsFrom(signaturesFrom(sh)))
+    val pairs = minhashCandidates(spark, sfDir) // cached candidate pairs
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))

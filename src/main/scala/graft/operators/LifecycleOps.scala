@@ -43,6 +43,19 @@ object LifecycleOps {
         replace(col("cmd_template"), lit("%s"), col("table_name")).as("command"))
   }
 
+  /** M6 read-side + T4 + C1: the flush fan-out — `nodetool flush -- ks t` on
+    * every node for every schema table of the SFT
+    * (/root/reference/node.py:73-74 run cluster-wide by
+    * geomesa_cassandra.py:87-90). Spark has no memtable, so the command plan
+    * IS the operator's content; the no-op analog action is a `df.write`
+    * commit (SURVEY §2 M6).
+    */
+  def flushCommands(spark: SparkSession, sfDir: String, ks: String, sft: String): DataFrame =
+    Tables.registry(spark, sfDir).select(col("name").as("node"))
+      .crossJoin(CatalogOps.findSchemaTables(spark, sfDir, sft))
+      .select(col("node"), col("table_name"),
+        concat(lit(s"nodetool flush -- $ks "), col("table_name")).as("command"))
+
   /** M7 read-side + T4: stop commands for every live compaction of a table
     * (/root/reference/node.py:102-108: find ids, then `nodetool stop -id x`).
     */

@@ -11,6 +11,7 @@ object LifecyclePack extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st2_removal_plan" -> ((s, d) => LifecycleOps.removalPlan(s, d, "purchase")),
+    "m6_flush_commands" -> ((s, d) => LifecycleOps.flushCommands(s, d, "ks1", "purchase")),
     "m7_stop_commands" -> ((s, d) => LifecycleOps.stopCommands(s, d, "ks1", "catalog_purchase_z3")),
     "m8_clear_snapshot_commands" -> ((s, d) => LifecycleOps.clearSnapshotCommands(s, d, "ks1", "catalog_purchase_z3")),
     "m9_repair_plan" -> ((s, d) => LifecycleOps.repairPlan(s, d, "purchase")),
@@ -37,6 +38,12 @@ object LifecyclePack extends QueryPack {
            |FROM catalog c
            |CROSS JOIN (VALUES $stagesValues) AS st(stage_order, stage, cmd_template)
            |WHERE c.sft = 'purchase' AND lower(trim(c.value)) LIKE 'catalog%'""".stripMargin),
+    "m6_flush_commands" ->
+      withCtes(catalogCte, schemaTablesCte, registryCte)(
+        """SELECT r.name AS node, t.table_name,
+          |  'nodetool flush -- ks1 ' || t.table_name AS command
+          |FROM registry r CROSS JOIN schema_tables t
+          |WHERE t.sft = 'purchase'""".stripMargin),
     "m7_stop_commands" ->
       withCtes(catalogCte, schemaTablesCte, registryCte, compactionLinesCte,
         compactionStdoutCte)(

@@ -35,6 +35,9 @@ object SourcePack extends QueryPack {
       val nodes = Tables.registry(s, d).as[Registry.NodeInfo]
       Registry.runOnAll(nodes, "uptime")(Registry.PureExec.sshFlaky).toDF()
     }),
+    "xs_csv_roundtrip" -> ((s, d) => Formats.csvRoundtrip(s, d)),
+    "xs_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
+    "xs_json_lines" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
   )
 
   /** Fixture registry rows via DuckDB's JSON reader: one struct column per
@@ -74,5 +77,14 @@ object SourcePack extends QueryPack {
            |       THEN 'ssh: connection to ' || host || ' failed' ELSE '' END AS stderr,
            |  CASE WHEN ${Oracle.h24("name")} % 10 = 0 THEN 255 ELSE 0 END AS exit_status
            |FROM registry""".stripMargin),
+    // roundtrip oracles read the ORIGINAL parquet: equality proves the
+    // format's encode→decode path is lossless for the chosen columns
+    "xs_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "xs_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "xs_json_lines" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate FROM orders""".stripMargin,
   )
 }
