@@ -14,6 +14,8 @@ object SimMediaPack extends QueryPack {
     "sim_ivf_centroids" -> ((s, d) => SimilarityOps.centroids(s, d)
       .selectExpr("label", "round(aggregate(centroid, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)), 4) AS centroid_sum")),
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    "sim_kmeans_centroids" -> ((s, d) => SimilarityOps.kmeansSummary(s, d)),
+    "sim_kmeans_topk" -> ((s, d) => SimilarityOps.kmeansTopK(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
@@ -42,6 +44,63 @@ object SimMediaPack extends QueryPack {
       |  GROUP BY label
       |)""".stripMargin,
     "cent AS (SELECT label, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS ce FROM cent0)")
+
+  /** Lloyd-iteration CTE pair: assign every vector of `vv` to its nearest
+    * centroid from `prevCte` (cd = double list), then emit the mean-update
+    * centroid as `m$i` (float list, 5 dp — [[SimilarityOps.meanCentroids]])
+    * and its double-cast twin `m${i}d`. Distance expansion + rounding mirror
+    * [[SimilarityOps.assignTo]] exactly.
+    */
+  private def lloydCtes(i: Int, prevCte: String): Seq[String] = Seq(
+    s"""a$i AS (
+       |  SELECT vec_id, e, k FROM (
+       |    SELECT vec_id, e, k,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+       |    FROM (
+       |      SELECT v.vec_id, v.e, c.k,
+       |        round(list_dot_product(v.e, v.e) + list_dot_product(c.cd, c.cd)
+       |              - 2 * list_dot_product(v.e, c.cd), 6) AS d2
+       |      FROM vv v CROSS JOIN $prevCte c))
+       |  WHERE rn = 1
+       |)""".stripMargin,
+    s"""m$i AS (
+       |  SELECT k, list(CAST(cx AS FLOAT) ORDER BY i) AS centroid FROM (
+       |    SELECT k, i, round(avg(x), 5) AS cx FROM (
+       |      SELECT k, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a$i)
+       |    GROUP BY k, i)
+       |  GROUP BY k
+       |)""".stripMargin,
+    s"""m${i}d AS (SELECT k, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS cd
+       |       FROM m$i)""".stripMargin)
+
+  /** Full k-means derivation: seeded init `c0d`, [[SimilarityOps.KmeansIters]]
+    * unrolled Lloyd iterations, and the final inverted-list assignment
+    * `kassign` against the trained centroids (twin of
+    * [[SimilarityOps.kmeansAssignments]]).
+    */
+  private val kmeansCtes: Seq[String] = {
+    val n = SimilarityOps.KmeansIters
+    val init = Seq(
+      s"""c0d AS (
+         |  SELECT vec_id % ${SimilarityOps.KmeansK} AS k,
+         |         arg_min(e, md5(CAST(vec_id AS VARCHAR))) AS cd
+         |  FROM vv GROUP BY 1
+         |)""".stripMargin)
+    val iters = (1 to n).flatMap(i => lloydCtes(i, if (i == 1) "c0d" else s"m${i - 1}d"))
+    val assign = Seq(
+      s"""kassign AS (
+         |  SELECT vec_id, k FROM (
+         |    SELECT vec_id, k,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+         |    FROM (
+         |      SELECT v.vec_id, c.k,
+         |        round(list_dot_product(v.e, v.e) + list_dot_product(c.cd, c.cd)
+         |              - 2 * list_dot_product(v.e, c.cd), 6) AS d2
+         |      FROM vv v CROSS JOIN m${n}d c))
+         |  WHERE rn = 1
+         |)""".stripMargin)
+    init ++ iters ++ assign
+  }
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
@@ -85,6 +144,37 @@ object SimMediaPack extends QueryPack {
            |    row_number() OVER (PARTITION BY query_id
            |                       ORDER BY cosine DESC, vec_id) AS rank
            |  FROM ivf_scored)
+           |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
+    "sim_kmeans_centroids" ->
+      Oracle.withCtes(vecCtes ++ kmeansCtes :+
+        s"""ksizes AS (SELECT k, count(*) AS n_vecs FROM kassign GROUP BY k)""": _*)(
+        s"""SELECT m.k, s.n_vecs, round(list_sum(m.cd), 4) AS centroid_sum
+           |FROM m${SimilarityOps.KmeansIters}d m JOIN ksizes s USING (k)""".stripMargin),
+    "sim_kmeans_topk" ->
+      Oracle.withCtes(vecCtes ++ kmeansCtes ++ Seq(
+        s"""kprobe_scored AS (
+           |  SELECT query_id, q, k, ${cosSql("q", "cd")} AS c_cos
+           |  FROM qv CROSS JOIN m${SimilarityOps.KmeansIters}d
+           |)""".stripMargin,
+        s"""kprobes AS (
+           |  SELECT query_id, q, k FROM (
+           |    SELECT query_id, q, k,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY c_cos DESC, k) AS pr
+           |    FROM kprobe_scored)
+           |  WHERE pr <= ${SimilarityOps.NProbe}
+           |)""".stripMargin,
+        s"""kscored AS (
+           |  SELECT p.query_id, v.vec_id, p.k, ${cosSql("p.q", "v.e")} AS cosine
+           |  FROM kprobes p JOIN kassign a USING (k)
+           |  JOIN vv v ON v.vec_id = a.vec_id
+           |  WHERE v.vec_id <> p.query_id
+           |)""".stripMargin): _*)(
+        s"""SELECT query_id, vec_id, k, cosine, rank FROM (
+           |  SELECT query_id, vec_id, k, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM kscored)
            |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
     "md_metadata" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -106,4 +106,118 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .where(col("rank") <= TopK)
   }
+
+  // ---------------------------------------------------------------- k-means
+
+  /** True trained IVF: seeded Lloyd k-means instead of the label shortcut.
+    * Everything is pinned for cross-engine determinism: init = per-residue
+    * arg_min over md5(vec_id) (no RNG), a fixed unrolled iteration count,
+    * distances rounded to 6 dp with cluster-id tie-breaks, and centroids
+    * rounded to 5 dp + squeezed through float at every iteration so Spark
+    * and the DuckDB oracle converge on bit-identical centroid sequences.
+    */
+  val KmeansK     = 8
+  val KmeansIters = 2
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Corpus with the embedding pre-cast to array<double> (training math). */
+  private def vecsD(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  /** One assignment step: nearest centroid per vector by squared L2
+    * (expanded to three dot products — the exact expression the oracle
+    * mirrors). The centroid list is broadcast, so the corpus never
+    * shuffles; the argmin is a map-side-combinable min(struct) aggregate,
+    * not a window.
+    */
+  private def assignTo(v: DataFrame, cent: DataFrame): DataFrame = {
+    val c = broadcast(cent.select(col("k"),
+      transform(col("centroid"), x => x.cast("double")).as("cd")))
+    v.crossJoin(c)
+      .select(col("vec_id"), col("e"), col("k"),
+        round(dotD(col("e"), col("e")) + dotD(col("cd"), col("cd"))
+          - lit(2) * dotD(col("e"), col("cd")), 6).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("k"), col("e"))).as("m"))
+      .select(col("vec_id"), col("m.k").as("k"), col("m.e").as("e"))
+  }
+
+  /** Mean-update step: component-wise mean per cluster, rounded to 5 dp,
+    * stored as float (same stabilization as the label centroids).
+    */
+  private def meanCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("k"), posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy(col("k"), col("i"))
+      .agg(round(avg(col("x")), 5).as("cx"))
+      .groupBy(col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        s => s.getField("cx").cast("float")).as("centroid"))
+
+  /** Trained centroid table (k, centroid float[64]) after KmeansIters Lloyd
+    * iterations from the md5-seeded init. Memoized: training runs once per
+    * session no matter how many queries probe it.
+    */
+  def kmeansCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derived(spark, sfDir, "kmeans_centroids") {
+      val v = vecsD(spark, sfDir)
+      val init = v.groupBy((col("vec_id") % KmeansK).as("k"))
+        .agg(min_by(col("e"), md5(col("vec_id").cast("string"))).as("centroid"))
+      (1 to KmeansIters).foldLeft(init) { (cent, _) =>
+        meanCentroids(assignTo(v, cent))
+      }
+    }
+
+  /** Final (vec_id → cluster) assignment against the trained centroids —
+    * the IVF inverted list. At 100 TB this is the column the corpus gets
+    * re-partitioned/written by, making probes partition-pruned scans.
+    */
+  def kmeansAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derived(spark, sfDir, "kmeans_assign") {
+      assignTo(vecsD(spark, sfDir), kmeansCentroids(spark, sfDir))
+        .select(col("vec_id"), col("k"))
+    }
+
+  /** Cluster summary: size + centroid mass per trained cluster. */
+  def kmeansSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = kmeansAssignments(spark, sfDir)
+      .groupBy(col("k")).agg(count("*").as("n_vecs"))
+    kmeansCentroids(spark, sfDir).join(sizes, Seq("k"))
+      .select(col("k"), col("n_vecs"),
+        round(aggregate(col("centroid"), lit(0.0),
+          (a, x) => a + x.cast("double")), 4).as("centroid_sum"))
+  }
+
+  /** ANN over the trained index: probe the NProbe nearest k-means centroids,
+    * scan only their inverted lists. Identical plan shape to [[ivfTopK]]
+    * (broadcast probes, no corpus shuffle) but the partitions are now
+    * geometry-derived, so the recall claim is real.
+    */
+  def kmeansTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = kmeansCentroids(spark, sfDir)
+    val q = queryVecs(spark, sfDir)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("k"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q"), col("k"),
+        cosine(spark, "q", "centroid").as("c_cos"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .where(col("probe_rank") <= NProbe)
+      .select(col("query_id"), col("q"), col("k"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    // assignments join is corpus-sized — co-partitioned on vec_id, never
+    // broadcast; at a real deployment k is a stored column (no join at all)
+    vecs(spark, sfDir)
+      .join(kmeansAssignments(spark, sfDir), Seq("vec_id"))
+      .join(broadcast(probes), Seq("k"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("k"),
+        cosine(spark, "q", "embedding").as("cosine"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= TopK)
+  }
 }
