@@ -109,4 +109,10 @@ object Oracle {
   /** Assemble `WITH a, b, c <select>` from CTE fragments. */
   def withCtes(ctes: String*)(select: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + select
+
+  /** Same, but `WITH RECURSIVE` — for oracles whose twin is an iterated
+    * fixed point (e.g. connected components).
+    */
+  def withRecursiveCtes(ctes: String*)(select: String): String =
+    "WITH RECURSIVE " + ctes.mkString(",\n") + "\n" + select
 }

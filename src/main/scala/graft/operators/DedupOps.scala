@@ -107,10 +107,18 @@ object DedupOps {
     * the intersection join (one explode instead of three).
     */
   def jaccardOnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashCandidates(spark, sfDir) // cached candidate pairs
+    // prune the shingle scan to docs that appear in some candidate pair —
+    // at 100 TB the candidate-doc set is orders of magnitude smaller than
+    // the corpus (that is LSH's whole point), so the exact-Jaccard joins
+    // below touch only that sliver; a broadcast semi-join does the pruning
+    // without shuffling the shingle table
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = distinctShingles(spark, sfDir) // cached by the derived-table registry
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
 
     val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("n_shingles"))
-    val pairs = minhashCandidates(spark, sfDir) // cached candidate pairs
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
@@ -125,6 +133,73 @@ object DedupOps {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
+
+  /** Jaccard cutoff above which a candidate pair is a confirmed duplicate
+    * edge (scores in the corpus are bimodal: ≤0.02 LSH noise vs ≥0.9 true
+    * near-dups, so any mid value works).
+    */
+  val ClusterMinJaccard = 0.5
+
+  /** Propagation-round cap — a safety net far above the diameter of any real
+    * duplicate cluster (dup clusters are near-cliques; diameter ≈ 2-3).
+    */
+  val MaxCcRounds = 20
+
+  /** Duplicate clusters: connected components over the Jaccard-confirmed
+    * edge set, by iterative min-label propagation to a fixed point. Each
+    * round is one bucketed join + map-side-combinable min aggregate (labels
+    * only — never text), and `localCheckpoint` truncates the lineage so the
+    * plan stays flat across rounds; rounds needed = component diameter
+    * (near-cliques for dup clusters ⇒ 2-3 rounds; adversarial long chains
+    * would call for the large-star/small-star variant, which swaps the
+    * neighbor-min join for star-contraction joins in the same loop shape).
+    * Output: every doc in some duplicate cluster, labeled by the cluster's
+    * min doc_id; `is_canonical` marks the keeper the pipeline retains.
+    */
+  def duplicateClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derived(spark, sfDir, "dup_clusters") {
+      val edges = jaccardOnCandidates(spark, sfDir)
+        .where(col("jaccard") >= ClusterMinJaccard)
+        .select(col("doc_a"), col("doc_b"))
+      val sym = edges
+        .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+      def labelSum(df: DataFrame): Long =
+        Option(df.agg(sum(col("cluster_id"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .localCheckpoint()
+      var prevSum = -1L
+      var curSum = labelSum(labels)
+      var rounds = 0
+      while (curSum != prevSum && rounds < MaxCcRounds) {
+        val nbrMin = sym
+          .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nbr_label")),
+            Seq("doc_b"))
+          .groupBy(col("doc_a")).agg(min(col("nbr_label")).as("nbr_min"))
+        labels = labels
+          .join(nbrMin.select(col("doc_a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint()
+        prevSum = curSum
+        curSum = labelSum(labels)
+        rounds += 1
+      }
+      labels.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    }
+
+  /** Per-cluster rollup of [[duplicateClusters]]: size and the share of the
+    * corpus each cluster would let a pipeline drop (size − 1 non-canonical
+    * members).
+    */
+  def clusterStats(spark: SparkSession, sfDir: String): DataFrame =
+    duplicateClusters(spark, sfDir)
+      .groupBy(col("cluster_id"))
+      .agg(count("*").as("n_docs"), (count("*") - 1).as("n_droppable"))
 
   /** SimHash bit width. */
   val SimhashBits = 16
@@ -179,13 +254,15 @@ object DedupOps {
       col("band_no"), col("band_val"))
     val c = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
       col("band_no"), col("band_val"))
+    // hamming is a function of the pair, so filtering BEFORE the dedup is
+    // equivalent — and shrinks the distinct's input from every raw band
+    // collision to just the near-miss pairs
     a.join(c, Seq("band_no", "band_val"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .where(col("hamming").between(1, 3))
+      .distinct()
   }
 
   /** Sign-random-projection LSH geometry: SrpTables independent hash tables
@@ -233,15 +310,17 @@ object DedupOps {
           struct(lit(t).as("t"), srpBucket(t, col("embedding")).as("bucket"))
         }: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
-    val a = buckets.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("t"), col("bucket"))
-    val b = buckets.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("t"), col("bucket"))
+    // norms hoisted to once per (vector, table) row rather than per pair:
+    // each pair then costs one cross dot product, not three
+    val normed = buckets.withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+    val a = normed.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("nrm_a"), col("t"), col("bucket"))
+    val b = normed.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nrm_b"), col("t"), col("bucket"))
     a.join(b, Seq("t", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dotD(col("ea"), col("eb")) /
-          (sqrt(dotD(col("ea"), col("ea"))) * sqrt(dotD(col("eb"), col("eb")))), 6)
+        round(dotD(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cosine"))
       .where(col("cosine") >= minCosine)
       .distinct()

@@ -24,6 +24,8 @@ object TextDedupPack extends QueryPack {
     "dd_simhash_groups" -> ((s, d) => DedupOps.simhashGroups(s, d)),
     "dd_simhash_neighbors" -> ((s, d) => DedupOps.simhashNeighbors(s, d)),
     "dd_embedding_neardups" -> ((s, d) => DedupOps.embeddingNearDups(s, d, 0.30)),
+    "dd_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
+    "dd_cluster_stats" -> ((s, d) => DedupOps.clusterStats(s, d)),
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
@@ -67,6 +69,39 @@ object TextDedupPack extends QueryPack {
 
   private def hitsSql(prof: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${prof.map(s => s"'$s'").mkString(", ")})))"
+
+  /** Edge set + recursive reachability for the cluster oracle (twin of
+    * [[DedupOps.duplicateClusters]]'s fixed point: min reachable doc_id).
+    */
+  private val clusterCtes: Seq[String] = Seq(
+    "sizes AS (SELECT doc_id, count(*) AS n FROM distinct_shingles GROUP BY doc_id)",
+    """inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN distinct_shingles sa ON sa.doc_id = c.doc_a
+      |  JOIN distinct_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.doc_a, c.doc_b
+      |)""".stripMargin,
+    s"""edges AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes za ON za.doc_id = c.doc_a
+       |  JOIN sizes zb ON zb.doc_id = c.doc_b
+       |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |        / (za.n + zb.n - coalesce(i.n_inter, 0)) >= ${DedupOps.ClusterMinJaccard}
+       |)""".stripMargin,
+    """sym AS (SELECT doc_a AS s, doc_b AS d FROM edges
+      |       UNION ALL SELECT doc_b, doc_a FROM edges)""".stripMargin,
+    """reach AS (
+      |  SELECT s AS a, s AS b FROM sym
+      |  UNION
+      |  SELECT r.a, e.d AS b FROM reach r JOIN sym e ON e.s = r.b
+      |)""".stripMargin,
+    """clusters AS (
+      |  SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical
+      |  FROM reach GROUP BY a
+      |)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "tx_token_counts" ->
@@ -139,6 +174,17 @@ object TextDedupPack extends QueryPack {
           |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
           |JOIN sizes za ON za.doc_id = c.doc_a
           |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin),
+    "dd_clusters" ->
+      Oracle.withRecursiveCtes(
+        Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
+          ++ clusterCtes: _*)(
+        "SELECT doc_id, cluster_id, is_canonical FROM clusters"),
+    "dd_cluster_stats" ->
+      Oracle.withRecursiveCtes(
+        Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
+          ++ clusterCtes: _*)(
+        """SELECT cluster_id, count(*) AS n_docs, count(*) - 1 AS n_droppable
+          |FROM clusters GROUP BY cluster_id""".stripMargin),
     "dd_simhash" -> (simhashBase + "\nSELECT doc_id, simhash FROM sig"),
     "dd_simhash_groups" -> (simhashBase + """
       |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper

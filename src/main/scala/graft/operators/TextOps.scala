@@ -65,9 +65,10 @@ object TextOps {
     // one hash aggregate, map-side combinable: min(struct(h, shingle))
     // compares h first, then shingle — so .shingle is the lexicographically
     // least shingle among min-hash achievers (h24 collisions at the min are
-    // rare but nonzero; arg_min alone would be nondeterministic there)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+    // rare but nonzero; arg_min alone would be nondeterministic there).
+    // min is multiset-insensitive, so the scan is the dedup chain's cached
+    // distinct-shingle table — one corpus explode shared across families.
+    DedupOps.distinctShingles(spark, sfDir)
       .select(col("doc_id"), struct(h24(col("shingle")).as("h"), col("shingle")).as("hs"))
       .groupBy(col("doc_id"))
       .agg(min(col("hs")).as("mn"))
