@@ -46,9 +46,12 @@ object DedupOps {
     */
   def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.derived(spark, sfDir, "distinct_shingles") {
+      // distinct-within-doc == global distinct on (doc_id, shingle), so
+      // array_distinct before the explode keeps the whole derivation narrow
+      // — no shuffle of the exploded corpus, ever
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(shingles3(col("text")))).as("shingle"))
     }
 
   /** Per-document MinHash signature: NumHashes independent min-hashes over
@@ -201,10 +204,15 @@ object DedupOps {
       .groupBy(col("cluster_id"))
       .agg(count("*").as("n_docs"), (count("*") - 1).as("n_droppable"))
 
-  /** SimHash bit width. */
-  val SimhashBits = 16
+  /** SimHash bit width — the full 24 bits the h24 word hash carries. Wider
+    * signatures keep neighbor-search buckets selective: with 4 sub-bands the
+    * band values span 6 bits, so buckets hold ~n/64 docs instead of the
+    * ~n/16 a 16-bit signature would give — the pair fan-out, not the
+    * aggregate, is what grows with the corpus.
+    */
+  val SimhashBits = 24
 
-  /** SimHash: per-document 16-bit signature — each bit is the sign of the
+  /** SimHash: per-document signature — each bit is the sign of the
     * word-population's vote on that bit of the word hash. One exploded
     * aggregation, map-side combinable.
     */
@@ -232,11 +240,15 @@ object DedupOps {
       .agg(count("*").as("n_docs"), min(col("doc_id")).as("keeper"))
       .where(col("n_docs") > 1)
 
-  /** Sub-bands the 16-bit SimHash splits into for neighbor search. */
-  val SimhashBands = 4 // 4 bits each
+  /** Sub-bands the SimHash splits into for neighbor search. */
+  val SimhashBands = 4
 
-  /** Hamming-≤3 SimHash neighbors via banding: split the 16-bit signature
-    * into 4 × 4-bit sub-bands and self-join on any matching sub-band. By
+  /** Bits per neighbor-search sub-band. */
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
+  private val SimhashBandMask: Long = (1L << SimhashBandBits) - 1
+
+  /** Hamming-≤3 SimHash neighbors via banding: split the signature
+    * into 4 sub-bands and self-join on any matching sub-band. By
     * pigeonhole, any pair within Hamming distance 3 shares at least one
     * intact band, so this candidate set is *exact* for d ≤ 3 — near-misses
     * surface, not just collisions — while the join stays bucketed (per-band
@@ -247,7 +259,8 @@ object DedupOps {
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBands).map { b =>
         struct(lit(b).as("band_no"),
-          shiftright(col("simhash"), b * 4).bitwiseAND(15).as("band_val"))
+          shiftright(col("simhash"), b * SimhashBandBits)
+            .bitwiseAND(SimhashBandMask).as("band_val"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_no"), col("b.band_val"))
     val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),

@@ -14,6 +14,13 @@ object GeoPack extends QueryPack {
     "geo_z3_keys" -> ((s, d) => GeoOps.z3Keys(s, d)),
     "geo_bbox_filter" -> ((s, d) => GeoOps.bboxFilter(s, d, -60, 0, -30, 30)),
     "geo_z2_range_scan" -> ((s, d) => GeoOps.z2RangeScan(s, d)),
+    // written as a plain bbox predicate over the stored z2-keyed layout —
+    // the ZRangePruning optimizer rule injects the z2 range (session
+    // extension), and the oracle's rule-free SQL proves the injection never
+    // drops a row
+    "geo_pruned_bbox" -> ((s, d) => GeoOps.z2Layout(s, d)
+      .where("lon >= -60 and lon <= 0 and lat >= -30 and lat <= 30")
+      .select("event_id", "lon", "lat", "z2")),
   )
 
   private val coordsCte =
@@ -68,6 +75,12 @@ object GeoPack extends QueryPack {
     "geo_bbox_filter" ->
       s"""WITH $coordsCte
          |SELECT event_id, lon, lat FROM coords
+         |WHERE lon >= -60 AND lon <= 0 AND lat >= -30 AND lat <= 30""".stripMargin,
+    "geo_pruned_bbox" ->
+      s"""WITH $coordsCte, $scaledCte
+         |SELECT event_id, lon, lat,
+         |  CAST(${z2Sql("x", "y")} AS BIGINT) AS z2
+         |FROM scaled
          |WHERE lon >= -60 AND lon <= 0 AND lat >= -30 AND lat <= 30""".stripMargin,
     "geo_z2_range_scan" ->
       s"""WITH $coordsCte, $scaledCte,

@@ -195,7 +195,8 @@ object TextDedupPack extends QueryPack {
       simhashBase + s""",
         |bands AS (
         |  SELECT doc_id, simhash, b.band_no,
-        |         (simhash >> (b.band_no * 4)) & 15 AS band_val
+        |         (simhash >> (b.band_no * ${DedupOps.SimhashBandBits}))
+        |           & ${(1L << DedupOps.SimhashBandBits) - 1} AS band_val
         |  FROM sig, (VALUES $bandRows) AS b(band_no)
         |)
         |SELECT doc_a, doc_b, hamming FROM (

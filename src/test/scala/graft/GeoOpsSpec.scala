@@ -44,6 +44,38 @@ class GeoOpsSpec extends SparkSpec {
     assert(coarse.count() >= exact) // Morton range has false positives
   }
 
+  test("ZRangePruning injects a z2 range into bbox filters without dropping rows") {
+    val bbox = GeoOps.z2Layout(spark, Sf)
+      .where(col("lon") >= -60 && col("lon") <= 0 && col("lat") >= -30 && col("lat") <= 30)
+    val optimized = bbox.queryExecution.optimizedPlan.toString
+    val zMin = GeoOps.zMorton((-60 + 180) * 65535 / 360, (-30 + 90) * 65535 / 180)
+    val zMax = GeoOps.zMorton((0 + 180) * 65535 / 360, (30 + 90) * 65535 / 180)
+    assert(optimized.contains(zMin.toString) && optimized.contains(zMax.toString),
+      s"expected injected z2 range [$zMin, $zMax] in:\n$optimized")
+    // soundness: the injected coarse range keeps every exact bbox hit
+    assert(bbox.count() == GeoOps.bboxFilter(spark, Sf, -60, 0, -30, 30).count())
+  }
+
+  test("ZRangePruning range reaches the parquet scan of a stored z2 layout") {
+    val dir = java.nio.file.Files.createTempDirectory("z2layout").toString
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000") // un-truncate PushedFilters
+    GeoOps.z2Keys(spark, Sf).write.mode("overwrite").parquet(dir)
+    val bbox = spark.read.parquet(dir)
+      .where(col("lon") >= -60 && col("lon") <= 0 && col("lat") >= -30 && col("lat") <= 30)
+    val physical = bbox.queryExecution.executedPlan.toString
+    assert(physical.contains("z2") && physical.contains("PushedFilters"),
+      s"expected z2 bounds among PushedFilters in:\n$physical")
+    val pushed = physical.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(z2") && pushed.contains("LessThanOrEqual(z2"),
+      s"z2 range not pushed to scan:\n$pushed")
+    assert(bbox.count() == GeoOps.bboxFilter(spark, Sf, -60, 0, -30, 30).count())
+  }
+
+  test("ZRangePruning leaves filters without a z2 column untouched") {
+    val plain = GeoOps.bboxFilter(spark, Sf, -60, 0, -30, 30)
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("z2"))
+  }
+
   test("z2 preserves locality: nearby cells share high-order bits") {
     val z1 = GeoOps.zMorton(1000, 2000)
     val z2 = GeoOps.zMorton(1001, 2000)

@@ -53,7 +53,7 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("simhash: 16-bit range and stable groups") {
+  test("simhash: signature range and stable groups") {
     val s = DedupOps.simhash(spark, Sf).collect()
     s.foreach { r =>
       val v = r.getAs[Long]("simhash")
