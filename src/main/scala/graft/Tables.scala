@@ -36,6 +36,30 @@ object Tables {
     derivedCache.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir, name), build.cache())
 
+  /** Session staging dir for corpus-scale derived tables, keyed by sf dir so
+    * concurrent runs at different SFs never collide.
+    */
+  private[graft] def stageDir(sfDir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_stage/" +
+      s"${Integer.toHexString(sfDir.hashCode)}/$name"
+
+  /** Corpus-scale derived tables (exploded shingles, per-vector assignments,
+    * z-keyed layouts) must NOT live in the executor block store for the
+    * session's lifetime — at 100 TB they don't fit, and even at bench SF the
+    * accumulated blocks crowd every later query's working set (the r2/r3
+    * bench regressions). Stage them once per (session, sfDir) as partitioned
+    * parquet in tmp — the only shape that exists at scale — and read back:
+    * consumers get column pruning + min/max stats instead of pinned memory.
+    */
+  private[graft] def derivedBig(spark: SparkSession, sfDir: String, name: String)
+                               (build: => DataFrame): DataFrame =
+    derivedCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name), {
+        val path = stageDir(sfDir, name)
+        build.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      })
+
   /** Eagerly materialize every derived fixture table (Bench warmup /
     * Verify preamble).
     */

@@ -27,6 +27,31 @@ object DedupOps {
   val NumHashes = 8
   val NumBands  = 4 // rows-per-band r = 2
 
+  /** Hot-bucket guard for every LSH self-join: a bucket holding more than
+    * this many rows is excluded from pair generation. One degenerate band
+    * key (boilerplate-heavy corpora produce them: empty docs, templated
+    * headers, all-zero embeddings) otherwise makes a single bucket's
+    * fan-out quadratic — the first failure a 100-TB dedup run hits. The
+    * exclusion is never silent: [[bucketStats]] is an oracle-verified query
+    * surfacing per-band bucket-size distribution and exactly what the guard
+    * would drop, so a pipeline alerts on `n_oversized > 0` instead of
+    * wondering where its candidates went. (At the test SFs no bucket
+    * approaches the cap, so guarded and unguarded results coincide — the
+    * oracle twins prove it.)
+    */
+  val MaxBucketDocs = 1000
+
+  /** Drop rows in oversized buckets before a self-join. The window count
+    * shuffles on exactly the key the join is about to use, so the exchange
+    * is reused, and rows in degenerate buckets never reach pair fan-out.
+    */
+  private def guardBuckets(df: DataFrame, keys: String*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("bucket_n", count(lit(1)).over(w))
+      .where(col("bucket_n") <= MaxBucketDocs)
+      .drop("bucket_n")
+  }
+
   /** Exact dedup: group identity by md5(text); keeper = min doc_id. The
     * window partitions by the 128-bit content hash, so only hashes shuffle.
     */
@@ -40,12 +65,13 @@ object DedupOps {
   }
 
   /** Distinct (doc, shingle) rows — the shared scan of the whole MinHash
-    * chain, memoized + cached once per (session, sfDir) so signatures,
-    * candidates, and Jaccard all reuse one materialization instead of
-    * re-exploding the corpus per stage.
+    * chain, staged once per (session, sfDir) so signatures, candidates, and
+    * Jaccard all reuse one materialization instead of re-exploding the
+    * corpus per stage. Staged as tmp parquet, not cached: this is the
+    * *exploded* corpus — the one table that must never pin executor memory.
     */
   def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derived(spark, sfDir, "distinct_shingles") {
+    Tables.derivedBig(spark, sfDir, "distinct_shingles") {
       // distinct-within-doc == global distinct on (doc_id, shingle), so
       // array_distinct before the explode keeps the whole derivation narrow
       // — no shuffle of the exploded corpus, ever
@@ -61,7 +87,7 @@ object DedupOps {
     * relative to the corpus), reused by banding, candidates, and Jaccard.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derived(spark, sfDir, "minhash_signatures") {
+    Tables.derivedBig(spark, sfDir, "minhash_signatures") {
       signaturesFrom(distinctShingles(spark, sfDir))
     }
 
@@ -91,11 +117,12 @@ object DedupOps {
     * The self-join keys on (band_no, band_key) — per-bucket fan-out only.
     */
   def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derived(spark, sfDir, "minhash_candidates") {
+    Tables.derivedBig(spark, sfDir, "minhash_candidates") {
       candidatesFrom(bandsFrom(minhashSignatures(spark, sfDir)))
     }
 
-  private def candidatesFrom(b: DataFrame): DataFrame = {
+  private def candidatesFrom(b0: DataFrame): DataFrame = {
+    val b = guardBuckets(b0, "band_no", "band_key")
     val a = b.select(col("doc_id").as("doc_a"), col("band_no"), col("band_key"))
     val c = b.select(col("doc_id").as("doc_b"), col("band_no"), col("band_key"))
     a.join(c, Seq("band_no", "band_key"))
@@ -151,28 +178,38 @@ object DedupOps {
   /** Duplicate clusters: connected components over the Jaccard-confirmed
     * edge set, by iterative min-label propagation to a fixed point. Each
     * round is one bucketed join + map-side-combinable min aggregate (labels
-    * only — never text), and `localCheckpoint` truncates the lineage so the
-    * plan stays flat across rounds; rounds needed = component diameter
-    * (near-cliques for dup clusters ⇒ 2-3 rounds; adversarial long chains
-    * would call for the large-star/small-star variant, which swaps the
-    * neighbor-min join for star-contraction joins in the same loop shape).
-    * Output: every doc in some duplicate cluster, labeled by the cluster's
-    * min doc_id; `is_canonical` marks the keeper the pipeline retains.
+    * only — never text). Lineage is truncated per round by staging the label
+    * table to tmp parquet (alternating round files, overwritten in place) —
+    * unlike `localCheckpoint`, which pins its blocks in the executor store
+    * until session end, staged rounds cost nothing after the loop, and the
+    * parquet shape is the one a 100-TB CC run checkpoints to anyway. Rounds
+    * needed = component diameter (near-cliques for dup clusters ⇒ 2-3
+    * rounds; adversarial long chains would call for the large-star/small-star
+    * variant, which swaps the neighbor-min join for star-contraction joins in
+    * the same loop shape). Output: every doc in some duplicate cluster,
+    * labeled by the cluster's min doc_id; `is_canonical` marks the keeper
+    * the pipeline retains.
     */
   def duplicateClusters(spark: SparkSession, sfDir: String): DataFrame =
     Tables.derived(spark, sfDir, "dup_clusters") {
       val edges = jaccardOnCandidates(spark, sfDir)
         .where(col("jaccard") >= ClusterMinJaccard)
         .select(col("doc_a"), col("doc_b"))
-      val sym = edges
-        .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint()
+      def stage(df: DataFrame, name: String): DataFrame = {
+        val path = Tables.stageDir(sfDir, name)
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      val sym = stage(edges
+        .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))),
+        "cc_sym")
       def labelSum(df: DataFrame): Long =
         Option(df.agg(sum(col("cluster_id"))).head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-      var labels = sym.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
-        .localCheckpoint()
+      var labels = stage(
+        sym.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")),
+        "cc_labels_0")
       var prevSum = -1L
       var curSum = labelSum(labels)
       var rounds = 0
@@ -181,12 +218,15 @@ object DedupOps {
           .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nbr_label")),
             Seq("doc_b"))
           .groupBy(col("doc_a")).agg(min(col("nbr_label")).as("nbr_min"))
-        labels = labels
+        // two alternating round files: the write fully materializes before
+        // the next round reads, and round i+2 overwrites round i's file, so
+        // peak footprint is two label tables on disk and zero pinned blocks
+        labels = stage(labels
           .join(nbrMin.select(col("doc_a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
-          .localCheckpoint()
+              .as("cluster_id")),
+          s"cc_labels_${(rounds + 1) % 2}")
         prevSum = curSum
         curSum = labelSum(labels)
         rounds += 1
@@ -263,9 +303,10 @@ object DedupOps {
             .bitwiseAND(SimhashBandMask).as("band_val"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_no"), col("b.band_val"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+    val guarded = guardBuckets(bands, "band_no", "band_val")
+    val a = guarded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("band_no"), col("band_val"))
-    val c = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+    val c = guarded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
       col("band_no"), col("band_val"))
     // hamming is a function of the pair, so filtering BEFORE the dedup is
     // equivalent — and shrinks the distinct's input from every raw band
@@ -295,17 +336,20 @@ object DedupOps {
     (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 2000 - 1000) / 1000.0
   }
 
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd double dot product ([[graft.functions.VecDot]]), bit-identical
+    * to the interpreted `aggregate(zip_with(...))` fold it replaced.
+    */
+  private def dotD(spark: SparkSession, a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(spark, a, b)
 
-  /** SRP bucket id for hash table `t` over an `array<float>` embedding. */
-  private def srpBucket(t: Int, e: Column): Column =
+  /** SRP bucket id for hash table `t` over an `array<float>` embedding:
+    * SrpBits codegen'd float·double dot products against hyperplane
+    * literals.
+    */
+  private def srpBucket(spark: SparkSession, t: Int, e: Column): Column =
     (0 until SrpBits).map { p =>
       val w = array((0 until EmbDim).map(i => lit(srpWeight(t, p, i))): _*)
-      val dp = aggregate(zip_with(e, w, (x, wi) => x.cast("double") * wi),
-        lit(0.0), (acc, x) => acc + x)
-      when(dp >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotD(spark, e, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Embedding-cosine near-dup with *similarity-preserving* blocking: pairs
@@ -320,12 +364,13 @@ object DedupOps {
     val buckets = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         explode(array((0 until SrpTables).map { t =>
-          struct(lit(t).as("t"), srpBucket(t, col("embedding")).as("bucket"))
+          struct(lit(t).as("t"), srpBucket(spark, t, col("embedding")).as("bucket"))
         }: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
     // norms hoisted to once per (vector, table) row rather than per pair:
     // each pair then costs one cross dot product, not three
-    val normed = buckets.withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+    val normed = guardBuckets(buckets, "t", "bucket").withColumn("nrm",
+      sqrt(dotD(spark, col("embedding"), col("embedding"))))
     val a = normed.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("nrm_a"), col("t"), col("bucket"))
     val b = normed.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -333,9 +378,29 @@ object DedupOps {
     a.join(b, Seq("t", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dotD(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")), 6)
+        round(dotD(spark, col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cosine"))
       .where(col("cosine") >= minCosine)
       .distinct()
   }
+
+  /** Per-band MinHash bucket-size distribution + the hot-bucket guard's
+    * would-drop accounting (what [[guardBuckets]] excludes from the
+    * candidate join): bucket count, largest bucket, and how many
+    * buckets/docs exceed [[MaxBucketDocs]]. A dedup pipeline monitors
+    * `n_oversized` — a nonzero value means degenerate keys were fenced off
+    * and names exactly how much recall the fence cost, so truncation is
+    * never silent.
+    */
+  def bucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    minhashBands(spark, sfDir)
+      .groupBy(col("band_no"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .groupBy(col("band_no"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n_docs")).as("max_bucket"),
+        sum(when(col("n_docs") > MaxBucketDocs, 1L).otherwise(0L)).as("n_oversized"),
+        sum(when(col("n_docs") > MaxBucketDocs, col("n_docs")).otherwise(0L))
+          .as("n_docs_dropped"))
 }

@@ -48,17 +48,19 @@ object GeoOps {
       .withColumn("z3", ZCurveExpressions.z3(spark, "x10", "y10", "t10"))
       .select(col("event_id"), col("x10"), col("y10"), col("t10"), col("z3"))
 
-  /** The z2-keyed *layout*: [[z2Keys]] materialized as a table (cached via
-    * the derived registry; on a 100-TB deployment this is the parquet table
-    * written sorted/partitioned by z2). Materialization is what makes
-    * [[graft.plans.ZRangePruning]] effective: over a stored relation the
-    * bbox filter sits directly on a scan that carries the z2 column, so the
-    * injected range reaches row-group/batch pruning — over the in-memory
-    * derivation Catalyst rightly pushes the filter below the z2 projection
-    * instead.
+  /** The z2-keyed *layout*: [[z2Keys]] materialized as a table (staged to
+    * tmp parquet via the derived registry; on a 100-TB deployment this is
+    * the parquet table written sorted/partitioned by z2). Materialization is
+    * what makes [[graft.plans.ZRangePruning]] effective: over a stored
+    * relation the bbox filter sits directly on a parquet scan that carries
+    * the z2 column, so the injected range reaches row-group min/max pruning
+    * for real — over the in-memory derivation Catalyst rightly pushes the
+    * filter below the z2 projection instead. Sorted by z2 on write so the
+    * row-group stats are tight (the GeoMesa layout).
     */
   def z2Layout(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derived(spark, sfDir, "z2_layout")(z2Keys(spark, sfDir))
+    Tables.derivedBig(spark, sfDir, "z2_layout")(
+      z2Keys(spark, sfDir).sortWithinPartitions(col("z2")))
 
   /** Exact bbox filter — the refine step of a geo query. */
   def bboxFilter(spark: SparkSession, sfDir: String,

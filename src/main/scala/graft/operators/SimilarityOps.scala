@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   *  - [[bruteForceTopK]] is the exact baseline: broadcast the (small) query
   *    set against every vector — one narrow pass over the corpus, cosine via
-  *    the codegen'd [[graft.functions.FloatVecDot]] expression, top-k per
+  *    the codegen'd [[graft.functions.VecDot]] expression, top-k per
   *    query via a bounded window. At 100 TB the vector side stays
   *    partitioned; only queries move.
   *  - [[ivfTopK]] is the scale path: IVF-style partition pruning — assign
@@ -119,9 +119,12 @@ object SimilarityOps {
   val KmeansK     = 8
   val KmeansIters = 2
 
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd double dot product ([[graft.functions.VecDot]]) — the
+    * training loop's hottest arithmetic; bit-identical to the interpreted
+    * `aggregate(zip_with(...))` fold it replaced (same sequential order).
+    */
+  private def dotD(spark: SparkSession, a: Column, b: Column): Column =
+    VectorExpressions.vecDot(spark, a, b)
 
   /** Corpus with the embedding pre-cast to array<double> (training math). */
   private def vecsD(spark: SparkSession, sfDir: String): DataFrame =
@@ -135,15 +138,16 @@ object SimilarityOps {
     * not a window.
     */
   private def assignTo(v: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = v.sparkSession
     // self-dots hoisted to once per vector / per centroid (not per pair):
     // k+1 dot products per vector instead of 3k, same arithmetic per pair
     val c = broadcast(cent.select(col("k"),
       transform(col("centroid"), x => x.cast("double")).as("cd"))
-      .withColumn("cc", dotD(col("cd"), col("cd"))))
-    v.withColumn("ee", dotD(col("e"), col("e")))
+      .withColumn("cc", dotD(spark, col("cd"), col("cd"))))
+    v.withColumn("ee", dotD(spark, col("e"), col("e")))
       .crossJoin(c)
       .select(col("vec_id"), col("e"), col("k"),
-        round(col("ee") + col("cc") - lit(2) * dotD(col("e"), col("cd")), 6).as("d2"))
+        round(col("ee") + col("cc") - lit(2) * dotD(spark, col("e"), col("cd")), 6).as("d2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("k"), col("e"))).as("m"))
       .select(col("vec_id"), col("m.k").as("k"), col("m.e").as("e"))
@@ -179,7 +183,7 @@ object SimilarityOps {
     * re-partitioned/written by, making probes partition-pruned scans.
     */
   def kmeansAssignments(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derived(spark, sfDir, "kmeans_assign") {
+    Tables.derivedBig(spark, sfDir, "kmeans_assign") {
       assignTo(vecsD(spark, sfDir), kmeansCentroids(spark, sfDir))
         .select(col("vec_id"), col("k"))
     }

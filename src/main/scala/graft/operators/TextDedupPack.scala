@@ -19,6 +19,7 @@ object TextDedupPack extends QueryPack {
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
+    "dd_bucket_stats" -> ((s, d) => DedupOps.bucketStats(s, d)),
     "dd_jaccard_candidates" -> ((s, d) => DedupOps.jaccardOnCandidates(s, d)),
     "dd_simhash" -> ((s, d) => DedupOps.simhash(s, d)),
     "dd_simhash_groups" -> ((s, d) => DedupOps.simhashGroups(s, d)),
@@ -155,6 +156,18 @@ object TextDedupPack extends QueryPack {
     "dd_minhash_candidates" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)(
         "SELECT doc_a, doc_b FROM cand"),
+    "dd_bucket_stats" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte,
+        """bucket_sizes AS (
+          |  SELECT band_no, band_key, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM bands GROUP BY band_no, band_key
+          |)""".stripMargin)(
+        s"""SELECT band_no,
+           |  CAST(count(*) AS BIGINT) AS n_buckets,
+           |  max(n_docs) AS max_bucket,
+           |  CAST(sum(CASE WHEN n_docs > ${DedupOps.MaxBucketDocs} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+           |  CAST(sum(CASE WHEN n_docs > ${DedupOps.MaxBucketDocs} THEN n_docs ELSE 0 END) AS BIGINT) AS n_docs_dropped
+           |FROM bucket_sizes GROUP BY band_no""".stripMargin),
     "dd_jaccard_candidates" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte,
         "sizes AS (SELECT doc_id, count(*) AS n FROM distinct_shingles GROUP BY doc_id)",

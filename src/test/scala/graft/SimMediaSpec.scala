@@ -1,19 +1,23 @@
 package graft
 
-import graft.functions.{FloatVecDot, VectorExpressions}
+import graft.functions.{VecDot, VectorExpressions}
 import graft.operators.{MediaOps, SimilarityOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 class SimMediaSpec extends SparkSpec {
 
-  test("FloatVecDot: interpreted eval matches hand-computed dot") {
-    val a = Literal.create(Array(1.0f, 2.0f, 3.0f), ArrayType(FloatType))
-    val b = Literal.create(Array(4.0f, 5.0f, 6.0f), ArrayType(FloatType))
-    val r = FloatVecDot(a, b).eval(null).asInstanceOf[Double]
-    assert(math.abs(r - 32.0) < 1e-12)
+  test("VecDot: interpreted eval matches hand-computed dot (float, double, mixed)") {
+    val af = Literal.create(Array(1.0f, 2.0f, 3.0f), ArrayType(FloatType))
+    val bf = Literal.create(Array(4.0f, 5.0f, 6.0f), ArrayType(FloatType))
+    assert(math.abs(VecDot(af, bf).eval(null).asInstanceOf[Double] - 32.0) < 1e-12)
+    val ad = Literal.create(Array(1.0, 2.0, 3.0), ArrayType(DoubleType))
+    val bd = Literal.create(Array(4.0, 5.0, 6.0), ArrayType(DoubleType))
+    assert(math.abs(VecDot(ad, bd).eval(null).asInstanceOf[Double] - 32.0) < 1e-12)
+    // mixed float·double — the SRP bucketing shape
+    assert(math.abs(VecDot(af, bd).eval(null).asInstanceOf[Double] - 32.0) < 1e-12)
   }
 
   test("vec_dot registered function works through SQL/codegen path") {
