@@ -47,6 +47,7 @@ object Bench {
       operators.DedupOps.duplicateClusters(spark, sfDir).count()
       operators.SimilarityOps.centroids(spark, sfDir).count()
       operators.SimilarityOps.kmeansAssignments(spark, sfDir).count()
+      operators.SimilarityOps.kmeansLayout(spark, sfDir).count()
       operators.GeoOps.z2Layout(spark, sfDir).count()
       sources.Formats.stageAll(spark, sfDir)
     }

@@ -53,10 +53,22 @@ object Tables {
     */
   private[graft] def derivedBig(spark: SparkSession, sfDir: String, name: String)
                                (build: => DataFrame): DataFrame =
+    derivedBigBy(spark, sfDir, name, Nil)(build)
+
+  /** [[derivedBig]] with a hive-style partition layout: the staged table is
+    * written `partitionBy(partitionCols)`, so downstream filters on those
+    * columns become partition-pruned scans (directories never listed) — the
+    * layout move an ANN/geo table makes at 100 TB.
+    */
+  private[graft] def derivedBigBy(spark: SparkSession, sfDir: String, name: String,
+                                  partitionCols: Seq[String])
+                                 (build: => DataFrame): DataFrame =
     derivedCache.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir, name), {
         val path = stageDir(sfDir, name)
-        build.write.mode("overwrite").parquet(path)
+        val w = build.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(path)
         spark.read.parquet(path)
       })
 

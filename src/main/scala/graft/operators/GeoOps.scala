@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object GeoOps {
 
+  /** Column-metadata tag marking a `z2` column as carrying THIS library's
+    * layout contract: the 16-bit-scaled Morton key of the row's integral
+    * `lon`/`lat`, as produced by [[z2Keys]]. [[graft.plans.ZRangePruning]]
+    * fires ONLY on tagged columns — a user table that happens to carry a
+    * LongType column named `z2` with different scaling must never be
+    * range-pruned (it would be silently wrong). The tag rides the schema:
+    * Spark persists column metadata in the parquet footer, so a stored
+    * z2 layout keeps the contract across write/read.
+    */
+  val Z2Tag = "graft.z2.scale16"
+
+  private val z2TagMeta =
+    new org.apache.spark.sql.types.MetadataBuilder().putBoolean(Z2Tag, true).build()
+
   /** Deterministic synthetic coordinates: lon ∈ [-180, 179], lat ∈ [-90, 89]. */
   def withCoords(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir).select(
@@ -31,11 +45,13 @@ object GeoOps {
       .withColumn("x", expr("(lon + 180) * 65535 div 360"))
       .withColumn("y", expr("(lat + 90) * 65535 div 180"))
 
-  /** Z2 keys for every event point. */
+  /** Z2 keys for every event point; the `z2` column carries [[Z2Tag]] so
+    * the pruning rule knows the layout contract holds.
+    */
   def z2Keys(spark: SparkSession, sfDir: String): DataFrame =
     scaled(spark, sfDir)
-      .withColumn("z2", ZCurveExpressions.z2(spark, "x", "y"))
-      .select(col("event_id"), col("lon"), col("lat"), col("x"), col("y"), col("z2"))
+      .select(col("event_id"), col("lon"), col("lat"), col("x"), col("y"),
+        ZCurveExpressions.z2(spark, "x", "y").as("z2", z2TagMeta))
 
   /** Z3 keys: 10-bit x, y and hour-bin time — the (space, time) key behind
     * `catalog_<sft>_z3` tables.

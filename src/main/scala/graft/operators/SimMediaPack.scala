@@ -16,6 +16,9 @@ object SimMediaPack extends QueryPack {
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "sim_kmeans_centroids" -> ((s, d) => SimilarityOps.kmeansSummary(s, d)),
     "sim_kmeans_topk" -> ((s, d) => SimilarityOps.kmeansTopK(s, d)),
+    // identical result set to sim_kmeans_topk, computed from the
+    // k-partitioned stored layout with plan-time partition pruning
+    "sim_kmeans_pruned_topk" -> ((s, d) => SimilarityOps.kmeansPrunedTopK(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
@@ -102,6 +105,37 @@ object SimMediaPack extends QueryPack {
     init ++ iters ++ assign
   }
 
+  /** Twin of [[SimilarityOps.kmeansTopK]] — and, unchanged, of
+    * [[SimilarityOps.kmeansPrunedTopK]]: the k-partitioned layout changes
+    * the physical scan (partition pruning), never the result set.
+    */
+  private lazy val kmeansTopKSql: String =
+    Oracle.withCtes(vecCtes ++ kmeansCtes ++ Seq(
+      s"""kprobe_scored AS (
+         |  SELECT query_id, q, k, ${cosSql("q", "cd")} AS c_cos
+         |  FROM qv CROSS JOIN m${SimilarityOps.KmeansIters}d
+         |)""".stripMargin,
+      s"""kprobes AS (
+         |  SELECT query_id, q, k FROM (
+         |    SELECT query_id, q, k,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY c_cos DESC, k) AS pr
+         |    FROM kprobe_scored)
+         |  WHERE pr <= ${SimilarityOps.NProbe}
+         |)""".stripMargin,
+      s"""kscored AS (
+         |  SELECT p.query_id, v.vec_id, p.k, ${cosSql("p.q", "v.e")} AS cosine
+         |  FROM kprobes p JOIN kassign a USING (k)
+         |  JOIN vv v ON v.vec_id = a.vec_id
+         |  WHERE v.vec_id <> p.query_id
+         |)""".stripMargin): _*)(
+      s"""SELECT query_id, vec_id, k, cosine, rank FROM (
+         |  SELECT query_id, vec_id, k, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM kscored)
+         |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
       Oracle.withCtes(vecCtes :+
@@ -150,32 +184,9 @@ object SimMediaPack extends QueryPack {
         s"""ksizes AS (SELECT k, count(*) AS n_vecs FROM kassign GROUP BY k)""": _*)(
         s"""SELECT m.k, s.n_vecs, round(list_sum(m.cd), 4) AS centroid_sum
            |FROM m${SimilarityOps.KmeansIters}d m JOIN ksizes s USING (k)""".stripMargin),
-    "sim_kmeans_topk" ->
-      Oracle.withCtes(vecCtes ++ kmeansCtes ++ Seq(
-        s"""kprobe_scored AS (
-           |  SELECT query_id, q, k, ${cosSql("q", "cd")} AS c_cos
-           |  FROM qv CROSS JOIN m${SimilarityOps.KmeansIters}d
-           |)""".stripMargin,
-        s"""kprobes AS (
-           |  SELECT query_id, q, k FROM (
-           |    SELECT query_id, q, k,
-           |      row_number() OVER (PARTITION BY query_id
-           |                         ORDER BY c_cos DESC, k) AS pr
-           |    FROM kprobe_scored)
-           |  WHERE pr <= ${SimilarityOps.NProbe}
-           |)""".stripMargin,
-        s"""kscored AS (
-           |  SELECT p.query_id, v.vec_id, p.k, ${cosSql("p.q", "v.e")} AS cosine
-           |  FROM kprobes p JOIN kassign a USING (k)
-           |  JOIN vv v ON v.vec_id = a.vec_id
-           |  WHERE v.vec_id <> p.query_id
-           |)""".stripMargin): _*)(
-        s"""SELECT query_id, vec_id, k, cosine, rank FROM (
-           |  SELECT query_id, vec_id, k, cosine,
-           |    row_number() OVER (PARTITION BY query_id
-           |                       ORDER BY cosine DESC, vec_id) AS rank
-           |  FROM kscored)
-           |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
+    "sim_kmeans_topk" -> kmeansTopKSql,
+    // the pruned-layout query is the same logical result — one oracle text
+    "sim_kmeans_pruned_topk" -> kmeansTopKSql,
     "md_metadata" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |  'text/plain' AS format, md5(text) AS checksum

@@ -198,33 +198,78 @@ object SimilarityOps {
           (a, x) => a + x.cast("double")), 4).as("centroid_sum"))
   }
 
-  /** ANN over the trained index: probe the NProbe nearest k-means centroids,
-    * scan only their inverted lists. Identical plan shape to [[ivfTopK]]
-    * (broadcast probes, no corpus shuffle) but the partitions are now
-    * geometry-derived, so the recall claim is real.
+  /** Per-query probe set against the trained centroids: the NProbe nearest
+    * centroids per query (tiny — queries × NProbe rows).
     */
-  def kmeansTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def kmeansProbes(spark: SparkSession, sfDir: String): DataFrame = {
     val cent = kmeansCentroids(spark, sfDir)
     val q = queryVecs(spark, sfDir)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_cos").desc, col("k"))
-    val probes = q.crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .select(col("query_id"), col("q"), col("k"),
         cosine(spark, "q", "centroid").as("c_cos"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .where(col("probe_rank") <= NProbe)
       .select(col("query_id"), col("q"), col("k"))
+  }
+
+  private def topKScan(spark: SparkSession, corpus: DataFrame, probes: DataFrame): DataFrame = {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    // assignments join is corpus-sized — co-partitioned on vec_id, never
-    // broadcast; at a real deployment k is a stored column (no join at all)
-    vecs(spark, sfDir)
-      .join(kmeansAssignments(spark, sfDir), Seq("vec_id"))
+    corpus
       .join(broadcast(probes), Seq("k"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("k"),
         cosine(spark, "q", "embedding").as("cosine"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .where(col("rank") <= TopK)
+  }
+
+  /** ANN over the trained index: probe the NProbe nearest k-means centroids,
+    * scan only their inverted lists. Identical plan shape to [[ivfTopK]]
+    * (broadcast probes, no corpus shuffle) but the partitions are now
+    * geometry-derived, so the recall claim is real.
+    */
+  def kmeansTopK(spark: SparkSession, sfDir: String): DataFrame =
+    // assignments join is corpus-sized — co-partitioned on vec_id, never
+    // broadcast; [[kmeansPrunedTopK]] is the layout where k is a stored
+    // partition column and this join disappears entirely
+    topKScan(spark,
+      vecs(spark, sfDir).join(kmeansAssignments(spark, sfDir), Seq("vec_id")),
+      kmeansProbes(spark, sfDir))
+
+  /** The embeddings corpus staged as the trained-index *layout*: hive-
+    * partitioned by cluster id `k`. This is the table a 100-TB ANN
+    * deployment stores — probes then touch only their clusters'
+    * directories, and the per-vector assignment join of [[kmeansTopK]]
+    * disappears because k is part of the path.
+    */
+  def kmeansLayout(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBigBy(spark, sfDir, "kmeans_layout", Seq("k")) {
+      vecs(spark, sfDir)
+        .join(kmeansAssignments(spark, sfDir), Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("k"))
+    }
+
+  /** [[kmeansTopK]] against the k-partitioned layout, with the probe
+    * clusters resolved at plan time so the scan is *partition-pruned*: only
+    * probed `k=` directories are read ([[graft.plans.ZRangePruning]]'s
+    * geo move applied to ANN). Collecting the probe-k list is a plan-time
+    * driver action over a queries×NProbe-row table — the partition-pruning
+    * analog of broadcasting a small dimension, not a data-plane collect.
+    * Results are identical to [[kmeansTopK]] (same oracle).
+    */
+  def kmeansPrunedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val probes = kmeansProbes(spark, sfDir)
+    val probeKs = probes.select(col("k")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val layout = kmeansLayout(spark, sfDir)
+    // filter BEFORE the cast: the partition column reads back as int, and
+    // pruning happens on the raw partition values
+    val pruned = layout
+      .where(col("k").isin(probeKs.map(_.toInt): _*))
+      .select(col("vec_id"), col("embedding"), col("k").cast("long").as("k"))
+    topKScan(spark, pruned, probes)
   }
 }

@@ -18,9 +18,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Soundness: the Morton interleave is monotone in each coordinate, so every
   * point inside the box has its z-key between the keys of the box's corner
   * points — the injected range can only cut false candidates, never rows the
-  * original predicate keeps. (Layout contract: a LongType column literally
-  * named `z2` alongside integral `lon`/`lat` is the 16-bit-scaled Morton key
-  * of those coordinates, as produced by [[graft.operators.GeoOps.z2Keys]].)
+  * original predicate keeps. The layout contract — this `z2` is the
+  * 16-bit-scaled Morton key of the row's integral `lon`/`lat`, as produced
+  * by [[graft.operators.GeoOps.z2Keys]] — is asserted by the
+  * [[GeoOps.Z2Tag]] column-metadata tag, and the rule fires ONLY on tagged
+  * columns: a user table with a same-named but differently-scaled `z2`
+  * (no tag) is never touched. The tag survives parquet round-trips (Spark
+  * stores column metadata in the footer schema), so stored layouts keep
+  * their pruning eligibility.
   *
   * Why a rule and not a rewritten query: the z-range is what parquet
   * row-group min/max stats (and, on a z-partitioned 100 TB layout, partition
@@ -72,7 +77,9 @@ object ZRangePruning extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
-      val z2Out = child.output.find(a => a.name == "z2" && a.dataType == LongType)
+      val z2Out = child.output.find(a =>
+        a.name == "z2" && a.dataType == LongType &&
+          a.metadata.contains(GeoOps.Z2Tag))
       z2Out match {
         // references.contains(z2) is the idempotence guard: once injected,
         // the condition references z2 and the fixed-point pass skips it

@@ -76,6 +76,28 @@ class GeoOpsSpec extends SparkSpec {
     assert(!plain.queryExecution.optimizedPlan.toString.contains("z2"))
   }
 
+  test("ZRangePruning ignores an untagged LongType column named z2 (different scaling)") {
+    import spark.implicits._
+    // a user table whose z2 is NOT the library's 16-bit Morton layout —
+    // pruning on it would silently drop rows; the metadata scope must skip it
+    val user = Seq((1L, 10L, 10L, 123456L), (2L, -70L, -40L, 99L))
+      .toDF("event_id", "lon", "lat", "z2")
+    val bbox = user.where(col("lon") >= -60 && col("lon") <= 0 &&
+      col("lat") >= -30 && col("lat") <= 30)
+    val optimized = bbox.queryExecution.optimizedPlan.toString
+    val zMin = GeoOps.zMorton((-60 + 180) * 65535 / 360, (-30 + 90) * 65535 / 180)
+    assert(!optimized.contains(zMin.toString),
+      s"rule must not inject a z2 range on an untagged column:\n$optimized")
+    assert(bbox.count() == 0) // and results are the plain-filter results
+  }
+
+  test("Z2Tag metadata survives a parquet roundtrip, keeping stored layouts prunable") {
+    val dir = java.nio.file.Files.createTempDirectory("z2tag").toString
+    GeoOps.z2Keys(spark, Sf).limit(10).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("z2").metadata.contains(GeoOps.Z2Tag))
+  }
+
   test("z2 preserves locality: nearby cells share high-order bits") {
     val z1 = GeoOps.zMorton(1000, 2000)
     val z2 = GeoOps.zMorton(1001, 2000)

@@ -58,6 +58,26 @@ class SimMediaSpec extends SparkSpec {
     }
   }
 
+  test("kmeansPrunedTopK: partition-pruned scan, identical results to kmeansTopK") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val pruned = SimilarityOps.kmeansPrunedTopK(spark, Sf)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the layout scan must carry a non-empty partition filter on k
+    assert(plan.linesIterator.exists(l =>
+      l.contains("kmeans_layout") && l.contains("PartitionFilters: [") &&
+        !l.replace(" ", "").contains("PartitionFilters:[]")),
+      s"expected partition-pruned kmeans_layout scan in:\n$plan")
+    // and pruning is purely physical: result set identical to the
+    // join-based kmeansTopK
+    val a = pruned.collect().map(_.toSeq).toSet
+    val b = SimilarityOps.kmeansTopK(spark, Sf).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // the probe set bounds the partitions read
+    val nProbedKs = SimilarityOps.kmeansProbes(spark, Sf)
+      .select("k").distinct().count()
+    assert(nProbedKs <= SimilarityOps.KmeansK)
+  }
+
   test("media payloads carry binary + metadata; frames tile the text") {
     val p = MediaOps.payloads(spark, Sf)
     assert(p.schema("payload").dataType.typeName == "binary")

@@ -29,6 +29,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTumbling over a file source matches the batch window result") {
+    // the production-shaped source: files land in a directory, readStream
+    // picks them up per micro-batch — the X-ST twin MemoryStream can't show
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val src = Tables.events(spark, Sf).select(col("ts"), col("event_type"))
+    src.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", "1") // force several micro-batches
+      .parquet(dir)
+    val q = StreamingOps.streamingTumbling(stream)
+      .writeStream.format("memory").queryName("file_tumbling_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_tumbling_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = StreamingOps.tumblingCounts(spark, Sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("watermark drops late rows in append mode") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
