@@ -14,6 +14,7 @@ object SparkEntry {
     operators.ParsePack,
     operators.LifecyclePack,
     operators.RelationalPack,
+    operators.ScalePack,
     operators.TextDedupPack,
     operators.SimMediaPack,
     operators.GeoPack,

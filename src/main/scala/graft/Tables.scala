@@ -72,6 +72,52 @@ object Tables {
         spark.read.parquet(path)
       })
 
+  /** Number of buckets for the bucketed fact-table layouts. At 100 TB this
+    * is sized to executor count × a small factor (e.g. 4 × 1000); here it
+    * just needs to exceed local parallelism so the co-location property —
+    * not partition count — is what the plan demonstrates.
+    */
+  val NumBuckets = 8
+
+  /** A corpus table staged once per (session, sfDir) as a *bucketed* catalog
+    * table: hash-bucketed and sorted by `key` into [[NumBuckets]] files per
+    * the Spark bucketing spec. Joins and aggregations keyed on `key` between
+    * tables bucketed the same way need NO exchange — the scan itself reports
+    * hash partitioning — which at 100 TB removes the single biggest cost of
+    * a fact⋈fact join (shuffling both sides every query) in exchange for
+    * one-time layout work at write time. Registered as an external table
+    * (explicit path under the stage dir) because bucket metadata lives in
+    * the catalog, not the parquet footer.
+    */
+  private[graft] def bucketed(spark: SparkSession, sfDir: String, src: String,
+                              key: String): DataFrame =
+    derivedCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, s"bkt_$src"), {
+        val tbl = s"graft_bkt_${src}_${Integer.toHexString(sfDir.hashCode)}"
+        val path = stageDir(sfDir, s"bkt_$src")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        deleteLocal(path) // stale files from a previous JVM at the same path
+        table(spark, sfDir, src).write.mode("overwrite")
+          .option("path", path)
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .format("parquet").saveAsTable(tbl)
+        spark.table(tbl)
+      })
+
+  def bucketedOrders(spark: SparkSession, sfDir: String): DataFrame =
+    bucketed(spark, sfDir, "orders", "o_orderkey")
+
+  def bucketedLineitem(spark: SparkSession, sfDir: String): DataFrame =
+    bucketed(spark, sfDir, "lineitem", "l_orderkey")
+
+  private def deleteLocal(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
+
   /** Eagerly materialize every derived fixture table (Bench warmup /
     * Verify preamble).
     */

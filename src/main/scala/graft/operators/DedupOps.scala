@@ -98,6 +98,21 @@ object DedupOps {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minhashSignatures]] computed through the typed
+    * [[graft.functions.MinHashAgg]] UDAF instead of the min-of-hash-columns
+    * aggregation — same hash family, bit-identical output (it shares
+    * `dd_minhash_signatures`' oracle). Registered separately so the UDAF
+    * path is driver-verified, not just unit-tested.
+    */
+  def minhashSignaturesUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = udaf(new graft.functions.MinHashAgg(NumHashes))
+    val sigCols = (1 to NumHashes).map(j => element_at(col("sig"), j).as(s"mh$j"))
+    distinctShingles(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(agg(col("shingle")).as("sig"))
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
   /** LSH banding: signature → NumBands band keys (md5 of the band's
     * concatenated min-hashes).
     */

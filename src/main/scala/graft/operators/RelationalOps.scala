@@ -27,12 +27,12 @@ object RelationalOps {
   /** Order-independent exact money sum: DECIMAL(12,2) per-row cast, decimal
     * sum, final cast to double — bit-identical across engines and shuffles.
     */
-  private def moneySum(c: Column): Column = sum(c.cast("decimal(12,2)")).cast("double")
+  private[operators] def moneySum(c: Column): Column = sum(c.cast("decimal(12,2)")).cast("double")
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
   /** Exact per-row revenue: price * (1 - discount) in decimal. */
-  private def revenueExpr: Column =
+  private[operators] def revenueExpr: Column =
     dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
 
   /** X-A: TPC-H Q1-shaped pricing summary — multi-aggregate groupBy with

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique family: the partitioning moves a 100-TB deployment makes
+  * that small-SF parity queries never force — demonstrated as first-class,
+  * oracle-verified operators so the *plan shape* (not just the result) is
+  * part of the tested contract.
+  *
+  *  - **Bucketed co-located join** ([[bucketedOrderRevenue]]): both fact
+  *    tables stored hash-bucketed on the join key ([[Tables.bucketed]]), so
+  *    the join AND the post-join aggregation run with zero exchanges. This
+  *    is the layout answer to "orders ⋈ lineitem shuffles both sides every
+  *    query" — pay the shuffle once at write time, never at read time.
+  *  - **Salted skew join** ([[saltedJoin]], [[saltedFlagRevenue]]): when a
+  *    join key is dominated by a few hot values and neither side broadcasts,
+  *    hash(key) routes every hot-key row to one reducer. Salting splits each
+  *    hot key across `nSalts` reducers (fact side: deterministic salt;
+  *    dim side: replicated ×nSalts) at the cost of replicating the smaller
+  *    side — the classic pre-AQE skew fix, still required when AQE's
+  *    runtime skew split can't apply (e.g. the skew is in the *aggregation*
+  *    after the join, or the engine must commit to a static plan).
+  *  - **Exact percentiles** ([[pricePercentiles]]): order statistics per
+  *    group — `percentile` is a sort-based exact aggregate whose per-group
+  *    state is the value multiset; at 100 TB switch to
+  *    `approx_percentile(...)` (t-digest sketch, map-side combinable,
+  *    bounded state) — the exact form here doubles as its oracle.
+  */
+object ScaleOps {
+
+  /** Co-located orders ⋈ lineitem over the bucketed layouts: merge-join
+    * hint pins the sort-merge strategy (a broadcast would also be
+    * exchange-free, but only because the test SF is tiny); bucketing makes
+    * the join AND the groupBy(o_orderkey) aggregation exchange-free at any
+    * SF. Top-10 revenue orders, `TakeOrderedAndProject` at the end — the
+    * only data movement in the whole plan.
+    */
+  def bucketedOrderRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.bucketedOrders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.bucketedLineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(RelationalOps.revenueExpr).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("revenue_dec").cast("double").as("revenue"))
+  }
+
+  /** Salt fan-out for the skew join. */
+  val NumSalts = 16
+
+  /** Generic salted equi-join: `left ⋈ right ON key`, with `left`'s rows
+    * spread over `nSalts` sub-keys by the caller's deterministic `salt`
+    * expression and `right` replicated once per salt value. Result is
+    * row-identical to the plain inner join; the physical difference is that
+    * a key holding p% of the fact now occupies `nSalts` reducers instead of
+    * one. Salt must be deterministic (never `rand()`): retried tasks at
+    * scale must re-route a row to the same reducer, and results must be
+    * reproducible run-to-run.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Column, nSalts: Int = NumSalts): DataFrame = {
+    val l = left.withColumn("__salt", pmod(salt, lit(nSalts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    l.join(r.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The maximally-skewed join in the corpus: lineitem ⋈ a per-returnflag
+    * dimension — 3 distinct keys, so an unsalted shuffle join puts ~1/3 of
+    * the fact table on each of exactly 3 reducers no matter how many
+    * executors exist. Salted ×[[NumSalts]], the same join spreads over
+    * 3 × 16 sub-keys. (At this dim size one would broadcast instead — the
+    * `shuffle_hash` hint in [[saltedJoin]] forces the shuffle path the demo
+    * is about, which at 100 TB is forced anyway when the dim outgrows the
+    * broadcast threshold.) Salt = pmod over line identity — deterministic,
+    * uniform, and oracle-free (it cancels out of the result).
+    */
+  def saltedFlagRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"),
+        col("l_orderkey"), col("l_linenumber"))
+    val dim = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag")).distinct()
+      .withColumn("flag_label", concat(lit("flag_"), lower(col("l_returnflag"))))
+    saltedJoin(li, dim, "l_returnflag",
+        salt = col("l_orderkey") * 7 + col("l_linenumber"))
+      .groupBy(col("flag_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(RelationalOps.revenueExpr).cast("double").as("revenue"))
+  }
+
+  /** Exact per-group order statistics: quartiles/tails of the price
+    * distribution per return flag, plus the median quantity. `percentile`
+    * computes the linearly-interpolated value at p over the sorted group —
+    * the same definition DuckDB's `quantile_cont` uses, so values match
+    * bit-for-bit after rounding.
+    */
+  def pricePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+}

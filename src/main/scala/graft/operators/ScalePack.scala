@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.QueryPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registration for [[ScaleOps]]. Oracles are plain-layout
+  * SQL on purpose: bucketing and salting are *physical* techniques — the
+  * oracle proving the result identical to the unbucketed/unsalted query IS
+  * the correctness claim.
+  */
+object ScalePack extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xp_bucketed_order_revenue" -> ((s, d) => ScaleOps.bucketedOrderRevenue(s, d)),
+    "xp_salted_flag_revenue" -> ((s, d) => ScaleOps.saltedFlagRevenue(s, d)),
+    "xa_price_percentiles" -> ((s, d) => ScaleOps.pricePercentiles(s, d)),
+  )
+
+  private val rev =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "xp_bucketed_order_revenue" ->
+      s"""SELECT o_orderkey, o_orderdate, CAST(revenue_dec AS DOUBLE) AS revenue FROM (
+         |  SELECT o_orderkey, o_orderdate, sum($rev) AS revenue_dec
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY o_orderkey, o_orderdate
+         |  ORDER BY revenue_dec DESC, o_orderkey LIMIT 10)""".stripMargin,
+    "xp_salted_flag_revenue" ->
+      s"""SELECT 'flag_' || lower(l_returnflag) AS flag_label,
+         |  count(*) AS n, CAST(sum($rev) AS DOUBLE) AS revenue
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "xa_price_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  )
+}

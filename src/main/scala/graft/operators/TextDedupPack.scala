@@ -18,6 +18,7 @@ object TextDedupPack extends QueryPack {
     "tx_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
+    "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
     "dd_bucket_stats" -> ((s, d) => DedupOps.bucketStats(s, d)),
     "dd_jaccard_candidates" -> ((s, d) => DedupOps.jaccardOnCandidates(s, d)),
@@ -151,6 +152,10 @@ object TextDedupPack extends QueryPack {
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
     "dd_minhash_signatures" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte)(
+        s"SELECT doc_id, ${(1 to DedupOps.NumHashes).map(j => s"mh$j").mkString(", ")} FROM mh"),
+    // the UDAF path must produce the bit-identical signature table
+    "dd_minhash_sig_udaf" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte)(
         s"SELECT doc_id, ${(1 to DedupOps.NumHashes).map(j => s"mh$j").mkString(", ")} FROM mh"),
     "dd_minhash_candidates" ->

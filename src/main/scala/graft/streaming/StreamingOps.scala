@@ -95,6 +95,19 @@ object StreamingOps {
       .agg(count("*").as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the ingest-time form of
+    * [[graft.operators.DedupOps.exactDedup]]: drop any row whose content
+    * hash was already seen within the watermark horizon. State is one entry
+    * per distinct hash inside the horizon (bounded — expired keys are
+    * evicted as the watermark advances), which is what makes continuous
+    * dedup of an unbounded training-data firehose feasible: the batch job
+    * dedups the corpus once; this keeps it deduped as it grows.
+    */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "15 minutes")
+      .dropDuplicatesWithinWatermark(Seq("text_hash"))
+
   /** One liveness probe observation for a node (ST1 input). */
   case class Probe(node: String, is_up: Boolean)
   /** Poll progress carried between micro-batches. */

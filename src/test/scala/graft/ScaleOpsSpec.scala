@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{DedupOps, ScaleOps}
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bucketed join: sort-merge join and aggregation run with zero exchanges") {
+    val df = ScaleOps.bucketedOrderRevenue(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side or the aggregation:\n$plan")
+    // the scans themselves carry the bucket spec
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans in:\n$plan")
+    assert(df.count() == 10)
+  }
+
+  test("bucketed join result is identical to the plain-layout join") {
+    val bucketed = ScaleOps.bucketedOrderRevenue(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    val o = Tables.orders(spark, Sf).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .as("rev"))
+    val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("o_orderkey")).limit(10)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("revenue_dec").cast("double").as("revenue"))
+      .collect().map(_.toSeq).toSeq
+    assert(bucketed == plain)
+  }
+
+  test("saltedJoin spreads the key space and matches the unsalted join") {
+    val salted = ScaleOps.saltedFlagRevenue(spark, Sf)
+    // the physical join key carries the salt
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+    val got = salted.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = Tables.lineitem(spark, Sf)
+      .groupBy(concat(lit("flag_"), lower(col("l_returnflag"))).as("flag_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+    // every (key, salt) bucket is a strict subset of the key's rows: the
+    // fact side really fans out over multiple sub-keys per flag
+    val nSubKeys = Tables.lineitem(spark, Sf)
+      .select(col("l_returnflag"),
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(ScaleOps.NumSalts))
+          .as("salt"))
+      .distinct().count()
+    assert(nSubKeys > 3, s"expected >3 (flag, salt) sub-keys, got $nSubKeys")
+  }
+
+  test("pricePercentiles: monotone order statistics per flag") {
+    val rows = ScaleOps.pricePercentiles(spark, Sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (p25, p50, p90, p99) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p25 <= p50 && p50 <= p90 && p90 <= p99,
+        s"percentiles not monotone: $r")
+    }
+  }
+
+  test("MinHashAgg UDAF signatures are bit-identical to the expression pipeline") {
+    val viaExpr = DedupOps.minhashSignatures(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val viaUdaf = DedupOps.minhashSignaturesUdaf(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaUdaf == viaExpr)
+  }
+
+  test("MinHashAgg h24 matches the SQL-side md5-prefix hash") {
+    import spark.implicits._
+    val s = "1:the quick brown"
+    val sqlSide = Seq(s).toDF("x")
+      .select(Tables.h24(col("x"))).head.getLong(0)
+    assert(graft.functions.MinHashAgg.h24(s) == sqlSide)
+  }
+}

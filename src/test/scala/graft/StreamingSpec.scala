@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String)
+case class Doc(ts: Timestamp, text_hash: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -49,6 +50,29 @@ class StreamingSpec extends SparkSpec {
       val batch = StreamingOps.tumblingCounts(spark, Sf)
         .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops repeated hashes within the watermark horizon") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Doc]
+    val q = StreamingOps.streamingDedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Doc(Timestamp.valueOf("2024-01-01 10:00:00"), "h1"),
+        Doc(Timestamp.valueOf("2024-01-01 10:00:05"), "h1"), // dup, same batch
+        Doc(Timestamp.valueOf("2024-01-01 10:00:10"), "h2"))
+      q.processAllAvailable()
+      stream.addData(
+        Doc(Timestamp.valueOf("2024-01-01 10:05:00"), "h1"), // dup, later batch
+        Doc(Timestamp.valueOf("2024-01-01 10:05:01"), "h3"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_test")
+        .collect().map(_.getString(1)).sorted.toSeq
+      assert(kept == Seq("h1", "h2", "h3"))
     } finally q.stop()
   }
 
