@@ -29,8 +29,19 @@ object GeoOps {
     */
   val Z2Tag = "graft.z2.scale16"
 
+  /** Same contract for `z3`: 10-bit-scaled (lon, lat) + hour-bin `t10`
+    * interleave, as produced by [[z3Keys]]. Time is only monotone in the key
+    * *within* an epoch (the hour bin wraps at 1024), which is why
+    * [[graft.plans.ZRangePruning]]'s z3 branch requires bounds on the
+    * binned `t10` column — never the raw timestamp.
+    */
+  val Z3Tag = "graft.z3.scale10.hourbin"
+
   private val z2TagMeta =
     new org.apache.spark.sql.types.MetadataBuilder().putBoolean(Z2Tag, true).build()
+
+  private val z3TagMeta =
+    new org.apache.spark.sql.types.MetadataBuilder().putBoolean(Z3Tag, true).build()
 
   /** Deterministic synthetic coordinates: lon ∈ [-180, 179], lat ∈ [-90, 89]. */
   def withCoords(spark: SparkSession, sfDir: String): DataFrame =
@@ -61,8 +72,27 @@ object GeoOps {
       .withColumn("x10", expr("(lon + 180) * 1023 div 360"))
       .withColumn("y10", expr("(lat + 90) * 1023 div 180"))
       .withColumn("t10", expr("(unix_timestamp(ts) div 3600) % 1024"))
-      .withColumn("z3", ZCurveExpressions.z3(spark, "x10", "y10", "t10"))
-      .select(col("event_id"), col("x10"), col("y10"), col("t10"), col("z3"))
+      .select(col("event_id"), col("x10"), col("y10"), col("t10"),
+        ZCurveExpressions.z3(spark, "x10", "y10", "t10").as("z3", z3TagMeta))
+
+  /** The z3-keyed *layout* — [[z2Layout]]'s (space, time) sibling, the shape
+    * of GeoMesa's primary `catalog_<sft>_z3` index: one row per event with
+    * coordinates, hour bin, and the tagged z3 key, stored sorted by z3 so
+    * row-group min/max stats are tight along the curve. A box query bounding
+    * lon/lat/t10 gets the injected `z3 BETWEEN` range from
+    * [[graft.plans.ZRangePruning]] and prunes both space AND time in one
+    * key — the reason GeoMesa makes z3 (not z2) its default index.
+    */
+  def z3Layout(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "z3_layout") {
+      withCoords(spark, sfDir)
+        .withColumn("x10", expr("(lon + 180) * 1023 div 360"))
+        .withColumn("y10", expr("(lat + 90) * 1023 div 180"))
+        .withColumn("t10", expr("(unix_timestamp(ts) div 3600) % 1024"))
+        .select(col("event_id"), col("lon"), col("lat"), col("t10"),
+          ZCurveExpressions.z3(spark, "x10", "y10", "t10").as("z3", z3TagMeta))
+        .sortWithinPartitions(col("z3"))
+    }
 
   /** The z2-keyed *layout*: [[z2Keys]] materialized as a table (staged to
     * tmp parquet via the derived registry; on a 100-TB deployment this is
@@ -113,6 +143,19 @@ object GeoOps {
     while (i < 16) {
       z |= ((x >> i) & 1L) << (2 * i)
       z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** Driver-side 3-way Morton (mirrors [[graft.functions.ZEncode3]]). */
+  def zMorton3(x: Long, y: Long, t: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 10) {
+      z |= ((x >> i) & 1L) << (3 * i)
+      z |= ((y >> i) & 1L) << (3 * i + 1)
+      z |= ((t >> i) & 1L) << (3 * i + 2)
       i += 1
     }
     z

@@ -21,6 +21,11 @@ object GeoPack extends QueryPack {
     "geo_pruned_bbox" -> ((s, d) => GeoOps.z2Layout(s, d)
       .where("lon >= -60 and lon <= 0 and lat >= -30 and lat <= 30")
       .select("event_id", "lon", "lat", "z2")),
+    // the (space, time) sibling: plain box predicate over the stored
+    // z3-keyed layout; ZRangePruning injects the z3 range
+    "geo_pruned_z3" -> ((s, d) => GeoOps.z3Layout(s, d)
+      .where("lon >= -60 and lon <= 0 and lat >= -30 and lat <= 30 and t10 >= 300 and t10 <= 600")
+      .select("event_id", "lon", "lat", "t10", "z3")),
   )
 
   private val coordsCte =
@@ -82,6 +87,20 @@ object GeoPack extends QueryPack {
          |  CAST(${z2Sql("x", "y")} AS BIGINT) AS z2
          |FROM scaled
          |WHERE lon >= -60 AND lon <= 0 AND lat >= -30 AND lat <= 30""".stripMargin,
+    "geo_pruned_z3" ->
+      s"""WITH $coordsCte,
+         |z3c AS (
+         |  SELECT event_id, lon, lat,
+         |    (lon + 180) * 1023 // 360 AS x10,
+         |    (lat + 90) * 1023 // 180 AS y10,
+         |    (date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600) % 1024 AS t10
+         |  FROM coords
+         |)
+         |SELECT event_id, lon, lat, t10,
+         |  CAST(${z3Sql("x10", "y10", "t10")} AS BIGINT) AS z3
+         |FROM z3c
+         |WHERE lon >= -60 AND lon <= 0 AND lat >= -30 AND lat <= 30
+         |  AND t10 >= 300 AND t10 <= 600""".stripMargin,
     "geo_z2_range_scan" ->
       s"""WITH $coordsCte, $scaledCte,
          |zed AS (

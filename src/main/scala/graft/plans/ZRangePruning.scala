@@ -75,34 +75,61 @@ object ZRangePruning extends Rule[LogicalPlan] {
   private def sx(lon: Long): Long = (lon + 180) * 65535 / 360
   private def sy(lat: Long): Long = (lat + 90) * 65535 / 180
 
+  /** 10-bit grid scaling — must mirror [[GeoOps.z3Keys]] exactly. */
+  private def sx10(lon: Long): Long = (lon + 180) * 1023 / 360
+  private def sy10(lat: Long): Long = (lat + 90) * 1023 / 180
+
+  /** z2 BETWEEN corners, when the conjuncts box lon AND lat. Bounds are
+    * clamped to the coordinate domain so the scaled corners stay
+    * non-negative (the Morton encode is only monotone there).
+    */
+  private def z2Range(cs: Seq[Expression], z2: Attribute): Option[Expression] =
+    (bounds(cs, "lon"), bounds(cs, "lat")) match {
+      case (Some((lonLo, lonHi)), Some((latLo, latHi))) =>
+        val (a, b) = (math.max(lonLo, -180L), math.min(lonHi, 179L))
+        val (c, d) = (math.max(latLo, -90L), math.min(latHi, 89L))
+        if (a > b || c > d) None
+        else Some(And(
+          GreaterThanOrEqual(z2, Literal(GeoOps.zMorton(sx(a), sy(c)))),
+          LessThanOrEqual(z2, Literal(GeoOps.zMorton(sx(b), sy(d))))))
+      case _ => None
+    }
+
+  /** z3 BETWEEN corners, when the conjuncts box lon AND lat AND the hour
+    * bin `t10`. Time bounds sit on the *binned* column, not the raw
+    * timestamp: mapping a ts range into its epoch's hour-bin range is the
+    * query-side epoch step of a GeoMesa-style z3 index (the key is only
+    * monotone in time within an epoch), so the rule fires on the layout
+    * column whose monotonicity is contract-tagged.
+    */
+  private def z3Range(cs: Seq[Expression], z3: Attribute): Option[Expression] =
+    (bounds(cs, "lon"), bounds(cs, "lat"), bounds(cs, "t10")) match {
+      case (Some((lonLo, lonHi)), Some((latLo, latHi)), Some((tLo, tHi))) =>
+        val (a, b) = (math.max(lonLo, -180L), math.min(lonHi, 179L))
+        val (c, d) = (math.max(latLo, -90L), math.min(latHi, 89L))
+        val (e, g) = (math.max(tLo, 0L), math.min(tHi, 1023L))
+        if (a > b || c > d || e > g) None
+        else Some(And(
+          GreaterThanOrEqual(z3, Literal(GeoOps.zMorton3(sx10(a), sy10(c), e))),
+          LessThanOrEqual(z3, Literal(GeoOps.zMorton3(sx10(b), sy10(d), g)))))
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
-      val z2Out = child.output.find(a =>
-        a.name == "z2" && a.dataType == LongType &&
-          a.metadata.contains(GeoOps.Z2Tag))
-      z2Out match {
-        // references.contains(z2) is the idempotence guard: once injected,
-        // the condition references z2 and the fixed-point pass skips it
-        case Some(z2) if !cond.references.contains(z2) =>
-          val cs = splitConjuncts(cond)
-          (bounds(cs, "lon"), bounds(cs, "lat")) match {
-            case (Some((lonLo, lonHi)), Some((latLo, latHi))) =>
-              // clamp to the coordinate domain so the scaled corners stay
-              // non-negative (the Morton encode is only monotone there)
-              val (a, b) = (math.max(lonLo, -180L), math.min(lonHi, 179L))
-              val (c, d) = (math.max(latLo, -90L), math.min(latHi, 89L))
-              if (a > b || c > d) f
-              else {
-                val zMin = GeoOps.zMorton(sx(a), sy(c))
-                val zMax = GeoOps.zMorton(sx(b), sy(d))
-                Filter(And(cond, And(
-                  GreaterThanOrEqual(z2, Literal(zMin)),
-                  LessThanOrEqual(z2, Literal(zMax)))), child)
-              }
-            case _ => f
-          }
-        case _ => f
-      }
+      val cs = splitConjuncts(cond)
+      def tagged(name: String, tag: String): Option[Attribute] =
+        child.output.find(a =>
+          a.name == name && a.dataType == LongType && a.metadata.contains(tag))
+      // references.contains(attr) is the idempotence guard: once injected,
+      // the condition references the key and the fixed-point pass skips it
+      val injected = Seq(
+        tagged("z2", GeoOps.Z2Tag).filterNot(cond.references.contains)
+          .flatMap(z2Range(cs, _)),
+        tagged("z3", GeoOps.Z3Tag).filterNot(cond.references.contains)
+          .flatMap(z3Range(cs, _))).flatten
+      if (injected.isEmpty) f
+      else Filter(injected.foldLeft(cond)(And(_, _)), child)
   }
 }
 

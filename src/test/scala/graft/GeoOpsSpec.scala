@@ -76,6 +76,36 @@ class GeoOpsSpec extends SparkSpec {
     assert(!plain.queryExecution.optimizedPlan.toString.contains("z2"))
   }
 
+  test("ZRangePruning injects a z3 range into (space, time) box filters without dropping rows") {
+    val box = GeoOps.z3Layout(spark, Sf)
+      .where(col("lon") >= -60 && col("lon") <= 0 &&
+        col("lat") >= -30 && col("lat") <= 30 &&
+        col("t10") >= 300 && col("t10") <= 600)
+    val optimized = box.queryExecution.optimizedPlan.toString
+    def sx10(lon: Long) = (lon + 180) * 1023 / 360
+    def sy10(lat: Long) = (lat + 90) * 1023 / 180
+    val zMin = GeoOps.zMorton3(sx10(-60), sy10(-30), 300)
+    val zMax = GeoOps.zMorton3(sx10(0), sy10(30), 600)
+    assert(optimized.contains(zMin.toString) && optimized.contains(zMax.toString),
+      s"expected injected z3 range [$zMin, $zMax] in:\n$optimized")
+    // soundness: identical rows to the rule-free derivation
+    val plain = GeoOps.withCoords(spark, Sf)
+      .withColumn("t10", expr("(unix_timestamp(ts) div 3600) % 1024"))
+      .where(col("lon") >= -60 && col("lon") <= 0 &&
+        col("lat") >= -30 && col("lat") <= 30 &&
+        col("t10") >= 300 && col("t10") <= 600)
+    assert(box.count() == plain.count())
+    assert(box.count() > 0, "t10 window must intersect the corpus")
+  }
+
+  test("zMorton3 matches the codegen'd z3 on corpus rows") {
+    val viaExpr = GeoOps.z3Keys(spark, Sf).select(sum(col("z3"))).collect().head.getLong(0)
+    val interpreted = GeoOps.z3Keys(spark, Sf).drop("z3").collect().map { r =>
+      GeoOps.zMorton3(r.getAs[Long]("x10"), r.getAs[Long]("y10"), r.getAs[Long]("t10"))
+    }.sum
+    assert(viaExpr == interpreted)
+  }
+
   test("ZRangePruning ignores an untagged LongType column named z2 (different scaling)") {
     import spark.implicits._
     // a user table whose z2 is NOT the library's 16-bit Morton layout —
