@@ -10,7 +10,7 @@ values (columns sorted by name, rows sorted, floats rounded).
 
 Dev tool only — the Scala library never depends on this.
 """
-import sys, os, json, glob
+import sys, os, json, glob, math, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -18,8 +18,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # DuckDB DECIMAL aggregates come back as decimal.Decimal while the Spark
+    # parquet side yields float — normalize both to float before comparing
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
-        return round(v, 6)
+        if math.isnan(v):
+            return "NaN"  # NaN != NaN would flag agreeing results as diffs
+        if math.isinf(v) or v == 0.0:
+            return v
+        # relative tolerance: round to 9 significant digits, not 6 decimal
+        # places — absolute rounding is too strict for 1e9-scale sums and
+        # too lax near zero
+        return round(v, 8 - int(math.floor(math.log10(abs(v)))))
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):
@@ -27,10 +38,16 @@ def norm_cell(v):
     return v
 
 
+def sort_key(t):
+    # type-aware: numbers order numerically so a reported mismatch row index
+    # pairs the same logical rows on both sides (str() would order "10"<"9")
+    return tuple((x is None, isinstance(x, str), x if isinstance(x, (int, float)) and not isinstance(x, bool) else 0, str(x)) for x in t)
+
+
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=sort_key)
     return [cols[i] for i in order], out
 
 
