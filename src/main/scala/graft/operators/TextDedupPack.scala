@@ -16,6 +16,8 @@ object TextDedupPack extends QueryPack {
     "tx_quality_scores" -> ((s, d) => TextOps.qualityScores(s, d)),
     "tx_language_id" -> ((s, d) => TextOps.languageId(s, d)),
     "tx_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
+    "tx_curated_corpus" -> ((s, d) => TextOps.curatedCorpus(s, d)),
+    "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
@@ -105,6 +107,33 @@ object TextDedupPack extends QueryPack {
       |  FROM reach GROUP BY a
       |)""".stripMargin)
 
+  /** Per-doc quality score + predicted language in one pass — twin of the
+    * inline expressions [[TextOps.curatedCorpus]] computes over its single
+    * scan.
+    */
+  private val scoredCte = {
+    val hitCols = TextFunctions.LangProfiles
+      .map { case (l, p) => s"    CAST(${hitsSql(p)} AS BIGINT) AS hits_$l" }
+      .mkString(",\n")
+    val best = "greatest(" +
+      TextFunctions.LangProfiles.map { case (l, _) => s"hits_$l" }.mkString(", ") + ")"
+    val cases = TextFunctions.LangProfiles
+      .map { case (l, _) => s"WHEN hits_$l = best AND best > 0 THEN '$l'" }
+      .mkString(" ")
+    s"""scored AS (
+       |  SELECT doc_id, n_words, quality_score,
+       |    CASE $cases ELSE 'und' END AS predicted_lang
+       |  FROM (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    least(len(string_split(text, ' ')) / 100.0, 1.0) *
+       |      (0.5 + 0.5 * (CAST(${hitsSql(stopSeq)} AS DOUBLE)
+       |                    / len(string_split(text, ' ')))) AS quality_score,
+       |$hitCols,
+       |    $best AS best
+       |  FROM documents)
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "tx_token_counts" ->
       s"""SELECT doc_id,
@@ -146,6 +175,30 @@ object TextDedupPack extends QueryPack {
            |      FROM (SELECT doc_id, shingle, ${h24("shingle")} AS h
            |            FROM doc_shingles))
            |GROUP BY doc_id""".stripMargin),
+    "tx_curated_corpus" ->
+      Oracle.withRecursiveCtes(
+        Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
+          ++ clusterCtes :+ scoredCte: _*)(
+        s"""SELECT doc_id, n_words, quality_score, predicted_lang
+           |FROM scored
+           |WHERE quality_score >= ${TextOps.MinQuality}
+           |  AND predicted_lang = 'en'
+           |  AND doc_id NOT IN
+           |    (SELECT doc_id FROM clusters WHERE NOT is_canonical)""".stripMargin),
+    "tx_curation_funnel" ->
+      Oracle.withRecursiveCtes(
+        Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
+          ++ clusterCtes :+ scoredCte: _*)(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_total,
+           |  CAST(count(*) FILTER (WHERE quality_score >= ${TextOps.MinQuality})
+           |    AS BIGINT) AS n_quality,
+           |  CAST(count(*) FILTER (WHERE quality_score >= ${TextOps.MinQuality}
+           |    AND predicted_lang = 'en') AS BIGINT) AS n_lang,
+           |  CAST(count(*) FILTER (WHERE quality_score >= ${TextOps.MinQuality}
+           |    AND predicted_lang = 'en'
+           |    AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE NOT is_canonical))
+           |    AS BIGINT) AS n_curated
+           |FROM scored""".stripMargin),
     "dd_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,

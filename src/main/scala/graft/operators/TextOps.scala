@@ -24,6 +24,31 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
         .as("n_re_tokens"))
 
+  /** Quality score as a reusable column expression over `text` — factored
+    * out so multi-signal queries ([[curatedCorpus]]) compute it inline over
+    * ONE documents scan instead of self-joining per-signal op outputs.
+    */
+  private[operators] def qualityScoreExpr: org.apache.spark.sql.Column = {
+    val nWords = size(words(col("text"))).cast("double")
+    val nStop = profileHits(col("text"), LangProfiles.head._2).cast("double")
+    least(nWords / 100.0, lit(1.0)) * (lit(0.5) + lit(0.5) * (nStop / nWords))
+  }
+
+  /** Predicted language as a reusable column expression over `text`:
+    * argmax of per-language profile hits with a fixed preference order
+    * (foldRight + when-chain ⇒ first profile in LangProfiles wins ties),
+    * 'und' when no profile hits.
+    */
+  private[operators] def predictedLangExpr: org.apache.spark.sql.Column = {
+    val hits = LangProfiles.map { case (lang, prof) =>
+      lang -> profileHits(col("text"), prof)
+    }
+    val best = hits.map(_._2).reduce(greatest(_, _))
+    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Quality scoring: length / word-shape / stopword-ratio heuristics. */
   def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
     val w = words(col("text"))
@@ -36,25 +61,66 @@ object TextOps {
       (length(regexp_replace(col("text"), " ", "")).cast("double") / nWords)
         .as("avg_word_len"),
       (nStop / nWords).as("stopword_ratio"),
-      (least(nWords / 100.0, lit(1.0)) * (lit(0.5) + lit(0.5) * (nStop / nWords)))
-        .as("quality_score"))
+      qualityScoreExpr.as("quality_score"))
   }
 
-  /** Language ID: n-gram/stopword-profile heuristic — argmax of per-language
-    * profile hits with a fixed preference order, 'und' when no profile hits.
+  /** Language ID: n-gram/stopword-profile heuristic — see
+    * [[predictedLangExpr]]; also surfaces the per-language hit counts.
     */
   def languageId(spark: SparkSession, sfDir: String): DataFrame = {
     val hits = LangProfiles.map { case (lang, prof) =>
       lang -> profileHits(col("text"), prof)
     }
-    val best = hits.map(_._2).reduce(greatest(_, _))
-    val predicted = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
-      when(h === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    // foldRight + when-chains ⇒ first profile in LangProfiles wins ties
     Tables.documents(spark, sfDir).select(
       (col("doc_id") +: hits.map { case (l, h) => h.cast("long").as(s"hits_$l") } :+
-        predicted.as("predicted_lang")): _*)
+        predictedLangExpr.as("predicted_lang")): _*)
+  }
+
+  /** Quality cutoff for corpus curation ([[curatedCorpus]]). */
+  val MinQuality = 0.25
+
+  /** The end-to-end curation pipeline a training-data run executes: keep
+    * documents that (1) score at least [[MinQuality]], (2) are identified as
+    * English, and (3) are not non-canonical members of a near-duplicate
+    * cluster. Plan shape for 100 TB: signals (1) and (2) are inline column
+    * expressions over a single documents scan — no self-joins — and (3) is
+    * one broadcast anti-join against the duplicate-cluster drop list, which
+    * is orders of magnitude smaller than the corpus (it holds only docs
+    * inside some duplicate cluster). One scan, zero corpus shuffles.
+    */
+  def curatedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val dupDrop = DedupOps.duplicateClusters(spark, sfDir)
+      .where(!col("is_canonical")).select(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        qualityScoreExpr.as("quality_score"),
+        predictedLangExpr.as("predicted_lang"))
+      .where(col("quality_score") >= MinQuality && col("predicted_lang") === "en")
+      .join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
+  }
+
+  /** Drop-reason funnel for [[curatedCorpus]] — the monitoring query every
+    * curation pipeline ships next to its filter: corpus size after each
+    * successive stage (quality → language → dedup), one aggregation row.
+    * Same single-scan shape; the dedup flag arrives by broadcast left join.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dupDrop = DedupOps.duplicateClusters(spark, sfDir)
+      .where(!col("is_canonical"))
+      .select(col("doc_id"), lit(true).as("is_dup_drop"))
+    val q = col("quality_score") >= MinQuality
+    val l = col("predicted_lang") === "en"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), qualityScoreExpr.as("quality_score"),
+        predictedLangExpr.as("predicted_lang"))
+      .join(broadcast(dupDrop), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(q, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(q && l, 1L).otherwise(0L)).as("n_lang"),
+        sum(when(q && l && col("is_dup_drop").isNull, 1L).otherwise(0L))
+          .as("n_curated"))
   }
 
   /** Document fingerprinting: winnowing-style representative shingle — the

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 
 class TextDedupSpec extends SparkSpec {
 
+  test("curation: funnel is monotone and agrees with the curated corpus") {
+    val f = TextOps.curationFunnel(spark, Sf).collect().head
+    val (total, q, l, cur) =
+      (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3))
+    assert(total >= q && q >= l && l >= cur, s"funnel not monotone: $f")
+    assert(cur > 0 && cur < total, "thresholds must actually select")
+    val kept = TextOps.curatedCorpus(spark, Sf)
+    assert(kept.count() == cur)
+    // kept docs satisfy every stage's predicate
+    assert(kept.where(col("quality_score") < TextOps.MinQuality).count() == 0)
+    assert(kept.where(col("predicted_lang") =!= "en").count() == 0)
+    val dropped = DedupOps.duplicateClusters(spark, Sf)
+      .where(!col("is_canonical")).select(col("doc_id"))
+    assert(kept.join(dropped, Seq("doc_id"), "left_semi").count() == 0)
+  }
+
   test("shingles3: n words -> n-2 shingles; short text -> none") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z"))
