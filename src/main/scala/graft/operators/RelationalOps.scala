@@ -131,6 +131,30 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
   }
 
+  /** X-J interval: for each error event, how many clicks the same user made
+    * in the preceding 10 minutes — an interval join expressed as a RANGE
+    * window frame instead of an inequality join. The naive form
+    * (`a JOIN b ON a.user = b.user AND b.ts BETWEEN a.ts - 10m AND a.ts`)
+    * plans as a per-user nested loop with quadratic hot-user blowup; the
+    * value-based frame is one shuffle on user_id and a linear sliding scan
+    * per partition — the shape that survives 100 TB. The frame is value-
+    * (not row-) based, so tied timestamps don't make it order-dependent.
+    */
+  def clicksBeforeError(spark: SparkSession, sfDir: String): DataFrame =
+    clicksBeforeErrorOn(Tables.events(spark, sfDir))
+
+  private[graft] def clicksBeforeErrorOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-600, -1)
+    events
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("n_recent_clicks",
+        count(when(col("event_type") === "click", 1)).over(w))
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_recent_clicks"))
+  }
+
   /** X-O window: top-k orders per customer (rank + tie-break). */
   def topOrdersPerCustomer(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

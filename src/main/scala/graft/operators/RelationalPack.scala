@@ -15,6 +15,7 @@ object RelationalPack extends QueryPack {
     "xj_anti_no_orders" -> ((s, d) => RelationalOps.customersWithoutOrders(s, d)),
     "xj_semi_big_spenders" -> ((s, d) => RelationalOps.bigSpenders(s, d, 400000.0)),
     "xj_asof_last_signup" -> ((s, d) => RelationalOps.asOfLastSignup(s, d)),
+    "xj_interval_clicks" -> ((s, d) => RelationalOps.clicksBeforeError(s, d)),
     "xo_topk_per_customer" -> ((s, d) => RelationalOps.topOrdersPerCustomer(s, d, 2)),
     "xo_running_total" -> ((s, d) => RelationalOps.runningOrderTotal(s, d)),
     "xo_global_topk" -> ((s, d) => RelationalOps.topOrders(s, d, 10)),
@@ -81,6 +82,16 @@ object RelationalPack extends QueryPack {
         |               IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM events)
+        |WHERE event_type = 'error'""".stripMargin,
+    "xj_interval_clicks" ->
+      """SELECT event_id, user_id, ts, n_recent_clicks FROM (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                               CAST(ts AS TIMESTAMP))
+        |            RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING) AS n_recent_clicks
         |  FROM events)
         |WHERE event_type = 'error'""".stripMargin,
     "xo_topk_per_customer" ->

@@ -111,4 +111,21 @@ object ScaleOps {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+
+  /** The 100-TB percentile path: `approx_percentile` keeps a bounded sketch
+    * per group (map-side combinable — constant state, unlike exact
+    * percentile's full value multiset). The sketch value itself is
+    * engine-specific, so the oracle checks the portable invariant: approx
+    * within 1% of exact, per group — the same pattern as the HLL check
+    * (`xa_approx_distinct`).
+    */
+  def approxPercentileCheck(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"))
+      .select(col("l_returnflag"), col("p50_exact"),
+        (abs(col("ap") - col("p50_exact")) / col("p50_exact") < 0.01)
+          .as("approx_within_1pct"))
 }

@@ -14,6 +14,7 @@ object ScalePack extends QueryPack {
     "xp_bucketed_order_revenue" -> ((s, d) => ScaleOps.bucketedOrderRevenue(s, d)),
     "xp_salted_flag_revenue" -> ((s, d) => ScaleOps.saltedFlagRevenue(s, d)),
     "xa_price_percentiles" -> ((s, d) => ScaleOps.pricePercentiles(s, d)),
+    "xa_approx_percentile" -> ((s, d) => ScaleOps.approxPercentileCheck(s, d)),
   )
 
   private val rev =
@@ -30,6 +31,11 @@ object ScalePack extends QueryPack {
       s"""SELECT 'flag_' || lower(l_returnflag) AS flag_label,
          |  count(*) AS n, CAST(sum($rev) AS DOUBLE) AS revenue
          |FROM lineitem GROUP BY 1""".stripMargin,
+    "xa_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  TRUE AS approx_within_1pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "xa_price_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,

@@ -8,6 +8,25 @@ class RelationalOpsSpec extends SparkSpec {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  test("clicksBeforeError: value-based frame counts exactly the prior-10-minute clicks") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: clicks at -601s (out), -600s (in), -1s (in), 0s (excluded: same second)
+      (1L, 1L, t("2024-01-01 09:49:59"), "click"),
+      (2L, 1L, t("2024-01-01 09:50:00"), "click"),
+      (3L, 1L, t("2024-01-01 09:59:59"), "click"),
+      (4L, 1L, t("2024-01-01 10:00:00"), "click"),
+      (5L, 1L, t("2024-01-01 10:00:00"), "error"),
+      // user 2: no clicks before its error
+      (6L, 2L, t("2024-01-01 10:00:00"), "click"),
+      (7L, 2L, t("2024-01-01 09:00:00"), "error")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = RelationalOps.clicksBeforeErrorOn(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(5L -> 2L, 7L -> 0L))
+  }
+
   test("pricingSummary pushes the shipdate filter to the parquet scan") {
     val p = RelationalOps.pricingSummary(spark, Sf).queryExecution.toString
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
