@@ -20,6 +20,11 @@ class TextDedupSpec extends SparkSpec {
     val dropped = DedupOps.duplicateClusters(spark, Sf)
       .where(!col("is_canonical")).select(col("doc_id"))
     assert(kept.join(dropped, Seq("doc_id"), "left_semi").count() == 0)
+    // plan shape: the dedup filter is a broadcast anti-join (the drop list
+    // is tiny relative to the corpus), never a shuffle of documents
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
   }
 
   test("shingles3: n words -> n-2 shingles; short text -> none") {
