@@ -95,6 +95,28 @@ object StreamingOps {
       .agg(count("*").as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Stream-stream interval join — the streaming twin of
+    * [[graft.operators.RelationalOps.clicksBeforeError]]: pair each error
+    * with the same user's clicks from the preceding 10 minutes, as two
+    * watermarked streams joined on user + a time-range condition. The
+    * watermarks bound both join states: a click older than 20 minutes can
+    * no longer match any future error (10-minute range + 10-minute
+    * out-of-orderness), so the state store evicts it — the property that
+    * keeps an unbounded two-stream join feasible. Append-mode rows emit
+    * once the watermark passes the range's upper bound.
+    */
+  def streamingClicksBeforeErrors(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val e = errors.withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    e.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") < col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup — the ingest-time form of
     * [[graft.operators.DedupOps.exactDedup]]: drop any row whose content
     * hash was already seen within the watermark horizon. State is one entry

@@ -7,6 +7,7 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String)
 case class Doc(ts: Timestamp, text_hash: String)
+case class UserEv(event_id: Long, user_id: Long, ts: Timestamp)
 
 class StreamingSpec extends SparkSpec {
 
@@ -50,6 +51,40 @@ class StreamingSpec extends SparkSpec {
       val batch = StreamingOps.tumblingCounts(spark, Sf)
         .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs errors with prior-10-minute clicks") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[UserEv]
+    val errors = MemoryStream[UserEv]
+    val q = StreamingOps.streamingClicksBeforeErrors(
+        clicks.toDF().select(col("user_id"), col("ts")),
+        errors.toDF())
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        UserEv(100L, 1L, t("2024-01-01 09:49:59")), // 601s before: out of range
+        UserEv(101L, 1L, t("2024-01-01 09:50:00")), // exactly -600s: in
+        UserEv(102L, 1L, t("2024-01-01 09:59:59")), // -1s: in
+        UserEv(103L, 1L, t("2024-01-01 10:00:00")), // same second: excluded
+        UserEv(104L, 2L, t("2024-01-01 10:00:00"))) // other user
+      errors.addData(
+        UserEv(5L, 1L, t("2024-01-01 10:00:00")),
+        UserEv(7L, 2L, t("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      // advance both watermarks past the join range so append rows emit
+      clicks.addData(UserEv(110L, 9L, t("2024-01-01 11:00:00")))
+      errors.addData(UserEv(111L, 9L, t("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_test")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(3).toString)).toSet
+      assert(pairs == Set(
+        (5L, "2024-01-01 09:50:00.0"),
+        (5L, "2024-01-01 09:59:59.0")))
     } finally q.stop()
   }
 
