@@ -18,6 +18,9 @@ object TextDedupPack extends QueryPack {
     "tx_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
     "tx_curated_corpus" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
+    "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
+    "tx_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "tx_token_histogram" -> ((s, d) => TextOps.tokenHistogram(s, d)),
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
@@ -175,6 +178,42 @@ object TextDedupPack extends QueryPack {
            |      FROM (SELECT doc_id, shingle, ${h24("shingle")} AS h
            |            FROM doc_shingles))
            |GROUP BY doc_id""".stripMargin),
+    "tx_contamination" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte,
+        s"""bench_shingles AS (SELECT DISTINCT shingle FROM distinct_shingles
+           |  WHERE doc_id < ${TextOps.BenchmarkDocs})""".stripMargin,
+        s"""corpus_sh AS (SELECT doc_id, shingle FROM distinct_shingles
+           |  WHERE doc_id >= ${TextOps.BenchmarkDocs})""".stripMargin,
+        """shared AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM corpus_sh
+          |  WHERE shingle IN (SELECT shingle FROM bench_shingles)
+          |  GROUP BY doc_id)""".stripMargin,
+        """totals AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          |  FROM corpus_sh GROUP BY doc_id)""".stripMargin)(
+        s"""SELECT s.doc_id, n_shared, n_shingles,
+           |  CAST(n_shared AS DOUBLE) / n_shingles AS overlap,
+           |  CAST(n_shared AS DOUBLE) / n_shingles >=
+           |    ${TextOps.ContaminationMinOverlap} AS contaminated
+           |FROM shared s JOIN totals USING (doc_id)""".stripMargin),
+    "tx_stratified_sample" -> {
+      val rateCase = "CASE " + TextOps.SampleRates
+        .map { case (l, r) => s"WHEN predicted_lang = '$l' THEN $r" }
+        .mkString(" ") + " ELSE 0 END"
+      Oracle.withCtes(scoredCte)(
+        s"""SELECT doc_id, predicted_lang FROM scored
+           |WHERE ${h24("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+           |      < $rateCase""".stripMargin)
+    },
+    "tx_token_histogram" ->
+      s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(min(n) AS BIGINT) AS min_tokens,
+        |  CAST(max(n) AS BIGINT) AS max_tokens
+        |FROM (SELECT CAST(len(string_split(text, ' ')) // ${TextOps.HistBucketWidth} AS BIGINT) AS bucket,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |      FROM documents)
+        |GROUP BY bucket""".stripMargin,
     "tx_curated_corpus" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

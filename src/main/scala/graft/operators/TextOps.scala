@@ -123,6 +123,86 @@ object TextOps {
           .as("n_curated"))
   }
 
+  /** Benchmark/eval set for the decontamination demo: the first
+    * [[BenchmarkDocs]] doc_ids stand in for an eval suite. In production
+    * this is a separate (and small) table; everything below only relies on
+    * it being small relative to the corpus.
+    */
+  val BenchmarkDocs = 10
+
+  /** Fraction of a document's distinct shingles shared with the benchmark
+    * set above which it is flagged contaminated.
+    */
+  val ContaminationMinOverlap = 0.5
+
+  /** Train-test decontamination: for every corpus document, the share of
+    * its distinct 3-gram shingles that also occur in the benchmark set —
+    * docs above [[ContaminationMinOverlap]] must be dropped before training
+    * or eval numbers are fiction. Scale shape: the benchmark shingle set is
+    * tiny (eval suites are KBs against a 100-TB corpus), so the overlap
+    * test is a broadcast semi-ish join — the corpus-side shingle table
+    * (already staged once for the dedup chain) never shuffles on content;
+    * the only exchange is the map-side-combinable per-doc count. Emits only
+    * docs with nonzero overlap (the interesting set).
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = DedupOps.distinctShingles(spark, sfDir)
+    val benchShingles = sh.where(col("doc_id") < BenchmarkDocs)
+      .select(col("shingle")).distinct()
+    val corpus = sh.where(col("doc_id") >= BenchmarkDocs)
+    val shared = corpus
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    shared.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("overlap"),
+        (col("n_shared").cast("double") / col("n_shingles") >=
+          ContaminationMinOverlap).as("contaminated"))
+  }
+
+  /** Per-language sampling rates (percent) for [[stratifiedSample]]:
+    * downsample the dominant language, keep the rest.
+    */
+  val SampleRates: Seq[(String, Int)] = Seq("en" -> 20, "und" -> 100)
+
+  /** Deterministic stratified sampling: keep a doc iff
+    * h24("sample:" + doc_id) mod 100 < its language's rate. No `rand()` —
+    * the decision is a pure function of the row, so retried tasks at scale
+    * make the same choice, reruns reproduce the same sample, and the DuckDB
+    * oracle can replay it exactly. One narrow scan, zero shuffles.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(0)) { case ((lang, r), acc) =>
+      when(col("predicted_lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), predictedLangExpr.as("predicted_lang"))
+      .withColumn("bucket",
+        Tables.h24(concat(lit("sample:"), col("doc_id").cast("string"))) % 100)
+      .where(col("bucket") < rate)
+      .select(col("doc_id"), col("predicted_lang"))
+  }
+
+  /** Width of each [[tokenHistogram]] bucket (whitespace tokens). */
+  val HistBucketWidth = 25
+
+  /** Corpus token-length histogram: doc counts and token mass per
+    * fixed-width length bucket — the distribution every curation run
+    * inspects before choosing truncation/packing lengths. One
+    * map-side-combinable aggregation over a narrow scan.
+    */
+  def tokenHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(words(col("text"))).cast("long")
+    Tables.documents(spark, sfDir)
+      .select((n / HistBucketWidth).cast("long").as("bucket"), n.as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
   /** Document fingerprinting: winnowing-style representative shingle — the
     * minimum-hash shingle of each document (rolling-hash family; the h24
     * hash plays the rolling polynomial's role, portable to the oracle).

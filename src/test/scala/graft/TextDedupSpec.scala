@@ -27,6 +27,40 @@ class TextDedupSpec extends SparkSpec {
       s"expected broadcast anti-join in:\n$plan")
   }
 
+  test("contamination: benchmark docs excluded, flag matches the overlap threshold") {
+    val c = TextOps.contamination(spark, Sf)
+    assert(c.where(col("doc_id") < TextOps.BenchmarkDocs).count() == 0)
+    assert(c.where(col("overlap") <= 0 || col("overlap") > 1).count() == 0)
+    assert(c.where(col("contaminated") =!=
+      (col("overlap") >= TextOps.ContaminationMinOverlap)).count() == 0)
+  }
+
+  test("stratifiedSample: deterministic, rates honored per stratum") {
+    val s1 = TextOps.stratifiedSample(spark, Sf).collect().map(_.getLong(0)).toSet
+    val s2 = TextOps.stratifiedSample(spark, Sf).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // hash-based: reruns reproduce the exact sample
+    val langs = TextOps.languageId(spark, Sf)
+      .groupBy(col("predicted_lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = TextOps.stratifiedSample(spark, Sf)
+      .groupBy(col("predicted_lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate-100 stratum passes through whole; rate-20 stratum shrinks
+    assert(sampled.getOrElse("und", 0L) == langs.getOrElse("und", 0L))
+    assert(sampled("en") < langs("en"))
+  }
+
+  test("tokenHistogram: buckets partition the corpus") {
+    val h = TextOps.tokenHistogram(spark, Sf).collect()
+    val total = Tables.documents(spark, Sf).count()
+    assert(h.map(_.getAs[Long]("n_docs")).sum == total)
+    h.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("min_tokens") >= b * TextOps.HistBucketWidth)
+      assert(r.getAs[Long]("max_tokens") < (b + 1) * TextOps.HistBucketWidth)
+    }
+  }
+
   test("shingles3: n words -> n-2 shingles; short text -> none") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z"))
