@@ -19,6 +19,7 @@ object SimMediaPack extends QueryPack {
     // identical result set to sim_kmeans_topk, computed from the
     // k-partitioned stored layout with plan-time partition pruning
     "sim_kmeans_pruned_topk" -> ((s, d) => SimilarityOps.kmeansPrunedTopK(s, d)),
+    "sim_quantized_topk" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
@@ -136,7 +137,43 @@ object SimMediaPack extends QueryPack {
          |  FROM kscored)
          |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin)
 
+  /** Quantization CTEs — twins of [[SimilarityOps.quantScales]] /
+    * `quantizeExpr`: per-dim max-abs scales, int8 values via
+    * floor(v/s·127 + 0.5), hoisted quantized norms.
+    */
+  private val quantCtes = Seq(
+    """qscales AS (
+      |  SELECT list(m ORDER BY i) AS s FROM (
+      |    SELECT i, greatest(max(abs(x)), 0.000000000001) AS m FROM (
+      |      SELECT unnest(e) AS x, generate_subscripts(e, 1) AS i FROM vv)
+      |    GROUP BY i)
+      |)""".stripMargin,
+    s"""qvn AS (
+       |  SELECT vec_id, qd, sqrt(list_dot_product(qd, qd)) AS qn FROM (
+       |    SELECT v.vec_id,
+       |      list_transform(range(1, ${DedupOps.EmbDim + 1}),
+       |                     j -> floor(v.e[j] / sc.s[j] * 127 + 0.5)) AS qd
+       |    FROM vv v CROSS JOIN qscales sc)
+       |)""".stripMargin,
+    """qq AS (
+      |  SELECT q.query_id, n.qd AS qqd, n.qn AS qqn
+      |  FROM qv q JOIN qvn n ON n.vec_id = q.query_id
+      |)""".stripMargin)
+
   val oracles: Map[String, String] = Map(
+    "sim_quantized_topk" ->
+      Oracle.withCtes(vecCtes ++ quantCtes :+
+        """qscored AS (
+          |  SELECT qq.query_id, v.vec_id,
+          |    round(list_dot_product(qq.qqd, v.qd) / (qq.qqn * v.qn), 6) AS cosine
+          |  FROM qq CROSS JOIN qvn v WHERE v.vec_id <> qq.query_id
+          |)""".stripMargin: _*)(
+        s"""SELECT query_id, vec_id, cosine, rank FROM (
+           |  SELECT query_id, vec_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM qscored)
+           |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
     "sim_bruteforce_topk" ->
       Oracle.withCtes(vecCtes :+
         s"""scored AS (

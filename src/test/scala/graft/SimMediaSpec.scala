@@ -78,6 +78,24 @@ class SimMediaSpec extends SparkSpec {
     assert(nProbedKs <= SimilarityOps.KmeansK)
   }
 
+  test("quantizedTopK: int8 storage, high top-k agreement with the float path") {
+    val qe = SimilarityOps.quantizedEmbeddings(spark, Sf)
+    assert(qe.schema("qe").dataType.simpleString == "array<tinyint>")
+    // quantized values live in the symmetric int8 range
+    assert(qe.select(explode(col("qe")).as("v"))
+      .where(col("v") > 127 || col("v") < -127).count() == 0)
+    // ranking quality: per query, the quantized top-k overlaps the exact
+    // float top-k on most slots (int8 cosine error ~1e-2 at dim 64)
+    val exact = SimilarityOps.bruteForceTopK(spark, Sf)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.quantizedTopK(spark, Sf)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"quantized/exact top-k overlap too low: $overlap")
+  }
+
   test("media payloads carry binary + metadata; frames tile the text") {
     val p = MediaOps.payloads(spark, Sf)
     assert(p.schema("payload").dataType.typeName == "binary")
