@@ -21,6 +21,7 @@ object TextDedupPack extends QueryPack {
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "tx_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "tx_token_histogram" -> ((s, d) => TextOps.tokenHistogram(s, d)),
+    "tx_sequence_packing" -> ((s, d) => TextOps.sequencePacking(s, d)),
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
@@ -214,6 +215,17 @@ object TextDedupPack extends QueryPack {
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |      FROM documents)
         |GROUP BY bucket""".stripMargin,
+    "tx_sequence_packing" ->
+      s"""SELECT doc_id, shard, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       - n_tokens AS BIGINT) AS start_offset,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       - n_tokens) / ${TextOps.SeqLen}) AS BIGINT) AS seq_id
+         |FROM (SELECT doc_id, doc_id % ${TextOps.PackShards} AS shard,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents)""".stripMargin,
     "tx_curated_corpus" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

@@ -203,6 +203,35 @@ object TextOps {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** Tokens per packed training sequence ([[sequencePacking]]). */
+  val SeqLen = 2048
+
+  /** Shards for parallel packing — at 100 TB this is O(partitions); each
+    * shard packs independently with zero cross-shard coordination.
+    */
+  val PackShards = 8
+
+  /** Sequence packing: assign every document a (shard, sequence, offset)
+    * slot in the fixed-length token stream a pretraining run consumes.
+    * Token-offset packing (docs may straddle sequence boundaries, handled
+    * downstream by attention masks): within a shard, a doc's start offset
+    * is the running token count before it, and its sequence id is
+    * `start / SeqLen`. One shuffle on the shard key, a value-ordered
+    * running sum per shard — no global order, no driver state, shards
+    * scale out independently.
+    */
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", (col("start_offset") / SeqLen).cast("long"))
+  }
+
   /** Document fingerprinting: winnowing-style representative shingle — the
     * minimum-hash shingle of each document (rolling-hash family; the h24
     * hash plays the rolling polynomial's role, portable to the oracle).

@@ -61,6 +61,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sequencePacking: contiguous per-shard offsets, correct sequence ids") {
+    val rows = TextOps.sequencePacking(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, shardRows) =>
+      val ordered = shardRows.sortBy(_._2)
+      // offsets tile the shard's token stream with no gaps or overlaps
+      var expect = 0L
+      ordered.foreach { case (_, _, n, start, seq) =>
+        assert(start == expect, s"offset gap: start=$start expected=$expect")
+        assert(seq == start / TextOps.SeqLen)
+        expect += n
+      }
+    }
+    assert(rows.map(_._2).distinct.length ==
+      Tables.documents(spark, Sf).count())
+  }
+
   test("shingles3: n words -> n-2 shingles; short text -> none") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z"))
