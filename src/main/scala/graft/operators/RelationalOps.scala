@@ -97,6 +97,44 @@ object RelationalOps {
       .agg(sum(revenueExpr).cast("double").as("revenue"))
   }
 
+  /** X-A: Q6-shaped forecast-revenue scan — a pure filter+aggregate whose
+    * entire predicate set (date range, discount band, quantity cap) pushes
+    * to the parquet scan, so at 100 TB the row-group min/max stats skip
+    * most of the table before a single row is decoded. No join, no
+    * shuffle beyond the single partial→final aggregate exchange.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** X-J: Q18-shaped large-volume customers — orders whose summed lineitem
+    * quantity exceeds the threshold, joined back to orders and customer.
+    * The heavy-order set is aggregated once (single shuffle on l_orderkey)
+    * and is small *by construction* (tail of the per-order quantity
+    * distribution), so both subsequent joins broadcast it — the fact tables
+    * never shuffle. That asymmetry is what makes Q18 cheap at 100 TB: the
+    * only exchange is the lineitem partial/final aggregate.
+    */
+  def largeQuantityOrders(spark: SparkSession, sfDir: String, minQty: Double): DataFrame = {
+    val heavy = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(moneySum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    val enriched = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .join(broadcast(heavy), col("o_orderkey") === col("l_orderkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"))
+      .join(broadcast(enriched), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
   /** X-J anti: customers that never ordered, counted per segment. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

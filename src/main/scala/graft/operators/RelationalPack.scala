@@ -12,6 +12,8 @@ object RelationalPack extends QueryPack {
     "xa_q1_pricing_summary" -> ((s, d) => RelationalOps.pricingSummary(s, d)),
     "xj_q3_shipping_priority" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
     "xj_q5_local_supplier" -> ((s, d) => RelationalOps.localSupplierVolume(s, d)),
+    "xa_q6_forecast_revenue" -> ((s, d) => RelationalOps.forecastRevenue(s, d)),
+    "xj_q18_large_orders" -> ((s, d) => RelationalOps.largeQuantityOrders(s, d, 250.0)),
     "xj_anti_no_orders" -> ((s, d) => RelationalOps.customersWithoutOrders(s, d)),
     "xj_semi_big_spenders" -> ((s, d) => RelationalOps.bigSpenders(s, d, 400000.0)),
     "xj_asof_last_signup" -> ((s, d) => RelationalOps.asOfLastSignup(s, d)),
@@ -67,6 +69,22 @@ object RelationalPack extends QueryPack {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
+    "xa_q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "xj_q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250.0) h
+        |JOIN orders ON o_orderkey = h.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
     "xj_anti_no_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)

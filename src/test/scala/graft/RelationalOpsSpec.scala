@@ -36,6 +36,31 @@ class RelationalOpsSpec extends SparkSpec {
     assert(plan(RelationalOps.shippingPriority(spark, Sf)).contains("BroadcastHashJoin"))
   }
 
+  test("forecastRevenue (Q6) pushes every predicate to the parquet scan") {
+    val p = RelationalOps.forecastRevenue(spark, Sf).queryExecution.toString
+    assert(p.contains("PushedFilters"))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      // each filter column appears inside the pushed-filter list, not only post-scan
+      assert(p.contains(c), s"$c not in plan")
+    }
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed")
+    }
+  }
+
+  test("largeQuantityOrders (Q18): heavy set broadcasts, totals match a recompute") {
+    val df = RelationalOps.largeQuantityOrders(spark, Sf, 250.0)
+    assert(plan(df).contains("BroadcastHashJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("total_qty") > 250.0))
+    val expect = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_orderkey")).agg(sum("l_quantity").as("q"))
+      .where(col("q") > 250.0).count()
+    assert(rows.length == expect)
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no full sort)") {
     assert(plan(RelationalOps.topOrders(spark, Sf, 10)).contains("TakeOrderedAndProject"))
   }
