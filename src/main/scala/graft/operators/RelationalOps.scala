@@ -135,6 +135,110 @@ object RelationalOps {
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))
   }
 
+  /** X-F: Q19-shaped disjunctive-predicate join — revenue over an OR of
+    * brand/size/quantity conjunctions. The disjunction mixes columns from
+    * both sides, so no single branch can be pushed whole; Catalyst still
+    * extracts the per-side common factors (`p_brand IN (...)`,
+    * `l_quantity` bounds) and pushes THOSE to each scan, then evaluates the
+    * residual OR post-join. Part is a dimension → broadcast; lineitem never
+    * shuffles. That is exactly the shape this query keeps at 100 TB.
+    */
+  def brandTierRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(5, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+  }
+
+  /** X-J scalar-subquery: Q22-shaped "idle rich customers" — customers whose
+    * balance beats the positive-balance average but who placed no order in
+    * the corpus's final 18 months. The global average is a one-row aggregate
+    * broadcast into the filter (never a per-row subquery); the idleness test
+    * is an anti-join against the date-filtered orders key projection. The
+    * threshold is computed as an exact decimal sum cast to double, then one
+    * double division — the same two IEEE operands in Spark and DuckDB, so
+    * the comparison is engine-portable even for borderline rows.
+    */
+  def idleRichCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val thr = cust.where(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count("*")).as("avg_bal"))
+    cust.join(broadcast(thr))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, sfDir)
+        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count("*").as("n_customers"), moneySum(col("c_acctbal")).as("total_bal"))
+  }
+
+  /** Market segments in the corpus — pivot values are pinned so the pivot
+    * schema is static: no pre-scan to discover values (a full extra pass at
+    * 100 TB) and a plan whose output columns are known at compile time.
+    */
+  val Segments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** X-A pivot: yearly revenue cross-tabbed by market segment. The
+    * registered form folds each segment into a conditional aggregate —
+    * ONE shuffle on order_year, the segment dimension lives in the
+    * aggregation buffer. (The `.pivot(values)` API produces the identical
+    * rows but plans an extra aggregation phase — see [[segmentYearPivotApi]]
+    * and the equivalence spec — so the conditional form is the one to run
+    * at 100 TB.) Customer is broadcast.
+    */
+  def segmentYearPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Segments.map(s =>
+      moneySum(when(col("c_mktsegment") === s, col("o_totalprice"))).as(s))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(cells.head, cells.tail: _*)
+  }
+
+  /** The same cross-tab through the `.pivot(values)` API — pinned values, so
+    * no value-discovery pre-scan; kept as the API-surface twin the spec
+    * proves row-identical to [[segmentYearPivot]].
+    */
+  def segmentYearPivotApi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .pivot("c_mktsegment", Segments)
+      .agg(moneySum(col("o_totalprice")))
+
+  /** X-A argmin/argmax: per-segment extreme orders via `max_by`/`min_by`
+    * with struct ordering for deterministic tie-breaks — one aggregation,
+    * no window, no self-join. The struct (price, key) order makes ties
+    * resolve to the highest key; (date, key) to the lowest.
+    */
+  def extremeOrdersPerSegment(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("top_orderkey"),
+        max(col("o_totalprice")).as("top_price"),
+        min_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey")))
+          .as("first_orderkey"),
+        min(col("o_orderdate")).as("first_orderdate"))
+
   /** X-J anti: customers that never ordered, counted per segment. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

@@ -25,6 +25,11 @@ object RelationalPack extends QueryPack {
     "xo_except_churned" -> ((s, d) => RelationalOps.churnedCustomers(s, d)),
     "xa_rollup_returns" -> ((s, d) => RelationalOps.returnsRollup(s, d)),
     "xa_approx_distinct" -> ((s, d) => RelationalOps.approxDistinctOrders(s, d)),
+    "xf_q19_disjunctive" -> ((s, d) => RelationalOps.brandTierRevenue(s, d)),
+    "xj_q22_idle_rich" -> ((s, d) => RelationalOps.idleRichCustomers(s, d)),
+    "xa_pivot_segment_year" -> ((s, d) => RelationalOps.segmentYearPivot(s, d)),
+    "xa_extreme_orders" -> ((s, d) => RelationalOps.extremeOrdersPerSegment(s, d)),
+    "xt_gapfill_hourly" -> ((s, d) => TimeSeriesOps.gapFillHourly(s, d)),
     "xt_json_props" -> ((s, d) => RelationalOps.propsSummary(s, d)),
     "xt_monthly_orders" -> ((s, d) => RelationalOps.monthlyOrders(s, d)),
     "xt_ship_delay" -> ((s, d) => RelationalOps.shipDelay(s, d)),
@@ -152,6 +157,75 @@ object RelationalPack extends QueryPack {
     "xa_approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
         |  TRUE AS approx_within_10pct FROM lineitem""".stripMargin,
+    "xf_q19_disjunctive" ->
+      s"""SELECT CAST(sum($rev) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "xj_q22_idle_rich" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+         |  ${msum("c_acctbal")} AS total_bal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         |                          / count(*)
+         |                   FROM customer WHERE c_acctbal > 0)
+         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+         |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY c_mktsegment""".stripMargin,
+    "xa_pivot_segment_year" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |       FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS DOUBLE) AS "AUTOMOBILE",
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |       FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS "BUILDING",
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |       FILTER (WHERE c_mktsegment = 'FURNITURE') AS DOUBLE) AS "FURNITURE",
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |       FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS DOUBLE) AS "HOUSEHOLD",
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |       FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS "MACHINERY"
+         |FROM orders JOIN customer ON c_custkey = o_custkey
+         |GROUP BY 1""".stripMargin,
+    "xa_extreme_orders" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice, o_orderdate,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rmin,
+        |    min(o_orderdate) OVER (PARTITION BY c_mktsegment) AS first_orderdate
+        |  FROM orders JOIN customer ON c_custkey = o_custkey)
+        |SELECT a.c_mktsegment, a.o_orderkey AS top_orderkey,
+        |  a.o_totalprice AS top_price, b.o_orderkey AS first_orderkey,
+        |  a.first_orderdate
+        |FROM ranked a JOIN ranked b
+        |  ON a.c_mktsegment = b.c_mktsegment AND a.rmax = 1 AND b.rmin = 1""".stripMargin,
+    "xt_gapfill_hourly" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |            FROM events WHERE user_id < 20),
+        |spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', min(ts)),
+        |                           date_trunc('hour', max(ts)),
+        |                           INTERVAL 1 HOUR)) AS hour
+        |  FROM ev GROUP BY user_id),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    count(*) FILTER (WHERE event_type = 'click') AS clicks_raw,
+        |    max(value) FILTER (WHERE event_type = 'purchase') AS purchase_raw
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT s.user_id, CAST(s.hour AS TIMESTAMP) AS hour,
+        |  coalesce(h.clicks_raw, 0) AS clicks,
+        |  last_value(h.purchase_raw IGNORE NULLS)
+        |    OVER (PARTITION BY s.user_id ORDER BY s.hour
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM spine s
+        |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour""".stripMargin,
     "xt_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k,

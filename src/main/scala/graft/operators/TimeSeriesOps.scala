@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over the `events` stream table (SURVEY §2 X-T
+  * extension): gap-fill a per-entity hourly grid and forward-fill the last
+  * observation — the resample/ffill step every metrics or training-feature
+  * pipeline runs before windowed feature extraction.
+  *
+  * Scale design: the spine is generated per entity with `sequence()` +
+  * `explode` — spine size is (entities × their own active span), never
+  * (entities × global span), so a user active for a day costs 24 rows no
+  * matter how long the corpus runs. All three stages (span agg, hourly agg,
+  * forward-fill window) hash-partition on `user_id`, so at 100 TB the whole
+  * pipeline is one logical repartition by entity; AQE coalesces the small
+  * spine side. No driver-side iteration, no UDFs — `sequence`, `explode`,
+  * `last(ignoreNulls)` are all codegen'd built-ins.
+  */
+object TimeSeriesOps {
+
+  /** Hourly activity grid for a bounded cohort of users: click counts
+    * (zero-filled on empty hours) and the forward-filled value of the most
+    * recent purchase at-or-before each hour. The cohort bound keeps the
+    * verify output small; the plan shape is cohort-size-independent.
+    */
+  def gapFillHourly(spark: SparkSession, sfDir: String, maxUserId: Long = 20L): DataFrame =
+    gapFillHourlyOn(Tables.events(spark, sfDir), maxUserId)
+
+  private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
+    val ev = events
+      .where(col("user_id") < maxUserId)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+        max(date_trunc("hour", col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(when(col("event_type") === "click", 1)).as("clicks_raw"),
+        max(when(col("event_type") === "purchase", col("value"))).as("purchase_raw"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("clicks", coalesce(col("clicks_raw"), lit(0L)))
+      .withColumn("last_purchase_value",
+        last(col("purchase_raw"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("hour"), col("clicks"), col("last_purchase_value"))
+  }
+}

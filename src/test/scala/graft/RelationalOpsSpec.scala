@@ -61,6 +61,67 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.length == expect)
   }
 
+  test("brandTierRevenue (Q19): disjunction partially pushes, part broadcasts, result non-trivial") {
+    val df = RelationalOps.brandTierRevenue(spark, Sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    // Catalyst extracts the per-side common factor of the OR and pushes it:
+    // the part scan must carry a brand filter, not read the full dimension.
+    val full = df.queryExecution.toString
+    assert(full.contains("p_brand"))
+    val rev = df.collect().head.getAs[Double]("revenue")
+    assert(rev > 0.0)
+  }
+
+  test("idleRichCustomers (Q22): threshold row broadcasts; members beat avg and have no orders") {
+    val df = RelationalOps.idleRichCustomers(spark, Sf)
+    val total = df.agg(sum("n_customers")).collect().head.getLong(0)
+    val avgBal = Tables.customer(spark, Sf).where(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") / count("*")))
+      .collect().head.getDouble(0)
+    val expect = Tables.customer(spark, Sf)
+      .where(col("c_acctbal") > avgBal)
+      .join(Tables.orders(spark, Sf)
+        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(total == expect && total > 0)
+  }
+
+  test("segmentYearPivot: single shuffle, matches the .pivot() API form, conserves totals") {
+    val df = RelationalOps.segmentYearPivot(spark, Sf)
+    assert(df.columns.toSeq == ("order_year" +: RelationalOps.Segments))
+    // single-shuffle shape: one partial+final aggregate pair over the broadcast join
+    // (BroadcastExchange is not a shuffle — count only hash/range repartitions)
+    val shuffles = plan(df).linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"pivot plan has $shuffles shuffles")
+    val api = RelationalOps.segmentYearPivotApi(spark, Sf)
+    assert(df.exceptAll(api).count() == 0 && api.exceptAll(df).count() == 0)
+    val pivotTotal = df.select(
+      RelationalOps.Segments.map(s => coalesce(col(s"`$s`"), lit(0.0))).reduce(_ + _).as("t"))
+      .agg(sum("t")).collect().head.getDouble(0)
+    val direct = Tables.orders(spark, Sf)
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(pivotTotal - direct) < 1e-4)
+  }
+
+  test("extremeOrdersPerSegment: max_by/min_by agree with a window recompute") {
+    val rows = RelationalOps.extremeOrdersPerSegment(spark, Sf).collect()
+    assert(rows.length == RelationalOps.Segments.length)
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val best = Tables.orders(spark, Sf)
+        .join(Tables.customer(spark, Sf).where(col("c_mktsegment") === seg)
+          .select("c_custkey"), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+        .select("o_orderkey", "o_totalprice").head()
+      assert(r.getAs[Long]("top_orderkey") == best.getLong(0))
+      assert(r.getAs[Double]("top_price") == best.getDouble(1))
+    }
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no full sort)") {
     assert(plan(RelationalOps.topOrders(spark, Sf, 10)).contains("TakeOrderedAndProject"))
   }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.TimeSeriesOps
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+
+  test("gapFillHourly: hand-built frame — dense grid, zero-fill, forward-fill") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: span 09:00-12:00 => 4 grid hours, purchase at 09 then silence
+      (1L, t("2024-01-01 09:10:00"), "purchase", 5.0),
+      (1L, t("2024-01-01 09:20:00"), "click", 0.0),
+      (1L, t("2024-01-01 12:30:00"), "click", 0.0),
+      // user 2: single event => 1 grid hour, no purchase ever
+      (2L, t("2024-01-01 00:05:00"), "click", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = TimeSeriesOps.gapFillHourlyOn(ev, 100L)
+      .orderBy("user_id", "hour").collect()
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.length == 4) // 09,10,11,12 — gaps materialized
+    assert(u1.map(_.getAs[Long]("clicks")).toSeq == Seq(1L, 0L, 0L, 1L))
+    // purchase value carried forward across the empty hours
+    assert(u1.forall(_.getAs[Double]("last_purchase_value") == 5.0))
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.isNullAt(3)) // never purchased => null, not 0
+  }
+
+  test("gapFillHourly on the corpus: spine is gap-free and click totals are conserved") {
+    val df = TimeSeriesOps.gapFillHourly(spark, Sf).cache()
+    try {
+      // per-user row count == hours between that user's min and max hour, inclusive
+      val spans = df.groupBy("user_id")
+        .agg(count("*").as("n"),
+          ((unix_timestamp(max("hour")) - unix_timestamp(min("hour"))) / 3600 + 1).as("expect"))
+        .where(col("n") =!= col("expect")).count()
+      assert(spans == 0)
+      val gridClicks = df.agg(sum("clicks")).collect().head.getLong(0)
+      val rawClicks = Tables.events(spark, Sf)
+        .where(col("user_id") < 20 && col("event_type") === "click").count()
+      assert(gridClicks == rawClicks)
+    } finally df.unpersist()
+  }
+}
