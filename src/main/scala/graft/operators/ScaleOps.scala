@@ -128,4 +128,28 @@ object ScaleOps {
       .select(col("l_returnflag"), col("p50_exact"),
         (abs(col("ap") - col("p50_exact")) / col("p50_exact") < 0.01)
           .as("approx_within_1pct"))
+
+  /** X-P9: runtime Bloom-filter join pruning — lineitem ⋈ (selectively
+    * filtered orders), the shape where Spark's `InjectRuntimeFilter` builds
+    * a Bloom filter from the dim side's surviving join keys at runtime and
+    * pushes `might_contain(l_orderkey)` into the fact scan, so fact rows
+    * that cannot join are dropped at the scan instead of surviving to the
+    * shuffle. The op itself is declarative — nothing here names the filter.
+    * At bench SF the plan stays a plain join (the application-side scan is
+    * below the 10 GB activation threshold and the dim side broadcasts); on
+    * a 100-TB fact table the same code self-activates: the join falls back
+    * to shuffle, the thresholds are met, and the optimizer injects the
+    * filter. `ScaleOpsSpec` proves both halves locally by lowering the
+    * thresholds: injection happens AND the result is row-identical.
+    */
+  def runtimeFilteredRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count("*").as("n_items"),
+        sum(RelationalOps.revenueExpr).cast("double").as("revenue"))
+  }
 }

@@ -15,6 +15,7 @@ object ScalePack extends QueryPack {
     "xp_salted_flag_revenue" -> ((s, d) => ScaleOps.saltedFlagRevenue(s, d)),
     "xa_price_percentiles" -> ((s, d) => ScaleOps.pricePercentiles(s, d)),
     "xa_approx_percentile" -> ((s, d) => ScaleOps.approxPercentileCheck(s, d)),
+    "xp_runtime_filter_revenue" -> ((s, d) => ScaleOps.runtimeFilteredRevenue(s, d)),
   )
 
   private val rev =
@@ -31,6 +32,10 @@ object ScalePack extends QueryPack {
       s"""SELECT 'flag_' || lower(l_returnflag) AS flag_label,
          |  count(*) AS n, CAST(sum($rev) AS DOUBLE) AS revenue
          |FROM lineitem GROUP BY 1""".stripMargin,
+    "xp_runtime_filter_revenue" ->
+      s"""SELECT count(*) AS n_items, CAST(sum($rev) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "xa_approx_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,

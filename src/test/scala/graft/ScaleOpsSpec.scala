@@ -85,4 +85,32 @@ class ScaleOpsSpec extends SparkSpec {
       .select(Tables.h24(col("x"))).head.getLong(0)
     assert(graft.functions.MinHashAgg.h24(s) == sqlSide)
   }
+
+  test("runtime bloom filter: injected under shuffle-join thresholds, result unchanged") {
+    // Reference result under default confs (dim side broadcasts at this SF).
+    val expect = ScaleOps.runtimeFilteredRevenue(spark, Sf).collect().map(_.toSeq).toSeq
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // Simulate the 100-TB regime: join can't broadcast, fact scan is
+      // "large" relative to the activation threshold, dim side is small.
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val df = ScaleOps.runtimeFilteredRevenue(spark, Sf)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom filter in:\n$optimized")
+      assert(df.collect().map(_.toSeq).toSeq == expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
