@@ -30,6 +30,7 @@ object RelationalPack extends QueryPack {
     "xa_pivot_segment_year" -> ((s, d) => RelationalOps.segmentYearPivot(s, d)),
     "xa_extreme_orders" -> ((s, d) => RelationalOps.extremeOrdersPerSegment(s, d)),
     "xt_gapfill_hourly" -> ((s, d) => TimeSeriesOps.gapFillHourly(s, d)),
+    "xo_sessionize" -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
     "xt_json_props" -> ((s, d) => RelationalOps.propsSummary(s, d)),
     "xt_monthly_orders" -> ((s, d) => RelationalOps.monthlyOrders(s, d)),
     "xt_ship_delay" -> ((s, d) => RelationalOps.shipDelay(s, d)),
@@ -204,6 +205,23 @@ object RelationalPack extends QueryPack {
         |  a.first_orderdate
         |FROM ranked a JOIN ranked b
         |  ON a.c_mktsegment = b.c_mktsegment AND a.rmax = 1 AND b.rmin = 1""".stripMargin,
+    "xo_sessionize" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
     "xt_gapfill_hourly" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |            FROM events WHERE user_id < 20),

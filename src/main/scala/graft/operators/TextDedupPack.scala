@@ -22,6 +22,8 @@ object TextDedupPack extends QueryPack {
     "tx_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "tx_token_histogram" -> ((s, d) => TextOps.tokenHistogram(s, d)),
     "tx_sequence_packing" -> ((s, d) => TextOps.sequencePacking(s, d)),
+    "tx_repetition" -> ((s, d) => TextOps.repetitionScores(s, d)),
+    "tx_temperature_mix" -> ((s, d) => TextOps.temperatureMix(s, d)),
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
@@ -226,6 +228,24 @@ object TextDedupPack extends QueryPack {
          |FROM (SELECT doc_id, doc_id % ${TextOps.PackShards} AS shard,
          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |      FROM documents)""".stripMargin,
+    "tx_repetition" ->
+      """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac,
+        |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_word_frac
+        |FROM (SELECT doc_id, word, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |            FROM documents)
+        |      GROUP BY doc_id, word)
+        |GROUP BY doc_id""".stripMargin,
+    "tx_temperature_mix" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |rates AS (SELECT lang,
+         |    CAST(floor(100 * sqrt((SELECT CAST(min(n_lang) AS DOUBLE) FROM counts)
+         |                          / CAST(n_lang AS DOUBLE))) AS BIGINT) AS keep_pct
+         |  FROM counts)
+         |SELECT d.doc_id, d.lang, r.keep_pct
+         |FROM documents d JOIN rates r USING (lang)
+         |WHERE ${h24("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 100 < r.keep_pct""".stripMargin,
     "tx_curated_corpus" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

@@ -232,6 +232,56 @@ object TextOps {
       .withColumn("seq_id", (col("start_offset") / SeqLen).cast("long"))
   }
 
+  /** Repetition scoring (Gopher-style quality signal): per document, the
+    * mass fraction of its most frequent word and the duplicate-word
+    * fraction — high values flag boilerplate/spam for the curation filter.
+    * Two aggregations, both keyed by doc_id so the second reuses the
+    * first's partitioning; both map-side combinable. No per-doc state
+    * beyond the aggregation buffers — nothing quadratic at 100 TB.
+    */
+  def repetitionScores(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_words"),
+        (col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+          .as("dup_word_frac"))
+
+  /** Sampling temperature: keep-rate ∝ sqrt(min_count / lang_count) —
+    * sqrt because it's the alpha=0.5 temperature AND is exactly-rounded
+    * IEEE (unlike pow), so Spark and DuckDB compute bit-identical rates.
+    */
+  val MixAlphaNote = 0.5
+
+  /** Temperature-based language rebalancing: downsample over-represented
+    * languages toward the rarest one's count with deterministic hash
+    * selection — the source/language-mixing step of a pretraining data
+    * recipe. Per-language counts are one tiny aggregate broadcast back
+    * onto the corpus scan; selection is the same retry-safe h24-mod rule
+    * as [[stratifiedSample]], so the result is reproducible row-for-row
+    * at any scale and under any retry.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("lang"),
+        floor(lit(100) * sqrt(col("min_n").cast("double") / col("n_lang").cast("double")))
+          .cast("long").as("keep_pct"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .where(Tables.h24(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
+        < col("keep_pct"))
+      .select(col("doc_id"), col("lang"), col("keep_pct"))
+  }
+
   /** Document fingerprinting: winnowing-style representative shingle — the
     * minimum-hash shingle of each document (rolling-hash family; the h24
     * hash plays the rolling polynomial's role, portable to the oracle).

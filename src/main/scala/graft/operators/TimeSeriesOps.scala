@@ -29,6 +29,33 @@ object TimeSeriesOps {
   def gapFillHourly(spark: SparkSession, sfDir: String, maxUserId: Long = 20L): DataFrame =
     gapFillHourlyOn(Tables.events(spark, sfDir), maxUserId)
 
+  /** Batch sessionization: split each user's event stream into sessions at
+    * inactivity gaps > `gapMinutes`, and emit per-session bounds + size —
+    * the batch twin of the streaming session window (`xst_session_counts`).
+    * The lag/flag/cumulative-sum pipeline and the final groupBy all
+    * partition on `user_id`, so the whole op is ONE shuffle; within a
+    * partition it's a linear scan. Session ids are per-user ordinals
+    * (cumsum of gap flags), not global — no global ordering exists at
+    * 100 TB and none is needed.
+    */
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame =
+    sessionizeOn(Tables.events(spark, sfDir), gapMinutes)
+
+  private[graft] def sessionizeOn(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

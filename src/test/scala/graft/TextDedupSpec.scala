@@ -143,6 +143,52 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("repetitionScores: fractions bounded, word totals agree with tokenCounts") {
+    val rep = TextOps.repetitionScores(spark, Sf)
+    val bad = rep.where(
+      col("top_word_frac") <= 0 || col("top_word_frac") > 1 ||
+        col("dup_word_frac") < 0 || col("dup_word_frac") >= 1 ||
+        // the top word's mass can never exceed the duplicated mass + 1 word
+        // (equality happens when one word carries all duplication; epsilon
+        // absorbs the frac*n_words float round-trip)
+        col("top_word_frac") * col("n_words") > col("dup_word_frac") * col("n_words") + 1 + 1e-9)
+      .count()
+    assert(bad == 0)
+    val mismatched = rep.join(TextOps.tokenCounts(spark, Sf), "doc_id")
+      .where(col("n_words") =!= col("n_ws_tokens")).count()
+    assert(mismatched == 0)
+    // spot-check one doc against a driver-side recompute
+    val doc = Tables.documents(spark, Sf).select("doc_id", "text").head()
+    val ws = doc.getString(1).split(" ")
+    val top = ws.groupBy(identity).values.map(_.length).max
+    val got = rep.where(col("doc_id") === doc.getLong(0)).head()
+    assert(got.getAs[Long]("n_words") == ws.length)
+    assert(math.abs(got.getAs[Double]("top_word_frac") - top.toDouble / ws.length) < 1e-12)
+  }
+
+  test("temperatureMix: rarest language keeps 100%, others downsampled, deterministic") {
+    val mix = TextOps.temperatureMix(spark, Sf)
+    val rates = mix.select("lang", "keep_pct").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = Tables.documents(spark, Sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = counts.minBy(_._2)._1
+    assert(rates(rarest) == 100L)
+    val dominant = counts.maxBy(_._2)._1
+    assert(rates(dominant) < 100L)
+    // keep-rate realized within the discrete hash-mod tolerance
+    val kept = mix.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (l, pct) =>
+      val expected = counts(l) * pct / 100.0
+      assert(math.abs(kept(l) - expected) <= counts(l) * 0.15 + 3,
+        s"$l kept ${kept(l)} vs ~$expected")
+    }
+    // retry-safety: a second run selects the identical rows
+    val again = TextOps.temperatureMix(spark, Sf)
+    assert(mix.exceptAll(again).count() == 0 && again.exceptAll(mix).count() == 0)
+  }
+
   test("simhash neighbors: banding is exact for Hamming <= 3") {
     import spark.implicits._
     val sigs = DedupOps.simhash(spark, Sf).collect()

@@ -27,6 +27,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(u2.length == 1 && u2.head.isNullAt(3)) // never purchased => null, not 0
   }
 
+  test("sessionize: splits strictly-greater-than-gap, keeps boundary gap in-session") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (2L, 1L, t("2024-01-01 10:10:00")),
+      (3L, 1L, t("2024-01-01 10:40:00")), // exactly 30 min after prev => same session
+      (4L, 1L, t("2024-01-01 11:11:00")), // 31 min gap => new session
+      (5L, 2L, t("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = TimeSeriesOps.sessionizeOn(ev, 30)
+      .orderBy("user_id", "session_seq").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"))).toSeq ==
+      Seq((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    val s1 = got.head
+    assert(s1.getAs[java.sql.Timestamp]("session_start") == t("2024-01-01 10:00:00"))
+    assert(s1.getAs[java.sql.Timestamp]("session_end") == t("2024-01-01 10:40:00"))
+  }
+
+  test("sessionize on the corpus: single shuffle; event totals conserved") {
+    val df = TimeSeriesOps.sessionize(spark, Sf)
+    val shuffles = df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"sessionize plans $shuffles shuffles")
+    val total = df.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, Sf).count())
+  }
+
   test("gapFillHourly on the corpus: spine is gap-free and click totals are conserved") {
     val df = TimeSeriesOps.gapFillHourly(spark, Sf).cache()
     try {
