@@ -20,6 +20,8 @@ object SimMediaPack extends QueryPack {
     // k-partitioned stored layout with plan-time partition pruning
     "sim_kmeans_pruned_topk" -> ((s, d) => SimilarityOps.kmeansPrunedTopK(s, d)),
     "sim_quantized_topk" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
+    "sim_pq_codes" -> ((s, d) => SimilarityOps.pqCodesFlat(s, d)),
+    "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
@@ -137,6 +139,82 @@ object SimMediaPack extends QueryPack {
          |  FROM kscored)
          |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin)
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Per-subspace Lloyd + code-assignment CTEs — twin of
+    * [[SimilarityOps.pqCodebooks]]/[[SimilarityOps.pqCodes]] restricted to
+    * subspace `m` (vectors sliced to dims [m·16+1, (m+1)·16]); identical
+    * unrolled-iteration pattern to [[lloydCtes]].
+    */
+  private def pqSubCtes(m: Int): Seq[String] = {
+    val lo = m * SimilarityOps.PqSubDim + 1
+    val hi = (m + 1) * SimilarityOps.PqSubDim
+    val n = SimilarityOps.PqIters
+    val init = Seq(
+      s"psub$m AS (SELECT vec_id, list_slice(e, $lo, $hi) AS e FROM vv)",
+      s"""pc${m}_0d AS (
+         |  SELECT vec_id % ${SimilarityOps.PqKs} AS k,
+         |         arg_min(e, md5(CAST(vec_id AS VARCHAR))) AS cd
+         |  FROM psub$m GROUP BY 1
+         |)""".stripMargin)
+    val iters = (1 to n).flatMap { i =>
+      val prev = if (i == 1) s"pc${m}_0d" else s"pm${m}_${i - 1}d"
+      Seq(
+        s"""pa${m}_$i AS (
+           |  SELECT vec_id, e, k FROM (
+           |    SELECT vec_id, e, k,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+           |    FROM (
+           |      SELECT v.vec_id, v.e, c.k,
+           |        round(list_dot_product(v.e, v.e) + list_dot_product(c.cd, c.cd)
+           |              - 2 * list_dot_product(v.e, c.cd), 6) AS d2
+           |      FROM psub$m v CROSS JOIN $prev c))
+           |  WHERE rn = 1
+           |)""".stripMargin,
+        s"""pm${m}_$i AS (
+           |  SELECT k, list(CAST(cx AS FLOAT) ORDER BY i) AS centroid FROM (
+           |    SELECT k, i, round(avg(x), 5) AS cx FROM (
+           |      SELECT k, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM pa${m}_$i)
+           |    GROUP BY k, i)
+           |  GROUP BY k
+           |)""".stripMargin,
+        s"""pm${m}_${i}d AS (SELECT k, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS cd
+           |       FROM pm${m}_$i)""".stripMargin)
+    }
+    val assign = Seq(
+      s"""pcode$m AS (
+         |  SELECT vec_id, $m AS m, k AS code, cc FROM (
+         |    SELECT vec_id, k, cc,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+         |    FROM (
+         |      SELECT v.vec_id, c.k, list_dot_product(c.cd, c.cd) AS cc,
+         |        round(list_dot_product(v.e, v.e) + list_dot_product(c.cd, c.cd)
+         |              - 2 * list_dot_product(v.e, c.cd), 6) AS d2
+         |      FROM psub$m v CROSS JOIN pm${m}_${n}d c))
+         |  WHERE rn = 1
+         |)""".stripMargin)
+    init ++ iters ++ assign
+  }
+
+  /** Assembled PQ derivation: all subspaces' training + the encoded corpus
+    * (`pqcodes`) and the trained codebook union (`pcb`).
+    */
+  private val pqCtes: Seq[String] = {
+    val subs = (0 until SimilarityOps.PqM).flatMap(pqSubCtes)
+    val codeUnion = (0 until SimilarityOps.PqM)
+      .map(m => s"SELECT * FROM pcode$m").mkString(" UNION ALL ")
+    val cbUnion = (0 until SimilarityOps.PqM)
+      .map(m => s"SELECT $m AS m, k AS code, cd FROM pm${m}_${SimilarityOps.PqIters}d")
+      .mkString(" UNION ALL ")
+    subs ++ Seq(
+      s"""pqcodes AS (
+         |  SELECT vec_id, list(code ORDER BY m) AS codes,
+         |    round(sqrt(sum(cc)), 6) AS rn
+         |  FROM ($codeUnion) GROUP BY vec_id
+         |)""".stripMargin,
+      s"pcb AS ($cbUnion)")
+  }
+
   /** Quantization CTEs — twins of [[SimilarityOps.quantScales]] /
     * `quantizeExpr`: per-dim max-abs scales, int8 values via
     * floor(v/s·127 + 0.5), hoisted quantized norms.
@@ -224,6 +302,34 @@ object SimMediaPack extends QueryPack {
     "sim_kmeans_topk" -> kmeansTopKSql,
     // the pruned-layout query is the same logical result — one oracle text
     "sim_kmeans_pruned_topk" -> kmeansTopKSql,
+    "sim_pq_codes" ->
+      Oracle.withCtes(vecCtes ++ pqCtes: _*)(
+        s"""SELECT vec_id,
+           |  ${(0 until SimilarityOps.PqM).map(m => s"codes[${m + 1}] AS code$m").mkString(",\n  ")},
+           |  rn
+           |FROM pqcodes""".stripMargin),
+    "sim_pq_topk" ->
+      Oracle.withCtes(vecCtes ++ pqCtes ++ Seq(
+        s"""plut AS (
+           |  SELECT q.query_id, sqrt(list_dot_product(q.q, q.q)) AS qn, cb.m, cb.code,
+           |    list_dot_product(
+           |      list_slice(q.q, cb.m * ${SimilarityOps.PqSubDim} + 1,
+           |                 (cb.m + 1) * ${SimilarityOps.PqSubDim}), cb.cd) AS dp
+           |  FROM qv q CROSS JOIN pcb cb
+           |)""".stripMargin,
+        s"""pscored AS (
+           |  SELECT l.query_id, c.vec_id, max(l.qn) AS qn, max(c.rn) AS rn,
+           |    sum(l.dp) AS num
+           |  FROM pqcodes c JOIN plut l ON l.code = c.codes[l.m + 1]
+           |  WHERE c.vec_id <> l.query_id
+           |  GROUP BY l.query_id, c.vec_id
+           |)""".stripMargin): _*)(
+        s"""SELECT query_id, vec_id, adc_cosine, rank FROM (
+           |  SELECT query_id, vec_id, round(num / (qn * rn), 6) AS adc_cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY round(num / (qn * rn), 6) DESC, vec_id) AS rank
+           |  FROM pscored)
+           |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
     "md_metadata" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |  'text/plain' AS format, md5(text) AS checksum

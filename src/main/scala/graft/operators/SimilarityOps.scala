@@ -337,6 +337,121 @@ object SimilarityOps {
       .where(col("rank") <= TopK)
   }
 
+  // ---------------------------------------------------- product quantization
+
+  /** PQ geometry: 64-dim vectors split into [[PqM]] contiguous subspaces of
+    * [[PqSubDim]] dims, each quantized to one of [[PqKs]] trained codewords —
+    * a vector stores as [[PqM]] bytes (16× smaller than float32, 4× smaller
+    * than the int8 path). Real deployments use M=8..64, Ks=256; the toy
+    * sizes keep the oracle's unrolled Lloyd tractable while the plan shape
+    * is size-independent.
+    */
+  val PqM      = 8
+  val PqSubDim = 8 // 64 / PqM
+  val PqKs     = 16
+  val PqIters  = 2
+
+  /** Per-subspace PQ codebooks, trained with the SAME deterministic Lloyd
+    * machinery as the IVF index ([[assignTo]]/[[meanCentroids]] on sliced
+    * vectors): md5-seeded init, [[PqIters]] unrolled iterations, 5-dp float
+    * centroids. Tiny (M × Ks rows) — memoized like the other trained models.
+    */
+  def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derived(spark, sfDir, "pq_codebooks") {
+      (0 until PqM).map { m =>
+        val vm = vecsD(spark, sfDir).select(col("vec_id"),
+          slice(col("e"), m * PqSubDim + 1, PqSubDim).as("e"))
+        val init = vm.groupBy((col("vec_id") % PqKs).as("k"))
+          .agg(min_by(col("e"), md5(col("vec_id").cast("string"))).as("centroid"))
+        val trained = (1 to PqIters).foldLeft(init) { (c, _) =>
+          meanCentroids(assignTo(vm, c))
+        }
+        trained.select(lit(m).as("m"), col("k").as("code"), col("centroid"))
+      }.reduce(_ unionAll _)
+    }
+
+  /** Codebooks widened for scoring: double centroids + hoisted self-dots. */
+  private def pqCodebookD(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodebooks(spark, sfDir)
+      .select(col("m"), col("code"),
+        transform(col("centroid"), x => x.cast("double")).as("cd"))
+      .withColumn("cc", dotD(spark, col("cd"), col("cd")))
+
+  /** The PQ-encoded corpus: `(vec_id, codes tinyint[M], rn)` where `rn` is
+    * the reconstructed-vector norm (sqrt of the chosen codewords' summed
+    * self-dots — fold in subspace order, so it's deterministic). ONE corpus
+    * pass: explode to M subvectors, hoist each sub-self-dot once, broadcast
+    * the M×Ks codebook, per-(vector, subspace) argmin as a map-side
+    * combinable min(struct). Staged to parquet — at 100 TB this table IS
+    * the hot ANN index (bytes instead of floats), the whole point of PQ.
+    */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "pq_codes") {
+      val cb = broadcast(pqCodebookD(spark, sfDir))
+      vecsD(spark, sfDir)
+        .select(col("vec_id"), col("e"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+        .withColumn("sub", slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)))
+        .withColumn("ss", dotD(spark, col("sub"), col("sub")))
+        .join(cb, Seq("m"))
+        .select(col("vec_id"), col("m"), col("code"), col("cc"),
+          round(col("ss") + col("cc") - lit(2) * dotD(spark, col("sub"), col("cd")), 6)
+            .as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"), col("cc"))).as("mc"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("m"), col("mc")))).as("cs"))
+        .select(col("vec_id"),
+          transform(col("cs"), s => s.getField("mc").getField("code").cast("tinyint"))
+            .as("codes"),
+          round(sqrt(aggregate(col("cs"), lit(0.0),
+            (a, s) => a + s.getField("mc").getField("cc"))), 6).as("rn"))
+    }
+
+  /** ADC (asymmetric distance computation) top-k over the PQ index: per
+    * query build the M×Ks lookup table of subvector·codeword dots ONCE
+    * (queries × M × Ks rows — tiny), broadcast it, and score each corpus
+    * vector with M table lookups instead of a 64-dim dot product. The
+    * codes table never shuffles (broadcast LUT, narrow scan); the only
+    * exchange is the final per-query top-k window. Quantization and
+    * training are deterministic, so — like the int8 path — this has an
+    * EXACT oracle, not an approximate-recall claim (recall vs the float
+    * path is asserted separately in the spec).
+    */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = queryVecs(spark, sfDir).select(col("query_id"),
+      transform(col("q"), x => x.cast("double")).as("qd"))
+      .withColumn("qn", sqrt(dotD(spark, col("qd"), col("qd"))))
+    val lut = q.crossJoin(broadcast(pqCodebookD(spark, sfDir)))
+      .withColumn("sub", slice(col("qd"), col("m") * PqSubDim + 1, lit(PqSubDim)))
+      .select(col("query_id"), col("qn"),
+        (col("m") * PqKs + col("code")).as("idx"),
+        dotD(spark, col("sub"), col("cd")).as("dp"))
+      .groupBy(col("query_id"), col("qn"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("dp")))),
+        s => s.getField("dp")).as("lut"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+    pqCodes(spark, sfDir)
+      .crossJoin(broadcast(lut))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("num", aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+        (acc, m) => acc + element_at(col("lut"),
+          m * PqKs + element_at(col("codes"), m + 1).cast("int") + 1)))
+      .select(col("query_id"), col("vec_id"),
+        round(col("num") / (col("qn") * col("rn")), 6).as("adc_cosine"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= TopK)
+  }
+
+  /** [[pqCodes]] flattened to scalar columns for the driver compare (the
+    * oracle hashes column-name-sorted scalar values; arrays stay Spark-side).
+    */
+  def pqCodesFlat(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodes(spark, sfDir).select(
+      (col("vec_id") +: (0 until PqM).map(m =>
+        element_at(col("codes"), m + 1).cast("long").as(s"code$m"))) :+ col("rn"): _*)
+
   def kmeansPrunedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val probes = kmeansProbes(spark, sfDir)
     val probeKs = probes.select(col("k")).distinct()
