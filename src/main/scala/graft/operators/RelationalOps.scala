@@ -239,6 +239,51 @@ object RelationalOps {
           .as("first_orderkey"),
         min(col("o_orderdate")).as("first_orderdate"))
 
+  /** X-A: Q13-shaped customer-order distribution — how many customers placed
+    * exactly N orders (including N=0). Written scale-first: orders are
+    * pre-aggregated per customer BEFORE the join (one fact-table shuffle on
+    * o_custkey reduces the join input from |orders| to |customers| rows),
+    * then left-joined to customer so zero-order customers survive with
+    * count 0; the final histogram aggregation is tiny.
+    */
+  def orderCountHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** X-O: ntile quartiles of order value within each market segment —
+    * rank-bucket window with a total per-partition order (price, key
+    * tie-break) so bucket boundaries are deterministic cross-engine.
+    */
+  def orderQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** X-A: unpivot (melt) of [[segmentYearPivot]] back to long form — the
+    * `Dataset.unpivot` API surface. Null cells (year×segment combos with no
+    * orders) are dropped, so the round trip equals the direct two-key
+    * aggregation — which is exactly the oracle: pivot∘unpivot must be the
+    * identity on the underlying grouped data.
+    */
+  def segmentYearUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    segmentYearPivot(spark, sfDir)
+      .unpivot(Array(col("order_year")), Segments.map(col).toArray, "segment", "revenue")
+      .where(col("revenue").isNotNull)
+
   /** X-J anti: customers that never ordered, counted per segment. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

@@ -31,6 +31,9 @@ object RelationalPack extends QueryPack {
     "xa_extreme_orders" -> ((s, d) => RelationalOps.extremeOrdersPerSegment(s, d)),
     "xt_gapfill_hourly" -> ((s, d) => TimeSeriesOps.gapFillHourly(s, d)),
     "xo_sessionize" -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
+    "xa_q13_order_histogram" -> ((s, d) => RelationalOps.orderCountHistogram(s, d)),
+    "xo_ntile_quartiles" -> ((s, d) => RelationalOps.orderQuartiles(s, d)),
+    "xa_unpivot_segment_year" -> ((s, d) => RelationalOps.segmentYearUnpivot(s, d)),
     "xt_json_props" -> ((s, d) => RelationalOps.propsSummary(s, d)),
     "xt_monthly_orders" -> ((s, d) => RelationalOps.monthlyOrders(s, d)),
     "xt_ship_delay" -> ((s, d) => RelationalOps.shipDelay(s, d)),
@@ -205,6 +208,27 @@ object RelationalPack extends QueryPack {
         |  a.first_orderdate
         |FROM ranked a JOIN ranked b
         |  ON a.c_mktsegment = b.c_mktsegment AND a.rmax = 1 AND b.rmin = 1""".stripMargin,
+    "xa_q13_order_histogram" ->
+      """SELECT c_count, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "xo_ntile_quartiles" ->
+      s"""SELECT c_mktsegment, quartile, count(*) AS n,
+         |  ${msum("o_totalprice")} AS total, max(o_totalprice) AS max_price
+         |FROM (
+         |  SELECT c_mktsegment, o_totalprice,
+         |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+         |                        ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+         |      AS quartile
+         |  FROM orders JOIN customer ON c_custkey = o_custkey)
+         |GROUP BY c_mktsegment, quartile""".stripMargin,
+    "xa_unpivot_segment_year" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         |  c_mktsegment AS segment, ${msum("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON c_custkey = o_custkey
+         |GROUP BY 1, 2""".stripMargin,
     "xo_sessionize" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |flagged AS (

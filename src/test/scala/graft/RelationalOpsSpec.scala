@@ -122,6 +122,35 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("orderCountHistogram (Q13): zero-order customers counted, mass conserved") {
+    val rows = RelationalOps.orderCountHistogram(spark, Sf).collect()
+    val totalCustomers = rows.map(_.getAs[Long]("n_customers")).sum
+    assert(totalCustomers == Tables.customer(spark, Sf).count())
+    val totalOrders = rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("n_customers")).sum
+    assert(totalOrders == Tables.orders(spark, Sf).count())
+  }
+
+  test("orderQuartiles: 4 buckets per segment, sizes within 1, max monotone") {
+    val rows = RelationalOps.orderQuartiles(spark, Sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("quartile")).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      val sizes = g.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1) // ntile balance property
+      val maxes = g.sortBy(_.getAs[Long]("quartile")).map(_.getAs[Double]("max_price"))
+      assert(maxes.sameElements(maxes.sorted))
+    }
+  }
+
+  test("unpivot is the inverse of pivot: matches the direct two-key aggregation") {
+    val melted = RelationalOps.segmentYearUnpivot(spark, Sf)
+    val direct = Tables.orders(spark, Sf)
+      .join(Tables.customer(spark, Sf), col("c_custkey") === col("o_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"),
+        col("c_mktsegment").as("segment"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+    assert(melted.exceptAll(direct).count() == 0 && direct.exceptAll(melted).count() == 0)
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no full sort)") {
     assert(plan(RelationalOps.topOrders(spark, Sf, 10)).contains("TakeOrderedAndProject"))
   }
