@@ -117,6 +117,17 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
   }
 
+  /** Stream-static enrichment join: attach a static dimension (user →
+    * segment) to the event stream. The static side is broadcast into every
+    * micro-batch; stream-static inner joins are STATELESS by construction —
+    * no watermark, no state store, nothing to evict. At scale this is the
+    * pattern for decorating a firehose with slowly-changing dimensions
+    * without ever shuffling the stream side.
+    */
+  def streamingEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("segment"))
+
   /** Streaming exact dedup — the ingest-time form of
     * [[graft.operators.DedupOps.exactDedup]]: drop any row whose content
     * hash was already seen within the watermark horizon. State is one entry

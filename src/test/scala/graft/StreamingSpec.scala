@@ -8,6 +8,7 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, event_type: String)
 case class Doc(ts: Timestamp, text_hash: String)
 case class UserEv(event_id: Long, user_id: Long, ts: Timestamp)
+case class TypedEv(event_id: Long, user_id: Long, event_type: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -85,6 +86,28 @@ class StreamingSpec extends SparkSpec {
       assert(pairs == Set(
         (5L, "2024-01-01 09:50:00.0"),
         (5L, "2024-01-01 09:59:59.0")))
+    } finally q.stop()
+  }
+
+  test("stream-static enrich: broadcast dim decorates the stream, stateless") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "segment")
+    val stream = MemoryStream[TypedEv]
+    val q = StreamingOps.streamingEnrich(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        TypedEv(10L, 1L, "click"), TypedEv(11L, 2L, "error"),
+        TypedEv(12L, 3L, "click") /* no dim row => dropped by inner join */))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test").collect()
+        .map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(got == Set((10L, "GOLD"), (11L, "SILVER")))
+      // stateless: no aggregation/join state rows tracked for this query
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
 
