@@ -398,6 +398,33 @@ object RelationalOps {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count("*").as("n"), moneySum(col("l_quantity")).as("sum_qty"))
 
+  /** X-A: full cube over (returnflag, linestatus) — all four grouping-set
+    * levels (detail, two marginals, grand total) in ONE pass: Spark expands
+    * the cube inside the aggregate, not as four scans.
+    */
+  def returnsCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+
+  /** X-A: explicit GROUPING SETS with `grouping()` indicator columns — the
+    * SQL surface for ad-hoc set lists (cube/rollup are just sugar over
+    * this). The grouping flags disambiguate "NULL because aggregated away"
+    * from a genuine NULL key — required by any BI layer on top.
+    */
+  def shipGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+         |                        (l_returnflag, l_linestatus))""".stripMargin)
+  }
+
   /** X-A: HLL sketch sanity — approx_count_distinct vs exact, asserted
     * within 10% (the approx value itself is engine-specific; the invariant
     * is portable).

@@ -24,6 +24,8 @@ object RelationalPack extends QueryPack {
     "xo_intersect_repeat" -> ((s, d) => RelationalOps.repeatCustomers(s, d)),
     "xo_except_churned" -> ((s, d) => RelationalOps.churnedCustomers(s, d)),
     "xa_rollup_returns" -> ((s, d) => RelationalOps.returnsRollup(s, d)),
+    "xa_cube_returns" -> ((s, d) => RelationalOps.returnsCube(s, d)),
+    "xa_grouping_sets" -> ((s, d) => RelationalOps.shipGroupingSets(s, d)),
     "xa_approx_distinct" -> ((s, d) => RelationalOps.approxDistinctOrders(s, d)),
     "xf_q19_disjunctive" -> ((s, d) => RelationalOps.brandTierRevenue(s, d)),
     "xj_q22_idle_rich" -> ((s, d) => RelationalOps.idleRichCustomers(s, d)),
@@ -158,6 +160,18 @@ object RelationalPack extends QueryPack {
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${msum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "xa_cube_returns" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${msum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "xa_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+         |  count(*) AS n, ${msum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+         |                        (l_returnflag, l_linestatus))""".stripMargin,
     "xa_approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
         |  TRUE AS approx_within_10pct FROM lineitem""".stripMargin,

@@ -188,6 +188,21 @@ class RelationalOpsSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, Sf).count())
   }
 
+  test("cube adds the marginals rollup lacks; grouping flags disambiguate NULLs") {
+    val cube = RelationalOps.returnsCube(spark, Sf).collect()
+    val rollup = RelationalOps.returnsRollup(spark, Sf).collect()
+    // cube ⊃ rollup: extra rows are exactly the (NULL, linestatus) marginals
+    val statuses = Tables.lineitem(spark, Sf)
+      .select("l_linestatus").distinct().count()
+    assert(cube.length == rollup.length + statuses)
+    val gs = RelationalOps.shipGroupingSets(spark, Sf).collect()
+    gs.foreach { r =>
+      // a grouped-away column is NULL exactly when its grouping flag is 1
+      assert((r.getAs[Long]("g_flag") == 1L) == r.isNullAt(0))
+      assert((r.getAs[Long]("g_status") == 1L) == r.isNullAt(1))
+    }
+  }
+
   test("approx distinct within its band") {
     val r = RelationalOps.approxDistinctOrders(spark, Sf).collect().head
     assert(r.getAs[Boolean]("approx_within_10pct"))
