@@ -239,6 +239,40 @@ object RelationalOps {
           .as("first_orderkey"),
         min(col("o_orderdate")).as("first_orderdate"))
 
+  /** X-A: Q14-shaped promo revenue share — conditional aggregate over a
+    * broadcast part join: one fact scan, one agg, and a ratio of two exact
+    * decimal sums (cast to double only for the final division, so both
+    * engines divide the same two values).
+    */
+  def promoRevenueShare(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", revenueExpr)).cast("double")
+          / sum(revenueExpr).cast("double")).as("promo_share"),
+        count(lit(1)).as("n_items"))
+
+  /** X-A: Q17-shaped small-quantity-order revenue — each lineitem compared
+    * to ITS part's average quantity. The correlated scalar subquery of the
+    * SQL formulation is a per-partition window here: one shuffle on
+    * l_partkey computes the threshold and filters in the same pass — no
+    * self-join, no second scan of the fact table.
+    */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty",
+        sum(dec(col("l_quantity"))).over(w).cast("double") / count(lit(1)).over(w))
+      .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(moneySum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** X-A: Q13-shaped customer-order distribution — how many customers placed
     * exactly N orders (including N=0). Written scale-first: orders are
     * pre-aggregated per customer BEFORE the join (one fact-table shuffle on

@@ -34,6 +34,8 @@ object RelationalPack extends QueryPack {
     "xt_gapfill_hourly" -> ((s, d) => TimeSeriesOps.gapFillHourly(s, d)),
     "xo_sessionize" -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
     "xa_q13_order_histogram" -> ((s, d) => RelationalOps.orderCountHistogram(s, d)),
+    "xa_q14_promo_share" -> ((s, d) => RelationalOps.promoRevenueShare(s, d)),
+    "xa_q17_small_orders" -> ((s, d) => RelationalOps.smallQuantityRevenue(s, d)),
     "xo_ntile_quartiles" -> ((s, d) => RelationalOps.orderQuartiles(s, d)),
     "xa_unpivot_segment_year" -> ((s, d) => RelationalOps.segmentYearUnpivot(s, d)),
     "xt_json_props" -> ((s, d) => RelationalOps.propsSummary(s, d)),
@@ -222,6 +224,22 @@ object RelationalPack extends QueryPack {
         |  a.first_orderdate
         |FROM ranked a JOIN ranked b
         |  ON a.c_mktsegment = b.c_mktsegment AND a.rmax = 1 AND b.rmin = 1""".stripMargin,
+    "xa_q14_promo_share" ->
+      s"""SELECT CAST(100.0 * CAST(sum($rev) FILTER (WHERE p_type = 'PROMO') AS DOUBLE)
+         |       / CAST(sum($rev) AS DOUBLE) AS DOUBLE) AS promo_share,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin,
+    "xa_q17_small_orders" ->
+      s"""SELECT ${msum("l_extendedprice")} AS total_price, count(*) AS n_items
+         |FROM (
+         |  SELECT l_quantity, l_extendedprice,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+         |           OVER (PARTITION BY l_partkey) AS DOUBLE)
+         |      / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+         |  FROM lineitem)
+         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
     "xa_q13_order_histogram" ->
       """SELECT c_count, count(*) AS n_customers FROM (
         |  SELECT c_custkey, count(o_custkey) AS c_count

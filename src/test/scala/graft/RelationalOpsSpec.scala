@@ -122,6 +122,27 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("promoRevenueShare (Q14): share in (0,100), counts match the window join") {
+    val r = RelationalOps.promoRevenueShare(spark, Sf).collect().head
+    val share = r.getAs[Double]("promo_share")
+    assert(share > 0 && share < 100)
+    val expect = Tables.lineitem(spark, Sf)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp")).count()
+    assert(r.getAs[Long]("n_items") == expect)
+  }
+
+  test("smallQuantityRevenue (Q17): single shuffle, rows below their part's threshold") {
+    val df = RelationalOps.smallQuantityRevenue(spark, Sf)
+    val shuffles = df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    // window shuffle on l_partkey + final single-row aggregate exchange
+    assert(shuffles <= 2, s"Q17 plans $shuffles shuffles")
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_items") > 0)
+    assert(r.getAs[Double]("total_price") > 0)
+  }
+
   test("orderCountHistogram (Q13): zero-order customers counted, mass conserved") {
     val rows = RelationalOps.orderCountHistogram(spark, Sf).collect()
     val totalCustomers = rows.map(_.getAs[Long]("n_customers")).sum
