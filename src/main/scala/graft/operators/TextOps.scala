@@ -282,6 +282,24 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("keep_pct"))
   }
 
+  /** The training-data SINK: write the packed corpus ([[sequencePacking]])
+    * as hive-partitioned parquet, one directory per shard, rows sorted by
+    * (seq_id, start_offset) WITHIN each file. This is the layout a
+    * pretraining loader consumes: shard directories map to data-parallel
+    * ranks, and the intra-file sort means a sequential read replays
+    * sequences in order — no loader-side shuffle. `repartition(shard)` +
+    * `sortWithinPartitions` is the scale-correct recipe: one exchange, a
+    * per-partition sort (never global), and partition count = shard count
+    * regardless of corpus size.
+    */
+  def writeTrainingShards(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    sequencePacking(spark, sfDir)
+      .repartition(PackShards, col("shard"))
+      .sortWithinPartitions(col("seq_id"), col("start_offset"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+
   /** Document fingerprinting: winnowing-style representative shingle — the
     * minimum-hash shingle of each document (rolling-hash family; the h24
     * hash plays the rolling polynomial's role, portable to the oracle).

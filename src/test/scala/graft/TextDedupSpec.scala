@@ -189,6 +189,34 @@ class TextDedupSpec extends SparkSpec {
     assert(mix.exceptAll(again).count() == 0 && again.exceptAll(mix).count() == 0)
   }
 
+  test("writeTrainingShards: one dir per shard, rows sorted within files, nothing lost") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      TextOps.writeTrainingShards(spark, Sf, out)
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs.length == TextOps.PackShards)
+      val back = spark.read.parquet(out)
+      assert(back.count() == Tables.documents(spark, Sf).count())
+      // intra-file ordering: within every parquet file, (seq_id, start_offset)
+      // must be non-decreasing in row order
+      import org.apache.spark.sql.functions.{col, input_file_name, spark_partition_id}
+      val files = back
+        .select(input_file_name().as("f"), col("seq_id"), col("start_offset"))
+        .collect().groupBy(_.getString(0))
+      files.values.foreach { rows =>
+        val keys = rows.map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("start_offset")))
+        assert(keys.sameElements(keys.sortBy(identity)),
+          "rows within a shard file are not sorted")
+      }
+    } finally {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(): Unit
+      }
+      rec(new java.io.File(out))
+    }
+  }
+
   test("simhash neighbors: banding is exact for Hamming <= 3") {
     import spark.implicits._
     val sigs = DedupOps.simhash(spark, Sf).collect()
