@@ -482,6 +482,23 @@ object RelationalOps {
       .agg(count("*").as("n"), sum(col("k")).as("sum_k"),
         (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
 
+  /** X-T maps: per-user event stats routed through a MapType column —
+    * `map_from_entries` builds (event_type → count) per user, `element_at`
+    * probes it, `aggregate(map_values)` folds it. The map exists only
+    * inside the plan (outputs are scalars) so the oracle stays portable;
+    * the point is the map-function surface over a single two-level
+    * aggregation, no joins.
+    */
+  def clickStatsViaMap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"))
+
   /** X-T dates: monthly order volume — date_trunc + decimal-exact sums. */
   def monthlyOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

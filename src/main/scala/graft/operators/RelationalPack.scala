@@ -40,6 +40,7 @@ object RelationalPack extends QueryPack {
     "xa_unpivot_segment_year" -> ((s, d) => RelationalOps.segmentYearUnpivot(s, d)),
     "xt_json_props" -> ((s, d) => RelationalOps.propsSummary(s, d)),
     "xt_monthly_orders" -> ((s, d) => RelationalOps.monthlyOrders(s, d)),
+    "xt_map_click_stats" -> ((s, d) => RelationalOps.clickStatsViaMap(s, d)),
     "xt_ship_delay" -> ((s, d) => RelationalOps.shipDelay(s, d)),
   )
 
@@ -308,6 +309,12 @@ object RelationalPack extends QueryPack {
         |        CAST(NULLIF(regexp_extract(props, '"k": (-?[0-9]+)', 1), '') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
+    "xt_map_click_stats" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        |  count(*) FILTER (WHERE event_type = 'error') AS errors,
+        |  count(*) AS total
+        |FROM events GROUP BY user_id""".stripMargin,
     "xt_monthly_orders" ->
       s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
          |  count(*) AS n_orders, ${msum("o_totalprice")} AS total
