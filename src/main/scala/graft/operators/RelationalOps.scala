@@ -398,6 +398,19 @@ object RelationalOps {
         sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
   }
 
+  /** X-O custom operator: per-customer top-k through the library's own
+    * Catalyst physical operator ([[graft.plans.TopKPerKeyExec]] — bounded
+    * per-key heaps, ONE exchange, NO sort) instead of the
+    * `row_number().over(window)` form, which sorts every customer's full
+    * order set. Same rows as [[topOrdersPerCustomer]] minus the rank column;
+    * the spec asserts plan shape + equality, the oracle is the window SQL.
+    */
+  def topOrdersPerCustomerCustom(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      k, Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true))
+
   /** X-O top-k: global top-10 orders — Spark plans TakeOrderedAndProject
     * (per-partition heaps, no full sort).
     */

@@ -19,6 +19,7 @@ object RelationalPack extends QueryPack {
     "xj_asof_last_signup" -> ((s, d) => RelationalOps.asOfLastSignup(s, d)),
     "xj_interval_clicks" -> ((s, d) => RelationalOps.clicksBeforeError(s, d)),
     "xo_topk_per_customer" -> ((s, d) => RelationalOps.topOrdersPerCustomer(s, d, 2)),
+    "xo_topk_custom_op" -> ((s, d) => RelationalOps.topOrdersPerCustomerCustom(s, d, 2)),
     "xo_running_total" -> ((s, d) => RelationalOps.runningOrderTotal(s, d)),
     "xo_global_topk" -> ((s, d) => RelationalOps.topOrders(s, d, 10)),
     "xo_intersect_repeat" -> ((s, d) => RelationalOps.repeatCustomers(s, d)),
@@ -126,6 +127,13 @@ object RelationalPack extends QueryPack {
         |            RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING) AS n_recent_clicks
         |  FROM events)
         |WHERE event_type = 'error'""".stripMargin,
+    "xo_topk_custom_op" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2""".stripMargin,
     "xo_topk_per_customer" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

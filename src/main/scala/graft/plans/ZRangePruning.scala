@@ -139,6 +139,8 @@ object ZRangePruning extends Rule[LogicalPlan] {
   * so the extension is purely a scan-pruning accelerator.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ZRangePruning)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

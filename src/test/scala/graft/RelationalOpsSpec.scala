@@ -172,6 +172,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(melted.exceptAll(direct).count() == 0 && direct.exceptAll(melted).count() == 0)
   }
 
+  test("custom TopKPerKey operator: plans heap exec with no sort, equals the window form") {
+    val df = RelationalOps.topOrdersPerCustomerCustom(spark, Sf, 2)
+    val p = plan(df)
+    assert(p.contains("TopKPerKey"), s"custom exec missing from plan:\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      "custom top-k must not plan a window or a sort")
+    // one clustering exchange, nothing else
+    val shuffles = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = RelationalOps.topOrdersPerCustomer(spark, Sf, 2).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice"))).toSet
+    assert(got == expect)
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no full sort)") {
     assert(plan(RelationalOps.topOrders(spark, Sf, 10)).contains("TakeOrderedAndProject"))
   }
