@@ -26,6 +26,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * keys (ONE exchange, same as the window form) — after which every key's
   * rows are co-located and the heap pass is embarrassingly parallel. The
   * operator never asks for a sort.
+  *
+  * Measured trade-off (sf0.1, ~150k orders, ~10 rows/key, k=2): the
+  * codegen'd window form wins (~0.7 s vs ~1.2 s) — this exec runs an
+  * interpreted row-at-a-time pipeline (per-row key projection + hash
+  * lookup), while tiny per-key sorts are cheap. The crossover is where
+  * per-key row sets grow enough that the window's full-partition sort
+  * buffers/spills; below it, prefer the window form. Kept as the library's
+  * reference implementation of the whole-operator extension path.
   */
 case class TopKPerKeyNode(
     k: Int,
