@@ -128,6 +128,24 @@ object StreamingOps {
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("segment"))
 
+  /** `foreachBatch` sink: land each micro-batch as an append to a parquet
+    * dir, stamped with its batch id. This is the general-purpose escape
+    * hatch for sinks Structured Streaming lacks natively (JDBC upserts,
+    * multi-table writes) — the batch handle is a full DataFrame, so any
+    * batch op (dedup against the target, merge keys, repartition by
+    * layout) runs per micro-batch with exactly-once effects deriving from
+    * the checkpointed batch id (idempotent overwrite-by-batch at scale;
+    * plain append here).
+    */
+  def foreachBatchParquetSink(stream: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Streaming exact dedup — the ingest-time form of
     * [[graft.operators.DedupOps.exactDedup]]: drop any row whose content
     * hash was already seen within the watermark horizon. State is one entry

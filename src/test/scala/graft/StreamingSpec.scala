@@ -111,6 +111,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: micro-batch parquet appends reassemble the stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch_").toString
+    val stream = MemoryStream[TypedEv]
+    val q = StreamingOps.foreachBatchParquetSink(stream.toDF(), out)
+    try {
+      stream.addData(TypedEv(1L, 1L, "click"), TypedEv(2L, 1L, "error"))
+      q.processAllAvailable()
+      stream.addData(TypedEv(3L, 2L, "click"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      // batch provenance is preserved: two distinct micro-batches landed
+      assert(back.select("batch_id").distinct().count() == 2)
+      assert(back.where(col("batch_id") === 1L).count() == 1)
+    } finally {
+      q.stop()
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(): Unit
+      }
+      rec(new java.io.File(out))
+    }
+  }
+
   test("streamingDedup drops repeated hashes within the watermark horizon") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
