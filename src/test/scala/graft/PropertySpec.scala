@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{VectorExpressions, ZCurveExpressions}
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks over the library's codegen'd expressions —
+  * randomized inputs (fixed seed: reproducible), each property exercised
+  * through the full Spark pipeline (expression → codegen → result), with a
+  * driver-side reference computation as the oracle.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val r = g.doPureApply(Gen.Parameters.default, s)
+      (r.seed, r.retrieve)
+    }.drop(1).flatMap(_._2).take(n).toSeq
+
+  test("VecDot equals a driver-side fold for random float vectors") {
+    import spark.implicits._
+    val gen = Gen.listOfN(64, Gen.chooseNum(-10.0f, 10.0f))
+    val vecs = samples(gen, 200, seed = 7L).map(_.toArray)
+    val pairs = vecs.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val df = pairs.toDF("a", "b")
+    val got = df.select(VectorExpressions.vecDot(spark, "a", "b").as("d"))
+      .collect().map(_.getDouble(0))
+    val expect = pairs.map { case (a, b) =>
+      // same sequential fold order as the expression
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    got.zip(expect).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
+  test("Z2 encode: bijective on the grid and monotone in each coordinate") {
+    import spark.implicits._
+    val coord = Gen.chooseNum(0, 65535)
+    val pts = samples(Gen.zip(coord, coord), 500, seed = 11L).distinct
+    val df = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZCurveExpressions.z2(spark, "x", "y").as("z"))
+    val rows = df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    // injectivity: distinct points -> distinct keys
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // monotonicity (the ZRangePruning soundness argument): growing either
+    // coordinate never decreases the key when the other is fixed
+    def zOf(x: Int, y: Int): Long = {
+      var z = 0L; var i = 0
+      while (i < 16) {
+        z |= ((x.toLong >> i) & 1L) << (2 * i)
+        z |= ((y.toLong >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    rows.foreach { case ((x, y), z) =>
+      assert(z == zOf(x, y)) // codegen path == reference bit-interleave
+      if (x < 65535) assert(zOf(x + 1, y) > z)
+      if (y < 65535) assert(zOf(x, y + 1) > z)
+    }
+  }
+
+  test("corpus PQ codes: every vector's reconstructed norm is within the corpus envelope") {
+    // rn = sqrt(sum of chosen codeword self-dots): positive, and bounded by
+    // the max vector norm times a slack factor (codewords are means of
+    // corpus subvectors, so their norms cannot exceed the corpus envelope)
+    val maxNorm = math.sqrt(
+      Tables.embeddings(spark, Sf)
+        .select(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x).as("nn"))
+        .agg(max("nn")).collect().head.getDouble(0))
+    val bad = SimilarityOps.pqCodes(spark, Sf)
+      .where(col("rn") <= 0 || col("rn") > maxNorm * 1.001).count()
+    assert(bad == 0)
+  }
+}
