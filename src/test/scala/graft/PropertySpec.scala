@@ -63,6 +63,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Z3 encode: bijective on the grid and monotone in each of x/y/t") {
+    import spark.implicits._
+    val coord = Gen.chooseNum(0, 1023) // 10-bit coords
+    val pts = samples(Gen.zip(coord, coord, coord), 500, seed = 13L).distinct
+    val df = pts.toDF("x", "y", "t")
+      .select(col("x"), col("y"), col("t"),
+        ZCurveExpressions.z3(spark, "x", "y", "t").as("z"))
+    val rows = df.collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    assert(rows.map(_._2).distinct.length == rows.length)
+    def zOf(x: Int, y: Int, t: Int): Long = {
+      var z = 0L; var i = 0
+      while (i < 10) {
+        z |= ((x.toLong >> i) & 1L) << (3 * i)
+        z |= ((y.toLong >> i) & 1L) << (3 * i + 1)
+        z |= ((t.toLong >> i) & 1L) << (3 * i + 2)
+        i += 1
+      }
+      z
+    }
+    rows.foreach { case ((x, y, t), z) =>
+      assert(z == zOf(x, y, t))
+      if (x < 1023) assert(zOf(x + 1, y, t) > z)
+      if (y < 1023) assert(zOf(x, y + 1, t) > z)
+      if (t < 1023) assert(zOf(x, y, t + 1) > z)
+    }
+  }
+
   test("corpus PQ codes: every vector's reconstructed norm is within the corpus envelope") {
     // rn = sqrt(sum of chosen codeword self-dots): positive, and bounded by
     // the max vector norm times a slack factor (codewords are means of
