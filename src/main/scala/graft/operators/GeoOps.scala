@@ -108,6 +108,30 @@ object GeoOps {
     Tables.derivedBig(spark, sfDir, "z2_layout")(
       z2Keys(spark, sfDir).sortWithinPartitions(col("z2")))
 
+  /** X-G geodesic math: per-user great-circle path length — haversine
+    * distance between each user's consecutive points (lag window on event
+    * time), summed per user. All trig is codegen'd built-ins; Spark and
+    * DuckDB libm results agree to ~1 ulp, far inside the oracle compare's
+    * 9 significant digits. One shuffle on user_id (window + final agg
+    * share the partitioning).
+    */
+  def userPathLength(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val R = 6371.0088 // mean Earth radius, km
+    withCoords(spark, sfDir)
+      .withColumn("plon", lag(col("lon"), 1).over(w))
+      .withColumn("plat", lag(col("lat"), 1).over(w))
+      .where(col("plon").isNotNull)
+      .withColumn("hav",
+        pow(sin(radians(col("lat") - col("plat")) / 2), 2) +
+          cos(radians(col("plat"))) * cos(radians(col("lat"))) *
+            pow(sin(radians(col("lon") - col("plon")) / 2), 2))
+      .withColumn("seg_km", lit(2 * R) * asin(sqrt(col("hav"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("seg_km")).as("path_km"))
+  }
+
   /** Exact bbox filter — the refine step of a geo query. */
   def bboxFilter(spark: SparkSession, sfDir: String,
                  lonMin: Int, lonMax: Int, latMin: Int, latMax: Int): DataFrame =

@@ -13,6 +13,7 @@ object GeoPack extends QueryPack {
     "geo_z2_keys" -> ((s, d) => GeoOps.z2Keys(s, d)),
     "geo_z3_keys" -> ((s, d) => GeoOps.z3Keys(s, d)),
     "geo_bbox_filter" -> ((s, d) => GeoOps.bboxFilter(s, d, -60, 0, -30, 30)),
+    "geo_path_length" -> ((s, d) => GeoOps.userPathLength(s, d)),
     "geo_z2_range_scan" -> ((s, d) => GeoOps.z2RangeScan(s, d)),
     // written as a plain bbox predicate over the stored z2-keyed layout —
     // the ZRangePruning optimizer rule injects the z2 range (session
@@ -77,6 +78,24 @@ object GeoPack extends QueryPack {
          |SELECT event_id, x10, y10, t10,
          |  CAST(${z3Sql("x10", "y10", "t10")} AS BIGINT) AS z3
          |FROM z3c""".stripMargin,
+    "geo_path_length" ->
+      s"""WITH $coordsCte,
+         |lagged AS (
+         |  SELECT user_id, lon, lat,
+         |    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+         |  FROM coords
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |),
+         |segs AS (
+         |  SELECT user_id,
+         |    2 * 6371.0088 * asin(sqrt(
+         |      pow(sin(radians(lat - plat) / 2), 2) +
+         |      cos(radians(plat)) * cos(radians(lat)) *
+         |        pow(sin(radians(lon - plon) / 2), 2))) AS seg_km
+         |  FROM lagged WHERE plon IS NOT NULL
+         |)
+         |SELECT user_id, count(*) AS n_segments, sum(seg_km) AS path_km
+         |FROM segs GROUP BY user_id""".stripMargin,
     "geo_bbox_filter" ->
       s"""WITH $coordsCte
          |SELECT event_id, lon, lat FROM coords

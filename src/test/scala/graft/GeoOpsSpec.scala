@@ -133,4 +133,18 @@ class GeoOpsSpec extends SparkSpec {
     val z2 = GeoOps.zMorton(1001, 2000)
     assert((z1 >> 20) == (z2 >> 20))
   }
+
+  test("userPathLength: non-negative, bounded by half circumference per hop, n-1 segments") {
+    val rows = GeoOps.userPathLength(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val perUser = Tables.events(spark, Sf).groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_segments")
+      assert(n == perUser(r.getLong(0)) - 1)
+      val km = r.getAs[Double]("path_km")
+      // each hop is a great-circle distance: 0 <= hop <= half circumference
+      assert(km >= 0 && km <= n * math.Pi * 6371.0088)
+    }
+  }
 }
