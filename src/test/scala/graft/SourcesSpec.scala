@@ -67,6 +67,36 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.orc(s"$dir/region_orc").count() == 5)
   }
 
+  test("X-S: binaryFile source reads opaque payloads with path/length metadata") {
+    // the ingestion format a real multimodal corpus lands in: one file per
+    // asset, read as (path, modificationTime, length, content binary) —
+    // the schema MediaOps' payload tables model downstream
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin_")
+    try {
+      val payloads = Seq("img_0" -> Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3),
+        "img_1" -> Array[Byte](0x50, 0x4e, 0x47, 9), "img_2" -> Array[Byte](7))
+      payloads.foreach { case (name, bytes) =>
+        java.nio.file.Files.write(dir.resolve(name + ".bin"), bytes)
+      }
+      val df = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(dir.toString)
+      assert(df.columns.toSet ==
+        Set("path", "modificationTime", "length", "content"))
+      val got = df.collect().map { r =>
+        val name = r.getAs[String]("path").split("/").last.stripSuffix(".bin")
+        name -> (r.getAs[Long]("length"), r.getAs[Array[Byte]]("content").toSeq)
+      }.toMap
+      payloads.foreach { case (name, bytes) =>
+        assert(got(name) == (bytes.length.toLong, bytes.toSeq))
+      }
+    } finally {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(): Unit
+      }
+      rec(dir.toFile)
+    }
+  }
+
   test("fan-out feeds the parse pipeline end-to-end (EP3 shape)") {
     import spark.implicits._
     val nodes = Tables.registry(spark, Sf).as[NodeInfo]
