@@ -512,6 +512,120 @@ object RelationalOps {
         coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"),
         aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"))
 
+  /** X-J: Q21-shaped "sole late supplier" — suppliers who were the ONLY late
+    * shipper on a finished multi-supplier order. The textbook SQL is lineitem
+    * self-joined twice (EXISTS another supplier / NOT EXISTS another late
+    * supplier); both correlated subqueries decorrelate into ONE aggregation:
+    * per (order, supplier) a late flag, then per order a window counting
+    * suppliers and late suppliers — the qualifying row is late ∧ n_supp ≥ 2
+    * ∧ n_late = 1. lineitem is shuffled once on the order key (the join with
+    * orders reuses that partitioning), the per-(order,supplier) reduction
+    * shrinks the window input ~|lineitem|/|order×supp| fold, and supplier is
+    * broadcast — versus three fact-table shuffles for the self-join form.
+    * "Late" = shipped > `lateDays` after the order date (this corpus carries
+    * no commit/receipt dates).
+    */
+  def soleLateSuppliers(spark: SparkSession, sfDir: String, lateDays: Int = 90): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val flags = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays, 1)
+        .otherwise(0)).as("any_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    flags
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("any_late")).over(w))
+      .where(col("any_late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** X-A: Q16-shaped supplier variety — distinct suppliers per (brand, size),
+    * from the distinct (part, supplier) pairs lineitem witnesses (this corpus
+    * has no partsupp table; lineitem IS the association), excluding one brand
+    * and "complaint" suppliers (negative balance here). Scale shape: the pair
+    * distinct is the one fact shuffle; part and the tiny exclusion set are
+    * broadcast — the anti-join costs nothing. countDistinct over the already-
+    * distinct pairs adds no extra exchange (partial distinct is a no-op).
+    */
+  def supplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val complained = Tables.supplier(spark, sfDir)
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** X-J: Q2-shaped cheapest supplier per part — the correlated MIN subquery
+    * ("the supplier matching the minimum cost for that part") decorrelated
+    * into a per-part window: unit price per (part, supplier) in one
+    * aggregation, then `row_number` ordered by (price, supplier key) picks
+    * the winner with a deterministic tie-break. No self-join against the
+    * aggregated min, no second fact scan. The price is a ratio of two exact
+    * decimal sums cast to double — both engines divide the same operands, so
+    * ordering and the output value are engine-portable.
+    */
+  def cheapestSupplierPerPart(spark: SparkSession, sfDir: String, maxSize: Int = 5): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_size") <= maxSize).select(col("p_partkey"))
+    val unit = Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") /
+        sum(dec(col("l_quantity"))).cast("double")).as("unit_price"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("unit_price"), col("l_suppkey"))
+    unit
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("part_key"), col("l_suppkey").as("supp_key"),
+        col("s_name"), col("unit_price"))
+  }
+
+  /** X-A sketch: exact heavy hitters through a Misra–Gries candidate pass —
+    * suppliers carrying more than 1/`denom` of all lineitems. Two phases:
+    * (1) ONE scan folds every partition into a ≤`capacity`-counter
+    * [[graft.functions.FrequencyAgg]] sketch (map-side combined; the shuffle
+    * carries kilobytes, never the key universe) alongside the row total;
+    * (2) the exact confirm pass re-counts ONLY candidate keys — the
+    * broadcast join prunes the aggregation's input to rows whose key might
+    * qualify. Because capacity ≥ denom, the MG bound (error ≤ n/(capacity+1))
+    * makes the candidate set a guaranteed superset of the true heavy
+    * hitters, so the confirmed result is exactly the naive
+    * groupBy-HAVING answer — which is the oracle. At 100 TB phase 2's
+    * shuffle is |candidates| ≤ capacity counters instead of every key.
+    */
+  def heavyHitterSuppliers(spark: SparkSession, sfDir: String,
+                           capacity: Int = 512, denom: Int = 100): DataFrame = {
+    require(capacity >= denom, "MG guarantee needs capacity >= denom")
+    val mg = udaf(new graft.functions.FrequencyAgg(capacity))
+    val li = Tables.lineitem(spark, sfDir).select(col("l_suppkey"))
+    val sketch = li.agg(mg(col("l_suppkey")).as("cands"), count(lit(1)).as("n_total"))
+    val cands = sketch.select(explode(col("cands")).as("l_suppkey"), col("n_total"))
+    li.join(broadcast(cands), Seq("l_suppkey"))
+      .groupBy(col("l_suppkey"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt").cast("double") > col("n_total").cast("double") / denom)
+      .select(col("l_suppkey"), col("cnt"))
+  }
+
   /** X-T dates: monthly order volume — date_trunc + decimal-exact sums. */
   def monthlyOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

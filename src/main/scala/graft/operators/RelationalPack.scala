@@ -43,6 +43,10 @@ object RelationalPack extends QueryPack {
     "xt_monthly_orders" -> ((s, d) => RelationalOps.monthlyOrders(s, d)),
     "xt_map_click_stats" -> ((s, d) => RelationalOps.clickStatsViaMap(s, d)),
     "xt_ship_delay" -> ((s, d) => RelationalOps.shipDelay(s, d)),
+    "xj_q21_sole_late_supplier" -> ((s, d) => RelationalOps.soleLateSuppliers(s, d)),
+    "xa_q16_supplier_variety" -> ((s, d) => RelationalOps.supplierVariety(s, d)),
+    "xj_q2_cheapest_supplier" -> ((s, d) => RelationalOps.cheapestSupplierPerPart(s, d)),
+    "xa_heavy_hitters" -> ((s, d) => RelationalOps.heavyHitterSuppliers(s, d)),
   )
 
   private val rev =
@@ -333,5 +337,49 @@ object RelationalPack extends QueryPack {
         |  CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / count(*) AS avg_delay_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "xj_q21_sole_late_supplier" ->
+      """WITH flags AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+        |             THEN 1 ELSE 0 END) AS any_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |stats AS (
+        |  SELECT l_orderkey, count(*) AS n_supp, sum(any_late) AS n_late
+        |  FROM flags GROUP BY l_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM flags
+        |JOIN stats USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE any_late = 1 AND n_supp >= 2 AND n_late = 1
+        |GROUP BY s_name""".stripMargin,
+    "xa_q16_supplier_variety" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "xj_q2_cheapest_supplier" ->
+      """SELECT part_key, supp_key, s_name, unit_price FROM (
+        |  SELECT l_partkey AS part_key, l_suppkey AS supp_key,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) /
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS unit_price,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY
+        |      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) /
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE),
+        |      l_suppkey) AS rn
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 5
+        |  GROUP BY l_partkey, l_suppkey) ranked
+        |JOIN supplier ON supp_key = s_suppkey
+        |WHERE rn = 1""".stripMargin,
+    "xa_heavy_hitters" ->
+      """SELECT l_suppkey, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING CAST(count(*) AS DOUBLE) >
+        |  (SELECT count(*) FROM lineitem) / 100.0""".stripMargin,
   )
 }

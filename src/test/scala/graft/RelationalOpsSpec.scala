@@ -246,4 +246,97 @@ class RelationalOpsSpec extends SparkSpec {
     val r = RelationalOps.approxDistinctOrders(spark, Sf).collect().head
     assert(r.getAs[Boolean]("approx_within_10pct"))
   }
+
+  test("soleLateSuppliers (Q21 shape): window decorrelation equals the self-join form") {
+    import spark.implicits._
+    val got = RelationalOps.soleLateSuppliers(spark, Sf)
+      .as[(String, Long)].collect().toMap
+    // reference semantics via the textbook EXISTS / NOT EXISTS self-joins
+    val ord = Tables.orders(spark, Sf).where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+    val l1 = li.where(col("late"))
+      .select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1")).distinct()
+    val other = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")).distinct()
+    val otherLate = li.where(col("late"))
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")).distinct()
+    val expect = l1
+      .join(other, col("k1") === col("k2") && col("s1") =!= col("s2"), "left_semi")
+      .join(otherLate, col("k1") === col("k3") && col("s1") =!= col("s3"), "left_anti")
+      .join(Tables.supplier(spark, Sf), col("s1") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .as[(String, Long)].collect().toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("cheapestSupplierPerPart (Q2 shape): one winner per part, the true minimum") {
+    val rows = RelationalOps.cheapestSupplierPerPart(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length) // one per part
+    // spot-check a part: the winner's price is the min over its suppliers
+    val partKey = rows.head.getLong(0)
+    val unit = Tables.lineitem(spark, Sf)
+      .where(col("l_partkey") === partKey)
+      .groupBy(col("l_suppkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") /
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")).as("up"))
+      .agg(min(col("up"))).collect().head.getDouble(0)
+    assert(math.abs(rows.head.getAs[Double]("unit_price") - unit) < 1e-9)
+  }
+
+  test("FrequencyAgg: merged sketch candidates are a superset of true heavy hitters") {
+    // skewed synthetic stream over 1000 keys: a few dominate, long tail below
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 20000).map { _ =>
+      val r = rnd.nextDouble()
+      if (r < 0.4) rnd.nextInt(3).toLong         // 3 hot keys share 40%
+      else if (r < 0.7) (3 + rnd.nextInt(20)).toLong
+      else (23 + rnd.nextInt(977)).toLong        // long tail
+    }
+    val n = stream.length
+    val capacity = 64
+    val trueCounts = stream.groupBy(identity).view.mapValues(_.size).toMap
+    val guaranteed = trueCounts.collect {
+      case (k, c) if c > n / (capacity + 1) => k
+    }.toSet
+    // fold in shuffled chunks, merge pairwise in an arbitrary tree — the
+    // plan shape a map-side-combined Spark aggregation produces
+    val agg = new graft.functions.FrequencyAgg(capacity)
+    val partials = stream.grouped(997).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = partials.reduce(agg.merge)
+    val cands = agg.finish(merged).toSet
+    assert(guaranteed.nonEmpty && guaranteed.subsetOf(cands))
+    assert(cands.size <= capacity)
+  }
+
+  test("heavyHitterSuppliers: sketch+confirm equals naive groupBy-HAVING") {
+    import spark.implicits._
+    val got = RelationalOps.heavyHitterSuppliers(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    val li = Tables.lineitem(spark, Sf)
+    val n = li.count()
+    val expect = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt").cast("double") > n / 100.0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("supplierVariety: anti-join excludes negative-balance suppliers everywhere") {
+    val bad = Tables.supplier(spark, Sf).where(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    // recompute with the exclusion applied up front; totals must match
+    val expect = Tables.lineitem(spark, Sf)
+      .where(!col("l_suppkey").isin(bad.toSeq: _*))
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(Tables.part(spark, Sf).where(col("p_brand") =!= "Brand#1"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .agg(sum("supplier_cnt")).collect().head.getLong(0)
+    val got = RelationalOps.supplierVariety(spark, Sf)
+      .agg(sum("supplier_cnt")).collect().head.getLong(0)
+    assert(got == expect && got > 0)
+  }
 }
