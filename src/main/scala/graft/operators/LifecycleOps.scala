@@ -136,6 +136,39 @@ object LifecycleOps {
         (col("up_at") > maxAttempts).as("timed_out"))
   }
 
+  /** M10 (extension) upsert read-side: MERGE INTO without a transactional
+    * table format — the after-state of applying a change set (updates +
+    * inserts) to the customer dimension, expressed as the immutable-storage
+    * rewrite: base ANTI-JOIN changed-keys UNION changes. The change set is
+    * derived deterministically from the corpus so the oracle can replay it:
+    * every custkey ≡ 0 (mod 7) gets +100.00 balance (update), and every
+    * custkey ≡ 0 (mod 97) also appears as a NEW row keyed custkey + 10^7
+    * (insert). Scale shape: the change set is tiny relative to the base
+    * (the usual CDC regime), so the anti-join broadcasts it and the base
+    * never shuffles; with partitioned storage, only partitions containing
+    * changed keys are rewritten (dynamic partition overwrite) — full ACID
+    * MERGE needs Delta/Iceberg, which is exactly what this plan compiles to
+    * there. Output is the per-segment summary of the after-state (count +
+    * exact balance sum), so the oracle checks the whole state, compactly.
+    */
+  def afterUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val updates = base.where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+    val inserts = base.where(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+    val changes = updates.unionAll(inserts)
+    base
+      .join(broadcast(changes.select(col("c_custkey"))), Seq("c_custkey"), "left_anti")
+      .unionAll(changes)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_bal"))
+  }
+
   /** ST2 effectful: the actual ordered execution — each stage is one Spark
     * action (count/write), whose completion is the cluster-wide barrier.
     * Returns the per-stage row counts in execution order. Used by tests;

@@ -20,6 +20,7 @@ object LifecyclePack extends QueryPack {
     "m4_m5_table_properties" -> ((s, d) => LifecycleOps.tableProperties(s, d, 86400, 3600)),
     "m4_ttl_view" -> ((s, d) => LifecycleOps.ttlView(s, d, 7)),
     "st1_restart_poll" -> ((s, d) => LifecycleOps.restartPoll(s, d)),
+    "m10_after_upsert" -> ((s, d) => LifecycleOps.afterUpsert(s, d)),
   )
 
   private val stagesValues = LifecycleOps.Stages
@@ -94,5 +95,21 @@ object LifecyclePack extends QueryPack {
            |       THEN (${h24("name")} % 200) * 2 END AS elapsed_sec,
            |  (${h24("name")} % 200 > 150) AS timed_out
            |FROM registry""".stripMargin),
+    "m10_after_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+        |  FROM base WHERE c_custkey % 97 = 0)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM (
+        |  SELECT * FROM base
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+        |  UNION ALL SELECT * FROM changes) merged
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 }

@@ -626,6 +626,116 @@ object RelationalOps {
       .select(col("l_suppkey"), col("cnt"))
   }
 
+  /** X-J: Q4-shaped order-priority check — orders in a window with at least
+    * one lineitem shipped more than 30 days after the order date (this
+    * corpus's lateness signal; it has no commit/receipt dates), counted per
+    * priority. The EXISTS subquery is a left-semi join whose condition mixes
+    * an equi key with a per-row inequality — Spark plans the equi part as the
+    * hash key and evaluates the date arithmetic as the join residual, so the
+    * fact table is touched once and only the date-windowed orders shuffle.
+    */
+  def latePriorityCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 30,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** Nation cohort for the Q7-shaped trade-flow query — pinned (like
+    * [[Segments]]) so plan and oracle agree without a discovery scan.
+    */
+  val TradeNations: Seq[String] =
+    Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+
+  /** X-J: Q7-shaped volume shipping — revenue flowing between distinct
+    * nations of a pinned cohort (supplier side ↔ customer side, both
+    * directions), by ship year. Both nation-keyed dimensions (supplier and
+    * customer, each pre-joined to its nation name) broadcast; lineitem ⋈
+    * orders is the single fact shuffle. The cross-direction predicate
+    * (`supp ≠ cust`) rides the broadcast joins as a residual filter.
+    */
+  def volumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir)
+      .where(col("n_name").isin(TradeNations: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+  }
+
+  /** X-J: Q10-shaped returned-item losses — top-20 customers by revenue on
+    * returned lineitems (`l_returnflag = 'R'`) against a half-year order
+    * window. Aggregation happens on the customer KEY (the fact-side column)
+    * before the dimension join, so the per-customer reduction is the only
+    * fact shuffle and the customer/nation decoration joins see ≤ |customers|
+    * rows — at 100 TB the top-20 is a TakeOrderedAndProject over an
+    * already-small aggregate.
+    */
+  def returnedItemLosses(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val perCust = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(revenueExpr).as("revenue_dec"))
+    perCust
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("revenue_dec").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_dec").cast("double").as("revenue"))
+  }
+
+  /** X-A: Q15-shaped top supplier — supplier(s) whose quarterly revenue
+    * equals the maximum. The CREATE VIEW of the SQL form is just a reused
+    * plan fragment here; the scalar max is a one-row broadcast joined back
+    * as a filter (never a per-row subquery). Ties all survive, which is why
+    * the comparison is equality on the DECIMAL revenue — exact, so the
+    * tie set is engine-portable (the cast to double happens only on output).
+    */
+  def topRevenueSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueExpr).as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
   /** X-T dates: monthly order volume — date_trunc + decimal-exact sums. */
   def monthlyOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -47,6 +47,11 @@ object RelationalPack extends QueryPack {
     "xa_q16_supplier_variety" -> ((s, d) => RelationalOps.supplierVariety(s, d)),
     "xj_q2_cheapest_supplier" -> ((s, d) => RelationalOps.cheapestSupplierPerPart(s, d)),
     "xa_heavy_hitters" -> ((s, d) => RelationalOps.heavyHitterSuppliers(s, d)),
+    "xj_q4_late_priority" -> ((s, d) => RelationalOps.latePriorityCounts(s, d)),
+    "xj_q7_volume_shipping" -> ((s, d) => RelationalOps.volumeShipping(s, d)),
+    "xj_q10_returned_losses" -> ((s, d) => RelationalOps.returnedItemLosses(s, d)),
+    "xa_q15_top_supplier" -> ((s, d) => RelationalOps.topRevenueSupplier(s, d)),
+    "xt_scd2_user_state" -> ((s, d) => TimeSeriesOps.scd2UserState(s, d)),
   )
 
   private val rev =
@@ -381,5 +386,63 @@ object RelationalPack extends QueryPack {
         |GROUP BY l_suppkey
         |HAVING CAST(count(*) AS DOUBLE) >
         |  (SELECT count(*) FROM lineitem) / 100.0""".stripMargin,
+    "xj_q4_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o.o_orderkey
+        |                AND datediff('day', o.o_orderdate, l_shipdate) > 30)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "xj_q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, ship_year,
+         |  CAST(sum(rev) AS DOUBLE) AS revenue FROM (
+         |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS ship_year, $rev AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  WHERE ns.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+         |    AND nc.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+         |    AND ns.n_name <> nc.n_name) pairs
+         |GROUP BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "xj_q10_returned_losses" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(revenue_dec AS DOUBLE) AS revenue FROM (
+         |  SELECT o_custkey, sum($rev) AS revenue_dec
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         |  GROUP BY o_custkey
+         |  ORDER BY revenue_dec DESC, o_custkey LIMIT 20) top
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "xa_q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, sum($rev) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+    "xt_scd2_user_state" ->
+      """WITH changes AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events)
+        |SELECT user_id, state, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current FROM (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM changes
+        |  WHERE prev_type IS NULL OR prev_type <> event_type) intervals""".stripMargin,
   )
 }

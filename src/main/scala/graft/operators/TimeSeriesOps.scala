@@ -56,6 +56,34 @@ object TimeSeriesOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) build: compress each user's
+    * event stream into state-validity intervals — one row per state change
+    * carrying `valid_from` / `valid_to` (null = current) and a current-row
+    * flag. The warehouse-standard dimension-history shape, built with one
+    * `lag` (change detection) and one `lead` (interval close), both over the
+    * same (user, time) window, so the whole op is ONE shuffle on `user_id`
+    * and two linear window passes that share the sort. Consecutive
+    * duplicate states collapse (a re-fired `view` extends the open
+    * interval, it doesn't close it) — that's the `lag =!= current` filter.
+    * Ties on `ts` break by `event_id` so interval bounds are deterministic
+    * cross-engine.
+    */
+  def scd2UserState(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val byUserChanges = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUserChanges))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

@@ -42,4 +42,20 @@ class LifecycleOpsSpec extends SparkSpec {
     val stages = LifecycleOps.removeSchema(spark, Sf, "purchase")
     assert(stages.map(_._1) == LifecycleOps.Stages.map(_._2))
   }
+  test("afterUpsert: row counts and balance mass reflect updates + inserts exactly") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.customer(spark, Sf)
+    val got = LifecycleOps.afterUpsert(spark, Sf)
+      .agg(sum("n_customers"), sum("total_bal")).collect().head
+    val nBase = base.count()
+    val nIns = base.where(col("c_custkey") % 97 === 0).count()
+    assert(got.getLong(0) == nBase + nIns)
+    val baseBal = base.agg(sum(col("c_acctbal").cast("decimal(12,2)")))
+      .collect().head.getDecimal(0).doubleValue()
+    val nUpd = base.where(col("c_custkey") % 7 === 0).count()
+    val insBal = base.where(col("c_custkey") % 97 === 0)
+      .agg(sum(col("c_acctbal").cast("decimal(12,2)")))
+      .collect().head.getDecimal(0).doubleValue()
+    assert(math.abs(got.getDouble(1) - (baseBal + 100.0 * nUpd + insBal)) < 1e-4)
+  }
 }

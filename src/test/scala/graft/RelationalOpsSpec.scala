@@ -8,6 +8,10 @@ class RelationalOpsSpec extends SparkSpec {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  private val revExpr =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+
   test("clicksBeforeError: value-based frame counts exactly the prior-10-minute clicks") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
@@ -321,6 +325,63 @@ class RelationalOpsSpec extends SparkSpec {
       .where(col("cnt").cast("double") > n / 100.0)
       .as[(Long, Long)].collect().toMap
     assert(got == expect && got.nonEmpty)
+  }
+
+  test("latePriorityCounts (Q4 shape): semi-join counts orders once, matches distinct recompute") {
+    val got = RelationalOps.latePriorityCounts(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Tables.orders(spark, Sf)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, Sf), col("o_orderkey") === col("l_orderkey"))
+      .where(datediff(col("l_shipdate"), col("o_orderdate")) > 30)
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("volumeShipping (Q7 shape): only cross-nation pairs within the pinned cohort") {
+    val rows = RelationalOps.volumeShipping(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val ns = RelationalOps.TradeNations.toSet
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.forall { case (a, b) => ns(a) && ns(b) && a != b })
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
+  test("returnedItemLosses (Q10 shape): k rows, sorted by revenue, true top set") {
+    val rows = RelationalOps.returnedItemLosses(spark, Sf, 20).collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // the 20th revenue bounds everything outside the set
+    val perCust = Tables.lineitem(spark, Sf)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, Sf)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(revExpr).cast("double").as("rev"))
+    val inSet = rows.map(_.getLong(0)).toSet
+    val maxOutside = perCust.where(!col("o_custkey").isin(inSet.toSeq: _*))
+      .agg(max(col("rev"))).collect().head.getDouble(0)
+    assert(maxOutside <= revs.last)
+  }
+
+  test("topRevenueSupplier (Q15 shape): every returned supplier hits the max") {
+    val rows = RelationalOps.topRevenueSupplier(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1) // ties all share the exact max
+    val expectMax = Tables.lineitem(spark, Sf)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revExpr).cast("double").as("rev"))
+      .agg(max(col("rev"))).collect().head.getDouble(0)
+    assert(revs.head == expectMax)
   }
 
   test("supplierVariety: anti-join excludes negative-balance suppliers everywhere") {

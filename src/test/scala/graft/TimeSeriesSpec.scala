@@ -70,4 +70,22 @@ class TimeSeriesSpec extends SparkSpec {
       assert(gridClicks == rawClicks)
     } finally df.unpersist()
   }
+  test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
+    val rows = TimeSeriesOps.scd2UserState(spark, Sf)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(r => (r.getTimestamp(2).getTime, r.getTimestamp(2).getNanos))
+      // exactly one open (current) interval per user, and it is the last one
+      assert(sorted.count(_.isNullAt(3)) == 1 && sorted.last.isNullAt(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval closes exactly where the next opens
+          assert(a.getTimestamp(3) == b.getTimestamp(2))
+          // consecutive duplicate states were collapsed
+          assert(a.getString(1) != b.getString(1))
+        case _ => ()
+      }
+    }
+  }
 }
