@@ -736,6 +736,27 @@ object RelationalOps {
         col("total_rev").cast("double").as("total_revenue"))
   }
 
+  /** X-O sampling: deterministic fixed-size uniform sample per group via
+    * bottom-k-by-hash — rank rows inside each segment by a salted content
+    * hash ([[Tables.h24]]) and keep the k smallest. Unlike Bernoulli
+    * sampling (`sample()` / the rate-based `tx_stratified_sample`), the
+    * output size is EXACTLY k per group, and unlike `rand()` it is
+    * deterministic: replayable under retries, stable across engines — which
+    * is why it has an exact oracle. Runs through the library's own
+    * [[graft.plans.TopKPerKeyExec]] (bounded per-group heaps, one exchange,
+    * no sort): at 100 TB each task keeps k candidates per group and the
+    * shuffle carries only survivors — the sample never materializes the
+    * group. The hash-rank makes it a bottom-k sketch, so unioned samples of
+    * shards re-merge correctly (min-wise property).
+    */
+  def bottomKSample(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    graft.plans.TopKPerKey(
+      Tables.customer(spark, sfDir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
+          Tables.h24(col("c_custkey").cast("string")).as("hk")),
+      k, Seq("c_mktsegment"), Seq("hk" -> true, "c_custkey" -> true))
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"))
+
   /** X-T dates: monthly order volume — date_trunc + decimal-exact sums. */
   def monthlyOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

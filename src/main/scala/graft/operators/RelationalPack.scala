@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryPack
+import graft.{Oracle, QueryPack}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registration for [[RelationalOps]] (SURVEY §2 rows X-J,
@@ -52,6 +52,7 @@ object RelationalPack extends QueryPack {
     "xj_q10_returned_losses" -> ((s, d) => RelationalOps.returnedItemLosses(s, d)),
     "xa_q15_top_supplier" -> ((s, d) => RelationalOps.topRevenueSupplier(s, d)),
     "xt_scd2_user_state" -> ((s, d) => TimeSeriesOps.scd2UserState(s, d)),
+    "xo_bottomk_sample" -> ((s, d) => RelationalOps.bottomKSample(s, d)),
   )
 
   private val rev =
@@ -444,5 +445,12 @@ object RelationalPack extends QueryPack {
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
         |  FROM changes
         |  WHERE prev_type IS NULL OR prev_type <> event_type) intervals""".stripMargin,
+    "xo_bottomk_sample" ->
+      s"""SELECT c_mktsegment, c_custkey, c_name FROM (
+         |  SELECT c_mktsegment, c_custkey, c_name,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY ${Oracle.h24("CAST(c_custkey AS VARCHAR)")}, c_custkey) AS rn
+         |  FROM customer) ranked
+         |WHERE rn <= 5""".stripMargin,
   )
 }

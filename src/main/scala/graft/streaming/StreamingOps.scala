@@ -202,4 +202,57 @@ object StreamingOps {
         }
     }
   }
+
+  /** One user event for the streaming SCD2 build. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                       event_type: String)
+  /** Open interval carried between micro-batches: the user's current state
+    * and when it began.
+    */
+  case class Scd2Open(state: String, validFromMs: Long)
+  /** A closed validity interval (the open/current one stays in state). */
+  case class Scd2Closed(user_id: Long, state: String,
+                        valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Streaming SCD2 build — the ingest-time twin of
+    * [[graft.operators.TimeSeriesOps.scd2UserState]]: maintain each user's
+    * open state interval in the state store and emit an interval row the
+    * moment a state CHANGE closes it. State is one (string, long) per user
+    * regardless of history length; closed intervals append exactly once.
+    * Append mode can only ever emit closed intervals — the open one lives
+    * in state until its closing event arrives, which is the semantically
+    * honest streaming rendering of "is_current" (the batch twin, which sees
+    * the whole corpus, materializes it as `valid_to IS NULL`).
+    *
+    * In-batch ordering is restored by an explicit (ts, event_id) sort of
+    * the group's iterator; ACROSS batches events are assumed in order per
+    * user (the kafka-partition-by-key delivery contract). Guarding against
+    * genuinely late cross-batch events needs an event-time timeout +
+    * per-user buffer — deliberately out of scope for the twin.
+    */
+  def streamingScd2(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[UserEvent], state: GroupState[Scd2Open]) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = Seq.newBuilder[Scd2Closed]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case Some(open) if open.state != e.event_type =>
+              out += Scd2Closed(uid, open.state,
+                new java.sql.Timestamp(open.validFromMs), e.ts)
+              cur = Some(Scd2Open(e.event_type, e.ts.getTime))
+            case None =>
+              cur = Some(Scd2Open(e.event_type, e.ts.getTime))
+            case _ => () // same state: the open interval simply extends
+          }
+        }
+        cur.foreach(state.update)
+        out.result().iterator
+    }
+  }
 }

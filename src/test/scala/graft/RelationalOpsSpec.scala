@@ -400,4 +400,20 @@ class RelationalOpsSpec extends SparkSpec {
       .agg(sum("supplier_cnt")).collect().head.getLong(0)
     assert(got == expect && got > 0)
   }
+  test("bottomKSample: exact k per segment via TopKPerKeyExec, equals hash-rank recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val df = RelationalOps.bottomKSample(spark, Sf, 5)
+    val p = plan(df)
+    assert(p.contains("TopKPerKey") && !p.contains("Window"))
+    val rows = df.collect()
+    val perSeg = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perSeg.values.forall(_ == 5))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(Tables.h24(col("c_custkey").cast("string")), col("c_custkey"))
+    val expect = Tables.customer(spark, Sf)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("c_mktsegment", "c_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == expect)
+  }
 }

@@ -230,4 +230,32 @@ class StreamingSpec extends SparkSpec {
       case _ =>
     }
   }
+  test("streamingScd2: closed intervals match the batch SCD2 build (minus open ones)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{UserEvent, Scd2Closed}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(
+      UserEvent(1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      UserEvent(1L, t("2024-01-01 10:05:00"), 2L, "view"),   // same state: extends
+      UserEvent(2L, t("2024-01-01 10:00:00"), 3L, "signup"))
+    val b2 = Seq(
+      UserEvent(1L, t("2024-01-01 10:10:00"), 4L, "click"),  // closes view
+      UserEvent(1L, t("2024-01-01 10:20:00"), 5L, "error"),  // closes click
+      UserEvent(2L, t("2024-01-01 10:30:00"), 6L, "signup")) // same state: extends
+    val stream = MemoryStream[UserEvent]
+    val q = StreamingOps.streamingScd2(stream.toDS())
+      .writeStream.format("memory").queryName("scd2_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("scd2_test").as[Scd2Closed].collect()
+        .map(c => (c.user_id, c.state, c.valid_from, c.valid_to)).toSet
+      assert(got == Set(
+        (1L, "view", t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")),
+        (1L, "click", t("2024-01-01 10:10:00"), t("2024-01-01 10:20:00"))))
+      // user 2 and user 1's "error" stay open — in state, not in the sink
+    } finally q.stop()
+  }
 }
