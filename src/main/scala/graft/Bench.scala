@@ -54,6 +54,7 @@ object Bench {
       operators.GeoOps.z3Layout(spark, sfDir).count()
       Tables.bucketedOrders(spark, sfDir).count()
       Tables.bucketedLineitem(spark, sfDir).count()
+      operators.ScaleOps.incrementalMonthlyOrders(spark, sfDir).count()
       sources.Formats.stageAll(spark, sfDir)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -152,4 +152,40 @@ object ScaleOps {
       .agg(count("*").as("n_items"),
         sum(RelationalOps.revenueExpr).cast("double").as("revenue"))
   }
+
+  /** Cutoff splitting "settled history" from "fresh arrivals" for the
+    * incremental-aggregation demo. At 100 TB this is the ingest watermark a
+    * recurring pipeline advances each run.
+    */
+  val IncrementalCutoff = "1999-01-01"
+
+  /** X-P11: incremental aggregate maintenance (materialized-view refresh) —
+    * monthly order totals produced WITHOUT rescanning settled history. The
+    * pre-cutoff months are aggregated once into a staged partial table
+    * ([[Tables.derivedBig]]: the aggregate, thousands of rows, not the
+    * facts); each run scans only post-cutoff orders (the date predicate
+    * pushes to the scan, so parquet stats skip historical row groups) and
+    * merges the two partial sets with a re-aggregation over |months| rows.
+    * Correctness hinges on keeping partials in DECIMAL until after the
+    * merge: decimal addition is associative, so
+    * agg(history) ⊕ agg(delta) ≡ agg(all) EXACTLY — which is what the
+    * full-recompute oracle checks. The same split works for any
+    * algebraic aggregate (sum/count/min/max, sketches); non-algebraic ones
+    * (exact percentiles) need their full state carried instead.
+    */
+  def incrementalMonthlyOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit(IncrementalCutoff).cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_part"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).as("total_part"))
+    val history = Tables.derivedBig(spark, sfDir, "monthly_orders_base") {
+      partial(Tables.orders(spark, sfDir).where(col("o_orderdate") < cutoff))
+    }
+    val delta = partial(Tables.orders(spark, sfDir).where(col("o_orderdate") >= cutoff))
+    history.unionAll(delta)
+      .groupBy(col("month"))
+      .agg(sum(col("n_part")).as("n_orders"),
+        sum(col("total_part")).cast("double").as("total"))
+  }
 }

@@ -16,6 +16,7 @@ object ScalePack extends QueryPack {
     "xa_price_percentiles" -> ((s, d) => ScaleOps.pricePercentiles(s, d)),
     "xa_approx_percentile" -> ((s, d) => ScaleOps.approxPercentileCheck(s, d)),
     "xp_runtime_filter_revenue" -> ((s, d) => ScaleOps.runtimeFilteredRevenue(s, d)),
+    "xp_incremental_monthly" -> ((s, d) => ScaleOps.incrementalMonthlyOrders(s, d)),
   )
 
   private val rev =
@@ -41,6 +42,11 @@ object ScalePack extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
         |  TRUE AS approx_within_1pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "xp_incremental_monthly" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
     "xa_price_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,

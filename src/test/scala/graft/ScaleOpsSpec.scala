@@ -113,4 +113,21 @@ class ScaleOpsSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+  test("incrementalMonthlyOrders: history-partial merge equals the full recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val inc = ScaleOps.incrementalMonthlyOrders(spark, Sf)
+    // the registered plan reads the staged history aggregate + a cutoff-
+    // filtered orders scan — never the pre-cutoff facts
+    val qe = inc.queryExecution.toString
+    assert(qe.contains("graft_stage"), "history partial not read from the staged parquet")
+    val direct = Tables.orders(spark, Sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+    assert(inc.exceptAll(direct).count() == 0 && direct.exceptAll(inc).count() == 0)
+    // months exist on both sides of the cutoff, so the merge is exercised
+    val cutoff = lit(ScaleOps.IncrementalCutoff).cast("timestamp")
+    assert(Tables.orders(spark, Sf).where(col("o_orderdate") < cutoff).count() > 0)
+    assert(Tables.orders(spark, Sf).where(col("o_orderdate") >= cutoff).count() > 0)
+  }
 }
