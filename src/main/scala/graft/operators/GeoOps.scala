@@ -140,6 +140,42 @@ object GeoOps {
         col("lat") >= latMin && col("lat") <= latMax)
       .select(col("event_id"), col("lon"), col("lat"))
 
+  /** X-G spatial self-join: all event pairs within king-move adjacency on
+    * the 1° grid (|Δlon| ≤ 1 ∧ |Δlat| ≤ 1) — the grid-bucket join that
+    * replaces the quadratic distance cross-join at scale. Each left-side
+    * point is replicated into its 3×3 neighbor cells (bounded 9× blow-up)
+    * and equi-joined on the cell key, so the only data movement is ONE hash
+    * shuffle on (cell_lon, cell_lat); the exact predicate is then implied by
+    * cell equality. The same plan refines a real metric (haversine < d)
+    * after the cell join — this is the geo twin of the LSH band join
+    * (`dd_minhash_candidates`): coarse bucket, then exact check, never
+    * all-pairs. `a_id < b_id` emits each unordered pair exactly once (a
+    * pair matches exactly one offset of its left member). Antimeridian
+    * wrap-around cells are not stitched (the corpus grid is synthetic
+    * degrees, not a sphere) — at production the cell key is a z2 prefix,
+    * which GeoMesa wraps the same way. Cohort-bounded so the oracle's
+    * brute-force O(n²) recompute stays replayable.
+    */
+  def neighborPairs(spark: SparkSession, sfDir: String, maxUserId: Long = 40L): DataFrame = {
+    val pts = withCoords(spark, sfDir)
+      .where(col("user_id") < maxUserId)
+      .select(col("event_id"), col("lon"), col("lat"))
+    val offsets = for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1) } yield (dx, dy)
+    val probe = pts
+      .select(col("event_id").as("a_id"), col("lon").as("a_lon"), col("lat").as("a_lat"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
+      .select(col("a_id"), col("a_lon"), col("a_lat"),
+        (col("a_lon") + col("o.dx")).as("cell_lon"),
+        (col("a_lat") + col("o.dy")).as("cell_lat"))
+    probe.join(pts,
+        col("cell_lon") === col("lon") && col("cell_lat") === col("lat") &&
+          col("a_id") < col("event_id"))
+      .select(col("a_id"), col("event_id").as("b_id"),
+        col("a_lon"), col("a_lat"),
+        col("lon").as("b_lon"), col("lat").as("b_lat"))
+  }
+
   /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:
     * one z2 BETWEEN range (with Morton false positives) then the precise
     * predicate. Emits per-event coarse/exact flags for the bbox

@@ -27,6 +27,7 @@ object GeoPack extends QueryPack {
     "geo_pruned_z3" -> ((s, d) => GeoOps.z3Layout(s, d)
       .where("lon >= -60 and lon <= 0 and lat >= -30 and lat <= 30 and t10 >= 300 and t10 <= 600")
       .select("event_id", "lon", "lat", "t10", "z3")),
+    "geo_neighbor_pairs" -> ((s, d) => GeoOps.neighborPairs(s, d)),
   )
 
   private val coordsCte =
@@ -130,5 +131,15 @@ object GeoPack extends QueryPack {
          |SELECT event_id, z2,
          |  (lon BETWEEN -60 AND 0 AND lat BETWEEN -30 AND 30) AS exact_match
          |FROM zed WHERE z2 BETWEEN $zMin AND $zMax""".stripMargin,
+    // brute-force O(n²) recompute of the grid-bucket join's result — the
+    // oracle is deliberately the quadratic plan the operator avoids
+    "geo_neighbor_pairs" ->
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40)
+         |SELECT a.event_id AS a_id, b.event_id AS b_id,
+         |  a.lon AS a_lon, a.lat AS a_lat, b.lon AS b_lon, b.lat AS b_lat
+         |FROM pts a JOIN pts b
+         |  ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |  AND a.event_id < b.event_id""".stripMargin,
   )
 }

@@ -16,6 +16,7 @@ object TextDedupPack extends QueryPack {
     "tx_quality_scores" -> ((s, d) => TextOps.qualityScores(s, d)),
     "tx_language_id" -> ((s, d) => TextOps.languageId(s, d)),
     "tx_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
+    "tx_rarity_scores" -> ((s, d) => TextOps.rarityScores(s, d)),
     "tx_curated_corpus" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
@@ -181,6 +182,16 @@ object TextDedupPack extends QueryPack {
            |      FROM (SELECT doc_id, shingle, ${h24("shingle")} AS h
            |            FROM doc_shingles))
            |GROUP BY doc_id""".stripMargin),
+    "tx_rarity_scores" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)),
+        |vocab AS (SELECT word, count(*) AS doc_freq FROM dw GROUP BY word)
+        |SELECT doc_id, count(*) AS n_distinct_words,
+        |  CAST(sum(doc_freq) AS DOUBLE) / count(*) AS mean_doc_freq
+        |FROM dw JOIN vocab USING (word)
+        |GROUP BY doc_id""".stripMargin,
     "tx_contamination" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte,
         s"""bench_shingles AS (SELECT DISTINCT shingle FROM distinct_shingles

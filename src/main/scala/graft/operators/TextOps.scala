@@ -304,6 +304,29 @@ object TextOps {
     * minimum-hash shingle of each document (rolling-hash family; the h24
     * hash plays the rolling polynomial's role, portable to the oracle).
     */
+  /** X-C11: lexical rarity scoring — the TF-IDF backbone with an exact
+    * oracle: per-document mean corpus document-frequency of its distinct
+    * words (a low mean = rare vocabulary; the pretraining signal for
+    * jargon/garbage vs boilerplate). Stays in integers until the final
+    * division of two exact counts, so the score is engine-portable where a
+    * log-based IDF would drift in the last ulp. Plan: the exploded
+    * (doc, word) pairs aggregate to the vocabulary once (shuffle on word);
+    * the pairs→vocab join lands on that same partitioning, and the per-doc
+    * reduce is the only other shuffle. At 100 TB the vocabulary side is
+    * Zipf-concentrated — AQE's skew split handles the head words, or salt
+    * them like `xp_salted_flag_revenue`.
+    */
+  def rarityScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("word"))
+    val vocab = dw.groupBy(col("word")).agg(count(lit(1)).as("doc_freq"))
+    dw.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_words"),
+        (sum(col("doc_freq")).cast("double") / count(lit(1))).as("mean_doc_freq"))
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     // one hash aggregate, map-side combinable: min(struct(h, shingle))
     // compares h first, then shingle — so .shingle is the lexicographically

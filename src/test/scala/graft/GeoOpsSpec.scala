@@ -147,4 +147,17 @@ class GeoOpsSpec extends SparkSpec {
       assert(km >= 0 && km <= n * math.Pi * 6371.0088)
     }
   }
+  test("neighborPairs: grid-bucket join equals the brute-force quadratic recompute") {
+    import org.apache.spark.sql.functions._
+    val got = GeoOps.neighborPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts = GeoOps.withCoords(spark, Sf).where(col("user_id") < 40)
+      .select(col("event_id"), col("lon"), col("lat")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = (for {
+      (ai, alon, alat) <- pts; (bi, blon, blat) <- pts
+      if ai < bi && math.abs(alon - blon) <= 1 && math.abs(alat - blat) <= 1
+    } yield (ai, bi)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }

@@ -231,4 +231,18 @@ class TextDedupSpec extends SparkSpec {
         r.getAs[Int]("hamming"))).toSet
     assert(got == expected)
   }
+  test("rarityScores: doc-frequency mean matches a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").distinct.toSeq).toMap
+    val df = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val got = operators.TextOps.rarityScores(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, ws) =>
+      val (n, mean) = got(id)
+      assert(n == ws.size)
+      assert(math.abs(mean - ws.map(df(_)).sum.toDouble / ws.size) < 1e-9)
+    }
+  }
 }
