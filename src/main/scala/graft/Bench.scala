@@ -55,6 +55,7 @@ object Bench {
       Tables.bucketedOrders(spark, sfDir).count()
       Tables.bucketedLineitem(spark, sfDir).count()
       operators.ScaleOps.incrementalMonthlyOrders(spark, sfDir).count()
+      operators.ScaleOps.sortedOrdersLayout(spark, sfDir).count()
       sources.Formats.stageAll(spark, sfDir)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

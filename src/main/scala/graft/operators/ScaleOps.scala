@@ -153,6 +153,34 @@ object ScaleOps {
         sum(RelationalOps.revenueExpr).cast("double").as("revenue"))
   }
 
+  /** X-P12: sort-clustered layout for data skipping — orders staged once as
+    * a range-partitioned, within-partition-sorted parquet layout on
+    * `o_orderdate` ([[Tables.derivedBig]]). Range partitioning gives each
+    * file a narrow, disjoint date span, so a date-slice query's pushed
+    * predicate eliminates whole files via their row-group min/max stats —
+    * the reader opens footers but decodes nothing outside the slice. At
+    * 100 TB this is the difference between scanning the table and scanning
+    * a month of it; the same move generalizes to z-order for multi-column
+    * predicates (`geo_pruned_bbox` is that, for (lon, lat)). The spec
+    * proves the clustering physically: output rows of a one-month slice
+    * come from ≤2 of the layout's files (`input_file_name()`), and the
+    * predicate reaches the scan (PushedFilters).
+    */
+  def sortedOrdersLayout(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "orders_by_date") {
+      Tables.orders(spark, sfDir)
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions(col("o_orderdate"))
+    }
+
+  /** One-month slice over the sorted layout — the read side of X-P12. */
+  def sortedLayoutMonthScan(spark: SparkSession, sfDir: String): DataFrame =
+    sortedOrdersLayout(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+
   /** Cutoff splitting "settled history" from "fresh arrivals" for the
     * incremental-aggregation demo. At 100 TB this is the ingest watermark a
     * recurring pipeline advances each run.

@@ -17,6 +17,7 @@ object ScalePack extends QueryPack {
     "xa_approx_percentile" -> ((s, d) => ScaleOps.approxPercentileCheck(s, d)),
     "xp_runtime_filter_revenue" -> ((s, d) => ScaleOps.runtimeFilteredRevenue(s, d)),
     "xp_incremental_monthly" -> ((s, d) => ScaleOps.incrementalMonthlyOrders(s, d)),
+    "xp_sorted_layout_scan" -> ((s, d) => ScaleOps.sortedLayoutMonthScan(s, d)),
   )
 
   private val rev =
@@ -42,6 +43,11 @@ object ScalePack extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
         |  TRUE AS approx_within_1pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "xp_sorted_layout_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
     "xp_incremental_monthly" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |  count(*) AS n_orders,

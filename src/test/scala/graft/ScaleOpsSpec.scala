@@ -130,4 +130,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Tables.orders(spark, Sf).where(col("o_orderdate") < cutoff).count() > 0)
     assert(Tables.orders(spark, Sf).where(col("o_orderdate") >= cutoff).count() > 0)
   }
+  test("sortedLayoutMonthScan: clustering confines a month slice to few files, filter pushed") {
+    import org.apache.spark.sql.functions._
+    val slice = ScaleOps.sortedLayoutMonthScan(spark, Sf)
+    val qe = slice.queryExecution.toString
+    assert(qe.contains("PushedFilters") && qe.contains("o_orderdate"))
+    val layoutFiles = ScaleOps.sortedOrdersLayout(spark, Sf)
+      .select(input_file_name()).distinct().count()
+    val sliceFiles = slice.select(input_file_name()).distinct().count()
+    // 30 days of a ~6.5-year span range-partitioned into 8 files: the slice
+    // must live in at most 2 adjacent files
+    assert(layoutFiles >= 4, s"layout has only $layoutFiles files")
+    assert(sliceFiles <= 2, s"month slice touched $sliceFiles files")
+    // and the layout is lossless: same rows as the plain-table slice
+    val direct = Tables.orders(spark, Sf)
+      .where(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    assert(slice.exceptAll(direct).count() == 0 && direct.exceptAll(slice).count() == 0)
+  }
 }
