@@ -736,6 +736,112 @@ object RelationalOps {
         col("total_rev").cast("double").as("total_revenue"))
   }
 
+  /** X-J: Q8-shaped market share — of all revenue flowing to customers in
+    * one region, the fraction supplied by one nation, per order year. Both
+    * "sides" of the share are conditional aggregates over the SAME joined
+    * stream (one fact pass, no second scan for the denominator); all
+    * dimension joins broadcast. The share divides two exact decimal sums
+    * cast to double — engine-portable to the last bit.
+    */
+  def marketShare(spark: SparkSession, sfDir: String,
+                  region: String = "AMERICA", nation: String = "NATION_0"): DataFrame = {
+    val regNations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).where(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(regNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg((sum(when(col("supp_nation") === nation, revenueExpr)).cast("double") /
+        sum(revenueExpr).cast("double")).as("mkt_share"))
+  }
+
+  /** X-J: Q9-shaped profit by supplier nation and year over a part-name
+    * token. Cost basis is 60% of retail (the corpus has no partsupp
+    * supplycost). Numeric discipline: revenue and quantity×retail are TWO
+    * separate exact decimal sums; the 0.6 scaling and the subtraction
+    * happen ONCE on the aggregated doubles — never per-row double
+    * summation, so the result is order-independent and oracle-exact.
+    */
+  def profitByNation(spark: SparkSession, sfDir: String, token: String = "gear"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_name").contains(token))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg((sum(revenueExpr).cast("double") -
+        lit(0.6) * sum(dec(col("l_quantity")) * dec(col("p_retailprice"))).cast("double"))
+        .as("profit"))
+  }
+
+  /** X-A: Q12-shaped priority split — among lineitems shipped late (> 60
+    * days after the order date) in one order-year, how many belong to
+    * urgent/high-priority orders vs the rest, per return flag. Two
+    * conditional counts in one aggregation — the classic "mode × priority
+    * class" cross-count without a pivot or second pass.
+    */
+  def latePrioritySplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPrio, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** X-J: Q20-shaped excess suppliers — suppliers whose shipped quantity of
+    * a part-name cohort exceeds 1.1× the per-supplier average (the original
+    * correlates against half the part's stock; no partsupp table here, so
+    * the threshold correlates against the cohort mean instead). The mean is
+    * a one-row aggregate OF the per-supplier aggregate (no second fact
+    * scan), broadcast back as a filter; the supplier name join is also
+    * broadcast. One fact shuffle total.
+    */
+  def excessSuppliers(spark: SparkSession, sfDir: String, token: String = "bolt"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_name").contains(token)).select(col("p_partkey"))
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+    // exact decimal sums all the way to the mean; 1.1× and the compare are
+    // then single double ops on identical operands in both engines
+    val thr = perSupp.agg(
+      (lit(1.1) * (sum(col("qty_dec")).cast("double") / count(lit(1)))).as("thr"))
+    perSupp.join(broadcast(thr))
+      .withColumn("shipped_qty", col("qty_dec").cast("double"))
+      .where(col("shipped_qty") > col("thr"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("shipped_qty"))
+  }
+
   /** X-O sampling: deterministic fixed-size uniform sample per group via
     * bottom-k-by-hash — rank rows inside each segment by a salted content
     * hash ([[Tables.h24]]) and keep the k smallest. Unlike Bernoulli

@@ -53,6 +53,10 @@ object RelationalPack extends QueryPack {
     "xa_q15_top_supplier" -> ((s, d) => RelationalOps.topRevenueSupplier(s, d)),
     "xt_scd2_user_state" -> ((s, d) => TimeSeriesOps.scd2UserState(s, d)),
     "xo_bottomk_sample" -> ((s, d) => RelationalOps.bottomKSample(s, d)),
+    "xj_q8_market_share" -> ((s, d) => RelationalOps.marketShare(s, d)),
+    "xj_q9_profit_nation" -> ((s, d) => RelationalOps.profitByNation(s, d)),
+    "xa_q12_priority_split" -> ((s, d) => RelationalOps.latePrioritySplit(s, d)),
+    "xj_q20_excess_suppliers" -> ((s, d) => RelationalOps.excessSuppliers(s, d)),
   )
 
   private val rev =
@@ -452,5 +456,50 @@ object RelationalPack extends QueryPack {
          |      ORDER BY ${Oracle.h24("CAST(c_custkey AS VARCHAR)")}, c_custkey) AS rn
          |  FROM customer) ranked
          |WHERE rn <= 5""".stripMargin,
+    "xj_q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         |  CAST(sum(CASE WHEN sn.n_name = 'NATION_0' THEN $rev END) AS DOUBLE) /
+         |    CAST(sum($rev) AS DOUBLE) AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE r_name = 'AMERICA'
+         |GROUP BY 1""".stripMargin,
+    "xj_q9_profit_nation" ->
+      s"""SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  CAST(sum($rev) AS DOUBLE) - 0.6 *
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+         |             CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY n_name, ship_year""".stripMargin,
+    "xa_q12_priority_split" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND datediff('day', o_orderdate, l_shipdate) > 60
+        |GROUP BY l_returnflag""".stripMargin,
+    "xj_q20_excess_suppliers" ->
+      """WITH per_supp AS (
+        |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt%'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(qty_dec AS DOUBLE) AS shipped_qty
+        |FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE CAST(qty_dec AS DOUBLE) >
+        |  (SELECT 1.1 * (CAST(sum(qty_dec) AS DOUBLE) / count(*)) FROM per_supp)""".stripMargin,
   )
 }

@@ -416,4 +416,54 @@ class RelationalOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == expect)
   }
+  test("marketShare (Q8 shape): shares bounded by [0,1], denominator covers the region") {
+    val rows = RelationalOps.marketShare(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        val sh = r.getDouble(1)
+        assert(sh >= 0.0 && sh <= 1.0, s"share $sh out of range")
+      }
+    }
+  }
+
+  test("profitByNation (Q9 shape): profit equals revenue minus 0.6 cost recompute") {
+    val rows = RelationalOps.profitByNation(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val joined = Tables.lineitem(spark, Sf)
+      .join(Tables.part(spark, Sf).where(col("p_name").contains("gear")),
+        col("l_partkey") === col("p_partkey"))
+    val rev = joined.agg(sum(revExpr).cast("double")).collect().head.getDouble(0)
+    val cost = joined.agg(sum(col("l_quantity").cast("decimal(12,2)") *
+      col("p_retailprice").cast("decimal(12,2)")).cast("double")).collect().head.getDouble(0)
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - (rev - 0.6 * cost)) < 1e-4)
+  }
+
+  test("latePrioritySplit (Q12 shape): high+low equals the late-lineitem total") {
+    val rows = RelationalOps.latePrioritySplit(spark, Sf).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val expect = Tables.lineitem(spark, Sf)
+      .join(Tables.orders(spark, Sf)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(datediff(col("l_shipdate"), col("o_orderdate")) > 60).count()
+    assert(total == expect && total > 0)
+  }
+
+  test("excessSuppliers (Q20 shape): every member beats the 1.1x-mean threshold") {
+    val rows = RelationalOps.excessSuppliers(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val perSupp = Tables.lineitem(spark, Sf)
+      .join(Tables.part(spark, Sf).where(col("p_name").contains("bolt")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("q"))
+    val stats = perSupp.agg(sum("q"), count(lit(1))).collect().head
+    val thr = 1.1 * stats.getDouble(0) / stats.getLong(1)
+    rows.foreach(r => assert(r.getDouble(2) > thr - 1e-6))
+    // and nothing qualifying was dropped
+    assert(rows.length == perSupp.where(col("q") > thr).count())
+  }
 }
