@@ -17,6 +17,7 @@ object TextDedupPack extends QueryPack {
     "tx_language_id" -> ((s, d) => TextOps.languageId(s, d)),
     "tx_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
     "tx_rarity_scores" -> ((s, d) => TextOps.rarityScores(s, d)),
+    "tx_top_bigrams" -> ((s, d) => TextOps.topBigramsPerLang(s, d)),
     "tx_curated_corpus" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
@@ -182,6 +183,24 @@ object TextDedupPack extends QueryPack {
            |      FROM (SELECT doc_id, shingle, ${h24("shingle")} AS h
            |            FROM doc_shingles))
            |GROUP BY doc_id""".stripMargin),
+    "tx_top_bigrams" ->
+      """WITH db AS (
+        |  SELECT DISTINCT lang, doc_id, bigram FROM (
+        |    SELECT lang, doc_id,
+        |      w[i] || ' ' || w[i + 1] AS bigram
+        |    FROM (SELECT lang, doc_id, string_split(text, ' ') AS w
+        |          FROM documents),
+        |      UNNEST(range(1, len(w))) AS t(i)
+        |    WHERE len(w) >= 2)),
+        |lb AS (
+        |  SELECT lang, bigram, count(*) AS doc_freq
+        |  FROM db GROUP BY lang, bigram)
+        |SELECT lang, bigram, doc_freq FROM (
+        |  SELECT lang, bigram, doc_freq,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY doc_freq DESC, bigram) AS rn
+        |  FROM lb) ranked
+        |WHERE rn <= 3""".stripMargin,
     "tx_rarity_scores" ->
       """WITH dw AS (
         |  SELECT DISTINCT doc_id, word FROM (

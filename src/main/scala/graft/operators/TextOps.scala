@@ -327,6 +327,29 @@ object TextOps {
         (sum(col("doc_freq")).cast("double") / count(lit(1))).as("mean_doc_freq"))
   }
 
+  /** X-C13: top-k bigrams per language by document frequency — the n-gram
+    * collocation table a corpus-analysis pass produces. Bigrams derive from
+    * the same whitespace tokens as the shingle pipeline; per-doc distinct
+    * bigrams aggregate to (lang, bigram) doc counts (one shuffle), and the
+    * per-language top-k runs through the library's own
+    * [[graft.plans.TopKPerKeyExec]] — bounded heaps, no per-language sort
+    * of the whole collocation table. Ties break lexicographically so the
+    * top set is deterministic cross-engine.
+    */
+  def topBigramsPerLang(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val langBigram = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), explode(array_distinct(bigrams)).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("doc_freq"))
+    graft.plans.TopKPerKey(langBigram, k, Seq("lang"),
+      Seq("doc_freq" -> false, "bigram" -> true))
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     // one hash aggregate, map-side combinable: min(struct(h, shingle))
     // compares h first, then shingle — so .shingle is the lexicographically

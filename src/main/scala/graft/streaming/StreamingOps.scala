@@ -203,6 +203,30 @@ object StreamingOps {
     }
   }
 
+  /** Streaming heavy hitters — [[graft.functions.FrequencyAgg]] composed
+    * with a watermarked tumbling window: per hour, the Misra–Gries candidate
+    * set of keys carrying more than ~1/capacity of that window's stream.
+    * The sketch is a standard mergeable Aggregator, so Structured Streaming
+    * treats it like any aggregate — partial sketches merge across
+    * micro-batches in the state store, and state per (window) is ≤capacity
+    * counters no matter how many distinct keys the hour saw. That bounded
+    * state is the whole point: an exact per-key streaming count would hold
+    * every key ever seen inside the watermark. Append mode emits each
+    * window's final candidates once the watermark closes it. The batch twin
+    * with the exact confirm pass (`xa_heavy_hitters`) is the oracle-backed
+    * form; the spec checks the streaming candidates cover the true heavy
+    * keys of each window.
+    */
+  def streamingHeavyKeys(events: DataFrame, capacity: Int = 64): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.FrequencyAgg(capacity))
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(mg(col("user_id")).as("candidate_keys"))
+      .select(col("window.start").as("window_start"), col("candidate_keys"))
+  }
+
   /** One user event for the streaming SCD2 build. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                        event_type: String)

@@ -258,4 +258,33 @@ class StreamingSpec extends SparkSpec {
       // user 2 and user 1's "error" stay open — in state, not in the sink
     } finally q.stop()
   }
+  test("streamingHeavyKeys: windowed MG candidates cover each window's true heavy keys") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    import graft.streaming.StreamingOps.UserEvent
+    def ev(ts: java.sql.Timestamp, key: Long, id: Long) = UserEvent(key, ts, id, "click")
+    // hour 10: key 1 dominates; hour 11: key 2 dominates; long tails differ
+    val h10 = (1 to 40).map(i => ev(t("2024-01-01 10:15:00"), 1L, i.toLong)) ++
+      (1 to 20).map(i => ev(t("2024-01-01 10:30:00"), 100L + i, 100L + i))
+    val h11 = (1 to 30).map(i => ev(t("2024-01-01 11:10:00"), 2L, 300L + i)) ++
+      (1 to 15).map(i => ev(t("2024-01-01 11:40:00"), 200L + i, 400L + i))
+    // watermark-advancing tail event far past both windows
+    val tail = Seq(ev(t("2024-01-01 13:00:00"), 999L, 999L))
+    val stream = MemoryStream[UserEvent]
+    val q = StreamingOps.streamingHeavyKeys(stream.toDS().toDF(), capacity = 8)
+      .writeStream.format("memory").queryName("mg_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(h10: _*); q.processAllAvailable()
+      stream.addData(h11: _*); q.processAllAvailable()
+      stream.addData(tail: _*); q.processAllAvailable()
+      val rows = spark.table("mg_test").collect()
+        .map(r => r.getTimestamp(0) -> r.getSeq[Long](1).toSet).toMap
+      // both closed windows emitted; each window's dominant key survives
+      assert(rows.get(t("2024-01-01 10:00:00")).exists(_.contains(1L)))
+      assert(rows.get(t("2024-01-01 11:00:00")).exists(_.contains(2L)))
+      rows.values.foreach(ks => assert(ks.size <= 8))
+    } finally q.stop()
+  }
 }

@@ -245,4 +245,24 @@ class TextDedupSpec extends SparkSpec {
       assert(math.abs(mean - ws.map(df(_)).sum.toDouble / ws.size) < 1e-9)
     }
   }
+  test("topBigramsPerLang: custom top-k operator result matches a window recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val df = TextOps.topBigramsPerLang(spark, Sf)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val w = split(col("text"), " ")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_freq").desc, col("bigram"))
+    val expect = Tables.documents(spark, Sf)
+      .select(col("lang"), col("doc_id"), explode(array_distinct(bigrams)).as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("doc_freq"))
+      .withColumn("rn", row_number().over(win)).where(col("rn") <= 3)
+      .select("lang", "bigram", "doc_freq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }
