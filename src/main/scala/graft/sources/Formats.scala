@@ -76,10 +76,50 @@ object Formats {
       p => spark.read.schema(src.schema).json(p))
   }
 
+  /** Error-tolerant ingest — the reference's C3 "exceptions kept as values"
+    * (/root/reference/geomesa_cassandra.py:229-235) applied at the file
+    * layer: a json dataset where a deterministic subset of rows (orderkey ≡
+    * 0 mod 7) is written MALFORMED, read back in PERMISSIVE mode with a
+    * corrupt-record column. Bad rows become (nulls, raw-line) rows instead
+    * of failing the scan — at 100 TB an ingest job cannot die on row
+    * 3 × 10¹¹, it must land the bad rows somewhere auditable. The query
+    * aggregates the split (good/corrupt counts + the good-side exact sum);
+    * because the corruption rule is deterministic, the DuckDB oracle
+    * replays the classification from the clean table — proving both that
+    * nothing failed and that nothing was silently dropped.
+    */
+  def corruptJsonScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val schema = org.apache.spark.sql.types.StructType(
+      src.schema.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType))
+    val parsed = stagedRead(spark, sfDir, "json_corrupt")(
+      p => src.select(
+        when(col("o_orderkey") % 7 === 0,
+          // truncated object: opens, never closes — unparseable by design
+          concat(lit("{\"o_orderkey\": "), col("o_orderkey").cast("string"), lit(",")))
+          .otherwise(to_json(struct(src.columns.map(col): _*)))
+          .as("value"))
+        .write.mode("overwrite").text(p))(
+      p => spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(p))
+    parsed.agg(
+      count(when(col("_corrupt").isNull, 1)).as("n_good"),
+      count(col("_corrupt")).as("n_corrupt"),
+      sum(when(col("_corrupt").isNull, col("o_totalprice").cast("decimal(12,2)")))
+        .cast("double").as("good_total"))
+  }
+
   /** Force all format exports (Bench stage phase). */
   def stageAll(spark: SparkSession, sfDir: String): Unit = {
     csvRoundtrip(spark, sfDir)
     orcRoundtrip(spark, sfDir)
     jsonRoundtrip(spark, sfDir)
+    corruptJsonScan(spark, sfDir)
+    ()
   }
 }

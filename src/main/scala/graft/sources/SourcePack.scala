@@ -38,6 +38,7 @@ object SourcePack extends QueryPack {
     "xs_csv_roundtrip" -> ((s, d) => Formats.csvRoundtrip(s, d)),
     "xs_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
     "xs_json_lines" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
+    "xs_corrupt_json" -> ((s, d) => Formats.corruptJsonScan(s, d)),
   )
 
   /** Fixture registry rows via DuckDB's JSON reader: one struct column per
@@ -86,5 +87,15 @@ object SourcePack extends QueryPack {
     "xs_json_lines" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(o_orderdate AS DATE) AS o_orderdate FROM orders""".stripMargin,
+    // replays the deterministic corruption rule on the clean table: the
+    // PERMISSIVE scan must account for every row, good or bad
+    "xs_corrupt_json" ->
+      """SELECT
+        |  count(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS n_good,
+        |  count(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n_corrupt,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+        |               THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    AS good_total
+        |FROM orders""".stripMargin,
   )
 }

@@ -113,4 +113,18 @@ class SourcesSpec extends SparkSpec {
       .where(col("id") =!= "")
     assert(parsed.count() == nodes.count())
   }
+  test("corruptJsonScan: PERMISSIVE split accounts for every row, good sum exact") {
+    import org.apache.spark.sql.functions._
+    val r = sources.Formats.corruptJsonScan(spark, Sf).collect().head
+    val total = Tables.orders(spark, Sf).count()
+    assert(r.getLong(0) + r.getLong(1) == total)
+    val expectCorrupt = Tables.orders(spark, Sf)
+      .where(col("o_orderkey") % 7 === 0).count()
+    assert(r.getLong(1) == expectCorrupt && expectCorrupt > 0)
+    val expectSum = Tables.orders(spark, Sf)
+      .where(col("o_orderkey") % 7 =!= 0)
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(r.getDouble(2) - expectSum) < 1e-6)
+  }
 }
