@@ -114,12 +114,44 @@ object Formats {
         .cast("double").as("good_total"))
   }
 
+  /** Schema evolution across staged batches — the other inevitable 100-TB
+    * ingest reality: years-old files lack columns that newer files carry.
+    * Two parquet batches are staged under one root (old: 2-column rows from
+    * before the cutoff; new: 3-column rows with `o_orderpriority` added),
+    * and the scan reads the ROOT with `mergeSchema` — old rows surface the
+    * added column as null, no rewrite of historical files. The query
+    * normalizes nulls to a sentinel and aggregates; the oracle replays the
+    * cutoff rule on the clean table, proving the merged read loses neither
+    * rows nor values. (mergeSchema costs a footer pass per file — at scale
+    * pin the merged schema explicitly once known; the semantics tested
+    * here are identical.)
+    */
+  def schemaEvolutionScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val merged = stagedRead(spark, sfDir, "parquet_evolved")(
+      p => {
+        val src = Tables.orders(spark, sfDir)
+        src.where(col("o_orderdate") < cutoff)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$p/batch=old")
+        src.where(col("o_orderdate") >= cutoff)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$p/batch=new")
+      })(
+      p => spark.read.option("mergeSchema", "true").parquet(p))
+    merged
+      .groupBy(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+  }
+
   /** Force all format exports (Bench stage phase). */
   def stageAll(spark: SparkSession, sfDir: String): Unit = {
     csvRoundtrip(spark, sfDir)
     orcRoundtrip(spark, sfDir)
     jsonRoundtrip(spark, sfDir)
     corruptJsonScan(spark, sfDir)
+    schemaEvolutionScan(spark, sfDir)
     ()
   }
 }

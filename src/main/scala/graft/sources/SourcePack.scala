@@ -39,6 +39,7 @@ object SourcePack extends QueryPack {
     "xs_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
     "xs_json_lines" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "xs_corrupt_json" -> ((s, d) => Formats.corruptJsonScan(s, d)),
+    "xs_schema_evolution" -> ((s, d) => Formats.schemaEvolutionScan(s, d)),
   )
 
   /** Fixture registry rows via DuckDB's JSON reader: one struct column per
@@ -97,5 +98,13 @@ object SourcePack extends QueryPack {
         |               THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
         |    AS good_total
         |FROM orders""".stripMargin,
+    // replays the batch cutoff: pre-cutoff rows predate the added column
+    "xs_schema_evolution" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |            THEN 'PRE_SCHEMA' ELSE o_orderpriority END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
   )
 }

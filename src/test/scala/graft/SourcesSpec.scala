@@ -127,4 +127,14 @@ class SourcesSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(r.getDouble(2) - expectSum) < 1e-6)
   }
+  test("schemaEvolutionScan: mergeSchema surfaces the added column, mass conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = sources.Formats.schemaEvolutionScan(spark, Sf).collect()
+    val bySentinel = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val preCnt = Tables.orders(spark, Sf).where(col("o_orderdate") < cutoff).count()
+    assert(bySentinel("PRE_SCHEMA") == preCnt && preCnt > 0)
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, Sf).count())
+    assert(bySentinel.size > 1) // post-cutoff priorities present too
+  }
 }
