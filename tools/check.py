@@ -10,6 +10,9 @@ from pathlib import Path
 
 import duckdb
 
+sys.path.insert(0, str(Path(__file__).parent))
+from check_oracles import canon_type  # driver-strict arrow-type compare
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -60,16 +63,30 @@ def main():
             n_bad += 1
             continue
         try:
-            sq = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
-            spark_cols, spark_rows = sq.columns, sq.fetchall()
-            oq = con.sql(oracle[name])
-            o_cols, o_rows = oq.columns, oq.fetchall()
+            st = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").arrow()
+            spark_cols = list(st.column_names)
+            spark_rows = [tuple(r.values()) for r in st.to_pylist()]
+            ot = con.sql(oracle[name]).arrow()
+            o_cols = list(ot.column_names)
+            o_rows = [tuple(r.values()) for r in ot.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:300]}")
             n_bad += 1
             continue
         if sorted(spark_cols) != sorted(o_cols):
             print(f"FAIL {name}: cols spark={sorted(spark_cols)} oracle={sorted(o_cols)}")
+            n_bad += 1
+            continue
+        # The driver's hash is TYPE-sensitive (r4: DuckDB HUGEINT vs Spark
+        # BIGINT shipped red with identical values) — compare arrow types.
+        stypes = {c: canon_type(st.schema.field(i).type)
+                  for i, c in enumerate(spark_cols)}
+        otypes = {c: canon_type(ot.schema.field(i).type)
+                  for i, c in enumerate(o_cols)}
+        if stypes != otypes:
+            bad = {c: (stypes[c], otypes[c]) for c in stypes
+                   if stypes[c] != otypes.get(c)}
+            print(f"FAIL {name}: TYPE mismatch {bad}")
             n_bad += 1
             continue
         a, b = canon(spark_rows, spark_cols), canon(o_rows, o_cols)

@@ -5,23 +5,56 @@ Usage: python3 tools/check_oracles.py <verify_out_dir> <sf_dir>
 
 Reads each <verify_out_dir>/<name>/ parquet result (written by graft.Verify)
 plus <verify_out_dir>/oracle_sql.json, runs each oracle against the parquet
-tables in <sf_dir> with DuckDB, and compares rows / schema (column names) /
-values (columns sorted by name, rows sorted, floats rounded).
+tables in <sf_dir> with DuckDB, and compares rows / schema (column names AND
+arrow types) / values (columns sorted by name, rows sorted, floats rounded).
+
+The driver's hash is TYPE-sensitive: a DuckDB HUGEINT (arrow decimal128(38,0))
+next to a Spark BIGINT (arrow int64) is a FAIL even when the values are
+identical — that is exactly how xa_q12_priority_split shipped red in r4 while
+this tool (then fetchall-based, which collapses both to Python int) said PASS.
+Types are therefore compared at the arrow level, with only these documented
+normalizations (cases the driver demonstrably tolerates across 150 green
+queries):
+  - timestamp unit and timezone are dropped (Spark parquet is us/UTC, DuckDB
+    TIMESTAMP is naive us; both render the same instant),
+  - string/large_string are one type,
+  - decimal precision is ignored but SCALE is kept (sum widening differs,
+    scale never does),
+  - list value-field nullability/names are ignored (recurse on value type).
+Everything else — int width, int vs decimal, float32 vs float64 — must match
+exactly.
 
 Dev tool only — the Scala library never depends on this.
 """
 import sys, os, json, glob, math, decimal
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def canon_type(t):
+    """Arrow type -> canonical string; see module docstring for the rules."""
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_decimal(t):
+        return f"decimal(s={t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)},{canon_type(t.item_type)}>"
+    return str(t)
+
+
 def norm_cell(v):
-    # DuckDB DECIMAL aggregates come back as decimal.Decimal while the Spark
-    # parquet side yields float — normalize both to float before comparing
-    if isinstance(v, decimal.Decimal):
-        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"  # NaN != NaN would flag agreeing results as diffs
@@ -31,6 +64,9 @@ def norm_cell(v):
         # places — absolute rounding is too strict for 1e9-scale sums and
         # too lax near zero
         return round(v, 8 - int(math.floor(math.log10(abs(v)))))
+    if isinstance(v, decimal.Decimal):
+        # types already matched (same scale) at this point; compare exactly
+        return v
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):
@@ -41,14 +77,20 @@ def norm_cell(v):
 def sort_key(t):
     # type-aware: numbers order numerically so a reported mismatch row index
     # pairs the same logical rows on both sides (str() would order "10"<"9")
-    return tuple((x is None, isinstance(x, str), x if isinstance(x, (int, float)) and not isinstance(x, bool) else 0, str(x)) for x in t)
+    return tuple((x is None, isinstance(x, str),
+                  float(x) if isinstance(x, (int, float, decimal.Decimal))
+                  and not isinstance(x, bool) else 0, str(x)) for x in t)
 
 
-def canon(cols, rows):
+def canon(tbl):
+    cols = list(tbl.column_names)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    types = [canon_type(tbl.schema.field(i).type) for i in order]
+    col_data = [tbl.column(i).to_pylist() for i in order]
+    out = [tuple(norm_cell(col[j]) for col in col_data)
+           for j in range(tbl.num_rows)]
     out.sort(key=sort_key)
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], types, out
 
 
 def main():
@@ -69,22 +111,24 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_rel = con.sql(
+            spark_tbl = con.sql(
                 "SELECT * FROM read_parquet([" +
-                ",".join(f"'{p}'" for p in res_glob) + "])")
-            s_cols = list(spark_rel.columns)
-            s_rows = spark_rel.fetchall()
-            o_rel = con.sql(oracles[name])
-            o_cols = list(o_rel.columns)
-            o_rows = o_rel.fetchall()
+                ",".join(f"'{p}'" for p in res_glob) + "])").arrow()
+            oracle_tbl = con.sql(oracles[name]).arrow()
         except Exception as e:
             fails.append((name, f"exec error: {e}"))
             n_fail += 1
             continue
-        sc, sr = canon(s_cols, s_rows)
-        oc, orows = canon(o_cols, o_rows)
+        sc, st, sr = canon(spark_tbl)
+        oc, ot, orows = canon(oracle_tbl)
         if sc != oc:
             fails.append((name, f"schema mismatch: spark={sc} oracle={oc}"))
+            n_fail += 1
+        elif st != ot:
+            pairs = [f"{c}: spark={a} oracle={b}"
+                     for c, a, b in zip(sc, st, ot) if a != b]
+            fails.append((name, "TYPE mismatch (driver hash is "
+                                "type-sensitive): " + "; ".join(pairs)))
             n_fail += 1
         elif len(sr) != len(orows):
             fails.append((name, f"row count: spark={len(sr)} oracle={len(orows)}"))
