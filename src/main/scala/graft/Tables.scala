@@ -161,6 +161,29 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
+  /** Derived `partsupp` — the corpus ships no partsupp fixture, so the TPC-H
+    * Q11 shape derives one: the distinct `(l_partkey, l_suppkey)` pairs that
+    * actually traded, with availqty/supplycost as deterministic integer
+    * functions of the keys (exactly reproducible as a DuckDB CTE, so Q11
+    * stays hash-checkable). Supply cost is kept in integer CENTS so every
+    * downstream sum is exact int64 — no decimal/double portability rules
+    * needed. Corpus-scale (≈ lineitem's key cardinality), so staged via
+    * [[derivedBig]]: one distinct shuffle once per session, then consumers
+    * get a plain pruned parquet scan — at 100 TB this is a written-once
+    * dimension layout, not a per-query recompute.
+    */
+  def partsupp(spark: SparkSession, sfDir: String): DataFrame =
+    derivedBig(spark, sfDir, "partsupp") {
+      lineitem(spark, sfDir)
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .select(col("ps_partkey"), col("ps_suppkey"),
+          (((col("ps_partkey") * 37 + col("ps_suppkey") * 17) % 9999) + 1)
+            .as("ps_availqty"),
+          (((col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 100000) + 100)
+            .as("ps_supplycost_cents"))
+    }
+
   /** Portable deterministic 24-bit hash of a string column: the first 6 hex
     * digits of md5, as a long in [0, 2^24). Identical in DuckDB via strpos
     * arithmetic ([[Oracle.h24]]) — used wherever a derivation needs a

@@ -842,6 +842,37 @@ object RelationalOps {
       .select(col("s_suppkey"), col("s_name"), col("shipped_qty"))
   }
 
+  /** X-J: Q11 important stock — per-part inventory value held by a bloc of
+    * nations' suppliers (every fourth `n_nationkey`; a single named nation
+    * can be supplier-empty at tiny SF), keeping parts whose value exceeds
+    * fraction 1/10000 of the bloc total (the TPC-H correlated scalar
+    * subquery). Uses the
+    * derived [[Tables.partsupp]] (integer-cents costs), so the whole query
+    * is exact int64 arithmetic: the HAVING compare is decorrelated to
+    * `value_cents * 10000 > total_cents` against a ONE-ROW broadcast
+    * aggregate of the per-part aggregate — same pattern as
+    * [[excessSuppliers]]. Plan at 100 TB: partsupp scans once, the nation's
+    * supplier list is a broadcast semi-join (25-way nation split ⇒ tiny),
+    * one shuffle for the per-part aggregate, and the global total re-reads
+    * the AGGREGATE (not the fact) — no second corpus scan, no
+    * double-precision threshold drift.
+    */
+  def importantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .where(col("n_nationkey") % 4 === 1).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.partsupp(spark, sfDir)
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"), "leftsemi")
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart.join(broadcast(total))
+      .where(col("value_cents") * 10000 > col("total_cents"))
+      .select(col("ps_partkey"), col("value_cents"))
+  }
+
   /** X-O sampling: deterministic fixed-size uniform sample per group via
     * bottom-k-by-hash — rank rows inside each segment by a salted content
     * hash ([[Tables.h24]]) and keep the k smallest. Unlike Bernoulli

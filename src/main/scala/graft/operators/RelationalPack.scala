@@ -57,6 +57,7 @@ object RelationalPack extends QueryPack {
     "xj_q9_profit_nation" -> ((s, d) => RelationalOps.profitByNation(s, d)),
     "xa_q12_priority_split" -> ((s, d) => RelationalOps.latePrioritySplit(s, d)),
     "xj_q20_excess_suppliers" -> ((s, d) => RelationalOps.excessSuppliers(s, d)),
+    "xj_q11_important_stock" -> ((s, d) => RelationalOps.importantStock(s, d)),
   )
 
   private val rev =
@@ -491,6 +492,29 @@ object RelationalPack extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND datediff('day', o_orderdate, l_shipdate) > 60
         |GROUP BY l_returnflag""".stripMargin,
+    "xj_q11_important_stock" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem),
+        |partsupp AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    (ps_partkey*37 + ps_suppkey*17) % 9999 + 1 AS ps_availqty,
+        |    (ps_partkey*13 + ps_suppkey*7) % 100000 + 100 AS ps_supplycost_cents
+        |  FROM pairs),
+        |nat_supp AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_nationkey % 4 = 1),
+        |per_part AS (
+        |  SELECT ps_partkey,
+        |    CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+        |  FROM partsupp
+        |  WHERE ps_suppkey IN (SELECT s_suppkey FROM nat_supp)
+        |  GROUP BY ps_partkey),
+        |total AS (
+        |  SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM per_part)
+        |SELECT ps_partkey, value_cents
+        |FROM per_part, total
+        |WHERE value_cents * 10000 > total_cents""".stripMargin,
     "xj_q20_excess_suppliers" ->
       """WITH per_supp AS (
         |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec

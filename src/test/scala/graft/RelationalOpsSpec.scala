@@ -466,4 +466,25 @@ class RelationalOpsSpec extends SparkSpec {
     // and nothing qualifying was dropped
     assert(rows.length == perSupp.where(col("q") > thr).count())
   }
+
+  test("importantStock (Q11 shape): exact int64 values, threshold honored, nothing dropped") {
+    val rows = RelationalOps.importantStock(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // independent recompute of per-part values for the nation cohort
+    val perPart = Tables.partsupp(spark, Sf)
+      .join(Tables.supplier(spark, Sf)
+          .join(Tables.nation(spark, Sf).where(col("n_nationkey") % 4 === 1),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey")),
+        col("ps_suppkey") === col("s_suppkey"), "leftsemi")
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = perPart.values.sum
+    rows.foreach { r =>
+      assert(perPart(r.getLong(0)) == r.getLong(1)) // exact value match
+      assert(r.getLong(1) * 10000 > total)          // threshold strict
+    }
+    assert(rows.length == perPart.count(_._2 * 10000 > total)) // completeness
+  }
 }
