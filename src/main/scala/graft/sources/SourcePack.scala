@@ -14,8 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `c1_run_on_all`: [[Registry.runOnAll]] fan-out over the fixture
   *    registry with the pure port-22 executor — the non-22 node's thrown
   *    error surfaces as a C3 error-value row.
-  *  - `s3_cmd_results`: the same runner over the corpus-derived registry
-  *    (fleet scale) with a deterministically flaky executor.
+  *  - `s3_cmd_results`: the same fan-out over the corpus-derived registry
+  *    (fleet scale) with a deterministically flaky executor, served through
+  *    the [[CmdSource]] DataSourceV2 (`format("graft-cmd")`) — command
+  *    output as a pluggable BatchScan table.
   */
 object SourcePack extends QueryPack {
 
@@ -30,11 +32,12 @@ object SourcePack extends QueryPack {
       val nodes = Registry.readRemotesJson(s, FixturePath).as[Registry.NodeInfo]
       Registry.runOnAll(nodes, "nodetool info")(Registry.PureExec.sshFixture).toDF()
     }),
-    "s3_cmd_results" -> ((s, d) => {
-      import s.implicits._
-      val nodes = Tables.registry(s, d).as[Registry.NodeInfo]
-      Registry.runOnAll(nodes, "uptime")(Registry.PureExec.sshFlaky).toDF()
-    }),
+    // through the DataSourceV2 [[CmdSource]] — the production shape: command
+    // output as a mounted TABLE, not an embedded mapPartitions call
+    "s3_cmd_results" -> ((s, d) =>
+      s.read.format("graft-cmd")
+        .option("sfdir", d).option("command", "uptime").option("exec", "flaky")
+        .load()),
     "xs_csv_roundtrip" -> ((s, d) => Formats.csvRoundtrip(s, d)),
     "xs_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
     "xs_json_lines" -> ((s, d) => Formats.jsonRoundtrip(s, d)),

@@ -137,4 +137,39 @@ class SourcesSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, Sf).count())
     assert(bySentinel.size > 1) // post-cutoff priorities present too
   }
+
+  test("CmdSource (DSv2): BatchScan plan, matches runOnAll, prunes columns at the source") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-cmd")
+      .option("sfdir", Sf).option("command", "uptime").option("exec", "flaky")
+      .load()
+    // the production shape: a real DataSourceV2 scan, not mapPartitions
+    assert(df.queryExecution.executedPlan.toString.contains("BatchScan"))
+    // row-for-row identical to the embedded runner
+    import spark.implicits._
+    val viaRunner = sources.Registry.runOnAll(
+      Tables.registry(spark, Sf).as[sources.Registry.NodeInfo], "uptime")(
+      sources.Registry.PureExec.sshFlaky).toDF()
+    assert(df.exceptAll(viaRunner).count() == 0 && viaRunner.exceptAll(df).count() == 0)
+    // projection reaches the scan: the pruned read schema drops stdout/stderr
+    val pruned = df.select("node", "exit_status")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("columns=[node,exit_status]"), scanDesc)
+    assert(pruned.count() == Tables.registry(spark, Sf).count())
+    // dead-node rows are error VALUES (C3): exactly the h24%10==0 cohort
+    // (possibly empty at tiny SF), never task failures
+    val expectDead = Tables.registry(spark, Sf)
+      .where(Tables.h24(col("name")) % 10 === 0).count()
+    assert(df.where(col("exit_status") === 255).count() == expectDead)
+  }
+
+  test("CmdSource reads the remotes.json fixture registry too") {
+    val df = spark.read.format("graft-cmd")
+      .option("registry", sources.SourcePack.FixturePath)
+      .option("command", "nodetool info").option("exec", "fixture")
+      .load()
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.count(_.getAs[Int]("exit_status") == 255) == 1) // non-22 port refused
+  }
 }
