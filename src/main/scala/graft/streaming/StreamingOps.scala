@@ -95,6 +95,25 @@ object StreamingOps {
       .agg(count("*").as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** True Structured Streaming session windows with watermark — the
+    * streaming twin of [[sessionCounts]]. Unlike fixed windows, session
+    * state MERGES: an event can bridge two open sessions into one, so the
+    * state store keeps per-(user, open-session) entries and the watermark
+    * is what closes them — a session emits (append mode) only once the
+    * watermark passes its end, i.e. no event can extend it any more. That
+    * same watermark bounds state size at scale: closed sessions leave the
+    * store, so state is proportional to concurrently-open sessions, not to
+    * history.
+    */
+  def streamingSession(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count("*").as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Stream-stream interval join — the streaming twin of
     * [[graft.operators.RelationalOps.clicksBeforeError]]: pair each error
     * with the same user's clicks from the preceding 10 minutes, as two

@@ -32,6 +32,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSession over MemoryStream matches the batch session_window result") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val data = Tables.events(spark, Sf)
+      .select(col("ts"), col("user_id"))
+      .collect().map(r => UserEv(0L, r.getLong(1), r.getTimestamp(0))).toSeq
+    val maxTs = data.map(_.ts.getTime).max
+    val stream = MemoryStream[UserEv]
+    val q = StreamingOps.streamingSession(stream.toDF())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      // append mode emits a session only once the watermark passes its end;
+      // the watermark advances at batch BOUNDARIES, so push it past every
+      // real session with two far-future sentinel events (filtered below)
+      for (h <- 1 to 2) {
+        stream.addData(UserEv(0L, -1L, new Timestamp(maxTs + h * 3600 * 1000L)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("session_test")
+        .where(col("user_id") >= 0).collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val batch = StreamingOps.sessionCounts(spark, Sf)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)) -> r.getAs[Long]("n_events")).toMap
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingTumbling over a file source matches the batch window result") {
     // the production-shaped source: files land in a directory, readStream
     // picks them up per micro-batch — the X-ST twin MemoryStream can't show
