@@ -22,6 +22,7 @@ object SimMediaPack extends QueryPack {
     "sim_quantized_topk" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
     "sim_pq_codes" -> ((s, d) => SimilarityOps.pqCodesFlat(s, d)),
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
+    "sim_recall_report" -> ((s, d) => SimilarityOps.recallReport(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
@@ -238,14 +239,38 @@ object SimMediaPack extends QueryPack {
       |  FROM qv q JOIN qvn n ON n.vec_id = q.query_id
       |)""".stripMargin)
 
+  private val qScoredCte =
+    """qscored AS (
+      |  SELECT qq.query_id, v.vec_id,
+      |    round(list_dot_product(qq.qqd, v.qd) / (qq.qqn * v.qn), 6) AS cosine
+      |  FROM qq CROSS JOIN qvn v WHERE v.vec_id <> qq.query_id
+      |)""".stripMargin
+
+  private val bfScoredCte =
+    s"""scored AS (
+       |  SELECT query_id, vec_id, ${cosSql("q", "e")} AS cosine
+       |  FROM qv CROSS JOIN vv WHERE vec_id <> query_id
+       |)""".stripMargin
+
+  private val pqScoredCtes = Seq(
+    s"""plut AS (
+       |  SELECT q.query_id, sqrt(list_dot_product(q.q, q.q)) AS qn, cb.m, cb.code,
+       |    list_dot_product(
+       |      list_slice(q.q, cb.m * ${SimilarityOps.PqSubDim} + 1,
+       |                 (cb.m + 1) * ${SimilarityOps.PqSubDim}), cb.cd) AS dp
+       |  FROM qv q CROSS JOIN pcb cb
+       |)""".stripMargin,
+    s"""pscored AS (
+       |  SELECT l.query_id, c.vec_id, max(l.qn) AS qn, max(c.rn) AS rn,
+       |    sum(l.dp) AS num
+       |  FROM pqcodes c JOIN plut l ON l.code = c.codes[l.m + 1]
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id
+       |)""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "sim_quantized_topk" ->
-      Oracle.withCtes(vecCtes ++ quantCtes :+
-        """qscored AS (
-          |  SELECT qq.query_id, v.vec_id,
-          |    round(list_dot_product(qq.qqd, v.qd) / (qq.qqn * v.qn), 6) AS cosine
-          |  FROM qq CROSS JOIN qvn v WHERE v.vec_id <> qq.query_id
-          |)""".stripMargin: _*)(
+      Oracle.withCtes(vecCtes ++ quantCtes :+ qScoredCte: _*)(
         s"""SELECT query_id, vec_id, cosine, rank FROM (
            |  SELECT query_id, vec_id, cosine,
            |    row_number() OVER (PARTITION BY query_id
@@ -253,11 +278,7 @@ object SimMediaPack extends QueryPack {
            |  FROM qscored)
            |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
     "sim_bruteforce_topk" ->
-      Oracle.withCtes(vecCtes :+
-        s"""scored AS (
-           |  SELECT query_id, vec_id, ${cosSql("q", "e")} AS cosine
-           |  FROM qv CROSS JOIN vv WHERE vec_id <> query_id
-           |)""".stripMargin: _*)(
+      Oracle.withCtes(vecCtes :+ bfScoredCte: _*)(
         s"""SELECT query_id, vec_id, cosine, rank FROM (
            |  SELECT query_id, vec_id, cosine,
            |    row_number() OVER (PARTITION BY query_id
@@ -309,27 +330,60 @@ object SimMediaPack extends QueryPack {
            |  rn
            |FROM pqcodes""".stripMargin),
     "sim_pq_topk" ->
-      Oracle.withCtes(vecCtes ++ pqCtes ++ Seq(
-        s"""plut AS (
-           |  SELECT q.query_id, sqrt(list_dot_product(q.q, q.q)) AS qn, cb.m, cb.code,
-           |    list_dot_product(
-           |      list_slice(q.q, cb.m * ${SimilarityOps.PqSubDim} + 1,
-           |                 (cb.m + 1) * ${SimilarityOps.PqSubDim}), cb.cd) AS dp
-           |  FROM qv q CROSS JOIN pcb cb
-           |)""".stripMargin,
-        s"""pscored AS (
-           |  SELECT l.query_id, c.vec_id, max(l.qn) AS qn, max(c.rn) AS rn,
-           |    sum(l.dp) AS num
-           |  FROM pqcodes c JOIN plut l ON l.code = c.codes[l.m + 1]
-           |  WHERE c.vec_id <> l.query_id
-           |  GROUP BY l.query_id, c.vec_id
-           |)""".stripMargin): _*)(
+      Oracle.withCtes(vecCtes ++ pqCtes ++ pqScoredCtes: _*)(
         s"""SELECT query_id, vec_id, adc_cosine, rank FROM (
            |  SELECT query_id, vec_id, round(num / (qn * rn), 6) AS adc_cosine,
            |    row_number() OVER (PARTITION BY query_id
            |                       ORDER BY round(num / (qn * rn), 6) DESC, vec_id) AS rank
            |  FROM pscored)
            |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
+    // recall@k of the compressed variants vs the exact baseline — same CTE
+    // text as the three individual oracles, composed
+    "sim_recall_report" ->
+      Oracle.withCtes(vecCtes ++ quantCtes ++ pqCtes ++ Seq(
+        bfScoredCte, qScoredCte) ++ pqScoredCtes ++ Seq(
+        s"""bftop AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= ${SimilarityOps.TopK}
+           |)""".stripMargin,
+        s"""qtop AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM qscored)
+           |  WHERE rank <= ${SimilarityOps.TopK}
+           |)""".stripMargin,
+        s"""ptop AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY round(num / (qn * rn), 6) DESC, vec_id) AS rank
+           |    FROM pscored)
+           |  WHERE rank <= ${SimilarityOps.TopK}
+           |)""".stripMargin,
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qv)",
+        """qhits AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS total_hits
+          |  FROM qtop t JOIN bftop e
+          |    ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+          |)""".stripMargin,
+        """phits AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS total_hits
+          |  FROM ptop t JOIN bftop e
+          |    ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+          |)""".stripMargin): _*)(
+        s"""SELECT 'quantized_int8' AS method, n_queries, total_hits,
+           |  CAST(total_hits AS DOUBLE) / (n_queries * ${SimilarityOps.TopK}) AS recall_at_k
+           |FROM qhits, nq
+           |UNION ALL
+           |SELECT 'pq_adc' AS method, n_queries, total_hits,
+           |  CAST(total_hits AS DOUBLE) / (n_queries * ${SimilarityOps.TopK}) AS recall_at_k
+           |FROM phits, nq""".stripMargin),
     "md_metadata" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |  'text/plain' AS format, md5(text) AS checksum

@@ -464,4 +464,31 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("k").cast("long").as("k"))
     topKScan(spark, pruned, probes)
   }
+
+  /** Recall@k of the compressed ANN variants against the exact
+    * [[bruteForceTopK]] baseline, as a REGISTERED query — retrieval quality
+    * becomes a tracked, oracle-replayed number instead of a one-off spec
+    * assertion. One row per method: hit count over all queries plus
+    * recall = hits / (n_queries · k), exact small-int division so the
+    * double is engine-identical. Plan shape: each method's top-k
+    * semi-joins the exact top-k on (query_id, vec_id) — both sides are
+    * query-set-sized (|Q|·k rows), tiny next to the corpus scans that
+    * produce them, so the report costs two broadcast semi-joins on top of
+    * work the ANN queries already do. At 100 TB this is the nightly
+    * retrieval-quality audit run on a sampled query set.
+    */
+  def recallReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir).select(col("query_id"), col("vec_id"))
+    val nq = queryVecs(spark, sfDir).agg(count(lit(1)).as("n_queries"))
+    def one(name: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("vec_id"))
+        .join(broadcast(exact), Seq("query_id", "vec_id"), "leftsemi")
+        .agg(count(lit(1)).as("total_hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(name).as("method"), col("n_queries"), col("total_hits"),
+          (col("total_hits").cast("double") / (col("n_queries") * TopK))
+            .as("recall_at_k"))
+    one("quantized_int8", quantizedTopK(spark, sfDir))
+      .unionAll(one("pq_adc", pqTopK(spark, sfDir)))
+  }
 }
