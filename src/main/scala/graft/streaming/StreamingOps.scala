@@ -249,10 +249,11 @@ object StreamingOps {
   /** One user event for the streaming SCD2 build. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                        event_type: String)
-  /** Open interval carried between micro-batches: the user's current state
-    * and when it began.
+  /** Open interval carried between micro-batches: the user's current state,
+    * when it began, and the max event time already folded in (the late-event
+    * watermark for this user).
     */
-  case class Scd2Open(state: String, validFromMs: Long)
+  case class Scd2Open(state: String, validFromMs: Long, maxSeenMs: Long)
   /** A closed validity interval (the open/current one stays in state). */
   case class Scd2Closed(user_id: Long, state: String,
                         valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
@@ -268,19 +269,28 @@ object StreamingOps {
     * the whole corpus, materializes it as `valid_to IS NULL`).
     *
     * In-batch ordering is restored by an explicit (ts, event_id) sort of
-    * the group's iterator; ACROSS batches events are assumed in order per
-    * user (the kafka-partition-by-key delivery contract). Guarding against
-    * genuinely late cross-batch events needs an event-time timeout +
-    * per-user buffer — deliberately out of scope for the twin.
+    * the group's iterator; ACROSS batches events are expected in order per
+    * user (the kafka-partition-by-key delivery contract). Out-of-contract
+    * input is GUARDED, not silently folded in: each user's state carries
+    * the max event time already applied, a cross-batch event older than
+    * that is dropped, and the drop is counted in the `lateEvents`
+    * accumulator — late data becomes an observable metric instead of
+    * overlapping or out-of-order interval history. (A reordering buffer
+    * would need an event-time timeout + per-user heap; the contract here
+    * is the same one the batch twin's global sort enforces.)
     */
-  def streamingScd2(events: org.apache.spark.sql.Dataset[UserEvent])
+  def streamingScd2(events: org.apache.spark.sql.Dataset[UserEvent],
+                    lateEvents: Option[org.apache.spark.util.LongAccumulator] = None)
       : org.apache.spark.sql.Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (uid: Long, it: Iterator[UserEvent], state: GroupState[Scd2Open]) =>
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val seen = state.getOption.map(_.maxSeenMs).getOrElse(Long.MinValue)
+        val (onTime, late) = it.toSeq.partition(_.ts.getTime >= seen)
+        lateEvents.foreach(_.add(late.size))
+        val sorted = onTime.sortBy(e => (e.ts.getTime, e.event_id))
         val out = Seq.newBuilder[Scd2Closed]
         var cur = state.getOption
         sorted.foreach { e =>
@@ -288,10 +298,11 @@ object StreamingOps {
             case Some(open) if open.state != e.event_type =>
               out += Scd2Closed(uid, open.state,
                 new java.sql.Timestamp(open.validFromMs), e.ts)
-              cur = Some(Scd2Open(e.event_type, e.ts.getTime))
+              cur = Some(Scd2Open(e.event_type, e.ts.getTime, e.ts.getTime))
+            case Some(open) => // same state: the open interval extends
+              cur = Some(open.copy(maxSeenMs = e.ts.getTime))
             case None =>
-              cur = Some(Scd2Open(e.event_type, e.ts.getTime))
-            case _ => () // same state: the open interval simply extends
+              cur = Some(Scd2Open(e.event_type, e.ts.getTime, e.ts.getTime))
           }
         }
         cur.foreach(state.update)

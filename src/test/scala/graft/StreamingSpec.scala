@@ -289,6 +289,35 @@ class StreamingSpec extends SparkSpec {
       // user 2 and user 1's "error" stay open — in state, not in the sink
     } finally q.stop()
   }
+
+  test("streamingScd2 drops and counts cross-batch late events instead of corrupting history") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{UserEvent, Scd2Closed}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val late = spark.sparkContext.longAccumulator("scd2_late")
+    val stream = MemoryStream[UserEvent]
+    val q = StreamingOps.streamingScd2(stream.toDS(), Some(late))
+      .writeStream.format("memory").queryName("scd2_late_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(UserEvent(1L, t("2024-01-01 10:00:00"), 1L, "view"),
+        UserEvent(1L, t("2024-01-01 10:10:00"), 2L, "click"))
+      q.processAllAvailable()
+      // out-of-contract: older than user 1's max applied event time —
+      // would retroactively split the already-closed "view" interval
+      stream.addData(UserEvent(1L, t("2024-01-01 10:05:00"), 3L, "error"),
+        UserEvent(1L, t("2024-01-01 10:20:00"), 4L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_late_test").as[Scd2Closed].collect()
+        .map(c => (c.user_id, c.state, c.valid_from, c.valid_to)).toSet
+      // history is exactly what the in-contract events produce
+      assert(got == Set(
+        (1L, "view", t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")),
+        (1L, "click", t("2024-01-01 10:10:00"), t("2024-01-01 10:20:00"))))
+      assert(late.value == 1L) // and the drop is observable
+    } finally q.stop()
+  }
   test("streamingHeavyKeys: windowed MG candidates cover each window's true heavy keys") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
