@@ -68,7 +68,15 @@ object PlanDump {
       ("geo_neighbor_pairs", "grid-bucket spatial self-join: 9x replicate + ONE cell-key shuffle",
         operators.GeoOps.neighborPairs(spark, sfDir)),
       ("xp_incremental_monthly", "staged history partials + cutoff-filtered delta, tiny merge agg",
-        operators.ScaleOps.incrementalMonthlyOrders(spark, sfDir)))
+        operators.ScaleOps.incrementalMonthlyOrders(spark, sfDir)),
+      ("xj_q11_important_stock", "derived-partsupp scan once; threshold = one-row broadcast of the per-part agg",
+        operators.RelationalOps.importantStock(spark, sfDir)),
+      ("sim_recall_report", "exact top-k broadcast; per-method hits are query-set-sized semi-joins",
+        operators.SimilarityOps.recallReport(spark, sfDir)),
+      ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
+        spark.read.format("graft-cmd").option("sfdir", sfDir)
+          .option("command", "uptime").option("exec", "flaky").load()
+          .select("node", "exit_status")))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator Catalyst extension (SURVEY §2 custom-operator preference
@@ -21,19 +21,24 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * buffering, and it never materializes a rank column. At 100 TB the
   * difference is a spilled sort versus a streaming pass.
   *
-  * Scale contract: `requiredChildDistribution = ClusteredDistribution(keys)`
-  * tells EnsureRequirements to hash-partition the input on the grouping
-  * keys (ONE exchange, same as the window form) — after which every key's
-  * rows are co-located and the heap pass is embarrassingly parallel. The
-  * operator never asks for a sort.
+  * Scale contract: the strategy plans a PARTIAL/FINAL pair, exactly like
+  * hash aggregation. The partial exec runs the bounded heaps on each
+  * map-side partition as-is (no required distribution), so the ONE
+  * exchange between partial and final (`ClusteredDistribution(keys)` on
+  * the final) carries at most partitions × keys × k rows — top-k composes
+  * (top-k of a union = top-k of per-part top-k's), which is what makes the
+  * map-side pass sound. At 100 TB the shuffle shrinks from the full
+  * aggregate to a few rows per (task, key); neither exec ever asks for a
+  * sort.
   *
   * Measured trade-off (sf0.1, ~150k orders, ~10 rows/key, k=2): the
   * codegen'd window form wins (~0.7 s vs ~1.2 s) — this exec runs an
   * interpreted row-at-a-time pipeline (per-row key projection + hash
   * lookup), while tiny per-key sorts are cheap. The crossover is where
   * per-key row sets grow enough that the window's full-partition sort
-  * buffers/spills; below it, prefer the window form. Kept as the library's
-  * reference implementation of the whole-operator extension path.
+  * buffers/spills — or where the shuffle itself dominates, which the
+  * partial pass now caps. Kept as the library's reference implementation
+  * of the whole-operator extension path.
   */
 case class TopKPerKeyNode(
     k: Int,
@@ -52,7 +57,10 @@ case class TopKPerKeyNode(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+      // partial (map-side, any distribution) under final (key-clustered):
+      // EnsureRequirements inserts the single exchange between them
+      TopKPerKeyExec(k, keys, order,
+        TopKPerKeyExec(k, keys, order, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -67,11 +75,15 @@ case class TopKPerKeyExec(
     k: Int,
     keys: Seq[Expression],
     order: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
