@@ -63,6 +63,7 @@ object Bench {
       Tables.bucketedLineitem(spark, sfDir).count()
       operators.ScaleOps.incrementalMonthlyOrders(spark, sfDir).count()
       operators.ScaleOps.sortedOrdersLayout(spark, sfDir).count()
+      operators.ScaleOps.zorderedOrdersLayout(spark, sfDir).count()
       sources.Formats.stageAll(spark, sfDir)
     }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

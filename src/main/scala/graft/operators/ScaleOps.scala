@@ -181,6 +181,51 @@ object ScaleOps {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"))
 
+  /** Grid epoch for the z-order layout's date dimension. */
+  val ZorderEpoch = "1992-01-01"
+
+  /** X-P13: MULTI-dimension clustering via a z-order (Morton) sort key —
+    * what single-dimension range sorting ([[sortedOrdersLayout]]) cannot
+    * give: that layout skips files on `o_orderdate` but a custkey-band scan
+    * still reads everything. Interleaving (day-since-epoch, custkey) bits
+    * through the library's codegen'd [[graft.functions.ZEncode2]] and
+    * range-sorting by the z-key clusters BOTH dimensions at once, so
+    * parquet footer min/max stats skip files for date slices, custkey
+    * bands, and especially their conjunction — the Delta/Iceberg
+    * `OPTIMIZE ZORDER BY` move, done with plain Spark. The z-key is a
+    * WRITE-TIME artifact and is dropped from the stored schema; readers
+    * filter the natural columns and skipping falls out of the stats.
+    *
+    * Grid scaling: both coords must fit 16 bits. Days since 1992 fit
+    * (~2^13 for this corpus's span); custkey fits directly at every test SF
+    * and is clamped defensively — at 100 TB you'd map each dimension to its
+    * 16-bit QUANTILE rank first (a one-pass approx-quantile sketch), which
+    * changes the grid assignment, not the technique.
+    */
+  def zorderedOrdersLayout(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "orders_zorder") {
+      Tables.orders(spark, sfDir)
+        .withColumn("zd",
+          datediff(col("o_orderdate"), lit(ZorderEpoch).cast("date")).cast("int"))
+        .withColumn("zc", least(col("o_custkey"), lit(65535L)).cast("int"))
+        .withColumn("zkey", graft.functions.ZCurveExpressions.z2(spark, "zd", "zc"))
+        .repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zd", "zc", "zkey")
+    }
+
+  /** The read side of X-P13: a date-range × custkey-band slice over the
+    * z-ordered layout. Both predicates push to the scan; the z-clustering
+    * makes footer stats prune files on each dimension independently.
+    */
+  def zorderSliceScan(spark: SparkSession, sfDir: String): DataFrame =
+    zorderedOrdersLayout(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp") &&
+        col("o_custkey") <= 4095)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+
   /** Cutoff splitting "settled history" from "fresh arrivals" for the
     * incremental-aggregation demo. At 100 TB this is the ingest watermark a
     * recurring pipeline advances each run.

@@ -18,6 +18,7 @@ object ScalePack extends QueryPack {
     "xp_runtime_filter_revenue" -> ((s, d) => ScaleOps.runtimeFilteredRevenue(s, d)),
     "xp_incremental_monthly" -> ((s, d) => ScaleOps.incrementalMonthlyOrders(s, d)),
     "xp_sorted_layout_scan" -> ((s, d) => ScaleOps.sortedLayoutMonthScan(s, d)),
+    "xp_zorder_scan" -> ((s, d) => ScaleOps.zorderSliceScan(s, d)),
   )
 
   private val rev =
@@ -48,6 +49,14 @@ object ScalePack extends QueryPack {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+    // the z-ordered layout is lossless: the slice equals the plain-table
+    // filter on both dimensions
+    "xp_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_custkey <= 4095""".stripMargin,
     "xp_incremental_monthly" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |  count(*) AS n_orders,

@@ -149,4 +149,27 @@ class ScaleOpsSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
     assert(slice.exceptAll(direct).count() == 0 && direct.exceptAll(slice).count() == 0)
   }
+
+  test("zorderSliceScan: z-layout skips files on BOTH dims, filters pushed, lossless") {
+    import org.apache.spark.sql.functions._
+    val slice = ScaleOps.zorderSliceScan(spark, Sf)
+    val qe = slice.queryExecution.toString
+    assert(qe.contains("PushedFilters") && qe.contains("o_orderdate") &&
+      qe.contains("o_custkey"))
+    val layoutFiles = ScaleOps.zorderedOrdersLayout(spark, Sf)
+      .select(input_file_name()).distinct().count()
+    assert(layoutFiles >= 4, s"layout has only $layoutFiles files")
+    // the conjunctive slice (one z-quadrant's worth of both dims) must not
+    // touch every file — the property the single-dim sorted layout lacks
+    val sliceFiles = slice.select(input_file_name()).distinct().count()
+    assert(sliceFiles < layoutFiles,
+      s"z slice touched all $layoutFiles files")
+    // lossless vs the plain table on the same predicates
+    val direct = Tables.orders(spark, Sf)
+      .where(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp") &&
+        col("o_custkey") <= 4095)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    assert(slice.exceptAll(direct).count() == 0 && direct.exceptAll(slice).count() == 0)
+  }
 }
