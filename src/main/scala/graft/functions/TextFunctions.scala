@@ -21,14 +21,21 @@ object TextFunctions {
 
   /** Word 3-gram shingles as an array column — the unit for MinHash /
     * Jaccard dedup. Empty array for texts under 3 words.
+    *
+    * Callers on a corpus scan should project `words(text)` to an attribute
+    * and use [[shingles3OfWords]]: expressions inside the transform lambda
+    * sit outside common-subexpression elimination, so passing the raw
+    * `words(text)` expression re-runs the split for every element_at —
+    * O(words²) per document (measured 5.5x on the bigram twin at sf0.1).
     */
-  def shingles3(text: Column): Column = {
-    val w = words(text)
+  def shingles3(text: Column): Column = shingles3OfWords(words(text))
+
+  /** [[shingles3]] over an already-materialized word-array column. */
+  def shingles3OfWords(w: Column): Column =
     when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Portable 24-bit hash (md5 prefix) — see [[Tables.h24]]. */
   def h24(c: Column): Column = Tables.h24(c)

@@ -76,8 +76,9 @@ object DedupOps {
       // array_distinct before the explode keeps the whole derivation narrow
       // — no shuffle of the exploded corpus, ever
       Tables.documents(spark, sfDir)
+        .select(col("doc_id"), words(col("text")).as("w")) // split ONCE per row
         .select(col("doc_id"),
-          explode(array_distinct(shingles3(col("text")))).as("shingle"))
+          explode(array_distinct(shingles3OfWords(col("w")))).as("shingle"))
     }
 
   /** Per-document MinHash signature: NumHashes independent min-hashes over

@@ -337,12 +337,18 @@ object TextOps {
     * top set is deterministic cross-engine.
     */
   def topBigramsPerLang(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val w = words(col("text"))
+    // materialize the word array ONCE per row before the bigram lambda:
+    // expressions inside transform()'s lambda are outside common-
+    // subexpression elimination, so referencing words(text) there re-runs
+    // the split per element_at — O(words²) per doc. Projecting it to an
+    // attribute first made this query 5.5x faster at sf0.1 (3.6 s → 0.65 s).
+    val w = col("w")
     val bigrams = when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
     val langBigram = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), words(col("text")).as("w"))
       .select(col("lang"), col("doc_id"), explode(array_distinct(bigrams)).as("bigram"))
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("doc_freq"))
