@@ -165,6 +165,44 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming incremental aggregate maintenance — the ingest-time twin of
+    * [[graft.operators.ScaleOps.incrementalMonthlyOrders]] (X-P11): each
+    * micro-batch folds its orders into per-month PARTIALS (count +
+    * decimal sum — algebraic, so partial ⊕ partial ≡ total exactly) and
+    * lands them under `batch_id=<id>` with dynamic partition OVERWRITE:
+    * a replayed batch rewrites ITS OWN partition instead of double-counting,
+    * which is the exactly-once contract foreachBatch leaves to the sink.
+    * Readers merge |months × batches| partial rows ([[readIncrementalMonthly]])
+    * — never the fact stream. At 100 TB this is the always-on materialized
+    * view: the corpus is aggregated once, and each arriving batch costs its
+    * own size plus a rows-not-facts merge at read time (compact partials
+    * periodically if batch count grows unbounded).
+    */
+  def streamingIncrementalMonthly(orders: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    orders.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_part"),
+            sum(col("o_totalprice").cast("decimal(12,2)")).as("total_part"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
+
+  /** Merge the staged partials into the monthly view — the read side of
+    * [[streamingIncrementalMonthly]]; same decimal-exact merge as the batch
+    * form.
+    */
+  def readIncrementalMonthly(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("month"))
+      .agg(sum(col("n_part")).as("n_orders"),
+        sum(col("total_part")).cast("double").as("total"))
+
   /** Streaming exact dedup — the ingest-time form of
     * [[graft.operators.DedupOps.exactDedup]]: drop any row whose content
     * hash was already seen within the watermark horizon. State is one entry

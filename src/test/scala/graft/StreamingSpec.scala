@@ -9,6 +9,7 @@ case class Ev(ts: Timestamp, event_type: String)
 case class Doc(ts: Timestamp, text_hash: String)
 case class UserEv(event_id: Long, user_id: Long, ts: Timestamp)
 case class TypedEv(event_id: Long, user_id: Long, event_type: String)
+case class OrderEv(ts: java.time.LocalDateTime, price: Double) // NTZ, like o_orderdate
 
 class StreamingSpec extends SparkSpec {
 
@@ -158,6 +159,41 @@ class StreamingSpec extends SparkSpec {
       // batch provenance is preserved: two distinct micro-batches landed
       assert(back.select("batch_id").distinct().count() == 2)
       assert(back.where(col("batch_id") === 1L).count() == 1)
+    } finally {
+      q.stop()
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(): Unit
+      }
+      rec(new java.io.File(out))
+    }
+  }
+
+  test("streamingIncrementalMonthly: partial-merge view equals the batch aggregate") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_incmv_").toString
+    val all = Tables.orders(spark, Sf)
+      .select(col("o_orderdate"), col("o_totalprice"))
+      .collect().map(r => OrderEv(r.getAs[java.time.LocalDateTime](0), r.getDouble(1)))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val stream = MemoryStream[OrderEv]
+    val q = StreamingOps.streamingIncrementalMonthly(
+      stream.toDF().withColumnRenamed("ts", "o_orderdate")
+        .withColumnRenamed("price", "o_totalprice"), out)
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      // each micro-batch landed its own partial partition (idempotent replay unit)
+      assert(spark.read.parquet(out).select("batch_id").distinct().count() == 2)
+      // o_orderdate is TIMESTAMP_NTZ: month keys collect as LocalDateTime
+      val view = StreamingOps.readIncrementalMonthly(spark, out)
+        .collect().map(r => r.get(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = Tables.orders(spark, Sf)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("t"))
+        .collect().map(r => r.get(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(view == batch && view.nonEmpty) // decimal partials merge EXACTLY
     } finally {
       q.stop()
       def rec(f: java.io.File): Unit = {
