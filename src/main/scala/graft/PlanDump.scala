@@ -73,6 +73,8 @@ object PlanDump {
         operators.RelationalOps.importantStock(spark, sfDir)),
       ("sim_recall_report", "exact top-k broadcast; per-method hits are query-set-sized semi-joins",
         operators.SimilarityOps.recallReport(spark, sfDir)),
+      ("xp_zorder_scan", "z-ordered layout: BOTH dims' predicates push to the scan and skip files",
+        operators.ScaleOps.zorderSliceScan(spark, sfDir)),
       ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()
