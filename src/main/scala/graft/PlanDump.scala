@@ -75,6 +75,10 @@ object PlanDump {
         operators.SimilarityOps.recallReport(spark, sfDir)),
       ("xp_zorder_scan", "z-ordered layout: BOTH dims' predicates push to the scan and skip files",
         operators.ScaleOps.zorderSliceScan(spark, sfDir)),
+      ("xt_funnel_steps", "cascaded per-user aggs: map-side partials, raw stream joined by broadcast/reused exchange",
+        operators.TimeSeriesOps.funnelSteps(spark, sfDir)),
+      ("xt_cohort_retention", "stream collapses to (user,day) pairs; cohort sizes broadcast back",
+        operators.TimeSeriesOps.cohortRetention(spark, sfDir)),
       ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()

@@ -400,6 +400,32 @@ object DedupOps {
       .distinct()
   }
 
+  /** Quality-aware survivor selection: for every duplicate cluster, rank the
+    * members by the curation quality score (ties → lower doc_id) and flag
+    * the best one to keep. [[duplicateClusters]]' min-doc_id `is_canonical`
+    * is an arbitrary-but-deterministic keeper; a real pipeline keeps the
+    * HIGHEST-QUALITY member of each near-dup cluster — this is that step,
+    * emitted per member so the drop list is directly joinable.
+    *
+    * Scale shape: the cluster table holds only docs inside some duplicate
+    * cluster (≪ corpus — that is dedup's premise), so it broadcasts; the
+    * documents scan stays narrow and the quality expression evaluates only
+    * on the joined sliver. The ranking window partitions by cluster —
+    * cluster sizes are bounded by the LSH bucket guard, so no window
+    * partition can degenerate.
+    */
+  def canonicalByQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = duplicateClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val members = Tables.documents(spark, sfDir)
+      .join(broadcast(clusters), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        TextOps.qualityScoreExpr.as("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    members.withColumn("is_best", row_number().over(w) === 1)
+  }
+
   /** Per-band MinHash bucket-size distribution + the hot-bucket guard's
     * would-drop accounting (what [[guardBuckets]] excludes from the
     * candidate join): bucket count, largest bucket, and how many

@@ -58,6 +58,8 @@ object RelationalPack extends QueryPack {
     "xa_q12_priority_split" -> ((s, d) => RelationalOps.latePrioritySplit(s, d)),
     "xj_q20_excess_suppliers" -> ((s, d) => RelationalOps.excessSuppliers(s, d)),
     "xj_q11_important_stock" -> ((s, d) => RelationalOps.importantStock(s, d)),
+    "xt_cohort_retention" -> ((s, d) => TimeSeriesOps.cohortRetention(s, d)),
+    "xt_funnel_steps" -> ((s, d) => TimeSeriesOps.funnelSteps(s, d)),
   )
 
   private val rev =
@@ -515,6 +517,48 @@ object RelationalPack extends QueryPack {
         |SELECT ps_partkey, value_cents
         |FROM per_part, total
         |WHERE value_cents * 10000 > total_cents""".stripMargin,
+    "xt_cohort_retention" ->
+      """WITH am AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_idx
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(day_idx) AS cohort_day FROM am GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_day, count(*) AS cohort_users FROM cohorts GROUP BY cohort_day)
+        |SELECT cohort_day, day_idx - cohort_day AS day_offset,
+        |  count(*) AS n_active, cohort_users,
+        |  CAST(count(*) AS DOUBLE) / cohort_users AS retention
+        |FROM am JOIN cohorts USING (user_id) JOIN sizes USING (cohort_day)
+        |GROUP BY cohort_day, day_idx - cohort_day, cohort_users""".stripMargin,
+    "xt_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM ev GROUP BY user_id),
+        |c AS (
+        |  SELECT ev.user_id, min(v.t_view) AS t_view,
+        |    min(CASE WHEN event_type = 'click' AND ts > v.t_view THEN ts END) AS t_click
+        |  FROM ev JOIN v USING (user_id) GROUP BY ev.user_id),
+        |p AS (
+        |  SELECT ev.user_id, min(c.t_view) AS t_view, min(c.t_click) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > c.t_click THEN ts END)
+        |      AS t_purchase
+        |  FROM ev JOIN c USING (user_id) GROUP BY ev.user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view_click,
+        |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view_click_purchase,
+        |  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS click_conv,
+        |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS purchase_conv
+        |FROM p""".stripMargin,
     "xj_q20_excess_suppliers" ->
       """WITH per_supp AS (
         |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec

@@ -38,6 +38,7 @@ object TextDedupPack extends QueryPack {
     "dd_embedding_neardups" -> ((s, d) => DedupOps.embeddingNearDups(s, d, 0.30)),
     "dd_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "dd_cluster_stats" -> ((s, d) => DedupOps.clusterStats(s, d)),
+    "dd_canonical_quality" -> ((s, d) => DedupOps.canonicalByQuality(s, d)),
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
@@ -357,6 +358,14 @@ object TextDedupPack extends QueryPack {
           ++ clusterCtes: _*)(
         """SELECT cluster_id, count(*) AS n_docs, count(*) - 1 AS n_droppable
           |FROM clusters GROUP BY cluster_id""".stripMargin),
+    "dd_canonical_quality" ->
+      Oracle.withRecursiveCtes(
+        Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
+          ++ clusterCtes :+ scoredCte: _*)(
+        """SELECT doc_id, cluster_id, quality_score,
+          |  row_number() OVER (PARTITION BY cluster_id
+          |    ORDER BY quality_score DESC, doc_id) = 1 AS is_best
+          |FROM clusters JOIN scored USING (doc_id)""".stripMargin),
     "dd_simhash" -> (simhashBase + "\nSELECT doc_id, simhash FROM sig"),
     "dd_simhash_groups" -> (simhashBase + """
       |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper

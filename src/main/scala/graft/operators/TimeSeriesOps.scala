@@ -84,6 +84,86 @@ object TimeSeriesOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Cohort retention: bucket every user by the day of their first event
+    * (the cohort), then count how many of each cohort's users are active 0,
+    * 1, 2, … days later — the standard retention triangle. Days are encoded
+    * as epoch-day ordinals so offsets are exact integer subtraction (no
+    * calendar arithmetic to drift cross-engine). Daily grain because the
+    * fixture stream spans one month; the shape is grain-agnostic.
+    *
+    * Scale shape: the raw stream first collapses to distinct (user, day)
+    * activity pairs — bounded by users × active days, orders of magnitude
+    * below event count — and every later stage (first-day agg, the
+    * activity⋈cohort join) keys on `user_id`, so the whole op is one
+    * logical partitioning; the per-cohort size table is tiny and broadcast
+    * back. Nothing here retains per-event state.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionOn(Tables.events(spark, sfDir))
+
+  private[graft] def cohortRetentionOn(events: DataFrame): DataFrame = {
+    val activeDays = events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("day_idx"))
+      .distinct()
+    val cohorts = activeDays.groupBy(col("user_id"))
+      .agg(min(col("day_idx")).as("cohort_day"))
+    val cohortSizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    activeDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day_idx") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // rows are distinct (user, day) pairs
+      .join(broadcast(cohortSizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_users"),
+        (col("n_active").cast("double") / col("cohort_users")).as("retention"))
+  }
+
+  /** Ordered funnel conversion over the event stream: of all users, how many
+    * ever viewed; of those, how many clicked strictly AFTER their first
+    * view; of those, how many purchased strictly after that click. This is
+    * the sequential-funnel semantic (each stage's timestamp must follow the
+    * previous stage's), not the weaker any-order intersection.
+    *
+    * Scale shape: three cascaded aggregations, all grouped on `user_id`.
+    * Each stage partial-aggregates map-side, so the only rows its exchange
+    * carries are per-user partials (≤ one per user per partition) — the raw
+    * stream itself is joined back by broadcast (the per-user table is small)
+    * or, past broadcast size, by a sort-merge join whose event-side exchange
+    * is one identical subtree Catalyst reuses across the stages. The stage
+    * timestamps ride along via `min` re-aggregation (constant per user),
+    * never widening the grouping key, which would re-partition. Final
+    * rollup is a single partial-aggregated row.
+    */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame =
+    funnelStepsOn(Tables.events(spark, sfDir))
+
+  private[graft] def funnelStepsOn(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val c = ev.join(v, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_view"),
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts")))
+          .as("t_click"))
+    val p = ev.join(c, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts")))
+          .as("t_purchase"))
+    p.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+      sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("n_view_click_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_view_click_purchase"),
+        (col("n_view_click").cast("double") / col("n_view")).as("click_conv"),
+        (col("n_view_click_purchase").cast("double") / col("n_view_click"))
+          .as("purchase_conv"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 
 class TextDedupSpec extends SparkSpec {
 
+  test("canonicalByQuality: one best per cluster, and it maximizes the quality score") {
+    val got = DedupOps.canonicalByQuality(spark, Sf).cache()
+    try {
+      // covers every clustered doc, exactly once
+      assert(got.count() == DedupOps.duplicateClusters(spark, Sf).count())
+      assert(got.select("doc_id").distinct().count() == got.count())
+      // exactly one is_best per cluster
+      val perCluster = got.groupBy("cluster_id")
+        .agg(sum(when(col("is_best"), 1L).otherwise(0L)).as("n_best"))
+      assert(perCluster.where(col("n_best") =!= 1L).count() == 0)
+      // the flagged member attains its cluster's max quality
+      val best = got.where(col("is_best"))
+        .select(col("cluster_id"), col("quality_score").as("best_q"))
+      val maxQ = got.groupBy("cluster_id").agg(max("quality_score").as("max_q"))
+      assert(best.join(maxQ, "cluster_id")
+        .where(col("best_q") =!= col("max_q")).count() == 0)
+    } finally got.unpersist()
+  }
+
   test("curation: funnel is monotone and agrees with the curated corpus") {
     val f = TextOps.curationFunnel(spark, Sf).collect().head
     val (total, q, l, cur) =

@@ -70,6 +70,88 @@ class TimeSeriesSpec extends SparkSpec {
       assert(gridClicks == rawClicks)
     } finally df.unpersist()
   }
+  test("cohortRetention: hand-built frame — offsets, sizes, and rates") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // both users first seen Jan 5; user 1 returns on the 6th and 8th,
+      // user 2 resurfaces only on the 15th
+      (1L, t("2024-01-05 09:00:00")), (1L, t("2024-01-06 10:00:00")),
+      (1L, t("2024-01-08 08:00:00")), (1L, t("2024-01-08 23:00:00")), // same day twice
+      (2L, t("2024-01-05 12:00:00")), (2L, t("2024-01-15 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = TimeSeriesOps.cohortRetentionOn(ev)
+      .orderBy("cohort_day", "day_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val jan5 = java.time.LocalDate.of(2024, 1, 5).toEpochDay
+    assert(got.toSeq == Seq(
+      (jan5, 0L, 2L, 2L, 1.0),   // both users active on their cohort day
+      (jan5, 1L, 1L, 2L, 0.5),   // only user 1 back the next day
+      (jan5, 3L, 1L, 2L, 0.5),   // two same-day events still count once
+      (jan5, 10L, 1L, 2L, 0.5))) // user 2 resurfaces on day 10
+  }
+
+  test("cohortRetention on the corpus: offset-0 retention is 1 and actives never exceed cohort") {
+    val rows = TimeSeriesOps.cohortRetention(spark, Sf).collect()
+    assert(rows.length > 1) // daily grain over the one-month stream: a real triangle
+    rows.foreach { r =>
+      val (off, active, size, ret) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(active <= size)
+      if (off == 0L) assert(active == size && ret == 1.0)
+    }
+    // every user lands in exactly one cohort: offset-0 actives sum to user count
+    val users = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum == users)
+  }
+
+  test("funnelSteps: sequential semantics — stage timestamps must be strictly ordered") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:05:00"), "click"),
+      (1L, t("2024-01-01 10:10:00"), "purchase"),
+      // user 2: clicked BEFORE first view — not a conversion
+      (2L, t("2024-01-01 09:00:00"), "click"),
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      // user 3: view+click but purchase precedes the click — stops at click
+      (3L, t("2024-01-01 08:00:00"), "view"),
+      (3L, t("2024-01-01 08:30:00"), "purchase"),
+      (3L, t("2024-01-01 09:00:00"), "click"),
+      // user 4: never viewed
+      (4L, t("2024-01-01 07:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = TimeSeriesOps.funnelStepsOn(ev).collect().head
+    assert(r.getLong(0) == 4L) // n_users
+    assert(r.getLong(1) == 3L) // n_view: users 1,2,3
+    assert(r.getLong(2) == 2L) // n_view_click: users 1,3 (user 2's click too early)
+    assert(r.getLong(3) == 1L) // n_view_click_purchase: user 1 only
+    assert(r.getDouble(4) == 2.0 / 3.0 && r.getDouble(5) == 0.5)
+  }
+
+  test("funnelSteps on the corpus: monotone stage counts, raw stream never shuffled") {
+    val df = TimeSeriesOps.funnelSteps(spark, Sf)
+    // plan shape read BEFORE execution (post-AQE toString doubles up
+    // initial+final sections): each cascaded stage may exchange its
+    // map-side-combined per-user partials (≤ one row per user per
+    // partition), but the raw event rows themselves must reach every
+    // stage via broadcast or a reused exchange — never a per-stage
+    // reshuffle of the full stream
+    val plan = df.queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 3, s"funnelSteps plans $hashExchanges hash exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    val r = df.collect().head
+    assert(r.getLong(0) >= r.getLong(1) &&
+      r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3))
+    assert(r.getLong(3) > 0) // the synthetic stream does contain full funnels
+  }
+
   test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
     val rows = TimeSeriesOps.scd2UserState(spark, Sf)
       .collect().groupBy(_.getLong(0))
