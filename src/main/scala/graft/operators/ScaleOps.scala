@@ -261,4 +261,94 @@ object ScaleOps {
       .agg(sum(col("n_part")).as("n_orders"),
         sum(col("total_part")).cast("double").as("total"))
   }
+
+  /** Relative-error budget the HLL check asserts — lgConfigK=12 sketches
+    * carry ~1.6% standard error, so 5% is a deterministic pass, not a coin
+    * flip.
+    */
+  val HllTolerance = 0.05
+
+  /** X-P14: mergeable distinct-count sketches (Apache DataSketches HLL,
+    * `hll_sketch_agg`/`hll_union_agg`). Per-segment customer cardinalities
+    * are sketched in one pass, then the GLOBAL cardinality is derived by
+    * merging the per-segment sketches — the data is never rescanned.
+    * Re-aggregability is the whole 100-TB point: sketch partials combine
+    * map-side inside each segment's aggregation, and any rollup (segments →
+    * total, days → months, partitions → table) is a union of KB-sized
+    * sketches instead of a second pass over the facts. The exact distinct
+    * counts ride along as the oracle's ground truth (each customer has one
+    * segment, so segments partition the set and the global exact is their
+    * sum); the emitted flag asserts each estimate lands within
+    * [[HllTolerance]] — if a sketch ever degraded past that, the query
+    * itself would go red.
+    */
+  def hllSegmentDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_custkey"))
+    def withFlag(df: DataFrame): DataFrame =
+      df.select(col("segment"), col("exact_customers"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_customers")) <=
+          col("exact_customers") * HllTolerance).as("hll_within_5pct"))
+    val perSeg = pairs.groupBy(col("segment"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+    val global = perSeg
+      .agg(hll_union_agg(col("sk")).as("sk"),
+        sum(col("exact_customers")).as("exact_customers"))
+      .select(lit("ALL").as("segment"), col("exact_customers"), col("sk"))
+    withFlag(perSeg).unionByName(withFlag(global))
+  }
+
+  /** X-P15: single-pass column profiling — the data-quality sweep every
+    * ingest pipeline runs before trusting a table: row count, null count,
+    * exact distinct cardinality, and min/max per column, computed in ONE
+    * aggregation over ONE scan (never a per-column pass). The multiple
+    * exact `countDistinct`s make Catalyst plan an Expand (one replicated
+    * row per distinct-aggregate) — acceptable here because the profile is
+    * the oracle's ground truth; at 100 TB swap them for
+    * `approx_count_distinct` (HLL++, map-side combinable, no Expand) and
+    * the plan collapses back to a plain two-phase aggregate. Min/max stay
+    * typed (numeric vs timestamp columns emit into separate typed fields)
+    * so no engine-specific string formatting enters the result.
+    */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val tsCols  = Seq("o_orderdate")
+    val allCols = numCols ++ strCols ++ tsCols
+    val aggs =
+      allCols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__nd"))
+      } ++
+        numCols.flatMap { c =>
+          Seq(min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+        } ++
+        tsCols.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}__mints"), max(col(c)).as(s"${c}__maxts"))
+        }
+    val one = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    def entry(c: String, minNum: Column, maxNum: Column,
+              minTs: Column, maxTs: Column): Column =
+      struct(lit(c).as("col_name"), col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"), minNum.as("min_num"),
+        maxNum.as("max_num"), minTs.as("min_ts"), maxTs.as("max_ts"))
+    val nullNum = lit(null).cast("double")
+    // NTZ, matching the fixture's timestamps — an LTZ null would coerce the
+    // whole struct field to LTZ and shift the parquet logical type
+    val nullTs  = lit(null).cast("timestamp_ntz")
+    val entries =
+      numCols.map(c => entry(c, col(s"${c}__min"), col(s"${c}__max"), nullTs, nullTs)) ++
+        strCols.map(c => entry(c, nullNum, nullNum, nullTs, nullTs)) ++
+        tsCols.map(c => entry(c, nullNum, nullNum, col(s"${c}__mints"), col(s"${c}__maxts")))
+    one.select(col("n_rows"), explode(array(entries: _*)).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+        col("p.min_ts"), col("p.max_ts"))
+  }
 }

@@ -19,6 +19,8 @@ object ScalePack extends QueryPack {
     "xp_incremental_monthly" -> ((s, d) => ScaleOps.incrementalMonthlyOrders(s, d)),
     "xp_sorted_layout_scan" -> ((s, d) => ScaleOps.sortedLayoutMonthScan(s, d)),
     "xp_zorder_scan" -> ((s, d) => ScaleOps.zorderSliceScan(s, d)),
+    "xa_hll_union" -> ((s, d) => ScaleOps.hllSegmentDistinct(s, d)),
+    "xa_column_profile" -> ((s, d) => ScaleOps.columnProfile(s, d)),
   )
 
   private val rev =
@@ -62,6 +64,43 @@ object ScalePack extends QueryPack {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+    // exact distinct counts replayed; the within-tolerance flag is the
+    // sketch-quality assertion the Spark side computes against its own HLL
+    "xa_hll_union" ->
+      """SELECT c_mktsegment AS segment,
+        |  count(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS hll_within_5pct
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT o_custkey), TRUE
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "xa_column_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count(*),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  count(DISTINCT $c),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+           |FROM orders""".stripMargin
+      def ts(c: String) =
+        s"""SELECT '$c', count(*),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  count(DISTINCT $c),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  CAST(min($c) AS TIMESTAMP), CAST(max($c) AS TIMESTAMP)
+           |FROM orders""".stripMargin
+      (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+        Seq("o_orderstatus", "o_orderpriority").map(str) ++
+        Seq("o_orderdate").map(ts)).mkString("\nUNION ALL\n")
+    },
     "xa_price_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,

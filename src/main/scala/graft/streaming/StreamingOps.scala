@@ -296,6 +296,59 @@ object StreamingOps {
   case class Scd2Closed(user_id: Long, state: String,
                         valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
 
+  /** A funnel stage-crossing emitted the moment a user advances. */
+  case class FunnelAdvance(user_id: Long, stage: String, ts: java.sql.Timestamp)
+  /** Per-user funnel progress carried between micro-batches: stage reached
+    * (0–3) and the event time of the last advance, in microseconds.
+    */
+  case class FunnelProgress(stage: Int, lastAdvanceUs: Long)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Streaming sequential funnel — the ingest-time twin of
+    * [[graft.operators.TimeSeriesOps.funnelSteps]]: advance each user's
+    * view→click→purchase stage machine as events arrive and emit a row at
+    * every crossing. Same in-order-per-user delivery contract as
+    * [[streamingScd2]] (in-batch order restored by an explicit sort); with
+    * in-order input the first view IS the earliest view, so the strictly-
+    * after comparisons reproduce the batch semantics exactly — comparisons
+    * run at microsecond precision because the batch twin compares full
+    * timestamps. State is one (int, long) per user who ever entered the
+    * funnel; a completed funnel keeps a terminal stage-3 tombstone — without
+    * it a user's LATER view would re-enter stage 0 and double-count, which
+    * the corpus-replay spec checks against the batch counts. (An
+    * unbounded-retention funnel is the batch semantic; a production stream
+    * would bound state by scoping the funnel to a session/day window and
+    * evicting via an event-time timeout at window close.)
+    */
+  def streamingFunnel(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[UserEvent], state: GroupState[FunnelProgress]) =>
+        val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        var cur = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+        val out = Seq.newBuilder[FunnelAdvance]
+        sorted.foreach { e =>
+          val crossed = (cur.stage, e.event_type) match {
+            case (0, "view") => true
+            case (1, "click") if micros(e.ts) > cur.lastAdvanceUs => true
+            case (2, "purchase") if micros(e.ts) > cur.lastAdvanceUs => true
+            case _ => false
+          }
+          if (crossed) {
+            cur = FunnelProgress(cur.stage + 1, micros(e.ts))
+            out += FunnelAdvance(uid, e.event_type, e.ts)
+          }
+        }
+        if (cur.stage > 0) state.update(cur)
+        out.result().iterator
+    }
+  }
+
   /** Streaming SCD2 build — the ingest-time twin of
     * [[graft.operators.TimeSeriesOps.scd2UserState]]: maintain each user's
     * open state interval in the state store and emit an interval row the

@@ -172,4 +172,44 @@ class ScaleOpsSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
     assert(slice.exceptAll(direct).count() == 0 && direct.exceptAll(slice).count() == 0)
   }
+
+  test("hllSegmentDistinct: merged sketch covers the union; every estimate within tolerance") {
+    import org.apache.spark.sql.functions._
+    val rows = ScaleOps.hllSegmentDistinct(spark, Sf).collect()
+    val (all, segs) = rows.partition(_.getString(0) == "ALL")
+    assert(all.length == 1 && segs.nonEmpty)
+    // segments partition the customer set: global exact = sum of segment exacts
+    assert(all.head.getLong(1) == segs.map(_.getLong(1)).sum)
+    // the in-query assertion: every HLL estimate (incl. the union) within 5%
+    assert(rows.forall(_.getBoolean(2)), s"an HLL estimate left tolerance: ${rows.mkString(", ")}")
+    // ground truth against a direct recompute
+    val exact = Tables.orders(spark, Sf)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    assert(all.head.getLong(1) == exact)
+  }
+
+  test("columnProfile: one row per column, stats agree with direct recomputes") {
+    import org.apache.spark.sql.functions._
+    val prof = ScaleOps.columnProfile(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 6)
+    val o = Tables.orders(spark, Sf)
+    val nRows = o.count()
+    assert(prof.values.forall(_.getLong(1) == nRows))
+    assert(prof.values.forall(_.getLong(2) == 0L)) // fixture has no nulls
+    val keyRow = prof("o_orderkey")
+    assert(keyRow.getLong(3) == nRows) // orderkey is unique
+    assert(keyRow.getDouble(4) ==
+      o.agg(min("o_orderkey")).collect().head.getLong(0).toDouble)
+    // typed min/max: numeric cols carry no timestamps and vice versa
+    assert(keyRow.isNullAt(6) && keyRow.isNullAt(7))
+    val dateRow = prof("o_orderdate")
+    assert(dateRow.isNullAt(4) && dateRow.isNullAt(5))
+    // untyped compare: the fixture's NTZ timestamps surface as LocalDateTime
+    assert(dateRow.get(6) == o.agg(min("o_orderdate")).collect().head.get(0))
+    val statusRow = prof("o_orderstatus")
+    assert(statusRow.isNullAt(4) && statusRow.isNullAt(6))
+    assert(statusRow.getLong(3) ==
+      o.select(countDistinct(col("o_orderstatus"))).collect().head.getLong(0))
+  }
 }

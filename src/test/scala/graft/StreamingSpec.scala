@@ -354,6 +354,62 @@ class StreamingSpec extends SparkSpec {
       assert(late.value == 1L) // and the drop is observable
     } finally q.stop()
   }
+  test("streamingFunnel: hand-built batches — ordered advances only, cross-batch state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{UserEvent, FunnelAdvance}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(
+      UserEvent(1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      UserEvent(2L, t("2024-01-01 09:00:00"), 2L, "click"), // pre-view click: no advance
+      UserEvent(2L, t("2024-01-01 10:00:00"), 3L, "view"))
+    val b2 = Seq(
+      UserEvent(1L, t("2024-01-01 10:05:00"), 4L, "click"),    // cross-batch advance
+      UserEvent(1L, t("2024-01-01 10:06:00"), 5L, "purchase"), // completes the funnel
+      UserEvent(2L, t("2024-01-01 10:30:00"), 6L, "purchase")) // skipping click: no advance
+    val stream = MemoryStream[UserEvent]
+    val q = StreamingOps.streamingFunnel(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_test").as[FunnelAdvance].collect()
+        .map(a => (a.user_id, a.stage, a.ts)).toSet
+      assert(got == Set(
+        (1L, "view", t("2024-01-01 10:00:00")),
+        (1L, "click", t("2024-01-01 10:05:00")),
+        (1L, "purchase", t("2024-01-01 10:06:00")),
+        (2L, "view", t("2024-01-01 10:00:00"))))
+    } finally q.stop()
+  }
+
+  test("streamingFunnel on the corpus replayed in order matches the batch funnel counts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{UserEvent, FunnelAdvance}
+    // the corpus, replayed in event-time order (the per-user delivery contract)
+    val all = Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[UserEvent].collect()
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val stream = MemoryStream[UserEvent]
+    val q = StreamingOps.streamingFunnel(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_corpus_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(h1.toSeq: _*); q.processAllAvailable()
+      stream.addData(h2.toSeq: _*); q.processAllAvailable()
+      val advances = spark.table("funnel_corpus_test").as[FunnelAdvance].collect()
+      val byStage = advances.groupBy(_.stage).view.mapValues(_.length).toMap
+      val batch = operators.TimeSeriesOps.funnelSteps(spark, Sf).collect().head
+      assert(byStage.getOrElse("view", 0) == batch.getLong(1))
+      assert(byStage.getOrElse("click", 0) == batch.getLong(2))
+      assert(byStage.getOrElse("purchase", 0) == batch.getLong(3))
+    } finally q.stop()
+  }
+
   test("streamingHeavyKeys: windowed MG candidates cover each window's true heavy keys") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
