@@ -57,6 +57,7 @@ object Bench {
       operators.SimilarityOps.kmeansLayout(spark, sfDir).count()
       operators.SimilarityOps.quantizedEmbeddings(spark, sfDir).count()
       operators.SimilarityOps.pqCodes(spark, sfDir).count()
+      operators.TextOps.invertedIndex(spark, sfDir).count()
       operators.GeoOps.z2Layout(spark, sfDir).count()
       operators.GeoOps.z3Layout(spark, sfDir).count()
       Tables.bucketedOrders(spark, sfDir).count()

@@ -79,6 +79,10 @@ object PlanDump {
         operators.TimeSeriesOps.funnelSteps(spark, sfDir)),
       ("xt_cohort_retention", "stream collapses to (user,day) pairs; cohort sizes broadcast back",
         operators.TimeSeriesOps.cohortRetention(spark, sfDir)),
+      ("tx_keyword_search", "terms' buckets become PartitionFilters on the posting-list layout; corpus text never read",
+        operators.TextOps.keywordSearch(spark, sfDir)),
+      ("tx_ranked_search", "tf-idf over pruned postings: broadcast df, one doc-keyed agg, TakeOrderedAndProject",
+        operators.TextOps.rankedSearch(spark, sfDir)),
       ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()

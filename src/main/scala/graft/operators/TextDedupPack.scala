@@ -39,6 +39,8 @@ object TextDedupPack extends QueryPack {
     "dd_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "dd_cluster_stats" -> ((s, d) => DedupOps.clusterStats(s, d)),
     "dd_canonical_quality" -> ((s, d) => DedupOps.canonicalByQuality(s, d)),
+    "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
+    "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
@@ -358,6 +360,32 @@ object TextDedupPack extends QueryPack {
           ++ clusterCtes: _*)(
         """SELECT cluster_id, count(*) AS n_docs, count(*) - 1 AS n_droppable
           |FROM clusters GROUP BY cluster_id""".stripMargin),
+    // the index is a pure layout move: the oracle is the direct
+    // word-membership scan the index answers without touching `text`
+    "tx_keyword_search" -> {
+      val conds = TextOps.SearchTerms
+        .map(t => s"list_contains(string_split(text, ' '), '$t')")
+        .mkString("\n  AND ")
+      s"SELECT doc_id FROM documents\nWHERE $conds"
+    },
+    "tx_ranked_search" -> {
+      val termList = TextOps.SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH post AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word IN ($termList)
+         |  GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM post GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_terms_hit,
+         |    sum(tf * (CAST(n_docs AS DOUBLE) / df)) AS raw_score
+         |  FROM post JOIN dfreq USING (word), n
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_terms_hit, round(raw_score, 6) AS score
+         |FROM scored
+         |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
+    },
     "dd_canonical_quality" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

@@ -356,6 +356,94 @@ object TextOps {
       Seq("doc_freq" -> false, "bigram" -> true))
   }
 
+  /** Posting-list hash buckets for the inverted-index layout. At 100 TB
+    * this is sized so one bucket's posting lists fit a scan task comfortably
+    * (thousands); 16 here keeps the sf fixtures to a few files per bucket
+    * while still demonstrating pruning.
+    */
+  val IndexBuckets = 16
+
+  /** Terms the registered search query looks up (both occur corpus-wide). */
+  val SearchTerms: Seq[String] = Seq("spark", "window")
+
+  /** The inverted index: (word, doc_id, tf) postings — one row per distinct
+    * (word, doc) pair carrying the term frequency — staged once per session
+    * hive-partitioned by `bucket = h24(word) % IndexBuckets`. The partition
+    * column is a pure function of the word, so a term lookup knows its
+    * bucket at PLAN time — that is what turns a keyword query from a corpus
+    * scan into a directory-pruned posting-list read. The build is one
+    * map-side-combinable (doc, word) count — write-once layout work, like
+    * every X-P staging move.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBigBy(spark, sfDir, "inverted_index", Seq("bucket")) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", Tables.h24(col("word")) % IndexBuckets)
+    }
+
+  /** X-P16: inverted-index keyword search — conjunctive term lookup (docs
+    * containing ALL query terms) answered from the posting lists alone.
+    * Each term's bucket is computed driver-side with the JVM twin of the
+    * `h24` column hash ([[graft.functions.MinHashAgg.h24]]) and becomes an
+    * `isin` literal, so the scan partition-prunes to |terms| buckets out of
+    * [[IndexBuckets]] — the corpus text is NEVER read at query time. The
+    * conjunction is one aggregation over the pruned postings (doc qualifies
+    * when it matched every distinct term). At 100 TB the index is the
+    * written-once layout and each query touches only its terms' posting
+    * lists — the searchable-corpus move, in plain parquet + partitioning.
+    * Oracle: the direct word-membership scan of `documents`.
+    */
+  def keywordSearch(spark: SparkSession, sfDir: String,
+                    terms: Seq[String] = SearchTerms): DataFrame = {
+    val buckets = terms
+      .map(t => graft.functions.MinHashAgg.h24(t) % IndexBuckets).distinct
+    invertedIndex(spark, sfDir)
+      .where(col("bucket").isin(buckets: _*) && col("word").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("word")).as("n_terms"))
+      .where(col("n_terms") === terms.distinct.size)
+      .select(col("doc_id"))
+  }
+
+  /** Result size of the registered ranked search. */
+  val SearchTopK = 20
+
+  /** X-P17: ranked retrieval over the same posting-list layout — disjunctive
+    * (any-term) search scored by tf × inverse document frequency, top-k.
+    * Per-term document frequencies come from the PRUNED postings themselves
+    * (a term's full posting list lives in its bucket, so the df is exact),
+    * the corpus size joins in as a one-row broadcast, and the per-doc score
+    * is one aggregation over the pruned postings — the text is never read.
+    * Numeric portability: idf = n_docs/df is one exactly-rounded IEEE
+    * division, each addend tf·idf one multiplication, and the registered
+    * query sums TWO terms — float addition is commutative (only 3+-term
+    * association drifts), so both engines produce bit-identical scores;
+    * ties at the k boundary break by doc_id. At 100 TB this is BM25's plan
+    * shape: broadcast df table, posting-only scan, one doc-keyed aggregate,
+    * TakeOrderedAndProject.
+    */
+  def rankedSearch(spark: SparkSession, sfDir: String,
+                   terms: Seq[String] = SearchTerms, k: Int = SearchTopK): DataFrame = {
+    val buckets = terms
+      .map(t => graft.functions.MinHashAgg.h24(t) % IndexBuckets).distinct
+    val post = invertedIndex(spark, sfDir)
+      .where(col("bucket").isin(buckets: _*) && col("word").isin(terms: _*))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val dfreq = post.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    post
+      .join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("tf") * (col("n_docs").cast("double") / col("df"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     // one hash aggregate, map-side combinable: min(struct(h, shingle))
     // compares h first, then shingle — so .shingle is the lexicographically

@@ -6,6 +6,61 @@ import org.apache.spark.sql.functions._
 
 class TextDedupSpec extends SparkSpec {
 
+  test("keywordSearch: partition-pruned posting read, result matches the direct text scan") {
+    import graft.functions.TextFunctions.words
+    val hits = TextOps.keywordSearch(spark, Sf)
+    // plan-time pruning: only the terms' buckets are listed, never all 16
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val idxFiles = TextOps.invertedIndex(spark, Sf)
+      .select(input_file_name()).distinct().count()
+    val touched = TextOps.invertedIndex(spark, Sf)
+      .where(col("bucket").isin(
+        TextOps.SearchTerms.map(t =>
+          graft.functions.MinHashAgg.h24(t) % TextOps.IndexBuckets).distinct: _*))
+      .select(input_file_name()).distinct().count()
+    assert(touched < idxFiles,
+      s"search touched $touched of $idxFiles index files - nothing pruned")
+    // the index answers exactly what the direct corpus scan answers
+    val direct = Tables.documents(spark, Sf)
+      .where(TextOps.SearchTerms
+        .map(t => array_contains(words(col("text")), t))
+        .reduce(_ && _))
+      .select(col("doc_id"))
+    assert(hits.exceptAll(direct).count() == 0 && direct.exceptAll(hits).count() == 0)
+    assert(hits.count() > 0)
+  }
+
+  test("rankedSearch: top-k tf-idf from postings matches a direct corpus recompute") {
+    import graft.functions.TextFunctions.words
+    val terms = TextOps.SearchTerms
+    val got = TextOps.rankedSearch(spark, Sf).collect()
+    assert(got.length == TextOps.SearchTopK)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(2) > b.getDouble(2) ||
+          (a.getDouble(2) == b.getDouble(2) && a.getLong(0) < b.getLong(0)))
+      case _ => ()
+    }
+    // direct recompute: same idf definition, ordered on the UNROUNDED score
+    val nDocs = Tables.documents(spark, Sf).count().toDouble
+    val dfs = terms.map { t =>
+      t -> Tables.documents(spark, Sf)
+        .where(array_contains(words(col("text")), t)).count()
+    }.toMap
+    val w = words(col("text"))
+    val raw = terms.map { t =>
+      size(filter(w, x => x === t)).cast("double") * (nDocs / dfs(t))
+    }.reduce(_ + _)
+    val direct = Tables.documents(spark, Sf)
+      .select(col("doc_id"), raw.as("raw"))
+      .where(col("raw") > 0)
+      .orderBy(col("raw").desc, col("doc_id")).limit(TextOps.SearchTopK)
+      .select(col("doc_id"), round(col("raw"), 6).as("score")).collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      direct.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("canonicalByQuality: one best per cluster, and it maximizes the quality score") {
     val got = DedupOps.canonicalByQuality(spark, Sf).cache()
     try {
