@@ -60,6 +60,7 @@ object RelationalPack extends QueryPack {
     "xj_q11_important_stock" -> ((s, d) => RelationalOps.importantStock(s, d)),
     "xt_cohort_retention" -> ((s, d) => TimeSeriesOps.cohortRetention(s, d)),
     "xt_funnel_steps" -> ((s, d) => TimeSeriesOps.funnelSteps(s, d)),
+    "xt_value_outliers" -> ((s, d) => TimeSeriesOps.valueOutliers(s, d)),
   )
 
   private val rev =
@@ -559,6 +560,20 @@ object RelationalPack extends QueryPack {
         |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS purchase_conv
         |FROM p""".stripMargin,
+    // identical expression structure to the Spark side: exact decimal
+    // moments cast to double only inside the closed-form variance
+    "xt_value_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+        |         AS DOUBLE) AS sxx
+        |  FROM events GROUP BY user_id)
+        |SELECT event_id, user_id, value,
+        |  round((value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS z
+        |FROM events JOIN s USING (user_id)
+        |WHERE n > 1 AND sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) > 0
+        |  AND abs((value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) > 2.0""".stripMargin,
     "xj_q20_excess_suppliers" ->
       """WITH per_supp AS (
         |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec

@@ -41,6 +41,7 @@ object TextDedupPack extends QueryPack {
     "dd_canonical_quality" -> ((s, d) => DedupOps.canonicalByQuality(s, d)),
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
+    "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
@@ -386,6 +387,11 @@ object TextDedupPack extends QueryPack {
          |FROM scored
          |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
     },
+    // single-space word separation makes the padded-substring test exactly
+    // the consecutive-words test the positional index answers
+    "tx_phrase_search" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ' ' || text || ' ' LIKE '% ${TextOps.SearchPhrase.mkString(" ")} %'""".stripMargin,
     "dd_canonical_quality" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

@@ -366,21 +366,26 @@ object TextOps {
   /** Terms the registered search query looks up (both occur corpus-wide). */
   val SearchTerms: Seq[String] = Seq("spark", "window")
 
-  /** The inverted index: (word, doc_id, tf) postings — one row per distinct
-    * (word, doc) pair carrying the term frequency — staged once per session
+  /** The inverted index: (word, doc_id, tf, positions) postings — one row
+    * per distinct (word, doc) pair carrying the term frequency and the
+    * sorted 0-based token positions — staged once per session
     * hive-partitioned by `bucket = h24(word) % IndexBuckets`. The partition
     * column is a pure function of the word, so a term lookup knows its
     * bucket at PLAN time — that is what turns a keyword query from a corpus
-    * scan into a directory-pruned posting-list read. The build is one
-    * map-side-combinable (doc, word) count — write-once layout work, like
-    * every X-P staging move.
+    * scan into a directory-pruned posting-list read. ONE layout serves all
+    * three retrieval modes: boolean lookup ignores tf+positions, ranked
+    * scoring reads tf, phrase matching reads positions — parquet column
+    * pruning drops whatever a query doesn't touch. The build is one
+    * map-side-combinable (doc, word) aggregation — write-once layout work,
+    * like every X-P staging move.
     */
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     Tables.derivedBigBy(spark, sfDir, "inverted_index", Seq("bucket")) {
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
         .groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
         .withColumn("bucket", Tables.h24(col("word")) % IndexBuckets)
     }
 
@@ -442,6 +447,39 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))
+  }
+
+  /** The phrase the registered positional query matches (in order). */
+  val SearchPhrase: Seq[String] = Seq("big", "query")
+
+  /** X-P18: positional phrase search — exact consecutive-words match
+    * answered from the positions column of the SAME posting layout. The
+    * query folds left over the phrase: the running state is each candidate
+    * doc's set of positions where the phrase-so-far ENDS, and each next
+    * term intersects (ends+1) with its own positions — docs whose set
+    * empties drop out. Every per-term posting scan partition-prunes to its
+    * bucket, the joins key on doc_id over posting-list-sized inputs, and
+    * the intersection is a per-row array op — the corpus text is never
+    * read, which is the whole point of carrying positions in the index.
+    * Oracle: the padded `LIKE '% big query %'` scan (single-space word
+    * separation makes the padded-substring test exactly the
+    * consecutive-words test).
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+                   phrase: Seq[String] = SearchPhrase): DataFrame = {
+    require(phrase.nonEmpty)
+    def postFor(t: String): DataFrame =
+      invertedIndex(spark, sfDir)
+        .where(col("bucket") ===
+          graft.functions.MinHashAgg.h24(t) % IndexBuckets && col("word") === t)
+    val first = postFor(phrase.head)
+      .select(col("doc_id"), col("positions").as("ends"))
+    phrase.tail.foldLeft(first) { (cur, t) =>
+      cur.join(postFor(t).select(col("doc_id"), col("positions").as("nxt")), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(transform(col("ends"), p => p + 1), col("nxt")).as("ends"))
+        .where(size(col("ends")) > 0)
+    }.select(col("doc_id"))
   }
 
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =

@@ -164,6 +164,42 @@ object TimeSeriesOps {
           .as("purchase_conv"))
   }
 
+  /** Z-score threshold for [[valueOutliers]]. */
+  val OutlierZ = 2.0
+
+  /** Per-entity anomaly flags with DRIFT-FREE variance: events whose value
+    * sits more than [[OutlierZ]] standard deviations from their user's mean.
+    * The per-user moments are EXACT decimal sums (Σx, Σx² of decimal(12,2)
+    * values — decimal addition is associative, so any aggregation order
+    * gives the same result), converted to double only inside the final
+    * closed-form variance `(n·Σx² − (Σx)²) / (n(n−1))`. A naive
+    * `stddev(value)` would sum doubles in partition order and drift between
+    * engines and between runs — the same portability discipline as the
+    * incremental-aggregate partials, applied to second moments. One
+    * aggregation + one join back on `user_id` (the stats side is
+    * entity-count-sized; broadcast when the entity dimension fits, shuffle
+    * join otherwise — either way the event stream moves at most once).
+    * Filtering uses the unrounded z; the emitted z is rounded for
+    * cross-engine hashing.
+    */
+  def valueOutliers(spark: SparkSession, sfDir: String, zCut: Double = OutlierZ): DataFrame = {
+    val dec = col("value").cast("decimal(12,2)")
+    val stats = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(dec).as("sx_dec"), sum(dec * dec).as("sxx_dec"))
+      .select(col("user_id"), col("n"),
+        col("sx_dec").cast("double").as("sx"), col("sxx_dec").cast("double").as("sxx"))
+    val mean = col("sx") / col("n")
+    val sd = sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+      (col("n") * (col("n") - lit(1.0))))
+    val z = (col("value") - mean) / sd
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .join(stats, Seq("user_id"))
+      .where(col("n") > 1 && sd > 0 && abs(z) > zCut)
+      .select(col("event_id"), col("user_id"), col("value"), round(z, 6).as("z"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

@@ -61,6 +61,20 @@ class TextDedupSpec extends SparkSpec {
       direct.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("phraseSearch: positional match equals the padded-substring scan; subset of conjunctive") {
+    val hits = TextOps.phraseSearch(spark, Sf)
+    val direct = Tables.documents(spark, Sf)
+      .where(concat(lit(" "), col("text"), lit(" "))
+        .contains(" " + TextOps.SearchPhrase.mkString(" ") + " "))
+      .select(col("doc_id"))
+    assert(hits.exceptAll(direct).count() == 0 && direct.exceptAll(hits).count() == 0)
+    assert(hits.count() > 0)
+    // a phrase match implies both words present: subset of the AND query
+    val conj = TextOps.keywordSearch(spark, Sf, TextOps.SearchPhrase)
+    assert(hits.exceptAll(conj).count() == 0)
+    assert(hits.count() < conj.count()) // and strictly stronger on this corpus
+  }
+
   test("canonicalByQuality: one best per cluster, and it maximizes the quality score") {
     val got = DedupOps.canonicalByQuality(spark, Sf).cache()
     try {

@@ -152,6 +152,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(3) > 0) // the synthetic stream does contain full funnels
   }
 
+  test("valueOutliers: flags exactly the far points; z agrees with Spark's stddev") {
+    val got = TimeSeriesOps.valueOutliers(spark, Sf).cache()
+    try {
+      assert(got.count() > 0)
+      // every flagged z clears the cut (rounded emission, unrounded filter)
+      assert(got.where(abs(col("z")) <= TimeSeriesOps.OutlierZ - 0.001).count() == 0)
+      // cross-check vs the library estimator: same flag set at the same cut
+      val viaStddev = Tables.events(spark, Sf)
+        .withColumn("mu", avg(col("value")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+        .withColumn("sd", stddev(col("value")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+        .where(col("sd") > 0 &&
+          abs((col("value") - col("mu")) / col("sd")) > TimeSeriesOps.OutlierZ)
+        .select(col("event_id"))
+      assert(got.select(col("event_id")).exceptAll(viaStddev).count() == 0)
+      assert(viaStddev.exceptAll(got.select(col("event_id"))).count() == 0)
+    } finally got.unpersist()
+  }
+
   test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
     val rows = TimeSeriesOps.scd2UserState(spark, Sf)
       .collect().groupBy(_.getLong(0))
