@@ -83,6 +83,10 @@ object PlanDump {
         operators.TextOps.keywordSearch(spark, sfDir)),
       ("tx_ranked_search", "tf-idf over pruned postings: broadcast df, one doc-keyed agg, TakeOrderedAndProject",
         operators.TextOps.rankedSearch(spark, sfDir)),
+      ("tx_phrase_search", "positional postings: bucket-pruned per-term scans, doc_id joins, per-row position intersect",
+        operators.TextOps.phraseSearch(spark, sfDir)),
+      ("xt_value_outliers", "exact decimal moments once per user, broadcast back; stream joins stats, never reshuffles",
+        operators.TimeSeriesOps.valueOutliers(spark, sfDir)),
       ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()

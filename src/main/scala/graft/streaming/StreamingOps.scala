@@ -296,6 +296,39 @@ object StreamingOps {
   case class Scd2Closed(user_id: Long, state: String,
                         valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
 
+  /** Streaming nearest-centroid assignment — the inference-time twin of
+    * [[graft.operators.SimilarityOps.kmeansAssignments]]: score each
+    * arriving embedding against the trained centroids and emit its cluster.
+    * The model is collected once (model-sized: k×64 doubles — the
+    * broadcast-literal shape) and embedded into a STATELESS projection:
+    * per row, k codegen'd `VecDot` distances fold into an `array_min`
+    * argmin — no state store, no watermark, no shuffle, which is what makes
+    * model-scoring on a firehose embarrassingly parallel. Arithmetic
+    * parity with the batch assignment is exact: the driver-side fold for
+    * ‖c‖² adds left-to-right like `VecDot`, distances round to 6 decimals
+    * before the argmin, and ties break on k — so every vector lands in the
+    * same cluster the batch trainer put it in (spec-checked by corpus
+    * replay).
+    */
+  def streamingClusterAssign(stream: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col("k"), transform(col("centroid"), x => x.cast("double")).as("cd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val e = col("embedding")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.vecDot(spark, a, b)
+    val entries = cents.map { case (k, cd) =>
+      val cc = cd.foldLeft(0.0)((a, x) => a + x * x)
+      val cArr = array(cd.toSeq.map(lit): _*)
+      struct(round(dot(e, e) + lit(cc) - lit(2) * dot(e, cArr), 6).as("d2"),
+        lit(k).as("k"))
+    }
+    stream.withColumn("m", array_min(array(entries.toSeq: _*)))
+      .select(col("vec_id"), col("m.k").as("k"))
+  }
+
   /** A funnel stage-crossing emitted the moment a user advances. */
   case class FunnelAdvance(user_id: Long, stage: String, ts: java.sql.Timestamp)
   /** Per-user funnel progress carried between micro-batches: stage reached

@@ -410,6 +410,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingClusterAssign: corpus replay matches the batch k-means assignment exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val centroids = SimilarityOps.kmeansCentroids(spark, Sf)
+    val batch = SimilarityOps.kmeansAssignments(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val (h1, h2) = vecs.splitAt(vecs.length / 2)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.streamingClusterAssign(
+        stream.toDS().toDF("vec_id", "embedding"), centroids)
+      .writeStream.format("memory").queryName("assign_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(h1.toSeq: _*); q.processAllAvailable()
+      stream.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("assign_test").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == vecs.length)
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streamingHeavyKeys: windowed MG candidates cover each window's true heavy keys") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
