@@ -900,6 +900,42 @@ object RelationalOps {
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(count("*").as("n_orders"), moneySum(col("o_totalprice")).as("total"))
 
+  /** Count–Min sketch geometry for [[cmsSupplierCounts]]: 4×256 longs —
+    * an 8 KB block, small enough to embed as a broadcast literal.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** X-A sketch counts: Count–Min point estimates next to the exact truth.
+    * One pass builds the sketch through the mergeable
+    * [[graft.functions.CountMinAgg]] UDAF (partial blocks combine
+    * element-wise up the aggregation tree — the shuffle carries 8 KB per
+    * task no matter how many distinct keys); the finished block is
+    * model-sized, so it collects once and embeds as an array literal, and
+    * each supplier's estimate is `least` over the depth rows of one
+    * `element_at` lookup keyed by the same portable h24 slot hash the UDAF
+    * used. Because that hash family is engine-portable, the DuckDB oracle
+    * REBUILDS every cell with a GROUP BY and replays the exact estimates —
+    * the sketch's no-undercount guarantee is hash-checked, not just
+    * property-tested.
+    */
+  def cmsSupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val cms = udaf(new graft.functions.CountMinAgg(CmsDepth, CmsWidth))
+    val sketch: Seq[Long] = Tables.lineitem(spark, sfDir)
+      .agg(cms(col("l_suppkey")).as("sk")).head.getSeq[Long](0)
+    val sketchLit = array(sketch.map(lit): _*)
+    val estCols = (0 until CmsDepth).map { j =>
+      element_at(sketchLit,
+        (lit(j * CmsWidth) +
+          Tables.h24(concat(lit(s"$j:"), col("l_suppkey").cast("string"))) % CmsWidth +
+          lit(1)).cast("int"))
+    }
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .select(col("l_suppkey"), col("exact_cnt"), least(estCols: _*).as("cms_est"))
+  }
+
   /** X-T date arithmetic: ship-delay stats per order priority. */
   def shipDelay(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -61,6 +61,7 @@ object RelationalPack extends QueryPack {
     "xt_cohort_retention" -> ((s, d) => TimeSeriesOps.cohortRetention(s, d)),
     "xt_funnel_steps" -> ((s, d) => TimeSeriesOps.funnelSteps(s, d)),
     "xt_value_outliers" -> ((s, d) => TimeSeriesOps.valueOutliers(s, d)),
+    "xa_cms_counts" -> ((s, d) => RelationalOps.cmsSupplierCounts(s, d)),
   )
 
   private val rev =
@@ -560,6 +561,24 @@ object RelationalPack extends QueryPack {
         |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS purchase_conv
         |FROM p""".stripMargin,
+    // the oracle REBUILDS the Count-Min cells with a GROUP BY over the same
+    // portable h24 slot hash, so the estimates replay exactly
+    "xa_cms_counts" -> {
+      def slot(jRef: String) = Oracle.h24(
+        s"CAST($jRef AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)") +
+        s" % ${RelationalOps.CmsWidth}"
+      s"""WITH counts AS (
+         |  SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY l_suppkey),
+         |rows_j AS (SELECT unnest(range(0, ${RelationalOps.CmsDepth})) AS j),
+         |cells AS (
+         |  SELECT j, ${slot("j")} AS slot, CAST(sum(exact_cnt) AS BIGINT) AS cell
+         |  FROM counts CROSS JOIN rows_j
+         |  GROUP BY 1, 2)
+         |SELECT l_suppkey, exact_cnt, min(cell) AS cms_est
+         |FROM counts CROSS JOIN rows_j
+         |JOIN cells ON cells.j = rows_j.j AND cells.slot = ${slot("rows_j.j")}
+         |GROUP BY l_suppkey, exact_cnt""".stripMargin
+    },
     // identical expression structure to the Spark side: exact decimal
     // moments cast to double only inside the closed-form variance
     "xt_value_outliers" ->

@@ -315,6 +315,32 @@ class RelationalOpsSpec extends SparkSpec {
     assert(cands.size <= capacity)
   }
 
+  test("CountMinAgg: linear merge, and estimates never undercount") {
+    val agg = new graft.functions.CountMinAgg(4, 64)
+    val keys = (1L to 5000L).map(i => i % 37) // skewed: 37 distinct keys
+    val whole = keys.foldLeft(agg.zero)(agg.reduce)
+    // linearity: any split merges to the same block
+    val parts = keys.grouped(613).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = parts.reduce(agg.merge)
+    assert(java.util.Arrays.equals(whole, merged))
+    // no-undercount on every key
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k, cnt) =>
+      val est = (0 until 4).map(j =>
+        whole(j * 64 + graft.functions.CountMinAgg.slot(j, k, 64))).min
+      assert(est >= cnt, s"undercount for $k: $est < $cnt")
+    }
+  }
+
+  test("cmsSupplierCounts: every estimate bounds the exact count from above") {
+    val rows = RelationalOps.cmsSupplierCounts(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted supplier ${r.getLong(0)}: ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+  }
+
   test("heavyHitterSuppliers: sketch+confirm equals naive groupBy-HAVING") {
     import spark.implicits._
     val got = RelationalOps.heavyHitterSuppliers(spark, Sf)
