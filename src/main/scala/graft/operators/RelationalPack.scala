@@ -62,6 +62,7 @@ object RelationalPack extends QueryPack {
     "xt_funnel_steps" -> ((s, d) => TimeSeriesOps.funnelSteps(s, d)),
     "xt_value_outliers" -> ((s, d) => TimeSeriesOps.valueOutliers(s, d)),
     "xa_cms_counts" -> ((s, d) => RelationalOps.cmsSupplierCounts(s, d)),
+    "xt_decayed_engagement" -> ((s, d) => TimeSeriesOps.decayedEngagement(s, d)),
   )
 
   private val rev =
@@ -579,6 +580,19 @@ object RelationalPack extends QueryPack {
          |JOIN cells ON cells.j = rows_j.j AND cells.slot = ${slot("rows_j.j")}
          |GROUP BY l_suppkey, exact_cnt""".stripMargin
     },
+    // decay weights are exact binary fractions (long shift + exact binary
+    // division), so the double sums agree at any aggregation order
+    "xt_decayed_engagement" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |h AS (SELECT max(d) AS d_max FROM ev)
+        |SELECT user_id, count(*) AS n_events,
+        |  sum(CAST(1 AS DOUBLE) /
+        |      (CAST(1 AS BIGINT) << least(datediff('day', d, d_max), 62)))
+        |    AS decayed_weight,
+        |  max(d) AS last_seen
+        |FROM ev CROSS JOIN h
+        |GROUP BY user_id""".stripMargin,
     // identical expression structure to the Spark side: exact decimal
     // moments cast to double only inside the closed-form variance
     "xt_value_outliers" ->

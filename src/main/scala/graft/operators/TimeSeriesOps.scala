@@ -200,6 +200,32 @@ object TimeSeriesOps {
       .select(col("event_id"), col("user_id"), col("value"), round(z, 6).as("z"))
   }
 
+  /** X-C18: exponentially time-decayed engagement — the recency-weighting
+    * signal a freshness-aware sampler or ranking feature uses: per user,
+    * Σ over events of 2^(−age_days) against the corpus's last day. The
+    * decay base is a POWER OF TWO with an integer exponent, computed as
+    * `1.0 / (1 << age)` — an exact long shift and an exact binary division,
+    * so every addend is an integer multiple of 2^−62 and partial sums stay
+    * EXACT at any aggregation order (the same portability trick as the
+    * decimal moments: no transcendental `pow`, no order-dependent float
+    * drift, hence a hash-exact oracle). The corpus horizon is a one-row
+    * broadcast; the aggregation is map-side combinable on `user_id`.
+    */
+  def decayedEngagement(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
+    val horizon = ev.agg(max(col("ts").cast("date")).as("d_max"))
+    ev.crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        least(datediff(col("d_max"), col("ts").cast("date")), lit(62)).as("age"))
+      // SQL shiftleft takes a column shift (the Scala helper is literal-only)
+      .select(col("user_id"), col("d"),
+        expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), age)").as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w")).as("decayed_weight"),
+        max(col("d")).as("last_seen"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

@@ -172,6 +172,21 @@ class TimeSeriesSpec extends SparkSpec {
     } finally got.unpersist()
   }
 
+  test("decayedEngagement: weights bounded by counts, today's events weigh 1") {
+    val rows = TimeSeriesOps.decayedEngagement(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val horizon = Tables.events(spark, Sf)
+      .agg(max(col("ts").cast("date"))).collect().head.getDate(0)
+    rows.foreach { r =>
+      val (n, wsum) = (r.getLong(1), r.getDouble(2))
+      // each weight is in (0, 1]: the sum is positive and never exceeds n
+      assert(wsum > 0.0 && wsum <= n.toDouble)
+    }
+    // a user active on the horizon day contributes a full 1.0 from that event
+    val lastDay = rows.filter(_.getDate(3) == horizon)
+    assert(lastDay.nonEmpty && lastDay.forall(_.getDouble(2) >= 1.0))
+  }
+
   test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
     val rows = TimeSeriesOps.scd2UserState(spark, Sf)
       .collect().groupBy(_.getLong(0))
