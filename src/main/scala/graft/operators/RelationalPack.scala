@@ -63,6 +63,7 @@ object RelationalPack extends QueryPack {
     "xt_value_outliers" -> ((s, d) => TimeSeriesOps.valueOutliers(s, d)),
     "xa_cms_counts" -> ((s, d) => RelationalOps.cmsSupplierCounts(s, d)),
     "xt_decayed_engagement" -> ((s, d) => TimeSeriesOps.decayedEngagement(s, d)),
+    "xt_event_transitions" -> ((s, d) => TimeSeriesOps.eventTransitions(s, d)),
   )
 
   private val rev =
@@ -580,6 +581,20 @@ object RelationalPack extends QueryPack {
          |JOIN cells ON cells.j = rows_j.j AND cells.slot = ${slot("rows_j.j")}
          |GROUP BY l_suppkey, exact_cnt""".stripMargin
     },
+    "xt_event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT prev_type, next_type, count(*) AS n_transitions
+        |  FROM pairs WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |    sum(n_transitions) OVER (PARTITION BY prev_type) AS prob
+        |FROM counts""".stripMargin,
     // decay weights are exact binary fractions (long shift + exact binary
     // division), so the double sums agree at any aggregation order
     "xt_decayed_engagement" ->

@@ -302,6 +302,37 @@ object ScaleOps {
     withFlag(perSeg).unionByName(withFlag(global))
   }
 
+  /** X-P19 (data-quality family with [[columnProfile]]): referential-
+    * conformance audit — one row per declared FK relationship with the fact
+    * row count and the orphan count (fact keys with no dimension match).
+    * Each check is a left join against a UNIQUE-keyed dimension (no
+    * fan-out) + one map-side-combinable aggregate; dimensions broadcast at
+    * any realistic scale, so each fact table is scanned once and never
+    * shuffled. The ingest gate every warehouse runs before trusting a
+    * load — nonzero orphans mean the join results downstream silently drop
+    * rows.
+    */
+  def fkConformance(spark: SparkSession, sfDir: String): DataFrame = {
+    def check(name: String, fact: DataFrame, key: String,
+              dim: DataFrame, dimKey: String): DataFrame =
+      fact.select(col(key))
+        .join(broadcast(dim.select(col(dimKey), lit(1).as("present"))),
+          col(key) === col(dimKey), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("present").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_orphans"))
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    check("orders.o_custkey->customer", o, "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey")
+      .unionAll(check("lineitem.l_orderkey->orders", l, "l_orderkey",
+        o, "o_orderkey"))
+      .unionAll(check("lineitem.l_suppkey->supplier", l, "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"))
+      .unionAll(check("lineitem.l_partkey->part", l, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"))
+  }
+
   /** X-P15: single-pass column profiling — the data-quality sweep every
     * ingest pipeline runs before trusting a table: row count, null count,
     * exact distinct cardinality, and min/max per column, computed in ONE

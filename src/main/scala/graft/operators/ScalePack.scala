@@ -21,6 +21,7 @@ object ScalePack extends QueryPack {
     "xp_zorder_scan" -> ((s, d) => ScaleOps.zorderSliceScan(s, d)),
     "xa_hll_union" -> ((s, d) => ScaleOps.hllSegmentDistinct(s, d)),
     "xa_column_profile" -> ((s, d) => ScaleOps.columnProfile(s, d)),
+    "xa_fk_conformance" -> ((s, d) => ScaleOps.fkConformance(s, d)),
   )
 
   private val rev =
@@ -64,6 +65,23 @@ object ScalePack extends QueryPack {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+    "xa_fk_conformance" -> {
+      def check(name: String, fact: String, key: String,
+                dim: String, dimKey: String) =
+        s"""SELECT '$name' AS relationship, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $dimKey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphans
+           |FROM $fact LEFT JOIN $dim ON $key = $dimKey""".stripMargin
+      Seq(
+        check("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        check("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        check("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        check("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey")).mkString("\nUNION ALL\n")
+    },
     // exact distinct counts replayed; the within-tolerance flag is the
     // sketch-quality assertion the Spark side computes against its own HLL
     "xa_hll_union" ->

@@ -226,6 +226,30 @@ object TimeSeriesOps {
         max(col("d")).as("last_seen"))
   }
 
+  /** X-C19: event-transition matrix (first-order Markov view of behavior):
+    * for every consecutive (prev → next) event-type pair within a user's
+    * stream, the transition count and the per-source probability. One
+    * `lag` window and the transition aggregation both key on `user_id` /
+    * tiny type pairs, and the per-source normalizer is a window over the
+    * 25-row transition table — the stream shuffles once, everything after
+    * is constant-sized. Probability = exact int ÷ exact int, one IEEE
+    * division, so the oracle hashes exactly.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    counts
+      .withColumn("n_from",
+        sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from")).as("prob"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

@@ -188,6 +188,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(all.head.getLong(1) == exact)
   }
 
+  test("fkConformance: one row per relationship; the synthetic schema is orphan-free") {
+    import org.apache.spark.sql.functions._
+    val rows = ScaleOps.fkConformance(spark, Sf).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(0)).distinct.length == 4)
+    rows.foreach(r => assert(r.getLong(2) == 0L,
+      s"${r.getString(0)} reports ${r.getLong(2)} orphans"))
+    // n_rows are the fact-table counts (the left join must not fan out)
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("orders.o_custkey->customer") == Tables.orders(spark, Sf).count())
+    assert(byName("lineitem.l_partkey->part") == Tables.lineitem(spark, Sf).count())
+    // and a synthetic orphan IS caught: drop half the dimension, recount
+    val half = Tables.customer(spark, Sf).where(col("c_custkey") % 2 === 0)
+    val orphans = Tables.orders(spark, Sf)
+      .join(broadcast(half.select(col("c_custkey"), lit(1).as("present"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .where(col("present").isNull).count()
+    assert(orphans > 0)
+  }
+
   test("columnProfile: one row per column, stats agree with direct recomputes") {
     import org.apache.spark.sql.functions._
     val prof = ScaleOps.columnProfile(spark, Sf).collect()

@@ -187,6 +187,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(lastDay.nonEmpty && lastDay.forall(_.getDouble(2) >= 1.0))
   }
 
+  test("eventTransitions: probabilities sum to 1 per source; totals conserve the stream") {
+    val rows = TimeSeriesOps.eventTransitions(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      assert(math.abs(grp.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+    // every non-first event is exactly one transition's target
+    val total = rows.map(_.getLong(2)).sum
+    val nEvents = Tables.events(spark, Sf).count()
+    val nUsers = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(total == nEvents - nUsers)
+  }
+
   test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
     val rows = TimeSeriesOps.scd2UserState(spark, Sf)
       .collect().groupBy(_.getLong(0))
