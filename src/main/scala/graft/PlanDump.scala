@@ -87,6 +87,12 @@ object PlanDump {
         operators.TextOps.phraseSearch(spark, sfDir)),
       ("xt_value_outliers", "exact decimal moments once per user, broadcast back; stream joins stats, never reshuffles",
         operators.TimeSeriesOps.valueOutliers(spark, sfDir)),
+      ("xo_priority_sample", "pure row-function priority: scan → TakeOrderedAndProject, nothing global",
+        operators.RelationalOps.prioritySample(spark, sfDir)),
+      ("xa_trend_ols", "closed-form OLS: five mergeable moment sums, ONE map-side-combinable agg",
+        operators.RelationalOps.trendOls(spark, sfDir)),
+      ("tx_doc_chunks", "narrow chunker: words materialized once, sequence+explode+slice, zero shuffles",
+        operators.TextOps.docChunks(spark, sfDir)),
       ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()

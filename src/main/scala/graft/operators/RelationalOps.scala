@@ -936,6 +936,81 @@ object RelationalOps {
       .select(col("l_suppkey"), col("exact_cnt"), least(estCols: _*).as("cms_est"))
   }
 
+  /** Sample size for [[prioritySample]]. */
+  val PrioritySampleK = 25
+
+  /** X-O weighted sampling: deterministic PRIORITY SAMPLE (Duffield, Lund &
+    * Thorup, "Priority sampling for estimation of arbitrary subset sums",
+    * JACM 2007 — public literature) of orders weighted by price. Each row
+    * gets priority q = w/u for a uniform u ∈ (0,1]; the k highest-priority
+    * rows form a sample from which any subset's weight sum is estimable
+    * with `max(w, τ)` (τ = the (k+1)-th priority). Heavy rows are near-
+    * certain picks, light rows enter with probability ∝ w — the sampling
+    * backbone for weighted-sketch rollups at 100 TB.
+    *
+    * Determinism discipline: u is the portable h24 hash mapped to
+    * (0, 2^24] — so u = (h+1)/2^24 and q = w·2^24/(h+1), one exact
+    * power-of-two scale and ONE IEEE division — no `rand()`, replayable
+    * under retries, and bit-identical in the DuckDB oracle (hence an exact
+    * hash check, like [[bottomKSample]]'s min-wise bottom-k twin). Ties
+    * break by key. Plan shape: one scan → `TakeOrderedAndProject` — each
+    * task keeps k candidates, the driver merges k·tasks rows; nothing
+    * global materializes. Samples of shards re-merge correctly (take the
+    * top k of the union — the priority is a pure row function).
+    */
+  def prioritySample(spark: SparkSession, sfDir: String, k: Int = PrioritySampleK): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") * lit(16777216.0) /
+          (Tables.h24(concat(lit("ps:"), col("o_orderkey").cast("string"))) + lit(1)))
+          .as("priority"))
+      .orderBy(col("priority").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Epoch for [[trendOls]]'s day ordinals — the corpus's first order year. */
+  val TrendEpoch = "1995-01-01"
+
+  /** X-A analytics: per-priority-class least-squares price trend — the
+    * "is this segment drifting?" regression a metrics pipeline fits, as ONE
+    * aggregation. Classic closed-form OLS over moment sums: slope =
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept = (Σy − slope·Σx)/n, and
+    * r² from the same moments — so the whole fit is a single map-side-
+    * combinable groupBy whose state is five numbers per group, mergeable
+    * across any partitioning (the distributed-regression recipe; at 100 TB
+    * the exchange carries one 5-tuple per group per task).
+    *
+    * Portability discipline (the [[graft.operators.TimeSeriesOps.valueOutliers]]
+    * decimal-moment trick): x is an exact epoch-day integer, y an exact
+    * decimal(12,2) cast of the double price, and ALL FIVE moments are exact
+    * decimal/long sums — associative, so any aggregation order agrees.
+    * Doubles appear only in the final closed form, where every operation is
+    * a single IEEE op on exactly-determined inputs, mirrored
+    * operation-for-operation in the oracle SQL — hence a hash-exact
+    * regression, no rounding needed. A naive `covar_pop`/`regr_slope`
+    * would sum doubles in partition order and drift between engines.
+    */
+  def trendOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = datediff(col("o_orderdate").cast("date"), to_date(lit(TrendEpoch)))
+      .cast("long")
+    val xDec = x.cast("decimal(18,0)")
+    val yDec = col("o_totalprice").cast("decimal(12,2)")
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(yDec).cast("double").as("sy"),
+        sum(xDec * xDec).cast("double").as("sxx"),
+        sum(xDec * yDec).cast("double").as("sxy"),
+        sum(yDec * yDec).cast("double").as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", col("num") / col("den"))
+      .select(col("o_orderpriority"), col("n"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        (col("num") * col("num") / (col("den") * col("deny"))).as("r2"))
+  }
+
   /** X-T date arithmetic: ship-delay stats per order priority. */
   def shipDelay(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

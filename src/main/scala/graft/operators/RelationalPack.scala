@@ -64,6 +64,8 @@ object RelationalPack extends QueryPack {
     "xa_cms_counts" -> ((s, d) => RelationalOps.cmsSupplierCounts(s, d)),
     "xt_decayed_engagement" -> ((s, d) => TimeSeriesOps.decayedEngagement(s, d)),
     "xt_event_transitions" -> ((s, d) => TimeSeriesOps.eventTransitions(s, d)),
+    "xo_priority_sample" -> ((s, d) => RelationalOps.prioritySample(s, d)),
+    "xa_trend_ols" -> ((s, d) => RelationalOps.trendOls(s, d)),
   )
 
   private val rev =
@@ -622,6 +624,43 @@ object RelationalPack extends QueryPack {
         |FROM events JOIN s USING (user_id)
         |WHERE n > 1 AND sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) > 0
         |  AND abs((value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) > 2.0""".stripMargin,
+    // priority q = w·2^24/(h+1): one exact power-of-two scale + ONE IEEE
+    // division, so both engines compute bit-identical priorities
+    "xo_priority_sample" ->
+      s"""SELECT o_orderkey, o_totalprice,
+         |  o_totalprice * 16777216.0 /
+         |    (${Oracle.h24("'ps:' || CAST(o_orderkey AS VARCHAR)")} + 1) AS priority
+         |FROM orders
+         |ORDER BY priority DESC, o_orderkey
+         |LIMIT ${RelationalOps.PrioritySampleK}""".stripMargin,
+    // identical expression structure to the Spark side: exact decimal/long
+    // moments, doubles only inside the mirrored closed form
+    "xa_trend_ols" -> {
+      val day =
+        s"CAST(datediff('day', DATE '${RelationalOps.TrendEpoch}', CAST(o_orderdate AS DATE)) AS BIGINT)"
+      val dayDec =
+        s"CAST(datediff('day', DATE '${RelationalOps.TrendEpoch}', CAST(o_orderdate AS DATE)) AS DECIMAL(18,0))"
+      val yDec = "CAST(o_totalprice AS DECIMAL(12,2))"
+      s"""WITH m AS (
+         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum($day) AS DOUBLE) AS sx,
+         |    CAST(sum($yDec) AS DOUBLE) AS sy,
+         |    CAST(sum($dayDec * $dayDec) AS DOUBLE) AS sxx,
+         |    CAST(sum($dayDec * $yDec) AS DOUBLE) AS sxy,
+         |    CAST(sum($yDec * $yDec) AS DOUBLE) AS syy
+         |  FROM orders GROUP BY o_orderpriority),
+         |f AS (
+         |  SELECT o_orderpriority, n, sx, sy,
+         |    n * sxy - sx * sy AS num,
+         |    n * sxx - sx * sx AS den,
+         |    n * syy - sy * sy AS deny
+         |  FROM m),
+         |g AS (SELECT *, num / den AS slope FROM f)
+         |SELECT o_orderpriority, n, slope,
+         |  (sy - slope * sx) / n AS intercept,
+         |  num * num / (den * deny) AS r2
+         |FROM g""".stripMargin
+    },
     "xj_q20_excess_suppliers" ->
       """WITH per_supp AS (
         |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec

@@ -42,6 +42,8 @@ object TextDedupPack extends QueryPack {
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
     "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
+    "tx_doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
+    "tx_dataset_splits" -> ((s, d) => TextOps.datasetSplits(s, d)),
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
@@ -262,6 +264,37 @@ object TextDedupPack extends QueryPack {
          |FROM (SELECT doc_id, doc_id % ${TextOps.PackShards} AS shard,
          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |      FROM documents)""".stripMargin,
+    // same list-materialization discipline as the Spark side: w is split
+    // once per doc, sliced per chunk
+    "tx_doc_chunks" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |starts AS (
+         |  SELECT doc_id, w, n,
+         |         unnest(generate_series(1, n, ${TextOps.ChunkStride})) AS s
+         |  FROM base)
+         |SELECT doc_id,
+         |  CAST((s - 1) // ${TextOps.ChunkStride} AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_token,
+         |  CAST(least(${TextOps.ChunkLen}, n - s + 1) AS BIGINT) AS chunk_tokens,
+         |  ${h24(s"array_to_string(w[CAST(s AS BIGINT):least(s + ${TextOps.ChunkLen - 1}, n)], ' ')")}
+         |    AS chunk_hash
+         |FROM starts""".stripMargin,
+    "tx_dataset_splits" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN ${h24("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+         |              < ${TextOps.SplitTrainPct} THEN 'train'
+         |         WHEN ${h24("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+         |              < ${TextOps.SplitValPct} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM d) AS doc_share
+         |FROM d GROUP BY split""".stripMargin,
     "tx_repetition" ->
       """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac,

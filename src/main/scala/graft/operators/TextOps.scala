@@ -203,6 +203,78 @@ object TextOps {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** Chunk geometry for [[docChunks]]: window length and stride in tokens
+    * (stride < window ⇒ consecutive chunks overlap by `ChunkLen −
+    * ChunkStride` tokens, the standard RAG/pretraining overlap).
+    */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** X-C20: overlapping token-window chunking — the document splitter every
+    * RAG index and long-context training pipeline runs: each document's
+    * token stream becomes windows of [[ChunkLen]] tokens starting every
+    * [[ChunkStride]], tail windows shorter. Emits per chunk its ordinal,
+    * 1-based start token, length, and the portable h24 content hash of the
+    * chunk text (the dedup/index key — chunk-level dedup composes with the
+    * dd_* family downstream).
+    *
+    * Scale shape: entirely NARROW — one documents scan, `sequence` +
+    * `explode` per doc (chunk count ∝ doc length, never corpus size), a
+    * `slice` on the ALREADY-MATERIALIZED word array (the
+    * [[graft.functions.TextFunctions.shingles3OfWords]] lesson: splitting
+    * inside the per-chunk expression would re-tokenize per chunk —
+    * O(tokens²/stride) per doc), zero shuffles. At 100 TB this is pure
+    * map-side throughput.
+    */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val stride = lit(ChunkStride.toLong)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(1L), col("n"), stride)).as("s"))
+      .select(col("doc_id"),
+        ((col("s") - 1) / stride).cast("long").as("chunk_idx"),
+        col("s").as("start_token"),
+        least(lit(ChunkLen.toLong), col("n") - col("s") + 1).as("chunk_tokens"),
+        Tables.h24(array_join(
+          slice(col("w"), col("s").cast("int"),
+            least(lit(ChunkLen), (col("n") - col("s") + 1).cast("int"))), " "))
+          .as("chunk_hash"))
+  }
+
+  /** Split fractions for [[datasetSplits]]: cumulative percent bounds —
+    * h24-bucket < 90 ⇒ train, < 95 ⇒ val, else test.
+    */
+  val SplitTrainPct = 90
+  val SplitValPct = 95
+
+  /** X-C21: deterministic train/val/test split manifest — the contract
+    * every training run pins before touching data: each document routes to
+    * a split by the same retry-safe h24-mod rule as [[stratifiedSample]]
+    * (reproducible row-for-row at any scale, no `rand()`), and the manifest
+    * reports per-split doc counts, token totals, and the realized doc
+    * share. One narrow projection + one 3-group map-side-combinable
+    * aggregate; the global total for the share rides a 3-row window, so
+    * nothing beyond per-split partials ever moves.
+    */
+  def datasetSplits(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = Tables.h24(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val perSplit = Tables.documents(spark, sfDir)
+      .select(
+        when(bucket < SplitTrainPct, "train")
+          .when(bucket < SplitValPct, "val").otherwise("test").as("split"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    perSplit
+      .withColumn("n_total",
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .select(col("split"), col("n_docs"), col("total_tokens"),
+        (col("n_docs").cast("double") / col("n_total")).as("doc_share"))
+  }
+
   /** Tokens per packed training sequence ([[sequencePacking]]). */
   val SeqLen = 2048
 

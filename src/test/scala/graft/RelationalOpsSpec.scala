@@ -442,6 +442,56 @@ class RelationalOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == expect)
   }
+  test("prioritySample: exact top-k by hash priority, TakeOrderedAndProject plan") {
+    val df = RelationalOps.prioritySample(spark, Sf)
+    assert(plan(df).contains("TakeOrderedAndProject"))
+    val got = df.collect()
+    assert(got.length == RelationalOps.PrioritySampleK)
+    assert(got.map(_.getLong(0)).distinct.length == got.length)
+    // equals a driver-side sort of the full priority scan (same pure row
+    // function, independent of the TakeOrdered path)
+    val all = Tables.orders(spark, Sf)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * lit(16777216.0) /
+          (Tables.h24(concat(lit("ps:"), col("o_orderkey").cast("string"))) + lit(1)))
+          .as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = all.sortBy { case (k, q) => (-q, k) }
+      .take(RelationalOps.PrioritySampleK).map(_._1).toSeq
+    assert(got.map(_.getLong(0)).toSeq == expect)
+    // heavy rows dominate: the sample's mean weight exceeds the population's
+    val sampleMean = got.map(_.getDouble(1)).sum / got.length
+    val popMean = Tables.orders(spark, Sf)
+      .agg(avg(col("o_totalprice"))).head.getDouble(0)
+    assert(sampleMean > popMean)
+  }
+
+  test("trendOls: closed-form moments agree with Spark's regr_* aggregates") {
+    val got = RelationalOps.trendOls(spark, Sf).collect()
+    assert(got.length == 5)
+    val built = Tables.orders(spark, Sf)
+      .select(col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit(RelationalOps.TrendEpoch))).cast("double").as("x"),
+        col("o_totalprice").as("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(regr_slope(col("y"), col("x")).as("s"),
+        regr_intercept(col("y"), col("x")).as("i"),
+        regr_r2(col("y"), col("x")).as("r2"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    got.foreach { r =>
+      val b = built(r.getString(0))
+      assert(r.getAs[Long]("n") == b.getAs[Long]("n"))
+      def close(a: Double, e: Double, tol: Double) =
+        math.abs(a - e) <= tol * (1 + math.abs(e))
+      assert(close(r.getAs[Double]("slope"), b.getAs[Double]("s"), 1e-6))
+      assert(close(r.getAs[Double]("intercept"), b.getAs[Double]("i"), 1e-6))
+      assert(close(r.getAs[Double]("r2"), b.getAs[Double]("r2"), 1e-6))
+      assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0)
+    }
+  }
+
   test("marketShare (Q8 shape): shares bounded by [0,1], denominator covers the region") {
     val rows = RelationalOps.marketShare(spark, Sf).collect()
     assert(rows.nonEmpty)

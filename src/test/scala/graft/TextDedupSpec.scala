@@ -254,6 +254,42 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("top_word_frac") - top.toDouble / ws.length) < 1e-12)
   }
 
+  test("docChunks: stride geometry, tail coverage, hash matches a driver-side recompute") {
+    val byDoc = TextOps.docChunks(spark, Sf).collect().groupBy(_.getLong(0))
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+    assert(byDoc.keySet == docs.map(_.getLong(0)).toSet) // every doc chunks, even short ones
+    docs.foreach { d =>
+      val ws = d.getString(1).split(" ")
+      val cs = byDoc(d.getLong(0)).sortBy(_.getAs[Long]("chunk_idx"))
+      assert(cs.length == (ws.length - 1) / TextOps.ChunkStride + 1)
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_idx") == i)
+        assert(c.getAs[Long]("start_token") == 1L + i * TextOps.ChunkStride)
+        assert(c.getAs[Long]("chunk_tokens") ==
+          math.min(TextOps.ChunkLen, ws.length - i * TextOps.ChunkStride))
+      }
+      // the last chunk ends exactly on the final token — nothing dropped
+      val last = cs.last
+      assert(last.getAs[Long]("start_token") + last.getAs[Long]("chunk_tokens") - 1 == ws.length)
+      // content hash is the portable h24 of the sliced text (JVM twin)
+      val expectHash = graft.functions.MinHashAgg.h24(
+        ws.take(TextOps.ChunkLen).mkString(" "))
+      assert(cs.head.getAs[Long]("chunk_hash") == expectHash)
+    }
+  }
+
+  test("datasetSplits: exact partition of docs and tokens, train dominates under 90/5/5") {
+    val rows = TextOps.datasetSplits(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, Sf).count())
+    assert(math.abs(rows.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-12)
+    val totTokens = TextOps.tokenCounts(spark, Sf)
+      .agg(sum("n_ws_tokens")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum == totTokens)
+    val m = rows.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(m("train") > m("val") && m("train") > m("test"))
+  }
+
   test("temperatureMix: rarest language keeps 100%, others downsampled, deterministic") {
     val mix = TextOps.temperatureMix(spark, Sf)
     val rates = mix.select("lang", "keep_pct").distinct().collect()
