@@ -66,6 +66,8 @@ object RelationalPack extends QueryPack {
     "xt_event_transitions" -> ((s, d) => TimeSeriesOps.eventTransitions(s, d)),
     "xo_priority_sample" -> ((s, d) => RelationalOps.prioritySample(s, d)),
     "xa_trend_ols" -> ((s, d) => RelationalOps.trendOls(s, d)),
+    "xt_rolling_active" -> ((s, d) => TimeSeriesOps.rollingActiveUsers(s, d)),
+    "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
   )
 
   private val rev =
@@ -624,6 +626,67 @@ object RelationalPack extends QueryPack {
         |FROM events JOIN s USING (user_id)
         |WHERE n > 1 AND sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) > 0
         |  AND abs((value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) > 2.0""".stripMargin,
+    // coverage expansion: each distinct (user, active-day) covers its
+    // window days; second distinct + count per day — exact epoch-day ints
+    "xt_rolling_active" -> {
+      val win = graft.operators.TimeSeriesOps.RollingWindowDays
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(datediff('day', DATE '1970-01-01',
+         |         CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_idx
+         |  FROM events),
+         |spine AS (SELECT DISTINCT day_idx FROM pairs),
+         |cov AS (
+         |  SELECT DISTINCT user_id, day_idx + off AS day_idx
+         |  FROM (SELECT user_id, day_idx,
+         |          unnest(generate_series(0, ${win - 1})) AS off
+         |        FROM pairs))
+         |SELECT DATE '1970-01-01' + CAST(c.day_idx AS INTEGER) AS day,
+         |  c.day_idx, CAST(count(*) AS BIGINT) AS active_users
+         |FROM cov c JOIN spine USING (day_idx)
+         |GROUP BY c.day_idx""".stripMargin
+    },
+    // identical interpolation expression order: prev + (next-prev) * (dt/dT),
+    // dt/dT an exact-int-seconds ratio — bit-identical cross-engine
+    "xt_interp_hourly" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |            FROM events WHERE user_id < 20),
+        |spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', min(ts)),
+        |                           date_trunc('hour', max(ts)),
+        |                           INTERVAL 1 HOUR)) AS hour
+        |  FROM ev GROUP BY user_id),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    max(value) FILTER (WHERE event_type = 'purchase') AS obs
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.user_id, s.hour, h.obs,
+        |    last_value(h.obs IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN h.obs IS NOT NULL THEN s.hour END IGNORE NULLS)
+        |      OVER (PARTITION BY s.user_id ORDER BY s.hour
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+        |    first_value(h.obs IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN h.obs IS NOT NULL THEN s.hour END IGNORE NULLS)
+        |      OVER (PARTITION BY s.user_id ORDER BY s.hour
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+        |  FROM spine s
+        |  LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour)
+        |SELECT user_id, CAST(hour AS TIMESTAMP) AS hour,
+        |  obs IS NOT NULL AS is_observed,
+        |  CASE
+        |    WHEN prev_h IS NOT NULL AND next_h IS NOT NULL AND next_h <> prev_h
+        |    THEN prev_v + (next_v - prev_v) *
+        |      (CAST(datediff('second', prev_h, hour) AS DOUBLE) /
+        |       CAST(datediff('second', prev_h, next_h) AS DOUBLE))
+        |    WHEN prev_h IS NOT NULL THEN prev_v
+        |  END AS interp_value
+        |FROM grid""".stripMargin,
     // priority q = w·2^24/(h+1): one exact power-of-two scale + ONE IEEE
     // division, so both engines compute bit-identical priorities
     "xo_priority_sample" ->

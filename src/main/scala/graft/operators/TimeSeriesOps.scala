@@ -250,6 +250,99 @@ object TimeSeriesOps {
         (col("n_transitions").cast("double") / col("n_from")).as("prob"))
   }
 
+  /** Trailing window (days) for [[rollingActiveUsers]]. */
+  val RollingWindowDays = 7
+
+  /** X-C22: rolling 7-day active users — the engagement headline metric
+    * (WAU per day): for every corpus day D, the count of distinct users
+    * with any event in [D−6, D]. Sliding DISTINCT is the classic scale
+    * trap: a naive per-day `countDistinct` over a range self-join rescans
+    * the window per day. Here it's COVERAGE EXPANSION instead — the stream
+    * first collapses to distinct (user, active-day) pairs (bounded by
+    * users × active days, orders below event count), each pair then covers
+    * the [[RollingWindowDays]] window days it contributes to (a bounded 7×
+    * explode — the time-axis twin of the 9× grid-bucket spatial join), and
+    * a second distinct + count per day finishes it. Every stage is
+    * map-side combinable and keys on `user_id` then `day`; no stage holds
+    * per-day user sets. Day ordinals are exact epoch-day integers (the
+    * [[cohortRetention]] discipline); the tiny real-day spine joins back
+    * so phantom trailing days past each user's span never emit.
+    */
+  def rollingActiveUsers(spark: SparkSession, sfDir: String,
+      windowDays: Int = RollingWindowDays): DataFrame =
+    rollingActiveUsersOn(Tables.events(spark, sfDir), windowDays)
+
+  private[graft] def rollingActiveUsersOn(events: DataFrame, windowDays: Int): DataFrame = {
+    val pairs = events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("day_idx"))
+      .distinct()
+    val spine = pairs.select(col("day_idx")).distinct()
+    val covered = pairs
+      .select(col("user_id"),
+        explode(sequence(col("day_idx"), col("day_idx") + (windowDays - 1)))
+          .as("day_idx"))
+      .distinct()
+    covered
+      .join(spine, Seq("day_idx"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("active_users")) // rows are distinct (user, day)
+      .select(
+        date_add(to_date(lit("1970-01-01")), col("day_idx").cast("int")).as("day"),
+        col("day_idx"), col("active_users"))
+  }
+
+  /** X-C23: linear interpolation on the gap-filled hourly grid — the
+    * resample step that estimates a value BETWEEN observations instead of
+    * holding the last one ([[gapFillHourly]]'s forward-fill twin):
+    * interp = prev + (next − prev) · Δt/ΔT with the bracketing observation
+    * values and times found by the same two windows a forward-fill uses
+    * (last-ignoreNulls backward, first-ignoreNulls forward — both over ONE
+    * `user_id` shuffle and a shared sort). Leading edge (no prior
+    * observation) stays null; trailing edge (no later observation) holds
+    * the last value. Determinism: Δt/ΔT is exact-int-seconds ÷
+    * exact-int-seconds — one IEEE division, then one subtract/multiply/add
+    * chain on raw (not summed) doubles, mirrored op-for-op in the oracle —
+    * hash-exact, no rounding.
+    */
+  def interpHourly(spark: SparkSession, sfDir: String, maxUserId: Long = 20L): DataFrame =
+    interpHourlyOn(Tables.events(spark, sfDir), maxUserId)
+
+  private[graft] def interpHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
+    val ev = events
+      .where(col("user_id") < maxUserId)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+        max(date_trunc("hour", col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max(when(col("event_type") === "purchase", col("value"))).as("obs"))
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dt = unix_timestamp(col("hour")) - unix_timestamp(col("prev_h"))
+    val dT = unix_timestamp(col("next_h")) - unix_timestamp(col("prev_h"))
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("prev_v", last(col("obs"), ignoreNulls = true).over(wb))
+      .withColumn("prev_h",
+        last(when(col("obs").isNotNull, col("hour")), ignoreNulls = true).over(wb))
+      .withColumn("next_v", first(col("obs"), ignoreNulls = true).over(wf))
+      .withColumn("next_h",
+        first(when(col("obs").isNotNull, col("hour")), ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("hour"), col("obs").isNotNull.as("is_observed"),
+        when(col("prev_h").isNotNull && col("next_h").isNotNull &&
+            col("next_h") =!= col("prev_h"),
+          col("prev_v") + (col("next_v") - col("prev_v")) *
+            (dt.cast("double") / dT.cast("double")))
+          .when(col("prev_h").isNotNull, col("prev_v"))
+          .as("interp_value"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

@@ -70,6 +70,68 @@ class TimeSeriesSpec extends SparkSpec {
       assert(gridClicks == rawClicks)
     } finally df.unpersist()
   }
+  test("rollingActiveUsers: hand-built frame — window coverage, spine-bounded days") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // u1 active day 1 and day 9; u2 active day 1 only; corpus days {1, 9}
+    val ev = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-09")),
+      (2L, t("2024-01-01"))
+    ).toDF("user_id", "ts")
+    val got = TimeSeriesOps.rollingActiveUsersOn(ev, 7)
+      .orderBy("day_idx").collect()
+    // only real corpus days emit (no phantom trailing days 2..8, 10..15)
+    assert(got.map(_.getAs[java.sql.Date]("day").toString).toSeq ==
+      Seq("2024-01-01", "2024-01-09"))
+    // day 1: both users active that day; day 9: u1 only (day 1 is 8 days back)
+    assert(got.map(_.getAs[Long]("active_users")).toSeq == Seq(2L, 1L))
+    // duplicate events inside the window never double-count
+    val dup = Seq((1L, t("2024-01-02")), (1L, t("2024-01-03")), (1L, t("2024-01-05")))
+      .toDF("user_id", "ts")
+    val one = TimeSeriesOps.rollingActiveUsersOn(dup, 7).collect()
+    assert(one.forall(_.getAs[Long]("active_users") == 1L))
+  }
+
+  test("rollingActiveUsers on the corpus: window >= daily actives, bounded by cumulative") {
+    val daily = TimeSeriesOps.rollingActiveUsersOn(Tables.events(spark, Sf), 1)
+      .withColumnRenamed("active_users", "dau")
+    val weekly = TimeSeriesOps.rollingActiveUsers(spark, Sf)
+    val joined = weekly.join(daily, Seq("day_idx")).collect()
+    assert(joined.nonEmpty)
+    // WAU dominates DAU on every day
+    assert(joined.forall(r => r.getAs[Long]("active_users") >= r.getAs[Long]("dau")))
+    val totalUsers = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(joined.forall(_.getAs[Long]("active_users") <= totalUsers))
+  }
+
+  test("interpHourly: hand-built frame — midpoint interpolation, edge semantics") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // purchases at 09:xx (10.0) and 13:xx (30.0): hours 10,11,12 interpolate
+      (1L, t("2024-01-01 09:10:00"), "purchase", 10.0),
+      (1L, t("2024-01-01 13:30:00"), "purchase", 30.0),
+      (1L, t("2024-01-01 15:30:00"), "click", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = TimeSeriesOps.interpHourlyOn(ev, 100L)
+      .orderBy("hour").collect()
+    assert(got.length == 7) // 09..15
+    val vals = got.map(r =>
+      if (r.isNullAt(3)) None else Some(r.getAs[Double]("interp_value")))
+    // 09 observed, 10..12 linear (15, 20, 25), 13 observed, 14-15 hold last
+    assert(vals.toSeq == Seq(Some(10.0), Some(15.0), Some(20.0), Some(25.0),
+      Some(30.0), Some(30.0), Some(30.0)))
+    assert(got.map(_.getAs[Boolean]("is_observed")).toSeq ==
+      Seq(true, false, false, false, true, false, false))
+    // leading edge: user with a click-hour BEFORE the first purchase => null
+    val lead = Seq(
+      (2L, t("2024-01-01 08:00:00"), "click", 0.0),
+      (2L, t("2024-01-01 10:00:00"), "purchase", 7.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val l = TimeSeriesOps.interpHourlyOn(lead, 100L).orderBy("hour").collect()
+    assert(l.head.isNullAt(3) && l.last.getAs[Double]("interp_value") == 7.0)
+  }
+
   test("cohortRetention: hand-built frame — offsets, sizes, and rates") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
