@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed Bloom-filter UDAF (SURVEY §2 UDF/UDAF surface; Bloom 1970) — the
+  * fourth mergeable-summary family next to Count–Min ([[CountMinAgg]]),
+  * Misra–Gries ([[FrequencyAgg]]) and MinHash ([[MinHashAgg]]): a fixed
+  * `numBits` bit array where each key sets `numHashes` positions
+  * `h_j(key) mod numBits`. Merge is bitwise OR — fully associative and
+  * commutative — so Spark's partial aggregation carries a fixed-size word
+  * array per task regardless of key cardinality. Membership tests NEVER
+  * false-negative: every inserted key probes all-ones; a non-member
+  * false-positives with p ≈ (1 − e^(−kn/m))^k.
+  *
+  * The bit positions use the library's portable salted-md5 family
+  * (`h_j(key) = h24("j:" + key)`, [[MinHashAgg.h24]], the JVM twin of
+  * [[graft.Tables.h24]]) — same salt scheme as [[CountMinAgg]] — so the
+  * DuckDB oracle can REBUILD the exact bit set with a GROUP BY and replay
+  * every membership verdict, false positives included: the filter is
+  * value-hash-checkable, not just property-tested.
+  *
+  * Scale role: the build side of bloom semi-join pruning — at 100 TB the
+  * filter of a selective dimension collects to KBs, embeds as a broadcast
+  * literal, and discards most fact rows at the scan before any join
+  * shuffle (the manual twin of Spark's own runtime `bloom_filter_agg`
+  * rewrite, exercised by `xp_runtime_filter_revenue` — this one buys exact
+  * cross-engine replayability).
+  */
+class BloomAgg(numBits: Int, numHashes: Int)
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
+  require(numBits % 64 == 0, "numBits must be a multiple of 64")
+
+  override def zero: Array[Long] = new Array[Long](numBits / 64)
+
+  override def reduce(buf: Array[Long], key: Long): Array[Long] = {
+    var j = 0
+    while (j < numHashes) {
+      val pos = BloomAgg.pos(j, key, numBits)
+      buf(pos >> 6) |= 1L << (pos & 63)
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object BloomAgg {
+  /** Hash-j bit position of a key: the portable salted-h24 mod numBits. */
+  private[graft] def pos(j: Int, key: Long, numBits: Int): Int =
+    (MinHashAgg.h24(s"$j:$key") % numBits).toInt
+}

@@ -345,6 +345,63 @@ object ScaleOps {
     * typed (numeric vs timestamp columns emit into separate typed fields)
     * so no engine-specific string formatting enters the result.
     */
+  /** Bloom geometry for [[bloomMembership]]: 8192 bits × 3 hashes — 1 KB of
+    * filter for ~500 members (kn/m ≈ 0.2 ⇒ FP ≈ 0.6%).
+    */
+  val BloomBits = 8192
+  val BloomHashes = 3
+
+  /** Price threshold defining the "big order" member set. */
+  val BloomMemberThreshold = 450000.0
+
+  /** X-P21: Bloom-filter membership audit — the bloom semi-join pruning
+    * primitive made first-class and REPLAYABLE: build the portable-hash
+    * Bloom filter ([[graft.functions.BloomAgg]]) over the custkeys holding
+    * a big order (one aggregation whose shuffle is a 1 KB word array per
+    * task, OR-merged up the combine tree), embed the finished filter as a
+    * broadcast literal, probe EVERY customer with pure codegen'd bit
+    * arithmetic (`shiftright`/`&` over `element_at` — no UDF on the probe
+    * side, which is the 100-TB fact-scan side), and audit the verdicts
+    * against the exact member set: the emitted one-row summary carries the
+    * no-false-negative guarantee (must be 0) and the realized
+    * false-positive count. Because the bit positions are the salted-h24
+    * family, the oracle rebuilds the exact bit set in SQL and replays every
+    * verdict — false positives included — so the sketch is hash-checked.
+    */
+  def bloomMembership(spark: SparkSession, sfDir: String): DataFrame = {
+    val bloom = udaf(new graft.functions.BloomAgg(BloomBits, BloomHashes))
+    val members = Tables.orders(spark, sfDir)
+      .where(col("o_totalprice") > BloomMemberThreshold)
+      .select(col("o_custkey"))
+    val words: Seq[Long] = members.agg(bloom(col("o_custkey"))).head.getSeq[Long](0)
+    val probed = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"))
+      .withColumn("bw", array(words.map(lit): _*))
+      .withColumns(
+        (0 until BloomHashes).map { j =>
+          s"pos_$j" ->
+            (Tables.h24(concat(lit(s"$j:"), col("c_custkey").cast("string"))) % BloomBits)
+        }.toMap)
+      .withColumn("bloom_hit",
+        (0 until BloomHashes)
+          .map(j => expr(
+            s"(shiftright(element_at(bw, CAST(pos_$j DIV 64 AS INT) + 1), " +
+              s"CAST(pos_$j % 64 AS INT)) & 1) = 1"))
+          .reduce(_ && _))
+      .join(members.distinct().withColumn("is_member", lit(true)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("bloom_hit"),
+        coalesce(col("is_member"), lit(false)).as("is_member"))
+    probed.agg(
+      count(lit(1)).as("n_customers"),
+      sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_flagged"),
+      sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+      sum(when(col("bloom_hit") && !col("is_member"), 1L).otherwise(0L))
+        .as("false_positives"),
+      sum(when(col("is_member") && !col("bloom_hit"), 1L).otherwise(0L))
+        .as("false_negatives"))
+  }
+
   def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val strCols = Seq("o_orderstatus", "o_orderpriority")

@@ -22,6 +22,7 @@ object ScalePack extends QueryPack {
     "xa_hll_union" -> ((s, d) => ScaleOps.hllSegmentDistinct(s, d)),
     "xa_column_profile" -> ((s, d) => ScaleOps.columnProfile(s, d)),
     "xa_fk_conformance" -> ((s, d) => ScaleOps.fkConformance(s, d)),
+    "xp_bloom_membership" -> ((s, d) => ScaleOps.bloomMembership(s, d)),
   )
 
   private val rev =
@@ -118,6 +119,38 @@ object ScalePack extends QueryPack {
       (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
         Seq("o_orderstatus", "o_orderpriority").map(str) ++
         Seq("o_orderdate").map(ts)).mkString("\nUNION ALL\n")
+    },
+    // the oracle REBUILDS the bloom bit set from the same salted-h24 family
+    // and replays every membership verdict, false positives included
+    "xp_bloom_membership" -> {
+      import graft.Oracle.h24
+      val bits = ScaleOps.BloomBits
+      s"""WITH members AS (
+         |  SELECT DISTINCT o_custkey AS k FROM orders
+         |  WHERE o_totalprice > ${ScaleOps.BloomMemberThreshold}),
+         |js AS (SELECT unnest(generate_series(0, ${ScaleOps.BloomHashes - 1})) AS j),
+         |bits AS (
+         |  SELECT DISTINCT
+         |    ${h24("CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % $bits AS pos
+         |  FROM members CROSS JOIN js),
+         |probe AS (
+         |  SELECT c_custkey,
+         |    bool_and(
+         |      ${h24("CAST(j AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)")} % $bits
+         |        IN (SELECT pos FROM bits)) AS bloom_hit
+         |  FROM customer CROSS JOIN js
+         |  GROUP BY c_custkey),
+         |verd AS (
+         |  SELECT p.c_custkey, p.bloom_hit, m.k IS NOT NULL AS is_member
+         |  FROM probe p LEFT JOIN members m ON p.c_custkey = m.k)
+         |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(count(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_flagged,
+         |  CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+         |  CAST(count(*) FILTER (WHERE bloom_hit AND NOT is_member) AS BIGINT)
+         |    AS false_positives,
+         |  CAST(count(*) FILTER (WHERE is_member AND NOT bloom_hit) AS BIGINT)
+         |    AS false_negatives
+         |FROM verd""".stripMargin
     },
     "xa_price_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,

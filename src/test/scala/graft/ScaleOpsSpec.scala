@@ -208,6 +208,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(orphans > 0)
   }
 
+  test("bloomMembership: no false negatives, flag accounting exact, merge = OR") {
+    val r = ScaleOps.bloomMembership(spark, Sf).head()
+    assert(r.getAs[Long]("false_negatives") == 0L) // the Bloom guarantee
+    assert(r.getAs[Long]("n_flagged") ==
+      r.getAs[Long]("n_members") + r.getAs[Long]("false_positives"))
+    val exactMembers = Tables.orders(spark, Sf)
+      .where(col("o_totalprice") > ScaleOps.BloomMemberThreshold)
+      .select("o_custkey").distinct().count()
+    assert(r.getAs[Long]("n_members") == exactMembers && exactMembers > 0)
+    val nonMembers = r.getAs[Long]("n_customers") - exactMembers
+    // 8192 bits / 3 hashes: realized FP rate stays far from saturation
+    assert(r.getAs[Long]("false_positives") <= math.max(1L, nonMembers / 10))
+    // mergeability: OR of two half-built filters == filter of the union
+    val agg = new graft.functions.BloomAgg(256, 3)
+    val (a, b) = (agg.zero, agg.zero)
+    (1L to 50L).foreach(k => agg.reduce(a, k))
+    (40L to 90L).foreach(k => agg.reduce(b, k))
+    val whole = agg.zero
+    (1L to 90L).foreach(k => agg.reduce(whole, k))
+    assert(agg.merge(a, b).toSeq == whole.toSeq)
+  }
+
   test("columnProfile: one row per column, stats agree with direct recomputes") {
     import org.apache.spark.sql.functions._
     val prof = ScaleOps.columnProfile(spark, Sf).collect()
