@@ -284,6 +284,61 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("candidate_keys"))
   }
 
+  /** One arriving order for the streaming priority sample. */
+  case class OrderArrival(o_orderkey: Long, o_orderpriority: String,
+                          o_totalprice: Double)
+  /** A sample-membership delta: a row entered (`admit`) or left (`evict`)
+    * the current top-k of its segment.
+    */
+  case class SampleChange(segment: String, o_orderkey: Long,
+                          priority: Double, change: String)
+  /** Per-segment sample carried between micro-batches: the current top-k
+    * (priority, key, weight) triples — k rows of state, never more.
+    */
+  case class SampleHeap(items: List[(Double, Long, Double)])
+
+  /** Streaming priority sample — the ingest-time twin of
+    * [[graft.operators.RelationalOps.prioritySample]], keyed by order
+    * priority class: maintain each segment's current top-k by the SAME
+    * deterministic hash priority q = w·2^24/(h24+1) and emit membership
+    * DELTAS (admit/evict) the moment they happen. Append mode stays honest
+    * because the final sample is exactly `admits − evicts`, replayable from
+    * the log. State is k triples per segment REGARDLESS of stream length —
+    * the bounded-state property that makes a weighted sample maintainable
+    * on a firehose; and because the priority is a pure row function, the
+    * sample is resume/replay-correct: re-sorting any superset of arrivals
+    * reproduces it (the same min-wise mergeability the batch twin's
+    * shard-union relies on). Rows that never beat the current k-th priority
+    * emit nothing and leave no state.
+    */
+  def streamingPrioritySample(orders: org.apache.spark.sql.Dataset[OrderArrival],
+      k: Int = 10): org.apache.spark.sql.Dataset[SampleChange] = {
+    import orders.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    orders.groupByKey(_.o_orderpriority).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (seg: String, it: Iterator[OrderArrival], state: GroupState[SampleHeap]) =>
+        val prev = state.getOption.map(_.items).getOrElse(Nil)
+        val arrivals = it.map { o =>
+          val q = o.o_totalprice * 16777216.0 /
+            (graft.functions.MinHashAgg.h24(s"ps:${o.o_orderkey}") + 1)
+          (q, o.o_orderkey, o.o_totalprice)
+        }.toList
+        val next = (prev ++ arrivals)
+          .distinctBy(_._2) // keys are unique per order; state wins on replay
+          .sortBy { case (q, key, _) => (-q, key) }
+          .take(k)
+        val prevKeys = prev.map(_._2).toSet
+        val nextKeys = next.map(_._2).toSet
+        val admits = next.collect { case (q, key, _) if !prevKeys.contains(key) =>
+          SampleChange(seg, key, q, "admit") }
+        val evicts = prev.collect { case (q, key, _) if !nextKeys.contains(key) =>
+          SampleChange(seg, key, q, "evict") }
+        state.update(SampleHeap(next))
+        (admits ++ evicts).iterator
+    }
+  }
+
   /** One user event for the streaming SCD2 build. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                        event_type: String)

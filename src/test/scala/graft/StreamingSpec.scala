@@ -466,4 +466,44 @@ class StreamingSpec extends SparkSpec {
       rows.values.foreach(ks => assert(ks.size <= 8))
     } finally q.stop()
   }
+
+  test("streamingPrioritySample: admits-minus-evicts reconstructs the batch top-k per segment") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{OrderArrival, SampleChange}
+    val K = 10
+    val all = Tables.orders(spark, Sf)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .as[OrderArrival].collect()
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val stream = MemoryStream[OrderArrival]
+    val q = StreamingOps.streamingPrioritySample(stream.toDS(), K)
+      .writeStream.format("memory").queryName("psample_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(h1.toSeq: _*); q.processAllAvailable()
+      stream.addData(h2.toSeq: _*); q.processAllAvailable()
+      val changes = spark.table("psample_test").as[SampleChange].collect()
+      // (filter + keySet, NOT Map.collect returning the tuple key — that
+      // resolves to the Map-building overload and keeps one key per segment)
+      val finalSample = changes.groupBy(c => (c.segment, c.o_orderkey))
+        .filter { case (_, cs) => cs.map(_.change).toSet == Set("admit") }
+        .keySet
+      // driver-side recompute: per-segment top-K by (-q, key)
+      def pri(key: Long, w: Double) =
+        w * 16777216.0 / (graft.functions.MinHashAgg.h24(s"ps:$key") + 1)
+      val expect = all.groupBy(_.o_orderpriority).toSeq.flatMap { case (seg, os) =>
+        os.toSeq.map(o => (pri(o.o_orderkey, o.o_totalprice), o.o_orderkey))
+          .sortBy { case (p, k) => (-p, k) }.take(K)
+          .map { case (_, k) => (seg, k) }
+      }.toSet
+      assert(finalSample == expect)
+      // every eviction was once admitted (delta-log consistency)
+      val evicted = changes.filter(_.change == "evict")
+        .map(c => (c.segment, c.o_orderkey)).toSet
+      val admitted = changes.filter(_.change == "admit")
+        .map(c => (c.segment, c.o_orderkey)).toSet
+      assert(evicted.subsetOf(admitted))
+    } finally q.stop()
+  }
 }
