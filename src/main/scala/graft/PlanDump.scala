@@ -93,6 +93,12 @@ object PlanDump {
         operators.RelationalOps.trendOls(spark, sfDir)),
       ("tx_doc_chunks", "narrow chunker: words materialized once, sequence+explode+slice, zero shuffles",
         operators.TextOps.docChunks(spark, sfDir)),
+      ("xp_bloom_membership", "bloom literal probed with codegen'd bit arithmetic; one summary agg",
+        operators.ScaleOps.bloomMembership(spark, sfDir)),
+      ("xt_rolling_active", "sliding distinct as bounded 7x coverage expansion; all stages partial-agg",
+        operators.TimeSeriesOps.rollingActiveUsers(spark, sfDir)),
+      ("geo_knn_join", "9-cell candidate join ranked by the custom TopKPerKeyExec, no Window/Sort",
+        operators.GeoOps.knnJoin(spark, sfDir)),
       ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()

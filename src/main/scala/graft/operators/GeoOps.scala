@@ -176,6 +176,55 @@ object GeoOps {
         col("lon").as("b_lon"), col("lat").as("b_lat"))
   }
 
+  /** Grid-kNN geometry: 2^12-unit cells on the 16-bit scaled grid, k
+    * neighbors, and the completeness radius the 3×3 candidate set
+    * guarantees — any point within [[KnnRadius]] of a lies in a's nine
+    * cells (cells are [[KnnRadius]] wide, so |Δx| ≤ radius spans at most
+    * one cell boundary per axis).
+    */
+  val KnnCellShift = 12
+  val KnnK = 3
+  val KnnRadius: Long = 1L << KnnCellShift
+
+  /** X-C24: bounded k-nearest-neighbor join — "for every point, its k
+    * closest points within radius r": grid-bucket the scaled coords into
+    * r-wide cells, replicate each probe into its 3×3 neighborhood (the
+    * same bounded 9× blow-up as [[neighborPairs]] — never all-pairs), join
+    * on cell, filter to the EXACT radius, and rank with the library's own
+    * [[graft.plans.TopKPerKeyExec]] (bounded per-key heaps, partial+final,
+    * one exchange, no sort) — a Window row_number would sort every
+    * candidate list; the heap keeps k. Distances are EXACT integer
+    * squared-Euclidean on the scaled grid (no floating point anywhere), so
+    * the brute-force O(n²) oracle reproduces the result hash-exactly; ties
+    * break by neighbor id. The radius bound is what makes grid kNN
+    * complete: the oracle's unbucketed scan proves the 9-cell candidate
+    * set dropped nothing.
+    */
+  def knnJoin(spark: SparkSession, sfDir: String, maxUserId: Long = 40L): DataFrame = {
+    val pts = scaled(spark, sfDir)
+      .where(col("user_id") < maxUserId)
+      .select(col("event_id"), col("x"), col("y"),
+        shiftright(col("x"), KnnCellShift).as("cx"),
+        shiftright(col("y"), KnnCellShift).as("cy"))
+    val offsets = for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1) } yield (dx, dy)
+    val probe = pts
+      .select(col("event_id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        col("cx").as("acx"), col("cy").as("acy"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")) }: _*)).as("o"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        (col("acx") + col("o.dx")).as("cell_x"),
+        (col("acy") + col("o.dy")).as("cell_y"))
+    val d2 = (col("ax") - col("x")) * (col("ax") - col("x")) +
+      (col("ay") - col("y")) * (col("ay") - col("y"))
+    val cands = probe.join(pts,
+        col("cell_x") === col("cx") && col("cell_y") === col("cy") &&
+          col("a_id") =!= col("event_id"))
+      .select(col("a_id"), col("event_id").as("b_id"), d2.as("d2"))
+      .where(col("d2") <= KnnRadius * KnnRadius)
+    graft.plans.TopKPerKey(cands, KnnK, Seq("a_id"), Seq("d2" -> true, "b_id" -> true))
+  }
+
   /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:
     * one z2 BETWEEN range (with Morton false positives) then the precise
     * predicate. Emits per-event coarse/exact flags for the bbox

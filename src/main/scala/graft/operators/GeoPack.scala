@@ -28,6 +28,7 @@ object GeoPack extends QueryPack {
       .where("lon >= -60 and lon <= 0 and lat >= -30 and lat <= 30 and t10 >= 300 and t10 <= 600")
       .select("event_id", "lon", "lat", "t10", "z3")),
     "geo_neighbor_pairs" -> ((s, d) => GeoOps.neighborPairs(s, d)),
+    "geo_knn_join" -> ((s, d) => GeoOps.knnJoin(s, d)),
   )
 
   private val coordsCte =
@@ -141,5 +142,22 @@ object GeoPack extends QueryPack {
          |FROM pts a JOIN pts b
          |  ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
          |  AND a.event_id < b.event_id""".stripMargin,
+    // brute-force unbucketed kNN: proves the 9-cell candidate set complete
+    // within the radius; distances exact integers, ties break by b_id
+    "geo_knn_join" -> {
+      val r2 = GeoOps.KnnRadius * GeoOps.KnnRadius
+      s"""WITH $coordsCte, $scaledCte,
+         |pts AS (SELECT event_id, x, y FROM scaled WHERE user_id < 40),
+         |cand AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id,
+         |    CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+         |  FROM pts a JOIN pts b ON a.event_id <> b.event_id
+         |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $r2)
+         |SELECT a_id, b_id, d2 FROM (
+         |  SELECT a_id, b_id, d2,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+         |  FROM cand)
+         |WHERE rn <= ${GeoOps.KnnK}""".stripMargin
+    },
   )
 }

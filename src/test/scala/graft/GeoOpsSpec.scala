@@ -147,6 +147,32 @@ class GeoOpsSpec extends SparkSpec {
       assert(km >= 0 && km <= n * math.Pi * 6371.0088)
     }
   }
+  test("knnJoin: grid-bucketed top-k equals the brute-force window recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val got = GeoOps.knnJoin(spark, Sf)
+    assert(got.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // at most k neighbors per point, all within the completeness radius
+    val perA = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perA.values.forall(_ <= GeoOps.KnnK))
+    assert(rows.forall(_._3 <= GeoOps.KnnRadius * GeoOps.KnnRadius))
+    // brute-force recompute: unbucketed self-join + ranked window
+    val pts = GeoOps.scaled(spark, Sf).where(col("user_id") < 40)
+      .select(col("event_id"), col("x"), col("y"))
+    val a = pts.select(col("event_id").as("a_id"), col("x").as("ax"), col("y").as("ay"))
+    val d2 = (col("ax") - col("x")) * (col("ax") - col("x")) +
+      (col("ay") - col("y")) * (col("ay") - col("y"))
+    val expect = a.join(pts, col("a_id") =!= col("event_id"))
+      .select(col("a_id"), col("event_id").as("b_id"), d2.as("d2"))
+      .where(col("d2") <= GeoOps.KnnRadius * GeoOps.KnnRadius)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))))
+      .where(col("rn") <= GeoOps.KnnK)
+      .select("a_id", "b_id", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet == expect && rows.nonEmpty)
+  }
+
   test("neighborPairs: grid-bucket join equals the brute-force quadratic recompute") {
     import org.apache.spark.sql.functions._
     val got = GeoOps.neighborPairs(spark, Sf).collect()
