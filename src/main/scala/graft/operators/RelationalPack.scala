@@ -68,6 +68,7 @@ object RelationalPack extends QueryPack {
     "xa_trend_ols" -> ((s, d) => RelationalOps.trendOls(s, d)),
     "xt_rolling_active" -> ((s, d) => TimeSeriesOps.rollingActiveUsers(s, d)),
     "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
+    "xt_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
   )
 
   private val rev =
@@ -626,6 +627,31 @@ object RelationalPack extends QueryPack {
         |FROM events JOIN s USING (user_id)
         |WHERE n > 1 AND sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) > 0
         |  AND abs((value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) > 2.0""".stripMargin,
+    // n-scaled CUSUM: |n·S_i − i·S_n| stays exact decimal end to end; the
+    // same (12,0)×(25,2) casts pin precision 38 in both engines
+    "xt_changepoint" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DECIMAL(25,2)) AS s_i,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS DECIMAL(12,0)) AS i,
+        |    CAST(sum(v) OVER (PARTITION BY user_id) AS DECIMAL(25,2)) AS s_n,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS DECIMAL(12,0)) AS n
+        |  FROM ev),
+        |d AS (SELECT user_id, event_id, ts, i, n,
+        |        abs(n * s_i - i * s_n) AS dev FROM c)
+        |SELECT user_id, event_id AS cp_event_id, ts AS cp_ts,
+        |  CAST(i AS BIGINT) AS cp_pos, CAST(n AS BIGINT) AS n_events,
+        |  CAST(dev AS DOUBLE) AS dev
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY dev DESC, i) AS rn FROM d)
+        |WHERE rn = 1""".stripMargin,
     // coverage expansion: each distinct (user, active-day) covers its
     // window days; second distinct + count per day — exact epoch-day ints
     "xt_rolling_active" -> {

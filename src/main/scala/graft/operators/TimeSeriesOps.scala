@@ -343,6 +343,42 @@ object TimeSeriesOps {
           .as("interp_value"))
   }
 
+  /** X-C25: CUSUM changepoint detection with ZERO floating point — per
+    * entity, the position where the value stream's cumulative sum deviates
+    * most from uniform accumulation: argmax_i |n·S_i − i·S_n| (the CUSUM
+    * statistic scaled by n — multiplying through by n keeps every quantity
+    * an EXACT decimal, where the textbook |S_i − (i/n)·S_n| would divide
+    * and drift). Both windows (ordered cumsum, whole-partition totals)
+    * share ONE `user_id` exchange and sort; the argmax runs through the
+    * custom [[graft.plans.TopKPerKeyExec]] with k=1 (bounded heaps — a
+    * row_number Window would re-sort every user's rows by deviation).
+    * Ties break earliest-position; the deviation goes to double only in
+    * the emitted column. Casts pin decimal(12,0)×decimal(25,2) products at
+    * precision 38 exactly, so neither engine's precision-overflow scale
+    * adjustment ever fires — the oracle is hash-exact.
+    */
+  def changepoints(spark: SparkSession, sfDir: String): DataFrame =
+    changepointsOn(Tables.events(spark, sfDir))
+
+  private[graft] def changepointsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy(col("user_id"))
+    val v = col("value").cast("decimal(12,2)")
+    val scored = events
+      .select(col("user_id"), col("event_id"), col("ts"), v.as("v"))
+      .withColumn("s_i", sum(col("v")).over(wRows).cast("decimal(25,2)"))
+      .withColumn("i", row_number().over(w).cast("decimal(12,0)"))
+      .withColumn("s_n", sum(col("v")).over(wp).cast("decimal(25,2)"))
+      .withColumn("n", count(lit(1)).over(wp).cast("decimal(12,0)"))
+      .withColumn("dev", abs(col("n") * col("s_i") - col("i") * col("s_n")))
+    graft.plans.TopKPerKey(scored, 1, Seq("user_id"),
+      Seq("dev" -> false, "i" -> true))
+      .select(col("user_id"), col("event_id").as("cp_event_id"),
+        col("ts").as("cp_ts"), col("i").cast("long").as("cp_pos"),
+        col("n").cast("long").as("n_events"), col("dev").cast("double").as("dev"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

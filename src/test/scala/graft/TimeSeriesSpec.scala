@@ -132,6 +132,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(l.head.isNullAt(3) && l.last.getAs[Double]("interp_value") == 7.0)
   }
 
+  test("changepoints: hand-built level shift — CUSUM peaks at the last pre-shift point") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: 0,0,0 then 10,10,10 — n·S_i − i·S_n peaks at i=3 (dev 90)
+    // user 2: constant stream — dev identically 0, tie-break picks i=1
+    val ev = (1 to 6).map(i =>
+        (1L, t(i), i.toLong, if (i <= 3) 0.0 else 10.0)) ++
+      (1 to 4).map(i => (2L, t(i), 10L + i, 5.0))
+    val got = TimeSeriesOps.changepointsOn(
+        ev.toDF("user_id", "ts", "event_id", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(1L) == ((3L, 6L, 90.0)))
+    assert(got(2L) == ((1L, 4L, 0.0)))
+    // custom top-k operator carries the argmax (no Window sort on dev)
+    val plan = TimeSeriesOps.changepointsOn(
+      ev.toDF("user_id", "ts", "event_id", "value"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+  }
+
   test("cohortRetention: hand-built frame — offsets, sizes, and rates") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
