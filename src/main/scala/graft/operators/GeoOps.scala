@@ -225,6 +225,32 @@ object GeoOps {
     graft.plans.TopKPerKey(cands, KnnK, Seq("a_id"), Seq("d2" -> true, "b_id" -> true))
   }
 
+  /** X-C26: triangle counting on the proximity graph — the
+    * clustering-coefficient backbone of graph analytics, run with the
+    * standard distributed EDGE-ITERATOR algorithm: orient every edge
+    * low-id → high-id (each triangle then has exactly ONE wedge a<b<c, so
+    * nothing double-counts), self-join the oriented edge list on the wedge
+    * pivot (b), and close each wedge with a semi-join back to the edge
+    * list. Two joins, both keyed on vertex ids — at 100 TB this
+    * partitions by vertex and the wedge blow-up is Σ deg(v)², the known
+    * cost of the algorithm (mitigated in production by degree-ordering the
+    * orientation, which this low-id orientation approximates for the
+    * synthetic grid). Emits per-vertex triangle participation counts —
+    * pure integer arithmetic, brute-force oracle.
+    */
+  def triangleCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = neighborPairs(spark, sfDir).select(col("a_id"), col("b_id"))
+    val wedges = edges.as("e1").join(edges.as("e2"),
+        col("e1.b_id") === col("e2.a_id"))
+      .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"), col("e2.b_id").as("c"))
+    val triangles = wedges.join(edges,
+        col("a") === col("a_id") && col("c") === col("b_id"), "leftsemi")
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy(col("vertex"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:
     * one z2 BETWEEN range (with Morton false positives) then the precise
     * predicate. Emits per-event coarse/exact flags for the bbox

@@ -29,6 +29,7 @@ object GeoPack extends QueryPack {
       .select("event_id", "lon", "lat", "t10", "z3")),
     "geo_neighbor_pairs" -> ((s, d) => GeoOps.neighborPairs(s, d)),
     "geo_knn_join" -> ((s, d) => GeoOps.knnJoin(s, d)),
+    "geo_triangle_counts" -> ((s, d) => GeoOps.triangleCounts(s, d)),
   )
 
   private val coordsCte =
@@ -142,6 +143,23 @@ object GeoPack extends QueryPack {
          |FROM pts a JOIN pts b
          |  ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
          |  AND a.event_id < b.event_id""".stripMargin,
+    // same oriented-wedge closure in SQL over the same edge list
+    "geo_triangle_counts" ->
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |tri AS (
+         |  SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.b_id = e2.a_id
+         |  WHERE EXISTS (SELECT 1 FROM edges e3
+         |                WHERE e3.a_id = e1.a_id AND e3.b_id = e2.b_id))
+         |SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT unnest([a, b, c]) AS vertex FROM tri)
+         |GROUP BY vertex""".stripMargin,
     // brute-force unbucketed kNN: proves the 9-cell candidate set complete
     // within the radius; distances exact integers, ties break by b_id
     "geo_knn_join" -> {

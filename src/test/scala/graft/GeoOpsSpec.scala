@@ -173,6 +173,24 @@ class GeoOpsSpec extends SparkSpec {
     assert(rows.toSet == expect && rows.nonEmpty)
   }
 
+  test("triangleCounts: per-vertex counts equal a driver-side adjacency recompute") {
+    val edges = GeoOps.neighborPairs(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) => // a < b by construction
+      adj(a).intersect(adj(b)).filter(_ > b).foreach { c =>
+        expect(a) += 1; expect(b) += 1; expect(c) += 1
+      }
+    }
+    val got = GeoOps.triangleCounts(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect.toMap)
+    assert(got.nonEmpty && got.values.sum % 3 == 0) // each triangle counted at 3 vertices
+  }
+
   test("neighborPairs: grid-bucket join equals the brute-force quadratic recompute") {
     import org.apache.spark.sql.functions._
     val got = GeoOps.neighborPairs(spark, Sf).collect()
