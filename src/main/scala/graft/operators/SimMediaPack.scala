@@ -23,6 +23,7 @@ object SimMediaPack extends QueryPack {
     "sim_pq_codes" -> ((s, d) => SimilarityOps.pqCodesFlat(s, d)),
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "sim_recall_report" -> ((s, d) => SimilarityOps.recallReport(s, d)),
+    "sim_gram_matrix" -> ((s, d) => SimilarityOps.gramMatrix(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
@@ -269,6 +270,18 @@ object SimMediaPack extends QueryPack {
        |)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    // same fixed-point floor quantization; HUGEINT sums cast to BIGINT
+    "sim_gram_matrix" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, s - 1 AS idx,
+         |    CAST(floor(CAST(embedding[s] AS DOUBLE) * ${SimilarityOps.GramScale})
+         |         AS BIGINT) AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS s
+         |        FROM embeddings))
+         |SELECT a.idx AS i, b.idx AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
+         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+         |GROUP BY a.idx, b.idx""".stripMargin,
     "sim_quantized_topk" ->
       Oracle.withCtes(vecCtes ++ quantCtes :+ qScoredCte: _*)(
         s"""SELECT query_id, vec_id, cosine, rank FROM (

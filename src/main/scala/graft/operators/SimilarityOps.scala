@@ -491,4 +491,39 @@ object SimilarityOps {
     one("quantized_int8", quantizedTopK(spark, sfDir))
       .unionAll(one("pq_adc", pqTopK(spark, sfDir)))
   }
+
+  /** Fixed-point scale for [[gramMatrix]]: 2^12 — floats widen to double
+    * exactly, ×4096 is an exact power-of-two scale, `floor` has no
+    * rounding-mode ambiguity (unlike `round`'s half-up vs half-away split
+    * across engines), so the quantized values are bit-identical
+    * cross-engine — the same determinism discipline as the int8 ANN
+    * quantizer.
+    */
+  val GramScale = 4096
+
+  /** X-C27: distributed Gram matrix over the embedding corpus — the
+    * covariance/PCA/whitening building block (G = Σ_v q_v q_vᵀ on the
+    * [[GramScale]] fixed-point quantization). Plan shape is the
+    * OUTER-PRODUCT PARTIAL AGGREGATION: two chained `posexplode`s unroll
+    * each vector's upper-triangle d×d cell contributions NARROWLY (no
+    * self-join, no vec-keyed shuffle — the classic mistake is joining the
+    * exploded table to itself on vec_id, which shuffles the corpus twice),
+    * and the only exchange carries one (d·(d+1)/2)-cell partial per task —
+    * at 100 TB the corpus streams through map-side combine and the wire
+    * carries KBs per task. Sums ride decimal (HUGEINT on the oracle side)
+    * so no scale overflows; everything is exact integers end to end.
+    */
+  def gramMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") * GramScale).cast("long")
+    Tables.embeddings(spark, sfDir)
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "vi")))
+      .select(col("embedding"), col("i").cast("long").as("i"), q(col("vi")).as("qi"))
+      .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j", "vj")))
+      .where(col("i") <= col("j"))
+      .select(col("i"), col("j").cast("long").as("j"),
+        (col("qi") * q(col("vj"))).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast("decimal(28,0)")).cast("bigint").as("gram"))
+  }
 }

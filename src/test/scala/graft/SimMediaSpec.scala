@@ -96,6 +96,23 @@ class SimMediaSpec extends SparkSpec {
     assert(overlap >= 0.6, s"quantized/exact top-k overlap too low: $overlap")
   }
 
+  test("gramMatrix: upper-triangle cells equal a driver-side outer-product recompute") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val d = vecs.head.length
+    val expect = Array.ofDim[Long](d, d)
+    vecs.foreach { v =>
+      val q = v.map(x => math.floor(x.toDouble * SimilarityOps.GramScale).toLong)
+      for (i <- 0 until d; j <- i until d) expect(i)(j) += q(i) * q(j)
+    }
+    val got = SimilarityOps.gramMatrix(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == d * (d + 1) / 2) // full upper triangle, nothing missing
+    assert(got.forall { case ((i, j), g) => expect(i.toInt)(j.toInt) == g })
+    // diagonal is a sum of squares: strictly positive for non-zero data
+    assert((0 until d).forall(i => got((i.toLong, i.toLong)) > 0))
+  }
+
   test("pqCodes: M tinyint codes per vector, codes in range, positive norms") {
     val codes = SimilarityOps.pqCodes(spark, Sf)
     assert(codes.schema("codes").dataType.simpleString == "array<tinyint>")
