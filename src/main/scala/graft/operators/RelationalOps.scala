@@ -967,6 +967,29 @@ object RelationalOps {
       .orderBy(col("priority").desc, col("o_orderkey"))
       .limit(k)
 
+  /** Per-segment sample size for [[segmentPrioritySample]]. */
+  val SegmentSampleK = 10
+
+  /** X-O: per-segment weighted priority sample — [[prioritySample]]
+    * stratified by order-priority class, ranked through the library's own
+    * [[graft.plans.TopKPerKeyExec]] (bounded per-key heaps, partial+final,
+    * ONE exchange, no sort — the global sampler's TakeOrdered generalized
+    * to keyed strata). Same exact hash priority, so this is also the
+    * oracle-registered batch anchor of the streaming twin
+    * ([[graft.streaming.StreamingOps.streamingPrioritySample]] — its
+    * admit/evict delta log reconstructs exactly this result).
+    */
+  def segmentPrioritySample(spark: SparkSession, sfDir: String,
+      k: Int = SegmentSampleK): DataFrame = {
+    val scored = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        (col("o_totalprice") * lit(16777216.0) /
+          (Tables.h24(concat(lit("ps:"), col("o_orderkey").cast("string"))) + lit(1)))
+          .as("priority"))
+    graft.plans.TopKPerKey(scored, k, Seq("o_orderpriority"),
+      Seq("priority" -> false, "o_orderkey" -> true))
+  }
+
   /** Epoch for [[trendOls]]'s day ordinals — the corpus's first order year. */
   val TrendEpoch = "1995-01-01"
 

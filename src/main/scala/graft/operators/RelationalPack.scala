@@ -69,6 +69,7 @@ object RelationalPack extends QueryPack {
     "xt_rolling_active" -> ((s, d) => TimeSeriesOps.rollingActiveUsers(s, d)),
     "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
     "xt_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
+    "xo_segment_priority_sample" -> ((s, d) => RelationalOps.segmentPrioritySample(s, d)),
   )
 
   private val rev =
@@ -713,6 +714,18 @@ object RelationalPack extends QueryPack {
         |    WHEN prev_h IS NOT NULL THEN prev_v
         |  END AS interp_value
         |FROM grid""".stripMargin,
+    // stratified twin: same bit-identical priority, ranked per segment
+    "xo_segment_priority_sample" ->
+      s"""SELECT o_orderkey, o_orderpriority, o_totalprice, priority FROM (
+         |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         |    o_totalprice * 16777216.0 /
+         |      (${Oracle.h24("'ps:' || CAST(o_orderkey AS VARCHAR)")} + 1) AS priority,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice * 16777216.0 /
+         |        (${Oracle.h24("'ps:' || CAST(o_orderkey AS VARCHAR)")} + 1) DESC,
+         |      o_orderkey) AS rn
+         |  FROM orders)
+         |WHERE rn <= ${RelationalOps.SegmentSampleK}""".stripMargin,
     // priority q = w·2^24/(h+1): one exact power-of-two scale + ONE IEEE
     // division, so both engines compute bit-identical priorities
     "xo_priority_sample" ->

@@ -466,6 +466,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(sampleMean > popMean)
   }
 
+  test("segmentPrioritySample: exact k per segment via TopKPerKeyExec, matches window recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val df = RelationalOps.segmentPrioritySample(spark, Sf)
+    assert(plan(df).contains("TopKPerKey") && !plan(df).contains("Window"))
+    val got = df.collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSet
+    val pri = col("o_totalprice") * lit(16777216.0) /
+      (Tables.h24(concat(lit("ps:"), col("o_orderkey").cast("string"))) + lit(1))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(pri.desc, col("o_orderkey"))
+    val expect = Tables.orders(spark, Sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= RelationalOps.SegmentSampleK)
+      .select("o_orderpriority", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect && got.size == 5 * RelationalOps.SegmentSampleK)
+  }
+
   test("trendOls: closed-form moments agree with Spark's regr_* aggregates") {
     val got = RelationalOps.trendOls(spark, Sf).collect()
     assert(got.length == 5)
