@@ -99,6 +99,10 @@ object PlanDump {
         operators.TimeSeriesOps.rollingActiveUsers(spark, sfDir)),
       ("geo_knn_join", "9-cell candidate join ranked by the custom TopKPerKeyExec, no Window/Sort",
         operators.GeoOps.knnJoin(spark, sfDir)),
+      ("xt_changepoint", "two windows share one user_id sort; argmax via TopKPerKey k=1, no re-sort",
+        operators.TimeSeriesOps.changepoints(spark, sfDir)),
+      ("sim_gram_matrix", "outer-product partial agg: narrow double-explode, ONE 2080-cell exchange",
+        operators.SimilarityOps.gramMatrix(spark, sfDir)),
       ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()
