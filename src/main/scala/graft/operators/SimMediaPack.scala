@@ -24,6 +24,7 @@ object SimMediaPack extends QueryPack {
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "sim_recall_report" -> ((s, d) => SimilarityOps.recallReport(s, d)),
     "sim_gram_matrix" -> ((s, d) => SimilarityOps.gramMatrix(s, d)),
+    "sim_hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
@@ -282,6 +283,48 @@ object SimMediaPack extends QueryPack {
          |SELECT a.idx AS i, b.idx AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
          |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
          |GROUP BY a.idx, b.idx""".stripMargin,
+    // both legs replayed end-to-end: the tf-idf pool/rank mirrors the
+    // tx_ranked_search oracle, the cosine pool mirrors the brute-force
+    // oracle for one query vector; fusion adds two exactly-rounded
+    // reciprocal terms (commutative 2-term sum — bit-stable cross-engine)
+    "sim_hybrid_rrf" -> {
+      val termList = TextOps.SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH post AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word IN ($termList)
+         |  GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM post GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |lexscored AS (
+         |  SELECT doc_id, sum(tf * (CAST(n_docs AS DOUBLE) / df)) AS raw_score
+         |  FROM post JOIN dfreq USING (word), n
+         |  GROUP BY doc_id),
+         |lexpool AS (
+         |  SELECT doc_id, round(raw_score, 6) AS score FROM lexscored
+         |  ORDER BY raw_score DESC, doc_id LIMIT ${SimilarityOps.HybridPoolK}),
+         |lexrank AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM lexpool),
+         |hq AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+         |       FROM embeddings WHERE vec_id = ${SimilarityOps.HybridQueryDoc}),
+         |vpool AS (
+         |  SELECT vec_id AS doc_id, ${cosSql("q", "e")} AS cosine
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |        FROM embeddings
+         |        WHERE vec_id <> ${SimilarityOps.HybridQueryDoc}) CROSS JOIN hq
+         |  ORDER BY cosine DESC, doc_id LIMIT ${SimilarityOps.HybridPoolK}),
+         |vrank AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_vec
+         |  FROM vpool),
+         |fused AS (
+         |  SELECT doc_id, rank_lex, rank_vec,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (${SimilarityOps.RrfK} + rank_lex), 0) +
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (${SimilarityOps.RrfK} + rank_vec), 0) AS rrf
+         |  FROM lexrank FULL OUTER JOIN vrank USING (doc_id))
+         |SELECT doc_id, rank_lex, rank_vec, round(rrf, 6) AS rrf_score
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
+    },
     "sim_quantized_topk" ->
       Oracle.withCtes(vecCtes ++ quantCtes :+ qScoredCte: _*)(
         s"""SELECT query_id, vec_id, cosine, rank FROM (

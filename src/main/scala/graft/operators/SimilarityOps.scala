@@ -526,4 +526,63 @@ object SimilarityOps {
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast("decimal(28,0)")).cast("bigint").as("gram"))
   }
+
+  /** RRF constant (the standard k=60 from the Cormack/Clarke/Buettcher
+    * reciprocal-rank-fusion formulation). */
+  val RrfK = 60
+
+  /** Per-leg candidate-pool depth for hybrid fusion. */
+  val HybridPoolK = 50
+
+  /** The hybrid query: doc_id on the lexical side, the 1:1 vec_id on the
+    * vector side (documents and embeddings are row-aligned fixtures). */
+  val HybridQueryDoc = 0
+
+  /** X-P19: hybrid retrieval — reciprocal-rank fusion of a lexical tf-idf
+    * leg and a semantic cosine leg over the SAME corpus. Each leg runs its
+    * already-scaled plan: the lexical pool is [[TextOps.rankedSearch]] (the
+    * partition-pruned posting-list scan → TakeOrderedAndProject), the
+    * vector pool is a broadcast-query cosine pass over the embeddings with
+    * its own TakeOrderedAndProject — so ALL corpus-sized work is the legs'
+    * distributed top-k, and fusion itself touches only two
+    * [[HybridPoolK]]-row lists (the join is pool-sized, never corpus-sized;
+    * at 100 TB the fused stage is driver-trivial while the legs scan their
+    * indexes). Scores fuse rank-only — RRF's point is that tf-idf and
+    * cosine magnitudes are incomparable, so each doc contributes
+    * Σ 1/([[RrfK]]+rank) over the legs that retrieved it. Numeric
+    * portability: each addend is one exactly-rounded IEEE division of
+    * exactly-representable operands and the sum has two terms (commutative,
+    * no association drift), so both engines produce bit-identical fused
+    * scores; window ranks order on the legs' 6-dp-rounded scores with
+    * doc_id tie-breaks, so pools and ranks are engine-stable too.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    // lexical leg: rank the top-HybridPoolK tf-idf pool (50 rows → the
+    // unpartitioned window is pool-sized, not corpus-sized)
+    val lexRank = TextOps.rankedSearch(spark, sfDir, TextOps.SearchTerms, HybridPoolK)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rank_lex"))
+    // vector leg: one broadcast query vector against the corpus, exact
+    // cosine (codegen'd VecDot), TakeOrderedAndProject to the pool
+    val qv = vecs(spark, sfDir).where(col("vec_id") === HybridQueryDoc)
+      .select(col("embedding").as("q"))
+    val vecPool = vecs(spark, sfDir)
+      .crossJoin(broadcast(qv))
+      .where(col("vec_id") =!= HybridQueryDoc)
+      .select(col("vec_id").as("doc_id"), cosine(spark, "q", "embedding").as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(HybridPoolK)
+    val vecRank = vecPool.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("cosine").desc, col("doc_id")))
+        .cast("long").as("rank_vec"))
+    def contrib(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(RrfK) + rank), lit(0.0))
+    lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", contrib(col("rank_lex")) + contrib(col("rank_vec")))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(TextOps.SearchTopK)
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{VecDot, VectorExpressions}
-import graft.operators.{MediaOps, SimilarityOps}
+import graft.operators.{MediaOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -156,6 +156,30 @@ class SimMediaSpec extends SparkSpec {
     val gotMean = rows.map(r => cos(embs(r.getLong(0)), embs(r.getLong(1)))).sum / rows.length
     assert(gotMean >= 0.5 * trueMean,
       s"pq retrieved-set mean cosine $gotMean < half of true top-k mean $trueMean")
+  }
+
+  test("hybridRrf: fused score recomputes from the legs' ranks; order and bounds hold") {
+    val rows = SimilarityOps.hybridRrf(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.SearchTopK)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    def rank(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val scores = rows.map { r =>
+      val (rl, rv) = (rank(r, 1), rank(r, 2))
+      assert(rl.nonEmpty || rv.nonEmpty) // every fused doc came from a leg
+      Seq(rl, rv).flatten.foreach(k =>
+        assert(k >= 1 && k <= SimilarityOps.HybridPoolK))
+      val expect = rl.map(k => 1.0 / (SimilarityOps.RrfK + k)).getOrElse(0.0) +
+        rv.map(k => 1.0 / (SimilarityOps.RrfK + k)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6)
+      expect
+    }
+    // output is the fused top-k: non-increasing scores
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // both leg rank-1 docs must appear in the fused top-k
+    val lex1 = rows.find(r => rank(r, 1).contains(1L))
+    val vec1 = rows.find(r => rank(r, 2).contains(1L))
+    assert(lex1.nonEmpty && vec1.nonEmpty)
   }
 
   test("media payloads carry binary + metadata; frames tile the text") {
