@@ -445,4 +445,61 @@ object DedupOps {
         sum(when(col("n_docs") > MaxBucketDocs, 1L).otherwise(0L)).as("n_oversized"),
         sum(when(col("n_docs") > MaxBucketDocs, col("n_docs")).otherwise(0L))
           .as("n_docs_dropped"))
+
+  /** Sorted-neighborhood comparison prefix (edit distance runs on this many
+    * leading chars — bounds the DP cost per pair regardless of doc length). */
+  val SnPrefix = 48
+
+  /** Blocking-key width (leading chars) for each pass. */
+  val SnBlock = 8
+
+  /** In-block lookahead breadth: each record compares to this many sorted
+    * successors. */
+  val SnWindow = 3
+
+  /** Max prefix edit distance for a pair to count as a fuzzy duplicate. */
+  val SnMaxDist = 16
+
+  /** X-P23: multi-pass sorted-neighborhood fuzzy dedup — the EDIT-DISTANCE
+    * member of the dedup family (shingle-Jaccard, SimHash and embedding
+    * members already exist; this one catches small in-place edits those
+    * miss). Classic Hernández–Stolfo shape made distributed: each pass
+    * blocks records by a deterministic key prefix, sorts WITHIN blocks, and
+    * compares each record to only its [[SnWindow]] sorted successors via
+    * `lead` — a partitioned window, so no global sort, no single-partition
+    * collapse, and the pair count is ≤ W·n instead of n². Pairs crossing a
+    * block boundary are the method's documented blind spot; the standard
+    * fix IS the second pass with an independent blocking key (chars
+    * [[SnBlock]]+1..2·[[SnBlock]] — offset, not reversed, so the two passes
+    * disagree maximally on near-boundary keys), pairs unioned + distinct.
+    * Edit distance runs on the [[SnPrefix]]-char prefix (codegen'd
+    * `levenshtein`, bounded DP) — exact integers, so the oracle replays
+    * both passes bit-for-bit. At 100 TB each pass is one block-keyed
+    * shuffle + a W-row lookahead window — the same wire cost as any
+    * groupBy, with skew bounded by block-key cardinality.
+    */
+  def sortedNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, SnPrefix).as("key"),
+        substring(col("text"), 1, SnBlock).as("blk1"),
+        substring(col("text"), SnBlock + 1, SnBlock).as("blk2"))
+    def pass(blk: String): DataFrame = {
+      val w = Window.partitionBy(col(blk)).orderBy(col("key"), col("doc_id"))
+      val leads = (1 to SnWindow).map { i =>
+        struct(lead(col("doc_id"), i).over(w).as("id"),
+          lead(col("key"), i).over(w).as("k"))
+      }
+      docs
+        .select(col("doc_id"), col("key"), array(leads: _*).as("nbs"))
+        .select(col("doc_id"), col("key"), explode(col("nbs")).as("nb"))
+        .where(col("nb.id").isNotNull)
+        .select(least(col("doc_id"), col("nb.id")).as("a_id"),
+          greatest(col("doc_id"), col("nb.id")).as("b_id"),
+          levenshtein(col("key"), col("nb.k")).cast("long").as("dist"))
+        .where(col("dist") <= SnMaxDist)
+    }
+    pass("blk1").union(pass("blk2"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("dist")).as("dist"))
+  }
 }

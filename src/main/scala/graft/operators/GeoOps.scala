@@ -251,6 +251,50 @@ object GeoOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-point scale for the exact-integer PageRank: 10^12 is divisible
+    * by 20, so both the teleport term (3·S/20) and the per-edge damped
+    * share (17·pr div (20·deg)) are exact integer arithmetic. */
+  val PrScale = 1000000000000L
+
+  /** Unrolled power-iteration count. */
+  val PrIters = 3
+
+  /** X-C28: PageRank over the proximity graph — the canonical iterative
+    * vertex-centric computation, expressed as [[PrIters]] unrolled rounds of
+    * the Pregel plan shape: join the (src-keyed) degree-annotated edge list
+    * to the current rank vector, then one dst-keyed sum — per round exactly
+    * one vertex-partitioned join + one vertex-keyed aggregate, which is how
+    * every distributed PageRank runs (at 100 TB the edge list is bucketed by
+    * src so the join is co-located and only the vertex-sized rank vector
+    * moves; the edge list itself is staged once and never re-derived per
+    * round). Arithmetic is EXACT integers end to end: ranks live at
+    * [[PrScale]] fixed point, damping 0.85 is the rational 17/20 applied as
+    * `(17·pr) div (20·deg)` (floor division — identical in both engines on
+    * positive operands), so three rounds produce bit-identical bigint ranks
+    * with no float-summation drift. Undirected graph: each neighbor pair
+    * contributes both directions, so every vertex has deg ≥ 1 and receives
+    * mass — no dangling-node term needed.
+    */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = Tables.derivedBig(spark, sfDir, "pagerank_edges") {
+      val e = neighborPairs(spark, sfDir).select(col("a_id"), col("b_id"))
+      val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      sym.join(deg, Seq("src"))
+    }
+    val teleport = 3L * PrScale / 20L
+    val init = und.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(PrScale).as("pr"))
+    (1 to PrIters).foldLeft(init) { (pr, _) =>
+      und.join(pr.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst"), expr("(17 * pr) div (20 * deg)").as("share"))
+        .groupBy(col("dst"))
+        .agg((sum(col("share")) + lit(teleport)).as("pr"))
+        .select(col("dst").as("v"), col("pr"))
+    }
+  }
+
   /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:
     * one z2 BETWEEN range (with Morton false positives) then the precise
     * predicate. Emits per-event coarse/exact flags for the bbox

@@ -30,6 +30,7 @@ object GeoPack extends QueryPack {
     "geo_neighbor_pairs" -> ((s, d) => GeoOps.neighborPairs(s, d)),
     "geo_knn_join" -> ((s, d) => GeoOps.knnJoin(s, d)),
     "geo_triangle_counts" -> ((s, d) => GeoOps.triangleCounts(s, d)),
+    "geo_pagerank" -> ((s, d) => GeoOps.pageRank(s, d)),
   )
 
   private val coordsCte =
@@ -176,6 +177,36 @@ object GeoPack extends QueryPack {
          |    row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
          |  FROM cand)
          |WHERE rn <= ${GeoOps.KnnK}""".stripMargin
+    },
+    // same three unrolled integer rounds: 17/20 damping via floor division,
+    // HUGEINT sums cast back to BIGINT, teleport exact (PrScale % 20 == 0)
+    "geo_pagerank" -> {
+      val tele = 3L * GeoOps.PrScale / 20L
+      def round(i: Int) =
+        s"""pr$i AS (
+           |  SELECT dst AS v,
+           |    CAST(sum((17 * pr) // (20 * deg)) AS BIGINT) + $tele AS pr
+           |  FROM ed JOIN pr${i - 1} ON ed.src = pr${i - 1}.v
+           |  GROUP BY dst)""".stripMargin
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |und AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+         |ed AS (SELECT und.src, und.dst, deg.deg FROM und JOIN deg USING (src)),
+         |pr0 AS (SELECT DISTINCT src AS v,
+         |          CAST(${GeoOps.PrScale} AS BIGINT) AS pr FROM und),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v, pr FROM pr3""".stripMargin
     },
   )
 }

@@ -39,6 +39,7 @@ object TextDedupPack extends QueryPack {
     "dd_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "dd_cluster_stats" -> ((s, d) => DedupOps.clusterStats(s, d)),
     "dd_canonical_quality" -> ((s, d) => DedupOps.canonicalByQuality(s, d)),
+    "dd_sorted_neighbors" -> ((s, d) => DedupOps.sortedNeighbors(s, d)),
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
     "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
@@ -337,6 +338,31 @@ object TextDedupPack extends QueryPack {
            |    AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE NOT is_canonical))
            |    AS BIGINT) AS n_curated
            |FROM scored""".stripMargin),
+    // both blocking passes replayed leg by leg (2 passes × SnWindow lead
+    // distances); levenshtein on the same prefixes, least/greatest
+    // normalization, min-dist pair dedupe — all exact integers
+    "dd_sorted_neighbors" -> {
+      def leg(blk: String, i: Int) = {
+        val w = s"OVER (PARTITION BY $blk ORDER BY key, doc_id)"
+        s"""  SELECT least(doc_id, lead(doc_id, $i) $w) AS a_id,
+           |    greatest(doc_id, lead(doc_id, $i) $w) AS b_id,
+           |    levenshtein(key, lead(key, $i) $w) AS dist
+           |  FROM d QUALIFY lead(doc_id, $i) $w IS NOT NULL""".stripMargin
+      }
+      val legs = (for {
+        blk <- Seq("blk1", "blk2"); i <- 1 to DedupOps.SnWindow
+      } yield leg(blk, i)).mkString("\n  UNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, substr(text, 1, ${DedupOps.SnPrefix}) AS key,
+         |    substr(text, 1, ${DedupOps.SnBlock}) AS blk1,
+         |    substr(text, ${DedupOps.SnBlock + 1}, ${DedupOps.SnBlock}) AS blk2
+         |  FROM documents),
+         |legs AS (
+         |$legs)
+         |SELECT a_id, b_id, min(dist) AS dist
+         |FROM legs WHERE dist <= ${DedupOps.SnMaxDist}
+         |GROUP BY a_id, b_id""".stripMargin
+    },
     "dd_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,

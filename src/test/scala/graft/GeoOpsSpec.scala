@@ -191,6 +191,30 @@ class GeoOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.sum % 3 == 0) // each triangle counted at 3 vertices
   }
 
+  test("pageRank: three integer rounds equal a driver-side exact recompute") {
+    val edges = GeoOps.neighborPairs(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val tele = 3L * GeoOps.PrScale / 20L
+    var pr = deg.keys.map(_ -> GeoOps.PrScale).toMap
+    for (_ <- 1 to GeoOps.PrIters) {
+      val next = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      und.foreach { case (src, dst) =>
+        next(dst) += 17L * pr(src) / (20L * deg(src))
+      }
+      pr = next.map { case (v, s) => v -> (s + tele) }.toMap
+    }
+    val got = GeoOps.pageRank(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr)
+    // every vertex keeps at least the teleport mass; nothing explodes past
+    // the total initial mass (damped redistribution conserves, never creates)
+    assert(got.values.forall(v => v >= tele))
+    assert(got.values.sum <= GeoOps.PrScale * got.size)
+  }
+
   test("neighborPairs: grid-bucket join equals the brute-force quadratic recompute") {
     import org.apache.spark.sql.functions._
     val got = GeoOps.neighborPairs(spark, Sf).collect()
