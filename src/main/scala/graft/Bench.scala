@@ -75,13 +75,40 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val phases =
-      s"""{"warmup":$warmupSec,"stage":$stageSec,"queries":$total}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir"}""")
+      s"""{"warmup":${r3(warmupSec)},"stage":${r3(stageSec)},"queries":${r3(total)}}"""
+    // The driver keeps only the LAST 2000 chars of this process's output (the
+    // r1-r4 BENCH artifacts all show `parsed: null` with the JSON line
+    // truncated at the front — the full per-query map overflowed the tail).
+    // So: full per-query detail goes to a FILE, and the printed line carries
+    // a fixed headline subset + the detail path, sized well under the window.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"phases":$phases,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    val headline = results.filter { case (k, _) =>
+      k.startsWith("xa_q") || k.startsWith("xj_q") || k.startsWith("xf_q") ||
+        Headline(k)
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"phases":$phases,"detail":"$detailPath","sf":"$sfDir"}""")
     Tables.clearDerived(spark)
     spark.stop()
   }
+
+  /** Headline queries printed inline (all TPC-H shapes print regardless):
+    * the heaviest member of each major family, so the one-line JSON stays
+    * representative while fitting the driver's 2000-char output tail. */
+  private val Headline: Set[String] = Set(
+    "dd_minhash_candidates", "dd_clusters", "dd_sorted_neighbors",
+    "sim_bruteforce_topk", "sim_ivf_topk", "sim_pq_topk", "sim_hybrid_rrf",
+    "tx_ranked_search", "tx_token_counts", "tx_sequence_packing",
+    "geo_neighbor_pairs", "geo_pagerank", "geo_knn_join", "geo_z2_range_scan",
+    "xa_unpivot_segment_year", "xo_priority_sample", "xo_topk_custom_op",
+    "xp_bucketed_order_revenue", "xp_salted_flag_revenue",
+    "xt_cohort_retention", "xst_tumbling_counts")
 }

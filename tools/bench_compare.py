@@ -11,6 +11,7 @@ with zero code change — before believing a regression, re-run on an idle
 box (load < ~1) and compare per-query, not totals.
 """
 import json
+import os
 import sys
 
 
@@ -19,7 +20,15 @@ def load(path):
         txt = f.read()
     # tolerate a bare JSON line or sbt-prefixed capture
     start = txt.index('{"metric"')
-    return json.loads(txt[start:txt.index("}\n", start) + 1] if "}\n" in txt[start:] else txt[start:])
+    d = json.loads(txt[start:txt.index("}\n", start) + 1] if "}\n" in txt[start:] else txt[start:])
+    # follow the detail pointer (full per-query map) when it resolves
+    detail = d.get("detail")
+    if detail:
+        for cand in (detail, os.path.join(os.path.dirname(os.path.abspath(path)), detail)):
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    return json.load(f)
+    return d
 
 
 def main():
