@@ -1034,6 +1034,66 @@ object RelationalOps {
         (col("num") * col("num") / (col("den") * col("deny"))).as("r2"))
   }
 
+  /** X-J: FULL OUTER reconciliation join — year-over-year revenue per
+    * customer, the snapshot-diff shape every pipeline audit runs ("who
+    * appeared, who vanished, who changed"). Both sides are pre-aggregated
+    * on the join key, so each shuffles ONCE for its groupBy and the full
+    * outer join itself reuses that hash partitioning (sort-merge, no extra
+    * exchange) — at 100 TB the cost is two fact aggregations, not a raw
+    * fact⋈fact shuffle. Revenue sums are exact decimal; the classification
+    * and delta are then pure per-row projection.
+    */
+  def yearOverYearReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    def revByCustomer(year: Int): DataFrame =
+      Tables.orders(spark, sfDir)
+        .where(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as(s"rev_dec_$year"))
+    val a = revByCustomer(1996)
+    val b = revByCustomer(1997).withColumnRenamed("o_custkey", "b_custkey")
+    a.join(b, col("o_custkey") === col("b_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("b_custkey")).as("custkey"),
+        coalesce(col("rev_dec_1996"), lit(0).cast("decimal(12,2)")).cast("double")
+          .as("rev_1996"),
+        coalesce(col("rev_dec_1997"), lit(0).cast("decimal(12,2)")).cast("double")
+          .as("rev_1997"),
+        when(col("o_custkey").isNull, "only_1997")
+          .when(col("b_custkey").isNull, "only_1996")
+          .otherwise("both").as("status"),
+        (coalesce(col("rev_dec_1997"), lit(0).cast("decimal(12,2)")) -
+          coalesce(col("rev_dec_1996"), lit(0).cast("decimal(12,2)")))
+          .cast("double").as("delta"))
+  }
+
+  /** X-A: exact weighted median (lower median) of extended price per return
+    * flag, weighted by quantity. Two-level shape chosen for scale: the raw
+    * fact table first collapses to distinct (flag, price) cells with summed
+    * weights — a map-side-combinable groupBy bounded by the VALUE DOMAIN,
+    * not the row count — and only that collapsed set flows through the
+    * per-flag cumulative-weight window. With 3 flags the window partition
+    * count is tiny, which is exactly why it must never see raw rows: at
+    * 100 TB the window input is still ~|distinct prices| ≈ 10⁶ rows while
+    * the fact scan stays fully parallel. All comparisons are exact decimal
+    * (2·cumw ≥ total), so the picked cell is engine-independent.
+    */
+  def weightedMedianPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").cast("decimal(12,2)").as("price"))
+      .agg(sum(dec(col("l_quantity"))).as("w"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("total", sum(col("w")).over(byFlag))
+      .where(col("cumw") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price")).cast("double").as("median_price"),
+        min(col("total")).cast("double").as("total_weight"))
+  }
+
   /** X-T date arithmetic: ship-delay stats per order priority. */
   def shipDelay(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -70,6 +70,8 @@ object RelationalPack extends QueryPack {
     "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
     "xt_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
     "xo_segment_priority_sample" -> ((s, d) => RelationalOps.segmentPrioritySample(s, d)),
+    "xj_full_outer_reconcile" -> ((s, d) => RelationalOps.yearOverYearReconcile(s, d)),
+    "xa_weighted_median" -> ((s, d) => RelationalOps.weightedMedianPrice(s, d)),
   )
 
   private val rev =
@@ -773,5 +775,41 @@ object RelationalPack extends QueryPack {
         |FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
         |WHERE CAST(qty_dec AS DOUBLE) >
         |  (SELECT 1.1 * (CAST(sum(qty_dec) AS DOUBLE) / count(*)) FROM per_supp)""".stripMargin,
+    "xj_full_outer_reconcile" ->
+      """WITH a AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec_1996
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey AS b_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec_1997
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(o_custkey, b_custkey) AS custkey,
+        |  CAST(coalesce(rev_dec_1996, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS rev_1996,
+        |  CAST(coalesce(rev_dec_1997, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS rev_1997,
+        |  CASE WHEN o_custkey IS NULL THEN 'only_1997'
+        |       WHEN b_custkey IS NULL THEN 'only_1996'
+        |       ELSE 'both' END AS status,
+        |  CAST(coalesce(rev_dec_1997, CAST(0 AS DECIMAL(12,2)))
+        |       - coalesce(rev_dec_1996, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS delta
+        |FROM a FULL OUTER JOIN b ON o_custkey = b_custkey""".stripMargin,
+    "xa_weighted_median" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, price,
+        |         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |         sum(w) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM cells)
+        |SELECT l_returnflag, CAST(min(price) AS DOUBLE) AS median_price,
+        |       CAST(min(total) AS DOUBLE) AS total_weight
+        |FROM cum WHERE cumw * 2 >= total GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -581,4 +581,46 @@ class RelationalOpsSpec extends SparkSpec {
     }
     assert(rows.length == perPart.count(_._2 * 10000 > total)) // completeness
   }
+
+  test("yearOverYearReconcile: genuine full outer join, statuses consistent with sides") {
+    val df = RelationalOps.yearOverYearReconcile(spark, Sf)
+    assert(plan(df).contains("FullOuter"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rev96, rev97, status) = (r.getDouble(1), r.getDouble(2), r.getString(3))
+      status match {
+        case "only_1996" => assert(rev97 == 0.0 && rev96 > 0.0)
+        case "only_1997" => assert(rev96 == 0.0 && rev97 > 0.0)
+        case "both"      => assert(rev96 > 0.0 && rev97 > 0.0)
+      }
+      assert(math.abs(r.getDouble(4) - (rev97 - rev96)) < 1e-9)
+    }
+  }
+
+  test("weightedMedianPrice: window runs over aggregated cells, median is the exact lower weighted median") {
+    val df = RelationalOps.weightedMedianPrice(spark, Sf)
+    // the raw fact table must collapse to (flag, price) cells BEFORE any
+    // window: aggregate below the window in the plan, or 100 TB of rows
+    // would funnel through 3 window partitions
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.indexOf("Window") < p.lastIndexOf("Aggregate"))
+    val med = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independent check: med is the smallest price whose cumulative weight
+    // reaches half the flag's total
+    val cells = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").cast("decimal(12,2)").as("p"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("w"))
+      .collect()
+      .groupBy(_.getString(0))
+    med.foreach { case (flag, m) =>
+      val sorted = cells(flag)
+        .map(r => (r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue()))
+        .sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      var cum = 0.0
+      val expect = sorted.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      assert(m == expect, s"flag $flag")
+    }
+  }
 }

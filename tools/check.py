@@ -16,8 +16,9 @@ from check_oracles import canon_type  # driver-strict arrow-type compare
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def run_verify(sfdir, outdir):
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}']
+def run_verify(sfdir, outdir, names=()):
+    cmd = ["sbt", "-batch",
+           " ".join(["runMain graft.Verify", sfdir, outdir, *names])]
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
                                if "error" in l.lower() or "[verify]" in l) + "\n")
@@ -46,7 +47,7 @@ def main():
     outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
     only = set(args[2:])
     if "--skip-verify" not in sys.argv:
-        run_verify(sfdir, outdir)
+        run_verify(sfdir, outdir, sorted(only))
 
     oracle = json.loads(Path(outdir, "oracle_sql.json").read_text())
     con = duckdb.connect()
