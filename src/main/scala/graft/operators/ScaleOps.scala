@@ -439,4 +439,63 @@ object ScaleOps {
         col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
         col("p.min_ts"), col("p.max_ts"))
   }
+
+  /** One sorted-sweep skyline pass: input must be sorted (x desc, y desc);
+    * keeps a point iff its y exceeds the best y seen (strictly — a point
+    * with equal y and smaller x is dominated), plus exact duplicates of a
+    * kept point (mutual non-strict domination is not domination).
+    */
+  private def skylineSweep(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+    var bestX = Long.MinValue
+    var bestY = Long.MinValue
+    it.flatMap { case p @ (_, x, y) =>
+      if (y > bestY) { bestX = x; bestY = y; Some(p) }
+      else if (y == bestY && x == bestX) Some(p)
+      else None
+    }
+  }
+
+  /** X-O: Pareto frontier (2-D skyline) of customers over (total order
+    * spend, account balance), both maximized — "best trade-off" extraction,
+    * the multi-objective filter a curation pipeline runs over
+    * (quality, rarity)-scored documents. The MERGE-style distributed
+    * skyline: each partition sorts locally and sweeps out its own
+    * dominated points (a point dominated within a partition is dominated
+    * globally, so local pruning is lossless), then only the tiny union of
+    * local frontiers — in practice O(frontier), not O(n) — converges on
+    * one task for the global sweep. The fact scan never globally sorts and
+    * never shuffles: `sortWithinPartitions` + `mapPartitions`, then a
+    * single-partition repeat over survivors. Coordinates are exact cents
+    * (BIGINT) so domination tests and the oracle's NOT-EXISTS twin agree
+    * bit-for-bit.
+    */
+  def paretoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("spend_cents"))
+    val pts = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("acctbal_cents"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").as("custkey"), col("spend_cents"), col("acctbal_cents"))
+    skylineOn(spark, pts, "spend_cents", "acctbal_cents")
+  }
+
+  /** The two-level skyline over any (id, x, y) frame — local sweep, then a
+    * one-partition global sweep over local survivors.
+    */
+  private[graft] def skylineOn(spark: SparkSession, points: DataFrame,
+                                   xCol: String, yCol: String): DataFrame = {
+    import spark.implicits._
+    val Seq(idCol) = points.columns.toSeq.diff(Seq(xCol, yCol))
+    def sweep(df: DataFrame): DataFrame = df
+      .select(col(idCol), col(xCol), col(yCol))
+      .sortWithinPartitions(col(xCol).desc, col(yCol).desc)
+      .as[(Long, Long, Long)]
+      .mapPartitions(skylineSweep)
+      .toDF(idCol, xCol, yCol)
+    sweep(sweep(points).repartition(1))
+  }
 }

@@ -23,6 +23,7 @@ object ScalePack extends QueryPack {
     "xa_column_profile" -> ((s, d) => ScaleOps.columnProfile(s, d)),
     "xa_fk_conformance" -> ((s, d) => ScaleOps.fkConformance(s, d)),
     "xp_bloom_membership" -> ((s, d) => ScaleOps.bloomMembership(s, d)),
+    "xo_pareto_frontier" -> ((s, d) => ScaleOps.paretoFrontier(s, d)),
   )
 
   private val rev =
@@ -160,5 +161,21 @@ object ScalePack extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the O(n²) NOT-EXISTS form IS the skyline definition — the Spark side
+    // must reproduce it exactly via the two-level sweep
+    "xo_pareto_frontier" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY o_custkey),
+        |pts AS (
+        |  SELECT c_custkey AS custkey, spend_cents,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_cents
+        |  FROM customer JOIN spend ON c_custkey = o_custkey)
+        |SELECT custkey, spend_cents, acctbal_cents FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.spend_cents >= p.spend_cents AND q.acctbal_cents >= p.acctbal_cents
+        |    AND (q.spend_cents > p.spend_cents OR q.acctbal_cents > p.acctbal_cents))""".stripMargin,
   )
 }

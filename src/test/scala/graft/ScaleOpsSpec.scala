@@ -254,4 +254,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(statusRow.getLong(3) ==
       o.select(countDistinct(col("o_orderstatus"))).collect().head.getLong(0))
   }
+
+  test("skylineOn: strict-domination semantics — duplicates survive, equal-on-one-axis loses") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 10L, 1L),  // frontier (best x)
+      (2L, 5L, 5L),   // frontier
+      (3L, 5L, 5L),   // exact duplicate of 2 — must ALSO survive
+      (4L, 5L, 4L),   // dominated by 2 (x equal, y smaller)
+      (5L, 4L, 5L),   // dominated by 2 (y equal, x smaller)
+      (6L, 1L, 9L),   // frontier (best y)
+      (7L, 0L, 0L)    // dominated by everything
+    ).toDF("id", "x", "y").repartition(3) // survivors must not depend on layout
+    val got = graft.operators.ScaleOps.skylineOn(spark, pts, "x", "y")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("paretoFrontier: no global sort, no frontier point dominated, no survivor missed") {
+    val df = graft.operators.ScaleOps.paretoFrontier(spark, Sf)
+    // two-level sweep must never plan a global Sort (flag `true`): only
+    // per-partition sorts (`Sort [...], false`)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Sort \\[spend_cents[^\\]]*\\], true".r.findFirstIn(p).isEmpty)
+    assert("Sort \\[spend_cents[^\\]]*\\], false".r.findFirstIn(p).nonEmpty)
+    val frontier = df.collect().map(r => (r.getLong(1), r.getLong(2)))
+    val all = graft.Tables.customer(spark, Sf)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("y"))
+      .join(graft.Tables.orders(spark, Sf).groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100).cast("long").as("x")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("x"), col("y")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    def dominated(p: (Long, Long)) = all.exists(q =>
+      q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2))
+    assert(frontier.forall(!dominated(_)))
+    assert(frontier.length == all.count(!dominated(_)))
+  }
 }
