@@ -502,4 +502,55 @@ object DedupOps {
       .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("dist")).as("dist"))
   }
+
+  /** Doc-frequency band for [[ngramJaccard]]'s rare-gram blocking: a
+    * trigram keys a candidate bucket iff 2 ≤ df ≤ this. The cap bounds
+    * every bucket to ≤ C(cap,2) pairs — the same hot-bucket discipline as
+    * [[guardBuckets]], enforced by construction instead of by dropping.
+    */
+  val NgramRareDfMax = 10
+
+  /** Word-n-gram Jaccard near-dup detection — a dedup family distinct from
+    * MinHash-LSH and SimHash: EXACT set Jaccard over the word-3-gram
+    * shingles, made tractable by rare-gram inverted-index blocking
+    * ("prefix filtering" from the set-similarity-join literature): only
+    * documents sharing at least one shingle with document frequency in
+    * [2, [[NgramRareDfMax]]] become candidate pairs, so each posting list
+    * yields ≤ C(cap,2) pairs and the join never goes quadratic in the
+    * corpus. Guarantee vs LSH: DETERMINISTIC recall — any pair sharing a
+    * rare shingle is examined (near-identical documents always share many),
+    * where LSH banding is probabilistic; the tradeoff is missing pairs
+    * whose every shared shingle is ubiquitous (df > cap), which at ≥½
+    * Jaccard cannot happen until a shingle's df exceeds the cap corpus-wide
+    * — i.e. boilerplate, which near-dup detection deliberately discounts.
+    * The ≥½ threshold is the integer cross-multiplication 2·|∩| ≥ |∪| — no
+    * float compare at the cut. The shingle table is the SAME staged
+    * intermediate the MinHash chain reads ([[distinctShingles]]) — one
+    * corpus explode feeds both dedup families.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val tg = distinctShingles(spark, sfDir)
+      .select(col("doc_id"), col("shingle").as("g"))
+    val rare = tg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= NgramRareDfMax)
+      .select(col("g"))
+    val posting = tg.join(broadcast(rare), Seq("g"), "left_semi")
+    val cand = posting.select(col("g"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tg.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(tg.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .where(col("n_inter") * 2 >= col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
 }

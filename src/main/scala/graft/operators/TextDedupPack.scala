@@ -18,6 +18,7 @@ object TextDedupPack extends QueryPack {
     "tx_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
     "tx_rarity_scores" -> ((s, d) => TextOps.rarityScores(s, d)),
     "tx_top_bigrams" -> ((s, d) => TextOps.topBigramsPerLang(s, d)),
+    "tx_bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
     "tx_curated_corpus" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
@@ -40,6 +41,7 @@ object TextDedupPack extends QueryPack {
     "dd_cluster_stats" -> ((s, d) => DedupOps.clusterStats(s, d)),
     "dd_canonical_quality" -> ((s, d) => DedupOps.canonicalByQuality(s, d)),
     "dd_sorted_neighbors" -> ((s, d) => DedupOps.sortedNeighbors(s, d)),
+    "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
     "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
@@ -208,6 +210,30 @@ object TextDedupPack extends QueryPack {
         |      ORDER BY doc_freq DESC, bigram) AS rn
         |  FROM lb) ranked
         |WHERE rn <= 3""".stripMargin,
+    "tx_bigram_coverage" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |    UNNEST(range(1, len(w))) AS t(i)
+         |  WHERE len(w) >= 2),
+         |model AS (
+         |  SELECT bigram FROM (
+         |    SELECT bigram,
+         |      row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+         |    FROM occ GROUP BY bigram) ranked
+         |  WHERE rn <= ${TextOps.CoverageModelSize}),
+         |cov AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM model)
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS covered
+         |  FROM occ GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(covered, 0) AS covered,
+         |  CASE WHEN coalesce(n_bigrams, 0) > 0
+         |       THEN CAST(covered AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |  END AS coverage
+         |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
     "tx_rarity_scores" ->
       """WITH dw AS (
         |  SELECT DISTINCT doc_id, word FROM (
@@ -363,6 +389,29 @@ object TextDedupPack extends QueryPack {
          |FROM legs WHERE dist <= ${DedupOps.SnMaxDist}
          |GROUP BY a_id, b_id""".stripMargin
     },
+    "dd_ngram_jaccard" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte,
+        "tg AS (SELECT doc_id, shingle AS g FROM distinct_shingles)",
+        s"""rare AS (
+           |  SELECT g FROM (SELECT g, count(*) AS df FROM tg GROUP BY g)
+           |  WHERE df BETWEEN 2 AND ${DedupOps.NgramRareDfMax})""".stripMargin,
+        "posting AS (SELECT doc_id, g FROM tg WHERE g IN (SELECT g FROM rare))",
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin,
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY doc_id)",
+        """inter AS (
+          |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_inter
+          |  FROM cand
+          |  JOIN tg ta ON ta.doc_id = doc_a
+          |  JOIN tg tb ON tb.doc_id = doc_b AND tb.g = ta.g
+          |  GROUP BY doc_a, doc_b)""".stripMargin)(
+        """SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+          |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |WHERE 2 * n_inter >= sa.n + sb.n - n_inter""".stripMargin),
     "dd_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,

@@ -428,6 +428,49 @@ object TextOps {
       Seq("doc_freq" -> false, "bigram" -> true))
   }
 
+  /** Bigram-model size for [[bigramCoverage]] — top-M corpus bigrams. */
+  val CoverageModelSize = 200
+
+  /** X-C: language-model-style quality signal — per-document coverage of a
+    * corpus-level bigram model, the cheap stand-in for "how much of this
+    * text looks like fluent corpus text" that pretraining filters use
+    * before any neural LM is in reach. Two passes over one exploded
+    * occurrence stream: (1) build the model = top-M bigrams by occurrence
+    * count (TakeOrderedAndProject — per-partition heaps, no global sort;
+    * ties broken by bigram so the M-th slot is engine-independent), (2)
+    * broadcast the M-row model back onto the occurrences and count per-doc
+    * hits. At 100 TB the only shuffles are the two map-side-combinable
+    * counts; the model never exceeds M rows so the join side is always a
+    * broadcast. Coverage is ONE IEEE division of two exact longs — hash-
+    * stable across engines.
+    */
+  def bigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // occurrences, NOT distinct: coverage weights repeated bigrams
+    val occ = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    val model = occ.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(CoverageModelSize)
+      .select(col("bigram"), lit(1L).as("hit"))
+    val perDoc = occ.join(broadcast(model), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("covered"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("covered").cast("double") / col("n_bigrams").cast("double"))
+          .as("coverage"))
+  }
+
   /** Posting-list hash buckets for the inverted-index layout. At 100 TB
     * this is sized so one bucket's posting lists fit a scan task comfortably
     * (thousands); 16 here keeps the sf fixtures to a few files per bucket
