@@ -275,14 +275,21 @@ object GeoOps {
     * contributes both directions, so every vertex has deg ≥ 1 and receives
     * mass — no dangling-node term needed.
     */
-  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = Tables.derivedBig(spark, sfDir, "pagerank_edges") {
+  /** Degree-annotated symmetric edge list of the proximity graph, staged
+    * once per (session, sf) — the shared input of [[pageRank]],
+    * [[bfsHops]], and the triangle count.
+    */
+  private def symEdges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "pagerank_edges") {
       val e = neighborPairs(spark, sfDir).select(col("a_id"), col("b_id"))
       val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       sym.join(deg, Seq("src"))
     }
+
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = symEdges(spark, sfDir)
     val teleport = 3L * PrScale / 20L
     val init = und.select(col("src").as("v")).distinct()
       .select(col("v"), lit(PrScale).as("pr"))
@@ -293,6 +300,40 @@ object GeoOps {
         .agg((sum(col("share")) + lit(teleport)).as("pr"))
         .select(col("dst").as("v"), col("pr"))
     }
+  }
+
+  /** BFS frontier rounds and the seed-selection modulus. */
+  val BfsHops = 3
+  val BfsSeedMod = 97L
+
+  /** X-C29: bounded multi-source BFS — min-hop distance (≤ [[BfsHops]])
+    * from a deterministic seed set over the proximity graph, the
+    * "blast-radius" / neighborhood-expansion query of graph analytics.
+    * Pregel plan shape like [[pageRank]], but with a shrinking working set:
+    * each round joins the src-keyed edge list to the CURRENT FRONTIER only
+    * (not the full visited set) and anti-joins out already-visited
+    * vertices, so per round the data in motion is one vertex-sized label
+    * list — at 100 TB the edge list stays put (bucketed by src) and only
+    * frontier labels shuffle. Hops are exact integers; min-hop semantics
+    * come from the frontier construction itself (a vertex enters `visited`
+    * at its first reachable round), which the oracle's union-of-rounds
+    * min() reproduces.
+    */
+  def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = symEdges(spark, sfDir).select(col("src"), col("dst"))
+    val seeds = edges.select(col("src").as("v")).distinct()
+      .where(col("v") % BfsSeedMod === 0)
+      .select(col("v"), lit(0L).as("hops"))
+    val (reached, _) = (1 to BfsHops).foldLeft((seeds, seeds)) {
+      case ((visited, frontier), h) =>
+        val next = edges
+          .join(frontier.select(col("v").as("src")), Seq("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(visited, Seq("v"), "left_anti")
+          .select(col("v"), lit(h.toLong).as("hops"))
+        (visited.union(next), next)
+    }
+    reached
   }
 
   /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:

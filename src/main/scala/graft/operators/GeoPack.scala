@@ -31,6 +31,7 @@ object GeoPack extends QueryPack {
     "geo_knn_join" -> ((s, d) => GeoOps.knnJoin(s, d)),
     "geo_triangle_counts" -> ((s, d) => GeoOps.triangleCounts(s, d)),
     "geo_pagerank" -> ((s, d) => GeoOps.pageRank(s, d)),
+    "geo_bfs_hops" -> ((s, d) => GeoOps.bfsHops(s, d)),
   )
 
   private val coordsCte =
@@ -207,6 +208,36 @@ object GeoPack extends QueryPack {
          |${round(2)},
          |${round(3)}
          |SELECT v, pr FROM pr3""".stripMargin
+    },
+    // union-of-rounds min(): r_k holds every vertex at distance exactly k
+    // (plus possibly nearer ones) — min over hops is the BFS distance
+    "geo_bfs_hops" -> {
+      def round(i: Int) =
+        s"""r$i AS (
+           |  SELECT DISTINCT dst AS v FROM und JOIN r${i - 1} ON und.src = r${i - 1}.v)""".stripMargin
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |und AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM edges),
+         |r0 AS (SELECT DISTINCT src AS v FROM und
+         |       WHERE src % ${GeoOps.BfsSeedMod} = 0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |all_rounds AS (
+         |  SELECT v, 0 AS hops FROM r0
+         |  UNION ALL SELECT v, 1 FROM r1
+         |  UNION ALL SELECT v, 2 FROM r2
+         |  UNION ALL SELECT v, 3 FROM r3)
+         |SELECT v, CAST(min(hops) AS BIGINT) AS hops
+         |FROM all_rounds GROUP BY v""".stripMargin
     },
   )
 }
