@@ -528,7 +528,40 @@ object DedupOps {
     * intermediate the MinHash chain reads ([[distinctShingles]]) — one
     * corpus explode feeds both dedup families.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    rareGramOverlaps(spark, sfDir)
+      .where(col("n_inter") * 2 >= col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+
+  /** Containment numerator/denominator for the ≥ 4/5 cut — see
+    * [[ngramContainment]].
+    */
+  val ContainmentNum = 4L
+  val ContainmentDen = 5L
+
+  /** Asymmetric containment |A∩B| / min(|A|,|B|) over the same rare-gram
+    * candidates as [[ngramJaccard]] — subsumption detection: a short
+    * document wholly embedded in a longer one scores near 1 here while its
+    * symmetric Jaccard (÷ the union) can be arbitrarily low, which is why
+    * dedup pipelines track both. Cut at ≥ [[ContainmentNum]]/[[ContainmentDen]]
+    * via integer cross-multiplication; the per-direction ratios are single
+    * IEEE divisions of exact longs.
+    */
+  def ngramContainment(spark: SparkSession, sfDir: String): DataFrame =
+    rareGramOverlaps(spark, sfDir)
+      .where(col("n_inter") * ContainmentDen >=
+        least(col("n_a"), col("n_b")) * ContainmentNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("cont_a"),
+        (col("n_inter").cast("double") / col("n_b")).as("cont_b"))
+
+  /** Shared candidate machinery of [[ngramJaccard]] / [[ngramContainment]]:
+    * rare-gram-blocked candidate pairs with exact intersection and set
+    * sizes — (doc_a, doc_b, n_inter, n_a, n_b), doc_a < doc_b.
+    */
+  private def rareGramOverlaps(spark: SparkSession, sfDir: String): DataFrame = {
     val tg = distinctShingles(spark, sfDir)
       .select(col("doc_id"), col("shingle").as("g"))
     val rare = tg.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -548,9 +581,5 @@ object DedupOps {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      .where(col("n_inter") * 2 >= col("n_a") + col("n_b") - col("n_inter"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 }

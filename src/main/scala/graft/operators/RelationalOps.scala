@@ -1094,6 +1094,46 @@ object RelationalOps {
         min(col("total")).cast("double").as("total_weight"))
   }
 
+  /** Equi-width histogram bucket size for [[priceHistogram]], in cents. */
+  val HistBucketCents = 2000000L // $20,000
+
+  /** X-A: equi-width numeric histogram of order totalprice — the
+    * distribution-profiling staple. Bucketing is exact integer floor
+    * division on cents (never float-divide-then-floor, whose edge cases
+    * differ per engine), so the whole histogram is ONE map-side-combinable
+    * aggregate: at 100 TB the exchange carries ≤ #buckets rows per task.
+    */
+  def priceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    Tables.orders(spark, sfDir)
+      .select((cents - (cents % HistBucketCents)).as("bucket_lo_cents"))
+      .groupBy(col("bucket_lo_cents"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** X-O: relative-rank window functions — per-segment customer spend
+    * percentile (percent_rank) and cumulative distribution (cume_dist).
+    * Like [[weightedMedianPrice]], the window input is the per-customer
+    * AGGREGATE (one row per customer), never raw orders, so the few-
+    * partition window sees a customer-sized — not fact-sized — input at
+    * any SF. Both ranks are single IEEE divisions of exact tie-aware
+    * integer ranks, so they hash-match across engines even with duplicate
+    * spend values.
+    */
+  def spendPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend_dec"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("spend_dec"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("spend_dec").cast("double").as("spend"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   /** X-T date arithmetic: ship-delay stats per order priority. */
   def shipDelay(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

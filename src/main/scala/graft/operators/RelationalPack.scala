@@ -72,6 +72,9 @@ object RelationalPack extends QueryPack {
     "xo_segment_priority_sample" -> ((s, d) => RelationalOps.segmentPrioritySample(s, d)),
     "xj_full_outer_reconcile" -> ((s, d) => RelationalOps.yearOverYearReconcile(s, d)),
     "xa_weighted_median" -> ((s, d) => RelationalOps.weightedMedianPrice(s, d)),
+    "xa_price_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
+    "xo_percent_rank" -> ((s, d) => RelationalOps.spendPercentiles(s, d)),
+    "xt_autocorr_daily" -> ((s, d) => TimeSeriesOps.dailyAutocorr(s, d)),
   )
 
   private val rev =
@@ -811,5 +814,43 @@ object RelationalPack extends QueryPack {
         |SELECT l_returnflag, CAST(min(price) AS DOUBLE) AS median_price,
         |       CAST(min(total) AS DOUBLE) AS total_weight
         |FROM cum WHERE cumw * 2 >= total GROUP BY l_returnflag""".stripMargin,
+    "xa_price_histogram" ->
+      s"""WITH c AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders)
+         |SELECT cents - (cents % ${RelationalOps.HistBucketCents}) AS bucket_lo_cents,
+         |       count(*) AS n
+         |FROM c GROUP BY 1""".stripMargin,
+    "xo_percent_rank" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_mktsegment,
+        |  CAST(spend_dec AS DOUBLE) AS spend,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer JOIN spend ON c_custkey = o_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_dec)""".stripMargin,
+    // same moment discipline as xa_trend_ols: exact BIGINT sums, doubles
+    // only inside the mirrored closed form (product of deviations in DOUBLE)
+    "xt_autocorr_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT x, lag(x, 1) OVER (ORDER BY day) AS y FROM daily
+        |  QUALIFY y IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pairs)
+        |SELECT n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) AS r1
+        |FROM m""".stripMargin,
   )
 }

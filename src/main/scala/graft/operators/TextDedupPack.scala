@@ -42,6 +42,7 @@ object TextDedupPack extends QueryPack {
     "dd_canonical_quality" -> ((s, d) => DedupOps.canonicalByQuality(s, d)),
     "dd_sorted_neighbors" -> ((s, d) => DedupOps.sortedNeighbors(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
+    "dd_containment" -> ((s, d) => DedupOps.ngramContainment(s, d)),
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
     "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
@@ -60,6 +61,28 @@ object TextDedupPack extends QueryPack {
 
   private val distinctShinglesCte =
     "distinct_shingles AS (SELECT DISTINCT doc_id, shingle FROM doc_shingles)"
+
+  /** Rare-gram candidate pairs with exact intersection and set sizes — twin
+    * of [[DedupOps.rareGramOverlaps]], shared by the Jaccard and
+    * containment oracles.
+    */
+  private def withOverlapCtes(select: String): String =
+    Oracle.withCtes(shinglesCte, distinctShinglesCte,
+      "tg AS (SELECT doc_id, shingle AS g FROM distinct_shingles)",
+      s"""rare AS (
+         |  SELECT g FROM (SELECT g, count(*) AS df FROM tg GROUP BY g)
+         |  WHERE df BETWEEN 2 AND ${DedupOps.NgramRareDfMax})""".stripMargin,
+      "posting AS (SELECT doc_id, g FROM tg WHERE g IN (SELECT g FROM rare))",
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin,
+      "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY doc_id)",
+      """inter AS (
+        |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM cand
+        |  JOIN tg ta ON ta.doc_id = doc_a
+        |  JOIN tg tb ON tb.doc_id = doc_b AND tb.g = ta.g
+        |  GROUP BY doc_a, doc_b)""".stripMargin)(select)
 
   /** MinHash signature CTE (twin of [[DedupOps.minhashSignatures]]). */
   private val mhCte = {
@@ -390,28 +413,23 @@ object TextDedupPack extends QueryPack {
          |GROUP BY a_id, b_id""".stripMargin
     },
     "dd_ngram_jaccard" ->
-      Oracle.withCtes(shinglesCte, distinctShinglesCte,
-        "tg AS (SELECT doc_id, shingle AS g FROM distinct_shingles)",
-        s"""rare AS (
-           |  SELECT g FROM (SELECT g, count(*) AS df FROM tg GROUP BY g)
-           |  WHERE df BETWEEN 2 AND ${DedupOps.NgramRareDfMax})""".stripMargin,
-        "posting AS (SELECT doc_id, g FROM tg WHERE g IN (SELECT g FROM rare))",
-        """cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin,
-        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY doc_id)",
-        """inter AS (
-          |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_inter
-          |  FROM cand
-          |  JOIN tg ta ON ta.doc_id = doc_a
-          |  JOIN tg tb ON tb.doc_id = doc_b AND tb.g = ta.g
-          |  GROUP BY doc_a, doc_b)""".stripMargin)(
+      withOverlapCtes(
         """SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
           |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
           |FROM inter
           |JOIN sizes sa ON sa.doc_id = doc_a
           |JOIN sizes sb ON sb.doc_id = doc_b
           |WHERE 2 * n_inter >= sa.n + sb.n - n_inter""".stripMargin),
+    "dd_containment" ->
+      withOverlapCtes(
+        s"""SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+           |  CAST(n_inter AS DOUBLE) / sa.n AS cont_a,
+           |  CAST(n_inter AS DOUBLE) / sb.n AS cont_b
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = doc_a
+           |JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE n_inter * ${DedupOps.ContainmentDen} >=
+           |  ${DedupOps.ContainmentNum} * least(sa.n, sb.n)""".stripMargin),
     "dd_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,

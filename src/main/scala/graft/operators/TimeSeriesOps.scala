@@ -379,6 +379,39 @@ object TimeSeriesOps {
         col("n").cast("long").as("n_events"), col("dev").cast("double").as("dev"))
   }
 
+  /** X-T analytics: lag-1 autocorrelation of the daily order-count series —
+    * the "is demand sticky day-over-day?" diagnostic, computed as Pearson
+    * correlation of consecutive-day pairs in closed form from SIX exact
+    * integer sums (the [[graft.operators.RelationalOps.trendOls]] moment
+    * discipline: longs until one mirrored double expression at the end, so
+    * the hash matches DuckDB's). The lag window is global-ordered but runs
+    * over the per-DAY aggregate — a domain-bounded few-thousand-row input
+    * at any SF, never raw facts; the fact scan itself is one map-side-
+    * combinable count. The squared-deviation product is multiplied in
+    * DOUBLE (each factor is an exact long, but their product can exceed
+    * int64 at large SF) — one IEEE multiply, mirrored in the oracle.
+    */
+  def dailyAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("day"))
+    val pairs = daily
+      .select(col("x"), lag(col("x"), 1).over(w).as("y"))
+      .where(col("y").isNotNull)
+    pairs
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r1"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)
