@@ -582,4 +582,108 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
   }
+
+  /** Word-gram width for [[dupSpans]]. */
+  val DupSpanN = 5
+
+  /** X-P26: duplicate-span coverage — for every document, the fraction of
+    * its token positions covered by a [[DupSpanN]]-word gram that also
+    * appears in ANOTHER document. This is the span-granular exact-substring
+    * dedup signal (the "dedup training data at the substring level" family):
+    * where [[exactDedup]] only sees whole-document copies and
+    * [[ngramJaccard]] scores set overlap, span coverage localizes WHICH
+    * parts of a document are boilerplate/copied, and its per-doc fraction is
+    * the usual removal threshold. Plan: gram construction is NARROW
+    * (`transform(sequence(...))` over the word array — position and gram
+    * travel together, no window sort); the only corpus-sized shuffles are
+    * the gram-keyed duplicate count (map-side-combinable) and the semi-join
+    * of grams against the duplicated set; the ×[[DupSpanN]] position explode
+    * happens AFTER that semi-join, so it blows up only the duplicated spans,
+    * not the corpus (the bounded-explode argument of the 7× WAU window).
+    * All counts are integers; the one emitted float is a single division,
+    * rounded — hash-exact cross-engine.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= DupSpanN)
+    val grams = base.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $DupSpanN), " +
+          s"i -> struct(i AS p, array_join(slice(w, i + 1, $DupSpanN), ' ') AS g))")).as("s"))
+      .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("g"))
+    val cov = grams.join(dup, Seq("g"), "leftsemi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + ${DupSpanN - 1})")).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_pos"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        round(coalesce(col("n_dup_pos"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** Jaccard threshold for [[prefixJaccard]] as an exact rational. */
+  val PpjNum = 9L
+  val PpjDen = 10L
+
+  /** X-P25: threshold-driven prefix-filter set-similarity join (the PPJoin
+    * prefix-filtering principle) over distinct TOKEN sets — the EXACT
+    * member of the candidate-generation family: where LSH banding
+    * ([[minhashCandidates]]) is probabilistic and rare-gram blocking
+    * ([[ngramJaccard]]) is df-heuristic, the length-dependent prefix is a
+    * THEOREM: order every set by one global token order (df asc, token asc
+    * — rarest first, the order that minimizes candidates) and take each
+    * set's first |x| − ⌈t·|x|⌉ + 1 tokens; any pair with Jaccard ≥ t must
+    * overlap within those prefixes (if the prefixes were disjoint, the
+    * intersection is confined to the suffixes and is too small by
+    * counting). So candidates = an equi-join on prefix tokens — recall 1.0
+    * by construction, verified by exact intersection counts, thresholded
+    * with the integer cross-multiplication 19·|∩| ≥ 9·(|A|+|B|) (⟺
+    * J ≥ 9/10 — no float at the cut). Plan: df aggregation (map-side
+    * combinable), one doc-keyed window for the rank, the prefix equi-join
+    * on token, then the same two doc-keyed verify joins as
+    * [[rareGramOverlaps]] — every stage hash-partitioned, nothing
+    * quadratic in the corpus. At 100 TB the df table is vocabulary-sized
+    * (broadcast), and prefix length shrinks as t rises — at t=0.9 a
+    * 100-token set contributes 11 prefix tokens, an 89% posting reduction
+    * before any pair forms; ubiquitous-token postings are the residual
+    * skew and salt like any hot join key.
+    */
+  def prefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .distinct()
+    val df = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
+    val ranked = toks.join(broadcast(df), Seq("token"))
+      .select(col("doc_id"), col("token"),
+        row_number().over(w).cast("long").as("r"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+    // prefix length p = n − ⌈t·n⌉ + 1, with ⌈9n/10⌉ = (9n+9) div 10 exact
+    // (`div` is integer floor division — `/` would promote to double)
+    val prefix = ranked
+      .where(col("r") <= col("n") - expr(s"(n * $PpjNum + ${PpjDen - 1}) div $PpjDen") + 1)
+    val cand = prefix.select(col("token"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("token"), col("doc_id").as("doc_b")), Seq("token"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("token")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("token")), Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .where(col("n_inter") * (PpjNum + PpjDen) >= (col("n_a") + col("n_b")) * PpjNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
 }

@@ -319,6 +319,46 @@ object GeoOps {
     * at its first reachable round), which the oracle's union-of-rounds
     * min() reproduces.
     */
+  /** Bounded relaxation rounds for [[sssp]]. */
+  val SsspRounds = 3
+
+  /** X-C30: bounded weighted single-source(-set) shortest paths — the
+    * weighted generalization of [[bfsHops]]: min total edge weight from
+    * the same deterministic seed set within ≤ [[SsspRounds]] relaxations
+    * (Bellman–Ford rounds, so round k holds the exact min over all ≤k-edge
+    * paths; weights are strictly positive so longer paths only ever add).
+    * Edge weight is the exact integer 1 + |Δlon| + |Δlat| (grid Manhattan
+    * step + 1 — strictly positive even for co-located points), so every
+    * distance is exact integer arithmetic and the oracle's unrolled
+    * union-min rounds replay it bit-for-bit. Plan shape per round: one
+    * src-keyed join of the edge list to the current distance vector + one
+    * dst-keyed min — identical wire cost to a [[pageRank]] round (at
+    * 100 TB the edge list is bucketed by src and stays put; only the
+    * vertex-sized distance vector moves). Unlike BFS the frontier cannot
+    * shrink to newly-visited vertices only — a later round may IMPROVE an
+    * already-reached vertex through a heavier-but-shorter-hop path — so
+    * each round relaxes the full distance vector, which is still
+    * vertex-sized.
+    */
+  def sssp(spark: SparkSession, sfDir: String,
+           seedMod: Long = BfsSeedMod): DataFrame = {
+    val e = neighborPairs(spark, sfDir)
+      .select(col("a_id"), col("b_id"),
+        (lit(1L) + abs(col("a_lon") - col("b_lon")) +
+          abs(col("a_lat") - col("b_lat"))).cast("long").as("w"))
+    val und = e.select(col("a_id").as("src"), col("b_id").as("dst"), col("w"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst"), col("w")))
+    val seeds = und.select(col("src").as("v")).distinct()
+      .where(col("v") % seedMod === 0)
+      .select(col("v"), lit(0L).as("d"))
+    (1 to SsspRounds).foldLeft(seeds) { (dist, _) =>
+      val relax = und
+        .join(dist.select(col("v").as("src"), col("d").as("ds")), Seq("src"))
+        .select(col("dst").as("v"), (col("ds") + col("w")).as("d"))
+      dist.union(relax).groupBy(col("v")).agg(min(col("d")).as("d"))
+    }
+  }
+
   def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = symEdges(spark, sfDir).select(col("src"), col("dst"))
     val seeds = edges.select(col("src").as("v")).distinct()
@@ -334,6 +374,41 @@ object GeoOps {
         (visited.union(next), next)
     }
     reached
+  }
+
+  /** Minimum degree for [[kCore]] membership. */
+  val KcoreK = 3
+
+  /** Bounded peeling rounds for [[kCore]]. */
+  val KcoreRounds = 3
+
+  /** X-C37: bounded k-core decomposition — iteratively peel vertices of
+    * degree < [[KcoreK]] from the proximity graph for [[KcoreRounds]]
+    * rounds and report the surviving vertices with their residual degree.
+    * k-core is the standard graph-quality filter (spam/link-farm vertices
+    * fall out of the core; well-connected content stays), and peeling is
+    * its canonical distributed algorithm. Each round is one map-side-
+    * combinable degree count over the CURRENT edge set plus two semi-joins
+    * that drop edges touching a peeled endpoint — the edge set only ever
+    * SHRINKS, so unlike PageRank's fixed wire cost per round, later rounds
+    * get cheaper (the same monotone-working-set argument as [[bfsHops]]).
+    * Bounded rounds keep the job's stage count static and predictable at
+    * 100 TB (a fixpoint loop would re-plan per iteration and its tail
+    * rounds move almost no data); on this graph 3 rounds reach the true
+    * 3-core, and the bounded semantics are exactly what the unrolled
+    * oracle replays. All arithmetic is integer — bit-exact cross-engine.
+    */
+  def kCore(spark: SparkSession, sfDir: String,
+            k: Int = KcoreK): DataFrame = {
+    val edges0 = symEdges(spark, sfDir).select(col("src"), col("dst"))
+    val pruned = (1 to KcoreRounds).foldLeft(edges0) { (e, _) =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("v"))
+      e.join(keep.select(col("v").as("src")), Seq("src"), "leftsemi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "leftsemi")
+    }
+    pruned.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("v"), col("deg"))
   }
 
   /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:

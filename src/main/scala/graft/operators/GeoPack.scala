@@ -32,6 +32,8 @@ object GeoPack extends QueryPack {
     "geo_triangle_counts" -> ((s, d) => GeoOps.triangleCounts(s, d)),
     "geo_pagerank" -> ((s, d) => GeoOps.pageRank(s, d)),
     "geo_bfs_hops" -> ((s, d) => GeoOps.bfsHops(s, d)),
+    "geo_sssp" -> ((s, d) => GeoOps.sssp(s, d)),
+    "geo_kcore" -> ((s, d) => GeoOps.kCore(s, d)),
   )
 
   private val coordsCte =
@@ -238,6 +240,63 @@ object GeoPack extends QueryPack {
          |  UNION ALL SELECT v, 3 FROM r3)
          |SELECT v, CAST(min(hops) AS BIGINT) AS hops
          |FROM all_rounds GROUP BY v""".stripMargin
+    },
+    // unrolled Bellman–Ford: d_k = min(d_{k-1}, relax(d_{k-1})) — exact
+    // integer weights 1 + |Δlon| + |Δlat|, so min() replays bit-for-bit
+    "geo_sssp" -> {
+      def round(i: Int) =
+        s"""r$i AS (
+           |  SELECT dst AS v, min(d + w) AS d
+           |  FROM und JOIN d${i - 1} ON und.src = d${i - 1}.v GROUP BY dst),
+           |d$i AS (
+           |  SELECT v, CAST(min(d) AS BIGINT) AS d FROM (
+           |    SELECT v, d FROM d${i - 1} UNION ALL SELECT v, d FROM r$i)
+           |  GROUP BY v)""".stripMargin
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id,
+         |    CAST(1 + abs(a.lon - b.lon) + abs(a.lat - b.lat) AS BIGINT) AS w
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |und AS (
+         |  SELECT a_id AS src, b_id AS dst, w FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst, w FROM edges),
+         |d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS d FROM und
+         |       WHERE src % ${GeoOps.BfsSeedMod} = 0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v, d FROM d3""".stripMargin
+    },
+    // unrolled peeling: e_i = e_{i-1} restricted to endpoints whose degree
+    // in e_{i-1} is >= K — pure integer counts, replays bit-for-bit
+    "geo_kcore" -> {
+      def round(i: Int) =
+        s"""k$i AS (
+           |  SELECT src AS v FROM e${i - 1}
+           |  GROUP BY src HAVING count(*) >= ${GeoOps.KcoreK}),
+           |e$i AS (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.v JOIN k$i b ON e.dst = b.v)""".stripMargin
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |e0 AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM edges),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+         |FROM e${GeoOps.KcoreRounds} GROUP BY src""".stripMargin
     },
   )
 }

@@ -75,6 +75,8 @@ object RelationalPack extends QueryPack {
     "xa_price_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "xo_percent_rank" -> ((s, d) => RelationalOps.spendPercentiles(s, d)),
     "xt_autocorr_daily" -> ((s, d) => TimeSeriesOps.dailyAutocorr(s, d)),
+    "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
+    "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
   )
 
   private val rev =
@@ -851,6 +853,61 @@ object RelationalPack extends QueryPack {
         |  CAST(n * sxy - sx * sy AS DOUBLE) /
         |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |         CAST(n * syy - sy * sy AS DOUBLE)) AS r1
+        |FROM m""".stripMargin,
+    // quantile_cont is DuckDB's name for the linear-interpolation exact
+    // percentile Spark calls percentile() — established twin pair
+    // (xa_price_percentiles); filter on the unrounded modified z, emit
+    // rounded
+    "xt_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT user_id, quantile_cont(value, 0.5) AS med,
+         |         count(*) AS n
+         |  FROM events GROUP BY user_id),
+         |dev AS (
+         |  SELECT user_id, event_id, value, med, n,
+         |         abs(value - med) AS dev
+         |  FROM events JOIN med USING (user_id)),
+         |mad AS (
+         |  SELECT user_id, quantile_cont(dev, 0.5) AS mad
+         |  FROM dev GROUP BY user_id)
+         |SELECT event_id, user_id, value,
+         |  round(${TimeSeriesOps.MadK} * (value - med) / mad, 6) AS mz
+         |FROM dev JOIN mad USING (user_id)
+         |WHERE n > 2 AND mad > 0
+         |  AND abs(${TimeSeriesOps.MadK} * (value - med) / mad) > ${TimeSeriesOps.MadZ}""".stripMargin,
+    // exact decimal power sums (associative — drift-free), doubles only in
+    // the mirrored closed-form central moments; same association as the
+    // Spark expressions
+    "xt_value_moments" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS cnt,
+        |    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) / 1e2 AS sx,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) / 1e4 AS sxx,
+        |    CAST(sum(CAST(c AS HUGEINT) * c * c) AS DOUBLE) / 1e6 AS sxxx,
+        |    CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) / 1e8 AS sxxxx
+        |  FROM ev GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, cnt, CAST(cnt AS DOUBLE) AS n, sx, sxx, sxxx, sxxxx,
+        |    sxx - sx * sx / CAST(cnt AS DOUBLE) AS m2,
+        |    sxxx - 3.0 * sx * sxx / CAST(cnt AS DOUBLE)
+        |         + 2.0 * sx * sx * sx
+        |           / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS m3,
+        |    sxxxx - 4.0 * sx * sxxx / CAST(cnt AS DOUBLE)
+        |          + 6.0 * sx * sx * sxx
+        |            / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+        |          - 3.0 * sx * sx * sx * sx
+        |            / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |               * CAST(cnt AS DOUBLE)) AS m4
+        |  FROM s)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS n,
+        |  round(sx / n, 6) AS mean,
+        |  round(m2 / (n - 1.0), 6) AS var_samp,
+        |  round(sqrt(n) * m3 / power(m2, 1.5), 6) AS skew_g1,
+        |  round(n * m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
         |FROM m""".stripMargin,
   )
 }

@@ -48,6 +48,13 @@ object TextDedupPack extends QueryPack {
     "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
     "tx_doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "tx_dataset_splits" -> ((s, d) => TextOps.datasetSplits(s, d)),
+    "tx_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
+    "tx_vocab" -> ((s, d) => TextOps.vocabulary(s, d)),
+    "tx_doc_encode" -> ((s, d) => TextOps.encodeDocs(s, d)),
+    "tx_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
+    "dd_prefix_jaccard" -> ((s, d) => DedupOps.prefixJaccard(s, d)),
+    "dd_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
+    "tx_lm_score" -> ((s, d) => TextOps.lmScores(s, d)),
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
@@ -574,6 +581,132 @@ object TextDedupPack extends QueryPack {
          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
          |  >= 0.30""".stripMargin
     },
+    // Efraimidis–Spirakis replay: same dyadic-rational u, same ln-domain
+    // key, same (key desc, doc_id) cut
+    "tx_weighted_sample" -> {
+      val u = s"(${h24("'wsample:' || CAST(doc_id AS VARCHAR)")} + 0.5) / 16777216.0"
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE n_chars > 0
+         |ORDER BY ln($u) / n_chars DESC, doc_id
+         |LIMIT ${TextOps.WSampleK}""".stripMargin
+    },
+    "tx_vocab" ->
+      s"""WITH stats AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY token)
+         |SELECT token, tf, df,
+         |  CAST(row_number() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT) AS id
+         |FROM stats
+         |QUALIFY id < ${TextOps.VocabSize}""".stripMargin,
+    // parallel unnests zip (token, pos); list(… ORDER BY pos) rebuilds
+    // document order — the twin of sort_array over (pos, id) structs
+    "tx_doc_encode" ->
+      s"""WITH stats AS (
+         |  SELECT token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY token),
+         |vocab AS (
+         |  SELECT token,
+         |    CAST(row_number() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT) AS id
+         |  FROM stats
+         |  QUALIFY id < ${TextOps.VocabSize}),
+         |pos AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS token,
+         |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list(coalesce(id, CAST(-1 AS BIGINT)) ORDER BY p) AS ids,
+         |  CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM pos LEFT JOIN vocab USING (token)
+         |GROUP BY doc_id""".stripMargin,
+    "tx_token_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  round(log2(CAST(sum(c) AS DOUBLE)) -
+        |        sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |          / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
+    // the oracle is the UNFILTERED exact all-pairs join — proving the
+    // prefix filter's recall is 1.0, not just that the verify step agrees
+    "dd_prefix_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM toks a JOIN toks b
+         |    ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter, na.n AS n_a, nb.n AS n_b,
+         |  CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON doc_a = na.doc_id
+         |JOIN sizes nb ON doc_b = nb.doc_id
+         |WHERE n_inter * ${DedupOps.PpjNum + DedupOps.PpjDen}
+         |      >= (na.n + nb.n) * ${DedupOps.PpjNum}""".stripMargin,
+    // parallel unnests zip (p, gram); the position explode replays after
+    // the duplicate join, mirroring the Spark plan's bounded blow-up
+    "dd_dup_spans" -> {
+      val n = DedupOps.DupSpanN
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |base AS (
+         |  SELECT doc_id, len(w) AS n_tokens FROM w WHERE len(w) >= $n),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(w) - ${n - 1})) AS p,
+         |    unnest(list_transform(range(0, len(w) - ${n - 1}),
+         |      i -> array_to_string(list_slice(w, i + 1, i + $n), ' '))) AS g
+         |  FROM w WHERE len(w) >= $n),
+         |dup AS (
+         |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT doc_id, unnest(range(p, p + $n)) AS pos
+         |    FROM grams JOIN dup USING (g))),
+         |cnt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos
+         |  FROM cov GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  coalesce(cnt.n_dup_pos, 0) AS n_dup_pos,
+         |  round(CAST(coalesce(cnt.n_dup_pos, 0) AS DOUBLE)
+         |        / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
+         |FROM base b LEFT JOIN cnt USING (doc_id)""".stripMargin
+    },
+    // lead() over (doc_id, p) rebuilds the same adjacent bigrams the Spark
+    // side takes from the word array; same add-one smoothing, same
+    // -sum/count association, same 6-dp rounding
+    "tx_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM toks
+        |  QUALIFY w2 IS NOT NULL),
+        |model AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-sum(log2(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)))
+        |        / CAST(count(*) AS DOUBLE), 6) AS nll_bits
+        |FROM bi JOIN model USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+        |GROUP BY doc_id""".stripMargin,
   )
 
   private def stopSeq: Seq[String] = TextFunctions.LangProfiles.head._2

@@ -431,7 +431,7 @@ object TextOps {
   /** Bigram-model size for [[bigramCoverage]] — top-M corpus bigrams. */
   val CoverageModelSize = 200
 
-  /** X-C: language-model-style quality signal — per-document coverage of a
+  /** X-C36: language-model-style quality signal — per-document coverage of a
     * corpus-level bigram model, the cheap stand-in for "how much of this
     * text looks like fluent corpus text" that pretraining filters use
     * before any neural LM is in reach. Two passes over one exploded
@@ -610,4 +610,148 @@ object TextOps {
       .agg(min(col("hs")).as("mn"))
       .select(col("doc_id"), col("mn.h").as("fingerprint"),
         col("mn.shingle").as("rep_shingle"))
+
+  /** Sample size for [[weightedSample]]. */
+  val WSampleK = 50
+
+  /** X-C31: deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis): each doc draws a pseudo-uniform
+    * u = (h24("wsample:"+doc_id)+0.5)/2²⁴ and the k docs with the largest
+    * u^(1/weight) win — compared in the log domain (ln u)/w, a monotone
+    * transform. Inclusion probability is proportional-to-size in the
+    * exponent sense of E–S, yet the draw is a pure function of the row
+    * (no `rand()`): retried tasks re-decide identically, reruns reproduce
+    * the sample, and the oracle replays it exactly — the same retry-safety
+    * argument as [[stratifiedSample]], extended from Bernoulli to weighted
+    * without-replacement. Plan: one narrow scan + TakeOrderedAndProject
+    * (per-partition top-k, k-sized merge on the driver) — no global sort,
+    * no shuffle of the corpus. u is an exact dyadic rational so both
+    * engines see the same double; `ln` can differ in the last ulp across
+    * libm builds, which flips the cut only if two keys are within ~1e-16
+    * relative — with corpus-scale key gaps that is not a practical tie,
+    * and doc_id breaks exact ones.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = WSampleK): DataFrame = {
+    val u = (Tables.h24(concat(lit("wsample:"), col("doc_id").cast("string"))) +
+      lit(0.5)) / lit(16777216.0)
+    Tables.documents(spark, sfDir)
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars")).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  /** Vocabulary size for [[vocabulary]] — deliberately smaller than the
+    * corpus vocabulary so [[encodeDocs]] exercises the OOV path.
+    */
+  val VocabSize = 24
+
+  /** X-C32: frequency-ranked vocabulary build — the id-assignment step of
+    * every tokenizer/embedding pipeline: distinct tokens with corpus term
+    * frequency and doc frequency, ids 0..N-1 assigned by (tf desc, token
+    * asc). The rank is a row_number over the AGGREGATED token table —
+    * vocabulary-sized, orders of magnitude smaller than the corpus — so
+    * the single-partition window sort is a deliberate, bounded driver-side
+    * cost (same argument as the one-row broadcast in `xj_q15`); the corpus
+    * itself only feeds one map-side-combinable count aggregation.
+    */
+  def vocabulary(spark: SparkSession, sfDir: String, n: Int = VocabSize): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .where(col("id") < n)
+  }
+
+  /** X-C33: corpus encoding — every document as its ordered token-id array
+    * under [[vocabulary]], OOV → -1, plus the token count. The vocab side
+    * is broadcast (vocabulary-sized); the corpus side posexplodes, maps
+    * token→id with one broadcast hash join (no shuffle of the corpus for
+    * the lookup), and reassembles order with sort_array over (pos, id)
+    * structs — the standard collect-ordered idiom, grouping only on
+    * doc_id so the one real shuffle is corpus-row-sized. This is the
+    * handoff shape from curation to training: fixed ids, preserved order,
+    * ready for [[sequencePacking]].
+    */
+  def encodeDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = vocabulary(spark, sfDir).select(col("token"), col("id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .withColumnRenamed("col", "token")
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        coalesce(col("id"), lit(-1L)).as("id")))).as("arr"))
+      .select(col("doc_id"),
+        expr("transform(arr, s -> s.id)").as("ids"),
+        size(col("arr")).cast("long").as("n_tokens"))
+  }
+
+  /** X-C34: per-document token-distribution Shannon entropy (bits) — the
+    * diversity/quality signal that separates natural text from degenerate
+    * repetition (complementary to [[repetitionScores]]' max-run view).
+    * Computed as log2(n) − (Σ c·log2 c)/n from per-(doc,token) counts: two
+    * map-side-combinable aggregations, both keyed on doc_id — the token
+    * dimension collapses in the first, so the second shuffles doc-count
+    * rows. The Σ c·log2 c float sum is partition-order-dependent in the
+    * last ulps; emission rounds to 6 dp, far above the drift, which is the
+    * same tolerance argument every float-emitting query here makes.
+    */
+  /** X-C38: corpus-trained bigram language-model scoring — per-document
+    * average negative log2 conditional probability (cross-entropy in bits
+    * per bigram, the perplexity exponent), the CCNet-style "does this read
+    * like the corpus" fluency filter that sits one rung above
+    * [[bigramCoverage]]'s binary membership view. The model is trained on
+    * the corpus itself in one pass: bigram counts C(w1,w2) and context
+    * counts C(w1) (both map-side-combinable aggregations of the same
+    * exploded bigram stream), with add-one smoothing over the corpus
+    * vocabulary V (a one-row broadcast, the `xj_q15` pattern) —
+    * P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V). Bigrams are built NARROW with a
+    * `transform(sequence(...))` over each doc's word array (no window, no
+    * per-doc sort — document order is already in the array). Scoring joins
+    * the bigram stream back to the model keyed on (w1,w2): here Catalyst
+    * broadcasts the model; at 100 TB a vocab²-bounded model stays a hash
+    * join on (w1,w2) and the corpus side never re-shuffles for the C(w1)
+    * leg (same key prefix). Per-doc Σ log2 is a float sum, order-dependent
+    * in the last ulps; emission rounds to 6 dp, far above the drift — the
+    * same tolerance argument as [[tokenEntropy]].
+    */
+  def lmScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val model = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bi.join(model, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log2((col("c12") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double"))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s") / col("n_bigrams").cast("double"), 6).as("nll_bits"))
+  }
+
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("sclg"))
+      .select(col("doc_id"), col("n"),
+        round(log2(col("n").cast("double")) -
+          col("sclg") / col("n").cast("double"), 6).as("entropy"))
 }

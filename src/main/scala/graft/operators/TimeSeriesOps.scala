@@ -412,6 +412,94 @@ object TimeSeriesOps {
           .as("r1"))
   }
 
+  /** Robust-z threshold for [[madOutliers]] (the conventional 3.5 of
+    * Iglewicz–Hoaglin's modified z-score).
+    */
+  val MadZ = 3.5
+
+  /** Scale factor making MAD a consistent σ estimator under normality
+    * (1/Φ⁻¹(0.75)) — the constant in the modified z-score.
+    */
+  val MadK = 0.6745
+
+  /** X-C35: robust per-entity anomaly flags — the median/MAD "modified
+    * z-score" alternative to [[valueOutliers]]'s mean/stddev z. Mean and
+    * stddev are themselves dragged by the outliers they are supposed to
+    * find; the median and the median-absolute-deviation have a 50%
+    * breakdown point, which is why data-quality sweeps over heavy-tailed
+    * corpora use this form. Two exact order statistics per entity
+    * (`percentile(…, 0.5)` — the same linear-interpolation definition as
+    * DuckDB's `quantile_cont`, the established exact-percentile twin of
+    * `xa_price_percentiles`): one aggregation for the median, a join back
+    * for |x−med|, one aggregation for the MAD, then a final join + filter.
+    * Everything hash-partitions on `user_id`, and stages 2–4 reuse stage
+    * 1's partitioning (no new exchange after the first shuffle at scale —
+    * the stats sides are entity-count-sized). Exact percentile keeps the
+    * full per-entity multiset; per-USER groups are bounded (an entity's
+    * history, not the corpus), which is what makes exact order statistics
+    * affordable here — corpus-wide quantiles go through the
+    * `approx_percentile` sketch path instead (`xa_approx_percentile`).
+    * The emitted modified z is rounded for cross-engine hashing; the
+    * filter uses the unrounded value (same discipline as
+    * [[valueOutliers]]).
+    */
+  def madOutliers(spark: SparkSession, sfDir: String, zCut: Double = MadZ): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val med = ev.groupBy(col("user_id"))
+      .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
+    val dev = ev.join(med, Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("value"), col("med"), col("n"),
+        abs(col("value") - col("med")).as("dev"))
+    val mad = dev.groupBy(col("user_id"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    val mz = lit(MadK) * (col("value") - col("med")) / col("mad")
+    dev.join(mad, Seq("user_id"))
+      .where(col("n") > 2 && col("mad") > 0 && abs(mz) > zCut)
+      .select(col("event_id"), col("user_id"), col("value"), round(mz, 6).as("mz"))
+  }
+
+  /** X-A (moments profile): full distribution-shape profile per event type — count, mean,
+    * sample variance, population skewness g₁, and excess kurtosis g₂ from
+    * ONE pass of exact decimal power sums (Σx…Σx⁴). The raw sums are
+    * decimals (decimal addition is associative — any partition/merge order
+    * gives bit-identical partials, the same drift-free discipline as
+    * [[valueOutliers]]), so this IS the mergeable "moments sketch": five
+    * numbers per group, map-side combinable, and two profiles combine by
+    * adding their sums — no second pass over the data for the central
+    * moments, which are recovered in closed form at emission. decimal(8,2)
+    * keeps x⁴ ≤ decimal(35,8), whose sum fits Spark's decimal(38,8) cap
+    * with no precision loss. Doubles appear only in the final closed-form
+    * expressions, written with the same association in the oracle and
+    * rounded for cross-engine hashing.
+    */
+  def valueMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("value").cast("decimal(8,2)")
+    val profile = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d).as("sx_dec"), sum(d * d).as("sxx_dec"),
+        sum(d * d * d).as("sxxx_dec"), sum(d * d * d * d).as("sxxxx_dec"))
+      .select(col("event_type"), col("n").cast("double").as("n"),
+        col("sx_dec").cast("double").as("sx"),
+        col("sxx_dec").cast("double").as("sxx"),
+        col("sxxx_dec").cast("double").as("sxxx"),
+        col("sxxxx_dec").cast("double").as("sxxxx"))
+    val mean = col("sx") / col("n")
+    val m2 = col("sxx") - col("sx") * col("sx") / col("n")
+    val m3 = col("sxxx") - lit(3.0) * col("sx") * col("sxx") / col("n") +
+      lit(2.0) * col("sx") * col("sx") * col("sx") / (col("n") * col("n"))
+    val m4 = col("sxxxx") - lit(4.0) * col("sx") * col("sxxx") / col("n") +
+      lit(6.0) * col("sx") * col("sx") * col("sxx") / (col("n") * col("n")) -
+      lit(3.0) * col("sx") * col("sx") * col("sx") * col("sx") /
+        (col("n") * col("n") * col("n"))
+    profile.select(col("event_type"), col("n").cast("long").as("n"),
+      round(mean, 6).as("mean"),
+      round(m2 / (col("n") - lit(1.0)), 6).as("var_samp"),
+      round(sqrt(col("n")) * m3 / pow(m2, 1.5), 6).as("skew_g1"),
+      round(col("n") * m4 / (m2 * m2) - lit(3.0), 6).as("kurt_excess"))
+  }
+
   private[graft] def gapFillHourlyOn(events: DataFrame, maxUserId: Long): DataFrame = {
     val ev = events
       .where(col("user_id") < maxUserId)

@@ -215,6 +215,63 @@ class GeoOpsSpec extends SparkSpec {
     assert(got.values.sum <= GeoOps.PrScale * got.size)
   }
 
+  test("sssp: bounded weighted rounds equal a driver-side Bellman-Ford recompute") {
+    val edges = GeoOps.neighborPairs(spark, Sf)
+      .selectExpr("a_id", "b_id",
+        "CAST(1 + abs(a_lon - b_lon) + abs(a_lat - b_lat) AS BIGINT) AS w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sf0.001's cohort has no event_id divisible by the sf0.01 seed mod —
+    // use a denser deterministic seed set to exercise the rounds here
+    val mod = 7L
+    val und = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    var dist = und.map(_._1).distinct
+      .filter(_ % mod == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to GeoOps.SsspRounds) {
+      val next = scala.collection.mutable.Map.empty[Long, Long] ++= dist
+      und.foreach { case (src, dst, w) =>
+        dist.get(src).foreach { ds =>
+          if (!next.contains(dst) || next(dst) > ds + w) next(dst) = ds + w
+        }
+      }
+      dist = next.toMap
+    }
+    val got = GeoOps.sssp(spark, Sf, seedMod = mod).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist && got.nonEmpty)
+    // seeds sit at 0; weights are >= 1 so any reached vertex is within
+    // rounds * max-step of a seed
+    assert(got.filter(_._1 % mod == 0).values.forall(_ == 0L))
+    assert(got.values.forall(_ <= GeoOps.SsspRounds * 3L))
+  }
+
+  test("kCore: bounded peeling equals a driver-side recompute and is a fixpoint here") {
+    val edges = GeoOps.neighborPairs(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    edges.foreach { case (a, b) =>
+      und(a) = und.getOrElse(a, Set.empty) + b
+      und(b) = und.getOrElse(b, Set.empty) + a
+    }
+    // sf0.001's proximity graph has an empty 3-core — peel at k=2 here so
+    // the rounds do real work (the sf0.01 oracle exercises k=3)
+    val k = 2
+    var cur: Map[Long, Set[Long]] = und.toMap
+    for (_ <- 1 to GeoOps.KcoreRounds) {
+      val keep = cur.filter(_._2.size >= k).keySet
+      cur = cur.view.filterKeys(keep)
+        .mapValues(_.intersect(keep)).toMap
+    }
+    val expect = cur.map { case (v, n) => v -> n.size.toLong }
+    val got = GeoOps.kCore(spark, Sf, k = k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+    // one more peel changes nothing: the bounded result IS the true k-core
+    val keep = cur.filter(_._2.size >= k).keySet
+    assert(keep == cur.keySet)
+    assert(got.values.forall(_ >= k))
+  }
+
   test("neighborPairs: grid-bucket join equals the brute-force quadratic recompute") {
     import org.apache.spark.sql.functions._
     val got = GeoOps.neighborPairs(spark, Sf).collect()

@@ -389,4 +389,129 @@ class TextDedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got == expect && got.nonEmpty)
   }
+
+  test("prefixJaccard: recall 1.0 vs the brute-force all-pairs join at the threshold") {
+    val got = DedupOps.prefixJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sets = Tables.documents(spark, Sf)
+      .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b
+      inter = (sa & sb).size.toLong
+      if inter * (DedupOps.PpjNum + DedupOps.PpjDen) >=
+        (sa.size + sb.size) * DedupOps.PpjNum
+    } yield (a, b, inter)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("weightedSample: deterministic, k-sized, and a subset of the corpus") {
+    val a = TextOps.weightedSample(spark, Sf).collect().map(_.getLong(0))
+    val b = TextOps.weightedSample(spark, Sf).collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq && a.length == TextOps.WSampleK)
+    assert(a.distinct.length == a.length)
+    val all = Tables.documents(spark, Sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(a.forall(all.contains))
+  }
+
+  test("vocabulary ids are dense ranks; encodeDocs round-trips in-vocab tokens in order") {
+    val vocab = TextOps.vocabulary(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(vocab.map(_._3).sorted.toSeq == (0L until TextOps.VocabSize).toSeq)
+    // ranks follow (tf desc, token asc)
+    vocab.sortBy(_._3).sliding(2).foreach {
+      case Array((t1, tf1, _), (t2, tf2, _)) =>
+        assert(tf1 > tf2 || (tf1 == tf2 && t1 < t2))
+      case _ => ()
+    }
+    val idOf = vocab.map(v => v._1 -> v._3).toMap
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enc = TextOps.encodeDocs(spark, Sf).collect()
+    assert(enc.length == texts.size)
+    enc.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val ids = r.getSeq[Long](1)
+      assert(ids.length == toks.length && r.getLong(2) == toks.length)
+      toks.zip(ids).foreach { case (t, id) =>
+        assert(id == idOf.getOrElse(t, -1L), s"doc ${r.getLong(0)} token $t")
+      }
+    }
+  }
+
+  test("dupSpans: coverage matches a driver-side recompute of cross-doc 5-gram spans") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val n = DedupOps.DupSpanN
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, w) =>
+      (0 to w.length - n).foreach { p =>
+        val g = w.slice(p, p + n).mkString(" ")
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    val dup = gramDocs.filter(_._2.size >= 2).keySet
+    val expect = docs.collect { case (id, w) if w.length >= n =>
+      val covered = (0 to w.length - n).flatMap { p =>
+        val g = w.slice(p, p + n).mkString(" ")
+        if (dup.contains(g)) p until p + n else Nil
+      }.toSet
+      id -> (w.length.toLong, covered.size.toLong)
+    }
+    val got = DedupOps.dupSpans(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect && got.nonEmpty)
+    assert(got.exists(_._2._2 > 0)) // planted near-dups produce real spans
+    got.foreach { case (id, (nt, nd)) => assert(nd <= nt, s"doc $id") }
+  }
+
+  test("lmScores: self-trained bigram cross-entropy matches a driver-side model") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val bigrams = docs.toSeq.flatMap { case (id, w) =>
+      w.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size }
+    val c1 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val v = docs.values.flatten.toSet.size
+    val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, w1, w2) =>
+        math.log((c12((w1, w2)) + 1).toDouble / (c1(w1) + v)) / math.log(2.0)
+      }.sum
+      id -> (bs.size.toLong, -s / bs.size)
+    }
+    val got = TextOps.lmScores(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { case (id, nb, nll) =>
+      val (enb, enll) = expect(id)
+      assert(nb == enb, s"doc $id")
+      assert(math.abs(nll - enll) < 1e-5, s"doc $id: $nll vs $enll")
+      assert(nll > 0, s"doc $id") // probabilities < 1 so bits are positive
+    }
+  }
+
+  test("tokenEntropy: bounded by log2(n); uniform and degenerate cases exact") {
+    val n = TextOps.tokenEntropy(spark, Sf).collect()
+    assert(n.nonEmpty)
+    n.foreach { r =>
+      val (cnt, h) = (r.getLong(1), r.getDouble(2))
+      // 5e-7 slack: the emitted entropy is rounded to 6 dp, which can tip
+      // the exact log2(n) bound by half an ulp of the rounding grid
+      assert(h >= -5e-7 && h <= math.log(cnt.toDouble) / math.log(2.0) + 5e-7,
+        s"doc ${r.getLong(0)}: h=$h n=$cnt")
+    }
+    // independent recompute for one doc
+    val doc = Tables.documents(spark, Sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(1).collect().head
+    val counts = doc.getString(1).split(" ", -1).groupBy(identity).map(_._2.length)
+    val tot = counts.sum.toDouble
+    val expect = counts.map { c =>
+      -(c / tot) * (math.log(c / tot) / math.log(2.0))
+    }.sum
+    val got = n.find(_.getLong(0) == doc.getLong(0)).get.getDouble(2)
+    assert(math.abs(got - expect) < 1e-6)
+  }
 }

@@ -255,6 +255,56 @@ class TimeSeriesSpec extends SparkSpec {
     } finally got.unpersist()
   }
 
+  test("madOutliers: flag set matches a driver-side median/MAD recompute") {
+    val got = TimeSeriesOps.madOutliers(spark, Sf).collect()
+      .map(r => r.getLong(0)).toSet
+    def medOf(xs: Array[Double]): Double = {
+      // linear-interpolation median — the percentile(0.5) definition
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val byUser = Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._2)
+    val expect = byUser.flatMap { case (_, rows) =>
+      if (rows.length <= 2) Nil
+      else {
+        val med = medOf(rows.map(_._3))
+        val mad = medOf(rows.map(r => math.abs(r._3 - med)))
+        if (mad <= 0) Nil
+        else rows.filter(r =>
+          math.abs(TimeSeriesOps.MadK * (r._3 - med) / mad) > TimeSeriesOps.MadZ)
+          .map(_._1).toSeq
+      }
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("valueMoments: closed-form moments agree with Spark's estimators") {
+    val got = TimeSeriesOps.valueMoments(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val ref = Tables.events(spark, Sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"),
+        var_samp(col("value")).as("v"), skewness(col("value")).as("sk"),
+        kurtosis(col("value")).as("ku"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    got.foreach { case (et, n, mean, v, sk, ku) =>
+      val (rn, rmean, rv, rsk, rku) = ref(et)
+      assert(n == rn)
+      assert(math.abs(mean - rmean) < 1e-4, s"$et mean $mean vs $rmean")
+      assert(math.abs(v - rv) / rv < 1e-6, s"$et var $v vs $rv")
+      assert(math.abs(sk - rsk) < 1e-4, s"$et skew $sk vs $rsk")
+      assert(math.abs(ku - rku) < 1e-4, s"$et kurt $ku vs $rku")
+    }
+  }
+
   test("decayedEngagement: weights bounded by counts, today's events weigh 1") {
     val rows = TimeSeriesOps.decayedEngagement(spark, Sf).collect()
     assert(rows.nonEmpty)
