@@ -106,7 +106,15 @@ object PlanDump {
       ("s3_cmd_results", "DataSourceV2 BatchScan over the node registry, pruned to required columns",
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()
-          .select("node", "exit_status")))
+          .select("node", "exit_status")),
+      ("dd_incremental", "batch bands join STORED index bands (never self-join); verify pruned by broadcast semi-join",
+        operators.DedupOps.incrementalDedup(spark, sfDir)),
+      ("dd_dup_spans", "narrow gram build; x5 position explode only AFTER the duplicate semi-join",
+        operators.DedupOps.dupSpans(spark, sfDir)),
+      ("tx_lm_score", "bigram stream built narrow from word arrays; model joins partial-agg'd, vocab one-row broadcast",
+        operators.TextOps.lmScores(spark, sfDir)),
+      ("geo_kcore", "peeling rounds: map-side degree count + two semi-joins; edge set only shrinks",
+        operators.GeoOps.kCore(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")

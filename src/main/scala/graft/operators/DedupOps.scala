@@ -583,6 +583,55 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
   }
 
+  /** X-P27: incremental batch-vs-index dedup — the shape a production
+    * pipeline actually runs daily: dedup a NEW batch of documents against
+    * the accumulated corpus index, not the corpus against itself. The
+    * split here is deterministic (odd doc_ids = today's batch, even =
+    * the stored index) so the oracle can replay it; the algorithm is the
+    * asymmetric variant of [[minhashCandidates]]: both sides carry the
+    * same [[NumBands]] LSH band keys, the join is batch-bands ⋈
+    * index-bands on (band_no, band_key) — NEVER a self-join, so the
+    * fan-out is batch-bucket × index-bucket, each side capped by the
+    * [[guardBuckets]] hot-bucket guard — then exact shingle Jaccard
+    * verifies the survivors with the ≥½ cut as the integer
+    * cross-multiplication 3·|∩| ≥ |A|+|B|. At 100 TB this is the
+    * decisive dedup economics: the index's signatures are a STORED table
+    * bucketed by (band_no, band_key) that never recomputes or reshuffles;
+    * only the (daily-sized) batch computes signatures and shuffles, and
+    * the verify step's shingle scan is pruned by a broadcast semi-join to
+    * candidate docs only — work scales with the batch and its match
+    * surface, not the corpus.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = minhashBands(spark, sfDir)
+    val idx = guardBuckets(bands.where(col("doc_id") % 2 === 0), "band_no", "band_key")
+      .select(col("doc_id").as("index_doc"), col("band_no"), col("band_key"))
+    val bat = guardBuckets(bands.where(col("doc_id") % 2 === 1), "band_no", "band_key")
+      .select(col("doc_id").as("batch_doc"), col("band_no"), col("band_key"))
+    val cand = bat.join(idx, Seq("band_no", "band_key"))
+      .select(col("batch_doc"), col("index_doc")).distinct()
+    val candDocs = cand.select(col("batch_doc").as("doc_id"))
+      .unionAll(cand.select(col("index_doc").as("doc_id"))).distinct()
+    val sh = distinctShingles(spark, sfDir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("batch_doc"), col("shingle")), Seq("batch_doc"))
+      .join(sh.select(col("doc_id").as("index_doc"), col("shingle")),
+        Seq("index_doc", "shingle"))
+      .groupBy(col("batch_doc"), col("index_doc")).agg(count("*").as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("batch_doc"), col("n").as("n_batch")),
+        Seq("batch_doc"))
+      .join(sizes.select(col("doc_id").as("index_doc"), col("n").as("n_index")),
+        Seq("index_doc"))
+      .where(col("n_inter") * 3 >= col("n_batch") + col("n_index"))
+      .select(col("batch_doc"), col("index_doc"), col("n_inter"),
+        col("n_batch"), col("n_index"),
+        (col("n_inter").cast("double") /
+          (col("n_batch") + col("n_index") - col("n_inter"))).as("jaccard"))
+  }
+
   /** Word-gram width for [[dupSpans]]. */
   val DupSpanN = 5
 

@@ -55,6 +55,7 @@ object TextDedupPack extends QueryPack {
     "dd_prefix_jaccard" -> ((s, d) => DedupOps.prefixJaccard(s, d)),
     "dd_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
     "tx_lm_score" -> ((s, d) => TextOps.lmScores(s, d)),
+    "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
@@ -656,6 +657,35 @@ object TextDedupPack extends QueryPack {
          |JOIN sizes nb ON doc_b = nb.doc_id
          |WHERE n_inter * ${DedupOps.PpjNum + DedupOps.PpjDen}
          |      >= (na.n + nb.n) * ${DedupOps.PpjNum}""".stripMargin,
+    // batch (odd ids) bands joined to index (even ids) bands — the
+    // asymmetric candidate join — then exact Jaccard with the integer
+    // 3·|∩| >= |A|+|B| half cut; guard replay unneeded (no bucket nears
+    // the cap at this SF — same argument as dd_minhash_candidates)
+    "dd_incremental" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte,
+        """icand AS (
+          |  SELECT DISTINCT b.doc_id AS batch_doc, i.doc_id AS index_doc
+          |  FROM bands b JOIN bands i
+          |    ON b.band_no = i.band_no AND b.band_key = i.band_key
+          |  WHERE b.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+          |)""".stripMargin,
+        "sizes AS (SELECT doc_id, count(*) AS n FROM distinct_shingles GROUP BY doc_id)",
+        """iinter AS (
+          |  SELECT c.batch_doc, c.index_doc, count(*) AS n_inter
+          |  FROM icand c
+          |  JOIN distinct_shingles sa ON sa.doc_id = c.batch_doc
+          |  JOIN distinct_shingles sb ON sb.doc_id = c.index_doc
+          |    AND sb.shingle = sa.shingle
+          |  GROUP BY c.batch_doc, c.index_doc
+          |)""".stripMargin)(
+        """SELECT i.batch_doc, i.index_doc,
+          |  CAST(i.n_inter AS BIGINT) AS n_inter,
+          |  za.n AS n_batch, zb.n AS n_index,
+          |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+          |FROM iinter i
+          |JOIN sizes za ON za.doc_id = i.batch_doc
+          |JOIN sizes zb ON zb.doc_id = i.index_doc
+          |WHERE i.n_inter * 3 >= za.n + zb.n""".stripMargin),
     // parallel unnests zip (p, gram); the position explode replays after
     // the duplicate join, mirroring the Spark plan's bounded blow-up
     "dd_dup_spans" -> {

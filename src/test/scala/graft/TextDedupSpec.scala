@@ -441,6 +441,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup: batch-vs-index pairs match a recompute from bands and shingles") {
+    val bands = DedupOps.minhashBands(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val cand = bands.groupBy(b => (b._2, b._3)).values.flatMap { rows =>
+      val batch = rows.filter(_._1 % 2 == 1).map(_._1).distinct
+      val index = rows.filter(_._1 % 2 == 0).map(_._1).distinct
+      for (b <- batch; i <- index) yield (b, i)
+    }.toSet
+    val sh = DedupOps.distinctShingles(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expect = cand.flatMap { case (b, i) =>
+      val (sa, sb) = (sh(b), sh(i))
+      val inter = (sa & sb).size.toLong
+      if (inter * 3 >= sa.size + sb.size)
+        Some((b, i, inter, sa.size.toLong, sb.size.toLong))
+      else None
+    }
+    val got = DedupOps.incrementalDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expect && got.nonEmpty)
+    // the split is honored: batch side odd, index side even
+    got.foreach { case (b, i, _, _, _) =>
+      assert(b % 2 == 1 && i % 2 == 0)
+    }
+  }
+
   test("dupSpans: coverage matches a driver-side recompute of cross-doc 5-gram spans") {
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
