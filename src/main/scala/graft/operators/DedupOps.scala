@@ -695,13 +695,30 @@ object DedupOps {
     * with the integer cross-multiplication 19·|∩| ≥ 9·(|A|+|B|) (⟺
     * J ≥ 9/10 — no float at the cut). Plan: df aggregation (map-side
     * combinable), one doc-keyed window for the rank, the prefix equi-join
-    * on token, then the same two doc-keyed verify joins as
-    * [[rareGramOverlaps]] — every stage hash-partitioned, nothing
+    * on token with the PPJoin LENGTH and POSITIONAL filters applied inline
+    * (both lossless, see below), then ONE pair-keyed verify join against
+    * per-doc sorted token arrays — every stage hash-partitioned, nothing
     * quadratic in the corpus. At 100 TB the df table is vocabulary-sized
     * (broadcast), and prefix length shrinks as t rises — at t=0.9 a
     * 100-token set contributes 11 prefix tokens, an 89% posting reduction
     * before any pair forms; ubiquitous-token postings are the residual
     * skew and salt like any hot join key.
+    *
+    * Why the two inline filters are lossless (r5 measured the bare prefix
+    * join pruning ~0 on this boilerplate-heavy corpus — 11.3M of 12.5M
+    * possible pairs, a 269M-row verify): (1) LENGTH — J ≥ t ⇒
+    * |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so t·max ≤ min, checked as the
+    * integer cross-multiplication min·Den ≥ max·Num; (2) POSITIONAL — for
+    * the FIRST common token under the global (df,token) order, every
+    * earlier-ranked token of each side is outside the other side entirely,
+    * so |∩| ≤ 1 + min(n_a − r_a, n_b − r_b); a qualifying pair needs
+    * |∩|·(Num+Den) ≥ (n_a+n_b)·Num, and its first-common-token row
+    * satisfies both — so at least one matched row survives per true pair
+    * and exact verification restores the precise set. The verify itself
+    * joins surviving pairs to per-doc sorted token ARRAYS (two hash joins,
+    * pair-count rows each) and intersects in-row — candidate-count × avg
+    * set size work with no token-level shuffle, replacing r5's 269M-row
+    * explode-join.
     */
   def prefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
@@ -717,19 +734,29 @@ object DedupOps {
     // (`div` is integer floor division — `/` would promote to double)
     val prefix = ranked
       .where(col("r") <= col("n") - expr(s"(n * $PpjNum + ${PpjDen - 1}) div $PpjDen") + 1)
-    val cand = prefix.select(col("token"), col("doc_id").as("doc_a"))
-      .join(prefix.select(col("token"), col("doc_id").as("doc_b")), Seq("token"))
+    val pa = prefix.select(col("token"), col("doc_id").as("doc_a"),
+      col("r").as("r_a"), col("n").as("n_a"))
+    val pb = prefix.select(col("token"), col("doc_id").as("doc_b"),
+      col("r").as("r_b"), col("n").as("n_b"))
+    val cand = pa.join(pb, Seq("token"))
       .where(col("doc_a") < col("doc_b"))
+      // length filter: t·max(n_a,n_b) ≤ min(n_a,n_b), integer-exact
+      .where(least(col("n_a"), col("n_b")) * PpjDen >=
+        greatest(col("n_a"), col("n_b")) * PpjNum)
+      // positional filter: 1 + min(remaining) bounds |∩| at this match
+      .where((lit(1L) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b"))) *
+        (PpjNum + PpjDen) >= (col("n_a") + col("n_b")) * PpjNum)
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("token")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("token")), Seq("doc_b", "token"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+    val docsets = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("token"))).as("ts"),
+        count(lit(1)).as("n"))
+    cand
+      .join(docsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(docsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
       .where(col("n_inter") * (PpjNum + PpjDen) >= (col("n_a") + col("n_b")) * PpjNum)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") /

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Oracle, QueryPack}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_join, col}
 
 /** Driver-contract registration for [[TextOps]] + [[DedupOps]] (north-star
   * extensions: text analysis + deduplication). The oracle twins reproduce
@@ -50,7 +51,12 @@ object TextDedupPack extends QueryPack {
     "tx_dataset_splits" -> ((s, d) => TextOps.datasetSplits(s, d)),
     "tx_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     "tx_vocab" -> ((s, d) => TextOps.vocabulary(s, d)),
-    "tx_doc_encode" -> ((s, d) => TextOps.encodeDocs(s, d)),
+    // the driver's pandas comparator cannot sort/hash a raw list column, so
+    // the registered shape emits the id sequence as a space-joined string
+    // (value-identical, order-preserving); the array form stays unit-tested
+    "tx_doc_encode" -> ((s, d) => TextOps.encodeDocs(s, d)
+      .select(col("doc_id"), array_join(col("ids"), " ").as("ids"),
+        col("n_tokens"))),
     "tx_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "dd_prefix_jaccard" -> ((s, d) => DedupOps.prefixJaccard(s, d)),
     "dd_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
@@ -621,7 +627,8 @@ object TextDedupPack extends QueryPack {
          |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
          |  FROM documents)
          |SELECT doc_id,
-         |  list(coalesce(id, CAST(-1 AS BIGINT)) ORDER BY p) AS ids,
+         |  array_to_string(list(coalesce(id, CAST(-1 AS BIGINT)) ORDER BY p),
+         |                  ' ') AS ids,
          |  CAST(count(*) AS BIGINT) AS n_tokens
          |FROM pos LEFT JOIN vocab USING (token)
          |GROUP BY doc_id""".stripMargin,

@@ -692,16 +692,6 @@ object TextOps {
         size(col("arr")).cast("long").as("n_tokens"))
   }
 
-  /** X-C34: per-document token-distribution Shannon entropy (bits) — the
-    * diversity/quality signal that separates natural text from degenerate
-    * repetition (complementary to [[repetitionScores]]' max-run view).
-    * Computed as log2(n) − (Σ c·log2 c)/n from per-(doc,token) counts: two
-    * map-side-combinable aggregations, both keyed on doc_id — the token
-    * dimension collapses in the first, so the second shuffles doc-count
-    * rows. The Σ c·log2 c float sum is partition-order-dependent in the
-    * last ulps; emission rounds to 6 dp, far above the drift, which is the
-    * same tolerance argument every float-emitting query here makes.
-    */
   /** X-C38: corpus-trained bigram language-model scoring — per-document
     * average negative log2 conditional probability (cross-entropy in bits
     * per bigram, the perplexity exponent), the CCNet-style "does this read
@@ -743,6 +733,16 @@ object TextOps {
         round(-col("s") / col("n_bigrams").cast("double"), 6).as("nll_bits"))
   }
 
+  /** X-C34: per-document token-distribution Shannon entropy (bits) — the
+    * diversity/quality signal that separates natural text from degenerate
+    * repetition (complementary to [[repetitionScores]]' max-run view).
+    * Computed as log2(n) − (Σ c·log2 c)/n from per-(doc,token) counts: two
+    * map-side-combinable aggregations, both keyed on doc_id — the token
+    * dimension collapses in the first, so the second shuffles doc-count
+    * rows. The Σ c·log2 c float sum is partition-order-dependent in the
+    * last ulps; emission rounds to 6 dp, far above the drift, which is the
+    * same tolerance argument every float-emitting query here makes.
+    */
   def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("token"))

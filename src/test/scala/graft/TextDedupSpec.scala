@@ -445,8 +445,8 @@ class TextDedupSpec extends SparkSpec {
     val bands = DedupOps.minhashBands(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     val cand = bands.groupBy(b => (b._2, b._3)).values.flatMap { rows =>
-      val batch = rows.filter(_._1 % 2 == 1).map(_._1).distinct
-      val index = rows.filter(_._1 % 2 == 0).map(_._1).distinct
+      val batch = rows.filter(_._1 % 2 == 1).map(_._1).distinct.toSeq
+      val index = rows.filter(_._1 % 2 == 0).map(_._1).distinct.toSeq
       for (b <- batch; i <- index) yield (b, i)
     }.toSet
     val sh = DedupOps.distinctShingles(spark, Sf).collect()
