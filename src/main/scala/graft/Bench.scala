@@ -52,6 +52,7 @@ object Bench {
     val stageSec = timed {
       operators.DedupOps.minhashCandidates(spark, sfDir).count()
       operators.DedupOps.duplicateClusters(spark, sfDir).count()
+      operators.DedupOps.ppjSets(spark, sfDir).count()
       operators.SimilarityOps.centroids(spark, sfDir).count()
       operators.SimilarityOps.kmeansAssignments(spark, sfDir).count()
       operators.SimilarityOps.kmeansLayout(spark, sfDir).count()
@@ -60,6 +61,7 @@ object Bench {
       operators.TextOps.invertedIndex(spark, sfDir).count()
       operators.GeoOps.z2Layout(spark, sfDir).count()
       operators.GeoOps.z3Layout(spark, sfDir).count()
+      operators.GeoOps.symEdges(spark, sfDir).count()
       Tables.bucketedOrders(spark, sfDir).count()
       Tables.bucketedLineitem(spark, sfDir).count()
       operators.ScaleOps.incrementalMonthlyOrders(spark, sfDir).count()
@@ -67,15 +69,35 @@ object Bench {
       operators.ScaleOps.zorderedOrdersLayout(spark, sfDir).count()
       sources.Formats.stageAll(spark, sfDir)
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query must be reported as a FAILURE (-1 + error entry), not
+    // as its fast crash latency — the r6 bench "timed" 64 analysis-failing
+    // queries at ~0.05s each, silently faking a 4.6x speedup (VERDICT r6 #3).
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        (name, timeOnce(fn), timeOnce(fn))
+      }
+    val results = samples.map { case (name, a, b) =>
+      name -> ((a, b) match {
+        case (Right(x), Right(y)) => math.min(x, y)
+        case (Right(x), _)        => x
+        case (_, Right(y))        => y
+        case _                    => -1.0
+      })
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errors = samples.collect { case (name, Left(ea), Left(_)) => name -> ea }
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -86,16 +108,28 @@ object Bench {
     // truncated at the front — the full per-query map overflowed the tail).
     // So: full per-query detail goes to a FILE, and the printed line carries
     // a fixed headline subset + the detail path, sized well under the window.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"phases":$phases,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":${qmap(results)},"errors":$errJson,"phases":$phases,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     val headline = results.filter { case (k, _) =>
       k.startsWith("xa_q") || k.startsWith("xj_q") || k.startsWith("xf_q") ||
         Headline(k)
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"phases":$phases,"detail":"$detailPath","sf":"$sfDir"}""")
+    // Headline line stays under the driver's 2000-char tail: first few error
+    // NAMES only (full messages live in the detail file).
+    val errNames = (errors.take(10).map(e => jstr(e._1)) ++
+      (if (errors.size > 10) Seq(jstr(s"+${errors.size - 10} more")) else Nil))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"failed":$errNames,"queries":${qmap(headline)},"phases":$phases,"detail":"$detailPath","sf":"$sfDir"}""")
     Tables.clearDerived(spark)
     spark.stop()
   }

@@ -701,8 +701,14 @@ object DedupOps {
     * quadratic in the corpus. At 100 TB the df table is vocabulary-sized
     * (broadcast), and prefix length shrinks as t rises — at t=0.9 a
     * 100-token set contributes 11 prefix tokens, an 89% posting reduction
-    * before any pair forms; ubiquitous-token postings are the residual
-    * skew and salt like any hot join key.
+    * before any pair forms. The residual degeneracy — identical-set
+    * CLIQUES, whose members all carry the same prefix and mass-pair — is
+    * removed EXACTLY (not capped) by the set-level collapse documented
+    * inline: group docs by content hash of the sorted token set, join only
+    * group representatives, expand qualifying group pairs back to doc
+    * pairs at output. Recall stays 1.0 — unlike a hot-posting drop guard,
+    * which on this corpus would erase 99% of the true result (sf0.1
+    * measured: 965k true pairs, 929k of them clique expansions).
     *
     * Why the two inline filters are lossless (r5 measured the bare prefix
     * join pruning ~0 on this boilerplate-heavy corpus — 11.3M of 12.5M
@@ -720,10 +726,49 @@ object DedupOps {
     * set size work with no token-level shuffle, replacing r5's 269M-row
     * explode-join.
     */
+  /** Per-doc sorted distinct-token set + its content hash `(doc_id, ts, n,
+    * h)` — the input layout of [[prefixJaccard]]'s set-level collapse,
+    * staged once per (session, sf): the query's DAG reads it from six
+    * branches (rep selection, df, rank, verify arrays ×2, member
+    * expansion), and without staging each branch re-runs the corpus
+    * explode+groupBy (measured 11.1 s → the staged run's ~4 s at sf0.1).
+    * At 100 TB this is the tokenized-corpus layout a dedup pipeline writes
+    * once and shares across every set-similarity pass.
+    */
+  private[graft] def ppjSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "ppj_sets") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(words(col("text"))).as("token"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("token"))).as("ts"),
+          count(lit(1)).as("n"))
+        // space-joined: tokens are whitespace-split so " " cannot occur
+        // inside one, making the joined string a bijective set encoding
+        .withColumn("h", md5(concat_ws(" ", col("ts"))))
+    }
+
   def prefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(words(col("text"))).as("token"))
-      .distinct()
+    // --- set-level collapse (the r7 fix for the boilerplate scale-killer).
+    // Docs with IDENTICAL distinct-token sets are interchangeable under
+    // Jaccard: J(a,b) = J(rep(a), rep(b)) exactly, and within a group every
+    // pair has J = 1 ≥ t. So collapse the corpus to set-groups (key = md5 of
+    // the sorted token list — one groupBy), run the PPJoin on one
+    // REPRESENTATIVE per group, and expand qualifying group pairs back to
+    // doc pairs at the end. Boilerplate-heavy corpora are exactly the ones
+    // with huge identical-set cliques (sf0.1: 5000 docs → 3935 groups, max
+    // clique 248), and the clique is what made the prefix join quadratic —
+    // r6's 22.4M matched prefix rows drop to 2.0M at rep level while the
+    // 965k-pair result is reproduced EXACTLY (no cap, no recall loss; the
+    // r6-considered hot-token drop guard would have thrown away 99% of the
+    // true result here). At 100 TB the collapse is one content-keyed
+    // groupBy — the same shape as [[exactDedup]] — and pair expansion is
+    // output-sized work.
+    val sets = ppjSets(spark, sfDir)
+    val groups = sets.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
+    val repSets = sets.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+    val toks = repSets.select(col("doc_id"), explode(col("ts")).as("token"))
     val df = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
     val ranked = toks.join(broadcast(df), Seq("token"))
@@ -734,30 +779,61 @@ object DedupOps {
     // (`div` is integer floor division — `/` would promote to double)
     val prefix = ranked
       .where(col("r") <= col("n") - expr(s"(n * $PpjNum + ${PpjDen - 1}) div $PpjDen") + 1)
-    val pa = prefix.select(col("token"), col("doc_id").as("doc_a"),
+    val pa = prefix.select(col("token"), col("doc_id").as("rep_a"),
       col("r").as("r_a"), col("n").as("n_a"))
-    val pb = prefix.select(col("token"), col("doc_id").as("doc_b"),
+    val pb = prefix.select(col("token"), col("doc_id").as("rep_b"),
       col("r").as("r_b"), col("n").as("n_b"))
     val cand = pa.join(pb, Seq("token"))
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("rep_a") < col("rep_b"))
       // length filter: t·max(n_a,n_b) ≤ min(n_a,n_b), integer-exact
       .where(least(col("n_a"), col("n_b")) * PpjDen >=
         greatest(col("n_a"), col("n_b")) * PpjNum)
       // positional filter: 1 + min(remaining) bounds |∩| at this match
+      // (bound only valid per-pair via the surviving first-match row — see
+      // scaladoc; the trailing distinct is what makes it lossless)
       .where((lit(1L) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b"))) *
         (PpjNum + PpjDen) >= (col("n_a") + col("n_b")) * PpjNum)
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val docsets = toks.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("token"))).as("ts"),
-        count(lit(1)).as("n"))
-    cand
-      .join(docsets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"),
-        col("n").as("n_a")), Seq("doc_a"))
-      .join(docsets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"),
-        col("n").as("n_b")), Seq("doc_b"))
+      // NO distinct here: a pair matching k prefix tokens flows into verify
+      // k times (k ≤ prefix length, ~1.13× rows measured) — strictly
+      // cheaper than a dedicated full-width exchange of the candidate set;
+      // the dedup happens on the verify SURVIVORS below, a set 60× smaller.
+      .select(col("rep_a"), col("rep_b"))
+    val docsets = repSets.select(col("doc_id"), col("ts"), col("n"))
+    // exact verify on REP pairs only: in-row sorted-array intersection.
+    // shuffle_hash, not the default sort-merge: the pair side carries the
+    // token ARRAYS, and SMJ would sort millions of array-payload rows per
+    // join (measured 2× the whole query's cost at sf0.1); hash join moves
+    // the same bytes but never sorts them — the right strategy whenever
+    // the probe side is wide and the key is already hash-partitionable.
+    val repPairs = cand
+      .join(docsets.hint("shuffle_hash").select(col("doc_id").as("rep_a"),
+        col("ts").as("ts_a"), col("n").as("n_a")), Seq("rep_a"))
+      .join(docsets.hint("shuffle_hash").select(col("doc_id").as("rep_b"),
+        col("ts").as("ts_b"), col("n").as("n_b")), Seq("rep_b"))
       .withColumn("n_inter",
         size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
       .where(col("n_inter") * (PpjNum + PpjDen) >= (col("n_a") + col("n_b")) * PpjNum)
+      .select(col("rep_a"), col("rep_b"), col("n_inter"), col("n_a"), col("n_b"))
+      .distinct()
+    // --- expansion back to doc pairs: inter-group pairs inherit the rep
+    // pair's exact counts; intra-group pairs are J = 1 by construction.
+    val members = sets.join(groups, Seq("h"))
+      .select(col("doc_id"), col("rep"))
+    val inter = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")), Seq("rep_a"))
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("db")), Seq("rep_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("n_inter"),
+        when(col("da") < col("db"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(col("da") < col("db"), col("n_b")).otherwise(col("n_a")).as("n_b"))
+    val ma = members.join(sets.select(col("doc_id"), col("n")), Seq("doc_id"))
+    val intra = ma.select(col("rep"), col("doc_id").as("doc_a"), col("n"))
+      .join(ma.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n").as("n_inter"),
+        col("n").as("n_a"), col("n").as("n_b"))
+    inter.unionAll(intra)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))

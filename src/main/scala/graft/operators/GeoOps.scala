@@ -239,7 +239,11 @@ object GeoOps {
     * pure integer arithmetic, brute-force oracle.
     */
   def triangleCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = neighborPairs(spark, sfDir).select(col("a_id"), col("b_id"))
+    // low-id orientation of the staged symmetric edge list — identical to
+    // neighborPairs' (a_id < b_id) pairs, but read from the one staged
+    // graph layout instead of re-running the proximity join
+    val edges = symEdges(spark, sfDir).where(col("src") < col("dst"))
+      .select(col("src").as("a_id"), col("dst").as("b_id"))
     val wedges = edges.as("e1").join(edges.as("e2"),
         col("e1.b_id") === col("e2.a_id"))
       .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"), col("e2.b_id").as("c"))
@@ -275,15 +279,25 @@ object GeoOps {
     * contributes both directions, so every vertex has deg ≥ 1 and receives
     * mass — no dangling-node term needed.
     */
-  /** Degree-annotated symmetric edge list of the proximity graph, staged
-    * once per (session, sf) — the shared input of [[pageRank]],
-    * [[bfsHops]], and the triangle count.
+  /** Degree- and weight-annotated symmetric edge list of the proximity
+    * graph, staged once per (session, sf) — the ONE shared edge layout
+    * every graph op reads ([[pageRank]], [[bfsHops]], [[sssp]], [[kCore]],
+    * [[triangleCounts]]): `(src, dst, w, deg)` with
+    * `w = 1 + |Δlon| + |Δlat|` (the exact integer grid-Manhattan weight
+    * [[sssp]] relaxes over) and `deg` the undirected degree. At 100 TB
+    * this is the graph's bucketed-by-src edge table, written once —
+    * per-query re-derivation of the 9-cell proximity join (what sssp and
+    * triangleCounts did through r6) would repeat the corpus-scale
+    * geometry work on every graph query.
     */
-  private def symEdges(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derivedBig(spark, sfDir, "pagerank_edges") {
-      val e = neighborPairs(spark, sfDir).select(col("a_id"), col("b_id"))
-      val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+  private[graft] def symEdges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "sym_edges") {
+      val e = neighborPairs(spark, sfDir)
+        .select(col("a_id"), col("b_id"),
+          (lit(1L) + abs(col("a_lon") - col("b_lon")) +
+            abs(col("a_lat") - col("b_lat"))).cast("long").as("w"))
+      val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"), col("w"))
+        .union(e.select(col("b_id").as("src"), col("a_id").as("dst"), col("w")))
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       sym.join(deg, Seq("src"))
     }
@@ -342,12 +356,7 @@ object GeoOps {
     */
   def sssp(spark: SparkSession, sfDir: String,
            seedMod: Long = BfsSeedMod): DataFrame = {
-    val e = neighborPairs(spark, sfDir)
-      .select(col("a_id"), col("b_id"),
-        (lit(1L) + abs(col("a_lon") - col("b_lon")) +
-          abs(col("a_lat") - col("b_lat"))).cast("long").as("w"))
-    val und = e.select(col("a_id").as("src"), col("b_id").as("dst"), col("w"))
-      .union(e.select(col("b_id").as("src"), col("a_id").as("dst"), col("w")))
+    val und = symEdges(spark, sfDir).select(col("src"), col("dst"), col("w"))
     val seeds = und.select(col("src").as("v")).distinct()
       .where(col("v") % seedMod === 0)
       .select(col("v"), lit(0L).as("d"))

@@ -834,14 +834,16 @@ object RelationalPack extends QueryPack {
         |FROM customer JOIN spend ON c_custkey = o_custkey
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_dec)""".stripMargin,
     // same moment discipline as xa_trend_ols: exact BIGINT sums, doubles
-    // only inside the mirrored closed form (product of deviations in DOUBLE)
+    // only inside the mirrored closed form (product of deviations in DOUBLE);
+    // consecutive days pair via the day = day+1 self-join (calendar
+    // adjacency), the twin of the Spark side's join — not lag-over-rows
     "xt_autocorr_daily" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
         |  FROM orders GROUP BY 1),
         |pairs AS (
-        |  SELECT x, lag(x, 1) OVER (ORDER BY day) AS y FROM daily
-        |  QUALIFY y IS NOT NULL),
+        |  SELECT a.x AS x, b.x AS y FROM daily a
+        |  JOIN daily b ON a.day = b.day + INTERVAL 1 DAY),
         |m AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,

@@ -54,8 +54,12 @@ object TextDedupPack extends QueryPack {
     // the driver's pandas comparator cannot sort/hash a raw list column, so
     // the registered shape emits the id sequence as a space-joined string
     // (value-identical, order-preserving); the array form stays unit-tested
+    // explicit element cast: pins the long→string formatting contract with
+    // the DuckDB array_to_string twin instead of relying on array_join's
+    // implicit (version-sensitive) element coercion
     "tx_doc_encode" -> ((s, d) => TextOps.encodeDocs(s, d)
-      .select(col("doc_id"), array_join(col("ids"), " ").as("ids"),
+      .select(col("doc_id"),
+        array_join(col("ids").cast("array<string>"), " ").as("ids"),
         col("n_tokens"))),
     "tx_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "dd_prefix_jaccard" -> ((s, d) => DedupOps.prefixJaccard(s, d)),

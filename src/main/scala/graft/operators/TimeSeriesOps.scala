@@ -384,21 +384,25 @@ object TimeSeriesOps {
     * correlation of consecutive-day pairs in closed form from SIX exact
     * integer sums (the [[graft.operators.RelationalOps.trendOls]] moment
     * discipline: longs until one mirrored double expression at the end, so
-    * the hash matches DuckDB's). The lag window is global-ordered but runs
-    * over the per-DAY aggregate — a domain-bounded few-thousand-row input
-    * at any SF, never raw facts; the fact scan itself is one map-side-
-    * combinable count. The squared-deviation product is multiplied in
-    * DOUBLE (each factor is an exact long, but their product can exceed
-    * int64 at large SF) — one IEEE multiply, mirrored in the oracle.
+    * the hash matches DuckDB's). Consecutive days pair via a `day = day+1`
+    * SELF-JOIN on the per-day aggregate — hash-partitioned on the join key
+    * like any equi-join, where a `lag` over an unpartitioned window would
+    * pull the whole series into ONE partition (the r5/r6 WindowExec
+    * warning). Calendar-adjacency is also the honest lag-1 definition:
+    * a gap day yields no pair instead of silently correlating across the
+    * gap. The fact scan itself is one map-side-combinable count. The
+    * squared-deviation product is multiplied in DOUBLE (each factor is an
+    * exact long, but their product can exceed int64 at large SF) — one
+    * IEEE multiply, mirrored in the oracle.
     */
   def dailyAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(count(lit(1)).as("x"))
-    val w = Window.orderBy(col("day"))
     val pairs = daily
-      .select(col("x"), lag(col("x"), 1).over(w).as("y"))
-      .where(col("y").isNotNull)
+      .join(daily.select(date_add(col("day"), 1).as("day"), col("x").as("y")),
+        Seq("day"))
+      .select(col("x"), col("y"))
     pairs
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
