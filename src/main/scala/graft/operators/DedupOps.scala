@@ -560,6 +560,16 @@ object DedupOps {
   /** Shared candidate machinery of [[ngramJaccard]] / [[ngramContainment]]:
     * rare-gram-blocked candidate pairs with exact intersection and set
     * sizes — (doc_a, doc_b, n_inter, n_a, n_b), doc_a < doc_b.
+    *
+    * Verify shape (r7, the [[prefixJaccard]] lesson applied here too): the
+    * exact intersection is an IN-ROW `array_intersect` of per-doc sorted
+    * gram arrays joined to the pair list — candidate-count rows carrying
+    * array payloads — instead of the gram-level pair×grams explode + pair
+    * re-aggregation, which shuffled |pairs|·|grams/doc| rows. Arrays are
+    * built only for docs that appear in some candidate pair (broadcast
+    * semi-join prune — at 100 TB the candidate-doc sliver, not the
+    * corpus), and the joins are shuffle_hash: SMJ would sort the
+    * array-payload rows, the dominant cost the PPJoin verify measured.
     */
   private def rareGramOverlaps(spark: SparkSession, sfDir: String): DataFrame = {
     val tg = distinctShingles(spark, sfDir)
@@ -572,15 +582,19 @@ object DedupOps {
       .join(posting.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sizes = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(tg.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(tg.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val docsets = tg.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"), count(lit(1)).as("n"))
+    cand
+      .join(docsets.hint("shuffle_hash").select(col("doc_id").as("doc_a"),
+        col("gs").as("gs_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(docsets.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
+        col("gs").as("gs_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("n_inter"),
+        col("n_a"), col("n_b"))
   }
 
   /** X-P27: incremental batch-vs-index dedup — the shape a production
@@ -837,5 +851,43 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** [[prefixJaccard]]'s degeneracy monitor — the [[bucketStats]] pattern
+    * for the PPJoin: one row of exact integers over the collapse and the
+    * rep-level prefix postings. `max_clique`/`intra_pairs` size the
+    * identical-set cliques the collapse absorbs exactly; `max_posting`/
+    * `cand_upper` (Σ c·(c−1)/2, the candidate-pair upper bound) expose
+    * prefix-posting skew — a `max_posting` approaching `n_groups` means the
+    * token order has degenerated toward all-pairs for this corpus/threshold
+    * and the pipeline should alert BEFORE the join cost arrives, not after.
+    * All counts integer-exact, so the oracle replays collapse + ranking
+    * bit-for-bit.
+    */
+  def prefixJoinStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = ppjSets(spark, sfDir)
+    val groups = sets.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
+    val gstats = groups.agg(
+      count(lit(1)).as("n_groups"),
+      max(col("sz")).as("max_clique"),
+      sum(expr("sz * (sz - 1) div 2")).as("intra_pairs"))
+    val nDocs = sets.agg(count(lit(1)).as("n_docs"))
+    val repSets = sets.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+    val toks = repSets.select(col("doc_id"), explode(col("ts")).as("token"))
+    val df = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
+    val ranked = toks.join(broadcast(df), Seq("token"))
+      .select(col("doc_id"), col("token"),
+        row_number().over(w).cast("long").as("r"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+    val prefix = ranked
+      .where(col("r") <= col("n") - expr(s"(n * $PpjNum + ${PpjDen - 1}) div $PpjDen") + 1)
+    val post = prefix.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val pstats = post.agg(
+      count(lit(1)).as("n_prefix_tokens"),
+      max(col("c")).as("max_posting"),
+      sum(expr("c * (c - 1) div 2")).as("cand_upper"))
+    nDocs.crossJoin(gstats).crossJoin(pstats)
   }
 }

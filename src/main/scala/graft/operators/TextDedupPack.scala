@@ -63,6 +63,7 @@ object TextDedupPack extends QueryPack {
         col("n_tokens"))),
     "tx_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "dd_prefix_jaccard" -> ((s, d) => DedupOps.prefixJaccard(s, d)),
+    "dd_ppj_stats" -> ((s, d) => DedupOps.prefixJoinStats(s, d)),
     "dd_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
     "tx_lm_score" -> ((s, d) => TextOps.lmScores(s, d)),
     "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
@@ -668,6 +669,42 @@ object TextDedupPack extends QueryPack {
          |JOIN sizes nb ON doc_b = nb.doc_id
          |WHERE n_inter * ${DedupOps.PpjNum + DedupOps.PpjDen}
          |      >= (na.n + nb.n) * ${DedupOps.PpjNum}""".stripMargin,
+    // replays prefixJaccard's set-collapse + (df, token) ranking exactly:
+    // string_agg ORDER BY token = sort_array, md5 hex matches Spark's,
+    // row_number ties are broken by the unique-per-doc token, and every
+    // stat is integer arithmetic (sums re-cast: DuckDB sum(BIGINT) is
+    // HUGEINT)
+    "dd_ppj_stats" ->
+      s"""WITH toks0 AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |sets AS (
+         |  SELECT doc_id, count(*) AS n,
+         |         md5(string_agg(token, ' ' ORDER BY token)) AS h
+         |  FROM toks0 GROUP BY doc_id),
+         |grp AS (SELECT h, min(doc_id) AS rep, count(*) AS sz
+         |        FROM sets GROUP BY h),
+         |rt AS (SELECT g.rep AS doc_id, t.token
+         |       FROM grp g JOIN toks0 t ON t.doc_id = g.rep),
+         |dfx AS (SELECT token, count(*) AS df FROM rt GROUP BY token),
+         |ranked AS (
+         |  SELECT doc_id, t.token,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY df, t.token) AS r,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM rt t JOIN dfx USING (token)),
+         |prefix AS (
+         |  SELECT * FROM ranked
+         |  WHERE r <= n - ((n * ${DedupOps.PpjNum} + ${DedupOps.PpjDen - 1})
+         |                  // ${DedupOps.PpjDen}) + 1),
+         |post AS (SELECT token, count(*) AS c FROM prefix GROUP BY token)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sets) AS n_docs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM grp) AS n_groups,
+         |  (SELECT CAST(max(sz) AS BIGINT) FROM grp) AS max_clique,
+         |  (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) FROM grp) AS intra_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM post) AS n_prefix_tokens,
+         |  (SELECT CAST(max(c) AS BIGINT) FROM post) AS max_posting,
+         |  (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM post) AS cand_upper""".stripMargin,
     // batch (odd ids) bands joined to index (even ids) bands — the
     // asymmetric candidate join — then exact Jaccard with the integer
     // 3·|∩| >= |A|+|B| half cut; guard replay unneeded (no bucket nears

@@ -406,6 +406,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("prefixJoinStats: clique and posting stats match a brute-force recount") {
+    val row = DedupOps.prefixJoinStats(spark, Sf).collect().head
+    val sets = Tables.documents(spark, Sf)
+      .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val byContent = sets.groupBy(_._2).values.map(_.map(_._1)).toSeq
+    assert(row.getAs[Long]("n_docs") == sets.length.toLong)
+    assert(row.getAs[Long]("n_groups") == byContent.size.toLong)
+    assert(row.getAs[Long]("max_clique") == byContent.map(_.size).max.toLong)
+    assert(row.getAs[Long]("intra_pairs") ==
+      byContent.map(g => g.size.toLong * (g.size - 1) / 2).sum)
+    // rep-level prefix postings: rebuild the (df asc, token asc) order over
+    // group representatives and recount
+    val reps = byContent.map(_.min).toSet
+    val repSets = sets.filter(p => reps.contains(p._1))
+    val df = repSets.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size }
+    val postings = repSets.flatMap { case (_, s) =>
+      val ordered = s.toSeq.sortBy(t => (df(t), t))
+      val n = ordered.size.toLong
+      val p = n - ((n * DedupOps.PpjNum + DedupOps.PpjDen - 1) / DedupOps.PpjDen) + 1
+      ordered.take(p.toInt)
+    }.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    assert(row.getAs[Long]("n_prefix_tokens") == postings.size.toLong)
+    assert(row.getAs[Long]("max_posting") == postings.values.max)
+    assert(row.getAs[Long]("cand_upper") ==
+      postings.values.map(c => c * (c - 1) / 2).sum)
+  }
+
   test("weightedSample: deterministic, k-sized, and a subset of the corpus") {
     val a = TextOps.weightedSample(spark, Sf).collect().map(_.getLong(0))
     val b = TextOps.weightedSample(spark, Sf).collect().map(_.getLong(0))
