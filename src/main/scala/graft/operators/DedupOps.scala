@@ -593,7 +593,8 @@ object DedupOps {
       .join(docsets.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
         col("gs").as("gs_b"), col("n").as("n_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("n_inter"),
+        graft.functions.SetExpressions
+          .sortedIntersectN(spark, col("gs_a"), col("gs_b")).as("n_inter"),
         col("n_a"), col("n_b"))
   }
 
@@ -824,8 +825,10 @@ object DedupOps {
         col("ts").as("ts_a"), col("n").as("n_a")), Seq("rep_a"))
       .join(docsets.hint("shuffle_hash").select(col("doc_id").as("rep_b"),
         col("ts").as("ts_b"), col("n").as("n_b")), Seq("rep_b"))
-      .withColumn("n_inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      // codegen'd merge count over the sorted arrays — no per-row hash set
+      // or materialized intersection (graft.functions.SortedIntersectN)
+      .withColumn("n_inter", graft.functions.SetExpressions
+        .sortedIntersectN(spark, col("ts_a"), col("ts_b")))
       .where(col("n_inter") * (PpjNum + PpjDen) >= (col("n_a") + col("n_b")) * PpjNum)
       .select(col("rep_a"), col("rep_b"), col("n_inter"), col("n_a"), col("n_b"))
       .distinct()

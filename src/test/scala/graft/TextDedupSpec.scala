@@ -406,6 +406,40 @@ class TextDedupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("sortedIntersectN: equals size(array_intersect) on corpus pairs, codegen and interpreted") {
+    import graft.functions.{SetExpressions, SortedIntersectN}
+    // corpus-shaped inputs: every adjacent doc pair's sorted token sets
+    val sets = Tables.documents(spark, Sf)
+      .select(col("doc_id"), sort_array(array_distinct(TextFunctions.words(col("text")))).as("ts"))
+    val pairs = sets.select(col("doc_id"), col("ts").as("ts_a"))
+      .join(sets.select((col("doc_id") - 1).as("doc_id"), col("ts").as("ts_b")), Seq("doc_id"))
+    val both = pairs.select(
+      SetExpressions.sortedIntersectN(spark, col("ts_a"), col("ts_b")).as("fast"),
+      size(array_intersect(col("ts_a"), col("ts_b"))).cast("long").as("ref"),
+      col("ts_a"), col("ts_b"))
+    val rows = both.collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) == r.getLong(1)))
+    // interpreted (nullSafeEval) path agrees with the codegen'd column result
+    rows.foreach { r =>
+      val mk = (s: Seq[String]) => org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(s.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal
+        .create(null, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+      val e = SortedIntersectN(lit, lit)
+      val v = e.nullSafeEval(mk(r.getSeq[String](2)), mk(r.getSeq[String](3)))
+      assert(v == r.getLong(0))
+    }
+    // edge cases: empty, disjoint, identical, interleaved
+    val df = spark.createDataFrame(Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "c"), Seq("b", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "c", "e"), Seq("b", "c", "d", "e")))).toDF("a", "b")
+    val got = df.select(SetExpressions.sortedIntersectN(spark, col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 3L, 2L))
+  }
+
   test("prefixJoinStats: clique and posting stats match a brute-force recount") {
     val row = DedupOps.prefixJoinStats(spark, Sf).collect().head
     val sets = Tables.documents(spark, Sf)
