@@ -114,7 +114,17 @@ object PlanDump {
       ("tx_lm_score", "bigram stream built narrow from word arrays; model joins partial-agg'd, vocab one-row broadcast",
         operators.TextOps.lmScores(spark, sfDir)),
       ("geo_kcore", "peeling rounds: map-side degree count + two semi-joins; edge set only shrinks",
-        operators.GeoOps.kCore(spark, sfDir)))
+        operators.GeoOps.kCore(spark, sfDir)),
+      ("dd_prefix_jaccard", "set-collapse to reps, prefix equi-join + inline PPJoin filters, shuffle-hash verify with codegen'd sorted_intersect_n, clique expansion at output",
+        operators.DedupOps.prefixJaccard(spark, sfDir)),
+      ("dd_ngram_jaccard", "rare-gram postings (broadcast df cut), candidate-doc-pruned array verify over shuffle-hash joins",
+        operators.DedupOps.ngramJaccard(spark, sfDir)),
+      ("geo_pagerank", "unrolled Pregel rounds over the STAGED degree-annotated edge list; per round one src join + one dst agg",
+        operators.GeoOps.pageRank(spark, sfDir)),
+      ("geo_sssp", "relaxation rounds read the staged weighted edges; only the vertex-sized distance vector moves",
+        operators.GeoOps.sssp(spark, sfDir)),
+      ("xt_autocorr_daily", "day+1 self-join on the per-day aggregate: hash-partitioned, no single-partition window",
+        operators.TimeSeriesOps.dailyAutocorr(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")

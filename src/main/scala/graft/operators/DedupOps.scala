@@ -805,7 +805,8 @@ object DedupOps {
         greatest(col("n_a"), col("n_b")) * PpjNum)
       // positional filter: 1 + min(remaining) bounds |∩| at this match
       // (bound only valid per-pair via the surviving first-match row — see
-      // scaladoc; the trailing distinct is what makes it lossless)
+      // scaladoc; keep-if-ANY-row-survives semantics, realized by the
+      // post-verify distinct, is what makes it lossless)
       .where((lit(1L) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b"))) *
         (PpjNum + PpjDen) >= (col("n_a") + col("n_b")) * PpjNum)
       // NO distinct here: a pair matching k prefix tokens flows into verify
