@@ -180,6 +180,38 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** MinHash estimation-error report — per LSH candidate pair, the
+    * signature-estimated Jaccard (matching minhash components out of
+    * [[NumHashes]], the unbiased MinHash estimator) next to the exact
+    * shingle Jaccard. This is the dedup family's twin of the ANN
+    * `sim_recall_report`: the table a pipeline reads to TUNE NumHashes /
+    * NumBands — estimator spread at a given signature width is an
+    * empirical fact of the corpus, and widening signatures is a cost knob
+    * that should be turned from measurements, not folklore. Pure column
+    * arithmetic over the staged candidate pairs + signatures (one join per
+    * side, both map-side broadcastable at these sizes, hash joins at
+    * scale); n_eq is an exact integer, and both jaccards are single
+    * divisions of exact integers — n_eq/8 is an exact binary fraction, so
+    * the whole row is hash-stable cross-engine.
+    */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir)
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (1 to NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (1 to NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val nEq = (1 to NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    jaccardOnCandidates(spark, sfDir)
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .withColumn("n_eq", nEq)
+      .select(col("doc_a"), col("doc_b"), col("n_eq"),
+        (col("n_eq").cast("double") / NumHashes).as("jaccard_est"),
+        col("jaccard").as("jaccard_exact"))
+  }
+
   /** Jaccard cutoff above which a candidate pair is a confirmed duplicate
     * edge (scores in the corpus are bimodal: ≤0.02 LSH noise vs ≥0.9 true
     * near-dups, so any mid value works).

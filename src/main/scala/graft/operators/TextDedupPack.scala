@@ -34,6 +34,7 @@ object TextDedupPack extends QueryPack {
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
     "dd_bucket_stats" -> ((s, d) => DedupOps.bucketStats(s, d)),
     "dd_jaccard_candidates" -> ((s, d) => DedupOps.jaccardOnCandidates(s, d)),
+    "dd_minhash_estimate" -> ((s, d) => DedupOps.minhashEstimate(s, d)),
     "dd_simhash" -> ((s, d) => DedupOps.simhash(s, d)),
     "dd_simhash_groups" -> ((s, d) => DedupOps.simhashGroups(s, d)),
     "dd_simhash_neighbors" -> ((s, d) => DedupOps.simhashNeighbors(s, d)),
@@ -495,6 +496,34 @@ object TextDedupPack extends QueryPack {
           |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
           |JOIN sizes za ON za.doc_id = c.doc_a
           |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin),
+    // the MinHash estimator replayed in SQL: matching mh components out of
+    // NumHashes vs the exact shingle Jaccard on the same candidate pairs;
+    // n_eq/NumHashes is an exact binary fraction, hash-stable cross-engine
+    "dd_minhash_estimate" -> {
+      val eqSum = (1 to DedupOps.NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte,
+        "sizes AS (SELECT doc_id, count(*) AS n FROM distinct_shingles GROUP BY doc_id)",
+        """inter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN distinct_shingles sa ON sa.doc_id = c.doc_a
+          |  JOIN distinct_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY c.doc_a, c.doc_b
+          |)""".stripMargin)(
+        s"""SELECT c.doc_a, c.doc_b,
+           |  CAST($eqSum AS BIGINT) AS n_eq,
+           |  CAST($eqSum AS DOUBLE) / ${DedupOps.NumHashes} AS jaccard_est,
+           |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+           |    / (za.n + zb.n - coalesce(i.n_inter, 0)) AS jaccard_exact
+           |FROM cand c
+           |JOIN mh a ON a.doc_id = c.doc_a
+           |JOIN mh b ON b.doc_id = c.doc_b
+           |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+           |JOIN sizes za ON za.doc_id = c.doc_a
+           |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin)
+    },
     "dd_clusters" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

@@ -440,6 +440,36 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(0L, 0L, 3L, 2L))
   }
 
+  test("dedup verify joins are shuffle-hash with the fused merge count, never sort-merge over array payloads") {
+    for (df <- Seq(DedupOps.prefixJaccard(spark, Sf), DedupOps.ngramJaccard(spark, Sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("sortedintersectn"),
+        "verify must use the codegen'd SortedIntersectN merge count")
+      // the load-bearing shape: every join whose row carries a token/gram
+      // ARRAY is a hash join — SMJ would sort millions of wide rows
+      val badSort = plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && (l.contains("ts_a") || l.contains("gs_a")))
+      assert(!badSort, "array-payload verify join regressed to SortMergeJoin")
+    }
+  }
+
+  test("minhashEstimate: n_eq recounts from the signatures; estimator is n_eq/NumHashes") {
+    val sigs = DedupOps.minhashSignatures(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (1 to DedupOps.NumHashes).map(j => r.getAs[Long](s"mh$j")))
+      .toMap
+    val rows = DedupOps.minhashEstimate(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val expectEq = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      assert(r.getAs[Long]("n_eq") == expectEq)
+      assert(r.getAs[Double]("jaccard_est") ==
+        expectEq.toDouble / DedupOps.NumHashes)
+      val je = r.getAs[Double]("jaccard_exact")
+      assert(je >= 0.0 && je <= 1.0)
+    }
+  }
+
   test("prefixJoinStats: clique and posting stats match a brute-force recount") {
     val row = DedupOps.prefixJoinStats(spark, Sf).collect().head
     val sets = Tables.documents(spark, Sf)
