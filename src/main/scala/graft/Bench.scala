@@ -53,6 +53,7 @@ object Bench {
       operators.DedupOps.minhashCandidates(spark, sfDir).count()
       operators.DedupOps.duplicateClusters(spark, sfDir).count()
       operators.DedupOps.ppjSets(spark, sfDir).count()
+      operators.DedupOps.ppjPrefix(spark, sfDir).count()
       operators.SimilarityOps.centroids(spark, sfDir).count()
       operators.SimilarityOps.kmeansAssignments(spark, sfDir).count()
       operators.SimilarityOps.kmeansLayout(spark, sfDir).count()

@@ -795,6 +795,32 @@ object DedupOps {
         .withColumn("h", md5(concat_ws(" ", col("ts"))))
     }
 
+  /** The PPJoin prefix inverted index over group REPRESENTATIVES —
+    * `(doc_id, token, r, n)` rows for each rep's first n − ⌈t·n⌉ + 1
+    * tokens under the global (df asc, token asc) order — staged once per
+    * (session, sf). This is the layout a production set-similarity system
+    * PERSISTS (the prefix index is rebuilt only when the corpus or the
+    * threshold changes); staging it also means the self-join's two sides
+    * and [[prefixJoinStats]] read one stored table instead of each
+    * re-running the rank windows. Prefix length uses the exact integer
+    * ceiling ⌈Num·n/Den⌉ = (n·Num + Den − 1) div Den.
+    */
+  private[graft] def ppjPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "ppj_prefix") {
+      val sets = ppjSets(spark, sfDir)
+      val groups = sets.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
+      val repSets = sets.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+      val toks = repSets.select(col("doc_id"), explode(col("ts")).as("token"))
+      val df = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
+      toks.join(broadcast(df), Seq("token"))
+        .select(col("doc_id"), col("token"),
+          row_number().over(w).cast("long").as("r"),
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+        .where(col("r") <= col("n") -
+          expr(s"(n * $PpjNum + ${PpjDen - 1}) div $PpjDen") + 1)
+    }
+
   def prefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // --- set-level collapse (the r7 fix for the boilerplate scale-killer).
     // Docs with IDENTICAL distinct-token sets are interchangeable under
@@ -815,17 +841,7 @@ object DedupOps {
     val groups = sets.groupBy(col("h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
     val repSets = sets.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
-    val toks = repSets.select(col("doc_id"), explode(col("ts")).as("token"))
-    val df = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
-    val ranked = toks.join(broadcast(df), Seq("token"))
-      .select(col("doc_id"), col("token"),
-        row_number().over(w).cast("long").as("r"),
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
-    // prefix length p = n − ⌈t·n⌉ + 1, with ⌈9n/10⌉ = (9n+9) div 10 exact
-    // (`div` is integer floor division — `/` would promote to double)
-    val prefix = ranked
-      .where(col("r") <= col("n") - expr(s"(n * $PpjNum + ${PpjDen - 1}) div $PpjDen") + 1)
+    val prefix = ppjPrefix(spark, sfDir)
     val pa = prefix.select(col("token"), col("doc_id").as("rep_a"),
       col("r").as("r_a"), col("n").as("n_a"))
     val pb = prefix.select(col("token"), col("doc_id").as("rep_b"),
@@ -909,17 +925,8 @@ object DedupOps {
       max(col("sz")).as("max_clique"),
       sum(expr("sz * (sz - 1) div 2")).as("intra_pairs"))
     val nDocs = sets.agg(count(lit(1)).as("n_docs"))
-    val repSets = sets.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
-    val toks = repSets.select(col("doc_id"), explode(col("ts")).as("token"))
-    val df = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
-    val ranked = toks.join(broadcast(df), Seq("token"))
-      .select(col("doc_id"), col("token"),
-        row_number().over(w).cast("long").as("r"),
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
-    val prefix = ranked
-      .where(col("r") <= col("n") - expr(s"(n * $PpjNum + ${PpjDen - 1}) div $PpjDen") + 1)
-    val post = prefix.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val post = ppjPrefix(spark, sfDir)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
     val pstats = post.agg(
       count(lit(1)).as("n_prefix_tokens"),
       max(col("c")).as("max_posting"),
