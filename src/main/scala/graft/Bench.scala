@@ -54,6 +54,7 @@ object Bench {
       operators.DedupOps.duplicateClusters(spark, sfDir).count()
       operators.DedupOps.ppjSets(spark, sfDir).count()
       operators.DedupOps.ppjPrefix(spark, sfDir).count()
+      operators.DedupOps.rarePosting(spark, sfDir).count()
       operators.SimilarityOps.centroids(spark, sfDir).count()
       operators.SimilarityOps.kmeansAssignments(spark, sfDir).count()
       operators.SimilarityOps.kmeansLayout(spark, sfDir).count()

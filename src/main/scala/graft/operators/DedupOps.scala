@@ -603,13 +603,26 @@ object DedupOps {
     * corpus), and the joins are shuffle_hash: SMJ would sort the
     * array-payload rows, the dominant cost the PPJoin verify measured.
     */
+  /** The rare-gram inverted index `(g, doc_id)` — grams with df ∈
+    * [2, [[NgramRareDfMax]]] — staged once per (session, sf): it is the
+    * stored blocking layout both [[ngramJaccard]] and [[ngramContainment]]
+    * read, and recomputing the df cut per query repeats the corpus-wide
+    * gram aggregation.
+    */
+  private[graft] def rarePosting(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "rare_posting") {
+      val tg = distinctShingles(spark, sfDir)
+        .select(col("doc_id"), col("shingle").as("g"))
+      val rare = tg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= NgramRareDfMax)
+        .select(col("g"))
+      tg.join(broadcast(rare), Seq("g"), "left_semi")
+    }
+
   private def rareGramOverlaps(spark: SparkSession, sfDir: String): DataFrame = {
     val tg = distinctShingles(spark, sfDir)
       .select(col("doc_id"), col("shingle").as("g"))
-    val rare = tg.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= NgramRareDfMax)
-      .select(col("g"))
-    val posting = tg.join(broadcast(rare), Seq("g"), "left_semi")
+    val posting = rarePosting(spark, sfDir)
     val cand = posting.select(col("g"), col("doc_id").as("doc_a"))
       .join(posting.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
