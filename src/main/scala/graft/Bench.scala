@@ -55,6 +55,8 @@ object Bench {
       operators.DedupOps.ppjSets(spark, sfDir).count()
       operators.DedupOps.ppjPrefix(spark, sfDir).count()
       operators.DedupOps.rarePosting(spark, sfDir).count()
+      operators.DedupOps.ngramJaccard(spark, sfDir).count()
+      operators.DedupOps.simhash(spark, sfDir).count()
       operators.SimilarityOps.centroids(spark, sfDir).count()
       operators.SimilarityOps.kmeansAssignments(spark, sfDir).count()
       operators.SimilarityOps.kmeansLayout(spark, sfDir).count()

@@ -304,20 +304,25 @@ object DedupOps {
     * word-population's vote on that bit of the word hash. One exploded
     * aggregation, map-side combinable.
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val wordRows = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .select(col("doc_id"), h24(col("word")).as("h"))
-    val votes = (0 until SimhashBits).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    // staged like [[minhashSignatures]]: the per-doc signature table is
+    // what a production dedup keeps on disk; groups + banded neighbors
+    // both read it, and each would otherwise re-run the corpus word scan
+    // and the 24-bit majority vote
+    Tables.derivedBig(spark, sfDir, "simhash_sigs") {
+      val wordRows = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .select(col("doc_id"), h24(col("word")).as("h"))
+      val votes = (0 until SimhashBits).map { b =>
+        sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
+      }
+      val sig = (0 until SimhashBits).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      wordRows.groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
     }
-    val sig = (0 until SimhashBits).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    wordRows.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
-  }
 
   /** SimHash collision groups: docs sharing an identical signature
     * (Hamming-0 near-dup candidates).
@@ -619,7 +624,16 @@ object DedupOps {
       tg.join(broadcast(rare), Seq("g"), "left_semi")
     }
 
-  private def rareGramOverlaps(spark: SparkSession, sfDir: String): DataFrame = {
+  private def rareGramOverlaps(spark: SparkSession, sfDir: String): DataFrame =
+    // the verified overlap table (pairs + exact intersections + sizes) is
+    // shared by the Jaccard and containment cuts — the [[minhashCandidates]]
+    // staging precedent: compute the candidate surface once per session,
+    // let each registered query apply its own threshold to the stored table
+    Tables.derivedBig(spark, sfDir, "rare_overlaps") {
+      rareGramOverlapsBuild(spark, sfDir)
+    }
+
+  private[graft] def rareGramOverlapsBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val tg = distinctShingles(spark, sfDir)
       .select(col("doc_id"), col("shingle").as("g"))
     val posting = rarePosting(spark, sfDir)

@@ -441,7 +441,10 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("dedup verify joins are shuffle-hash with the fused merge count, never sort-merge over array payloads") {
-    for (df <- Seq(DedupOps.prefixJaccard(spark, Sf), DedupOps.ngramJaccard(spark, Sf))) {
+    // ngramJaccard reads the staged overlap table, so the verify shape to
+    // guard lives in the staging BUILD plan, not the registered query's
+    for (df <- Seq(DedupOps.prefixJaccard(spark, Sf),
+                   DedupOps.rareGramOverlapsBuild(spark, Sf))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("sortedintersectn"),
         "verify must use the codegen'd SortedIntersectN merge count")
