@@ -21,6 +21,34 @@ class SourcesSpec extends SparkSpec {
     assert(reg == Map("node1" -> ("10.0.0.1", 22), "node2" -> ("10.0.0.2", 2222)))
   }
 
+  test("Tables.events normalizes BOTH historical ts fixture encodings to TimestampType") {
+    import spark.implicits._
+    val base = 1704067200L * 1000000L // 2024-01-01T00:00:00Z in micros
+    // encoding A (corpus through r5): raw int64 nanos under the legacy conf
+    val nsDir = Files.createTempDirectory("graft_ev_ns")
+    Seq((1L, base * 1000L + 999L, 7L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nsDir/events.parquet")
+    // encoding B (corpus since 2026-08-13): native timestamp[us] without zone
+    val usDir = Files.createTempDirectory("graft_ev_us")
+    Seq((1L, 7L, "signup", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_micros(lit(base)).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$usDir/events.parquet")
+    for (dir <- Seq(nsDir, usDir)) {
+      val df = Tables.events(spark, dir.toString)
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"$dir: ts must normalize to session-zone TimestampType")
+      // both fixtures represent the same instant at micro precision
+      // (encoding A carries 999 sub-µs nanos that must floor away)
+      val micros = df.select(unix_micros(col("ts"))).collect().head.getLong(0)
+      assert(micros == base)
+    }
+  }
+
   test("S3/C1/C3: mapPartitions fan-out with error-as-value semantics") {
     import spark.implicits._
     val nodes = Seq(
