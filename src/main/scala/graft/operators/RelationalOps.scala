@@ -1068,26 +1068,50 @@ object RelationalOps {
   }
 
   /** X-A: exact weighted median (lower median) of extended price per return
-    * flag, weighted by quantity. Two-level shape chosen for scale: the raw
-    * fact table first collapses to distinct (flag, price) cells with summed
-    * weights — a map-side-combinable groupBy bounded by the VALUE DOMAIN,
-    * not the row count — and only that collapsed set flows through the
-    * per-flag cumulative-weight window. With 3 flags the window partition
-    * count is tiny, which is exactly why it must never see raw rows: at
-    * 100 TB the window input is still ~|distinct prices| ≈ 10⁶ rows while
-    * the fact scan stays fully parallel. All comparisons are exact decimal
-    * (2·cumw ≥ total), so the picked cell is engine-independent.
+    * flag, weighted by quantity. THREE-level shape chosen for scale (r7 —
+    * the classic distributed exact-median refinement): (1) the raw fact
+    * table collapses to distinct (flag, price) cells with summed weights —
+    * a map-side-combinable groupBy bounded by the VALUE DOMAIN, not the
+    * row count; (2) cells aggregate again into a per-$1000 BUCKET
+    * histogram, and the cumulative window that locates the median bucket
+    * runs over bucket-count-sized input (~10² rows/flag at ANY corpus
+    * size); (3) the exact cumulative sort happens only INSIDE the one
+    * median bucket, offset by the preceding buckets' mass. With 3 flags
+    * the window partition count is tiny, which is exactly why no window
+    * may ever see the full cell set: the r6 shape sorted ~|distinct
+    * prices| rows in 3 partitions — a fixed-parallelism sort that grows
+    * with the price domain — while this one's windows are bounded by
+    * bucket count and single-bucket occupancy. All comparisons are exact
+    * decimal / integer-cents (2·cumw ≥ total), so the picked cell is
+    * engine-independent and the median is bit-identical to the one-window
+    * form.
     */
   def weightedMedianPrice(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"), col("l_extendedprice").cast("decimal(12,2)").as("price"))
       .agg(sum(dec(col("l_quantity"))).as("w"))
+      // $1000-wide buckets on exact integer cents — never float-floor
+      .withColumn("bkt", expr("cast(price * 100 as bigint) div 100000"))
+    val bAgg = cells.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(sum(col("w")).as("bw"))
+    val bCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byFlag = Window.partitionBy(col("l_returnflag"))
+    val buckets = bAgg
+      .withColumn("bcum", sum(col("bw")).over(bCum))
+      .withColumn("total", sum(col("bw")).over(byFlag))
+    // the median bucket: first whose end-of-bucket cum reaches half —
+    // every earlier price is below the cut, and the qualifying cell is
+    // inside it by construction
+    val tmin = buckets.where(col("bcum") * 2 >= col("total"))
+      .groupBy(col("l_returnflag")).agg(min(col("bkt")).as("bkt"))
+    val target = tmin.join(buckets, Seq("l_returnflag", "bkt"))
+      .select(col("l_returnflag"), col("bkt"),
+        (col("bcum") - col("bw")).as("prev"), col("total"))
     val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cells
-      .withColumn("cumw", sum(col("w")).over(cum))
-      .withColumn("total", sum(col("w")).over(byFlag))
+    cells.join(broadcast(target), Seq("l_returnflag", "bkt"))
+      .withColumn("cumw", col("prev") + sum(col("w")).over(cum))
       .where(col("cumw") * 2 >= col("total"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("price")).cast("double").as("median_price"),
