@@ -124,7 +124,9 @@ object PlanDump {
       ("geo_sssp", "relaxation rounds read the staged weighted edges; only the vertex-sized distance vector moves",
         operators.GeoOps.sssp(spark, sfDir)),
       ("xt_autocorr_daily", "day+1 self-join on the per-day aggregate: hash-partitioned, no single-partition window",
-        operators.TimeSeriesOps.dailyAutocorr(spark, sfDir)))
+        operators.TimeSeriesOps.dailyAutocorr(spark, sfDir)),
+      ("xa_weighted_median", "three-level exact median: cells -> bucket histogram window -> in-bucket refine; no full-domain sort",
+        operators.RelationalOps.weightedMedianPrice(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
