@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Degeneracy alerting contract over the suite's two self-monitoring
+  * queries (VERDICT r7 #6). `dd_ppj_stats` and `dd_minhash_estimate` exist
+  * as oracle-verified reports; this object turns them into an operational
+  * contract: fixed thresholds at which a corpus is degenerate enough that
+  * the dedup plans' performance/accuracy assumptions no longer hold, and a
+  * `warnings` list Bench embeds in its JSON so the driver (and a production
+  * scheduler) sees the flag without reading the report tables.
+  *
+  * Thresholds carry headroom over the shipped corpus (sf0.01–sf0.1 measures
+  * noted per threshold) so routine drift never cries wolf, while a planted
+  * degenerate fixture (MonitorsSpec) reliably trips them.
+  */
+object Monitors {
+
+  /** Max share of all docs that one identical-token-set clique may hold.
+    * The PPJoin clique collapse (DedupOps.ppjPrefix) is exact at any clique
+    * size, but a dominant clique means the corpus is mostly one repeated
+    * document — the corpus, not the plan, is broken. Measured shipped
+    * corpus: 0.052 / 0.058 / 0.050 at sf0.001/0.01/0.1 (SF-stable) — 4x
+    * headroom.
+    */
+  val MaxCliqueShare = 0.20
+
+  /** Max prefix-posting length as a share of clique representatives. If one
+    * token's posting covers essentially ALL reps, every rep shares its
+    * rarest token and the prefix filter degenerates to all-pairs. The
+    * shipped corpus draws from a small vocabulary, so its hottest posting
+    * already covers 0.71–0.73 of reps at every SF (the real pruning comes
+    * from the length/positional filters and the clique collapse) — the
+    * flag line is "universal token" territory, not routine drift.
+    */
+  val MaxPostingShare = 0.95
+
+  /** Max candidate upper bound (Σ c·(c−1)/2 over postings) relative to the
+    * all-pairs space of the reps, i.e. posting multiplicity. Measured
+    * shipped corpus: 1.64 / 1.62 / 1.55 at sf0.001/0.01/0.1 (SF-stable);
+    * >5 means pairs co-occur in many postings — a pathological shared-
+    * rare-token structure the verify join would amplify.
+    */
+  val MaxCandidateDensity = 5.0
+
+  /** Max RMSE of the MinHash Jaccard estimator vs exact Jaccard over the
+    * LSH candidate pairs. At NumHashes=8 the estimator's per-pair sd is
+    * ≤ 1/(2√8) ≈ 0.18 (Bernoulli worst case at J=0.5), and LSH selection
+    * bias (pairs are candidates BECAUSE bands matched) pushes the observed
+    * RMSE slightly above it: measured 0.086 / 0.097 / 0.205 at
+    * sf0.001/0.01/0.1. Beyond 0.30 the signature pipeline itself is broken
+    * — hash skew or fixture corruption, not sampling noise.
+    */
+  val MaxMinhashRmse = 0.30
+
+  def ppjWarnings(nDocs: Long, nGroups: Long, maxClique: Long,
+                  maxPosting: Long, candUpper: Long): Seq[String] = {
+    val w = Seq.newBuilder[String]
+    if (nDocs > 0 && maxClique.toDouble / nDocs > MaxCliqueShare)
+      w += f"ppj: largest identical-token-set clique holds ${maxClique.toDouble / nDocs}%.2f of $nDocs docs (> $MaxCliqueShare%.2f)"
+    if (nGroups > 0 && maxPosting.toDouble / nGroups > MaxPostingShare)
+      w += f"ppj: hottest prefix-token posting covers ${maxPosting.toDouble / nGroups}%.2f of $nGroups reps (> $MaxPostingShare%.2f)"
+    val allPairs = nGroups.toDouble * (nGroups - 1) / 2
+    if (allPairs > 0 && candUpper / allPairs > MaxCandidateDensity)
+      w += f"ppj: candidate upper bound is ${candUpper / allPairs}%.1fx the reps' all-pairs space (> $MaxCandidateDensity%.0fx)"
+    w.result()
+  }
+
+  def minhashWarnings(rmse: Double, nPairs: Long): Seq[String] =
+    if (nPairs > 0 && rmse > MaxMinhashRmse)
+      Seq(f"minhash: estimator RMSE $rmse%.3f over $nPairs candidate pairs (> $MaxMinhashRmse%.2f at NumHashes=${operators.DedupOps.NumHashes}) - widen signatures or check hash skew")
+    else Seq.empty
+
+  /** Evaluate both monitors on a corpus. Collects two single-row aggregates
+    * (metadata-sized — never data). A monitor that itself fails returns a
+    * warning rather than throwing: the bench must finish.
+    */
+  def warnings(spark: SparkSession, sfDir: String): Seq[String] = {
+    val ppj =
+      try {
+        val r = operators.DedupOps.prefixJoinStats(spark, sfDir).head()
+        ppjWarnings(r.getAs[Long]("n_docs"), r.getAs[Long]("n_groups"),
+          r.getAs[Long]("max_clique"), r.getAs[Long]("max_posting"),
+          r.getAs[Long]("cand_upper"))
+      } catch { case NonFatal(e) =>
+        Seq(s"monitor dd_ppj_stats failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+      }
+    val mh =
+      try {
+        val r = operators.DedupOps.minhashEstimate(spark, sfDir)
+          .agg(sqrt(avg(pow(col("jaccard_est") - col("jaccard_exact"), 2))).as("rmse"),
+            count(lit(1)).as("n"))
+          .head()
+        minhashWarnings(Option(r.getAs[Double]("rmse")).getOrElse(0.0),
+          r.getAs[Long]("n"))
+      } catch { case NonFatal(e) =>
+        Seq(s"monitor dd_minhash_estimate failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+      }
+    ppj ++ mh
+  }
+}

@@ -43,6 +43,27 @@ object Tables {
     s"${System.getProperty("java.io.tmpdir")}/graft_stage/" +
       s"${Integer.toHexString(sfDir.hashCode)}/$name"
 
+  private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val attemptDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  /** A staging path no other build attempt can ever collide with. A
+    * timed-out Verify worker is abandoned, not killed (thread interrupt
+    * doesn't stop driver-side planning) — with a SHARED overwrite path the
+    * abandoned writer and a later rebuild of the same lineage would run two
+    * concurrent parquet overwrites on one directory and silently poison
+    * every downstream read (ADVICE r7). Unique per-attempt dirs make the
+    * abandoned writer harmless: nothing ever reads its directory, and
+    * [[clearDerived]] deletes whatever this session registered.
+    */
+  private[graft] def uniqueStageDir(spark: SparkSession, sfDir: String,
+                                    name: String): String = {
+    val p = stageDir(sfDir, name) +
+      s"/a${ProcessHandle.current().pid()}_${attemptSeq.incrementAndGet()}"
+    attemptDirs.add((System.identityHashCode(spark), p)): Unit
+    p
+  }
+
   /** Corpus-scale derived tables (exploded shingles, per-vector assignments,
     * z-keyed layouts) must NOT live in the executor block store for the
     * session's lifetime — at 100 TB they don't fit, and even at bench SF the
@@ -65,7 +86,7 @@ object Tables {
                                  (build: => DataFrame): DataFrame =
     derivedCache.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir, name), {
-        val path = stageDir(sfDir, name)
+        val path = uniqueStageDir(spark, sfDir, name)
         val w = build.write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(path)
@@ -93,16 +114,22 @@ object Tables {
                               key: String): DataFrame =
     derivedCache.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir, s"bkt_$src"), {
-        val tbl = s"graft_bkt_${src}_${Integer.toHexString(sfDir.hashCode)}"
-        val path = stageDir(sfDir, s"bkt_$src")
+        val path = uniqueStageDir(spark, sfDir, s"bkt_$src")
+        // catalog name carries the attempt suffix too: bucket metadata lives
+        // in the catalog, and an abandoned attempt must never DROP/replace a
+        // live attempt's entry
+        val tbl = s"graft_bkt_${src}_" + path.substring(path.lastIndexOf('/') + 1)
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        deleteLocal(path) // stale files from a previous JVM at the same path
         table(spark, sfDir, src).write.mode("overwrite")
           .option("path", path)
           .bucketBy(NumBuckets, key).sortBy(key)
           .format("parquet").saveAsTable(tbl)
+        bucketedTables.add((System.identityHashCode(spark), tbl)): Unit
         spark.table(tbl)
       })
+
+  private val bucketedTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
 
   def bucketedOrders(spark: SparkSession, sfDir: String): DataFrame =
     bucketed(spark, sfDir, "orders", "o_orderkey")
@@ -135,20 +162,29 @@ object Tables {
       "describe_results"   -> (() => describeResults(spark, sfDir).count()),
       "info_results"       -> (() => infoResults(spark, sfDir).count()))
     derivations.foreach { case (name, run) =>
-      try { run(): Unit } catch { case e: Throwable =>
+      // NonFatal only: an OOM or interrupt must abort the round loudly, not
+      // be logged as a fixture failure while the JVM limps on (ADVICE r7)
+      try { run(): Unit } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[tables] fixture derivation '$name' failed: ${e.getMessage}")
       }
     }
   }
 
   /** Unpersist and drop this session's derived-table cache (long-lived
-    * sessions must not accumulate cached blocks — ADVICE r1).
+    * sessions must not accumulate cached blocks — ADVICE r1), drop its
+    * bucketed catalog entries, and delete its staged attempt directories.
     */
   def clearDerived(spark: SparkSession): Unit = {
     val id = System.identityHashCode(spark)
     derivedCache.keys.filter(_._1 == id).foreach { k =>
       derivedCache.remove(k).foreach(_.unpersist())
     }
+    bucketedTables.removeIf { case (sid, tbl) =>
+      if (sid == id) { spark.sql(s"DROP TABLE IF EXISTS $tbl"); true } else false
+    }: Unit
+    attemptDirs.removeIf { case (sid, p) =>
+      if (sid == id) { deleteLocal(p); true } else false
+    }: Unit
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")

@@ -1,15 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import java.util.concurrent.{ExecutionException, Executors, TimeUnit, TimeoutException}
+import scala.util.control.NonFatal
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * Failure isolation (VERDICT r6 #2): fixture derivation is per-table
-  * try/log inside [[Tables.materializeDerived]], each query dump is
-  * try/log here, and each dump runs under a per-query timeout with Spark
-  * job-group cancellation — so neither one broken lineage nor one hung
-  * query can zero the round's correctness record.
+  * Failure isolation (VERDICT r6 #2, r7 #7): fixture derivation is
+  * per-table try/log inside [[Tables.materializeDerived]] AND runs under
+  * the same pool+timeout machinery as the query dumps (a hung — not
+  * thrown — derivation must not zero the round); each query dump is
+  * try/log with a per-query timeout and Spark job-group cancellation.
+  * Fatal JVM conditions (OOM) are rethrown, never logged-and-continued:
+  * a broken JVM must abort loudly instead of misattributing later
+  * failures (ADVICE r7).
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -27,34 +31,52 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.silenceBenignWarnings()
     new java.io.File(outDir).mkdirs()
-    Tables.materializeDerived(spark, sfDir) // fixture tables built once up front
+
     var pool = Executors.newSingleThreadExecutor()
+    /** Run `body` on the worker pool under a timeout + job-group so one
+      * hung or thrown unit degrades only itself. Abandoned workers write
+      * only to attempt-unique staging dirs (Tables.uniqueStageDir), so a
+      * later rebuild can never race them.
+      */
+    def runIsolated(name: String, timeout: Long)(body: => Unit): Unit = {
+      val task = pool.submit(new Runnable {
+        def run(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try body finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try { task.get(timeout, TimeUnit.SECONDS): Unit }
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          task.cancel(true): Unit
+          // The interrupted worker may not unwind promptly; abandon the
+          // pool so later units never queue behind a stuck one.
+          pool.shutdownNow(): Unit
+          pool = Executors.newSingleThreadExecutor()
+          System.err.println(s"[verify] $name TIMED OUT after ${timeout}s")
+        case e: ExecutionException =>
+          Option(e.getCause).getOrElse(e) match {
+            case fatal: VirtualMachineError => throw fatal // OOM etc: abort the round
+            case NonFatal(c) =>
+              System.err.println(s"[verify] $name failed: ${c.getMessage}")
+            case other => throw other
+          }
+      }
+    }
+
+    // fixture staging shares the timeout machinery (VERDICT r7 #7); 2x the
+    // per-query budget since it builds every derived fixture table at once
+    runIsolated("materialize_derived", timeoutSec * 2) {
+      Tables.materializeDerived(spark, sfDir)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else {
-        val task = pool.submit(new Runnable {
-          def run(): Unit = {
-            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            finally spark.sparkContext.clearJobGroup()
-          }
-        })
-        try task.get(timeoutSec, TimeUnit.SECONDS)
-        catch {
-          case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
-            task.cancel(true): Unit
-            // The interrupted worker may not unwind promptly; abandon the
-            // pool so later queries never queue behind a stuck one.
-            pool.shutdownNow(): Unit
-            pool = Executors.newSingleThreadExecutor()
-            System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s")
-          case e: Throwable =>
-            val cause = Option(e.getCause).getOrElse(e)
-            System.err.println(s"[verify] $name failed: ${cause.getMessage}")
-        }
+      else runIsolated(name, timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
     }
     pool.shutdownNow()

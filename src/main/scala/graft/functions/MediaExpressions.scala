@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, StructType}
+
+/** Real pure-JVM image decode as a native Catalyst expression (VERDICT r7
+  * #5 — the multimodal family's decode step was the one honest stub left).
+  *
+  * [[PpmStats]] parses a binary P6 PPM payload — the Netpbm spec: magic
+  * `P6`, whitespace-separated width/height/maxval with `#`-comment support,
+  * one whitespace byte, then `width*height*3` raw RGB bytes — and returns
+  * header fields plus exact per-channel sum/min/max as a struct of longs.
+  * It runs INSIDE WholeStageCodegen (the generated code is one static call
+  * per row — the same shape Spark's own `Decode`/`Hex` expressions emit),
+  * so the decode pipeline stays fused with the scan: no typed
+  * serialization, no iterator break, no UDF boxing. A malformed payload
+  * decodes to NULL rather than failing the job — the error-tolerant-rows
+  * contract the source family established (C3).
+  *
+  * Integer-only features (sums/mins/maxes of unsigned bytes) make the
+  * output bit-exact replayable: the DuckDB oracle rebuilds the identical
+  * pixel bytes by column arithmetic and must hash-match (SimMediaPack
+  * `md_ppm_decode`).
+  */
+object PpmDecode {
+
+  val schema: StructType = StructType(Seq(
+    "width", "height", "maxval",
+    "r_sum", "r_min", "r_max",
+    "g_sum", "g_min", "g_max",
+    "b_sum", "b_min", "b_max").map(StructField(_, LongType, nullable = false)))
+
+  /** Decode + per-channel stats in one pass. Returns null on any malformed
+    * payload (wrong magic, truncated pixels, absent dims). Called from
+    * generated code — keep the signature static-friendly.
+    */
+  def stats(bytes: Array[Byte]): InternalRow =
+    try {
+      var i = 0
+      val n = bytes.length
+      def skipWs(): Unit = {
+        var more = true
+        while (more) {
+          while (i < n && (bytes(i) == ' ' || bytes(i) == '\n' ||
+            bytes(i) == '\r' || bytes(i) == '\t')) i += 1
+          // '#' starts a comment running to end-of-line (Netpbm spec)
+          if (i < n && bytes(i) == '#') { while (i < n && bytes(i) != '\n') i += 1 }
+          else more = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        if (i >= n || bytes(i) < '0' || bytes(i) > '9') throw Malformed
+        var v = 0
+        while (i < n && bytes(i) >= '0' && bytes(i) <= '9') { v = v * 10 + (bytes(i) - '0'); i += 1 }
+        v
+      }
+      if (n < 2 || bytes(0) != 'P' || bytes(1) != '6') throw Malformed
+      i = 2
+      val w = int(); val h = int(); val maxval = int()
+      i += 1 // exactly ONE whitespace byte separates maxval from raster
+      if (w <= 0 || h <= 0 || i + w * h * 3 > n) throw Malformed
+      val sums = new Array[Long](3)
+      val mins = Array(256L, 256L, 256L)
+      val maxs = Array(-1L, -1L, -1L)
+      var p = 0
+      val end = w * h * 3
+      while (p < end) {
+        val v = (bytes(i + p) & 0xff).toLong
+        val c = p % 3
+        sums(c) += v
+        if (v < mins(c)) mins(c) = v
+        if (v > maxs(c)) maxs(c) = v
+        p += 1
+      }
+      new GenericInternalRow(Array[Any](w.toLong, h.toLong, maxval.toLong,
+        sums(0), mins(0), maxs(0), sums(1), mins(1), maxs(1),
+        sums(2), mins(2), maxs(2)))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  private object Malformed extends RuntimeException("malformed PPM") {
+    override def fillInStackTrace(): Throwable = this
+  }
+}
+
+case class PpmStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PpmDecode.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ppm_stats expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(b: Any): Any =
+    PpmDecode.stats(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+       |${ev.value} = graft.functions.PpmDecode.stats($b);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MediaExpressions {
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ppm_stats", exprs => PpmStats(exprs.head), "built-in")
+
+  /** Decoded header + per-channel stats struct for a binary PPM column. */
+  def ppmStats(spark: SparkSession, payload: Column): Column = {
+    ensureRegistered(spark)
+    call_function("ppm_stats", payload)
+  }
+}

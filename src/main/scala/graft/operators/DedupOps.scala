@@ -243,8 +243,12 @@ object DedupOps {
       val edges = jaccardOnCandidates(spark, sfDir)
         .where(col("jaccard") >= ClusterMinJaccard)
         .select(col("doc_a"), col("doc_b"))
+      // all of this build's round files live under one attempt-unique dir,
+      // so an abandoned (timed-out) builder can never race a rebuild's
+      // in-place overwrites (ADVICE r7)
+      val attemptDir = Tables.uniqueStageDir(spark, sfDir, "cc_run")
       def stage(df: DataFrame, name: String): DataFrame = {
-        val path = Tables.stageDir(sfDir, name)
+        val path = s"$attemptDir/$name"
         df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
       }

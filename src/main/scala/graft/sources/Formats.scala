@@ -45,7 +45,9 @@ object Formats {
   private def stagedRead(spark: SparkSession, sfDir: String, fmt: String)
                         (write: String => Unit)(read: String => DataFrame): DataFrame =
     staged.getOrElseUpdate((System.identityHashCode(spark), sfDir, fmt), {
-      val path = Tables.stageDir(sfDir, s"fmt_$fmt")
+      // attempt-unique path: an abandoned timed-out writer can never race a
+      // rebuild's overwrite on the same directory (ADVICE r7)
+      val path = Tables.uniqueStageDir(spark, sfDir, s"fmt_$fmt")
       write(path)
       read(path)
     })

@@ -203,4 +203,42 @@ class SimMediaSpec extends SparkSpec {
       .toMap
     assert(exprForm == stub)
   }
+
+  test("PpmDecode parses a hand-built PPM (with spec comments); malformed payloads decode to null") {
+    import graft.functions.PpmDecode
+    // 2x2 image, one '#' comment, pixel bytes 0..11
+    val px = (0 until 12).map(_.toByte).toArray
+    val ppm = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val r = PpmDecode.stats(ppm)
+    assert(r != null)
+    assert(Seq(r.getLong(0), r.getLong(1), r.getLong(2)) == Seq(2L, 2L, 255L))
+    // channel c holds bytes {c, c+3, c+6, c+9}
+    assert(r.getLong(3) == 0L + 3 + 6 + 9 && r.getLong(4) == 0L && r.getLong(5) == 9L)  // r
+    assert(r.getLong(6) == 1L + 4 + 7 + 10 && r.getLong(7) == 1L && r.getLong(8) == 10L) // g
+    assert(r.getLong(9) == 2L + 5 + 8 + 11 && r.getLong(10) == 2L && r.getLong(11) == 11L) // b
+    assert(PpmDecode.stats("P5\n2 2\n255\n".getBytes ++ px) == null) // wrong magic
+    assert(PpmDecode.stats("P6\n4 4\n255\n".getBytes ++ px) == null) // truncated raster
+    assert(PpmDecode.stats(Array.emptyByteArray) == null)
+  }
+
+  test("ppmDecode: real header parse over rendered payloads matches a JVM-side recompute") {
+    val payloads = MediaOps.ppmPayloads(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(payloads.nonEmpty)
+    val decoded = MediaOps.ppmDecode(spark, Sf).collect()
+    assert(decoded.length == payloads.size)
+    decoded.foreach { r =>
+      val bytes = payloads(r.getLong(0))
+      // recompute from the raw payload with an independent local parse
+      val lines = new String(bytes, "US-ASCII").split("\n")
+      val Array(w, h) = lines(1).split(" ").map(_.toInt): @unchecked
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(3) == 255L)
+      val raster = bytes.takeRight(w * h * 3)
+      val byCh = raster.zipWithIndex.groupBy(_._2 % 3)
+        .view.mapValues(_.map(p => (p._1 & 0xff).toLong)).toMap
+      assert(r.getLong(4) == byCh(0).sum && r.getLong(5) == byCh(0).min && r.getLong(6) == byCh(0).max)
+      assert(r.getLong(7) == byCh(1).sum && r.getLong(8) == byCh(1).min && r.getLong(9) == byCh(1).max)
+      assert(r.getLong(10) == byCh(2).sum && r.getLong(11) == byCh(2).min && r.getLong(12) == byCh(2).max)
+    }
+  }
 }
