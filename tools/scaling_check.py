@@ -2,15 +2,21 @@
 """Empirical scaling audit: run graft.Bench at several scale factors and fit
 a per-query scaling exponent.
 
-Usage: python3 tools/scaling_check.py [sf_dir ...]   (default: sf0.01 sf0.1)
+Usage: python3 tools/scaling_check.py [sf_dir ...]
+Defaults: sf0.01 sf0.1, plus target/scale/sf1.0 if it exists (generate it
+with tools/make_scale.py) — the 3-point curve the 100x claims need
+(VERDICT r7 #3): two points can hide a bend, three can't.
 
-For each registered query, reports t(sf_hi)/t(sf_lo) against the data-size
-ratio. A linear-work query on 10x the data costs <= ~10x (usually far less
-locally, since constant overheads dominate at small SF); a query whose time
-ratio materially EXCEEDS the size ratio is super-linear — the thing that
-dies at 100 TB — and gets flagged. Local noise means single-run ratios are
-indicative, not proof: re-run before believing a flag (see bench_compare.py
-caveats). Writes SCALING.md with the table.
+For each registered query, reports t ratios between consecutive scale
+points against the data-size ratio. A linear-work query on 10x the data
+costs <= ~10x (usually far less locally, since constant overheads dominate
+at small SF); a query whose time ratio materially EXCEEDS the size ratio on
+the LAST segment (where data dwarfs constants) is super-linear — the thing
+that dies at 100 TB — and gets flagged. Local noise means single-run ratios
+are indicative, not proof: re-run before believing a flag (see
+bench_compare.py caveats). Writes SCALING.md with the table, plus the same
+audit for the one-time staging builds (stage_detail) so a staging
+regression is attributable per item (VERDICT r7 #1).
 """
 import json
 import os
@@ -27,7 +33,7 @@ def run_bench(sf_dir):
                SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
-        capture_output=True, text=True, cwd=REPO, env=env, timeout=3600)
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=7200)
     for line in (out.stdout + out.stderr).splitlines():
         i = line.find('{"metric"')
         if i >= 0:
@@ -42,54 +48,117 @@ def run_bench(sf_dir):
     raise RuntimeError(f"no bench line for {sf_dir}:\n{out.stdout[-2000:]}")
 
 
-def main():
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
-    runs = [(d, run_bench(d)) for d in dirs]
-    lo_dir, lo = runs[0]
-    hi_dir, hi = runs[-1]
-    size_ratio = float(hi_dir.rsplit("sf", 1)[1]) / float(lo_dir.rsplit("sf", 1)[1])
+def sf_of(d):
+    return float(d.rstrip("/").rsplit("sf", 1)[1])
+
+
+def curve_rows(runs, key):
+    """(name, [t0..tn], [r1..rn]) per entry of runs[i][1][key]; a None in the
+    ratio list marks an unmeasurable segment (errored or 0.000-rounded)."""
+    names = sorted(runs[0][1].get(key, {}))
     rows = []
-    errors = []
-    for q in sorted(lo["queries"]):
-        tl, th = lo["queries"][q], hi["queries"].get(q)
-        if th is None or tl < 0 or th < 0:
-            # Bench reports a query that THREW as -1 (never a fast timing);
-            # surface it — an unmeasurable query is a finding, not a skip
-            errors.append((q, tl, th))
-            continue
-        if tl == 0:
-            # Bench serializes timings at %.3f, so a sub-0.5ms query rounds
-            # to 0.000 — a ratio would divide by zero; the query is simply
-            # too fast to measure at the low SF (ADVICE r7)
-            errors.append((q, tl, th))
-            continue
-        rows.append((q, tl, th, th / tl))
-    rows.sort(key=lambda r: -r[3])
-    flagged = [r for r in rows if r[3] > size_ratio]
+    for q in names:
+        ts = [r.get(key, {}).get(q) for _, r in runs]
+        ratios = []
+        for lo, hi in zip(ts, ts[1:]):
+            if (lo is None or hi is None or lo < 0 or hi < 0 or lo == 0):
+                # Bench reports a THROWN query as -1 (never a fast timing),
+                # and serializes at %.3f so a sub-0.5ms timing rounds to
+                # 0.000 — either way the segment has no meaningful ratio
+                # (ADVICE r7)
+                ratios.append(None)
+            else:
+                ratios.append(hi / lo)
+        rows.append((q, ts, ratios))
+    return rows
+
+
+def fmt_t(t):
+    return "—" if t is None or t < 0 else f"{t:.2f}"
+
+
+def fmt_r(r):
+    return "—" if r is None else f"{r:.1f}x"
+
+
+def main():
+    dirs = sys.argv[1:]
+    if not dirs:
+        dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+        sf1 = os.path.join(REPO, "target", "scale", "sf1.0")
+        if os.path.isdir(sf1):
+            dirs.append(sf1)
+    runs = [(d, run_bench(d)) for d in dirs]
+    sfs = [sf_of(d) for d in dirs]
+    seg_ratios = [b / a for a, b in zip(sfs, sfs[1:])]
+
+    rows = curve_rows(runs, "queries")
+    # flag on the LAST measurable segment: it has the least constant-cost
+    # dilution, so it is the best local predictor of the next decade
+    def last_seg(r):
+        meas = [(i, x) for i, x in enumerate(r[2]) if x is not None]
+        return meas[-1] if meas else None
+    flagged, errors = [], []
+    for r in rows:
+        ls = last_seg(r)
+        if ls is None:
+            errors.append(r)
+        elif ls[1] > seg_ratios[ls[0]]:
+            flagged.append(r)
+    rows.sort(key=lambda r: -(last_seg(r)[1] if last_seg(r) else -1))
+
+    stage_rows = curve_rows(runs, "stage_detail")
+    stage_rows.sort(key=lambda r: -(last_seg(r)[1] if last_seg(r) else -1))
+    stage_flagged = [r for r in stage_rows
+                     if last_seg(r) and last_seg(r)[1] > seg_ratios[last_seg(r)[0]]]
+
+    totals = [r.get("value", 0.0) for _, r in runs]
+    stage_totals = [r.get("phases", {}).get("stage") for _, r in runs]
+    hdr_t = " | ".join(f"t(sf{s:g}) s" for s in sfs)
+    hdr_r = " | ".join(f"r{i+1} (≤{seg_ratios[i]:.0f}x)"
+                       for i in range(len(seg_ratios)))
+
+    def table(f, rs):
+        f.write(f"| query | {hdr_t} | {hdr_r} | |\n")
+        f.write("|---" * (1 + len(sfs) + len(seg_ratios) + 1) + "|\n")
+        for q, ts, ratios in rs:
+            ls = last_seg((q, ts, ratios))
+            mark = "**FLAG**" if ls and ls[1] > seg_ratios[ls[0]] else ""
+            f.write(f"| {q} | " + " | ".join(fmt_t(t) for t in ts) + " | "
+                    + " | ".join(fmt_r(r) for r in ratios) + f" | {mark} |\n")
+
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("# SCALING — empirical per-query scaling audit\n\n")
-        f.write(f"Generated by `tools/scaling_check.py`: one `graft.Bench` run at "
-                f"`{lo_dir}` and `{hi_dir}` (data-size ratio ~{size_ratio:.0f}x).\n"
-                f"`ratio` = t(hi)/t(lo); a query materially above {size_ratio:.0f}x "
-                f"is super-linear and flagged. Single runs — treat flags as leads, "
-                f"not verdicts (local noise can be 2-5x on individual queries).\n\n")
-        f.write(f"Totals: {lo['value']:.1f}s -> {hi['value']:.1f}s "
-                f"({hi['value']/lo['value']:.1f}x for {size_ratio:.0f}x data). "
-                f"Flagged {len(flagged)}/{len(rows)}; "
-                f"{len(errors)} unmeasurable (errored at some SF).\n\n")
+        f.write("Generated by `tools/scaling_check.py`: one `graft.Bench` run at each of "
+                + ", ".join(f"`{d}`" for d in dirs)
+                + f" (segment data-size ratios {', '.join(f'{r:.0f}x' for r in seg_ratios)}; "
+                "the sf1.0 point is a deterministic 10x corpus from `tools/make_scale.py`).\n"
+                "`rK` = t(point K+1)/t(point K); a query materially above the segment's size "
+                "ratio on its LAST measurable segment is super-linear and flagged. Single "
+                "runs — treat flags as leads, not verdicts (local noise can be 2-5x on "
+                "individual queries). A 3-point curve that stays sub-linear on BOTH segments "
+                "is the empirical 100x-credibility check.\n\n")
+        f.write("Totals: " + " -> ".join(f"{t:.1f}s" for t in totals)
+                + f". Flagged {len(flagged)}/{len(rows)}; "
+                f"{len(errors)} unmeasurable (errored/too-fast at every segment).\n\n")
         if errors:
-            f.write("Errored queries (Bench reported failure, not a timing):\n\n")
-            for q, tl, th in errors:
-                f.write(f"- `{q}` (lo={tl}, hi={th})\n")
+            f.write("Unmeasurable queries (Bench reported failure or 0.000 at some SF):\n\n")
+            for q, ts, _ in errors:
+                f.write(f"- `{q}` ({', '.join(fmt_t(t) for t in ts)})\n")
             f.write("\n")
-        f.write("| query | t(lo) s | t(hi) s | ratio | |\n|---|---|---|---|---|\n")
-        for q, tl, th, r in rows:
-            mark = "**FLAG**" if r > size_ratio else ""
-            f.write(f"| {q} | {tl:.2f} | {th:.2f} | {r:.1f}x | {mark} |\n")
-    print(f"wrote SCALING.md: {len(flagged)} flagged of {len(rows)} "
-          f"(totals {lo['value']:.1f}s -> {hi['value']:.1f}s)")
-    for q, tl, th, r in flagged:
-        print(f"  FLAG {q}: {tl:.2f}s -> {th:.2f}s ({r:.1f}x)")
+        table(f, rows)
+        f.write("\n## Staging builds (one-time per session; `stage_detail`)\n\n")
+        if all(s is not None for s in stage_totals):
+            f.write("Stage-phase totals: "
+                    + " -> ".join(f"{s:.1f}s" for s in stage_totals)
+                    + f". Flagged {len(stage_flagged)}/{len(stage_rows)}.\n\n")
+        table(f, stage_rows)
+    print(f"wrote SCALING.md: {len(flagged)} flagged of {len(rows)} queries, "
+          f"{len(stage_flagged)} of {len(stage_rows)} staging items "
+          f"(totals {' -> '.join(f'{t:.1f}s' for t in totals)})")
+    for q, ts, ratios in flagged + stage_flagged:
+        print(f"  FLAG {q}: {' -> '.join(fmt_t(t) for t in ts)} "
+              f"({' , '.join(fmt_r(r) for r in ratios)})")
 
 
 if __name__ == "__main__":
