@@ -89,6 +89,82 @@ object PpmDecode {
   }
 }
 
+/** Real pure-JVM audio decode, same design as [[PpmDecode]]: [[WavStats]]
+  * walks a binary RIFF/WAVE container — `RIFF` magic + size + `WAVE`, then a
+  * genuine CHUNK WALK (id/size pairs, word-aligned with odd-size pad bytes,
+  * arbitrary chunk order, unknown chunks skipped — the part naive parsers
+  * get wrong) — reads the `fmt ` chunk (PCM code, channels, sample rate,
+  * bit depth) and the `data` chunk, and emits exact integer sample stats
+  * (sum/min/max/sum-of-squares) for 8-bit unsigned or 16-bit signed LE PCM.
+  * Codegen'd one-static-call-per-row like [[PpmStats]]; malformed or
+  * non-PCM payloads decode to NULL (the C3 error-tolerance contract).
+  */
+object WavDecode {
+
+  val schema: StructType = StructType(Seq(
+    "sample_rate", "channels", "bits", "n_samples",
+    "s_sum", "s_min", "s_max", "sq_sum")
+    .map(StructField(_, LongType, nullable = false)))
+
+  def stats(bytes: Array[Byte]): InternalRow =
+    try {
+      val n = bytes.length
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+      def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+      if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") throw Malformed
+      var fmtCode, channels, bits = -1
+      var rate = -1L
+      var dataOff, dataLen = -1L
+      var i = 12L
+      while (i + 8 <= n) {
+        val id = tag(i.toInt)
+        val size = le32(i.toInt + 4)
+        if (size < 0 || i + 8 + size > n) throw Malformed
+        if (id == "fmt " && size >= 16) {
+          val b = i.toInt + 8
+          fmtCode = le16(b); channels = le16(b + 2)
+          rate = le32(b + 4); bits = le16(b + 14)
+        } else if (id == "data") { dataOff = i + 8; dataLen = size }
+        i += 8 + size + (size & 1) // chunks are word-aligned: odd sizes pad
+      }
+      if (fmtCode != 1 || dataOff < 0 || channels < 1) throw Malformed
+      val o = dataOff.toInt
+      var sum = 0L; var sq = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      val nSamples = bits match {
+        case 8 =>
+          var p = 0
+          while (p < dataLen) {
+            val v = u8(o + p).toLong
+            sum += v; sq += v * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            p += 1
+          }
+          dataLen
+        case 16 =>
+          if ((dataLen & 1) != 0) throw Malformed
+          var p = 0
+          while (p < dataLen) {
+            val v = le16(o + p).toShort.toLong // signed LE PCM
+            sum += v; sq += v * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            p += 2
+          }
+          dataLen / 2
+        case _ => throw Malformed
+      }
+      if (nSamples == 0) { mn = 0L; mx = 0L }
+      new GenericInternalRow(Array[Any](
+        rate, channels.toLong, bits.toLong, nSamples, sum, mn, mx, sq))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  private object Malformed extends RuntimeException("malformed WAV") {
+    override def fillInStackTrace(): Throwable = this
+  }
+}
+
 case class PpmStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = PpmDecode.schema
@@ -113,15 +189,48 @@ case class PpmStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+case class WavStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = WavDecode.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wav_stats expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(b: Any): Any =
+    WavDecode.stats(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+       |${ev.value} = graft.functions.WavDecode.stats($b);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object MediaExpressions {
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ppm_stats", exprs => PpmStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_stats", exprs => WavStats(exprs.head), "built-in")
+  }
 
   /** Decoded header + per-channel stats struct for a binary PPM column. */
   def ppmStats(spark: SparkSession, payload: Column): Column = {
     ensureRegistered(spark)
     call_function("ppm_stats", payload)
+  }
+
+  /** Decoded fmt-chunk fields + exact sample stats for a binary WAV column. */
+  def wavStats(spark: SparkSession, payload: Column): Column = {
+    ensureRegistered(spark)
+    call_function("wav_stats", payload)
   }
 }

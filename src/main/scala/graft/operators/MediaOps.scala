@@ -109,6 +109,61 @@ object MediaOps {
           .map(f => col(s"s.$f").as(f)): _*)
   }
 
+  /** Little-endian hex rendering of an integer column (`nBytes` wide) — the
+    * data-dependent fields of a RIFF header. Codegen'd built-ins only.
+    */
+  private def le32sql(e: String): String =
+    (0 until 4).map(i => s"lpad(hex(($e div ${1L << (8 * i)}) % 256), 2, '0')")
+      .mkString("concat(", ", ", ")")
+
+  private def leHex(v: Long, nBytes: Int): String =
+    (0 until nBytes).map(i => f"${(v >> (8 * i)) & 0xff}%02x").mkString
+
+  /** WAV render constants: 8 kHz mono 8-bit unsigned PCM. */
+  val WavRate = 8000L
+
+  /** Real RIFF/WAVE audio payloads, rendered deterministically from the
+    * corpus: a genuine PCM header (RIFF size, `fmt ` chunk with
+    * format/channels/rate/bits, `data` chunk with LE length — built with
+    * `unhex` over codegen'd hex arithmetic) followed by
+    * `16·(1 + h24(text) mod 16)` unsigned 8-bit samples whose bytes are the
+    * ASCII codes of md5(text) hex chars repeated — so the DuckDB oracle can
+    * rebuild the identical samples by column arithmetic while the header
+    * bytes are real binary little-endian fields, not ASCII stand-ins.
+    */
+  def wavPayloads(spark: SparkSession, sfDir: String): DataFrame = {
+    val fmtBody = leHex(1, 2) + leHex(1, 2) + leHex(WavRate, 4) +
+      leHex(WavRate, 4) + leHex(1, 2) + leHex(8, 2)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (Tables.h24(col("text")) % 16 + 1).multiply(16).as("n"),
+        md5(col("text")).as("hx"))
+      .select(col("doc_id"),
+        concat(
+          lit("RIFF").cast("binary"),
+          unhex(expr(le32sql("(36 + n)"))),
+          lit("WAVEfmt ").cast("binary"),
+          unhex(lit(leHex(16, 4) + fmtBody)),
+          lit("data").cast("binary"),
+          unhex(expr(le32sql("n"))),
+          expr("substring(repeat(hx, 8), 1, n)").cast("binary")).as("payload"))
+  }
+
+  /** REAL audio decode: parse the RIFF container with the native codegen'd
+    * [[graft.functions.WavStats]] expression (chunk walk, `fmt `/`data`
+    * extraction, exact integer sample stats). Same fused narrow-map shape as
+    * [[ppmDecode]] — render, parse, stats in one WholeStageCodegen stage
+    * over the documents scan; zero shuffle at any scale.
+    */
+  def wavDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = graft.functions.MediaExpressions.wavStats(spark, col("payload"))
+    wavPayloads(spark, sfDir)
+      .select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id") +:
+        graft.functions.WavDecode.schema.fieldNames.toSeq
+          .map(f => col(s"s.$f").as(f)): _*)
+  }
+
   /** Frame sampling: fixed 32-byte frames of the payload with per-frame
     * checksums — the video frame-extraction shape (explode over a computed
     * frame index, narrow, codegen'd).

@@ -28,6 +28,7 @@ object SimMediaPack extends QueryPack {
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_ppm_decode" -> ((s, d) => MediaOps.ppmDecode(s, d)),
+    "md_wav_decode" -> ((s, d) => MediaOps.wavDecode(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
   )
 
@@ -475,6 +476,29 @@ object SimMediaPack extends QueryPack {
          |  ${chan(1, "sum", "g_sum")}, ${chan(1, "min", "g_min")}, ${chan(1, "max", "g_max")},
          |  ${chan(2, "sum", "b_sum")}, ${chan(2, "min", "b_min")}, ${chan(2, "max", "b_max")}
          |FROM pb GROUP BY doc_id, hgt""".stripMargin
+    },
+    "md_wav_decode" -> {
+      // rebuild the PCM data bytes by column arithmetic: sample i is the
+      // ASCII code of hex char i of md5(text) repeated; header fields are
+      // the render constants (8 kHz mono 8-bit) — the BINARY header is what
+      // the Spark side genuinely parses, the SAMPLES are what both compute
+      s"""WITH base AS (
+         |  SELECT doc_id, md5(text) AS hx,
+         |    16 * (1 + (${h24("text")} % 16)) AS n
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, n, unnest(range(1, n + 1)) AS i, hx FROM base
+         |), sb AS (
+         |  SELECT doc_id, n,
+         |    ascii(substr(repeat(hx, 8), CAST(i AS INT), 1)) AS b
+         |  FROM px
+         |)
+         |SELECT doc_id, CAST(${MediaOps.WavRate} AS BIGINT) AS sample_rate,
+         |  CAST(1 AS BIGINT) AS channels, CAST(8 AS BIGINT) AS bits,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(sum(b) AS BIGINT) AS s_sum, CAST(min(b) AS BIGINT) AS s_min,
+         |  CAST(max(b) AS BIGINT) AS s_max, CAST(sum(b * b) AS BIGINT) AS sq_sum
+         |FROM sb GROUP BY doc_id, n""".stripMargin
     },
     "md_frames" ->
       """SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,

@@ -241,4 +241,61 @@ class SimMediaSpec extends SparkSpec {
       assert(r.getLong(10) == byCh(2).sum && r.getLong(11) == byCh(2).min && r.getLong(12) == byCh(2).max)
     }
   }
+
+  test("WavDecode chunk-walks a hand-built RIFF (extra chunk, odd-size padding, 8 and 16 bit)") {
+    import graft.functions.WavDecode
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le(body.length, 4) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def fmt(code: Int, ch: Int, rate: Long, bits: Int): Array[Byte] =
+      le(code, 2) ++ le(ch, 2) ++ le(rate, 4) ++ le(rate * ch * bits / 8, 4) ++
+        le(ch * bits / 8, 2) ++ le(bits, 2)
+    def wav(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      "RIFF".getBytes("US-ASCII") ++ le(body.length, 4) ++ body
+    }
+    // 8-bit: an odd-sized unknown chunk BEFORE fmt exercises skip + padding
+    val w8 = wav(chunk("LIST", Array(1, 2, 3).map(_.toByte)),
+      chunk("fmt ", fmt(1, 1, 8000, 8)),
+      chunk("data", Array(0, 10, 255).map(_.toByte)))
+    val r8 = WavDecode.stats(w8)
+    assert(r8 != null)
+    assert((0 until 8).map(r8.getLong) ==
+      Seq(8000L, 1L, 8L, 3L, 0L + 10 + 255, 0L, 255L, 100L + 255 * 255))
+    // 16-bit signed LE, data chunk FIRST (order independence)
+    val w16 = wav(chunk("data", le(-2 & 0xffff, 2) ++ le(300, 2)),
+      chunk("fmt ", fmt(1, 2, 44100, 16)))
+    val r16 = WavDecode.stats(w16)
+    assert(r16 != null)
+    assert((0 until 8).map(r16.getLong) ==
+      Seq(44100L, 2L, 16L, 2L, -2L + 300, -2L, 300L, 4L + 90000))
+    assert(WavDecode.stats("RIFX1234WAVE".getBytes) == null)     // wrong magic
+    assert(WavDecode.stats(wav(chunk("fmt ", fmt(85, 1, 8000, 8)),
+      chunk("data", Array(1.toByte)))) == null)                  // non-PCM (mp3 code)
+    assert(WavDecode.stats(wav(chunk("fmt ", fmt(1, 1, 8000, 16)),
+      chunk("data", Array(1.toByte)))) == null)                  // odd 16-bit data len
+    assert(WavDecode.stats(w8.take(20)) == null)                 // truncated chunk
+  }
+
+  test("wavDecode: real RIFF parse over rendered payloads matches a JVM-side recompute") {
+    val payloads = MediaOps.wavPayloads(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(payloads.nonEmpty)
+    val decoded = MediaOps.wavDecode(spark, Sf).collect()
+    assert(decoded.length == payloads.size)
+    decoded.foreach { r =>
+      val bytes = payloads(r.getLong(0))
+      // header is real binary: 44-byte canonical PCM layout
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 16), "US-ASCII") == "WAVEfmt ")
+      val n = bytes.length - 44
+      val samples = bytes.takeRight(n).map(b => (b & 0xff).toLong)
+      assert(r.getLong(1) == MediaOps.WavRate && r.getLong(2) == 1L && r.getLong(3) == 8L)
+      assert(r.getLong(4) == n.toLong && n % 16 == 0 && n >= 16 && n <= 256)
+      assert(r.getLong(5) == samples.sum && r.getLong(6) == samples.min)
+      assert(r.getLong(7) == samples.max && r.getLong(8) == samples.map(v => v * v).sum)
+    }
+  }
 }
