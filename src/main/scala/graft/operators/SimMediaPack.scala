@@ -33,9 +33,10 @@ object SimMediaPack extends QueryPack {
   )
 
   private val vecCtes = Seq(
-    """qv AS (SELECT vec_id AS query_id,
+    s"""qv AS (SELECT vec_id AS query_id,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
-      |       FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin,
+      |       FROM embeddings
+      |       WHERE vec_id % 100 = 0 AND vec_id < ${SimilarityOps.QueryPanelCap})""".stripMargin,
     """vv AS (SELECT vec_id, label,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |       FROM embeddings)""".stripMargin)

@@ -103,4 +103,87 @@ class PropertySpec extends SparkSpec {
       .where(col("rn") <= 0 || col("rn") > maxNorm * 1.001).count()
     assert(bad == 0)
   }
+
+  // ---- binary-parser properties: the two native decoders run inside ----
+  // ---- codegen on untrusted bytes, so they must NEVER throw — only   ----
+  // ---- decode or return null — and must agree with a reference model ----
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le(body.length, 4) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+
+  private def renderWav(rate: Long, channels: Int, bits: Int,
+                        samples: Seq[Int], junk: Seq[Array[Byte]],
+                        dataFirst: Boolean): Array[Byte] = {
+    val fmt = riffChunk("fmt ", le(1, 2) ++ le(channels, 2) ++ le(rate, 4) ++
+      le(rate * channels * bits / 8, 4) ++ le(channels * bits / 8, 2) ++ le(bits, 2))
+    val data = riffChunk("data",
+      samples.flatMap(s => le(s.toLong & ((1L << bits) - 1), bits / 8)).toArray)
+    val core = if (dataFirst) data ++ fmt else fmt ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ junk.flatten ++ core
+    "RIFF".getBytes("US-ASCII") ++ le(body.length, 4) ++ body
+  }
+
+  test("WavDecode: random well-formed RIFFs (junk chunks, both layouts) decode to the reference stats") {
+    import graft.functions.WavDecode
+    val genJunk = Gen.listOfN(2, for {
+      id <- Gen.oneOf("LIST", "fact", "cue ", "junk")
+      n <- Gen.chooseNum(0, 9)
+      bytes <- Gen.listOfN(n, Gen.chooseNum(0, 255))
+    } yield riffChunk(id, bytes.map(_.toByte).toArray))
+    val genWav = for {
+      rate <- Gen.chooseNum(1L, 192000L)
+      channels <- Gen.chooseNum(1, 4)
+      bits <- Gen.oneOf(8, 16)
+      n <- Gen.chooseNum(0, 64)
+      samples <- Gen.listOfN(n, Gen.chooseNum(0, (1 << bits) - 1))
+      junk <- genJunk
+      dataFirst <- Gen.oneOf(true, false)
+    } yield (rate, channels, bits, samples, junk, dataFirst)
+    samples(genWav, 300, seed = 23L).foreach {
+      case (rate, channels, bits, ss, junk, dataFirst) =>
+        val r = WavDecode.stats(
+          renderWav(rate, channels, bits, ss, junk, dataFirst))
+        assert(r != null, s"rate=$rate ch=$channels bits=$bits n=${ss.length}")
+        val vals = // the reference sample model: u8 raw, s16 two's-complement
+          if (bits == 8) ss.map(_.toLong) else ss.map(s => s.toShort.toLong)
+        assert(r.getLong(0) == rate && r.getLong(1) == channels && r.getLong(2) == bits)
+        assert(r.getLong(3) == ss.length)
+        assert(r.getLong(4) == vals.sum)
+        assert(r.getLong(5) == (if (vals.isEmpty) 0L else vals.min))
+        assert(r.getLong(6) == (if (vals.isEmpty) 0L else vals.max))
+        assert(r.getLong(7) == vals.map(v => v * v).sum)
+    }
+  }
+
+  test("parser fuzz: random and corrupted payloads never throw from either decoder") {
+    import graft.functions.{PpmDecode, WavDecode}
+    // pure random bytes
+    val genRandom = for {
+      n <- Gen.chooseNum(0, 200)
+      bytes <- Gen.listOfN(n, Gen.chooseNum(-128, 127))
+    } yield bytes.map(_.toByte).toArray
+    samples(genRandom, 400, seed = 31L).foreach { b =>
+      PpmDecode.stats(b); WavDecode.stats(b): Unit // must not throw
+    }
+    // mutations of VALID payloads: byte flips and truncations — the
+    // adversarial neighborhood where off-by-one parsers actually fail
+    val wav = renderWav(8000, 1, 16, Seq(1, 2, 40000, 65535), Nil, dataFirst = false)
+    val ppm = "P6\n# c\n3 2\n255\n".getBytes("US-ASCII") ++
+      (0 until 18).map(_.toByte).toArray
+    val genMut = for {
+      pos <- Gen.chooseNum(0, wav.length - 1)
+      v <- Gen.chooseNum(-128, 127)
+      cut <- Gen.chooseNum(0, wav.length)
+    } yield (pos, v.toByte, cut)
+    samples(genMut, 400, seed = 37L).foreach { case (pos, v, cut) =>
+      val mw = wav.clone(); mw(pos % wav.length) = v
+      WavDecode.stats(mw); WavDecode.stats(wav.take(cut)): Unit
+      val mp = ppm.clone(); mp(pos % ppm.length) = v
+      PpmDecode.stats(mp); PpmDecode.stats(ppm.take(cut % ppm.length)): Unit
+    }
+  }
 }

@@ -26,7 +26,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir):
+def cache_path(sf_dir):
+    label = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(REPO, "target", "scale", f"bench_{label}.json")
+
+
+def run_bench(sf_dir, use_cache=False):
+    """One Bench run at sf_dir -> detail dict. Every run is cached to
+    target/scale/bench_<sf>.json; --use-cache reuses an existing cache so a
+    single contention-suspect point can be re-measured on a quiet machine
+    and spliced with the clean points instead of re-running everything.
+    """
+    cp = cache_path(sf_dir)
+    if use_cache and os.path.exists(cp):
+        with open(cp) as f:
+            return json.load(f)
     # inherit the caller's environment (JAVA_HOME, sbt opts, proxies, ...)
     # and override only the two graft knobs
     env = dict(os.environ,
@@ -43,7 +57,10 @@ def run_bench(sf_dir):
             detail = parsed.get("detail")
             if detail:
                 with open(os.path.join(REPO, detail)) as f:
-                    return json.load(f)
+                    parsed = json.load(f)
+            os.makedirs(os.path.dirname(cp), exist_ok=True)
+            with open(cp, "w") as f:
+                json.dump(parsed, f)
             return parsed
     raise RuntimeError(f"no bench line for {sf_dir}:\n{out.stdout[-2000:]}")
 
@@ -82,13 +99,15 @@ def fmt_r(r):
 
 
 def main():
-    dirs = sys.argv[1:]
+    args = sys.argv[1:]
+    use_cache = "--use-cache" in args
+    dirs = [a for a in args if a != "--use-cache"]
     if not dirs:
         dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
         sf1 = os.path.join(REPO, "target", "scale", "sf1.0")
         if os.path.isdir(sf1):
             dirs.append(sf1)
-    runs = [(d, run_bench(d)) for d in dirs]
+    runs = [(d, run_bench(d, use_cache)) for d in dirs]
     sfs = [sf_of(d) for d in dirs]
     seg_ratios = [b / a for a, b in zip(sfs, sfs[1:])]
 
