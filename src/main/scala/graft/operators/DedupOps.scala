@@ -441,6 +441,49 @@ object DedupOps {
       .distinct()
   }
 
+  /** Neighbors kept per vector by [[srpKnnJoin]]. */
+  val KnnJoinK = 3
+
+  /** X-P30: approximate kNN JOIN — top-k cosine neighbors for EVERY vector,
+    * not a probe panel: the all-pairs shape behind embedding-level corpus
+    * dedup, cluster seeding, and label propagation. A literal all-pairs
+    * join is O(N²) and dies first at 100 TB; here the candidate set is the
+    * SRP-bucket collision graph (same similarity-preserving blocking as
+    * [[embeddingNearDups]]): vectors compared only when some hash table
+    * buckets them together, every bucket bounded by [[MaxBucketDocs]], so
+    * candidates per vector are ≤ SrpTables·MaxBucketDocs regardless of
+    * corpus size and the per-vector rank window can never degenerate.
+    * Work scales linearly in N at fixed geometry; recall tunes with
+    * SrpTables/SrpBits exactly like the near-dup query. Cosines are
+    * rounded to 6 dp (established cross-engine convention), ties break by
+    * neighbor id, rank is a per-vector row_number over the bounded
+    * candidate list.
+    */
+  def srpKnnJoin(spark: SparkSession, sfDir: String, k: Int = KnnJoinK): DataFrame = {
+    val buckets = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until SrpTables).map { t =>
+          struct(lit(t).as("t"), srpBucket(spark, t, col("embedding")).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+    val normed = guardBuckets(buckets, "t", "bucket").withColumn("nrm",
+      sqrt(dotD(spark, col("embedding"), col("embedding"))))
+    val a = normed.select(col("vec_id"), col("embedding").as("ea"),
+      col("nrm").as("nrm_a"), col("t"), col("bucket"))
+    val b = normed.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+      col("nrm").as("nrm_b"), col("t"), col("bucket"))
+    val cand = a.join(b, Seq("t", "bucket"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dotD(spark, col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cosine"))
+      .distinct() // collapse multi-table collisions: cosine is pair-deterministic
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Quality-aware survivor selection: for every duplicate cluster, rank the
     * members by the curation quality score (ties → lower doc_id) and flag
     * the best one to keep. [[duplicateClusters]]' min-doc_id `is_canonical`

@@ -47,6 +47,8 @@ object TextDedupPack extends QueryPack {
     "dd_containment" -> ((s, d) => DedupOps.ngramContainment(s, d)),
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
+    "tx_bm25_search" -> ((s, d) => TextOps.bm25Search(s, d)),
+    "sim_srp_knn_join" -> ((s, d) => DedupOps.srpKnnJoin(s, d)),
     "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
     "tx_doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "tx_dataset_splits" -> ((s, d) => TextOps.datasetSplits(s, d)),
@@ -71,6 +73,29 @@ object TextDedupPack extends QueryPack {
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
+  /** Shared SRP collision-graph CTEs (`v` double-cast vectors, `b` one row
+    * per (vector, hash table, bucket)) — identical weight literals as
+    * [[DedupOps.srpWeight]] embeds in Spark; used by the near-dup threshold
+    * query and the kNN-join top-k query.
+    */
+  private lazy val srpBucketCtes: String = {
+    def wList(t: Int, p: Int): String =
+      (0 until DedupOps.EmbDim)
+        .map(i => f"${DedupOps.srpWeight(t, p, i)}%.3f").mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String =
+      (0 until DedupOps.SrpBits).map { p =>
+        s"(CASE WHEN list_dot_product(e, ${wList(t, p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    val tableRows = (0 until DedupOps.SrpTables).map { t =>
+      s"  SELECT vec_id, e, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM v"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |b AS (
+       |$tableRows
+       |)""".stripMargin
+  }
+
   private val shinglesCte =
     """doc_shingles AS (
       |  SELECT doc_id,
@@ -561,6 +586,34 @@ object TextDedupPack extends QueryPack {
          |FROM scored
          |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
     },
+    // BM25 twin: rebuilt from the text; dl/avgdl and every constant are
+    // spelled as the SAME double expressions Spark evaluates ((1.2 + 1),
+    // (1 - 0.75)) so the exactly-rounded IEEE op sequence matches
+    // bit-for-bit — no ln anywhere (see TextOps.bm25Search)
+    "tx_bm25_search" -> {
+      val termList = TextOps.SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dls AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+         |          FROM dls),
+         |post AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word IN ($termList)
+         |  GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM post GROUP BY word),
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms_hit,
+         |    sum(((CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1))) /
+         |        (tf + 1.2 * ((1 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |      AS raw_score
+         |  FROM post p JOIN dfreq USING (word) JOIN dls USING (doc_id), stats
+         |  GROUP BY p.doc_id)
+         |SELECT doc_id, n_terms_hit, round(raw_score, 6) AS score
+         |FROM scored
+         |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
+    },
     // single-space word separation makes the padded-substring test exactly
     // the consecutive-words test the positional index answers
     "tx_phrase_search" ->
@@ -596,23 +649,8 @@ object TextDedupPack extends QueryPack {
         |  WHERE a.doc_id < c.doc_id)
         |WHERE hamming BETWEEN 1 AND 3""".stripMargin
     },
-    "dd_embedding_neardups" -> {
-      // identical SRP weight literals as DedupOps.srpWeight embeds in Spark
-      def wList(t: Int, p: Int): String =
-        (0 until DedupOps.EmbDim)
-          .map(i => f"${DedupOps.srpWeight(t, p, i)}%.3f").mkString("[", ", ", "]")
-      def bucketExpr(t: Int): String =
-        (0 until DedupOps.SrpBits).map { p =>
-          s"(CASE WHEN list_dot_product(e, ${wList(t, p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
-        }.mkString(" + ")
-      val tableRows = (0 until DedupOps.SrpTables).map { t =>
-        s"  SELECT vec_id, e, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM v"
-      }.mkString("\n  UNION ALL\n")
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |           FROM embeddings),
-         |b AS (
-         |$tableRows
-         |)
+    "dd_embedding_neardups" ->
+      s"""$srpBucketCtes
          |SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
          |  round(list_dot_product(a.e, c.e) /
          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
@@ -620,8 +658,24 @@ object TextDedupPack extends QueryPack {
          |FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id
          |WHERE round(list_dot_product(a.e, c.e) /
          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
-         |  >= 0.30""".stripMargin
-    },
+         |  >= 0.30""".stripMargin,
+    // same SRP collision graph, per-vector top-k instead of a threshold
+    "sim_srp_knn_join" ->
+      s"""$srpBucketCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(a.e, c.e) /
+         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |      AS cosine
+         |  FROM b a JOIN b c
+         |    ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+         |)
+         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= ${DedupOps.KnnJoinK}""".stripMargin,
     // Efraimidis–Spirakis replay: same dyadic-rational u, same ln-domain
     // key, same (key desc, doc_id) cut
     "tx_weighted_sample" -> {

@@ -497,11 +497,29 @@ object TextOps {
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     Tables.derivedBigBy(spark, sfDir, "inverted_index", Seq("bucket")) {
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        // dl (doc token count) rides denormalized on every posting row —
+        // the Lucene norms move: length normalization is then answerable
+        // from the pruned postings alone, no doc-table join at query time
+        .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+          posexplode(col("ws")).as(Seq("pos", "word")))
         .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list(col("pos"))).as("positions"))
+          sort_array(collect_list(col("pos"))).as("positions"),
+          max(col("dl")).as("dl"))
         .withColumn("bucket", Tables.h24(col("word")) % IndexBuckets)
+    }
+
+  /** One-row corpus statistics the scorer needs (doc count + mean doc
+    * length) — computed once per session at index time and cached like
+    * every tiny derived fixture: at 100 TB these are index-build metadata,
+    * not a query-time corpus aggregation.
+    */
+  def indexDocStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derived(spark, sfDir, "index_doc_stats") {
+      Tables.documents(spark, sfDir)
+        .select(size(words(col("text"))).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     }
 
   /** X-P16: inverted-index keyword search — conjunctive term lookup (docs
@@ -559,6 +577,51 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("tf") * (col("n_docs").cast("double") / col("df"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))
+  }
+
+  /** BM25 shape parameters (the standard Robertson defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B  = 0.75
+
+  /** X-P29: BM25-shaped ranked retrieval over the same posting layout —
+    * [[rankedSearch]]'s plan with the two things raw tf·idf lacks: TERM
+    * SATURATION (tf·(k1+1)/(tf+k1·…): the 50th occurrence of a term is
+    * worth almost nothing more than the 10th — kills keyword-stuffed docs)
+    * and LENGTH NORMALIZATION (the `dl/avgdl` interpolation: a term hit in
+    * a short doc outranks the same hit buried in a long one). `dl` comes
+    * from the posting rows themselves (denormalized at index build, the
+    * Lucene-norms move) and `(n_docs, avgdl)` from the one-row stats table
+    * staged at index time — so the query still touches ONLY its terms'
+    * pruned posting lists.
+    *
+    * Numeric portability: the classic ln-idf is replaced by the rational
+    * `n_docs/df` idf already established for [[rankedSearch]] — `ln` is
+    * the one libm call whose last ulp differs across engines, while every
+    * operation here (divide, multiply, ≤2-term commutative sum) is
+    * exactly-rounded IEEE, so scores stay bit-identical cross-engine.
+    * Both idfs are strictly decreasing in df, so the substitution
+    * preserves BM25's df-ordering semantics; saturation and length
+    * normalization — the parts being demonstrated — are exact BM25.
+    */
+  def bm25Search(spark: SparkSession, sfDir: String,
+                 terms: Seq[String] = SearchTerms, k: Int = SearchTopK): DataFrame = {
+    val buckets = terms
+      .map(t => graft.functions.MinHashAgg.h24(t) % IndexBuckets).distinct
+    val post = invertedIndex(spark, sfDir)
+      .where(col("bucket").isin(buckets: _*) && col("word").isin(terms: _*))
+    val dfreq = post.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val contrib =
+      ((col("n_docs").cast("double") / col("df")) * (col("tf") * lit(Bm25K1 + 1))) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1 - Bm25B) + lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
+    post
+      .join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(indexDocStats(spark, sfDir)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(contrib).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))

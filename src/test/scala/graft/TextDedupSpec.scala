@@ -61,6 +61,71 @@ class TextDedupSpec extends SparkSpec {
       direct.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("bm25Search: matches a direct corpus recompute; saturation and length-norm behave") {
+    import graft.functions.TextFunctions.words
+    val terms = TextOps.SearchTerms
+    val got = TextOps.bm25Search(spark, Sf).collect()
+    assert(got.length == TextOps.SearchTopK)
+    got.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= terms.size))
+    // direct recompute from the text with the same op sequence
+    val nDocs = Tables.documents(spark, Sf).count().toDouble
+    val avgdl = Tables.documents(spark, Sf)
+      .select(avg(size(words(col("text"))).cast("long")).as("a"))
+      .collect().head.getDouble(0)
+    val dfs = terms.map { t =>
+      t -> Tables.documents(spark, Sf)
+        .where(array_contains(words(col("text")), t)).count()
+    }.toMap
+    val w = words(col("text"))
+    val dl = size(w).cast("double")
+    val raw = terms.map { t =>
+      val tf = size(filter(w, x => x === t)).cast("double")
+      when(tf > 0,
+        (lit(nDocs / dfs(t)) * (tf * lit(TextOps.Bm25K1 + 1))) /
+          (tf + lit(TextOps.Bm25K1) *
+            (lit(1 - TextOps.Bm25B) + lit(TextOps.Bm25B) * (dl / lit(avgdl)))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val direct = Tables.documents(spark, Sf)
+      .select(col("doc_id"), raw.as("raw"))
+      .where(col("raw") > 0)
+      .orderBy(col("raw").desc, col("doc_id")).limit(TextOps.SearchTopK)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == direct.map(_.getLong(0)).toSeq)
+    got.zip(direct).foreach { case (g, d) =>
+      assert(math.abs(g.getDouble(2) - d.getDouble(1)) < 1e-6)
+    }
+    // saturation: a term's contribution is capped at idf*(k1+1) — no score
+    // can exceed sum(idf)*(k1+1) no matter how stuffed the doc
+    val cap = terms.map(t => nDocs / dfs(t)).sum * (TextOps.Bm25K1 + 1)
+    got.foreach(r => assert(r.getDouble(2) < cap))
+  }
+
+  test("srpKnnJoin: per-vector top-k, exact cosines, neighbors from the SRP collision graph") {
+    val knn = DedupOps.srpKnnJoin(spark, Sf).collect()
+    assert(knn.nonEmpty)
+    val byVec = knn.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (v, rs) =>
+      assert(rs.length <= DedupOps.KnnJoinK)
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == v))
+      val ranked = rs.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length).toSeq)
+      val cosines = ranked.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // cosines are the exact (rounded) pair cosines: cross-check against the
+    // near-dup query at threshold -1 (same collision graph, undirected)
+    val pairs = DedupOps.embeddingNearDups(spark, Sf, -1.0).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    knn.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))
+      val key = (math.min(a, b), math.max(a, b))
+      assert(pairs.get(key).contains(r.getAs[Double]("cosine")),
+        s"pair $key missing or cosine mismatch")
+    }
+  }
+
   test("phraseSearch: positional match equals the padded-substring scan; subset of conjunctive") {
     val hits = TextOps.phraseSearch(spark, Sf)
     val direct = Tables.documents(spark, Sf)
