@@ -242,6 +242,23 @@ class SimMediaSpec extends SparkSpec {
     }
   }
 
+  test("decode pipelines fuse: no exchange, no serialization break, codegen'd expressions") {
+    // render → parse → stats must be ONE narrow map over the documents scan
+    // for both codecs: any Exchange or DeserializeToObject in the plan means
+    // the decode fell out of the fused scan pipeline (UDF boxing / typed
+    // serialization — the costs the native expressions exist to avoid)
+    for (df <- Seq(MediaOps.ppmDecode(spark, Sf), MediaOps.wavDecode(spark, Sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"decode plan shuffles:\n$plan")
+      assert(!plan.contains("DeserializeToObject"),
+        s"decode plan breaks into typed serialization:\n$plan")
+      // "*(1)" is the WholeStageCodegen stage marker in simpleString: the
+      // whole render→parse→stats chain sits in codegen stage 1 on the scan
+      assert(plan.contains("*(1) Project"), s"decode plan not codegen'd:\n$plan")
+      assert(!plan.contains("*(2)"), s"decode plan split into two codegen stages:\n$plan")
+    }
+  }
+
   test("WavDecode chunk-walks a hand-built RIFF (extra chunk, odd-size padding, 8 and 16 bit)") {
     import graft.functions.WavDecode
     def le(v: Long, n: Int): Array[Byte] =
