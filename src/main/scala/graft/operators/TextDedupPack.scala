@@ -49,6 +49,8 @@ object TextDedupPack extends QueryPack {
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
     "tx_bm25_search" -> ((s, d) => TextOps.bm25Search(s, d)),
     "sim_srp_knn_join" -> ((s, d) => DedupOps.srpKnnJoin(s, d)),
+    "tx_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "tx_bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
     "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
     "tx_doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "tx_dataset_splits" -> ((s, d) => TextOps.datasetSplits(s, d)),
@@ -94,6 +96,38 @@ object TextDedupPack extends QueryPack {
        |b AS (
        |$tableRows
        |)""".stripMargin
+  }
+
+  /** Unrolled BPE training rounds — twin of [[TextOps.bpeTrain]]: `bw0`
+    * word frequencies, `bs0` space-delimited char symbols, then per round r
+    * the pair counts (`bp_r`, overlapping adjacents, freq-weighted), the
+    * deterministic argmax (`bb_r`) and the literal-replace rewrite
+    * (`bs_r`). Same kmeans-style unrolling precedent.
+    */
+  private lazy val bpeCtes: String = {
+    val init = Seq(
+      """bw0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin,
+      """bs0 AS (SELECT word, freq,
+        |  ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+        |          i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS syms
+        |  FROM bw0)""".stripMargin)
+    val rounds = (1 to TextOps.BpeRounds).flatMap { r =>
+      val prev = s"bs${r - 1}"
+      Seq(
+        s"""bp$r AS (
+           |  SELECT ts[CAST(i AS INT)] AS lhs, ts[CAST(i + 1 AS INT)] AS rhs,
+           |    CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, ts, unnest(range(1, len(ts))) AS i
+           |        FROM (SELECT freq, string_split(trim(syms), ' ') AS ts FROM $prev))
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"bb$r AS (SELECT lhs, rhs, cnt FROM bp$r ORDER BY cnt DESC, lhs, rhs LIMIT 1)",
+        s"""bs$r AS (SELECT word, freq,
+           |  replace(syms, ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS syms
+           |  FROM $prev, bb$r)""".stripMargin)
+    }
+    (init ++ rounds).mkString("WITH ", ",\n", "")
   }
 
   private val shinglesCte =
@@ -614,6 +648,22 @@ object TextDedupPack extends QueryPack {
          |FROM scored
          |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
     },
+    "tx_bpe_merges" -> {
+      val parts = (1 to TextOps.BpeRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged,
+           |  cnt AS pair_count FROM bb$r""".stripMargin
+      }
+      bpeCtes + "\n" + parts.mkString("\nUNION ALL\n")
+    },
+    "tx_bpe_encode" ->
+      s"""$bpeCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) dw
+         |JOIN (SELECT word,
+         |        CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_syms
+         |      FROM bs${TextOps.BpeRounds}) wt USING (word)
+         |GROUP BY doc_id""".stripMargin,
     // single-space word separation makes the padded-substring test exactly
     // the consecutive-words test the positional index answers
     "tx_phrase_search" ->

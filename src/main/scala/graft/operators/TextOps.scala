@@ -755,6 +755,91 @@ object TextOps {
         size(col("arr")).cast("long").as("n_tokens"))
   }
 
+  /** Merge rounds the BPE trainer runs (unrolled, like the k-means Lloyd
+    * iterations — each round is one aggregation + one argmax + one literal
+    * rewrite over the VOCABULARY table, never the corpus).
+    */
+  val BpeRounds = 10
+
+  /** X-C39 shared state: the real BPE training loop. Words become
+    * space-delimited character-symbol strings (leading/trailing sentinel
+    * spaces); each round counts adjacent symbol pairs weighted by word
+    * frequency (overlapping occurrences counted — the reference BPE
+    * convention), picks the most frequent pair with a deterministic
+    * (count desc, left, right) tie-break, and rewrites every word via
+    * literal `replace(' l r ' → ' lr ')`. Both engines' literal replace
+    * scans left-to-right non-overlapping, so for runs of an identical
+    * symbol (`z z z z`) alternate occurrences merge per round rather than
+    * all — a documented, deterministic edge semantics (regex-lookbehind
+    * merging is unavailable: DuckDB's RE2 has no lookbehind); on natural
+    * text the two coincide.
+    *
+    * Scale shape: training touches the corpus ONCE (the word-frequency
+    * aggregation); all [[BpeRounds]] rounds operate on the vocabulary
+    * table (≪ corpus), each best-pair is a one-row broadcast into the next
+    * rewrite, and nothing is ever collected to the driver.
+    *
+    * Returns (per-round best-pair rows, final word→symbols state).
+    */
+  private def bpeTrain(spark: SparkSession, sfDir: String): (Seq[DataFrame], DataFrame) = {
+    val w0 = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var cur = w0.select(col("word"), col("freq"),
+      concat(lit(" "),
+        concat_ws(" ", transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))),
+        lit(" ")).as("syms"))
+    val bests = (1 to BpeRounds).map { r =>
+      val pairs = cur
+        .select(col("freq"), split(trim(col("syms")), " ").as("ts"))
+        .select(col("freq"), col("ts"),
+          explode(when(size(col("ts")) >= 2, sequence(lit(1), size(col("ts")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("freq"),
+          expr("element_at(ts, i)").as("lhs"),
+          expr("element_at(ts, i + 1)").as("rhs"))
+      val best = pairs.groupBy(col("lhs"), col("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("word"), col("freq"),
+          expr("replace(syms, concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' '))")
+            .as("syms"))
+      best.select(lit(r.toLong).as("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt").as("pair_count"))
+    }
+    (bests, cur)
+  }
+
+  /** X-C39: BPE merge-table training — the actual byte-pair-encoding
+    * training algorithm (Sennrich-style) as a Spark job: the learned merge
+    * sequence `(round, lhs, rhs, merged, pair_count)`, fully
+    * oracle-replayed through [[BpeRounds]] unrolled SQL rounds
+    * (`tx_bpe_merges`).
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir)._1.reduce(_ unionAll _)
+
+  /** X-C40: corpus encoding under the trained merges — per document, the
+    * whitespace token count next to the BPE symbol count after applying
+    * the full merge sequence (`n_bpe_tokens` is what a token-budgeted
+    * training pipeline actually packs on). The final word→symbols state is
+    * vocabulary-sized, so the corpus-side join broadcasts; the corpus is
+    * touched once (`tx_bpe_encode`).
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val wordTok = bpeTrain(spark, sfDir)._2
+      .select(col("word"),
+        size(split(trim(col("syms")), " ")).cast("long").as("n_syms"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(wordTok), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+  }
+
   /** X-C38: corpus-trained bigram language-model scoring — per-document
     * average negative log2 conditional probability (cross-entropy in bits
     * per bigram, the perplexity exponent), the CCNet-style "does this read

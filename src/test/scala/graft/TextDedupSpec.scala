@@ -126,6 +126,42 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges: round-1 merge equals a driver-side recompute; encode shrinks toward it") {
+    import graft.functions.TextFunctions.words
+    val merges = TextOps.bpeMerges(spark, Sf).collect().sortBy(_.getAs[Long]("round"))
+    assert(merges.length == TextOps.BpeRounds)
+    merges.foreach { m =>
+      assert(m.getAs[String]("merged") ==
+        m.getAs[String]("lhs") + m.getAs[String]("rhs"))
+      assert(m.getAs[Long]("pair_count") > 0)
+    }
+    // round 1 from first principles: most frequent adjacent char pair over
+    // freq-weighted words, overlaps counted, (count desc, lhs, rhs) ties
+    val freqs = Tables.documents(spark, Sf)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    freqs.foreach { case (w, f) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+    }
+    val expect = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+    val got1 = merges.head
+    assert((got1.getAs[String]("lhs"), got1.getAs[String]("rhs")) == expect._1)
+    assert(got1.getAs[Long]("pair_count") == expect._2)
+    // encoding: every word is >= 1 symbol and merges strictly shrink the
+    // symbol stream relative to raw characters on this corpus
+    val enc = TextOps.bpeEncode(spark, Sf).collect()
+    assert(enc.nonEmpty)
+    val charTotals = freqs.map { case (w, f) => w.length.toLong * f }.sum
+    val bpeTotal = enc.map(_.getAs[Long]("n_bpe_tokens")).sum
+    val wordTotal = enc.map(_.getAs[Long]("n_words")).sum
+    assert(bpeTotal < charTotals && bpeTotal >= wordTotal)
+  }
+
   test("phraseSearch: positional match equals the padded-substring scan; subset of conjunctive") {
     val hits = TextOps.phraseSearch(spark, Sf)
     val direct = Tables.documents(spark, Sf)
