@@ -417,13 +417,25 @@ object DedupOps {
     * The quadratic step stays bounded per bucket — never all-pairs — and the
     * bucket count (SrpBits) scales up independently of the corpus.
     */
+  /** The SRP index layout, staged once per (session, sf): one row per
+    * (vector, hash table) carrying the embedding and its bucket id — the
+    * stored LSH index a 100-TB deployment writes once and every
+    * bucket-keyed consumer ([[embeddingNearDups]], [[srpKnnJoin]]) reads
+    * back as a pruned parquet scan instead of recomputing 4×6 hyperplane
+    * dot products per vector per query.
+    */
+  private[graft] def srpBucketTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "srp_buckets") {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"),
+          explode(array((0 until SrpTables).map { t =>
+            struct(lit(t).as("t"), srpBucket(spark, t, col("embedding")).as("bucket"))
+          }: _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+    }
+
   def embeddingNearDups(spark: SparkSession, sfDir: String, minCosine: Double): DataFrame = {
-    val buckets = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        explode(array((0 until SrpTables).map { t =>
-          struct(lit(t).as("t"), srpBucket(spark, t, col("embedding")).as("bucket"))
-        }: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+    val buckets = srpBucketTable(spark, sfDir)
     // norms hoisted to once per (vector, table) row rather than per pair:
     // each pair then costs one cross dot product, not three
     val normed = guardBuckets(buckets, "t", "bucket").withColumn("nrm",
@@ -460,12 +472,7 @@ object DedupOps {
     * candidate list.
     */
   def srpKnnJoin(spark: SparkSession, sfDir: String, k: Int = KnnJoinK): DataFrame = {
-    val buckets = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        explode(array((0 until SrpTables).map { t =>
-          struct(lit(t).as("t"), srpBucket(spark, t, col("embedding")).as("bucket"))
-        }: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+    val buckets = srpBucketTable(spark, sfDir)
     val normed = guardBuckets(buckets, "t", "bucket").withColumn("nrm",
       sqrt(dotD(spark, col("embedding"), col("embedding"))))
     val a = normed.select(col("vec_id"), col("embedding").as("ea"),

@@ -781,10 +781,20 @@ object TextOps {
     *
     * Returns (per-round best-pair rows, final word→symbols state).
     */
+  /** The BPE trainer's ONE corpus touch, staged: every round's plan (and
+    * the encode query) reads the written word-frequency table, not the
+    * corpus — without this, the union of [[BpeRounds]] round-bests would
+    * rescan the corpus once per round.
+    */
+  private[graft] def bpeWordFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "bpe_word_freq") {
+      Tables.documents(spark, sfDir)
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    }
+
   private def bpeTrain(spark: SparkSession, sfDir: String): (Seq[DataFrame], DataFrame) = {
-    val w0 = Tables.documents(spark, sfDir)
-      .select(explode(words(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val w0 = bpeWordFreq(spark, sfDir)
     var cur = w0.select(col("word"), col("freq"),
       concat(lit(" "),
         concat_ws(" ", transform(sequence(lit(1), length(col("word"))),
