@@ -68,6 +68,16 @@ object Monitors {
     w.result()
   }
 
+  /** Guard-engagement warnings: any LSH family whose hot-bucket guard is
+    * actually excluding rows means guarded results have DIVERGED from the
+    * unguarded semantics (the r8 10× replay caught `simhash_bands` doing
+    * exactly this) — correct behavior, but a pipeline must see it.
+    */
+  def guardWarnings(rows: Seq[(String, Long, Long)]): Seq[String] =
+    rows.collect { case (family, maxBucket, dropped) if dropped > 0 =>
+      f"guard: $family hot-bucket guard engaged - max bucket $maxBucket (cap ${operators.DedupOps.MaxBucketDocs}), $dropped rows excluded from pair generation; guarded results diverge from unguarded semantics"
+    }
+
   def minhashWarnings(rmse: Double, nPairs: Long): Seq[String] =
     if (nPairs > 0 && rmse > MaxMinhashRmse)
       Seq(f"minhash: estimator RMSE $rmse%.3f over $nPairs candidate pairs (> $MaxMinhashRmse%.2f at NumHashes=${operators.DedupOps.NumHashes}) - widen signatures or check hash skew")
@@ -98,6 +108,14 @@ object Monitors {
       } catch { case NonFatal(e) =>
         Seq(s"monitor dd_minhash_estimate failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
       }
-    ppj ++ mh
+    val guards =
+      try {
+        guardWarnings(operators.DedupOps.guardStats(spark, sfDir).collect().toSeq
+          .map(r => (r.getAs[String]("family"), r.getAs[Long]("max_bucket"),
+            r.getAs[Long]("n_rows_dropped"))))
+      } catch { case NonFatal(e) =>
+        Seq(s"monitor guard_stats failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+      }
+    ppj ++ mh ++ guards
   }
 }

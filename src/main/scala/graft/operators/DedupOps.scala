@@ -351,15 +351,17 @@ object DedupOps {
     * surface, not just collisions — while the join stays bucketed (per-band
     * fan-out only, never all-pairs).
     */
-  def simhashNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhash(spark, sfDir)
-    val bands = sig.select(col("doc_id"), col("simhash"),
+  private[graft] def simhashBandTable(spark: SparkSession, sfDir: String): DataFrame =
+    simhash(spark, sfDir).select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBands).map { b =>
         struct(lit(b).as("band_no"),
           shiftright(col("simhash"), b * SimhashBandBits)
             .bitwiseAND(SimhashBandMask).as("band_val"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_no"), col("b.band_val"))
+
+  def simhashNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = simhashBandTable(spark, sfDir)
     val guarded = guardBuckets(bands, "band_no", "band_val")
     val a = guarded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("band_no"), col("band_val"))
@@ -536,6 +538,29 @@ object DedupOps {
         sum(when(col("n_docs") > MaxBucketDocs, 1L).otherwise(0L)).as("n_oversized"),
         sum(when(col("n_docs") > MaxBucketDocs, col("n_docs")).otherwise(0L))
           .as("n_docs_dropped"))
+
+  /** Per-family hot-bucket-guard engagement stats — one row per guarded
+    * LSH self-join family: the max bucket size and how many rows the
+    * [[MaxBucketDocs]] guard excludes from pair generation. At the shipped
+    * SFs every family reports zero drops (guarded ≡ unguarded, which is
+    * what keeps the unguarded oracles hash-green); the r8 10× replay
+    * showed `simhash_bands` engaging (15.5M unguarded pairs suppressed to
+    * 958k), so guard engagement is an OPERATIONAL SIGNAL a pipeline must
+    * see — [[graft.Monitors]] turns any non-zero drop into a bench-embedded
+    * warning instead of a silent semantic divergence.
+    */
+  private[graft] def guardStats(spark: SparkSession, sfDir: String): DataFrame = {
+    def stat(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_bucket"),
+          sum(when(col("n") > MaxBucketDocs, col("n")).otherwise(0L))
+            .as("n_rows_dropped"))
+        .select(lit(name).as("family"), col("max_bucket"), col("n_rows_dropped"))
+    stat("minhash_bands", minhashBands(spark, sfDir), Seq("band_no", "band_key"))
+      .unionAll(stat("simhash_bands", simhashBandTable(spark, sfDir),
+        Seq("band_no", "band_val")))
+      .unionAll(stat("srp_buckets", srpBucketTable(spark, sfDir), Seq("t", "bucket")))
+  }
 
   /** Sorted-neighborhood comparison prefix (edit distance runs on this many
     * leading chars — bounds the DP cost per pair regardless of doc length). */

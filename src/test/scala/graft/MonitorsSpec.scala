@@ -36,6 +36,38 @@ class MonitorsSpec extends SparkSpec {
     assert(Monitors.minhashWarnings(0.35, 0).isEmpty) // no pairs -> no signal
   }
 
+  test("guard engagement: quiet at zero drops, trips when a family excludes rows") {
+    assert(Monitors.guardWarnings(Seq(
+      ("minhash_bands", 120L, 0L), ("simhash_bands", 900L, 0L),
+      ("srp_buckets", 40L, 0L))).isEmpty)
+    val w = Monitors.guardWarnings(Seq(
+      ("minhash_bands", 120L, 0L), ("simhash_bands", 15000L, 15000L)))
+    assert(w.size == 1 && w.head.contains("simhash_bands"))
+  }
+
+  test("planted over-cap corpus: simhash guard engagement measured and flagged end-to-end") {
+    // >MaxBucketDocs identical texts collapse to one simhash -> each band
+    // bucket holds all of them -> the guard excludes them from the join,
+    // and guardStats must SAY so
+    val dir = java.nio.file.Files.createTempDirectory("graft_overcap").toString
+    import spark.implicits._
+    (1 to operators.DedupOps.MaxBucketDocs + 100).map { i =>
+      (i.toLong, "the same exact document body repeated verbatim everywhere")
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (1 to 10).map(i => (i.toLong, Array.fill(64)(0.5f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val stats = operators.DedupOps.guardStats(spark, dir).collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[Long]("max_bucket"),
+        r.getAs[Long]("n_rows_dropped"))).toSeq
+    val simhash = stats.find(_._1 == "simhash_bands").get
+    assert(simhash._2 > operators.DedupOps.MaxBucketDocs && simhash._3 > 0)
+    assert(stats.find(_._1 == "srp_buckets").get._3 == 0) // 10 vecs: under cap
+    val w = Monitors.guardWarnings(stats)
+    assert(w.exists(_.contains("simhash_bands")), s"expected guard warning, got: $w")
+  }
+
   test("posting-skew and candidate-density flags fire on synthetic stats") {
     // a universal prefix token: posting covers ~99% of reps
     assert(Monitors.ppjWarnings(1000, 800, 5, 790, 100).exists(_.contains("posting")))
