@@ -795,13 +795,22 @@ object TextOps {
 
   private def bpeTrain(spark: SparkSession, sfDir: String): (Seq[DataFrame], DataFrame) = {
     val w0 = bpeWordFreq(spark, sfDir)
-    var cur = w0.select(col("word"), col("freq"),
-      concat(lit(" "),
-        concat_ws(" ", transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1)))),
-        lit(" ")).as("syms"))
+    // each round's word→symbols state is STAGED (tiny, vocabulary-sized):
+    // without this, round k's plan nests all k−1 prior argmax+rewrite
+    // subplans and the 10-round union re-analyzes an O(R²) plan tree — the
+    // first registered bench run measured 32 s of pure planning at
+    // sf0.01. Staged, training is 10 sequential small jobs once per
+    // session and every consumer reads flat parquet.
+    var cur = Tables.derivedBig(spark, sfDir, "bpe_syms_0") {
+      w0.select(col("word"), col("freq"),
+        concat(lit(" "),
+          concat_ws(" ", transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1)))),
+          lit(" ")).as("syms"))
+    }
     val bests = (1 to BpeRounds).map { r =>
-      val pairs = cur
+      val prev = cur
+      val pairs = prev
         .select(col("freq"), split(trim(col("syms")), " ").as("ts"))
         .select(col("freq"), col("ts"),
           explode(when(size(col("ts")) >= 2, sequence(lit(1), size(col("ts")) - 1))
@@ -813,15 +822,23 @@ object TextOps {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(1)
-      cur = cur.crossJoin(broadcast(best))
-        .select(col("word"), col("freq"),
-          expr("replace(syms, concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' '))")
-            .as("syms"))
+      cur = Tables.derivedBig(spark, sfDir, s"bpe_syms_$r") {
+        prev.crossJoin(broadcast(best))
+          .select(col("word"), col("freq"),
+            expr("replace(syms, concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' '))")
+              .as("syms"))
+      }
       best.select(lit(r.toLong).as("round"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("cnt").as("pair_count"))
     }
     (bests, cur)
   }
+
+  /** Force the full training chain (all round states staged) — the Bench
+    * stage item, so per-query timings measure the lookups, not training.
+    */
+  private[graft] def bpeFinalSyms(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir)._2
 
   /** X-C39: BPE merge-table training — the actual byte-pair-encoding
     * training algorithm (Sennrich-style) as a Spark job: the learned merge
