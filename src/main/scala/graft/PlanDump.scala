@@ -113,6 +113,12 @@ object PlanDump {
         operators.DedupOps.dupSpans(spark, sfDir)),
       ("tx_lm_score", "bigram stream built narrow from word arrays; model joins partial-agg'd, vocab one-row broadcast",
         operators.TextOps.lmScores(spark, sfDir)),
+      ("md_wav_decode", "render->RIFF-parse->stats fused into ONE codegen stage on the scan; zero shuffle",
+        operators.MediaOps.wavDecode(spark, sfDir)),
+      ("tx_bm25_search", "BM25 from pruned postings alone: dl rides the posting rows, stats broadcast, one doc agg",
+        operators.TextOps.bm25Search(spark, sfDir)),
+      ("sim_srp_knn_join", "staged SRP index self-join per (table,bucket), guard reuses the exchange, bounded rank window",
+        operators.DedupOps.srpKnnJoin(spark, sfDir)),
       ("geo_kcore", "peeling rounds: map-side degree count + two semi-joins; edge set only shrinks",
         operators.GeoOps.kCore(spark, sfDir)),
       ("dd_prefix_jaccard", "set-collapse to reps, prefix equi-join + inline PPJoin filters, shuffle-hash verify with codegen'd sorted_intersect_n, clique expansion at output",
