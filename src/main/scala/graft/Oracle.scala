@@ -16,6 +16,15 @@ object Oracle {
       s"(strpos('0123456789abcdef', substr(md5($expr),$i,1))-1)*${1L << (4 * (6 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** Portable 48-bit md5-prefix hash — twin of [[Tables.h48]] (the
+    * band-selectivity-at-scale variant; rationale there). First 12 hex
+    * digits; weights up to 16^11 stay well inside BIGINT.
+    */
+  def h48(expr: String): String =
+    (1 to 12).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($expr),$i,1))-1)*${1L << (4 * (12 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** `catalog(sft, value)` — twin of [[Tables.catalog]]. */
   val catalogCte: String =
     """sfts AS (SELECT DISTINCT event_type AS sft FROM events),

@@ -249,6 +249,18 @@ object Tables {
     */
   def h24(c: Column): Column = conv(substring(md5(c), 1, 6), 16, 10).cast("long")
 
+  /** Portable deterministic 48-bit hash: the first 12 hex digits of md5 as a
+    * long in [0, 2^48). The wide variant exists for signatures whose BANDS
+    * must stay selective at corpus scale — a 24-bit SimHash split into 4
+    * bands gives only 64 bucket values per band, so every band bucket holds
+    * ~n/64 docs and the hot-bucket guard engages (observed at the 10x scale
+    * point: max bucket 12.5k vs cap 1k, 152k rows excluded). 48 bits / 4
+    * bands = 4096 values per band — bucket occupancy drops 64x and the
+    * banding survives another ~3 orders of magnitude of corpus growth.
+    * DuckDB twin: [[Oracle.h48]].
+    */
+  def h48(c: Column): Column = conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
   /** Index-table suffixes a GeoMesa SFT materializes in Cassandra. The
     * reference manipulates these tables by name (it reads them out of the
     * catalog's `value` column — /root/reference/geomesa_cassandra.py:48-52);

@@ -296,13 +296,16 @@ object DedupOps {
       .groupBy(col("cluster_id"))
       .agg(count("*").as("n_docs"), (count("*") - 1).as("n_droppable"))
 
-  /** SimHash bit width — the full 24 bits the h24 word hash carries. Wider
-    * signatures keep neighbor-search buckets selective: with 4 sub-bands the
-    * band values span 6 bits, so buckets hold ~n/64 docs instead of the
-    * ~n/16 a 16-bit signature would give — the pair fan-out, not the
-    * aggregate, is what grows with the corpus.
+  /** SimHash bit width — the full 48 bits the h48 word hash carries. Width
+    * is what keeps the neighbor-search BANDS selective as the corpus grows:
+    * with 4 sub-bands, 24 bits gives 64 bucket values per band, so band
+    * buckets hold ~n/64 docs and the hot-bucket guard engaged at the 10x
+    * scale point (max bucket 12.5k vs cap 1k, 152k rows excluded — guarded
+    * results diverged from unguarded semantics). 48 bits / 4 bands = 4096
+    * values per band: occupancy drops 64x, the guard stays disengaged, and
+    * the pair fan-out — not the aggregate — is what grows with the corpus.
     */
-  val SimhashBits = 24
+  val SimhashBits = 48
 
   /** SimHash: per-document signature — each bit is the sign of the
     * word-population's vote on that bit of the word hash. One exploded
@@ -316,7 +319,7 @@ object DedupOps {
     Tables.derivedBig(spark, sfDir, "simhash_sigs") {
       val wordRows = Tables.documents(spark, sfDir)
         .select(col("doc_id"), explode(words(col("text"))).as("word"))
-        .select(col("doc_id"), h24(col("word")).as("h"))
+        .select(col("doc_id"), Tables.h48(col("word")).as("h"))
       val votes = (0 until SimhashBits).map { b =>
         sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
       }

@@ -931,7 +931,7 @@ object TextDedupPack extends QueryPack {
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH wh AS (
-       |  SELECT doc_id, ${h24("word")} AS h
+       |  SELECT doc_id, ${Oracle.h48("word")} AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
        |), sv AS (
        |  SELECT doc_id,

@@ -318,7 +318,7 @@ class TextDedupSpec extends SparkSpec {
     val s = DedupOps.simhash(spark, Sf).collect()
     s.foreach { r =>
       val v = r.getAs[Long]("simhash")
-      assert(v >= 0 && v < (1 << DedupOps.SimhashBits))
+      assert(v >= 0 && v < (1L << DedupOps.SimhashBits))
     }
   }
 
