@@ -91,6 +91,7 @@ object Bench {
       "mv_incremental"        -> (() => ScaleOps.incrementalMonthlyOrders(spark, sfDir).count(): Unit),
       "sorted_orders"         -> (() => ScaleOps.sortedOrdersLayout(spark, sfDir).count(): Unit),
       "zordered_orders"       -> (() => ScaleOps.zorderedOrdersLayout(spark, sfDir).count(): Unit),
+      "md_png_payloads"       -> (() => MediaOps.pngPayloads(spark, sfDir).count(): Unit),
       "fmt_exports"           -> (() => sources.Formats.stageAll(spark, sfDir)))
     val stageDetail: Seq[(String, Double)] = stageItems.map { case (n, f) =>
       n -> timed(f())

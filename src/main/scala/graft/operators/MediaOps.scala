@@ -164,6 +164,113 @@ object MediaOps {
           .map(f => col(s"s.$f").as(f)): _*)
   }
 
+  /** A staged PNG payload row. */
+  case class PngRow(doc_id: Long, payload: Array[Byte])
+
+  /** Real PNG image payloads: the same deterministic 8×H RGB raster as
+    * [[ppmPayloads]] (pixel bytes = ASCII codes of md5(text) hex chars, so
+    * the DuckDB oracle rebuilds them by column arithmetic), but encoded as
+    * a GENUINE PNG — signature, CRC32-stamped IHDR/IDAT/IEND chunks, and a
+    * zlib-DEFLATE-compressed filtered raster in which scanline r uses PNG
+    * filter type `r % 5` (None/Sub/Up/Average/Paeth all occur in any image
+    * ≥5 rows tall). Encoding needs `java.util.zip.Deflater`, which SQL
+    * can't express, so the payload table is a typed mapPartitions render
+    * staged once per session ([[graft.Tables.derivedBig]]) — exactly how a
+    * production corpus stores a binary media column in parquet. The decode
+    * query then proves [[graft.functions.PngDecode]] genuinely inverts the
+    * compression+filter pipeline: its stats must hash-match an oracle that
+    * never saw the compressed bytes.
+    */
+  def pngPayloads(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "png_payloads") {
+      import spark.implicits._
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (docId, text) =>
+            digest.reset()
+            val hex = digest.digest(text.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val h = (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 8 + 1).toInt
+            val raster = (hex * 6).substring(0, 24 * h).getBytes("US-ASCII")
+            PngRow(docId, encodePng(8, h, raster))
+          }
+        }.toDF()
+    }
+
+  /** Encode an 8-bit RGB raster (`h` rows of `w*3` bytes) as a real PNG:
+    * per-row filters cycling None/Sub/Up/Average/Paeth, one zlib-wrapped
+    * DEFLATE IDAT, CRC32 on every chunk.
+    */
+  private[graft] def encodePng(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    val stride = w * 3
+    val filtered = new Array[Byte](h * (1 + stride))
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      filtered(r * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val v = raster(r * stride + x) & 0xff
+        val a = if (x >= 3) raster(r * stride + x - 3) & 0xff else 0
+        val b = if (r > 0) raster((r - 1) * stride + x) & 0xff else 0
+        val c = if (r > 0 && x >= 3) raster((r - 1) * stride + x - 3) & 0xff else 0
+        val f = ft match {
+          case 0 => v
+          case 1 => (v - a) & 0xff
+          case 2 => (v - b) & 0xff
+          case 3 => (v - ((a + b) >> 1)) & 0xff
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (v - pred) & 0xff
+        }
+        filtered(r * (1 + stride) + 1 + x) = f.toByte
+        x += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered)
+    deflater.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = out.toByteArray
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL compressed-format decode: parse the staged PNG payloads with the
+    * native codegen'd [[graft.functions.PngStats]] expression — CRC-verified
+    * chunk walk, zlib inflate, all-five-filter unfiltering — and emit IHDR
+    * fields plus exact per-channel stats. The decode is a narrow codegen'd
+    * map over the staged parquet scan (zero shuffle at any scale); the
+    * oracle recomputes the stats from the raster RULE, so a decoder that
+    * shortcuts any part of the DEFLATE/filter pipeline hash-mismatches.
+    */
+  def pngDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = graft.functions.MediaExpressions.pngStats(spark, col("payload"))
+    pngPayloads(spark, sfDir)
+      .select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id") +:
+        graft.functions.PngDecode.schema.fieldNames.toSeq
+          .map(f => col(s"s.$f").as(f)): _*)
+  }
+
   /** Frame sampling: fixed 32-byte frames of the payload with per-frame
     * checksums — the video frame-extraction shape (explode over a computed
     * frame index, narrow, codegen'd).

@@ -29,6 +29,7 @@ object SimMediaPack extends QueryPack {
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_ppm_decode" -> ((s, d) => MediaOps.ppmDecode(s, d)),
     "md_wav_decode" -> ((s, d) => MediaOps.wavDecode(s, d)),
+    "md_png_decode" -> ((s, d) => MediaOps.pngDecode(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
   )
 
@@ -473,6 +474,34 @@ object SimMediaPack extends QueryPack {
          |)
          |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(hgt AS BIGINT) AS height,
          |  CAST(255 AS BIGINT) AS maxval,
+         |  ${chan(0, "sum", "r_sum")}, ${chan(0, "min", "r_min")}, ${chan(0, "max", "r_max")},
+         |  ${chan(1, "sum", "g_sum")}, ${chan(1, "min", "g_min")}, ${chan(1, "max", "g_max")},
+         |  ${chan(2, "sum", "b_sum")}, ${chan(2, "min", "b_min")}, ${chan(2, "max", "b_max")}
+         |FROM pb GROUP BY doc_id, hgt""".stripMargin
+    },
+    "md_png_decode" -> {
+      // the oracle never sees the compressed payload: it rebuilds the RAW
+      // raster bytes by the same column arithmetic as md_ppm_decode (pixel
+      // i = ASCII code of hex char i of md5(text) repeated) and aggregates.
+      // The Spark side must RECOVER those bytes through CRC verification,
+      // zlib inflate, and 5-filter unfiltering — any shortcut mismatches.
+      def chan(c: Int, agg: String, name: String) =
+        s"CAST($agg(b) FILTER (WHERE ch = $c) AS BIGINT) AS $name"
+      s"""WITH base AS (
+         |  SELECT doc_id, md5(text) AS hx, 1 + (${h24("text")} % 8) AS hgt
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, hgt,
+         |    unnest(range(1, 24 * hgt + 1)) AS i, hx
+         |  FROM base
+         |), pb AS (
+         |  SELECT doc_id, hgt,
+         |    ascii(substr(repeat(hx, 6), CAST(i AS INT), 1)) AS b,
+         |    (i - 1) % 3 AS ch
+         |  FROM px
+         |)
+         |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(hgt AS BIGINT) AS height,
+         |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
          |  ${chan(0, "sum", "r_sum")}, ${chan(0, "min", "r_min")}, ${chan(0, "max", "r_max")},
          |  ${chan(1, "sum", "g_sum")}, ${chan(1, "min", "g_min")}, ${chan(1, "max", "g_max")},
          |  ${chan(2, "sum", "b_sum")}, ${chan(2, "min", "b_min")}, ${chan(2, "max", "b_max")}

@@ -160,14 +160,27 @@ class PropertySpec extends SparkSpec {
   }
 
   test("parser fuzz: random and corrupted payloads never throw from either decoder") {
-    import graft.functions.{PpmDecode, WavDecode}
+    import graft.functions.{PngDecode, PpmDecode, WavDecode}
     // pure random bytes
     val genRandom = for {
       n <- Gen.chooseNum(0, 200)
       bytes <- Gen.listOfN(n, Gen.chooseNum(-128, 127))
     } yield bytes.map(_.toByte).toArray
     samples(genRandom, 400, seed = 31L).foreach { b =>
-      PpmDecode.stats(b); WavDecode.stats(b): Unit // must not throw
+      PpmDecode.stats(b); WavDecode.stats(b); PngDecode.stats(b): Unit // must not throw
+    }
+    // PNG: mutations + truncations of a VALID payload — chunk-length and
+    // inflate bounds are where a decompressing parser can actually walk off
+    val png = graft.operators.MediaOps.encodePng(3, 6,
+      Array.tabulate(3 * 6 * 3)(i => ((i * 29 + 7) % 256).toByte))
+    val genPngMut = for {
+      pos <- Gen.chooseNum(0, png.length - 1)
+      v <- Gen.chooseNum(-128, 127)
+      cut <- Gen.chooseNum(0, png.length)
+    } yield (pos, v.toByte, cut)
+    samples(genPngMut, 400, seed = 41L).foreach { case (pos, v, cut) =>
+      val mp = png.clone(); mp(pos) = v
+      PngDecode.stats(mp); PngDecode.stats(png.take(cut)): Unit
     }
     // mutations of VALID payloads: byte flips and truncations — the
     // adversarial neighborhood where off-by-one parsers actually fail

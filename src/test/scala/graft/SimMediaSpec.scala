@@ -259,6 +259,71 @@ class SimMediaSpec extends SparkSpec {
     }
   }
 
+  test("PngDecode inverts encodePng across all five filter types; malformed payloads decode to null") {
+    import graft.functions.PngDecode
+    // 6 rows: filter types 0,1,2,3,4,0 all exercised; 2x6 RGB
+    val w = 2; val h = 6
+    val raster = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = graft.operators.MediaOps.encodePng(w, h, raster)
+    val r = PngDecode.stats(png)
+    assert(r != null, "valid PNG decoded to null")
+    assert(Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      Seq(w.toLong, h.toLong, 8L, 2L))
+    val byCh = raster.zipWithIndex.groupBy(_._2 % 3)
+      .view.mapValues(_.map(p => (p._1 & 0xff).toLong)).toMap
+    for (c <- 0 until 3) {
+      assert(r.getLong(4 + 3 * c) == byCh(c).sum, s"channel $c sum")
+      assert(r.getLong(5 + 3 * c) == byCh(c).min && r.getLong(6 + 3 * c) == byCh(c).max)
+    }
+    // independent cross-check: the JDK's own ImageIO PNG reader must see
+    // the identical pixels (proves the encoder writes REAL spec-compliant
+    // PNGs, not a private format our decoder happens to invert)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    val viaImageIO = for (y <- 0 until h; x <- 0 until w) yield {
+      val rgb = img.getRGB(x, y)
+      Seq(((rgb >> 16) & 0xff).toLong, ((rgb >> 8) & 0xff).toLong, (rgb & 0xff).toLong)
+    }
+    assert(viaImageIO.flatten.sum == (0 until 3).map(byCh(_).sum).sum)
+    // corruption: flip one IDAT byte -> CRC mismatch -> null
+    val corrupt = png.clone(); corrupt(png.length - 20) = (corrupt(png.length - 20) ^ 0x5a).toByte
+    assert(PngDecode.stats(corrupt) == null)
+    assert(PngDecode.stats(png.take(png.length - 1)) == null) // truncated
+    assert(PngDecode.stats("notapng".getBytes) == null)
+    assert(PngDecode.stats(Array.emptyByteArray) == null)
+  }
+
+  test("pngDecode: staged real PNGs decode back to the raster rule; plan is one codegen'd map") {
+    val decoded = MediaOps.pngDecode(spark, Sf)
+    val plan = decoded.queryExecution.executedPlan.toString
+    // decode over the staged parquet payloads: a single codegen'd narrow
+    // projection on the scan — no exchange, no typed serialization
+    assert(!plan.contains("Exchange"), s"png decode plan shuffles:\n$plan")
+    assert(!plan.contains("DeserializeToObject"), s"typed serialization:\n$plan")
+    assert(plan.contains("*(1) Project") && !plan.contains("*(2)"),
+      s"png decode not one codegen stage:\n$plan")
+    val rows = decoded.collect()
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      digest.reset()
+      val hex = digest.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hgt = (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 8 + 1).toInt
+      val raster = (hex * 6).substring(0, 24 * hgt).getBytes("US-ASCII")
+      assert(r.getLong(1) == 8L && r.getLong(2) == hgt.toLong)
+      assert(r.getLong(3) == 8L && r.getLong(4) == 2L)
+      val byCh = raster.zipWithIndex.groupBy(_._2 % 3)
+        .view.mapValues(_.map(p => (p._1 & 0xff).toLong)).toMap
+      for (c <- 0 until 3) {
+        assert(r.getLong(5 + 3 * c) == byCh(c).sum)
+        assert(r.getLong(6 + 3 * c) == byCh(c).min && r.getLong(7 + 3 * c) == byCh(c).max)
+      }
+    }
+  }
+
   test("WavDecode chunk-walks a hand-built RIFF (extra chunk, odd-size padding, 8 and 16 bit)") {
     import graft.functions.WavDecode
     def le(v: Long, n: Int): Array[Byte] =
