@@ -29,10 +29,16 @@ import org.apache.spark.sql.functions._
   *  - json: ints/strings/date (orders) — dates serialize as ISO strings and
   *    read back via the explicit schema.
   *
-  * avro: the sandbox ships avro-core but not the `spark-avro` connector jar
-  * (`org.apache.spark.sql.avro`), so an avro roundtrip cannot run here; on a
-  * cluster with `--packages org.apache.spark:spark-avro`, the identical
-  * stage-once/read pattern applies (`.format("avro")`).
+  * avro: the sandbox ships avro-core (`org.apache.avro`, the real Apache
+  * Avro Java implementation) but not the `spark-avro` connector jar
+  * (`org.apache.spark.sql.avro`), so `.format("avro")` cannot run here.
+  * [[avroRoundtrip]] therefore implements the connector's essential path
+  * directly against avro-core: a per-partition `DataFileWriter` export
+  * (deflate codec, timestamp-micros logical type) and a per-file
+  * `DataFileReader` scan — real Avro container files produced and consumed
+  * by the canonical library, not a hand-rolled lookalike. On a cluster with
+  * the connector, swap both sides for `.format("avro")`; the staged layout
+  * is identical.
   */
 object Formats {
 
@@ -147,6 +153,49 @@ object Formats {
         sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
   }
 
+  /** The avro twin of [[orcRoundtrip]]: long/string/double/timestamp
+    * columns of `orders` written as REAL Avro object-container files and
+    * read back. Both sides use avro-core's own classes — the write is a
+    * distributed per-partition `DataFileWriter` (deflate codec; timestamps
+    * as the spec's `timestamp-micros` logical type on long), the read is a
+    * per-file `DataFileReader` fan-out (driver lists file PATHS — metadata,
+    * never data — and each task decodes its own file, the same
+    * one-task-per-file shape `binaryFile` sources use). The registered
+    * query aggregates the roundtripped rows per status incl. exact decimal
+    * totals and min/max order timestamps; the DuckDB oracle computes the
+    * same from the original parquet, so any encode/decode infidelity —
+    * value, type, or timezone — hash-mismatches.
+    */
+  def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val sparkSchema = src.schema
+    stagedRead(spark, sfDir, "avro_orders")(
+      p => {
+        new java.io.File(p).mkdirs()
+        src.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val schema = AvroBridge.parseSchema(AvroBridge.OrdersAvroSchema)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          w.create(schema, new java.io.File(f"$p/part-$part%05d.avro"))
+          try rows.foreach(r => w.append(AvroBridge.toRecord(schema, r)))
+          finally w.close()
+        }
+      })(
+      p => {
+        val files = new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+        val rdd = spark.sparkContext
+          .parallelize(files.toSeq, math.max(files.length, 1))
+          .flatMap(AvroBridge.readFile)
+        spark.createDataFrame(rdd, sparkSchema)
+      })
+  }
+
   /** Force all format exports (Bench stage phase). */
   def stageAll(spark: SparkSession, sfDir: String): Unit = {
     csvRoundtrip(spark, sfDir)
@@ -154,6 +203,7 @@ object Formats {
     jsonRoundtrip(spark, sfDir)
     corruptJsonScan(spark, sfDir)
     schemaEvolutionScan(spark, sfDir)
+    avroRoundtrip(spark, sfDir)
     ()
   }
 }

@@ -43,6 +43,7 @@ object SourcePack extends QueryPack {
     "xs_json_lines" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "xs_corrupt_json" -> ((s, d) => Formats.corruptJsonScan(s, d)),
     "xs_schema_evolution" -> ((s, d) => Formats.schemaEvolutionScan(s, d)),
+    "xs_avro_roundtrip" -> ((s, d) => Formats.avroRoundtrip(s, d)),
   )
 
   /** Fixture registry rows via DuckDB's JSON reader: one struct column per
@@ -91,6 +92,13 @@ object SourcePack extends QueryPack {
     "xs_json_lines" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(o_orderdate AS DATE) AS o_orderdate FROM orders""".stripMargin,
+    // the avro roundtrip (real Avro container files via avro-core, deflate
+    // codec, timestamp-micros) must surface every row, type, and instant
+    // losslessly — including the timestamp column, where a timezone or
+    // unit slip would shift every value
+    "xs_avro_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate FROM orders""".stripMargin,
     // replays the deterministic corruption rule on the clean table: the
     // PERMISSIVE scan must account for every row, good or bad
     "xs_corrupt_json" ->
