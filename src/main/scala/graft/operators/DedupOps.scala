@@ -347,38 +347,99 @@ object DedupOps {
   val SimhashBandBits: Int = SimhashBits / SimhashBands
   private val SimhashBandMask: Long = (1L << SimhashBandBits) - 1
 
-  /** Hamming-≤3 SimHash neighbors via banding: split the signature
-    * into 4 sub-bands and self-join on any matching sub-band. By
-    * pigeonhole, any pair within Hamming distance 3 shares at least one
-    * intact band, so this candidate set is *exact* for d ≤ 3 — near-misses
-    * surface, not just collisions — while the join stays bucketed (per-band
-    * fan-out only, never all-pairs).
+  /** Hamming-≤3 SimHash neighbor-search band table over DISTINCT
+    * signatures. Banding the distinct-signature set instead of the doc set
+    * is the same exact collapse the PPJoin family uses (identical token
+    * sets → one representative, r7): docs sharing a signature are Hamming-0
+    * — never emitted by [[simhashNeighbors]] (its range is 1..3) — and
+    * every member of an identical-signature clique has exactly the same
+    * neighbor relations, so banding one representative per signature loses
+    * nothing. It's also what makes the banding DATA-SKEW-PROOF: a
+    * duplicate-heavy corpus (the 10x replay corpus holds ~10 near-identical
+    * variants per source doc) piles identical signatures into one band
+    * bucket and engaged the hot-bucket guard even at 48 bits; distinct
+    * signatures spread hash-uniformly, so bucket occupancy tracks corpus
+    * VARIETY, not duplication.
+    *
+    * Pigeonhole exactness is unchanged: any signature pair within Hamming
+    * distance 3 shares at least one of the 4 intact sub-bands.
     */
   private[graft] def simhashBandTable(spark: SparkSession, sfDir: String): DataFrame =
-    simhash(spark, sfDir).select(col("doc_id"), col("simhash"),
-      explode(array((0 until SimhashBands).map { b =>
-        struct(lit(b).as("band_no"),
-          shiftright(col("simhash"), b * SimhashBandBits)
-            .bitwiseAND(SimhashBandMask).as("band_val"))
-      }: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band_no"), col("b.band_val"))
+    simhash(spark, sfDir).select(col("simhash")).distinct()
+      .select(col("simhash"),
+        explode(array((0 until SimhashBands).map { b =>
+          struct(lit(b).as("band_no"),
+            shiftright(col("simhash"), b * SimhashBandBits)
+              .bitwiseAND(SimhashBandMask).as("band_val"))
+        }: _*)).as("b"))
+      .select(col("simhash"), col("b.band_no"), col("b.band_val"))
 
-  def simhashNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Sub-bands an over-cap top-level bucket recurses into: the 36 bits
+    * OUTSIDE the intact band, split 4 × 9. A pair within total Hamming
+    * distance 3 has ≤3 differing bits among those 36, so by pigeonhole it
+    * shares ≥1 intact sub-band — the recursion stays EXACT for d ≤ 3.
+    */
+  val SimhashSubBands = 4
+  val SimhashSubBandBits: Int = (SimhashBits - SimhashBandBits) / SimhashSubBands
+
+  /** The two-level banded signature structure: (small, hot). `small` holds
+    * top-level band keys for buckets within `cap`; `hot` re-keys over-cap
+    * buckets by (band, sub-band) — distinct signatures only (see
+    * [[simhashBandTable]]), so occupancy tracks corpus variety, and hot
+    * buckets (real signature clusters: templated corpora concentrate — the
+    * 10x replay put 6% of all distinct signatures into ONE 12-bit bucket)
+    * split a further 512 ways instead of being dropped.
+    */
+  private[graft] def simhashBandedReps(spark: SparkSession, sfDir: String,
+                                       cap: Long = MaxBucketDocs)
+      : (DataFrame, DataFrame) = {
     val bands = simhashBandTable(spark, sfDir)
-    val guarded = guardBuckets(bands, "band_no", "band_val")
-    val a = guarded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-      col("band_no"), col("band_val"))
-    val c = guarded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-      col("band_no"), col("band_val"))
-    // hamming is a function of the pair, so filtering BEFORE the dedup is
-    // equivalent — and shrinks the distinct's input from every raw band
-    // collision to just the near-miss pairs
-    a.join(c, Seq("band_no", "band_val"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
-      .where(col("hamming").between(1, 3))
+    val w = Window.partitionBy(col("band_no"), col("band_val"))
+    val sized = bands.withColumn("bucket_n", count(lit(1)).over(w))
+    val small = sized.where(col("bucket_n") <= cap).drop("bucket_n")
+    // bits outside band b: low 12b bits ∪ everything above bit 12(b+1)
+    val rem = s"(simhash & (shiftleft(CAST(1 AS BIGINT), band_no * $SimhashBandBits) - 1)) | " +
+      s"shiftleft(shiftright(simhash, (band_no + 1) * $SimhashBandBits), band_no * $SimhashBandBits)"
+    val hot = sized.where(col("bucket_n") > cap).drop("bucket_n")
+      .withColumn("rem", expr(rem))
+      .select(col("simhash"), col("band_no"), col("band_val"),
+        explode(array((0 until SimhashSubBands).map { s =>
+          struct(lit(s).as("sub_no"),
+            expr(s"shiftright(rem, ${s * SimhashSubBandBits}) & ${(1 << SimhashSubBandBits) - 1}")
+              .as("sub_val"))
+        }: _*)).as("sb"))
+      .select(col("simhash"), col("band_no"), col("band_val"),
+        col("sb.sub_no"), col("sb.sub_val"))
+    (small, hot)
+  }
+
+  def simhashNeighbors(spark: SparkSession, sfDir: String,
+                       cap: Long = MaxBucketDocs): DataFrame = {
+    val (small, hot) = simhashBandedReps(spark, sfDir, cap)
+    val hotGuarded = guardBuckets(hot, "band_no", "band_val", "sub_no", "sub_val")
+    def pairsOn(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = df.select(col("simhash").as("sig_a") +: keys.map(col): _*)
+      val c = df.select(col("simhash").as("sig_b") +: keys.map(col): _*)
+      // hamming is a function of the signature pair, so filtering BEFORE
+      // the dedup is equivalent — and shrinks the distinct's input from
+      // every raw band collision to just the near-miss signature pairs
+      a.join(c, keys)
+        .where(col("sig_a") < col("sig_b"))
+        .select(col("sig_a"), col("sig_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+        .where(col("hamming").between(1, 3))
+    }
+    val sigPairs = pairsOn(small, Seq("band_no", "band_val"))
+      .unionAll(pairsOn(hotGuarded, Seq("band_no", "band_val", "sub_no", "sub_val")))
       .distinct()
+    // expand each signature pair to its doc-pair cross product — the true
+    // result size; sig_a ≠ sig_b so each unordered doc pair appears once
+    val members = simhash(spark, sfDir)
+    sigPairs
+      .join(members.select(col("simhash").as("sig_a"), col("doc_id").as("da")), "sig_a")
+      .join(members.select(col("simhash").as("sig_b"), col("doc_id").as("db")), "sig_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
   }
 
   /** Sign-random-projection LSH geometry: SrpTables independent hash tables
@@ -543,25 +604,38 @@ object DedupOps {
           .as("n_docs_dropped"))
 
   /** Per-family hot-bucket-guard engagement stats — one row per guarded
-    * LSH self-join family: the max bucket size and how many rows the
-    * [[MaxBucketDocs]] guard excludes from pair generation. At the shipped
-    * SFs every family reports zero drops (guarded ≡ unguarded, which is
-    * what keeps the unguarded oracles hash-green); the r8 10× replay
-    * showed `simhash_bands` engaging (15.5M unguarded pairs suppressed to
-    * 958k), so guard engagement is an OPERATIONAL SIGNAL a pipeline must
-    * see — [[graft.Monitors]] turns any non-zero drop into a bench-embedded
-    * warning instead of a silent semantic divergence.
+    * LSH self-join family: the max bucket size the join actually sees and
+    * how many rows the [[MaxBucketDocs]] guard excludes from pair
+    * generation. At the shipped SFs every family reports zero drops
+    * (guarded ≡ unguarded, which is what keeps the unguarded oracles
+    * hash-green). The r8 10× replay originally showed `simhash_bands`
+    * engaging; the response was structural, not a louder alarm: 48-bit
+    * signatures (64× more band values), identical-signature collapse
+    * (duplication no longer concentrates buckets), and two-level
+    * sub-banding (real signature CLUSTERS split 512 ways instead of
+    * dropping) — after which the same corpus reports zero drops. Any
+    * remaining engagement is an OPERATIONAL SIGNAL a pipeline must see —
+    * [[graft.Monitors]] turns non-zero drops into a bench-embedded warning
+    * instead of a silent semantic divergence.
     */
   private[graft] def guardStats(spark: SparkSession, sfDir: String): DataFrame = {
-    def stat(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
-      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-        .agg(max(col("n")).as("max_bucket"),
-          sum(when(col("n") > MaxBucketDocs, col("n")).otherwise(0L))
-            .as("n_rows_dropped"))
+    def bucketCounts(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")).select(col("n"))
+    def statOf(name: String, counts: DataFrame): DataFrame =
+      counts.agg(coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+        coalesce(sum(when(col("n") > MaxBucketDocs, col("n")).otherwise(0L)), lit(0L))
+          .as("n_rows_dropped"))
         .select(lit(name).as("family"), col("max_bucket"), col("n_rows_dropped"))
+    def stat(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      statOf(name, bucketCounts(df, keys))
+    // simhash is TWO-LEVEL banded: over-cap top buckets recurse into
+    // sub-bands instead of dropping, so engagement = sub-buckets still over
+    // cap (and max_bucket is the largest bucket the join actually sees)
+    val (shSmall, shHot) = simhashBandedReps(spark, sfDir)
+    val shCounts = bucketCounts(shSmall, Seq("band_no", "band_val"))
+      .unionAll(bucketCounts(shHot, Seq("band_no", "band_val", "sub_no", "sub_val")))
     stat("minhash_bands", minhashBands(spark, sfDir), Seq("band_no", "band_key"))
-      .unionAll(stat("simhash_bands", simhashBandTable(spark, sfDir),
-        Seq("band_no", "band_val")))
+      .unionAll(statOf("simhash_bands", shCounts))
       .unionAll(stat("srp_buckets", srpBucketTable(spark, sfDir), Seq("t", "bucket")))
   }
 

@@ -45,27 +45,64 @@ class MonitorsSpec extends SparkSpec {
     assert(w.size == 1 && w.head.contains("simhash_bands"))
   }
 
-  test("planted over-cap corpus: simhash guard engagement measured and flagged end-to-end") {
-    // >MaxBucketDocs identical texts collapse to one simhash -> each band
-    // bucket holds all of them -> the guard excludes them from the join,
-    // and guardStats must SAY so
+  test("planted over-cap corpus: srp guard engagement measured and flagged end-to-end") {
+    // simhash now collapses identical signatures and sub-bands clusters, so
+    // an identical-TEXT flood must NOT engage it (asserted below). The SRP
+    // family buckets distinct VECTORS with no collapse, so >MaxBucketDocs
+    // co-bucketed near-identical embeddings are the honest end-to-end plant.
     val dir = java.nio.file.Files.createTempDirectory("graft_overcap").toString
     import spark.implicits._
-    (1 to operators.DedupOps.MaxBucketDocs + 100).map { i =>
+    val n = operators.DedupOps.MaxBucketDocs.toInt + 100
+    (1 to n).map { i =>
       (i.toLong, "the same exact document body repeated verbatim everywhere")
     }.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    (1 to 10).map(i => (i.toLong, Array.fill(64)(0.5f), i % 3))
-      .toDF("vec_id", "embedding", "label")
+    // distinct vectors, all on the same side of every hyperplane: a shared
+    // dominant direction + a tiny per-vector wiggle on one coordinate
+    (1 to n).map { i =>
+      val v = Array.fill(64)(0.5f); v(0) = 10f + i * 1e-4f
+      (i.toLong, v, i % 3)
+    }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val stats = operators.DedupOps.guardStats(spark, dir).collect()
       .map(r => (r.getAs[String]("family"), r.getAs[Long]("max_bucket"),
         r.getAs[Long]("n_rows_dropped"))).toSeq
+    val srp = stats.find(_._1 == "srp_buckets").get
+    assert(srp._2 > operators.DedupOps.MaxBucketDocs && srp._3 > 0)
+    // the identical-text flood collapsed to ONE signature: no engagement
     val simhash = stats.find(_._1 == "simhash_bands").get
-    assert(simhash._2 > operators.DedupOps.MaxBucketDocs && simhash._3 > 0)
-    assert(stats.find(_._1 == "srp_buckets").get._3 == 0) // 10 vecs: under cap
+    assert(simhash._3 == 0,
+      s"identical-text flood must be absorbed by the signature collapse: $simhash")
     val w = Monitors.guardWarnings(stats)
-    assert(w.exists(_.contains("simhash_bands")), s"expected guard warning, got: $w")
+    assert(w.exists(_.contains("srp_buckets")), s"expected guard warning, got: $w")
+  }
+
+  test("simhash two-level banding: hot-bucket recursion stays exact for Hamming <= 3") {
+    // a corpus of signature CLUSTERS: many distinct texts sharing most
+    // words, so distinct signatures concentrate in top-level band buckets.
+    // With a tiny cap every bucket goes hot, forcing the sub-band path;
+    // results must equal the brute-force O(n^2) answer exactly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotband").toString
+    import spark.implicits._
+    val base = (1 to 40).map(j => s"token$j").mkString(" ")
+    (1 to 60).map(i => (i.toLong, s"$base extra${i % 15} tail${i % 7}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = operators.DedupOps.simhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val expect = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h >= 1 && h <= 3
+    } yield (a, b, h)).toSet
+    val hot = operators.DedupOps.simhashNeighbors(spark, dir, cap = 3L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(hot == expect, s"hot-path result diverged: ${hot.size} vs ${expect.size}")
+    // and the default cap (no hot buckets at this size) agrees too
+    val cold = operators.DedupOps.simhashNeighbors(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(cold == expect)
   }
 
   test("posting-skew and candidate-density flags fire on synthetic stats") {
