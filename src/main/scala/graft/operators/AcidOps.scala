@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.Tables
+import graft.sources.TxTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M-family mutations with a REAL write path (X-M; closes the "ACID-backed
+  * MERGE/TTL" gap the read-side analogs left): a deterministic mutation
+  * history executed against [[graft.sources.TxTable]] — the minimal
+  * parquet+commit-log ACID format — whose every snapshot is replayable by
+  * the DuckDB oracle from the raw `orders` table.
+  *
+  * The staged history (once per session, like every staging build):
+  *   v0 `append`  orders before 1998, range-partitioned by order date so
+  *                later mutations exhibit FILE-LEVEL copy-on-write;
+  *   v1 `append`  the rest of orders (the incremental-load shape);
+  *   v2 `delete`  TTL enforcement — rows older than [[TtlCutoff]]; only
+  *                the v0 files whose date range intersects rewrite;
+  *   v3 `merge`   upsert batch: price corrections (+1.5 on orderkey ≡ 3
+  *                mod 10 — exact IEEE, hash-identical cross-engine) and
+  *                resubmitted orders (orderkey + 10⁹, status 'R', on
+  *                orderkey ≡ 0 mod 97). Corrections whose target row the
+  *                TTL already deleted re-arrive as INSERTS — the upsert
+  *                contract, visible in the oracle's replay.
+  *
+  * Registered queries read snapshots (full final state, a time-travel
+  * aggregate at v2, and the commit-log history with its deterministic row
+  * metrics) — so the oracle verifies not just the final data but the
+  * recorded provenance of every mutation.
+  */
+object AcidOps {
+
+  val InsertKeyOffset = 1000000000L
+  val PriceCorrection = 1.5
+  val TtlCutoff = "1996-01-01 00:00:00"
+
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** Build (once per session, sfDir) and return the table root. */
+  private[graft] def ordersTxTable(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_orders")
+      val orders = Tables.orders(spark, sfDir)
+      val cutoff = lit(TtlCutoff).cast(orders.schema("o_orderdate").dataType)
+      val batchSplit = lit("1998-01-01 00:00:00")
+        .cast(orders.schema("o_orderdate").dataType)
+      TxTable.append(spark, root,
+        orders.where(col("o_orderdate") < batchSplit)
+          .repartitionByRange(4, col("o_orderdate")))
+      TxTable.append(spark, root,
+        orders.where(col("o_orderdate") >= batchSplit)
+          .repartitionByRange(4, col("o_orderdate")))
+      TxTable.delete(spark, root, col("o_orderdate") < cutoff)
+      val corrections = orders.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(PriceCorrection))
+      val inserts = orders.where(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(InsertKeyOffset))
+        .withColumn("o_orderstatus", lit("R"))
+      TxTable.merge(spark, root, corrections.unionByName(inserts),
+        Seq("o_orderkey"), Seq("o_totalprice"))
+      root
+    })
+
+  private val Cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Latest snapshot, full rows — every mutation's net effect hash-checked. */
+  def finalState(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.read(spark, ordersTxTable(spark, sfDir))
+      .select(Cols.map(col): _*)
+
+  /** Time travel: the v2 snapshot (post-TTL, pre-merge) aggregated per
+    * status — proves old versions stay exactly reconstructable after later
+    * commits.
+    */
+  def timeTravelV2(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.read(spark, ordersTxTable(spark, sfDir), asOf = Some(2L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+
+  /** The commit log as data: version, operation, deterministic row metrics. */
+  def history(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.history(spark, ordersTxTable(spark, sfDir))
+}

@@ -21,6 +21,9 @@ object LifecyclePack extends QueryPack {
     "m4_ttl_view" -> ((s, d) => LifecycleOps.ttlView(s, d, 7)),
     "st1_restart_poll" -> ((s, d) => LifecycleOps.restartPoll(s, d)),
     "m10_after_upsert" -> ((s, d) => LifecycleOps.afterUpsert(s, d)),
+    "xacid_final_state" -> ((s, d) => AcidOps.finalState(s, d)),
+    "xacid_time_travel" -> ((s, d) => AcidOps.timeTravelV2(s, d)),
+    "xacid_history" -> ((s, d) => AcidOps.history(s, d)),
   )
 
   private val stagesValues = LifecycleOps.Stages
@@ -111,5 +114,59 @@ object LifecyclePack extends QueryPack {
         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
         |  UNION ALL SELECT * FROM changes) merged
         |GROUP BY c_mktsegment""".stripMargin,
+    // replay of the FULL mutation history's net effect: TTL survivors with
+    // price corrections applied, TTL'd correction keys re-arriving as
+    // inserts (the upsert contract), and the resubmitted-order inserts
+    "xacid_final_state" ->
+      s"""WITH final AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + ${AcidOps.PriceCorrection}
+         |         ELSE o_totalprice END AS o_totalprice,
+         |    o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    o_totalprice + ${AcidOps.PriceCorrection}, o_orderdate, o_orderpriority
+         |  FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}' AND o_orderkey % 10 = 3
+         |  UNION ALL
+         |  SELECT o_orderkey + ${AcidOps.InsertKeyOffset}, o_custkey, 'R',
+         |    o_totalprice, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 97 = 0
+         |)
+         |SELECT * FROM final""".stripMargin,
+    // the v2 snapshot (post-TTL, pre-merge): time travel must reconstruct
+    // it exactly even though v3 rewrote files afterwards
+    "xacid_time_travel" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
+         |GROUP BY o_orderstatus""".stripMargin,
+    // the commit log's own provenance: every version's op + row metrics
+    // derived from the raw table by the same deterministic rules
+    "xacid_history" ->
+      s"""SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+         |  (SELECT count(*) FROM orders
+         |   WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS rows_written,
+         |  CAST(0 AS BIGINT) AS rows_updated, CAST(0 AS BIGINT) AS rows_inserted,
+         |  CAST(0 AS BIGINT) AS rows_deleted
+         |UNION ALL
+         |SELECT 1, 'append',
+         |  (SELECT count(*) FROM orders
+         |   WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'), 0, 0, 0
+         |UNION ALL
+         |SELECT 2, 'delete', 0, 0, 0,
+         |  (SELECT count(*) FROM orders
+         |   WHERE o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}')
+         |UNION ALL
+         |SELECT 3, 'merge', 0,
+         |  (SELECT count(*) FROM orders
+         |   WHERE o_orderkey % 10 = 3
+         |     AND o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'),
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0)
+         |    + (SELECT count(*) FROM orders
+         |       WHERE o_orderkey % 10 = 3
+         |         AND o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'),
+         |  0""".stripMargin,
   )
 }

@@ -1,0 +1,137 @@
+package graft
+
+import graft.sources.TxTable
+import org.apache.spark.sql.functions._
+
+/** The minimal ACID table format: snapshot isolation, copy-on-write
+  * mutation granularity, optimistic-concurrency commit races, time travel,
+  * and retention vacuum — each asserted against the format's contracts,
+  * not just happy-path reads.
+  */
+class AcidSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_tx").toString
+
+  private def frame(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, i * 10L)).toDF("id", "tag", "value")
+
+  test("append/read roundtrip preserves every row; history records the op") {
+    val root = freshRoot()
+    val v = TxTable.append(spark, root, frame(1 to 100, "a"))
+    assert(v == 0L)
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 100)
+    assert(back.exceptAll(frame(1 to 100, "a")).count() == 0)
+    val h = TxTable.history(spark, root).collect()
+    assert(h.length == 1 && h(0).getAs[String]("op") == "append" &&
+      h(0).getAs[Long]("rows_written") == 100)
+  }
+
+  test("concurrent appends: the commit race serializes, neither writer's rows are lost") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 10, "base"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = Seq("left" -> (100 to 150), "right" -> (200 to 260)).map {
+        case (tag, ids) =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = TxTable.append(spark, root, frame(ids, tag))
+          })
+      }
+      val versions = tasks.map(_.get()).sorted
+      assert(versions == Seq(1L, 2L), s"got $versions") // serialized, no gap
+    } finally pool.shutdown()
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 10 + 51 + 61)
+    assert(back.where($"tag" === "left").count() == 51)
+    assert(back.where($"tag" === "right").count() == 61)
+  }
+
+  test("delete is copy-on-write at file granularity: untouched files survive verbatim") {
+    val root = freshRoot()
+    // two appends -> disjoint file sets per batch
+    TxTable.append(spark, root, frame(1 to 50, "old").repartition(2))
+    TxTable.append(spark, root, frame(51 to 100, "new").repartition(2))
+    val before = TxTable.snapshot(root)
+    val v = TxTable.delete(spark, root, $"tag" === "old" && $"id" <= 25)
+    assert(v == 2L)
+    val commit = TxTable.commits(root).last
+    // only batch-0 files contain matches: batch-1 files must NOT be removed
+    val batch1Files = TxTable.commits(root)(1).adds.toSet
+    assert(commit.removes.nonEmpty && commit.removes.forall(!batch1Files.contains(_)),
+      s"delete rewrote unaffected files: ${commit.removes}")
+    assert(commit.metrics("rows_deleted") == 25)
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 75 && back.where($"id" <= 25).count() == 0)
+    assert(before.liveFiles.toSet != TxTable.snapshot(root).liveFiles.toSet)
+  }
+
+  test("delete with no matching rows is a no-op: no commit, same version") {
+    val root = freshRoot()
+    val v0 = TxTable.append(spark, root, frame(1 to 20, "a"))
+    val v = TxTable.delete(spark, root, $"id" > 999)
+    assert(v == v0 && TxTable.commits(root).length == 1)
+  }
+
+  test("merge upserts: matched rows update in place, unmatched insert; metrics exact") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 30, "base"))
+    // updates for ids 1..10 (value *= 100), inserts for ids 101..105
+    val source = (1 to 10).map(i => (i.toLong, "upd", i * 1000L))
+      .toDF("id", "tag", "value")
+      .unionByName((101 to 105).map(i => (i.toLong, "ins", i.toLong))
+        .toDF("id", "tag", "value"))
+    TxTable.merge(spark, root, source, Seq("id"), Seq("value"))
+    val back = TxTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("tag"), r.getAs[Long]("value")))
+      .toMap
+    assert(back.size == 35)
+    (1 to 10).foreach(i => assert(back(i.toLong) == ("base", i * 1000L))) // updated value, kept tag
+    (11 to 30).foreach(i => assert(back(i.toLong) == ("base", i * 10L)))  // untouched
+    (101 to 105).foreach(i => assert(back(i.toLong) == ("ins", i.toLong))) // inserted whole row
+    val m = TxTable.commits(root).last.metrics
+    assert(m("rows_updated") == 10 && m("rows_inserted") == 5)
+  }
+
+  test("time travel reconstructs every past version after later rewrites") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 40, "a"))
+    TxTable.delete(spark, root, $"id" <= 10)
+    TxTable.merge(spark, root, Seq((15L, "x", 0L)).toDF("id", "tag", "value"),
+      Seq("id"), Seq("value"))
+    assert(TxTable.read(spark, root, asOf = Some(0L)).count() == 40)
+    val v1 = TxTable.read(spark, root, asOf = Some(1L))
+    assert(v1.count() == 30 && v1.where($"id" === 15 && $"value" === 150).count() == 1)
+    val v2 = TxTable.read(spark, root)
+    assert(v2.where($"id" === 15).head().getAs[Long]("value") == 0L)
+  }
+
+  test("vacuum reclaims only files unreferenced by retained versions") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 40, "a").repartition(2))
+    TxTable.delete(spark, root, $"id" <= 20)
+    val removedFiles = TxTable.commits(root).last.removes.toSet
+    val reclaimed = TxTable.vacuum(root, keepFromVersion = 1L)
+    assert(reclaimed.toSet == removedFiles) // exactly the dead files
+    // current snapshot unaffected; the pre-delete version is now gone
+    assert(TxTable.read(spark, root).count() == 20)
+    intercept[Exception] {
+      TxTable.read(spark, root, asOf = Some(0L)).count()
+    }: Unit
+  }
+
+  test("a stray temp file in the log never corrupts the commit sequence") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 5, "a"))
+    // simulate a crashed writer: abandoned temp next to real commits
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_log", ".commit_crashed.tmp"),
+      "{\"garbage\":".getBytes("UTF-8"))
+    assert(TxTable.commits(root).length == 1)
+    assert(TxTable.append(spark, root, frame(6 to 9, "b")) == 1L)
+    assert(TxTable.read(spark, root).count() == 9)
+  }
+}
