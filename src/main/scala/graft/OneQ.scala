@@ -15,7 +15,10 @@ object OneQ {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     Tables.materializeDerived(spark, sf)
     val df = SparkEntry.queries(args(0))(spark, sf)
+    if (args.contains("--explain")) df.explain("formatted")
     df.show(5)
+    val t0 = System.nanoTime()
     println("ROWS=" + df.count())
+    println(f"SECS=${(System.nanoTime() - t0) / 1e9}%.2f")
   }
 }

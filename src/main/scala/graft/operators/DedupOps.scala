@@ -538,6 +538,11 @@ object DedupOps {
     * candidate list.
     */
   def srpKnnJoin(spark: SparkSession, sfDir: String, k: Int = KnnJoinK): DataFrame = {
+    // One-pass candidate scoring: cosine computes DURING the bucket join.
+    // (An id-only pair graph with vectors attached after dedup was tried
+    // and is ~3x slower here: multi-table collision overlap is low, so the
+    // pair `distinct` prunes almost nothing and the extra pass + two
+    // attach joins are pure overhead over the same ~10^8 candidate rows.)
     val buckets = srpBucketTable(spark, sfDir)
     val normed = guardBuckets(buckets, "t", "bucket").withColumn("nrm",
       sqrt(dotD(spark, col("embedding"), col("embedding"))))
@@ -551,10 +556,15 @@ object DedupOps {
         round(dotD(spark, col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cosine"))
       .distinct() // collapse multi-table collisions: cosine is pair-deterministic
+    // Rank through the bounded-heap operator instead of a full window: the
+    // partial stage cuts the candidate stream to ≤k rows per (task, vector)
+    // BEFORE the vec_id exchange, so nothing ever sorts the full candidate
+    // list; the rank window then sees only k-bounded partitions.
+    val topk = graft.plans.TopKPerKey(cand, k, Seq("vec_id"),
+      Seq("cosine" -> false, "neighbor_id" -> true))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    topk.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Quality-aware survivor selection: for every duplicate cluster, rank the
