@@ -117,8 +117,14 @@ object PlanDump {
         operators.MediaOps.wavDecode(spark, sfDir)),
       ("tx_bm25_search", "BM25 from pruned postings alone: dl rides the posting rows, stats broadcast, one doc agg",
         operators.TextOps.bm25Search(spark, sfDir)),
-      ("sim_srp_knn_join", "staged SRP index self-join per (table,bucket), guard reuses the exchange, bounded rank window",
+      ("sim_srp_knn_join", "staged SRP index self-join per (table,bucket), TopKPerKey cuts candidates pre-exchange, rank window sees k-bounded partitions",
         operators.DedupOps.srpKnnJoin(spark, sfDir)),
+      ("md_png_decode", "staged PNG payload scan -> one codegen'd parse+stats projection, zero shuffle",
+        operators.MediaOps.pngDecode(spark, sfDir)),
+      ("xacid_final_state", "TxTable snapshot read: live-file parquet scan from the commit log, no full-table rewrite artifacts",
+        operators.AcidOps.finalState(spark, sfDir)),
+      ("dd_simhash_neighbors", "two-level banded rep join (small band keys + hot-bucket sub-bands), clique expansion at output",
+        operators.DedupOps.simhashNeighbors(spark, sfDir)),
       ("geo_kcore", "peeling rounds: map-side degree count + two semi-joins; edge set only shrinks",
         operators.GeoOps.kCore(spark, sfDir)),
       ("dd_prefix_jaccard", "set-collapse to reps, prefix equi-join + inline PPJoin filters, shuffle-hash verify with codegen'd sorted_intersect_n, clique expansion at output",
