@@ -25,6 +25,7 @@ object SimMediaPack extends QueryPack {
     "sim_recall_report" -> ((s, d) => SimilarityOps.recallReport(s, d)),
     "sim_gram_matrix" -> ((s, d) => SimilarityOps.gramMatrix(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(s, d)),
+    "dd_semdedup" -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_ppm_decode" -> ((s, d) => MediaOps.ppmDecode(s, d)),
@@ -383,6 +384,26 @@ object SimMediaPack extends QueryPack {
     "sim_kmeans_topk" -> kmeansTopKSql,
     // the pruned-layout query is the same logical result — one oracle text
     "sim_kmeans_pruned_topk" -> kmeansTopKSql,
+    // SemDeDup replay: same trained kassign/m{N}d tables, intra-cluster
+    // pairs at >= SemDedupTau, centroid-nearer member of each pair pruned
+    "dd_semdedup" ->
+      Oracle.withCtes(vecCtes ++ kmeansCtes ++ Seq(
+        s"""sd_members AS (
+           |  SELECT v.vec_id, a.k, v.e, ${cosSql("v.e", "c.cd")} AS c_cos
+           |  FROM vv v JOIN kassign a USING (vec_id)
+           |  JOIN m${SimilarityOps.KmeansIters}d c USING (k)
+           |)""".stripMargin,
+        s"""sd_pruned AS (
+           |  SELECT DISTINCT CASE
+           |    WHEN x.c_cos > y.c_cos
+           |      OR (x.c_cos = y.c_cos AND x.vec_id > y.vec_id)
+           |    THEN x.vec_id ELSE y.vec_id END AS vec_id
+           |  FROM sd_members x JOIN sd_members y
+           |    ON x.k = y.k AND x.vec_id < y.vec_id
+           |  WHERE ${cosSql("x.e", "y.e")} >= ${SimilarityOps.SemDedupTau}
+           |)""".stripMargin): _*)(
+        s"""SELECT m.vec_id, m.k, m.c_cos, (p.vec_id IS NULL) AS is_kept
+           |FROM sd_members m LEFT JOIN sd_pruned p USING (vec_id)""".stripMargin),
     "sim_pq_codes" ->
       Oracle.withCtes(vecCtes ++ pqCtes: _*)(
         s"""SELECT vec_id,

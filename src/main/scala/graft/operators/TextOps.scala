@@ -123,6 +123,61 @@ object TextOps {
           .as("n_curated"))
   }
 
+  /** Hashed-feature bucket count for [[dsirWeights]] (DSIR uses 10k buckets
+    * at web scale; 256 keeps every bucket populated at test SF while the
+    * stats tables stay broadcast-sized at ANY corpus size — that invariance
+    * is the method's scaling trick).
+    */
+  val DsirBuckets = 256
+
+  /** X-C39: DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-bigram features are under a TARGET
+    * distribution (here: the [[MinQuality]]-curated subset — in production,
+    * a trusted domain corpus) than under the raw-corpus SOURCE
+    * distribution. Bag-of-hashed-bigrams with Laplace (+1) smoothing:
+    * `weight(d) = Σ_f c_{d,f} · (ln p̂_tgt(f) − ln p̂_src(f))`; a document
+    * is `selected` when the ratio favors the target (weight > 0) — the
+    * deterministic analog of DSIR's importance resampling step.
+    *
+    * Scale shape: one exploded pass over the corpus builds per-doc feature
+    * counts (map-side combinable groupBy); BOTH distribution estimates
+    * aggregate to ≤ [[DsirBuckets]] rows — metadata-sized no matter the
+    * corpus — so the log-ratio table broadcasts and the scoring join never
+    * shuffles the corpus side. Weights are exact integer-count arithmetic
+    * through the hash buckets, so the DuckDB replay is bit-comparable at
+    * 6 dp.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (qualityScoreExpr >= MinQuality).as("in_target"),
+        words(col("text")).as("w"))
+      .select(col("doc_id"), col("in_target"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"), col("in_target"),
+        (Tables.h24(col("bigram")) % DsirBuckets).as("f"))
+    val docFeat = feats.groupBy(col("doc_id"), col("in_target"), col("f"))
+      .agg(count(lit(1)).as("c"))
+    val featStats = docFeat.groupBy(col("f"))
+      .agg(sum(col("c")).as("sc"),
+        sum(when(col("in_target"), col("c")).otherwise(lit(0L))).as("tc"))
+    val totals = featStats.agg(sum(col("sc")).as("s_tot"), sum(col("tc")).as("t_tot"))
+    val logRatio = featStats.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (log((col("tc") + 1) / (col("t_tot") + DsirBuckets)) -
+          log((col("sc") + 1) / (col("s_tot") + DsirBuckets))).as("logr"))
+    docFeat.join(broadcast(logRatio), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c") * col("logr")), 6).as("dsir_weight"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight"),
+        (col("dsir_weight") > 0).as("selected"))
+  }
+
   /** Benchmark/eval set for the decontamination demo: the first
     * [[BenchmarkDocs]] doc_ids stand in for an eval suite. In production
     * this is a separate (and small) table; everything below only relies on

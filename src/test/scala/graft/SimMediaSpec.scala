@@ -380,4 +380,33 @@ class SimMediaSpec extends SparkSpec {
       assert(r.getLong(7) == samples.max && r.getLong(8) == samples.map(v => v * v).sum)
     }
   }
+
+  test("semanticDedup: one verdict per vector; pruned iff a centroid-farther over-tau neighbor exists") {
+    val verdicts = SimilarityOps.semanticDedup(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("k"), r.getAs[Double]("c_cos"), r.getAs[Boolean]("is_kept"))).toMap
+    val nVecs = Tables.embeddings(spark, Sf).count()
+    assert(verdicts.size == nVecs) // exactly one verdict per corpus vector
+    // driver-side recompute of the prune rule on the same trained clusters
+    val members = Tables.embeddings(spark, Sf).collect().map { r =>
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      (r.getAs[Long]("vec_id"), e)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = members.groupBy { case (id, _) => verdicts(id)._1 }
+    val expectPruned = byCluster.values.flatMap { ms =>
+      for {
+        (ia, ea) <- ms.toSeq; (ib, eb) <- ms.toSeq
+        if ia < ib && cos(ea, eb) >= SimilarityOps.SemDedupTau
+        (ca, cb) = (verdicts(ia)._2, verdicts(ib)._2)
+      } yield if (ca > cb || (ca == cb && ia > ib)) ia else ib
+    }.toSet
+    assert(verdicts.collect { case (id, (_, _, false)) => id }.toSet == expectPruned)
+    assert(expectPruned.nonEmpty) // the threshold genuinely fires at test SF
+  }
 }

@@ -738,4 +738,57 @@ class TextDedupSpec extends SparkSpec {
     val got = n.find(_.getLong(0) == doc.getLong(0)).get.getDouble(2)
     assert(math.abs(got - expect) < 1e-6)
   }
+
+  test("dsirWeights: full driver-side recompute of hashed-bigram log-ratio weights") {
+    // in_target read from the (independently oracle-verified) quality rule
+    val inTarget = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.words(col("text")).as("w"))
+      .collect().map { r =>
+        val wds = r.getAs[scala.collection.Seq[String]]("w")
+        val stop = TextFunctions.LangProfiles.head._2
+        val hits = wds.count(w => stop.contains(w))
+        val q = math.min(wds.size / 100.0, 1.0) * (0.5 + 0.5 * hits.toDouble / wds.size)
+        (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          q >= TextOps.MinQuality)
+      }
+    def h24mod(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % TextOps.DsirBuckets
+    }
+    // per-doc hashed-bigram counts, then the Laplace-smoothed stats
+    val docFeats = inTarget.map { case (id, text, t) =>
+      val w = text.split(" ", -1)
+      val fs = w.sliding(2).filter(_.length == 2)
+        .map(p => h24mod(p(0) + " " + p(1))).toSeq
+        .groupBy(identity).map { case (f, xs) => f -> xs.size.toLong }
+      (id, t, fs)
+    }.filter(_._3.nonEmpty)
+    val sc = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val tc = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    docFeats.foreach { case (_, t, fs) => fs.foreach { case (f, c) =>
+      sc(f) += c; if (t) tc(f) += c
+    }}
+    val (sTot, tTot) = (sc.values.sum, tc.values.sum)
+    val logr = sc.keys.map { f =>
+      f -> (math.log((tc(f) + 1).toDouble / (tTot + TextOps.DsirBuckets)) -
+        math.log((sc(f) + 1).toDouble / (sTot + TextOps.DsirBuckets)))
+    }.toMap
+    val expect = docFeats.map { case (id, _, fs) =>
+      id -> fs.map { case (f, c) => c * logr(f) }.sum
+    }.toMap
+    val got = TextOps.dsirWeights(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_weight"),
+          r.getAs[Boolean]("selected"))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (nf, dw, sel)) =>
+      assert(nf == docFeats.find(_._1 == id).get._3.values.sum)
+      assert(math.abs(dw - expect(id)) < 2e-6, s"doc $id: $dw vs ${expect(id)}")
+      assert(sel == (dw > 0))
+    }
+    // the rule genuinely splits the corpus at test SF
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
 }
