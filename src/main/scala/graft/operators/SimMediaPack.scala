@@ -96,7 +96,9 @@ object SimMediaPack extends QueryPack {
     val n = SimilarityOps.KmeansIters
     val init = Seq(
       s"""c0d AS (
-         |  SELECT vec_id % ${SimilarityOps.KmeansK} AS k,
+         |  SELECT vec_id % (SELECT greatest(${SimilarityOps.KmeansK},
+         |      CAST(ceil(count(*) / ${SimilarityOps.KmeansTargetClusterSize}.0) AS BIGINT))
+         |    FROM vv) AS k,
          |         arg_min(e, md5(CAST(vec_id AS VARCHAR))) AS cd
          |  FROM vv GROUP BY 1
          |)""".stripMargin)

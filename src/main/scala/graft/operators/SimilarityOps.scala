@@ -135,6 +135,36 @@ object SimilarityOps {
   val KmeansK     = 8
   val KmeansIters = 2
 
+  /** Target vectors per trained cluster. The cluster COUNT — not the
+    * cluster size — is what grows with the corpus: `k = max(KmeansK,
+    * ⌈n/KmeansTargetClusterSize⌉)`. Constant cluster size is what keeps
+    * every cluster-local consumer honest at scale — [[semanticDedup]]'s
+    * intra-cluster pair work stays linear in N (the SemDeDup paper's own
+    * regime: 50k clusters over 5B embeddings), probe scans stay
+    * partition-sized, and the per-iteration assignment cost N·k is the
+    * standard price IVF training pays (production trains on a sample; the
+    * fixture corpus IS sample-sized). Every shipped SF sits at or below
+    * KmeansK·size, so driver-SF cluster counts — and all oracle results —
+    * are unchanged; the 10× scaling corpus trains 8× more clusters and the
+    * audit sees linear dedup cost instead of a quadratic bend.
+    */
+  val KmeansTargetClusterSize = 250L
+
+  /** Data-adaptive trained-cluster count (see [[KmeansTargetClusterSize]]);
+    * memoized — one metadata-cheap count per (session, sf). The DuckDB
+    * oracle replays the same formula as a scalar subquery.
+    */
+  def kmeansKFor(spark: SparkSession, sfDir: String): Long = {
+    val key = (System.identityHashCode(spark), sfDir)
+    kCache.getOrElseUpdate(key, {
+      val n = vecs(spark, sfDir).count()
+      math.max(KmeansK.toLong,
+        (n + KmeansTargetClusterSize - 1) / KmeansTargetClusterSize)
+    })
+  }
+  private val kCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+
   /** Codegen'd double dot product ([[graft.functions.VecDot]]) — the
     * training loop's hottest arithmetic; bit-identical to the interpreted
     * `aggregate(zip_with(...))` fold it replaced (same sequential order).
@@ -187,7 +217,7 @@ object SimilarityOps {
   def kmeansCentroids(spark: SparkSession, sfDir: String): DataFrame =
     Tables.derived(spark, sfDir, "kmeans_centroids") {
       val v = vecsD(spark, sfDir)
-      val init = v.groupBy((col("vec_id") % KmeansK).as("k"))
+      val init = v.groupBy((col("vec_id") % kmeansKFor(spark, sfDir)).as("k"))
         .agg(min_by(col("e"), md5(col("vec_id").cast("string"))).as("centroid"))
       (1 to KmeansIters).foldLeft(init) { (cent, _) =>
         meanCentroids(assignTo(v, cent))
@@ -625,10 +655,11 @@ object SimilarityOps {
     * KmeansK × 64 floats) and the staged [[kmeansAssignments]] inverted
     * list; the self-join shuffles on the cluster id once, and every
     * quadratic step is cluster-local. At 100 TB the lever is K ∝ N (the
-    * paper runs 50k clusters on 5B embeddings): cluster size — and so
-    * per-cluster pair work — stays CONSTANT as the corpus grows, and the
-    * cluster-id shuffle disappears entirely on the k-partitioned
-    * [[kmeansLayout]]. Norms are hoisted per member (one cross dot product
+    * paper runs 50k clusters on 5B embeddings), and the index IMPLEMENTS
+    * it ([[kmeansKFor]]: cluster count tracks ⌈n/[[KmeansTargetClusterSize]]⌉):
+    * cluster size — and so per-cluster pair work — stays CONSTANT as the
+    * corpus grows, keeping this operator linear in N, and the cluster-id
+    * shuffle disappears entirely on the k-partitioned [[kmeansLayout]]. Norms are hoisted per member (one cross dot product
     * per pair, not three), cosines rounded to 6 dp with vec_id tie-breaks
     * so the DuckDB replay is bit-identical.
     */

@@ -130,7 +130,7 @@ object TextOps {
     */
   val DsirBuckets = 256
 
-  /** X-C39: DSIR-style importance weights (Xie et al. 2023, "Data Selection
+  /** X-C41: DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every document
     * by how much more likely its hashed-bigram features are under a TARGET
     * distribution (here: the [[MinQuality]]-curated subset — in production,

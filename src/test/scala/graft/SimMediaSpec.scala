@@ -75,7 +75,7 @@ class SimMediaSpec extends SparkSpec {
     // the probe set bounds the partitions read
     val nProbedKs = SimilarityOps.kmeansProbes(spark, Sf)
       .select("k").distinct().count()
-    assert(nProbedKs <= SimilarityOps.KmeansK)
+    assert(nProbedKs <= SimilarityOps.kmeansKFor(spark, Sf))
   }
 
   test("quantizedTopK: int8 storage, high top-k agreement with the float path") {
