@@ -138,7 +138,11 @@ object PlanDump {
       ("xt_autocorr_daily", "day+1 self-join on the per-day aggregate: hash-partitioned, no single-partition window",
         operators.TimeSeriesOps.dailyAutocorr(spark, sfDir)),
       ("xa_weighted_median", "three-level exact median: cells -> bucket histogram window -> in-bucket refine; no full-domain sort",
-        operators.RelationalOps.weightedMedianPrice(spark, sfDir)))
+        operators.RelationalOps.weightedMedianPrice(spark, sfDir)),
+      ("dd_semdedup", "cluster-local pair join on the trained index (k ~ n/250 keeps clusters constant-size); centroids broadcast",
+        operators.SimilarityOps.semanticDedup(spark, sfDir)),
+      ("tx_dsir_weights", "corpus explodes once (exchange reused by both stats and scoring); bucket-bounded log-ratio table broadcast",
+        operators.TextOps.dsirWeights(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")

@@ -165,8 +165,15 @@ object TextOps {
     val featStats = docFeat.groupBy(col("f"))
       .agg(sum(col("c")).as("sc"),
         sum(when(col("in_target"), col("c")).otherwise(lit(0L))).as("tc"))
-    val totals = featStats.agg(sum(col("sc")).as("s_tot"), sum(col("tc")).as("t_tot"))
-    val logRatio = featStats.crossJoin(broadcast(totals))
+    // totals via a window over the ≤DsirBuckets-row stats table — NOT a
+    // separate .agg lineage, which would re-derive (and re-scan) the whole
+    // corpus-sized docFeat plan a second time for two numbers. The window
+    // is constant-keyed over a metadata-sized table, so the "single
+    // partition" cost is 256 rows.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val logRatio = featStats
+      .withColumn("s_tot", sum(col("sc")).over(wAll))
+      .withColumn("t_tot", sum(col("tc")).over(wAll))
       .select(col("f"),
         (log((col("tc") + 1) / (col("t_tot") + DsirBuckets)) -
           log((col("sc") + 1) / (col("s_tot") + DsirBuckets))).as("logr"))
