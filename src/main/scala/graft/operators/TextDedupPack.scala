@@ -22,6 +22,7 @@ object TextDedupPack extends QueryPack {
     "tx_bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
     "tx_curated_corpus" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "tx_dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
+    "tx_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "tx_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -491,6 +492,30 @@ object TextDedupPack extends QueryPack {
          |  GROUP BY d.doc_id)
          |SELECT doc_id, n_feats, dsir_weight, (dsir_weight > 0) AS selected
          |FROM scored_docs""".stripMargin,
+    "tx_gopher_rules" ->
+      s"""SELECT doc_id, n_words,
+         |  n_words >= ${TextOps.GopherMinWords} AS r_min_words,
+         |  (mean_len >= ${TextOps.GopherMeanWordLen._1}
+         |    AND mean_len <= ${TextOps.GopherMeanWordLen._2}) AS r_mean_word_len,
+         |  max_word <= ${TextOps.GopherMaxWordLen} AS r_max_word_len,
+         |  n_stop >= ${TextOps.GopherMinStops} AS r_stop_words,
+         |  alpha_frac > ${TextOps.GopherMinAlpha} AS r_alpha_words,
+         |  (n_words >= ${TextOps.GopherMinWords}
+         |    AND mean_len >= ${TextOps.GopherMeanWordLen._1}
+         |    AND mean_len <= ${TextOps.GopherMeanWordLen._2}
+         |    AND max_word <= ${TextOps.GopherMaxWordLen}
+         |    AND n_stop >= ${TextOps.GopherMinStops}
+         |    AND alpha_frac > ${TextOps.GopherMinAlpha}) AS passes
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS mean_len,
+         |    list_max(list_transform(w, x -> length(x))) AS max_word,
+         |    CAST(${hitsSql(stopSeq)} AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         |      AS DOUBLE) / len(w) AS alpha_frac
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+         |        FROM documents))""".stripMargin,
     "tx_curation_funnel" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

@@ -64,6 +64,48 @@ object TextOps {
       qualityScoreExpr.as("quality_score"))
   }
 
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1, scaled to the fixture
+    * corpus's 16–94-word documents the way the paper's 50–100k-word bounds
+    * fit web pages): min word count, mean-word-length band, max single-word
+    * length, min stopword hits, min share of words containing a letter.
+    */
+  val GopherMinWords    = 30L
+  val GopherMeanWordLen = (3.0, 10.0)
+  val GopherMaxWordLen  = 20
+  val GopherMinStops    = 2L
+  val GopherMinAlpha    = 0.8
+
+  /** X-C42: Gopher-style quality-rule bitmap — the other canonical
+    * pretraining text filter next to the score-threshold family
+    * ([[qualityScores]]) and DSIR ([[dsirWeights]]): a conjunction of
+    * independent HARD rules, each emitted as its own boolean so a pipeline
+    * can report per-rule kill rates (the paper's ablation view), plus the
+    * conjunction. All five rules are closed-form expressions over one
+    * documents scan — single codegen stage, no shuffle, no joins; at
+    * 100 TB this is a pure map the scan absorbs.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val nw = size(w).cast("long")
+    val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") /
+      nw.cast("double")
+    val nStop = profileHits(col("text"), LangProfiles.head._2).cast("long")
+    val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") /
+      nw.cast("double")
+    val maxWord = array_max(transform(w, x => length(x)))
+    val rules = Seq(
+      "r_min_words" -> (nw >= GopherMinWords),
+      "r_mean_word_len" ->
+        (meanLen >= GopherMeanWordLen._1 && meanLen <= GopherMeanWordLen._2),
+      "r_max_word_len" -> (maxWord <= GopherMaxWordLen),
+      "r_stop_words" -> (nStop >= GopherMinStops),
+      "r_alpha_words" -> (alphaFrac > GopherMinAlpha))
+    Tables.documents(spark, sfDir).select(
+      (col("doc_id") +: nw.as("n_words") +:
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("passes")): _*)
+  }
+
   /** Language ID: n-gram/stopword-profile heuristic — see
     * [[predictedLangExpr]]; also surfaces the per-language hit counts.
     */

@@ -791,4 +791,29 @@ class TextDedupSpec extends SparkSpec {
     // the rule genuinely splits the corpus at test SF
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
+
+  test("gopherRules: bitmap matches a driver-side recompute; passes is the conjunction") {
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = TextFunctions.LangProfiles.head._2.toSet
+    val rows = TextOps.gopherRules(spark, Sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val w = texts(r.getAs[Long]("doc_id")).split(" ", -1)
+      val meanLen = w.map(_.length).sum.toDouble / w.length
+      val exp = Seq(
+        w.length >= TextOps.GopherMinWords,
+        meanLen >= TextOps.GopherMeanWordLen._1 && meanLen <= TextOps.GopherMeanWordLen._2,
+        w.map(_.length).max <= TextOps.GopherMaxWordLen,
+        w.count(stop) >= TextOps.GopherMinStops,
+        w.count(_.exists(_.isLetter)).toDouble / w.length > TextOps.GopherMinAlpha)
+      val got = Seq("r_min_words", "r_mean_word_len", "r_max_word_len",
+        "r_stop_words", "r_alpha_words").map(r.getAs[Boolean])
+      assert(got == exp, s"doc ${r.getLong(0)}: $got vs $exp")
+      assert(r.getAs[Boolean]("passes") == exp.forall(identity))
+    }
+    // the conjunction genuinely splits the corpus at test SF
+    assert(rows.exists(_.getAs[Boolean]("passes")) &&
+      rows.exists(!_.getAs[Boolean]("passes")))
+  }
 }
