@@ -81,6 +81,7 @@ object Bench {
       "sim_kmeans_assign"     -> (() => SimilarityOps.kmeansAssignments(spark, sfDir).count(): Unit),
       "sim_kmeans_layout"     -> (() => SimilarityOps.kmeansLayout(spark, sfDir).count(): Unit),
       "sim_quantized"         -> (() => SimilarityOps.quantizedEmbeddings(spark, sfDir).count(): Unit),
+      "sim_pca_direction"     -> (() => SimilarityOps.pcaPowerProjection(spark, sfDir).limit(1).count(): Unit),
       "sim_pq_codes"          -> (() => SimilarityOps.pqCodes(spark, sfDir).count(): Unit),
       "tx_inverted_index"     -> (() => TextOps.invertedIndex(spark, sfDir).count(): Unit),
       "geo_z2_layout"         -> (() => GeoOps.z2Layout(spark, sfDir).count(): Unit),

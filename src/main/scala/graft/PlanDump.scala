@@ -142,7 +142,9 @@ object PlanDump {
       ("dd_semdedup", "cluster-local pair join on the trained index (k ~ n/250 keeps clusters constant-size); centroids broadcast",
         operators.SimilarityOps.semanticDedup(spark, sfDir)),
       ("tx_dsir_weights", "corpus explodes once (exchange reused by both stats and scoring); bucket-bounded log-ratio table broadcast",
-        operators.TextOps.dsirWeights(spark, sfDir)))
+        operators.TextOps.dsirWeights(spark, sfDir)),
+      ("sim_pca_power", "iterations run on cached 64x64 gram cells; corpus touched only by the final broadcast-direction projection",
+        operators.SimilarityOps.pcaPowerProjection(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")

@@ -26,6 +26,7 @@ object SimMediaPack extends QueryPack {
     "sim_gram_matrix" -> ((s, d) => SimilarityOps.gramMatrix(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(s, d)),
     "dd_semdedup" -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
+    "sim_pca_power" -> ((s, d) => SimilarityOps.pcaPowerProjection(s, d)),
     "md_metadata" -> ((s, d) => MediaOps.metadata(s, d)),
     "md_decode_features" -> ((s, d) => MediaOps.decodeFeatures(s, d)),
     "md_ppm_decode" -> ((s, d) => MediaOps.ppmDecode(s, d)),
@@ -45,6 +46,18 @@ object SimMediaPack extends QueryPack {
 
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** Fixed-point per-component quantization CTE shared by the gram-matrix
+    * and PCA oracles — twin of [[SimilarityOps.gramMatrix]]'s `q(...)`.
+    */
+  private val gramQCte: String =
+    s"""q AS (
+       |  SELECT vec_id, s - 1 AS idx,
+       |    CAST(floor(CAST(embedding[s] AS DOUBLE) * ${SimilarityOps.GramScale})
+       |         AS BIGINT) AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS s
+       |        FROM embeddings))""".stripMargin
 
   private val centroidCtes = Seq(
     """cent0 AS (
@@ -280,16 +293,38 @@ object SimMediaPack extends QueryPack {
   val oracles: Map[String, String] = Map(
     // same fixed-point floor quantization; HUGEINT sums cast to BIGINT
     "sim_gram_matrix" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, s - 1 AS idx,
-         |    CAST(floor(CAST(embedding[s] AS DOUBLE) * ${SimilarityOps.GramScale})
-         |         AS BIGINT) AS qv
-         |  FROM (SELECT vec_id, embedding,
-         |          unnest(generate_series(1, len(embedding))) AS s
-         |        FROM embeddings))
+      s"""WITH $gramQCte
          |SELECT a.idx AS i, b.idx AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
          |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
          |GROUP BY a.idx, b.idx""".stripMargin,
+    // power-iteration replay: exact-integer gram cells, then 3 unrolled
+    // matvec+normalize rounds (6dp per round), ordered-list projection
+    "sim_pca_power" -> {
+      val iters = (1 to SimilarityOps.PcIters).map { r =>
+        val prev = if (r == 1) "pv0" else s"pv${r - 1}"
+        s"""pu$r AS (
+           |  SELECT f.i, sum(f.gram * v.v) AS u
+           |  FROM full_g f JOIN $prev v ON f.j = v.i GROUP BY f.i),
+           |pv$r AS (
+           |  SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM pu$r), 6) AS v
+           |  FROM pu$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gramQCte,
+         |g AS (
+         |  SELECT a.idx AS i, b.idx AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+         |  GROUP BY a.idx, b.idx),
+         |full_g AS (
+         |  SELECT i, j, gram FROM g
+         |  UNION ALL SELECT j AS i, i AS j, gram FROM g WHERE i <> j),
+         |pv0 AS (SELECT CAST(i AS BIGINT) AS i, 0.125 AS v FROM range(64) t(i)),
+         |$iters,
+         |pc AS (SELECT list(v ORDER BY i) AS pc FROM pv${SimilarityOps.PcIters})
+         |SELECT vec_id,
+         |  round(list_dot_product(
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)), pc), 6) AS pc1
+         |FROM embeddings, pc""".stripMargin
+    },
     // both legs replayed end-to-end: the tf-idf pool/rank mirrors the
     // tx_ranked_search oracle, the cosine pool mirrors the brute-force
     // oracle for one query vector; fusion adds two exactly-rounded

@@ -692,4 +692,56 @@ object SimilarityOps {
       .select(col("vec_id"), col("k"), col("c_cos"),
         coalesce(!col("pruned"), lit(true)).as("is_kept"))
   }
+
+  /** Unrolled power-iteration rounds for [[pcaPowerProjection]]. Fixed and
+    * small on purpose: determinism (every engine runs the same 3 matvecs)
+    * beats convergence-to-tolerance for an oracle-replayed operator, and on
+    * this spectrum 3 rounds already separate the dominant direction.
+    */
+  val PcIters = 3
+
+  /** X-P31: distributed PCA — every document's coordinate along the
+    * corpus's top principal direction, the spectral member of the
+    * similarity family (whitening / dimensionality-reduction front end;
+    * also the classic outlier axis). Two-stage shape that PCA takes at
+    * 100 TB:
+    *
+    *  1. The 64×64 second-moment matrix comes from ONE corpus pass — the
+    *     exact-integer [[gramMatrix]] cells (fixed-point outer products,
+    *     map-side combinable; bit-identical across engines by
+    *     construction), computed once per session ([[graft.Tables.derived]]
+    *     cache: 2080 rows of metadata, the corpus is never re-scanned by
+    *     the iterations).
+    *  2. Power iteration runs entirely on that matrix: [[PcIters]] unrolled
+    *     matvec+normalize rounds over 64-row tables (the kmeans/PageRank
+    *     unrolled-rounds precedent), components rounded to 6 dp per round
+    *     for cross-engine stability. No corpus access, no driver-side
+    *     linear algebra — the eigenvector is itself a (tiny) DataFrame.
+    *  3. One more narrow corpus pass projects every embedding onto the
+    *     broadcast direction (ordered codegen'd dot product).
+    *
+    * Uncentered PCA (top direction of the raw second moment) — the
+    * convention for ~zero-mean embedding spaces; centering would only add
+    * a rank-one mean correction to step 1.
+    */
+  def pcaPowerProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.derived(spark, sfDir, "pca_gram")(gramMatrix(spark, sfDir))
+    val full = cells.unionAll(cells.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("gram")))
+    val v0 = spark.range(DedupOps.EmbDim.toLong)
+      .select(col("id").as("i"), lit(0.125).as("v"))
+    val vN = (1 to PcIters).foldLeft(v0) { (v, _) =>
+      val u = full.join(v.withColumnRenamed("i", "j"), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("gram") * col("v")).as("u"))
+      val nrm = u.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
+      u.crossJoin(broadcast(nrm))
+        .select(col("i"), round(col("u") / col("nrm"), 6).as("v"))
+    }
+    // the direction as one ordered array row (the meanCentroids pattern)
+    val vArr = vN.agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+      s => s.getField("v")).as("pc"))
+    Tables.embeddings(spark, sfDir).crossJoin(broadcast(vArr))
+      .select(col("vec_id"),
+        round(dotD(spark, col("embedding"), col("pc")), 6).as("pc1"))
+  }
 }

@@ -409,4 +409,35 @@ class SimMediaSpec extends SparkSpec {
     assert(verdicts.collect { case (id, (_, _, false)) => id }.toSet == expectPruned)
     assert(expectPruned.nonEmpty) // the threshold genuinely fires at test SF
   }
+
+  test("pcaPowerProjection: matches a driver-side integer-gram power iteration") {
+    val dim = graft.operators.DedupOps.EmbDim
+    val vecs = Tables.embeddings(spark, Sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact-integer second moment, as gramMatrix defines it
+    val g = Array.ofDim[Long](dim, dim)
+    vecs.foreach { case (_, e) =>
+      val q = e.map(x => math.floor(x.toDouble * SimilarityOps.GramScale).toLong)
+      for (i <- 0 until dim; j <- 0 until dim) g(i)(j) += q(i) * q(j)
+    }
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to SimilarityOps.PcIters) {
+      val u = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(x => r6(x / nrm))
+    }
+    val got = SimilarityOps.pcaPowerProjection(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1")).toMap
+    assert(got.size == vecs.length)
+    vecs.foreach { case (id, e) =>
+      val expect = (0 until dim).map(i => e(i).toDouble * v(i)).sum
+      assert(math.abs(got(id) - expect) < 2e-6, s"vec $id: ${got(id)} vs $expect")
+    }
+    // the direction is genuinely unit-norm and non-degenerate
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+    assert(v.exists(x => math.abs(x) > 0.2))
+  }
 }
