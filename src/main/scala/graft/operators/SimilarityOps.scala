@@ -177,26 +177,75 @@ object SimilarityOps {
     vecs(spark, sfDir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
 
+  /** Above this many centroids the assignment step keeps the broadcast-join
+    * shape instead of collecting the centroid table into a literal. The cap
+    * is a memory bound on the encode expression (4096 × 64 doubles ≈ 2 MB),
+    * not a correctness switch — both regimes compute the identical argmin.
+    */
+  val AssignLiteralMaxK = 4096
+
   /** One assignment step: nearest centroid per vector by squared L2
     * (expanded to three dot products — the exact expression the oracle
-    * mirrors). The centroid list is broadcast, so the corpus never
-    * shuffles; the argmin is a map-side-combinable min(struct) aggregate,
-    * not a window.
+    * mirrors).
+    *
+    * Up to [[AssignLiteralMaxK]] centroids this is a MAP-ONLY codegen
+    * argmin: the trained table is collected (metadata-sized — the per-
+    * iteration centroid collect is exactly how Spark MLlib's own KMeans
+    * iterates) and baked into the projection as a literal, so a training
+    * iteration's only exchange is [[meanCentroids]]'s tiny partial-
+    * aggregated cell shuffle. The r7 shape instead crossJoined the
+    * broadcast centroids and re-aggregated `groupBy(vec_id)` — a corpus-
+    * sized exchange carrying full vector payloads per iteration, pure
+    * waste for what is a per-row computation. Each centroid's self-dot is
+    * precomputed driver-side with the same left-to-right accumulation as
+    * [[graft.functions.VecDot]], so `d2 = round(ee + cc − 2·e·cd, 6)` and
+    * the smaller-k tie-break are bit-identical to the old plan and to the
+    * DuckDB oracle. Beyond the cap (adaptive k on a far larger corpus than
+    * any shipped SF) the broadcast-join + map-side-combinable min(struct)
+    * shape is kept as the fallback.
     */
   private def assignTo(v: DataFrame, cent: DataFrame): DataFrame = {
     val spark = v.sparkSession
-    // self-dots hoisted to once per vector / per centroid (not per pair):
-    // k+1 dot products per vector instead of 3k, same arithmetic per pair
-    val c = broadcast(cent.select(col("k"),
-      transform(col("centroid"), x => x.cast("double")).as("cd"))
-      .withColumn("cc", dotD(spark, col("cd"), col("cd"))))
-    v.withColumn("ee", dotD(spark, col("e"), col("e")))
-      .crossJoin(c)
-      .select(col("vec_id"), col("e"), col("k"),
-        round(col("ee") + col("cc") - lit(2) * dotD(spark, col("e"), col("cd")), 6).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("k"), col("e"))).as("m"))
-      .select(col("vec_id"), col("m.k").as("k"), col("m.e").as("e"))
+    val rows = cent
+      .select(col("k"), transform(col("centroid"), x => x.cast("double")).as("cd"))
+      .collect()
+    if (rows.length <= AssignLiteralMaxK) {
+      val entries: Seq[(Long, Seq[Double], Double)] = rows.toSeq
+        .map { r =>
+          val cd = r.getSeq[Double](1)
+          // VecDot(cd, cd) replayed exactly: sequential index-order adds
+          var cc = 0.0
+          var i = 0
+          while (i < cd.length) { cc += cd(i) * cd(i); i += 1 }
+          (r.getLong(0), cd, cc)
+        }
+        .sortBy(_._1)
+      val entLit = typedLit(entries)
+      val ee = dotD(spark, col("e"), col("e"))
+      val best = aggregate(entLit,
+        struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("k")),
+        (acc, ent) => {
+          val d2 = round(ee + ent.getField("_3") -
+            lit(2) * dotD(spark, col("e"), ent.getField("_2")), 6)
+          when(d2 < acc.getField("d2") ||
+               (d2 === acc.getField("d2") && ent.getField("_1") < acc.getField("k")),
+            struct(d2.as("d2"), ent.getField("_1").as("k"))).otherwise(acc)
+        })
+      v.select(col("vec_id"), best.getField("k").as("k"), col("e"))
+    } else {
+      // self-dots hoisted to once per vector / per centroid (not per pair):
+      // k+1 dot products per vector instead of 3k, same arithmetic per pair
+      val c = broadcast(cent.select(col("k"),
+        transform(col("centroid"), x => x.cast("double")).as("cd"))
+        .withColumn("cc", dotD(spark, col("cd"), col("cd"))))
+      v.withColumn("ee", dotD(spark, col("e"), col("e")))
+        .crossJoin(c)
+        .select(col("vec_id"), col("e"), col("k"),
+          round(col("ee") + col("cc") - lit(2) * dotD(spark, col("e"), col("cd")), 6).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("k"), col("e"))).as("m"))
+        .select(col("vec_id"), col("m.k").as("k"), col("m.e").as("e"))
+    }
   }
 
   /** Mean-update step: component-wise mean per cluster, rounded to 5 dp,
@@ -425,33 +474,55 @@ object SimilarityOps {
 
   /** The PQ-encoded corpus: `(vec_id, codes tinyint[M], rn)` where `rn` is
     * the reconstructed-vector norm (sqrt of the chosen codewords' summed
-    * self-dots — fold in subspace order, so it's deterministic). ONE corpus
-    * pass: explode to M subvectors, hoist each sub-self-dot once, broadcast
-    * the M×Ks codebook, per-(vector, subspace) argmin as a map-side
-    * combinable min(struct). Staged to parquet — at 100 TB this table IS
-    * the hot ANN index (bytes instead of floats), the whole point of PQ.
+    * self-dots — fold in subspace order, so it's deterministic).
+    *
+    * Encoding is embarrassingly parallel, so the plan is a SINGLE map-only
+    * codegen projection: the trained codebook (M×Ks = 128 rows —
+    * metadata-sized, same class as the collected k-means centroids) is
+    * collected once and baked into the encode expression as a nested
+    * literal; per vector, a `transform` over the M subspaces runs an
+    * `aggregate`-argmin over that subspace's Ks codewords. No explode, no
+    * join, no shuffle — the r7 shape exploded the corpus ×M and paid two
+    * corpus-sized exchanges for what is a pure per-row computation; at
+    * 100 TB those exchanges dominate the index build for no reason.
+    * Arithmetic is bit-identical to the old plan (`d2 = round(ss + cc −
+    * 2·sub·cd, 6)`, argmin tie-broken by smaller code, `rn` folded in
+    * subspace order), so the staged table and its oracle are unchanged.
+    * Staged to parquet — at 100 TB this table IS the hot ANN index (bytes
+    * instead of floats), the whole point of PQ.
     */
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
     Tables.derivedBig(spark, sfDir, "pq_codes") {
-      val cb = broadcast(pqCodebookD(spark, sfDir))
+      // (code, centroid, centroid self-dot) per subspace, codes ascending
+      val cb: Seq[Seq[(Long, Seq[Double], Double)]] =
+        pqCodebookD(spark, sfDir).select(col("m"), col("code"), col("cd"), col("cc"))
+          .collect().toSeq
+          .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2), r.getDouble(3))))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.map(_._2).sortBy(_._1))
+      require(cb.size == PqM && cb.forall(_.size == PqKs),
+        s"PQ codebook must be ${PqM}x$PqKs, got ${cb.map(_.size)}")
+      val cbLit = typedLit(cb)
+      val picked = transform(sequence(lit(0), lit(PqM - 1)), m => {
+        val entries = element_at(cbLit, m + 1)
+        val sub = slice(col("e"), m * PqSubDim + 1, lit(PqSubDim))
+        val ss = dotD(spark, sub, sub)
+        aggregate(entries,
+          struct(lit(Double.MaxValue).as("d2"), lit(0L).as("code"), lit(0.0).as("cc")),
+          (acc, ent) => {
+            val d2 = round(ss + ent.getField("_3") - lit(2) * dotD(spark, sub, ent.getField("_2")), 6)
+            when(d2 < acc.getField("d2") ||
+                 (d2 === acc.getField("d2") && ent.getField("_1") < acc.getField("code")),
+              struct(d2.as("d2"), ent.getField("_1").as("code"), ent.getField("_3").as("cc")))
+              .otherwise(acc)
+          })
+      })
       vecsD(spark, sfDir)
-        .select(col("vec_id"), col("e"),
-          explode(sequence(lit(0), lit(PqM - 1))).as("m"))
-        .withColumn("sub", slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)))
-        .withColumn("ss", dotD(spark, col("sub"), col("sub")))
-        .join(cb, Seq("m"))
-        .select(col("vec_id"), col("m"), col("code"), col("cc"),
-          round(col("ss") + col("cc") - lit(2) * dotD(spark, col("sub"), col("cd")), 6)
-            .as("d2"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("code"), col("cc"))).as("mc"))
-        .groupBy(col("vec_id"))
-        .agg(array_sort(collect_list(struct(col("m"), col("mc")))).as("cs"))
+        .select(col("vec_id"), picked.as("ps"))
         .select(col("vec_id"),
-          transform(col("cs"), s => s.getField("mc").getField("code").cast("tinyint"))
-            .as("codes"),
-          round(sqrt(aggregate(col("cs"), lit(0.0),
-            (a, s) => a + s.getField("mc").getField("cc"))), 6).as("rn"))
+          transform(col("ps"), p => p.getField("code").cast("tinyint")).as("codes"),
+          round(sqrt(aggregate(col("ps"), lit(0.0),
+            (a, p) => a + p.getField("cc"))), 6).as("rn"))
     }
 
   /** ADC (asymmetric distance computation) top-k over the PQ index: per
