@@ -446,23 +446,76 @@ object SimilarityOps {
   val PqKs     = 16
   val PqIters  = 2
 
-  /** Per-subspace PQ codebooks, trained with the SAME deterministic Lloyd
-    * machinery as the IVF index ([[assignTo]]/[[meanCentroids]] on sliced
-    * vectors): md5-seeded init, [[PqIters]] unrolled iterations, 5-dp float
-    * centroids. Tiny (M × Ks rows) — memoized like the other trained models.
+  /** The corpus exploded to `(vec_id, m, sub)` — each vector's M contiguous
+    * subvectors. A narrow generate over the embedding scan; every training
+    * step below reads it once.
+    */
+  private def subVecs(spark: SparkSession, sfDir: String): DataFrame =
+    vecsD(spark, sfDir)
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+          struct(m.as("m"),
+            slice(col("e"), m * PqSubDim + 1, lit(PqSubDim)).as("sub")))).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+
+  /** Collected codebook as a per-subspace literal: `cb(m) = [(code, cd,
+    * cc)]` codes ascending, self-dots replayed with [[graft.functions
+    * .VecDot]]'s left-to-right accumulation (M×Ks rows — metadata-sized).
+    */
+  private def collectCodebook(cbDF: DataFrame): Seq[Seq[(Long, Seq[Double], Double)]] =
+    cbDF.select(col("m"),
+        transform(col("centroid"), x => x.cast("double")).as("cd"), col("k"))
+      .collect().toSeq
+      .map { r =>
+        val cd = r.getSeq[Double](1)
+        var cc = 0.0
+        var i = 0
+        while (i < cd.length) { cc += cd(i) * cd(i); i += 1 }
+        (r.getInt(0), (r.getLong(2), cd, cc))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).sortBy(_._1))
+
+  /** Per-subspace PQ codebooks: the same deterministic Lloyd recipe as the
+    * IVF index (md5-seeded init, [[PqIters]] unrolled iterations, distances
+    * rounded to 6 dp with smaller-code tie-breaks, 5-dp float centroids),
+    * but ALL M subspaces train simultaneously over the [[subVecs]] view —
+    * one corpus-wide pass per step instead of the r7 shape's M independent
+    * per-subspace plans (M·(1+iters) = 24 corpus scans collapsed to 3).
+    * Each iteration collects the M×Ks intermediate codebook (the same
+    * per-iteration centroid collect as [[assignTo]]) so the assignment is
+    * a map-only literal argmin and the only exchange is the tiny
+    * partial-aggregated (m, k, i) mean-update. Arithmetic is per-subspace
+    * identical to training each subspace alone, so the staged table — and
+    * every PQ oracle — is unchanged. Tiny (M × Ks rows) — memoized like
+    * the other trained models.
     */
   def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
     Tables.derived(spark, sfDir, "pq_codebooks") {
-      (0 until PqM).map { m =>
-        val vm = vecsD(spark, sfDir).select(col("vec_id"),
-          slice(col("e"), m * PqSubDim + 1, PqSubDim).as("e"))
-        val init = vm.groupBy((col("vec_id") % PqKs).as("k"))
-          .agg(min_by(col("e"), md5(col("vec_id").cast("string"))).as("centroid"))
-        val trained = (1 to PqIters).foldLeft(init) { (c, _) =>
-          meanCentroids(assignTo(vm, c))
-        }
-        trained.select(lit(m).as("m"), col("k").as("code"), col("centroid"))
-      }.reduce(_ unionAll _)
+      val subs = subVecs(spark, sfDir)
+      val init = subs.groupBy(col("m"), (col("vec_id") % PqKs).as("k"))
+        .agg(min_by(col("sub"), md5(col("vec_id").cast("string"))).as("centroid"))
+      val trained = (1 to PqIters).foldLeft(init) { (cbDF, _) =>
+        val cbLit = typedLit(collectCodebook(cbDF))
+        val ss = dotD(spark, col("sub"), col("sub"))
+        val best = aggregate(element_at(cbLit, col("m") + 1),
+          struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("k")),
+          (acc, ent) => {
+            val d2 = round(ss + ent.getField("_3") -
+              lit(2) * dotD(spark, col("sub"), ent.getField("_2")), 6)
+            when(d2 < acc.getField("d2") ||
+                 (d2 === acc.getField("d2") && ent.getField("_1") < acc.getField("k")),
+              struct(d2.as("d2"), ent.getField("_1").as("k"))).otherwise(acc)
+          })
+        subs.select(col("m"), best.getField("k").as("k"), col("sub"))
+          .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("i", "x")))
+          .groupBy(col("m"), col("k"), col("i"))
+          .agg(round(avg(col("x")), 5).as("cx"))
+          .groupBy(col("m"), col("k"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+            s => s.getField("cx").cast("float")).as("centroid"))
+      }
+      trained.select(col("m"), col("k").as("code"), col("centroid"))
     }
 
   /** Codebooks widened for scoring: double centroids + hoisted self-dots. */
