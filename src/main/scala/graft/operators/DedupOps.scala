@@ -212,6 +212,72 @@ object DedupOps {
         col("jaccard").as("jaccard_exact"))
   }
 
+  /** Estimated-Jaccard cutoff above which a benchmark band collision counts
+    * as fuzzy contamination ([[fuzzyDecontam]]). Same bimodal rationale as
+    * [[ClusterMinJaccard]]; n_eq/NumHashes is an exact binary fraction so
+    * the comparison is engine-stable.
+    */
+  val FuzzyContamMinEst = 0.5
+
+  /** Fuzzy-decontam benchmark stand-in: every [[FuzzyBenchMod]]-th doc
+    * below [[FuzzyBenchCap]] — a FIXED 50-doc panel spread across the base
+    * id range (the ANN `QueryPanelCap` convention: real eval suites are
+    * fixed-size while the corpus grows, and a spread panel actually has
+    * near-dup twins in the fixture corpus at every SF, unlike the first-N
+    * prefix [[TextOps.contamination]] uses for its exact-overlap demo).
+    */
+  val FuzzyBenchMod = 10
+  val FuzzyBenchCap = 500L
+  private def isFuzzyBench(c: Column): Column =
+    c % FuzzyBenchMod === 0 && c < FuzzyBenchCap
+
+  /** X-C43: FUZZY train–eval decontamination — the near-duplicate
+    * complement of [[TextOps.contamination]]'s exact-shingle overlap. An
+    * eval answer that was paraphrased, re-wrapped, or partially quoted into
+    * a training document shares few exact shingles but still collides in
+    * MinHash band space; published pipelines run exactly this fuzzy pass
+    * over their benchmark suites before training. For every corpus document
+    * that shares ANY LSH band bucket with a benchmark document (the fixed
+    * [[isFuzzyBench]] panel stands in for the eval suite), emits the
+    * collision count, the closest benchmark doc, its signature-estimated
+    * Jaccard, and the ≥[[FuzzyContamMinEst]] flag.
+    *
+    * Scale shape: the benchmark band table is eval-suite-sized (KBs against
+    * 100 TB) and broadcasts, so the staged corpus band table never shuffles
+    * — detection is a broadcast hash join on the band key; the per-doc
+    * argmax window sees at most |benchmark| rows per doc. Signatures and
+    * bands are the dedup chain's staged artifacts, reused as-is.
+    */
+  def fuzzyDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = minhashBands(spark, sfDir)
+    val bb = broadcast(bands.where(isFuzzyBench(col("doc_id")))
+      .select(col("doc_id").as("bench_id"), col("band_no"), col("band_key")))
+    val hits = bands.where(!isFuzzyBench(col("doc_id")))
+      .join(bb, Seq("band_no", "band_key"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val sigs = minhashSignatures(spark, sfDir)
+    val sa = sigs.select(col("doc_id") +:
+      (1 to NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = sigs.select(col("doc_id").as("bench_id") +:
+      (1 to NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val nEq = (1 to NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = hits.join(sa, Seq("doc_id")).join(broadcast(sb), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        (nEq.cast("double") / NumHashes).as("jaccard_est"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard_est").desc, col("bench_id"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_bench_hits", count(lit(1)).over(wAll))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("n_bench_hits"),
+        col("bench_id").as("best_bench_id"), col("jaccard_est"),
+        (col("jaccard_est") >= FuzzyContamMinEst).as("flagged"))
+  }
+
   /** Jaccard cutoff above which a candidate pair is a confirmed duplicate
     * edge (scores in the corpus are bimodal: ≤0.02 LSH noise vs ≥0.9 true
     * near-dups, so any mid value works).

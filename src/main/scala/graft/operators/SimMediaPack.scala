@@ -23,6 +23,7 @@ object SimMediaPack extends QueryPack {
     "sim_pq_codes" -> ((s, d) => SimilarityOps.pqCodesFlat(s, d)),
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "sim_recall_report" -> ((s, d) => SimilarityOps.recallReport(s, d)),
+    "sim_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "sim_gram_matrix" -> ((s, d) => SimilarityOps.gramMatrix(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(s, d)),
     "dd_semdedup" -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
@@ -383,6 +384,22 @@ object SimMediaPack extends QueryPack {
            |                       ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |WHERE rank <= ${SimilarityOps.TopK}""".stripMargin),
+    // hard-negative mining: the brute-force scorer restricted to vectors
+    // whose label differs from the query's (the query's positive class)
+    "sim_hard_negatives" ->
+      Oracle.withCtes(vecCtes :+
+        s"""hn_scored AS (
+           |  SELECT query_id, vec_id, vv.label, ${cosSql("q", "e")} AS cosine
+           |  FROM (SELECT qv.query_id, qv.q, vq.label AS q_label
+           |        FROM qv JOIN vv vq ON vq.vec_id = qv.query_id) qq
+           |  CROSS JOIN vv WHERE vv.label <> qq.q_label
+           |)""".stripMargin: _*)(
+        s"""SELECT query_id, vec_id, label, cosine, rank FROM (
+           |  SELECT query_id, vec_id, label, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM hn_scored)
+           |WHERE rank <= ${SimilarityOps.HardNegK}""".stripMargin),
     "sim_ivf_centroids" ->
       Oracle.withCtes(centroidCtes: _*)(
         """SELECT label,

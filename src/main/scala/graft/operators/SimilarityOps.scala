@@ -72,6 +72,42 @@ object SimilarityOps {
       .where(col("rank") <= TopK)
   }
 
+  /** Hard negatives kept per probe query by [[hardNegatives]]. */
+  val HardNegK = 5
+
+  /** X-C39: hard-negative mining — for every probe-panel query, the
+    * [[HardNegK]] highest-cosine corpus vectors carrying a DIFFERENT label.
+    * Same-label vectors are the query's positive class; the most-similar
+    * vectors *outside* it are exactly the "hard negatives" a contrastive
+    * embedding-training pipeline mines per anchor (the examples the margin
+    * is learned against — random negatives are too easy to carry signal).
+    *
+    * Plan shape: the fixed probe panel broadcasts against the corpus (one
+    * narrow scan, codegen'd [[graft.functions.VecDot]] cosine), the label
+    * inequality prunes in the same stage, and the per-query top-k runs
+    * through the bounded-heap [[graft.plans.TopKPerKey]] operator — each
+    * task keeps ≤k rows per query BEFORE the exchange, so the rank window
+    * only ever sees k-bounded partitions (never the corpus-sized
+    * candidate stream a bare window would sort). Cosines rounded to 6 dp
+    * with vec_id tie-breaks — fully deterministic, exact oracle.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = vecs(spark, sfDir)
+      .where(col("vec_id") % 100 === 0 && col("vec_id") < QueryPanelCap)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("q_label"))
+    val pairs = vecs(spark, sfDir)
+      .crossJoin(broadcast(q))
+      .where(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(spark, "q", "embedding").as("cosine"))
+    val topk = graft.plans.TopKPerKey(pairs, HardNegK, Seq("query_id"),
+      Seq("cosine" -> false, "vec_id" -> true))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    topk.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Per-label centroids (the "trained" IVF partition list): component-wise
     * mean over doubles, rounded to 5 dp so both engines derive identical
     * centroids. Tiny result (labels × dims) — memoized + cached once per

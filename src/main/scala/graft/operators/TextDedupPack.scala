@@ -74,6 +74,8 @@ object TextDedupPack extends QueryPack {
     "dd_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
     "tx_lm_score" -> ((s, d) => TextOps.lmScores(s, d)),
     "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
+    "dd_fuzzy_decontam" -> ((s, d) => DedupOps.fuzzyDecontam(s, d)),
+    "tx_leak_safe_splits" -> ((s, d) => TextOps.leakSafeSplits(s, d)),
   )
 
   /** Word 3-gram shingles per doc (twin of [[TextFunctions.shingles3]]). */
@@ -652,6 +654,63 @@ object TextDedupPack extends QueryPack {
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
           ++ clusterCtes: _*)(
         "SELECT doc_id, cluster_id, is_canonical FROM clusters"),
+    // fuzzy decontamination: corpus docs colliding with a benchmark doc in
+    // any LSH band, scored by the signature-estimated Jaccard
+    "dd_fuzzy_decontam" -> {
+      val eqSum = (1 to DedupOps.NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte,
+        s"""fhits AS (
+           |  SELECT DISTINCT cb.doc_id, bb.doc_id AS bench_id
+           |  FROM bands cb JOIN bands bb
+           |    ON bb.band_no = cb.band_no AND bb.band_key = cb.band_key
+           |  WHERE NOT (cb.doc_id % ${DedupOps.FuzzyBenchMod} = 0
+           |             AND cb.doc_id < ${DedupOps.FuzzyBenchCap})
+           |    AND bb.doc_id % ${DedupOps.FuzzyBenchMod} = 0
+           |    AND bb.doc_id < ${DedupOps.FuzzyBenchCap}
+           |)""".stripMargin,
+        s"""fz AS (
+           |  SELECT h.doc_id, h.bench_id,
+           |    CAST($eqSum AS DOUBLE) / ${DedupOps.NumHashes} AS jaccard_est
+           |  FROM fhits h
+           |  JOIN mh a ON a.doc_id = h.doc_id
+           |  JOIN mh b ON b.doc_id = h.bench_id
+           |)""".stripMargin,
+        """fzr AS (
+          |  SELECT doc_id, bench_id, jaccard_est,
+          |    row_number() OVER (PARTITION BY doc_id
+          |                       ORDER BY jaccard_est DESC, bench_id) AS rn,
+          |    count(*) OVER (PARTITION BY doc_id) AS n_bench_hits
+          |  FROM fz
+          |)""".stripMargin)(
+        s"""SELECT doc_id, CAST(n_bench_hits AS BIGINT) AS n_bench_hits,
+           |  bench_id AS best_bench_id, jaccard_est,
+           |  jaccard_est >= ${DedupOps.FuzzyContamMinEst} AS flagged
+           |FROM fzr WHERE rn = 1""".stripMargin)
+    },
+    // leakage-safe splits: the h24-mod split rule keyed on the duplicate
+    // cluster id (singletons fall back to their own doc_id)
+    "tx_leak_safe_splits" -> {
+      def splitSql(key: String): String =
+        s"""CASE WHEN ${h24(s"'split:' || CAST($key AS VARCHAR)")} % 100
+           |          < ${TextOps.SplitTrainPct} THEN 'train'
+           |     WHEN ${h24(s"'split:' || CAST($key AS VARCHAR)")} % 100
+           |          < ${TextOps.SplitValPct} THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      Oracle.withRecursiveCtes(
+        Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
+          ++ clusterCtes :+
+          """keyed AS (
+            |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+            |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+            |)""".stripMargin: _*)(
+        s"""SELECT doc_id, split_key,
+           |  ${splitSql("split_key")} AS split,
+           |  ${splitSql("doc_id")} AS naive_split,
+           |  (${splitSql("split_key")}) <> (${splitSql("doc_id")}) AS moved
+           |FROM keyed""".stripMargin)
+    },
     "dd_cluster_stats" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

@@ -353,6 +353,40 @@ object TextOps {
   val SplitTrainPct = 90
   val SplitValPct = 95
 
+  /** X-C40: LEAKAGE-SAFE split manifest — near-duplicate clusters must land
+    * wholly in one split, or eval rows have verbatim twins in train and the
+    * held-out numbers are fiction (the classic test-set-leakage bug a plain
+    * per-doc hash split ships silently). Every document routes by the same
+    * h24-mod rule as [[datasetSplits]], but keyed on its duplicate-cluster
+    * id ([[DedupOps.duplicateClusters]]' min-doc_id label; singletons key
+    * on their own doc_id — for them the assignment is IDENTICAL to the
+    * naive split, so adopting the leak-safe manifest reroutes only
+    * near-dup members). Emits the per-doc verdict: split key, assigned
+    * split, what the naive per-doc split would have said, and whether the
+    * doc moved — `moved AND split <> naive` rows are exactly the leaks the
+    * naive manifest would have shipped.
+    *
+    * Scale shape: one narrow documents scan left-joined to the (dup-docs
+    * only, far smaller than the corpus) cluster table on doc_id; the split
+    * decision is a pure per-row hash — no new shuffle beyond that join.
+    */
+  def leakSafeSplits(spark: SparkSession, sfDir: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = Tables.h24(concat(lit("split:"), c.cast("string"))) % 100
+      when(b < SplitTrainPct, "train")
+        .when(b < SplitValPct, "val").otherwise("test")
+    }
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(DedupOps.duplicateClusters(spark, sfDir)
+        .select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+      .select(col("doc_id"), col("split_key"),
+        splitOf(col("split_key")).as("split"),
+        splitOf(col("doc_id")).as("naive_split"))
+      .withColumn("moved", col("split") =!= col("naive_split"))
+  }
+
   /** X-C21: deterministic train/val/test split manifest — the contract
     * every training run pins before touching data: each document routes to
     * a split by the same retry-safe h24-mod rule as [[stratifiedSample]]

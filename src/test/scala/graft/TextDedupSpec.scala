@@ -816,4 +816,87 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("passes")) &&
       rows.exists(!_.getAs[Boolean]("passes")))
   }
+
+  test("fuzzyDecontam: hits are real band collisions; estimate matches the signatures") {
+    def isBench(i: Long): Boolean =
+      i % DedupOps.FuzzyBenchMod == 0 && i < DedupOps.FuzzyBenchCap
+    val bands = DedupOps.minhashBands(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val benchBands = bands.filter(b => isBench(b._1)).map(b => (b._2, b._3) -> b._1)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val sigs = DedupOps.minhashSignatures(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (1 to DedupOps.NumHashes).map(j => r.getAs[Long](s"mh$j")))
+      .toMap
+    // expected: corpus doc -> set of bench docs sharing any band bucket
+    val expHits = bands.filter(b => !isBench(b._1))
+      .flatMap(b => benchBands.getOrElse((b._2, b._3), Set.empty).map(b._1 -> _))
+      .distinct.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    val got = DedupOps.fuzzyDecontam(spark, Sf).collect()
+    assert(got.map(_.getLong(0)).toSet == expHits.keySet)
+    got.foreach { r =>
+      val doc = r.getLong(0)
+      val hits = expHits(doc)
+      assert(r.getLong(1) == hits.size, s"doc $doc n_bench_hits")
+      def est(b: Long): Double =
+        sigs(doc).zip(sigs(b)).count { case (x, y) => x == y }.toDouble /
+          DedupOps.NumHashes
+      // best = highest estimate, smallest bench id on ties
+      val best = hits.toSeq.map(b => (-est(b), b)).min._2
+      assert(r.getLong(2) == best, s"doc $doc best_bench_id")
+      assert(r.getDouble(3) == est(best), s"doc $doc jaccard_est")
+      assert(r.getBoolean(4) == (est(best) >= DedupOps.FuzzyContamMinEst))
+    }
+  }
+
+  test("leakSafeSplits: clusters stay whole; singletons match the naive split") {
+    val rows = TextOps.leakSafeSplits(spark, Sf).collect()
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(rows.length == nDocs)
+    val clusters = DedupOps.duplicateClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = rows.filter(r => clusters.contains(r.getLong(0)))
+      .groupBy(r => clusters(r.getLong(0)))
+    assert(byCluster.nonEmpty, "test corpus has no duplicate clusters")
+    // every cluster lands wholly in ONE split
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getString(2)).toSet.size == 1, s"cluster $cid split")
+    }
+    rows.foreach { r =>
+      val (doc, key) = (r.getLong(0), r.getLong(1))
+      assert(key == clusters.getOrElse(doc, doc), s"doc $doc split_key")
+      if (!clusters.contains(doc))
+        assert(r.getString(2) == r.getString(3), s"singleton $doc moved")
+      assert(r.getBoolean(4) == (r.getString(2) != r.getString(3)))
+    }
+  }
+
+  test("hardNegatives: top-k highest-cosine different-label vectors per query") {
+    import graft.operators.SimilarityOps
+    val vecs = Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val queries = vecs.filter(v => v._1 % 100 == 0 && v._1 < SimilarityOps.QueryPanelCap)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = SimilarityOps.hardNegatives(spark, Sf).collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet == queries.map(_._1).toSet)
+    queries.foreach { case (qid, q, qLabel) =>
+      val exp = vecs.filter(_._3 != qLabel)
+        .map(v => (v._1, cos(q, v._2)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(SimilarityOps.HardNegK)
+      val rows = got(qid).sortBy(_.getLong(4))
+      assert(rows.length == exp.length)
+      rows.zip(exp).zipWithIndex.foreach { case ((r, (id, c)), i) =>
+        assert(r.getLong(1) == id && r.getDouble(3) == c && r.getLong(4) == i + 1,
+          s"query $qid rank ${i + 1}: got (${r.getLong(1)}, ${r.getDouble(3)}) want ($id, $c)")
+      }
+      // negatives only: no returned row carries the query's label
+      rows.foreach(r => assert(r.getInt(2) != qLabel))
+    }
+  }
 }
