@@ -144,7 +144,13 @@ object PlanDump {
       ("tx_dsir_weights", "corpus explodes once (exchange reused by both stats and scoring); bucket-bounded log-ratio table broadcast",
         operators.TextOps.dsirWeights(spark, sfDir)),
       ("sim_pca_power", "iterations run on cached 64x64 gram cells; corpus touched only by the final broadcast-direction projection",
-        operators.SimilarityOps.pcaPowerProjection(spark, sfDir)))
+        operators.SimilarityOps.pcaPowerProjection(spark, sfDir)),
+      ("sim_pq_codes", "map-only PQ encode: collected-literal codebook argmin in ONE codegen projection, zero exchanges",
+        operators.SimilarityOps.pqCodesFlat(spark, sfDir)),
+      ("sim_hard_negatives", "broadcast panel + in-stage label prune; TopKPerKey bounds the per-query heap pre-exchange",
+        operators.SimilarityOps.hardNegatives(spark, sfDir)),
+      ("dd_fuzzy_decontam", "benchmark bands broadcast against staged corpus bands; per-doc argmax window is eval-suite-bounded",
+        operators.DedupOps.fuzzyDecontam(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
