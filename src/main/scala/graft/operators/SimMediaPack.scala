@@ -25,6 +25,7 @@ object SimMediaPack extends QueryPack {
     "sim_recall_report" -> ((s, d) => SimilarityOps.recallReport(s, d)),
     "sim_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "sim_gram_matrix" -> ((s, d) => SimilarityOps.gramMatrix(s, d)),
+    "sim_gram_udaf" -> ((s, d) => SimilarityOps.gramMatrixUdaf(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(s, d)),
     "dd_semdedup" -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
     "sim_pca_power" -> ((s, d) => SimilarityOps.pcaPowerProjection(s, d)),
@@ -294,6 +295,12 @@ object SimMediaPack extends QueryPack {
   val oracles: Map[String, String] = Map(
     // same fixed-point floor quantization; HUGEINT sums cast to BIGINT
     "sim_gram_matrix" ->
+      s"""WITH $gramQCte
+         |SELECT a.idx AS i, b.idx AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
+         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+         |GROUP BY a.idx, b.idx""".stripMargin,
+    // the GramAgg UDAF fold must produce the bit-identical cell table
+    "sim_gram_udaf" ->
       s"""WITH $gramQCte
          |SELECT a.idx AS i, b.idx AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
          |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx

@@ -853,6 +853,32 @@ object SimilarityOps {
         coalesce(!col("pruned"), lit(true)).as("is_kept"))
   }
 
+  /** [[gramMatrix]] computed through the typed [[graft.functions.GramAgg]]
+    * UDAF instead of the double-posexplode aggregation — same exact-integer
+    * cells, bit-identical output (it shares `sim_gram_matrix`'s oracle).
+    * The declarative form expands every vector ×2080 rows before partial
+    * aggregation; this folds the unexploded array column in place — one
+    * accumulator update per vector, one ~16 KB cell block per task on the
+    * wire — the shape a 100-TB second-moment pass actually wants.
+    * Registered separately so the folded path is driver-verified, and used
+    * by [[pcaPowerProjection]]'s staged gram build (identical cells, so
+    * the whole PCA chain is unchanged).
+    */
+  def gramMatrixUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = DedupOps.EmbDim
+    val agg = udaf(new graft.functions.GramAgg(dim, GramScale))
+    val ij: Seq[(Long, Long)] =
+      for { i <- 0 until dim; j <- i until dim } yield (i.toLong, j.toLong)
+    val ijLit = typedLit(ij)
+    Tables.embeddings(spark, sfDir)
+      .agg(agg(col("embedding")).as("cells"))
+      .select(posexplode(col("cells")).as(Seq("idx", "gram")))
+      .select(
+        element_at(ijLit, col("idx").cast("int") + 1).getField("_1").as("i"),
+        element_at(ijLit, col("idx").cast("int") + 1).getField("_2").as("j"),
+        col("gram"))
+  }
+
   /** Unrolled power-iteration rounds for [[pcaPowerProjection]]. Fixed and
     * small on purpose: determinism (every engine runs the same 3 matvecs)
     * beats convergence-to-tolerance for an oracle-replayed operator, and on
@@ -885,7 +911,7 @@ object SimilarityOps {
     * a rank-one mean correction to step 1.
     */
   def pcaPowerProjection(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = Tables.derived(spark, sfDir, "pca_gram")(gramMatrix(spark, sfDir))
+    val cells = Tables.derived(spark, sfDir, "pca_gram")(gramMatrixUdaf(spark, sfDir))
     val full = cells.unionAll(cells.where(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("gram")))
     val v0 = spark.range(DedupOps.EmbDim.toLong)

@@ -113,6 +113,21 @@ class SimMediaSpec extends SparkSpec {
     assert((0 until d).forall(i => got((i.toLong, i.toLong)) > 0))
   }
 
+  test("gramMatrixUdaf: the GramAgg fold is cell-identical to the declarative form") {
+    val decl = SimilarityOps.gramMatrix(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val udafForm = SimilarityOps.gramMatrixUdaf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(udafForm == decl)
+    // the UDAF plan folds in place: no Generate (explode) before aggregation
+    val plan = SimilarityOps.gramMatrixUdaf(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val aggIdx = plan.indexOf("ObjectHashAggregate")
+    assert(aggIdx >= 0, plan)
+    assert(!plan.substring(aggIdx).contains("Generate"),
+      "row expansion found below the aggregate:\n" + plan)
+  }
+
   test("pqCodes: M tinyint codes per vector, codes in range, positive norms") {
     val codes = SimilarityOps.pqCodes(spark, Sf)
     assert(codes.schema("codes").dataType.simpleString == "array<tinyint>")
