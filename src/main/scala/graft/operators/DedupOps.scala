@@ -518,6 +518,41 @@ object DedupOps {
   val SrpBits   = 6
   val EmbDim    = 64 // embeddings.embedding is list<float>[64] (FIXTURES.md)
 
+  /** Target SRP bucket occupancy. The BIT COUNT — not the bucket size —
+    * grows with the corpus: `bits = smallest b ≥ SrpBits with 2^b ·
+    * SrpTargetBucket ≥ n` ([[srpBitsFor]], pure integer arithmetic so the
+    * oracle's CASE ladder replays it exactly). Every shipped SF sits at or
+    * below 2^SrpBits·SrpTargetBucket vectors, so driver-SF buckets — and
+    * all oracle results — are unchanged; the 10× scaling corpus hashes
+    * into 2^10 buckets per table and per-bucket pair fan-out stays
+    * CONSTANT as the corpus grows. This is the same adaptive-geometry
+    * treatment the k-means index (cluster count ∝ n) and SimHash (48-bit
+    * signatures) got: with fixed bits the bucket self-joins are quadratic
+    * in N (the r8 3-point audit flagged the kNN join super-linear at 15×
+    * for 10× data), and past ~2^bits·MaxBucketDocs vectors the hot-bucket
+    * guard would drop EVERY bucket — the operator stops working entirely.
+    * The trade is per-table recall (p^bits falls as bits grow — the LSH
+    * convention is to widen SrpTables alongside; the guard-stats monitor
+    * surfaces realized occupancy so the knob is turned from measurements).
+    */
+  val SrpTargetBucket = 32L
+  val SrpMaxBits      = 16
+
+  /** Data-adaptive SRP bit count (see [[SrpTargetBucket]]); memoized — one
+    * metadata-cheap count per (session, sf).
+    */
+  def srpBitsFor(spark: SparkSession, sfDir: String): Int = {
+    val key = (System.identityHashCode(spark), sfDir)
+    srpBitsCache.getOrElseUpdate(key, {
+      val n = Tables.embeddings(spark, sfDir).count()
+      var b = SrpBits
+      while (b < SrpMaxBits && (1L << b) * SrpTargetBucket < n) b += 1
+      b
+    })
+  }
+  private val srpBitsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Int]
+
   private[operators] def srpWeight(table: Int, bit: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"srp:$table:$bit:$dim".getBytes("UTF-8"))
@@ -532,11 +567,11 @@ object DedupOps {
     graft.functions.VectorExpressions.vecDot(spark, a, b)
 
   /** SRP bucket id for hash table `t` over an `array<float>` embedding:
-    * SrpBits codegen'd float·double dot products against hyperplane
-    * literals.
+    * `bits` ([[srpBitsFor]]) codegen'd float·double dot products against
+    * hyperplane literals.
     */
-  private def srpBucket(spark: SparkSession, t: Int, e: Column): Column =
-    (0 until SrpBits).map { p =>
+  private def srpBucket(spark: SparkSession, t: Int, e: Column, bits: Int): Column =
+    (0 until bits).map { p =>
       val w = array((0 until EmbDim).map(i => lit(srpWeight(t, p, i))): _*)
       when(dotD(spark, e, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -558,10 +593,12 @@ object DedupOps {
     */
   private[graft] def srpBucketTable(spark: SparkSession, sfDir: String): DataFrame =
     Tables.derivedBig(spark, sfDir, "srp_buckets") {
+      val bits = srpBitsFor(spark, sfDir)
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"),
           explode(array((0 until SrpTables).map { t =>
-            struct(lit(t).as("t"), srpBucket(spark, t, col("embedding")).as("bucket"))
+            struct(lit(t).as("t"),
+              srpBucket(spark, t, col("embedding"), bits).as("bucket"))
           }: _*)).as("tb"))
         .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
     }

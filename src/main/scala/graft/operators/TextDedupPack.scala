@@ -82,20 +82,31 @@ object TextDedupPack extends QueryPack {
   /** Shared SRP collision-graph CTEs (`v` double-cast vectors, `b` one row
     * per (vector, hash table, bucket)) — identical weight literals as
     * [[DedupOps.srpWeight]] embeds in Spark; used by the near-dup threshold
-    * query and the kNN-join top-k query.
+    * query and the kNN-join top-k query. The adaptive bit count
+    * ([[DedupOps.srpBitsFor]]) replays as an integer CASE ladder over
+    * `count(*)` — bit p contributes only when `p < bits`, so the oracle is
+    * exact at EVERY corpus size, not just the SF the SQL was dumped at.
     */
   private lazy val srpBucketCtes: String = {
     def wList(t: Int, p: Int): String =
       (0 until DedupOps.EmbDim)
         .map(i => f"${DedupOps.srpWeight(t, p, i)}%.3f").mkString("[", ", ", "]")
+    // smallest b >= SrpBits with 2^b * SrpTargetBucket >= n — srpBitsFor's twin
+    val bitsLadder = (DedupOps.SrpBits until DedupOps.SrpMaxBits)
+      .map(b => s"WHEN n <= ${(1L << b) * DedupOps.SrpTargetBucket} THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${DedupOps.SrpMaxBits} END")
     def bucketExpr(t: Int): String =
-      (0 until DedupOps.SrpBits).map { p =>
-        s"(CASE WHEN list_dot_product(e, ${wList(t, p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+      (0 until DedupOps.SrpMaxBits).map { p =>
+        s"""(CASE WHEN $p < (SELECT bits FROM sbits)
+           |  AND list_dot_product(e, ${wList(t, p)}) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
       }.mkString(" + ")
     val tableRows = (0 until DedupOps.SrpTables).map { t =>
       s"  SELECT vec_id, e, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM v"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    s"""WITH sbits AS (SELECT $bitsLadder AS bits
+       |               FROM (SELECT count(*) AS n FROM embeddings)),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),
        |b AS (
        |$tableRows
