@@ -75,6 +75,7 @@ object RelationalPack extends QueryPack {
     "xa_price_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "xo_percent_rank" -> ((s, d) => RelationalOps.spendPercentiles(s, d)),
     "xt_autocorr_daily" -> ((s, d) => TimeSeriesOps.dailyAutocorr(s, d)),
+    "xt_seasonal_forecast" -> ((s, d) => TimeSeriesOps.seasonalForecast(s, d)),
     "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
     "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
   )
@@ -835,6 +836,25 @@ object RelationalPack extends QueryPack {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_dec)""".stripMargin,
     // same moment discipline as xa_trend_ols: exact BIGINT sums, doubles
     // only inside the mirrored closed form (product of deviations in DOUBLE);
+    // seasonal-naive backtest: both means are exact-BIGINT sums divided
+    // once, so the doubles (and the 6dp rounds) are engine-identical
+    "xt_seasonal_forecast" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS actual
+         |  FROM orders GROUP BY 1),
+         |sc AS (
+         |  SELECT CAST(sum(abs(a.actual - b.actual)) AS DOUBLE) / count(*) AS scale1
+         |  FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 1 DAY),
+         |f AS (
+         |  SELECT a.day, a.actual, b.actual AS forecast,
+         |    CAST(abs(a.actual - b.actual) AS BIGINT) AS abs_err
+         |  FROM daily a
+         |  JOIN daily b ON a.day = b.day + INTERVAL ${TimeSeriesOps.ForecastSeason} DAY)
+         |SELECT day, actual, forecast, abs_err,
+         |  round(CAST(abs_err AS DOUBLE) / scale1, 6) AS scaled_err,
+         |  round((CAST(sum(abs_err) OVER () AS DOUBLE) / (count(*) OVER ())) / scale1, 6)
+         |    AS mase
+         |FROM f, sc""".stripMargin,
     // consecutive days pair via the day = day+1 self-join (calendar
     // adjacency), the twin of the Spark side's join — not lag-over-rows
     "xt_autocorr_daily" ->

@@ -395,6 +395,49 @@ object TimeSeriesOps {
     * exact long, but their product can exceed int64 at large SF) — one
     * IEEE multiply, mirrored in the oracle.
     */
+  /** Seasonality (days) for [[seasonalForecast]]: weekly. */
+  val ForecastSeason = 7
+
+  /** X-C46: seasonal-naive forecast BACKTEST with MASE — the baseline every
+    * demand-forecast evaluation is scaled against (Hyndman's MASE: seasonal
+    * forecast error over the in-sample one-step naive error; a model is only
+    * interesting below 1.0). Per day of the daily order series: the
+    * season-lagged forecast `ŷ(d) = y(d−7)`, the absolute error, the error
+    * scaled by the one-step naive mean error, and the constant series-level
+    * MASE on every row.
+    *
+    * Shuffle shape: ONE map-side-combinable daily collapse of the fact
+    * table; everything after is day-cardinality — calendar self-joins on
+    * the collapse's own key and a day-table window (thousands of rows at
+    * any corpus size, the same date-cardinality convention as the other
+    * xt_ series ops). All sums are exact BIGINTs divided at the end, so
+    * both engines derive bit-identical doubles regardless of row order.
+    */
+  def seasonalForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("actual"))
+    // in-sample one-step naive scale: mean |y(d) − y(d−1)| from exact sums
+    val scale = daily
+      .join(daily.select(date_add(col("day"), 1).as("day"),
+        col("actual").as("prev")), Seq("day"))
+      .agg(sum(abs(col("actual") - col("prev"))).as("s1"),
+        count(lit(1)).as("n1"))
+      .select((col("s1").cast("double") / col("n1")).as("scale1"))
+    val w = Window.partitionBy(lit(1))
+    daily
+      .join(daily.select(date_add(col("day"), ForecastSeason).as("day"),
+        col("actual").as("forecast")), Seq("day"))
+      .withColumn("abs_err", abs(col("actual") - col("forecast")))
+      .crossJoin(broadcast(scale))
+      .withColumn("sum_err", sum(col("abs_err")).over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .select(col("day"), col("actual"), col("forecast"), col("abs_err"),
+        round(col("abs_err").cast("double") / col("scale1"), 6).as("scaled_err"),
+        round((col("sum_err").cast("double") / col("n_days")) / col("scale1"), 6)
+          .as("mase"))
+  }
+
   def dailyAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").cast("date").as("day"))

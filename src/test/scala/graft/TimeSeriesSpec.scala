@@ -333,6 +333,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(total == nEvents - nUsers)
   }
 
+  test("seasonalForecast: forecast is the season-lagged actual; MASE recomputes exactly") {
+    val daily = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val oneStep = daily.toSeq.flatMap { case (d, y) =>
+      daily.get(d.minusDays(1)).map(p => math.abs(y - p))
+    }
+    val scale1 = oneStep.sum.toDouble / oneStep.size
+    val rows = TimeSeriesOps.seasonalForecast(spark, Sf).collect()
+    val expDays = daily.keySet.filter(d =>
+      daily.contains(d.minusDays(TimeSeriesOps.ForecastSeason)))
+    assert(rows.map(_.getDate(0).toLocalDate).toSet == expDays)
+    val sumErr = rows.map(_.getLong(3)).sum
+    val expMase = BigDecimal((sumErr.toDouble / rows.length) / scale1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getLong(1) == daily(d))
+      assert(r.getLong(2) == daily(d.minusDays(TimeSeriesOps.ForecastSeason)))
+      assert(r.getLong(3) == math.abs(r.getLong(1) - r.getLong(2)))
+      val expScaled = BigDecimal(r.getLong(3).toDouble / scale1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == expScaled)
+      assert(r.getDouble(5) == expMase)
+    }
+  }
+
   test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
     val rows = TimeSeriesOps.scd2UserState(spark, Sf)
       .collect().groupBy(_.getLong(0))
