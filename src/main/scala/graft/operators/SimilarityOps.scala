@@ -75,7 +75,7 @@ object SimilarityOps {
   /** Hard negatives kept per probe query by [[hardNegatives]]. */
   val HardNegK = 5
 
-  /** X-C39: hard-negative mining — for every probe-panel query, the
+  /** X-C45: hard-negative mining — for every probe-panel query, the
     * [[HardNegK]] highest-cosine corpus vectors carrying a DIFFERENT label.
     * Same-label vectors are the query's positive class; the most-similar
     * vectors *outside* it are exactly the "hard negatives" a contrastive
@@ -256,18 +256,11 @@ object SimilarityOps {
           (r.getLong(0), cd, cc)
         }
         .sortBy(_._1)
-      val entLit = typedLit(entries)
-      val ee = dotD(spark, col("e"), col("e"))
-      val best = aggregate(entLit,
-        struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("k")),
-        (acc, ent) => {
-          val d2 = round(ee + ent.getField("_3") -
-            lit(2) * dotD(spark, col("e"), ent.getField("_2")), 6)
-          when(d2 < acc.getField("d2") ||
-               (d2 === acc.getField("d2") && ent.getField("_1") < acc.getField("k")),
-            struct(d2.as("d2"), ent.getField("_1").as("k"))).otherwise(acc)
-        })
-      v.select(col("vec_id"), best.getField("k").as("k"), col("e"))
+      // fused codegen'd argmin ([[graft.functions.NearestCentroid]]) — the
+      // HOF fold this replaces ran interpreted and the 10x audit flagged
+      // the assignment pass; identical (d2, k) semantics, oracle-confirmed
+      val best = VectorExpressions.nearestCentroid(spark, col("e"), entries)
+      v.select(col("vec_id"), best.as("k"), col("e"))
     } else {
       // self-dots hoisted to once per vector / per centroid (not per pair):
       // k+1 dot products per vector instead of 3k, same arithmetic per pair
@@ -532,18 +525,16 @@ object SimilarityOps {
       val init = subs.groupBy(col("m"), (col("vec_id") % PqKs).as("k"))
         .agg(min_by(col("sub"), md5(col("vec_id").cast("string"))).as("centroid"))
       val trained = (1 to PqIters).foldLeft(init) { (cbDF, _) =>
-        val cbLit = typedLit(collectCodebook(cbDF))
-        val ss = dotD(spark, col("sub"), col("sub"))
-        val best = aggregate(element_at(cbLit, col("m") + 1),
-          struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("k")),
-          (acc, ent) => {
-            val d2 = round(ss + ent.getField("_3") -
-              lit(2) * dotD(spark, col("sub"), ent.getField("_2")), 6)
-            when(d2 < acc.getField("d2") ||
-                 (d2 === acc.getField("d2") && ent.getField("_1") < acc.getField("k")),
-              struct(d2.as("d2"), ent.getField("_1").as("k"))).otherwise(acc)
-          })
-        subs.select(col("m"), best.getField("k").as("k"), col("sub"))
+        val cb = collectCodebook(cbDF)
+        // fused codegen'd argmin per subspace ([[graft.functions
+        // .NearestCentroid]]; an HOF fold here ran interpreted), branched
+        // on the row's m
+        val perM = (0 until PqM).map(m =>
+          VectorExpressions.nearestCentroid(spark, col("sub"), cb(m)))
+        val best = (1 until PqM).foldLeft(when(col("m") === 0, perM(0))) {
+          (acc, m) => acc.when(col("m") === m, perM(m))
+        }
+        subs.select(col("m"), best.as("k"), col("sub"))
           .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("i", "x")))
           .groupBy(col("m"), col("k"), col("i"))
           .agg(round(avg(col("x")), 5).as("cx"))
@@ -591,27 +582,24 @@ object SimilarityOps {
           .map(_._2.map(_._2).sortBy(_._1))
       require(cb.size == PqM && cb.forall(_.size == PqKs),
         s"PQ codebook must be ${PqM}x$PqKs, got ${cb.map(_.size)}")
-      val cbLit = typedLit(cb)
-      val picked = transform(sequence(lit(0), lit(PqM - 1)), m => {
-        val entries = element_at(cbLit, m + 1)
-        val sub = slice(col("e"), m * PqSubDim + 1, lit(PqSubDim))
-        val ss = dotD(spark, sub, sub)
-        aggregate(entries,
-          struct(lit(Double.MaxValue).as("d2"), lit(0L).as("code"), lit(0.0).as("cc")),
-          (acc, ent) => {
-            val d2 = round(ss + ent.getField("_3") - lit(2) * dotD(spark, sub, ent.getField("_2")), 6)
-            when(d2 < acc.getField("d2") ||
-                 (d2 === acc.getField("d2") && ent.getField("_1") < acc.getField("code")),
-              struct(d2.as("d2"), ent.getField("_1").as("code"), ent.getField("_3").as("cc")))
-              .otherwise(acc)
-          })
-      })
+      // fused codegen'd argmin per subspace ([[graft.functions
+      // .NearestCentroid]]; the HOF fold it replaces ran interpreted —
+      // the encode was the similarity family's biggest staging item on
+      // the 10x audit); the winner's self-dot for rn comes back through
+      // a code→cc map literal, folded in subspace order like before
+      val picked: Seq[Column] = (0 until PqM).map { m =>
+        VectorExpressions.nearestCentroid(spark,
+          slice(col("e"), m * PqSubDim + 1, PqSubDim), cb(m))
+      }
+      val ccOf: Seq[Column] = (0 until PqM).map { m =>
+        element_at(
+          map_from_arrays(typedLit(cb(m).map(_._1)), typedLit(cb(m).map(_._3))),
+          picked(m))
+      }
       vecsD(spark, sfDir)
-        .select(col("vec_id"), picked.as("ps"))
         .select(col("vec_id"),
-          transform(col("ps"), p => p.getField("code").cast("tinyint")).as("codes"),
-          round(sqrt(aggregate(col("ps"), lit(0.0),
-            (a, p) => a + p.getField("cc"))), 6).as("rn"))
+          array(picked.map(_.cast("tinyint")): _*).as("codes"),
+          round(sqrt(ccOf.foldLeft(lit(0.0))(_ + _)), 6).as("rn"))
     }
 
   /** ADC (asymmetric distance computation) top-k over the PQ index: per

@@ -353,7 +353,7 @@ object TextOps {
   val SplitTrainPct = 90
   val SplitValPct = 95
 
-  /** X-C40: LEAKAGE-SAFE split manifest — near-duplicate clusters must land
+  /** X-C44: LEAKAGE-SAFE split manifest — near-duplicate clusters must land
     * wholly in one split, or eval rows have verbatim twins in train and the
     * held-out numbers are fiction (the classic test-set-leakage bug a plain
     * per-doc hash split ships silently). Every document routes by the same
