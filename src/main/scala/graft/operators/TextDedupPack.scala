@@ -23,6 +23,7 @@ object TextDedupPack extends QueryPack {
     "tx_curated_corpus" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "tx_dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "tx_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
+    "tx_source_filter" -> ((s, d) => TextOps.sourceFilter(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "tx_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -207,6 +208,34 @@ object TextDedupPack extends QueryPack {
 
   private def hitsSql(prof: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${prof.map(s => s"'$s'").mkString(", ")})))"
+
+  /** Per-doc Gopher-rule bitmap — twin of [[TextOps.gopherRules]]; shared
+    * by the bitmap query and the per-source rollup.
+    */
+  private lazy val gopherSql: String =
+    s"""SELECT doc_id, n_words,
+       |  n_words >= ${TextOps.GopherMinWords} AS r_min_words,
+       |  (mean_len >= ${TextOps.GopherMeanWordLen._1}
+       |    AND mean_len <= ${TextOps.GopherMeanWordLen._2}) AS r_mean_word_len,
+       |  max_word <= ${TextOps.GopherMaxWordLen} AS r_max_word_len,
+       |  n_stop >= ${TextOps.GopherMinStops} AS r_stop_words,
+       |  alpha_frac > ${TextOps.GopherMinAlpha} AS r_alpha_words,
+       |  (n_words >= ${TextOps.GopherMinWords}
+       |    AND mean_len >= ${TextOps.GopherMeanWordLen._1}
+       |    AND mean_len <= ${TextOps.GopherMeanWordLen._2}
+       |    AND max_word <= ${TextOps.GopherMaxWordLen}
+       |    AND n_stop >= ${TextOps.GopherMinStops}
+       |    AND alpha_frac > ${TextOps.GopherMinAlpha}) AS passes
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS mean_len,
+       |    list_max(list_transform(w, x -> length(x))) AS max_word,
+       |    CAST(${hitsSql(stopSeq)} AS BIGINT) AS n_stop,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS DOUBLE) / len(w) AS alpha_frac
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+       |        FROM documents))""".stripMargin
 
   /** Edge set + recursive reachability for the cluster oracle (twin of
     * [[DedupOps.duplicateClusters]]'s fixed point: min reachable doc_id).
@@ -505,30 +534,30 @@ object TextDedupPack extends QueryPack {
          |  GROUP BY d.doc_id)
          |SELECT doc_id, n_feats, dsir_weight, (dsir_weight > 0) AS selected
          |FROM scored_docs""".stripMargin,
-    "tx_gopher_rules" ->
-      s"""SELECT doc_id, n_words,
-         |  n_words >= ${TextOps.GopherMinWords} AS r_min_words,
-         |  (mean_len >= ${TextOps.GopherMeanWordLen._1}
-         |    AND mean_len <= ${TextOps.GopherMeanWordLen._2}) AS r_mean_word_len,
-         |  max_word <= ${TextOps.GopherMaxWordLen} AS r_max_word_len,
-         |  n_stop >= ${TextOps.GopherMinStops} AS r_stop_words,
-         |  alpha_frac > ${TextOps.GopherMinAlpha} AS r_alpha_words,
-         |  (n_words >= ${TextOps.GopherMinWords}
-         |    AND mean_len >= ${TextOps.GopherMeanWordLen._1}
-         |    AND mean_len <= ${TextOps.GopherMeanWordLen._2}
-         |    AND max_word <= ${TextOps.GopherMaxWordLen}
-         |    AND n_stop >= ${TextOps.GopherMinStops}
-         |    AND alpha_frac > ${TextOps.GopherMinAlpha}) AS passes
-         |FROM (
-         |  SELECT doc_id,
-         |    CAST(len(w) AS BIGINT) AS n_words,
-         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS mean_len,
-         |    list_max(list_transform(w, x -> length(x))) AS max_word,
-         |    CAST(${hitsSql(stopSeq)} AS BIGINT) AS n_stop,
-         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-         |      AS DOUBLE) / len(w) AS alpha_frac
-         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
-         |        FROM documents))""".stripMargin,
+    "tx_gopher_rules" -> gopherSql,
+    // domain-level curation: gopher pass rate + exact-dup rate per source,
+    // thresholds as pure BIGINT products (engine-stable verdicts)
+    "tx_source_filter" ->
+      s"""WITH gr AS (
+         |$gopherSql
+         |),
+         |dup AS (
+         |  SELECT doc_id, source,
+         |    (doc_id <> min(doc_id) OVER (PARTITION BY md5(text))) AS is_dup
+         |  FROM documents),
+         |s AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN gr.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_passing,
+         |    CAST(sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         |  FROM dup d JOIN gr ON gr.doc_id = d.doc_id GROUP BY 1)
+         |SELECT source, n_docs, n_passing, n_dups,
+         |  CAST(n_passing AS DOUBLE) / n_docs AS pass_share,
+         |  CAST(n_dups AS DOUBLE) / n_docs AS dup_share,
+         |  n_passing * 100 >= n_docs * ${TextOps.SourceMinPassPct} AS r_quality,
+         |  n_dups * 100 <= n_docs * ${TextOps.SourceMaxDupPct} AS r_dup,
+         |  (n_passing * 100 >= n_docs * ${TextOps.SourceMinPassPct}
+         |    AND n_dups * 100 <= n_docs * ${TextOps.SourceMaxDupPct}) AS kept
+         |FROM s""".stripMargin,
     "tx_curation_funnel" ->
       Oracle.withRecursiveCtes(
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)

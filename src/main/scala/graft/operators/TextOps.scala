@@ -84,7 +84,11 @@ object TextOps {
     * documents scan — single codegen stage, no shuffle, no joins; at
     * 100 TB this is a pure map the scan absorbs.
     */
-  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The five Gopher rules as named column expressions over a `text`
+    * column — shared by [[gopherRules]] (per-doc bitmap) and
+    * [[sourceFilter]] (per-source pass rates).
+    */
+  private[operators] def gopherRuleExprs: Seq[(String, org.apache.spark.sql.Column)] = {
     val w = words(col("text"))
     val nw = size(w).cast("long")
     val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") /
@@ -93,17 +97,63 @@ object TextOps {
     val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") /
       nw.cast("double")
     val maxWord = array_max(transform(w, x => length(x)))
-    val rules = Seq(
+    Seq(
       "r_min_words" -> (nw >= GopherMinWords),
       "r_mean_word_len" ->
         (meanLen >= GopherMeanWordLen._1 && meanLen <= GopherMeanWordLen._2),
       "r_max_word_len" -> (maxWord <= GopherMaxWordLen),
       "r_stop_words" -> (nStop >= GopherMinStops),
       "r_alpha_words" -> (alphaFrac > GopherMinAlpha))
+  }
+
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val rules = gopherRuleExprs
     Tables.documents(spark, sfDir).select(
-      (col("doc_id") +: nw.as("n_words") +:
+      (col("doc_id") +: size(words(col("text"))).cast("long").as("n_words") +:
         rules.map { case (n, c) => c.as(n) } :+
         rules.map(_._2).reduce(_ && _).as("passes")): _*)
+  }
+
+  /** Keep thresholds for [[sourceFilter]], in integer-exact percent form
+    * (the comparisons are pure BIGINT products — no float thresholds to
+    * drift cross-engine). Tuned so the fixture corpus genuinely splits.
+    */
+  val SourceMinPassPct = 68L
+  val SourceMaxDupPct  = 5L
+
+  /** X-C47: source/domain-level curation — the RefinedWeb/C4-style
+    * DOMAIN filter that runs above the per-document rules: a source whose
+    * documents mostly fail the quality bitmap, or that is dominated by
+    * exact duplicates, gets dropped WHOLESALE (boilerplate mills and
+    * mirror hosts produce bad documents faster than per-doc filters can
+    * score them; the domain verdict is the cheap upstream kill). Per
+    * `source`: doc count, Gopher-pass count, exact-dup count, the two
+    * shares, each rule's verdict, and the keep decision.
+    *
+    * Scale shape: the rule bitmap is inline column arithmetic on the one
+    * documents scan; the dup flag reuses [[DedupOps.exactDedup]]'s
+    * content-hash window (only 128-bit hashes shuffle); the per-source
+    * rollup is a map-side-combinable aggregate over source-cardinality
+    * groups. Shares are single divisions of exact BIGINTs and the
+    * verdicts integer products — engine-identical rows.
+    */
+  def sourceFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val passes = gopherRuleExprs.map(_._2).reduce(_ && _)
+    val wDup = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), passes.as("passes"),
+        md5(col("text")).as("h"))
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wDup))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_passing"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_passing"), col("n_dups"),
+        (col("n_passing").cast("double") / col("n_docs")).as("pass_share"),
+        (col("n_dups").cast("double") / col("n_docs")).as("dup_share"),
+        (col("n_passing") * 100 >= col("n_docs") * SourceMinPassPct).as("r_quality"),
+        (col("n_dups") * 100 <= col("n_docs") * SourceMaxDupPct).as("r_dup"))
+      .withColumn("kept", col("r_quality") && col("r_dup"))
   }
 
   /** Language ID: n-gram/stopword-profile heuristic — see

@@ -817,6 +817,30 @@ class TextDedupSpec extends SparkSpec {
       rows.exists(!_.getAs[Boolean]("passes")))
   }
 
+  test("sourceFilter: per-source shares recompute from the doc-level verdicts; rule splits") {
+    val passes = TextOps.gopherRules(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("passes")).toMap
+    val dups = DedupOps.exactDedup(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_dup")).toMap
+    val bySource = Tables.documents(spark, Sf).select("doc_id", "source").collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .map { case (s, v) => s -> v.map(_._2) }
+    val rows = TextOps.sourceFilter(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val ids = bySource(r.getString(0))
+      val (n, np, nd) =
+        (ids.length.toLong, ids.count(passes).toLong, ids.count(dups).toLong)
+      assert(r.getLong(1) == n && r.getLong(2) == np && r.getLong(3) == nd)
+      assert(r.getDouble(4) == np.toDouble / n && r.getDouble(5) == nd.toDouble / n)
+      assert(r.getBoolean(6) == (np * 100 >= n * TextOps.SourceMinPassPct))
+      assert(r.getBoolean(7) == (nd * 100 <= n * TextOps.SourceMaxDupPct))
+      assert(r.getBoolean(8) == (r.getBoolean(6) && r.getBoolean(7)))
+    }
+    // the quality threshold genuinely splits the fixture's sources
+    assert(rows.exists(_.getBoolean(8)) && rows.exists(!_.getBoolean(8)))
+  }
+
   test("fuzzyDecontam: hits are real band collisions; estimate matches the signatures") {
     def isBench(i: Long): Boolean =
       i % DedupOps.FuzzyBenchMod == 0 && i < DedupOps.FuzzyBenchCap
