@@ -24,6 +24,7 @@ object TextDedupPack extends QueryPack {
     "tx_dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "tx_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "tx_source_filter" -> ((s, d) => TextOps.sourceFilter(s, d)),
+    "tx_blocklist_scrub" -> ((s, d) => TextOps.blocklistScrub(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "tx_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -535,6 +536,29 @@ object TextDedupPack extends QueryPack {
          |SELECT doc_id, n_feats, dsir_weight, (dsir_weight > 0) AS selected
          |FROM scored_docs""".stripMargin,
     "tx_gopher_rules" -> gopherSql,
+    // blocklist scrub: verdict thresholds as BIGINT products; DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default
+    "tx_blocklist_scrub" -> {
+      val pat = "\\b(" + TextOps.BlocklistTerms.mkString("|") + ")\\b"
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_hits,
+         |  CAST(n_hits AS DOUBLE) / n_words AS hit_share,
+         |  CASE WHEN n_hits = 0 THEN 'keep'
+         |       WHEN n_hits * 100 < n_words * ${TextOps.ScrubMaxHitPct}
+         |         THEN 'scrub'
+         |       ELSE 'drop' END AS action,
+         |  CASE WHEN n_hits > 0
+         |         AND n_hits * 100 >= n_words * ${TextOps.ScrubMaxHitPct}
+         |         THEN NULL
+         |       ELSE regexp_replace(text, '$pat', '[REDACTED]', 'g')
+         |       END AS scrubbed
+         |FROM d""".stripMargin
+    },
     // domain-level curation: gopher pass rate + exact-dup rate per source,
     // thresholds as pure BIGINT products (engine-stable verdicts)
     "tx_source_filter" ->

@@ -156,6 +156,53 @@ object TextOps {
       .withColumn("kept", col("r_quality") && col("r_dup"))
   }
 
+  /** Blocklist terms for [[blocklistScrub]] — the C4-style scrub
+    * dictionary. Mostly-absent terms are the realistic case (production
+    * blocklists are thousands of terms, few of which occur in any one
+    * document); `slow` is the term the fixture corpus actually contains.
+    */
+  val BlocklistTerms = Seq("slow", "crash", "leak")
+
+  /** Per-document blocklist hit share (percent, integer-exact) above which
+    * [[blocklistScrub]] DROPS rather than redacts: a document this dense in
+    * blocklisted terms is not salvageable by masking. Tuned so the fixture
+    * genuinely exercises all three verdicts (keep/scrub/drop ≈ 21/65/14%).
+    */
+  val ScrubMaxHitPct = 6L
+
+  /** X-C48: blocklist scrub — the dictionary-redaction pass every
+    * production curation pipeline runs before training (C4's badwords
+    * filter; PII masking is the same operator with different patterns —
+    * this fixture's text is lowercase word-salad with no digits, so a
+    * regex-PII list would be vacuous and a term blocklist is the honest
+    * demonstration). Per document: word count, blocklist hit count, the
+    * exact hit share, a three-way policy verdict (`keep` untouched /
+    * `scrub` redact-and-keep / `drop` too contaminated to salvage), and
+    * the redacted text (NULL for drops — they never reach the sink).
+    *
+    * Scale shape: a pure map over the one documents scan — a single
+    * codegen'd regexp per row for the count and one for the rewrite, no
+    * shuffle, no join; at 100 TB the scan absorbs it. The verdict is
+    * integer products of exact BIGINTs (no float threshold to drift
+    * cross-engine); the share is a single division surfaced for humans.
+    */
+  def blocklistScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = "\\b(" + BlocklistTerms.mkString("|") + ")\\b"
+    val nw = size(words(col("text"))).cast("long")
+    val nh = size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), nw.as("n_words"), nh.as("n_hits"))
+      .select(col("doc_id"), col("n_words"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_words")).as("hit_share"),
+        when(col("n_hits") === 0L, "keep")
+          .when(col("n_hits") * 100L < col("n_words") * ScrubMaxHitPct, "scrub")
+          .otherwise("drop").as("action"),
+        when(col("n_hits") * 100L >= col("n_words") * ScrubMaxHitPct &&
+            col("n_hits") > 0L, lit(null).cast("string"))
+          .otherwise(regexp_replace(col("text"), pat, "[REDACTED]"))
+          .as("scrubbed"))
+  }
+
   /** Language ID: n-gram/stopword-profile heuristic — see
     * [[predictedLangExpr]]; also surfaces the per-language hit counts.
     */

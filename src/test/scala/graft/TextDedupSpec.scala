@@ -841,6 +841,34 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(8)) && rows.exists(!_.getBoolean(8)))
   }
 
+  test("blocklistScrub: counts/verdicts/redaction recompute; all three verdicts occur") {
+    val pat = ("\\b(" + TextOps.BlocklistTerms.mkString("|") + ")\\b").r
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.blocklistScrub(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == texts.keySet)
+    rows.foreach { r =>
+      val text = texts(r.getLong(0))
+      val (nw, nh) =
+        (text.split(" ").length.toLong, pat.findAllIn(text).length.toLong)
+      assert(r.getLong(1) == nw && r.getLong(2) == nh)
+      assert(r.getDouble(3) == nh.toDouble / nw)
+      val exp = if (nh == 0) "keep"
+        else if (nh * 100 < nw * TextOps.ScrubMaxHitPct) "scrub" else "drop"
+      assert(r.getString(4) == exp, s"doc ${r.getLong(0)} verdict")
+      if (exp == "drop") assert(r.isNullAt(5))
+      else {
+        val scrubbed = r.getString(5)
+        assert(scrubbed == pat.replaceAllIn(text, "[REDACTED]"))
+        assert(pat.findFirstIn(scrubbed).isEmpty, "blocklisted term survived")
+        if (exp == "keep") assert(scrubbed == text)
+      }
+    }
+    // the policy genuinely exercises all three branches at test SF
+    val verdicts = rows.map(_.getString(4)).toSet
+    assert(verdicts == Set("keep", "scrub", "drop"), verdicts.toString)
+  }
+
   test("fuzzyDecontam: hits are real band collisions; estimate matches the signatures") {
     def isBench(i: Long): Boolean =
       i % DedupOps.FuzzyBenchMod == 0 && i < DedupOps.FuzzyBenchCap
