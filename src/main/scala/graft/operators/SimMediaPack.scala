@@ -23,6 +23,7 @@ object SimMediaPack extends QueryPack {
     "sim_pq_codes" -> ((s, d) => SimilarityOps.pqCodesFlat(s, d)),
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "sim_recall_report" -> ((s, d) => SimilarityOps.recallReport(s, d)),
+    "sim_matryoshka_recall" -> ((s, d) => SimilarityOps.matryoshkaRecall(s, d)),
     "sim_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "sim_gram_matrix" -> ((s, d) => SimilarityOps.gramMatrix(s, d)),
     "sim_gram_udaf" -> ((s, d) => SimilarityOps.gramMatrixUdaf(s, d)),
@@ -526,6 +527,47 @@ object SimMediaPack extends QueryPack {
            |SELECT 'pq_adc' AS method, n_queries, total_hits,
            |  CAST(total_hits AS DOUBLE) / (n_queries * ${SimilarityOps.TopK}) AS recall_at_k
            |FROM phits, nq""".stripMargin),
+    // Matryoshka truncation recall: per prefix length m, the exact top-k
+    // over the first m dims vs the full-dim baseline; list slices are
+    // 1-based inclusive in DuckDB, matching Spark's slice(col, 1, m)
+    "sim_matryoshka_recall" ->
+      Oracle.withCtes(vecCtes ++ Seq(
+        bfScoredCte,
+        s"""bftop AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= ${SimilarityOps.TopK}
+           |)""".stripMargin,
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qv)") ++
+        SimilarityOps.MatryoshkaDims.flatMap { m => Seq(
+          s"""ms$m AS (
+             |  SELECT query_id, vec_id,
+             |    ${cosSql(s"q[1:$m]", s"e[1:$m]")} AS cosine
+             |  FROM qv CROSS JOIN vv WHERE vec_id <> query_id
+             |)""".stripMargin,
+          s"""mt$m AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY cosine DESC, vec_id) AS rank
+             |    FROM ms$m)
+             |  WHERE rank <= ${SimilarityOps.TopK}
+             |)""".stripMargin,
+          s"""mh$m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS total_hits
+             |  FROM mt$m t JOIN bftop e
+             |    ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+             |)""".stripMargin)
+        }: _*)(
+        SimilarityOps.MatryoshkaDims.map { m =>
+          s"""SELECT CAST($m AS BIGINT) AS dims, n_queries, total_hits,
+             |  CAST(total_hits AS DOUBLE) / (n_queries * ${SimilarityOps.TopK})
+             |    AS recall_at_k
+             |FROM mh$m, nq""".stripMargin
+        }.mkString("\nUNION ALL\n")),
     "md_metadata" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |  'text/plain' AS format, md5(text) AS checksum

@@ -686,6 +686,55 @@ object SimilarityOps {
       .unionAll(one("pq_adc", pqTopK(spark, sfDir)))
   }
 
+  /** Prefix-truncation dims evaluated by [[matryoshkaRecall]] against the
+    * fixture's 64-dim embeddings.
+    */
+  val MatryoshkaDims = Seq(8, 16, 32)
+
+  /** X-C49: Matryoshka truncation-recall report — for each prefix length m
+    * in [[MatryoshkaDims]], the exact cosine top-k computed over only the
+    * FIRST m embedding dimensions, scored as recall@k against the full-dim
+    * [[bruteForceTopK]] baseline. This is the standard evaluation for
+    * Matryoshka-style representations (Kusupati et al. 2022): nested
+    * prefixes of one embedding trade dimensions for quality, and the
+    * operational question — how many dims can the ANN tier drop before
+    * recall degrades — is answered by exactly this curve. At 100 TB the
+    * payoff is direct: a 16-dim prefix scan reads 1/4 of the vector bytes.
+    *
+    * Plan shape: per m, one corpus scan cross-joined to the broadcast
+    * probe panel with a codegen'd sliced-prefix cosine ([[VectorExpressions
+    * .vecDot]] over `slice(...)` — no per-row UDF), per-query top-k through
+    * the bounded-heap [[graft.plans.TopKPerKey]] (≤k rows per query leave
+    * each task; no corpus-sized window), then a broadcast semi-join
+    * against the |Q|·k-row exact set. Recall is an exact small-int
+    * division — engine-identical doubles.
+    */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir).select(col("query_id"), col("vec_id"))
+    val nq = queryVecs(spark, sfDir).agg(count(lit(1)).as("n_queries"))
+    def cosPrefix(m: Int): Column = {
+      val (a, b) = (slice(col("q"), 1, m), slice(col("embedding"), 1, m))
+      val dot = VectorExpressions.vecDot(spark, a, b)
+      val na = sqrt(VectorExpressions.vecDot(spark, a, a))
+      val nb = sqrt(VectorExpressions.vecDot(spark, b, b))
+      round(dot / (na * nb), 6)
+    }
+    MatryoshkaDims.map { m =>
+      val pairs = vecs(spark, sfDir)
+        .crossJoin(broadcast(queryVecs(spark, sfDir)))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosPrefix(m).as("cosine"))
+      graft.plans.TopKPerKey(pairs, TopK, Seq("query_id"),
+          Seq("cosine" -> false, "vec_id" -> true))
+        .join(broadcast(exact), Seq("query_id", "vec_id"), "leftsemi")
+        .agg(count(lit(1)).as("total_hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(m.toLong).as("dims"), col("n_queries"), col("total_hits"),
+          (col("total_hits").cast("double") / (col("n_queries") * TopK))
+            .as("recall_at_k"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Fixed-point scale for [[gramMatrix]]: 2^12 — floats widen to double
     * exactly, ×4096 is an exact power-of-two scale, `floor` has no
     * rounding-mode ambiguity (unlike `round`'s half-up vs half-away split

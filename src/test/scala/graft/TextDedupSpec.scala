@@ -922,6 +922,36 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaRecall: per-dim prefix top-k overlap recomputes exactly") {
+    import graft.operators.SimilarityOps
+    val vecs = Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = vecs.filter(v => v._1 % 100 == 0 && v._1 < SimilarityOps.QueryPanelCap)
+    def cos(a: Array[Float], b: Array[Float], m: Int): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.take(m).zip(y.take(m)).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def topk(m: Int): Map[Long, Set[Long]] = queries.map { case (qid, q) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map(v => (v._1, cos(q, v._2, m)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(SimilarityOps.TopK).map(_._1).toSet
+    }.toMap
+    val exact = topk(vecs.head._2.length)
+    val rows = SimilarityOps.matryoshkaRecall(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == SimilarityOps.MatryoshkaDims.map(_.toLong).toSet)
+    SimilarityOps.MatryoshkaDims.foreach { m =>
+      val hits = topk(m).map { case (qid, ids) => (ids & exact(qid)).size }.sum
+      val (nq, th, r) = rows(m.toLong)
+      assert(nq == queries.length && th == hits.toLong,
+        s"dims $m: got $th hits want $hits")
+      assert(r == hits.toDouble / (queries.length * SimilarityOps.TopK))
+    }
+  }
+
   test("hardNegatives: top-k highest-cosine different-label vectors per query") {
     import graft.operators.SimilarityOps
     val vecs = Tables.embeddings(spark, Sf).collect()
