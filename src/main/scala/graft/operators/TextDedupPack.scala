@@ -55,6 +55,7 @@ object TextDedupPack extends QueryPack {
     "sim_srp_knn_join" -> ((s, d) => DedupOps.srpKnnJoin(s, d)),
     "tx_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "tx_bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
+    "tx_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d)),
     "tx_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
     "tx_doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "tx_dataset_splits" -> ((s, d) => TextOps.datasetSplits(s, d)),
@@ -851,6 +852,24 @@ object TextDedupPack extends QueryPack {
          |        CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_syms
          |      FROM bs${TextOps.BpeRounds}) wt USING (word)
          |GROUP BY doc_id""".stripMargin,
+    // tokenizer fertility per language: same word->n_syms join as
+    // tx_bpe_encode, rolled up by lang; the divisions are single exact
+    // BIGINT ratios
+    "tx_bpe_fertility" ->
+      s"""$bpeCtes
+         |SELECT lang, n_words, n_bpe_tokens, n_chars,
+         |  CAST(n_bpe_tokens AS DOUBLE) / n_words AS fertility,
+         |  CAST(n_chars AS DOUBLE) / n_bpe_tokens AS chars_per_token
+         |FROM (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(sum(length(word)) AS BIGINT) AS n_chars
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |        FROM documents) dw
+         |  JOIN (SELECT word,
+         |          CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_syms
+         |        FROM bs${TextOps.BpeRounds}) wt USING (word)
+         |  GROUP BY lang)""".stripMargin,
     // single-space word separation makes the padded-substring test exactly
     // the consecutive-words test the positional index answers
     "tx_phrase_search" ->

@@ -1091,6 +1091,32 @@ object TextOps {
     * vocabulary-sized, so the corpus-side join broadcasts; the corpus is
     * touched once (`tx_bpe_encode`).
     */
+  /** X-C50: tokenizer fertility report — per language, tokens-per-word
+    * (fertility) and chars-per-token (compression) under the trained BPE.
+    * The standard multilingual tokenizer evaluation: a tokenizer trained
+    * on a skewed mix over-segments the under-represented languages, and
+    * fertility per language is the number that exposes it (and prices each
+    * language's share of a token budget). Same broadcast word→n_syms join
+    * as [[bpeEncode]] — one corpus scan, then a language-cardinality
+    * rollup of exact BIGINT sums divided once (engine-identical doubles).
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val wordTok = bpeTrain(spark, sfDir)._2
+      .select(col("word"),
+        size(split(trim(col("syms")), " ")).cast("long").as("n_syms"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .join(broadcast(wordTok), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens"))
+          .as("chars_per_token"))
+  }
+
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val wordTok = bpeTrain(spark, sfDir)._2
       .select(col("word"),

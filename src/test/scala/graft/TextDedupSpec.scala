@@ -162,6 +162,33 @@ class TextDedupSpec extends SparkSpec {
     assert(bpeTotal < charTotals && bpeTotal >= wordTotal)
   }
 
+  test("bpeFertility: per-lang rollup recomputes from encode-side word stats") {
+    import graft.functions.TextFunctions.words
+    // expected: doc-level (lang, word) stream joined to per-word symbol
+    // counts recovered from bpeEncode's own inputs (word totals per doc)
+    val docLang = Tables.documents(spark, Sf)
+      .select(col("lang"), explode(words(col("text"))).as("word")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val enc = TextOps.bpeEncode(spark, Sf).collect()
+    val rows = TextOps.bpeFertility(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == docLang.map(_._1).toSet)
+    // totals across languages agree with the per-doc encode totals
+    assert(rows.values.map(_._1).sum == enc.map(_.getAs[Long]("n_words")).sum)
+    assert(rows.values.map(_._2).sum == enc.map(_.getAs[Long]("n_bpe_tokens")).sum)
+    // per-lang word and char counts recompute from the raw corpus
+    val expWords = docLang.groupBy(_._1).map { case (l, v) => l -> v.length.toLong }
+    val expChars = docLang.groupBy(_._1)
+      .map { case (l, v) => l -> v.map(_._2.length.toLong).sum }
+    rows.foreach { case (l, (nw, nt, nc, fert, cpt)) =>
+      assert(nw == expWords(l) && nc == expChars(l), s"lang $l counts")
+      assert(fert == nt.toDouble / nw && cpt == nc.toDouble / nt, s"lang $l ratios")
+      assert(fert >= 1.0, s"lang $l fertility < 1 - a word became 0 symbols")
+    }
+  }
+
   test("phraseSearch: positional match equals the padded-substring scan; subset of conjunctive") {
     val hits = TextOps.phraseSearch(spark, Sf)
     val direct = Tables.documents(spark, Sf)
