@@ -420,6 +420,48 @@ object GeoOps {
       .select(col("src").as("v"), col("deg"))
   }
 
+  /** Shortcutted label-propagation rounds for [[connectedComponents]]. */
+  val CcRounds = 3
+
+  /** X-C51: connected components by min-label propagation WITH pointer
+    * jumping — the Shiloach–Vishkin-style shortcut that makes distributed
+    * CC feasible at 100 TB. Plain min-propagation needs diameter rounds (a
+    * path component of 10^6 vertices would need 10^6 shuffles); adding the
+    * label(label(v)) shortcut after each propagation roughly DOUBLES the
+    * covered radius per round, so [[CcRounds]] bounded rounds reach radius
+    * ~2^R — O(log diameter) total. Each round is two shuffles on the one
+    * staged edge layout: a src-keyed propagate + min-combine (map-side
+    * partial min), then a label-keyed self-join of the label table (vertex-
+    * sized, far smaller than edges). Labels are vertex ids and min-only
+    * monotone, so l(v) ≤ v always holds, every label IS a live vertex row
+    * (the shortcut join is total), and the bounded-round result replays
+    * bit-for-bit in the unrolled integer oracle — the same bounded-
+    * semantics contract as [[bfsHops]]/[[kCore]].
+    */
+  def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = symEdges(spark, sfDir).select(col("src"), col("dst"))
+    val init = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    (1 to CcRounds).foldLeft(init) { (lab, _) =>
+      val prop = edges
+        .join(lab.select(col("v").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("v"), col("label"))
+      val p = lab.union(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      p.join(p.select(col("v").as("label"), col("label").as("ll")), Seq("label"))
+        .select(col("v"), col("ll").as("label"))
+    }
+  }
+
+  /** Component-size census over [[connectedComponents]] — the rollup a
+    * graph-quality audit reads (giant-component share, dust count). Label-
+    * cardinality aggregate over the vertex-sized label table.
+    */
+  def componentSizes(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(spark, sfDir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vertices"))
+      .select(col("label").as("component"), col("n_vertices"))
+
   /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:
     * one z2 BETWEEN range (with Morton false positives) then the precise
     * predicate. Emits per-event coarse/exact flags for the bbox

@@ -34,6 +34,8 @@ object GeoPack extends QueryPack {
     "geo_bfs_hops" -> ((s, d) => GeoOps.bfsHops(s, d)),
     "geo_sssp" -> ((s, d) => GeoOps.sssp(s, d)),
     "geo_kcore" -> ((s, d) => GeoOps.kCore(s, d)),
+    "geo_components" -> ((s, d) => GeoOps.connectedComponents(s, d)),
+    "geo_component_sizes" -> ((s, d) => GeoOps.componentSizes(s, d)),
   )
 
   private val coordsCte =
@@ -298,5 +300,38 @@ object GeoPack extends QueryPack {
          |SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
          |FROM e${GeoOps.KcoreRounds} GROUP BY src""".stripMargin
     },
+    // unrolled min-label propagation + pointer-jump shortcut: p_i is the
+    // 1-hop min over l_{i-1}, l_i re-points every label at ITS label
+    // (labels are vertex ids, min-monotone, so the shortcut join is total)
+    "geo_components" -> ccSql("SELECT v, label FROM l" + GeoOps.CcRounds),
+    "geo_component_sizes" -> ccSql(
+      s"""SELECT label AS component, CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM l${GeoOps.CcRounds} GROUP BY label""".stripMargin),
   )
+
+  private def ccSql(finalSelect: String): String = {
+    def round(i: Int) =
+      s"""p$i AS (
+         |  SELECT v, min(label) AS label FROM (
+         |    SELECT und.dst AS v, l.label
+         |    FROM und JOIN l${i - 1} l ON und.src = l.v
+         |    UNION ALL SELECT v, label FROM l${i - 1})
+         |  GROUP BY v),
+         |l$i AS (
+         |  SELECT a.v, b.label FROM p$i a JOIN p$i b ON b.v = a.label)""".stripMargin
+    s"""WITH $coordsCte,
+       |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+       |edges AS (
+       |  SELECT a.event_id AS a_id, b.event_id AS b_id
+       |  FROM pts a JOIN pts b
+       |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+       |    AND a.event_id < b.event_id),
+       |und AS (
+       |  SELECT a_id AS src, b_id AS dst FROM edges
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM edges),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM und),
+       |${(1 to GeoOps.CcRounds).map(round).mkString(",\n")}
+       |$finalSelect""".stripMargin
+  }
 }

@@ -285,4 +285,43 @@ class GeoOpsSpec extends SparkSpec {
     } yield (ai, bi)).toSet
     assert(got == expect && got.nonEmpty)
   }
+
+  test("connectedComponents: bounded shortcut rounds replay; labels never cross true components") {
+    val pairs = GeoOps.neighborPairs(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    // driver replay of the exact bounded algorithm: 1-hop min prop, then
+    // pointer-jump label <- label(label)
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to GeoOps.CcRounds) {
+      val p = lab.map { case (v, l) =>
+        v -> (adj(v).map(lab) + l).min
+      }
+      lab = p.map { case (v, l) => v -> p(l) }
+    }
+    val got = GeoOps.connectedComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lab && got.nonEmpty)
+    // soundness vs TRUE components (driver union-find): a label is always
+    // a vertex of the same true component, and rounds make real progress
+    // (labels strictly coarser than the initial identity labelling)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    got.foreach { case (v, l) => assert(find(v) == find(l), s"vertex $v label $l crossed") }
+    assert(got.exists { case (v, l) => l != v })
+    // component sizes are the label census
+    val sizes = GeoOps.componentSizes(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expSizes = got.groupBy(_._2).map { case (l, m) => l -> m.size.toLong }
+    assert(sizes == expSizes)
+  }
 }
