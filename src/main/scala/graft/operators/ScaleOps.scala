@@ -302,6 +302,50 @@ object ScaleOps {
     withFlag(perSeg).unionByName(withFlag(global))
   }
 
+  /** Relative-error budget for [[hllIntersect]]: inclusion–exclusion
+    * compounds three ~1.6% (lgConfigK=12) estimates whose magnitudes are
+    * ~1.2–1.5× the intersection here, so 10% is a deterministic pass with
+    * wide margin (the estimate itself is deterministic for a given input
+    * set; the flag is asserted green at every shipped SF).
+    */
+  val HllIntersectTolerance = 0.10
+
+  /** X-P29: sketch set-INTERSECTION estimate by inclusion–exclusion —
+    * \|A∩B\| ≈ est(A) + est(B) − est(A∪B) over mergeable HLL sketches
+    * (the DataSketches scalar `hll_union` unions two sketch blobs without
+    * touching data). The question answered: how many customers bought in
+    * BOTH years — retention/overlap — without ever materializing either
+    * membership set. At 100 TB the point is the same as X-P14: per-window
+    * sketches are KBs, so any pairwise overlap matrix (cohorts × cohorts)
+    * is sketch algebra, not rescans. Exact counts ride along as ground
+    * truth from the SAME one-pass plan: one scan of the year-filtered
+    * orders, one map-side-combinable custkey collapse to (in_a, in_b)
+    * flags, then a single-row aggregate building both sketches (null-
+    * skipping conditional inputs) and the three exact BIGINT counts. The
+    * emitted flag asserts the estimate within [[HllIntersectTolerance]];
+    * the oracle replays the exacts and the flag's expected truth.
+    */
+  def hllIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .where(col("yr").isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("yr") === 1996, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("yr") === 1997, 1L).otherwise(0L)).as("in_b"))
+    flags
+      .agg(
+        hll_sketch_agg(when(col("in_a") === 1L, col("o_custkey"))).as("ska"),
+        hll_sketch_agg(when(col("in_b") === 1L, col("o_custkey"))).as("skb"),
+        sum(col("in_a")).as("exact_a"),
+        sum(col("in_b")).as("exact_b"),
+        sum(col("in_a") * col("in_b")).as("exact_common"))
+      .select(col("exact_a"), col("exact_b"), col("exact_common"),
+        (abs(hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+          - hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+          - col("exact_common")) <=
+          col("exact_common") * HllIntersectTolerance).as("hll_within_10pct"))
+  }
+
   /** X-P19 (data-quality family with [[columnProfile]]): referential-
     * conformance audit — one row per declared FK relationship with the fact
     * row count and the orphan count (fact keys with no dimension match).

@@ -20,6 +20,7 @@ object ScalePack extends QueryPack {
     "xp_sorted_layout_scan" -> ((s, d) => ScaleOps.sortedLayoutMonthScan(s, d)),
     "xp_zorder_scan" -> ((s, d) => ScaleOps.zorderSliceScan(s, d)),
     "xa_hll_union" -> ((s, d) => ScaleOps.hllSegmentDistinct(s, d)),
+    "xa_hll_intersect" -> ((s, d) => ScaleOps.hllIntersect(s, d)),
     "xa_column_profile" -> ((s, d) => ScaleOps.columnProfile(s, d)),
     "xa_fk_conformance" -> ((s, d) => ScaleOps.fkConformance(s, d)),
     "xp_bloom_membership" -> ((s, d) => ScaleOps.bloomMembership(s, d)),
@@ -95,6 +96,21 @@ object ScalePack extends QueryPack {
         |UNION ALL
         |SELECT 'ALL', count(DISTINCT o_custkey), TRUE
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // inclusion-exclusion intersection: exact overlap counts replayed; the
+    // tolerance flag is the sketch-quality assertion the Spark side
+    // computes against its own HLL algebra
+    "xa_hll_intersect" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS in_b
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY o_custkey)
+        |SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+        |  CAST(sum(in_b) AS BIGINT) AS exact_b,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS exact_common,
+        |  TRUE AS hll_within_10pct
+        |FROM f""".stripMargin,
     "xa_column_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

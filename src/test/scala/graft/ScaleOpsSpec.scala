@@ -188,6 +188,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(all.head.getLong(1) == exact)
   }
 
+  test("hllIntersect: exact overlap recomputes; inclusion-exclusion estimate in tolerance") {
+    import org.apache.spark.sql.functions._
+    val row = ScaleOps.hllIntersect(spark, Sf).collect().head
+    // ground truth from a direct per-year distinct recompute
+    val byYear = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .where(col("yr").isin(1996, 1997)).distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val a = byYear.filter(_._2 == 1996).map(_._1).toSet
+    val b = byYear.filter(_._2 == 1997).map(_._1).toSet
+    assert(row.getLong(0) == a.size.toLong && row.getLong(1) == b.size.toLong)
+    assert(row.getLong(2) == (a & b).size.toLong)
+    assert((a & b).nonEmpty, "fixture has no year overlap - the op tests nothing")
+    // the in-query sketch-quality assertion
+    assert(row.getBoolean(3), s"inclusion-exclusion estimate left tolerance: $row")
+  }
+
   test("fkConformance: one row per relationship; the synthetic schema is orphan-free") {
     import org.apache.spark.sql.functions._
     val rows = ScaleOps.fkConformance(spark, Sf).collect()
