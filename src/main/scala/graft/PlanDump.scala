@@ -150,7 +150,15 @@ object PlanDump {
       ("sim_hard_negatives", "broadcast panel + in-stage label prune; TopKPerKey bounds the per-query heap pre-exchange",
         operators.SimilarityOps.hardNegatives(spark, sfDir)),
       ("dd_fuzzy_decontam", "benchmark bands broadcast against staged corpus bands; per-doc argmax window is eval-suite-bounded",
-        operators.DedupOps.fuzzyDecontam(spark, sfDir)))
+        operators.DedupOps.fuzzyDecontam(spark, sfDir)),
+      ("tx_blocklist_scrub", "pure map: one codegen'd regexp count + one rewrite on the single documents scan, zero shuffles",
+        operators.TextOps.blocklistScrub(spark, sfDir)),
+      ("sim_matryoshka_recall", "per-dim prefix cosine over the broadcast panel; TopKPerKey bounds heaps pre-exchange; |Q|k semi-joins",
+        operators.SimilarityOps.matryoshkaRecall(spark, sfDir)),
+      ("geo_components", "per round: src-keyed propagate with map-side min-combine on staged edges + vertex-sized pointer-jump self-join",
+        operators.GeoOps.connectedComponents(spark, sfDir)),
+      ("xa_hll_intersect", "one scan -> map-side custkey collapse -> single-row sketch+exact aggregate; overlap is sketch algebra",
+        operators.ScaleOps.hllIntersect(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")

@@ -199,4 +199,35 @@ class PropertySpec extends SparkSpec {
       PpmDecode.stats(mp); PpmDecode.stats(ppm.take(cut % ppm.length)): Unit
     }
   }
+
+  test("blocklist scrub: idempotent, hit-free output, no-hit texts unchanged (random corpora)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // random word-salad over the fixture's vocabulary style, with the
+    // blocklist terms injected at random positions so hits are plentiful
+    val vocab = Seq("join", "hash", "row", "batch", "scan", "table", "value",
+      "slowly", "leaky", "crashed") ++ TextOps.BlocklistTerms
+    val genDoc = for {
+      n <- Gen.chooseNum(1, 60)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val texts = samples(genDoc, 300, seed = 41L)
+    val pat = "\\b(" + TextOps.BlocklistTerms.mkString("|") + ")\\b"
+    val df = texts.toDF("text")
+      .select(col("text"),
+        regexp_replace(col("text"), pat, "[REDACTED]").as("s1"))
+      .select(col("text"), col("s1"),
+        regexp_replace(col("s1"), pat, "[REDACTED]").as("s2"),
+        size(regexp_extract_all(col("s1"), lit(pat), lit(0))).as("h1"))
+    df.collect().foreach { r =>
+      val (text, s1, s2, h1) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))
+      assert(h1 == 0, s"scrubbed text still hits the blocklist: $s1")
+      assert(s1 == s2, "scrub is not idempotent")
+      // word-boundary safety: superstring vocab words never get masked
+      if (!pat.r.findFirstIn(text).isDefined) assert(s1 == text)
+      assert(!TextOps.BlocklistTerms.exists(t =>
+        s1.split(" ").contains(t)), s"bare term survived: $s1")
+    }
+  }
 }
