@@ -25,6 +25,7 @@ object TextDedupPack extends QueryPack {
     "tx_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "tx_source_filter" -> ((s, d) => TextOps.sourceFilter(s, d)),
     "tx_blocklist_scrub" -> ((s, d) => TextOps.blocklistScrub(s, d)),
+    "tx_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
     "tx_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "tx_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "tx_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -537,6 +538,43 @@ object TextDedupPack extends QueryPack {
          |SELECT doc_id, n_feats, dsir_weight, (dsir_weight > 0) AS selected
          |FROM scored_docs""".stripMargin,
     "tx_gopher_rules" -> gopherSql,
+    // closed-form waterfill: binding test is a pure BIGINT inequality over
+    // the capacity-sorted prefix sums; both doubles are single exact
+    // divisions
+    "tx_token_budget" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(cap) AS BIGINT) AS total,
+         |             CAST(count(*) AS BIGINT) AS n_sources FROM per),
+         |f AS (
+         |  SELECT source, cap, n_sources,
+         |    (total * ${TextOps.BudgetNumer}) // ${TextOps.BudgetDenom} AS budget,
+         |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS rn,
+         |    CAST(COALESCE(sum(cap) OVER (ORDER BY cap, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM per, t),
+         |g AS (
+         |  SELECT *,
+         |    cap * (n_sources - rn + 1) <= budget - cum_before AS binding
+         |  FROM f),
+         |s AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN binding THEN cap ELSE 0 END) AS BIGINT)
+         |      AS bound_caps,
+         |    CAST(sum(CASE WHEN binding THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_free
+         |  FROM g)
+         |SELECT source, n_tokens, binding, allocated,
+         |  allocated / budget AS allocated_share
+         |FROM (
+         |  SELECT source, cap AS n_tokens, binding, budget,
+         |    CASE WHEN binding THEN CAST(cap AS DOUBLE)
+         |         ELSE CAST(budget - bound_caps AS DOUBLE) / n_free
+         |         END AS allocated
+         |  FROM g, s)""".stripMargin,
     // blocklist scrub: verdict thresholds as BIGINT products; DuckDB's
     // regexp_replace needs the explicit 'g' flag to match Spark's
     // replace-all default

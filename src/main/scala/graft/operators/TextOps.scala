@@ -203,6 +203,64 @@ object TextOps {
           .as("scrubbed"))
   }
 
+  /** Token budget for [[tokenBudget]] as an exact fraction of the corpus
+    * total (9/10: a deliberate under-budget so the waterfill level
+    * genuinely splits the fixture's sources into binding and capped-out).
+    */
+  val BudgetNumer = 9L
+  val BudgetDenom = 10L
+
+  /** X-C52: token-budget waterfilling — the mixture planner a token-
+    * budgeted pretraining run executes before sampling: given a global
+    * budget B (here [[BudgetNumer]]/[[BudgetDenom]] of the corpus), give
+    * every source an EQUAL share of B except where a source simply doesn't
+    * have that many tokens — those contribute everything they have
+    * (`binding`) and their shortfall redistributes among the rest. This is
+    * exact max-min-fair allocation, computed CLOSED-FORM (no iteration):
+    * with sources sorted by capacity ascending, source i binds iff
+    * cap_i · k_i ≤ B − Σ_{j<i} cap_j (k_i = sources from i on) — a pure
+    * BIGINT inequality; binding is provably a prefix of that order, and
+    * the water level for everyone else is one exact division
+    * (B − Σ binding caps) / #non-binding.
+    *
+    * Scale shape: the corpus collapses to source-cardinality token counts
+    * in one map-side-combinable aggregate; the sort window and the level
+    * arithmetic run on that metadata-sized table (tens of rows at ANY
+    * corpus size — the single-partition window is deliberate, not a
+    * bottleneck). All comparisons integer, both emitted doubles single
+    * exact divisions — engine-identical rows.
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("cap"))
+    val w = Window.orderBy(col("cap").asc, col("source").asc)
+    val wAll = Window.partitionBy(lit(1))
+    val flagged = per
+      .withColumn("total", sum(col("cap")).over(wAll))
+      .withColumn("budget", expr(s"(total * $BudgetNumer) div $BudgetDenom"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("n_sources", count(lit(1)).over(wAll))
+      .withColumn("k_after", col("n_sources") - col("rn") + lit(1L))
+      .withColumn("binding",
+        col("cap") * col("k_after") <= col("budget") - col("cum_before"))
+    val stats = flagged.agg(
+      sum(when(col("binding"), col("cap")).otherwise(0L)).as("bound_caps"),
+      sum(when(col("binding"), 0L).otherwise(1L)).as("n_free"))
+    flagged.crossJoin(broadcast(stats))
+      .withColumn("allocated",
+        when(col("binding"), col("cap").cast("double"))
+          .otherwise((col("budget") - col("bound_caps")).cast("double") /
+            col("n_free")))
+      .select(col("source"), col("cap").as("n_tokens"), col("binding"),
+        col("allocated"),
+        (col("allocated") / col("budget")).as("allocated_share"))
+  }
+
   /** Language ID: n-gram/stopword-profile heuristic — see
     * [[predictedLangExpr]]; also surfaces the per-language hit counts.
     */

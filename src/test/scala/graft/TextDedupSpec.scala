@@ -896,6 +896,39 @@ class TextDedupSpec extends SparkSpec {
     assert(verdicts == Set("keep", "scrub", "drop"), verdicts.toString)
   }
 
+  test("tokenBudget: closed-form waterfill matches a driver recompute; allocations fill the budget") {
+    import graft.functions.TextFunctions.words
+    val caps = Tables.documents(spark, Sf)
+      .select(col("source"), explode(words(col("text"))).as("w")).collect()
+      .map(r => r.getString(0)).groupBy(identity)
+      .map { case (s, v) => s -> v.length.toLong }
+    val total = caps.values.sum
+    val budget = total * TextOps.BudgetNumer / TextOps.BudgetDenom
+    // reference waterfill: sort ascending, binding prefix, one level
+    val sorted = caps.toSeq.sortBy { case (s, c) => (c, s) }
+    var (cum, nBind) = (0L, 0)
+    sorted.zipWithIndex.foreach { case ((_, c), i) =>
+      val k = sorted.length - i
+      if (c * k <= budget - cum && nBind == i) { cum += c; nBind += 1 }
+    }
+    val level = (budget - cum).toDouble / (sorted.length - nBind)
+    val rows = TextOps.tokenBudget(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == caps.keySet)
+    sorted.zipWithIndex.foreach { case ((s, c), i) =>
+      val (nt, binding, alloc, share) = rows(s)
+      assert(nt == c)
+      assert(binding == (i < nBind), s"source $s binding prefix broken")
+      val expAlloc = if (binding) c.toDouble else level
+      assert(alloc == expAlloc && share == expAlloc / budget, s"source $s")
+      if (!binding) assert(c.toDouble >= alloc, "a non-binding source over-allocated")
+    }
+    // both states occur and the allocations exactly exhaust the budget
+    assert(nBind > 0 && nBind < sorted.length)
+    assert(math.abs(rows.values.map(_._3).sum - budget) < 1e-6 * budget)
+  }
+
   test("fuzzyDecontam: hits are real band collisions; estimate matches the signatures") {
     def isBench(i: Long): Boolean =
       i % DedupOps.FuzzyBenchMod == 0 && i < DedupOps.FuzzyBenchCap
