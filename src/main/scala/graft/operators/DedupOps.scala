@@ -1019,6 +1019,54 @@ object DedupOps {
           col("n_tokens").cast("double"), 6).as("dup_frac"))
   }
 
+  /** X-P30: duplicate-span REMOVAL — the transform half of [[dupSpans]]:
+    * where X-P26 scores which positions sit inside a cross-document
+    * [[DupSpanN]]-gram, this emits the document with those positions CUT
+    * (the ExactSubstr-style "deduplicate at the substring level, keep the
+    * rest" rewrite — dropping whole documents over a little boilerplate
+    * throws away good text; masking just the copied spans keeps it).
+    * Per doc: token count, removed-position count, and the cleaned text
+    * rebuilt from the surviving positions in order (empty string when a
+    * document is wall-to-wall duplicated).
+    *
+    * Plan shape: identical corpus-sized stages to [[dupSpans]] (narrow
+    * gram build, gram-keyed dup count, semi-join, post-join ×N position
+    * explode) plus one doc-keyed rebuild: posexplode of the word array
+    * anti-joined against the covered positions, then a per-doc
+    * collect_list of (pos, token) structs sorted in-row — the sort is
+    * per-document over its own tokens (array-sized, never a corpus sort)
+    * and the agg is hash-partitioned by doc_id. Deterministic: positions
+    * are exact ints, the rebuild order is total.
+    */
+  def spanRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= DupSpanN)
+    val grams = base.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $DupSpanN), " +
+          s"i -> struct(i AS p, array_join(slice(w, i + 1, $DupSpanN), ' ') AS g))")).as("s"))
+      .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("g"))
+    val covered = grams.join(dup, Seq("g"), "leftsemi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + ${DupSpanN - 1})")).as("pos"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+          " ").as("cleaned"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Jaccard threshold for [[prefixJaccard]] as an exact rational. */
   val PpjNum = 9L
   val PpjDen = 10L

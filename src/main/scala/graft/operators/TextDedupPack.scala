@@ -76,6 +76,7 @@ object TextDedupPack extends QueryPack {
     "dd_prefix_jaccard" -> ((s, d) => DedupOps.prefixJaccard(s, d)),
     "dd_ppj_stats" -> ((s, d) => DedupOps.prefixJoinStats(s, d)),
     "dd_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
+    "dd_span_removal" -> ((s, d) => DedupOps.spanRemoval(s, d)),
     "tx_lm_score" -> ((s, d) => TextOps.lmScores(s, d)),
     "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "dd_fuzzy_decontam" -> ((s, d) => DedupOps.fuzzyDecontam(s, d)),
@@ -1139,6 +1140,42 @@ object TextDedupPack extends QueryPack {
          |  round(CAST(coalesce(cnt.n_dup_pos, 0) AS DOUBLE)
          |        / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
          |FROM base b LEFT JOIN cnt USING (doc_id)""".stripMargin
+    },
+    // span removal: same grams/dup/cov pipeline as dd_dup_spans, then the
+    // text rebuilt from the uncovered positions in order
+    "dd_span_removal" -> {
+      val n = DedupOps.DupSpanN
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |base AS (
+         |  SELECT doc_id, w, len(w) AS n_tokens FROM w WHERE len(w) >= $n),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(w) - ${n - 1})) AS p,
+         |    unnest(list_transform(range(0, len(w) - ${n - 1}),
+         |      i -> array_to_string(list_slice(w, i + 1, i + $n), ' '))) AS g
+         |  FROM w WHERE len(w) >= $n),
+         |dup AS (
+         |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT doc_id, unnest(range(p, p + $n)) AS pos
+         |    FROM grams JOIN dup USING (g))),
+         |toks AS (
+         |  SELECT doc_id, unnest(range(0, len(w))) AS pos,
+         |    unnest(w) AS tok
+         |  FROM base),
+         |kept AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned
+         |  FROM toks t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |  WHERE c.doc_id IS NULL
+         |  GROUP BY t.doc_id)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(b.n_tokens AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed,
+         |  coalesce(k.cleaned, '') AS cleaned
+         |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin
     },
     // lead() over (doc_id, p) rebuilds the same adjacent bigrams the Spark
     // side takes from the word array; same add-one smoothing, same

@@ -896,6 +896,45 @@ class TextDedupSpec extends SparkSpec {
     assert(verdicts == Set("keep", "scrub", "drop"), verdicts.toString)
   }
 
+  test("spanRemoval: reconciles with dupSpans; cleaned text is the uncovered subsequence") {
+    val spans = DedupOps.dupSpans(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = DedupOps.spanRemoval(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == spans.keySet)
+    // recompute covered positions from first principles
+    val docWords = texts.view.mapValues(_.split(" ")).toMap
+    val gramOwners = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docWords.foreach { case (id, w) =>
+      if (w.length >= DedupOps.DupSpanN)
+        w.sliding(DedupOps.DupSpanN).foreach { g =>
+          val k = g.mkString(" ")
+          gramOwners(k) = gramOwners.getOrElse(k, Set.empty) + id
+        }
+    }
+    rows.foreach { r =>
+      val (id, nTok, nRem, cleaned) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val w = docWords(id)
+      assert(nTok == w.length.toLong)
+      val covered = (0 to w.length - DedupOps.DupSpanN).flatMap { p =>
+        val g = w.slice(p, p + DedupOps.DupSpanN).mkString(" ")
+        if (gramOwners(g).size >= 2) p until p + DedupOps.DupSpanN else Nil
+      }.toSet
+      assert(nRem == covered.size.toLong, s"doc $id removed count")
+      assert(nRem == spans(id), s"doc $id disagrees with dupSpans")
+      val expect = w.indices.filterNot(covered).map(w).mkString(" ")
+      assert(cleaned == expect, s"doc $id cleaned text")
+      if (nRem == 0) assert(cleaned == texts(id))
+    }
+    // the fixture exercises untouched, partial, and fully-removed docs
+    val states = rows.map(r => (r.getLong(2), r.getLong(1))).map {
+      case (0, _) => "none"; case (rm, nt) if rm == nt => "all"; case _ => "part"
+    }.toSet
+    assert(states == Set("none", "part", "all"), states.toString)
+  }
+
   test("tokenBudget: closed-form waterfill matches a driver recompute; allocations fill the budget") {
     import graft.functions.TextFunctions.words
     val caps = Tables.documents(spark, Sf)
