@@ -52,20 +52,32 @@ object SimilarityOps {
       .where(col("vec_id") % 100 === 0 && col("vec_id") < QueryPanelCap)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
-  private def cosine(spark: SparkSession, a: String, b: String): Column = {
-    val dot = VectorExpressions.vecDot(spark, a, b)
-    val na = sqrt(VectorExpressions.vecDot(spark, a, a))
-    val nb = sqrt(VectorExpressions.vecDot(spark, b, b))
-    round(dot / (na * nb), 6)
-  }
+  /** Norm hoisting for pair-stream cosines: an inline
+    * `round(dot/(sqrt(a·a)·sqrt(b·b)), 6)` recomputes sqrt(v·v) for BOTH
+    * operands on every pair — O(|Q|·N) redundant 64-element dot products.
+    * [[withNorm]] annotates each frame with its norm once per ROW before
+    * the join, so the hot loop does one VecDot + one multiply instead of
+    * three VecDots. [[hoistedCos]] keeps the exact expression tree
+    * `round(dot / (na · nb), 6)` — the same IEEE ops in the same order as
+    * the inline form (sqrt of the same floats, then one multiply, one
+    * divide, one round), so results are bit-identical and every oracle is
+    * unchanged.
+    */
+  private def withNorm(spark: SparkSession, df: DataFrame,
+      vecCol: String, normCol: String): DataFrame =
+    df.withColumn(normCol,
+      sqrt(VectorExpressions.vecDot(spark, vecCol, vecCol)))
+
+  private def hoistedCos(spark: SparkSession, a: String, b: String): Column =
+    round(VectorExpressions.vecDot(spark, a, b) / (col("na") * col("nb")), 6)
 
   /** Exact brute-force cosine top-k per query (self excluded). */
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = vecs(spark, sfDir)
-      .crossJoin(broadcast(queryVecs(spark, sfDir)))
+    val pairs = withNorm(spark, vecs(spark, sfDir), "embedding", "nb")
+      .crossJoin(broadcast(withNorm(spark, queryVecs(spark, sfDir), "q", "na")))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(spark, "q", "embedding").as("cosine"))
+        hoistedCos(spark, "q", "embedding").as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
@@ -92,15 +104,15 @@ object SimilarityOps {
     * with vec_id tie-breaks — fully deterministic, exact oracle.
     */
   def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = vecs(spark, sfDir)
+    val q = withNorm(spark, vecs(spark, sfDir)
       .where(col("vec_id") % 100 === 0 && col("vec_id") < QueryPanelCap)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("label").as("q_label"))
-    val pairs = vecs(spark, sfDir)
+        col("label").as("q_label")), "q", "na")
+    val pairs = withNorm(spark, vecs(spark, sfDir), "embedding", "nb")
       .crossJoin(broadcast(q))
       .where(col("label") =!= col("q_label"))
       .select(col("query_id"), col("vec_id"), col("label"),
-        cosine(spark, "q", "embedding").as("cosine"))
+        hoistedCos(spark, "q", "embedding").as("cosine"))
     val topk = graft.plans.TopKPerKey(pairs, HardNegK, Seq("query_id"),
       Seq("cosine" -> false, "vec_id" -> true))
     val w = Window.partitionBy(col("query_id"))
@@ -142,19 +154,20 @@ object SimilarityOps {
     val q = queryVecs(spark, sfDir)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_cos").desc, col("label"))
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("q"), col("label"),
-        cosine(spark, "q", "centroid").as("c_cos"))
+    val probes = withNorm(spark, q, "q", "na")
+      .crossJoin(broadcast(withNorm(spark, cent, "centroid", "nb")))
+      .select(col("query_id"), col("q"), col("na"), col("label"),
+        hoistedCos(spark, "q", "centroid").as("c_cos"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .where(col("probe_rank") <= NProbe)
-      .select(col("query_id"), col("q"), col("label"))
+      .select(col("query_id"), col("q"), col("na"), col("label"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    vecs(spark, sfDir)
+    withNorm(spark, vecs(spark, sfDir), "embedding", "nb")
       .join(broadcast(probes), Seq("label"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
-        cosine(spark, "q", "embedding").as("cosine"))
+        hoistedCos(spark, "q", "embedding").as("cosine"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .where(col("rank") <= TopK)
   }
@@ -330,22 +343,23 @@ object SimilarityOps {
     val q = queryVecs(spark, sfDir)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_cos").desc, col("k"))
-    q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("q"), col("k"),
-        cosine(spark, "q", "centroid").as("c_cos"))
+    withNorm(spark, q, "q", "na")
+      .crossJoin(broadcast(withNorm(spark, cent, "centroid", "nb")))
+      .select(col("query_id"), col("q"), col("na"), col("k"),
+        hoistedCos(spark, "q", "centroid").as("c_cos"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .where(col("probe_rank") <= NProbe)
-      .select(col("query_id"), col("q"), col("k"))
+      .select(col("query_id"), col("q"), col("na"), col("k"))
   }
 
   private def topKScan(spark: SparkSession, corpus: DataFrame, probes: DataFrame): DataFrame = {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    corpus
+    withNorm(spark, corpus, "embedding", "nb")
       .join(broadcast(probes), Seq("k"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("k"),
-        cosine(spark, "q", "embedding").as("cosine"))
+        hoistedCos(spark, "q", "embedding").as("cosine"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .where(col("rank") <= TopK)
   }
@@ -712,18 +726,17 @@ object SimilarityOps {
   def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val exact = bruteForceTopK(spark, sfDir).select(col("query_id"), col("vec_id"))
     val nq = queryVecs(spark, sfDir).agg(count(lit(1)).as("n_queries"))
-    def cosPrefix(m: Int): Column = {
-      val (a, b) = (slice(col("q"), 1, m), slice(col("embedding"), 1, m))
-      val dot = VectorExpressions.vecDot(spark, a, b)
-      val na = sqrt(VectorExpressions.vecDot(spark, a, a))
-      val nb = sqrt(VectorExpressions.vecDot(spark, b, b))
-      round(dot / (na * nb), 6)
-    }
     MatryoshkaDims.map { m =>
-      val pairs = vecs(spark, sfDir)
-        .crossJoin(broadcast(queryVecs(spark, sfDir)))
+      val base = withNorm(spark, vecs(spark, sfDir)
+        .select(col("vec_id"), slice(col("embedding"), 1, m).as("em")),
+        "em", "nb")
+      val qm = withNorm(spark, queryVecs(spark, sfDir)
+        .select(col("query_id"), slice(col("q"), 1, m).as("qm")), "qm", "na")
+      val pairs = base
+        .crossJoin(broadcast(qm))
         .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), cosPrefix(m).as("cosine"))
+        .select(col("query_id"), col("vec_id"),
+          hoistedCos(spark, "qm", "em").as("cosine"))
       graft.plans.TopKPerKey(pairs, TopK, Seq("query_id"),
           Seq("cosine" -> false, "vec_id" -> true))
         .join(broadcast(exact), Seq("query_id", "vec_id"), "leftsemi")
@@ -808,12 +821,14 @@ object SimilarityOps {
           .cast("long").as("rank_lex"))
     // vector leg: one broadcast query vector against the corpus, exact
     // cosine (codegen'd VecDot), TakeOrderedAndProject to the pool
-    val qv = vecs(spark, sfDir).where(col("vec_id") === HybridQueryDoc)
-      .select(col("embedding").as("q"))
-    val vecPool = vecs(spark, sfDir)
+    val qv = withNorm(spark, vecs(spark, sfDir)
+      .where(col("vec_id") === HybridQueryDoc)
+      .select(col("embedding").as("q")), "q", "na")
+    val vecPool = withNorm(spark, vecs(spark, sfDir), "embedding", "nb")
       .crossJoin(broadcast(qv))
       .where(col("vec_id") =!= HybridQueryDoc)
-      .select(col("vec_id").as("doc_id"), cosine(spark, "q", "embedding").as("cosine"))
+      .select(col("vec_id").as("doc_id"),
+        hoistedCos(spark, "q", "embedding").as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id"))
       .limit(HybridPoolK)
     val vecRank = vecPool.select(col("doc_id"),
