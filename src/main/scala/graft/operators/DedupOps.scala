@@ -625,7 +625,7 @@ object DedupOps {
   /** Neighbors kept per vector by [[srpKnnJoin]]. */
   val KnnJoinK = 3
 
-  /** X-P30: approximate kNN JOIN — top-k cosine neighbors for EVERY vector,
+  /** X-P32: approximate kNN JOIN — top-k cosine neighbors for EVERY vector,
     * not a probe panel: the all-pairs shape behind embedding-level corpus
     * dedup, cluster seeding, and label propagation. A literal all-pairs
     * join is O(N²) and dies first at 100 TB; here the candidate set is the
@@ -1019,7 +1019,7 @@ object DedupOps {
           col("n_tokens").cast("double"), 6).as("dup_frac"))
   }
 
-  /** X-P30: duplicate-span REMOVAL — the transform half of [[dupSpans]]:
+  /** X-P34: duplicate-span REMOVAL — the transform half of [[dupSpans]]:
     * where X-P26 scores which positions sit inside a cross-document
     * [[DupSpanN]]-gram, this emits the document with those positions CUT
     * (the ExactSubstr-style "deduplicate at the substring level, keep the

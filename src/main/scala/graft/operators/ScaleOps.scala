@@ -310,7 +310,7 @@ object ScaleOps {
     */
   val HllIntersectTolerance = 0.10
 
-  /** X-P29: sketch set-INTERSECTION estimate by inclusion–exclusion —
+  /** X-P33: sketch set-INTERSECTION estimate by inclusion–exclusion —
     * \|A∩B\| ≈ est(A) + est(B) − est(A∪B) over mergeable HLL sketches
     * (the DataSketches scalar `hll_union` unions two sketch blobs without
     * touching data). The question answered: how many customers bought in
