@@ -76,6 +76,7 @@ object RelationalPack extends QueryPack {
     "xo_percent_rank" -> ((s, d) => RelationalOps.spendPercentiles(s, d)),
     "xt_autocorr_daily" -> ((s, d) => TimeSeriesOps.dailyAutocorr(s, d)),
     "xt_seasonal_forecast" -> ((s, d) => TimeSeriesOps.seasonalForecast(s, d)),
+    "xt_stl_decompose" -> ((s, d) => TimeSeriesOps.stlDecompose(s, d)),
     "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
     "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
   )
@@ -855,6 +856,36 @@ object RelationalPack extends QueryPack {
          |  round((CAST(sum(abs_err) OVER () AS DOUBLE) / (count(*) OVER ())) / scale1, 6)
          |    AS mase
          |FROM f, sc""".stripMargin,
+    // STL-lite: stays integer until single divisions (detrended carried
+    // as 7y - sum7, a long), dow is dayi % 7 (no locale calendar call)
+    "xt_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT day, y,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dayi
+        |  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+        |          CAST(count(*) AS BIGINT) AS y
+        |        FROM orders GROUP BY 1)),
+        |t0 AS (
+        |  SELECT day, y, dayi,
+        |    CAST(sum(y) OVER win AS BIGINT) AS t7,
+        |    count(*) OVER win AS n7
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY dayi
+        |                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t AS (
+        |  SELECT day, y, dayi, t7, 7 * y - t7 AS dnum,
+        |    CAST(dayi % 7 AS BIGINT) AS dow
+        |  FROM t0 WHERE n7 = 7),
+        |s AS (
+        |  SELECT dow, CAST(sum(dnum) AS BIGINT) AS snum,
+        |    CAST(count(*) AS BIGINT) AS sden
+        |  FROM t GROUP BY dow)
+        |SELECT day, y AS actual, dow,
+        |  CAST(t7 AS DOUBLE) / 7 AS trend,
+        |  CAST(snum AS DOUBLE) / CAST(sden * 7 AS DOUBLE) AS seasonal,
+        |  CAST(dnum AS DOUBLE) / 7
+        |    - CAST(snum AS DOUBLE) / CAST(sden * 7 AS DOUBLE) AS residual
+        |FROM t JOIN s USING (dow)""".stripMargin,
     // consecutive days pair via the day = day+1 self-join (calendar
     // adjacency), the twin of the Spark side's join — not lag-over-rows
     "xt_autocorr_daily" ->

@@ -438,6 +438,50 @@ object TimeSeriesOps {
           .as("mase"))
   }
 
+  /** X-C53: classical seasonal decomposition (STL-lite) of the daily order
+    * series — `actual = trend + seasonal + residual`, the
+    * moving-average/dow-mean decomposition (the deterministic core of STL
+    * without its loess robustness loop). Per day: trend = centered 7-day
+    * moving average (only where the full window exists), seasonal = the
+    * day-of-week mean of the detrended series, residual = the rest — the
+    * series every anomaly monitor alarms on (a spike is only a spike
+    * relative to trend+season).
+    *
+    * Exactness discipline: double sums drift with partition order, so the
+    * decomposition stays INTEGER until single divisions — the window
+    * emits Σ₇y (long), the detrended value is carried as `7·y − Σ₇y`
+    * (long, exact), the dow means aggregate those longs, and each emitted
+    * double is one division of exact BIGINTs (trend = Σ₇y/7, seasonal =
+    * Σdnum/(7·n), residual = dnum/7 − seasonal) — engine-identical.
+    * Day-of-week is `dayi % 7` (pure integer), not a locale-dependent
+    * calendar call. Shuffle shape: ONE map-side-combinable daily collapse
+    * of the facts; the range window, dow rollup, and broadcast join all
+    * run on day-cardinality rows (the xt_ series convention).
+    */
+  def stlDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dayi",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy(col("dayi")).rangeBetween(-3, 3)
+    val t = daily
+      .withColumn("t7", sum(col("y")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .where(col("n7") === 7)
+      .withColumn("dnum", lit(7L) * col("y") - col("t7"))
+      .withColumn("dow", pmod(col("dayi"), lit(7L)))
+    val seas = t.groupBy(col("dow"))
+      .agg(sum(col("dnum")).as("snum"), count(lit(1)).as("sden"))
+    t.join(broadcast(seas), Seq("dow"))
+      .withColumn("seasonal",
+        col("snum").cast("double") / (col("sden") * 7L).cast("double"))
+      .select(col("day"), col("y").as("actual"), col("dow"),
+        (col("t7").cast("double") / 7L).as("trend"),
+        col("seasonal"),
+        (col("dnum").cast("double") / 7L - col("seasonal")).as("residual"))
+  }
+
   def dailyAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").cast("date").as("day"))

@@ -361,6 +361,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("stlDecompose: trend/seasonal/residual recompute; components reassemble the actual") {
+    val daily = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    def dayi(d: java.time.LocalDate): Long = d.toEpochDay
+    // full-window days and their exact integer moments
+    val full = daily.keys.filter { d =>
+      (-3 to 3).forall(k => daily.contains(d.plusDays(k)))
+    }.toSeq
+    val t7 = full.map(d => d -> (-3 to 3).map(k => daily(d.plusDays(k))).sum).toMap
+    val dnum = full.map(d => d -> (7L * daily(d) - t7(d))).toMap
+    val byDow = full.groupBy(d => dayi(d) % 7)
+    val snum = byDow.view.mapValues(_.map(dnum).sum).toMap
+    val sden = byDow.view.mapValues(_.size.toLong).toMap
+    val rows = TimeSeriesOps.stlDecompose(spark, Sf).collect()
+    assert(rows.map(_.getDate(0).toLocalDate).toSet == full.toSet && full.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val dow = dayi(d) % 7
+      assert(r.getLong(1) == daily(d) && r.getLong(2) == dow)
+      val trend = t7(d).toDouble / 7
+      val seasonal = snum(dow).toDouble / (sden(dow) * 7L).toDouble
+      val residual = dnum(d).toDouble / 7 - seasonal
+      assert(r.getDouble(3) == trend && r.getDouble(4) == seasonal &&
+        r.getDouble(5) == residual, s"day $d components")
+      // additive identity within fp tolerance
+      assert(math.abs(trend + seasonal + residual - daily(d)) < 1e-9)
+    }
+    // seasonal genuinely varies by day-of-week on this series
+    assert(rows.map(_.getDouble(4)).distinct.length > 1)
+  }
+
   test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
     val rows = TimeSeriesOps.scd2UserState(spark, Sf)
       .collect().groupBy(_.getLong(0))
