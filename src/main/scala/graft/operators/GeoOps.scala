@@ -316,6 +316,37 @@ object GeoOps {
     }
   }
 
+  /** X-C54: personalized PageRank — the same fixed-point Pregel rounds as
+    * [[pageRank]], but the teleport mass lands ONLY on a seed set (the
+    * [[BfsSeedMod]] panel): the recommendation / trust-propagation
+    * primitive ("rank everything by proximity to THESE nodes"). The
+    * defining scale property is LOCALITY and the plan exploits it: mass
+    * starts at the seeds and only ever flows along edges, so the rank
+    * vector's support — the only thing that shuffles per round — grows
+    * with the seed neighborhood, not the graph (each round joins edges to
+    * the positive-mass rows only; vertices the mass never reaches never
+    * appear in any frame). Arithmetic is the exact [[PrScale]] fixed point
+    * with damping 17/20 as floor division — bit-identical bigint ranks,
+    * replayed by an unrolled oracle whose per-round contributions
+    * (inflow shares ∪ seed teleports) sum in one grouped aggregate.
+    */
+  def personalizedPageRank(spark: SparkSession, sfDir: String,
+      seedMod: Long = BfsSeedMod): DataFrame = {
+    val und = symEdges(spark, sfDir)
+    val seeds = und.select(col("src").as("v")).distinct()
+      .where(col("v") % seedMod === 0)
+    val teleport = 3L * PrScale / 20L
+    val init = seeds.select(col("v"), lit(PrScale).as("pr"))
+    val ranks = (1 to PrIters).foldLeft(init) { (pr, _) =>
+      val contrib = und.join(pr.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), expr("(17 * pr) div (20 * deg)").as("x"))
+      contrib.union(seeds.select(col("v"), lit(teleport).as("x")))
+        .groupBy(col("v")).agg(sum(col("x")).as("pr"))
+        .where(col("pr") > 0)
+    }
+    ranks.select(col("v"), col("pr"), (col("v") % seedMod === 0).as("is_seed"))
+  }
+
   /** BFS frontier rounds and the seed-selection modulus. */
   val BfsHops = 3
   val BfsSeedMod = 97L

@@ -35,6 +35,7 @@ object GeoPack extends QueryPack {
     "geo_sssp" -> ((s, d) => GeoOps.sssp(s, d)),
     "geo_kcore" -> ((s, d) => GeoOps.kCore(s, d)),
     "geo_components" -> ((s, d) => GeoOps.connectedComponents(s, d)),
+    "geo_ppr" -> ((s, d) => GeoOps.personalizedPageRank(s, d)),
     "geo_component_sizes" -> ((s, d) => GeoOps.componentSizes(s, d)),
   )
 
@@ -299,6 +300,40 @@ object GeoPack extends QueryPack {
          |${round(3)}
          |SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
          |FROM e${GeoOps.KcoreRounds} GROUP BY src""".stripMargin
+    },
+    // personalized PR: per round the inflow shares and the seed teleports
+    // sum in ONE grouped union — only positive-mass vertices survive, the
+    // locality the Spark side's frontier join exploits
+    "geo_ppr" -> {
+      val tele = 3L * GeoOps.PrScale / 20L
+      def round(i: Int) =
+        s"""p$i AS (
+           |  SELECT v, CAST(sum(x) AS BIGINT) AS pr FROM (
+           |    SELECT dst AS v, (17 * pr) // (20 * deg) AS x
+           |    FROM ed JOIN p${i - 1} ON ed.src = p${i - 1}.v
+           |    UNION ALL
+           |    SELECT v, $tele AS x FROM seeds)
+           |  GROUP BY v HAVING sum(x) > 0)""".stripMargin
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |und AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+         |ed AS (SELECT und.src, und.dst, deg.deg FROM und JOIN deg USING (src)),
+         |seeds AS (SELECT DISTINCT src AS v FROM und
+         |          WHERE src % ${GeoOps.BfsSeedMod} = 0),
+         |p0 AS (SELECT v, CAST(${GeoOps.PrScale} AS BIGINT) AS pr FROM seeds),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v, pr, (v % ${GeoOps.BfsSeedMod} = 0) AS is_seed FROM p3""".stripMargin
     },
     // unrolled min-label propagation + pointer-jump shortcut: p_i is the
     // 1-hop min over l_{i-1}, l_i re-points every label at ITS label

@@ -286,6 +286,47 @@ class GeoOpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("personalizedPageRank: fixed-point rounds replay; support stays in the seed neighborhood") {
+    val pairs = GeoOps.neighborPairs(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    // sf0.001's graph has no id = 0 mod 97 — seed densely at test SF, like
+    // the sssp spec (the sf0.01 oracle exercises the default panel)
+    val mod = 7L
+    val seeds = adj.keySet.filter(_ % mod == 0)
+    assert(seeds.nonEmpty)
+    val tele = 3L * GeoOps.PrScale / 20L
+    var pr: Map[Long, Long] = seeds.map(_ -> GeoOps.PrScale).toMap
+    for (_ <- 1 to GeoOps.PrIters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+      pr.foreach { case (v, m) =>
+        val share = (17L * m) / (20L * deg(v))
+        adj(v).foreach(u => inflow(u) = inflow.getOrElse(u, 0L) + share)
+      }
+      seeds.foreach(s => inflow(s) = inflow.getOrElse(s, 0L) + tele)
+      pr = inflow.toMap.filter(_._2 > 0)
+    }
+    val got = GeoOps.personalizedPageRank(spark, Sf, seedMod = mod).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    assert(got.map { case (v, (m, _)) => v -> m }.toMap == pr && pr.nonEmpty)
+    got.foreach { case (v, (_, isSeed)) =>
+      assert(isSeed == (v % mod == 0))
+    }
+    // locality: every positive-mass vertex is within PrIters hops of a seed
+    var reach = seeds.toSet
+    for (_ <- 1 to GeoOps.PrIters)
+      reach = reach ++ reach.flatMap(v => adj.getOrElse(v, Set.empty))
+    assert(pr.keySet.subsetOf(reach))
+    // and the support is genuinely local, not the whole graph
+    assert(pr.size < adj.size)
+  }
+
   test("connectedComponents: bounded shortcut rounds replay; labels never cross true components") {
     val pairs = GeoOps.neighborPairs(spark, Sf)
       .select("a_id", "b_id").collect()
