@@ -1012,6 +1012,49 @@ object RelationalOps {
     * regression, no rounding needed. A naive `covar_pop`/`regr_slope`
     * would sum doubles in partition order and drift between engines.
     */
+  /** Minimum pair support for [[basketPairs]] — tuned so the co-occurrence
+    * table is non-trivial at every shipped SF (a few thousand rows).
+    */
+  val BasketMinSupport = 2L
+
+  /** X-P35: market-basket pair mining — the Apriori/association-rules
+    * first stage: part pairs co-occurring in the same order, with support
+    * (co-occurrence count) and LIFT (support·n_baskets / (sup_a·sup_b) —
+    * >1 means the pair co-occurs more than independence predicts, the
+    * cross-sell signal). The distributed shape that makes this feasible at
+    * 100 TB: the pair explode is a SELF-JOIN WITHIN THE BASKET KEY, so its
+    * fan-out is bounded by basket size squared (≈ 4–7 items per order
+    * here; never corpus²), the pair count is map-side combinable, and the
+    * min-support cut happens before the lift join so only surviving pairs
+    * join the per-item support table. All counts exact BIGINTs; lift is
+    * one division of integer products — engine-identical.
+    */
+  def basketPairs(spark: SparkSession, sfDir: String,
+      minSupport: Long = BasketMinSupport): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nBaskets = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemSup = items.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+    val pairs = items.select(col("ok"), col("pk").as("part_a"))
+      .join(items.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairs
+      .join(itemSup.select(col("pk").as("part_a"), col("sup").as("sup_a")),
+        Seq("part_a"))
+      .join(itemSup.select(col("pk").as("part_b"), col("sup").as("sup_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("sup_a"), col("sup_b"),
+        (((col("support") * col("n_baskets")).cast("double")) /
+          (col("sup_a") * col("sup_b")).cast("double")).as("lift"))
+  }
+
   def trendOls(spark: SparkSession, sfDir: String): DataFrame = {
     val x = datediff(col("o_orderdate").cast("date"), to_date(lit(TrendEpoch)))
       .cast("long")

@@ -66,6 +66,7 @@ object RelationalPack extends QueryPack {
     "xt_event_transitions" -> ((s, d) => TimeSeriesOps.eventTransitions(s, d)),
     "xo_priority_sample" -> ((s, d) => RelationalOps.prioritySample(s, d)),
     "xa_trend_ols" -> ((s, d) => RelationalOps.trendOls(s, d)),
+    "xa_basket_pairs" -> ((s, d) => RelationalOps.basketPairs(s, d)),
     "xt_rolling_active" -> ((s, d) => TimeSeriesOps.rollingActiveUsers(s, d)),
     "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
     "xt_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
@@ -744,6 +745,27 @@ object RelationalPack extends QueryPack {
          |FROM orders
          |ORDER BY priority DESC, o_orderkey
          |LIMIT ${RelationalOps.PrioritySampleK}""".stripMargin,
+    // basket pairs: within-order self-join, exact BIGINT supports, lift as
+    // one division of integer products
+    "xa_basket_pairs" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+         |       FROM items),
+         |isup AS (SELECT pk, CAST(count(*) AS BIGINT) AS sup
+         |         FROM items GROUP BY pk),
+         |p AS (
+         |  SELECT a.pk AS part_a, b.pk AS part_b,
+         |    CAST(count(*) AS BIGINT) AS support
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= ${RelationalOps.BasketMinSupport})
+         |SELECT part_b, part_a, support, sa.sup AS sup_a, sb.sup AS sup_b,
+         |  CAST(support * n_baskets AS DOUBLE) /
+         |    CAST(sa.sup * sb.sup AS DOUBLE) AS lift
+         |FROM p
+         |JOIN isup sa ON sa.pk = p.part_a
+         |JOIN isup sb ON sb.pk = p.part_b, nb""".stripMargin,
     // identical expression structure to the Spark side: exact decimal/long
     // moments, doubles only inside the mirrored closed form
     "xa_trend_ols" -> {

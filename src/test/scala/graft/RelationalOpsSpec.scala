@@ -623,4 +623,35 @@ class RelationalOpsSpec extends SparkSpec {
       assert(m == expect, s"flag $flag")
     }
   }
+
+  test("basketPairs: supports and lift recompute from the raw baskets; cut respected") {
+    import org.apache.spark.sql.functions._
+    val items = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nBaskets = baskets.size.toLong
+    val itemSup = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expSup = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.values.foreach { parts =>
+      val s = parts.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        expSup((s(i), s(j))) = expSup.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val expect = expSup.filter(_._2 >= RelationalOps.BasketMinSupport)
+    val rows = RelationalOps.basketPairs(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map { r =>
+      ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case ((a, b), (sup, sa, sb, lift)) =>
+      assert(a < b, s"pair order ($a,$b)")
+      assert(sup == expect((a, b)))
+      assert(sa == itemSup(a) && sb == itemSup(b))
+      assert(lift == (sup * nBaskets).toDouble / (sa * sb).toDouble)
+    }
+    // lift discriminates: dependent and near-independent pairs both occur
+    assert(got.values.exists(_._4 > 1.0))
+  }
 }
