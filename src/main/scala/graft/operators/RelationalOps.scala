@@ -1012,6 +1012,55 @@ object RelationalOps {
     * regression, no rounding needed. A naive `covar_pop`/`regr_slope`
     * would sum doubles in partition order and drift between engines.
     */
+  /** X-P36: RFM customer segmentation — the classic lifecycle-marketing
+    * scoring: per customer, Recency (days since last order, anchored at
+    * the corpus's max date so the query is deterministic and re-runnable),
+    * Frequency (order count) and Monetary (exact decimal spend), each
+    * scored 1–5 against the corpus quintiles, plus a rule-based segment
+    * label. The scale-correct quintile move: scores do NOT come from an
+    * `ntile` window (which would sort the customer-cardinality table in
+    * ONE partition) — the 4 quintile boundaries per metric come from one
+    * `percentile` aggregate (a 12-number broadcast at any corpus size) and
+    * each score is then 4 integer comparisons inside the same scan
+    * projection. Exact inputs (int days, long counts, decimal-summed
+    * spend), interpolated boundaries via the established
+    * percentile↔quantile_cont twin pair, strict `>` at ties — rows hash
+    * engine-identically. At 100 TB swap `percentile` for
+    * `approx_percentile` exactly as [[graft.operators.ScaleOps.pricePercentiles]]
+    * documents.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).as("mon_dec"))
+    val anchor = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderdate").cast("date")).as("anchor"))
+    val rfm = per.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("mon_dec").cast("double").as("monetary"))
+    val bounds = rfm.agg(
+      expr("percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def raw(c: String, b: String) =
+      (0 to 3).map(i => when(col(c) > expr(s"$b[$i]"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+    val scored = rfm.crossJoin(broadcast(bounds))
+      .withColumn("r_score", lit(6L) - raw("recency_days", "rb"))
+      .withColumn("f_score", raw("frequency", "fb"))
+      .withColumn("m_score", raw("monetary", "mb"))
+    scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+        "champion")
+        .when(col("r_score") <= 2 && col("f_score") <= 2, "dormant")
+        .when(col("m_score") >= 4, "big_spender")
+        .otherwise("regular").as("segment"))
+  }
+
   /** Minimum pair support for [[basketPairs]] — tuned so the co-occurrence
     * table is non-trivial at every shipped SF (a few thousand rows).
     */

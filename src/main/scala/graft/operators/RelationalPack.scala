@@ -67,6 +67,7 @@ object RelationalPack extends QueryPack {
     "xo_priority_sample" -> ((s, d) => RelationalOps.prioritySample(s, d)),
     "xa_trend_ols" -> ((s, d) => RelationalOps.trendOls(s, d)),
     "xa_basket_pairs" -> ((s, d) => RelationalOps.basketPairs(s, d)),
+    "xa_rfm_segments" -> ((s, d) => RelationalOps.rfmSegments(s, d)),
     "xt_rolling_active" -> ((s, d) => TimeSeriesOps.rollingActiveUsers(s, d)),
     "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
     "xt_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
@@ -745,6 +746,45 @@ object RelationalPack extends QueryPack {
          |FROM orders
          |ORDER BY priority DESC, o_orderkey
          |LIMIT ${RelationalOps.PrioritySampleK}""".stripMargin,
+    // RFM: quintile boundaries from quantile_cont (the percentile twin),
+    // scores as 4 strict-> comparisons, decimal-exact monetary; DuckDB
+    // lists are 1-indexed where Spark arrays are 0-indexed
+    "xa_rfm_segments" -> {
+      def raw(c: String, b: String) =
+        (1 to 4).map(i => s"(CASE WHEN $c > $b[$i] THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", " + 1)")
+      s"""WITH per AS (
+         |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+         |    CAST(count(*) AS BIGINT) AS frequency,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |      AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+         |rfm AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', last_day, anchor) AS BIGINT)
+         |      AS recency_days,
+         |    frequency, monetary
+         |  FROM per, a),
+         |b AS (
+         |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+         |    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+         |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+         |  FROM rfm),
+         |s AS (
+         |  SELECT o_custkey, recency_days, frequency, monetary,
+         |    CAST(6 - ${raw("recency_days", "rb")} AS BIGINT) AS r_score,
+         |    CAST(${raw("frequency", "fb")} AS BIGINT) AS f_score,
+         |    CAST(${raw("monetary", "mb")} AS BIGINT) AS m_score
+         |  FROM rfm, b)
+         |SELECT *, CASE
+         |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+         |      THEN 'champion'
+         |    WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
+         |    WHEN m_score >= 4 THEN 'big_spender'
+         |    ELSE 'regular' END AS segment
+         |FROM s""".stripMargin
+    },
     // basket pairs: within-order self-join, exact BIGINT supports, lift as
     // one division of integer products
     "xa_basket_pairs" ->

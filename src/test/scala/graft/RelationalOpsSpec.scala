@@ -654,4 +654,49 @@ class RelationalOpsSpec extends SparkSpec {
     // lift discriminates: dependent and near-independent pairs both occur
     assert(got.values.exists(_._4 > 1.0))
   }
+
+  test("rfmSegments: scores recompute against exact interpolated quintiles; all rules fire") {
+    import org.apache.spark.sql.functions._
+    val per = Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("mon"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2), r.getDouble(3)))
+    val anchor = per.map(_._2).max
+    val rec = per.map { case (c, d, _, _) =>
+      c -> java.time.temporal.ChronoUnit.DAYS.between(d, anchor) }.toMap
+    // Spark percentile: linear interpolation at p*(n-1) over the sorted set
+    def quintiles(vs: Seq[Double]): Seq[Double] = {
+      val s = vs.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+        val pos = p * (s.length - 1)
+        val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+        s(lo) + (s(hi) - s(lo)) * (pos - lo)
+      }
+    }
+    val rb = quintiles(per.map(p => rec(p._1).toDouble).toSeq)
+    val fb = quintiles(per.map(_._3.toDouble).toSeq)
+    val mb = quintiles(per.map(_._4).toSeq)
+    def score(v: Double, b: Seq[Double]): Long = 1L + b.count(v > _)
+    val rows = RelationalOps.rfmSegments(spark, Sf).collect()
+    assert(rows.length == per.length)
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      val (_, _, freq, mon) = per.find(_._1 == c).get
+      assert(r.getLong(1) == rec(c) && r.getLong(2) == freq && r.getDouble(3) == mon)
+      val (rs, fs, ms) =
+        (6L - score(rec(c).toDouble, rb), score(freq.toDouble, fb), score(mon, mb))
+      assert(r.getLong(4) == rs && r.getLong(5) == fs && r.getLong(6) == ms,
+        s"customer $c scores")
+      val seg = if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs <= 2 && fs <= 2) "dormant"
+        else if (ms >= 4) "big_spender" else "regular"
+      assert(r.getString(7) == seg)
+    }
+    // every rule fires at test SF
+    assert(rows.map(_.getString(7)).toSet ==
+      Set("champion", "dormant", "big_spender", "regular"))
+  }
 }
