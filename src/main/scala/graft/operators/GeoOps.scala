@@ -255,6 +255,28 @@ object GeoOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** X-C55: local clustering coefficient — per vertex with deg ≥ 2,
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)): the fraction of a vertex's
+    * neighbor pairs that are themselves connected, the standard
+    * "community-ness vs hub-ness" vertex metric (a spam hub touching many
+    * unrelated vertices scores ~0; a tight cluster member ~1). Pure
+    * composition over already-staged work: the per-vertex triangle counts
+    * ([[triangleCounts]]) left-joined to the degrees the staged edge
+    * layout already carries — one vertex-sized join and one exact BIGINT
+    * division; no new corpus-scale stage.
+    */
+  def clusteringCoefficient(spark: SparkSession, sfDir: String): DataFrame = {
+    val deg = symEdges(spark, sfDir)
+      .select(col("src").as("vertex"), col("deg")).distinct()
+    deg.join(triangleCounts(spark, sfDir), Seq("vertex"), "left")
+      .where(col("deg") >= 2)
+      .select(col("vertex"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        ((coalesce(col("n_triangles"), lit(0L)) * 2L).cast("double") /
+          (col("deg") * (col("deg") - 1L)).cast("double"))
+          .as("clustering_coeff"))
+  }
+
   /** Fixed-point scale for the exact-integer PageRank: 10^12 is divisible
     * by 20, so both the teleport term (3·S/20) and the per-edge damped
     * share (17·pr div (20·deg)) are exact integer arithmetic. */

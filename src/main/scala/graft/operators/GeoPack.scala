@@ -37,6 +37,7 @@ object GeoPack extends QueryPack {
     "geo_components" -> ((s, d) => GeoOps.connectedComponents(s, d)),
     "geo_ppr" -> ((s, d) => GeoOps.personalizedPageRank(s, d)),
     "geo_component_sizes" -> ((s, d) => GeoOps.componentSizes(s, d)),
+    "geo_clustering_coeff" -> ((s, d) => GeoOps.clusteringCoefficient(s, d)),
   )
 
   private val coordsCte =
@@ -167,6 +168,37 @@ object GeoPack extends QueryPack {
          |SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM (SELECT unnest([a, b, c]) AS vertex FROM tri)
          |GROUP BY vertex""".stripMargin,
+    // clustering coefficient: triangle counts joined to undirected degree,
+    // one exact BIGINT division per vertex
+    "geo_clustering_coeff" ->
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |und AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM edges),
+         |deg AS (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY src),
+         |tri AS (
+         |  SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.b_id = e2.a_id
+         |  WHERE EXISTS (SELECT 1 FROM edges e3
+         |                WHERE e3.a_id = e1.a_id AND e3.b_id = e2.b_id)),
+         |tcnt AS (
+         |  SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT unnest([a, b, c]) AS vertex FROM tri)
+         |  GROUP BY vertex)
+         |SELECT d.vertex, d.deg,
+         |  coalesce(t.n_triangles, 0) AS n_triangles,
+         |  CAST(coalesce(t.n_triangles, 0) * 2 AS DOUBLE) /
+         |    CAST(d.deg * (d.deg - 1) AS DOUBLE) AS clustering_coeff
+         |FROM deg d LEFT JOIN tcnt t USING (vertex)
+         |WHERE d.deg >= 2""".stripMargin,
     // brute-force unbucketed kNN: proves the 9-cell candidate set complete
     // within the radius; distances exact integers, ties break by b_id
     "geo_knn_join" -> {

@@ -286,6 +286,37 @@ class GeoOpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("clusteringCoefficient: recomputes from adjacency; bounded in [0,1]") {
+    val pairs = GeoOps.neighborPairs(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    val rows = GeoOps.clusteringCoefficient(spark, Sf).collect()
+    val expVerts = adj.filter(_._2.size >= 2).keySet
+    assert(rows.map(_.getLong(0)).toSet == expVerts && expVerts.nonEmpty)
+    rows.foreach { r =>
+      val (v, deg, tri, cc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg == adj(v).size.toLong)
+      val n = adj(v).toSeq
+      val expTri = (for {
+        i <- n.indices; j <- i + 1 until n.length
+        if adj(n(i)).contains(n(j))
+      } yield 1).size.toLong
+      assert(tri == expTri, s"vertex $v triangles")
+      assert(cc == (2L * expTri).toDouble / (deg * (deg - 1)).toDouble)
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+    // triangles exist, so the coefficient is non-trivially positive
+    // somewhere (sf0.001's graph happens to be uniform; sf0.01's oracle
+    // run exercises the spread)
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
+
   test("personalizedPageRank: fixed-point rounds replay; support stays in the seed neighborhood") {
     val pairs = GeoOps.neighborPairs(spark, Sf)
       .select("a_id", "b_id").collect()
