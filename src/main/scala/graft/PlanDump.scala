@@ -158,7 +158,19 @@ object PlanDump {
       ("geo_components", "per round: src-keyed propagate with map-side min-combine on staged edges + vertex-sized pointer-jump self-join",
         operators.GeoOps.connectedComponents(spark, sfDir)),
       ("xa_hll_intersect", "one scan -> map-side custkey collapse -> single-row sketch+exact aggregate; overlap is sketch algebra",
-        operators.ScaleOps.hllIntersect(spark, sfDir)))
+        operators.ScaleOps.hllIntersect(spark, sfDir)),
+      ("dd_span_removal", "dup-span stages unchanged; rebuild is a doc-keyed anti-join + per-doc in-row struct sort, no corpus sort",
+        operators.DedupOps.spanRemoval(spark, sfDir)),
+      ("tx_token_budget", "corpus collapses to source-cardinality counts; waterfill sort window runs on metadata-sized rows",
+        operators.TextOps.tokenBudget(spark, sfDir)),
+      ("xt_stl_decompose", "one daily collapse; range window + dow rollup + broadcast join all day-cardinality",
+        operators.TimeSeriesOps.stlDecompose(spark, sfDir)),
+      ("geo_ppr", "frontier-local rounds: edges join positive-mass rows only; inflow+teleport sum in one grouped union",
+        operators.GeoOps.personalizedPageRank(spark, sfDir)),
+      ("xa_basket_pairs", "within-basket self-join (fan-out bounded by basket size), map-side support count, cut before lift join",
+        operators.RelationalOps.basketPairs(spark, sfDir)),
+      ("xa_rfm_segments", "quintile boundaries as a 12-number broadcast; scores are integer comparisons in the scan projection",
+        operators.RelationalOps.rfmSegments(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
