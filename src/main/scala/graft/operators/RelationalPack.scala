@@ -79,6 +79,7 @@ object RelationalPack extends QueryPack {
     "xt_autocorr_daily" -> ((s, d) => TimeSeriesOps.dailyAutocorr(s, d)),
     "xt_seasonal_forecast" -> ((s, d) => TimeSeriesOps.seasonalForecast(s, d)),
     "xt_stl_decompose" -> ((s, d) => TimeSeriesOps.stlDecompose(s, d)),
+    "xt_stl_anomalies" -> ((s, d) => TimeSeriesOps.stlAnomalies(s, d)),
     "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
     "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
   )
@@ -86,6 +87,40 @@ object RelationalPack extends QueryPack {
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
   private def msum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
+
+  /** STL-lite CTE chain (ends at `stl`) shared by the decomposition and
+    * the anomaly-alarm oracles — integer until single divisions, twin of
+    * [[TimeSeriesOps.stlDecompose]].
+    */
+  private val stlCtes =
+    """daily AS (
+      |  SELECT day, y,
+      |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dayi
+      |  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+      |          CAST(count(*) AS BIGINT) AS y
+      |        FROM orders GROUP BY 1)),
+      |t0 AS (
+      |  SELECT day, y, dayi,
+      |    CAST(sum(y) OVER win AS BIGINT) AS t7,
+      |    count(*) OVER win AS n7
+      |  FROM daily
+      |  WINDOW win AS (ORDER BY dayi
+      |                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t AS (
+      |  SELECT day, y, dayi, t7, 7 * y - t7 AS dnum,
+      |    CAST(dayi % 7 AS BIGINT) AS dow
+      |  FROM t0 WHERE n7 = 7),
+      |s AS (
+      |  SELECT dow, CAST(sum(dnum) AS BIGINT) AS snum,
+      |    CAST(count(*) AS BIGINT) AS sden
+      |  FROM t GROUP BY dow),
+      |stl AS (
+      |  SELECT day, y AS actual, dow,
+      |    CAST(t7 AS DOUBLE) / 7 AS trend,
+      |    CAST(snum AS DOUBLE) / CAST(sden * 7 AS DOUBLE) AS seasonal,
+      |    CAST(dnum AS DOUBLE) / 7
+      |      - CAST(snum AS DOUBLE) / CAST(sden * 7 AS DOUBLE) AS residual
+      |  FROM t JOIN s USING (dow))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "xa_q1_pricing_summary" ->
@@ -921,33 +956,24 @@ object RelationalPack extends QueryPack {
     // STL-lite: stays integer until single divisions (detrended carried
     // as 7y - sum7, a long), dow is dayi % 7 (no locale calendar call)
     "xt_stl_decompose" ->
-      """WITH daily AS (
-        |  SELECT day, y,
-        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dayi
-        |  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
-        |          CAST(count(*) AS BIGINT) AS y
-        |        FROM orders GROUP BY 1)),
-        |t0 AS (
-        |  SELECT day, y, dayi,
-        |    CAST(sum(y) OVER win AS BIGINT) AS t7,
-        |    count(*) OVER win AS n7
-        |  FROM daily
-        |  WINDOW win AS (ORDER BY dayi
-        |                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |t AS (
-        |  SELECT day, y, dayi, t7, 7 * y - t7 AS dnum,
-        |    CAST(dayi % 7 AS BIGINT) AS dow
-        |  FROM t0 WHERE n7 = 7),
-        |s AS (
-        |  SELECT dow, CAST(sum(dnum) AS BIGINT) AS snum,
-        |    CAST(count(*) AS BIGINT) AS sden
-        |  FROM t GROUP BY dow)
-        |SELECT day, y AS actual, dow,
-        |  CAST(t7 AS DOUBLE) / 7 AS trend,
-        |  CAST(snum AS DOUBLE) / CAST(sden * 7 AS DOUBLE) AS seasonal,
-        |  CAST(dnum AS DOUBLE) / 7
-        |    - CAST(snum AS DOUBLE) / CAST(sden * 7 AS DOUBLE) AS residual
-        |FROM t JOIN s USING (dow)""".stripMargin,
+      s"""WITH $stlCtes
+         |SELECT day, actual, dow, trend, seasonal, residual
+         |FROM stl""".stripMargin,
+    // the alarm the decomposition feeds: robust z on the residual; both
+    // medians are single quantile_cont interpolations, the multiplier an
+    // exact rational
+    "xt_stl_anomalies" ->
+      s"""WITH $stlCtes,
+         |med AS (SELECT quantile_cont(residual, 0.5) AS res_med FROM stl),
+         |dev AS (
+         |  SELECT day, actual, residual, res_med,
+         |    abs(residual - res_med) AS abs_dev
+         |  FROM stl, med),
+         |mad AS (SELECT quantile_cont(abs_dev, 0.5) AS res_mad FROM dev)
+         |SELECT day, actual, residual, res_med, res_mad,
+         |  abs_dev * ${TimeSeriesOps.StlMadDen} >
+         |    res_mad * ${TimeSeriesOps.StlMadNum} AS is_anomaly
+         |FROM dev, mad""".stripMargin,
     // consecutive days pair via the day = day+1 self-join (calendar
     // adjacency), the twin of the Spark side's join — not lag-over-rows
     "xt_autocorr_daily" ->

@@ -482,6 +482,39 @@ object TimeSeriesOps {
         (col("dnum").cast("double") / 7L - col("seasonal")).as("residual"))
   }
 
+  /** MAD multiplier for [[stlAnomalies]] (the 3-sigma convention with the
+    * 1.4826 normal-consistency factor folded in as an exact rational:
+    * 3·1.4826 ≈ 4.4478, carried as 44478/10000).
+    */
+  val StlMadNum = 44478L
+  val StlMadDen = 10000L
+
+  /** X-C56: seasonal anomaly alarm — the alerting query [[stlDecompose]]
+    * exists to feed: a day alarms when its decomposition RESIDUAL deviates
+    * from the residual median by more than (3·1.4826)·MAD — the robust
+    * z-score on the deseasonalized series. Alarming on the residual rather
+    * than the raw count is the whole point of decomposition (Friday is not
+    * an anomaly every week), and MAD rather than stddev keeps one real
+    * outlier from widening the band that should catch it. Determinism: the
+    * residuals are the exact-integer-derived doubles of X-C53; median and
+    * MAD are single `percentile` interpolations (the established
+    * quantile_cont twin); the threshold multiplier is an exact rational
+    * — comparisons replay engine-identically. Day-cardinality end to end
+    * past the one daily collapse; the two medians broadcast as one row.
+    */
+  def stlAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = stlDecompose(spark, sfDir)
+    val med = base.agg(expr("percentile(residual, 0.5)").as("res_med"))
+    val withDev = base.crossJoin(broadcast(med))
+      .withColumn("abs_dev", abs(col("residual") - col("res_med")))
+    val mad = withDev.agg(expr("percentile(abs_dev, 0.5)").as("res_mad"))
+    withDev.crossJoin(broadcast(mad))
+      .select(col("day"), col("actual"), col("residual"),
+        col("res_med"), col("res_mad"),
+        (col("abs_dev") * StlMadDen >
+          col("res_mad") * StlMadNum).as("is_anomaly"))
+  }
+
   def dailyAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").cast("date").as("day"))

@@ -394,6 +394,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.map(_.getDouble(4)).distinct.length > 1)
   }
 
+  test("stlAnomalies: robust-z flags recompute from the decomposition residuals") {
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      s(lo) + (s(hi) - s(lo)) * (pos - lo)
+    }
+    val res = TimeSeriesOps.stlDecompose(spark, Sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getDouble(5)).toMap
+    val med = median(res.values.toSeq)
+    val mad = median(res.values.map(v => math.abs(v - med)).toSeq)
+    val rows = TimeSeriesOps.stlAnomalies(spark, Sf).collect()
+    assert(rows.map(_.getDate(0).toLocalDate).toSet == res.keySet)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getDouble(2) == res(d) && r.getDouble(3) == med && r.getDouble(4) == mad)
+      val exp = math.abs(res(d) - med) * TimeSeriesOps.StlMadDen >
+        mad * TimeSeriesOps.StlMadNum
+      assert(r.getBoolean(5) == exp, s"day $d flag")
+    }
+    // the alarm is rare by construction (sf0.001's 11-day series happens
+    // to be all-quiet; the sf0.01 oracle run exercises the firing branch)
+    val n = rows.count(_.getBoolean(5))
+    assert(n <= rows.length / 10, s"$n of ${rows.length} flagged")
+  }
+
   test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
     val rows = TimeSeriesOps.scd2UserState(spark, Sf)
       .collect().groupBy(_.getLong(0))
