@@ -51,6 +51,7 @@ object TextDedupPack extends QueryPack {
     "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "dd_containment" -> ((s, d) => DedupOps.ngramContainment(s, d)),
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
+    "tx_search_snippets" -> ((s, d) => TextOps.searchSnippets(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
     "tx_bm25_search" -> ((s, d) => TextOps.bm25Search(s, d)),
     "sim_srp_knn_join" -> ((s, d) => DedupOps.srpKnnJoin(s, d)),
@@ -828,6 +829,26 @@ object TextDedupPack extends QueryPack {
         .map(t => s"list_contains(string_split(text, ' '), '$t')")
         .mkString("\n  AND ")
       s"SELECT doc_id FROM documents\nWHERE $conds"
+    },
+    // KWIC snippets: first occurrence via list_position, edge-clipped
+    // window as a 1-based inclusive list slice
+    "tx_search_snippets" -> {
+      val conds = TextOps.SearchTerms
+        .map(t => s"list_contains(string_split(text, ' '), '$t')")
+        .mkString("\n  AND ")
+      val r = TextOps.SnippetRadius
+      def one(t: String) =
+        s"""SELECT doc_id, '$t' AS term,
+           |  CAST(list_position(w, '$t') AS BIGINT) AS pos,
+           |  array_to_string(
+           |    w[greatest(list_position(w, '$t') - $r, 1):
+           |      least(list_position(w, '$t') + $r, len(w))], ' ')
+           |    AS snippet
+           |FROM m""".stripMargin
+      s"""WITH m AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE $conds)
+         |${TextOps.SearchTerms.map(one).mkString("\nUNION ALL\n")}""".stripMargin
     },
     "tx_ranked_search" -> {
       val termList = TextOps.SearchTerms.map(t => s"'$t'").mkString(", ")

@@ -839,6 +839,39 @@ object TextOps {
       .select(col("doc_id"))
   }
 
+  /** Tokens of context on each side of a hit in [[searchSnippets]]. */
+  val SnippetRadius = 3
+
+  /** X-C57: keyword-in-context snippets — the result-rendering half of
+    * search: for every document matching ALL [[SearchTerms]], each term's
+    * FIRST occurrence position and a ±[[SnippetRadius]]-token window
+    * around it (clipped at the document edges) — what a search UI shows
+    * under each hit. Plan shape: the match list comes from the
+    * partition-pruned posting index ([[keywordSearch]] — the corpus text
+    * is NOT scanned to find matches), then one semi-joined documents scan
+    * computes positions and windows as narrow in-row array ops
+    * (`array_position`/`slice`, codegen'd, no explode). Positions are
+    * exact 1-based ints; snippets are deterministic substrings — rows
+    * hash engine-identically.
+    */
+  def searchSnippets(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = SearchTerms): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .join(keywordSearch(spark, sfDir, terms), Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), words(col("text")).as("w"))
+    terms.map { t =>
+      docs
+        .withColumn("term", lit(t))
+        .withColumn("pos", array_position(col("w"), lit(t)))
+        .withColumn("s", greatest(col("pos") - SnippetRadius, lit(1L)))
+        .withColumn("e",
+          least(col("pos") + SnippetRadius, size(col("w")).cast("long")))
+        .select(col("doc_id"), col("term"), col("pos"),
+          array_join(expr("slice(w, int(s), int(e - s + 1))"), " ")
+            .as("snippet"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Result size of the registered ranked search. */
   val SearchTopK = 20
 

@@ -896,6 +896,29 @@ class TextDedupSpec extends SparkSpec {
     assert(verdicts == Set("keep", "scrub", "drop"), verdicts.toString)
   }
 
+  test("searchSnippets: first-hit windows recompute; every match doc contributes every term") {
+    import graft.functions.TextFunctions.words
+    val matchDocs = TextOps.keywordSearch(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(matchDocs.nonEmpty)
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val rows = TextOps.searchSnippets(spark, Sf).collect()
+    assert(rows.length == matchDocs.size * TextOps.SearchTerms.length)
+    rows.foreach { r =>
+      val (id, term, pos, snip) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
+      assert(matchDocs.contains(id))
+      val w = texts(id)
+      assert(pos == w.indexOf(term) + 1, s"doc $id term $term pos")
+      val s = math.max(pos.toInt - TextOps.SnippetRadius, 1)
+      val e = math.min(pos.toInt + TextOps.SnippetRadius, w.length)
+      assert(snip == w.slice(s - 1, e).mkString(" "), s"doc $id term $term")
+      assert(snip.split(" ").contains(term))
+      assert(snip.split(" ").length <= 2 * TextOps.SnippetRadius + 1)
+    }
+  }
+
   test("spanRemoval: reconciles with dupSpans; cleaned text is the uncovered subsequence") {
     val spans = DedupOps.dupSpans(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
