@@ -80,6 +80,7 @@ object RelationalPack extends QueryPack {
     "xt_seasonal_forecast" -> ((s, d) => TimeSeriesOps.seasonalForecast(s, d)),
     "xt_stl_decompose" -> ((s, d) => TimeSeriesOps.stlDecompose(s, d)),
     "xt_stl_anomalies" -> ((s, d) => TimeSeriesOps.stlAnomalies(s, d)),
+    "xt_window_funnel" -> ((s, d) => TimeSeriesOps.windowFunnel(s, d)),
     "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
     "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
   )
@@ -974,6 +975,31 @@ object RelationalPack extends QueryPack {
          |  abs_dev * ${TimeSeriesOps.StlMadDen} >
          |    res_mad * ${TimeSeriesOps.StlMadNum} AS is_anomaly
          |FROM dev, mad""".stripMargin,
+    // window funnel: earliest-anchor semantics, pure timestamp-interval
+    // comparisons (microsecond-exact cross-engine)
+    "xt_window_funnel" -> {
+      val h = TimeSeriesOps.FunnelWindowHours
+      s"""WITH v AS (
+         |  SELECT user_id, min(ts) AS t_view FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (
+         |  SELECT e.user_id, min(e.ts) AS t_click
+         |  FROM events e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+         |    AND e.ts <= v.t_view + INTERVAL $h HOURS
+         |  GROUP BY e.user_id),
+         |p AS (
+         |  SELECT e.user_id, min(e.ts) AS t_purchase
+         |  FROM events e JOIN v USING (user_id) JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         |    AND e.ts <= v.t_view + INTERVAL $h HOURS
+         |  GROUP BY e.user_id)
+         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+         |  CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+         |         + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS depth
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+    },
     // consecutive days pair via the day = day+1 self-join (calendar
     // adjacency), the twin of the Spark side's join — not lag-over-rows
     "xt_autocorr_daily" ->

@@ -482,6 +482,48 @@ object TimeSeriesOps {
         (col("dnum").cast("double") / 7L - col("seasonal")).as("residual"))
   }
 
+  /** Conversion window for [[windowFunnel]]: the whole chain must complete
+    * within this many hours of the anchoring view (24 h genuinely bites on
+    * the fixture: 150 viewers → 60 in-window clicks → 14 purchases at
+    * sf0.01, vs far higher unconstrained counts).
+    */
+  val FunnelWindowHours = 24L
+
+  /** X-C58: time-constrained window funnel — the `windowFunnel` of product
+    * analytics: view → click → purchase counts only when the WHOLE chain
+    * completes within [[FunnelWindowHours]] of the anchoring view (an
+    * unconstrained funnel credits a purchase months after the click —
+    * useless for attribution). Semantics: the anchor is each user's
+    * EARLIEST view and each step is the earliest qualifying next event —
+    * the deterministic product-analytics convention (a maximal variant
+    * would try every anchor; the earliest-anchor form is what replays
+    * exactly cross-engine). Per user: the three step timestamps and the
+    * reached depth 1–3. Plan shape: three type-filtered slices of ONE
+    * events scan, each step a user-keyed aggregate joined to the previous
+    * step's (user-cardinality) timestamps — the same cascaded-agg shape as
+    * the unconstrained funnel, with pure timestamp-interval comparisons
+    * (microsecond-exact cross-engine).
+    */
+  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val horizon = col("t_view") + expr(s"INTERVAL $FunnelWindowHours HOURS")
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.where(col("event_type") === "click").join(v, Seq("user_id"))
+      .where(col("ts") > col("t_view") && col("ts") <= horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).join(c, Seq("user_id"))
+      .where(col("ts") > col("t_click") && col("ts") <= horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) +
+          when(col("t_click").isNotNull, 1L).otherwise(0L) +
+          when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("depth"))
+  }
+
   /** MAD multiplier for [[stlAnomalies]] (the 3-sigma convention with the
     * 1.4826 normal-consistency factor folded in as an exact rational:
     * 3·1.4826 ≈ 4.4478, carried as 44478/10000).

@@ -420,6 +420,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n <= rows.length / 10, s"$n of ${rows.length} flagged")
   }
 
+  test("windowFunnel: earliest-anchor chain recomputes; the window genuinely constrains") {
+    val evs = Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val byUser = evs.groupBy(_._1)
+    val windowMs = TimeSeriesOps.FunnelWindowHours * 3600 * 1000L
+    val exp = byUser.flatMap { case (u, es) =>
+      val views = es.filter(_._3 == "view").map(_._2)
+      if (views.isEmpty) None else {
+        val t1 = views.min
+        val t2 = es.filter(e => e._3 == "click" && e._2 > t1 &&
+          e._2 <= t1 + windowMs).map(_._2).minOption
+        val t3 = t2.flatMap(c => es.filter(e => e._3 == "purchase" &&
+          e._2 > c && e._2 <= t1 + windowMs).map(_._2).minOption)
+        Some(u -> (t1, t2, t3))
+      }
+    }
+    val rows = TimeSeriesOps.windowFunnel(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == exp.keySet && exp.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val (t1, t2, t3) = exp(u)
+      assert(r.getTimestamp(1).getTime == t1)
+      assert(Option(r.getTimestamp(2)).map(_.getTime) == t2, s"user $u click")
+      assert(Option(r.getTimestamp(3)).map(_.getTime) == t3, s"user $u purchase")
+      assert(r.getLong(4) == 1L + t2.size + t3.size)
+    }
+    // the time window genuinely cuts vs the unconstrained funnel
+    val unconstrained = byUser.count { case (_, es) =>
+      val views = es.filter(_._3 == "view").map(_._2)
+      views.nonEmpty && es.exists(e => e._3 == "click" && e._2 > views.min)
+    }
+    assert(rows.count(_.getLong(4) >= 2) < unconstrained)
+  }
+
   test("scd2UserState: intervals tile each user's timeline with no overlap or dup states") {
     val rows = TimeSeriesOps.scd2UserState(spark, Sf)
       .collect().groupBy(_.getLong(0))
