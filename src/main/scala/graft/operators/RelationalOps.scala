@@ -1012,6 +1012,57 @@ object RelationalOps {
     * regression, no rounding needed. A naive `covar_pop`/`regr_slope`
     * would sum doubles in partition order and drift between engines.
     */
+  /** Benford first-digit probabilities ×10⁶, as exact integer literals
+    * (log10(1+1/d) rounded to 6 dp once, here — never computed via libm at
+    * query time, whose last ulp differs across engines). They sum to
+    * exactly 10⁶.
+    */
+  val BenfordP6: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+
+  /** X-P37: Benford first-digit audit — the classic fraud / synthetic-data
+    * screen: the leading digit of naturally-occurring amounts follows
+    * log10(1+1/d), and a distribution that does not is either fabricated,
+    * truncated, or synthetic. Per digit: observed count, expected count
+    * n·p_d, the z-deviation, and a 3σ deviant flag; plus the audit verdict
+    * (count of deviant digits, `is_benford`). The fixture's uniform-ish
+    * synthetic prices FAIL the audit — a true rejection, which is the
+    * point: the op detects non-natural amounts. Determinism: p_d are exact
+    * integer literals ([[BenfordP6]]), expected is one division of the
+    * exact product n·p6, z one further exact chain rounded 6 dp, and the
+    * verdict count is an integer window sum over the 9 digit rows — no
+    * order-dependent double summation anywhere (a chi² total would sum 9
+    * doubles in partition order; the per-digit z + integer count carries
+    * the same decision content, engine-identically). One map-side digit
+    * histogram over the facts; everything after is 9 rows.
+    */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.orders(spark, sfDir)
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val expT = BenfordP6.toDF("digit", "p6")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val perDigit = expT.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("p6"))
+      .withColumn("n", sum(col("n_obs")).over(w))
+      .withColumn("expected", (col("n") * col("p6")).cast("double") / 1000000.0d)
+      .withColumn("z",
+        round((col("n_obs").cast("double") - col("expected")) /
+          sqrt(col("expected")), 6))
+      .withColumn("deviant",
+        abs(col("n_obs").cast("double") - col("expected")) >
+          lit(3.0d) * sqrt(col("expected")))
+    perDigit
+      .withColumn("n_deviant",
+        sum(when(col("deviant"), 1L).otherwise(0L)).over(w))
+      .select(col("digit"), col("n_obs"), col("expected"), col("z"),
+        col("deviant"), col("n_deviant"),
+        (col("n_deviant") === 0L).as("is_benford"))
+  }
+
   /** X-P36: RFM customer segmentation — the classic lifecycle-marketing
     * scoring: per customer, Recency (days since last order, anchored at
     * the corpus's max date so the query is deterministic and re-runnable),

@@ -68,6 +68,7 @@ object RelationalPack extends QueryPack {
     "xa_trend_ols" -> ((s, d) => RelationalOps.trendOls(s, d)),
     "xa_basket_pairs" -> ((s, d) => RelationalOps.basketPairs(s, d)),
     "xa_rfm_segments" -> ((s, d) => RelationalOps.rfmSegments(s, d)),
+    "xa_benford_audit" -> ((s, d) => RelationalOps.benfordAudit(s, d)),
     "xt_rolling_active" -> ((s, d) => TimeSeriesOps.rollingActiveUsers(s, d)),
     "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
     "xt_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
@@ -820,6 +821,39 @@ object RelationalPack extends QueryPack {
          |    WHEN m_score >= 4 THEN 'big_spender'
          |    ELSE 'regular' END AS segment
          |FROM s""".stripMargin
+    },
+    // Benford: exact integer probability literals, one division for
+    // expected, integer window count for the verdict - no order-dependent
+    // double summation
+    "xa_benford_audit" -> {
+      val lits = RelationalOps.BenfordP6
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      """WITH obs AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |bp(digit, p6) AS (VALUES LITS),
+        |j AS (
+        |  SELECT CAST(bp.digit AS BIGINT) AS digit,
+        |    coalesce(obs.n_obs, 0) AS n_obs,
+        |    CAST(bp.p6 AS BIGINT) AS p6
+        |  FROM bp LEFT JOIN obs ON obs.digit = bp.digit),
+        |t AS (SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM j),
+        |d AS (
+        |  SELECT digit, n_obs,
+        |    CAST(n * p6 AS DOUBLE) / 1000000.0 AS expected,
+        |    round((CAST(n_obs AS DOUBLE) - CAST(n * p6 AS DOUBLE) / 1000000.0)
+        |      / sqrt(CAST(n * p6 AS DOUBLE) / 1000000.0), 6) AS z,
+        |    abs(CAST(n_obs AS DOUBLE) - CAST(n * p6 AS DOUBLE) / 1000000.0) >
+        |      3.0 * sqrt(CAST(n * p6 AS DOUBLE) / 1000000.0) AS deviant
+        |  FROM t)
+        |SELECT digit, n_obs, expected, z, deviant,
+        |  CAST(sum(CASE WHEN deviant THEN 1 ELSE 0 END) OVER () AS BIGINT)
+        |    AS n_deviant,
+        |  CAST(sum(CASE WHEN deviant THEN 1 ELSE 0 END) OVER () AS BIGINT) = 0
+        |    AS is_benford
+        |FROM d""".stripMargin.replace("LITS", lits)
     },
     // basket pairs: within-order self-join, exact BIGINT supports, lift as
     // one division of integer products

@@ -655,6 +655,39 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 1.0))
   }
 
+  test("benfordAudit: digit histogram and z-flags recompute; synthetic prices rightly fail") {
+    import org.apache.spark.sql.functions._
+    val digits = Tables.orders(spark, Sf)
+      .select(floor(col("o_totalprice")).cast("long")).collect()
+      .map(_.getLong(0).toString.head.asDigit.toLong)
+    val n = digits.length.toLong
+    val counts = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = RelationalOps.benfordAudit(spark, Sf).collect()
+    assert(rows.length == 9 && rows.map(_.getLong(0)).toSet == (1L to 9L).toSet)
+    var expDeviant = 0L
+    RelationalOps.BenfordP6.foreach { case (d, p6) =>
+      val exp = (n * p6).toDouble / 1000000.0d
+      if (math.abs(counts.getOrElse(d, 0L).toDouble - exp) > 3.0 * math.sqrt(exp))
+        expDeviant += 1
+    }
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val p6 = RelationalOps.BenfordP6.find(_._1 == d).get._2
+      val exp = (n * p6).toDouble / 1000000.0d
+      assert(r.getLong(1) == counts.getOrElse(d, 0L))
+      assert(r.getDouble(2) == exp)
+      val z = BigDecimal((counts.getOrElse(d, 0L).toDouble - exp) / math.sqrt(exp))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == z, s"digit $d z")
+      assert(r.getBoolean(4) ==
+        (math.abs(counts.getOrElse(d, 0L).toDouble - exp) > 3.0 * math.sqrt(exp)))
+      assert(r.getLong(5) == expDeviant && r.getBoolean(6) == (expDeviant == 0))
+    }
+    // the synthetic uniform-ish price generator is NOT Benford - a true
+    // rejection is the audit working
+    assert(rows.head.getLong(5) > 0 && !rows.head.getBoolean(6))
+  }
+
   test("rfmSegments: scores recompute against exact interpolated quintiles; all rules fire") {
     import org.apache.spark.sql.functions._
     val per = Tables.orders(spark, Sf)
