@@ -82,6 +82,7 @@ object RelationalPack extends QueryPack {
     "xt_stl_decompose" -> ((s, d) => TimeSeriesOps.stlDecompose(s, d)),
     "xt_stl_anomalies" -> ((s, d) => TimeSeriesOps.stlAnomalies(s, d)),
     "xt_window_funnel" -> ((s, d) => TimeSeriesOps.windowFunnel(s, d)),
+    "xt_session_stats" -> ((s, d) => TimeSeriesOps.sessionStats(s, d)),
     "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
     "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
   )
@@ -89,6 +90,29 @@ object RelationalPack extends QueryPack {
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
   private def msum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
+
+  /** Sessionizer CTE chain (ends at `sessions`) shared by the per-session
+    * dump and the engagement rollup — twin of [[TimeSeriesOps.sessionize]]
+    * (30-minute gap, (ts, event_id) tie order).
+    */
+  private val sessionCtes =
+    """ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_seq, min(ts) AS session_start,
+      |    max(ts) AS session_end, count(*) AS n_events
+      |  FROM sess GROUP BY user_id, session_seq)""".stripMargin
 
   /** STL-lite CTE chain (ends at `stl`) shared by the decomposition and
     * the anomaly-alarm oracles — integer until single divisions, twin of
@@ -346,22 +370,29 @@ object RelationalPack extends QueryPack {
          |FROM orders JOIN customer ON c_custkey = o_custkey
          |GROUP BY 1, 2""".stripMargin,
     "xo_sessionize" ->
-      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS session_seq
-        |  FROM flagged)
-        |SELECT user_id, session_seq, min(ts) AS session_start,
-        |  max(ts) AS session_end, count(*) AS n_events
-        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+      s"""WITH $sessionCtes
+         |SELECT user_id, session_seq, session_start, session_end, n_events
+         |FROM sessions""".stripMargin,
+    // session rollup: exact BIGINT sums over the session table divided once
+    "xt_session_stats" ->
+      s"""WITH $sessionCtes,
+         |d AS (
+         |  SELECT CAST(date_diff('second', session_start, session_end)
+         |      AS BIGINT) AS dur_sec,
+         |    n_events
+         |  FROM sessions),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_bounces,
+         |    CAST(sum(dur_sec) AS BIGINT) AS total_dur_sec,
+         |    CAST(sum(n_events) AS BIGINT) AS total_events
+         |  FROM d)
+         |SELECT n_sessions, n_bounces,
+         |  CAST(n_bounces AS DOUBLE) / n_sessions AS bounce_rate,
+         |  CAST(total_dur_sec AS DOUBLE) / n_sessions AS avg_duration_sec,
+         |  CAST(total_events AS DOUBLE) / n_sessions AS avg_events
+         |FROM m""".stripMargin,
     "xt_gapfill_hourly" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |            FROM events WHERE user_id < 20),

@@ -482,6 +482,33 @@ object TimeSeriesOps {
         (col("dnum").cast("double") / 7L - col("seasonal")).as("residual"))
   }
 
+  /** X-C59: session-level engagement rollup — the dashboard numbers every
+    * product team reads off the sessionizer: session count, BOUNCE rate
+    * (single-event sessions — the canonical engagement red flag), average
+    * session duration and events-per-session. All four are exact-BIGINT
+    * sums over the session table divided once (durations are exact epoch-
+    * second differences), so the doubles replay engine-identically. Cost:
+    * whatever [[sessionize]] costs (one user-keyed window pass) plus a
+    * single map-side-combinable global aggregate over session-cardinality
+    * rows.
+    */
+  def sessionStats(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(spark, sfDir)
+      .select(
+        (unix_timestamp(col("session_end")) -
+          unix_timestamp(col("session_start"))).as("dur_sec"),
+        col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("dur_sec")).as("total_dur_sec"),
+        sum(col("n_events")).as("total_events"))
+      .select(col("n_sessions"), col("n_bounces"),
+        (col("n_bounces").cast("double") / col("n_sessions")).as("bounce_rate"),
+        (col("total_dur_sec").cast("double") / col("n_sessions"))
+          .as("avg_duration_sec"),
+        (col("total_events").cast("double") / col("n_sessions"))
+          .as("avg_events"))
+
   /** Conversion window for [[windowFunnel]]: the whole chain must complete
     * within this many hours of the anchoring view (24 h genuinely bites on
     * the fixture: 150 viewers → 60 in-window clicks → 14 purchases at

@@ -420,6 +420,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n <= rows.length / 10, s"$n of ${rows.length} flagged")
   }
 
+  test("sessionStats: rollup reconciles exactly with the per-session table") {
+    // duration = floor(end epoch-sec) - floor(start epoch-sec), exactly the
+    // unix_timestamp difference the op computes (NOT floor of the delta)
+    val sess = TimeSeriesOps.sessionize(spark, Sf).collect()
+      .map(r => (r.getTimestamp(3).getTime / 1000L -
+        r.getTimestamp(2).getTime / 1000L, r.getLong(4)))
+    val r = TimeSeriesOps.sessionStats(spark, Sf).collect().head
+    val (ns, nb) = (sess.length.toLong, sess.count(_._2 == 1L).toLong)
+    assert(r.getLong(0) == ns && r.getLong(1) == nb)
+    assert(r.getDouble(2) == nb.toDouble / ns)
+    assert(r.getDouble(3) == sess.map(_._1).sum.toDouble / ns)
+    assert(r.getDouble(4) == sess.map(_._2).sum.toDouble / ns)
+    // both engagement states exist in the fixture
+    assert(nb > 0 && nb < ns)
+  }
+
   test("windowFunnel: earliest-anchor chain recomputes; the window genuinely constrains") {
     val evs = Tables.events(spark, Sf)
       .select(col("user_id"), col("ts"), col("event_type")).collect()
