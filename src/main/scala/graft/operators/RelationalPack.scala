@@ -83,6 +83,7 @@ object RelationalPack extends QueryPack {
     "xt_stl_anomalies" -> ((s, d) => TimeSeriesOps.stlAnomalies(s, d)),
     "xt_window_funnel" -> ((s, d) => TimeSeriesOps.windowFunnel(s, d)),
     "xt_session_stats" -> ((s, d) => TimeSeriesOps.sessionStats(s, d)),
+    "xt_top_paths" -> ((s, d) => TimeSeriesOps.topPaths(s, d)),
     "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
     "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
   )
@@ -1040,6 +1041,20 @@ object RelationalPack extends QueryPack {
          |  abs_dev * ${TimeSeriesOps.StlMadDen} >
          |    res_mad * ${TimeSeriesOps.StlMadNum} AS is_anomaly
          |FROM dev, mad""".stripMargin,
+    // top paths: two leads over one (user, ts, event_id) sort, bounded
+    // path domain, deterministic (count desc, path) cut
+    "xt_top_paths" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+         |  FROM events),
+         |tri AS (
+         |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+         |      || '>' || lead(event_type, 2) OVER w AS path
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT path, CAST(count(*) AS BIGINT) AS n
+         |FROM tri WHERE path IS NOT NULL
+         |GROUP BY path ORDER BY n DESC, path
+         |LIMIT ${TimeSeriesOps.TopPathsK}""".stripMargin,
     // window funnel: earliest-anchor semantics, pure timestamp-interval
     // comparisons (microsecond-exact cross-engine)
     "xt_window_funnel" -> {

@@ -482,6 +482,31 @@ object TimeSeriesOps {
         (col("dnum").cast("double") / 7L - col("seasonal")).as("residual"))
   }
 
+  /** Paths kept by [[topPaths]]. */
+  val TopPathsK = 10
+
+  /** X-C60: top navigation paths — the "most common 3-step journeys"
+    * query of product analytics: consecutive event-type triples per user
+    * (ordered by ts with event_id tie-break — total order, deterministic),
+    * counted globally, top-[[TopPathsK]] by (count desc, path). One
+    * user-keyed window pass builds the triples with two `lead`s sharing a
+    * single sort (no self-joins), the count is map-side combinable over
+    * ≤\|event types\|³ distinct paths (125 here — metadata-sized at any
+    * corpus), and the top-k is a `TakeOrderedAndProject`-sized limit.
+    */
+  def topPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(TopPathsK)
+  }
+
   /** X-C59: session-level engagement rollup — the dashboard numbers every
     * product team reads off the sessionizer: session count, BOUNCE rate
     * (single-event sessions — the canonical engagement red flag), average

@@ -436,6 +436,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nb > 0 && nb < ns)
   }
 
+  test("topPaths: trigram counts recompute from per-user ordered streams") {
+    val evs = Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    evs.groupBy(_._1).values.foreach { es =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(3).filter(_.length == 3).foreach { t =>
+        val p = t.mkString(">")
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val exp = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TimeSeriesOps.TopPathsK)
+    val got = TimeSeriesOps.topPaths(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq.sortBy { case (p, n) => (-n, p) } == exp && got.nonEmpty)
+  }
+
   test("windowFunnel: earliest-anchor chain recomputes; the window genuinely constrains") {
     val evs = Tables.events(spark, Sf)
       .select(col("user_id"), col("ts"), col("event_type")).collect()
