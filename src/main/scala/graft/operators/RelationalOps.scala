@@ -1012,6 +1012,44 @@ object RelationalOps {
     * regression, no rounding needed. A naive `covar_pop`/`regr_slope`
     * would sum doubles in partition order and drift between engines.
     */
+  /** X-P38: spend-concentration report — the Pareto/80-20 question
+    * ("what share of revenue do the top-X% customers hold?") answered
+    * WITHOUT a global sort: the top-20%/top-5% customer-spend thresholds
+    * come from one `percentile` aggregate over per-customer totals (two
+    * numbers, broadcast), and each share is then a conditional exact
+    * decimal sum in a second pass over the same customer-cardinality
+    * table — where the naive cumulative-share window would range-sort
+    * every customer and run a prefix sum over the full ordering. Exact
+    * decimal spend sums divided once per emitted double; percentile ↔
+    * quantile_cont twin with strict > at the threshold.
+    */
+  def spendConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(14,2)")).as("spend"))
+    val thresholds = per.agg(
+      expr("percentile(CAST(spend AS DOUBLE), 0.80)").as("p80"),
+      expr("percentile(CAST(spend AS DOUBLE), 0.95)").as("p95"))
+    per.crossJoin(broadcast(thresholds))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("total_dec"),
+        sum(when(col("spend").cast("double") > col("p80"), 1L).otherwise(0L))
+          .as("n_top20"),
+        sum(when(col("spend").cast("double") > col("p80"), col("spend"))
+          .otherwise(lit(0).cast("decimal(14,2)"))).as("top20_dec"),
+        sum(when(col("spend").cast("double") > col("p95"), 1L).otherwise(0L))
+          .as("n_top5"),
+        sum(when(col("spend").cast("double") > col("p95"), col("spend"))
+          .otherwise(lit(0).cast("decimal(14,2)"))).as("top5_dec"))
+      .select(col("n_customers"), col("n_top20"), col("n_top5"),
+        col("total_dec").cast("double").as("total_spend"),
+        (col("top20_dec").cast("double") / col("total_dec").cast("double"))
+          .as("top20_share"),
+        (col("top5_dec").cast("double") / col("total_dec").cast("double"))
+          .as("top5_share"))
+  }
+
   /** Benford first-digit probabilities ×10⁶, as exact integer literals
     * (log10(1+1/d) rounded to 6 dp once, here — never computed via libm at
     * query time, whose last ulp differs across engines). They sum to

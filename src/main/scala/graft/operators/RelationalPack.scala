@@ -69,6 +69,7 @@ object RelationalPack extends QueryPack {
     "xa_basket_pairs" -> ((s, d) => RelationalOps.basketPairs(s, d)),
     "xa_rfm_segments" -> ((s, d) => RelationalOps.rfmSegments(s, d)),
     "xa_benford_audit" -> ((s, d) => RelationalOps.benfordAudit(s, d)),
+    "xa_spend_concentration" -> ((s, d) => RelationalOps.spendConcentration(s, d)),
     "xt_rolling_active" -> ((s, d) => TimeSeriesOps.rollingActiveUsers(s, d)),
     "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
     "xt_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
@@ -854,6 +855,29 @@ object RelationalPack extends QueryPack {
          |    ELSE 'regular' END AS segment
          |FROM s""".stripMargin
     },
+    // Pareto concentration: thresholds from quantile_cont over per-customer
+    // decimal totals; shares are conditional exact decimal sums divided once
+    "xa_spend_concentration" ->
+      """WITH per AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (
+        |  SELECT quantile_cont(CAST(spend AS DOUBLE), 0.80) AS p80,
+        |    quantile_cont(CAST(spend AS DOUBLE), 0.95) AS p95
+        |  FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN CAST(spend AS DOUBLE) > p80 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top20,
+        |  CAST(sum(CASE WHEN CAST(spend AS DOUBLE) > p95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top5,
+        |  CAST(sum(spend) AS DOUBLE) AS total_spend,
+        |  CAST(sum(CASE WHEN CAST(spend AS DOUBLE) > p80 THEN spend
+        |               ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+        |    / CAST(sum(spend) AS DOUBLE) AS top20_share,
+        |  CAST(sum(CASE WHEN CAST(spend AS DOUBLE) > p95 THEN spend
+        |               ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+        |    / CAST(sum(spend) AS DOUBLE) AS top5_share
+        |FROM per, t""".stripMargin,
     // Benford: exact integer probability literals, one division for
     // expected, integer window count for the verdict - no order-dependent
     // double summation

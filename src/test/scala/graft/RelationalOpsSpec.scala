@@ -655,6 +655,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 1.0))
   }
 
+  test("spendConcentration: shares recompute against a full driver-side sort") {
+    import org.apache.spark.sql.functions._
+    val spends = Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(14,2)")).as("s")).collect()
+      .map(r => r.getDecimal(1))
+    def quantile(p: Double): Double = {
+      val s = spends.map(_.doubleValue).sorted
+      val pos = p * (s.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      s(lo) + (s(hi) - s(lo)) * (pos - lo)
+    }
+    val (p80, p95) = (quantile(0.80), quantile(0.95))
+    val total = spends.map(BigDecimal(_)).sum
+    def share(thr: Double) =
+      (spends.filter(_.doubleValue > thr).map(BigDecimal(_)).sum / total).toDouble
+    val r = RelationalOps.spendConcentration(spark, Sf).collect().head
+    assert(r.getLong(0) == spends.length.toLong)
+    assert(r.getLong(1) == spends.count(_.doubleValue > p80).toLong)
+    assert(r.getLong(2) == spends.count(_.doubleValue > p95).toLong)
+    assert(r.getDouble(3) == total.toDouble)
+    // shares reconcile within fp tolerance of the exact-decimal ratio
+    assert(math.abs(r.getDouble(4) - share(p80)) < 1e-12)
+    assert(math.abs(r.getDouble(5) - share(p95)) < 1e-12)
+    // concentration is real: the top quintile holds more than its headcount share
+    assert(r.getDouble(4) > 0.2 && r.getDouble(5) > 0.05)
+  }
+
   test("benfordAudit: digit histogram and z-flags recompute; synthetic prices rightly fail") {
     import org.apache.spark.sql.functions._
     val digits = Tables.orders(spark, Sf)
