@@ -255,6 +255,24 @@ object GeoOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** X-C61: degree distribution — vertices per degree over the proximity
+    * graph, with each degree's share of the vertex set: the first chart of
+    * any graph audit (a heavy tail means hub vertices that will skew every
+    * per-vertex join; a missing tail means the proximity radius is too
+    * tight). The degrees ride free on the staged edge layout; the rollup
+    * is one map-side aggregate whose output is bounded by max-degree —
+    * metadata-sized at any corpus. Share is one exact-BIGINT division.
+    */
+  def degreeHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val deg = symEdges(spark, sfDir)
+      .select(col("src").as("vertex"), col("deg")).distinct()
+    val n = deg.agg(count(lit(1)).as("n_vertices"))
+    deg.groupBy(col("deg")).agg(count(lit(1)).as("n_with_degree"))
+      .crossJoin(broadcast(n))
+      .select(col("deg"), col("n_with_degree"), col("n_vertices"),
+        (col("n_with_degree").cast("double") / col("n_vertices")).as("share"))
+  }
+
   /** X-C55: local clustering coefficient — per vertex with deg ≥ 2,
     * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)): the fraction of a vertex's
     * neighbor pairs that are themselves connected, the standard

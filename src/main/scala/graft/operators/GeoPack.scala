@@ -38,6 +38,7 @@ object GeoPack extends QueryPack {
     "geo_ppr" -> ((s, d) => GeoOps.personalizedPageRank(s, d)),
     "geo_component_sizes" -> ((s, d) => GeoOps.componentSizes(s, d)),
     "geo_clustering_coeff" -> ((s, d) => GeoOps.clusteringCoefficient(s, d)),
+    "geo_degree_histogram" -> ((s, d) => GeoOps.degreeHistogram(s, d)),
   )
 
   private val coordsCte =
@@ -168,6 +169,25 @@ object GeoPack extends QueryPack {
          |SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM (SELECT unnest([a, b, c]) AS vertex FROM tri)
          |GROUP BY vertex""".stripMargin,
+    // degree histogram: undirected degrees rolled up, share one division
+    "geo_degree_histogram" ->
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |und AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM edges),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY src),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_with_degree, n_vertices,
+         |  CAST(count(*) AS DOUBLE) / n_vertices AS share
+         |FROM deg, n GROUP BY deg, n_vertices""".stripMargin,
     // clustering coefficient: triangle counts joined to undirected degree,
     // one exact BIGINT division per vertex
     "geo_clustering_coeff" ->

@@ -286,6 +286,27 @@ class GeoOpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("degreeHistogram: rollup recomputes from adjacency; shares sum to one") {
+    val pairs = GeoOps.neighborPairs(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    val exp = adj.values.map(_.size.toLong).groupBy(identity)
+      .map { case (d, v) => d -> v.size.toLong }
+    val n = adj.size.toLong
+    val rows = GeoOps.degreeHistogram(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == exp.keySet && exp.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exp(r.getLong(0)) && r.getLong(2) == n)
+      assert(r.getDouble(3) == exp(r.getLong(0)).toDouble / n)
+    }
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
+
   test("clusteringCoefficient: recomputes from adjacency; bounded in [0,1]") {
     val pairs = GeoOps.neighborPairs(spark, Sf)
       .select("a_id", "b_id").collect()
