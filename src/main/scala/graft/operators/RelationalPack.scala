@@ -85,6 +85,7 @@ object RelationalPack extends QueryPack {
     "xt_window_funnel" -> ((s, d) => TimeSeriesOps.windowFunnel(s, d)),
     "xt_session_stats" -> ((s, d) => TimeSeriesOps.sessionStats(s, d)),
     "xt_top_paths" -> ((s, d) => TimeSeriesOps.topPaths(s, d)),
+    "xt_activity_heatmap" -> ((s, d) => TimeSeriesOps.activityHeatmap(s, d)),
     "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
     "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
   )
@@ -1065,6 +1066,21 @@ object RelationalPack extends QueryPack {
          |  abs_dev * ${TimeSeriesOps.StlMadDen} >
          |    res_mad * ${TimeSeriesOps.StlMadNum} AS is_anomaly
          |FROM dev, mad""".stripMargin,
+    // heatmap: dow/hour as pure epoch integer arithmetic (no locale
+    // calendar), 168-cell collapse, share one exact division
+    "xt_activity_heatmap" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) % 7
+        |      AS BIGINT) AS dow,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) % 24
+        |      AS BIGINT) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT dow, CAST(sum(n_events) AS BIGINT) AS dow_total
+        |      FROM c GROUP BY dow)
+        |SELECT dow, hour, n_events, dow_total,
+        |  CAST(n_events AS DOUBLE) / dow_total AS share_of_dow
+        |FROM c JOIN r USING (dow)""".stripMargin,
     // top paths: two leads over one (user, ts, event_id) sort, bounded
     // path domain, deterministic (count desc, path) cut
     "xt_top_paths" ->

@@ -482,6 +482,30 @@ object TimeSeriesOps {
         (col("dnum").cast("double") / 7L - col("seasonal")).as("residual"))
   }
 
+  /** X-C62: activity heatmap — the hour-of-day × day-of-week event-count
+    * matrix (the usage heatmap on every analytics landing page), with each
+    * cell's share WITHIN its day-of-week row. Calendar cells are pure
+    * integer arithmetic on the epoch timestamp (dow = epoch-day % 7,
+    * hour = epoch-sec ÷ 3600 % 24 — no locale/timezone calendar call, the
+    * [[stlDecompose]] convention); one map-side collapse of the facts to
+    * ≤168 cells, the row totals a second ≤7-row aggregate joined back,
+    * share one exact-BIGINT division.
+    */
+  def activityHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(
+        pmod(floor(unix_timestamp(col("ts")) / 86400L).cast("long"), lit(7L))
+          .as("dow"),
+        pmod(floor(unix_timestamp(col("ts")) / 3600L).cast("long"), lit(24L))
+          .as("hour"))
+      .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n_events"))
+    val rowTotals = cells.groupBy(col("dow"))
+      .agg(sum(col("n_events")).as("dow_total"))
+    cells.join(broadcast(rowTotals), Seq("dow"))
+      .select(col("dow"), col("hour"), col("n_events"), col("dow_total"),
+        (col("n_events").cast("double") / col("dow_total")).as("share_of_dow"))
+  }
+
   /** Paths kept by [[topPaths]]. */
   val TopPathsK = 10
 

@@ -436,6 +436,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nb > 0 && nb < ns)
   }
 
+  test("activityHeatmap: cells recompute from epoch arithmetic; dow rows sum to one") {
+    val evs = Tables.events(spark, Sf).select(col("ts")).collect()
+      .map(_.getTimestamp(0).getTime / 1000L)
+    val exp = evs.map(s => (s / 86400L % 7L, s / 3600L % 24L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TimeSeriesOps.activityHeatmap(spark, Sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == exp.keySet)
+    val dowTotals = exp.groupBy(_._1._1).map { case (d, m) => d -> m.values.sum }
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == exp(k) && r.getLong(3) == dowTotals(k._1))
+      assert(r.getDouble(4) == exp(k).toDouble / dowTotals(k._1))
+    }
+    // each dow row's shares sum to ~1
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("topPaths: trigram counts recompute from per-user ordered streams") {
     val evs = Tables.events(spark, Sf)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
