@@ -52,6 +52,7 @@ object TextDedupPack extends QueryPack {
     "dd_containment" -> ((s, d) => DedupOps.ngramContainment(s, d)),
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
     "tx_search_snippets" -> ((s, d) => TextOps.searchSnippets(s, d)),
+    "tx_source_lang_mix" -> ((s, d) => TextOps.sourceLangMix(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
     "tx_bm25_search" -> ((s, d) => TextOps.bm25Search(s, d)),
     "sim_srp_knn_join" -> ((s, d) => DedupOps.srpKnnJoin(s, d)),
@@ -830,6 +831,17 @@ object TextDedupPack extends QueryPack {
         .mkString("\n  AND ")
       s"SELECT doc_id FROM documents\nWHERE $conds"
     },
+    // language mix: Gini-Simpson needs no logarithm - exact BIGINT sum of
+    // squares, one division
+    "tx_source_lang_mix" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  1.0 - CAST(sum(c * c) AS DOUBLE)
+        |    / CAST(sum(c) * sum(c) AS DOUBLE) AS simpson_diversity
+        |FROM c GROUP BY source""".stripMargin,
     // KWIC snippets: first occurrence via list_position, edge-clipped
     // window as a 1-based inclusive list slice
     "tx_search_snippets" -> {

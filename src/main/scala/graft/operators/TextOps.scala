@@ -839,6 +839,29 @@ object TextOps {
       .select(col("doc_id"))
   }
 
+  /** X-C63: per-source language-mix audit — document counts, distinct
+    * languages, and the Gini–Simpson diversity 1 − Σ(c_l/n)² per source:
+    * the corpus-composition chart a multilingual pipeline reads before
+    * setting mixture weights (a "diverse" source at 0 is single-language;
+    * ~1−1/k is a uniform k-language mix). Diversity is chosen over Shannon
+    * entropy deliberately: it needs NO logarithm — Σc² is an exact BIGINT
+    * sum and the diversity one exact division, so rows hash
+    * engine-identically (ln's last ulp differs across engines). One
+    * (source, lang) collapse then a source-cardinality rollup, both
+    * map-side combinable.
+    */
+  def sourceLangMix(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        (lit(1.0d) - col("sum_sq").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("simpson_diversity"))
+
   /** Tokens of context on each side of a hit in [[searchSnippets]]. */
   val SnippetRadius = 3
 

@@ -896,6 +896,25 @@ class TextDedupSpec extends SparkSpec {
     assert(verdicts == Set("keep", "scrub", "drop"), verdicts.toString)
   }
 
+  test("sourceLangMix: counts and Simpson diversity recompute from raw docs") {
+    val docs = Tables.documents(spark, Sf).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    val rows = TextOps.sourceLangMix(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val langs = bySource(r.getString(0)).map(_._2)
+      val counts = langs.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = langs.length.toLong
+      assert(r.getLong(1) == n && r.getLong(2) == counts.size.toLong)
+      val sumSq = counts.values.map(c => c * c).sum
+      assert(r.getDouble(3) == 1.0d - sumSq.toDouble / (n * n).toDouble)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+    // the fixture's sources are genuinely multilingual
+    assert(rows.forall(_.getLong(2) > 1))
+  }
+
   test("searchSnippets: first-hit windows recompute; every match doc contributes every term") {
     import graft.functions.TextFunctions.words
     val matchDocs = TextOps.keywordSearch(spark, Sf).collect()
