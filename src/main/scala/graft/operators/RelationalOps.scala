@@ -1012,6 +1012,36 @@ object RelationalOps {
     * regression, no rounding needed. A naive `covar_pop`/`regr_slope`
     * would sum doubles in partition order and drift between engines.
     */
+  /** X-P39: reorder-gap statistics — the inter-purchase-interval numbers
+    * behind every repurchase/churn model: per customer, the day gaps
+    * between consecutive orders (a `lag` over each customer's own order
+    * dates — customer-keyed window, never a global sort), rolled up to
+    * repeat-customer count, gap count, exact mean gap (BIGINT day sum ÷
+    * n) and the interpolated median gap (percentile ↔ quantile_cont
+    * twin). A customer's expected gap is what turns "no order for N days"
+    * into a churn signal. Ties inside a day break by orderkey — total
+    * order, engine-identical gaps.
+    */
+  def reorderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+      .where(col("gap").isNotNull)
+    gaps.agg(
+      countDistinct(col("o_custkey")).as("n_repeat_customers"),
+      count(lit(1)).as("n_gaps"),
+      sum(col("gap")).as("gap_sum"),
+      expr("percentile(gap, 0.5)").as("p50_gap_days"))
+      .select(col("n_repeat_customers"), col("n_gaps"),
+        (col("gap_sum").cast("double") / col("n_gaps")).as("mean_gap_days"),
+        col("p50_gap_days"))
+  }
+
   /** X-P38: spend-concentration report — the Pareto/80-20 question
     * ("what share of revenue do the top-X% customers hold?") answered
     * WITHOUT a global sort: the top-20%/top-5% customer-spend thresholds

@@ -70,6 +70,7 @@ object RelationalPack extends QueryPack {
     "xa_rfm_segments" -> ((s, d) => RelationalOps.rfmSegments(s, d)),
     "xa_benford_audit" -> ((s, d) => RelationalOps.benfordAudit(s, d)),
     "xa_spend_concentration" -> ((s, d) => RelationalOps.spendConcentration(s, d)),
+    "xa_reorder_gaps" -> ((s, d) => RelationalOps.reorderGaps(s, d)),
     "xt_rolling_active" -> ((s, d) => TimeSeriesOps.rollingActiveUsers(s, d)),
     "xt_interp_hourly" -> ((s, d) => TimeSeriesOps.interpHourly(s, d)),
     "xt_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
@@ -856,6 +857,24 @@ object RelationalPack extends QueryPack {
          |    ELSE 'regular' END AS segment
          |FROM s""".stripMargin
     },
+    // reorder gaps: lag over each customer's (date, orderkey) total order;
+    // exact BIGINT day sums, quantile_cont median
+    "xa_reorder_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey,
+        |    d - lag(d) OVER (PARTITION BY o_custkey
+        |                     ORDER BY d, o_orderkey) AS gap
+        |  FROM o)
+        |SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+        |  CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_days,
+        |  quantile_cont(gap, 0.5) AS p50_gap_days
+        |FROM g WHERE gap IS NOT NULL""".stripMargin,
     // Pareto concentration: thresholds from quantile_cont over per-customer
     // decimal totals; shares are conditional exact decimal sums divided once
     "xa_spend_concentration" ->

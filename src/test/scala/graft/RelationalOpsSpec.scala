@@ -655,6 +655,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 1.0))
   }
 
+  test("reorderGaps: per-customer lag gaps recompute; rollup exact") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps: Seq[Long] = orders.groupBy(_._1).values.toSeq.flatMap { os =>
+      val ds = os.sortBy(o => (o._3, o._2)).map(_._3).toList
+      ds.zip(ds.tail).map { case (a, b) => b - a }
+    }
+    val repeatCustomers = orders.groupBy(_._1).count(_._2.length >= 2)
+    val r = RelationalOps.reorderGaps(spark, Sf).collect().head
+    assert(r.getLong(0) == repeatCustomers.toLong)
+    assert(r.getLong(1) == gaps.length.toLong)
+    assert(r.getDouble(2) == gaps.sum.toDouble / gaps.length)
+    val s = gaps.map(_.toDouble).sorted
+    val pos = 0.5 * (s.length - 1)
+    val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+    assert(r.getDouble(3) == s(lo) + (s(hi) - s(lo)) * (pos - lo))
+    assert(gaps.nonEmpty && r.getDouble(2) > 0)
+  }
+
   test("spendConcentration: shares recompute against a full driver-side sort") {
     import org.apache.spark.sql.functions._
     val spends = Tables.orders(spark, Sf)
