@@ -170,7 +170,13 @@ object PlanDump {
       ("xa_basket_pairs", "within-basket self-join (fan-out bounded by basket size), map-side support count, cut before lift join",
         operators.RelationalOps.basketPairs(spark, sfDir)),
       ("xa_rfm_segments", "quintile boundaries as a 12-number broadcast; scores are integer comparisons in the scan projection",
-        operators.RelationalOps.rfmSegments(spark, sfDir)))
+        operators.RelationalOps.rfmSegments(spark, sfDir)),
+      ("xt_window_funnel", "three type-filtered slices of one events scan cascaded through user-keyed aggregates",
+        operators.TimeSeriesOps.windowFunnel(spark, sfDir)),
+      ("xa_spend_concentration", "percentile thresholds broadcast as two numbers; shares are conditional sums, no global sort",
+        operators.RelationalOps.spendConcentration(spark, sfDir)),
+      ("xt_top_paths", "two leads share ONE user-keyed sort; bounded path domain, TakeOrderedAndProject cut",
+        operators.TimeSeriesOps.topPaths(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
