@@ -87,6 +87,7 @@ object Bench {
       "geo_z2_layout"         -> (() => GeoOps.z2Layout(spark, sfDir).count(): Unit),
       "geo_z3_layout"         -> (() => GeoOps.z3Layout(spark, sfDir).count(): Unit),
       "geo_sym_edges"         -> (() => GeoOps.symEdges(spark, sfDir).count(): Unit),
+      "geo_cc_labels"         -> (() => GeoOps.ccLabels(spark, sfDir).count(): Unit),
       "bucketed_orders"       -> (() => Tables.bucketedOrders(spark, sfDir).count(): Unit),
       "bucketed_lineitem"     -> (() => Tables.bucketedLineitem(spark, sfDir).count(): Unit),
       "mv_incremental"        -> (() => ScaleOps.incrementalMonthlyOrders(spark, sfDir).count(): Unit),
