@@ -544,6 +544,45 @@ object GeoOps {
       .groupBy(col("label")).agg(count(lit(1)).as("n_vertices"))
       .select(col("label").as("component"), col("n_vertices"))
 
+  /** Top scored pairs emitted by [[linkPrediction]]. */
+  val LinkPredK = 50
+
+  /** X-C64: common-neighbor link prediction — the top non-adjacent vertex
+    * pairs ranked by shared-neighbor count, with the neighborhood-Jaccard
+    * score common/(deg_a + deg_b − common): the classic "which edges are
+    * missing" primitive (entity-resolution candidate pairs, record-linkage
+    * blocking, graph-completion suggestions). Same wedge plan as
+    * [[triangleCounts]]: one self-join of the staged edge layout on the
+    * pivot vertex (Σ deg² wedges, the algorithm's known cost), one
+    * map-side-combinable pair count, then an ANTI join against the edge
+    * list keeps only non-edges — candidates never materialize beyond the
+    * wedge stream, and the final cut is a TakeOrderedAndProject at
+    * [[LinkPredK]], never a global sort. Counts and degrees are exact
+    * BIGINTs; the Jaccard is one IEEE division of exact operands (the
+    * ranking itself orders on the integer count with (a,b) tie-break, so
+    * the cut is engine-identical).
+    */
+  def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = symEdges(spark, sfDir).select(col("src"), col("dst"))
+    val deg = symEdges(spark, sfDir)
+      .select(col("src").as("v"), col("deg")).distinct()
+    val common = e.select(col("src").as("mid"), col("dst").as("a"))
+      .join(e.select(col("src").as("mid"), col("dst").as("b")), Seq("mid"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(LinkPredK)
+  }
+
   /** Z-range coarse scan + exact refine — the GeoMesa index-scan shape:
     * one z2 BETWEEN range (with Morton false positives) then the precise
     * predicate. Emits per-event coarse/exact flags for the bbox

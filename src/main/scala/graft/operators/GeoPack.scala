@@ -39,6 +39,7 @@ object GeoPack extends QueryPack {
     "geo_component_sizes" -> ((s, d) => GeoOps.componentSizes(s, d)),
     "geo_clustering_coeff" -> ((s, d) => GeoOps.clusteringCoefficient(s, d)),
     "geo_degree_histogram" -> ((s, d) => GeoOps.degreeHistogram(s, d)),
+    "geo_link_prediction" -> ((s, d) => GeoOps.linkPrediction(s, d)),
   )
 
   private val coordsCte =
@@ -394,6 +395,36 @@ object GeoPack extends QueryPack {
     "geo_component_sizes" -> ccSql(
       s"""SELECT label AS component, CAST(count(*) AS BIGINT) AS n_vertices
          |FROM l${GeoOps.CcRounds} GROUP BY label""".stripMargin),
+    // wedge self-join on the pivot, pair count, ANTI join keeps non-edges;
+    // jaccard one IEEE division of exact BIGINTs, cut on the integer count
+    "geo_link_prediction" ->
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |und AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM edges),
+         |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY src),
+         |cn AS (
+         |  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common
+         |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY e1.dst, e2.dst),
+         |ne AS (
+         |  SELECT cn.* FROM cn
+         |  LEFT JOIN und ON und.src = cn.a AND und.dst = cn.b
+         |  WHERE und.src IS NULL)
+         |SELECT a, b, common, da.deg AS deg_a, db.deg AS deg_b,
+         |  CAST(common AS DOUBLE) / CAST(da.deg + db.deg - common AS DOUBLE)
+         |    AS jaccard
+         |FROM ne JOIN deg da ON da.v = ne.a JOIN deg db ON db.v = ne.b
+         |ORDER BY common DESC, a, b
+         |LIMIT ${GeoOps.LinkPredK}""".stripMargin,
   )
 
   private def ccSql(finalSelect: String): String = {
