@@ -53,6 +53,7 @@ object TextDedupPack extends QueryPack {
     "tx_keyword_search" -> ((s, d) => TextOps.keywordSearch(s, d)),
     "tx_search_snippets" -> ((s, d) => TextOps.searchSnippets(s, d)),
     "tx_source_lang_mix" -> ((s, d) => TextOps.sourceLangMix(s, d)),
+    "tx_heaps_curve" -> ((s, d) => TextOps.heapsCurve(s, d)),
     "tx_ranked_search" -> ((s, d) => TextOps.rankedSearch(s, d)),
     "tx_bm25_search" -> ((s, d) => TextOps.bm25Search(s, d)),
     "sim_srp_knn_join" -> ((s, d) => DedupOps.srpKnnJoin(s, d)),
@@ -842,6 +843,30 @@ object TextDedupPack extends QueryPack {
         |  1.0 - CAST(sum(c * c) AS DOUBLE)
         |    / CAST(sum(c) * sum(c) AS DOUBLE) AS simpson_diversity
         |FROM c GROUP BY source""".stripMargin,
+    // Heaps curve: "vocab at prefix n" collapses to min(doc_id) per token;
+    // decile rollups + a 10-row cumulative window, exact BIGINTs
+    "tx_heaps_curve" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |fs AS (
+        |  SELECT token, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token),
+        |nt AS (
+        |  SELECT (first_doc * 10) // n_docs AS decile,
+        |         CAST(count(*) AS BIGINT) AS new_types
+        |  FROM fs, n GROUP BY 1),
+        |dd AS (
+        |  SELECT (doc_id * 10) // n_docs AS decile,
+        |         CAST(count(*) AS BIGINT) AS n_docs_in
+        |  FROM documents, n GROUP BY 1)
+        |SELECT dd.decile,
+        |  CAST(sum(dd.n_docs_in) OVER (ORDER BY dd.decile) AS BIGINT)
+        |    AS docs_seen,
+        |  coalesce(nt.new_types, 0) AS new_types,
+        |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY dd.decile)
+        |    AS BIGINT) AS vocab_size
+        |FROM dd LEFT JOIN nt ON nt.decile = dd.decile""".stripMargin,
     // KWIC snippets: first occurrence via list_position, edge-clipped
     // window as a 1-based inclusive list slice
     "tx_search_snippets" -> {

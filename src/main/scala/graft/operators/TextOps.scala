@@ -862,6 +862,43 @@ object TextOps {
         (lit(1.0d) - col("sum_sq").cast("double") /
           (col("n_docs") * col("n_docs")).cast("double")).as("simpson_diversity"))
 
+  /** X-C66: Heaps'-law vocabulary-growth curve — per corpus decile (docs
+    * bucketed by `(doc_id·10) div n`), the count of token types first seen
+    * in that decile and the cumulative vocabulary size: the sublinearity
+    * audit every tokenizer/dedup pipeline reads (healthy text grows vocab
+    * ~n^β, β<1; near-LINEAR growth means ids/noise/junk are flooding the
+    * type space and the tokenizer budget is mis-sized). Distributed shape:
+    * "vocabulary at prefix n" is NOT a running distinct (a sequential
+    * notion) — it collapses to one `min(doc_id)` per token (first
+    * occurrence), so the corpus cost is exactly the vocabulary aggregation
+    * [[vocabulary]] already pays, then the curve is a decile rollup of the
+    * vocab-sized first-seen table plus a 10-row cumulative window (bounded,
+    * deliberately single-partition). Doc counts per decile come from a
+    * second map-side aggregate of the documents scan; all values exact
+    * BIGINTs, engine-identical.
+    */
+  def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val newTypes = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(n))
+      .select(expr("(first_doc * 10) div n_docs").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+    val docsIn = docs.crossJoin(broadcast(n))
+      .select(expr("(doc_id * 10) div n_docs").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_docs_in"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+    docsIn.join(newTypes, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs_in"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("decile"),
+        sum(col("n_docs_in")).over(w).as("docs_seen"),
+        col("new_types"),
+        sum(col("new_types")).over(w).as("vocab_size"))
+  }
+
   /** Tokens of context on each side of a hit in [[searchSnippets]]. */
   val SnippetRadius = 3
 
