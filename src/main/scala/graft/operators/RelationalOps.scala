@@ -1245,6 +1245,55 @@ object RelationalOps {
         (col("num") * col("num") / (col("den") * col("deny"))).as("r2"))
   }
 
+  /** Measure columns profiled by [[corrPairs]]: (source column, short name). */
+  val CorrCols: Seq[(String, String)] =
+    Seq("l_quantity" -> "quantity", "l_extendedprice" -> "price",
+      "l_discount" -> "discount", "l_tax" -> "tax")
+
+  /** X-P40: pairwise-correlation audit — Pearson r and r² for every pair
+    * of lineitem measures, the feature-redundancy profile a pipeline reads
+    * before training (|r|≈1 ⇒ a redundant feature; r≈0 against the label ⇒
+    * a dead one). Distributed shape: ALL 14 moment sums (n, 4 sums, 4
+    * square sums, 6 cross sums) come from ONE map-side-combinable
+    * aggregate whose state is 15 numbers total — the corpus is scanned
+    * once, the exchange carries one 15-tuple per task, and the 6 output
+    * rows unroll from the one-row moment table with `explode` (metadata-
+    * sized at any corpus). Portability is the [[trendOls]] discipline:
+    * every moment an exact decimal sum, doubles only in the mirrored
+    * closed form where each operation is a single correctly-rounded IEEE
+    * op (incl. sqrt) on exactly-determined inputs — hash-exact, no
+    * rounding.
+    */
+  def corrPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(12,2)")
+    val names = CorrCols.map(_._2)
+    val sums =
+      CorrCols.flatMap { case (c, n) =>
+        Seq(sum(d(c)).cast("double").as(s"s_$n"),
+          sum(d(c) * d(c)).cast("double").as(s"s_${n}_$n")) } ++
+      names.combinations(2).map { case Seq(x, y) =>
+        val (cx, cy) = (CorrCols.find(_._2 == x).get._1, CorrCols.find(_._2 == y).get._1)
+        sum(d(cx) * d(cy)).cast("double").as(s"s_${x}_$y")
+      }
+    val m = Tables.lineitem(spark, sfDir)
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val pairStructs = names.combinations(2).toSeq.map { case Seq(x, y) =>
+      struct(lit(x).as("x_name"), lit(y).as("y_name"),
+        col(s"s_$x").as("sx"), col(s"s_$y").as("sy"),
+        col(s"s_${x}_$x").as("sxx"), col(s"s_${y}_$y").as("syy"),
+        col(s"s_${x}_$y").as("sxy"))
+    }
+    m.select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.x_name").as("x_name"), col("p.y_name").as("y_name"),
+        col("n"),
+        (col("n") * col("p.sxy") - col("p.sx") * col("p.sy")).as("num"),
+        (col("n") * col("p.sxx") - col("p.sx") * col("p.sx")).as("denx"),
+        (col("n") * col("p.syy") - col("p.sy") * col("p.sy")).as("deny"))
+      .select(col("x_name"), col("y_name"), col("n"),
+        (col("num") / sqrt(col("denx") * col("deny"))).as("r"),
+        (col("num") * col("num") / (col("denx") * col("deny"))).as("r2"))
+  }
+
   /** X-J: FULL OUTER reconciliation join — year-over-year revenue per
     * customer, the snapshot-diff shape every pipeline audit runs ("who
     * appeared, who vanished, who changed"). Both sides are pre-aggregated

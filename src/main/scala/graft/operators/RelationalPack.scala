@@ -66,6 +66,7 @@ object RelationalPack extends QueryPack {
     "xt_event_transitions" -> ((s, d) => TimeSeriesOps.eventTransitions(s, d)),
     "xo_priority_sample" -> ((s, d) => RelationalOps.prioritySample(s, d)),
     "xa_trend_ols" -> ((s, d) => RelationalOps.trendOls(s, d)),
+    "xa_corr_pairs" -> ((s, d) => RelationalOps.corrPairs(s, d)),
     "xa_basket_pairs" -> ((s, d) => RelationalOps.basketPairs(s, d)),
     "xa_rfm_segments" -> ((s, d) => RelationalOps.rfmSegments(s, d)),
     "xa_benford_audit" -> ((s, d) => RelationalOps.benfordAudit(s, d)),
@@ -954,6 +955,36 @@ object RelationalPack extends QueryPack {
          |JOIN isup sb ON sb.pk = p.part_b, nb""".stripMargin,
     // identical expression structure to the Spark side: exact decimal/long
     // moments, doubles only inside the mirrored closed form
+    // one 15-number moment aggregate, six unrolled pair rows; doubles only
+    // inside the mirrored closed form (trend_ols discipline, incl. IEEE sqrt)
+    "xa_corr_pairs" -> {
+      val cols = RelationalOps.CorrCols
+      def dec(c: String) = s"CAST($c AS DECIMAL(12,2))"
+      val moments = cols.flatMap { case (c, n) =>
+        Seq(s"CAST(sum(${dec(c)}) AS DOUBLE) AS s_$n",
+          s"CAST(sum(${dec(c)} * ${dec(c)}) AS DOUBLE) AS s_${n}_$n")
+      } ++ cols.map(_._2).combinations(2).map { pr =>
+        val Seq(x, y) = pr
+        val cx = cols.find(_._2 == x).get._1
+        val cy = cols.find(_._2 == y).get._1
+        s"CAST(sum(${dec(cx)} * ${dec(cy)}) AS DOUBLE) AS s_${x}_$y"
+      }
+      val pairSelects = cols.map(_._2).combinations(2).map { pr =>
+        val Seq(x, y) = pr
+        val num = s"(n * s_${x}_$y - s_$x * s_$y)"
+        val denx = s"(n * s_${x}_$x - s_$x * s_$x)"
+        val deny = s"(n * s_${y}_$y - s_$y * s_$y)"
+        s"""SELECT '$x' AS x_name, '$y' AS y_name, n,
+           |  $num / sqrt($denx * $deny) AS r,
+           |  $num * $num / ($denx * $deny) AS r2
+           |FROM m""".stripMargin
+      }
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${moments.mkString(",\n    ")}
+         |  FROM lineitem)
+         |${pairSelects.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "xa_trend_ols" -> {
       val day =
         s"CAST(datediff('day', DATE '${RelationalOps.TrendEpoch}', CAST(o_orderdate AS DATE)) AS BIGINT)"
