@@ -40,6 +40,7 @@ object GeoPack extends QueryPack {
     "geo_clustering_coeff" -> ((s, d) => GeoOps.clusteringCoefficient(s, d)),
     "geo_degree_histogram" -> ((s, d) => GeoOps.degreeHistogram(s, d)),
     "geo_link_prediction" -> ((s, d) => GeoOps.linkPrediction(s, d)),
+    "geo_adamic_adar" -> ((s, d) => GeoOps.adamicAdar(s, d)),
   )
 
   private val coordsCte =
@@ -424,6 +425,37 @@ object GeoPack extends QueryPack {
          |    AS jaccard
          |FROM ne JOIN deg da ON da.v = ne.a JOIN deg db ON db.v = ne.b
          |ORDER BY common DESC, a, b
+         |LIMIT ${GeoOps.LinkPredK}""".stripMargin,
+    // same wedge stream weighted by 1/ln(deg(pivot)); emission rounds to
+    // 6 dp and the cut orders on the ROUNDED score (ties (a,b)) so the
+    // top-k membership is engine-identical despite the float sum
+    "geo_adamic_adar" ->
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |edges AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |und AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM edges),
+         |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY src),
+         |aa AS (
+         |  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common,
+         |    round(sum(1.0 / ln(dm.deg)), 6) AS aa_score
+         |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN deg dm ON dm.v = e1.src
+         |  GROUP BY e1.dst, e2.dst),
+         |ne AS (
+         |  SELECT aa.* FROM aa
+         |  LEFT JOIN und ON und.src = aa.a AND und.dst = aa.b
+         |  WHERE und.src IS NULL)
+         |SELECT a, b, common, aa_score
+         |FROM ne
+         |ORDER BY aa_score DESC, a, b
          |LIMIT ${GeoOps.LinkPredK}""".stripMargin,
   )
 

@@ -1429,4 +1429,83 @@ object RelationalOps {
         sum(datediff(col("l_shipdate"), col("o_orderdate"))).as("sum_delay_days"),
         (sum(datediff(col("l_shipdate"), col("o_orderdate"))).cast("double") / count("*"))
           .as("avg_delay_days"))
+
+  /** X-P41: χ² independence audit of two categorical columns — per-cell
+    * observed vs expected counts for returnflag × linestatus, the
+    * contingency-table screen behind "is this label correlated with that
+    * flag?" (drift detection, leakage checks, stratification design). Per
+    * cell: observed BIGINT, the marginals, expected = row·col/n, the χ²
+    * contribution (o−e)²/e, and a ±3σ deviant flag on the cell's Pearson
+    * residual. Exactness discipline ([[benfordAudit]]'s): counts and
+    * marginal products are exact BIGINTs; expected is ONE exact-product
+    * division and every later double is a deterministic per-row IEEE chain
+    * (no order-dependent float summation anywhere — a χ² TOTAL would sum
+    * doubles in partition order, so the table carries per-cell
+    * contributions and the integer deviant count instead, which is the
+    * same decision). Shuffle shape: one map-side-combinable cell collapse
+    * of the facts (≤|flags|·|statuses| rows — metadata-sized at any
+    * corpus), then broadcast marginal joins on that tiny table.
+    */
+  def chi2FlagStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("observed"))
+    val rowT = cells.groupBy(col("l_returnflag"))
+      .agg(sum(col("observed")).as("row_total"))
+    val colT = cells.groupBy(col("l_linestatus"))
+      .agg(sum(col("observed")).as("col_total"))
+    val n = cells.agg(sum(col("observed")).as("n"))
+    val e = col("row_total").cast("double") * col("col_total").cast("double") /
+      col("n").cast("double")
+    cells
+      .join(broadcast(rowT), Seq("l_returnflag"))
+      .join(broadcast(colT), Seq("l_linestatus"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected", e)
+      .withColumn("diff", col("observed").cast("double") - col("expected"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("observed"),
+        col("row_total"), col("col_total"), col("n"), col("expected"),
+        (col("diff") * col("diff") / col("expected")).as("chi2_contrib"),
+        (col("diff") * col("diff") > lit(9.0) * col("expected"))
+          .as("deviant_3sigma"))
+  }
+
+  /** X-P42: Gini coefficient of customer spend per market segment — the
+    * single-number inequality summary next to [[spendConcentration]]'s
+    * top-X% shares (revenue-concentration monitoring, mixture-weight
+    * sanity for sampling designs). Uses the rank formula on the ascending
+    * spend order: G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ).
+    *
+    * Exactness discipline: spend is carried as exact integer CENTS (the
+    * decimal(12,2) cast at 100×), so the rank order, Σxᵢ, and the
+    * rank-weighted Σi·xᵢ are all exact — summed as decimal(38,0) (a long
+    * sum would overflow at ~10⁵× this SF; DuckDB's HUGEINT twin widens
+    * the same way) — and the emitted gini is ONE double division of exact
+    * operands: hash-exact across engines, no rounding needed. Shuffle
+    * shape: one map-side-combinable per-customer collapse of orders, then
+    * a customer-cardinality segment window for row_number (ties broken by
+    * custkey — deterministic at any parallelism) and a segment-sized
+    * rollup. The window input is the per-customer AGGREGATE, never raw
+    * facts — the [[spendPercentiles]] scale argument.
+    */
+  def giniSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("decimal(20,0)").as("cents"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("sx"),
+        sum(col("i") * col("cents")).as("sixi"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        (col("sx").cast("double") / 100.0).as("total_spend"),
+        ((lit(2) * col("sixi") - (col("n_customers") + 1) * col("sx"))
+          .cast("double") /
+          (col("n_customers") * col("sx")).cast("double")).as("gini"))
+  }
 }

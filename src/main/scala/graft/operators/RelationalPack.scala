@@ -90,6 +90,9 @@ object RelationalPack extends QueryPack {
     "xt_activity_heatmap" -> ((s, d) => TimeSeriesOps.activityHeatmap(s, d)),
     "xt_mad_outliers" -> ((s, d) => TimeSeriesOps.madOutliers(s, d)),
     "xt_value_moments" -> ((s, d) => TimeSeriesOps.valueMoments(s, d)),
+    "xa_chi2_flag_status" -> ((s, d) => RelationalOps.chi2FlagStatus(s, d)),
+    "xa_gini_spend" -> ((s, d) => RelationalOps.giniSpend(s, d)),
+    "xt_ewma_daily" -> ((s, d) => TimeSeriesOps.ewmaDaily(s, d)),
   )
 
   private val rev =
@@ -1246,5 +1249,72 @@ object RelationalPack extends QueryPack {
         |  round(sqrt(n) * m3 / power(m2, 1.5), 6) AS skew_g1,
         |  round(n * m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
         |FROM m""".stripMargin,
+    // per-cell χ² contributions: exact BIGINT counts/marginals, expected
+    // one exact-product division, every later double a deterministic
+    // per-row IEEE chain (no order-dependent float sum — the Benford
+    // portability discipline)
+    "xa_chi2_flag_status" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS observed
+        |  FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT l_returnflag, CAST(sum(observed) AS BIGINT) AS row_total
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT l_linestatus, CAST(sum(observed) AS BIGINT) AS col_total
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells),
+        |ex AS (
+        |  SELECT c.l_returnflag, c.l_linestatus, c.observed,
+        |    rt.row_total, ct.col_total, tot.n,
+        |    CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE) /
+        |      CAST(tot.n AS DOUBLE) AS expected,
+        |    CAST(c.observed AS DOUBLE) -
+        |      CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE) /
+        |        CAST(tot.n AS DOUBLE) AS diff
+        |  FROM cells c
+        |  JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus)
+        |  CROSS JOIN tot)
+        |SELECT l_returnflag, l_linestatus, observed, row_total, col_total, n,
+        |  expected, diff * diff / expected AS chi2_contrib,
+        |  diff * diff > 9.0 * expected AS deviant_3sigma
+        |FROM ex""".stripMargin,
+    // exact integer CENTS throughout (HUGEINT sums mirror Spark's
+    // decimal(38,0) widening); gini is ONE double division of exact
+    // operands — hash-exact, no rounding
+    "xa_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT c.c_mktsegment, s.cents,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |                       ORDER BY s.cents, c.c_custkey) AS i
+        |  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey),
+        |agg AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |    sum(CAST(cents AS HUGEINT)) AS sx,
+        |    sum(i * CAST(cents AS HUGEINT)) AS sixi
+        |  FROM ranked GROUP BY 1)
+        |SELECT c_mktsegment, n_customers,
+        |  CAST(sx AS DOUBLE) / 100.0 AS total_spend,
+        |  CAST(2 * sixi - (n_customers + 1) * sx AS DOUBLE) /
+        |    CAST(n_customers * sx AS DOUBLE) AS gini
+        |FROM agg""".stripMargin,
+    // truncated-convolution twin: same literal decay base (decimal→double
+    // parse is correctly rounded in both engines), calendar-day lags,
+    // 6 dp emission over the one ≤K-term float sum
+    "xt_ewma_daily" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT a.day, a.revenue, CAST(count(*) AS BIGINT) AS kernel_days,
+         |  round(${TimeSeriesOps.EwmaAlpha} *
+         |    sum(power(${TimeSeriesOps.EwmaDecay},
+         |              date_diff('day', b.day, a.day)) * b.revenue), 6) AS ewma
+         |FROM daily a JOIN daily b
+         |  ON date_diff('day', b.day, a.day)
+         |     BETWEEN 0 AND ${TimeSeriesOps.EwmaWindow - 1}
+         |GROUP BY a.day, a.revenue""".stripMargin,
   )
 }

@@ -763,4 +763,54 @@ object TimeSeriesOps {
         last(col("purchase_raw"), ignoreNulls = true).over(w))
       .select(col("user_id"), col("hour"), col("clicks"), col("last_purchase_value"))
   }
+
+  /** EWMA smoothing factor and truncated-kernel length (weights below
+    * (1−α)^(K−1) ≈ 0.15% are dropped — the truncation IS the operator's
+    * spec, mirrored exactly in the oracle, not an approximation of an
+    * infinite kernel). */
+  val EwmaAlpha = 0.2
+  /** 1 − [[EwmaAlpha]], spelled as a LITERAL: `1.0 - 0.2` computed in
+    * binary need not round to the same double the decimal literal `0.8`
+    * parses to, and the oracle's SQL carries the literal — both engines'
+    * decimal→double parses are correctly rounded, so the literal is the
+    * cross-engine-identical form. */
+  val EwmaDecay = 0.8
+  val EwmaWindow = 30
+
+  /** X-C67: exponentially weighted moving average of daily order revenue —
+    * the standard dashboard smoother (recency-weighted level estimate
+    * that, unlike [[stlDecompose]]'s centered MA, is causal: each day sees
+    * only its past, so it is the form an online monitor replays). Per day:
+    * exact revenue, the EWMA over the trailing [[EwmaWindow]] days with
+    * weight α(1−α)^k at lag k, and the kernel's actual day count (edge
+    * days carry shorter kernels; calendar gaps simply contribute nothing —
+    * lag is CALENDAR days, so the weighting is drift-free across gaps).
+    *
+    * The recurrence ewma_t = α·x_t + (1−α)·ewma_{t−1} is inherently
+    * sequential — useless shaped that way on a cluster. Reframed as the
+    * truncated convolution Σₖ α(1−α)^k·x_{t−k} it is one range self-join
+    * of the DAY-cardinality series against itself (≤K rows per anchor
+    * day — bounded fan-out ~K·|days|, metadata-sized at any corpus since
+    * the fact table collapsed first). Daily revenue is an exact decimal
+    * sum cast once to double; kernel weights are pow(1−α, k) on integer
+    * lags (≤1 ulp across engines); the weighted sum is the one
+    * order-dependent float accumulation (≤[[EwmaWindow]] terms), so the
+    * emission rounds to 6 dp — far above the ~1e-9 drift, the
+    * [[TextOps.tokenEntropy]] tolerance argument.
+    */
+  def ewmaDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+        .as("revenue"))
+    val hist = daily.select(col("day").as("d2"), col("revenue").as("rev2"))
+    daily.join(hist,
+        datediff(col("day"), col("d2")).between(0, EwmaWindow - 1))
+      .withColumn("k", datediff(col("day"), col("d2")).cast("double"))
+      .groupBy(col("day"), col("revenue"))
+      .agg(count(lit(1)).as("kernel_days"),
+        sum(pow(lit(EwmaDecay), col("k")) * col("rev2")).as("s"))
+      .select(col("day"), col("revenue"), col("kernel_days"),
+        round(lit(EwmaAlpha) * col("s"), 6).as("ewma"))
+  }
 }

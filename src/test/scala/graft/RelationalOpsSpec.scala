@@ -783,4 +783,64 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.map(_.getString(7)).toSet ==
       Set("champion", "dormant", "big_spender", "regular"))
   }
+
+  test("chi2FlagStatus: per-cell expected/contrib recompute from a driver-side contingency table") {
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.lineitem(spark, Sf)
+      .select(col("l_returnflag"), col("l_linestatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowT = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colT = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = pairs.length.toLong
+    val rows = RelationalOps.chi2FlagStatus(spark, Sf).collect()
+    assert(rows.length == cells.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (f, s) = (r.getString(0), r.getString(1))
+      val key = (f, s)
+      val o = cells(key)
+      val e = rowT(f).toDouble * colT(s).toDouble / n.toDouble
+      val diff = o.toDouble - e
+      assert(r.getLong(2) == o && r.getLong(3) == rowT(f) &&
+        r.getLong(4) == colT(s) && r.getLong(5) == n)
+      assert(r.getDouble(6) == e, s"cell $key expected")
+      assert(r.getDouble(7) == diff * diff / e, s"cell $key contrib")
+      assert(r.getBoolean(8) == (diff * diff > 9.0 * e), s"cell $key flag")
+    }
+    // the synthetic fixture draws flag and status independently, so the
+    // audit's clean verdict here is a TRUE NEGATIVE (cf. benfordAudit's
+    // true rejection); the invariants below pin the table's consistency
+    assert(rows.map(_.getLong(2)).sum == n)
+    assert(math.abs(rows.map(_.getDouble(6)).sum - n.toDouble) < 1e-6)
+  }
+
+  test("giniSpend: rank-formula coefficient recomputes from exact driver-side cents") {
+    import org.apache.spark.sql.functions._
+    val spend = Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).movePointRight(2).longValueExact())
+      .toMap
+    val seg = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = RelationalOps.giniSpend(spark, Sf).collect()
+    assert(rows.length == seg.values.toSet.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getString(0)
+      val xs = spend.toSeq.collect { case (ck, c) if seg.get(ck).contains(m) => (c, ck) }
+        .sortBy(identity).map(_._1)
+      val nn = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val sixi = xs.zipWithIndex.map { case (x, i0) => BigInt(i0 + 1) * x }.sum
+      assert(r.getLong(1) == xs.length.toLong, s"segment $m n")
+      assert(r.getDouble(2) == sx.toDouble / 100.0, s"segment $m total")
+      val g = (2 * sixi - (nn + 1) * sx).toDouble / (nn * sx).toDouble
+      assert(r.getDouble(3) == g, s"segment $m gini")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+    // spend inequality is real on the fixture: some segment's gini is
+    // non-trivially positive
+    assert(rows.map(_.getDouble(3)).max > 0.05)
+  }
 }

@@ -528,4 +528,37 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("ewmaDaily: truncated convolution recomputes from a driver-side daily series") {
+    val daily = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("rev"))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getDouble(1)).toMap
+    def ewma(d: java.time.LocalDate): (Long, Double) = {
+      val terms = (0 until TimeSeriesOps.EwmaWindow)
+        .flatMap(k => daily.get(d.minusDays(k.toLong))
+          .map(rev => math.pow(TimeSeriesOps.EwmaDecay, k.toDouble) * rev))
+      val s = BigDecimal(TimeSeriesOps.EwmaAlpha * terms.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (terms.size.toLong, s)
+    }
+    val got = TimeSeriesOps.ewmaDaily(spark, Sf).collect()
+    assert(got.length == daily.size && got.nonEmpty)
+    got.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val (nk, e) = ewma(d)
+      assert(r.getDouble(1) == daily(d), s"day $d revenue")
+      assert(r.getLong(2) == nk, s"day $d kernel size")
+      assert(math.abs(r.getDouble(3) - e) < 2e-6, s"day $d ewma")
+      // causal smoother stays within the window's observed revenue range
+      val window = (0 until TimeSeriesOps.EwmaWindow)
+        .flatMap(k => daily.get(d.minusDays(k.toLong)))
+      assert(r.getDouble(3) <= window.max + 1e-6)
+    }
+    // kernels are bounded by the window and non-trivial somewhere (the
+    // sf0.001 daily series is sparse, so full 30-day kernels need not occur)
+    assert(got.map(_.getLong(2)).forall(k => k >= 1 && k <= TimeSeriesOps.EwmaWindow))
+    assert(got.map(_.getLong(2)).max > 1)
+  }
 }
