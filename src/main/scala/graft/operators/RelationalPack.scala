@@ -93,6 +93,8 @@ object RelationalPack extends QueryPack {
     "xa_chi2_flag_status" -> ((s, d) => RelationalOps.chi2FlagStatus(s, d)),
     "xa_gini_spend" -> ((s, d) => RelationalOps.giniSpend(s, d)),
     "xt_ewma_daily" -> ((s, d) => TimeSeriesOps.ewmaDaily(s, d)),
+    "xt_mann_kendall" -> ((s, d) => TimeSeriesOps.mannKendall(s, d)),
+    "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
   )
 
   private val rev =
@@ -1316,5 +1318,67 @@ object RelationalPack extends QueryPack {
          |  ON date_diff('day', b.day, a.day)
          |     BETWEEN 0 AND ${TimeSeriesOps.EwmaWindow - 1}
          |GROUP BY a.day, a.revenue""".stripMargin,
+    // exact +-1/0 BIGINT S over the day-pair join, tie-corrected var18,
+    // z a one-row IEEE chain over exact BIGINTs -- hash-exact, unrounded
+    "xt_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |s AS (
+         |  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+         |                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM daily a JOIN daily b ON a.day < b.day),
+         |ties AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_value_groups,
+         |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         |m AS (
+         |  SELECT n_days, s, n_value_groups,
+         |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE)
+         |      / 18.0 AS var_s
+         |  FROM s CROSS JOIN ties CROSS JOIN nn),
+         |zc AS (
+         |  SELECT *, CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+         |                 WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+         |                 ELSE 0.0 END AS z
+         |  FROM m)
+         |SELECT n_days, s, n_value_groups, var_s, z,
+         |  CASE WHEN z > ${TimeSeriesOps.MkZCrit} THEN 'increasing'
+         |       WHEN z < -${TimeSeriesOps.MkZCrit} THEN 'decreasing'
+         |       ELSE 'no_trend' END AS trend
+         |FROM zc""".stripMargin,
+    // exact integer-cents support, cumulative BIGINT ECDFs, per-row |F1-F2|
+    // IEEE chains, argmax cut on (diff DESC, cents) -- engine-identical
+    "xt_ks_purchase_click" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |bins AS (
+         |  SELECT cents,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM ev GROUP BY cents),
+         |tot AS (
+         |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM ev),
+         |ecdf AS (
+         |  SELECT cents,
+         |    sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f1,
+         |    sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f2
+         |  FROM bins),
+         |d AS (
+         |  SELECT e.cents AS at_cents, t.n1, t.n2,
+         |    abs(CAST(e.f1 AS DOUBLE) / CAST(t.n1 AS DOUBLE) -
+         |        CAST(e.f2 AS DOUBLE) / CAST(t.n2 AS DOUBLE)) AS d_stat
+         |  FROM ecdf e CROSS JOIN tot t)
+         |SELECT at_cents, n1, n2, d_stat,
+         |  d_stat > ${TimeSeriesOps.KsCoeff} *
+         |    sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS reject_05
+         |FROM d
+         |ORDER BY d_stat DESC, at_cents
+         |LIMIT 1""".stripMargin,
   )
 }

@@ -813,4 +813,99 @@ object TimeSeriesOps {
       .select(col("day"), col("revenue"), col("kernel_days"),
         round(lit(EwmaAlpha) * col("s"), 6).as("ewma"))
   }
+
+  /** |z| threshold (±1.96 ≈ two-sided 5%) for [[mannKendall]]'s verdict. */
+  val MkZCrit = 1.96
+
+  /** X-C69: Mann–Kendall trend test on the daily order-count series — the
+    * standard NONPARAMETRIC "is this metric drifting?" monitor (no
+    * linearity or normality assumed, unlike [[RelationalOps.trendOls]]'s
+    * slope): S = Σᵢ<ⱼ sgn(xⱼ−xᵢ) over all day pairs, the tie-corrected
+    * variance n(n−1)(2n+5)−Σₜt(t−1)(2t+5) over 18, and the
+    * continuity-corrected z with a ±[[MkZCrit]] verdict.
+    *
+    * Scale shape: the facts collapse to the DAY-cardinality series first,
+    * so the O(n²) pair join — the statistic's defining cost — runs on
+    * day-pair rows (millions at decades of days, metadata-sized next to
+    * any corpus); S is an exact ±1/0 BIGINT sum (map-side combinable),
+    * the tie census an x-cardinality aggregate, and every emitted double
+    * is a deterministic one-row IEEE chain over exact BIGINTs (z =
+    * (S∓1)/√(var18/18)) — hash-exact, no rounding, the
+    * [[RelationalOps.benfordAudit]] discipline.
+    */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val s = daily.select(col("day").as("d1"), col("x").as("x1"))
+      .join(daily.select(col("day").as("d2"), col("x").as("x2")),
+        col("d1") < col("d2"))
+      .agg(sum(when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s"))
+    val ties = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("n_value_groups"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    val var18 = col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) -
+      col("tie_term")
+    val varS = var18.cast("double") / 18.0
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(0.0)
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n_days"), col("s"), col("n_value_groups"),
+        varS.as("var_s"), z.as("z"),
+        when(z > MkZCrit, "increasing").when(z < -MkZCrit, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
+  /** KS rejection threshold: the α=0.05 two-sample coefficient c(α) =
+    * √(−ln(α/2)/2) ≈ 1.358, carried as a LITERAL (the [[EwmaDecay]]
+    * argument: both engines parse the decimal identically; computing it
+    * through libm ln/sqrt at query time would not be bit-pinned). */
+  val KsCoeff = 1.358
+
+  /** X-C70: two-sample Kolmogorov–Smirnov test between the purchase- and
+    * click-value distributions — the standard "did this metric's SHAPE
+    * drift?" check (A/B guardrails, feature drift), sensitive where a
+    * mean/variance test is blind. D = max |F₁−F₂| over the pooled support,
+    * with the α=0.05 rejection bound [[KsCoeff]]·√((n₁+n₂)/(n₁n₂)).
+    *
+    * Scale shape: the fixture's values are 2 dp-quantized, so the support
+    * is EXACT integer cents (a decimal cast ×100 — no float binning) and
+    * the ECDFs are cumulative BIGINT counts over a cents-cardinality
+    * bounded window (≤~10⁵ rows at any corpus — the binned-KS shape a
+    * 100-TB pipeline uses; the window input is the bin aggregate, never
+    * facts). Each |F₁−F₂| is a per-row IEEE chain over exact BIGINTs; the
+    * max-picking cut orders on (diff DESC, cents) — doubles computed
+    * identically per row in both engines, integer tie-break — so the
+    * emitted argmax row is engine-identical, hash-exact, no rounding.
+    */
+  def ksPurchaseClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val bins = ev.groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = ev.agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+    val diff = abs(col("f1").cast("double") / col("n1").cast("double") -
+      col("f2").cast("double") / col("n2").cast("double"))
+    bins
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("cents").as("at_cents"), col("n1"), col("n2"),
+        diff.as("d_stat"),
+        (diff > lit(KsCoeff) *
+          sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1") * col("n2")).cast("double"))).as("reject_05"))
+      .orderBy(col("d_stat").desc, col("at_cents"))
+      .limit(1)
+  }
 }

@@ -561,4 +561,58 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).forall(k => k >= 1 && k <= TimeSeriesOps.EwmaWindow))
     assert(got.map(_.getLong(2)).max > 1)
   }
+
+  test("mannKendall: S, tie-corrected variance, and z recompute driver-side") {
+    val daily = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+      .sortBy(_._1.toEpochDay)
+    val xs = daily.map(_._2)
+    var s = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length)
+      s += java.lang.Long.signum(xs(j) - xs(i)).toLong
+    val n = xs.length.toLong
+    val tieTerm = xs.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varS = (n * (n - 1) * (2 * n + 5) - tieTerm).toDouble / 18.0
+    val z = if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(varS) else 0.0
+    val r = TimeSeriesOps.mannKendall(spark, Sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(r.getLong(2) == xs.distinct.length.toLong)
+    assert(r.getDouble(3) == varS && r.getDouble(4) == z)
+    val trend = if (z > TimeSeriesOps.MkZCrit) "increasing"
+      else if (z < -TimeSeriesOps.MkZCrit) "decreasing" else "no_trend"
+    assert(r.getString(5) == trend)
+    // ties are real on a count-valued series, so the correction is exercised
+    assert(tieTerm > 0)
+  }
+
+  test("ksPurchaseClick: D statistic recomputes from driver-side ECDFs") {
+    val ev = Tables.events(spark, Sf)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n1 = ev.count(_._1 == "purchase").toLong
+    val n2 = ev.count(_._1 == "click").toLong
+    val support = ev.map(_._2).distinct.sorted
+    var (c1, c2) = (0L, 0L)
+    val byCents = ev.groupBy(_._2)
+    val ecdf = support.map { c =>
+      c1 += byCents(c).count(_._1 == "purchase").toLong
+      c2 += byCents(c).count(_._1 == "click").toLong
+      c -> math.abs(c1.toDouble / n1.toDouble - c2.toDouble / n2.toDouble)
+    }
+    val dMax = ecdf.map(_._2).max
+    val expAt = ecdf.filter(_._2 == dMax).map(_._1).min
+    val r = TimeSeriesOps.ksPurchaseClick(spark, Sf).collect().head
+    assert(r.getLong(1) == n1 && r.getLong(2) == n2)
+    assert(r.getLong(0) == expAt && r.getDouble(3) == dMax)
+    assert(r.getBoolean(4) ==
+      (dMax > TimeSeriesOps.KsCoeff *
+        math.sqrt((n1 + n2).toDouble / (n1 * n2).toDouble)))
+    assert(dMax > 0.0 && dMax < 1.0)
+  }
 }
