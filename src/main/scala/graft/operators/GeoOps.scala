@@ -176,6 +176,36 @@ object GeoOps {
         col("lon").as("b_lon"), col("lat").as("b_lat"))
   }
 
+  /** Mean Earth radius (km) doubled — the haversine output scale, carried
+    * as one literal so both engines parse the identical double. */
+  val EarthDiamKm = 12742.0
+
+  /** X-C71: haversine great-circle refinement of the proximity join — the
+    * real-distance (km) step a geo pipeline runs AFTER the cheap degree-box
+    * candidate stage ([[neighborPairs]]): box adjacency is the INDEX
+    * (GeoMesa's z2 prefix at production), the sphere distance is the
+    * EXACT predicate, and splitting them this way is exactly how a
+    * planet-scale distance join avoids trigonometry on the full cross
+    * product — the 3×3-cell candidate set bounds the blow-up, so the trig
+    * runs on pair-cardinality rows only. Per candidate pair: the integer
+    * degree coords and 2R·asin(√(sin²(Δφ/2) + cosφ₁cosφ₂sin²(Δλ/2))).
+    * The formula is a deterministic per-row IEEE chain (libm sin/cos/asin
+    * agree across engines to ~1 ulp — ~10⁻¹³ km here); emission rounds to
+    * 6 dp (millimeters), far above the drift — the
+    * [[TimeSeriesOps.ewmaDaily]] argument, per-row instead of per-sum.
+    */
+  def haversinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val s1 = sin(radians((col("b_lat") - col("a_lat")).cast("double") / 2.0))
+    val s2 = sin(radians((col("b_lon") - col("a_lon")).cast("double") / 2.0))
+    val h = s1 * s1 +
+      cos(radians(col("a_lat").cast("double"))) *
+      cos(radians(col("b_lat").cast("double"))) * (s2 * s2)
+    neighborPairs(spark, sfDir)
+      .select(col("a_id"), col("b_id"),
+        col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"),
+        round(lit(EarthDiamKm) * asin(sqrt(h)), 6).as("km"))
+  }
+
   /** Grid-kNN geometry: 2^12-unit cells on the 16-bit scaled grid, k
     * neighbors, and the completeness radius the 3×3 candidate set
     * guarantees — any point within [[KnnRadius]] of a lies in a's nine

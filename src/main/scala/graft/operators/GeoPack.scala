@@ -41,6 +41,7 @@ object GeoPack extends QueryPack {
     "geo_degree_histogram" -> ((s, d) => GeoOps.degreeHistogram(s, d)),
     "geo_link_prediction" -> ((s, d) => GeoOps.linkPrediction(s, d)),
     "geo_adamic_adar" -> ((s, d) => GeoOps.adamicAdar(s, d)),
+    "geo_haversine_pairs" -> ((s, d) => GeoOps.haversinePairs(s, d)),
   )
 
   private val coordsCte =
@@ -154,6 +155,27 @@ object GeoPack extends QueryPack {
          |FROM pts a JOIN pts b
          |  ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
          |  AND a.event_id < b.event_id""".stripMargin,
+    // same candidate pairs, same IEEE haversine chain (identical
+    // association order), 6 dp emission absorbs libm trig ulps
+    "geo_haversine_pairs" ->
+      s"""WITH $coordsCte,
+         |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
+         |pairs AS (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id,
+         |    a.lon AS a_lon, a.lat AS a_lat, b.lon AS b_lon, b.lat AS b_lat
+         |  FROM pts a JOIN pts b
+         |    ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |    AND a.event_id < b.event_id),
+         |trig AS (
+         |  SELECT *,
+         |    sin(radians(CAST(b_lat - a_lat AS DOUBLE) / 2.0)) AS s1,
+         |    sin(radians(CAST(b_lon - a_lon AS DOUBLE) / 2.0)) AS s2
+         |  FROM pairs)
+         |SELECT a_id, b_id, a_lon, a_lat, b_lon, b_lat,
+         |  round(${GeoOps.EarthDiamKm} * asin(sqrt(
+         |    s1 * s1 + cos(radians(CAST(a_lat AS DOUBLE))) *
+         |      cos(radians(CAST(b_lat AS DOUBLE))) * (s2 * s2))), 6) AS km
+         |FROM trig""".stripMargin,
     // same oriented-wedge closure in SQL over the same edge list
     "geo_triangle_counts" ->
       s"""WITH $coordsCte,

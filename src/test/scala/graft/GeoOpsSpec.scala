@@ -418,6 +418,28 @@ class GeoOpsSpec extends SparkSpec {
     assert(sizes == expSizes)
   }
 
+  test("haversinePairs: great-circle km recompute against Math-library haversine") {
+    // sf0.001's only candidate pairs are co-located duplicates (km = 0) —
+    // recompute at sf0.01 where the refine stage has varied geometry
+    val rows = GeoOps.haversinePairs(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (aLon, aLat, bLon, bLat) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val s1 = math.sin(math.toRadians((bLat - aLat).toDouble / 2.0))
+      val s2 = math.sin(math.toRadians((bLon - aLon).toDouble / 2.0))
+      val h = s1 * s1 + math.cos(math.toRadians(aLat.toDouble)) *
+        math.cos(math.toRadians(bLat.toDouble)) * (s2 * s2)
+      val km = GeoOps.EarthDiamKm * math.asin(math.sqrt(h))
+      assert(math.abs(r.getDouble(6) - km) < 2e-6, s"pair ${r.getLong(0)}-${r.getLong(1)}")
+      // candidate boxes are <=1 degree per axis: the sphere distance is
+      // bounded by the 1x1-degree diagonal at the equator
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 158.0)
+    }
+    // the refine stage is non-degenerate: distances vary across pairs
+    assert(rows.map(_.getDouble(6)).distinct.length > 1)
+  }
+
   test("adamicAdar: scores and top-k cut recompute from a driver-side adjacency") {
     // sf0.001's proximity graph is so sparse every wedge pair is already an
     // edge (an empty prediction set) — recompute at sf0.01 where the op
