@@ -176,6 +176,37 @@ object GeoOps {
         col("lon").as("b_lon"), col("lat").as("b_lat"))
   }
 
+  /** Geohash base-32 alphabet (the standard Niemeyer encoding; shared
+    * literal with the oracle SQL). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** X-C72: geohash cell keys — the third spatial key family next to
+    * z2/z3: the PREFIX-shareable base-32 encoding (every prefix of a
+    * geohash is the containing coarser cell, so LIKE 'u09%' is a range
+    * scan — the property GeoMesa's attribute+geo filters and every
+    * geo-sharded store lean on). 6 characters = 30 bits = 15 bits per
+    * axis; a geohash interleaves LON first from the top bit, which is
+    * exactly the [[graft.functions.ZEncode2]] Morton with (lat, lon)
+    * argument order (lat → even/low positions, lon → odd/high) — the same
+    * codegen'd expression that keys the z2 layout, reused, then five-bit
+    * groups are mapped through the alphabet with in-row substr arithmetic
+    * (no UDF). Integer scaling ((deg+offset)·2¹⁵ div span) is exact in
+    * both engines; the whole row is integer/string arithmetic —
+    * hash-exact. Event-cardinality projection: at 100 TB this is the
+    * write-path key computation, one codegen stage over the scan.
+    */
+  def geohashKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val chars = (0 until 6).map { j =>
+      s"substr('$GeohashAlphabet', CAST((shiftright(gh30, ${25 - 5 * j}) & 31) AS INT) + 1, 1)"
+    }.mkString(", ")
+    withCoords(spark, sfDir)
+      .withColumn("lon15", expr("((lon + 180) * 32768) div 360"))
+      .withColumn("lat15", expr("((lat + 90) * 32768) div 180"))
+      .withColumn("gh30", ZCurveExpressions.z2(spark, "lat15", "lon15"))
+      .select(col("event_id"), col("lon"), col("lat"), col("gh30"),
+        expr(s"concat($chars)").as("geohash"))
+  }
+
   /** Mean Earth radius (km) doubled — the haversine output scale, carried
     * as one literal so both engines parse the identical double. */
   val EarthDiamKm = 12742.0

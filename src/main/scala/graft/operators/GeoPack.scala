@@ -42,6 +42,7 @@ object GeoPack extends QueryPack {
     "geo_link_prediction" -> ((s, d) => GeoOps.linkPrediction(s, d)),
     "geo_adamic_adar" -> ((s, d) => GeoOps.adamicAdar(s, d)),
     "geo_haversine_pairs" -> ((s, d) => GeoOps.haversinePairs(s, d)),
+    "geo_geohash_keys" -> ((s, d) => GeoOps.geohashKeys(s, d)),
   )
 
   private val coordsCte =
@@ -155,6 +156,26 @@ object GeoPack extends QueryPack {
          |FROM pts a JOIN pts b
          |  ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
          |  AND a.event_id < b.event_id""".stripMargin,
+    // same 15-bit integer scaling, the Morton interleave as shift/mask
+    // arithmetic (lat even / lon odd — geohash leads with a lon bit), and
+    // the same substr alphabet mapping — all integer/string ops, hash-exact
+    "geo_geohash_keys" -> {
+      val ghChars = (0 until 6).map { j =>
+        s"substr('${GeoOps.GeohashAlphabet}', CAST(((gh30 >> ${25 - 5 * j}) & 31) AS INT) + 1, 1)"
+      }.mkString(", ")
+      s"""WITH $coordsCte,
+         |sc AS (
+         |  SELECT event_id, lon, lat,
+         |    ((lon + 180) * 32768) // 360 AS lon15,
+         |    ((lat + 90) * 32768) // 180 AS lat15
+         |  FROM coords),
+         |gh AS (
+         |  SELECT event_id, lon, lat,
+         |    CAST(${z2Sql("lat15", "lon15")} AS BIGINT) AS gh30
+         |  FROM sc)
+         |SELECT event_id, lon, lat, gh30, concat($ghChars) AS geohash
+         |FROM gh""".stripMargin
+    },
     // same candidate pairs, same IEEE haversine chain (identical
     // association order), 6 dp emission absorbs libm trig ulps
     "geo_haversine_pairs" ->

@@ -418,6 +418,41 @@ class GeoOpsSpec extends SparkSpec {
     assert(sizes == expSizes)
   }
 
+  test("geohashKeys: matches an independent subdivision-reference encoder") {
+    // reference implementation straight from the geohash definition:
+    // alternate binary subdivision of the lon then lat interval, 30 bits,
+    // base-32 — independent of the ZEncode2 Morton path under test
+    def refGeohash(lon: Double, lat: Double): String = {
+      var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+      val bits = (0 until 30).map { i =>
+        if (i % 2 == 0) { // even position (from the top): a LON bit
+          val mid = (lonLo + lonHi) / 2
+          if (lon >= mid) { lonLo = mid; 1 } else { lonHi = mid; 0 }
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (lat >= mid) { latLo = mid; 1 } else { latHi = mid; 0 }
+        }
+      }
+      bits.grouped(5).map { g =>
+        GeoOps.GeohashAlphabet(g.foldLeft(0)((acc, b) => acc * 2 + b))
+      }.mkString
+    }
+    assert(refGeohash(0.0, 0.0) == "s00000") // public known vector
+    assert(refGeohash(-180.0, -90.0) == "000000")
+    val rows = GeoOps.geohashKeys(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lon, lat) = (r.getLong(1), r.getLong(2))
+      assert(r.getString(4) == refGeohash(lon.toDouble, lat.toDouble),
+        s"event ${r.getLong(0)} at ($lon, $lat)")
+      // gh30 carries the same 30 bits the string encodes
+      assert(r.getString(4) == (0 until 6).map(j =>
+        GeoOps.GeohashAlphabet(((r.getLong(3) >> (25 - 5 * j)) & 31).toInt)).mkString)
+    }
+    // prefix-shareability is real on the fixture: some cells repeat
+    assert(rows.map(_.getString(4)).distinct.length < rows.length)
+  }
+
   test("haversinePairs: great-circle km recompute against Math-library haversine") {
     // sf0.001's only candidate pairs are co-located duplicates (km = 0) —
     // recompute at sf0.01 where the refine stage has varied geometry
