@@ -1277,4 +1277,41 @@ object DedupOps {
       sum(expr("c * (c - 1) div 2")).as("cand_upper"))
     nDocs.crossJoin(gstats).crossJoin(pstats)
   }
+
+  /** Minimum ROUNDED Jaro–Winkler similarity for a name pair to report.
+    * The cut compares the 6 dp-rounded score in BOTH engines — rounding
+    * first collapses the ≤1-ulp raw-double divergence between this
+    * library's expression and DuckDB's C++ implementation, so pair
+    * membership is engine-identical (the [[GeoOps.adamicAdar]] rounded-cut
+    * discipline applied to a filter instead of a top-k). */
+  val JwThreshold = 0.84
+
+  /** X-P43: fuzzy name matching by Jaro–Winkler — the entity-resolution
+    * scorer for NAMES (prefix-weighted, transposition-tolerant), the
+    * family member edit distance ([[sortedNeighbors]]) and set similarity
+    * miss: "red widget"/"red gadget" score high on the shared stem where
+    * Levenshtein sees 3 edits. Scored by the library's own codegen'd
+    * [[graft.functions.JaroWinkler]] expression (no UDF — stays inside
+    * whole-stage codegen).
+    *
+    * Scale shape — the ppj clique-collapse argument: part NAMES are a
+    * VOCABULARY, not a corpus (adjective×noun here; catalog-bounded
+    * anywhere), so the op collapses to distinct names first (map-side,
+    * carrying each name's part count) and the all-pairs scoring runs on
+    * vocab² — bounded by the name space at any corpus size, broadcast
+    * BNLJ, never parts². A corpus-sized name column would swap this stage
+    * for the sorted-neighborhood blocking [[sortedNeighbors]] already
+    * implements.
+    */
+  def jaroNamePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"))
+      .join(names.select(col("p_name").as("name_b"), col("n_parts").as("n_b")),
+        col("name_a") < col("name_b"))
+      .withColumn("jw", round(
+        graft.functions.StringSimilarity.jaroWinklerCol(spark, "name_a", "name_b"), 6))
+      .where(col("jw") >= JwThreshold)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("jw"))
+  }
 }

@@ -34,6 +34,7 @@ object TextDedupPack extends QueryPack {
     "tx_repetition" -> ((s, d) => TextOps.repetitionScores(s, d)),
     "tx_temperature_mix" -> ((s, d) => TextOps.temperatureMix(s, d)),
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
+    "dd_jaro_name_pairs" -> ((s, d) => DedupOps.jaroNamePairs(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
@@ -687,6 +688,20 @@ object TextDedupPack extends QueryPack {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
+    // DuckDB's jaro_winkler_similarity is the semantic twin of the
+    // library's codegen'd JaroWinkler expression (validated on 3 900
+    // cases); both sides cut on the 6 dp-ROUNDED score so pair membership
+    // survives the <=1-ulp raw divergence between the two implementations
+    "dd_jaro_name_pairs" ->
+      s"""WITH names AS (
+         |  SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1),
+         |scored AS (
+         |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |    a.n AS n_a, b.n AS n_b,
+         |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+         |  FROM names a JOIN names b ON a.p_name < b.p_name)
+         |SELECT name_a, name_b, n_a, n_b, jw
+         |FROM scored WHERE jw >= ${DedupOps.JwThreshold}""".stripMargin,
     "dd_minhash_signatures" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte)(
         s"SELECT doc_id, ${(1 to DedupOps.NumHashes).map(j => s"mh$j").mkString(", ")} FROM mh"),

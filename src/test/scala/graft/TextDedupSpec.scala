@@ -1122,4 +1122,51 @@ class TextDedupSpec extends SparkSpec {
       rows.foreach(r => assert(r.getInt(2) != qLabel))
     }
   }
+
+  test("JaroWinkler expression: textbook vectors, edge cases, and codegen/interpreted agreement") {
+    import graft.functions.StringSimilarity.jaroWinkler
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(close(jaroWinkler("MARTHA", "MARHTA"), 0.9611111111111111))
+    assert(close(jaroWinkler("DIXON", "DICKSONX"), 0.8133333333333332))
+    assert(close(jaroWinkler("DWAYNE", "DUANE"), 0.84))
+    assert(close(jaroWinkler("JELLYFISH", "SMELLYFISH"), 0.8962962962962964))
+    // below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert(close(jaroWinkler("abcdxxxx", "abcdyyyyzz"), 0.6333333333333333))
+    // prefix bonus caps at 4 shared chars
+    assert(close(jaroWinkler("aaaaa", "aaaaaaaaaaaaaaaaaaaa"), 0.85))
+    assert(jaroWinkler("", "") == 0.0 && jaroWinkler("", "abc") == 0.0)
+    assert(jaroWinkler("abc", "abc") == 1.0)
+    // transpositions halve by INTEGER division (3 mismatches -> t = 1)
+    assert(close(jaroWinkler("abcdef", "bcadef"), 0.9444444444444445))
+    // the Column path (codegen) agrees with the static helper bit-for-bit
+    import spark.implicits._
+    val pairs = Seq(("MARTHA", "MARHTA"), ("red widget", "red gadget"),
+      ("DIXON", "DICKSONX"), ("", "x"), ("same", "same"))
+      .toDF("a", "b")
+    val viaExpr = pairs
+      .withColumn("jw", graft.functions.StringSimilarity.jaroWinklerCol(spark, "a", "b"))
+      .collect()
+    viaExpr.foreach { r =>
+      assert(r.getDouble(2) == jaroWinkler(r.getString(0), r.getString(1)))
+    }
+  }
+
+  test("jaroNamePairs: vocab-collapsed pairs recompute driver-side") {
+    val names = Tables.part(spark, Sf)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- names.keys; b <- names.keys if a < b
+      jw = BigDecimal(graft.functions.StringSimilarity.jaroWinkler(a, b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jw >= DedupOps.JwThreshold
+    } yield (a, b, names(a), names(b), jw)).toSet
+    val got = DedupOps.jaroNamePairs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expect && got.nonEmpty)
+    // the scorer is doing real fuzzy work: reported pairs are distinct
+    // names (jw < 1), not exact-string matches
+    assert(got.exists { case (_, _, _, _, jw) => jw < 1.0 })
+  }
 }
