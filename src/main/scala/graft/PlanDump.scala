@@ -176,7 +176,11 @@ object PlanDump {
       ("xa_spend_concentration", "percentile thresholds broadcast as two numbers; shares are conditional sums, no global sort",
         operators.RelationalOps.spendConcentration(spark, sfDir)),
       ("xt_top_paths", "two leads share ONE user-keyed sort; bounded path domain, TakeOrderedAndProject cut",
-        operators.TimeSeriesOps.topPaths(spark, sfDir)))
+        operators.TimeSeriesOps.topPaths(spark, sfDir)),
+      ("dd_jaro_name_pairs", "vocab collapse before all-pairs: codegen'd JaroWinkler on broadcast BNLJ of distinct names, never parts squared",
+        operators.DedupOps.jaroNamePairs(spark, sfDir)),
+      ("xt_mann_kendall", "facts collapse to day cardinality BEFORE the O(n^2) pair join; one-row exact-integer finish",
+        operators.TimeSeriesOps.mannKendall(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
