@@ -488,4 +488,60 @@ object StreamingOps {
         out.result().iterator
     }
   }
+
+  /** One arriving day of the pre-aggregated revenue series. */
+  case class DayRevenue(series: String, day: java.sql.Date, revenue: Double)
+  /** The smoother's output: one EWMA point per arriving day. */
+  case class EwmaPoint(series: String, day: java.sql.Date, revenue: Double,
+                       kernel_days: Int, ewma: Double)
+  /** State carried between micro-batches: the trailing ≤EwmaWindow
+    * (epochDay, revenue) points — bounded REGARDLESS of stream length. */
+  case class EwmaTail(recent: List[(Long, Double)])
+
+  /** Streaming EWMA — the online twin of
+    * [[graft.operators.TimeSeriesOps.ewmaDaily]]: the causal smoother
+    * replayed as a monitor, consuming the pre-aggregated daily series
+    * (the shape a production pipeline streams — the fact-to-day collapse
+    * happens upstream) keyed by series name. Instead of the infinite
+    * recurrence α·x + (1−α)·prev (whose kernel never truncates and
+    * diverges from the batch op on gapped days), state carries the
+    * trailing ≤[[graft.operators.TimeSeriesOps.EwmaWindow]] calendar days
+    * and each arriving day re-evaluates the SAME truncated convolution —
+    * so an in-order replay reproduces the batch table value-for-value
+    * (spec-asserted), gaps and all, with bounded state per series. Days
+    * arriving out of order beyond the window are dropped by the window
+    * filter rather than corrupting emitted history (append-mode honesty:
+    * emitted points never revise).
+    */
+  def streamingEwma(daily: org.apache.spark.sql.Dataset[DayRevenue])
+      : org.apache.spark.sql.Dataset[EwmaPoint] = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.TimeSeriesOps.{EwmaAlpha, EwmaDecay, EwmaWindow}
+    daily.groupByKey(_.series).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (series: String, it: Iterator[DayRevenue], state: GroupState[EwmaTail]) =>
+        var recent = state.getOption.map(_.recent).getOrElse(Nil)
+        val out = it.toSeq.sortBy(_.day.getTime).map { d =>
+          val epochDay = d.day.toLocalDate.toEpochDay
+          val withCur = (epochDay, d.revenue) :: recent
+          // the current day's kernel sees only its own past — computed
+          // BEFORE trimming, so even a beyond-window-late day still sees
+          // itself and emits its own partial kernel
+          val terms = withCur.collect {
+            case (e, r) if epochDay - e >= 0 && epochDay - e < EwmaWindow =>
+              math.pow(EwmaDecay, (epochDay - e).toDouble) * r
+          }
+          // trim relative to the NEWEST day seen (a late older day must
+          // not evict newer state), keeping the tail bounded at EwmaWindow
+          val maxEpoch = withCur.map(_._1).max
+          recent = withCur.filter { case (e, _) => maxEpoch - e < EwmaWindow }
+          EwmaPoint(series, d.day, d.revenue, terms.size,
+            BigDecimal(EwmaAlpha * terms.sum)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        state.update(EwmaTail(recent))
+        out.iterator
+    }
+  }
 }

@@ -506,4 +506,44 @@ class StreamingSpec extends SparkSpec {
       assert(evicted.subsetOf(admitted))
     } finally q.stop()
   }
+
+  test("streamingEwma: in-order replay of the daily series reproduces the batch table") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{DayRevenue, EwmaPoint}
+    import org.apache.spark.sql.functions._
+    val batch = graft.operators.TimeSeriesOps.ewmaDaily(spark, Sf)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    // replay the exact daily series in two micro-batches
+    val (h1, h2) = batch.map(b => DayRevenue("orders", b._1, b._2)).splitAt(batch.length / 2)
+    val stream = MemoryStream[DayRevenue]
+    val q = StreamingOps.streamingEwma(stream.toDS())
+      .writeStream.format("memory").queryName("ewma_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(h1: _*); q.processAllAvailable()
+      stream.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("ewma_test").as[EwmaPoint].collect()
+        .map(p => p.day -> ((p.revenue, p.kernel_days.toLong, p.ewma))).toMap
+      assert(got.size == batch.length)
+      batch.foreach { case (day, rev, kd, ewma) =>
+        val (gRev, gKd, gEwma) = got(day)
+        assert(gRev == rev && gKd == kd, s"day $day kernel")
+        // batch sums join rows in plan order, streaming sums the state
+        // list; both emit 6 dp — equal up to one rounding step
+        assert(math.abs(gEwma - ewma) <= 1e-6 + 1e-12, s"day $day ewma")
+      }
+      // a late day older than the state window emits with its own partial
+      // kernel but must not disturb the already-bounded state
+      val lateDay = java.sql.Date.valueOf(
+        batch.head._1.toLocalDate.minusDays(400))
+      stream.addData(DayRevenue("orders", lateDay, 42.0)); q.processAllAvailable()
+      val lateRow = spark.table("ewma_test").as[EwmaPoint].collect()
+        .find(_.day == lateDay).get
+      assert(lateRow.kernel_days == 1 &&
+        math.abs(lateRow.ewma - BigDecimal(0.2 * 42.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    } finally q.stop()
+  }
 }
