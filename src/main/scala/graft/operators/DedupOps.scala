@@ -1314,4 +1314,36 @@ object DedupOps {
       .where(col("jw") >= JwThreshold)
       .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("jw"))
   }
+
+  /** X-P44: mutual-best (reciprocal top-1) matching over the
+    * [[jaroNamePairs]] candidates — the 1:1 ASSIGNMENT stage of entity
+    * resolution: a scored pair survives only if each side is the other's
+    * single best counterpart, which is what turns a similarity cloud into
+    * usable record links (greedy transitive merging over-merges; mutual
+    * best is the standard conservative cut). Deterministic best pick:
+    * rank by (jw DESC, counterpart name ASC) per name — the ROUNDED score
+    * ties break lexicographically, engine-identically. Shuffle shape: the
+    * pair table symmetrizes (2× vocab-bounded rows), ONE name-keyed
+    * window picks each side's best, and the mutual check is a self-join
+    * of that vocab-sized best-table against its own reverse — all
+    * cardinalities bounded by the name vocabulary, the [[jaroNamePairs]]
+    * argument end-to-end.
+    */
+  def jaroMutualBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val sym = jaroNamePairs(spark, sfDir)
+      .select(col("name_a").as("name"), col("name_b").as("other"), col("jw"))
+      .union(jaroNamePairs(spark, sfDir)
+        .select(col("name_b").as("name"), col("name_a").as("other"), col("jw")))
+    val w = Window.partitionBy(col("name"))
+      .orderBy(col("jw").desc, col("other"))
+    val best = sym.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("name"), col("other"), col("jw"))
+    best.alias("x")
+      .join(best.alias("y"),
+        col("x.other") === col("y.name") && col("y.other") === col("x.name"))
+      .where(col("x.name") < col("x.other"))
+      .select(col("x.name").as("name_a"), col("x.other").as("name_b"),
+        col("x.jw").as("jw"))
+  }
 }

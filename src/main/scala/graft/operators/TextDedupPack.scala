@@ -35,6 +35,7 @@ object TextDedupPack extends QueryPack {
     "tx_temperature_mix" -> ((s, d) => TextOps.temperatureMix(s, d)),
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_jaro_name_pairs" -> ((s, d) => DedupOps.jaroNamePairs(s, d)),
+    "dd_jaro_mutual_best" -> ((s, d) => DedupOps.jaroMutualBest(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
@@ -702,6 +703,28 @@ object TextDedupPack extends QueryPack {
          |  FROM names a JOIN names b ON a.p_name < b.p_name)
          |SELECT name_a, name_b, n_a, n_b, jw
          |FROM scored WHERE jw >= ${DedupOps.JwThreshold}""".stripMargin,
+    // reciprocal top-1 on the same rounded scores: rank (jw DESC, other
+    // ASC) per name, keep pairs where each side is the other's rank-1
+    "dd_jaro_mutual_best" ->
+      s"""WITH names AS (
+         |  SELECT p_name FROM part GROUP BY 1),
+         |scored AS (
+         |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+         |  FROM names a JOIN names b ON a.p_name < b.p_name),
+         |kept AS (SELECT * FROM scored WHERE jw >= ${DedupOps.JwThreshold}),
+         |sym AS (
+         |  SELECT name_a AS name, name_b AS other, jw FROM kept
+         |  UNION ALL
+         |  SELECT name_b AS name, name_a AS other, jw FROM kept),
+         |best AS (
+         |  SELECT name, other, jw,
+         |    row_number() OVER (PARTITION BY name ORDER BY jw DESC, other) AS rk
+         |  FROM sym QUALIFY rk = 1)
+         |SELECT x.name AS name_a, x.other AS name_b, x.jw AS jw
+         |FROM best x JOIN best y
+         |  ON x.other = y.name AND y.other = x.name
+         |WHERE x.name < x.other""".stripMargin,
     "dd_minhash_signatures" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte)(
         s"SELECT doc_id, ${(1 to DedupOps.NumHashes).map(j => s"mh$j").mkString(", ")} FROM mh"),

@@ -1169,4 +1169,25 @@ class TextDedupSpec extends SparkSpec {
     // names (jw < 1), not exact-string matches
     assert(got.exists { case (_, _, _, _, jw) => jw < 1.0 })
   }
+
+  test("jaroMutualBest: reciprocal top-1 assignment recomputes from the pair table") {
+    val pairs = DedupOps.jaroNamePairs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4)))
+    val sym = pairs.flatMap { case (a, b, jw) => Seq((a, b, jw), (b, a, jw)) }
+    val best = sym.groupBy(_._1).map { case (name, cands) =>
+      name -> cands.minBy(c => (-c._3, c._2))._2
+    }
+    val expect = best.collect {
+      case (a, b) if a < b && best.get(b).contains(a) =>
+        (a, b, sym.find(s => s._1 == a && s._2 == b).get._3)
+    }.toSet
+    val got = DedupOps.jaroMutualBest(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expect && got.nonEmpty)
+    // the assignment is 1:1 — no name appears in two surviving links
+    val members = got.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(members.distinct.size == members.size)
+    // and strictly smaller than the raw candidate cloud
+    assert(got.size < pairs.length)
+  }
 }
