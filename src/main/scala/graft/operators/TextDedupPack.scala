@@ -36,6 +36,7 @@ object TextDedupPack extends QueryPack {
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_jaro_name_pairs" -> ((s, d) => DedupOps.jaroNamePairs(s, d)),
     "dd_jaro_mutual_best" -> ((s, d) => DedupOps.jaroMutualBest(s, d)),
+    "tx_source_js_drift" -> ((s, d) => TextOps.sourceJsDrift(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
@@ -725,6 +726,33 @@ object TextDedupPack extends QueryPack {
          |FROM best x JOIN best y
          |  ON x.other = y.name AND y.other = x.name
          |WHERE x.name < x.other""".stripMargin,
+    // mirrored JS terms per PRESENT (source, token) row; the absent-token
+    // mass enters in closed form (N_r - sum r_present)/(2 N_r) - the
+    // source x vocab cross product never materializes on either side
+    "tx_source_js_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS nsrc FROM st GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS ntot FROM st),
+        |terms AS (
+        |  SELECT st.source, ns.nsrc, n.ntot, st.c, tot.ct,
+        |    CAST(st.c AS DOUBLE) / CAST(ns.nsrc AS DOUBLE) AS p,
+        |    CAST(tot.ct - st.c AS DOUBLE) / CAST(n.ntot - ns.nsrc AS DOUBLE) AS q
+        |  FROM st JOIN tot USING (token) JOIN ns USING (source) CROSS JOIN n),
+        |agg AS (
+        |  SELECT source, nsrc, ntot,
+        |    sum(0.5 * p * log2(p / ((p + q) / 2.0)) +
+        |        CASE WHEN ct > c THEN 0.5 * q * log2(q / ((p + q) / 2.0))
+        |             ELSE 0.0 END) AS s_present,
+        |    CAST(sum(ct - c) AS BIGINT) AS r_present
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT source, nsrc AS n_tokens,
+        |  round(s_present + 0.5 * CAST((ntot - nsrc) - r_present AS DOUBLE) /
+        |    CAST(ntot - nsrc AS DOUBLE), 6) AS js_bits
+        |FROM agg""".stripMargin,
     "dd_minhash_signatures" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte)(
         s"SELECT doc_id, ${(1 to DedupOps.NumHashes).map(j => s"mh$j").mkString(", ")} FROM mh"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis family (north-star extension, BASELINE.json): language ID,
@@ -1341,4 +1341,47 @@ object TextOps {
       .select(col("doc_id"), col("n"),
         round(log2(col("n").cast("double")) -
           col("sclg") / col("n").cast("double"), 6).as("entropy"))
+
+  /** X-C73: per-source Jensen–Shannon drift — each source's unigram
+    * distribution against the REST of the corpus, in bits ∈ [0, 1]: the
+    * "which slice changed shape?" monitor behind mixture re-weighting and
+    * contamination triage ([[sourceLangMix]] reads composition; this
+    * reads lexical DISTANCE — symmetric and bounded where KL is neither).
+    *
+    * Scale shape: the only corpus-sized pass is the (source, token)
+    * collapse; token totals, source totals, and the grand total all
+    * re-aggregate from it (map-side, vocab-cardinality). The
+    * source×vocab cross product is NEVER materialized: rows exist only
+    * for tokens PRESENT in a source, and the whole absent-token mass
+    * enters in closed form — Σ_{t∉s} q_t/2 = (N_r − Σ_{t∈s} r_t)/(2N_r),
+    * exact BIGINTs until the one division. Per-row JS terms are IEEE
+    * chains mirrored operation-for-operation in the oracle; the per-source
+    * sum is the one order-dependent float accumulation, emitted at 6 dp
+    * (~10⁶ above the drift) — the [[tokenEntropy]] argument.
+    */
+  def sourceJsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(words(col("text"))).as("token"))
+    val st = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = st.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c")).as("nsrc"))
+    val n = st.agg(sum(col("c")).as("ntot"))
+    val p = col("c").cast("double") / col("nsrc").cast("double")
+    val q = (col("ct") - col("c")).cast("double") /
+      (col("ntot") - col("nsrc")).cast("double")
+    def half(x: Column, m: Column) = lit(0.5) * x * log2(x / m)
+    val m = (p + q) / 2.0
+    val term = half(p, m) +
+      when(col("ct") > col("c"), half(q, m)).otherwise(0.0)
+    st.join(tot, Seq("token"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"), col("nsrc"), col("ntot"))
+      .agg(sum(term).as("s_present"),
+        sum(col("ct") - col("c")).as("r_present"))
+      .select(col("source"), col("nsrc").as("n_tokens"),
+        round(col("s_present") +
+          lit(0.5) * ((col("ntot") - col("nsrc")) - col("r_present")).cast("double") /
+            (col("ntot") - col("nsrc")).cast("double"), 6).as("js_bits"))
+  }
 }

@@ -1190,4 +1190,39 @@ class TextDedupSpec extends SparkSpec {
     // and strictly smaller than the raw candidate cloud
     assert(got.size < pairs.length)
   }
+
+  test("sourceJsDrift: per-source JS divergence recomputes from driver-side distributions") {
+    val toks = Tables.documents(spark, Sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), t)))
+    val bySrcTok = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byTok = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nTot = toks.length.toLong
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def js(src: String): Double = {
+      val nS = bySrc(src); val nR = nTot - nS
+      var s = 0.0
+      byTok.keys.foreach { t =>
+        val c = bySrcTok.getOrElse((src, t), 0L)
+        val r = byTok(t) - c
+        val p = c.toDouble / nS; val q = r.toDouble / nR
+        val m = (p + q) / 2.0
+        if (c > 0) s += 0.5 * p * log2(p / m)
+        if (r > 0) s += 0.5 * q * log2(q / m)
+      }
+      s
+    }
+    val got = TextOps.sourceJsDrift(spark, Sf).collect()
+    assert(got.length == bySrc.size && got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) == bySrc(src), s"$src token count")
+      // the closed-form absent-mass shortcut equals the full naive sum
+      assert(math.abs(r.getDouble(2) - js(src)) < 2e-6, s"$src js")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // sources genuinely differ from the rest somewhere
+    assert(got.map(_.getDouble(2)).max > 0.0)
+  }
 }
