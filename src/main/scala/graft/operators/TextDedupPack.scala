@@ -37,6 +37,7 @@ object TextDedupPack extends QueryPack {
     "dd_jaro_name_pairs" -> ((s, d) => DedupOps.jaroNamePairs(s, d)),
     "dd_jaro_mutual_best" -> ((s, d) => DedupOps.jaroMutualBest(s, d)),
     "tx_source_js_drift" -> ((s, d) => TextOps.sourceJsDrift(s, d)),
+    "tx_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
@@ -753,6 +754,30 @@ object TextDedupPack extends QueryPack {
         |  round(s_present + 0.5 * CAST((ntot - nsrc) - r_present AS DOUBLE) /
         |    CAST(ntot - nsrc AS DOUBLE), 6) AS js_bits
         |FROM agg""".stripMargin,
+    // same (freq DESC, token) integer-deterministic rank and cut, same
+    // closed-form OLS moment chain, 6 dp over the bounded float sums
+    "tx_zipf_fit" ->
+      s"""WITH freq AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY 1),
+         |ranked AS (
+         |  SELECT log2(CAST(rn AS DOUBLE)) AS x, log2(CAST(freq AS DOUBLE)) AS y
+         |  FROM (SELECT freq,
+         |          row_number() OVER (ORDER BY freq DESC, token) AS rn
+         |        FROM freq)
+         |  WHERE rn <= ${TextOps.ZipfFitTop}),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM ranked)
+         |SELECT k AS n_tokens_fit,
+         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+         |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         |    AS intercept,
+         |  round((k * sxy - sx * sy) * (k * sxy - sx * sy) /
+         |    ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+         |FROM m""".stripMargin,
     "dd_minhash_signatures" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte)(
         s"SELECT doc_id, ${(1 to DedupOps.NumHashes).map(j => s"mh$j").mkString(", ")} FROM mh"),

@@ -1359,6 +1359,46 @@ object TextOps {
     * sum is the one order-dependent float accumulation, emitted at 6 dp
     * (~10⁶ above the drift) — the [[tokenEntropy]] argument.
     */
+  /** Tokens fitted by [[zipfFit]] — the classical Zipf regime is the head
+    * of the rank-frequency curve; the tail (hapax cloud) follows a
+    * different law and would bias the exponent. */
+  val ZipfFitTop = 1000
+
+  /** X-C74: Zipf rank-frequency fit — the log-log OLS exponent of the
+    * token frequency curve (natural corpora slope ≈ −1; a flatter slope
+    * flags synthetic/templated text, a steeper one vocabulary collapse —
+    * the distributional sibling of [[heapsCurve]]'s growth view). Fit over
+    * the top-[[ZipfFitTop]] tokens: rank by ONE vocab-cardinality window
+    * ordered (freq DESC, token) — integer-deterministic cut and ranks —
+    * then the closed-form OLS of y=log2(freq) on x=log2(rank): four moment
+    * sums in one map-side aggregate, slope/intercept/r² emitted at 6 dp
+    * over the bounded (≤[[ZipfFitTop]]-term) float sums — the
+    * [[tokenEntropy]] argument. The corpus is touched once (the token
+    * collapse); everything downstream is vocab- then constant-sized.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    val ranked = freq.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= ZipfFitTop)
+      .select(log2(col("rank").cast("double")).as("x"),
+        log2(col("freq").cast("double")).as("y"))
+    val m = ranked.agg(count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("k") * col("sxy") - col("sx") * col("sy")
+    val den = col("k") * col("sxx") - col("sx") * col("sx")
+    val deny = col("k") * col("syy") - col("sy") * col("sy")
+    m.select(col("k").as("n_tokens_fit"),
+      round(num / den, 6).as("slope"),
+      round((col("sy") - num / den * col("sx")) / col("k"), 6).as("intercept"),
+      round(num * num / (den * deny), 6).as("r2"))
+  }
+
   def sourceJsDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("source"), explode(words(col("text"))).as("token"))

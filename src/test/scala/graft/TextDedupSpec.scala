@@ -1225,4 +1225,33 @@ class TextDedupSpec extends SparkSpec {
     // sources genuinely differ from the rest somewhere
     assert(got.map(_.getDouble(2)).max > 0.0)
   }
+
+  test("zipfFit: log-log OLS recomputes from a driver-side rank-frequency table") {
+    val freqs = Tables.documents(spark, Sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+      .take(TextOps.ZipfFitTop)
+    def log2(v: Double) = math.log(v) / math.log(2.0)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (log2((i + 1).toDouble), log2(f.toDouble))
+    }
+    val k = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+    val num = k * sxy - sx * sy
+    val den = k * sxx - sx * sx
+    val r = TextOps.zipfFit(spark, Sf).collect().head
+    assert(r.getLong(0) == pts.length.toLong)
+    assert(math.abs(r.getDouble(1) - num / den) < 2e-6)
+    assert(math.abs(r.getDouble(2) - (sy - num / den * sx) / k) < 2e-6)
+    assert(math.abs(r.getDouble(3) - num * num / (den * (k * syy - sy * sy))) < 2e-6)
+    // the synthetic near-uniform vocabulary is rightly NOT Zipfian: the
+    // slope sits far above the natural-corpus -1 — a true detection of
+    // templated text, the op's purpose
+    assert(r.getDouble(1) > -0.6 && r.getDouble(1) <= 0.0)
+    assert(r.getDouble(3) < 0.5)
+  }
 }
