@@ -78,6 +78,23 @@ object Monitors {
       f"guard: $family hot-bucket guard engaged - max bucket $maxBucket (cap ${operators.DedupOps.MaxBucketDocs}), $dropped rows excluded from pair generation; guarded results diverge from unguarded semantics"
     }
 
+  /** Max distinct-name share of the part table before
+    * [[operators.DedupOps.jaroNamePairs]]' vocab-collapse premise breaks:
+    * the all-pairs scoring is bounded by vocab², which is only sub-corpus
+    * work while names REPEAT. Shipped corpus: 62–64 distinct names at
+    * every SF (share 0.31 / 0.032 / 0.0032 at sf0.001/0.01/0.1 — the
+    * vocabulary is SF-stable, so the share only falls as the corpus
+    * grows). A corpus-like name column (share → 1) needs the
+    * sorted-neighborhood blocking path instead. The 100-row floor keeps
+    * toy fixtures from tripping on small-sample noise.
+    */
+  val MaxNameVocabShare = 0.5
+
+  def jaroVocabWarnings(nParts: Long, nNames: Long): Seq[String] =
+    if (nParts >= 100 && nNames.toDouble / nParts > MaxNameVocabShare)
+      Seq(f"jaro: part-name vocabulary $nNames is ${nNames.toDouble / nParts}%.2f of $nParts rows (> $MaxNameVocabShare%.2f) - the vocab-collapsed all-pairs stage degenerates toward rows-squared; route names through sorted-neighborhood blocking instead")
+    else Seq.empty
+
   def minhashWarnings(rmse: Double, nPairs: Long): Seq[String] =
     if (nPairs > 0 && rmse > MaxMinhashRmse)
       Seq(f"minhash: estimator RMSE $rmse%.3f over $nPairs candidate pairs (> $MaxMinhashRmse%.2f at NumHashes=${operators.DedupOps.NumHashes}) - widen signatures or check hash skew")
@@ -116,6 +133,16 @@ object Monitors {
       } catch { case NonFatal(e) =>
         Seq(s"monitor guard_stats failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
       }
-    ppj ++ mh ++ guards
+    val jaro =
+      try {
+        val r = Tables.part(spark, sfDir)
+          .agg(count(lit(1)).as("n_parts"),
+            countDistinct(col("p_name")).as("n_names"))
+          .head()
+        jaroVocabWarnings(r.getAs[Long]("n_parts"), r.getAs[Long]("n_names"))
+      } catch { case NonFatal(e) =>
+        Seq(s"monitor jaro_vocab failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+      }
+    ppj ++ mh ++ guards ++ jaro
   }
 }

@@ -30,6 +30,29 @@ class MonitorsSpec extends SparkSpec {
     assert(w.exists(_.contains("clique")), s"expected a clique warning, got: $w")
   }
 
+  test("jaro vocab share: quiet on the repeating-name corpus, trips when every name is unique") {
+    // shipped shape: vocabulary is SF-stable (62-64 names), share well
+    // under the threshold at every SF
+    assert(Monitors.jaroVocabWarnings(200, 62).isEmpty)
+    assert(Monitors.jaroVocabWarnings(20000, 64).isEmpty)
+    // corpus-like name column: the vocab-collapse premise is gone
+    assert(Monitors.jaroVocabWarnings(200, 200).nonEmpty)
+    // toy fixtures below the floor never trip
+    assert(Monitors.jaroVocabWarnings(50, 50).isEmpty)
+    // end-to-end: a planted all-unique-names part table trips via warnings'
+    // aggregate path
+    val dir = java.nio.file.Files.createTempDirectory("graft_jaro_vocab").toString
+    import spark.implicits._
+    (1 to 150).map(i => (i.toLong, s"unique part name $i"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val r = Tables.part(spark, dir)
+      .agg(count(lit(1)).as("n"), countDistinct(col("p_name")).as("d"))
+      .head()
+    assert(Monitors.jaroVocabWarnings(r.getAs[Long]("n"), r.getAs[Long]("d"))
+      .exists(_.contains("vocab")))
+  }
+
   test("minhash estimator threshold: quiet at shipped RMSE, trips past the bias ceiling") {
     assert(Monitors.minhashWarnings(0.21, 1000).isEmpty) // measured sf0.1 value
     assert(Monitors.minhashWarnings(0.35, 1000).nonEmpty)
