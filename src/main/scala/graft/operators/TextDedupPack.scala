@@ -38,6 +38,7 @@ object TextDedupPack extends QueryPack {
     "dd_jaro_mutual_best" -> ((s, d) => DedupOps.jaroMutualBest(s, d)),
     "tx_source_js_drift" -> ((s, d) => TextOps.sourceJsDrift(s, d)),
     "tx_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
+    "tx_search_rbo" -> ((s, d) => TextOps.searchRbo(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
@@ -1023,6 +1024,56 @@ object TextDedupPack extends QueryPack {
          |SELECT doc_id, n_terms_hit, round(raw_score, 6) AS score
          |FROM scored
          |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
+    },
+    // both searches' own result tables re-ranked on the 6dp-rounded
+    // score (bit-identical cross-engine), full-outer doc join, k-depth
+    // prefix agreements, the (1-p) complement spelled as a literal
+    "tx_search_rbo" -> {
+      val termList = TextOps.SearchTerms.map(t => s"'$t'").mkString(", ")
+      val k = TextOps.SearchTopK
+      s"""WITH dls AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+         |          FROM dls),
+         |post AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word IN ($termList)
+         |  GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM post GROUP BY word),
+         |tfidf AS (
+         |  SELECT doc_id, round(sum(tf * (CAST(n_docs AS DOUBLE) / df)), 6) AS score
+         |  FROM post JOIN dfreq USING (word), stats
+         |  GROUP BY doc_id
+         |  ORDER BY sum(tf * (CAST(n_docs AS DOUBLE) / df)) DESC, doc_id LIMIT $k),
+         |bm25 AS (
+         |  SELECT p.doc_id,
+         |    round(sum(((CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1))) /
+         |        (tf + 1.2 * ((1 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))), 6)
+         |      AS score
+         |  FROM post p JOIN dfreq USING (word) JOIN dls USING (doc_id), stats
+         |  GROUP BY p.doc_id
+         |  ORDER BY sum(((CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1))) /
+         |        (tf + 1.2 * ((1 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) DESC,
+         |    p.doc_id LIMIT $k),
+         |r1 AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS r1 FROM tfidf),
+         |r2 AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS r2 FROM bm25),
+         |joined AS (SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id, r1.r1, r2.r2
+         |           FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id),
+         |depths AS (SELECT unnest(generate_series(1, $k)) AS d),
+         |ag AS (
+         |  SELECT d, CAST(count(j.doc_id) AS BIGINT) AS a_d
+         |  FROM depths LEFT JOIN joined j ON j.r1 <= d AND j.r2 <= d
+         |  GROUP BY d)
+         |SELECT CAST($k AS BIGINT) AS depth_k,
+         |  max(CASE WHEN d = $k THEN a_d END) AS overlap_at_k,
+         |  round(${TextOps.RboOneMinusP} *
+         |    sum(pow(${TextOps.RboP}, CAST(d - 1 AS DOUBLE)) *
+         |        (CAST(a_d AS DOUBLE) / CAST(d AS DOUBLE))), 6) AS rbo
+         |FROM ag""".stripMargin
     },
     "tx_bpe_merges" -> {
       val parts = (1 to TextOps.BpeRounds).map { r =>

@@ -1359,6 +1359,54 @@ object TextOps {
     * sum is the one order-dependent float accumulation, emitted at 6 dp
     * (~10⁶ above the drift) — the [[tokenEntropy]] argument.
     */
+  /** RBO persistence parameter (weight of depth d is p^(d−1) — 0.9 puts
+    * ~86% of the mass in the top 10) and its 1−p complement, BOTH spelled
+    * as literals: `1.0 - 0.9` computed in binary rounds to a different
+    * double than the literal `0.1` parses to (the
+    * [[TimeSeriesOps.EwmaDecay]] argument). */
+  val RboP = 0.9
+  val RboOneMinusP = 0.1
+
+  /** X-P45: rank-biased overlap between the [[rankedSearch]] (tf·idf) and
+    * [[bm25Search]] rankings — the standard top-weighted ranking-agreement
+    * metric (Webber et al.), answering the evaluation question the search
+    * family raises: HOW MUCH does adding saturation + length
+    * normalization actually re-order results? Truncated form at the
+    * shared depth k: RBO@k = (1−p)·Σ_{d≤k} p^(d−1)·|S_d ∩ T_d|/d. Unlike
+    * plain set-overlap-at-k, disagreement at rank 1 costs more than at
+    * rank k — the property that makes it the search-eval default.
+    *
+    * Scale shape: both inputs are the searches' own top-k tables
+    * (k-row), so everything here — the rank windows, the full-outer doc
+    * join, the k-depth agreement join — is constant-sized regardless of
+    * corpus; the corpus cost is the two posting-pruned searches
+    * themselves. Ranks order on the 6 dp-ROUNDED scores (bit-identical
+    * cross-engine per the searches' portability notes) with doc_id
+    * tie-break; the k-term weighted sum emits at 6 dp.
+    */
+  def searchRbo(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = SearchTopK
+    def ranks(df: DataFrame, rc: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      df.select(col("doc_id"), col("score"))
+        .withColumn(rc, row_number().over(w))
+        .select(col("doc_id"), col(rc))
+    }
+    val joined = ranks(rankedSearch(spark, sfDir), "r1")
+      .join(ranks(bm25Search(spark, sfDir), "r2"), Seq("doc_id"), "full_outer")
+    val depths = spark.range(1, k + 1).select(col("id").as("d"))
+    val agree = depths
+      .join(joined, col("r1") <= col("d") && col("r2") <= col("d"), "left")
+      .groupBy(col("d")).agg(count(col("doc_id")).as("a_d"))
+    agree.agg(
+        max(when(col("d") === k, col("a_d"))).as("overlap_at_k"),
+        sum(pow(lit(RboP), (col("d") - 1).cast("double")) *
+          (col("a_d").cast("double") / col("d").cast("double"))).as("s"))
+      .select(lit(k.toLong).as("depth_k"), col("overlap_at_k"),
+        round(lit(RboOneMinusP) * col("s"), 6).as("rbo"))
+  }
+
   /** Tokens fitted by [[zipfFit]] — the classical Zipf regime is the head
     * of the rank-frequency curve; the tail (hapax cloud) follows a
     * different law and would bias the exponent. */

@@ -1254,4 +1254,28 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getDouble(1) > -0.6 && r.getDouble(1) <= 0.0)
     assert(r.getDouble(3) < 0.5)
   }
+
+  test("searchRbo: rank-biased overlap recomputes from the two search rankings") {
+    def ranking(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2)))
+        .sortBy { case (id, s) => (-s, id) }.map(_._1).toSeq
+    val s1 = ranking(TextOps.rankedSearch(spark, Sf))
+    val s2 = ranking(TextOps.bm25Search(spark, Sf))
+    val k = TextOps.SearchTopK
+    val ads = (1 to k).map { d =>
+      d -> s1.take(d).toSet.intersect(s2.take(d).toSet).size
+    }
+    val exp = TextOps.RboOneMinusP * ads.map { case (d, a) =>
+      math.pow(TextOps.RboP, (d - 1).toDouble) * (a.toDouble / d.toDouble)
+    }.sum
+    val r = TextOps.searchRbo(spark, Sf).collect().head
+    assert(r.getLong(0) == k.toLong)
+    assert(r.getLong(1) == ads.last._2.toLong)
+    assert(math.abs(r.getDouble(2) - exp) < 2e-6)
+    // RBO is top-weighted and bounded
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    // the two scorers genuinely disagree somewhere on this fixture (if they
+    // were identical rankings the metric would be exactly 1)
+    assert(r.getDouble(2) < 1.0)
+  }
 }
