@@ -95,6 +95,7 @@ object RelationalPack extends QueryPack {
     "xt_ewma_daily" -> ((s, d) => TimeSeriesOps.ewmaDaily(s, d)),
     "xt_mann_kendall" -> ((s, d) => TimeSeriesOps.mannKendall(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
+    "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
   )
 
   private val rev =
@@ -1380,5 +1381,43 @@ object RelationalPack extends QueryPack {
          |FROM d
          |ORDER BY d_stat DESC, at_cents
          |LIMIT 1""".stripMargin,
+    // same exact cents bins; 2U in closed form over the strictly-below
+    // cumulative, tie-corrected variance from exact BIGINT factors, z a
+    // one-row IEEE chain -- hash-exact, unrounded
+    "xt_mann_whitney" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |bins AS (
+         |  SELECT cents,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM ev GROUP BY cents),
+         |cum AS (
+         |  SELECT cents, c1, c2,
+         |    CAST(coalesce(sum(c2) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum2
+         |  FROM bins),
+         |m AS (
+         |  SELECT CAST(sum(c1 * (2 * cum2 + c2)) AS BIGINT) AS u2,
+         |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         |    CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT)
+         |      AS tie_cubes
+         |  FROM cum),
+         |f AS (
+         |  SELECT *, n1 + n2 AS n,
+         |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+         |      CAST((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tie_cubes AS DOUBLE) /
+         |      (12.0 * CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) AS var_u
+         |  FROM m),
+         |zf AS (
+         |  SELECT *,
+         |    (CAST(u2 AS DOUBLE) / 2.0 - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(var_u)
+         |      AS z
+         |  FROM f)
+         |SELECT n1, n2, u2, CAST(u2 AS DOUBLE) / 2.0 AS u, var_u, z,
+         |  abs(z) > ${TimeSeriesOps.MkZCrit} AS reject_05
+         |FROM zf""".stripMargin,
   )
 }

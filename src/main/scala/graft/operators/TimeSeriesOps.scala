@@ -881,6 +881,50 @@ object TimeSeriesOps {
     * identically per row in both engines, integer tie-break — so the
     * emitted argmax row is engine-identical, hash-exact, no rounding.
     */
+  /** X-C75: Mann–Whitney U (rank-sum) test between the purchase- and
+    * click-value samples — the LOCATION-shift companion of
+    * [[ksPurchaseClick]]'s shape test (detects "one group's values run
+    * higher" without normality assumptions; together the two cover the
+    * standard two-sample drift questions). Computed WITHOUT ranking the
+    * raw samples: over the same exact integer-cents bins,
+    * 2U = Σ_b c1_b·(2·Σ_{b'<b} c2_{b'} + c2_b) — the pairwise
+    * greater/tie-half count in closed form, an exact BIGINT (the ×2 keeps
+    * tie-halves integral). Normal approximation with the tie-corrected
+    * variance n1n2·((n+1)n(n−1) − Σ(t³−t))/(12n(n−1)), every factor an
+    * exact BIGINT cast once — z is a deterministic one-row IEEE chain,
+    * hash-exact, unrounded (the [[mannKendall]] discipline).
+    *
+    * Scale shape: identical to the KS plan — one fact collapse to
+    * cents-cardinality bins, one bounded cumulative window over the bin
+    * aggregate, constant-sized finish.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val bins = ev.groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val u2 = bins
+      .withColumn("cum2", coalesce(sum(col("c2")).over(w), lit(0L)))
+      .agg(sum(col("c1") * (lit(2L) * col("cum2") + col("c2"))).as("u2"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum((col("c1") + col("c2")) * (col("c1") + col("c2")) *
+          (col("c1") + col("c2")) - (col("c1") + col("c2"))).as("tie_cubes"))
+    val n = col("n1") + col("n2")
+    val varU = col("n1").cast("double") * col("n2").cast("double") *
+      ((n + 1) * n * (n - 1) - col("tie_cubes")).cast("double") /
+      (lit(12.0) * (n * (n - 1)).cast("double"))
+    val z = (col("u2").cast("double") / 2.0 -
+      (col("n1") * col("n2")).cast("double") / 2.0) / sqrt(varU)
+    u2.select(col("n1"), col("n2"), col("u2"),
+      (col("u2").cast("double") / 2.0).as("u"), varU.as("var_u"), z.as("z"),
+      (abs(z) > MkZCrit).as("reject_05"))
+  }
+
   def ksPurchaseClick(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .where(col("event_type").isin("purchase", "click"))

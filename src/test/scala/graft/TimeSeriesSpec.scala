@@ -589,6 +589,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(tieTerm > 0)
   }
 
+  test("mannWhitney: closed-form 2U equals the naive pairwise count; variance and z replay") {
+    val ev = Tables.events(spark, Sf)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val xs = ev.collect { case ("purchase", c) => c }
+    val ys = ev.collect { case ("click", c) => c }
+    // naive definition: 2U = #(x>y)*2 + #(x=y)
+    var u2 = 0L
+    for (x <- xs; y <- ys) {
+      if (x > y) u2 += 2L else if (x == y) u2 += 1L
+    }
+    val (n1, n2) = (xs.length.toLong, ys.length.toLong)
+    val n = n1 + n2
+    val tieCubes = (xs ++ ys).groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val varU = n1.toDouble * n2.toDouble *
+      ((n + 1) * n * (n - 1) - tieCubes).toDouble / (12.0 * (n * (n - 1)).toDouble)
+    val z = (u2.toDouble / 2.0 - (n1 * n2).toDouble / 2.0) / math.sqrt(varU)
+    val r = TimeSeriesOps.mannWhitney(spark, Sf).collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getLong(2) == u2, "closed-form 2U vs naive pairwise")
+    assert(r.getDouble(3) == u2.toDouble / 2.0)
+    assert(r.getDouble(4) == varU && r.getDouble(5) == z)
+    assert(r.getBoolean(6) == (math.abs(z) > TimeSeriesOps.MkZCrit))
+    // ties exist on a 2dp-quantized value domain, so the correction is real
+    assert(tieCubes > 0)
+  }
+
   test("ksPurchaseClick: D statistic recomputes from driver-side ECDFs") {
     val ev = Tables.events(spark, Sf)
       .where(col("event_type").isin("purchase", "click"))
