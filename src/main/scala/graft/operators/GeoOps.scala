@@ -176,6 +176,63 @@ object GeoOps {
         col("lon").as("b_lon"), col("lat").as("b_lat"))
   }
 
+  /** Grid-DBSCAN density threshold: a cell is CORE with ≥ this many
+    * points (1 / 141 / 19 348 core cells at sf0.001/0.01/0.1 — engaged at
+    * every SF), and bounded label-refinement rounds (one more than
+    * [[CcRounds]]: the cell lattice is denser than the proximity graph). */
+  val DbscanMinPts = 3
+  val DbscanRounds = 4
+
+  /** X-C76: grid-density clustering (DBSCAN-lite) — the DENSITY member of
+    * the clustering family (k-means partitions everything; this finds
+    * arbitrary-shape dense regions and ignores sparse noise): a 1°-cell
+    * census keeps cells with ≥ [[DbscanMinPts]] points (core), adjacent
+    * core cells (8-neighborhood) merge into clusters. This is the
+    * standard grid approximation of DBSCAN — at planet scale the cell
+    * census IS the first stage of any density clusterer, because the cell
+    * count is GEOMETRY-bounded (≤360·180) no matter the corpus, so after
+    * one map-side census every later stage is metadata-sized.
+    *
+    * Adjacency is the bounded 9-offset replicate join ([[neighborPairs]]'
+    * pattern — never cells²); cluster labels are the [[ccLabels]]
+    * recurrence (1-hop min-label + pointer-jump shortcut) on the cell
+    * graph, run a FIXED [[DbscanRounds]] rounds — the bounded-round
+    * label-refinement semantics the CC family already established,
+    * replayed round-for-round by the oracle, so labels are
+    * engine-identical whether or not the lattice's giant component has
+    * fully converged. All-integer arithmetic end to end: hash-exact.
+    */
+  def gridDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = withCoords(spark, sfDir)
+      .groupBy(col("lon"), col("lat")).agg(count(lit(1)).as("n_points"))
+      .where(col("n_points") >= DbscanMinPts)
+      .withColumn("cell", (col("lon") + 180) * 1000 + (col("lat") + 90))
+    val offsets = for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1)
+                        if dx != 0 || dy != 0 } yield (dx, dy)
+    val probe = cells
+      .select(col("cell").as("src"), col("lon"), col("lat"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
+      .select(col("src"), (col("lon") + col("o.dx")).as("nlon"),
+        (col("lat") + col("o.dy")).as("nlat"))
+    val edges = probe
+      .join(cells.select(col("cell").as("dst"), col("lon").as("nlon"),
+        col("lat").as("nlat")), Seq("nlon", "nlat"))
+      .select(col("src"), col("dst"))
+    val init = cells.select(col("cell").as("v"), col("cell").as("label"))
+    val lab = (1 to DbscanRounds).foldLeft(init) { (l, _) =>
+      val prop = edges
+        .join(l.select(col("v").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("v"), col("label"))
+      val p = l.union(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      p.join(p.select(col("v").as("label"), col("label").as("ll")), Seq("label"))
+        .select(col("v"), col("ll").as("label"))
+    }
+    cells.join(lab, col("cell") === col("v"))
+      .select(col("lon"), col("lat"), col("n_points"), col("label").as("cluster"))
+  }
+
   /** Geohash base-32 alphabet (the standard Niemeyer encoding; shared
     * literal with the oracle SQL). */
   val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"

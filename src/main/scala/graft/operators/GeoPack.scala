@@ -43,6 +43,7 @@ object GeoPack extends QueryPack {
     "geo_adamic_adar" -> ((s, d) => GeoOps.adamicAdar(s, d)),
     "geo_haversine_pairs" -> ((s, d) => GeoOps.haversinePairs(s, d)),
     "geo_geohash_keys" -> ((s, d) => GeoOps.geohashKeys(s, d)),
+    "geo_grid_dbscan" -> ((s, d) => GeoOps.gridDbscan(s, d)),
   )
 
   private val coordsCte =
@@ -156,6 +157,38 @@ object GeoPack extends QueryPack {
          |FROM pts a JOIN pts b
          |  ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
          |  AND a.event_id < b.event_id""".stripMargin,
+    // same core-cell census, same 8-neighborhood graph, the ccSql
+    // min-label + pointer-jump rounds replayed round-for-round on it —
+    // bounded-round label semantics, all-integer, hash-exact
+    "geo_grid_dbscan" -> {
+      def round(i: Int) =
+        s"""p$i AS (
+           |  SELECT v, min(label) AS label FROM (
+           |    SELECT und.dst AS v, l.label
+           |    FROM und JOIN l${i - 1} l ON und.src = l.v
+           |    UNION ALL SELECT v, label FROM l${i - 1})
+           |  GROUP BY v),
+           |l$i AS (
+           |  SELECT a.v, b.label FROM p$i a JOIN p$i b ON b.v = a.label)""".stripMargin
+      s"""WITH $coordsCte,
+         |cells AS (
+         |  SELECT lon, lat, CAST(count(*) AS BIGINT) AS n_points
+         |  FROM coords GROUP BY 1, 2
+         |  HAVING count(*) >= ${GeoOps.DbscanMinPts}),
+         |cid AS (
+         |  SELECT lon, lat, n_points,
+         |    (lon + 180) * 1000 + (lat + 90) AS cell
+         |  FROM cells),
+         |und AS (
+         |  SELECT a.cell AS src, b.cell AS dst FROM cid a JOIN cid b
+         |  ON abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+         |  AND a.cell <> b.cell),
+         |l0 AS (SELECT cell AS v, cell AS label FROM cid),
+         |${(1 to GeoOps.DbscanRounds).map(round).mkString(",\n")}
+         |SELECT cid.lon, cid.lat, cid.n_points,
+         |  l${GeoOps.DbscanRounds}.label AS cluster
+         |FROM cid JOIN l${GeoOps.DbscanRounds} ON l${GeoOps.DbscanRounds}.v = cid.cell""".stripMargin
+    },
     // same 15-bit integer scaling, the Morton interleave as shift/mask
     // arithmetic (lat even / lon odd — geohash leads with a lon bit), and
     // the same substr alphabet mapping — all integer/string ops, hash-exact

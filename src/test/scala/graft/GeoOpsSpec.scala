@@ -418,6 +418,54 @@ class GeoOpsSpec extends SparkSpec {
     assert(sizes == expSizes)
   }
 
+  test("gridDbscan: bounded rounds replay driver-side; labels never cross true components") {
+    // sf0.001 has a single core cell (a trivial but degenerate clustering)
+    // — recompute at sf0.01 where the density structure is real
+    val sf = "/root/testdata/sf0.01"
+    val cells = GeoOps.withCoords(spark, sf)
+      .groupBy(col("lon"), col("lat")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= GeoOps.DbscanMinPts).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cid(c: (Long, Long)) = (c._1 + 180) * 1000 + (c._2 + 90)
+    val adj = cells.keys.map { c =>
+      cid(c) -> cells.keys.filter(o => o != c &&
+        math.abs(o._1 - c._1) <= 1 && math.abs(o._2 - c._2) <= 1)
+        .map(cid).toSet
+    }.toMap
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to GeoOps.DbscanRounds) {
+      val p = lab.map { case (v, l) => v -> (adj(v).map(lab) + l).min }
+      lab = p.map { case (v, l) => v -> p(l) }
+    }
+    val got = GeoOps.gridDbscan(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(got.length == cells.size && got.nonEmpty)
+    got.foreach { case (c, n, cluster) =>
+      assert(n == cells(c), s"cell $c count")
+      assert(cluster == lab(cid(c)), s"cell $c label")
+    }
+    // soundness vs TRUE components (union-find over the cell graph)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    adj.foreach { case (v, ns) => ns.foreach(n => parent(find(v)) = find(n)) }
+    got.foreach { case (c, _, cluster) =>
+      assert(find(cid(c)) == find(cluster), s"cell $c label crossed components")
+    }
+    // label structure matches the density structure: where core cells are
+    // adjacent, merges happen; where they are all isolated (sf0.01's 141
+    // scattered singletons), every label is the cell's own id — the
+    // merged regime is exercised against the oracle at sf0.1 (19 348
+    // adjacent core cells)
+    if (adj.values.exists(_.nonEmpty))
+      assert(got.exists { case (c, _, cluster) => cluster != cid(c) })
+    else
+      got.foreach { case (c, _, cluster) => assert(cluster == cid(c)) }
+    assert(got.map(_._3).distinct.length > 1)
+  }
+
   test("geohashKeys: matches an independent subdivision-reference encoder") {
     // reference implementation straight from the geohash definition:
     // alternate binary subdivision of the lon then lat interval, 30 bits,
