@@ -96,6 +96,7 @@ object RelationalPack extends QueryPack {
     "xt_mann_kendall" -> ((s, d) => TimeSeriesOps.mannKendall(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
+    "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
   )
 
   private val rev =
@@ -1419,5 +1420,33 @@ object RelationalPack extends QueryPack {
          |SELECT n1, n2, u2, CAST(u2 AS DOUBLE) / 2.0 AS u, var_u, z,
          |  abs(z) > ${TimeSeriesOps.MkZCrit} AS reject_05
          |FROM zf""".stripMargin,
+    // explicit population moments (sum(x^2)/n - (sum(x)/n)^2) mirror the
+    // Spark chain op-for-op; greatest(0, 1 - ratio) clamps both sides
+    "xt_seasonality_strength" ->
+      s"""WITH $stlCtes,
+         |parts AS (
+         |  SELECT residual AS r, seasonal + residual AS sr,
+         |    trend + residual AS tr
+         |  FROM stl),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(r) AS s_r, sum(r * r) AS s_rr,
+         |    sum(sr) AS s_sr, sum(sr * sr) AS s_srsr,
+         |    sum(tr) AS s_tr, sum(tr * tr) AS s_trtr
+         |  FROM parts)
+         |SELECT n AS n_days,
+         |  round(greatest(0.0, 1.0 -
+         |    (s_rr / CAST(n AS DOUBLE) -
+         |     (s_r / CAST(n AS DOUBLE)) * (s_r / CAST(n AS DOUBLE))) /
+         |    (s_srsr / CAST(n AS DOUBLE) -
+         |     (s_sr / CAST(n AS DOUBLE)) * (s_sr / CAST(n AS DOUBLE)))), 6)
+         |    AS seasonal_strength,
+         |  round(greatest(0.0, 1.0 -
+         |    (s_rr / CAST(n AS DOUBLE) -
+         |     (s_r / CAST(n AS DOUBLE)) * (s_r / CAST(n AS DOUBLE))) /
+         |    (s_trtr / CAST(n AS DOUBLE) -
+         |     (s_tr / CAST(n AS DOUBLE)) * (s_tr / CAST(n AS DOUBLE)))), 6)
+         |    AS trend_strength
+         |FROM m""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -812,6 +812,39 @@ object TimeSeriesOps {
         sum(pow(lit(EwmaDecay), col("k")) * col("rev2")).as("s"))
       .select(col("day"), col("revenue"), col("kernel_days"),
         round(lit(EwmaAlpha) * col("s"), 6).as("ewma"))
+  }
+
+  /** X-C77: seasonal / trend strength (Hyndman's STL-feature pair) — the
+    * two numbers read off [[stlDecompose]] before picking a forecaster:
+    * F_s = max(0, 1 − var(R)/var(S+R)) (how much of the detrended
+    * variation the weekly shape explains) and F_t = max(0, 1 −
+    * var(R)/var(T+R)). Variances are spelled as EXPLICIT population
+    * moments (Σx²/n − (Σx/n)²) so the oracle mirrors the identical IEEE
+    * chain instead of trusting two engines' variance implementations to
+    * associate alike. One day-cardinality aggregate over the
+    * decomposition (six moment sums in a single pass); emission at 6 dp
+    * over the day-count-bounded float sums — the [[TextOps.tokenEntropy]]
+    * argument.
+    */
+  def seasonalityStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = stlDecompose(spark, sfDir)
+      .select(col("residual").as("r"),
+        (col("seasonal") + col("residual")).as("sr"),
+        (col("trend") + col("residual")).as("tr"))
+    def varOf(s: Column, ss: Column, n: Column): Column =
+      ss / n - (s / n) * (s / n)
+    val m = parts.agg(count(lit(1)).as("n"),
+      sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("s_rr"),
+      sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("s_srsr"),
+      sum(col("tr")).as("s_tr"), sum(col("tr") * col("tr")).as("s_trtr"))
+    val nd = col("n").cast("double")
+    m.select(col("n").as("n_days"),
+      round(greatest(lit(0.0),
+        lit(1.0) - varOf(col("s_r"), col("s_rr"), nd) /
+          varOf(col("s_sr"), col("s_srsr"), nd)), 6).as("seasonal_strength"),
+      round(greatest(lit(0.0),
+        lit(1.0) - varOf(col("s_r"), col("s_rr"), nd) /
+          varOf(col("s_tr"), col("s_trtr"), nd)), 6).as("trend_strength"))
   }
 
   /** |z| threshold (±1.96 ≈ two-sided 5%) for [[mannKendall]]'s verdict. */
