@@ -39,6 +39,7 @@ object TextDedupPack extends QueryPack {
     "tx_source_js_drift" -> ((s, d) => TextOps.sourceJsDrift(s, d)),
     "tx_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
     "tx_search_rbo" -> ((s, d) => TextOps.searchRbo(s, d)),
+    "tx_keyphrases" -> ((s, d) => TextOps.keyphrases(s, d)),
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
@@ -1025,6 +1026,26 @@ object TextDedupPack extends QueryPack {
          |FROM scored
          |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
     },
+    // rational n_docs/df idf (two-op IEEE chain, bit-identical), raw-score
+    // rank with term tie-break; the window twin of the TopKPerKeyExec cut
+    "tx_keyphrases" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |      AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY score DESC, term) AS rk
+         |  FROM scored)
+         |SELECT doc_id, term, round(score, 6) AS score
+         |FROM rk WHERE rk <= ${TextOps.KeyphraseK}""".stripMargin,
     // both searches' own result tables re-ranked on the 6dp-rounded
     // score (bit-identical cross-engine), full-outer doc join, k-depth
     // prefix agreements, the (1-p) complement spelled as a literal

@@ -1359,6 +1359,42 @@ object TextOps {
     * sum is the one order-dependent float accumulation, emitted at 6 dp
     * (~10⁶ above the drift) — the [[tokenEntropy]] argument.
     */
+  /** Keyphrases kept per document by [[keyphrases]]. */
+  val KeyphraseK = 3
+
+  /** X-C78: per-document keyphrase extraction — each document's top-k
+    * terms by tf·idf, the summarization/tagging primitive (index cards,
+    * dedup explanations, topic seeds). The idf is the established
+    * rational `n_docs/df` (one exactly-rounded division — the
+    * [[rankedSearch]] portability form, no libm ln), so each score is a
+    * two-op IEEE chain, bit-identical cross-engine, and ranking on the
+    * raw score with a term tie-break is engine-identical.
+    *
+    * The per-key cut routes through the library's own
+    * [[graft.plans.TopKPerKey]] custom operator — bounded per-doc heaps,
+    * partial+final, ONE exchange — where a window row_number would sort
+    * every document's full term list; at corpus scale that is the
+    * difference between a heap pass and a (doc_id, score) sort of the
+    * whole posting space. Corpus is touched once (the (doc, term)
+    * collapse); df and n_docs re-aggregate from it and broadcast.
+    */
+  def keyphrases(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double"))).as("score"))
+    graft.plans.TopKPerKey(scored, KeyphraseK, Seq("doc_id"),
+        Seq("score" -> false, "term" -> true))
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"))
+  }
+
   /** RBO persistence parameter (weight of depth d is p^(d−1) — 0.9 puts
     * ~86% of the mass in the top 10) and its 1−p complement, BOTH spelled
     * as literals: `1.0 - 0.9` computed in binary rounds to a different

@@ -1255,6 +1255,30 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getDouble(3) < 0.5)
   }
 
+  test("keyphrases: per-doc tf-idf top-k recomputes against a driver-side rank") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val tf = docs.toSeq.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (t, g) => (id, t, g.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val n = docs.size.toLong
+    val expect = tf.groupBy(_._1).flatMap { case (id, ts) =>
+      ts.map { case (_, t, f) => (t, f.toDouble * (n.toDouble / dfm(t))) }
+        .sortBy { case (t, s) => (-s, t) }.take(TextOps.KeyphraseK)
+        .map { case (t, s) => (id, t,
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toSet
+    val got = TextOps.keyphrases(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expect && got.nonEmpty)
+    // every document got at most k phrases and at least one
+    val perDoc = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perDoc.values.forall(s => s >= 1 && s <= TextOps.KeyphraseK))
+    assert(perDoc.size == docs.size)
+  }
+
   test("searchRbo: rank-biased overlap recomputes from the two search rankings") {
     def ranking(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.collect().map(r => (r.getLong(0), r.getDouble(2)))
