@@ -203,10 +203,27 @@ object GeoOps {
     * fully converged. All-integer arithmetic end to end: hash-exact.
     */
   def gridDbscan(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = withCoords(spark, sfDir)
+    val census = withCoords(spark, sfDir)
       .groupBy(col("lon"), col("lat")).agg(count(lit(1)).as("n_points"))
       .where(col("n_points") >= DbscanMinPts)
       .withColumn("cell", (col("lon") + 180) * 1000 + (col("lat") + 90))
+    // The label recurrence below references its input frame four times per
+    // round (prop + union, then the compression self-join), so an
+    // unstaged foldLeft re-executes the upstream subtree 4^rounds times —
+    // including the corpus-sized event census (the r8 bench caught the
+    // unstaged version at 15.8 s against a sub-second family). Staging the
+    // geometry-bounded census/edges/per-round labels (all ≤360·180 rows)
+    // as tmp parquet is the [[DedupOps.duplicateClusters]] idiom: constant
+    // plan depth, each round executes once, and after the one staged
+    // census every stage really is metadata-sized. Attempt-unique dir so
+    // an abandoned builder can never race a rebuild (ADVICE r7).
+    val attemptDir = Tables.uniqueStageDir(spark, sfDir, "dbscan_run")
+    def stage(df: DataFrame, name: String): DataFrame = {
+      val path = s"$attemptDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val cells = stage(census, "cells")
     val offsets = for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1)
                         if dx != 0 || dy != 0 } yield (dx, dy)
     val probe = cells
@@ -215,17 +232,17 @@ object GeoOps {
           struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
       .select(col("src"), (col("lon") + col("o.dx")).as("nlon"),
         (col("lat") + col("o.dy")).as("nlat"))
-    val edges = probe
+    val edges = stage(probe
       .join(cells.select(col("cell").as("dst"), col("lon").as("nlon"),
         col("lat").as("nlat")), Seq("nlon", "nlat"))
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst")), "edges")
     val init = cells.select(col("cell").as("v"), col("cell").as("label"))
-    val lab = (1 to DbscanRounds).foldLeft(init) { (l, _) =>
+    val lab = (1 to DbscanRounds).foldLeft(init) { (l, i) =>
       val prop = edges
         .join(l.select(col("v").as("src"), col("label")), Seq("src"))
         .select(col("dst").as("v"), col("label"))
-      val p = l.union(prop)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      val p = stage(l.union(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label")), s"round$i")
       p.join(p.select(col("v").as("label"), col("label").as("ll")), Seq("label"))
         .select(col("v"), col("ll").as("label"))
     }

@@ -36,6 +36,7 @@ object TextDedupPack extends QueryPack {
     "dd_exact" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "dd_jaro_name_pairs" -> ((s, d) => DedupOps.jaroNamePairs(s, d)),
     "dd_jaro_mutual_best" -> ((s, d) => DedupOps.jaroMutualBest(s, d)),
+    "dd_edit1_pairs" -> ((s, d) => DedupOps.edit1Pairs(s, d)),
     "tx_source_js_drift" -> ((s, d) => TextOps.sourceJsDrift(s, d)),
     "tx_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
     "tx_search_rbo" -> ((s, d) => TextOps.searchRbo(s, d)),
@@ -729,6 +730,16 @@ object TextDedupPack extends QueryPack {
          |FROM best x JOIN best y
          |  ON x.other = y.name AND y.other = x.name
          |WHERE x.name < x.other""".stripMargin,
+    // oracle is brute-force all-pairs levenshtein — exactly what the
+    // FastSS deletion-neighborhood blocking must reproduce (the blocking
+    // is exact for k = 1, so no tolerance is needed); INT cast matches
+    // Spark's IntegerType levenshtein
+    "dd_edit1_pairs" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     // mirrored JS terms per PRESENT (source, token) row; the absent-token
     // mass enters in closed form (N_r - sum r_present)/(2 N_r) - the
     // source x vocab cross product never materializes on either side

@@ -1302,4 +1302,31 @@ class TextDedupSpec extends SparkSpec {
     // were identical rankings the metric would be exactly 1)
     assert(r.getDouble(2) < 1.0)
   }
+
+  test("edit1Pairs: FastSS deletion-neighborhood blocking reproduces brute-force levenshtein<=1 exactly") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.customer(spark, Sf).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expect = (for {
+      (ka, na) <- names; (kb, nb) <- names if ka < kb
+      d = lev(na, nb) if d <= 1
+    } yield (ka, kb, na, nb, d)).toSet
+    val got = DedupOps.edit1Pairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4))).toSet
+    assert(got == expect)
+    // the zero-padded key fixture genuinely exercises the blocking: many
+    // true distance-1 pairs, and brute force found them all
+    assert(expect.nonEmpty)
+    // transposition pairs ("...01"/"...10") are delete-1-variant-sharing
+    // candidates at distance 2 — set equality above proves the verify
+    // discarded them rather than the blocking missing anything
+  }
 }
