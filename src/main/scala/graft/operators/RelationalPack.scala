@@ -94,6 +94,7 @@ object RelationalPack extends QueryPack {
     "xa_gini_spend" -> ((s, d) => RelationalOps.giniSpend(s, d)),
     "xt_ewma_daily" -> ((s, d) => TimeSeriesOps.ewmaDaily(s, d)),
     "xt_mann_kendall" -> ((s, d) => TimeSeriesOps.mannKendall(s, d)),
+    "xt_theil_sen" -> ((s, d) => TimeSeriesOps.theilSen(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1350,6 +1351,39 @@ object RelationalPack extends QueryPack {
          |       WHEN z < -${TimeSeriesOps.MkZCrit} THEN 'decreasing'
          |       ELSE 'no_trend' END AS trend
          |FROM zc""".stripMargin,
+    // medians with NO quantile kernel: slopes are single IEEE divisions of
+    // exact BIGINTs (bit-identical -> group exactly), cumulative counts
+    // over distinct-value groups locate ranks k1/k2, median = (min+max)/2
+    // of the bracketing values -- hash-exact, unrounded
+    "xt_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |sl AS (
+        |  SELECT CAST(b.x - a.x AS DOUBLE) /
+        |    CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |sg AS (SELECT slope, CAST(count(*) AS BIGINT) AS c FROM sl GROUP BY 1),
+        |sc AS (SELECT slope, c,
+        |         CAST(sum(c) OVER (ORDER BY slope) AS BIGINT) AS hi FROM sg),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs FROM sg),
+        |sk AS (SELECT n_pairs, (n_pairs + 1) // 2 AS k1,
+        |              (n_pairs + 2) // 2 AS k2 FROM st),
+        |sm AS (SELECT (min(slope) + max(slope)) / 2.0 AS slope_per_day
+        |       FROM sc, sk WHERE hi >= k1 AND hi - c < k2),
+        |rs AS (SELECT CAST(x AS DOUBLE) - slope_per_day *
+        |         CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS r
+        |       FROM daily, sm),
+        |rg AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM rs GROUP BY 1),
+        |rc AS (SELECT r, c,
+        |         CAST(sum(c) OVER (ORDER BY r) AS BIGINT) AS hi FROM rg),
+        |rt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |rk AS (SELECT n_days, (n_days + 1) // 2 AS k1,
+        |              (n_days + 2) // 2 AS k2 FROM rt),
+        |rm AS (SELECT (min(r) + max(r)) / 2.0 AS intercept
+        |       FROM rc, rk WHERE hi >= k1 AND hi - c < k2)
+        |SELECT n_days, n_pairs, slope_per_day, intercept
+        |FROM rt, st, sm, rm""".stripMargin,
     // exact integer-cents support, cumulative BIGINT ECDFs, per-row |F1-F2|
     // IEEE chains, argmax cut on (diff DESC, cents) -- engine-identical
     "xt_ks_purchase_click" ->

@@ -892,6 +892,60 @@ object TimeSeriesOps {
           .otherwise("no_trend").as("trend"))
   }
 
+  /** X-C79: Theil–Sen robust trend estimator over the daily order series —
+    * the SLOPE companion of [[mannKendall]]'s significance test (the
+    * standard pairing: MK answers "is there a monotone trend?", Theil–Sen
+    * answers "how steep?" with a 29%-outlier-tolerant breakdown point
+    * where OLS is wrecked by one bad day): slope = median of all pairwise
+    * slopes (x₂−x₁)/(d₂−d₁), intercept = median of the per-day residuals
+    * x−slope·t.
+    *
+    * Both medians avoid engine quantile kernels (whose interpolation
+    * arithmetic is not bit-pinned cross-engine): each slope is ONE IEEE
+    * division of exact BIGINTs — bit-identical in both engines — so
+    * slopes GROUP exactly, a cumulative count over the distinct-value
+    * groups locates the bracketing rank(s) k₁=(n+1) div 2, k₂=(n+2) div 2,
+    * and the median is (min+max)/2 of the 1–2 bracketing values — the
+    * [[RelationalOps]] weighted-median discipline. Hash-exact, unrounded.
+    *
+    * Scale shape: the pair join is bounded by the CALENDAR (days², never
+    * corpus²) off the day-cardinality aggregate; the rank windows run over
+    * distinct slope/residual VALUES (≤ pair count, heavily collapsed by
+    * integer-ratio ties), and every cross join carries one broadcast row.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    def medianOf(values: DataFrame, vcol: String, out: String): DataFrame = {
+      val groups = values.groupBy(col(vcol)).agg(count(lit(1)).as("c"))
+      val cum = groups
+        .withColumn("hi", sum(col("c")).over(Window.orderBy(col(vcol))))
+        .withColumn("lo", col("hi") - col("c"))
+      val k = groups.agg(sum(col("c")).as("n"))
+        .select(col("n"), expr("(n + 1) div 2").as("k1"),
+          expr("(n + 2) div 2").as("k2"))
+      cum.crossJoin(broadcast(k))
+        .where(col("hi") >= col("k1") && col("lo") < col("k2"))
+        .agg(((min(col(vcol)) + max(col(vcol))) / 2.0).as(out))
+    }
+    val slopes = daily.select(col("day").as("d1"), col("x").as("x1"))
+      .join(daily.select(col("day").as("d2"), col("x").as("x2")),
+        col("d1") < col("d2"))
+      .select(((col("x2") - col("x1")).cast("double") /
+        datediff(col("d2"), col("d1")).cast("double")).as("slope"))
+    val slope = medianOf(slopes, "slope", "slope_per_day")
+    val resid = daily.crossJoin(broadcast(slope))
+      .select((col("x").cast("double") - col("slope_per_day") *
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("double")).as("r"))
+    val icept = medianOf(resid, "r", "intercept")
+    val nPairs = slopes.agg(count(lit(1)).as("n_pairs"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    nDays.crossJoin(broadcast(nPairs)).crossJoin(broadcast(slope))
+      .crossJoin(broadcast(icept))
+  }
+
   /** KS rejection threshold: the α=0.05 two-sample coefficient c(α) =
     * √(−ln(α/2)/2) ≈ 1.358, carried as a LITERAL (the [[EwmaDecay]]
     * argument: both engines parse the decimal identically; computing it

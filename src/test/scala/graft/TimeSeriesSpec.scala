@@ -672,4 +672,33 @@ class TimeSeriesSpec extends SparkSpec {
         math.sqrt((n1 + n2).toDouble / (n1 * n2).toDouble)))
     assert(dMax > 0.0 && dMax < 1.0)
   }
+
+  test("theilSen: slope and intercept recompute from driver-side brute-force medians") {
+    val daily = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    // the same bracketing-rank median the operator computes: sort, take the
+    // values at ranks (n+1)/2 and (n+2)/2, average — no interpolation kernel
+    def med(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val (k1, k2) = ((s.length + 1) / 2, (s.length + 2) / 2)
+      (s(k1 - 1) + s(k2 - 1)) / 2.0
+    }
+    val slopes = for {
+      Seq((d1, x1), (d2, x2)) <- daily.toSeq.combinations(2).toSeq
+    } yield (x2 - x1).toDouble / (d2 - d1).toDouble
+    val slope = med(slopes)
+    val icept = med(daily.toSeq.map { case (d, x) => x.toDouble - slope * d.toDouble })
+    val r = TimeSeriesOps.theilSen(spark, Sf).collect().head
+    assert(r.getLong(0) == daily.length.toLong)
+    assert(r.getLong(1) == slopes.length.toLong)
+    assert(r.getDouble(2) == slope, s"slope ${r.getDouble(2)} != $slope")
+    assert(r.getDouble(3) == icept, s"intercept ${r.getDouble(3)} != $icept")
+    // the synthetic order stream is rate-stationary: the robust slope must
+    // be tiny relative to the daily level
+    val meanX = daily.map(_._2).sum.toDouble / daily.length
+    assert(math.abs(slope) < 0.05 * meanX)
+  }
 }
