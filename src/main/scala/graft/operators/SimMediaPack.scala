@@ -26,6 +26,7 @@ object SimMediaPack extends QueryPack {
     "sim_matryoshka_recall" -> ((s, d) => SimilarityOps.matryoshkaRecall(s, d)),
     "sim_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "sim_gram_matrix" -> ((s, d) => SimilarityOps.gramMatrix(s, d)),
+    "sim_embedding_audit" -> ((s, d) => SimilarityOps.embeddingAudit(s, d)),
     "sim_gram_udaf" -> ((s, d) => SimilarityOps.gramMatrixUdaf(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(s, d)),
     "dd_semdedup" -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
@@ -300,6 +301,49 @@ object SimMediaPack extends QueryPack {
          |SELECT a.idx AS i, b.idx AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
          |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
          |GROUP BY a.idx, b.idx""".stripMargin,
+    // grounded in the GramScale raw quantization (the one proven-identical
+    // float->int step): norm = sqrt of an exact BIGINT, unit components
+    // divide identical doubles, isotropy via ||sum u||^2 - sum ||u||^2
+    // over AuditScale fixed-point units -- exact integers to the final
+    // divisions, hash-exact
+    "sim_embedding_audit" ->
+      s"""WITH qraw AS (
+         |  SELECT label, vec_id, s - 1 AS d,
+         |    CAST(floor(CAST(embedding[s] AS DOUBLE) *
+         |      ${SimilarityOps.GramScale}) AS BIGINT) AS qr
+         |  FROM (SELECT label, vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS s
+         |        FROM embeddings)),
+         |b AS (
+         |  SELECT label, vec_id, CAST(sum(qr * qr) AS BIGINT) AS s2
+         |  FROM qraw GROUP BY 1, 2),
+         |qv AS (
+         |  SELECT q.label, q.vec_id, q.d,
+         |    CAST(floor(CAST(q.qr AS DOUBLE) / sqrt(CAST(b.s2 AS DOUBLE)) *
+         |      ${SimilarityOps.AuditScale}) AS BIGINT) AS q
+         |  FROM qraw q JOIN b USING (vec_id)),
+         |ps AS (SELECT label, d, CAST(sum(q) AS BIGINT) AS sq
+         |       FROM qv GROUP BY 1, 2),
+         |aa AS (SELECT label, sum(CAST(sq AS HUGEINT) * sq) AS a
+         |       FROM ps GROUP BY 1),
+         |bb AS (SELECT label, sum(CAST(q AS HUGEINT) * q) AS bsum
+         |       FROM qv GROUP BY 1),
+         |nr AS (
+         |  SELECT label,
+         |    round(sqrt(CAST(s2 AS DOUBLE)) / ${SimilarityOps.GramScale}.0, 6)
+         |      AS r_norm
+         |  FROM b),
+         |st AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    min(r_norm) AS min_norm, max(r_norm) AS max_norm,
+         |    CAST(sum(CAST(r_norm AS DECIMAL(18,6))) AS DOUBLE) /
+         |      CAST(count(*) AS DOUBLE) AS mean_norm
+         |  FROM nr GROUP BY 1)
+         |SELECT st.label, n_vecs, min_norm, max_norm, mean_norm,
+         |  CAST(a - bsum AS DOUBLE) / CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
+         |    / ${SimilarityOps.AuditScale * SimilarityOps.AuditScale}.0
+         |    AS mean_pair_cos
+         |FROM st JOIN aa USING (label) JOIN bb USING (label)""".stripMargin,
     // the GramAgg UDAF fold must produce the bit-identical cell table
     "sim_gram_udaf" ->
       s"""WITH $gramQCte

@@ -783,6 +783,77 @@ object SimilarityOps {
       .agg(sum(col("p").cast("decimal(28,0)")).cast("bigint").as("gram"))
   }
 
+  /** Fixed-point scale for [[embeddingAudit]]'s unit-vector quantization
+    * (10⁵ per unit component → the isotropy readout resolves ~10⁻⁵ of a
+    * cosine, far below any decision threshold). */
+  val AuditScale = 100000L
+
+  /** X-P47: embedding-space health audit — the check a pipeline runs on a
+    * NEW embedding column before trusting ANN / semdedup / clustering
+    * over it. Per label slice: vector count, norm spread (min/mean/max —
+    * "is this space normalized?"), and the mean pairwise cosine of the
+    * unit-normalized vectors — the anisotropy number (Ethayarajh 2019:
+    * healthy spread ≈ 0; a high value means the space has collapsed
+    * toward a common direction and cosine thresholds stop meaning
+    * anything). The pairwise mean NEVER enumerates pairs: for unit
+    * vectors uᵢ, Σ_{i≠j} uᵢ·uⱼ = ‖Σuᵢ‖² − Σ‖uᵢ‖², so one per-dimension
+    * sum closes the form — O(n·d) for an O(n²) quantity.
+    *
+    * Determinism discipline: the ENTIRE audit is grounded in the
+    * [[GramScale]] fixed-point raw quantization qr = floor(x·4096) — the
+    * one float→int step proven bit-identical cross-engine by the
+    * gram-matrix family. An engine dot-product kernel (VecDot vs
+    * `list_dot_product` over FLOAT[]) is NOT identical at the last ulp,
+    * and ×[[AuditScale]] amplifies an ulp into a floor flip — so the norm
+    * is instead √(Σqr²) of an exact BIGINT (one correctly-rounded IEEE
+    * sqrt of an identical integer-valued double), unit components divide
+    * those identical doubles, per-dim sums stay integral, squares ride
+    * decimal(38,0), and raw doubles appear only in the final closed-form
+    * divisions. Hash-exact.
+    *
+    * Scale shape: one corpus scan computes norms + per-row Σq² narrowly
+    * (array fold, no explode for B); the per-dim explode shuffles
+    * (label, d) cells only — d·labels rows of partial sums, KBs per task
+    * at any corpus size; every later stage is label-cardinality.
+    */
+  def embeddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * GramScale).cast("long")).as("qr"))
+      .select(col("label"), col("qr"),
+        aggregate(col("qr"), lit(0L), (acc, v) => acc + v * v).as("s2"))
+    val withQ = base.select(col("label"),
+      round(sqrt(col("s2").cast("double")) / lit(GramScale.toDouble), 6)
+        .as("r_norm"),
+      transform(col("qr"), x => floor(x.cast("double") /
+        sqrt(col("s2").cast("double")) * AuditScale).cast("long")).as("q"))
+    val perRow = withQ.select(col("label"), col("r_norm"),
+      aggregate(col("q"), lit(0L), (acc, v) => acc + v * v).as("b_row"),
+      col("q"))
+    val stats = perRow.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      min(col("r_norm")).as("min_norm"),
+      max(col("r_norm")).as("max_norm"),
+      (sum(col("r_norm").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_norm"),
+      sum(col("b_row").cast("decimal(28,0)")).as("b"))
+    val dimSums = perRow
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "qv")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("qv")).as("sq"))
+    val a = dimSums.groupBy(col("label"))
+      .agg(sum(col("sq").cast("decimal(19,0)") *
+        col("sq").cast("decimal(19,0)")).as("a"))
+    stats.join(a, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("min_norm"),
+        col("max_norm"), col("mean_norm"),
+        ((col("a") - col("b")).cast("double") /
+          (col("n_vecs") * (col("n_vecs") - 1)).cast("double") /
+          lit(AuditScale.toDouble * AuditScale.toDouble))
+          .as("mean_pair_cos"))
+  }
+
   /** RRF constant (the standard k=60 from the Cormack/Clarke/Buettcher
     * reciprocal-rank-fusion formulation). */
   val RrfK = 60

@@ -455,4 +455,38 @@ class SimMediaSpec extends SparkSpec {
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
     assert(v.exists(x => math.abs(x) > 0.2))
   }
+
+  test("embeddingAudit: closed-form isotropy equals the naive O(n^2) pairwise mean") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    // replicate the operator's exact arithmetic: GramScale raw quantize,
+    // integer norm, AuditScale unit quantize
+    def quantUnit(e: Array[Float]): Array[Long] = {
+      val qr = e.map(x => math.floor(x.toDouble * SimilarityOps.GramScale).toLong)
+      val s2 = qr.map(v => v * v).sum
+      qr.map(v => math.floor(v.toDouble / math.sqrt(s2.toDouble) *
+        SimilarityOps.AuditScale).toLong)
+    }
+    val byLabel = vecs.groupBy(_._1).map { case (l, vs) => l -> vs.map(v => quantUnit(v._2)) }
+    val got = SimilarityOps.embeddingAudit(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.size == byLabel.size)
+    byLabel.foreach { case (l, qs) =>
+      val n = qs.length
+      // naive pairwise mean over all ordered pairs i != j
+      val naive = (for { a <- qs; b <- qs if !(a eq b) } yield
+        a.zip(b).map { case (x, y) => x * y }.sum).sum.toDouble /
+        (n.toLong * (n - 1)).toDouble /
+        (SimilarityOps.AuditScale.toDouble * SimilarityOps.AuditScale.toDouble)
+      val r = got(l)
+      assert(r.getLong(1) == n.toLong)
+      assert(math.abs(r.getDouble(5) - naive) < 1e-12,
+        s"label $l: ${r.getDouble(5)} vs $naive")
+      // anisotropy magnitude is a sane cosine-scale number
+      assert(math.abs(r.getDouble(5)) < 1.0)
+      // norm stats: min <= mean <= max and all near the quantized norms
+      assert(r.getDouble(2) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(3))
+    }
+  }
 }
