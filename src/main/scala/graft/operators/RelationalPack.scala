@@ -95,6 +95,7 @@ object RelationalPack extends QueryPack {
     "xt_ewma_daily" -> ((s, d) => TimeSeriesOps.ewmaDaily(s, d)),
     "xt_mann_kendall" -> ((s, d) => TimeSeriesOps.mannKendall(s, d)),
     "xt_theil_sen" -> ((s, d) => TimeSeriesOps.theilSen(s, d)),
+    "xt_psi_drift" -> ((s, d) => TimeSeriesOps.psiDrift(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1384,6 +1385,60 @@ object RelationalPack extends QueryPack {
         |       FROM rc, rk WHERE hi >= k1 AND hi - c < k2)
         |SELECT n_days, n_pairs, slope_per_day, intercept
         |FROM rt, st, sm, rm""".stripMargin,
+    // decile edges by pure BIGINT rank inequality (no quantile kernel),
+    // integer edge-comparison bins, Laplace-smoothed exact-ratio p's, ln
+    // per bin (DSIR precedent), 6dp-rounded psi drives the verdict
+    "xt_psi_drift" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |cells AS (SELECT week, cents, CAST(count(*) AS BIGINT) AS cnt
+         |          FROM ev GROUP BY 1, 2),
+         |rw AS (SELECT min(week) AS ref_week FROM cells),
+         |ref AS (SELECT cents, cnt FROM cells, rw WHERE week = ref_week),
+         |nr AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_ref FROM ref),
+         |rc AS (SELECT cents,
+         |         CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
+         |       FROM ref),
+         |edges AS (
+         |  SELECT k, min(cents) AS edge
+         |  FROM rc, nr, (SELECT unnest(generate_series(1, 9)) AS k)
+         |  WHERE cum * 10 >= k * n_ref GROUP BY k),
+         |binned AS (
+         |  SELECT week, bin, CAST(sum(cnt) AS BIGINT) AS nwb FROM (
+         |    SELECT c.week, c.cents, c.cnt,
+         |      CAST(sum(CASE WHEN c.cents > e.edge THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS bin
+         |    FROM cells c CROSS JOIN edges e
+         |    GROUP BY c.week, c.cents, c.cnt) GROUP BY 1, 2),
+         |nw AS (SELECT week, CAST(sum(cnt) AS BIGINT) AS n_w
+         |       FROM cells GROUP BY 1),
+         |rb AS (SELECT bin, nwb AS nrb FROM binned, rw WHERE week = ref_week),
+         |grid AS (
+         |  SELECT week, CAST(k AS BIGINT) AS bin
+         |  FROM (SELECT DISTINCT week FROM cells),
+         |       (SELECT unnest(generate_series(0, 9)) AS k)),
+         |terms AS (
+         |  SELECT g.week, n_w,
+         |    CAST(COALESCE(b.nwb, 0) + 1 AS DOUBLE) /
+         |      CAST(n_w + 10 AS DOUBLE) AS pc,
+         |    CAST(COALESCE(r.nrb, 0) + 1 AS DOUBLE) /
+         |      CAST(n_ref + 10 AS DOUBLE) AS pr
+         |  FROM grid g
+         |  LEFT JOIN binned b ON g.week = b.week AND g.bin = b.bin
+         |  LEFT JOIN rb r ON g.bin = r.bin
+         |  JOIN nw ON g.week = nw.week
+         |  CROSS JOIN nr),
+         |p AS (
+         |  SELECT week, n_w AS n_values,
+         |    round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT week, n_values, psi,
+         |  CASE WHEN psi < ${TimeSeriesOps.PsiModerate} THEN 'stable'
+         |       WHEN psi < ${TimeSeriesOps.PsiMajor} THEN 'moderate'
+         |       ELSE 'major' END AS verdict
+         |FROM p""".stripMargin,
     // exact integer-cents support, cumulative BIGINT ECDFs, per-row |F1-F2|
     // IEEE chains, argmax cut on (diff DESC, cents) -- engine-identical
     "xt_ks_purchase_click" ->

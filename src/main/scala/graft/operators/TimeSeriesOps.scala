@@ -946,6 +946,83 @@ object TimeSeriesOps {
       .crossJoin(broadcast(icept))
   }
 
+  /** PSI monitoring thresholds — the industry-standard 0.1 / 0.25 cuts
+    * (Siddiqi, "Credit Risk Scorecards"): <0.1 stable, <0.25 moderate
+    * shift worth watching, ≥0.25 major shift requiring action. Applied to
+    * the 6 dp-ROUNDED psi so the verdict is engine-identical. */
+  val PsiModerate = 0.1
+  val PsiMajor    = 0.25
+
+  /** X-C80: Population Stability Index — THE production drift monitor
+    * (scorecard/model-monitoring standard) next to the hypothesis-test
+    * pair ([[ksPurchaseClick]]/[[mannWhitney]] answer "is this shift
+    * real?"; PSI answers "how big is it, on the scale ops teams alert
+    * on"): each ISO week's purchase-value distribution vs the FIRST week
+    * (the "since launch" baseline), over decile bins of the reference —
+    * psi = Σ_bins (p_c−p_r)·ln(p_c/p_r) with +1/(n+10) Laplace smoothing
+    * so an empty current bin stays finite (documented, applied
+    * identically to both sides; the reference week therefore reads
+    * EXACTLY 0 — a built-in true-zero check).
+    *
+    * Determinism: the cents support is the fixture's exact 2 dp decimal
+    * cast (the KS/MW binning contract); decile edges avoid quantile
+    * kernels — edge_k = min{c : cum(c)·10 ≥ k·n_ref}, a pure BIGINT
+    * inequality over the cents-cardinality cumulative (bracketing-rank
+    * discipline); bin ids are integer edge-comparison counts; p ratios
+    * are single divisions of exact BIGINTs and ln is one libm call per
+    * bin (the DSIR precedent), summed over 10 bins and rounded 6 dp.
+    *
+    * Scale shape: facts collapse once to (week, cents) cells; the edge
+    * table is 9 broadcast rows; binning is a cells × 9 broadcast
+    * cross-join; every aggregate after the first collapse is
+    * week/bin-cardinality. Nothing corpus-sized survives the first
+    * map-side groupBy.
+    */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val cells = ev.groupBy(col("week"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val refWeek = cells.agg(min(col("week")).as("ref_week"))
+    val ref = cells.join(broadcast(refWeek), col("week") === col("ref_week"))
+      .select(col("cents"), col("cnt"))
+    val nRef = ref.agg(sum(col("cnt")).as("n_ref"))
+    val refCum = ref
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("cents"))))
+    val edges = refCum.crossJoin(broadcast(nRef))
+      .select(col("cents"), col("cum"), col("n_ref"),
+        explode(sequence(lit(1L), lit(9L))).as("k"))
+      .where(col("cum") * 10 >= col("k") * col("n_ref"))
+      .groupBy(col("k")).agg(min(col("cents")).as("edge"))
+    val binned = cells.crossJoin(broadcast(edges))
+      .groupBy(col("week"), col("cents"), col("cnt"))
+      .agg(sum(when(col("cents") > col("edge"), 1L).otherwise(0L)).as("bin"))
+      .groupBy(col("week"), col("bin")).agg(sum(col("cnt")).as("nwb"))
+    val nW = cells.groupBy(col("week")).agg(sum(col("cnt")).as("n_w"))
+    val refBins = binned
+      .join(broadcast(refWeek), col("week") === col("ref_week"))
+      .select(col("bin"), col("nwb").as("nrb"))
+    val grid = cells.select(col("week")).distinct()
+      .select(col("week"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+    val pc = (coalesce(col("nwb"), lit(0L)) + 1).cast("double") /
+      (col("n_w") + 10).cast("double")
+    val pr = (coalesce(col("nrb"), lit(0L)) + 1).cast("double") /
+      (col("n_ref") + 10).cast("double")
+    val psi = round(sum((pc - pr) * log(pc / pr)), 6)
+    grid.join(binned, Seq("week", "bin"), "left")
+      .join(refBins, Seq("bin"), "left")
+      .join(nW, Seq("week"))
+      .crossJoin(broadcast(nRef))
+      .groupBy(col("week"), col("n_w"))
+      .agg(psi.as("psi"))
+      .select(col("week"), col("n_w").as("n_values"), col("psi"),
+        when(col("psi") < PsiModerate, "stable")
+          .when(col("psi") < PsiMajor, "moderate")
+          .otherwise("major").as("verdict"))
+  }
+
   /** KS rejection threshold: the α=0.05 two-sample coefficient c(α) =
     * √(−ln(α/2)/2) ≈ 1.358, carried as a LITERAL (the [[EwmaDecay]]
     * argument: both engines parse the decimal identically; computing it

@@ -701,4 +701,45 @@ class TimeSeriesSpec extends SparkSpec {
     val meanX = daily.map(_._2).sum.toDouble / daily.length
     assert(math.abs(slope) < 0.05 * meanX)
   }
+
+  test("psiDrift: brute-force decile PSI replays, reference week reads exactly zero") {
+    val ev = Tables.events(spark, Sf)
+      .where(col("event_type") === "purchase")
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val refWeek = ev.map(_._1).min
+    val refVals = ev.filter(_._1 == refWeek).map(_._2).sorted
+    val nRef = refVals.length.toLong
+    // edge_k = min cents whose cumulative count satisfies cum*10 >= k*n
+    val edges = (1 to 9).map { k =>
+      refVals(refVals.indices.find(i => (i + 1) * 10 >= k * nRef).get)
+    }
+    def bin(c: Long): Int = edges.count(c > _)
+    val refBins = refVals.groupBy(bin).map { case (b, vs) => b -> vs.length.toLong }
+    val got = TimeSeriesOps.psiDrift(spark, Sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+    val byWeek = ev.groupBy(_._1)
+    assert(got.keySet == byWeek.keySet)
+    byWeek.foreach { case (w, vs) =>
+      val nW = vs.length.toLong
+      val wBins = vs.map(v => bin(v._2)).groupBy(identity)
+        .map { case (b, xs) => b -> xs.length.toLong }
+      val psi = (0 to 9).map { b =>
+        val pc = (wBins.getOrElse(b, 0L) + 1).toDouble / (nW + 10).toDouble
+        val pr = (refBins.getOrElse(b, 0L) + 1).toDouble / (nRef + 10).toDouble
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+      val rounded = BigDecimal(psi)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, gp, gv) = got(w)
+      assert(gn == nW)
+      assert(math.abs(gp - rounded) <= 1e-6, s"week $w: $gp vs $rounded")
+      assert(gv == (if (gp < TimeSeriesOps.PsiModerate) "stable"
+        else if (gp < TimeSeriesOps.PsiMajor) "moderate" else "major"))
+    }
+    // the baseline compared against itself is a true zero
+    assert(got(refWeek)._2 == 0.0)
+  }
 }
