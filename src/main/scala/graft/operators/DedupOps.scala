@@ -1404,4 +1404,81 @@ object DedupOps {
       .where(col("dist") >= 0)
       .distinct()
   }
+
+  /** Fellegi–Sunter m-probabilities — P(field agrees | true match) — per
+    * comparison field, fixed documented constants (production systems fit
+    * them by EM; the fixture has no labeled truth, so the classical
+    * hand-set values stand in). u-probabilities are ESTIMATED from the
+    * data as chance agreement Σ_v f_v² / n² — exact BIGINT sums. */
+  val FsMNation  = 0.95
+  val FsMSegment = 0.9
+  val FsMBalband = 0.85
+
+  /** Score thresholds for the three-way Fellegi–Sunter decision. */
+  val FsLinkMin     = 4.0
+  val FsPossibleMin = 0.0
+
+  /** X-P48: Fellegi–Sunter probabilistic record-linkage scoring — the
+    * DECISION stage of entity resolution that runs on top of a blocking
+    * stage ([[edit1Pairs]] supplies the candidates here): each candidate
+    * pair is scored by the log-likelihood ratio of its field-agreement
+    * pattern, Σ_f agree ? log₂(m_f/u_f) : log₂((1−m_f)/(1−u_f)), and cut
+    * into link / possible / non-link (the 1969 JASA framework that
+    * underlies every production matcher). m = [[FsMNation]] etc. are
+    * documented constants; u (chance agreement) is estimated from the
+    * data itself: u_f = Σ_v f_v²/n² over the field's value frequencies —
+    * the standard frequency-based estimate, exact BIGINT arithmetic to
+    * one division.
+    *
+    * Determinism: u ratios are single divisions of exact BIGINTs; each
+    * term is one libm log₂ of an identical double (the DSIR/PSI
+    * precedent); the score sums THREE terms in a fixed written order and
+    * rounds to 6 dp, which also makes the threshold verdicts
+    * engine-identical.
+    *
+    * Scale shape: the u table is three one-row aggregates over
+    * value-cardinality groups (broadcast); candidates come from the
+    * scaled blocking join; field attachment is two key-equi joins against
+    * the slim customer projection. Nothing here exceeds candidate
+    * cardinality.
+    */
+  def fellegiSunter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("key"), col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000).cast("long").as("balband"))
+    def uOf(field: String, out: String) = {
+      val f = cust.groupBy(col(field)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("num"))
+      val n = cust.agg(count(lit(1)).as("n"))
+      f.crossJoin(broadcast(n))
+        .select((col("num").cast("double") /
+          (col("n") * col("n")).cast("double")).as(out))
+    }
+    val u = uOf("nat", "u_nat").crossJoin(broadcast(uOf("seg", "u_seg")))
+      .crossJoin(broadcast(uOf("balband", "u_bal")))
+    def term(agree: Column, m: Double, uc: Column): Column =
+      when(agree, log2(lit(m) / uc)).otherwise(log2(lit(1 - m) / (lit(1.0) - uc)))
+    val cand = edit1Pairs(spark, sfDir).select(col("key_a"), col("key_b"))
+    val scored = cand
+      .join(cust.select(col("key").as("key_a"), col("nat").as("nat_a"),
+        col("seg").as("seg_a"), col("balband").as("bal_a")), Seq("key_a"))
+      .join(cust.select(col("key").as("key_b"), col("nat").as("nat_b"),
+        col("seg").as("seg_b"), col("balband").as("bal_b")), Seq("key_b"))
+      .crossJoin(broadcast(u))
+      .select(col("key_a"), col("key_b"),
+        (col("nat_a") === col("nat_b")).as("agree_nation"),
+        (col("seg_a") === col("seg_b")).as("agree_segment"),
+        (col("bal_a") === col("bal_b")).as("agree_balband"),
+        round(
+          term(col("nat_a") === col("nat_b"), FsMNation, col("u_nat")) +
+          term(col("seg_a") === col("seg_b"), FsMSegment, col("u_seg")) +
+          term(col("bal_a") === col("bal_b"), FsMBalband, col("u_bal")), 6)
+          .as("score"))
+    scored.select(col("key_a"), col("key_b"), col("agree_nation"),
+      col("agree_segment"), col("agree_balband"), col("score"),
+      when(col("score") >= FsLinkMin, "link")
+        .when(col("score") >= FsPossibleMin, "possible")
+        .otherwise("non_link").as("verdict"))
+  }
 }

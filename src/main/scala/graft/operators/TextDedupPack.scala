@@ -37,6 +37,7 @@ object TextDedupPack extends QueryPack {
     "dd_jaro_name_pairs" -> ((s, d) => DedupOps.jaroNamePairs(s, d)),
     "dd_jaro_mutual_best" -> ((s, d) => DedupOps.jaroMutualBest(s, d)),
     "dd_edit1_pairs" -> ((s, d) => DedupOps.edit1Pairs(s, d)),
+    "dd_fs_scores" -> ((s, d) => DedupOps.fellegiSunter(s, d)),
     "tx_source_js_drift" -> ((s, d) => TextOps.sourceJsDrift(s, d)),
     "tx_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
     "tx_search_rbo" -> ((s, d) => TextOps.searchRbo(s, d)),
@@ -740,6 +741,51 @@ object TextDedupPack extends QueryPack {
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // u = chance agreement sum(f^2)/n^2 in exact BIGINTs to one division;
+    // per-pair terms are libm log2 of identical doubles summed in the
+    // written order and 6dp-rounded; candidates = the brute-force twin of
+    // the FastSS blocking
+    "dd_fs_scores" -> {
+      def t(agree: String, m: Double, u: String) =
+        s"CASE WHEN $agree THEN log2($m / $u) ELSE log2(${1 - m} / (1.0 - $u)) END"
+      s"""WITH cust AS (
+         |  SELECT c_custkey AS key, c_name AS name, c_nationkey AS nat,
+         |    c_mktsegment AS seg,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS balband
+         |  FROM customer),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+         |unat AS (SELECT CAST(sum(c * c) AS DOUBLE) /
+         |    CAST((SELECT n * n FROM n) AS DOUBLE) AS u_nat
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY nat)),
+         |useg AS (SELECT CAST(sum(c * c) AS DOUBLE) /
+         |    CAST((SELECT n * n FROM n) AS DOUBLE) AS u_seg
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY seg)),
+         |ubal AS (SELECT CAST(sum(c * c) AS DOUBLE) /
+         |    CAST((SELECT n * n FROM n) AS DOUBLE) AS u_bal
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM cust
+         |        GROUP BY balband)),
+         |cand AS (
+         |  SELECT a.key AS key_a, b.key AS key_b,
+         |    a.nat AS nat_a, b.nat AS nat_b, a.seg AS seg_a, b.seg AS seg_b,
+         |    a.balband AS bal_a, b.balband AS bal_b
+         |  FROM cust a JOIN cust b ON a.key < b.key
+         |  WHERE levenshtein(a.name, b.name) <= 1),
+         |scored AS (
+         |  SELECT key_a, key_b,
+         |    nat_a = nat_b AS agree_nation, seg_a = seg_b AS agree_segment,
+         |    bal_a = bal_b AS agree_balband,
+         |    round(${t("nat_a = nat_b", DedupOps.FsMNation, "u_nat")} +
+         |          ${t("seg_a = seg_b", DedupOps.FsMSegment, "u_seg")} +
+         |          ${t("bal_a = bal_b", DedupOps.FsMBalband, "u_bal")}, 6)
+         |      AS score
+         |  FROM cand CROSS JOIN unat CROSS JOIN useg CROSS JOIN ubal)
+         |SELECT key_a, key_b, agree_nation, agree_segment, agree_balband,
+         |  score,
+         |  CASE WHEN score >= ${DedupOps.FsLinkMin} THEN 'link'
+         |       WHEN score >= ${DedupOps.FsPossibleMin} THEN 'possible'
+         |       ELSE 'non_link' END AS verdict
+         |FROM scored""".stripMargin
+    },
     // mirrored JS terms per PRESENT (source, token) row; the absent-token
     // mass enters in closed form (N_r - sum r_present)/(2 N_r) - the
     // source x vocab cross product never materializes on either side

@@ -1329,4 +1329,42 @@ class TextDedupSpec extends SparkSpec {
     // candidates at distance 2 — set equality above proves the verify
     // discarded them rather than the blocking missing anything
   }
+
+  test("fellegiSunter: u-estimates, log-likelihood scores, and verdicts recompute driver-side") {
+    val cust = Tables.customer(spark, Sf)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2),
+        math.floor(r.getDouble(3) / 1000).toLong)).toMap
+    val n = cust.size.toLong
+    def u[T](f: ((Int, String, Long)) => T): Double = {
+      val num = cust.values.groupBy(f).values.map(g => { val c = g.size.toLong; c * c }).sum
+      num.toDouble / (n * n).toDouble
+    }
+    val (uNat, uSeg, uBal) = (u(_._1), u(_._2), u(_._3))
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def term(agree: Boolean, m: Double, uu: Double) =
+      if (agree) log2(m / uu) else log2((1 - m) / (1.0 - uu))
+    val rows = DedupOps.fellegiSunter(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // same candidate cardinality as the blocking stage
+    assert(rows.length.toLong == DedupOps.edit1Pairs(spark, Sf).count())
+    rows.foreach { r =>
+      val (a, b) = (cust(r.getLong(0)), cust(r.getLong(1)))
+      val (an, as_, ab) = (a._1 == b._1, a._2 == b._2, a._3 == b._3)
+      assert(r.getBoolean(2) == an && r.getBoolean(3) == as_ &&
+        r.getBoolean(4) == ab)
+      val exp = term(an, DedupOps.FsMNation, uNat) +
+        term(as_, DedupOps.FsMSegment, uSeg) +
+        term(ab, DedupOps.FsMBalband, uBal)
+      assert(math.abs(r.getDouble(5) - exp) < 2e-6,
+        s"pair ${r.getLong(0)}/${r.getLong(1)}: ${r.getDouble(5)} vs $exp")
+      val v = if (r.getDouble(5) >= DedupOps.FsLinkMin) "link"
+        else if (r.getDouble(5) >= DedupOps.FsPossibleMin) "possible"
+        else "non_link"
+      assert(r.getString(6) == v)
+    }
+    // the scorer genuinely splits the candidate cloud
+    assert(rows.map(_.getString(6)).distinct.length > 1)
+  }
 }
