@@ -75,6 +75,7 @@ object Bench {
       "dd_ngram_overlap"      -> (() => DedupOps.ngramJaccard(spark, sfDir).count(): Unit),
       "dd_simhash"            -> (() => DedupOps.simhash(spark, sfDir).count(): Unit),
       "dd_srp_buckets"        -> (() => DedupOps.srpBucketTable(spark, sfDir).count(): Unit),
+      "dd_edit1_pairs"        -> (() => DedupOps.edit1Pairs(spark, sfDir).count(): Unit),
       "tx_bpe_word_freq"      -> (() => TextOps.bpeWordFreq(spark, sfDir).count(): Unit),
       "tx_bpe_train"          -> (() => TextOps.bpeFinalSyms(spark, sfDir).count(): Unit),
       "sim_centroids"         -> (() => SimilarityOps.centroids(spark, sfDir).count(): Unit),

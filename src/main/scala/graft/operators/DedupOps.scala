@@ -1377,9 +1377,14 @@ object DedupOps {
     * representative (the [[jaroNamePairs]] / ppj clique-collapse
     * argument) since its pair listing is irreducibly quadratic in the
     * duplicate count. The all-pairs `levenshtein` oracle is brute-force
-    * ONLY at oracle SF.
+    * ONLY at oracle SF. The pair table is staged once per session
+    * ([[Tables.derivedBig]]) — it is the stored blocking output both this
+    * query and the [[fellegiSunter]] scorer read, exactly what a
+    * production linkage pipeline persists between its block and decide
+    * stages.
     */
-  def edit1Pairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def edit1Pairs(spark: SparkSession, sfDir: String): DataFrame =
+   Tables.derivedBig(spark, sfDir, "edit1_pairs") {
     val names = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
     val L = length(col("name"))
@@ -1403,7 +1408,7 @@ object DedupOps {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
       .where(col("dist") >= 0)
       .distinct()
-  }
+   }
 
   /** Fellegi–Sunter m-probabilities — P(field agrees | true match) — per
     * comparison field, fixed documented constants (production systems fit
