@@ -362,12 +362,9 @@ case class WavStats(child: Expression) extends UnaryExpression {
 object MediaExpressions {
 
   def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ppm_stats", exprs => PpmStats(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "wav_stats", exprs => WavStats(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "png_stats", exprs => PngStats(exprs.head), "built-in")
+    FnReg.once(spark, "ppm_stats", exprs => PpmStats(exprs.head))
+    FnReg.once(spark, "wav_stats", exprs => WavStats(exprs.head))
+    FnReg.once(spark, "png_stats", exprs => PngStats(exprs.head))
   }
 
   /** Decoded header + per-channel stats struct for a binary PPM column. */

@@ -85,9 +85,8 @@ object SetExpressions {
     * [[VectorExpressions.ensureRegistered]] discipline).
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_n",
-      exprs => SortedIntersectN(exprs.head, exprs(1)), "built-in")
+    FnReg.once(spark, "sorted_intersect_n",
+      exprs => SortedIntersectN(exprs.head, exprs(1)))
 
   /** |a ∩ b| as a long, for sorted duplicate-free string arrays. */
   def sortedIntersectN(spark: SparkSession, a: Column, b: Column): Column = {

@@ -94,8 +94,8 @@ object StringSimilarity {
   }
 
   private def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
+    FnReg.once(spark, "jaro_winkler",
+      exprs => JaroWinkler(exprs.head, exprs(1)))
 
   def jaroWinklerCol(spark: SparkSession, a: String, b: String): Column = {
     ensureRegistered(spark)

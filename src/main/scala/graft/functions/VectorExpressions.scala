@@ -246,10 +246,8 @@ object VectorExpressions {
     * registered-set would grow unboundedly across sessions (ADVICE r1).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_centroid", exprs => NearestCentroid(exprs), "built-in")
+    FnReg.once(spark, "vec_dot", exprs => VecDot(exprs.head, exprs(1)))
+    FnReg.once(spark, "nearest_centroid", exprs => NearestCentroid(exprs))
   }
 
   /** Fused argmin over a collected codebook ([[NearestCentroid]]): returns

@@ -117,15 +117,13 @@ object ZCurveExpressions {
     case _ => false
   }
 
-  /** Register z2/z3 for the session. Unconditional:
-    * createOrReplaceTempFunction is idempotent, and a keyed
-    * registered-set would grow unboundedly across sessions (ADVICE r1).
+  /** Register z2/z3 for the session (register-when-absent via [[FnReg]] —
+    * per-session lookup state, nothing grows across sessions, ADVICE r1).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "z2_encode", exprs => ZEncode2(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "z3_encode", exprs => ZEncode3(exprs.head, exprs(1), exprs(2)), "built-in")
+    FnReg.once(spark, "z2_encode", exprs => ZEncode2(exprs.head, exprs(1)))
+    FnReg.once(spark, "z3_encode",
+      exprs => ZEncode3(exprs.head, exprs(1), exprs(2)))
   }
 
   def z2(spark: SparkSession, x: String, y: String): Column = {
