@@ -16,6 +16,7 @@ object TextDedupPack extends QueryPack {
     "tx_token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "tx_quality_scores" -> ((s, d) => TextOps.qualityScores(s, d)),
     "tx_language_id" -> ((s, d) => TextOps.languageId(s, d)),
+    "tx_langid_eval" -> ((s, d) => TextOps.langidEval(s, d)),
     "tx_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
     "tx_rarity_scores" -> ((s, d) => TextOps.rarityScores(s, d)),
     "tx_top_bigrams" -> ((s, d) => TextOps.topBigramsPerLang(s, d)),
@@ -343,6 +344,45 @@ object TextDedupPack extends QueryPack {
          |FROM (SELECT doc_id,\n$hitCols,
          |  $best AS best
          |  FROM documents)""".stripMargin
+    },
+    // exact-BIGINT confusion counts off the prediction CTE; prec/rec single
+    // divisions, f1 the fixed chain 2*p*r/(p+r), zero-denominator pinned
+    // to 0.0 by CASE on both sides -- hash-exact, unrounded
+    "tx_langid_eval" -> {
+      val hitCols = TextFunctions.LangProfiles
+        .map { case (l, p) => s"  CAST(${hitsSql(p)} AS BIGINT) AS hits_$l" }
+        .mkString(",\n")
+      val best = "greatest(" + TextFunctions.LangProfiles
+        .map { case (l, _) => s"hits_$l" }.mkString(", ") + ")"
+      val cases = TextFunctions.LangProfiles
+        .map { case (l, _) => s"WHEN hits_$l = best AND best > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""WITH p AS (
+         |  SELECT lang, CASE $cases ELSE 'und' END AS pred
+         |  FROM (SELECT lang,\n$hitCols,
+         |    $best AS best
+         |    FROM documents)),
+         |nt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+         |       FROM p GROUP BY 1),
+         |np AS (SELECT pred AS lang, CAST(count(*) AS BIGINT) AS n_pred
+         |       FROM p GROUP BY 1),
+         |tp AS (SELECT lang, CAST(count(*) AS BIGINT) AS tp
+         |       FROM p WHERE lang = pred GROUP BY 1),
+         |m AS (
+         |  SELECT nt.lang, n_true, COALESCE(n_pred, 0) AS n_pred,
+         |    COALESCE(tp, 0) AS tp
+         |  FROM nt LEFT JOIN np USING (lang) LEFT JOIN tp USING (lang)),
+         |pr AS (
+         |  SELECT lang, n_true, n_pred, tp,
+         |    CASE WHEN n_pred > 0
+         |         THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |         ELSE 0.0 END AS prec,
+         |    CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS rec
+         |  FROM m)
+         |SELECT lang, n_true, n_pred, tp, prec, rec,
+         |  CASE WHEN prec + rec > 0
+         |       THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+         |FROM pr""".stripMargin
     },
     "tx_fingerprints" ->
       Oracle.withCtes(shinglesCte)(

@@ -273,6 +273,46 @@ object TextOps {
         predictedLangExpr.as("predicted_lang")): _*)
   }
 
+  /** X-C81: language-ID evaluation — per-language precision/recall/F1 of
+    * [[predictedLangExpr]] against the corpus's labeled `lang` column: the
+    * CLASSIFIER-EVAL loop every heuristic filter needs before its verdicts
+    * gate a pipeline (a langid whose per-language recall is unknown
+    * silently skews the training mixture; this is the table that catches
+    * it). One row per true language: support, predicted count, true
+    * positives, and the three derived metrics.
+    *
+    * Determinism: counts are exact BIGINTs from three map-side-combinable
+    * aggregates over ONE corpus scan's (lang, pred) projection;
+    * `prec`/`rec` are single divisions of exact BIGINTs, `f1` the fixed
+    * written chain 2·p·r/(p+r); zero-denominator cases pinned to 0.0 by
+    * explicit CASE in both engines (a language never predicted must read
+    * prec 0, not null/inf). Hash-exact, unrounded.
+    *
+    * Scale shape: everything after the scan is language-cardinality; the
+    * three count tables join broadcast. At 100 TB the labeled slice a
+    * pipeline evaluates against rides the same plan unchanged.
+    */
+  def langidEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("lang"), predictedLangExpr.as("pred"))
+    val nTrue = base.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+    val nPred = base.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
+      .withColumnRenamed("pred", "lang")
+    val tp = base.where(col("lang") === col("pred"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("tp"))
+    val prec = when(col("n_pred") > 0,
+      col("tp").cast("double") / col("n_pred").cast("double")).otherwise(0.0)
+    val rec = col("tp").cast("double") / col("n_true").cast("double")
+    nTrue.join(broadcast(nPred), Seq("lang"), "left")
+      .join(broadcast(tp), Seq("lang"), "left")
+      .na.fill(0L, Seq("n_pred", "tp"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        prec.as("prec"), rec.as("rec"))
+      .withColumn("f1", when(col("prec") + col("rec") > 0,
+        lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
+        .otherwise(0.0))
+  }
+
   /** Quality cutoff for corpus curation ([[curatedCorpus]]). */
   val MinQuality = 0.25
 

@@ -1367,4 +1367,33 @@ class TextDedupSpec extends SparkSpec {
     // the scorer genuinely splits the candidate cloud
     assert(rows.map(_.getString(6)).distinct.length > 1)
   }
+
+  test("langidEval: confusion counts and PRF recompute from the oracle-verified predictions") {
+    val preds = TextOps.languageId(spark, Sf)
+      .select(col("doc_id"), col("predicted_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langs = truth.values.toSet
+    val got = TextOps.langidEval(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == langs)
+    langs.foreach { l =>
+      val nTrue = truth.count(_._2 == l).toLong
+      val nPred = preds.count(_._2 == l).toLong
+      val tp = truth.count { case (id, t) => t == l && preds(id) == l }.toLong
+      val r = got(l)
+      assert(r.getLong(1) == nTrue && r.getLong(2) == nPred && r.getLong(3) == tp)
+      val p = if (nPred > 0) tp.toDouble / nPred.toDouble else 0.0
+      val rc = tp.toDouble / nTrue.toDouble
+      assert(r.getDouble(4) == p && r.getDouble(5) == rc)
+      val f1 = if (p + rc > 0) 2.0 * p * rc / (p + rc) else 0.0
+      assert(r.getDouble(6) == f1)
+      assert(p >= 0 && p <= 1 && rc >= 0 && rc <= 1)
+    }
+    // the heuristic is genuinely informative on the fixture: at least one
+    // language is classified better than chance (5 classes -> 0.2)
+    assert(got.values.exists(_.getDouble(6) > 0.2))
+  }
 }
