@@ -96,6 +96,7 @@ object RelationalPack extends QueryPack {
     "xt_mann_kendall" -> ((s, d) => TimeSeriesOps.mannKendall(s, d)),
     "xt_theil_sen" -> ((s, d) => TimeSeriesOps.theilSen(s, d)),
     "xt_psi_drift" -> ((s, d) => TimeSeriesOps.psiDrift(s, d)),
+    "xt_welch_ttest" -> ((s, d) => TimeSeriesOps.welchTTest(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1385,6 +1386,45 @@ object RelationalPack extends QueryPack {
         |       FROM rc, rk WHERE hi >= k1 AND hi - c < k2)
         |SELECT n_days, n_pairs, slope_per_day, intercept
         |FROM rt, st, sm, rm""".stripMargin,
+    // one conditional-aggregation pass of exact decimal moments, cast to
+    // double once, closed form a mirrored one-row IEEE chain (corrPairs
+    // discipline) -- hash-exact, unrounded
+    "xt_welch_ttest" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(12,0)) AS cents
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END)
+         |      AS DOUBLE) AS sx1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents * cents END)
+         |      AS DOUBLE) AS sxx1,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN cents END)
+         |      AS DOUBLE) AS sx2,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN cents * cents END)
+         |      AS DOUBLE) AS sxx2
+         |  FROM ev),
+         |c AS (
+         |  SELECT n1, n2,
+         |    sx1 / CAST(n1 AS DOUBLE) AS m1, sx2 / CAST(n2 AS DOUBLE) AS m2,
+         |    ((sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) /
+         |      (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE) AS w1,
+         |    ((sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) /
+         |      (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE) AS w2
+         |  FROM m)
+         |SELECT n1, n2, m1 AS mean_purchase_cents, m2 AS mean_click_cents,
+         |  (m1 - m2) / sqrt(w1 + w2) AS t_welch,
+         |  (w1 + w2) * (w1 + w2) /
+         |    (w1 * w1 / (CAST(n1 AS DOUBLE) - 1.0) +
+         |     w2 * w2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df,
+         |  abs((m1 - m2) / sqrt(w1 + w2)) > ${TimeSeriesOps.WelchCrit}
+         |    AS reject_equal_means
+         |FROM c""".stripMargin,
     // decile edges by pure BIGINT rank inequality (no quantile kernel),
     // integer edge-comparison bins, Laplace-smoothed exact-ratio p's, ln
     // per bin (DSIR precedent), 6dp-rounded psi drives the verdict

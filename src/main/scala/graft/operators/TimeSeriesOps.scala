@@ -946,6 +946,57 @@ object TimeSeriesOps {
       .crossJoin(broadcast(icept))
   }
 
+  /** Welch-test rejection threshold: with the fixture's df in the
+    * thousands the t distribution is indistinguishable from normal, so the
+    * two-sided α=0.05 normal critical value is the honest cut (carried as
+    * a literal — the [[MkZCrit]] discipline). */
+  val WelchCrit = 1.96
+
+  /** X-C82: Welch's unequal-variance t-test between the purchase- and
+    * click-value samples — the MEAN-difference member that completes the
+    * two-sample family ([[ksPurchaseClick]] tests SHAPE, [[mannWhitney]]
+    * LOCATION by rank; Welch answers "did the average move?", the question
+    * A/B dashboards actually report, without the classic t-test's equal-
+    * variance assumption): t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with the
+    * Welch–Satterthwaite effective df.
+    *
+    * Determinism (the [[RelationalOps.corrPairs]] discipline): the only
+    * corpus-sized work is ONE conditional-aggregation pass collecting
+    * exact decimal moments (n, Σx, Σx² per group on the 2 dp cents
+    * support); each is cast to double once and the entire closed form —
+    * means, variances, t, df — is a mirrored one-row IEEE chain written
+    * in the identical association order in both engines. Hash-exact,
+    * unrounded; the verdict cuts |t| at the [[WelchCrit]] literal.
+    */
+  def welchTTest(spark: SparkSession, sfDir: String): DataFrame = {
+    // decimal(12,0): wide enough for any cents value, narrow enough that
+    // cents*cents stays inside BOTH engines' 38-digit decimal cap
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("decimal(12,0)")
+    def g(t: String, f: Column) = sum(when(col("event_type") === t, f))
+    val m = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "click"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+        g("purchase", cents).cast("double").as("sx1"),
+        g("purchase", cents * cents).cast("double").as("sxx1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"),
+        g("click", cents).cast("double").as("sx2"),
+        g("click", cents * cents).cast("double").as("sxx2"))
+    val (n1d, n2d) = (col("n1").cast("double"), col("n2").cast("double"))
+    val m1 = col("sx1") / n1d
+    val m2 = col("sx2") / n2d
+    val v1 = (col("sxx1") - col("sx1") * col("sx1") / n1d) / (n1d - 1.0)
+    val v2 = (col("sxx2") - col("sx2") * col("sx2") / n2d) / (n2d - 1.0)
+    val (w1, w2) = (v1 / n1d, v2 / n2d)
+    val t = (m1 - m2) / sqrt(w1 + w2)
+    val df = (w1 + w2) * (w1 + w2) /
+      (w1 * w1 / (n1d - 1.0) + w2 * w2 / (n2d - 1.0))
+    m.select(col("n1"), col("n2"),
+      m1.as("mean_purchase_cents"), m2.as("mean_click_cents"),
+      t.as("t_welch"), df.as("df"),
+      (abs(t) > WelchCrit).as("reject_equal_means"))
+  }
+
   /** PSI monitoring thresholds — the industry-standard 0.1 / 0.25 cuts
     * (Siddiqi, "Credit Risk Scorecards"): <0.1 stable, <0.25 moderate
     * shift worth watching, ≥0.25 major shift requiring action. Applied to

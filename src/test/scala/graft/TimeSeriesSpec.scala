@@ -742,4 +742,35 @@ class TimeSeriesSpec extends SparkSpec {
     // the baseline compared against itself is a true zero
     assert(got(refWeek)._2 == 0.0)
   }
+
+  test("welchTTest: moments, t, and Welch-Satterthwaite df recompute driver-side") {
+    val ev = Tables.events(spark, Sf)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def moments(t: String): (Long, Double, Double) = {
+      val vs = ev.filter(_._1 == t).map(_._2)
+      (vs.length.toLong, vs.map(BigDecimal(_)).sum.toDouble,
+        vs.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble)
+    }
+    val (n1, sx1, sxx1) = moments("purchase")
+    val (n2, sx2, sxx2) = moments("click")
+    val (n1d, n2d) = (n1.toDouble, n2.toDouble)
+    val (m1, m2) = (sx1 / n1d, sx2 / n2d)
+    val w1 = ((sxx1 - sx1 * sx1 / n1d) / (n1d - 1.0)) / n1d
+    val w2 = ((sxx2 - sx2 * sx2 / n2d) / (n2d - 1.0)) / n2d
+    val t = (m1 - m2) / math.sqrt(w1 + w2)
+    val df = (w1 + w2) * (w1 + w2) /
+      (w1 * w1 / (n1d - 1.0) + w2 * w2 / (n2d - 1.0))
+    val r = TimeSeriesOps.welchTTest(spark, Sf).collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(math.abs(r.getDouble(2) - m1) < 1e-9)
+    assert(math.abs(r.getDouble(3) - m2) < 1e-9)
+    assert(math.abs(r.getDouble(4) - t) < 1e-9, s"t ${r.getDouble(4)} vs $t")
+    assert(math.abs(r.getDouble(5) - df) < 1e-6, s"df ${r.getDouble(5)} vs $df")
+    assert(r.getBoolean(6) == (math.abs(t) > TimeSeriesOps.WelchCrit))
+    // Welch df is bounded by the pooled df and exceeds the smaller sample
+    assert(df > math.min(n1d, n2d) - 1 && df <= n1d + n2d - 2)
+  }
 }
