@@ -484,6 +484,64 @@ object ScaleOps {
         col("p.min_ts"), col("p.max_ts"))
   }
 
+  /** Count–Min geometry for [[cmsJoinEstimate]]: 4×16384 longs = a 512 KB
+    * block per side — wider than the point-estimate sketch
+    * ([[RelationalOps.CmsWidth]] 256) because the inner-product estimator's
+    * expected overcount is N₁·N₂/width, so width is the knob that buys
+    * join-estimate accuracy. Still far below broadcast thresholds.
+    */
+  val JoinCmsDepth = 4
+  val JoinCmsWidth = 16384
+
+  /** The dimension-side predicate [[cmsJoinEstimate]] sizes. */
+  val JoinCmsBrand = "Brand#23"
+
+  /** X-P: join-cardinality estimation by Count–Min inner product — the
+    * optimizer-statistics move (Cormode & Muthukrishnan 2005 §4.2: the
+    * inner product of two CMS rows upper-bounds a₁·a₂, so
+    * `est = min_j Σ_k cms₁[j,k]·cms₂[j,k]` estimates |R ⋈ S| and NEVER
+    * undercounts). At 100 TB the planner question "how many lineitem rows
+    * would join the Brand#23 parts?" must be answerable WITHOUT running
+    * the join: each side's sketch is one linear aggregation pass (the
+    * mergeable [[graft.functions.CountMinAgg]] — partial blocks combine
+    * element-wise up the tree, fixed 512 KB per task), the two finished
+    * blocks are model-sized and combine on the driver with 4·width
+    * multiplies. The exact join runs alongside purely as the error
+    * report — est ≥ exact is the sketch's guarantee, and `rel_error`
+    * is the width-tuning readout (the [[graft.operators.DedupOps]]
+    * minhash-estimate discipline applied to the optimizer-stats family).
+    *
+    * Determinism: the slot hashes are the portable salted h24 family, so
+    * the DuckDB oracle rebuilds every cell of BOTH sketches with GROUP
+    * BYs and replays the identical inner product — integer arithmetic
+    * end-to-end, one IEEE division for `rel_error`.
+    */
+  def cmsJoinEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cms = udaf(new graft.functions.CountMinAgg(JoinCmsDepth, JoinCmsWidth))
+    val brandParts = Tables.part(spark, sfDir)
+      .where(col("p_brand") === JoinCmsBrand)
+    val skL: Seq[Long] = Tables.lineitem(spark, sfDir)
+      .agg(cms(col("l_partkey")).as("sk")).head.getSeq[Long](0)
+    val skP: Seq[Long] = brandParts
+      .agg(cms(col("p_partkey")).as("sk")).head.getSeq[Long](0)
+    val est: Long = (0 until JoinCmsDepth).map { j =>
+      var s = 0L
+      var k = 0
+      while (k < JoinCmsWidth) {
+        s += skL(j * JoinCmsWidth + k) * skP(j * JoinCmsWidth + k)
+        k += 1
+      }
+      s
+    }.min
+    Tables.lineitem(spark, sfDir)
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+      .select(col("exact_join_rows"), lit(est).as("cms_est"),
+        (lit(est) - col("exact_join_rows")).as("overcount"),
+        ((lit(est) - col("exact_join_rows")).cast("double") /
+          col("exact_join_rows").cast("double")).as("rel_error"))
+  }
+
   /** One sorted-sweep skyline pass: input must be sorted (x desc, y desc);
     * keeps a point iff its y exceeds the best y seen (strictly — a point
     * with equal y and smaller x is dominated), plus exact duplicates of a

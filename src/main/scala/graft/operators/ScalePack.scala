@@ -25,12 +25,52 @@ object ScalePack extends QueryPack {
     "xa_fk_conformance" -> ((s, d) => ScaleOps.fkConformance(s, d)),
     "xp_bloom_membership" -> ((s, d) => ScaleOps.bloomMembership(s, d)),
     "xo_pareto_frontier" -> ((s, d) => ScaleOps.paretoFrontier(s, d)),
+    "xp_cms_join_estimate" -> ((s, d) => ScaleOps.cmsJoinEstimate(s, d)),
   )
 
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
   val oracles: Map[String, String] = Map(
+    // both sketches rebuilt cell-by-cell with GROUP BYs over the same
+    // portable h24 slot hash; the inner product replays as exact integer
+    // arithmetic. pcells LEFT JOIN lcells with COALESCE 0 mirrors the
+    // Spark sum over all width slots (a dim slot with no fact mass
+    // contributes a zero product, never drops the j row).
+    "xp_cms_join_estimate" -> {
+      def slot(jRef: String, keyRef: String) = graft.Oracle.h24(
+        s"CAST($jRef AS VARCHAR) || ':' || CAST($keyRef AS VARCHAR)") +
+        s" % ${ScaleOps.JoinCmsWidth}"
+      s"""WITH lc AS (
+         |  SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |pc AS (
+         |  SELECT p_partkey AS key, count(*) AS cnt FROM part
+         |  WHERE p_brand = '${ScaleOps.JoinCmsBrand}' GROUP BY 1),
+         |rows_j AS (SELECT unnest(range(0, ${ScaleOps.JoinCmsDepth})) AS j),
+         |lcells AS (
+         |  SELECT j, ${slot("j", "key")} AS slot,
+         |    CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM lc CROSS JOIN rows_j GROUP BY 1, 2),
+         |pcells AS (
+         |  SELECT j, ${slot("j", "key")} AS slot,
+         |    CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM pc CROSS JOIN rows_j GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT p.j,
+         |    CAST(sum(COALESCE(l.cell, 0) * p.cell) AS BIGINT) AS prod
+         |  FROM pcells p LEFT JOIN lcells l ON l.j = p.j AND l.slot = p.slot
+         |  GROUP BY p.j),
+         |est AS (SELECT CAST(min(prod) AS BIGINT) AS cms_est FROM ip),
+         |ex AS (
+         |  SELECT count(*) AS exact_join_rows
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = '${ScaleOps.JoinCmsBrand}')
+         |SELECT exact_join_rows, cms_est,
+         |  cms_est - exact_join_rows AS overcount,
+         |  CAST(cms_est - exact_join_rows AS DOUBLE) /
+         |    CAST(exact_join_rows AS DOUBLE) AS rel_error
+         |FROM ex CROSS JOIN est""".stripMargin
+    },
     "xp_bucketed_order_revenue" ->
       s"""SELECT o_orderkey, o_orderdate, CAST(revenue_dec AS DOUBLE) AS revenue FROM (
          |  SELECT o_orderkey, o_orderdate, sum($rev) AS revenue_dec

@@ -308,4 +308,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(frontier.forall(!dominated(_)))
     assert(frontier.length == all.count(!dominated(_)))
   }
+
+  test("cmsJoinEstimate: never undercounts and matches a driver-side replay") {
+    val r = graft.operators.ScaleOps.cmsJoinEstimate(spark, Sf).collect().head
+    val (exact, est) = (r.getLong(0), r.getLong(1))
+    // exact side replayed with a literal join
+    val want = graft.Tables.lineitem(spark, Sf)
+      .join(graft.Tables.part(spark, Sf)
+          .where(col("p_brand") === graft.operators.ScaleOps.JoinCmsBrand),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(exact == want && want > 0)
+    // CMS inner product can only overcount (Cormode & Muthukrishnan §4.2)
+    assert(est >= exact)
+    assert(r.getLong(2) == est - exact)
+    assert(math.abs(r.getDouble(3) - (est - exact).toDouble / exact) < 1e-12)
+    // sketch replay: per-key exact counts pushed through the same slot hash
+    val w = graft.operators.ScaleOps.JoinCmsWidth
+    val d = graft.operators.ScaleOps.JoinCmsDepth
+    def sketch(rows: Seq[(Long, Long)]): Array[Long] = {
+      val a = new Array[Long](d * w)
+      for ((k, c) <- rows; j <- 0 until d)
+        a(j * w + (graft.functions.MinHashAgg.h24(s"$j:$k") % w).toInt) += c
+      a
+    }
+    val lc = graft.Tables.lineitem(spark, Sf).groupBy(col("l_partkey")).count()
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val pcRows = graft.Tables.part(spark, Sf)
+      .where(col("p_brand") === graft.operators.ScaleOps.JoinCmsBrand)
+      .groupBy(col("p_partkey")).count()
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val (sl, sp) = (sketch(lc), sketch(pcRows))
+    val wantEst = (0 until d).map { j =>
+      (0 until w).map(k => sl(j * w + k) * sp(j * w + k)).sum
+    }.min
+    assert(est == wantEst)
+  }
 }
