@@ -181,6 +181,52 @@ object ScaleOps {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"))
 
+  /** Zone size (rows) for [[zonemapPrune]] — fixture-scaled row groups;
+    * production parquet row groups hold ~100k-1M rows, same mechanism.
+    */
+  val ZoneRows = 1024
+
+  /** X-P: zone-map (min/max statistics) pruning audit over the date-sorted
+    * layout — the data-skipping ledger behind [[sortedLayoutMonthScan]].
+    * Parquet readers skip a row group when its footer min/max cannot
+    * intersect the predicate; this op rebuilds that decision table
+    * logically: rows in the layout's sort order are grouped into
+    * fixed-[[ZoneRows]] zones (= row groups), each zone carries its
+    * min/max `o_orderdate` and row count, `survives` is the footer
+    * intersection test for the one-month slice, and `n_matching` is the
+    * ground truth inside the zone. The audit's two checkable guarantees:
+    * no false negatives (`survives = false` ⇒ `n_matching = 0` — skipping
+    * never loses rows) and clustering effectiveness (on a date-sorted
+    * layout the surviving-zone count approaches
+    * ceil(matching/[[ZoneRows]]) — on a random layout every zone
+    * survives; the pruned fraction IS the value of sorting).
+    *
+    * The global `row_number` replays the WRITE-time zoning: the sorted
+    * layout build already pays a range-sort, so zone ids are free at
+    * write and the stats live in footers — at 100 TB this table is read
+    * from metadata, never recomputed. The audit recomputes it only to be
+    * oracle-checkable end-to-end.
+    */
+  def zonemapPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1997-03-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderdate"), col("o_orderkey"))
+      .withColumn("zone",
+        floor((row_number().over(w) - 1) / lit(ZoneRows.toDouble)).cast("long"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        sum(when(col("o_orderdate") >= lo && col("o_orderdate") < hi, 1L)
+          .otherwise(0L)).as("n_matching"))
+      .select(col("zone"), col("n_rows"), col("min_date"), col("max_date"),
+        (col("max_date") >= lo && col("min_date") < hi).as("survives"),
+        col("n_matching"))
+  }
+
   /** Grid epoch for the z-order layout's date dimension. */
   val ZorderEpoch = "1992-01-01"
 

@@ -26,12 +26,29 @@ object ScalePack extends QueryPack {
     "xp_bloom_membership" -> ((s, d) => ScaleOps.bloomMembership(s, d)),
     "xo_pareto_frontier" -> ((s, d) => ScaleOps.paretoFrontier(s, d)),
     "xp_cms_join_estimate" -> ((s, d) => ScaleOps.cmsJoinEstimate(s, d)),
+    "xp_zonemap_prune" -> ((s, d) => ScaleOps.zonemapPrune(s, d)),
   )
 
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
   val oracles: Map[String, String] = Map(
+    // identical zoning: row_number over the same (date, key) order,
+    // integer-divided into fixed-size zones; min/max/count replay exactly
+    "xp_zonemap_prune" ->
+      s"""WITH ranked AS (
+         |  SELECT o_orderdate, o_orderkey,
+         |    (row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+         |      // ${ScaleOps.ZoneRows} AS zone
+         |  FROM orders)
+         |SELECT zone, count(*) AS n_rows,
+         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+         |  max(o_orderdate) >= TIMESTAMP '1997-03-01 00:00:00' AND
+         |    min(o_orderdate) < TIMESTAMP '1997-04-01 00:00:00' AS survives,
+         |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+         |        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+         |FROM ranked GROUP BY zone""".stripMargin,
     // both sketches rebuilt cell-by-cell with GROUP BYs over the same
     // portable h24 slot hash; the inner product replays as exact integer
     // arithmetic. pcells LEFT JOIN lcells with COALESCE 0 mirrors the

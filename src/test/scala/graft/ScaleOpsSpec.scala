@@ -343,4 +343,26 @@ class ScaleOpsSpec extends SparkSpec {
     }.min
     assert(est == wantEst)
   }
+
+  test("zonemapPrune: no false negatives, covers every order, clusters the slice") {
+    val zones = graft.operators.ScaleOps.zonemapPrune(spark, Sf).collect()
+    val total = graft.Tables.orders(spark, Sf).count()
+    assert(zones.map(_.getLong(1)).sum == total)
+    // every zone is full except possibly the last
+    assert(zones.map(_.getLong(1)).count(_ != graft.operators.ScaleOps.ZoneRows) <= 1)
+    for (z <- zones) {
+      // zone stats are consistent (NTZ timestamps surface as LocalDateTime)
+      assert(z.get(2).asInstanceOf[Comparable[Any]].compareTo(z.get(3)) <= 0)
+      // skipping never loses rows: a pruned zone holds no matching row
+      if (!z.getBoolean(4)) assert(z.getLong(5) == 0L)
+      // and a zone with matches always survives
+      if (z.getLong(5) > 0L) assert(z.getBoolean(4))
+    }
+    // date-sorted clustering: surviving zones ~ ceil(matching/ZoneRows)+1,
+    // never "all zones survive" once there are several zones
+    val matching = zones.map(_.getLong(5)).sum
+    val surviving = zones.count(_.getBoolean(4))
+    val ideal = math.ceil(matching.toDouble / graft.operators.ScaleOps.ZoneRows).toInt
+    assert(surviving <= ideal + 1, s"surviving=$surviving ideal=$ideal")
+  }
 }
