@@ -90,6 +90,7 @@ object TextDedupPack extends QueryPack {
     "dd_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
     "dd_span_removal" -> ((s, d) => DedupOps.spanRemoval(s, d)),
     "tx_lm_score" -> ((s, d) => TextOps.lmScores(s, d)),
+    "tx_perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(s, d)),
     "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "dd_fuzzy_decontam" -> ((s, d) => DedupOps.fuzzyDecontam(s, d)),
     "tx_leak_safe_splits" -> ((s, d) => TextOps.leakSafeSplits(s, d)),
@@ -1517,6 +1518,44 @@ object TextDedupPack extends QueryPack {
         |        / CAST(count(*) AS DOUBLE), 6) AS nll_bits
         |FROM bi JOIN model USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
         |GROUP BY doc_id""".stripMargin,
+    // same lm CTE chain, then pure BIGINT rank-inequality terciles per
+    // language; bucket mean = exact decimal sum / exact count, one IEEE
+    // division
+    "tx_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM toks
+        |  QUALIFY w2 IS NOT NULL),
+        |model AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM toks),
+        |scores AS (
+        |  SELECT doc_id,
+        |    round(-sum(log2(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)))
+        |          / CAST(count(*) AS DOUBLE), 6) AS nll_bits
+        |  FROM bi JOIN model USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+        |  GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT d.lang, s.nll_bits,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY s.nll_bits, s.doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM scores s JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE WHEN rk * 3 <= n THEN 'head'
+        |       WHEN rk * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  min(nll_bits) AS min_nll, max(nll_bits) AS max_nll,
+        |  CAST(sum(CAST(nll_bits AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS mean_nll
+        |FROM ranked GROUP BY 1, 2""".stripMargin,
   )
 
   private def stopSeq: Seq[String] = TextFunctions.LangProfiles.head._2

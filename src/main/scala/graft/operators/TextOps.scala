@@ -1360,6 +1360,49 @@ object TextOps {
         round(-col("s") / col("n_bigrams").cast("double"), 6).as("nll_bits"))
   }
 
+  /** X-C: CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020 — public literature): within each language, documents are
+    * split into head / middle / tail terciles of the LM score
+    * ([[lmScores]]' per-bigram NLL — CCNet's KenLM perplexity analog), and
+    * the table reports each bucket's size and NLL envelope. This is the
+    * curation decision table: train on head, sample middle, drop or
+    * down-weight tail — per LANGUAGE, because a global cut would eject
+    * whole low-resource languages whose absolute perplexity runs high.
+    *
+    * Determinism (the psi-drift rank discipline): tercile edges are pure
+    * BIGINT rank inequalities — `3·rank ≤ n` (head), `3·rank ≤ 2n`
+    * (middle) with rank = row_number over (nll, doc_id) — no quantile
+    * kernel, no interpolation; both engines replay the identical integer
+    * cuts. Bucket means divide an exact DECIMAL(18,6) sum (the 6-dp NLLs
+    * re-anchored to decimal) by the exact count in ONE IEEE division.
+    *
+    * Scale shape: the window partitions BY LANGUAGE (largest partition =
+    * largest language's doc count — rank-sortable per partition, never a
+    * global sort), and everything after is language×3-cardinality. The LM
+    * scores themselves are the [[lmScores]] plan unchanged.
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val ranked = lmScores(spark, sfDir)
+      .join(docs, Seq("doc_id"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("nll_bits"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    ranked
+      .groupBy(col("lang"),
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nll_bits")).as("min_nll"),
+        max(col("nll_bits")).as("max_nll"),
+        (sum(col("nll_bits").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_nll"))
+  }
+
   /** X-C34: per-document token-distribution Shannon entropy (bits) — the
     * diversity/quality signal that separates natural text from degenerate
     * repetition (complementary to [[repetitionScores]]' max-run view).

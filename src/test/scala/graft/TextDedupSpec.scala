@@ -1396,4 +1396,27 @@ class TextDedupSpec extends SparkSpec {
     // language is classified better than chance (5 classes -> 0.2)
     assert(got.values.exists(_.getDouble(6) > 0.2))
   }
+
+  test("perplexityBuckets: exact tercile splits, ordered NLL envelopes per language") {
+    val rows = TextOps.perplexityBuckets(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val scored = TextOps.lmScores(spark, Sf).select(col("doc_id")).count()
+    assert(rows.values.map(_._1).sum == scored)
+    val langs = rows.keys.map(_._1).toSet
+    for (l <- langs) {
+      val n = rows.collect { case ((`l`, _), v) => v._1 }.sum
+      // integer tercile sizes: head floor(n/3), middle floor(2n/3)-floor(n/3)
+      assert(rows.get((l, "head")).forall(_._1 == n / 3))
+      assert(rows.get((l, "middle")).forall(_._1 == 2 * n / 3 - n / 3))
+      assert(rows.get((l, "tail")).forall(_._1 == n - 2 * n / 3))
+      // envelopes are ordered: head's max <= middle's min <= tail's min
+      for (Seq(a, b) <- Seq("head", "middle", "tail").sliding(2)
+           if rows.contains((l, a)) && rows.contains((l, b)))
+        assert(rows((l, a))._3 <= rows((l, b))._2)
+      // mean sits inside the envelope
+      for (b <- Seq("head", "middle", "tail"); v <- rows.get((l, b)))
+        assert(v._2 <= v._4 && v._4 <= v._3)
+    }
+  }
 }
