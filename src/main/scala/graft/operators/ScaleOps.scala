@@ -181,6 +181,68 @@ object ScaleOps {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"))
 
+  /** X-A: declarative data-quality expectation suite (the Deequ /
+    * Great-Expectations shape, AWS Deequ VLDB'18 — public literature): a
+    * fixed contract of uniqueness / completeness / range / domain
+    * constraints over `orders` and `lineitem`, each reported as
+    * (constraint, n_rows, n_violations, passed). The 100-TB property is
+    * the evaluation shape: ALL constraints on a table fold into ONE
+    * conditional-aggregation pass over its scan (violations are
+    * `sum(when(...))` columns computed side-by-side, map-side combined),
+    * so the whole suite costs two scans and a constant-row explode —
+    * never one job per constraint, which is how naive quality runners
+    * drown a cluster. Composite-key uniqueness counts distinct
+    * `key:line` strings so both engines agree on the pair encoding.
+    *
+    * Null semantics: a NULL never satisfies a range/domain constraint
+    * (explicit isNull arms), so "passed" means "every row provably in
+    * contract" — the audit-grade reading.
+    */
+  def expectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val o = Tables.orders(spark, sfDir).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+      viol(col("o_custkey").isNull).as("v_complete"),
+      viol(col("o_totalprice").isNull || col("o_totalprice") <= 0).as("v_price"),
+      viol(col("o_orderpriority").isNull ||
+        !col("o_orderpriority").isin(prios: _*)).as("v_domain"),
+      viol(col("o_orderdate").isNull ||
+        col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("1999-01-01").cast("timestamp")).as("v_range"))
+    val l = Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")))).as("v_unique"),
+      viol(col("l_quantity").isNull ||
+        col("l_quantity") <= 0 || col("l_quantity") > 50).as("v_qty"),
+      viol(col("l_discount").isNull ||
+        col("l_discount") < 0 || col("l_discount") > 0.5).as("v_disc"),
+      viol(col("l_returnflag").isNull ||
+        !col("l_returnflag").isin("A", "N", "R")).as("v_flag"),
+      viol(col("l_extendedprice").isNull ||
+        col("l_extendedprice") <= 0).as("v_price"))
+    def entry(name: String, v: String) = struct(
+      lit(name).as("constraint"), col("n").as("n_rows"),
+      col(v).as("n_violations"))
+    val oRows = o.select(explode(array(
+      entry("orders.o_orderkey is unique", "v_unique"),
+      entry("orders.o_custkey is complete", "v_complete"),
+      entry("orders.o_totalprice > 0", "v_price"),
+      entry("orders.o_orderpriority in domain", "v_domain"),
+      entry("orders.o_orderdate in [1992,1999)", "v_range"))).as("e"))
+    val lRows = l.select(explode(array(
+      entry("lineitem.(l_orderkey,l_linenumber) is unique", "v_unique"),
+      entry("lineitem.l_quantity in (0,50]", "v_qty"),
+      entry("lineitem.l_discount in [0,0.5]", "v_disc"),
+      entry("lineitem.l_returnflag in {A,N,R}", "v_flag"),
+      entry("lineitem.l_extendedprice > 0", "v_price"))).as("e"))
+    oRows.unionAll(lRows)
+      .select(col("e.constraint"), col("e.n_rows"), col("e.n_violations"),
+        (col("e.n_violations") === 0L).as("passed"))
+  }
+
   /** Zone size (rows) for [[zonemapPrune]] — fixture-scaled row groups;
     * production parquet row groups hold ~100k-1M rows, same mechanism.
     */

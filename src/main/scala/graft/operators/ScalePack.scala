@@ -27,12 +27,60 @@ object ScalePack extends QueryPack {
     "xo_pareto_frontier" -> ((s, d) => ScaleOps.paretoFrontier(s, d)),
     "xp_cms_join_estimate" -> ((s, d) => ScaleOps.cmsJoinEstimate(s, d)),
     "xp_zonemap_prune" -> ((s, d) => ScaleOps.zonemapPrune(s, d)),
+    "xa_expectations" -> ((s, d) => ScaleOps.expectations(s, d)),
   )
 
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
   val oracles: Map[String, String] = Map(
+    // same one-pass conditional aggregation per table, unioned; NULLs
+    // violate range/domain constraints in both engines by explicit IS NULL
+    "xa_expectations" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_unique,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_complete,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL OR o_orderpriority NOT IN
+        |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL
+        |      OR o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+        |      OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+        |  FROM orders),
+        |l AS (
+        |  SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT
+        |      CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+        |      AS v_unique,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+        |      OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+        |      OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL
+        |      OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_flag,
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'orders.o_orderkey is unique' AS "constraint", n, v_unique AS v FROM o
+        |  UNION ALL SELECT 'orders.o_custkey is complete', n, v_complete FROM o
+        |  UNION ALL SELECT 'orders.o_totalprice > 0', n, v_price FROM o
+        |  UNION ALL SELECT 'orders.o_orderpriority in domain', n, v_domain FROM o
+        |  UNION ALL SELECT 'orders.o_orderdate in [1992,1999)', n, v_range FROM o
+        |  UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber) is unique', n, v_unique FROM l
+        |  UNION ALL SELECT 'lineitem.l_quantity in (0,50]', n, v_qty FROM l
+        |  UNION ALL SELECT 'lineitem.l_discount in [0,0.5]', n, v_disc FROM l
+        |  UNION ALL SELECT 'lineitem.l_returnflag in {A,N,R}', n, v_flag FROM l
+        |  UNION ALL SELECT 'lineitem.l_extendedprice > 0', n, v_price FROM l)
+        |SELECT "constraint", n AS n_rows, v AS n_violations,
+        |  v = 0 AS passed
+        |FROM u""".stripMargin,
     // identical zoning: row_number over the same (date, key) order,
     // integer-divided into fixed-size zones; min/max/count replay exactly
     "xp_zonemap_prune" ->

@@ -344,6 +344,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(est == wantEst)
   }
 
+  test("expectations: every constraint's violation count replays driver-side") {
+    val got = graft.operators.ScaleOps.expectations(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == 10)
+    val nO = graft.Tables.orders(spark, Sf).count()
+    val nL = graft.Tables.lineitem(spark, Sf).count()
+    assert(got.keys.count(_.startsWith("orders.")) == 5)
+    got.foreach { case (k, (n, v, p)) =>
+      assert(n == (if (k.startsWith("orders.")) nO else nL))
+      assert(v >= 0 && v <= n && p == (v == 0))
+    }
+    // replay two representative constraints exactly
+    val dupKeys = nO - graft.Tables.orders(spark, Sf)
+      .select(col("o_orderkey")).distinct().count()
+    assert(got("orders.o_orderkey is unique")._2 == dupKeys)
+    val badQty = graft.Tables.lineitem(spark, Sf)
+      .where(col("l_quantity").isNull ||
+        col("l_quantity") <= 0 || col("l_quantity") > 50).count()
+    assert(got("lineitem.l_quantity in (0,50]")._2 == badQty)
+    // the fixture's order key is unique; its composite line key is NOT
+    // (the synthetic generator draws linenumbers with replacement) — the
+    // suite's value is that it REPORTS that honestly, so pin the exact
+    // violation count instead of assuming the TPC-H contract
+    assert(got("orders.o_orderkey is unique")._3)
+    val dupLines = nL - graft.Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(got("lineitem.(l_orderkey,l_linenumber) is unique")._2 == dupLines)
+  }
+
   test("zonemapPrune: no false negatives, covers every order, clusters the slice") {
     val zones = graft.operators.ScaleOps.zonemapPrune(spark, Sf).collect()
     val total = graft.Tables.orders(spark, Sf).count()
