@@ -95,6 +95,23 @@ object Monitors {
       Seq(f"jaro: part-name vocabulary $nNames is ${nNames.toDouble / nParts}%.2f of $nParts rows (> $MaxNameVocabShare%.2f) - the vocab-collapsed all-pairs stage degenerates toward rows-squared; route names through sorted-neighborhood blocking instead")
     else Seq.empty
 
+  /** Max hot-list/mean-list ratio of the trained IVF index before pruned
+    * ANN latency assumptions break: a probe hitting the hot list scans
+    * `imbalance`× the budgeted fraction of the corpus. Measured shipped
+    * corpus: 1.31 / 1.14 at sf0.001/0.01 (k-means on the fixture's label
+    * mixture balances well) — ~3.5x headroom.
+    */
+  val MaxIvfImbalance = 4.0
+
+  def ivfWarnings(nLists: Long, trainedK: Long, imbalance: Double): Seq[String] = {
+    val w = Seq.newBuilder[String]
+    if (trainedK > 0 && nLists < trainedK)
+      w += s"ivf: only $nLists of the intended $trainedK lists are populated (collapsed clusters) - the index has less pruning power than its k claims; retrain or reduce k"
+    if (nLists > 0 && imbalance > MaxIvfImbalance)
+      w += f"ivf: hottest list is $imbalance%.1fx the mean list size (> $MaxIvfImbalance%.1fx) - pruned search degenerates toward brute force on the probes that matter; rebalance or split the hot list"
+    w.result()
+  }
+
   def minhashWarnings(rmse: Double, nPairs: Long): Seq[String] =
     if (nPairs > 0 && rmse > MaxMinhashRmse)
       Seq(f"minhash: estimator RMSE $rmse%.3f over $nPairs candidate pairs (> $MaxMinhashRmse%.2f at NumHashes=${operators.DedupOps.NumHashes}) - widen signatures or check hash skew")
@@ -143,6 +160,17 @@ object Monitors {
       } catch { case NonFatal(e) =>
         Seq(s"monitor jaro_vocab failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
       }
-    ppj ++ mh ++ guards ++ jaro
+    val ivf =
+      try {
+        val r = operators.SimilarityOps.ivfStats(spark, sfDir).head()
+        // compare against the INTENDED k (kmeansKFor): the trained table
+        // itself drops collapsed clusters, so its own count can't see them
+        ivfWarnings(r.getAs[Long]("n_lists"),
+          operators.SimilarityOps.kmeansKFor(spark, sfDir),
+          r.getAs[Double]("imbalance"))
+      } catch { case NonFatal(e) =>
+        Seq(s"monitor sim_ivf_stats failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+      }
+    ppj ++ mh ++ guards ++ jaro ++ ivf
   }
 }

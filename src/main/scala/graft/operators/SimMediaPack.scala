@@ -15,6 +15,7 @@ object SimMediaPack extends QueryPack {
       .selectExpr("label", "round(aggregate(centroid, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)), 4) AS centroid_sum")),
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "sim_kmeans_centroids" -> ((s, d) => SimilarityOps.kmeansSummary(s, d)),
+    "sim_ivf_stats" -> ((s, d) => SimilarityOps.ivfStats(s, d)),
     "sim_kmeans_topk" -> ((s, d) => SimilarityOps.kmeansTopK(s, d)),
     // identical result set to sim_kmeans_topk, computed from the
     // k-partitioned stored layout with plan-time partition pruning
@@ -490,6 +491,16 @@ object SimMediaPack extends QueryPack {
     "sim_kmeans_topk" -> kmeansTopKSql,
     // the pruned-layout query is the same logical result — one oracle text
     "sim_kmeans_pruned_topk" -> kmeansTopKSql,
+    // same trained kassign table; imbalance = (max * n_lists) / n_vecs in
+    // the identical association order
+    "sim_ivf_stats" ->
+      Oracle.withCtes(vecCtes ++ kmeansCtes :+
+        "ksz AS (SELECT k, count(*) AS n FROM kassign GROUP BY k)": _*)(
+        """SELECT count(*) AS n_lists, CAST(sum(n) AS BIGINT) AS n_vecs,
+          |  max(n) AS max_list, min(n) AS min_list,
+          |  CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE) /
+          |    CAST(sum(n) AS DOUBLE) AS imbalance
+          |FROM ksz""".stripMargin),
     // SemDeDup replay: same trained kassign/m{N}d tables, intra-cluster
     // pairs at >= SemDedupTau, centroid-nearer member of each pair pruned
     "dd_semdedup" ->

@@ -335,6 +335,27 @@ object SimilarityOps {
           (a, x) => a + x.cast("double")), 4).as("centroid_sum"))
   }
 
+  /** X-P: IVF list-balance audit over the trained index — the ANN
+    * family's degeneracy monitor (the [[graft.operators.DedupOps]]
+    * `dd_ppj_stats` discipline applied to vector search). A pruned search
+    * reads `nprobe/n_lists` of the corpus ONLY while lists stay balanced;
+    * a hot list re-grows toward brute force on exactly the probes that
+    * target it, and collapsed (empty) lists silently shrink recall
+    * headroom. One row: list count, corpus size, extreme list sizes, and
+    * `imbalance` = max_list / mean_list (1.0 = perfectly balanced,
+    * n_lists = everything in one list). [[graft.Monitors]] turns the
+    * readout into warnings; the table itself is metadata-sized (one
+    * group-by over the staged assignments).
+    */
+  def ivfStats(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssignments(spark, sfDir)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("n")).as("n_vecs"),
+        max(col("n")).as("max_list"), min(col("n")).as("min_list"))
+      .select(col("n_lists"), col("n_vecs"), col("max_list"), col("min_list"),
+        (col("max_list").cast("double") * col("n_lists").cast("double") /
+          col("n_vecs").cast("double")).as("imbalance"))
+
   /** Per-query probe set against the trained centroids: the NProbe nearest
     * centroids per query (tiny — queries × NProbe rows).
     */

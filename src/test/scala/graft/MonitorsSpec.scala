@@ -128,6 +128,32 @@ class MonitorsSpec extends SparkSpec {
     assert(cold == expect)
   }
 
+  test("ivf balance: quiet on the shipped index, trips on a planted collapsed index") {
+    // shipped shape: measured imbalance 1.31 / 1.14 at sf0.001/0.01
+    assert(Monitors.ivfWarnings(8, 8, 1.31).isEmpty)
+    // a hot list past the ratio ceiling
+    assert(Monitors.ivfWarnings(8, 8, 5.0).exists(_.contains("hottest")))
+    // collapsed clusters: fewer populated lists than the intended k
+    assert(Monitors.ivfWarnings(3, 8, 1.0).exists(_.contains("collapsed")))
+    // end-to-end: 90% of vectors identical -> training collapses onto the
+    // hot point (duplicate centroids merge, losers end empty) and the
+    // populated-list count falls below the intended k
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_skew").toString
+    import spark.implicits._
+    (1 to 200).map { i =>
+      val e = if (i <= 180) Array(1.0f, 0.0f, 0.0f, 0.0f)
+              else Array(0.0f, (i % 7 + 1).toFloat, (i % 5 + 1).toFloat, 1.0f)
+      (i.toLong, e, i % 5)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = operators.SimilarityOps.ivfStats(spark, dir).head()
+    val k = operators.SimilarityOps.kmeansKFor(spark, dir)
+    assert(r.getAs[Long]("max_list") >= 180)
+    assert(r.getAs[Long]("n_lists") < k)
+    assert(Monitors.ivfWarnings(r.getAs[Long]("n_lists"), k,
+      r.getAs[Double]("imbalance")).exists(_.contains("collapsed")))
+  }
+
   test("posting-skew and candidate-density flags fire on synthetic stats") {
     // a universal prefix token: posting covers ~99% of reps
     assert(Monitors.ppjWarnings(1000, 800, 5, 790, 100).exists(_.contains("posting")))
