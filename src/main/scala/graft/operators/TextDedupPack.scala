@@ -91,6 +91,7 @@ object TextDedupPack extends QueryPack {
     "dd_span_removal" -> ((s, d) => DedupOps.spanRemoval(s, d)),
     "tx_lm_score" -> ((s, d) => TextOps.lmScores(s, d)),
     "tx_perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(s, d)),
+    "tx_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "dd_fuzzy_decontam" -> ((s, d) => DedupOps.fuzzyDecontam(s, d)),
     "tx_leak_safe_splits" -> ((s, d) => TextOps.leakSafeSplits(s, d)),
@@ -1556,6 +1557,73 @@ object TextDedupPack extends QueryPack {
         |  CAST(sum(CAST(nll_bits AS DECIMAL(18,6))) AS DOUBLE) /
         |    CAST(count(*) AS DOUBLE) AS mean_nll
         |FROM ranked GROUP BY 1, 2""".stripMargin,
+    // two IRLS steps with the softsign link, 9-dp decimal-anchored sums,
+    // and the identical Cramer chain (see TextOps.qualityClassifier)
+    "tx_quality_classifier" -> {
+      def stepCtes(n: Int, tSel: String) =
+        s"""e$n AS (
+           |  SELECT y, x1, x2, t, 0.5 + 0.5 * t / (1.0 + abs(t)) AS p
+           |  FROM (SELECT y, x1, x2, $tSel AS t FROM ${if (n == 1) "f" else "f CROSS JOIN bta1"})),
+           |w$n AS (
+           |  SELECT y, x1, x2,
+           |    p * (1.0 - p) AS wgt,
+           |    t + (y - p) / (p * (1.0 - p)) AS z
+           |  FROM e$n),
+           |a$n AS (
+           |  SELECT
+           |    CAST(sum(CAST(round(wgt, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s00,
+           |    CAST(sum(CAST(round(wgt * x1, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s01,
+           |    CAST(sum(CAST(round(wgt * x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s02,
+           |    CAST(sum(CAST(round(wgt * x1 * x1, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s11,
+           |    CAST(sum(CAST(round(wgt * x1 * x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s12,
+           |    CAST(sum(CAST(round(wgt * x2 * x2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s22,
+           |    CAST(sum(CAST(round(wgt * z, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b0,
+           |    CAST(sum(CAST(round(wgt * x1 * z, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b1,
+           |    CAST(sum(CAST(round(wgt * x2 * z, 9) AS DECIMAL(38,9))) AS DOUBLE) AS b2
+           |  FROM w$n),
+           |bta$n AS (
+           |  SELECT
+           |    (b0 * (s11 * s22 - s12 * s12) - s01 * (b1 * s22 - s12 * b2) +
+           |     s02 * (b1 * s12 - s11 * b2)) /
+           |    (s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02) +
+           |     s02 * (s01 * s12 - s11 * s02)) AS beta0,
+           |    (s00 * (b1 * s22 - s12 * b2) - b0 * (s01 * s22 - s12 * s02) +
+           |     s02 * (s01 * b2 - b1 * s02)) /
+           |    (s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02) +
+           |     s02 * (s01 * s12 - s11 * s02)) AS beta1,
+           |    (s00 * (s11 * b2 - b1 * s12) - s01 * (s01 * b2 - b1 * s02) +
+           |     b0 * (s01 * s12 - s11 * s02)) /
+           |    (s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02) +
+           |     s02 * (s01 * s12 - s11 * s02)) AS beta2
+           |  FROM a$n)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    CAST(${hitsSql(TextFunctions.LangProfiles.head._2)} AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS x1,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS x2
+         |  FROM documents),
+         |${stepCtes(1, "0.0")},
+         |${stepCtes(2, "beta0 + beta1 * x1 + beta2 * x2")},
+         |m AS (
+         |  SELECT beta0, beta1, beta2,
+         |    count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN y = 1.0 AND beta0 + beta1 * x1 + beta2 * x2 > 0.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN y = 0.0 AND beta0 + beta1 * x1 + beta2 * x2 > 0.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN y = 1.0 AND NOT (beta0 + beta1 * x1 + beta2 * x2 > 0.0)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN y = 0.0 AND NOT (beta0 + beta1 * x1 + beta2 * x2 > 0.0)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM f CROSS JOIN bta2
+         |  GROUP BY beta0, beta1, beta2)
+         |SELECT beta0, beta1, beta2, n_docs, n_pos, tp, fp, fn, tn,
+         |  CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+         |FROM m""".stripMargin
+    },
   )
 
   private def stopSeq: Seq[String] = TextFunctions.LangProfiles.head._2

@@ -1360,6 +1360,102 @@ object TextOps {
         round(-col("s") / col("n_bigrams").cast("double"), 6).as("nll_bits"))
   }
 
+  /** X-C: TRAINED quality/domain classifier — logistic regression fit by
+    * two unrolled IRLS (Fisher-scoring / Newton) steps, the distributed
+    * form of the fastText-style filters pretraining pipelines train to
+    * tell "looks like the curated corpus" from "looks like crawl" (GPT-3's
+    * quality classifier, Brown et al. 2020 §A; PaLM; Llama — all public
+    * literature). Demonstrated here on the corpus's labeled target
+    * (lang = 'en') over two cheap features ([[qualityScores]]' stopword
+    * ratio and mean word length) plus an intercept; the MACHINERY is the
+    * point: each IRLS step is ONE map-side-combinable aggregation pass
+    * collecting the 3×3 normal matrix ΣwₖxxT and gradient side Σwₖxz (9
+    * scalars — executor-bounded state at any corpus size), the 3×3 solve
+    * is closed-form Cramer arithmetic on the driver-sized row, and the
+    * next pass streams the corpus again with β broadcast. At 100 TB an
+    * IRLS iteration costs exactly one scan + a 9-number reduce — the
+    * textbook distributed-GLM shape.
+    *
+    * Determinism disciplines, layered:
+    *  - the LINK: the logistic 1/(1+e^{-t}) is NOT reproducible across
+    *    engines at the ulp level (libm exp differs), so the chain uses the
+    *    softsign surrogate σ(t) = 0.5 + 0.5·t/(1+|t|) — same sign, range,
+    *    and monotonicity, but built from +,·,/,|·| only, which IEEE 754
+    *    defines exactly; every per-row weight/working-response is then
+    *    bit-identical in both engines.
+    *  - the SUMS: per-row contributions are rounded to 9 dp and anchored
+    *    to DECIMAL(38,9) before summing, so the aggregation is EXACT and
+    *    association-order-free (the exact-decimal-moments discipline);
+    *    each finished sum casts to double once.
+    *  - the SOLVE: Cramer determinants written in one fixed association
+    *    order, mirrored token-for-token in the oracle SQL.
+    * Final row: β after step 2, the confusion matrix of the sign rule
+    * score > 0, and accuracy (one division of exact counts).
+    *
+    * Fixture honesty: this corpus's `lang` labels are nearly independent
+    * of its word-soup text (see [[langidEval]] — the argmax heuristic
+    * itself barely beats chance), so the probe's near-baseline accuracy
+    * here is the correct READING, not a defect: a trained probe is
+    * exactly how pipelines AUDIT whether a label is learnable from the
+    * features before spending a real training run on it.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = size(words(col("text"))).cast("double")
+    val nStop = profileHits(col("text"), LangProfiles.head._2).cast("double")
+    val f = Tables.documents(spark, sfDir).select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      (nStop / nWords).as("x1"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / nWords)
+        .as("x2"))
+    def q(c: Column) = round(c, 9).cast("decimal(38,9)")
+    def stepAgg(df: DataFrame, t: Column): DataFrame = {
+      val p = lit(0.5) + lit(0.5) * t / (lit(1.0) + abs(t))
+      val wgt = p * (lit(1.0) - p)
+      val z = t + (col("y") - p) / wgt
+      df.agg(
+        sum(q(wgt)).cast("double").as("s00"),
+        sum(q(wgt * col("x1"))).cast("double").as("s01"),
+        sum(q(wgt * col("x2"))).cast("double").as("s02"),
+        sum(q(wgt * col("x1") * col("x1"))).cast("double").as("s11"),
+        sum(q(wgt * col("x1") * col("x2"))).cast("double").as("s12"),
+        sum(q(wgt * col("x2") * col("x2"))).cast("double").as("s22"),
+        sum(q(wgt * z)).cast("double").as("b0"),
+        sum(q(wgt * col("x1") * z)).cast("double").as("b1"),
+        sum(q(wgt * col("x2") * z)).cast("double").as("b2"))
+    }
+    // Cramer's rule on the symmetric 3x3 system, fixed association order
+    def solve(agg: DataFrame): DataFrame = {
+      val (s00, s01, s02) = (col("s00"), col("s01"), col("s02"))
+      val (s11, s12, s22) = (col("s11"), col("s12"), col("s22"))
+      val (b0, b1, b2) = (col("b0"), col("b1"), col("b2"))
+      val det = s00 * (s11 * s22 - s12 * s12) -
+        s01 * (s01 * s22 - s12 * s02) + s02 * (s01 * s12 - s11 * s02)
+      agg.select(
+        ((b0 * (s11 * s22 - s12 * s12) - s01 * (b1 * s22 - s12 * b2) +
+          s02 * (b1 * s12 - s11 * b2)) / det).as("beta0"),
+        ((s00 * (b1 * s22 - s12 * b2) - b0 * (s01 * s22 - s12 * s02) +
+          s02 * (s01 * b2 - b1 * s02)) / det).as("beta1"),
+        ((s00 * (s11 * b2 - b1 * s12) - s01 * (s01 * b2 - b1 * s02) +
+          b0 * (s01 * s12 - s11 * s02)) / det).as("beta2"))
+    }
+    def tOf = col("beta0") + col("beta1") * col("x1") + col("beta2") * col("x2")
+    val betaStep1 = solve(stepAgg(f, lit(0.0)))
+    val betaStep2 = solve(stepAgg(f.crossJoin(broadcast(betaStep1)), tOf))
+    f.crossJoin(broadcast(betaStep2))
+      .groupBy(col("beta0"), col("beta1"), col("beta2"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === 1.0 && tOf > 0.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0.0 && tOf > 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1.0 && !(tOf > 0.0), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0.0 && !(tOf > 0.0), 1L).otherwise(0L)).as("tn"))
+      .select(col("beta0"), col("beta1"), col("beta2"), col("n_docs"),
+        col("n_pos"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") /
+          col("n_docs").cast("double")).as("accuracy"))
+  }
+
   /** X-C: CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data",
     * LREC 2020 — public literature): within each language, documents are

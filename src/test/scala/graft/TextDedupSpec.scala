@@ -1419,4 +1419,59 @@ class TextDedupSpec extends SparkSpec {
         assert(v._2 <= v._4 && v._4 <= v._3)
     }
   }
+
+  test("qualityClassifier: two IRLS steps replay exactly driver-side") {
+    val r = TextOps.qualityClassifier(spark, Sf).collect().head
+    // independent replay: features, softsign IRLS, Cramer — in plain Scala
+    val stops = graft.functions.TextFunctions.LangProfiles.head._2.toSet
+    val feats = Tables.documents(spark, Sf)
+      .select(col("lang"), col("text")).collect().map { row =>
+      val toks = row.getString(1).split(" ", -1)
+      val y = if (row.getString(0) == "en") 1.0 else 0.0
+      val x1 = toks.count(stops).toDouble / toks.length
+      val x2 = toks.map(_.length).sum.toDouble / toks.length
+      (y, x1, x2)
+    }
+    def q(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def step(beta: (Double, Double, Double)): (Double, Double, Double) = {
+      var (s00, s01, s02, s11, s12, s22, b0, b1, b2) =
+        (BigDecimal(0), BigDecimal(0), BigDecimal(0), BigDecimal(0),
+          BigDecimal(0), BigDecimal(0), BigDecimal(0), BigDecimal(0), BigDecimal(0))
+      for ((y, x1, x2) <- feats) {
+        val t = beta._1 + beta._2 * x1 + beta._3 * x2
+        val p = 0.5 + 0.5 * t / (1.0 + math.abs(t))
+        val w = p * (1.0 - p)
+        val z = t + (y - p) / w
+        s00 += q(w); s01 += q(w * x1); s02 += q(w * x2)
+        s11 += q(w * x1 * x1); s12 += q(w * x1 * x2); s22 += q(w * x2 * x2)
+        b0 += q(w * z); b1 += q(w * x1 * z); b2 += q(w * x2 * z)
+      }
+      val (d00, d01, d02, d11, d12, d22, e0, e1, e2) =
+        (s00.toDouble, s01.toDouble, s02.toDouble, s11.toDouble,
+          s12.toDouble, s22.toDouble, b0.toDouble, b1.toDouble, b2.toDouble)
+      val det = d00 * (d11 * d22 - d12 * d12) -
+        d01 * (d01 * d22 - d12 * d02) + d02 * (d01 * d12 - d11 * d02)
+      ((e0 * (d11 * d22 - d12 * d12) - d01 * (e1 * d22 - d12 * e2) +
+        d02 * (e1 * d12 - d11 * e2)) / det,
+        (d00 * (e1 * d22 - d12 * e2) - e0 * (d01 * d22 - d12 * d02) +
+          d02 * (d01 * e2 - e1 * d02)) / det,
+        (d00 * (d11 * e2 - e1 * d12) - d01 * (d01 * e2 - e1 * d02) +
+          e0 * (d01 * d12 - d11 * d02)) / det)
+    }
+    val beta = step(step((0.0, 0.0, 0.0)))
+    assert(math.abs(r.getDouble(0) - beta._1) < 1e-9, s"beta0 ${r.getDouble(0)} vs $beta")
+    assert(math.abs(r.getDouble(1) - beta._2) < 1e-9)
+    assert(math.abs(r.getDouble(2) - beta._3) < 1e-9)
+    val preds = feats.map { case (y, x1, x2) =>
+      (y, beta._1 + beta._2 * x1 + beta._3 * x2 > 0.0) }
+    assert(r.getLong(3) == feats.length)
+    assert(r.getLong(4) == feats.count(_._1 == 1.0))
+    assert(r.getLong(5) == preds.count(p => p._1 == 1.0 && p._2))   // tp
+    assert(r.getLong(6) == preds.count(p => p._1 == 0.0 && p._2))   // fp
+    assert(r.getLong(7) == preds.count(p => p._1 == 1.0 && !p._2))  // fn
+    assert(r.getLong(8) == preds.count(p => p._1 == 0.0 && !p._2))  // tn
+    assert(r.getDouble(9) ==
+      (r.getLong(5) + r.getLong(8)).toDouble / feats.length.toDouble)
+  }
 }
