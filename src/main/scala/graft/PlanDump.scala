@@ -180,7 +180,15 @@ object PlanDump {
       ("dd_jaro_name_pairs", "vocab collapse before all-pairs: codegen'd JaroWinkler on broadcast BNLJ of distinct names, never parts squared",
         operators.DedupOps.jaroNamePairs(spark, sfDir)),
       ("xt_mann_kendall", "facts collapse to day cardinality BEFORE the O(n^2) pair join; one-row exact-integer finish",
-        operators.TimeSeriesOps.mannKendall(spark, sfDir)))
+        operators.TimeSeriesOps.mannKendall(spark, sfDir)),
+      ("xp_cms_join_estimate", "join size WITHOUT the join: two fixed 512KB sketch aggs merge map-side; the exact join runs only as the error report",
+        operators.ScaleOps.cmsJoinEstimate(spark, sfDir)),
+      ("xa_expectations", "all 10 constraints fold into TWO conditional-agg scans + a constant-row explode; never one job per constraint",
+        operators.ScaleOps.expectations(spark, sfDir)),
+      ("tx_perplexity_buckets", "lm plan unchanged; tercile ranks window BY LANGUAGE (no global sort); rollup is lang x 3 rows",
+        operators.TextOps.perplexityBuckets(spark, sfDir)),
+      ("tx_quality_classifier", "each IRLS step = one scan + a 9-scalar map-side-combined agg; beta re-broadcast; data never collects",
+        operators.TextOps.qualityClassifier(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
