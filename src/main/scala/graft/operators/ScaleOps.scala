@@ -243,6 +243,77 @@ object ScaleOps {
         (col("e.n_violations") === 0L).as("passed"))
   }
 
+  /** Bootstrap replicate count for [[bootstrapCi]]. */
+  val BootReplicates = 32
+
+  /** Poisson(1) CDF breakpoints scaled to the 24-bit hash domain: a
+    * replicate weight is the inverse-CDF bucket of the row's uniform
+    * h24 draw — 0/1/2/3/4 below these thresholds, 5 above (P ≈ 0.04%,
+    * truncated). Constants of e⁻¹ only — no per-row exp(), so the draw
+    * is engine-portable integer comparison.
+    */
+  val BootCdf24: Seq[Long] = {
+    val e = math.exp(-1.0)
+    Seq(e, 2 * e, 2.5 * e, 8.0 / 3 * e, 65.0 / 24 * e)
+      .map(c => math.floor(c * (1L << 24)).toLong)
+  }
+
+  /** X-A: bootstrap confidence interval for the mean order value by the
+    * POISSON BOOTSTRAP (Chamandy, Muralidharan, Najmi & Naidu, "Estimating
+    * uncertainty for massive data streams", Google 2012 — public
+    * literature): classical resampling draws n rows per replicate and is
+    * unshardable, but each row's replicate multiplicity is ≈ Poisson(1)
+    * independently, so every row can emit its B weights LOCALLY and the
+    * whole bootstrap folds into ONE aggregation pass with B-bounded
+    * executor state (here [[BootReplicates]] = 32 (Σwᵢxᵢ, Σwᵢ) counter
+    * pairs — the map-side-combine shape at any corpus size). Replicate
+    * weights are deterministic: w = Poisson⁻¹CDF of the row's salted h24
+    * uniform via the [[BootCdf24]] integer breakpoints — replayable under
+    * retries and bit-identical in the oracle.
+    *
+    * The finish is replicate-cardinality: 32 means (one exact-decimal /
+    * exact-count division each), their order statistics as the ~90% CI
+    * (2nd and 31st of 32), and the bootstrap grand mean over 9-dp-anchored
+    * decimals. At 100 TB the only corpus-sized work is the single
+    * weighted-sum pass.
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val price = col("o_totalprice").cast("decimal(12,2)")
+    def wgt(b: Int): Column = {
+      val h = Tables.h24(concat(lit(s"$b:"), col("o_orderkey").cast("string")))
+      when(h < BootCdf24(0), 0).when(h < BootCdf24(1), 1)
+        .when(h < BootCdf24(2), 2).when(h < BootCdf24(3), 3)
+        .when(h < BootCdf24(4), 4).otherwise(5)
+    }
+    val aggCols =
+      Seq(sum(price).as("tot"), count(lit(1)).as("n")) ++
+        (0 until BootReplicates).flatMap { b =>
+          Seq(sum(wgt(b) * price).as(s"s_$b"),
+            sum(wgt(b).cast("long")).as(s"n_$b"))
+        }
+    val a = Tables.orders(spark, sfDir).agg(aggCols.head, aggCols.tail: _*)
+    val entries = (0 until BootReplicates).map { b =>
+      struct(lit(b).as("b"),
+        (col(s"s_$b").cast("double") / col(s"n_$b").cast("double")).as("m"))
+    }
+    val means = a.select(col("tot"), col("n"),
+      explode(array(entries: _*)).as("e"))
+      .select(col("tot"), col("n"), col("e.b").as("b"), col("e.m").as("m"))
+    means
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("b"))))
+      .groupBy(col("tot"), col("n"))
+      .agg(
+        min(when(col("rn") === 2, col("m"))).as("ci_lo"),
+        min(when(col("rn") === BootReplicates - 1, col("m"))).as("ci_hi"),
+        (sum(round(col("m"), 9).cast("decimal(18,9)")).cast("double") /
+          lit(BootReplicates.toDouble)).as("boot_mean"))
+      .select(
+        (col("tot").cast("double") / col("n").cast("double")).as("point_mean"),
+        col("boot_mean"), col("ci_lo"), col("ci_hi"),
+        col("n").as("n_orders"))
+  }
+
   /** Zone size (rows) for [[zonemapPrune]] — fixture-scaled row groups;
     * production parquet row groups hold ~100k-1M rows, same mechanism.
     */

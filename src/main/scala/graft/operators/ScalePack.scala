@@ -28,12 +28,49 @@ object ScalePack extends QueryPack {
     "xp_cms_join_estimate" -> ((s, d) => ScaleOps.cmsJoinEstimate(s, d)),
     "xp_zonemap_prune" -> ((s, d) => ScaleOps.zonemapPrune(s, d)),
     "xa_expectations" -> ((s, d) => ScaleOps.expectations(s, d)),
+    "xa_bootstrap_ci" -> ((s, d) => ScaleOps.bootstrapCi(s, d)),
   )
 
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
   val oracles: Map[String, String] = Map(
+    // identical B-counter pass: the same h24-bucketed Poisson weights, the
+    // same exact-decimal/exact-count divisions, the same order statistics
+    "xa_bootstrap_ci" -> {
+      def w(b: Int): String = {
+        val h = graft.Oracle.h24(s"'$b:' || CAST(o_orderkey AS VARCHAR)")
+        val cdf = ScaleOps.BootCdf24
+        s"(CASE WHEN $h < ${cdf(0)} THEN 0 WHEN $h < ${cdf(1)} THEN 1" +
+          s" WHEN $h < ${cdf(2)} THEN 2 WHEN $h < ${cdf(3)} THEN 3" +
+          s" WHEN $h < ${cdf(4)} THEN 4 ELSE 5 END)"
+      }
+      val sums = (0 until ScaleOps.BootReplicates).map { b =>
+        s"    sum(${w(b)} * CAST(o_totalprice AS DECIMAL(12,2))) AS s_$b,\n" +
+          s"    CAST(sum(${w(b)}) AS BIGINT) AS n_$b"
+      }.mkString(",\n")
+      val unions = (0 until ScaleOps.BootReplicates).map { b =>
+        s"  SELECT $b AS b, CAST(s_$b AS DOUBLE) / CAST(n_$b AS DOUBLE) AS m FROM a"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH a AS (
+         |  SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) AS tot,
+         |    count(*) AS n,
+         |$sums
+         |  FROM orders),
+         |m AS (
+         |$unions),
+         |r AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rn FROM m),
+         |sel AS (
+         |  SELECT
+         |    min(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+         |    min(CASE WHEN rn = ${ScaleOps.BootReplicates - 1} THEN m END) AS ci_hi,
+         |    CAST(sum(CAST(round(m, 9) AS DECIMAL(18,9))) AS DOUBLE) /
+         |      ${ScaleOps.BootReplicates}.0 AS boot_mean
+         |  FROM r)
+         |SELECT CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS point_mean,
+         |  boot_mean, ci_lo, ci_hi, n AS n_orders
+         |FROM a CROSS JOIN sel""".stripMargin
+    },
     // same one-pass conditional aggregation per table, unioned; NULLs
     // violate range/domain constraints in both engines by explicit IS NULL
     "xa_expectations" ->

@@ -344,6 +344,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(est == wantEst)
   }
 
+  test("bootstrapCi: Poisson weights, replicate means, and order-stat CI replay") {
+    val r = graft.operators.ScaleOps.bootstrapCi(spark, Sf).collect().head
+    val rows = graft.Tables.orders(spark, Sf)
+      .select(col("o_orderkey").cast("string"),
+        col("o_totalprice").cast("decimal(12,2)"))
+      .collect().map(x => (x.getString(0), BigDecimal(x.getDecimal(1))))
+    val cdf = graft.operators.ScaleOps.BootCdf24
+    def wgt(b: Int, k: String): Int = {
+      val h = graft.functions.MinHashAgg.h24(s"$b:$k")
+      cdf.indexWhere(h < _) match { case -1 => 5; case i => i }
+    }
+    val means = (0 until graft.operators.ScaleOps.BootReplicates).map { b =>
+      var s = BigDecimal(0); var n = 0L
+      rows.foreach { case (k, p) => val w = wgt(b, k); s += p * w; n += w }
+      (b, s.toDouble / n.toDouble)
+    }
+    val sorted = means.sortBy(m => (m._2, m._1)).map(_._2)
+    assert(math.abs(r.getDouble(2) - sorted(1)) < 1e-12)  // ci_lo = 2nd of 32
+    assert(math.abs(r.getDouble(3) - sorted(30)) < 1e-12) // ci_hi = 31st of 32
+    val pm = rows.map(_._2).sum.toDouble / rows.length
+    assert(math.abs(r.getDouble(0) - pm) < 1e-9)
+    assert(r.getLong(4) == rows.length)
+    // the interval brackets the point estimate on this sample
+    assert(r.getDouble(2) <= r.getDouble(0) && r.getDouble(0) <= r.getDouble(3))
+    // Poisson(1) weights resample to ~n rows per replicate (law of large
+    // numbers at fixture size: within 20%)
+    val totW = rows.map { case (k, _) => wgt(0, k).toLong }.sum
+    assert(math.abs(totW - rows.length).toDouble / rows.length < 0.2)
+  }
+
   test("expectations: every constraint's violation count replays driver-side") {
     val got = graft.operators.ScaleOps.expectations(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
