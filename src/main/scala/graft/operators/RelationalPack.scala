@@ -97,6 +97,7 @@ object RelationalPack extends QueryPack {
     "xt_theil_sen" -> ((s, d) => TimeSeriesOps.theilSen(s, d)),
     "xt_psi_drift" -> ((s, d) => TimeSeriesOps.psiDrift(s, d)),
     "xt_welch_ttest" -> ((s, d) => TimeSeriesOps.welchTTest(s, d)),
+    "xt_kaplan_meier" -> ((s, d) => TimeSeriesOps.kaplanMeier(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1425,6 +1426,50 @@ object RelationalPack extends QueryPack {
          |  abs((m1 - m2) / sqrt(w1 + w2)) > ${TimeSeriesOps.WelchCrit}
          |    AS reject_equal_means
          |FROM c""".stripMargin,
+    // same span collapse, BIGINT window risk sets, 9-dp decimal-anchored
+    // ln terms summed exactly, one exp + 6-dp round at display time
+    "xt_kaplan_meier" ->
+      s"""WITH spans AS (
+         |  SELECT user_id,
+         |    min(CAST(datediff('day', DATE '1970-01-01',
+         |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)) AS first_day,
+         |    max(CAST(datediff('day', DATE '1970-01-01',
+         |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)) AS last_day
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |h AS (SELECT max(last_day) AS h, count(*) AS n_users FROM spans),
+         |byt AS (
+         |  SELECT last_day - first_day AS t, n_users,
+         |    count(*) AS ending,
+         |    CAST(sum(CASE WHEN last_day <= h - ${TimeSeriesOps.KmChurnGapDays}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+         |  FROM spans CROSS JOIN h GROUP BY 1, 2),
+         |risk AS (
+         |  SELECT t, n_churned, ending,
+         |    CAST(n_users - COALESCE(sum(ending) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS n_at_risk
+         |  FROM byt),
+         |term AS (
+         |  SELECT t, n_at_risk, n_churned,
+         |    CAST(CASE WHEN n_churned > 0 AND n_churned < n_at_risk
+         |      THEN round(ln(CAST(n_at_risk - n_churned AS DOUBLE)
+         |                    / CAST(n_at_risk AS DOUBLE)), 9)
+         |      ELSE 0.0 END AS DECIMAL(18,9)) AS lterm,
+         |    CASE WHEN n_churned = n_at_risk THEN 1 ELSE 0 END AS dead
+         |  FROM risk),
+         |acc AS (
+         |  SELECT t, n_at_risk, n_churned,
+         |    sum(lterm) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s,
+         |    max(dead) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS died
+         |  FROM term)
+         |SELECT t AS t_days, n_at_risk, n_churned,
+         |  CASE WHEN died = 1 THEN NULL
+         |       ELSE CAST(log_s AS DOUBLE) END AS log_survival,
+         |  CASE WHEN died = 1 THEN 0.0
+         |       ELSE round(exp(CAST(log_s AS DOUBLE)), 6) END AS survival
+         |FROM acc""".stripMargin,
     // decile edges by pure BIGINT rank inequality (no quantile kernel),
     // integer edge-comparison bins, Laplace-smoothed exact-ratio p's, ln
     // per bin (DSIR precedent), 6dp-rounded psi drives the verdict

@@ -1167,4 +1167,74 @@ object TimeSeriesOps {
       .orderBy(col("d_stat").desc, col("at_cents"))
       .limit(1)
   }
+
+  /** Days of trailing silence before the corpus edge that mark a user's
+    * span as CHURNED (observed death) rather than censored — users still
+    * active within the last week may simply not have evented yet.
+    */
+  val KmChurnGapDays = 7
+
+  /** X-C: Kaplan–Meier survival curve over user PURCHASING spans — the
+    * censoring-aware retention read ([[cohortRetention]] reports raw
+    * return rates; KM answers "what fraction of customers keep purchasing
+    * past t days of tenure" while correctly refusing to count
+    * still-purchasing users as churned — Kaplan & Meier 1958, the
+    * canonical estimator). A user's tenure t = last − first purchase day;
+    * the span is an observed death (stopped buying) only if it ends ≥
+    * [[KmChurnGapDays]] before the corpus horizon, otherwise censored.
+    * Ŝ(t) = Π_{u≤t} (1 − d_u/n_u) over death times. (Purchases, not all
+    * activity: on this corpus every user stays ACTIVE to the horizon, so
+    * the all-events curve is the degenerate all-censored flatline — the
+    * purchase stream is where real churn lives.)
+    *
+    * Determinism: risk sets are pure BIGINT window cumsums (exact at any
+    * association); each death factor's ln is one IEEE division + one ln
+    * rounded to 9 dp and anchored to DECIMAL(18,9), so the cumulative
+    * log-survival is an EXACT decimal window sum (the lm-score rounding
+    * discipline); displayed survival re-exponentiates once and rounds to
+    * 6 dp. The degenerate everyone-dies tail (d = n ⇒ S = 0, ln −∞) is
+    * pinned explicitly: NULL log_survival, 0.0 survival from that t on.
+    *
+    * Scale shape: the corpus collapses to per-user spans (one
+    * map-side-combinable agg), then to tenure cardinality (≤ corpus day
+    * span) — the windows run on a metadata-sized table.
+    */
+  def kaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayIdx = datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+      .cast("long")
+    val spans = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), dayIdx.as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+    val horizon = spans.agg(max(col("last_day")).as("h"),
+      count(lit(1)).as("n_users"))
+    val byT = spans.crossJoin(broadcast(horizon))
+      .select((col("last_day") - col("first_day")).as("t"),
+        (col("last_day") <= col("h") - KmChurnGapDays).as("churned"),
+        col("n_users"))
+      .groupBy(col("t"), col("n_users"))
+      .agg(count(lit(1)).as("ending"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT.withColumn("n_at_risk",
+      col("n_users") - coalesce(sum(col("ending")).over(wPrev), lit(0L)))
+    val term = when(col("n_churned") > 0 && col("n_churned") < col("n_at_risk"),
+      round(log((col("n_at_risk") - col("n_churned")).cast("double") /
+        col("n_at_risk").cast("double")), 9))
+      .otherwise(lit(0.0)).cast("decimal(18,9)")
+    risk
+      .withColumn("died_out",
+        max(when(col("n_churned") === col("n_at_risk"), 1).otherwise(0))
+          .over(wIncl))
+      .withColumn("log_s", sum(term).over(wIncl))
+      .select(col("t").as("t_days"), col("n_at_risk"), col("n_churned"),
+        when(col("died_out") === 1, lit(null).cast("double"))
+          .otherwise(col("log_s").cast("double")).as("log_survival"),
+        when(col("died_out") === 1, 0.0)
+          .otherwise(round(exp(col("log_s").cast("double")), 6)).as("survival"))
+  }
 }

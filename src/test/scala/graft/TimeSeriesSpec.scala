@@ -773,4 +773,42 @@ class TimeSeriesSpec extends SparkSpec {
     // Welch df is bounded by the pooled df and exceeds the smaller sample
     assert(df > math.min(n1d, n2d) - 1 && df <= n1d + n2d - 2)
   }
+
+  test("kaplanMeier: risk sets, censoring, and the product-limit curve replay") {
+    val rows = TimeSeriesOps.kaplanMeier(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) 0.0 else r.getDouble(4)))
+      .sortBy(_._1)
+    // replay spans driver-side
+    val spans = Tables.events(spark, Sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val h = spans.map(_._2).max
+    val users = spans.map { case (f, l) =>
+      (l - f, l <= h - TimeSeriesOps.KmChurnGapDays) }
+    assert(rows.map(_._2).head == users.length) // first risk set = everyone
+    // n_at_risk and n_churned replay per tenure
+    var surv = 1.0
+    for ((t, nAtRisk, nChurned, s) <- rows) {
+      assert(nAtRisk == users.count(_._1 >= t))
+      assert(nChurned == users.count(u => u._1 == t && u._2))
+      if (nChurned > 0 && nChurned < nAtRisk)
+        surv *= (nAtRisk - nChurned).toDouble / nAtRisk.toDouble
+      if (nChurned == nAtRisk) surv = 0.0
+      // product-limit value within the layered-rounding tolerance
+      assert(math.abs(s - surv) < 1e-4, s"t=$t got $s want $surv")
+    }
+    // survival is non-increasing and starts at/below 1
+    assert(rows.map(_._4).head <= 1.0)
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-12); case _ => }
+    // censoring is real on this corpus: the newest spans must not count
+    // as deaths (some user is active within the churn gap)
+    assert(users.exists(!_._2))
+  }
 }
