@@ -147,6 +147,55 @@ object DedupOps {
       .distinct()
   }
 
+  /** End-to-end LSH candidate-set evaluation — the pair-level counterpart
+    * of [[minhashEstimate]] (which grades the ESTIMATOR; this grades the
+    * BANDING), built from two measurements a 100-TB deployment can afford:
+    *
+    *  - `precision` is EXACT and global: of all staged LSH candidate
+    *    pairs, the share whose exact shingle Jaccard meets
+    *    [[ClusterMinJaccard]] — the wasted-verify-work readout (the verify
+    *    join already computes every candidate's exact Jaccard, so this is
+    *    free).
+    *  - `recall_vs_audit` cross-checks the bands against an INDEPENDENT
+    *    blocking family: the rare-gram pipeline ([[ngramJaccard]]) finds
+    *    ≥ ½-Jaccard pairs by a mechanism that shares nothing with minhash
+    *    banding (document-frequency-bounded gram postings vs hashed band
+    *    collisions), so the fraction of ITS true pairs that also appear
+    *    as LSH candidates estimates banding recall without any all-pairs
+    *    pass. Theory at the threshold: with [[NumHashes]]=8 in
+    *    [[NumBands]]=4 2-row bands, P(caught | J=0.5) = 1−(1−0.25)⁴ ≈
+    *    0.68, rising steeply with J. (A naive uniform doc sample CANNOT
+    *    measure this — independent sampling kills almost every pair; the
+    *    independent-family audit is the standard fix.) Coverage caveat,
+    *    by construction: the audit set only contains pairs that share a
+    *    rare gram.
+    *
+    * Determinism: every count is an exact BIGINT off staged tables; the
+    * two ratios are single divisions with empty-set cases pinned to 1.0
+    * in both engines.
+    */
+  def lshEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = minhashCandidates(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val nC = cand.agg(count(lit(1)).as("n_cand_pairs"))
+    val nV = jaccardOnCandidates(spark, sfDir)
+      .where(col("jaccard") >= ClusterMinJaccard)
+      .agg(count(lit(1)).as("n_cand_true"))
+    val audit = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val nA = audit.agg(count(lit(1)).as("n_audit_pairs"))
+    val caught = audit.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_audit_caught"))
+    nC.crossJoin(nV).crossJoin(nA).crossJoin(caught)
+      .select(col("n_cand_pairs"), col("n_cand_true"),
+        when(col("n_cand_pairs") === 0L, 1.0)
+          .otherwise(col("n_cand_true").cast("double") /
+            col("n_cand_pairs").cast("double")).as("precision"),
+        col("n_audit_pairs"), col("n_audit_caught"),
+        when(col("n_audit_pairs") === 0L, 1.0)
+          .otherwise(col("n_audit_caught").cast("double") /
+            col("n_audit_pairs").cast("double")).as("recall_vs_audit"))
+  }
+
   /** n-gram Jaccard over the LSH candidates: exact |A∩B| / |A∪B| on distinct
     * shingle sets — integer ratio, bit-exact across engines. The shingle
     * scan is cached and shared by the candidate derivation, the sizes, and

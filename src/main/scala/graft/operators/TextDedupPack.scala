@@ -46,6 +46,7 @@ object TextDedupPack extends QueryPack {
     "dd_minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "dd_minhash_sig_udaf" -> ((s, d) => DedupOps.minhashSignaturesUdaf(s, d)),
     "dd_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
+    "dd_lsh_eval" -> ((s, d) => DedupOps.lshEval(s, d)),
     "dd_bucket_stats" -> ((s, d) => DedupOps.bucketStats(s, d)),
     "dd_jaccard_candidates" -> ((s, d) => DedupOps.jaccardOnCandidates(s, d)),
     "dd_minhash_estimate" -> ((s, d) => DedupOps.minhashEstimate(s, d)),
@@ -889,6 +890,60 @@ object TextDedupPack extends QueryPack {
     "dd_minhash_candidates" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)(
         "SELECT doc_a, doc_b FROM cand"),
+    // precision from the minhash chain's exact candidate Jaccards; recall
+    // cross-checked against the independent rare-gram family's >=1/2 pairs
+    // (the overlap chain with its cand/inter renamed to avoid collisions)
+    "dd_lsh_eval" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte,
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM distinct_shingles GROUP BY doc_id)",
+        """minter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN distinct_shingles sa ON sa.doc_id = c.doc_a
+          |  JOIN distinct_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY c.doc_a, c.doc_b)""".stripMargin,
+        s"""ctrue AS (
+           |  SELECT c.doc_a, c.doc_b
+           |  FROM cand c
+           |  LEFT JOIN minter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+           |  JOIN sizes za ON za.doc_id = c.doc_a
+           |  JOIN sizes zb ON zb.doc_id = c.doc_b
+           |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+           |    / (za.n + zb.n - coalesce(i.n_inter, 0))
+           |    >= ${DedupOps.ClusterMinJaccard})""".stripMargin,
+        s"""rare AS (
+           |  SELECT shingle AS g FROM (
+           |    SELECT shingle, count(*) AS df FROM distinct_shingles GROUP BY shingle)
+           |  WHERE df BETWEEN 2 AND ${DedupOps.NgramRareDfMax})""".stripMargin,
+        "posting AS (SELECT doc_id, shingle AS g FROM distinct_shingles WHERE shingle IN (SELECT g FROM rare))",
+        """ocand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin,
+        """ointer AS (
+          |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_inter
+          |  FROM ocand
+          |  JOIN distinct_shingles ta ON ta.doc_id = doc_a
+          |  JOIN distinct_shingles tb ON tb.doc_id = doc_b AND tb.shingle = ta.shingle
+          |  GROUP BY doc_a, doc_b)""".stripMargin,
+        """audit AS (
+          |  SELECT doc_a, doc_b
+          |  FROM ointer
+          |  JOIN sizes sa ON sa.doc_id = doc_a
+          |  JOIN sizes sb ON sb.doc_id = doc_b
+          |  WHERE 2 * n_inter >= sa.n + sb.n - n_inter)""".stripMargin,
+        "nc AS (SELECT count(*) AS n_cand_pairs FROM cand)",
+        "nv AS (SELECT count(*) AS n_cand_true FROM ctrue)",
+        "na AS (SELECT count(*) AS n_audit_pairs FROM audit)",
+        "ng AS (SELECT count(*) AS n_audit_caught FROM audit JOIN cand USING (doc_a, doc_b))")(
+        """SELECT n_cand_pairs, n_cand_true,
+          |  CASE WHEN n_cand_pairs = 0 THEN 1.0
+          |       ELSE CAST(n_cand_true AS DOUBLE) / CAST(n_cand_pairs AS DOUBLE) END
+          |    AS precision,
+          |  n_audit_pairs, n_audit_caught,
+          |  CASE WHEN n_audit_pairs = 0 THEN 1.0
+          |       ELSE CAST(n_audit_caught AS DOUBLE) / CAST(n_audit_pairs AS DOUBLE) END
+          |    AS recall_vs_audit
+          |FROM nc CROSS JOIN nv CROSS JOIN na CROSS JOIN ng""".stripMargin),
     "dd_bucket_stats" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte,
         """bucket_sizes AS (

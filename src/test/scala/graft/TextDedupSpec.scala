@@ -1420,6 +1420,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("lshEval: precision and independent-family recall replay from the staged tables") {
+    val r = DedupOps.lshEval(spark, Sf).collect().head
+    val cand = DedupOps.minhashCandidates(spark, Sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val nTrue = DedupOps.jaccardOnCandidates(spark, Sf)
+      .where(col("jaccard") >= DedupOps.ClusterMinJaccard).count()
+    val audit = DedupOps.ngramJaccard(spark, Sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getLong(0) == cand.size)
+    assert(r.getLong(1) == nTrue)
+    assert(r.getLong(3) == audit.size)
+    assert(r.getLong(4) == (audit & cand).size)
+    assert(r.getDouble(2) == nTrue.toDouble / cand.size)
+    assert(r.getDouble(5) == (audit & cand).size.toDouble / audit.size)
+    // the eval is non-vacuous on the fixture: both families find pairs,
+    // and the bands catch a recognizable share of the independent truth
+    assert(cand.nonEmpty && audit.nonEmpty)
+    assert(r.getDouble(5) > 0.5, s"banding recall ${r.getDouble(5)}")
+  }
+
   test("qualityClassifier: two IRLS steps replay exactly driver-side") {
     val r = TextOps.qualityClassifier(spark, Sf).collect().head
     // independent replay: features, softsign IRLS, Cramer — in plain Scala
