@@ -98,6 +98,7 @@ object RelationalPack extends QueryPack {
     "xt_psi_drift" -> ((s, d) => TimeSeriesOps.psiDrift(s, d)),
     "xt_welch_ttest" -> ((s, d) => TimeSeriesOps.welchTTest(s, d)),
     "xt_kaplan_meier" -> ((s, d) => TimeSeriesOps.kaplanMeier(s, d)),
+    "xt_stationary_mix" -> ((s, d) => TimeSeriesOps.stationaryMix(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1426,6 +1427,49 @@ object RelationalPack extends QueryPack {
          |  abs((m1 - m2) / sqrt(w1 + w2)) > ${TimeSeriesOps.WelchCrit}
          |    AS reject_equal_means
          |FROM c""".stripMargin,
+    // identical wide pivot of exact transition counts, identical
+    // fixed-order probability and power-iteration chains (see
+    // TimeSeriesOps.stationaryMix determinism notes)
+    "xt_stationary_mix" -> {
+      val states = TimeSeriesOps.MarkovStates
+      val cCols = states.flatMap(t => states.map(s =>
+        s"    CAST(sum(CASE WHEN prev_type = '$t' AND next_type = '$s' " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS c_${t}_$s")).mkString(",\n")
+      def rowSum(t: String) = states.map(s => s"c_${t}_$s").mkString(" + ")
+      val pCols = states.flatMap(t => states.map(s =>
+        s"    CASE WHEN ${rowSum(t)} = 0 THEN 0.0 ELSE CAST(c_${t}_$s AS DOUBLE)" +
+          s" / CAST(${rowSum(t)} AS DOUBLE) END AS p_${t}_$s")).mkString(",\n")
+      def vCols(from: Int) = states.map { s =>
+        val chain = states.map { t =>
+          if (from == 0) s"0.2 * p_${t}_$s" else s"v${from}_$t * p_${t}_$s"
+        }.mkString(" + ")
+        s"    $chain AS v${from + 1}_$s"
+      }.mkString(",\n")
+      val iters = (0 until TimeSeriesOps.MarkovIters).map { k =>
+        s"it${k + 1} AS (\n  SELECT *,\n${vCols(k)}\n  FROM ${if (k == 0) "pmat" else s"it$k"})"
+      }.mkString(",\n")
+      val last = TimeSeriesOps.MarkovIters
+      val unions = states.map(s =>
+        s"SELECT '$s' AS state, v${last}_$s AS prob, v${last - 1}_$s AS prev_prob," +
+          s" abs(v${last}_$s - v${last - 1}_$s) AS abs_delta FROM it$last")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH pairs AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type,
+         |         event_type AS next_type
+         |  FROM events
+         |  QUALIFY prev_type IS NOT NULL),
+         |wide AS (
+         |  SELECT
+         |$cCols
+         |  FROM pairs),
+         |pmat AS (
+         |  SELECT *,
+         |$pCols
+         |  FROM wide),
+         |$iters
+         |$unions""".stripMargin
+    },
     // same span collapse, BIGINT window risk sets, 9-dp decimal-anchored
     // ln terms summed exactly, one exp + 6-dp round at display time
     "xt_kaplan_meier" ->

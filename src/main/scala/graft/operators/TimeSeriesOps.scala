@@ -250,6 +250,77 @@ object TimeSeriesOps {
         (col("n_transitions").cast("double") / col("n_from")).as("prob"))
   }
 
+  /** The event-type state space, in the FIXED alphabetical order every
+    * [[stationaryMix]] arithmetic chain is written in (the association
+    * order of the matrix-vector sums is part of the cross-engine
+    * determinism contract).
+    */
+  val MarkovStates: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Unrolled power-iteration count for [[stationaryMix]]. */
+  val MarkovIters = 3
+
+  /** X-C: stationary distribution of the event-type Markov chain — the
+    * long-run answer to [[eventTransitions]]' one-step probabilities
+    * ("if users keep behaving like this, what share of all events is each
+    * type headed toward?"), by [[MarkovIters]] unrolled power iterations
+    * v ← vP from the uniform start. The chain on this corpus is ergodic
+    * (every observed transition matrix is dense), so three iterations sit
+    * within display precision of the fixed point; `abs_delta` REPORTS the
+    * remaining movement instead of asserting convergence.
+    *
+    * Determinism: the 5×5 transition matrix is exact-count divisions
+    * (one conditional-aggregation pass pivots the pair counts into one
+    * wide row); each iteration's five-term dot products are written in
+    * the FIXED [[MarkovStates]] order as left-associated chains, mirrored
+    * token-for-token in the oracle — pure IEEE +,·,/ throughout, no
+    * aggregation-order dependence anywhere (the one corpus-sized agg sums
+    * BIGINTs).
+    *
+    * Scale shape: everything after the lag + pair-count pass (the
+    * [[eventTransitions]] plan) is constant-size arithmetic on one row.
+    */
+  def stationaryMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+    // one wide row of the 25 transition counts
+    val cAggs = MarkovStates.flatMap(t => MarkovStates.map(s =>
+      sum(when(col("prev_type") === t && col("event_type") === s, 1L)
+        .otherwise(0L)).as(s"c_${t}_$s")))
+    val wide = pairs.agg(cAggs.head, cAggs.tail: _*)
+    // row sums and probabilities, fixed alphabetical chain order
+    def rowSum(t: String): Column =
+      MarkovStates.map(s => col(s"c_${t}_$s")).reduceLeft(_ + _)
+    val withP = wide.select(col("*") +: MarkovStates.flatMap(t =>
+      MarkovStates.map { s =>
+        when(rowSum(t) === 0L, 0.0)
+          .otherwise(col(s"c_${t}_$s").cast("double") /
+            rowSum(t).cast("double")).as(s"p_${t}_$s")
+      }): _*)
+    // unrolled v <- vP, v0 uniform; chains left-associated in state order
+    def iterate(df: DataFrame, from: Int): DataFrame = df.select(
+      col("*") +: MarkovStates.map { s =>
+        MarkovStates.map { t =>
+          (if (from == 0) lit(1.0 / MarkovStates.size) else col(s"v${from}_$t")) *
+            col(s"p_${t}_$s")
+        }.reduceLeft(_ + _).as(s"v${from + 1}_$s")
+      }: _*)
+    val vFinal = (0 until MarkovIters).foldLeft(withP)((df, k) => iterate(df, k))
+    val entries = MarkovStates.map { s =>
+      struct(lit(s).as("state"),
+        col(s"v${MarkovIters}_$s").as("prob"),
+        col(s"v${MarkovIters - 1}_$s").as("prev_prob"),
+        abs(col(s"v${MarkovIters}_$s") - col(s"v${MarkovIters - 1}_$s"))
+          .as("abs_delta"))
+    }
+    vFinal.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.state"), col("e.prob"), col("e.prev_prob"),
+        col("e.abs_delta"))
+  }
+
   /** Trailing window (days) for [[rollingActiveUsers]]. */
   val RollingWindowDays = 7
 

@@ -774,6 +774,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df > math.min(n1d, n2d) - 1 && df <= n1d + n2d - 2)
   }
 
+  test("stationaryMix: power iterations replay driver-side and converge") {
+    val states = TimeSeriesOps.MarkovStates
+    val got = TimeSeriesOps.stationaryMix(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == states.toSet)
+    // replay: transition counts from the same lag pairs
+    val counts = TimeSeriesOps.eventTransitions(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def p(t: String, s: String): Double = {
+      val n = states.map(x => counts.getOrElse((t, x), 0L)).sum
+      if (n == 0) 0.0 else counts.getOrElse((t, s), 0L).toDouble / n
+    }
+    var v = states.map(_ => 1.0 / states.size)
+    var prev = v
+    for (_ <- 0 until TimeSeriesOps.MarkovIters) {
+      prev = v
+      v = states.map(s =>
+        states.zip(prev).map { case (t, vt) => vt * p(t, s) }.reduceLeft(_ + _))
+    }
+    for ((s, i) <- states.zipWithIndex) {
+      assert(math.abs(got(s)._1 - v(i)) < 1e-12, s"$s ${got(s)._1} vs ${v(i)}")
+      assert(math.abs(got(s)._2 - prev(i)) < 1e-12)
+      assert(math.abs(got(s)._3 - math.abs(v(i) - prev(i))) < 1e-12)
+    }
+    // a probability vector, and essentially converged on this chain
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(got.values.forall(_._3 < 0.01))
+  }
+
   test("kaplanMeier: risk sets, censoring, and the product-limit curve replay") {
     val rows = TimeSeriesOps.kaplanMeier(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
