@@ -99,6 +99,7 @@ object RelationalPack extends QueryPack {
     "xt_welch_ttest" -> ((s, d) => TimeSeriesOps.welchTTest(s, d)),
     "xt_kaplan_meier" -> ((s, d) => TimeSeriesOps.kaplanMeier(s, d)),
     "xt_stationary_mix" -> ((s, d) => TimeSeriesOps.stationaryMix(s, d)),
+    "xt_attribution" -> ((s, d) => TimeSeriesOps.attribution(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1427,6 +1428,31 @@ object RelationalPack extends QueryPack {
          |  abs((m1 - m2) / sqrt(w1 + w2)) > ${TimeSeriesOps.WelchCrit}
          |    AS reject_equal_means
          |FROM c""".stripMargin,
+    // same full-stream rn + null-skipping MAX window + rn join-back; the
+    // 'none' bucket keeps shares summing to 1
+    "xt_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |wt AS (
+        |  SELECT user_id, event_type, rn,
+        |    max(CASE WHEN event_type <> 'purchase' THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_rn
+        |  FROM ev),
+        |credited AS (
+        |  SELECT coalesce(t.event_type, 'none') AS touch_type
+        |  FROM wt p
+        |  LEFT JOIN ev t ON t.user_id = p.user_id AND t.rn = p.touch_rn
+        |  WHERE p.event_type = 'purchase'),
+        |total AS (SELECT count(*) AS n_total FROM credited)
+        |SELECT touch_type, count(*) AS n_purchases,
+        |  CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM credited CROSS JOIN total
+        |GROUP BY touch_type, n_total""".stripMargin,
     // identical wide pivot of exact transition counts, identical
     // fixed-order probability and power-iteration chains (see
     // TimeSeriesOps.stationaryMix determinism notes)

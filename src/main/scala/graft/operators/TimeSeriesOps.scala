@@ -250,6 +250,50 @@ object TimeSeriesOps {
         (col("n_transitions").cast("double") / col("n_from")).as("prob"))
   }
 
+  /** X-C: last-touch purchase attribution — for every purchase, the
+    * nearest PRECEDING non-purchase event in the user's stream is the
+    * credited touchpoint (the marketing-analytics staple; first/last-touch
+    * are the two closed-form members of the attribution family). Report:
+    * per touch type, how many purchases it gets credit for and its share;
+    * purchases with no preceding touch (the user's stream starts with a
+    * buy) are reported under 'none' so the shares still sum to 1.
+    *
+    * Window discipline: "nearest preceding non-purchase" is
+    * max(CASE WHEN touch THEN rn END) over the unbounded-preceding frame —
+    * a plain MAX aggregate (null-skipping by definition in both engines),
+    * avoiding last_value(... IGNORE NULLS) portability; the credited row
+    * comes back via an equi-join on (user, rn). Counts exact, one
+    * division for the share.
+    *
+    * Scale shape: two windows share ONE (user_id, ts, event_id) sort; the
+    * join back is user+rn equi (hash), and the rollup is type-cardinality.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+    // the preceding-touch window must run on the FULL stream (filtering to
+    // purchases first would make "preceding" skip over non-purchase rows)
+    val withTouch = ev
+      .withColumn("touch_rn",
+        max(when(col("event_type") =!= "purchase", col("rn")))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .where(col("event_type") === "purchase")
+    val touches = ev.select(col("user_id"), col("rn").as("touch_rn"),
+      col("event_type").as("touch_type"))
+    val credited = withTouch.join(touches, Seq("user_id", "touch_rn"), "left")
+      .select(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+    val total = credited.agg(count(lit(1)).as("n_total"))
+    credited.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(total))
+      .select(col("touch_type"), col("n_purchases"),
+        (col("n_purchases").cast("double") /
+          col("n_total").cast("double")).as("share"))
+  }
+
   /** The event-type state space, in the FIXED alphabetical order every
     * [[stationaryMix]] arithmetic chain is written in (the association
     * order of the matrix-vector sums is part of the cross-engine

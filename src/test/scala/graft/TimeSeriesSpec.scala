@@ -774,6 +774,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df > math.min(n1d, n2d) - 1 && df <= n1d + n2d - 2)
   }
 
+  test("attribution: last-touch credit replays against a driver-side walk") {
+    val got = TimeSeriesOps.attribution(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replay: walk each user's ordered stream, credit the nearest
+    // preceding non-purchase event for every purchase
+    val streams = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getString(3)))
+      .groupBy(_._1)
+    val credits = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, evs) <- streams) {
+      var lastTouch: Option[String] = None
+      for ((_, _, tpe) <- evs.sortBy(_._2)) {
+        if (tpe == "purchase") {
+          val k = lastTouch.getOrElse("none")
+          credits(k) = credits.getOrElse(k, 0L) + 1
+        } else lastTouch = Some(tpe)
+      }
+    }
+    assert(got.keySet == credits.keySet)
+    val total = credits.values.sum
+    for ((k, n) <- credits) {
+      assert(got(k)._1 == n, s"$k: ${got(k)._1} vs $n")
+      assert(math.abs(got(k)._2 - n.toDouble / total) < 1e-12)
+    }
+    // shares sum to 1, purchase never credits itself
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    assert(!got.contains("purchase"))
+  }
+
   test("stationaryMix: power iterations replay driver-side and converge") {
     val states = TimeSeriesOps.MarkovStates
     val got = TimeSeriesOps.stationaryMix(spark, Sf).collect()
