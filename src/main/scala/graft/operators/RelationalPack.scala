@@ -100,6 +100,7 @@ object RelationalPack extends QueryPack {
     "xt_kaplan_meier" -> ((s, d) => TimeSeriesOps.kaplanMeier(s, d)),
     "xt_stationary_mix" -> ((s, d) => TimeSeriesOps.stationaryMix(s, d)),
     "xt_attribution" -> ((s, d) => TimeSeriesOps.attribution(s, d)),
+    "xa_ab_test" -> ((s, d) => TimeSeriesOps.abTest(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1428,6 +1429,45 @@ object RelationalPack extends QueryPack {
          |  abs((m1 - m2) / sqrt(w1 + w2)) > ${TimeSeriesOps.WelchCrit}
          |    AS reject_equal_means
          |FROM c""".stripMargin,
+    // identical per-user conversion collapse and the same two fixed IEEE
+    // chains per bucketing scheme; both verdict cuts are literal critical
+    // values (see TimeSeriesOps.abTest on the id-parity failure)
+    "xa_ab_test" -> {
+      def armSql(name: String, armExpr: String) =
+        s"""  SELECT '$name' AS split_method, n_a, conv_a, n_b, conv_b, p_a, p_b,
+           |    CASE WHEN pp = 0.0 OR pp = 1.0 THEN 0.0
+           |      ELSE (p_a - p_b) / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd))
+           |      END AS z,
+           |    abs(CASE WHEN pp = 0.0 OR pp = 1.0 THEN 0.0
+           |      ELSE (p_a - p_b) / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd))
+           |      END) > ${TimeSeriesOps.AbCrit} AS reject_equal_rates,
+           |    (nad - nbd) / sqrt(nad + nbd) AS srm_z,
+           |    abs((nad - nbd) / sqrt(nad + nbd)) > ${TimeSeriesOps.SrmCrit}
+           |      AS srm_flag
+           |  FROM (
+           |    SELECT n_a, conv_a, n_b, conv_b,
+           |      CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           |      CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           |      CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp,
+           |      CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+           |    FROM (
+           |      SELECT
+           |        CAST(sum(CASE WHEN $armExpr THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |        CAST(sum(CASE WHEN $armExpr THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+           |        CAST(sum(CASE WHEN NOT ($armExpr) THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |        CAST(sum(CASE WHEN NOT ($armExpr) THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+           |      FROM u))""".stripMargin
+      val hashArm =
+        s"${graft.Oracle.h24("'ab:' || CAST(user_id AS VARCHAR)")} % 2 = 0"
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      >= ${TimeSeriesOps.AbConvMinPurchases} THEN 1 ELSE 0 END AS converted
+         |  FROM events GROUP BY user_id)
+         |${armSql("id_parity", "user_id % 2 = 0")}
+         |UNION ALL
+         |${armSql("hash_bucket", hashArm)}""".stripMargin
+    },
     // same full-stream rn + null-skipping MAX window + rn join-back; the
     // 'none' bucket keeps shares summing to 1
     "xt_attribution" ->

@@ -250,6 +250,73 @@ object TimeSeriesOps {
         (col("n_transitions").cast("double") / col("n_from")).as("prob"))
   }
 
+  /** Two-sided α=0.05 normal critical value for [[abTest]] (the
+    * [[WelchCrit]] discipline) and the |z| > 3 sample-ratio-mismatch cut
+    * experimentation platforms use for the split-integrity alarm.
+    */
+  val AbCrit = 1.96
+  val SrmCrit = 3.0
+
+  /** Heavy-buyer conversion cut for [[abTest]]: ≥ this many purchases.
+    * Every fixture user purchases at least once (p = 1 ⇒ zero variance ⇒
+    * no testable metric), so the metric is the ~median heavy-buyer split
+    * (fixture mean ≈ 13 purchases/user at every SF).
+    */
+  val AbConvMinPurchases = 14L
+
+  /** X-A: two-proportion z-test + SRM check as an A/A BUCKETING AUDIT —
+    * the experimentation-platform core (completes the test family:
+    * [[welchTTest]] means, [[mannWhitney]] location, [[ksPurchaseClick]]
+    * shape, [[mannKendall]] trend; this is proportions), demonstrated the
+    * way platforms actually deploy it: run the test on splits with NO
+    * real treatment and reject the BUCKETING SCHEME if an "effect"
+    * appears. Two candidate schemes over the heavy-buyer metric
+    * ([[AbConvMinPurchases]]+ purchases — every fixture user buys at
+    * least once, so raw "ever purchased" has zero variance):
+    *
+    *  - `id_parity`: user_id % 2 — the naive split. On this corpus it
+    *    FAILS the A/A test (z ≈ −2.8 at sf0.01: the generator's ids
+    *    correlate with per-user behavior), which is the finding — raw-id
+    *    bucketing is not randomization, and only an A/A run catches it.
+    *  - `hash_bucket`: salted-h24(user_id) parity — the correct scheme;
+    *    passes (z ≈ −0.04).
+    *
+    * Determinism: four exact counts per scheme from map-side-combinable
+    * aggs; z = (p̂_a−p̂_b)/√(p̂(1−p̂)(1/n_a+1/n_b)) with pooled p̂ and the
+    * SRM z = (n_a−n_b)/√(n_a+n_b) are fixed written IEEE chains; a
+    * zero-variance metric pins z to 0.0 explicitly.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= AbConvMinPurchases, 1L).otherwise(0L).as("converted"))
+    def armRow(name: String, armA: Column): DataFrame = {
+      val m = byUser.select(armA.as("arm_a"), col("converted")).agg(
+        sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm_a"), col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("arm_a"), col("converted")).otherwise(0L)).as("conv_b"))
+      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      val pA = col("conv_a").cast("double") / na
+      val pB = col("conv_b").cast("double") / nb
+      val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val z = when(pPool === 0.0 || pPool === 1.0, 0.0).otherwise(
+        (pA - pB) /
+          sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb)))
+      val srmZ = (na - nb) / sqrt(na + nb)
+      m.select(lit(name).as("split_method"),
+        col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        pA.as("p_a"), pB.as("p_b"), z.as("z"),
+        (abs(z) > AbCrit).as("reject_equal_rates"),
+        srmZ.as("srm_z"), (abs(srmZ) > SrmCrit).as("srm_flag"))
+    }
+    armRow("id_parity", col("user_id") % 2 === 0)
+      .unionAll(armRow("hash_bucket",
+        Tables.h24(concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0))
+  }
+
   /** X-C: last-touch purchase attribution — for every purchase, the
     * nearest PRECEDING non-purchase event in the user's stream is the
     * credited touchpoint (the marketing-analytics staple; first/last-touch

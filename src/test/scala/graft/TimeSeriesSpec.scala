@@ -774,6 +774,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df > math.min(n1d, n2d) - 1 && df <= n1d + n2d - 2)
   }
 
+  test("abTest: both bucketing schemes replay; z and SRM are the written chains") {
+    val rows = TimeSeriesOps.abTest(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id_parity", "hash_bucket"))
+    val users = Tables.events(spark, Sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .collect().map(x => (x.getLong(0),
+        if (x.getLong(1) >= TimeSeriesOps.AbConvMinPurchases) 1L else 0L))
+    def check(name: String, armA: Long => Boolean): Unit = {
+      val r = rows(name)
+      val (a, b) = users.partition(u => armA(u._1))
+      assert(r.getLong(1) == a.length && r.getLong(3) == b.length)
+      assert(r.getLong(2) == a.map(_._2).sum && r.getLong(4) == b.map(_._2).sum)
+      val (pa, pb) = (r.getLong(2).toDouble / a.length,
+        r.getLong(4).toDouble / b.length)
+      val pp = (r.getLong(2) + r.getLong(4)).toDouble / users.length
+      val z =
+        if (pp == 0.0 || pp == 1.0) 0.0
+        else (pa - pb) /
+          math.sqrt(pp * (1.0 - pp) * (1.0 / a.length + 1.0 / b.length))
+      assert(math.abs(r.getDouble(7) - z) < 1e-12, s"$name z")
+      val srm = (a.length.toDouble - b.length.toDouble) /
+        math.sqrt(a.length.toDouble + b.length.toDouble)
+      assert(math.abs(r.getDouble(9) - srm) < 1e-12)
+      assert(r.getBoolean(8) == (math.abs(z) > TimeSeriesOps.AbCrit))
+      assert(r.getBoolean(10) == (math.abs(srm) > TimeSeriesOps.SrmCrit))
+    }
+    check("id_parity", _ % 2 == 0)
+    check("hash_bucket",
+      id => graft.functions.MinHashAgg.h24(s"ab:$id") % 2 == 0)
+    // the hash scheme never trips SRM at fixture sizes
+    assert(!rows("hash_bucket").getBoolean(10))
+  }
+
   test("attribution: last-touch credit replays against a driver-side walk") {
     val got = TimeSeriesOps.attribution(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
