@@ -16,6 +16,14 @@ object Oracle {
       s"(strpos('0123456789abcdef', substr(md5($expr),$i,1))-1)*${1L << (4 * (6 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** Twin of [[Tables.h24Slice]]: the 6-hex window starting at digit
+    * 1 + 6·slice of the same digest.
+    */
+  def h24Slice(expr: String, slice: Int): String =
+    (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($expr),${6 * slice + i},1))-1)*${1L << (4 * (6 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** Portable 48-bit md5-prefix hash — twin of [[Tables.h48]] (the
     * band-selectivity-at-scale variant; rationale there). First 12 hex
     * digits; weights up to 16^11 stay well inside BIGINT.

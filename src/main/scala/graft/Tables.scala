@@ -249,6 +249,14 @@ object Tables {
     */
   def h24(c: Column): Column = conv(substring(md5(c), 1, 6), 16, 10).cast("long")
 
+  /** [[h24]] from an arbitrary 6-hex-digit slice of the md5: one digest
+    * yields FIVE independent 24-bit draws (slices at 1,7,13,19,25), which
+    * is how hash-hungry per-row derivations (the 32-replicate bootstrap)
+    * amortize the digest cost 5×. `slice` ∈ [0,4].
+    */
+  def h24Slice(c: Column, slice: Int): Column =
+    conv(substring(md5(c), 1 + 6 * slice, 6), 16, 10).cast("long")
+
   /** Portable deterministic 48-bit hash: the first 12 hex digits of md5 as a
     * long in [0, 2^48). The wide variant exists for signatures whose BANDS
     * must stay selective at corpus scale — a 24-bit SimHash split into 4

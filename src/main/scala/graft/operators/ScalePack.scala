@@ -29,17 +29,38 @@ object ScalePack extends QueryPack {
     "xp_zonemap_prune" -> ((s, d) => ScaleOps.zonemapPrune(s, d)),
     "xa_expectations" -> ((s, d) => ScaleOps.expectations(s, d)),
     "xa_bootstrap_ci" -> ((s, d) => ScaleOps.bootstrapCi(s, d)),
+    "xp_compaction_plan" -> ((s, d) => ScaleOps.compactionPlan(s, d)),
   )
 
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
   val oracles: Map[String, String] = Map(
+    // same month parts, same BIGINT cumsum // target assignment
+    "xp_compaction_plan" ->
+      s"""WITH parts AS (
+         |  SELECT date_trunc('month', o_orderdate) AS part_month,
+         |    count(*) AS n_rows,
+         |    min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+         |  FROM orders GROUP BY 1),
+         |assigned AS (
+         |  SELECT *,
+         |    CAST(COALESCE(sum(n_rows) OVER (ORDER BY part_month
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // ${ScaleOps.CompactTargetRows} AS BIGINT) AS file_id
+         |  FROM parts)
+         |SELECT file_id, count(*) AS n_parts,
+         |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |  min(min_date) AS min_date, max(max_date) AS max_date,
+         |  CAST(sum(n_rows) AS DOUBLE) / ${ScaleOps.CompactTargetRows}.0
+         |    AS fill_ratio
+         |FROM assigned GROUP BY file_id""".stripMargin,
     // identical B-counter pass: the same h24-bucketed Poisson weights, the
     // same exact-decimal/exact-count divisions, the same order statistics
     "xa_bootstrap_ci" -> {
       def w(b: Int): String = {
-        val h = graft.Oracle.h24(s"'$b:' || CAST(o_orderkey AS VARCHAR)")
+        val h = graft.Oracle.h24Slice(
+          s"'${b / 5}:' || CAST(o_orderkey AS VARCHAR)", b % 5)
         val cdf = ScaleOps.BootCdf24
         s"(CASE WHEN $h < ${cdf(0)} THEN 0 WHEN $h < ${cdf(1)} THEN 1" +
           s" WHEN $h < ${cdf(2)} THEN 2 WHEN $h < ${cdf(3)} THEN 3" +

@@ -56,6 +56,7 @@ object TextDedupPack extends QueryPack {
     "dd_embedding_neardups" -> ((s, d) => DedupOps.embeddingNearDups(s, d, 0.30)),
     "dd_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "dd_cluster_stats" -> ((s, d) => DedupOps.clusterStats(s, d)),
+    "dd_source_dup_rate" -> ((s, d) => DedupOps.sourceDupRate(s, d)),
     "dd_canonical_quality" -> ((s, d) => DedupOps.canonicalByQuality(s, d)),
     "dd_sorted_neighbors" -> ((s, d) => DedupOps.sortedNeighbors(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
@@ -1008,6 +1009,20 @@ object TextDedupPack extends QueryPack {
         Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
           ++ clusterCtes: _*)(
         "SELECT doc_id, cluster_id, is_canonical FROM clusters"),
+    // same clusters chain; redundant = non-canonical members, left-joined
+    // so dup-free sources report 0
+    "dd_source_dup_rate" ->
+      Oracle.withRecursiveCtes(
+        Seq(shinglesCte, distinctShinglesCte, mhCte, bandsCte, candCte)
+          ++ clusterCtes: _*)(
+        """SELECT d.source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND NOT c.is_canonical
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+          |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND NOT c.is_canonical
+          |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |    AS dup_rate
+          |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+          |GROUP BY d.source""".stripMargin),
     // fuzzy decontamination: corpus docs colliding with a benchmark doc in
     // any LSH band, scored by the signature-estimated Jaccard
     "dd_fuzzy_decontam" -> {

@@ -317,6 +317,45 @@ object TimeSeriesOps {
         Tables.h24(concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0))
   }
 
+  /** X-C: cohort LTV (lifetime-value) curve — cumulative purchase revenue
+    * per user by cohort and age, the growth-analytics standard next to
+    * [[cohortRetention]] (retention counts RETURNING users; LTV sums what
+    * they SPEND): users cohort by first-activity day, purchase revenue
+    * rolls up per (cohort, age = purchase day − cohort day), and the
+    * cumulative sum divided by cohort size is the curve payback models
+    * read. Ages with no purchases are absent rows — the cumulative value
+    * at the next present age is unchanged, so the sparse curve is the
+    * same function.
+    *
+    * Determinism: revenue is exact BIGINT cents; the per-cohort running
+    * total is a BIGINT window cumsum (exact at any association);
+    * `ltv_per_user` = (cum ÷ users) ÷ 100 — two fixed IEEE divisions.
+    * Scale shape: one events collapse to (cohort, age) cardinality, the
+    * window runs on that metadata-sized table, cohort sizes broadcast.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayIdx = datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+      .cast("long")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), dayIdx.as("d"), col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = ev.where(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("age_days"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort_day"), col("age_days"), col("n_purchases"),
+        col("rev_cents"), col("cohort_users"),
+        (col("cum_cents").cast("double") /
+          col("cohort_users").cast("double") / lit(100.0)).as("ltv_per_user"))
+  }
+
   /** X-C: last-touch purchase attribution — for every purchase, the
     * nearest PRECEDING non-purchase event in the user's stream is the
     * credited touchpoint (the marketing-analytics staple; first/last-touch

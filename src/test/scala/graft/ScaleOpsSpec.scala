@@ -352,7 +352,7 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), BigDecimal(x.getDecimal(1))))
     val cdf = graft.operators.ScaleOps.BootCdf24
     def wgt(b: Int, k: String): Int = {
-      val h = graft.functions.MinHashAgg.h24(s"$b:$k")
+      val h = graft.functions.MinHashAgg.h24Slice(s"${b / 5}:$k", b % 5)
       cdf.indexWhere(h < _) match { case -1 => 5; case i => i }
     }
     val means = (0 until graft.operators.ScaleOps.BootReplicates).map { b =>
@@ -372,6 +372,32 @@ class ScaleOpsSpec extends SparkSpec {
     // numbers at fixture size: within 20%)
     val totW = rows.map { case (k, _) => wgt(0, k).toLong }.sum
     assert(math.abs(totW - rows.length).toDouble / rows.length < 0.2)
+  }
+
+  test("compactionPlan: ordered packing replays driver-side and covers all rows") {
+    val plan = graft.operators.ScaleOps.compactionPlan(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .toMap
+    val target = graft.operators.ScaleOps.CompactTargetRows
+    val parts = graft.Tables.orders(spark, Sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0).asInstanceOf[Comparable[Any]], r.getLong(1)))
+      .sortWith((a, b) => a._1.compareTo(b._1) < 0)
+    var cum = 0L
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((_, n) <- parts) {
+      val fid = cum / target
+      val (np, nr) = want.getOrElse(fid, (0L, 0L))
+      want(fid) = (np + 1, nr + n)
+      cum += n
+    }
+    assert(plan.keySet == want.keySet)
+    for ((fid, (np, nr)) <- want) {
+      assert(plan(fid)._1 == np && plan(fid)._2 == nr)
+      assert(plan(fid)._3 == nr.toDouble / target)
+    }
+    assert(plan.values.map(_._2).sum == graft.Tables.orders(spark, Sf).count())
   }
 
   test("expectations: every constraint's violation count replays driver-side") {

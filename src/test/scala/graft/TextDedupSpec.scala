@@ -1420,6 +1420,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sourceDupRate: redundant counts replay from the cluster table") {
+    val got = DedupOps.sourceDupRate(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val redundant = DedupOps.duplicateClusters(spark, Sf)
+      .where(!col("is_canonical")).collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == docs.map(_._2).toSet)
+    for ((src, (n, nr, rate)) <- got) {
+      val mine = docs.filter(_._2 == src)
+      assert(n == mine.length)
+      assert(nr == mine.count(d => redundant(d._1)))
+      assert(rate == nr.toDouble / n)
+    }
+    // the fixture has real duplication and it concentrates somewhere
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("lshEval: precision and independent-family recall replay from the staged tables") {
     val r = DedupOps.lshEval(spark, Sf).collect().head
     val cand = DedupOps.minhashCandidates(spark, Sf).collect()

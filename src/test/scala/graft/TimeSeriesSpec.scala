@@ -774,6 +774,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df > math.min(n1d, n2d) - 1 && df <= n1d + n2d - 2)
   }
 
+  test("cohortLtv: cumulative revenue per cohort-age replays driver-side") {
+    val rows = TimeSeriesOps.cohortLtv(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"),
+        col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (d, v) => d -> v.size }
+    val purch = ev.filter(_._3 == "purchase")
+      .map(e => ((cohort(e._1), e._2 - cohort(e._1)), e._4))
+    val byAge = purch.groupBy(_._1)
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+    assert(rows.keySet == byAge.keySet)
+    for (((cd, age), (np, rc)) <- byAge) {
+      val got = rows((cd, age))
+      assert(got._1 == np && got._2 == rc && got._3 == sizes(cd))
+      val cum = byAge.collect { case ((`cd`, a), (_, c)) if a <= age => c }.sum
+      assert(math.abs(got._4 - cum.toDouble / sizes(cd) / 100.0) < 1e-9)
+    }
+    // the curve is non-decreasing within every cohort
+    for (cd <- rows.keys.map(_._1).toSet[Long]) {
+      val curve = rows.collect { case ((`cd`, a), v) => (a, v._4) }.toSeq.sortBy(_._1)
+      curve.map(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a - 1e-12); case _ => }
+    }
+  }
+
   test("abTest: both bucketing schemes replay; z and SRM are the written chains") {
     val rows = TimeSeriesOps.abTest(spark, Sf).collect()
       .map(r => r.getString(0) -> r).toMap
