@@ -782,6 +782,68 @@ object GeoOps {
     z
   }
 
+  /** Cell edge (degrees) for the [[hotspots]] lattice: 30° ⇒ a full
+    * 12×6 = 72-cell grid — coarse enough that every cell has Poisson-scale
+    * mass, and the FULL lattice (zero cells included, the Gi* requirement)
+    * stays geometry-bounded at any corpus size.
+    */
+  val HotspotCellDeg = 30
+
+  /** X-C: Getis–Ord Gi* hotspot statistic — the spatial-statistics member
+    * of the anomaly family ([[gridDbscan]] finds dense SHAPES; Gi* asks
+    * per cell whether its NEIGHBORHOOD's mass is significantly above or
+    * below the global mean — the hot/cold-spot map of spatial
+    * epidemiology and crime analytics, Getis & Ord 1992): for each cell
+    * of the full [[HotspotCellDeg]]° lattice, z = (Σ_{j∈N(i)} x_j −
+    * x̄·W_i) / (S·√((n·W_i − W_i²)/(n−1))) over the 8-neighborhood plus
+    * self (edge cells clamp, W_i ∈ {4,6,9}), cut at ±1.96 into
+    * hot/cold/none. The synthetic corpus scatters points ~uniformly, so
+    * mostly-none with a few chance-level flags is the CORRECT map.
+    *
+    * Scale shape: one map-side census collapses the corpus to the
+    * 72-cell lattice; the neighborhood sum is the bounded 9-offset
+    * replicate join (the [[neighborPairs]] pattern) on lattice-sized
+    * rows; global mean/deviation are a one-row broadcast.
+    * Determinism: census counts exact BIGINTs; x̄, S, and z are fixed
+    * written IEEE chains over exact integers.
+    */
+  def hotspots(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nx, ny) = (360 / HotspotCellDeg, 180 / HotspotCellDeg)
+    val counts = withCoords(spark, sfDir)
+      .select(floor((col("lon") + 180) / HotspotCellDeg).cast("long").as("gx"),
+        floor((col("lat") + 90) / HotspotCellDeg).cast("long").as("gy"))
+      .groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("x"))
+    val lattice = spark.range(nx.toLong).select(col("id").as("gx"))
+      .crossJoin(spark.range(ny.toLong).select(col("id").as("gy")))
+    val cells = lattice.join(counts, Seq("gx", "gy"), "left")
+      .select(col("gx"), col("gy"), coalesce(col("x"), lit(0L)).as("x"))
+    val stats = cells.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val contrib = cells
+      .select(col("x"), explode(array(offsets.map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"),
+        col("gx"), col("gy"))
+      .select((col("gx") + col("o.dx")).as("cgx"),
+        (col("gy") + col("o.dy")).as("cgy"), col("x"))
+      .where(col("cgx") >= 0 && col("cgx") < nx &&
+        col("cgy") >= 0 && col("cgy") < ny)
+      .groupBy(col("cgx").as("gx"), col("cgy").as("gy"))
+      .agg(sum(col("x")).as("w_sum"), count(lit(1)).as("w_n"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val s = sqrt(col("sxx").cast("double") / nD - mean * mean)
+    val wD = col("w_n").cast("double")
+    val z = (col("w_sum").cast("double") - mean * wD) /
+      (s * sqrt((nD * wD - wD * wD) / (nD - 1.0)))
+    cells.join(contrib, Seq("gx", "gy"))
+      .crossJoin(broadcast(stats))
+      .select(col("gx"), col("gy"), col("x"), col("w_n"), col("w_sum"),
+        z.as("gi_z"),
+        when(z > 1.96, "hot").when(z < -1.96, "cold")
+          .otherwise("none").as("spot"))
+  }
+
   /** Driver-side 3-way Morton (mirrors [[graft.functions.ZEncode3]]). */
   def zMorton3(x: Long, y: Long, t: Long): Long = {
     var z = 0L

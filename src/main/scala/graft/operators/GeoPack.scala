@@ -44,6 +44,7 @@ object GeoPack extends QueryPack {
     "geo_haversine_pairs" -> ((s, d) => GeoOps.haversinePairs(s, d)),
     "geo_geohash_keys" -> ((s, d) => GeoOps.geohashKeys(s, d)),
     "geo_grid_dbscan" -> ((s, d) => GeoOps.gridDbscan(s, d)),
+    "geo_hotspots" -> ((s, d) => GeoOps.hotspots(s, d)),
   )
 
   private val coordsCte =
@@ -78,6 +79,53 @@ object GeoPack extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    // full-lattice census incl. zero cells, bounded 9-offset contributor
+    // join, one-row stats; the Gi* chain mirrors the Spark association
+    "geo_hotspots" -> {
+      val d = GeoOps.HotspotCellDeg
+      val (nx, ny) = (360 / d, 180 / d)
+      val meanSql = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+      val zSql =
+        s"""(CAST(w_sum AS DOUBLE) - $meanSql * CAST(w_n AS DOUBLE)) /
+           |    (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - $meanSql * ($meanSql)) *
+           |     sqrt((CAST(n AS DOUBLE) * CAST(w_n AS DOUBLE) -
+           |           CAST(w_n AS DOUBLE) * CAST(w_n AS DOUBLE)) /
+           |          (CAST(n AS DOUBLE) - 1.0)))""".stripMargin
+      s"""WITH $coordsCte,
+         |counts AS (
+         |  SELECT (lon + 180) // $d AS gx, (lat + 90) // $d AS gy,
+         |    count(*) AS x
+         |  FROM coords GROUP BY 1, 2),
+         |lattice AS (
+         |  SELECT gxs.gx, gys.gy
+         |  FROM (SELECT unnest(range(0, $nx)) AS gx) gxs
+         |  CROSS JOIN (SELECT unnest(range(0, $ny)) AS gy) gys),
+         |cells AS (
+         |  SELECT l.gx, l.gy, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+         |  FROM lattice l LEFT JOIN counts c ON c.gx = l.gx AND c.gy = l.gy),
+         |stats AS (
+         |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM cells),
+         |offs AS (
+         |  SELECT a.dx, b.dy FROM (VALUES (-1),(0),(1)) a(dx)
+         |  CROSS JOIN (VALUES (-1),(0),(1)) b(dy)),
+         |contrib AS (
+         |  SELECT c.gx + o.dx AS gx, c.gy + o.dy AS gy,
+         |    CAST(sum(c.x) AS BIGINT) AS w_sum, count(*) AS w_n
+         |  FROM cells c CROSS JOIN offs o
+         |  WHERE c.gx + o.dx >= 0 AND c.gx + o.dx < $nx
+         |    AND c.gy + o.dy >= 0 AND c.gy + o.dy < $ny
+         |  GROUP BY 1, 2)
+         |SELECT c.gx, c.gy, c.x, ct.w_n, ct.w_sum,
+         |  $zSql AS gi_z,
+         |  CASE WHEN $zSql > 1.96 THEN 'hot'
+         |       WHEN $zSql < -1.96 THEN 'cold'
+         |       ELSE 'none' END AS spot
+         |FROM cells c
+         |JOIN contrib ct ON ct.gx = c.gx AND ct.gy = c.gy
+         |CROSS JOIN stats""".stripMargin
+    },
     "geo_z2_keys" ->
       s"""WITH $coordsCte, $scaledCte
          |SELECT event_id, lon, lat, x, y,

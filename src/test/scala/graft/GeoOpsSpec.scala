@@ -551,4 +551,39 @@ class GeoOpsSpec extends SparkSpec {
     val byCommon = expect.sortBy { case (a, b, c, _) => (-c, a, b) }
     assert(byCommon != expect)
   }
+
+  test("hotspots: Gi* replays driver-side over the full lattice") {
+    val d = graft.operators.GeoOps.HotspotCellDeg
+    val (nx, ny) = (360 / d, 180 / d)
+    val got = graft.operators.GeoOps.hotspots(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getString(6)))
+      .toMap
+    assert(got.size == nx * ny) // full lattice, zero cells included
+    val pts = graft.operators.GeoOps.withCoords(spark, Sf)
+      .select(col("lon"), col("lat")).collect()
+      .map(r => ((r.getLong(0) + 180) / d, (r.getLong(1) + 90) / d))
+    val x = Array.ofDim[Long](nx, ny)
+    pts.foreach { case (gx, gy) => x(gx.toInt)(gy.toInt) += 1 }
+    val n = (nx * ny).toDouble
+    val sx = x.flatten.sum.toDouble
+    val sxx = x.flatten.map(v => v * v).sum.toDouble
+    val mean = sx / n
+    val s = math.sqrt(sxx / n - mean * mean)
+    for (gx <- 0 until nx; gy <- 0 until ny) {
+      val neigh = for {
+        dx <- -1 to 1; dy <- -1 to 1
+        if gx + dx >= 0 && gx + dx < nx && gy + dy >= 0 && gy + dy < ny
+      } yield x(gx + dx)(gy + dy)
+      val (w, wsum) = (neigh.size.toDouble, neigh.sum)
+      val z = (wsum.toDouble - mean * w) /
+        (s * math.sqrt((n * w - w * w) / (n - 1.0)))
+      val g = got((gx.toLong, gy.toLong))
+      assert(g._1 == x(gx)(gy) && g._2 == neigh.size && g._3 == wsum)
+      assert(math.abs(g._4 - z) < 1e-12, s"($gx,$gy) ${g._4} vs $z")
+      assert(g._5 == (if (z > 1.96) "hot" else if (z < -1.96) "cold" else "none"))
+    }
+    // interior cells see 9 contributors, corners 4
+    assert(got((0L, 0L))._2 == 4 && got((1L, 1L))._2 == 9)
+  }
 }
