@@ -100,6 +100,7 @@ object RelationalPack extends QueryPack {
     "xt_kaplan_meier" -> ((s, d) => TimeSeriesOps.kaplanMeier(s, d)),
     "xt_stationary_mix" -> ((s, d) => TimeSeriesOps.stationaryMix(s, d)),
     "xt_attribution" -> ((s, d) => TimeSeriesOps.attribution(s, d)),
+    "xt_markov_attribution" -> ((s, d) => TimeSeriesOps.markovAttribution(s, d)),
     "xa_ab_test" -> ((s, d) => TimeSeriesOps.abTest(s, d)),
     "xt_cohort_ltv" -> ((s, d) => TimeSeriesOps.cohortLtv(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
@@ -1492,6 +1493,81 @@ object RelationalPack extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / CAST(cohort_users AS DOUBLE) / 100.0 AS ltv_per_user
         |FROM rev JOIN sizes USING (cohort_day)""".stripMargin,
+    // identical path construction (two windows, one user-stream sort),
+    // identical count pivot, identical unrolled absorption chains per
+    // variant (see TimeSeriesOps.markovAttribution determinism notes)
+    "xt_markov_attribution" -> {
+      val chans = TimeSeriesOps.MarkovChannels
+      val froms = "START" +: chans
+      val tos = chans ++ Seq("CONV", "NULL")
+      val k0 = TimeSeriesOps.AttribIters
+      val cCols = froms.flatMap(f => tos.map(t =>
+        s"    CAST(sum(CASE WHEN f = '$f' AND t = '$t' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS c_${f}_$t")).mkString(",\n")
+      def rowSum(f: String) = tos.map(t => s"c_${f}_$t").mkString(" + ")
+      val pCols = froms.flatMap(f => tos.map(t =>
+        s"    CASE WHEN ${rowSum(f)} = 0 THEN 0.0 ELSE CAST(c_${f}_$t AS DOUBLE)" +
+          s" / CAST(${rowSum(f)} AS DOUBLE) END AS p_${f}_$t")).mkString(",\n")
+      val variants = "base" +: chans
+      def alive(v: String) = chans.filterNot(_ == v)
+      def iterCols(k: Int) =
+        (for (v <- variants; s <- froms if s == "START" || alive(v).contains(s))
+          yield {
+            val chain = alive(v).map(t =>
+              (if (k == 0) "0.0" else s"a${k}_${t}_$v") + s" * p_${s}_$t")
+            "    " + (s"p_${s}_CONV" +: chain).mkString(" + ") +
+              s" AS a${k + 1}_${s}_$v"
+          }).mkString(",\n")
+      val iters = (0 until k0).map { k =>
+        s"it${k + 1} AS (\n  SELECT *,\n${iterCols(k)}\n  FROM ${if (k == 0) "probs" else s"it$k"})"
+      }.mkString(",\n")
+      val effectSum = chans
+        .map(c => s"(a${k0}_START_base - a${k0}_START_$c)").mkString(" + ")
+      val unions = chans.map(c =>
+        s"""SELECT '$c' AS channel, a${k0}_START_base AS base_conv,
+           |  a${k0}_START_$c AS removal_conv,
+           |  a${k0}_START_base - a${k0}_START_$c AS removal_effect,
+           |  CASE WHEN $effectSum = 0.0 THEN 0.0
+           |    ELSE (a${k0}_START_base - a${k0}_START_$c) / ($effectSum) END
+           |    AS share
+           |FROM it$k0""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         |  FROM events),
+         |fp AS (
+         |  SELECT user_id, min(rn) AS fp FROM ev
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |path AS (
+         |  SELECT e.user_id, e.event_type, e.rn, f.fp
+         |  FROM ev e LEFT JOIN fp f USING (user_id)
+         |  WHERE e.event_type <> 'purchase' AND (f.fp IS NULL OR e.rn < f.fp)),
+         |steps AS (
+         |  SELECT user_id, event_type, fp,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS prn
+         |  FROM path),
+         |trans AS (
+         |  SELECT event_type AS f,
+         |    coalesce(nxt, CASE WHEN fp IS NOT NULL THEN 'CONV' ELSE 'NULL' END) AS t
+         |  FROM steps
+         |  UNION ALL
+         |  SELECT 'START', event_type FROM steps WHERE prn = 1
+         |  UNION ALL
+         |  SELECT 'START', 'CONV' FROM fp
+         |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM path)),
+         |wide AS (
+         |  SELECT
+         |$cCols
+         |  FROM trans),
+         |probs AS (
+         |  SELECT
+         |$pCols
+         |  FROM wide),
+         |$iters
+         |$unions""".stripMargin
+    },
     // same full-stream rn + null-skipping MAX window + rn join-back; the
     // 'none' bucket keeps shares summing to 1
     "xt_attribution" ->

@@ -356,6 +356,109 @@ object TimeSeriesOps {
           col("cohort_users").cast("double") / lit(100.0)).as("ltv_per_user"))
   }
 
+  /** The non-purchase channel states of the attribution chain, in the
+    * FIXED alphabetical order every [[markovAttribution]] chain is
+    * written in (the [[MarkovStates]] discipline).
+    */
+  val MarkovChannels: Seq[String] = Seq("click", "error", "signup", "view")
+
+  /** Unrolled absorption-iteration count for [[markovAttribution]]. The
+    * iterates are monotone nondecreasing from 0 and contract geometrically
+    * (per-step continue-probability < 1), so 12 rounds sit far inside
+    * display precision on paths this short — and because every variant
+    * runs the SAME K, removal effects are exactly nonnegative (a
+    * channel-removed iterate is ≤ the base iterate at every k, by
+    * induction).
+    */
+  val AttribIters = 12
+
+  /** X-C: MARKOV (removal-effect) attribution — the data-driven upgrade
+    * of [[attribution]]'s last-touch rule (Anderl et al. 2016; the
+    * standard "Markov chain attribution" of marketing science): model
+    * each user's pre-first-purchase event path as a Markov chain over
+    * channel states with absorbing CONV (converted) and NULL (path ended
+    * unconverted) states, compute the chain's conversion probability from
+    * START, and credit each channel by its REMOVAL EFFECT — how much
+    * conversion drops when the channel is deleted (transitions into it
+    * rerouted to NULL). Unlike last-touch, a channel that feeds other
+    * channels mid-path earns credit.
+    *
+    * Determinism, layered on the [[stationaryMix]] discipline:
+    * transition counts are one conditional-agg pivot of exact BIGINTs
+    * (path building = two windows sharing one user-stream sort);
+    * probabilities are exact-count divisions; absorption probabilities
+    * come from [[AttribIters]] UNROLLED iterations a ← p_CONV + P·a per
+    * variant (base + one per removed channel), every dot product a
+    * left-associated fixed-order chain mirrored token-for-token in the
+    * oracle; shares divide by the fixed-order effect sum, pinned 0.0
+    * when no channel has any effect.
+    */
+  def markovAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("fp"))
+    val path = ev.join(fp, Seq("user_id"), "left")
+      .where(col("event_type") =!= "purchase" &&
+        (col("fp").isNull || col("rn") < col("fp")))
+    val wPath = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val steps = path
+      .withColumn("nxt", lead(col("event_type"), 1).over(wPath))
+      .withColumn("prn", row_number().over(wPath))
+    val chanTrans = steps.select(col("event_type").as("f"),
+      coalesce(col("nxt"),
+        when(col("fp").isNotNull, "CONV").otherwise("NULL")).as("t"))
+    val startTrans = steps.where(col("prn") === 1)
+      .select(lit("START").as("f"), col("event_type").as("t"))
+    // a user whose first event IS the purchase has an empty path: START→CONV
+    val emptyPath = fp
+      .join(path.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+      .select(lit("START").as("f"), lit("CONV").as("t"))
+    val trans = chanTrans.unionAll(startTrans).unionAll(emptyPath)
+    val froms = "START" +: MarkovChannels
+    val tos = MarkovChannels ++ Seq("CONV", "NULL")
+    val cAggs = froms.flatMap(f => tos.map(t =>
+      sum(when(col("f") === f && col("t") === t, 1L).otherwise(0L))
+        .as(s"c_${f}_$t")))
+    val wide = trans.agg(cAggs.head, cAggs.tail: _*)
+    def rowSum(f: String): Column =
+      tos.map(t => col(s"c_${f}_$t")).reduceLeft(_ + _)
+    val probs = wide.select(froms.flatMap(f => tos.map { t =>
+      when(rowSum(f) === 0L, 0.0)
+        .otherwise(col(s"c_${f}_$t").cast("double") /
+          rowSum(f).cast("double")).as(s"p_${f}_$t")
+    }): _*)
+    // absorption iterations per variant: base + one per removed channel;
+    // a0 ≡ 0, so iteration 1's terms collapse to p_CONV directly
+    val variants = "base" +: MarkovChannels
+    def alive(v: String): Seq[String] = MarkovChannels.filterNot(_ == v)
+    def iterate(df: DataFrame, k: Int): DataFrame = df.select(
+      col("*") +: (for (v <- variants; s <- froms if s == "START" || alive(v).contains(s))
+        yield {
+          val chain = alive(v).map { t =>
+            (if (k == 0) lit(0.0) else col(s"a${k}_${t}_$v")) * col(s"p_${s}_$t")
+          }
+          (col(s"p_${s}_CONV") +: chain).reduceLeft(_ + _)
+            .as(s"a${k + 1}_${s}_$v")
+        }): _*)
+    val absorbed = (0 until AttribIters).foldLeft(probs)((df, k) => iterate(df, k))
+    val base = col(s"a${AttribIters}_START_base")
+    def removed(c: String) = col(s"a${AttribIters}_START_$c")
+    val effectSum = MarkovChannels.map(c => base - removed(c)).reduceLeft(_ + _)
+    val entries = MarkovChannels.map { c =>
+      struct(lit(c).as("channel"), base.as("base_conv"),
+        removed(c).as("removal_conv"), (base - removed(c)).as("removal_effect"),
+        when(effectSum === 0.0, 0.0)
+          .otherwise((base - removed(c)) / effectSum).as("share"))
+    }
+    absorbed.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.channel"), col("e.base_conv"), col("e.removal_conv"),
+        col("e.removal_effect"), col("e.share"))
+  }
+
   /** X-C: last-touch purchase attribution — for every purchase, the
     * nearest PRECEDING non-purchase event in the user's stream is the
     * credited touchpoint (the marketing-analytics staple; first/last-touch

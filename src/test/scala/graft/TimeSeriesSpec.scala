@@ -774,6 +774,68 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df > math.min(n1d, n2d) - 1 && df <= n1d + n2d - 2)
   }
 
+  test("markovAttribution: paths, chains, and removal effects replay driver-side") {
+    val chans = TimeSeriesOps.MarkovChannels
+    val got = TimeSeriesOps.markovAttribution(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == chans.toSet)
+    // replay: walk user streams, build transition counts
+    val streams = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getString(3)))
+      .groupBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    def bump(f: String, t: String): Unit =
+      counts((f, t)) = counts.getOrElse((f, t), 0L) + 1
+    for ((_, evs) <- streams) {
+      val ordered = evs.sortBy(_._2).map(_._3)
+      val fp = ordered.indexOf("purchase")
+      val path = (if (fp >= 0) ordered.take(fp) else ordered)
+        .filter(_ != "purchase")
+      if (path.isEmpty && fp >= 0) bump("START", "CONV")
+      else if (path.nonEmpty) {
+        bump("START", path.head)
+        path.sliding(2).foreach {
+          case Array(a, b) => bump(a, b); case _ => }
+        bump(path.last, if (fp >= 0) "CONV" else "NULL")
+      }
+    }
+    val froms = "START" +: chans
+    val tos = chans ++ Seq("CONV", "NULL")
+    def p(f: String, t: String): Double = {
+      val n = tos.map(x => counts.getOrElse((f, x), 0L)).sum
+      if (n == 0) 0.0 else counts.getOrElse((f, t), 0L).toDouble / n
+    }
+    def absorb(removedChan: Option[String]): Double = {
+      val live = chans.filterNot(removedChan.contains)
+      var a = (froms.map(_ -> 0.0)).toMap
+      for (_ <- 0 until TimeSeriesOps.AttribIters) {
+        a = (for (s <- froms if s == "START" || live.contains(s)) yield {
+          s -> live.foldLeft(p(s, "CONV"))((acc, t) => acc + a(t) * p(s, t))
+        }).toMap.withDefaultValue(0.0)
+      }
+      a("START")
+    }
+    val base = absorb(None)
+    val effects = chans.map(c => base - absorb(Some(c)))
+    val effectSum = effects.sum
+    for ((c, eff) <- chans.zip(effects)) {
+      val g = got(c)
+      assert(math.abs(g._1 - base) < 1e-9, s"base ${g._1} vs $base")
+      assert(math.abs(g._3 - eff) < 1e-9, s"$c effect ${g._3} vs $eff")
+      assert(g._3 >= 0.0) // same-K monotonicity: removal never helps
+      if (effectSum > 0) assert(math.abs(g._4 - eff / effectSum) < 1e-6)
+    }
+    // conversion is near-certain on this corpus but strictly below 1
+    assert(base > 0.9 && base <= 1.0)
+    // shares sum to 1 when any effect exists
+    if (effectSum > 0)
+      assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-9)
+  }
+
   test("cohortLtv: cumulative revenue per cohort-age replays driver-side") {
     val rows = TimeSeriesOps.cohortLtv(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
