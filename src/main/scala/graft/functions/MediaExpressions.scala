@@ -287,6 +287,95 @@ object PngDecode {
   }
 }
 
+/** Average-hash (aHash) of a decoded P6 PPM raster — the perceptual
+  * fingerprint behind image near-duplicate detection (the classic
+  * downsample-and-threshold family; pHash/dHash are its DCT/gradient
+  * siblings): per pixel, luminance is the exact integer r+g+b; bit p of
+  * the 64-bit hash is set iff the pixel's luminance strictly exceeds the
+  * image mean, tested WITHOUT division as lum_p · n > Σlum (exact integer
+  * cross-multiplication — engine-replayable). Bits are packed LSB-first
+  * in row-major pixel order over the first min(w·h, 64) pixels; the mean
+  * is over the same pixel window so the hash is self-contained.
+  * Visually-near images differ in few bits; Hamming distance over these
+  * hashes is the image-dedup join key.
+  */
+object PpmAHash {
+
+  /** Null on any malformed payload (same contract as [[PpmDecode.stats]]). */
+  def hash(bytes: Array[Byte]): java.lang.Long =
+    try {
+      var i = 0
+      val n = bytes.length
+      def skipWs(): Unit = {
+        var more = true
+        while (more) {
+          while (i < n && (bytes(i) == ' ' || bytes(i) == '\n' ||
+            bytes(i) == '\r' || bytes(i) == '\t')) i += 1
+          if (i < n && bytes(i) == '#') { while (i < n && bytes(i) != '\n') i += 1 }
+          else more = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        if (i >= n || bytes(i) < '0' || bytes(i) > '9') throw Malformed
+        var v = 0
+        while (i < n && bytes(i) >= '0' && bytes(i) <= '9') { v = v * 10 + (bytes(i) - '0'); i += 1 }
+        v
+      }
+      if (n < 2 || bytes(0) != 'P' || bytes(1) != '6') throw Malformed
+      i = 2
+      val w = int(); val h = int(); int(): Unit // maxval unused
+      i += 1
+      if (w <= 0 || h <= 0 || i + w * h * 3 > n) throw Malformed
+      val cnt = math.min(w * h, 64)
+      val lum = new Array[Long](cnt)
+      var tot = 0L
+      var p = 0
+      while (p < cnt) {
+        val o = i + 3 * p
+        lum(p) = (bytes(o) & 0xff).toLong + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)
+        tot += lum(p)
+        p += 1
+      }
+      var hashv = 0L
+      p = 0
+      while (p < cnt) {
+        if (lum(p) * cnt > tot) hashv |= 1L << p
+        p += 1
+      }
+      java.lang.Long.valueOf(hashv)
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  private object Malformed extends RuntimeException("malformed PPM") {
+    override def fillInStackTrace(): Throwable = this
+  }
+}
+
+case class PpmAHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ppm_ahash expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(b: Any): Any =
+    PpmAHash.hash(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+       |java.lang.Long ah = graft.functions.PpmAHash.hash($b);
+       |${ev.isNull} = (ah == null);
+       |${ev.value} = ${ev.isNull} ? -1L : ah.longValue();
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class PpmStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = PpmDecode.schema
@@ -365,6 +454,13 @@ object MediaExpressions {
     FnReg.once(spark, "ppm_stats", exprs => PpmStats(exprs.head))
     FnReg.once(spark, "wav_stats", exprs => WavStats(exprs.head))
     FnReg.once(spark, "png_stats", exprs => PngStats(exprs.head))
+    FnReg.once(spark, "ppm_ahash", exprs => PpmAHashExpr(exprs.head))
+  }
+
+  /** 64-bit perceptual average-hash of a binary PPM column. */
+  def ppmAHash(spark: SparkSession, payload: Column): Column = {
+    ensureRegistered(spark)
+    call_function("ppm_ahash", payload)
   }
 
   /** Decoded header + per-channel stats struct for a binary PPM column. */

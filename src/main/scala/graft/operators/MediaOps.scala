@@ -91,6 +91,55 @@ object MediaOps {
           expr("substring(repeat(hx, 6), 1, 24 * hgt)")).cast("binary")
           .as("payload"))
 
+  /** Max Hamming distance over 64-bit aHashes for [[ahashNearDups]] —
+    * within the pigeonhole guarantee of the 4×16-bit band join (≤3 bit
+    * flips leave ≥1 band untouched).
+    */
+  val AHashMaxHamming = 3
+
+  /** Per-image 64-bit perceptual average-hash over the REAL decoded PPM
+    * raster — the multimodal dedup fingerprint ([[graft.functions.PpmAHash]]):
+    * the decode → luminance → threshold pipeline runs inside ONE
+    * codegen'd projection on the payload scan, zero shuffle at any scale.
+    */
+  def ahashTable(spark: SparkSession, sfDir: String): DataFrame =
+    ppmPayloads(spark, sfDir).select(col("doc_id"),
+      graft.functions.MediaExpressions.ppmAHash(spark, col("payload"))
+        .as("ahash"))
+
+  /** X-MM: perceptual near-duplicate IMAGE pairs — the bridge between the
+    * media family and the dedup family (the image-side analog of SimHash
+    * text dedup): images whose aHashes differ in ≤ [[AHashMaxHamming]]
+    * bits, found by the SimHash banding argument — a 64-bit hash split
+    * into 4×16-bit bands must leave one band EQUAL when ≤3 bits flip, so
+    * the candidate join is 4 equi-joins on band keys (never images²), and
+    * the exact Hamming check (codegen'd xor + bit_count) filters after.
+    * On this corpus image payloads derive deterministically from document
+    * text, so the pairs found are exactly the duplicate-image groups —
+    * visually-near-but-inexact pairs would be caught by the same ≤3-bit
+    * net.
+    */
+  def ahashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = ahashTable(spark, sfDir)
+      .select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band_no"),
+            shiftright(col("ahash"), 16 * b).bitwiseAND(lit(65535L))
+              .as("band_key"))
+        }: _*)).as("o"))
+      .select(col("doc_id"), col("ahash"), col("o.band_no"), col("o.band_key"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+      col("band_no"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+      col("band_no"), col("band_key"))
+    a.join(b, Seq("band_no", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= AHashMaxHamming)
+  }
+
   /** REAL decode (VERDICT r7 #5 — replaces the stub as the registered
     * decode path): parse the binary PPM header + raster with the native
     * codegen'd [[graft.functions.PpmStats]] expression and emit header

@@ -38,7 +38,45 @@ object SimMediaPack extends QueryPack {
     "md_wav_decode" -> ((s, d) => MediaOps.wavDecode(s, d)),
     "md_png_decode" -> ((s, d) => MediaOps.pngDecode(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
+    "md_ahash" -> ((s, d) => MediaOps.ahashTable(s, d)),
+    "md_ahash_neardups" -> ((s, d) => MediaOps.ahashNearDups(s, d)),
   )
+
+  /** aHash rebuilt from the PPM generation rule — shared by `md_ahash`
+    * and the near-dup pair join.
+    */
+  private lazy val ahashSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, md5(text) AS hx, 1 + (${h24("text")} % 8) AS hgt
+       |  FROM documents
+       |), px AS (
+       |  SELECT doc_id, unnest(range(0, 8 * hgt)) AS p, hx
+       |  FROM base
+       |), lum AS (
+       |  SELECT doc_id, p,
+       |    ascii(substr(repeat(hx, 6), CAST(3 * p + 1 AS INT), 1)) +
+       |    ascii(substr(repeat(hx, 6), CAST(3 * p + 2 AS INT), 1)) +
+       |    ascii(substr(repeat(hx, 6), CAST(3 * p + 3 AS INT), 1)) AS l
+       |  FROM px
+       |), tot AS (
+       |  SELECT doc_id, CAST(sum(l) AS BIGINT) AS tot, count(*) AS cnt
+       |  FROM lum GROUP BY doc_id
+       |)
+       |, raw AS (
+       |  -- bit 63 would overflow a signed BIGINT shift, so the bits
+       |  -- accumulate in HUGEINT and fold to two's-complement after
+       |  SELECT l.doc_id,
+       |    coalesce(sum(CASE WHEN l.l * t.cnt > t.tot
+       |      THEN CAST(1 AS HUGEINT) << CAST(l.p AS INT)
+       |      ELSE CAST(0 AS HUGEINT) END), 0) AS s
+       |  FROM lum l JOIN tot t ON t.doc_id = l.doc_id
+       |  GROUP BY l.doc_id
+       |)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+       |    THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END
+       |    AS BIGINT) AS ahash
+       |FROM raw""".stripMargin
 
   private val vecCtes = Seq(
     s"""qv AS (SELECT vec_id AS query_id,
@@ -633,6 +671,26 @@ object SimMediaPack extends QueryPack {
          |  ${feat(2)} AS f2, ${feat(3)} AS f3
          |FROM documents""".stripMargin
     },
+    // the oracle rebuilds each image's luminances by the raster-generation
+    // arithmetic, thresholds by exact integer cross-multiplication
+    // (lum·n > Σlum — the expression's own division-free test), and packs
+    // bits with shifts; the Spark side must RECOVER the same hash through
+    // the real binary decode
+    "md_ahash" -> ahashSql,
+    "md_ahash_neardups" ->
+      s"""WITH hashes AS ($ahashSql),
+         |bands AS (
+         |  SELECT doc_id, ahash, b.band_no,
+         |    (ahash >> (16 * b.band_no)) & 65535 AS band_key
+         |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS band_no) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band_no = b.band_no AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= ${MediaOps.AHashMaxHamming}""".stripMargin,
     "md_ppm_decode" -> {
       // rebuild the PPM raster bytes by column arithmetic: pixel i is the
       // ASCII code of hex char i of md5(text) repeated; channel = (i-1)%3

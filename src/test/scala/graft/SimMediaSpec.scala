@@ -489,4 +489,44 @@ class SimMediaSpec extends SparkSpec {
       assert(r.getDouble(2) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(3))
     }
   }
+
+  test("ppmAHash: hand-built rasters hash as specified; malformed is null") {
+    def ppm(w: Int, h: Int, px: Seq[Int]): Array[Byte] =
+      (s"P6\n$w $h\n255\n".getBytes("US-ASCII").toSeq ++ px.map(_.toByte)).toArray
+    // 2x1 image: pixel0 lum 30, pixel1 lum 300 -> mean 165 -> bits 0b10
+    val h1 = graft.functions.PpmAHash.hash(
+      ppm(2, 1, Seq(10, 10, 10, 100, 100, 100)))
+    assert(h1 == 2L)
+    // uniform image: no pixel STRICTLY above the mean -> hash 0
+    assert(graft.functions.PpmAHash.hash(
+      ppm(2, 2, Seq.fill(12)(55)) ) == 0L)
+    // malformed: wrong magic, truncated raster
+    assert(graft.functions.PpmAHash.hash("P5\n1 1\n255\nxxx".getBytes) == null)
+    assert(graft.functions.PpmAHash.hash(ppm(4, 4, Seq.fill(3)(1))) == null)
+  }
+
+  test("ahashTable and ahashNearDups: decode-path hashes replay, pairs are the dup groups") {
+    val hashes = MediaOps.ahashTable(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay every hash driver-side from the payload bytes
+    val payloads = MediaOps.ppmPayloads(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    payloads.foreach { case (id, p) =>
+      assert(hashes(id) == graft.functions.PpmAHash.hash(p).longValue())
+    }
+    // near-dup pairs: on this corpus payloads are md5-derived, so the
+    // expected pairs are exactly the identical-payload groups (hamming 0)
+    // plus any chance <=3-bit neighbors — verify against brute force
+    val got = MediaOps.ahashNearDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = hashes.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      hm = java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j)))
+      if hm <= MediaOps.AHashMaxHamming
+    } yield (ids(i), ids(j), hm)).toSet
+    assert(got == want, s"${got.size} vs ${want.size}")
+    assert(got.nonEmpty) // the corpus has duplicate texts => duplicate images
+    assert(got.exists(_._3 == 0))
+  }
 }
