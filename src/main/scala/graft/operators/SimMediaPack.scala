@@ -38,6 +38,7 @@ object SimMediaPack extends QueryPack {
     "md_wav_decode" -> ((s, d) => MediaOps.wavDecode(s, d)),
     "md_png_decode" -> ((s, d) => MediaOps.pngDecode(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
+    "sim_nprobe_curve" -> ((s, d) => SimilarityOps.nprobeCurve(s, d)),
     "md_ahash" -> ((s, d) => MediaOps.ahashTable(s, d)),
     "md_ahash_neardups" -> ((s, d) => MediaOps.ahashNearDups(s, d)),
   )
@@ -527,6 +528,65 @@ object SimMediaPack extends QueryPack {
         s"""SELECT m.k, s.n_vecs, round(list_sum(m.cd), 4) AS centroid_sum
            |FROM m${SimilarityOps.KmeansIters}d m JOIN ksizes s USING (k)""".stripMargin),
     "sim_kmeans_topk" -> kmeansTopKSql,
+    // the same trained probe/scan/hit chain instantiated once per nprobe;
+    // scan cost replays from the kassign list sizes
+    "sim_nprobe_curve" -> {
+      val perNp = SimilarityOps.NProbeCurve.flatMap { np =>
+        Seq(
+          s"""kprobes_$np AS (
+             |  SELECT query_id, q, k FROM (
+             |    SELECT query_id, q, k,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY c_cos DESC, k) AS pr
+             |    FROM kprobe_scored)
+             |  WHERE pr <= $np)""".stripMargin,
+          s"""kscored_$np AS (
+             |  SELECT p.query_id, v.vec_id, ${cosSql("p.q", "v.e")} AS cosine
+             |  FROM kprobes_$np p JOIN kassign a USING (k)
+             |  JOIN vv v ON v.vec_id = a.vec_id
+             |  WHERE v.vec_id <> p.query_id)""".stripMargin,
+          s"""ktop_$np AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY cosine DESC, vec_id) AS rank
+             |    FROM kscored_$np)
+             |  WHERE rank <= ${SimilarityOps.TopK})""".stripMargin,
+          s"""khits_$np AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS total_hits
+             |  FROM ktop_$np t JOIN bftop e
+             |    ON e.query_id = t.query_id AND e.vec_id = t.vec_id)""".stripMargin,
+          s"""kscan_$np AS (
+             |  SELECT CAST(sum(s.list_n) AS BIGINT) AS scanned_rows
+             |  FROM kprobes_$np p JOIN lsz s ON s.k = p.k)""".stripMargin)
+      }
+      val unions = SimilarityOps.NProbeCurve.map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, n_queries, total_hits,
+           |  CAST(total_hits AS DOUBLE) / (n_queries * ${SimilarityOps.TopK})
+           |    AS recall_at_k,
+           |  scanned_rows,
+           |  CAST(scanned_rows AS DOUBLE) / CAST(n_queries * n_vecs AS DOUBLE)
+           |    AS scan_fraction
+           |FROM khits_$np, kscan_$np, nq, nv""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Oracle.withCtes(vecCtes ++ kmeansCtes ++ Seq(
+        bfScoredCte,
+        s"""kprobe_scored AS (
+           |  SELECT query_id, q, k, ${cosSql("q", "cd")} AS c_cos
+           |  FROM qv CROSS JOIN m${SimilarityOps.KmeansIters}d
+           |)""".stripMargin,
+        s"""bftop AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= ${SimilarityOps.TopK})""".stripMargin,
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qv)",
+        "nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM kassign)",
+        "lsz AS (SELECT k, CAST(count(*) AS BIGINT) AS list_n FROM kassign GROUP BY k)")
+        ++ perNp: _*)(unions)
+    },
     // the pruned-layout query is the same logical result — one oracle text
     "sim_kmeans_pruned_topk" -> kmeansTopKSql,
     // same trained kassign table; imbalance = (max * n_lists) / n_vecs in

@@ -359,7 +359,8 @@ object SimilarityOps {
   /** Per-query probe set against the trained centroids: the NProbe nearest
     * centroids per query (tiny — queries × NProbe rows).
     */
-  private[graft] def kmeansProbes(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def kmeansProbes(spark: SparkSession, sfDir: String,
+                                  nprobe: Int = NProbe): DataFrame = {
     val cent = kmeansCentroids(spark, sfDir)
     val q = queryVecs(spark, sfDir)
     val wProbe = Window.partitionBy(col("query_id"))
@@ -369,7 +370,7 @@ object SimilarityOps {
       .select(col("query_id"), col("q"), col("na"), col("k"),
         hoistedCos(spark, "q", "centroid").as("c_cos"))
       .withColumn("probe_rank", row_number().over(wProbe))
-      .where(col("probe_rank") <= NProbe)
+      .where(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("q"), col("na"), col("k"))
   }
 
@@ -719,6 +720,52 @@ object SimilarityOps {
             .as("recall_at_k"))
     one("quantized_int8", quantizedTopK(spark, sfDir))
       .unionAll(one("pq_adc", pqTopK(spark, sfDir)))
+  }
+
+  /** Probe counts swept by [[nprobeCurve]]. */
+  val NProbeCurve = Seq(1, 2, 4)
+
+  /** X-P: the nprobe recall/cost TUNING CURVE over the trained index —
+    * the measurement an ANN deployment reads to set its one operational
+    * knob (the [[recallReport]] discipline applied to probe count): per
+    * nprobe ∈ [[NProbeCurve]], recall@k against the exact brute-force
+    * baseline NEXT TO the realized scan cost (rows the probed inverted
+    * lists actually hold, as a fraction of n_queries·corpus — the
+    * brute-force cost). More probes buy recall linearly in scan cost;
+    * where the curve flattens is where the knob belongs. Each curve
+    * point reuses the staged index and the [[kmeansTopK]] plan shape
+    * (broadcast probes, no corpus shuffle); the scan-cost leg is a
+    * probes ⋈ list-size join — metadata-sized.
+    *
+    * Determinism: hits/sizes are exact BIGINTs off the staged tables;
+    * recall and scan_fraction are single divisions.
+    */
+  def nprobeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir).select(col("query_id"), col("vec_id"))
+    val nq = queryVecs(spark, sfDir).agg(count(lit(1)).as("n_queries"))
+    val assign = kmeansAssignments(spark, sfDir)
+    val sizes = assign.groupBy(col("k")).agg(count(lit(1)).as("list_n"))
+    val nv = assign.agg(count(lit(1)).as("n_vecs"))
+    NProbeCurve.map { np =>
+      val probes = kmeansProbes(spark, sfDir, np)
+      val hits = topKScan(spark,
+        vecs(spark, sfDir).join(assign, Seq("vec_id")), probes)
+        .join(broadcast(exact), Seq("query_id", "vec_id"), "leftsemi")
+        .agg(count(lit(1)).as("total_hits"))
+      val scanned = probes.select(col("query_id"), col("k"))
+        .join(broadcast(sizes), Seq("k"))
+        .agg(sum(col("list_n")).as("scanned_rows"))
+      hits.crossJoin(broadcast(nq)).crossJoin(broadcast(nv))
+        .crossJoin(broadcast(scanned))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("total_hits"),
+          (col("total_hits").cast("double") / (col("n_queries") * TopK))
+            .as("recall_at_k"),
+          col("scanned_rows"),
+          (col("scanned_rows").cast("double") /
+            (col("n_queries") * col("n_vecs")).cast("double"))
+            .as("scan_fraction"))
+    }.reduce(_.unionAll(_))
   }
 
   /** Prefix-truncation dims evaluated by [[matryoshkaRecall]] against the

@@ -490,6 +490,35 @@ class SimMediaSpec extends SparkSpec {
     }
   }
 
+  test("nprobeCurve: scan cost replays exactly, curve behaves") {
+    val rows = SimilarityOps.nprobeCurve(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == SimilarityOps.NProbeCurve.map(_.toLong).toSet)
+    // replay scanned_rows: probed lists' sizes summed driver-side
+    val sizes = SimilarityOps.kmeansAssignments(spark, Sf)
+      .groupBy(col("k")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nVecs = sizes.values.sum
+    for (np <- SimilarityOps.NProbeCurve) {
+      val probed = SimilarityOps.kmeansProbes(spark, Sf, np)
+        .select(col("query_id"), col("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val want = probed.map(p => sizes(p._2)).sum
+      assert(rows(np.toLong)._3 == want, s"np=$np scanned")
+      val nq = probed.map(_._1).distinct.length
+      assert(rows(np.toLong)._4 == want.toDouble / (nq.toLong * nVecs).toDouble)
+      val r = rows(np.toLong)._2
+      assert(r >= 0.0 && r <= 1.0)
+    }
+    // more probes never scan less, and the widest probe is the best recall
+    val byNp = SimilarityOps.NProbeCurve.map(np => rows(np.toLong))
+    byNp.map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a); case _ => }
+    assert(byNp.last._2 >= byNp.head._2)
+  }
+
   test("ppmAHash: hand-built rasters hash as specified; malformed is null") {
     def ppm(w: Int, h: Int, px: Seq[Int]): Array[Byte] =
       (s"P6\n$w $h\n255\n".getBytes("US-ASCII").toSeq ++ px.map(_.toByte)).toArray
