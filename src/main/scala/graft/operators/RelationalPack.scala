@@ -103,6 +103,7 @@ object RelationalPack extends QueryPack {
     "xt_markov_attribution" -> ((s, d) => TimeSeriesOps.markovAttribution(s, d)),
     "xa_ab_test" -> ((s, d) => TimeSeriesOps.abTest(s, d)),
     "xt_cohort_ltv" -> ((s, d) => TimeSeriesOps.cohortLtv(s, d)),
+    "xt_acf" -> ((s, d) => TimeSeriesOps.acf(s, d)),
     "xt_ks_purchase_click" -> ((s, d) => TimeSeriesOps.ksPurchaseClick(s, d)),
     "xt_mann_whitney" -> ((s, d) => TimeSeriesOps.mannWhitney(s, d)),
     "xt_seasonality_strength" -> ((s, d) => TimeSeriesOps.seasonalityStrength(s, d)),
@@ -1470,6 +1471,30 @@ object RelationalPack extends QueryPack {
          |UNION ALL
          |${armSql("hash_bucket", hashArm)}""".stripMargin
     },
+    // same daily collapse, same per-lag calendar join, same closed-form
+    // moments; dominant lag = max r with smallest-lag tie-break
+    "xt_acf" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+         |  FROM orders GROUP BY 1),
+         |lags AS (
+         |  SELECT CAST(unnest(range(1, ${TimeSeriesOps.AcfMaxLag + 1})) AS INTEGER) AS lag),
+         |j AS (
+         |  SELECT p.lag, p.xl, d2.x AS y
+         |  FROM (SELECT l.lag, d.day + l.lag AS day, d.x AS xl
+         |        FROM daily d CROSS JOIN lags l) p
+         |  JOIN daily d2 ON d2.day = p.day),
+         |m AS (
+         |  SELECT lag, count(*) AS n,
+         |    round(CAST(count(*) * sum(xl * y) - sum(xl) * sum(y) AS DOUBLE) /
+         |      sqrt(CAST(count(*) * sum(xl * xl) - sum(xl) * sum(xl) AS DOUBLE) *
+         |           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)), 6)
+         |      AS r
+         |  FROM j GROUP BY lag),
+         |best AS (SELECT r AS best_r, lag AS best_lag FROM m
+         |         ORDER BY r DESC, lag LIMIT 1)
+         |SELECT m.lag, m.n, m.r, m.lag = best.best_lag AS is_top
+         |FROM m CROSS JOIN best""".stripMargin,
     // exact BIGINT cents, exact BIGINT window cumsum, the same two-step
     // division chain
     "xt_cohort_ltv" ->

@@ -978,6 +978,56 @@ object TimeSeriesOps {
           .as("r1"))
   }
 
+  /** Max lag of the [[acf]] table — two full weeks, so a weekly cycle
+    * shows both its peak (lag 7, 14) and trough structure.
+    */
+  val AcfMaxLag = 14
+
+  /** X-C: the autocorrelation function (ACF) of the daily order-count
+    * series over lags 1..[[AcfMaxLag]] — PERIOD DETECTION, the question
+    * [[dailyAutocorr]]'s single lag can't answer ("is there a weekly
+    * cycle?" = does r peak at lag 7); the table every seasonal model
+    * (X-C46/53) should justify its period with, plus `is_top` marking
+    * the dominant lag. Each lag's r is the Pearson correlation of the
+    * series against itself shifted by lag CALENDAR days (gap-safe: pairs
+    * exist only where both days do).
+    *
+    * Determinism ([[dailyAutocorr]]'s discipline, swept): per lag, the
+    * six moment sums are exact BIGINTs from one (day, day+lag) equi-join,
+    * r is the closed-form chain rounded to 6 dp; the dominant-lag cut
+    * orders on the ROUNDED r with lag tie-break. Scale shape: the corpus
+    * collapses to the daily series once (staged by groupBy), then each
+    * lag joins day-cardinality tables — the whole sweep is
+    * metadata-sized; the lag sweep rides ONE cross-join against a
+    * 14-row literal frame, never 14 separate scans.
+    */
+  def acf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val lags = spark.range(1, AcfMaxLag + 1).select(col("id").cast("int").as("lag"))
+    val pairs = daily.crossJoin(broadcast(lags))
+      .select(col("lag"), date_add(col("day"), col("lag")).as("day"),
+        col("x").as("xl"))
+      .join(daily.select(col("day"), col("x").as("y")), Seq("day"))
+    val m = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xl")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xl") * col("xl")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("xl") * col("y")).as("sxy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r"))
+    val best = m.agg(max(struct(col("r"), (-col("lag")).as("neg"))).as("b"))
+      .select(col("b.r").as("best_r"), (-col("b.neg")).as("best_lag"))
+    m.crossJoin(broadcast(best))
+      .select(col("lag"), col("n"), col("r"),
+        (col("lag") === col("best_lag")).as("is_top"))
+  }
+
   /** Robust-z threshold for [[madOutliers]] (the conventional 3.5 of
     * Iglewicz–Hoaglin's modified z-score).
     */

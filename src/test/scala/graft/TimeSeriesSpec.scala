@@ -774,6 +774,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df > math.min(n1d, n2d) - 1 && df <= n1d + n2d - 2)
   }
 
+  test("acf: every lag's correlation replays; exactly one dominant lag") {
+    val rows = TimeSeriesOps.acf(spark, Sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(rows.keySet == (1 to TimeSeriesOps.AcfMaxLag).toSet)
+    val daily = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    for (lag <- 1 to TimeSeriesOps.AcfMaxLag) {
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d.plusDays(lag.toLong)).map(y => (x, y)) }
+      val n = pairs.length.toLong
+      assert(rows(lag)._1 == n)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val r = BigDecimal((n * sxy - sx * sy).toDouble /
+        math.sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rows(lag)._2 - r) < 1e-9, s"lag $lag ${rows(lag)._2} vs $r")
+    }
+    // exactly one dominant lag, and it's the max-r / smallest-lag choice
+    val tops = rows.filter(_._2._3).keys.toSeq
+    assert(tops.size == 1)
+    val want = rows.toSeq.sortBy { case (l, v) => (-v._2, l) }.head._1
+    assert(tops.head == want)
+  }
+
   test("markovAttribution: paths, chains, and removal effects replay driver-side") {
     val chans = TimeSeriesOps.MarkovChannels
     val got = TimeSeriesOps.markovAttribution(spark, Sf).collect()
