@@ -77,6 +77,7 @@ object Bench {
       "dd_srp_buckets"        -> (() => DedupOps.srpBucketTable(spark, sfDir).count(): Unit),
       "dd_edit1_pairs"        -> (() => DedupOps.edit1Pairs(spark, sfDir).count(): Unit),
       "tx_bpe_word_freq"      -> (() => TextOps.bpeWordFreq(spark, sfDir).count(): Unit),
+      "tx_lm_scores"          -> (() => TextOps.lmScores(spark, sfDir).count(): Unit),
       "tx_bpe_train"          -> (() => TextOps.bpeFinalSyms(spark, sfDir).count(): Unit),
       "sim_centroids"         -> (() => SimilarityOps.centroids(spark, sfDir).count(): Unit),
       "sim_kmeans_assign"     -> (() => SimilarityOps.kmeansAssignments(spark, sfDir).count(): Unit),

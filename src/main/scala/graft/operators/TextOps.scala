@@ -1337,8 +1337,16 @@ object TextOps {
     * leg (same key prefix). Per-doc Σ log2 is a float sum, order-dependent
     * in the last ulps; emission rounds to 6 dp, far above the drift — the
     * same tolerance argument as [[tokenEntropy]].
+    *
+    * Staged once per (session, sfDir): both the registered score query
+    * and [[perplexityBuckets]] consume this table, and the bigram-model
+    * build (the corpus-sized part) must not run twice (r8: 2×5.9 s at the
+    * 10× point collapsed to one staged build).
     */
-  def lmScores(spark: SparkSession, sfDir: String): DataFrame = {
+  def lmScores(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "lm_scores")(lmScoresBuild(spark, sfDir))
+
+  private def lmScoresBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = Tables.documents(spark, sfDir)
       .select(col("doc_id"), words(col("text")).as("w"))
       .where(size(col("w")) >= 2)
