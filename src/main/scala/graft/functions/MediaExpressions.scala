@@ -290,14 +290,20 @@ object PngDecode {
 /** Average-hash (aHash) of a decoded P6 PPM raster — the perceptual
   * fingerprint behind image near-duplicate detection (the classic
   * downsample-and-threshold family; pHash/dHash are its DCT/gradient
-  * siblings): per pixel, luminance is the exact integer r+g+b; bit p of
-  * the 64-bit hash is set iff the pixel's luminance strictly exceeds the
-  * image mean, tested WITHOUT division as lum_p · n > Σlum (exact integer
-  * cross-multiplication — engine-replayable). Bits are packed LSB-first
-  * in row-major pixel order over the first min(w·h, 64) pixels; the mean
-  * is over the same pixel window so the hash is self-contained.
-  * Visually-near images differ in few bits; Hamming distance over these
-  * hashes is the image-dedup join key.
+  * siblings): per sample, luminance is the exact integer r+g+b; bit p of
+  * the 64-bit hash is set iff the sample's luminance strictly exceeds the
+  * mean, tested WITHOUT division as lum_p · 64 > Σlum (exact integer
+  * cross-multiplication — engine-replayable). The hash ALWAYS has 64
+  * meaningful bits: real aHash works on a fixed 8×8 downsample, and the
+  * equivalent size-invariance here is cyclic tiling — sample p reads
+  * pixel p mod (w·h) — so a small image never leaves trailing zero bits.
+  * (The r8 10× audit caught the untiled variant: height-1 images zeroed
+  * bits 8–63, three of four LSH bands collapsed into one bucket each, and
+  * 36% of all small-image pairs ranked "near" — banding went quadratic at
+  * 113× and the semantics were wrong. Fixed-width sampling is not an
+  * optimization; it IS the aHash contract.) Visually-near images differ
+  * in few bits; Hamming distance over these hashes is the image-dedup
+  * join key.
   */
 object PpmAHash {
 
@@ -327,20 +333,20 @@ object PpmAHash {
       val w = int(); val h = int(); int(): Unit // maxval unused
       i += 1
       if (w <= 0 || h <= 0 || i + w * h * 3 > n) throw Malformed
-      val cnt = math.min(w * h, 64)
-      val lum = new Array[Long](cnt)
+      val npx = w * h
+      val lum = new Array[Long](64)
       var tot = 0L
       var p = 0
-      while (p < cnt) {
-        val o = i + 3 * p
+      while (p < 64) {
+        val o = i + 3 * (p % npx)
         lum(p) = (bytes(o) & 0xff).toLong + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)
         tot += lum(p)
         p += 1
       }
       var hashv = 0L
       p = 0
-      while (p < cnt) {
-        if (lum(p) * cnt > tot) hashv |= 1L << p
+      while (p < 64) {
+        if (lum(p) * 64L > tot) hashv |= 1L << p
         p += 1
       }
       java.lang.Long.valueOf(hashv)

@@ -51,13 +51,15 @@ object SimMediaPack extends QueryPack {
        |  SELECT doc_id, md5(text) AS hx, 1 + (${h24("text")} % 8) AS hgt
        |  FROM documents
        |), px AS (
-       |  SELECT doc_id, unnest(range(0, 8 * hgt)) AS p, hx
+       |  -- fixed 64 samples, pixel index tiled cyclically (size-invariant
+       |  -- aHash — the 8x8-downsample contract)
+       |  SELECT doc_id, unnest(range(0, 64)) AS p, 8 * hgt AS npx, hx
        |  FROM base
        |), lum AS (
        |  SELECT doc_id, p,
-       |    ascii(substr(repeat(hx, 6), CAST(3 * p + 1 AS INT), 1)) +
-       |    ascii(substr(repeat(hx, 6), CAST(3 * p + 2 AS INT), 1)) +
-       |    ascii(substr(repeat(hx, 6), CAST(3 * p + 3 AS INT), 1)) AS l
+       |    ascii(substr(repeat(hx, 6), CAST(3 * (p % npx) + 1 AS INT), 1)) +
+       |    ascii(substr(repeat(hx, 6), CAST(3 * (p % npx) + 2 AS INT), 1)) +
+       |    ascii(substr(repeat(hx, 6), CAST(3 * (p % npx) + 3 AS INT), 1)) AS l
        |  FROM px
        |), tot AS (
        |  SELECT doc_id, CAST(sum(l) AS BIGINT) AS tot, count(*) AS cnt

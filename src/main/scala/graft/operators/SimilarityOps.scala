@@ -885,20 +885,33 @@ object SimilarityOps {
     * at any corpus size; every later stage is label-cardinality.
     */
   def embeddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    // the two per-row sums of squares run through the codegen'd VecDot
+    // (HOF `aggregate` is interpreted — the r8 10x audit flagged it at
+    // this op's 50k x 64 volume); the quantized entries are integers well
+    // under 2^53, so the double dot products are EXACT and value-identical
+    // to the long folds they replace. The norm is hoisted to a column so
+    // the unit-quantize lambda reads an attribute, not a re-evaluated
+    // subtree, per element.
     val base = Tables.embeddings(spark, sfDir)
       .select(col("label"),
         transform(col("embedding"),
           x => floor(x.cast("double") * GramScale).cast("long")).as("qr"))
       .select(col("label"), col("qr"),
-        aggregate(col("qr"), lit(0L), (acc, v) => acc + v * v).as("s2"))
-    val withQ = base.select(col("label"),
-      round(sqrt(col("s2").cast("double")) / lit(GramScale.toDouble), 6)
-        .as("r_norm"),
+        transform(col("qr"), x => x.cast("double")).as("qrd"))
+    val withS2 = base
+      .select(col("label"), col("qr"),
+        VectorExpressions.vecDot(spark, col("qrd"), col("qrd")).as("s2d"))
+      .withColumn("nrm", sqrt(col("s2d")))
+    val withQ = withS2.select(col("label"),
+      round(col("nrm") / lit(GramScale.toDouble), 6).as("r_norm"),
       transform(col("qr"), x => floor(x.cast("double") /
-        sqrt(col("s2").cast("double")) * AuditScale).cast("long")).as("q"))
-    val perRow = withQ.select(col("label"), col("r_norm"),
-      aggregate(col("q"), lit(0L), (acc, v) => acc + v * v).as("b_row"),
-      col("q"))
+        col("nrm") * AuditScale).cast("long")).as("q"))
+    val perRow = withQ
+      .select(col("label"), col("r_norm"), col("q"),
+        transform(col("q"), x => x.cast("double")).as("qd"))
+      .select(col("label"), col("r_norm"), col("q"),
+        VectorExpressions.vecDot(spark, col("qd"), col("qd"))
+          .cast("long").as("b_row"))
     val stats = perRow.groupBy(col("label")).agg(
       count(lit(1)).as("n_vecs"),
       min(col("r_norm")).as("min_norm"),

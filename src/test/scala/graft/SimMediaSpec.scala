@@ -522,10 +522,12 @@ class SimMediaSpec extends SparkSpec {
   test("ppmAHash: hand-built rasters hash as specified; malformed is null") {
     def ppm(w: Int, h: Int, px: Seq[Int]): Array[Byte] =
       (s"P6\n$w $h\n255\n".getBytes("US-ASCII").toSeq ++ px.map(_.toByte)).toArray
-    // 2x1 image: pixel0 lum 30, pixel1 lum 300 -> mean 165 -> bits 0b10
+    // 2x1 image: lum pattern [30, 300] tiled cyclically over all 64
+    // samples -> mean 165 -> every odd bit set (0xAAAA...)
     val h1 = graft.functions.PpmAHash.hash(
       ppm(2, 1, Seq(10, 10, 10, 100, 100, 100)))
-    assert(h1 == 2L)
+    val want = (0 until 64).filter(_ % 2 == 1).map(1L << _).sum
+    assert(h1 == want)
     // uniform image: no pixel STRICTLY above the mean -> hash 0
     assert(graft.functions.PpmAHash.hash(
       ppm(2, 2, Seq.fill(12)(55)) ) == 0L)
