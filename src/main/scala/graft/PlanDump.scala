@@ -188,7 +188,17 @@ object PlanDump {
       ("tx_perplexity_buckets", "lm plan unchanged; tercile ranks window BY LANGUAGE (no global sort); rollup is lang x 3 rows",
         operators.TextOps.perplexityBuckets(spark, sfDir)),
       ("tx_quality_classifier", "each IRLS step = one scan + a 9-scalar map-side-combined agg; beta re-broadcast; data never collects",
-        operators.TextOps.qualityClassifier(spark, sfDir)))
+        operators.TextOps.qualityClassifier(spark, sfDir)),
+      ("xt_markov_attribution", "paths from two windows on ONE user sort; all 5 absorption variants are literal chains over the one-row matrix",
+        operators.TimeSeriesOps.markovAttribution(spark, sfDir)),
+      ("geo_hotspots", "corpus collapses to the 72-cell lattice map-side; 9-offset replicate join + one-row stats broadcast",
+        operators.GeoOps.hotspots(spark, sfDir)),
+      ("md_ahash_neardups", "hash inside the decode projection; 4x16-bit band equi-joins (never images^2), codegen'd xor/bit_count verify",
+        operators.MediaOps.ahashNearDups(spark, sfDir)),
+      ("sim_nprobe_curve", "3 curve points reuse ONE staged index; probes broadcast, cost leg joins list sizes (metadata-sized)",
+        operators.SimilarityOps.nprobeCurve(spark, sfDir)),
+      ("xa_bootstrap_ci", "32 replicates in ONE pass: 64 B-counter aggs map-side-combined; 7 digests/row carry all weights",
+        operators.ScaleOps.bootstrapCi(spark, sfDir)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
