@@ -101,6 +101,7 @@ object RelationalPack extends QueryPack {
     "xt_stationary_mix" -> ((s, d) => TimeSeriesOps.stationaryMix(s, d)),
     "xt_attribution" -> ((s, d) => TimeSeriesOps.attribution(s, d)),
     "xt_markov_attribution" -> ((s, d) => TimeSeriesOps.markovAttribution(s, d)),
+    "xt_first_touch" -> ((s, d) => TimeSeriesOps.firstTouchAttribution(s, d)),
     "xa_ab_test" -> ((s, d) => TimeSeriesOps.abTest(s, d)),
     "xt_cohort_ltv" -> ((s, d) => TimeSeriesOps.cohortLtv(s, d)),
     "xt_acf" -> ((s, d) => TimeSeriesOps.acf(s, d)),
@@ -1518,6 +1519,30 @@ object RelationalPack extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / CAST(cohort_users AS DOUBLE) / 100.0 AS ltv_per_user
         |FROM rev JOIN sizes USING (cohort_day)""".stripMargin,
+    // the last-touch twin with MIN over the same frame
+    "xt_first_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |wt AS (
+        |  SELECT user_id, event_type, rn,
+        |    min(CASE WHEN event_type <> 'purchase' THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_rn
+        |  FROM ev),
+        |credited AS (
+        |  SELECT coalesce(t.event_type, 'none') AS touch_type
+        |  FROM wt p
+        |  LEFT JOIN ev t ON t.user_id = p.user_id AND t.rn = p.touch_rn
+        |  WHERE p.event_type = 'purchase'),
+        |total AS (SELECT count(*) AS n_total FROM credited)
+        |SELECT touch_type, count(*) AS n_purchases,
+        |  CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM credited CROSS JOIN total
+        |GROUP BY touch_type, n_total""".stripMargin,
     // identical path construction (two windows, one user-stream sort),
     // identical count pivot, identical unrolled absorption chains per
     // variant (see TimeSeriesOps.markovAttribution determinism notes)

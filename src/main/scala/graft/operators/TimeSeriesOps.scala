@@ -356,6 +356,40 @@ object TimeSeriesOps {
           col("cohort_users").cast("double") / lit(100.0)).as("ltv_per_user"))
   }
 
+  /** X-C: FIRST-touch purchase attribution — the acquisition-credit twin
+    * of [[attribution]] (last-touch credits the closer; first-touch
+    * credits the introducer; [[markovAttribution]] is the data-driven
+    * referee between them): every purchase credits the EARLIEST
+    * non-purchase event in the user's stream before it, via
+    * min(CASE WHEN touch THEN rn END) over the same full-stream
+    * unbounded-preceding frame and the same (user, rn) join-back — one
+    * line of window algebra away from last-touch, which is exactly why
+    * platforms ship the pair.
+    */
+  def firstTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+    val withTouch = ev
+      .withColumn("touch_rn",
+        min(when(col("event_type") =!= "purchase", col("rn")))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .where(col("event_type") === "purchase")
+    val touches = ev.select(col("user_id"), col("rn").as("touch_rn"),
+      col("event_type").as("touch_type"))
+    val credited = withTouch.join(touches, Seq("user_id", "touch_rn"), "left")
+      .select(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+    val total = credited.agg(count(lit(1)).as("n_total"))
+    credited.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(total))
+      .select(col("touch_type"), col("n_purchases"),
+        (col("n_purchases").cast("double") /
+          col("n_total").cast("double")).as("share"))
+  }
+
   /** The non-purchase channel states of the attribution chain, in the
     * FIXED alphabetical order every [[markovAttribution]] chain is
     * written in (the [[MarkovStates]] discipline).

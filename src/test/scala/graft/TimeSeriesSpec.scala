@@ -935,6 +935,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!rows("hash_bucket").getBoolean(10))
   }
 
+  test("firstTouchAttribution: first-touch credit replays against a driver-side walk") {
+    val got = TimeSeriesOps.firstTouchAttribution(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val streams = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getString(3)))
+      .groupBy(_._1)
+    val credits = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, evs) <- streams) {
+      var firstTouch: Option[String] = None
+      for ((_, _, tpe) <- evs.sortBy(_._2)) {
+        if (tpe == "purchase") {
+          val k = firstTouch.getOrElse("none")
+          credits(k) = credits.getOrElse(k, 0L) + 1
+        } else if (firstTouch.isEmpty) firstTouch = Some(tpe)
+      }
+    }
+    assert(got.keySet == credits.keySet)
+    val total = credits.values.sum
+    for ((k, n) <- credits) {
+      assert(got(k)._1 == n, s"$k: ${got(k)._1} vs $n")
+      assert(math.abs(got(k)._2 - n.toDouble / total) < 1e-12)
+    }
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("attribution: last-touch credit replays against a driver-side walk") {
     val got = TimeSeriesOps.attribution(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
