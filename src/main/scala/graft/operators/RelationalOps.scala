@@ -1185,6 +1185,26 @@ object RelationalOps {
     */
   val BasketMinSupport = 2L
 
+  /** X-A: directional association RULES over [[basketPairs]] — the
+    * Apriori second stage: each surviving pair emits both a→b and b→a
+    * with CONFIDENCE P(consequent | antecedent) = support/sup(antecedent)
+    * next to the pair's symmetric lift. Confidence is what a recommender
+    * acts on (it is directional — "batteries ⇒ toys" and "toys ⇒
+    * batteries" differ exactly when the supports differ), lift is what
+    * vets it against popularity bias. Everything past [[basketPairs]] is
+    * pair-cardinality column arithmetic: one exact division per rule.
+    */
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = basketPairs(spark, sfDir)
+    def side(ante: String, cons: String, supAnte: String) =
+      p.select(col(ante).as("antecedent"), col(cons).as("consequent"),
+        col("support"), col(supAnte).as("sup_ante"),
+        (col("support").cast("double") / col(supAnte).cast("double"))
+          .as("confidence"),
+        col("lift"))
+    side("part_a", "part_b", "sup_a").unionAll(side("part_b", "part_a", "sup_b"))
+  }
+
   /** X-P35: market-basket pair mining — the Apriori/association-rules
     * first stage: part pairs co-occurring in the same order, with support
     * (co-occurrence count) and LIFT (support·n_baskets / (sup_a·sup_b) —

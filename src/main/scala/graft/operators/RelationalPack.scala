@@ -68,6 +68,7 @@ object RelationalPack extends QueryPack {
     "xa_trend_ols" -> ((s, d) => RelationalOps.trendOls(s, d)),
     "xa_corr_pairs" -> ((s, d) => RelationalOps.corrPairs(s, d)),
     "xa_basket_pairs" -> ((s, d) => RelationalOps.basketPairs(s, d)),
+    "xa_assoc_rules" -> ((s, d) => RelationalOps.assocRules(s, d)),
     "xa_rfm_segments" -> ((s, d) => RelationalOps.rfmSegments(s, d)),
     "xa_benford_audit" -> ((s, d) => RelationalOps.benfordAudit(s, d)),
     "xa_spend_concentration" -> ((s, d) => RelationalOps.spendConcentration(s, d)),
@@ -971,6 +972,35 @@ object RelationalPack extends QueryPack {
          |FROM p
          |JOIN isup sa ON sa.pk = p.part_a
          |JOIN isup sb ON sb.pk = p.part_b, nb""".stripMargin,
+    // same pair chain; each pair unions its two directional rules
+    "xa_assoc_rules" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+         |       FROM items),
+         |isup AS (SELECT pk, CAST(count(*) AS BIGINT) AS sup
+         |         FROM items GROUP BY pk),
+         |p AS (
+         |  SELECT a.pk AS part_a, b.pk AS part_b,
+         |    CAST(count(*) AS BIGINT) AS support
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= ${RelationalOps.BasketMinSupport}),
+         |base AS (
+         |  SELECT part_a, part_b, support, sa.sup AS sup_a, sb.sup AS sup_b,
+         |    CAST(support * n_baskets AS DOUBLE) /
+         |      CAST(sa.sup * sb.sup AS DOUBLE) AS lift
+         |  FROM p
+         |  JOIN isup sa ON sa.pk = p.part_a
+         |  JOIN isup sb ON sb.pk = p.part_b, nb)
+         |SELECT part_a AS antecedent, part_b AS consequent, support,
+         |  sup_a AS sup_ante,
+         |  CAST(support AS DOUBLE) / CAST(sup_a AS DOUBLE) AS confidence, lift
+         |FROM base
+         |UNION ALL
+         |SELECT part_b, part_a, support, sup_b,
+         |  CAST(support AS DOUBLE) / CAST(sup_b AS DOUBLE) AS confidence, lift
+         |FROM base""".stripMargin,
     // identical expression structure to the Spark side: exact decimal/long
     // moments, doubles only inside the mirrored closed form
     // one 15-number moment aggregate, six unrolled pair rows; doubles only

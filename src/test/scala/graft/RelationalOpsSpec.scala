@@ -843,4 +843,23 @@ class RelationalOpsSpec extends SparkSpec {
     // non-trivially positive
     assert(rows.map(_.getDouble(3)).max > 0.05)
   }
+  test("assocRules: both directions per pair, confidence replays exactly") {
+    val pairs = RelationalOps.basketPairs(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    val rules = RelationalOps.assocRules(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rules.size == 2 * pairs.length)
+    for (((a, b), (sup, supA, supB, lift)) <- pairs) {
+      val ab = rules((a, b))
+      val ba = rules((b, a))
+      assert(ab._1 == sup && ba._1 == sup)
+      assert(ab._2 == supA && ba._2 == supB)
+      assert(ab._3 == sup.toDouble / supA && ba._3 == sup.toDouble / supB)
+      assert(ab._4 == lift && ba._4 == lift)
+      assert(ab._3 > 0 && ab._3 <= 1.0 && ba._3 <= 1.0)
+    }
+  }
 }
+
