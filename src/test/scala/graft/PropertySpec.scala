@@ -230,4 +230,73 @@ class PropertySpec extends SparkSpec {
         s1.split(" ").contains(t)), s"bare term survived: $s1")
     }
   }
+
+  test("PpmAHash: never throws on fuzz, tiling-invariant, flip-local (random rasters)") {
+    val rnd = new scala.util.Random(20260815)
+    def ppm(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    // pure fuzz never throws — null or a value, the C3 contract
+    for (_ <- 1 to 300) {
+      val junk = Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+      graft.functions.PpmAHash.hash(junk): Unit
+    }
+    for (_ <- 1 to 150) {
+      val w = 1 + rnd.nextInt(8)
+      val h = 1 + rnd.nextInt(8)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val base = graft.functions.PpmAHash.hash(ppm(w, h, px))
+      assert(base != null)
+      // size-invariance: physically tiling the raster to fill >= 64 pixels
+      // yields the SAME hash as the cyclic sampling of the small image
+      val reps = math.max(1, (64 + w * h - 1) / (w * h))
+      if (w * h * reps <= 64 && 64 % (w * h) == 0) {
+        val tiled = ppm(w * h * reps, 1,
+          Array.tabulate(w * h * reps * 3)(i => px(i % (w * h * 3))))
+        assert(graft.functions.PpmAHash.hash(tiled) == base,
+          s"tiling changed the hash for ${w}x$h reps=$reps")
+      }
+      // locality: for rasters big enough that one pixel barely moves the
+      // MEAN (npx >= 32 => mean shift <= 765/32 lum), perturbing one pixel
+      // flips its own <= 64/npx sample positions plus a few borderline
+      // bits — near rasters stay near in Hamming. (Tiny rasters are
+      // legitimately global: one pixel IS a big share of the mean.)
+      if (w * h >= 32) {
+        val p = rnd.nextInt(w * h)
+        val mutated = px.clone()
+        mutated(3 * p) = (mutated(3 * p) ^ 0x7f).toByte
+        val m = graft.functions.PpmAHash.hash(ppm(w, h, mutated))
+        val hamming = java.lang.Long.bitCount(base ^ m)
+        assert(hamming <= 64 / (w * h) + 16, s"${w}x$h flip moved $hamming bits")
+      }
+    }
+  }
+
+  test("bootstrap thresholds: strictly increasing, inside the 24-bit domain, Poisson-mean-preserving") {
+    val t = graft.operators.ScaleOps.BootCdf24
+    assert(t == t.sorted && t.distinct == t)
+    assert(t.head > 0 && t.last < (1L << 24))
+    // the implied bucket probabilities approximate Poisson(1): mean within 2%
+    val probs = (t.head +: t.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+      :+ ((1L << 24) - t.last)).map(_.toDouble / (1L << 24))
+    val mean = probs.zipWithIndex.map { case (p, k) => p * k }.sum
+    assert(math.abs(mean - 1.0) < 0.02, s"mean $mean")
+  }
+
+  test("h24Slice: slice 0 equals h24, slices are the md5 bytes, domain-bounded") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val s = rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString
+      assert(graft.functions.MinHashAgg.h24Slice(s, 0) ==
+        graft.functions.MinHashAgg.h24(s))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      for (sl <- 0 to 4) {
+        val v = graft.functions.MinHashAgg.h24Slice(s, sl)
+        assert(v >= 0 && v < (1L << 24))
+        val want = ((md(3 * sl) & 0xffL) << 16) |
+          ((md(3 * sl + 1) & 0xffL) << 8) | (md(3 * sl + 2) & 0xffL)
+        assert(v == want)
+      }
+    }
+  }
 }
