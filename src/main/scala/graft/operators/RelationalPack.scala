@@ -1345,22 +1345,26 @@ object RelationalPack extends QueryPack {
         |  CAST(2 * sixi - (n_customers + 1) * sx AS DOUBLE) /
         |    CAST(n_customers * sx AS DOUBLE) AS gini
         |FROM agg""".stripMargin,
-    // truncated-convolution twin: same literal decay base (decimal→double
-    // parse is correctly rounded in both engines), calendar-day lags,
-    // 6 dp emission over the one ≤K-term float sum
+    // truncated-convolution twin with the SAME 12-dp-quantized decimal
+    // kernel weights (TimeSeriesOps.EwmaKernel): weight(12,12) ×
+    // revenue(22,2) products summed exactly at DECIMAL(38,14) — the whole
+    // chain is association-free decimal arithmetic in both engines, so
+    // the 6-dp emission is hash-exact (the r8 determinism fix)
     "xt_ewma_daily" ->
       s"""WITH daily AS (
          |  SELECT CAST(o_orderdate AS DATE) AS day,
-         |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS revd
          |  FROM orders GROUP BY 1)
-         |SELECT a.day, a.revenue, CAST(count(*) AS BIGINT) AS kernel_days,
-         |  round(${TimeSeriesOps.EwmaAlpha} *
-         |    sum(power(${TimeSeriesOps.EwmaDecay},
-         |              date_diff('day', b.day, a.day)) * b.revenue), 6) AS ewma
+         |SELECT a.day, CAST(a.revd AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS kernel_days,
+         |  CAST(round(sum(
+         |    list_extract(${TimeSeriesOps.ewmaKernelSql},
+         |                 date_diff('day', b.day, a.day) + 1) * b.revd), 6)
+         |    AS DOUBLE) AS ewma
          |FROM daily a JOIN daily b
          |  ON date_diff('day', b.day, a.day)
          |     BETWEEN 0 AND ${TimeSeriesOps.EwmaWindow - 1}
-         |GROUP BY a.day, a.revenue""".stripMargin,
+         |GROUP BY a.day, a.revd""".stripMargin,
     // exact +-1/0 BIGINT S over the day-pair join, tie-corrected var18,
     // z a one-row IEEE chain over exact BIGINTs -- hash-exact, unrounded
     "xt_mann_kendall" ->

@@ -1185,6 +1185,35 @@ object TimeSeriesOps {
   val EwmaDecay = 0.8
   val EwmaWindow = 30
 
+  /** The truncated-kernel weights α·(1−α)^k for k ∈ [0, [[EwmaWindow]]),
+    * QUANTIZED to 12 dp and carried as exact decimal values. The
+    * quantization is the r8 determinism fix (VERDICT r8 #1): the previous
+    * form summed `pow(0.8,k)·rev` as an order-dependent double chain over
+    * ~10⁷-magnitude terms — association drift between Spark's and
+    * DuckDB's (or two Spark plans') partial-aggregate orders is ~1e-7
+    * absolute at that magnitude, enough to flip a 6-dp rounding boundary
+    * (`xt_ewma_daily` hash-fail, r8; reproduced by the PropertySpec
+    * perturbation gate). With 12-dp decimal weights the whole chain is
+    * exact decimal arithmetic: weight(12,12) × revenue(22,2) → (35,14)
+    * products summed at (38,14) — association-free in BOTH engines, so
+    * the 6-dp emission is bit-identical under any partial-agg order. The
+    * quantized kernel IS the operator's spec (like the truncation
+    * itself), mirrored verbatim in the oracle ([[ewmaKernelSql]]) and the
+    * streaming twin ([[graft.streaming.StreamingOps.streamingEwma]]).
+    */
+  val EwmaKernel: IndexedSeq[java.math.BigDecimal] =
+    (0 until EwmaWindow).map { k =>
+      new java.math.BigDecimal("0.2")
+        .multiply(new java.math.BigDecimal("0.8").pow(k))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** [[EwmaKernel]] as a DuckDB list literal of DECIMAL(12,12) — the
+    * oracle's copy of the quantized weights. */
+  def ewmaKernelSql: String =
+    EwmaKernel.map(w => s"CAST(${w.toPlainString} AS DECIMAL(12,12))")
+      .mkString("[", ", ", "]")
+
   /** X-C67: exponentially weighted moving average of daily order revenue —
     * the standard dashboard smoother (recency-weighted level estimate
     * that, unlike [[stlDecompose]]'s centered MA, is causal: each day sees
@@ -1200,26 +1229,27 @@ object TimeSeriesOps {
     * of the DAY-cardinality series against itself (≤K rows per anchor
     * day — bounded fan-out ~K·|days|, metadata-sized at any corpus since
     * the fact table collapsed first). Daily revenue is an exact decimal
-    * sum cast once to double; kernel weights are pow(1−α, k) on integer
-    * lags (≤1 ulp across engines); the weighted sum is the one
-    * order-dependent float accumulation (≤[[EwmaWindow]] terms), so the
-    * emission rounds to 6 dp — far above the ~1e-9 drift, the
-    * [[TextOps.tokenEntropy]] tolerance argument.
+    * sum; the kernel weight at each integer lag is the 12-dp-quantized
+    * decimal [[EwmaKernel]], so every per-term contribution and the
+    * per-day sum are EXACT decimal arithmetic — no order-dependent float
+    * accumulation anywhere (the r8 determinism fix; see [[EwmaKernel]]) —
+    * and the 6-dp emission is a deterministic decimal rounding, identical
+    * across engines and partial-aggregate orders.
     */
   def ewmaDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val kernel = array(EwmaKernel.map(w => lit(w)): _*)
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").cast("date").as("day"))
-      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
-        .as("revenue"))
-    val hist = daily.select(col("day").as("d2"), col("revenue").as("rev2"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("revd"))
+    val hist = daily.select(col("day").as("d2"), col("revd").as("rev2"))
     daily.join(hist,
         datediff(col("day"), col("d2")).between(0, EwmaWindow - 1))
-      .withColumn("k", datediff(col("day"), col("d2")).cast("double"))
-      .groupBy(col("day"), col("revenue"))
+      .withColumn("k", datediff(col("day"), col("d2")))
+      .groupBy(col("day"), col("revd"))
       .agg(count(lit(1)).as("kernel_days"),
-        sum(pow(lit(EwmaDecay), col("k")) * col("rev2")).as("s"))
-      .select(col("day"), col("revenue"), col("kernel_days"),
-        round(lit(EwmaAlpha) * col("s"), 6).as("ewma"))
+        sum(element_at(kernel, col("k") + 1) * col("rev2")).as("s"))
+      .select(col("day"), col("revd").cast("double").as("revenue"),
+        col("kernel_days"), round(col("s"), 6).cast("double").as("ewma"))
   }
 
   /** X-C77: seasonal / trend strength (Hyndman's STL-feature pair) — the

@@ -517,7 +517,7 @@ object StreamingOps {
       : org.apache.spark.sql.Dataset[EwmaPoint] = {
     import daily.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import graft.operators.TimeSeriesOps.{EwmaAlpha, EwmaDecay, EwmaWindow}
+    import graft.operators.TimeSeriesOps.{EwmaKernel, EwmaWindow}
     daily.groupByKey(_.series).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (series: String, it: Iterator[DayRevenue], state: GroupState[EwmaTail]) =>
@@ -527,17 +527,22 @@ object StreamingOps {
           val withCur = (epochDay, d.revenue) :: recent
           // the current day's kernel sees only its own past — computed
           // BEFORE trimming, so even a beyond-window-late day still sees
-          // itself and emits its own partial kernel
+          // itself and emits its own partial kernel. Same 12-dp-quantized
+          // decimal kernel + exact decimal sum as the batch op (the r8
+          // determinism fix, TimeSeriesOps.EwmaKernel): the arriving
+          // revenue is a ≤2-dp decimal that round-trips its double, so
+          // BigDecimal.decimal recovers the batch op's exact operand and
+          // the 6-dp emission matches the batch table bit-for-bit
           val terms = withCur.collect {
             case (e, r) if epochDay - e >= 0 && epochDay - e < EwmaWindow =>
-              math.pow(EwmaDecay, (epochDay - e).toDouble) * r
+              BigDecimal(EwmaKernel((epochDay - e).toInt)) * BigDecimal.decimal(r)
           }
           // trim relative to the NEWEST day seen (a late older day must
           // not evict newer state), keeping the tail bounded at EwmaWindow
           val maxEpoch = withCur.map(_._1).max
           recent = withCur.filter { case (e, _) => maxEpoch - e < EwmaWindow }
           EwmaPoint(series, d.day, d.revenue, terms.size,
-            BigDecimal(EwmaAlpha * terms.sum)
+            terms.foldLeft(BigDecimal(0))(_ + _)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
         state.update(EwmaTail(recent))

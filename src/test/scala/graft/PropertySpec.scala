@@ -282,6 +282,44 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.02, s"mean $mean")
   }
 
+  /** Aggregation-order perturbation gate (VERDICT r8 #3): any query that
+    * EMITS a rounding of a float sum must produce 6-dp-identical output
+    * regardless of how Spark associates the partial aggregates. The
+    * perturbation lever is the shuffle partition count — it changes which
+    * rows share a pre-shuffle partial and the merge order of the partials,
+    * i.e. exactly the association the IEEE sum is sensitive to. The r8
+    * `xt_ewma_daily` defect (order-dependent ≤30-term double sum of ~10⁷
+    * magnitude terms rounded at 6 dp) fails this gate pre-fix (observed:
+    * 4 vs 13 partitions flips rows at sf0.01) and passes once the kernel
+    * contributions are decimal-anchored; the gate keeps the whole class
+    * from being reintroduced. Queries listed here are the representatives
+    * of each rounded-emission family (decimal-anchored, exact-integer,
+    * and bounded-term chains) — [[graft.DeterminismLint]] enforces the
+    * anchoring discipline statically over the full tree.
+    */
+  test("aggregation-order perturbation: rounded emissions are partition-order-stable") {
+    val dir = "/root/testdata/sf0.01"
+    val names = Seq(
+      "xt_ewma_daily",        // the r8 defect: decimal-anchored kernel now
+      "xt_seasonality_strength", // explicit-moment float chain, 6 dp emission
+      "xa_weighted_median")   // bucket-refined histogram emission
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def runAt(parts: String): Seq[String] = {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try fn(spark, dir).collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      val a = runAt("4")
+      val b = runAt("13")
+      val diff = a.diff(b) ++ b.diff(a)
+      assert(diff.isEmpty && a.size == b.size,
+        s"$name drifts under partition-order perturbation; ${diff.size} " +
+          s"differing rows, e.g. ${diff.take(4).mkString("; ")}")
+    }
+  }
+
   test("h24Slice: slice 0 equals h24, slices are the md5 bytes, domain-bounded") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 200) {

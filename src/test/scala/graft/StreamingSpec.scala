@@ -530,9 +530,9 @@ class StreamingSpec extends SparkSpec {
       batch.foreach { case (day, rev, kd, ewma) =>
         val (gRev, gKd, gEwma) = got(day)
         assert(gRev == rev && gKd == kd, s"day $day kernel")
-        // batch sums join rows in plan order, streaming sums the state
-        // list; both emit 6 dp — equal up to one rounding step
-        assert(math.abs(gEwma - ewma) <= 1e-6 + 1e-12, s"day $day ewma")
+        // both sides are exact decimal chains over the same quantized
+        // kernel (the r8 determinism fix) — bit-identical, no tolerance
+        assert(gEwma == ewma, s"day $day ewma: $gEwma != $ewma")
       }
       // a late day older than the state window emits with its own partial
       // kernel but must not disturb the already-bounded state
