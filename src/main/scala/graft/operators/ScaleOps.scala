@@ -339,21 +339,36 @@ object ScaleOps {
     * ceil(matching/[[ZoneRows]]) — on a random layout every zone
     * survives; the pruned fraction IS the value of sorting).
     *
-    * The global `row_number` replays the WRITE-time zoning: the sorted
-    * layout build already pays a range-sort, so zone ids are free at
-    * write and the stats live in footers — at 100 TB this table is read
-    * from metadata, never recomputed. The audit recomputes it only to be
-    * oracle-checkable end-to-end.
+    * The zoning replays the WRITE-time layout: the sorted layout build
+    * already pays a range-sort, so zone ids are free at write and the
+    * stats live in footers — at 100 TB this table is read from metadata,
+    * never recomputed; the audit recomputes it only to be oracle-checkable
+    * end-to-end. The recompute is DISTRIBUTED (VERDICT r8 #4 — the old
+    * form was the suite's one corpus-sized single-partition sort): the
+    * sort key's date is a monotone prefix of the (date, key) order, so
+    * global rank = (rows on earlier days) + (rank within the day). Day
+    * offsets come from one map-side-combinable day census plus a
+    * day-cardinality cumsum window (metadata-sized, the day-cells
+    * discipline), broadcast back; the per-day ranks are day-partitioned
+    * parallel windows bounded by the busiest day, never the corpus.
     */
   def zonemapPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val lo = lit("1997-03-01").cast("timestamp")
     val hi = lit("1997-04-01").cast("timestamp")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, sfDir)
       .select(col("o_orderdate"), col("o_orderkey"))
+    val offs = base.groupBy(col("o_orderdate").as("od"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("od"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("od"), col("off"))
+    val wDay = Window.partitionBy(col("o_orderdate")).orderBy(col("o_orderkey"))
+    base.join(broadcast(offs), col("o_orderdate") === col("od"))
       .withColumn("zone",
-        floor((row_number().over(w) - 1) / lit(ZoneRows.toDouble)).cast("long"))
+        floor((col("off") + row_number().over(wDay) - 1) /
+          lit(ZoneRows.toDouble)).cast("long"))
       .groupBy(col("zone"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("o_orderdate")).as("min_date"),
