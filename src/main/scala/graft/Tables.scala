@@ -170,12 +170,29 @@ object Tables {
     }
   }
 
+  /** Session-keyed cache invalidation hooks: modules holding their own
+    * per-(session, sfDir) memos (SRP bit counts, registered-function
+    * ownership) register a hook so [[clearDerived]] drains them together
+    * with the staged tables — a memo keyed to a corpus snapshot must not
+    * outlive the snapshot (ADVICE r8: a within-session corpus rebuild
+    * would silently diverge from the oracle's fresh recompute). Hooks
+    * receive the session identity being cleared. Registered lazily by the
+    * owning module, so Tables never depends on operator packages.
+    */
+  private val sessionCacheHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[Int => Unit]()
+  private[graft] def onClearDerived(hook: Int => Unit): Unit = {
+    sessionCacheHooks.add(hook): Unit
+  }
+
   /** Unpersist and drop this session's derived-table cache (long-lived
     * sessions must not accumulate cached blocks — ADVICE r1), drop its
-    * bucketed catalog entries, and delete its staged attempt directories.
+    * bucketed catalog entries, delete its staged attempt directories, and
+    * drain every registered session-keyed module cache.
     */
   def clearDerived(spark: SparkSession): Unit = {
     val id = System.identityHashCode(spark)
+    sessionCacheHooks.forEach(h => h(id))
     derivedCache.keys.filter(_._1 == id).foreach { k =>
       derivedCache.remove(k).foreach(_.unpersist())
     }

@@ -65,7 +65,11 @@ object PpmDecode {
       i = 2
       val w = int(); val h = int(); val maxval = int()
       i += 1 // exactly ONE whitespace byte separates maxval from raster
-      if (w <= 0 || h <= 0 || i + w * h * 3 > n) throw Malformed
+      // maxval bounds + Long raster bound: same malformed-payload guards
+      // as PpmAHash (2-byte samples and Int-overflowing headers must null
+      // out, not silently misread — ADVICE r8)
+      if (maxval <= 0 || maxval > 255) throw Malformed
+      if (w <= 0 || h <= 0 || i + 3L * w * h > n) throw Malformed
       val sums = new Array[Long](3)
       val mins = Array(256L, 256L, 256L)
       val maxs = Array(-1L, -1L, -1L)
@@ -330,9 +334,16 @@ object PpmAHash {
       }
       if (n < 2 || bytes(0) != 'P' || bytes(1) != '6') throw Malformed
       i = 2
-      val w = int(); val h = int(); int(): Unit // maxval unused
+      val w = int(); val h = int(); val maxval = int()
       i += 1
-      if (w <= 0 || h <= 0 || i + w * h * 3 > n) throw Malformed
+      // maxval > 255 means 2-byte samples per the PPM spec — this reader
+      // handles only the 1-byte form, so anything else is Malformed (the
+      // null-on-malformed contract), not a silent misread (ADVICE r8).
+      if (maxval <= 0 || maxval > 255) throw Malformed
+      // raster bound in Long: Int arithmetic overflows for adversarial
+      // headers (w=h=46341 makes w*h*3 small/negative and a truncated
+      // raster would pass), ADVICE r8
+      if (w <= 0 || h <= 0 || i + 3L * w * h > n) throw Malformed
       val npx = w * h
       val lum = new Array[Long](64)
       var tot = 0L

@@ -612,9 +612,15 @@ object DedupOps {
   val SrpMaxBits      = 16
 
   /** Data-adaptive SRP bit count (see [[SrpTargetBucket]]); memoized — one
-    * metadata-cheap count per (session, sf).
+    * metadata-cheap count per (session, sf). The memo is drained by the
+    * [[Tables.clearDerived]] session-cache hook: a corpus that grows
+    * within a session (the incremental-ingest flow) rebuilds its staged
+    * tables through clearDerived, and a bit count cached against the old
+    * snapshot would silently diverge from the oracle's query-time
+    * count(*) ladder (ADVICE r8).
     */
   def srpBitsFor(spark: SparkSession, sfDir: String): Int = {
+    val _ = srpHookRegistered
     val key = (System.identityHashCode(spark), sfDir)
     srpBitsCache.getOrElseUpdate(key, {
       val n = Tables.embeddings(spark, sfDir).count()
@@ -625,6 +631,11 @@ object DedupOps {
   }
   private val srpBitsCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Int]
+  private lazy val srpHookRegistered: Boolean = {
+    Tables.onClearDerived(id =>
+      srpBitsCache.keys.filter(_._1 == id).foreach(srpBitsCache.remove))
+    true
+  }
 
   private[operators] def srpWeight(table: Int, bit: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")

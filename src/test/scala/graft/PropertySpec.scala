@@ -36,6 +36,21 @@ class PropertySpec extends SparkSpec {
     got.zip(expect).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
 
+  test("FnReg: the library's builder wins over a pre-existing foreign temp function") {
+    import spark.implicits._
+    // drain this session's registration ownership so the next vecDot call
+    // is a first touch, then squat the name with a foreign builder — the
+    // library must claim it back instead of silently deferring (ADVICE r8)
+    graft.Tables.clearDerived(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(-1.0), "built-in")
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(VectorExpressions.vecDot(spark, "a", "b").as("d"))
+      .head.getDouble(0)
+    assert(got == 11.0, s"foreign vec_dot builder leaked through: $got")
+  }
+
   test("Z2 encode: bijective on the grid and monotone in each coordinate") {
     import spark.implicits._
     val coord = Gen.chooseNum(0, 65535)

@@ -534,6 +534,18 @@ class SimMediaSpec extends SparkSpec {
     // malformed: wrong magic, truncated raster
     assert(graft.functions.PpmAHash.hash("P5\n1 1\n255\nxxx".getBytes) == null)
     assert(graft.functions.PpmAHash.hash(ppm(4, 4, Seq.fill(3)(1))) == null)
+    // adversarial header whose w*h*3 overflows Int to a small/negative
+    // product: the Long bound must reject the truncated raster (ADVICE r8)
+    val overflow = (s"P6\n46341 46341\n255\n".getBytes("US-ASCII").toSeq ++
+      Seq.fill(192)(7.toByte)).toArray
+    assert(graft.functions.PpmAHash.hash(overflow) == null)
+    assert(graft.functions.PpmDecode.stats(overflow) == null)
+    // maxval > 255 means 2-byte samples — malformed for this reader, not
+    // a silent 1-byte misread (ADVICE r8)
+    def ppm16(px: Seq[Int]): Array[Byte] =
+      ("P6\n2 1\n65535\n".getBytes("US-ASCII").toSeq ++ px.map(_.toByte)).toArray
+    assert(graft.functions.PpmAHash.hash(ppm16(Seq.fill(12)(5))) == null)
+    assert(graft.functions.PpmDecode.stats(ppm16(Seq.fill(12)(5))) == null)
   }
 
   test("ahashTable and ahashNearDups: decode-path hashes replay, pairs are the dup groups") {
