@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, ExprId, Round}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Sum}
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Static determinism gate over registered query plans (VERDICT r8 #5).
+  *
+  * The r8 `xt_ewma_daily` defect class: a query that EMITS
+  * `round(<float-typed order-dependent aggregate>, n)` is nondeterministic
+  * whenever partial-aggregate association drift can reach the rounding
+  * scale — the drift depends on operand magnitude, not on the code looking
+  * innocent, and the failure mode is a hash-flip that only shows up at a
+  * scale where some row lands near a boundary. This lint walks each
+  * query's ANALYZED plan and flags every `Round` whose input (traced
+  * through aliases across Project/Aggregate/Window nodes) contains a
+  * `sum`/`avg` over a Float/Double child — the order-dependent IEEE
+  * accumulations. Exact accumulations (decimal/integer sums, e.g. the
+  * ewma fix's DECIMAL(38,14) kernel chain) pass untouched.
+  *
+  * Queries where the float sum is PROVEN drift-safe are whitelisted BY
+  * NAME with the proof sketch ([[Bounded]]); [[Verify]] runs the lint at
+  * dump time, so a new query that reintroduces the pattern un-whitelisted
+  * fails its own correctness row loudly instead of shipping a latent
+  * hash-flip. The dynamic twin of this gate is PropertySpec's
+  * aggregation-order perturbation test.
+  */
+object DeterminismLint {
+
+  /** Flagged-but-proven queries: name → why the rounded float sum cannot
+    * drift across associations at the emission scale. Two proof families
+    * recur: (a) BOUNDED-TERM chains — the sum has a small, data-independent
+    * term count (replicate counts, day/bucket cells), so drift is ≤ terms·ulp
+    * at the operand magnitude, orders below the rounding scale; (b)
+    * BOUNDED-MAGNITUDE chains — terms are in [0,1] (ratios, probabilities,
+    * normalized weights), so even corpus-sized sums stay ≥6 orders below
+    * the rounding scale at double precision.
+    */
+  val Bounded: Map[String, String] = Map(
+    // -- centroid family: round(avg(coord), 5) over unit-normalized
+    // coordinates. |terms| ≤ 1, so the avg's relative drift is ~members·2⁻⁵³
+    // (~1e-10 at 1e6 members/cluster) against a 1e-5 emission grid; the
+    // adaptive cluster count (k ∝ n) caps membership as the corpus grows.
+    "sim_kmeans_centroids" -> "unit-coord avg, members·2^-53 << 1e-5 grid; k ∝ n caps membership",
+    "sim_ivf_centroids" -> "unit-coord avg, members·2^-53 << 1e-5 grid; k ∝ n caps membership",
+    "dd_semdedup" -> "centroid avg as above; cosine itself is a per-row sequential vecdot fold",
+    "sim_kmeans_topk" -> "centroid avg as above; cosine is per-row sequential vecdot, no agg order",
+    "sim_kmeans_pruned_topk" -> "centroid avg as above; pruning only drops candidates",
+    "sim_ivf_topk" -> "centroid avg as above",
+    "sim_nprobe_curve" -> "centroid avg as above; curve rows differ only in probe count",
+    "sim_pq_topk" -> "codebook centroid avg as above; ADC sum is a per-row M-term (≤16) fold",
+    "sim_recall_report" -> "same ANN scores as sim_pq_topk/sim_ivf_topk; recall is exact set overlap",
+    "sim_pca_power" -> "power-iteration dot u/nrm: matvec sums of unit coords, n·2^-53 rel << 1e-6; vecdot per-row sequential",
+    // -- bounded-term chains: the rounded sum has a small, data-independent
+    // term count, so drift ≤ terms·ulp(magnitude) sits orders below the grid.
+    "sim_hybrid_rrf" -> "≤2 reciprocal-rank terms per doc (one per source list), terms ≤ 1/60",
+    "tx_bm25_search" -> "per-doc score sums over QUERY terms (≤ a handful), each term O(10)",
+    "tx_ranked_search" -> "tf-idf score over query terms — same bounded-term argument as bm25",
+    "tx_search_rbo" -> "RBO sum over list depth d ≤ 10, terms 0.9^d·overlap/d ≤ 1",
+    "tx_zipf_fit" -> "OLS moments over the top-K rank ladder (K bounded), log-log coords O(10)",
+    "geo_adamic_adar" -> "Σ 1/log(deg) over common neighbors — degree-bounded, terms ≤ 1.45",
+    // -- bounded-cardinality cells: the sum ranges over a fixed small grid
+    // (buckets/days), not the corpus, with O(1)-magnitude terms.
+    "xt_psi_drift" -> "Σ over ≤10 smoothed deciles of (p−q)·ln(p/q), terms O(1)",
+    "tx_source_js_drift" -> "JS over ≤256-bucket broadcast distributions, probability terms ≤ 1",
+    "xt_seasonality_strength" -> "explicit moments over the DAY-cardinality series (~2.4k terms); variance ratios O(1), drift ~1e-12 vs 1e-6 grid",
+    // -- documented magnitude argument carried in the op's scaladoc.
+    "tx_token_entropy" -> "Σ c·log c relative drift ~n·2^-53; the TextOps.tokenEntropy tolerance argument",
+    "tx_dsir_weights" -> "per-doc feature sums (≤ shingle count ~1e3) of ±ln-capped ratios; drift ~1e-10 vs 1e-6 grid")
+
+  /** Offending expression strings for `df`'s plan, empty when clean or
+    * whitelisted. */
+  def check(name: String, df: DataFrame): Seq[String] = {
+    if (Bounded.contains(name)) return Nil
+    val plan = df.queryExecution.analyzed
+    // alias map across the whole plan: ExprId → producing expression
+    val aliasMap = scala.collection.mutable.Map.empty[ExprId, Expression]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case a: Alias => aliasMap(a.exprId) = a.child
+        case _ =>
+      })
+    }
+    // substitute attributes through the alias map to fixpoint (depth-capped:
+    // analyzed-plan attribute graphs are DAGs, the cap only guards surprises)
+    def expand(e: Expression): Expression = {
+      var cur = e
+      var depth = 0
+      var changed = true
+      while (changed && depth < 20) {
+        changed = false
+        cur = cur.transform {
+          case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+            changed = true
+            aliasMap(ar.exprId)
+        }
+        depth += 1
+      }
+      cur
+    }
+    def floatAgg(e: Expression): Boolean = e.collectFirst {
+      case ae: AggregateExpression
+        if (ae.aggregateFunction match {
+          case s: Sum => s.child.dataType == DoubleType ||
+            s.child.dataType == FloatType
+          case a: Average => a.child.dataType == DoubleType ||
+            a.child.dataType == FloatType
+          case _ => false
+        }) => ae
+    }.isDefined
+    val rounds = plan.flatMap(node =>
+      node.expressions.flatMap(_.collect { case r: Round => r }))
+    rounds.filter(r => floatAgg(expand(r.child))).map(_.sql).distinct
+  }
+}

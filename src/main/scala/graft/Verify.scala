@@ -75,8 +75,18 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else runIsolated(name, timeoutSec) {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val df = fn(spark, sfDir)
+        // static determinism gate (VERDICT r8 #5): a query that rounds an
+        // order-dependent float aggregate without a whitelisted proof
+        // fails ITS OWN row here, loudly, instead of shipping a latent
+        // scale-dependent hash-flip (the r8 xt_ewma_daily class)
+        val viol = DeterminismLint.check(name, df)
+        if (viol.nonEmpty)
+          throw new IllegalStateException(
+            s"determinism lint: $name rounds an order-dependent float " +
+              s"aggregate (anchor it in decimal or whitelist with a " +
+              s"proof): ${viol.mkString(" | ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     pool.shutdownNow()

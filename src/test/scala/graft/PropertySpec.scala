@@ -335,6 +335,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DeterminismLint: flags rounded float sums (through aliases), passes anchored chains") {
+    import spark.implicits._
+    val df = Seq((1, 2.5), (1, 3.5), (2, 1.0)).toDF("k", "x")
+    // direct: round(sum(double)) — the ewma defect shape
+    val direct = df.groupBy("k").agg(round(sum(col("x")), 6).as("s"))
+    assert(graft.DeterminismLint.check("bad_direct", direct).nonEmpty)
+    // indirect: the round sits a projection away from the aggregate — the
+    // alias expansion must trace it
+    val indirect = df.groupBy("k").agg(sum(col("x")).as("s"))
+      .select(col("k"), round(col("s") * 0.2, 6).as("e"))
+    assert(graft.DeterminismLint.check("bad_indirect", indirect).nonEmpty)
+    // anchored: the same chain over decimal is association-free — clean
+    val anchored = df.groupBy("k")
+      .agg(round(sum(col("x").cast("decimal(20,6)")), 6).as("s"))
+    assert(graft.DeterminismLint.check("ok_decimal", anchored).isEmpty)
+    // unrounded float sums are out of class (driver compares at %.9g)
+    val unrounded = df.groupBy("k").agg(sum(col("x")).as("s"))
+    assert(graft.DeterminismLint.check("ok_unrounded", unrounded).isEmpty)
+    // whitelisted names short-circuit, and no whitelist entry is stale
+    assert(graft.DeterminismLint.check("sim_kmeans_centroids", direct).isEmpty)
+    graft.DeterminismLint.Bounded.keys.foreach(w =>
+      assert(graft.SparkEntry.queries.contains(w), s"stale whitelist entry $w"))
+  }
+
   test("h24Slice: slice 0 equals h24, slices are the md5 bytes, domain-bounded") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 200) {
