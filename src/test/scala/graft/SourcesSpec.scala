@@ -226,4 +226,31 @@ class SourcesSpec extends SparkSpec {
     assert(rows.length == 4)
     assert(rows.count(_.getAs[Int]("exit_status") == 255) == 1) // non-22 port refused
   }
+
+  test("catalog source switch: parquet branch reads a snapshot, connector branch dispatches") {
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    try {
+      Seq(("sft_a", "CATALOG_SFT_A_Z2"), ("sft_b", "metadata_sft_b"))
+        .toDF("sft", "value").write.mode("overwrite").parquet(snap)
+      spark.conf.set("spark.graft.catalog.format", "parquet")
+      spark.conf.set("spark.graft.catalog.path", snap)
+      val got = Tables.catalog(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("sft_a", "CATALOG_SFT_A_Z2"), ("sft_b", "metadata_sft_b")))
+      // connector branch: the format name is dispatched to the DataSource
+      // registry — with no Cassandra connector jar on the classpath the
+      // lookup must fail NAMING the format (in a live deployment the same
+      // conf reaches the real CQL-backed scan; reference geomesa.py:36-38)
+      spark.conf.set("spark.graft.catalog.format", "org.apache.spark.sql.cassandra")
+      val e = intercept[Exception](Tables.catalog(spark, Sf).collect())
+      assert(e.getMessage.contains("cassandra"), e.getMessage)
+      // back to default: the derived branch is keyed separately, not stale
+      spark.conf.set("spark.graft.catalog.format", "derived")
+      assert(Tables.catalog(spark, Sf).columns.toSeq == Seq("sft", "value"))
+    } finally {
+      spark.conf.set("spark.graft.catalog.format", "derived")
+      spark.conf.unset("spark.graft.catalog.path")
+    }
+  }
 }
