@@ -38,28 +38,56 @@ object AcidOps {
   private val built =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
+  /** Wall-clock per commit step of the last [[ordersTxTable]] build for
+    * this (session, sfDir) — read by Bench so `stage_detail` attributes
+    * the staging cost to the individual mutation kinds (VERDICT r8 #7: a
+    * regression in ONE commit kind must be visible, not smeared over the
+    * 4-version history build). Empty until a build ran in this session.
+    */
+  private val buildStepTimes = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[(String, Double)]]
+  private[graft] def buildSteps(spark: SparkSession,
+                                sfDir: String): Seq[(String, Double)] =
+    buildStepTimes.getOrElse((System.identityHashCode(spark), sfDir), Nil)
+
   /** Build (once per session, sfDir) and return the table root. */
   private[graft] def ordersTxTable(spark: SparkSession, sfDir: String): String =
     built.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      val steps = Seq.newBuilder[(String, Double)]
+      def step[A](name: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        steps += name -> ((System.nanoTime() - t0) / 1e9)
+        r
+      }
       val root = Tables.uniqueStageDir(spark, sfDir, "txtable_orders")
       val orders = Tables.orders(spark, sfDir)
       val cutoff = lit(TtlCutoff).cast(orders.schema("o_orderdate").dataType)
       val batchSplit = lit("1998-01-01 00:00:00")
         .cast(orders.schema("o_orderdate").dataType)
-      TxTable.append(spark, root,
-        orders.where(col("o_orderdate") < batchSplit)
-          .repartitionByRange(4, col("o_orderdate")))
-      TxTable.append(spark, root,
-        orders.where(col("o_orderdate") >= batchSplit)
-          .repartitionByRange(4, col("o_orderdate")))
-      TxTable.delete(spark, root, col("o_orderdate") < cutoff)
+      step("append_hist") {
+        TxTable.append(spark, root,
+          orders.where(col("o_orderdate") < batchSplit)
+            .repartitionByRange(4, col("o_orderdate")))
+      }
+      step("append_tail") {
+        TxTable.append(spark, root,
+          orders.where(col("o_orderdate") >= batchSplit)
+            .repartitionByRange(4, col("o_orderdate")))
+      }
+      step("ttl_delete") {
+        TxTable.delete(spark, root, col("o_orderdate") < cutoff)
+      }
       val corrections = orders.where(col("o_orderkey") % 10 === 3)
         .withColumn("o_totalprice", col("o_totalprice") + lit(PriceCorrection))
       val inserts = orders.where(col("o_orderkey") % 97 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(InsertKeyOffset))
         .withColumn("o_orderstatus", lit("R"))
-      TxTable.merge(spark, root, corrections.unionByName(inserts),
-        Seq("o_orderkey"), Seq("o_totalprice"))
+      step("merge") {
+        TxTable.merge(spark, root, corrections.unionByName(inserts),
+          Seq("o_orderkey"), Seq("o_totalprice"))
+      }
+      buildStepTimes((System.identityHashCode(spark), sfDir)) = steps.result()
       root
     })
 
