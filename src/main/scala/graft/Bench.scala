@@ -96,6 +96,7 @@ object Bench {
       "sorted_orders"         -> (() => ScaleOps.sortedOrdersLayout(spark, sfDir).count(): Unit),
       "zordered_orders"       -> (() => ScaleOps.zorderedOrdersLayout(spark, sfDir).count(): Unit),
       "md_png_payloads"       -> (() => MediaOps.pngPayloads(spark, sfDir).count(): Unit),
+      "md_qoi_payloads"       -> (() => MediaOps.qoiPayloads(spark, sfDir).count(): Unit),
       "acid_txtable"          -> (() => AcidOps.ordersTxTable(spark, sfDir): Unit),
       "fmt_avro"              -> (() => sources.Formats.avroRoundtrip(spark, sfDir).count(): Unit),
       "fmt_exports"           -> (() => sources.Formats.stageAll(spark, sfDir)))

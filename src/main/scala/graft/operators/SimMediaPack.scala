@@ -37,6 +37,7 @@ object SimMediaPack extends QueryPack {
     "md_ppm_decode" -> ((s, d) => MediaOps.ppmDecode(s, d)),
     "md_wav_decode" -> ((s, d) => MediaOps.wavDecode(s, d)),
     "md_png_decode" -> ((s, d) => MediaOps.pngDecode(s, d)),
+    "md_qoi_decode" -> ((s, d) => MediaOps.qoiDecode(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
     "sim_nprobe_curve" -> ((s, d) => SimilarityOps.nprobeCurve(s, d)),
     "md_ahash" -> ((s, d) => MediaOps.ahashTable(s, d)),
@@ -801,6 +802,34 @@ object SimMediaPack extends QueryPack {
          |)
          |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(hgt AS BIGINT) AS height,
          |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+         |  ${chan(0, "sum", "r_sum")}, ${chan(0, "min", "r_min")}, ${chan(0, "max", "r_max")},
+         |  ${chan(1, "sum", "g_sum")}, ${chan(1, "min", "g_min")}, ${chan(1, "max", "g_max")},
+         |  ${chan(2, "sum", "b_sum")}, ${chan(2, "min", "b_min")}, ${chan(2, "max", "b_max")}
+         |FROM pb GROUP BY doc_id, hgt""".stripMargin
+    },
+    "md_qoi_decode" -> {
+      // same raster-rebuild discipline as md_png_decode: the oracle never
+      // sees the QOI op stream — it recomputes the 8×hgt raster by column
+      // arithmetic (independent 1..13 height ladder) and aggregates; the
+      // Spark side must RECOVER the bytes through the index/diff/luma/run
+      // state machine, so any shortcut in the decoder hash-mismatches.
+      def chan(c: Int, agg: String, name: String) =
+        s"CAST($agg(b) FILTER (WHERE ch = $c) AS BIGINT) AS $name"
+      s"""WITH base AS (
+         |  SELECT doc_id, md5(text) AS hx, 1 + (${h24("text")} % 13) AS hgt
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, hgt,
+         |    unnest(range(1, 24 * hgt + 1)) AS i, hx
+         |  FROM base
+         |), pb AS (
+         |  SELECT doc_id, hgt,
+         |    ascii(substr(repeat(hx, 10), CAST(i AS INT), 1)) AS b,
+         |    (i - 1) % 3 AS ch
+         |  FROM px
+         |)
+         |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(hgt AS BIGINT) AS height,
+         |  CAST(3 AS BIGINT) AS channels, CAST(0 AS BIGINT) AS colorspace,
          |  ${chan(0, "sum", "r_sum")}, ${chan(0, "min", "r_min")}, ${chan(0, "max", "r_max")},
          |  ${chan(1, "sum", "g_sum")}, ${chan(1, "min", "g_min")}, ${chan(1, "max", "g_max")},
          |  ${chan(2, "sum", "b_sum")}, ${chan(2, "min", "b_min")}, ${chan(2, "max", "b_max")}

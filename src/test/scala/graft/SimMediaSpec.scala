@@ -548,6 +548,64 @@ class SimMediaSpec extends SparkSpec {
     assert(graft.functions.PpmDecode.stats(ppm16(Seq.fill(12)(5))) == null)
   }
 
+  test("QOI: encode/decode roundtrip, all five ops exercised, strict malformed handling") {
+    import graft.functions.QoiDecode
+    import graft.operators.MediaOps
+    def statsOf(w: Int, h: Int, px: Seq[Int]): (Array[Byte], Seq[Long]) = {
+      val raster = px.map(_.toByte).toArray
+      val enc = MediaOps.encodeQoi(w, h, raster)
+      val row = QoiDecode.stats(enc)
+      assert(row != null, s"decode failed for ${w}x$h")
+      (enc, (0 until QoiDecode.schema.length).map(row.getLong))
+    }
+    // reference stats computed directly from the raster
+    def expect(w: Int, h: Int, px: Seq[Int]): Seq[Long] = {
+      def ch(c: Int) = px.zipWithIndex.collect { case (v, i) if i % 3 == c => v.toLong }
+      Seq(w.toLong, h.toLong, 3L, 0L) ++
+        (0 to 2).flatMap(c => Seq(ch(c).sum, ch(c).min, ch(c).max))
+    }
+    val rnd = new scala.util.Random(7)
+    // random rasters: roundtrip exactness over many shapes
+    for (_ <- 1 to 50) {
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(9)
+      val px = Seq.fill(w * h * 3)(rnd.nextInt(256))
+      val (_, got) = statsOf(w, h, px)
+      assert(got == expect(w, h, px))
+    }
+    // crafted raster hitting every op: run (repeat), index (revisit after
+    // other colors), diff (+1 steps), luma (+20 steps), rgb (big jump)
+    val crafted = Seq(
+      10, 10, 10, 10, 10, 10, 10, 10, 10, // run of the first pixel
+      11, 11, 11,                         // diff (+1,+1,+1)
+      31, 31, 31,                         // luma (dg=20, dr-dg=0, db-dg=0)
+      200, 50, 120,                       // rgb (big jump)
+      10, 10, 10,                         // index (seen at slot hash(10,10,10))
+      200, 50, 120)                       // index again
+    val (enc, got) = statsOf(8, 1, crafted)
+    assert(got == expect(8, 1, crafted))
+    val ops = enc.drop(14).dropRight(8).map(_ & 0xff)
+    assert(ops.exists(b => (b >> 6) == 3 && b != 0xfe && b != 0xff), "no RUN op")
+    assert(ops.exists(b => (b >> 6) == 0), "no INDEX op")
+    assert(ops.exists(b => (b >> 6) == 1), "no DIFF op")
+    assert(ops.exists(b => (b >> 6) == 2), "no LUMA op")
+    assert(ops.contains(0xfe), "no RGB op")
+    // strict malformed handling: each mutation must null out
+    assert(QoiDecode.stats("qoix".getBytes ++ enc.drop(4)) == null) // magic
+    assert(QoiDecode.stats(enc.dropRight(1)) == null)               // marker cut
+    assert(QoiDecode.stats(enc.dropRight(9) ++ Array.fill(8)(0.toByte)) == null) // bad marker
+    assert(QoiDecode.stats(enc ++ Array[Byte](0)) == null)          // trailing junk
+    val tooTall = enc.clone; tooTall(11) = 9 // height 1 -> 9: stream too short
+    assert(QoiDecode.stats(tooTall) == null)
+    val badChan = enc.clone; badChan(12) = 5
+    assert(QoiDecode.stats(badChan) == null)
+    // a run crossing the declared pixel count must be rejected
+    val runOver = ("qoif".getBytes("US-ASCII").map(_.toInt).toSeq ++
+      Seq(0, 0, 0, 2, 0, 0, 0, 1, 3, 0) ++ // 2x1
+      Seq(0xfe, 9, 9, 9, 0xc0 | 61) ++      // 1 px + run 62 > 2 px
+      Seq.fill(7)(0) ++ Seq(1)).map(_.toByte).toArray
+    assert(QoiDecode.stats(runOver) == null)
+  }
+
   test("ahashTable and ahashNearDups: decode-path hashes replay, pairs are the dup groups") {
     val hashes = MediaOps.ahashTable(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
