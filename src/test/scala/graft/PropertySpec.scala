@@ -312,27 +312,43 @@ class PropertySpec extends SparkSpec {
     * and bounded-term chains) — [[graft.DeterminismLint]] enforces the
     * anchoring discipline statically over the full tree.
     */
+  private def assertOrderStable(name: String, dir: String): Unit = {
+    val fn = graft.SparkEntry.queries(name)
+    def runAt(parts: String): Seq[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try fn(spark, dir).collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = runAt("4")
+    val b = runAt("13")
+    val diff = a.diff(b) ++ b.diff(a)
+    assert(diff.isEmpty && a.size == b.size,
+      s"$name drifts under partition-order perturbation; ${diff.size} " +
+        s"differing rows, e.g. ${diff.take(4).mkString("; ")}")
+  }
+
   test("aggregation-order perturbation: rounded emissions are partition-order-stable") {
     val dir = "/root/testdata/sf0.01"
-    val names = Seq(
+    Seq(
       "xt_ewma_daily",        // the r8 defect: decimal-anchored kernel now
       "xt_seasonality_strength", // explicit-moment float chain, 6 dp emission
       "xa_weighted_median")   // bucket-refined histogram emission
-    names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
-      def runAt(parts: String): Seq[String] = {
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
-        try fn(spark, dir).collect().map(_.toString).sorted.toSeq
-        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      }
-      val a = runAt("4")
-      val b = runAt("13")
-      val diff = a.diff(b) ++ b.diff(a)
-      assert(diff.isEmpty && a.size == b.size,
-        s"$name drifts under partition-order perturbation; ${diff.size} " +
-          s"differing rows, e.g. ${diff.take(4).mkString("; ")}")
-    }
+      .foreach(assertOrderStable(_, dir))
+  }
+
+  /** The DYNAMIC twin of each [[graft.DeterminismLint.Bounded]] whitelist
+    * entry: the whitelist asserts (with a proof sketch) that the query's
+    * rounded float sum cannot drift across partial-aggregate orders —
+    * this test CHECKS that claim by rerunning every whitelisted query
+    * under a different shuffle layout. Staged inputs are session-memoized,
+    * so the perturbation exercises exactly the query-time accumulation the
+    * proof is about. A failure here means a whitelist proof is wrong:
+    * anchor the query, don't widen the whitelist.
+    */
+  test("aggregation-order perturbation: every lint-whitelisted emission holds its proof") {
+    graft.DeterminismLint.Bounded.keys.toSeq.sorted
+      .foreach(assertOrderStable(_, Sf))
   }
 
   test("DeterminismLint: flags rounded float sums (through aliases), passes anchored chains") {
