@@ -450,5 +450,20 @@ class ScaleOpsSpec extends SparkSpec {
     val surviving = zones.count(_.getBoolean(4))
     val ideal = math.ceil(matching.toDouble / graft.operators.ScaleOps.ZoneRows).toInt
     assert(surviving <= ideal + 1, s"surviving=$surviving ideal=$ideal")
+    // the zoning recompute is DISTRIBUTED (VERDICT r8 #4): the corpus-sized
+    // rank window must be day-partitioned — the only unpartitioned window
+    // in the plan is the day-cardinality offset cumsum (a SUM, never the
+    // per-row row_number)
+    import org.apache.spark.sql.catalyst.expressions.WindowExpression
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    val plan = graft.operators.ScaleOps.zonemapPrune(spark, Sf)
+      .queryExecution.analyzed
+    val rowNumWindows = plan.flatMap(_.expressions.flatMap(_.collect {
+      case w @ WindowExpression(_: RowNumber, _) => w
+    }))
+    assert(rowNumWindows.nonEmpty)
+    rowNumWindows.foreach(w =>
+      assert(w.windowSpec.partitionSpec.nonEmpty,
+        "corpus-sized rank window lost its day partitioning"))
   }
 }

@@ -96,6 +96,11 @@ def canon(tbl):
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # optional trailing names restrict the run (lets big replays shard
+    # across processes: one DuckDB connection each)
+    only = set(sys.argv[3:])
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -104,7 +109,10 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
     fails = []
+    import time
     for name in sorted(oracles):
+        t0 = time.time()
+        print(f"... {name}", file=sys.stderr, flush=True)
         res_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not res_glob:
             fails.append((name, "no spark result parquet"))
@@ -141,6 +149,8 @@ def main():
             n_fail += 1
         else:
             n_pass += 1
+        print(f"    {name} done in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
     print(f"PASS {n_pass} / FAIL {n_fail} of {len(oracles)}")
     for name, why in fails:
         print(f"  FAIL {name}: {why}")
