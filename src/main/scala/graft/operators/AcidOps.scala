@@ -37,6 +37,17 @@ object AcidOps {
 
   private val built =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  // the memoized root lives under a staged attempt dir that
+  // Tables.clearDerived DELETES — a mid-session clear must drop the memo
+  // too, or later snapshot reads would point at a removed directory (the
+  // ADVICE r8 stale-memo class; spec-pinned in AcidSpec)
+  private lazy val clearHookRegistered: Boolean = {
+    Tables.onClearDerived { id =>
+      built.keys.filter(_._1 == id).foreach(built.remove)
+      buildStepTimes.keys.filter(_._1 == id).foreach(buildStepTimes.remove)
+    }
+    true
+  }
 
   /** Wall-clock per commit step of the last [[ordersTxTable]] build for
     * this (session, sfDir) — read by Bench so `stage_detail` attributes
@@ -51,7 +62,8 @@ object AcidOps {
     buildStepTimes.getOrElse((System.identityHashCode(spark), sfDir), Nil)
 
   /** Build (once per session, sfDir) and return the table root. */
-  private[graft] def ordersTxTable(spark: SparkSession, sfDir: String): String =
+  private[graft] def ordersTxTable(spark: SparkSession, sfDir: String): String = {
+    val _ = clearHookRegistered
     built.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
       val steps = Seq.newBuilder[(String, Double)]
       def step[A](name: String)(body: => A): A = {
@@ -90,6 +102,7 @@ object AcidOps {
       buildStepTimes((System.identityHashCode(spark), sfDir)) = steps.result()
       root
     })
+  }
 
   private val Cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")

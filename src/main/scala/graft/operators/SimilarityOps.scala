@@ -204,6 +204,7 @@ object SimilarityOps {
     * oracle replays the same formula as a scalar subquery.
     */
   def kmeansKFor(spark: SparkSession, sfDir: String): Long = {
+    val _ = clearHookRegistered
     val key = (System.identityHashCode(spark), sfDir)
     kCache.getOrElseUpdate(key, {
       val n = vecs(spark, sfDir).count()
@@ -213,6 +214,16 @@ object SimilarityOps {
   }
   private val kCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  // corpus-derived trained values (cluster count, quantizer scales) must
+  // not outlive a staged-corpus rebuild: Tables.clearDerived drains them
+  // like the SRP bit memo (ADVICE r8 stale-memo class)
+  private lazy val clearHookRegistered: Boolean = {
+    Tables.onClearDerived { id =>
+      kCache.keys.filter(_._1 == id).foreach(kCache.remove)
+      scaleCache.keys.filter(_._1 == id).foreach(scaleCache.remove)
+    }
+    true
+  }
 
   /** Codegen'd double dot product ([[graft.functions.VecDot]]) — the
     * training loop's hottest arithmetic; bit-identical to the interpreted
@@ -436,7 +447,8 @@ object SimilarityOps {
     * corpus size) — the quantizer's "trained model", analogous to
     * collecting k-means probe ids.
     */
-  private[graft] def quantScales(spark: SparkSession, sfDir: String): Array[Double] =
+  private[graft] def quantScales(spark: SparkSession, sfDir: String): Array[Double] = {
+    val _ = clearHookRegistered
     scaleCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
       vecs(spark, sfDir)
         .select(posexplode(col("embedding")).as(Seq("i", "x")))
@@ -445,6 +457,7 @@ object SimilarityOps {
         .orderBy(col("i"))
         .collect().map(_.getDouble(1))
     })
+  }
 
   /** Symmetric int8 quantizer: q_d = floor(v_d / s_d · 127 + 0.5) ∈
     * [−127, 127]. floor(x + 0.5) not round(): both engines floor

@@ -47,9 +47,17 @@ object Formats {
     */
   private val staged =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // staged exports live under attempt dirs Tables.clearDerived deletes; a
+  // mid-session clear must drop these memos too (ADVICE r8 stale-memo class)
+  private lazy val clearHookRegistered: Boolean = {
+    Tables.onClearDerived(id =>
+      staged.keys.filter(_._1 == id).foreach(staged.remove))
+    true
+  }
 
   private def stagedRead(spark: SparkSession, sfDir: String, fmt: String)
-                        (write: String => Unit)(read: String => DataFrame): DataFrame =
+                        (write: String => Unit)(read: String => DataFrame): DataFrame = {
+    val _ = clearHookRegistered
     staged.getOrElseUpdate((System.identityHashCode(spark), sfDir, fmt), {
       // attempt-unique path: an abandoned timed-out writer can never race a
       // rebuild's overwrite on the same directory (ADVICE r7)
@@ -57,6 +65,7 @@ object Formats {
       write(path)
       read(path)
     })
+  }
 
   /** csv with header; partitioned parallel write, schema-on-read. */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {

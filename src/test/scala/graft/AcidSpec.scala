@@ -134,4 +134,16 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.append(spark, root, frame(6 to 9, "b")) == 1L)
     assert(TxTable.read(spark, root).count() == 9)
   }
+
+  test("clearDerived drops the staged-table memo: snapshots rebuild, never read a deleted root") {
+    import graft.operators.AcidOps
+    // populate the memo (and the staged mutation history) ...
+    val before = AcidOps.finalState(spark, Sf).count()
+    assert(before > 0)
+    // ... then clear: attempt dirs are DELETED, so a memo surviving this
+    // would hand later reads a missing directory (the ADVICE r8 stale-memo
+    // class; pre-fix this second read threw FileNotFound)
+    graft.Tables.clearDerived(spark)
+    assert(AcidOps.finalState(spark, Sf).count() == before)
+  }
 }
