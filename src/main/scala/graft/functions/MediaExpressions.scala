@@ -229,7 +229,11 @@ object PngDecode {
         }
         i += 12 + l
       }
-      if (!seenEnd || w <= 0 || h <= 0) throw Malformed
+      // Long-size guard (the PpmAHash Int-overflow class, ADVICE r8): a
+      // crafted IHDR whose h·(1+3w) wraps Int would allocate a small
+      // buffer against a negative stride and emit garbage stats non-null
+      if (!seenEnd || w <= 0 || h <= 0 ||
+        h.toLong * (1L + 3L * w) > Int.MaxValue) throw Malformed
       val stride = w * 3
       val raw = new Array[Byte](h * (1 + stride))
       val inf = new java.util.zip.Inflater()

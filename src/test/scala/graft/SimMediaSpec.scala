@@ -306,6 +306,17 @@ class SimMediaSpec extends SparkSpec {
     assert(PngDecode.stats(png.take(png.length - 1)) == null) // truncated
     assert(PngDecode.stats("notapng".getBytes) == null)
     assert(PngDecode.stats(Array.emptyByteArray) == null)
+    // adversarial IHDR whose h*(1+3w) wraps Int: must null out, not emit
+    // garbage stats against a wrapped allocation (CRC restamped so the
+    // guard itself is what rejects it)
+    val big = png.clone()
+    val ihdrData = 16 // offset of IHDR width field (8 sig + 4 len + 4 tag)
+    java.nio.ByteBuffer.wrap(big, ihdrData, 8)
+      .putInt(0x10000000).putInt(0x10000000): Unit
+    val crc = new java.util.zip.CRC32()
+    crc.update(big, 12, 17) // tag + 13 data bytes
+    java.nio.ByteBuffer.wrap(big, 29, 4).putInt(crc.getValue.toInt): Unit
+    assert(PngDecode.stats(big) == null)
   }
 
   test("pngDecode: staged real PNGs decode back to the raster rule; plan is one codegen'd map") {
