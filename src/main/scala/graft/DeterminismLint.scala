@@ -51,7 +51,7 @@ object DeterminismLint {
     "sim_nprobe_curve" -> "centroid avg as above; curve rows differ only in probe count",
     "sim_pq_topk" -> "codebook centroid avg as above; ADC sum is a per-row M-term (≤16) fold",
     "sim_recall_report" -> "same ANN scores as sim_pq_topk/sim_ivf_topk; recall is exact set overlap",
-    "sim_pca_power" -> "power-iteration dot u/nrm: matvec sums of unit coords, n·2^-53 rel << 1e-6; vecdot per-row sequential",
+    "sim_pca_power" -> "power-iteration matvec sums of unit coords: relative drift ~n·2^-53 — 1e-12 at bench n, the thinnest margin here (reaches the 1e-6 grid only near n~1e9 vectors; decimal-anchor the matvec before deployments at that scale)",
     // -- bounded-term chains: the rounded sum has a small, data-independent
     // term count, so drift ≤ terms·ulp(magnitude) sits orders below the grid.
     "sim_hybrid_rrf" -> "≤2 reciprocal-rank terms per doc (one per source list), terms ≤ 1/60",
