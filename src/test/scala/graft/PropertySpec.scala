@@ -314,18 +314,29 @@ class PropertySpec extends SparkSpec {
     */
   private def assertOrderStable(name: String, dir: String): Unit = {
     val fn = graft.SparkEntry.queries(name)
-    def runAt(parts: String): Seq[String] = {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // two levers: shuffle partition count perturbs the reduce-side merge
+    // order; input split size perturbs the scan partitions and therefore
+    // the PRE-shuffle partial grouping (map-side combine association)
+    def runAt(parts: String, splitBytes: String): Seq[String] = {
+      val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevS = spark.conf.get("spark.sql.files.maxPartitionBytes")
       spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
       try fn(spark, dir).collect().map(_.toString).sorted.toSeq
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevP)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevS)
+      }
     }
-    val a = runAt("4")
-    val b = runAt("13")
-    val diff = a.diff(b) ++ b.diff(a)
-    assert(diff.isEmpty && a.size == b.size,
-      s"$name drifts under partition-order perturbation; ${diff.size} " +
-        s"differing rows, e.g. ${diff.take(4).mkString("; ")}")
+    val a = runAt("4", "134217728")
+    val b = runAt("13", "134217728")
+    val c = runAt("4", "262144") // 256 KiB splits: many scan partitions
+    for ((other, lever) <- Seq((b, "shuffle-partition"), (c, "input-split"))) {
+      val diff = a.diff(other) ++ other.diff(a)
+      assert(diff.isEmpty && a.size == other.size,
+        s"$name drifts under $lever perturbation; ${diff.size} " +
+          s"differing rows, e.g. ${diff.take(4).mkString("; ")}")
+    }
   }
 
   test("aggregation-order perturbation: rounded emissions are partition-order-stable") {

@@ -600,6 +600,23 @@ class SimMediaSpec extends SparkSpec {
     assert(ops.exists(b => (b >> 6) == 1), "no DIFF op")
     assert(ops.exists(b => (b >> 6) == 2), "no LUMA op")
     assert(ops.contains(0xfe), "no RGB op")
+    // wire-format pin: the exact encoded bytes for a 2x2 raster, derived
+    // BY HAND from the published spec (op codes, delta biases, the
+    // (3r+5g+7b+11a)%64 index hash, BE dims, end marker) — the analog of
+    // PNG's ImageIO cross-check: encoder+decoder can't agree on a shared
+    // misreading of the format without failing this
+    val wire = Seq(
+      100, 50, 25,    // RGB literal (dg=50 exceeds LUMA range)
+      101, 51, 26,    // DIFF +1/+1/+1 -> 0x7F
+      100, 50, 25,    // INDEX hit at slot (300+250+175+2805)%64 = 10
+      100, 50, 25)    // equals prev -> RUN(1) -> 0xC0
+    val wireEnc = MediaOps.encodeQoi(2, 2, wire.map(_.toByte).toArray)
+    val expected = ("qoif".getBytes("US-ASCII").map(_.toInt).toSeq ++
+      Seq(0, 0, 0, 2, 0, 0, 0, 2, 3, 0,
+        0xfe, 100, 50, 25, 0x7f, 0x0a, 0xc0) ++
+      Seq.fill(7)(0) ++ Seq(1)).map(_.toByte)
+    assert(wireEnc.toSeq == expected,
+      s"wire bytes ${wireEnc.map(b => f"${b & 0xff}%02x").mkString(" ")}")
     // strict malformed handling: each mutation must null out
     assert(QoiDecode.stats("qoix".getBytes ++ enc.drop(4)) == null) // magic
     assert(QoiDecode.stats(enc.dropRight(1)) == null)               // marker cut
