@@ -344,7 +344,11 @@ class PropertySpec extends SparkSpec {
     Seq(
       "xt_ewma_daily",        // the r8 defect: decimal-anchored kernel now
       "xt_seasonality_strength", // explicit-moment float chain, 6 dp emission
-      "xa_weighted_median")   // bucket-refined histogram emission
+      "xa_weighted_median",   // bucket-refined histogram emission
+      // whitelisted doc-table float chains re-checked at 10x the fixture
+      // magnitudes, where drift margins are thinnest
+      "tx_token_entropy",
+      "tx_dsir_weights")
       .foreach(assertOrderStable(_, dir))
   }
 
