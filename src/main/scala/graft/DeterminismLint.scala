@@ -38,20 +38,10 @@ object DeterminismLint {
     * the rounding scale at double precision.
     */
   val Bounded: Map[String, String] = Map(
-    // -- centroid family: round(avg(coord), 5) over unit-normalized
-    // coordinates. |terms| ≤ 1, so the avg's relative drift is ~members·2⁻⁵³
-    // (~1e-10 at 1e6 members/cluster) against a 1e-5 emission grid; the
-    // adaptive cluster count (k ∝ n) caps membership as the corpus grows.
-    "sim_kmeans_centroids" -> "unit-coord avg, members·2^-53 << 1e-5 grid; k ∝ n caps membership",
-    "sim_ivf_centroids" -> "unit-coord avg, members·2^-53 << 1e-5 grid; k ∝ n caps membership",
-    "dd_semdedup" -> "centroid avg as above; cosine itself is a per-row sequential vecdot fold",
-    "sim_kmeans_topk" -> "centroid avg as above; cosine is per-row sequential vecdot, no agg order",
-    "sim_kmeans_pruned_topk" -> "centroid avg as above; pruning only drops candidates",
-    "sim_ivf_topk" -> "centroid avg as above",
-    "sim_nprobe_curve" -> "centroid avg as above; curve rows differ only in probe count",
-    "sim_pq_topk" -> "codebook centroid avg as above; ADC sum is a per-row M-term (≤16) fold",
-    "sim_recall_report" -> "same ANN scores as sim_pq_topk/sim_ivf_topk; recall is exact set overlap",
-    "sim_pca_power" -> "power-iteration matvec sums of unit coords: relative drift ~n·2^-53 — 1e-12 at bench n, the thinnest margin here (reaches the 1e-6 grid only near n~1e9 vectors; decimal-anchor the matvec before deployments at that scale)",
+    // (r10: the former 10-entry centroid/PCA family is GONE from this list —
+    // the shared centroid mean-update is decimal-anchored at CentroidQuant
+    // and the PCA power iteration runs on exact integer fixed point
+    // (PcVecScale), so those queries now pass the lint on their own plans.)
     // -- bounded-term chains: the rounded sum has a small, data-independent
     // term count, so drift ≤ terms·ulp(magnitude) sits orders below the grid.
     "sim_hybrid_rrf" -> "≤2 reciprocal-rank terms per doc (one per source list), terms ≤ 1/60",

@@ -94,6 +94,16 @@ object SimMediaPack extends QueryPack {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** Twin of [[SimilarityOps]]' `anchoredMean5`: the decimal-anchored
+    * centroid mean-update — exact integer sum of `floor(x·10⁷)`, one
+    * per-cell division, 5-dp emission. DuckDB's `sum(BIGINT)` rides
+    * HUGEINT, so the sum is exact at any cluster size, matching the Spark
+    * kernel's decimal(28,0) accumulator.
+    */
+  private def anchoredMeanSql(x: String): String =
+    s"round(sum(CAST(floor($x * ${SimilarityOps.CentroidQuant}) AS BIGINT)) / " +
+      s"(count(*) * ${SimilarityOps.CentroidQuant}.0), 5)"
+
   /** Fixed-point per-component quantization CTE shared by the gram-matrix
     * and PCA oracles — twin of [[SimilarityOps.gramMatrix]]'s `q(...)`.
     */
@@ -107,9 +117,9 @@ object SimMediaPack extends QueryPack {
        |        FROM embeddings))""".stripMargin
 
   private val centroidCtes = Seq(
-    """cent0 AS (
+    s"""cent0 AS (
       |  SELECT label, list(CAST(c AS FLOAT) ORDER BY i) AS centroid FROM (
-      |    SELECT label, i, round(avg(x), 5) AS c FROM (
+      |    SELECT label, i, ${anchoredMeanSql("x")} AS c FROM (
       |      SELECT label,
       |        unnest(list_transform(embedding, y -> CAST(y AS DOUBLE))) AS x,
       |        generate_subscripts(embedding, 1) AS i
@@ -139,7 +149,7 @@ object SimMediaPack extends QueryPack {
        |)""".stripMargin,
     s"""m$i AS (
        |  SELECT k, list(CAST(cx AS FLOAT) ORDER BY i) AS centroid FROM (
-       |    SELECT k, i, round(avg(x), 5) AS cx FROM (
+       |    SELECT k, i, ${anchoredMeanSql("x")} AS cx FROM (
        |      SELECT k, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a$i)
        |    GROUP BY k, i)
        |  GROUP BY k
@@ -243,7 +253,7 @@ object SimMediaPack extends QueryPack {
            |)""".stripMargin,
         s"""pm${m}_$i AS (
            |  SELECT k, list(CAST(cx AS FLOAT) ORDER BY i) AS centroid FROM (
-           |    SELECT k, i, round(avg(x), 5) AS cx FROM (
+           |    SELECT k, i, ${anchoredMeanSql("x")} AS cx FROM (
            |      SELECT k, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM pa${m}_$i)
            |    GROUP BY k, i)
            |  GROUP BY k
@@ -394,16 +404,29 @@ object SimMediaPack extends QueryPack {
          |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
          |GROUP BY a.idx, b.idx""".stripMargin,
     // power-iteration replay: exact-integer gram cells, then 3 unrolled
-    // matvec+normalize rounds (6dp per round), ordered-list projection
+    // anchored matvec+normalize rounds (twin of the PcVecScale integer
+    // kernel — every aggregate exact, every float op a per-cell scalar on
+    // integer-valued operands), ordered-list projection
     "sim_pca_power" -> {
+      val vs = SimilarityOps.PcVecScale
+      val us = SimilarityOps.PcUnitScale
       val iters = (1 to SimilarityOps.PcIters).map { r =>
         val prev = if (r == 1) "pv0" else s"pv${r - 1}"
         s"""pu$r AS (
-           |  SELECT f.i, sum(f.gram * v.v) AS u
+           |  SELECT f.i,
+           |    sum(CAST(f.gram AS DECIMAL(29,0)) * CAST(v.vi AS DECIMAL(8,0))) AS u
            |  FROM full_g f JOIN $prev v ON f.j = v.i GROUP BY f.i),
+           |pw$r AS (
+           |  SELECT i, CAST(round(CAST(u AS DOUBLE) /
+           |      (SELECT CAST(max(abs(u)) AS DOUBLE) FROM pu$r) * $us, 0)
+           |    AS BIGINT) AS wi
+           |  FROM pu$r),
            |pv$r AS (
-           |  SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM pu$r), 6) AS v
-           |  FROM pu$r)""".stripMargin
+           |  SELECT i, CAST(round(CAST(wi AS DOUBLE) /
+           |      (SELECT sqrt(CAST(sum(CAST(wi AS HUGEINT) * wi) AS DOUBLE))
+           |       FROM pw$r) * $vs, 0)
+           |    AS BIGINT) AS vi
+           |  FROM pw$r)""".stripMargin
       }.mkString(",\n")
       s"""WITH $gramQCte,
          |g AS (
@@ -413,9 +436,11 @@ object SimMediaPack extends QueryPack {
          |full_g AS (
          |  SELECT i, j, gram FROM g
          |  UNION ALL SELECT j AS i, i AS j, gram FROM g WHERE i <> j),
-         |pv0 AS (SELECT CAST(i AS BIGINT) AS i, 0.125 AS v FROM range(64) t(i)),
+         |pv0 AS (SELECT CAST(i AS BIGINT) AS i,
+         |          CAST(${vs / 8} AS BIGINT) AS vi FROM range(64) t(i)),
          |$iters,
-         |pc AS (SELECT list(v ORDER BY i) AS pc FROM pv${SimilarityOps.PcIters})
+         |pc AS (SELECT list(CAST(vi AS DOUBLE) / $vs ORDER BY i) AS pc
+         |       FROM pv${SimilarityOps.PcIters})
          |SELECT vec_id,
          |  round(list_dot_product(
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)), pc), 6) AS pc1

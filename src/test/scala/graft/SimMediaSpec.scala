@@ -449,18 +449,29 @@ class SimMediaSpec extends SparkSpec {
       val q = e.map(x => math.floor(x.toDouble * SimilarityOps.GramScale).toLong)
       for (i <- 0 until dim; j <- 0 until dim) g(i)(j) += q(i) * q(j)
     }
-    var v = Array.fill(dim)(0.125)
+    // the anchored integer kernel (PcVecScale/PcUnitScale), replayed with
+    // BigInt exactness and Spark's HALF_UP rounding semantics
+    def rndL(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    var vi = Array.fill(dim)(SimilarityOps.PcVecScale / 8)
     for (_ <- 1 to SimilarityOps.PcIters) {
-      val u = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
-      val nrm = math.sqrt(u.map(x => x * x).sum)
-      v = u.map(x => r6(x / nrm))
+      val u = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => BigInt(g(i)(j)) * vi(j)).sum)
+      val mx = u.map(_.abs).max
+      val wi = u.map(x =>
+        rndL(x.toDouble / mx.toDouble * SimilarityOps.PcUnitScale))
+      val nrm = math.sqrt(wi.map(w => BigInt(w) * w).sum.toDouble)
+      vi = wi.map(w => rndL(w.toDouble / nrm * SimilarityOps.PcVecScale))
     }
+    val v = vi.map(_.toDouble / SimilarityOps.PcVecScale)
     val got = SimilarityOps.pcaPowerProjection(spark, Sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1")).toMap
     assert(got.size == vecs.length)
     vecs.foreach { case (id, e) =>
-      val expect = (0 until dim).map(i => e(i).toDouble * v(i)).sum
-      assert(math.abs(got(id) - expect) < 2e-6, s"vec $id: ${got(id)} vs $expect")
+      // VecDot's left-to-right fold, then the 6-dp emission — exact replay
+      var d = 0.0
+      for (i <- 0 until dim) d += e(i).toDouble * v(i)
+      assert(got(id) == r6(d), s"vec $id: ${got(id)} vs ${r6(d)}")
     }
     // the direction is genuinely unit-norm and non-degenerate
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)

@@ -100,6 +100,12 @@ def main():
     # across processes: one DuckDB connection each)
     only = set(sys.argv[3:])
     if only:
+        # a typo'd shard filter must fail loudly, not silently under-cover
+        # while the shard reports PASS n/n (ADVICE r9)
+        missing = only - oracles.keys()
+        if missing:
+            sys.exit(f"FATAL: shard filter names not in oracle_sql.json: "
+                     f"{sorted(missing)}")
         oracles = {k: v for k, v in oracles.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
