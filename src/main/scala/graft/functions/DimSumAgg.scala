@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Element-wise vector-sum UDAF (the [[GramAgg]] discipline applied to
+  * first moments): folds a stream of integer vectors into one per-dimension
+  * long-sum accumulator — `reduce` adds a vector's d components in place,
+  * `merge` is element-wise addition, so the aggregate is map-side
+  * combinable and its state is a fixed d-long block (d = 64 → 512 B)
+  * regardless of corpus size.
+  *
+  * Motivation (VERDICT r9 #3): [[graft.operators.SimilarityOps
+  * .embeddingAudit]]'s per-dimension sums previously rode a
+  * `posexplode(q)` — a d× row expansion of the whole corpus feeding a
+  * (label, dim)-cell hash aggregate, which the 3-point scaling audit
+  * measured converging toward linear cost (7.9× on the last 10×
+  * segment). This fold reads the unexploded `array<long>` column
+  * directly: one array update per vector per task, one 512 B block per
+  * (label, task) on the wire — the exchange volume drops from n·d rows
+  * to labels·tasks blocks.
+  *
+  * Arithmetic is identical by construction: long addition is commutative
+  * and exact, so the per-dim sums — and every audit statistic derived
+  * from them — are bit-identical to the exploded plan and to the DuckDB
+  * oracle (which keeps the declarative unnest form). Overflow needs a
+  * dimension column summing past 2⁶³ — at the audit's 10⁵ unit scale
+  * that is > 10¹³ vectors per label, orders beyond the decimal(38)
+  * headroom of the downstream squares, and the same bound the exploded
+  * `sum(long)` plan had.
+  */
+class DimSumAgg(dim: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = new Array[Long](dim)
+
+  override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    val d = math.min(dim, v.length)
+    var i = 0
+    while (i < d) { buf(i) += v(i); i += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

@@ -920,9 +920,11 @@ object SimilarityOps {
     * divisions. Hash-exact.
     *
     * Scale shape: one corpus scan computes norms + per-row Σq² narrowly
-    * (array fold, no explode for B); the per-dim explode shuffles
-    * (label, d) cells only — d·labels rows of partial sums, KBs per task
-    * at any corpus size; every later stage is label-cardinality.
+    * (array fold, no explode for B) AND the per-dim sums (a mergeable
+    * array-accumulator UDAF — [[graft.functions.DimSumAgg]] — so the
+    * corpus is never row-expanded ×d and the exchange carries one
+    * d-long block per (label, task)); every later stage is
+    * label-cardinality.
     */
   def embeddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
     // the two per-row sums of squares run through the codegen'd VecDot
@@ -959,11 +961,16 @@ object SimilarityOps {
       (sum(col("r_norm").cast("decimal(18,6)")).cast("double") /
         count(lit(1)).cast("double")).as("mean_norm"),
       sum(col("b_row").cast("decimal(28,0)")).as("b"))
-    val dimSums = perRow
-      .select(col("label"), posexplode(col("q")).as(Seq("d", "qv")))
-      .groupBy(col("label"), col("d"))
-      .agg(sum(col("qv")).as("sq"))
-    val a = dimSums.groupBy(col("label"))
+    // per-dim sums fold the unexploded q array in place (one 512 B block
+    // per (label, task) on the wire) instead of a d-fold posexplode of the
+    // corpus — same exact long sums, bit-identical downstream (VERDICT r9
+    // #3; see [[graft.functions.DimSumAgg]]). The squares then ride a
+    // label-cardinality explode of the AGGREGATED array — tiny.
+    val dimAgg = udaf(new graft.functions.DimSumAgg(DedupOps.EmbDim))
+    val dimSums = perRow.groupBy(col("label")).agg(dimAgg(col("q")).as("sqs"))
+    val a = dimSums
+      .select(col("label"), explode(col("sqs")).as("sq"))
+      .groupBy(col("label"))
       .agg(sum(col("sq").cast("decimal(19,0)") *
         col("sq").cast("decimal(19,0)")).as("a"))
     stats.join(a, Seq("label"))
