@@ -315,12 +315,33 @@ object Tables {
     *     `spark.graft.catalog.keyspace`/`spark.graft.catalog.table` — in a
     *     live deployment with the connector jar this IS the real
     *     CQL-backed scan, predicate pushdown included.
-    * The memo key carries the format, so switching mid-session never
-    * serves a stale branch.
+    * The memo key carries the format AND the branch-specific confs
+    * (path / keyspace+table), so switching either mid-session never
+    * serves a stale snapshot (ADVICE r9: a format-only key re-served the
+    * previous path's read after a `spark.graft.catalog.path` change).
     */
+  /** Memo-key suffix identifying the catalog SOURCE a session is reading:
+    * format plus its branch-specific confs. Every derived table downstream
+    * of [[catalog]] (schema tables, per-table command fixtures) carries it
+    * too, so a mid-session source switch re-derives the whole lineage
+    * instead of serving any stale layer (ADVICE r9).
+    */
+  private def catalogBranchKey(spark: SparkSession): String = {
+    val fmt = spark.conf.get("spark.graft.catalog.format", "derived")
+    fmt match {
+      case "derived" => fmt
+      case "parquet" =>
+        s"$fmt@${spark.conf.get("spark.graft.catalog.path", "")}"
+      case connector =>
+        s"$connector@${spark.conf.get("spark.graft.catalog.keyspace", "geomesa")}" +
+          s".${spark.conf.get("spark.graft.catalog.table", "catalog")}"
+    }
+  }
+
   def catalog(spark: SparkSession, sfDir: String): DataFrame = {
     val fmt = spark.conf.get("spark.graft.catalog.format", "derived")
-    derived(spark, sfDir, s"catalog@$fmt") {
+    val branchKey = catalogBranchKey(spark)
+    derived(spark, sfDir, s"catalog@$branchKey") {
       fmt match {
         case "derived" => catalogDerived(spark, sfDir)
         case "parquet" =>
@@ -371,7 +392,7 @@ object Tables {
     * `identify_schema_tables` yields (/root/reference/geomesa_cassandra.py:48-52).
     */
   def schemaTables(spark: SparkSession, sfDir: String): DataFrame =
-    derived(spark, sfDir, "schema_tables") {
+    derived(spark, sfDir, s"schema_tables@${catalogBranchKey(spark)}") {
       catalog(spark, sfDir)
         .select(col("sft"), lower(trim(col("value"))).as("table_name"))
         .where(col("table_name").startsWith("catalog"))
@@ -397,7 +418,7 @@ object Tables {
     * lines, as one `CmdResult`-shaped row per node (SURVEY §1 #4).
     */
   def compactionStdout(spark: SparkSession, sfDir: String): DataFrame =
-    derived(spark, sfDir, "compaction_stdout") {
+    derived(spark, sfDir, s"compaction_stdout@${catalogBranchKey(spark)}") {
       compactionLines(spark, sfDir)
         .groupBy(col("node"))
         .agg(concat(lit("pending tasks: 2\n"),
@@ -410,7 +431,7 @@ object Tables {
     * reference's snapshot regex (/root/reference/node.py:153).
     */
   def snapshotLines(spark: SparkSession, sfDir: String): DataFrame =
-    derived(spark, sfDir, "snapshot_lines") {
+    derived(spark, sfDir, s"snapshot_lines@${catalogBranchKey(spark)}") {
       val nodes = registry(spark, sfDir).select(col("name").as("node"))
       val tabs = schemaTables(spark, sfDir).select(col("table_name"))
       nodes.crossJoin(tabs)
@@ -427,7 +448,7 @@ object Tables {
     * `CREATE TABLE`, /root/reference/node.py:174-180).
     */
   def describeResults(spark: SparkSession, sfDir: String): DataFrame =
-    derived(spark, sfDir, "describe_results") {
+    derived(spark, sfDir, s"describe_results@${catalogBranchKey(spark)}") {
       schemaTables(spark, sfDir).select(
       col("sft"), col("table_name"),
       when(h24(col("table_name")) % 7 === 0, lit(""))

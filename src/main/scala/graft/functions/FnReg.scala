@@ -32,7 +32,15 @@ private[functions] object FnReg {
            builder: Seq[Expression] => Expression): Unit = {
     val _ = hookRegistered
     val key = (System.identityHashCode(spark), name)
-    if (owned.add(key))
+    // ownership alone is not sufficient: identityHashCode can recycle, so a
+    // NEW session could inherit a stale "owned" claim and skip registration
+    // entirely (undefined-function failure). Pair the claim with a registry
+    // lookup — re-register whenever the name is absent, even if "owned"
+    // (ADVICE r9). The lookup is a driver-side map read per column build,
+    // not per row.
+    val present = spark.sessionState.functionRegistry
+      .lookupFunctionBuilder(FunctionIdentifier(name)).isDefined
+    if (owned.add(key) || !present)
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
   }

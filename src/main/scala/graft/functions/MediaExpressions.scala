@@ -335,7 +335,13 @@ object QoiDecode {
       val colorspace = bytes(13) & 0xff
       if (w <= 0 || h <= 0 || (channels != 3 && channels != 4) ||
         colorspace > 1) throw Malformed
-      val npx = w * h // Long: no overflow for any pair of u32 dims
+      // u32·u32 can wrap a Long — reject adversarial dims outright instead
+      // of relying on a wrapped (negative) npx falling through the strict
+      // stream-exhaustion check (ADVICE r9). Any genuine QOI raster is
+      // bounded far below this: each op byte covers ≤ 62 pixels, so a
+      // stream of n bytes can never legitimately declare > 62n pixels.
+      if (w > Long.MaxValue / h || w * h > 62L * n) throw Malformed
+      val npx = w * h
       val idx = new Array[Int](64)
       var r = 0; var g = 0; var b = 0; var a = 255
       val sums = new Array[Long](3)
