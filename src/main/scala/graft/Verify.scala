@@ -21,6 +21,10 @@ object Verify {
     // Optional trailing names restrict the dump (fast dev loop via
     // tools/check.py <sf> <out> <names...>); the driver passes none.
     val only = args.drop(2).toSet
+    // a typo'd restriction must abort, not silently dump nothing for the
+    // misspelled query while the rest reads as success (ADVICE r9 class)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "240").toLong
     val spark = SparkSession.builder()

@@ -51,7 +51,21 @@ object TxTable {
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
-  /** Parse every committed version in order. */
+  /** Parse every committed version in order.
+    *
+    * Integrity contract (VERDICT r9 #5): a commit file must parse as
+    * complete — first line `commitInfo`, last line an `end` marker whose
+    * count equals the number of action lines — or reading FAILS LOUDLY
+    * naming the version. The atomic-rename publish makes torn commits
+    * impossible under normal operation, so a malformed file here means
+    * storage corruption (truncation, partial restore), and the one thing a
+    * table format must never do with corruption is silently skip actions:
+    * a dropped `remove` resurrects deleted rows, a dropped `add` loses
+    * acknowledged writes, and both read as "success". Without the end
+    * marker a truncation that severs whole trailing lines is structurally
+    * undetectable (every remaining line still parses) — that broken-variant
+    * behavior is pinned by AcidSpec's corruption case.
+    */
   def commits(root: String): Seq[Commit] = {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -60,12 +74,21 @@ object TxTable {
       .toSeq.sortBy(_.getFileName.toString)
       .map { p =>
         val version = p.getFileName.toString.stripSuffix(".json").toLong
-        var op = "unknown"
+        def corrupt(why: String): Nothing = throw new IllegalStateException(
+          s"corrupt commit log $p (version $version): $why")
+        var op = ""
         var metrics = Map.empty[String, Long]
+        var actions = 0
+        var endCount = -1L
         val adds = Seq.newBuilder[String]
         val removes = Seq.newBuilder[String]
-        Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
+        val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty)
+        if (lines.isEmpty) corrupt("empty file")
+        lines.foreach { line =>
+          val node =
+            try mapper.readTree(line)
+            catch { case e: com.fasterxml.jackson.core.JacksonException =>
+              corrupt(s"unparseable line: ${e.getMessage}") }
           if (node.has("commitInfo")) {
             val ci = node.get("commitInfo")
             op = ci.get("op").asText()
@@ -73,9 +96,14 @@ object TxTable {
             metrics = m.properties().asScala
               .map(e => e.getKey -> e.getValue.asLong()).toMap
           }
-          if (node.has("add")) adds += node.get("add").asText()
-          if (node.has("remove")) removes += node.get("remove").asText()
+          if (node.has("add")) { adds += node.get("add").asText(); actions += 1 }
+          if (node.has("remove")) { removes += node.get("remove").asText(); actions += 1 }
+          if (node.has("end")) endCount = node.get("end").asLong()
         }
+        if (op.isEmpty) corrupt("no commitInfo line")
+        if (endCount < 0) corrupt("no end marker (truncated?)")
+        if (endCount != actions)
+          corrupt(s"end marker declares $endCount actions, found $actions")
         Commit(version, op, metrics, adds.result(), removes.result())
       }
   }
@@ -158,6 +186,11 @@ object TxTable {
       val n = mapper.createObjectNode(); n.put("remove", r): Unit
       lines += mapper.writeValueAsString(n)
     }
+    // trailing integrity marker: action count, so any truncation — even one
+    // severing whole lines — is detectable at read time (see [[commits]])
+    val endN = mapper.createObjectNode()
+    endN.put("end", (adds.size + removes.size).toLong): Unit
+    lines += mapper.writeValueAsString(endN)
     val tmp = Files.createTempFile(logDir(root), ".commit", ".tmp")
     Files.write(tmp, lines.result().mkString("\n").getBytes("UTF-8"))
     val target = logDir(root).resolve(f"$version%020d.json")

@@ -135,6 +135,98 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 9)
   }
 
+  // ------------------------------------------------- fault injection (r10)
+
+  test("crash between data-file write and commit publish: orphans are invisible and vacuumable") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 20, "base").repartition(1))
+    // simulate the crash: stage data files exactly the way a writer does
+    // (uuid-named parts under data/), then die before tryCommit — so no
+    // log entry ever names them
+    val stage = java.nio.file.Paths.get(root, "crash_stage")
+    frame(900 to 909, "orphan").repartition(2)
+      .write.mode("overwrite").parquet(stage.toString)
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    import scala.jdk.CollectionConverters._
+    val orphans = java.nio.file.Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).map { p =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        java.nio.file.Files.move(p, dataDir.resolve(name))
+        name
+      }.toSeq
+    assert(orphans.size == 2)
+    // the BROKEN-VARIANT reader (path listing instead of log replay) sees
+    // the orphan rows — this is the wrong answer the log protects against
+    assert(spark.read.parquet(dataDir.toString).count() == 30)
+    // the log-driven reader does not
+    assert(TxTable.read(spark, root).count() == 20)
+    // and vacuum reclaims exactly the orphans, even at full retention
+    val reclaimed = TxTable.vacuum(root, keepFromVersion = 0L)
+    assert(reclaimed.toSet == orphans.toSet)
+    assert(TxTable.read(spark, root).count() == 20)
+    assert(spark.read.parquet(dataDir.toString).count() == 20)
+  }
+
+  test("vacuum vs a reader on an old snapshot: retained versions keep their files; below retention fails loudly") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 40, "a").repartition(1)) // v0
+    TxTable.delete(spark, root, $"id" <= 20) // v1 rewrites v0's one file
+    val v0Live = TxTable.snapshot(root, Some(0L)).liveFiles.toSet
+    val latestLive = TxTable.snapshot(root).liveFiles.toSet
+    // the broken variant computes referenced files from the LATEST snapshot
+    // only — under that rule v0's rewritten-away file is garbage, so this
+    // test distinguishes the two rules before asserting anything
+    assert((v0Live -- latestLive).nonEmpty)
+    val reader0 = TxTable.read(spark, root, asOf = Some(0L)) // old reader in flight
+    // retention keeps v0: nothing may be reclaimed...
+    assert(TxTable.vacuum(root, keepFromVersion = 0L).isEmpty)
+    // ...and the in-flight old-snapshot reader still materializes fully
+    assert(reader0.count() == 40)
+    // dropping retention below the reader reclaims exactly v0's dead file
+    assert(TxTable.vacuum(root, keepFromVersion = 1L).toSet ==
+      (v0Live -- latestLive))
+    // time travel below retention now fails LOUDLY (missing path), never
+    // returns a silently partial table
+    intercept[Exception] {
+      TxTable.read(spark, root, asOf = Some(0L)).count()
+    }: Unit
+    assert(TxTable.read(spark, root).count() == 20)
+  }
+
+  test("corrupt or truncated commit log fails loudly, never silently skips actions") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 30, "a").repartition(1)) // v0
+    TxTable.delete(spark, root, $"id" <= 10) // v1: add(survivor)+remove(v0)
+    val log1 = java.nio.file.Paths.get(root, "_log", f"${1L}%020d.json")
+    val intact = java.nio.file.Files.readAllBytes(log1)
+    val lines = new String(intact, "UTF-8").split("\n")
+    assert(lines.length == 4) // commitInfo, add, remove, end marker
+    // (a) truncation severing WHOLE trailing lines (remove + end marker):
+    // every surviving line still parses — the pre-r10 reader accepted this
+    // silently, resurrecting the 10 deleted rows next to their rewrite.
+    // Pin that the broken variant really is blind to this corruption:
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.dropRight(2).foreach(l => om.readTree(l)) // parses clean
+    java.nio.file.Files.write(log1,
+      lines.dropRight(2).mkString("\n").getBytes("UTF-8"))
+    val eA = intercept[IllegalStateException](TxTable.commits(root))
+    assert(eA.getMessage.contains("version 1") &&
+      eA.getMessage.contains("end marker"), eA.getMessage)
+    // (b) byte-level truncation mid-line: unparseable JSON, named version
+    java.nio.file.Files.write(log1, intact.dropRight(5))
+    val eB = intercept[IllegalStateException](TxTable.commits(root))
+    assert(eB.getMessage.contains("version 1"), eB.getMessage)
+    // (c) truncated to empty: loud, not an empty no-op commit
+    java.nio.file.Files.write(log1, Array.empty[Byte])
+    val eC = intercept[IllegalStateException](TxTable.commits(root))
+    assert(eC.getMessage.contains("empty"), eC.getMessage)
+    // reads go through commits() — the corruption can never reach a result
+    intercept[IllegalStateException](TxTable.read(spark, root).count()): Unit
+    // restoring the bytes restores the table verbatim
+    java.nio.file.Files.write(log1, intact)
+    assert(TxTable.read(spark, root).count() == 20)
+  }
+
   test("clearDerived drops the staged-table memo: snapshots rebuild, never read a deleted root") {
     import graft.operators.AcidOps
     // populate the memo (and the staged mutation history) ...

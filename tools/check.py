@@ -50,6 +50,12 @@ def main():
         run_verify(sfdir, outdir, sorted(only))
 
     oracle = json.loads(Path(outdir, "oracle_sql.json").read_text())
+    # a typo'd name filter must fail loudly, not silently under-cover while
+    # the run still prints "N ok, 0 fail" (ADVICE r9, same class as the
+    # check_oracles.py shard filter)
+    unknown = only - oracle.keys()
+    if unknown:
+        sys.exit(f"FATAL: names not in oracle_sql.json: {sorted(unknown)}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
