@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.sources.TxTable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1029,9 +1030,65 @@ object DedupOps {
     * candidate docs only — work scales with the batch and its match
     * surface, not the corpus.
     */
-  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalAgainst(spark, sfDir,
+      minhashBands(spark, sfDir).where(col("doc_id") % 2 === 0))
+
+  /** Root of the PERSISTED MinHash index — the band-signature table as a
+    * [[graft.sources.TxTable]], built once per (session, sfDir) as two
+    * committed versions (VERDICT r9 #8, X-P27 ⋈ X-M2):
+    *   v0 `index_batch0`  the accumulated index (even doc_ids);
+    *   v1 `index_batch1`  today's batch ingested after its dedup ran.
+    * This is the cross-run shape of incremental dedup: the index survives
+    * as a real table with provenance (`TxTable.history`), each day's run
+    * dedups against the PRE-INGEST snapshot (time travel to v0 — exactly
+    * the reader-isolation the ACID format already guarantees), then
+    * appends its own signatures for tomorrow. At 100 TB the committed
+    * parquet is the stored artifact that never recomputes; TTL/vacuum
+    * retire old signature files through the same log.
+    */
+  private val idxBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private lazy val idxClearHook: Boolean = {
+    Tables.onClearDerived { id =>
+      idxBuilt.keys.filter(_._1 == id).foreach(idxBuilt.remove)
+    }
+    true
+  }
+  private[graft] def minhashIndexTx(spark: SparkSession, sfDir: String): String = {
+    val _ = idxClearHook
+    idxBuilt.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_minhash_idx")
+      val bands = minhashBands(spark, sfDir)
+      TxTable.append(spark, root, bands.where(col("doc_id") % 2 === 0),
+        op = "index_batch0")
+      TxTable.append(spark, root, bands.where(col("doc_id") % 2 === 1),
+        op = "index_batch1")
+      root
+    })
+  }
+
+  /** [[incrementalDedup]] against the PERSISTED index: the stored-table
+    * side reads the TxTable snapshot AS OF v0 — the pre-ingest index —
+    * through the commit log (parquet files on disk, not a recomputed
+    * lineage), so the oracle equivalence proves the two-batch
+    * persisted-index run reproduces the one-shot recompute bit-for-bit
+    * (it SHARES `dd_incremental`'s oracle SQL). The companion query
+    * `xacid_dedup_index` verifies the index table's own recorded history.
+    */
+  def incrementalDedupTx(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalAgainst(spark, sfDir,
+      TxTable.read(spark, minhashIndexTx(spark, sfDir), asOf = Some(0L)))
+
+  /** Per-version history of the persisted MinHash index. */
+  def dedupIndexHistory(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.history(spark, minhashIndexTx(spark, sfDir))
+      .select(col("version"), col("op"), col("rows_written"))
+
+  private def incrementalAgainst(spark: SparkSession, sfDir: String,
+                                 indexBands: DataFrame): DataFrame = {
     val bands = minhashBands(spark, sfDir)
-    val idx = guardBuckets(bands.where(col("doc_id") % 2 === 0), "band_no", "band_key")
+    val idx = guardBuckets(indexBands, "band_no", "band_key")
       .select(col("doc_id").as("index_doc"), col("band_no"), col("band_key"))
     val bat = guardBuckets(bands.where(col("doc_id") % 2 === 1), "band_no", "band_key")
       .select(col("doc_id").as("batch_doc"), col("band_no"), col("band_key"))

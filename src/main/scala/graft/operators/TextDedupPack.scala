@@ -95,6 +95,8 @@ object TextDedupPack extends QueryPack {
     "tx_perplexity_buckets" -> ((s, d) => TextOps.perplexityBuckets(s, d)),
     "tx_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
+    "dd_incremental_tx" -> ((s, d) => DedupOps.incrementalDedupTx(s, d)),
+    "xacid_dedup_index" -> ((s, d) => DedupOps.dedupIndexHistory(s, d)),
     "dd_fuzzy_decontam" -> ((s, d) => DedupOps.fuzzyDecontam(s, d)),
     "tx_leak_safe_splits" -> ((s, d) => TextOps.leakSafeSplits(s, d)),
   )
@@ -317,7 +319,7 @@ object TextDedupPack extends QueryPack {
        |)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "tx_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -1477,6 +1479,16 @@ object TextDedupPack extends QueryPack {
     // asymmetric candidate join — then exact Jaccard with the integer
     // 3·|∩| >= |A|+|B| half cut; guard replay unneeded (no bucket nears
     // the cap at this SF — same argument as dd_minhash_candidates)
+    // the persisted MinHash index's recorded provenance: two appends whose
+    // row metrics equal the per-parity band counts (dd_incremental_tx
+    // itself SHARES dd_incremental's oracle — see `oracles` below)
+    "xacid_dedup_index" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte)(
+        """SELECT CAST(0 AS BIGINT) AS version, 'index_batch0' AS op,
+          |  (SELECT count(*) FROM bands WHERE doc_id % 2 = 0) AS rows_written
+          |UNION ALL
+          |SELECT CAST(1 AS BIGINT), 'index_batch1',
+          |  (SELECT count(*) FROM bands WHERE doc_id % 2 = 1)""".stripMargin),
     "dd_incremental" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte,
         """icand AS (
@@ -1695,6 +1707,14 @@ object TextDedupPack extends QueryPack {
          |FROM m""".stripMargin
     },
   )
+
+  /** The persisted-index incremental run must reproduce the one-shot
+    * recompute bit-for-bit: `dd_incremental_tx` (TxTable snapshot read at
+    * v0) SHARES `dd_incremental`'s oracle SQL, so the driver's hash
+    * compare IS the equivalence proof (VERDICT r9 #8).
+    */
+  val oracles: Map[String, String] =
+    baseOracles + ("dd_incremental_tx" -> baseOracles("dd_incremental"))
 
   private def stopSeq: Seq[String] = TextFunctions.LangProfiles.head._2
 

@@ -692,6 +692,32 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupTx: persisted-index run equals the one-shot recompute; history records both batches") {
+    // the stored-table path (TxTable snapshot at v0, parquet on disk) must
+    // reproduce the in-lineage recompute bit-for-bit — the same equivalence
+    // the shared driver oracle checks (VERDICT r9 #8)
+    val oneShot = DedupOps.incrementalDedup(spark, Sf).collect()
+      .map(_.toString).sorted.toSeq
+    val viaTx = DedupOps.incrementalDedupTx(spark, Sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(oneShot == viaTx && oneShot.nonEmpty)
+    // the index table's provenance: v0 = accumulated index, v1 = today's
+    // batch ingested after its dedup, metrics = per-parity band counts
+    val h = DedupOps.dedupIndexHistory(spark, Sf).collect().sortBy(_.getLong(0))
+    assert(h.map(_.getString(1)).toSeq == Seq("index_batch0", "index_batch1"))
+    val bands = DedupOps.minhashBands(spark, Sf)
+    assert(h(0).getLong(2) == bands.where(col("doc_id") % 2 === 0).count())
+    assert(h(1).getLong(2) == bands.where(col("doc_id") % 2 === 1).count())
+    // the dedup read is genuinely the v0 snapshot: the full table (v1)
+    // also holds the batch's signatures
+    val root = DedupOps.minhashIndexTx(spark, Sf)
+    import graft.sources.TxTable
+    assert(TxTable.read(spark, root, asOf = Some(0L))
+      .where(col("doc_id") % 2 === 1).count() == 0)
+    assert(TxTable.read(spark, root)
+      .where(col("doc_id") % 2 === 1).count() > 0)
+  }
+
   test("dupSpans: coverage matches a driver-side recompute of cross-doc 5-gram spans") {
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap

@@ -31,11 +31,14 @@ def cache_path(sf_dir):
     return os.path.join(REPO, "target", "scale", f"bench_{label}.json")
 
 
-def run_bench(sf_dir, use_cache=False):
+def run_bench(sf_dir, use_cache=False, only=None, stage_only=None):
     """One Bench run at sf_dir -> detail dict. Every run is cached to
     target/scale/bench_<sf>.json; --use-cache reuses an existing cache so a
     single contention-suspect point can be re-measured on a quiet machine
     and spliced with the clean points instead of re-running everything.
+    `only`/`stage_only` restrict the run (the 100x deep points, where a
+    full-suite run would spend ~an hour on queries whose curves are
+    already pinned by the 3 standard points).
     """
     cp = cache_path(sf_dir)
     if use_cache and os.path.exists(cp):
@@ -45,6 +48,10 @@ def run_bench(sf_dir, use_cache=False):
     # and override only the two graft knobs
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(sorted(only))
+    if stage_only is not None:
+        env["SPARK_GRAFT_STAGE_ONLY"] = ",".join(sorted(stage_only)) or "none"
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=7200)
@@ -98,9 +105,49 @@ def fmt_r(r):
     return "—" if r is None else f"{r:.1f}x"
 
 
+DEEP_DIR = os.path.join(REPO, "target", "scale", "sf10.0")
+
+
+def deep100(names):
+    """Targeted 4th scale point (VERDICT r9 #4): time ONLY `names` on the
+    100x corpus (make_scale.py 100 -> target/scale/sf10.0), skipping the
+    stage phase (none of the worst-decile scalers read staged tables — they
+    scan the corpus directly). Results cache to bench_sf10.0.json; the main
+    SCALING.md writer appends the deep-point section whenever that cache
+    exists. Timing-only by design: the all-pairs DuckDB twins are
+    known-infeasible past 10x, so there is no oracle replay here.
+    """
+    if not os.path.isdir(DEEP_DIR):
+        sys.exit(f"no 100x corpus at {DEEP_DIR}; run "
+                 "`python3 tools/make_scale.py 100 /root/testdata/sf0.1 "
+                 f"{DEEP_DIR}` first")
+    detail = run_bench(DEEP_DIR, only=set(names), stage_only=set())
+    missing = set(names) - set(detail.get("queries", {}))
+    if missing:
+        sys.exit(f"deep100 queries not in bench detail: {sorted(missing)}")
+    print("deep100 cached:", {q: detail["queries"][q] for q in sorted(names)})
+
+
+def load_deep():
+    """(names, detail) of the cached 100x deep point, or (None, None)."""
+    cp = cache_path(DEEP_DIR)
+    if not os.path.exists(cp):
+        return None, None
+    with open(cp) as f:
+        detail = json.load(f)
+    return sorted(detail.get("queries", {})), detail
+
+
 def main():
     args = sys.argv[1:]
     use_cache = "--use-cache" in args
+    if "--deep100" in args:
+        i = args.index("--deep100")
+        deep100([n for n in args[i + 1].split(",") if n])
+        args = args[:i] + args[i + 2:]
+        if not args:
+            args = ["--use-cache"]  # refresh SCALING.md from cached points
+            use_cache = True
     dirs = [a for a in args if a != "--use-cache"]
     if not dirs:
         dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -166,6 +213,35 @@ def main():
                 f.write(f"- `{q}` ({', '.join(fmt_t(t) for t in ts)})\n")
             f.write("\n")
         table(f, rows)
+        deep_names, deep_detail = load_deep()
+        if deep_names:
+            # targeted 4th point (VERDICT r9 #4): worst-decile scalers only,
+            # timing-only (all-pairs oracle twins are infeasible past 10x)
+            f.write("\n## 100x deep points (timing-only, worst-decile scalers)\n\n"
+                    "One `graft.Bench` run at `target/scale/sf10.0` (a 100x "
+                    "sf0.1 corpus from `tools/make_scale.py 100`), restricted "
+                    "to the queries whose r2 ratio led the table above; no "
+                    "staging (none reads staged tables) and no oracle replay "
+                    "(the quadratic DuckDB twins are documented-infeasible "
+                    "past 10x). `r3` = t(100x)/t(10x) against the segment's "
+                    "10x size ratio — the direct check that the steep r2 "
+                    "ratios were constant-cost dilution ending, not a "
+                    "super-linear bend.\n\n")
+            f.write("| query | t(sf1) s | t(sf10) s | r3 (≤10x) | |\n")
+            f.write("|---|---|---|---|---|\n")
+            deep_flagged = []
+            for q in deep_names:
+                t10 = runs[-1][1].get("queries", {}).get(q) if runs else None
+                t100 = deep_detail["queries"].get(q)
+                r3 = (t100 / t10) if (t10 and t100 and t10 > 0 and t100 > 0) \
+                    else None
+                mark = "**FLAG**" if r3 is not None and r3 > 10.0 else ""
+                if mark:
+                    deep_flagged.append(q)
+                f.write(f"| {q} | {fmt_t(t10)} | {fmt_t(t100)} | "
+                        f"{fmt_r(r3)} | {mark} |\n")
+            f.write(f"\nDeep-point flags: {len(deep_flagged)}/"
+                    f"{len(deep_names)}.\n")
         f.write("\n## Staging builds (one-time per session; `stage_detail`)\n\n")
         if all(s is not None for s in stage_totals):
             f.write("Stage-phase totals: "
