@@ -55,9 +55,20 @@ object DeterminismLint {
     "xt_psi_drift" -> "Σ over ≤10 smoothed deciles of (p−q)·ln(p/q), terms O(1)",
     "tx_source_js_drift" -> "JS over ≤256-bucket broadcast distributions, probability terms ≤ 1",
     "xt_seasonality_strength" -> "explicit moments over the DAY-cardinality series (~2.4k terms); variance ratios O(1), drift ~1e-12 vs 1e-6 grid",
-    // -- documented magnitude argument carried in the op's scaladoc.
-    "tx_token_entropy" -> "Σ c·log c relative drift ~n·2^-53; the TextOps.tokenEntropy tolerance argument",
-    "tx_dsir_weights" -> "per-doc feature sums (≤ shingle count ~1e3) of ±ln-capped ratios; drift ~1e-10 vs 1e-6 grid")
+    // -- PER-DOCUMENT log-term sums: the sum is keyed by doc_id, so its
+    // term count is bounded by DOCUMENT size — a quantity that does not
+    // grow with the corpus (100 TB means more documents, not bigger ones).
+    // Drift ≤ tokens_per_doc·ulp(max term) ~ 1e4·2⁻⁴⁰ abs ≈ 1e-8 against
+    // the 1e-6 grid, corpus-growth-INDEPENDENT — unlike the retired pca
+    // entry, whose matvec summed the whole corpus. Anchoring these is
+    // deliberately REJECTED: the terms are c·log2(c) / ln-ratio chains,
+    // and floor-quantizing a log term is only cross-engine-stable up to
+    // the engines' libm ulp disagreement (JVM fdlibm vs DuckDB libm), a
+    // flip risk that scales with corpus CELL count — strictly worse than
+    // the scale-free bound it would replace. Perturbation-gated at 10x
+    // fixture magnitudes (PropertySpec representatives, f4fe352).
+    "tx_token_entropy" -> "per-DOC Σ c·log2 c (terms ≤ doc tokens, corpus-growth-independent); quantized-log anchoring rejected: libm-ulp floor flips scale with corpus cells",
+    "tx_dsir_weights" -> "per-DOC feature sums (≤ doc bigrams) of ±ln-capped ratios, drift ~1e-10 vs 1e-6 grid, corpus-growth-independent; same log-term anchoring rejection as tx_token_entropy")
 
   /** Offending expression strings for `df`'s plan, empty when clean or
     * whitelisted. */
