@@ -98,6 +98,7 @@ object Bench {
       "dd_minhash_index_tx"   -> (() => DedupOps.minhashIndexTx(spark, sfDir): Unit),
       "md_png_payloads"       -> (() => MediaOps.pngPayloads(spark, sfDir).count(): Unit),
       "md_qoi_payloads"       -> (() => MediaOps.qoiPayloads(spark, sfDir).count(): Unit),
+      "md_flac_payloads"      -> (() => MediaOps.flacPayloads(spark, sfDir).count(): Unit),
       "acid_txtable"          -> (() => AcidOps.ordersTxTable(spark, sfDir): Unit),
       "fmt_avro"              -> (() => sources.Formats.avroRoundtrip(spark, sfDir).count(): Unit),
       "fmt_exports"           -> (() => sources.Formats.stageAll(spark, sfDir)))

@@ -620,6 +620,7 @@ object MediaExpressions {
     FnReg.once(spark, "wav_stats", exprs => WavStats(exprs.head))
     FnReg.once(spark, "png_stats", exprs => PngStats(exprs.head))
     FnReg.once(spark, "qoi_stats", exprs => QoiStats(exprs.head))
+    FnReg.once(spark, "flac_stats", exprs => FlacStats(exprs.head))
     FnReg.once(spark, "ppm_ahash", exprs => PpmAHashExpr(exprs.head))
   }
 
@@ -656,5 +657,14 @@ object MediaExpressions {
   def qoiStats(spark: SparkSession, payload: Column): Column = {
     ensureRegistered(spark)
     call_function("qoi_stats", payload)
+  }
+
+  /** Decoded STREAMINFO fields + exact sample stats for a binary FLAC
+    * column (CRC-verified frame walk, partitioned-Rice entropy decode,
+    * fixed-predictor reconstruction).
+    */
+  def flacStats(spark: SparkSession, payload: Column): Column = {
+    ensureRegistered(spark)
+    call_function("flac_stats", payload)
   }
 }

@@ -394,6 +394,166 @@ object MediaOps {
     out.toByteArray
   }
 
+  /** A staged FLAC payload row. */
+  case class FlacRow(doc_id: Long, payload: Array[Byte])
+
+  /** FLAC frame block size used by the fixture encoder: small enough that
+    * the sample ladder (64·(1+h24%8) ≤ 512 samples) produces one OR two
+    * frames per stream — so the multi-frame walk, the short last block,
+    * and two different fixed-predictor orders (frame_no % 3) all occur in
+    * every corpus. */
+  val FlacBlockSize = 256
+
+  /** Real FLAC audio payloads — the third compressed codec, and the first
+    * entropy-coded one, through the media-column contract (VERDICT r9 #8,
+    * option A): deterministic 16-bit mono PCM from the corpus — sample i =
+    * (ascii(char i of repeat(md5(text),16)) − 80)·257 over 64·(1+h24%8)
+    * samples, so the DuckDB oracle rebuilds the exact samples by column
+    * arithmetic — encoded as a GENUINE fixed-predictor-subset FLAC stream
+    * ([[encodeFlac]]: STREAMINFO, CRC-8-stamped frame headers, fixed
+    * predictors of order frame_no % 3 with verbatim warmup, Rice-coded
+    * zigzag residuals, CRC-16 frame trailers). Bit packing needs stateful
+    * unary/rice writers SQL can't express, so the payload table is a typed
+    * mapPartitions render staged once per session (the [[pngPayloads]]
+    * pattern). FLAC is LOSSLESS: the decode query must reproduce the
+    * oracle's PCM stats exactly or the Rice/predictor inversion is wrong.
+    */
+  def flacPayloads(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "flac_payloads") {
+      import spark.implicits._
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (docId, text) =>
+            digest.reset()
+            val hex = digest.digest(text.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val n = (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 8 + 1).toInt * 64
+            val rep = (hex * 16).substring(0, n)
+            val samples = rep.map(c => (c.toInt - 80) * 257).toArray
+            FlacRow(docId, encodeFlac(samples, FlacBlockSize))
+          }
+        }.toDF()
+    }
+
+  /** MSB-first bit writer for [[encodeFlac]]; byte-aligned snapshots feed
+    * the CRC stamps. */
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream(256)
+    private var cur = 0
+    private var nb = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nb += 1
+      if (nb == 8) { buf.write(cur); cur = 0; nb = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    def align(): Unit = while (nb != 0) bit(0)
+    def bytes: Array[Byte] = { require(nb == 0, "unaligned"); buf.toByteArray }
+  }
+
+  /** Encode 16-bit mono PCM as a real FLAC stream (fixed-predictor subset;
+    * wire format per the public xiph spec / RFC 9639): STREAMINFO with true
+    * min/max block sizes and total-sample count (frame sizes and PCM md5
+    * left 0 = unknown, as the spec allows); per frame — 14-bit sync,
+    * fixed-blocksize strategy, the explicit 16-bit block-size form,
+    * rate/size from STREAMINFO/16-bit codes, UTF-8-coded frame number,
+    * CRC-8; one FIXED subframe of order `frame_no % 3` (verbatim warmup,
+    * zigzag Rice residuals at a mean-derived parameter, partition order 0);
+    * byte padding; CRC-16 over the whole frame.
+    */
+  private[graft] def encodeFlac(samples: Array[Int], blockSize: Int): Array[Byte] = {
+    val chunks = samples.grouped(blockSize).toArray
+    val out = new java.io.ByteArrayOutputStream(samples.length + 128)
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new BitWriter
+    si.bits(0x80, 8)   // last-metadata-block = 1, type 0 (STREAMINFO)
+    si.bits(34, 24)    // block length
+    si.bits(chunks.map(_.length).min.toLong, 16)
+    si.bits(chunks.map(_.length).max.toLong, 16)
+    si.bits(0, 24); si.bits(0, 24) // min/max frame size: unknown
+    si.bits(8000, 20)  // sample rate
+    si.bits(0, 3)      // channels - 1
+    si.bits(15, 5)     // bits per sample - 1
+    si.bits(samples.length.toLong, 36)
+    var z = 0
+    while (z < 16) { si.bits(0, 8); z += 1 } // PCM md5: unknown
+    out.write(si.bytes)
+
+    chunks.zipWithIndex.foreach { case (chunk, f) =>
+      val w = new BitWriter
+      w.bits(0x3ffe, 14) // sync
+      w.bit(0)           // reserved
+      w.bit(0)           // fixed-blocksize strategy
+      w.bits(7, 4)       // block size: 16-bit value - 1 follows the number
+      w.bits(0, 4)       // sample rate: from STREAMINFO
+      w.bits(0, 4)       // channel assignment: 1 channel, independent
+      w.bits(4, 3)       // sample size: 16-bit
+      w.bit(0)           // reserved
+      require(f < 128, "fixture frame numbers fit one UTF-8 byte")
+      w.bits(f.toLong, 8)
+      w.bits(chunk.length.toLong - 1, 16)
+      val crc8At = w.bytes // aligned: 7 bytes
+      w.bits(graft.functions.FlacDecode.crc8(crc8At, 0, crc8At.length).toLong, 8)
+      // --- subframe: FIXED, order f % 3, no wasted bits ---
+      val order = f % 3
+      w.bit(0)
+      w.bits(8L + order, 6)
+      w.bit(0)
+      var i = 0
+      while (i < order) { w.bits(chunk(i).toLong & 0xffff, 16); i += 1 }
+      val resid = new Array[Long](chunk.length - order)
+      var k = order
+      while (k < chunk.length) {
+        resid(k - order) = order match {
+          case 0 => chunk(k).toLong
+          case 1 => chunk(k).toLong - chunk(k - 1)
+          case 2 => chunk(k).toLong - 2L * chunk(k - 1) + chunk(k - 2)
+        }
+        k += 1
+      }
+      val us = resid.map(r => if (r >= 0) 2L * r else -2L * r - 1)
+      var rice = 0
+      val total = us.sum
+      while (rice < 14 && (us.length.toLong << (rice + 1)) < total) rice += 1
+      w.bits(0, 2)    // residual method: Rice, 4-bit parameters
+      w.bits(0, 4)    // partition order 0
+      w.bits(rice.toLong, 4)
+      us.foreach { u =>
+        var q = (u >>> rice).toInt
+        while (q > 0) { w.bit(0); q -= 1 }
+        w.bit(1)
+        w.bits(u & ((1L << rice) - 1), rice)
+      }
+      w.align()
+      val frameBytes = w.bytes
+      w.bits(graft.functions.FlacDecode.crc16(frameBytes, 0, frameBytes.length).toLong, 16)
+      out.write(w.bytes)
+    }
+    out.toByteArray
+  }
+
+  /** REAL compressed-audio decode: parse the staged FLAC payloads with the
+    * native codegen'd [[graft.functions.FlacStats]] expression — CRC-
+    * verified frame walk, partitioned-Rice entropy decode, fixed-predictor
+    * reconstruction — and emit STREAMINFO fields plus exact sample stats.
+    * Same fused narrow-map shape as [[pngDecode]]: zero shuffle at any
+    * scale; the oracle recomputes the stats from the PCM RULE, so a
+    * decoder that shortcuts the Rice/predictor pipeline hash-mismatches
+    * (losslessness makes the equality exact, not approximate).
+    */
+  def flacDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = graft.functions.MediaExpressions.flacStats(spark, col("payload"))
+    flacPayloads(spark, sfDir)
+      .select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id") +:
+        graft.functions.FlacDecode.schema.fieldNames.toSeq
+          .map(f => col(s"s.$f").as(f)): _*)
+  }
+
   /** REAL compressed-format decode #2: parse the staged QOI payloads with
     * the native codegen'd [[graft.functions.QoiStats]] expression — strict
     * op-stream state machine (index table, diff/luma deltas, bulk runs,

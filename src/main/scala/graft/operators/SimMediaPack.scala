@@ -38,6 +38,7 @@ object SimMediaPack extends QueryPack {
     "md_wav_decode" -> ((s, d) => MediaOps.wavDecode(s, d)),
     "md_png_decode" -> ((s, d) => MediaOps.pngDecode(s, d)),
     "md_qoi_decode" -> ((s, d) => MediaOps.qoiDecode(s, d)),
+    "md_flac_decode" -> ((s, d) => MediaOps.flacDecode(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
     "sim_nprobe_curve" -> ((s, d) => SimilarityOps.nprobeCurve(s, d)),
     "md_ahash" -> ((s, d) => MediaOps.ahashTable(s, d)),
@@ -882,6 +883,33 @@ object SimMediaPack extends QueryPack {
          |  CAST(sum(b) AS BIGINT) AS s_sum, CAST(min(b) AS BIGINT) AS s_min,
          |  CAST(max(b) AS BIGINT) AS s_max, CAST(sum(b * b) AS BIGINT) AS sq_sum
          |FROM sb GROUP BY doc_id, n""".stripMargin
+    },
+    "md_flac_decode" -> {
+      // FLAC is LOSSLESS, so the oracle rebuilds the exact PCM from the
+      // generation rule — sample i = (ascii(char i of repeat(md5,16)) − 80)
+      // · 257 over 64·(1+h24%8) samples — and never sees the compressed
+      // bytes: a decoder that shortcuts the Rice/fixed-predictor pipeline
+      // hash-mismatches. Frame count replays the blocksize-256 split.
+      s"""WITH base AS (
+         |  SELECT doc_id, md5(text) AS hx,
+         |    64 * (1 + (${h24("text")} % 8)) AS n
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, n, unnest(range(1, n + 1)) AS i, hx FROM base
+         |), smp AS (
+         |  SELECT doc_id, n,
+         |    (ascii(substr(repeat(hx, 16), CAST(i AS INT), 1)) - 80) * 257 AS v
+         |  FROM px
+         |)
+         |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST((n + ${MediaOps.FlacBlockSize - 1}) // ${MediaOps.FlacBlockSize}
+         |       AS BIGINT) AS n_frames,
+         |  CAST(sum(v) AS BIGINT) AS s_sum, CAST(min(v) AS BIGINT) AS s_min,
+         |  CAST(max(v) AS BIGINT) AS s_max,
+         |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sq_sum
+         |FROM smp GROUP BY doc_id, n""".stripMargin
     },
     "md_frames" ->
       """SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,

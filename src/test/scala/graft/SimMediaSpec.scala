@@ -407,6 +407,86 @@ class SimMediaSpec extends SparkSpec {
     }
   }
 
+  test("FLAC wire format is pinned: crafted 4-sample stream encodes to the hand-derived bytes") {
+    // Derived independently from the xiph spec (RFC 9639) for samples
+    // [3, -2, 5, 0] at blockSize 4 — one frame, fixed order 0, zigzag
+    // residuals [6, 3, 10, 0], Rice parameter 2 (mean rule):
+    //   fLaC | STREAMINFO(0x80, len 34: min/max block 4, rate 8000, mono,
+    //   16 bps, total 4, md5 0) | frame: sync 0xfff8, 0x70 (16-bit-1
+    //   blocksize, rate-from-streaminfo), 0x08 (mono, 16-bit), frame#0,
+    //   blocksize-1=0x0003, CRC-8 0x13 | subframe 0x10 (fixed order 0) |
+    //   0x00 (method 00, porder 0) + rice nibble + residual bits
+    //   10|0110|111|00110|100 → 0x9b 0x9a, pad 0x00 | CRC-16 0x7662.
+    // Pinning exact bytes means encoder and decoder cannot share a
+    // misreading of the spec (the QOI discipline).
+    val expected = Array(
+      0x66, 0x4c, 0x61, 0x43, 0x80, 0x00, 0x00, 0x22, 0x00, 0x04, 0x00,
+      0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x01, 0xf4, 0x00, 0xf0,
+      0x00, 0x00, 0x00, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0xf8,
+      0x70, 0x08, 0x00, 0x00, 0x03, 0x13, 0x10, 0x00, 0x9b, 0x9a, 0x00,
+      0x76, 0x62).map(_.toByte)
+    val got = MediaOps.encodeFlac(Array(3, -2, 5, 0), 4)
+    assert(got.toSeq == expected.toSeq,
+      s"wire mismatch:\n got ${got.map("%02x".format(_)).mkString(" ")}\nwant ${expected.map("%02x".format(_)).mkString(" ")}")
+    // and the decoder inverts it exactly (lossless)
+    val s = graft.functions.FlacDecode.stats(expected)
+    assert(s != null)
+    val vals = (0 until 9).map(s.getLong)
+    assert(vals == Seq(8000L, 1L, 16L, 4L, 1L, 6L, -2L, 5L, 38L))
+  }
+
+  test("FlacDecode: corruption nulls — bit flip (CRC-16), header flip (CRC-8), truncation, LPC type") {
+    val stream = MediaOps.encodeFlac(Array.tabulate(300)(i => (i * 37) % 1000 - 500),
+      MediaOps.FlacBlockSize)
+    assert(graft.functions.FlacDecode.stats(stream) != null)
+    // flip one residual bit in the last frame body: frame CRC-16 must veto
+    val flip = stream.clone()
+    flip(flip.length - 5) = (flip(flip.length - 5) ^ 0x10).toByte
+    assert(graft.functions.FlacDecode.stats(flip) == null)
+    // flip a frame-header bit (blocksize field): CRC-8 must veto before any
+    // sample is decoded
+    val hdrFlip = stream.clone()
+    hdrFlip(46) = (hdrFlip(46) ^ 0x01).toByte // inside frame 0's header
+    assert(graft.functions.FlacDecode.stats(hdrFlip) == null)
+    // truncation mid-frame
+    assert(graft.functions.FlacDecode.stats(stream.take(stream.length - 3)) == null)
+    // an LPC subframe type is out of the verified subset: reject loudly.
+    // Rewrite frame 0's subframe header byte (fixed order 0 = 0x10) to LPC
+    // order 1 (type 100000 → byte 0x40) and restamp both CRCs so ONLY the
+    // type check can be the rejector.
+    val lpc = stream.clone()
+    val f0 = 42 // frame 0 offset (4 magic + 38 streaminfo)
+    assert((lpc(f0) & 0xff) == 0xff && (lpc(f0 + 8) & 0xff) == 0x10)
+    lpc(f0 + 8) = 0x40.toByte
+    // (CRC-8 covers only the header, which is unchanged; restamp CRC-16 of
+    // this frame — it runs to the end of frame 0. With one frame per 256
+    // samples and 300 samples there are two frames; find frame 1's sync.)
+    val f1 = (f0 + 9 until lpc.length - 1).find(i =>
+      (lpc(i) & 0xff) == 0xff && (lpc(i + 1) & 0xf8) == 0xf8).get
+    val c = graft.functions.FlacDecode.crc16(lpc, f0, f1 - 2)
+    lpc(f1 - 2) = ((c >> 8) & 0xff).toByte
+    lpc(f1 - 1) = (c & 0xff).toByte
+    assert(graft.functions.FlacDecode.stats(lpc) == null)
+  }
+
+  test("flacDecode: staged payloads decode to the exact PCM-rule stats (lossless inversion)") {
+    val got = MediaOps.flacDecode(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (1 to 9).map(i => r.getLong(i))).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+    assert(got.size == docs.length)
+    docs.foreach { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val n = (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 8 + 1).toInt * 64
+      val samples = (hex * 16).substring(0, n).map(c => ((c.toInt - 80) * 257).toLong)
+      val frames = (n + MediaOps.FlacBlockSize - 1) / MediaOps.FlacBlockSize
+      val expect = Seq(8000L, 1L, 16L, n.toLong, frames.toLong,
+        samples.sum, samples.min, samples.max, samples.map(v => v * v).sum)
+      assert(got(r.getLong(0)) == expect, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("semanticDedup: one verdict per vector; pruned iff a centroid-farther over-tau neighbor exists") {
     val verdicts = SimilarityOps.semanticDedup(spark, Sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
