@@ -1168,12 +1168,14 @@ object SimilarityOps {
     *     cache: 2080 rows of metadata, the corpus is never re-scanned by
     *     the iterations).
     *  2. Power iteration runs entirely on that matrix: [[PcIters]] unrolled
-    *     matvec+normalize rounds over 64-row tables (the kmeans/PageRank
-    *     unrolled-rounds precedent), every round's aggregations carried in
+    *     rounds whose MATVEC is a distributed aggregation over the cached
+    *     gram table (the d²-sized part), every aggregation carried in
     *     exact integer fixed point ([[PcVecScale]]) so the iterate is
-    *     bit-stable under any association at any scale. No corpus access,
-    *     no driver-side linear algebra — the eigenvector is itself a
-    *     (tiny) DataFrame.
+    *     bit-stable under any association at any scale; the d-row iterate
+    *     collects per round and its normalization scalars run driver-side
+    *     in the same exact arithmetic (the [[assignTo]] / MLlib-KMeans
+    *     per-iteration-collect discipline). No corpus access inside the
+    *     iterations.
     *  3. One more narrow corpus pass projects every embedding onto the
     *     broadcast direction (ordered codegen'd dot product).
     *
@@ -1182,39 +1184,48 @@ object SimilarityOps {
     * a rank-one mean correction to step 1.
     */
   def pcaPowerProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val cells = Tables.derived(spark, sfDir, "pca_gram")(gramMatrixUdaf(spark, sfDir))
     val full = cells.unionAll(cells.where(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("gram")))
     // anchored kernel (see [[PcVecScale]]): vi carries v·10⁶ as an exact
-    // integer between rounds; each round max-scales the exact matvec into
-    // wi = (u/max|u|)·10⁹ and L2-normalizes wi back to the 10⁻⁶ grid —
-    // both aggregations (Σ, max) are exact, both divisions per-cell scalars
-    val v0 = spark.range(DedupOps.EmbDim.toLong)
-      .select(col("id").as("i"), lit(PcVecScale / 8).as("vi")) // v = 0.125
-    val vN = (1 to PcIters).foldLeft(v0) { (v, _) =>
-      // matvec on exact integers: decimal(29,0)·decimal(8,0) → decimal(38,0)
-      val u = full.join(v.withColumnRenamed("i", "j"), Seq("j"))
+    // integer between rounds; each round's MATVEC runs distributed on the
+    // cached gram table (the part that scales with d² — matvec on exact
+    // integers: decimal(29,0)·decimal(8,0) → decimal(38,0), an exact
+    // order-free Sum), then the d-row iterate is COLLECTED and its
+    // normalization scalars (max|u|, Σwi², the two roundings) run
+    // driver-side in the same exact arithmetic — the [[assignTo]] /
+    // MLlib-KMeans per-iteration-collect discipline. Chaining the
+    // normalization as crossJoined sub-aggregations instead (the first
+    // r10 shape) re-references each round's lineage ~4×, and three
+    // unrolled rounds blow the FORMATTED plan to 10k+ lines of repeated
+    // subtrees for what is 64 rows of metadata math; the collect keeps
+    // plan depth constant per round. Value-identical: the driver math is
+    // BigInt/BigDecimal-exact, and the rounding recipe (shortest-repr
+    // HALF_UP — what Spark's `round` does on doubles) is pinned by the
+    // SimMediaSpec replay.
+    def rndL(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    var v: Seq[(Long, Long)] =
+      (0L until DedupOps.EmbDim.toLong).map(i => (i, PcVecScale / 8)) // 0.125
+    for (_ <- 1 to PcIters) {
+      val vDf = v.toDF("j", "vi")
+      val u: Seq[(Long, BigInt)] = full.join(broadcast(vDf), Seq("j"))
         .groupBy(col("i"))
         .agg(sum(col("gram").cast("decimal(29,0)") *
           col("vi").cast("decimal(8,0)")).as("u"))
-      val mx = u.agg(max(abs(col("u"))).as("mx"))
-      val w = u.crossJoin(broadcast(mx))
-        .select(col("i"),
-          round(col("u").cast("double") / col("mx").cast("double") *
-            lit(PcUnitScale.toDouble), 0).cast("long").as("wi"))
-      // Σ wi² exact: decimal(19,0)·decimal(18,0) → decimal(38,0)
-      val s2 = w.agg(sum(col("wi").cast("decimal(19,0)") *
-        col("wi").cast("decimal(18,0)")).as("s2"))
-      w.crossJoin(broadcast(s2))
-        .select(col("i"),
-          round(col("wi").cast("double") / sqrt(col("s2").cast("double")) *
-            lit(PcVecScale.toDouble), 0).cast("long").as("vi"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigIntegerExact)))
+      val mx = u.map(_._2.abs).max
+      val wi = u.map { case (i, x) =>
+        (i, rndL(x.toDouble / mx.toDouble * PcUnitScale)) }
+      val nrm = math.sqrt(wi.map { case (_, w) => BigInt(w) * w }.sum.toDouble)
+      v = wi.map { case (i, w) => (i, rndL(w.toDouble / nrm * PcVecScale)) }
     }
-    // the direction as one ordered array row (the meanCentroids pattern)
-    val vArr = vN.agg(transform(array_sort(collect_list(struct(col("i"), col("vi")))),
-      s => s.getField("vi").cast("double") / lit(PcVecScale.toDouble)).as("pc"))
-    Tables.embeddings(spark, sfDir).crossJoin(broadcast(vArr))
+    // the direction as a broadcast literal (the assignTo pattern)
+    val pc = typedLit(v.sortBy(_._1).map(_._2.toDouble / PcVecScale))
+    Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
-        round(dotD(spark, col("embedding"), col("pc")), 6).as("pc1"))
+        round(dotD(spark, col("embedding"), pc), 6).as("pc1"))
   }
 }
