@@ -549,4 +549,94 @@ object StreamingOps {
         out.iterator
     }
   }
+
+  /** Streaming incremental dedup — the ingest-time twin of
+    * [[graft.operators.DedupOps.incrementalDedupTx]] (X-P27 ⋈ X-M2 ⋈
+    * X-ST): documents arrive as a stream and are deduped, ON ARRIVAL,
+    * against the PERSISTED MinHash index (the TxTable snapshot at v0 —
+    * the same stored table the batch run reads). Entirely STATELESS:
+    *
+    *  - the arriving row's MinHash signature and band keys are NARROW
+    *    per-row expressions (min over the distinct-shingle array of the
+    *    salted h24 family — identical arithmetic to the batch
+    *    signature's groupBy form, since min is order-free);
+    *  - candidate retrieval is [[graft.operators.DedupOps.NumBands]]
+    *    stream-static LEFT joins, one per band, against the index
+    *    pre-grouped into (band_key → doc list) buckets; the per-row
+    *    `array_distinct` of the concatenated hit lists collapses
+    *    multi-band collisions WITHOUT a streaming `distinct()` (which
+    *    would need state), so each (batch, index) pair emits exactly
+    *    once — the batch plan's post-join distinct, done per arrival;
+    *  - exact verification is one more stream-static join to the index
+    *    docsets plus the codegen'd sorted-intersection expression per
+    *    pair — no aggregation, so no watermark and `append` mode.
+    *
+    * The index side carries the hot-bucket guard (computable statically);
+    * the batch side's guard is a whole-batch protection a per-arrival
+    * stream has no analog for — per-arrival fan-out is already bounded by
+    * the guarded index buckets. At every shipped SF no bucket nears the
+    * cap, so the corpus replay reproduces [[graft.operators.DedupOps
+    * .incrementalDedup]]'s result set EXACTLY (spec-checked).
+    */
+  def streamingIncrementalDedup(docs: DataFrame, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.DedupOps
+    val spark = docs.sparkSession
+    // ---- static sides: the persisted index, read through the commit log
+    val idxBands = graft.sources.TxTable
+      .read(spark, DedupOps.minhashIndexTx(spark, sfDir), asOf = Some(0L))
+    val guarded = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_no"), col("band_key"))
+      idxBands.withColumn("bucket_n", count(lit(1)).over(w))
+        .where(col("bucket_n") <= DedupOps.MaxBucketDocs)
+        .drop("bucket_n")
+    }
+    val idxBuckets = (1 to DedupOps.NumBands).map { b =>
+      guarded.where(col("band_no") === b)
+        .groupBy(col("band_key").as(s"bk$b"))
+        .agg(sort_array(collect_list(col("doc_id"))).as(s"hits$b"))
+    }
+    val idxSets = DedupOps.distinctShingles(spark, sfDir)
+      .join(idxBands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("gs_i"),
+        count(lit(1)).as("n_index"))
+      .select(col("doc_id").as("index_doc"), col("gs_i"), col("n_index"))
+    // ---- per-arrival narrow pipeline: shingles → signature → band keys
+    val sh = array_distinct(TextFunctions.shingles3OfWords(
+      TextFunctions.words(col("text"))))
+    val mh = (1 to DedupOps.NumHashes).map { j =>
+      array_min(transform(col("gs"), s =>
+        Tables.h24(concat(lit(s"$j:"), s)))).as(s"mh$j")
+    }
+    val withSig = docs
+      .select(col("doc_id").as("batch_doc"), sort_array(sh).as("gs"))
+      .where(size(col("gs")) > 0) // no shingles → no signature, as in batch
+      .select(col("batch_doc") +: col("gs") +:
+        size(col("gs")).cast("long").as("n_batch") +: mh: _*)
+    val keyed = withSig.select(Seq(col("batch_doc"), col("gs"), col("n_batch")) ++
+      (1 to DedupOps.NumBands).map(b => md5(concat_ws("_",
+        col(s"mh${2 * b - 1}"), col(s"mh${2 * b}"))).as(s"bk$b")): _*)
+    val withBands = (1 to DedupOps.NumBands).foldLeft(keyed) {
+      (df, b) => df.join(idxBuckets(b - 1), Seq(s"bk$b"), "left")
+    }
+    val cands = withBands
+      .select(col("batch_doc"), col("gs"), col("n_batch"),
+        array_distinct(concat((1 to DedupOps.NumBands).map(b =>
+          coalesce(col(s"hits$b"),
+            array().cast("array<long>"))): _*)).as("cand"))
+      .select(col("batch_doc"), col("gs"), col("n_batch"),
+        explode(col("cand")).as("index_doc"))
+    cands.join(idxSets, Seq("index_doc"))
+      .select(col("batch_doc"), col("index_doc"),
+        graft.functions.SetExpressions
+          .sortedIntersectN(spark, col("gs"), col("gs_i")).as("n_inter"),
+        col("n_batch"), col("n_index"))
+      .where(col("n_inter") * 3 >= col("n_batch") + col("n_index"))
+      .select(col("batch_doc"), col("index_doc"), col("n_inter"),
+        col("n_batch"), col("n_index"),
+        (col("n_inter").cast("double") /
+          (col("n_batch") + col("n_index") - col("n_inter"))).as("jaccard"))
+  }
 }
