@@ -292,6 +292,43 @@ object TxTable {
     throw new IllegalStateException(s"merge lost $MaxRetries commit races at $root")
   }
 
+  /** Bin-packing COMPACTION: rewrite the current snapshot's live data
+    * files into `targetFiles` files, committed as one remove+add version
+    * (`op = "compact"`). Pure layout surgery — the row set is untouched
+    * (metrics record `rows_written` for audit), old files stay readable
+    * to time travel until [[vacuum]] retires them. This is the
+    * operational move a 100-TB log-structured table runs continuously:
+    * every append/merge leaves per-batch files, and scan efficiency
+    * decays with file count until a compactor folds them; doing it as an
+    * ordinary optimistic commit means readers never block and a racing
+    * writer simply wins or retries like any other commit. Rows are
+    * re-sorted by `sortCols` when given — compaction is exactly when a
+    * table buys its clustered layout (the sorted-layout / z-order move)
+    * for free, since the data is being rewritten anyway.
+    */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 1,
+              sortCols: Seq[String] = Nil): Long = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = snapshot(root)
+      if (base.liveFiles.size <= targetFiles) return base.version // no-op
+      val live = spark.read.parquet(base.liveFiles.map(f => s"$root/data/$f"): _*)
+      val arranged =
+        if (sortCols.nonEmpty)
+          live.repartitionByRange(targetFiles, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else live.repartition(targetFiles)
+      val rows = live.count()
+      val adds = writeData(spark, root, arranged)
+      if (tryCommit(root, base.version + 1, "compact",
+        Map("rows_written" -> rows), adds, base.liveFiles))
+        return base.version + 1
+      adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a)))
+      attempt += 1
+    }
+    throw new IllegalStateException(s"compact lost $MaxRetries commit races at $root")
+  }
+
   /** Physically delete data files no version >= `keepFromVersion`
     * references — the retention GC. Returns the reclaimed file names.
     */

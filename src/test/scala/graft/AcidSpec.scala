@@ -135,6 +135,39 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 9)
   }
 
+  test("compact: layout-only rewrite — same rows, fewer files, history records it, old files vacuumable") {
+    val root = freshRoot()
+    // four appends -> >= 4 small files (the log-structured decay shape)
+    (0 until 4).foreach(b =>
+      TxTable.append(spark, root, frame(b * 100 + 1 to b * 100 + 50, s"b$b")
+        .repartition(2)))
+    val before = TxTable.read(spark, root).collect().map(_.toString).sorted.toSeq
+    val filesBefore = TxTable.snapshot(root).liveFiles
+    assert(filesBefore.size == 8)
+    val v = TxTable.compact(spark, root, targetFiles = 1, sortCols = Seq("id"))
+    assert(v == 4L)
+    val snap = TxTable.snapshot(root)
+    assert(snap.liveFiles.size == 1)
+    // pure layout surgery: bit-identical row set
+    val after = TxTable.read(spark, root).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // the clustered layout is real: the single file is globally id-sorted
+    val ids = spark.read.parquet(s"$root/data/${snap.liveFiles.head}")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted)
+    // history records the op with its audit metric
+    val h = TxTable.history(spark, root).collect().find(_.getLong(0) == 4L).get
+    assert(h.getString(1) == "compact" && h.getLong(2) == 200L)
+    // time travel to a pre-compaction version still reads the OLD files...
+    assert(TxTable.read(spark, root, asOf = Some(3L)).count() == 200)
+    // ...until retention drops below the compaction: vacuum reclaims all 8
+    assert(TxTable.vacuum(root, keepFromVersion = 0L).isEmpty)
+    assert(TxTable.vacuum(root, keepFromVersion = 4L).toSet == filesBefore.toSet)
+    assert(TxTable.read(spark, root).count() == 200)
+    // compacting an already-compact table is a committed no-op
+    assert(TxTable.compact(spark, root, targetFiles = 1) == 4L)
+  }
+
   // ------------------------------------------------- fault injection (r10)
 
   test("crash between data-file write and commit publish: orphans are invisible and vacuumable") {
