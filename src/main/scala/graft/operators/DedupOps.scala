@@ -1064,6 +1064,14 @@ object DedupOps {
         op = "index_batch0")
       TxTable.append(spark, root, bands.where(col("doc_id") % 2 === 1),
         op = "index_batch1")
+      // v2: fold the per-batch files into a band-key-clustered layout —
+      // the maintenance pass a stored LSH index runs after every ingest
+      // day (probe reads become contiguous), exercised here so compaction
+      // is part of the ORACLE-VERIFIED history, not only spec-tested.
+      // Pure layout surgery: v0/v1 snapshots (the dedup read path) and
+      // the latest row set are untouched.
+      TxTable.compact(spark, root, targetFiles = 1,
+        sortCols = Seq("band_no", "band_key")): Unit
       root
     })
   }

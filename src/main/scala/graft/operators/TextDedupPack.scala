@@ -1480,7 +1480,8 @@ object TextDedupPack extends QueryPack {
     // 3·|∩| >= |A|+|B| half cut; guard replay unneeded (no bucket nears
     // the cap at this SF — same argument as dd_minhash_candidates)
     // the persisted MinHash index's recorded provenance: two appends whose
-    // row metrics equal the per-parity band counts (dd_incremental_tx
+    // row metrics equal the per-parity band counts, then the band-key-
+    // clustered compaction rewriting every band row (dd_incremental_tx
     // itself SHARES dd_incremental's oracle — see `oracles` below)
     "xacid_dedup_index" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte)(
@@ -1488,7 +1489,10 @@ object TextDedupPack extends QueryPack {
           |  (SELECT count(*) FROM bands WHERE doc_id % 2 = 0) AS rows_written
           |UNION ALL
           |SELECT CAST(1 AS BIGINT), 'index_batch1',
-          |  (SELECT count(*) FROM bands WHERE doc_id % 2 = 1)""".stripMargin),
+          |  (SELECT count(*) FROM bands WHERE doc_id % 2 = 1)
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), 'compact',
+          |  (SELECT count(*) FROM bands)""".stripMargin),
     "dd_incremental" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte,
         """icand AS (

@@ -702,12 +702,15 @@ class TextDedupSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
     assert(oneShot == viaTx && oneShot.nonEmpty)
     // the index table's provenance: v0 = accumulated index, v1 = today's
-    // batch ingested after its dedup, metrics = per-parity band counts
+    // batch ingested after its dedup, v2 = the band-key-clustered
+    // compaction; metrics = per-parity band counts / the full rewrite
     val h = DedupOps.dedupIndexHistory(spark, Sf).collect().sortBy(_.getLong(0))
-    assert(h.map(_.getString(1)).toSeq == Seq("index_batch0", "index_batch1"))
+    assert(h.map(_.getString(1)).toSeq ==
+      Seq("index_batch0", "index_batch1", "compact"))
     val bands = DedupOps.minhashBands(spark, Sf)
     assert(h(0).getLong(2) == bands.where(col("doc_id") % 2 === 0).count())
     assert(h(1).getLong(2) == bands.where(col("doc_id") % 2 === 1).count())
+    assert(h(2).getLong(2) == bands.count())
     // the dedup read is genuinely the v0 snapshot: the full table (v1)
     // also holds the batch's signatures
     val root = DedupOps.minhashIndexTx(spark, Sf)
