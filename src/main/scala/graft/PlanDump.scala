@@ -109,6 +109,10 @@ object PlanDump {
           .select("node", "exit_status")),
       ("dd_incremental", "batch bands join STORED index bands (never self-join); verify pruned by broadcast semi-join",
         operators.DedupOps.incrementalDedup(spark, sfDir)),
+      ("dd_incremental_tx", "index side is the PERSISTED TxTable v0 snapshot: plain parquet scan from the commit log",
+        operators.DedupOps.incrementalDedupTx(spark, sfDir)),
+      ("md_flac_decode", "staged FLAC payload scan -> one codegen'd Rice/predictor-inverting parse, zero shuffle",
+        operators.MediaOps.flacDecode(spark, sfDir)),
       ("dd_dup_spans", "narrow gram build; x5 position explode only AFTER the duplicate semi-join",
         operators.DedupOps.dupSpans(spark, sfDir)),
       ("tx_lm_score", "bigram stream built narrow from word arrays; model joins partial-agg'd, vocab one-row broadcast",
