@@ -470,6 +470,140 @@ class SimMediaSpec extends SparkSpec {
     assert(graft.functions.FlacDecode.stats(lpc) == null)
   }
 
+  test("FlacDecode: generic-path streams the fixture encoder never emits decode per spec") {
+    // An INDEPENDENT test-local bit packer (not MediaOps' BitWriter): these
+    // streams exercise decoder branches the fixture encoder never takes —
+    // constant/verbatim subframes, the static blocksize/rate code tables,
+    // rice2 (5-bit) parameters, partition order > 0, the raw escape,
+    // wasted bits, and 2-channel independent frames — each checked against
+    // driver-computed stats, so the branches are covered, not dead code.
+    class W {
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def b(v: Long, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => bits += ((v >>> i) & 1L).toInt)
+      def align(): Unit = while (bits.size % 8 != 0) bits += 0
+      def bytes: Array[Byte] = {
+        align()
+        bits.grouped(8).map(g =>
+          g.foldLeft(0)((a, x) => (a << 1) | x).toByte).toArray
+      }
+    }
+    def streaminfo(w: W, bs: Int, ch: Int, bps: Int, total: Long): Unit = {
+      w.b(0x80, 8); w.b(34, 24)
+      w.b(bs.toLong, 16); w.b(bs.toLong, 16); w.b(0, 24); w.b(0, 24)
+      w.b(8000, 20); w.b(ch.toLong - 1, 3); w.b(bps.toLong - 1, 5)
+      w.b(total, 36)
+      (1 to 16).foreach(_ => w.b(0, 8))
+    }
+    // every test stream is one 38-byte STREAMINFO block then one frame:
+    // both CRCs cover ONLY the frame, from this offset
+    val FrameStart = 38
+    def frameHeader(w: W, bsCode: Int, srCode: Int, chCode: Int,
+                    szCode: Int, explicitBsMinus1: Option[Int]): Unit = {
+      w.b(0x3ffe, 14); w.b(0, 1); w.b(0, 1)
+      w.b(bsCode.toLong, 4); w.b(srCode.toLong, 4)
+      w.b(chCode.toLong, 4); w.b(szCode.toLong, 3); w.b(0, 1)
+      w.b(0, 8) // frame number 0
+      explicitBsMinus1.foreach(v => w.b(v.toLong, 16))
+      val h = w.bytes // aligned here by construction
+      w.b(graft.functions.FlacDecode.crc8(h, FrameStart, h.length).toLong, 8)
+    }
+    def sealFrame(w: W): Array[Byte] = {
+      w.align()
+      val all = w.bytes
+      val c = graft.functions.FlacDecode.crc16(all, FrameStart, all.length)
+      w.b(c.toLong, 16)
+      w.bytes
+    }
+    def decode(bytes: Array[Byte]): Seq[Long] = {
+      val r = graft.functions.FlacDecode.stats(Array[Byte]('f', 'L', 'a', 'C') ++ bytes)
+      assert(r != null, "stream rejected")
+      (0 until 9).map(r.getLong)
+    }
+
+    // (a) CONSTANT subframe, static blocksize code 1 (=192), rate code 4
+    // (=8000 from the table, not STREAMINFO)
+    locally {
+      val w = new W
+      streaminfo(w, 192, 1, 16, 192)
+      frameHeader(w, 1, 4, 0, 4, None)
+      w.b(0, 1); w.b(0, 6); w.b(0, 1) // constant
+      w.b((-5L) & 0xffff, 16)
+      assert(decode(sealFrame(w)) ==
+        Seq(8000L, 1L, 16L, 192L, 1L, -5L * 192, -5L, -5L, 25L * 192))
+    }
+    // (b) VERBATIM subframe with WASTED bits: stored at 14 bps, shifted <<2
+    locally {
+      val vals = Seq(3L, -7L, 100L, 0L)
+      val w = new W
+      streaminfo(w, 4, 1, 16, 4)
+      frameHeader(w, 7, 0, 0, 4, Some(3))
+      w.b(0, 1); w.b(1, 6) // verbatim
+      w.b(1, 1); w.b(1, 2) // wasted flag, unary "01" -> wasted = 2
+      vals.foreach(v => w.b(v & 0x3fff, 14))
+      val out = vals.map(_ << 2)
+      assert(decode(sealFrame(w)) ==
+        Seq(8000L, 1L, 16L, 4L, 1L, out.sum, out.min, out.max,
+          out.map(v => v * v).sum))
+    }
+    // (c) FIXED order 4, rice2 (5-bit params), partition order 1, second
+    // partition ESCAPED to 6-bit raw residuals
+    locally {
+      val samples = (0 until 8).map(i => (i * i * 3 - 20).toLong) // order-4 poly-ish
+      def fix4(s: Seq[Long], k: Int): Long =
+        s(k) - 4 * s(k - 1) + 6 * s(k - 2) - 4 * s(k - 3) + s(k - 4)
+      val resid = (4 until 8).map(fix4(samples, _))
+      val w = new W
+      streaminfo(w, 8, 1, 16, 8)
+      frameHeader(w, 7, 0, 0, 4, Some(7))
+      w.b(0, 1); w.b(12, 6); w.b(0, 1) // fixed order 4
+      samples.take(4).foreach(v => w.b(v & 0xffff, 16))
+      w.b(1, 2)  // method 01: rice2
+      w.b(1, 4)  // partition order 1 -> 2 partitions of 8/2 = 4
+      // partition 0 holds 4 - order = 0 residuals
+      w.b(3, 5)  // its (unused) parameter
+      // partition 1: escape (31), raw width 6
+      w.b(31, 5); w.b(6, 5)
+      resid.foreach(v => w.b(v & 0x3f, 6))
+      assert(resid.forall(v => v >= -32 && v <= 31), s"test design: $resid")
+      assert(decode(sealFrame(w)) ==
+        Seq(8000L, 1L, 16L, 8L, 1L, samples.sum, samples.min, samples.max,
+          samples.map(v => v * v).sum))
+    }
+    // (d) two INDEPENDENT channels (chCode 1), one fixed-order-1 subframe
+    // each, rice with q > 0 unary paths
+    locally {
+      val chA = Seq(10L, 13L, 9L, 9L)
+      val chB = Seq(-4L, -4L, 2L, -1L)
+      def zig(r: Long): Long = if (r >= 0) 2 * r else -2 * r - 1
+      val w = new W
+      streaminfo(w, 4, 2, 16, 4)
+      frameHeader(w, 7, 0, 1, 4, Some(3))
+      for (chs <- Seq(chA, chB)) {
+        w.b(0, 1); w.b(9, 6); w.b(0, 1) // fixed order 1
+        w.b(chs.head & 0xffff, 16)
+        w.b(0, 2); w.b(0, 4); w.b(1, 4) // rice 4-bit, porder 0, k=1
+        (1 until 4).map(i => zig(chs(i) - chs(i - 1))).foreach { u =>
+          (1L to (u >>> 1)).foreach(_ => w.b(0, 1)); w.b(1, 1)
+          w.b(u & 1, 1)
+        }
+      }
+      val all = chA ++ chB
+      assert(decode(sealFrame(w)) ==
+        Seq(8000L, 2L, 16L, 4L, 1L, all.sum, all.min, all.max,
+          all.map(v => v * v).sum))
+    }
+    // (e) rejections: a STREAMINFO/frame mismatch (declared total != decoded)
+    locally {
+      val w = new W
+      streaminfo(w, 192, 1, 16, 500) // claims 500 samples
+      frameHeader(w, 1, 4, 0, 4, None)
+      w.b(0, 1); w.b(0, 6); w.b(0, 1); w.b(7, 16)
+      val full = Array[Byte]('f', 'L', 'a', 'C') ++ sealFrame(w)
+      assert(graft.functions.FlacDecode.stats(full) == null)
+    }
+  }
+
   test("flacDecode: staged payloads decode to the exact PCM-rule stats (lossless inversion)") {
     val got = MediaOps.flacDecode(spark, Sf).collect()
       .map(r => r.getLong(0) -> (1 to 9).map(i => r.getLong(i))).toMap
