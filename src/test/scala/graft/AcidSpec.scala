@@ -168,6 +168,40 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.compact(spark, root, targetFiles = 1) == 4L)
   }
 
+  test("compact racing a concurrent append: both commit, no rows lost either way") {
+    // compaction shares the optimistic-commit retry loop with the
+    // mutations; what the race must guarantee is that whichever order the
+    // two versions serialize in, the final snapshot holds EVERY row — a
+    // compact that lost the race must retry against the snapshot that now
+    // includes the appended file (or, winning, leave the append to land
+    // on top untouched).
+    val root = freshRoot()
+    (0 until 3).foreach(b =>
+      TxTable.append(spark, root, frame(b * 100 + 1 to b * 100 + 40, s"b$b")
+        .repartition(2)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val tCompact = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await(); TxTable.compact(spark, root, 1) }
+      })
+      val tAppend = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          TxTable.append(spark, root, frame(900 to 949, "late"))
+        }
+      })
+      gate.countDown()
+      val versions = Seq(tCompact.get(), tAppend.get()).sorted
+      assert(versions == Seq(3L, 4L), s"got $versions") // serialized, no gap
+    } finally pool.shutdown()
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 120 + 50)
+    assert(back.where($"tag" === "late").count() == 50)
+    val h = TxTable.history(spark, root).collect().map(_.getString(1)).toSeq
+    assert(h.count(_ == "append") == 4 && h.count(_ == "compact") == 1)
+  }
+
   // ------------------------------------------------- fault injection (r10)
 
   test("crash between data-file write and commit publish: orphans are invisible and vacuumable") {
