@@ -202,6 +202,54 @@ class AcidSpec extends SparkSpec {
     assert(h.count(_ == "append") == 4 && h.count(_ == "compact") == 1)
   }
 
+  test("merge racing delete: the loser's copy-on-write retries against the NEW snapshot") {
+    // the subtle optimistic-concurrency case: both mutations stage
+    // rewrites derived from the SAME base snapshot; whichever loses the
+    // publish must retry its whole read-rewrite-commit cycle against the
+    // winner's files, or it would resurrect deleted rows / drop updates.
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 60, "base").repartition(3))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val tDelete = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await()
+          TxTable.delete(spark, root, $"id" <= 20) }
+      })
+      val tMerge = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await()
+          // updates rows 15..25 (straddling the delete) + inserts 900..904
+          TxTable.merge(spark, root,
+            (15 to 25).map(i => (i.toLong, "upd", i * 1000L))
+              .++((900 to 904).map(i => (i.toLong, "new", 0L)))
+              .toDF("id", "tag", "value"),
+            keyCols = Seq("id"), updateCols = Seq("tag", "value")) }
+      })
+      gate.countDown()
+      assert(Seq(tDelete.get(), tMerge.get()).sorted == Seq(1L, 2L))
+    } finally pool.shutdown()
+    val back = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // rows 1..20 deleted; whether they are gone forever or re-inserted by
+    // the merge depends on serialization order — but 15..20 may ONLY
+    // exist if the merge ran second (as INSERTS of the full update row)
+    val mergeRanSecond = back.contains(15L)
+    if (mergeRanSecond) {
+      // delete then merge: 15..20 re-arrive as inserts, 21..25 as updates
+      (1 to 14).foreach(i => assert(!back.contains(i.toLong), s"row $i"))
+      (15 to 25).foreach(i => assert(back(i.toLong) == (("upd", i * 1000L)), s"row $i"))
+      assert(back.size == 60 - 20 + 6 + 5)
+    } else {
+      // merge then delete: the delete removes 1..20 INCLUDING the freshly
+      // updated 15..20 — updates must not resurrect
+      (1 to 20).foreach(i => assert(!back.contains(i.toLong), s"row $i"))
+      (21 to 25).foreach(i => assert(back(i.toLong) == (("upd", i * 1000L)), s"row $i"))
+      assert(back.size == 60 - 20 + 5)
+    }
+    (900 to 904).foreach(i => assert(back(i.toLong) == (("new", 0L))))
+    (26 to 60).foreach(i => assert(back(i.toLong) == (("base", i * 10L))))
+  }
+
   // ------------------------------------------------- fault injection (r10)
 
   test("crash between data-file write and commit publish: orphans are invisible and vacuumable") {
