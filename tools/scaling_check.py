@@ -108,20 +108,22 @@ def fmt_r(r):
 DEEP_DIR = os.path.join(REPO, "target", "scale", "sf10.0")
 
 
-def deep100(names):
+def deep100(names, stage_items=()):
     """Targeted 4th scale point (VERDICT r9 #4): time ONLY `names` on the
-    100x corpus (make_scale.py 100 -> target/scale/sf10.0), skipping the
-    stage phase (none of the worst-decile scalers read staged tables — they
-    scan the corpus directly). Results cache to bench_sf10.0.json; the main
-    SCALING.md writer appends the deep-point section whenever that cache
-    exists. Timing-only by design: the all-pairs DuckDB twins are
-    known-infeasible past 10x, so there is no oracle replay here.
+    100x corpus (make_scale.py 100 -> target/scale/sf10.0). The stage phase
+    runs only `stage_items` (default none — the original worst-decile
+    scalers scan the corpus directly; pass --deep-stage a,b for queries
+    that read staged tables, so their timings exclude the one-time build).
+    Results cache to bench_sf10.0.json; the main SCALING.md writer appends
+    the deep-point section whenever that cache exists. Timing-only by
+    design: the all-pairs DuckDB twins are known-infeasible past 10x, so
+    there is no oracle replay here.
     """
     if not os.path.isdir(DEEP_DIR):
         sys.exit(f"no 100x corpus at {DEEP_DIR}; run "
                  "`python3 tools/make_scale.py 100 /root/testdata/sf0.1 "
                  f"{DEEP_DIR}` first")
-    detail = run_bench(DEEP_DIR, only=set(names), stage_only=set())
+    detail = run_bench(DEEP_DIR, only=set(names), stage_only=set(stage_items))
     missing = set(names) - set(detail.get("queries", {}))
     if missing:
         sys.exit(f"deep100 queries not in bench detail: {sorted(missing)}")
@@ -142,8 +144,13 @@ def main():
     args = sys.argv[1:]
     use_cache = "--use-cache" in args
     if "--deep100" in args:
+        stage_items = []
+        if "--deep-stage" in args:
+            j = args.index("--deep-stage")
+            stage_items = [n for n in args[j + 1].split(",") if n]
+            args = args[:j] + args[j + 2:]
         i = args.index("--deep100")
-        deep100([n for n in args[i + 1].split(",") if n])
+        deep100([n for n in args[i + 1].split(",") if n], stage_items)
         args = args[:i] + args[i + 2:]
         if not args:
             args = ["--use-cache"]  # refresh SCALING.md from cached points
