@@ -54,7 +54,9 @@ object DeterminismLint {
     // (buckets/days), not the corpus, with O(1)-magnitude terms.
     "xt_psi_drift" -> "Σ over ≤10 smoothed deciles of (p−q)·ln(p/q), terms O(1)",
     "tx_source_js_drift" -> "JS over ≤256-bucket broadcast distributions, probability terms ≤ 1",
-    "xt_seasonality_strength" -> "explicit moments over the DAY-cardinality series (~2.4k terms); variance ratios O(1), drift ~1e-12 vs 1e-6 grid",
+    // (r10: xt_seasonality_strength is anchored — StrengthScale integer
+    // moments; safe because stl components are exact-integer divisions,
+    // so the quantizing round sees identical operands in both engines.)
     // -- PER-DOCUMENT log-term sums: the sum is keyed by doc_id, so its
     // term count is bounded by DOCUMENT size — a quantity that does not
     // grow with the corpus (100 TB means more documents, not bigger ones).

@@ -1888,19 +1888,23 @@ object RelationalPack extends QueryPack {
          |SELECT n1, n2, u2, CAST(u2 AS DOUBLE) / 2.0 AS u, var_u, z,
          |  abs(z) > ${TimeSeriesOps.MkZCrit} AS reject_05
          |FROM zf""".stripMargin,
-    // explicit population moments (sum(x^2)/n - (sum(x)/n)^2) mirror the
-    // Spark chain op-for-op; greatest(0, 1 - ratio) clamps both sides
+    // explicit population moments over the StrengthScale-anchored integer
+    // components (sum(x^2)/n - (sum(x)/n)^2) mirror the Spark chain
+    // op-for-op: sums are exact HUGEINTs, every float op a per-row / one-row
+    // scalar on identical operands; greatest(0, 1 - ratio) clamps both
     "xt_seasonality_strength" ->
       s"""WITH $stlCtes,
          |parts AS (
-         |  SELECT residual AS r, seasonal + residual AS sr,
-         |    trend + residual AS tr
+         |  SELECT
+         |    CAST(round(residual * ${TimeSeriesOps.StrengthScale}, 0) AS BIGINT) AS r,
+         |    CAST(round((seasonal + residual) * ${TimeSeriesOps.StrengthScale}, 0) AS BIGINT) AS sr,
+         |    CAST(round((trend + residual) * ${TimeSeriesOps.StrengthScale}, 0) AS BIGINT) AS tr
          |  FROM stl),
          |m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    sum(r) AS s_r, sum(r * r) AS s_rr,
-         |    sum(sr) AS s_sr, sum(sr * sr) AS s_srsr,
-         |    sum(tr) AS s_tr, sum(tr * tr) AS s_trtr
+         |    sum(r) AS s_r, sum(CAST(r AS HUGEINT) * r) AS s_rr,
+         |    sum(sr) AS s_sr, sum(CAST(sr AS HUGEINT) * sr) AS s_srsr,
+         |    sum(tr) AS s_tr, sum(CAST(tr AS HUGEINT) * tr) AS s_trtr
          |  FROM parts)
          |SELECT n AS n_days,
          |  round(greatest(0.0, 1.0 -

@@ -1252,29 +1252,50 @@ object TimeSeriesOps {
         col("kernel_days"), round(col("s"), 6).cast("double").as("ewma"))
   }
 
+  /** Fixed-point scale for [[seasonalityStrength]]'s anchored moments:
+    * decomposition components quantize to `round(x·10⁸)` integers before
+    * the six moment sums, so every aggregation is exact (long / decimal)
+    * and the emission cannot drift across partial-aggregate associations
+    * at ANY series length — retiring the query's lint-whitelist prose
+    * bound (r10). Safe where the log-family anchors were rejected:
+    * stlDecompose's components are exact-BIGINT divisions — correctly
+    * rounded, bit-identical in Spark and DuckDB — so the per-row `round`
+    * sees identical operands in both engines (libm never enters). The
+    * strengths are variance RATIOS, so the 10⁸ scale cancels exactly and
+    * the quantization perturbs values by ~1e-10 relative — invisible at
+    * the 6-dp grid except as a deterministic (not order-dependent)
+    * redefinition of the kernel, mirrored in the oracle.
+    */
+  val StrengthScale = 100000000L
+
   /** X-C77: seasonal / trend strength (Hyndman's STL-feature pair) — the
     * two numbers read off [[stlDecompose]] before picking a forecaster:
     * F_s = max(0, 1 − var(R)/var(S+R)) (how much of the detrended
     * variation the weekly shape explains) and F_t = max(0, 1 −
     * var(R)/var(T+R)). Variances are spelled as EXPLICIT population
-    * moments (Σx²/n − (Σx/n)²) so the oracle mirrors the identical IEEE
-    * chain instead of trusting two engines' variance implementations to
-    * associate alike. One day-cardinality aggregate over the
-    * decomposition (six moment sums in a single pass); emission at 6 dp
-    * over the day-count-bounded float sums — the [[TextOps.tokenEntropy]]
-    * argument.
+    * moments (Σx²/n − (Σx/n)²) over the [[StrengthScale]]-anchored
+    * integer components, so both engines run the identical scalar IEEE
+    * chain over identical EXACT sums (squares ride decimal(18,0)² →
+    * decimal(37,0) — scale 0, so even the final casts are single-rounded
+    * in both engines, the PcVecScale discipline). One day-cardinality
+    * aggregate; emission at 6 dp.
     */
   def seasonalityStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    def q(c: Column): Column =
+      round(c * lit(StrengthScale.toDouble), 0).cast("long")
     val parts = stlDecompose(spark, sfDir)
-      .select(col("residual").as("r"),
-        (col("seasonal") + col("residual")).as("sr"),
-        (col("trend") + col("residual")).as("tr"))
+      .select(q(col("residual")).as("r"),
+        q(col("seasonal") + col("residual")).as("sr"),
+        q(col("trend") + col("residual")).as("tr"))
+    def sq(c: Column): Column =
+      sum(c.cast("decimal(18,0)") * c.cast("decimal(18,0)"))
     def varOf(s: Column, ss: Column, n: Column): Column =
-      ss / n - (s / n) * (s / n)
+      ss.cast("double") / n -
+        (s.cast("double") / n) * (s.cast("double") / n)
     val m = parts.agg(count(lit(1)).as("n"),
-      sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("s_rr"),
-      sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("s_srsr"),
-      sum(col("tr")).as("s_tr"), sum(col("tr") * col("tr")).as("s_trtr"))
+      sum(col("r")).as("s_r"), sq(col("r")).as("s_rr"),
+      sum(col("sr")).as("s_sr"), sq(col("sr")).as("s_srsr"),
+      sum(col("tr")).as("s_tr"), sq(col("tr")).as("s_trtr"))
     val nd = col("n").cast("double")
     m.select(col("n").as("n_days"),
       round(greatest(lit(0.0),
