@@ -2,9 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev helper: expose what `count()` really measures for a pure-projection
-  * query. Bench times `count()` uniformly; for the media-decode family the
-  * optimizer prunes every column off the staged scan, so those bench rows
-  * measure the SCAN, not the codec (true since r7 for every md_*_decode).
+  * query. Since r11 Bench force-materializes the media-decode family
+  * (`Bench.ForceMaterialize` uses `toRdd.count()`), so its rows time the
+  * codec; this tool remains the side-by-side demonstration of the pruned
+  * count-plan vs the forced plan (the r7–r10 blind spot it documented).
   * This main prints the count-plan's ReadSchema plus count-vs-forced
   * timings (`sum(n_samples)` cannot be pruned, so it runs the decoder on
   * every payload). Measured: flac at sf0.01 count 0.55 s vs forced 0.44 s

@@ -35,9 +35,14 @@ class DimSumAgg(dim: Int)
   override def zero: Array[Long] = new Array[Long](dim)
 
   override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
-    val d = math.min(dim, v.length)
+    // a malformed embedding (null or wrong arity) must fail loudly — the
+    // posexplode plan this fold replaced skipped nulls and summed whatever
+    // dimensions were present, so a silent min(dim, length) here would
+    // change audit sums without any visible error (ADVICE r10)
+    require(v != null && v.length == dim,
+      s"DimSumAgg(dim=$dim) got ${if (v == null) "null" else s"length ${v.length}"} vector")
     var i = 0
-    while (i < d) { buf(i) += v(i); i += 1 }
+    while (i < dim) { buf(i) += v(i); i += 1 }
     buf
   }
 

@@ -75,8 +75,11 @@ object FlacDecode {
       if (n > 0 && (v & (1L << (n - 1))) != 0) v - (1L << n) else v
     }
     def unary(): Int = { // FLAC unary: count of 0 bits before a 1
+      // Long bound: `bytes.length << 3` overflows Int negative at >=256 MiB
+      // payloads, which would spuriously throw on any quotient >= 1 (ADVICE r10)
+      val bound = bytes.length.toLong << 3
       var q = 0
-      while (bit() == 0) { q += 1; if (q > (bytes.length << 3)) throw Malformed }
+      while (bit() == 0) { q += 1; if (q.toLong > bound) throw Malformed }
       q
     }
     def align(): Unit = pos = (pos + 7) & ~7

@@ -65,6 +65,16 @@ def run_bench(sf_dir, use_cache=False, only=None, stage_only=None):
             if detail:
                 with open(os.path.join(REPO, detail)) as f:
                     parsed = json.load(f)
+            if only and os.path.exists(cp):
+                # a restricted run (deep points) must MERGE into the cache,
+                # not replace it — otherwise a second --deep100 with new
+                # names silently drops the earlier deep points (ADVICE r10)
+                with open(cp) as f:
+                    old = json.load(f)
+                for key in ("queries", "errors", "flaky"):
+                    merged = dict(old.get(key, {}))
+                    merged.update(parsed.get(key, {}))
+                    parsed[key] = merged
             os.makedirs(os.path.dirname(cp), exist_ok=True)
             with open(cp, "w") as f:
                 json.dump(parsed, f)
@@ -159,7 +169,12 @@ def main():
     if not dirs:
         dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
         sf1 = os.path.join(REPO, "target", "scale", "sf1.0")
-        if os.path.isdir(sf1):
+        # the sf1.0 point joins the default set when EITHER the corpus or
+        # its cached bench exists — a bare `--deep100` refresh (use_cache)
+        # must not silently drop to the two-dir set, or the deep table's
+        # t(sf1) column would hold the sf0.1 timing and r3 would be computed
+        # over a 100x segment against the 10x threshold (ADVICE r10, medium)
+        if os.path.isdir(sf1) or os.path.exists(cache_path(sf1)):
             dirs.append(sf1)
     runs = [(d, run_bench(d, use_cache)) for d in dirs]
     sfs = [sf_of(d) for d in dirs]
@@ -222,6 +237,16 @@ def main():
         table(f, rows)
         deep_names, deep_detail = load_deep()
         if deep_names:
+            # r3 denominators MUST come from the sf1.0 run, never runs[-1]
+            # blindly — if the dir set lacks the 10x point, abort instead of
+            # writing a table whose "t(sf1)" is sf0.1 (ADVICE r10, medium)
+            sf1_runs = [r for d, r in runs if abs(sf_of(d) - 1.0) < 1e-9]
+            if not sf1_runs:
+                sys.exit("deep-point section needs the sf1.0 run in the dir "
+                         "set (generate target/scale/sf1.0 with make_scale.py "
+                         "or keep its cache); refusing to write a mislabeled "
+                         "deep table")
+            sf1_run = sf1_runs[0]
             # targeted 4th point (VERDICT r9 #4): worst-decile scalers only,
             # timing-only (all-pairs oracle twins are infeasible past 10x)
             f.write("\n## 100x deep points (timing-only, worst-decile scalers)\n\n"
@@ -238,7 +263,7 @@ def main():
             f.write("|---|---|---|---|---|\n")
             deep_flagged = []
             for q in deep_names:
-                t10 = runs[-1][1].get("queries", {}).get(q) if runs else None
+                t10 = sf1_run.get("queries", {}).get(q)
                 t100 = deep_detail["queries"].get(q)
                 r3 = (t100 / t10) if (t10 and t100 and t10 > 0 and t100 > 0) \
                     else None
