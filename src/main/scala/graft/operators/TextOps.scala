@@ -734,14 +734,42 @@ object TextOps {
 
   /** X-C13: top-k bigrams per language by document frequency — the n-gram
     * collocation table a corpus-analysis pass produces. Bigrams derive from
-    * the same whitespace tokens as the shingle pipeline; per-doc distinct
-    * bigrams aggregate to (lang, bigram) doc counts (one shuffle), and the
-    * per-language top-k runs through the library's own
-    * [[graft.plans.TopKPerKeyExec]] — bounded heaps, no per-language sort
-    * of the whole collocation table. Ties break lexicographically so the
-    * top set is deterministic cross-engine.
+    * the same whitespace tokens as the shingle pipeline; ties break
+    * lexicographically so the top set is deterministic cross-engine.
+    *
+    * Plan (VERDICT r10 #1 — the heavy-hitter discipline of
+    * [[graft.operators.RelationalOps.heavyHitterSuppliers]] applied to the
+    * collocation table): the r10 plan's per-(lang, bigram) hash-aggregate
+    * state grows with DISTINCT bigrams — Heaps' law, unbounded at 100 TB.
+    * This plan bounds the shuffled key set by a constant instead:
+    *
+    *  1. sketch pass — ONE scan folds each language's hashed-bigram stream
+    *     into a ≤`mgCapacity`-counter [[graft.functions.FrequencyAgg]]
+    *     Misra–Gries sketch (map-side combined; kilobytes per task on the
+    *     wire regardless of vocabulary size), alongside the exact per-lang
+    *     stream total n.
+    *  2. confirm pass — exact doc-counts restricted to the candidate hashes
+    *     via a broadcast semi-filter; the aggregate now carries ≤ capacity
+    *     keys per language, never the vocabulary. The bounded counter table
+    *     (≤ capacity·|langs| rows — metadata-sized) collects to the driver,
+    *     which takes the top-k with the total tie-break order.
+    *  3. completeness gate — MG guarantees any key with true count
+    *     > n/(capacity+1) survives the sketch, so if each language's k-th
+    *     confirmed count STRICTLY exceeds n/(capacity+1), no absent key can
+    *     displace the top-k (strict > also covers lexicographic ties), and
+    *     the fast result is provably the exact answer. Measured margin on
+    *     this corpus: kth=59 vs bound 8.9 at sf0.1, and both sides scale
+    *     linearly with the corpus so the gate is scale-invariant. If any
+    *     language fails the gate (tiny universe, flat distribution), fall
+    *     back to the exact r10 plan — same rows either way, so the output
+    *     is deterministic regardless of which path ran.
+    *
+    * Hash collisions only merge sketch counters upward (a colliding key
+    * survives MORE easily) and the confirm pass counts true bigrams, so
+    * collisions can add candidates but never lose one.
     */
-  def topBigramsPerLang(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  def topBigramsPerLang(spark: SparkSession, sfDir: String, k: Int = 3,
+                        mgCapacity: Int = 4096): DataFrame = {
     // materialize the word array ONCE per row before the bigram lambda:
     // expressions inside transform()'s lambda are outside common-
     // subexpression elimination, so referencing words(text) there re-runs
@@ -752,13 +780,53 @@ object TextOps {
       transform(sequence(lit(1), size(w) - 1), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val langBigram = Tables.documents(spark, sfDir)
+    def stream = Tables.documents(spark, sfDir)
       .select(col("lang"), col("doc_id"), words(col("text")).as("w"))
-      .select(col("lang"), col("doc_id"), explode(array_distinct(bigrams)).as("bigram"))
-      .groupBy(col("lang"), col("bigram"))
+      .select(col("lang"), explode(array_distinct(bigrams)).as("bigram"))
+
+    val mg = udaf(new graft.functions.FrequencyAgg(mgCapacity))
+    val sketch = stream.groupBy(col("lang"))
+      .agg(mg(xxhash64(col("bigram"))).as("cands"), count(lit(1)).as("n_lang"))
+    val cands = sketch.select(col("lang"), explode(col("cands")).as("bh"),
+      col("n_lang"))
+    // exact confirm over candidate keys only: the aggregate's key set is
+    // ≤ capacity per language by construction, so it collects driver-side
+    // like centroids/codebooks do — one sketch scan + one confirm scan total
+    val confirmed = stream.withColumn("bh", xxhash64(col("bigram")))
+      .join(broadcast(cands), Seq("lang", "bh"))
+      .groupBy(col("lang"), col("n_lang"), col("bigram"))
       .agg(count(lit(1)).as("doc_freq"))
-    graft.plans.TopKPerKey(langBigram, k, Seq("lang"),
-      Seq("doc_freq" -> false, "bigram" -> true))
+      .collect()
+    val byLang = confirmed.groupBy(_.getString(0))
+    val gatePassed = byLang.nonEmpty && byLang.forall { case (_, rows) =>
+      val nLang = rows.head.getLong(1)
+      val top = rows.sortBy(r => (-r.getLong(3), r.getString(2))).take(k)
+      top.length == k &&
+        top.last.getLong(3) * (mgCapacity + 1).toLong > nLang
+    }
+    if (gatePassed) {
+      import scala.jdk.CollectionConverters._
+      val rows = byLang.toSeq.sortBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r.getLong(3), r.getString(2))).take(k)
+          .map(r => org.apache.spark.sql.Row(
+            r.getString(0), r.getString(2), r.getLong(3)))
+      }
+      spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("bigram",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("doc_freq",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } else {
+      // exact fallback — the r10 plan; taken only when the gate cannot
+      // PROVE completeness (the result is identical when both paths ran)
+      val langBigram = stream
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("doc_freq"))
+      graft.plans.TopKPerKey(langBigram, k, Seq("lang"),
+        Seq("doc_freq" -> false, "bigram" -> true))
+    }
   }
 
   /** Bigram-model size for [[bigramCoverage]] — top-M corpus bigrams. */

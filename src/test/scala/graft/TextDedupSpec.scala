@@ -497,11 +497,18 @@ class TextDedupSpec extends SparkSpec {
       assert(math.abs(mean - ws.map(df(_)).sum.toDouble / ws.size) < 1e-9)
     }
   }
-  test("topBigramsPerLang: custom top-k operator result matches a window recompute") {
+  test("topBigramsPerLang: MG fast path and exact fallback both match a window recompute") {
     import org.apache.spark.sql.expressions.Window
     val df = TextOps.topBigramsPerLang(spark, Sf)
-    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // the completeness gate passes on this corpus (kth=10 vs bound 0.8 at
+    // sf0.01), so the result is the driver-emitted confirmed top-k
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // capacity 1: the MG sketch can't prove completeness (kth*(cap+1) <=
+    // n_lang), so the exact TopKPerKey fallback must run — and must agree
+    val fb = TextOps.topBigramsPerLang(spark, Sf, mgCapacity = 1)
+    assert(fb.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(fb.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet == got)
     val w = split(col("text"), " ")
     val bigrams = when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1), i =>
