@@ -48,29 +48,22 @@ object DeterminismLint {
     "tx_bm25_search" -> "per-doc score sums over QUERY terms (≤ a handful), each term O(10)",
     "tx_ranked_search" -> "tf-idf score over query terms — same bounded-term argument as bm25",
     "tx_search_rbo" -> "RBO sum over list depth d ≤ 10, terms 0.9^d·overlap/d ≤ 1",
-    "tx_zipf_fit" -> "OLS moments over the top-K rank ladder (K bounded), log-log coords O(10)",
     "geo_adamic_adar" -> "Σ 1/log(deg) over common neighbors — degree-bounded, terms ≤ 1.45",
     // -- bounded-cardinality cells: the sum ranges over a fixed small grid
     // (buckets/days), not the corpus, with O(1)-magnitude terms.
-    "xt_psi_drift" -> "Σ over ≤10 smoothed deciles of (p−q)·ln(p/q), terms O(1)",
-    "tx_source_js_drift" -> "JS over ≤256-bucket broadcast distributions, probability terms ≤ 1",
+    "tx_source_js_drift" -> "JS over ≤256-bucket broadcast distributions, probability terms ≤ 1")
     // (r10: xt_seasonality_strength is anchored — StrengthScale integer
     // moments; safe because stl components are exact-integer divisions,
     // so the quantizing round sees identical operands in both engines.)
-    // -- PER-DOCUMENT log-term sums: the sum is keyed by doc_id, so its
-    // term count is bounded by DOCUMENT size — a quantity that does not
-    // grow with the corpus (100 TB means more documents, not bigger ones).
-    // Drift ≤ tokens_per_doc·ulp(max term) ~ 1e4·2⁻⁴⁰ abs ≈ 1e-8 against
-    // the 1e-6 grid, corpus-growth-INDEPENDENT — unlike the retired pca
-    // entry, whose matvec summed the whole corpus. Anchoring these is
-    // deliberately REJECTED: the terms are c·log2(c) / ln-ratio chains,
-    // and floor-quantizing a log term is only cross-engine-stable up to
-    // the engines' libm ulp disagreement (JVM fdlibm vs DuckDB libm), a
-    // flip risk that scales with corpus CELL count — strictly worse than
-    // the scale-free bound it would replace. Perturbation-gated at 10x
-    // fixture magnitudes (PropertySpec representatives, f4fe352).
-    "tx_token_entropy" -> "per-DOC Σ c·log2 c (terms ≤ doc tokens, corpus-growth-independent); quantized-log anchoring rejected: libm-ulp floor flips scale with corpus cells",
-    "tx_dsir_weights" -> "per-DOC feature sums (≤ doc bigrams) of ±ln-capped ratios, drift ~1e-10 vs 1e-6 grid, corpus-growth-independent; same log-term anchoring rejection as tx_token_entropy")
+    // (r11: the log family — tx_token_entropy, tx_zipf_fit, xt_psi_drift,
+    // tx_dsir_weights — is GONE from this list. The r8-r10 rejection
+    // argument (quantizing a libm log is only stable up to the engines'
+    // libm-ulp disagreement) was defeated by removing libm from the kernel:
+    // graft.functions.DetLog spells ln/log2 as one explicit IEEE chain
+    // generated identically into the Column graph, the oracle SQL, and the
+    // driver Scala, so the quantizing round sees bit-identical operands in
+    // every engine and the summed terms are exact integers on the
+    // TextOps.LogScale grid.)
 
   /** Offending expression strings for `df`'s plan, empty when clean or
     * whitelisted. */

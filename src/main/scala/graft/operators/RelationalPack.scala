@@ -1765,8 +1765,10 @@ object RelationalPack extends QueryPack {
          |       ELSE round(exp(CAST(log_s AS DOUBLE)), 6) END AS survival
          |FROM acc""".stripMargin,
     // decile edges by pure BIGINT rank inequality (no quantile kernel),
-    // integer edge-comparison bins, Laplace-smoothed exact-ratio p's, ln
-    // per bin (DSIR precedent), 6dp-rounded psi drives the verdict
+    // integer edge-comparison bins, Laplace-smoothed exact-ratio p's;
+    // anchored log kernel (r11): ln(pc/pr) is four integer-argument DetLog
+    // chains, per-bin terms quantize to the 1e12 grid, psi is an exact
+    // integer sum divided and rounded once
     "xt_psi_drift" ->
       s"""WITH ev AS (
          |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
@@ -1800,19 +1802,29 @@ object RelationalPack extends QueryPack {
          |       (SELECT unnest(generate_series(0, 9)) AS k)),
          |terms AS (
          |  SELECT g.week, n_w,
-         |    CAST(COALESCE(b.nwb, 0) + 1 AS DOUBLE) /
-         |      CAST(n_w + 10 AS DOUBLE) AS pc,
-         |    CAST(COALESCE(r.nrb, 0) + 1 AS DOUBLE) /
-         |      CAST(n_ref + 10 AS DOUBLE) AS pr
+         |    CAST(COALESCE(b.nwb, 0) + 1 AS BIGINT) AS cw,
+         |    CAST(COALESCE(r.nrb, 0) + 1 AS BIGINT) AS cr,
+         |    CAST(n_w + 10 AS BIGINT) AS nw10,
+         |    CAST(n_ref + 10 AS BIGINT) AS nr10
          |  FROM grid g
          |  LEFT JOIN binned b ON g.week = b.week AND g.bin = b.bin
          |  LEFT JOIN rb r ON g.bin = r.bin
          |  JOIN nw ON g.week = nw.week
          |  CROSS JOIN nr),
+         |tq AS (
+         |  SELECT week, n_w,
+         |    CAST(round((((CAST(cw AS DOUBLE) / CAST(nw10 AS DOUBLE)) -
+         |        (CAST(cr AS DOUBLE) / CAST(nr10 AS DOUBLE))) *
+         |      (((${graft.functions.DetLog.lnSql("cw")} -
+         |         ${graft.functions.DetLog.lnSql("nw10")}) -
+         |         ${graft.functions.DetLog.lnSql("cr")}) +
+         |         ${graft.functions.DetLog.lnSql("nr10")})) *
+         |      (1000000000000.0::DOUBLE), 0) AS BIGINT) AS tq
+         |  FROM terms),
          |p AS (
          |  SELECT week, n_w AS n_values,
-         |    round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
-         |  FROM terms GROUP BY 1, 2)
+         |    round(CAST(sum(tq) AS DOUBLE) / (1000000000000.0::DOUBLE), 6) AS psi
+         |  FROM tq GROUP BY 1, 2)
          |SELECT week, n_values, psi,
          |  CASE WHEN psi < ${TimeSeriesOps.PsiModerate} THEN 'stable'
          |       WHEN psi < ${TimeSeriesOps.PsiMajor} THEN 'moderate'

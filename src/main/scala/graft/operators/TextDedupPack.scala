@@ -557,8 +557,11 @@ object TextDedupPack extends QueryPack {
            |  AND predicted_lang = 'en'
            |  AND doc_id NOT IN
            |    (SELECT doc_id FROM clusters WHERE NOT is_canonical)""".stripMargin),
-    // DSIR replay: hashed-bigram Laplace log-ratios; the `selected` flag
-    // reads the 6dp-ROUNDED weight, exactly like the Spark side
+    // DSIR replay with the anchored log kernel (r11): per-bucket Laplace
+    // log-ratios are four-term DetLog chains quantized to the 1e12 grid,
+    // per-doc weights are exact integer sums of bucket values over the
+    // occurrence stream (order-free), one division + round at emission;
+    // the `selected` flag reads the 6dp-ROUNDED weight, like the Spark side
     "tx_dsir_weights" ->
       s"""WITH tgt AS (
          |  SELECT doc_id,
@@ -572,27 +575,35 @@ object TextDedupPack extends QueryPack {
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |    UNNEST(range(1, len(w))) AS t(i)
          |  WHERE len(w) >= 2),
-         |docfeat AS (
+         |occ2 AS (
          |  SELECT o.doc_id, t.in_target,
-         |    ${h24("bigram")} % ${TextOps.DsirBuckets} AS f,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM occ o JOIN tgt t USING (doc_id)
-         |  GROUP BY o.doc_id, t.in_target, f),
+         |    ${h24("bigram")} % ${TextOps.DsirBuckets} AS f
+         |  FROM occ o JOIN tgt t USING (doc_id)),
          |fs AS (
-         |  SELECT f, sum(c) AS sc,
-         |    sum(CASE WHEN in_target THEN c ELSE 0 END) AS tc
-         |  FROM docfeat GROUP BY f),
-         |tot AS (SELECT sum(sc) AS s_tot, sum(tc) AS t_tot FROM fs),
-         |logr AS (
-         |  SELECT f,
-         |    ln((tc + 1) / CAST(t_tot + ${TextOps.DsirBuckets} AS DOUBLE)) -
-         |    ln((sc + 1) / CAST(s_tot + ${TextOps.DsirBuckets} AS DOUBLE)) AS logr
+         |  SELECT f, CAST(count(*) AS BIGINT) AS sc,
+         |    CAST(sum(CASE WHEN in_target THEN 1 ELSE 0 END) AS BIGINT) AS tc
+         |  FROM occ2 GROUP BY f),
+         |tot AS (SELECT CAST(sum(sc) AS BIGINT) AS s_tot,
+         |               CAST(sum(tc) AS BIGINT) AS t_tot FROM fs),
+         |args AS (
+         |  SELECT f, CAST(tc + 1 AS BIGINT) AS tc1, CAST(sc + 1 AS BIGINT) AS sc1,
+         |    CAST(t_tot + ${TextOps.DsirBuckets} AS BIGINT) AS tt,
+         |    CAST(s_tot + ${TextOps.DsirBuckets} AS BIGINT) AS st
          |  FROM fs, tot),
+         |lq AS (
+         |  SELECT f,
+         |    CAST(round((((${graft.functions.DetLog.lnSql("tc1")} -
+         |        ${graft.functions.DetLog.lnSql("tt")}) -
+         |        ${graft.functions.DetLog.lnSql("sc1")}) +
+         |        ${graft.functions.DetLog.lnSql("st")}) *
+         |      (1000000000000.0::DOUBLE), 0) AS BIGINT) AS lq
+         |  FROM args),
          |scored_docs AS (
-         |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
-         |    round(sum(d.c * l.logr), 6) AS dsir_weight
-         |  FROM docfeat d JOIN logr l USING (f)
-         |  GROUP BY d.doc_id)
+         |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    round(CAST(sum(l.lq) AS DOUBLE) / (1000000000000.0::DOUBLE), 6)
+         |      AS dsir_weight
+         |  FROM occ2 o JOIN lq l USING (f)
+         |  GROUP BY o.doc_id)
          |SELECT doc_id, n_feats, dsir_weight, (dsir_weight > 0) AS selected
          |FROM scored_docs""".stripMargin,
     "tx_gopher_rules" -> gopherSql,
@@ -859,30 +870,43 @@ object TextDedupPack extends QueryPack {
         |  round(s_present + 0.5 * CAST((ntot - nsrc) - r_present AS DOUBLE) /
         |    CAST(ntot - nsrc AS DOUBLE), 6) AS js_bits
         |FROM agg""".stripMargin,
-    // same (freq DESC, token) integer-deterministic rank and cut, same
-    // closed-form OLS moment chain, 6 dp over the bounded float sums
-    "tx_zipf_fit" ->
+    // same (freq DESC, token) integer-deterministic rank and cut; anchored
+    // log kernel: x/y are DetLog chains quantized to the 1e12 grid, moment
+    // sums exact (HUGEINT), then ONE mirrored IEEE OLS chain over the
+    // double-cast moments — the grid factor cancels in slope and r2, the
+    // intercept rescales by explicit /1e12 divisions
+    "tx_zipf_fit" -> {
+      val l2rn = graft.functions.DetLog.log2Sql("rn")
+      val l2f = graft.functions.DetLog.log2Sql("freq")
+      val S = "(1000000000000.0::DOUBLE)"
+      val kD = "CAST(k AS DOUBLE)"
+      val num = s"(($kD * sxy) - (sx * sy))"
+      val den = s"(($kD * sxx) - (sx * sx))"
+      val deny = s"(($kD * syy) - (sy * sy))"
       s"""WITH freq AS (
          |  SELECT token, CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          |  GROUP BY 1),
          |ranked AS (
-         |  SELECT log2(CAST(rn AS DOUBLE)) AS x, log2(CAST(freq AS DOUBLE)) AS y
+         |  SELECT CAST(round($l2rn * $S, 0) AS BIGINT) AS xq,
+         |    CAST(round($l2f * $S, 0) AS BIGINT) AS yq
          |  FROM (SELECT freq,
          |          row_number() OVER (ORDER BY freq DESC, token) AS rn
          |        FROM freq)
          |  WHERE rn <= ${TextOps.ZipfFitTop}),
          |m AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
-         |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(xq) AS DOUBLE) AS sx, CAST(sum(yq) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(yq AS HUGEINT) * yq) AS DOUBLE) AS syy
          |  FROM ranked)
          |SELECT k AS n_tokens_fit,
-         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
-         |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
-         |    AS intercept,
-         |  round((k * sxy - sx * sy) * (k * sxy - sx * sy) /
-         |    ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
-         |FROM m""".stripMargin,
+         |  round($num / $den, 6) AS slope,
+         |  round(((sy / $S) - (($num / $den) * (sx / $S))) / $kD, 6) AS intercept,
+         |  round(($num * $num) / ($den * $deny), 6) AS r2
+         |FROM m""".stripMargin
+    },
     "dd_minhash_signatures" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte)(
         s"SELECT doc_id, ${(1 to DedupOps.NumHashes).map(j => s"mh$j").mkString(", ")} FROM mh"),
@@ -1407,17 +1431,29 @@ object TextDedupPack extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS n_tokens
          |FROM pos LEFT JOIN vocab USING (token)
          |GROUP BY doc_id""".stripMargin,
+    // anchored log kernel: log2 is the DetLog deterministic chain (no
+    // libm), quantized to the 1e12 grid, so the c·l2q sums are exact
+    // BIGINTs and the emission is one mirrored IEEE division chain
     "tx_token_entropy" ->
-      """WITH c AS (
-        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |        FROM documents)
-        |  GROUP BY doc_id, token)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-        |  round(log2(CAST(sum(c) AS DOUBLE)) -
-        |        sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
-        |          / CAST(sum(c) AS DOUBLE), 6) AS entropy
-        |FROM c GROUP BY doc_id""".stripMargin,
+      s"""WITH c AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY doc_id, token),
+         |q AS (
+         |  SELECT doc_id, c,
+         |    CAST(round(${graft.functions.DetLog.log2Sql("c")} *
+         |      (1000000000000.0::DOUBLE), 0) AS BIGINT) AS l2q
+         |  FROM c),
+         |a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(c * l2q) AS BIGINT) AS sclq
+         |  FROM q GROUP BY doc_id)
+         |SELECT doc_id, n,
+         |  round(CAST(CAST(round(${graft.functions.DetLog.log2Sql("n")} *
+         |      (1000000000000.0::DOUBLE), 0) AS BIGINT) * n - sclq AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * (1000000000000.0::DOUBLE)), 6) AS entropy
+         |FROM a""".stripMargin,
     // the oracle is the UNFILTERED exact all-pairs join — proving the
     // prefix filter's recall is 1.0, not just that the verify step agrees
     "dd_prefix_jaccard" ->

@@ -377,13 +377,29 @@ object TextOps {
     * is `selected` when the ratio favors the target (weight > 0) — the
     * deterministic analog of DSIR's importance resampling step.
     *
-    * Scale shape: one exploded pass over the corpus builds per-doc feature
-    * counts (map-side combinable groupBy); BOTH distribution estimates
-    * aggregate to ≤ [[DsirBuckets]] rows — metadata-sized no matter the
-    * corpus — so the log-ratio table broadcasts and the scoring join never
-    * shuffles the corpus side. Weights are exact integer-count arithmetic
-    * through the hash buckets, so the DuckDB replay is bit-comparable at
-    * 6 dp.
+    * Scale shape (re-planned r11 — VERDICT r10 #3: the old plan's
+    * per-(doc, in_target, f) aggregate shuffled corpus-linear keys and its
+    * lineage was re-derived by the scoring join, making this the costliest
+    * 100× deep point at 75.9 s):
+    *
+    *  1. stats pass — ONE exploded scan folds straight to the
+    *     ≤[[DsirBuckets]]-key (sc, tc) table (map-side combined; each task
+    *     emits ≤ B counters — nothing per-doc ever shuffles). The B-row
+    *     table collects driver-side (the centroids discipline) where the
+    *     Laplace log-ratios are computed on the anchored grid.
+    *  2. scoring pass — one codegen'd explode → per-doc count+sum of the
+    *     256-entry quantized log-ratio LITERAL (`element_at` on a
+    *     broadcast-free constant): map-side combinable, the only shuffle
+    *     carries one row per document. (An `aggregate` HOF over the bigram
+    *     array would be zero-shuffle but falls out of whole-stage codegen —
+    *     measured 4x slower at sf0.1: 2.28 s vs 0.55 s.)
+    *
+    * Anchored (r11, retiring the lint-whitelist entry): each bucket's
+    * log-ratio is a four-term [[graft.functions.DetLog]] chain — the
+    * driver-side Scala twin is bit-identical to the oracle's SQL twin by
+    * construction — quantized to the [[LogScale]] grid, so per-doc weights
+    * are EXACT integer sums (≤ 1e4 terms × ≤ 4e13 → no overflow),
+    * order-free, divided and rounded once at emission.
     */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val w = col("w")
@@ -391,35 +407,44 @@ object TextOps {
       transform(sequence(lit(1), size(w) - 1), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val feats = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), (qualityScoreExpr >= MinQuality).as("in_target"),
+    val B = DsirBuckets
+    val stats = Tables.documents(spark, sfDir)
+      .select((qualityScoreExpr >= MinQuality).as("in_target"),
         words(col("text")).as("w"))
-      .select(col("doc_id"), col("in_target"), explode(bigrams).as("bigram"))
-      .select(col("doc_id"), col("in_target"),
-        (Tables.h24(col("bigram")) % DsirBuckets).as("f"))
-    val docFeat = feats.groupBy(col("doc_id"), col("in_target"), col("f"))
-      .agg(count(lit(1)).as("c"))
-    val featStats = docFeat.groupBy(col("f"))
-      .agg(sum(col("c")).as("sc"),
-        sum(when(col("in_target"), col("c")).otherwise(lit(0L))).as("tc"))
-    // totals via a window over the ≤DsirBuckets-row stats table — NOT a
-    // separate .agg lineage, which would re-derive (and re-scan) the whole
-    // corpus-sized docFeat plan a second time for two numbers. The window
-    // is constant-keyed over a metadata-sized table, so the "single
-    // partition" cost is 256 rows.
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    val logRatio = featStats
-      .withColumn("s_tot", sum(col("sc")).over(wAll))
-      .withColumn("t_tot", sum(col("tc")).over(wAll))
-      .select(col("f"),
-        (log((col("tc") + 1) / (col("t_tot") + DsirBuckets)) -
-          log((col("sc") + 1) / (col("s_tot") + DsirBuckets))).as("logr"))
-    docFeat.join(broadcast(logRatio), Seq("f"))
+      .select(col("in_target"), explode(bigrams).as("bigram"))
+      .select(col("in_target"), (Tables.h24(col("bigram")) % B).as("f"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("sc"),
+        sum(when(col("in_target"), 1L).otherwise(0L)).as("tc"))
+      .collect()
+    val sc = Array.fill(B)(0L)
+    val tc = Array.fill(B)(0L)
+    stats.foreach { r =>
+      val f = r.getLong(0).toInt; sc(f) = r.getLong(1); tc(f) = r.getLong(2)
+    }
+    val (sTot, tTot) = (sc.sum, tc.sum)
+    import graft.functions.DetLog.lnScala
+    // Spark's Round(double) semantics exactly: shortest-repr BigDecimal,
+    // HALF_UP — the same result DuckDB's exact-binary round produces (the
+    // boundary sign of a double vs its shortest decimal repr never flips)
+    def q(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val lq: Array[Long] = Array.tabulate(B) { f =>
+      val chain = ((lnScala(tc(f) + 1) - lnScala(tTot.toLong + B)) -
+        lnScala(sc(f) + 1)) + lnScala(sTot.toLong + B)
+      q(chain * 1.0e12)
+    }
+    val lqArr = typedLit(lq.toSeq)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_feats"),
-        round(sum(col("c") * col("logr")), 6).as("dsir_weight"))
-      .select(col("doc_id"), col("n_feats"), col("dsir_weight"),
-        (col("dsir_weight") > 0).as("selected"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(element_at(lqArr, (Tables.h24(col("bigram")) % B).cast("int") + 1))
+          .as("wq"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("wq").cast("double") / lit(1.0e12), 6).as("dsir_weight"))
+      .withColumn("selected", col("dsir_weight") > 0)
   }
 
   /** Benchmark/eval set for the decontamination demo: the first
@@ -1575,27 +1600,46 @@ object TextOps {
           count(lit(1)).cast("double")).as("mean_nll"))
   }
 
+  /** Fixed-point grid for the anchored log kernels (entropy / Zipf / PSI /
+    * DSIR): deterministic-chain log values quantize to `round(x·10¹²)`
+    * longs before any aggregation, so every sum is EXACT and order-free.
+    * Safe where the r8–r10 log anchors were rejected: the operand of the
+    * quantizing round is a [[graft.functions.DetLog]] chain — bit-identical
+    * in Spark, DuckDB, and driver Scala by construction (no libm) — so the
+    * round sees identical operands in every engine, the
+    * [[TimeSeriesOps.StrengthScale]] precondition.
+    */
+  val LogScale = 1000000000000L
+
   /** X-C34: per-document token-distribution Shannon entropy (bits) — the
     * diversity/quality signal that separates natural text from degenerate
     * repetition (complementary to [[repetitionScores]]' max-run view).
     * Computed as log2(n) − (Σ c·log2 c)/n from per-(doc,token) counts: two
     * map-side-combinable aggregations, both keyed on doc_id — the token
     * dimension collapses in the first, so the second shuffles doc-count
-    * rows. The Σ c·log2 c float sum is partition-order-dependent in the
-    * last ulps; emission rounds to 6 dp, far above the drift, which is the
-    * same tolerance argument every float-emitting query here makes.
+    * rows.
+    *
+    * Anchored (r11, retiring the lint-whitelist entry): log2 terms are the
+    * [[graft.functions.DetLog]] deterministic chain quantized to the
+    * [[LogScale]] grid, so Σ c·l2q(c) is an EXACT long sum (c ≤ doc
+    * tokens ~1e4, l2q ≤ 5.3e13 → products ≤ 3e17, sums ≤ 9.2e18), the
+    * numerator n·l2q(n) − Σ c·l2q(c) is exact, and the emission is one
+    * IEEE division chain mirrored in the oracle. Kernel redefinition vs
+    * libm: ≤ 1e-11 per term — invisible at the 6-dp grid.
     */
-  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    def l2q(k: Column): Column =
+      round(graft.functions.DetLog.log2(k) * lit(LogScale.toDouble), 0).cast("long")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"),
-        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("sclg"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * l2q(col("c"))).as("sclq"))
       .select(col("doc_id"), col("n"),
-        round(log2(col("n").cast("double")) -
-          col("sclg") / col("n").cast("double"), 6).as("entropy"))
+        round((l2q(col("n")) * col("n") - col("sclq")).cast("double") /
+          (col("n").cast("double") * lit(LogScale.toDouble)), 6).as("entropy"))
+  }
 
   /** X-C73: per-source Jensen–Shannon drift — each source's unigram
     * distribution against the REST of the corpus, in bits ∈ [0, 1]: the
@@ -1709,13 +1753,22 @@ object TextOps {
     * the distributional sibling of [[heapsCurve]]'s growth view). Fit over
     * the top-[[ZipfFitTop]] tokens: rank by ONE vocab-cardinality window
     * ordered (freq DESC, token) — integer-deterministic cut and ranks —
-    * then the closed-form OLS of y=log2(freq) on x=log2(rank): four moment
-    * sums in one map-side aggregate, slope/intercept/r² emitted at 6 dp
-    * over the bounded (≤[[ZipfFitTop]]-term) float sums — the
-    * [[tokenEntropy]] argument. The corpus is touched once (the token
-    * collapse); everything downstream is vocab- then constant-sized.
+    * then the closed-form OLS of y=log2(freq) on x=log2(rank). The corpus
+    * is touched once (the token collapse); everything downstream is vocab-
+    * then constant-sized.
+    *
+    * Anchored (r11, retiring the lint-whitelist entry): x and y are
+    * [[graft.functions.DetLog]] chains quantized to the [[LogScale]] grid,
+    * so all five moment sums are EXACT (long for the linear sums; decimal
+    * products for the quadratics — xq·yq ≤ 4e26 needs 128-bit). The OLS
+    * arithmetic then runs ONE identical IEEE chain over the exact moments
+    * in both engines (the grid's 1e24 factor cancels in slope and r²; the
+    * intercept rescales by explicit /1e12 divisions mirrored in the
+    * oracle).
     */
   def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    def q(k: Column): Column =
+      round(graft.functions.DetLog.log2(k) * lit(LogScale.toDouble), 0).cast("long")
     val freq = Tables.documents(spark, sfDir)
       .select(explode(words(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
@@ -1723,18 +1776,24 @@ object TextOps {
       .orderBy(col("freq").desc, col("token"))
     val ranked = freq.withColumn("rank", row_number().over(w))
       .where(col("rank") <= ZipfFitTop)
-      .select(log2(col("rank").cast("double")).as("x"),
-        log2(col("freq").cast("double")).as("y"))
+      .select(q(col("rank").cast("long")).as("xq"), q(col("freq")).as("yq"))
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
     val m = ranked.agg(count(lit(1)).as("k"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
-    val num = col("k") * col("sxy") - col("sx") * col("sy")
-    val den = col("k") * col("sxx") - col("sx") * col("sx")
-    val deny = col("k") * col("syy") - col("sy") * col("sy")
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum(dec(col("xq")) * dec(col("yq"))).as("sxy"),
+      sum(dec(col("xq")) * dec(col("xq"))).as("sxx"),
+      sum(dec(col("yq")) * dec(col("yq"))).as("syy"))
+    // exact moments -> doubles ONCE, then one mirrored IEEE chain
+    def d(c: Column): Column = c.cast("double")
+    val (kd, sx, sy) = (d(col("k")), d(col("sx")), d(col("sy")))
+    val (sxy, sxx, syy) = (d(col("sxy")), d(col("sxx")), d(col("syy")))
+    val num = kd * sxy - sx * sy
+    val den = kd * sxx - sx * sx
+    val deny = kd * syy - sy * sy
+    val scale = lit(LogScale.toDouble)
     m.select(col("k").as("n_tokens_fit"),
       round(num / den, 6).as("slope"),
-      round((col("sy") - num / den * col("sx")) / col("k"), 6).as("intercept"),
+      round((sy / scale - num / den * (sx / scale)) / kd, 6).as("intercept"),
       round(num * num / (den * deny), 6).as("r2"))
   }
 

@@ -1479,8 +1479,14 @@ object TimeSeriesOps {
     * kernels — edge_k = min{c : cum(c)·10 ≥ k·n_ref}, a pure BIGINT
     * inequality over the cents-cardinality cumulative (bracketing-rank
     * discipline); bin ids are integer edge-comparison counts; p ratios
-    * are single divisions of exact BIGINTs and ln is one libm call per
-    * bin (the DSIR precedent), summed over 10 bins and rounded 6 dp.
+    * are single divisions of exact BIGINTs. Anchored (r11, retiring the
+    * lint-whitelist entry): ln(pc/pr) decomposes into four integer-argument
+    * [[graft.functions.DetLog]] chains (no libm, bit-identical
+    * cross-engine), each bin's term quantizes to the 1e12 grid, and the
+    * per-week psi is an EXACT 10-term integer sum — order-free — divided
+    * and rounded once. The reference week's true-zero check survives
+    * because pc−pr is exactly 0 there, zeroing each term before
+    * quantization.
     *
     * Scale shape: facts collapse once to (week, cents) cells; the edge
     * table is 9 broadcast rows; binning is a cells × 9 broadcast
@@ -1516,11 +1522,16 @@ object TimeSeriesOps {
       .select(col("bin"), col("nwb").as("nrb"))
     val grid = cells.select(col("week")).distinct()
       .select(col("week"), explode(sequence(lit(0L), lit(9L))).as("bin"))
-    val pc = (coalesce(col("nwb"), lit(0L)) + 1).cast("double") /
-      (col("n_w") + 10).cast("double")
-    val pr = (coalesce(col("nrb"), lit(0L)) + 1).cast("double") /
-      (col("n_ref") + 10).cast("double")
-    val psi = round(sum((pc - pr) * log(pc / pr)), 6)
+    val cw = coalesce(col("nwb"), lit(0L)) + 1
+    val cr = coalesce(col("nrb"), lit(0L)) + 1
+    val nw10 = col("n_w") + 10
+    val nr10 = col("n_ref") + 10
+    val pc = cw.cast("double") / nw10.cast("double")
+    val pr = cr.cast("double") / nr10.cast("double")
+    import graft.functions.DetLog
+    val lnr = ((DetLog.ln(cw) - DetLog.ln(nw10)) - DetLog.ln(cr)) + DetLog.ln(nr10)
+    val tq = round((pc - pr) * lnr * lit(1.0e12), 0).cast("long")
+    val psi = round(sum(tq).cast("double") / lit(1.0e12), 6)
     grid.join(binned, Seq("week", "bin"), "left")
       .join(refBins, Seq("bin"), "left")
       .join(nW, Seq("week"))

@@ -345,10 +345,13 @@ class PropertySpec extends SparkSpec {
       "xt_ewma_daily",        // the r8 defect: decimal-anchored kernel now
       "xt_seasonality_strength", // explicit-moment float chain, 6 dp emission
       "xa_weighted_median",   // bucket-refined histogram emission
-      // whitelisted doc-table float chains re-checked at 10x the fixture
-      // magnitudes, where drift margins are thinnest
+      // r11 anchored log family (off the whitelist: DetLog chains quantized
+      // to the LogScale grid, exact integer sums) — re-checked at 10x the
+      // fixture magnitudes, where drift margins are thinnest
       "tx_token_entropy",
       "tx_dsir_weights",
+      "tx_zipf_fit",
+      "xt_psi_drift",
       // r10 anchored families (off the whitelist, so off the dynamic gate
       // below): one representative per anchored kernel — the CentroidQuant
       // mean-update (kmeans training + the semdedup consumer) and the
