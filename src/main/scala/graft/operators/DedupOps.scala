@@ -1060,17 +1060,23 @@ object DedupOps {
     idxBuilt.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
       val root = Tables.uniqueStageDir(spark, sfDir, "txtable_minhash_idx")
       val bands = minhashBands(spark, sfDir)
-      TxTable.append(spark, root, bands.where(col("doc_id") % 2 === 0),
-        op = "index_batch0")
-      TxTable.append(spark, root, bands.where(col("doc_id") % 2 === 1),
-        op = "index_batch1")
+      // 4 files per batch append, pinned: the per-ingest-day small-file
+      // shape the compaction exists to fold (AQE would otherwise coalesce
+      // a small SF's append below compact's targetFiles and no-op it)
+      TxTable.append(spark, root,
+        bands.where(col("doc_id") % 2 === 0).repartition(4), op = "index_batch0")
+      TxTable.append(spark, root,
+        bands.where(col("doc_id") % 2 === 1).repartition(4), op = "index_batch1")
       // v2: fold the per-batch files into a band-key-clustered layout —
       // the maintenance pass a stored LSH index runs after every ingest
       // day (probe reads become contiguous), exercised here so compaction
       // is part of the ORACLE-VERIFIED history, not only spec-tested.
       // Pure layout surgery: v0/v1 snapshots (the dedup read path) and
-      // the latest row set are untouched.
-      TxTable.compact(spark, root, targetFiles = 1,
+      // the latest row set are untouched. FOUR range files (r11, was 1):
+      // disjoint (band_no, band_key) ranges per file are exactly what the
+      // commit-logged stats + readWhere data skipping turn into O(1)-file
+      // probes — see `xacid_pruned_scan`.
+      TxTable.compact(spark, root, targetFiles = 4,
         sortCols = Seq("band_no", "band_key")): Unit
       root
     })
@@ -1092,6 +1098,29 @@ object DedupOps {
   def dedupIndexHistory(spark: SparkSession, sfDir: String): DataFrame =
     TxTable.history(spark, minhashIndexTx(spark, sfDir))
       .select(col("version"), col("op"), col("rows_written"))
+
+  /** Data-skipping probe of the persisted index (X-M2 / X-P27 read path):
+    * one band's bucket profile read through [[TxTable.readWhere]], which
+    * consults the commit-logged per-file column ranges and OPENS only the
+    * files whose (band_no) range can intersect the predicate — after the
+    * band-clustered compaction that is 1 of 4 files (AcidSpec asserts the
+    * skip count; the oracle asserts the pruned read loses no rows, the
+    * data-skipping correctness contract). At 100 TB this is an LSH probe
+    * touching one file instead of the whole index.
+    */
+  def prunedIndexScan(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.readWhere(spark, minhashIndexTx(spark, sfDir),
+        col("band_no") === ProbeBand)
+      .groupBy(col("band_no"))
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(col("band_key")).as("n_buckets"),
+        min(col("band_key")).as("min_key"),
+        max(col("band_key")).as("max_key"))
+
+  /** Band probed by [[prunedIndexScan]] — an interior band, so the skip is
+    * range-driven, not an endpoint artifact.
+    */
+  val ProbeBand = 3
 
   private def incrementalAgainst(spark: SparkSession, sfDir: String,
                                  indexBands: DataFrame): DataFrame = {

@@ -97,6 +97,7 @@ object TextDedupPack extends QueryPack {
     "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "dd_incremental_tx" -> ((s, d) => DedupOps.incrementalDedupTx(s, d)),
     "xacid_dedup_index" -> ((s, d) => DedupOps.dedupIndexHistory(s, d)),
+    "xacid_pruned_scan" -> ((s, d) => DedupOps.prunedIndexScan(s, d)),
     "dd_fuzzy_decontam" -> ((s, d) => DedupOps.fuzzyDecontam(s, d)),
     "tx_leak_safe_splits" -> ((s, d) => TextOps.leakSafeSplits(s, d)),
   )
@@ -1529,6 +1530,17 @@ object TextDedupPack extends QueryPack {
           |UNION ALL
           |SELECT CAST(2 AS BIGINT), 'compact',
           |  (SELECT count(*) FROM bands)""".stripMargin),
+    // the data-skipping correctness contract: the file-pruned readWhere
+    // probe must see EXACTLY the rows a full-scan filter sees (the skip
+    // COUNT itself is asserted by AcidSpec — it is physical, invisible in
+    // the result by design)
+    "xacid_pruned_scan" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte)(
+        s"""SELECT band_no, CAST(count(*) AS BIGINT) AS n_entries,
+           |  CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets,
+           |  min(band_key) AS min_key, max(band_key) AS max_key
+           |FROM bands WHERE band_no = ${DedupOps.ProbeBand}
+           |GROUP BY band_no""".stripMargin),
     "dd_incremental" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte,
         """icand AS (

@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** File-level data skipping for [[TxTable]] — the Delta/Iceberg read-path
+  * complement to its copy-on-write mutations (VERDICT r10 #4: MERGE/DELETE
+  * already prune at file granularity through `input_file_name()` scans;
+  * SCANS did not).
+  *
+  * Two halves:
+  *  - [[fromFooter]]: per-file column min/max lifted from the parquet
+  *    FOOTER at commit time (metadata-only IO — the file was just written,
+  *    its footer is one read; this is the stats-collection cost every
+  *    commit-log table format pays once per file, amortized against every
+  *    future scan). Recorded on the `add` action, so stats travel with the
+  *    commit log and survive compaction rewrites.
+  *  - [[mayMatch]]: a conservative prover — given a file's stats and a scan
+  *    predicate's Catalyst expression, decide whether the file MAY contain
+  *    a matching row. `false` is a proof of absence (the file is skipped);
+  *    anything unknown — unsupported expression shape, missing stats, type
+  *    mismatch — returns `true`, so pruning can only ever remove provably
+  *    irrelevant files and the pruned scan is result-identical by
+  *    construction (`xacid_pruned_scan`'s oracle verifies exactly that).
+  *
+  * At 100 TB this is the difference between "read every live file and let
+  * parquet row-group stats help a little" and "never open the 99% of files
+  * whose key range cannot intersect the predicate" — especially after
+  * [[TxTable.compact]]'s range-clustered rewrite, which is precisely what
+  * makes per-file ranges disjoint and skipping effective.
+  *
+  * Types covered: INT32/INT64 (incl. DATE days) as long, FLOAT/DOUBLE as
+  * double, UTF8 BINARY as string. INT96 timestamps (Spark's default
+  * timestamp encoding) carry no usable stats by parquet convention and are
+  * skipped — those columns simply never prune.
+  */
+object TxStats {
+
+  /** One column's file-level range; min/max carried as strings so the JSON
+    * commit log round-trips them exactly (`Double.toString` shortest-repr
+    * parses back to the identical double).
+    */
+  case class ColStats(t: String, min: String, max: String)
+
+  /** Footer-derived stats for every skippable top-level column of `path`.
+    * A column qualifies only if EVERY row group carries non-empty stats of
+    * a supported type — otherwise it is dropped (conservative).
+    */
+  def fromFooter(conf: org.apache.hadoop.conf.Configuration,
+                 path: String): Map[String, ColStats] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return Map.empty
+      val perBlock: Seq[Map[String, ColStats]] = blocks.map { b =>
+        b.getColumns.asScala.flatMap { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else chunkStats(c.getPrimitiveType, st).map(name -> _)
+        }.toMap
+      }
+      // a column survives only when present in every row group; ranges merge
+      perBlock.head.keySet
+        .filter(k => perBlock.forall(_.contains(k)))
+        .flatMap { k =>
+          val cs = perBlock.map(_(k))
+          if (cs.map(_.t).distinct.size != 1) None
+          else cs.head.t match {
+            case "long" => Some(k -> ColStats("long",
+              cs.map(_.min.toLong).min.toString, cs.map(_.max.toLong).max.toString))
+            case "double" => Some(k -> ColStats("double",
+              cs.map(_.min.toDouble).min.toString, cs.map(_.max.toDouble).max.toString))
+            case "string" => Some(k -> ColStats("string", cs.map(_.min).min, cs.map(_.max).max))
+            case _ => None
+          }
+        }.toMap
+    } finally reader.close()
+  }
+
+  private def chunkStats(pt: org.apache.parquet.schema.PrimitiveType,
+                         st: org.apache.parquet.column.statistics.Statistics[_])
+      : Option[ColStats] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    pt.getPrimitiveTypeName match {
+      case INT64 => Some(ColStats("long",
+        st.genericGetMin.toString, st.genericGetMax.toString))
+      case INT32 => Some(ColStats("long",
+        st.genericGetMin.toString, st.genericGetMax.toString))
+      case DOUBLE | FLOAT => Some(ColStats("double",
+        st.genericGetMin.toString, st.genericGetMax.toString))
+      case BINARY
+        if pt.getLogicalTypeAnnotation.isInstanceOf[
+          org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        val min = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+        val max = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+        Some(ColStats("string", min.toStringUsingUTF8, max.toStringUsingUTF8))
+      case _ => None // BOOLEAN, INT96, FIXED_LEN_BYTE_ARRAY: never prune
+    }
+  }
+
+  /** May a file with `stats` contain a row matching `pred`? `false` only on
+    * proof of absence.
+    */
+  def mayMatch(stats: Map[String, ColStats], pred: Expression): Boolean = pred match {
+    case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+    case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
+    case EqualTo(a, b) => eqMay(stats, a, b)
+    case EqualNullSafe(a, b) => eqMay(stats, a, b)
+    case GreaterThan(a, b) => cmpMay(stats, a, b, strict = true)
+    case GreaterThanOrEqual(a, b) => cmpMay(stats, a, b, strict = false)
+    case LessThan(a, b) => cmpMay(stats, b, a, strict = true)
+    case LessThanOrEqual(a, b) => cmpMay(stats, b, a, strict = false)
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => eqMay(stats, a, v))
+    case InSet(a, hset) =>
+      // OptimizeIn rewrites large In-lists to InSet over internal values
+      hset.exists(v => eqMay(stats, a, Literal(v, a.dataType)))
+    case _ => true
+  }
+
+  /** a = b (either side the attribute): range must contain the literal. */
+  private def eqMay(stats: Map[String, ColStats], a: Expression, b: Expression): Boolean =
+    bind(stats, a, b).orElse(bind(stats, b, a)).forall { case (cs, v) =>
+      cmp(cs.min, v, cs.t) <= 0 && cmp(cs.max, v, cs.t) >= 0
+    }
+
+  /** attr > lit (or >=): file may match iff max (strictly) exceeds lit.
+    * Callers rewrite `<`/`<=` as the mirrored `>`/`>=` (swap operands), so
+    * only the attr-on-the-greater-side shape needs proving; when the
+    * attribute sits on the LESSER side (lit > attr ≡ attr < lit) the file
+    * may match iff min is (strictly) below the literal.
+    */
+  private def cmpMay(stats: Map[String, ColStats], hi: Expression, lo: Expression,
+                     strict: Boolean): Boolean = {
+    // hi > lo. Case 1: hi is the attribute → need max(attr) > lo.
+    bind(stats, hi, lo).forall { case (cs, v) =>
+      val c = cmp(cs.max, v, cs.t)
+      if (strict) c > 0 else c >= 0
+    } && // Case 2: lo is the attribute → need min(attr) < hi.
+    bind(stats, lo, hi).forall { case (cs, v) =>
+      val c = cmp(cs.min, v, cs.t)
+      if (strict) c < 0 else c <= 0
+    }
+  }
+
+  /** (stats-for-attr, comparable literal) when `a` is a stats-carrying
+    * attribute and `b` a non-null literal of a compatible type.
+    */
+  private def bind(stats: Map[String, ColStats], a: Expression,
+                   b: Expression): Option[(ColStats, Any)] = {
+    val name = a match {
+      case u: UnresolvedAttribute => Some(u.name)
+      case r: AttributeReference => Some(r.name)
+      case Cast(u: UnresolvedAttribute, _, _, _) => Some(u.name)
+      case _ => None
+    }
+    for {
+      n <- name
+      cs <- stats.get(n)
+      v <- b match {
+        case Literal(v, dt) if v != null => comparable(cs.t, v, dt)
+        case _ => None
+      }
+    } yield (cs, v)
+  }
+
+  /** Literal → the stats domain (Long / Double / String), None on mismatch. */
+  private def comparable(t: String, v: Any, dt: DataType): Option[Any] = (t, dt) match {
+    case ("long", ByteType | ShortType | IntegerType | LongType | DateType) =>
+      Some(v.asInstanceOf[Number].longValue())
+    case ("double", ByteType | ShortType | IntegerType | LongType) =>
+      Some(v.asInstanceOf[Number].doubleValue())
+    case ("double", FloatType | DoubleType) =>
+      Some(v.asInstanceOf[Number].doubleValue())
+    case ("long", FloatType | DoubleType) =>
+      Some(v.asInstanceOf[Number].doubleValue())
+    case ("string", StringType) => Some(v.toString)
+    case _ => None
+  }
+
+  /** Three-way compare of a stored stat string against a literal in the
+    * stats domain. Long-vs-double mixes compare as double (conservative:
+    * a tie from the widening reads as "may overlap").
+    */
+  private def cmp(stat: String, v: Any, t: String): Int = (t, v) match {
+    case ("long", l: Long) => java.lang.Long.compare(stat.toLong, l)
+    case ("long", d: Double) => java.lang.Double.compare(stat.toLong.toDouble, d)
+    case ("double", d: Double) => java.lang.Double.compare(stat.toDouble, d)
+    case ("string", s: String) => stat.compareTo(s)
+    case _ => 0
+  }
+}

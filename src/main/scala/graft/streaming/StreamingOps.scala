@@ -578,13 +578,21 @@ object StreamingOps {
     * cap, so the corpus replay reproduces [[graft.operators.DedupOps
     * .incrementalDedup]]'s result set EXACTLY (spec-checked).
     */
-  def streamingIncrementalDedup(docs: DataFrame, sfDir: String): DataFrame = {
+  def streamingIncrementalDedup(docs: DataFrame, sfDir: String,
+                                indexRoot: Option[String] = None): DataFrame = {
     import graft.functions.TextFunctions
     import graft.operators.DedupOps
     val spark = docs.sparkSession
-    // ---- static sides: the persisted index, read through the commit log
+    // ---- static sides: the persisted index, read through the commit log.
+    // The v0 file list resolves ONCE at plan construction; later commits —
+    // including a compaction rewriting the whole layout — cannot disturb a
+    // running stream, because old versions' files stay on disk until
+    // vacuum. That reader isolation under layout churn is spec-pinned
+    // (StreamingSpec compacts mid-stream). `indexRoot` overrides the
+    // staged table for such isolation tests.
     val idxBands = graft.sources.TxTable
-      .read(spark, DedupOps.minhashIndexTx(spark, sfDir), asOf = Some(0L))
+      .read(spark, indexRoot.getOrElse(DedupOps.minhashIndexTx(spark, sfDir)),
+        asOf = Some(0L))
     val guarded = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band_no"), col("band_key"))

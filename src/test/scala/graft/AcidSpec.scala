@@ -353,4 +353,72 @@ class AcidSpec extends SparkSpec {
     graft.Tables.clearDerived(spark)
     assert(AcidOps.finalState(spark, Sf).count() == before)
   }
+
+  test("data skipping: commit-logged stats prune provably irrelevant files; results identical") {
+    val root = freshRoot()
+    // three single-file appends with disjoint id ranges
+    TxTable.append(spark, root, frame(1 to 10, "a").repartition(1))
+    TxTable.append(spark, root, frame(11 to 20, "b").repartition(1))
+    TxTable.append(spark, root, frame(21 to 30, "c").repartition(1))
+    // range predicate: only the third file's [21,30] range can match
+    val (kept, skipped) = TxTable.pruneFiles(spark, root, $"id" > 25L)
+    assert(kept.size == 1 && skipped.size == 2, s"kept=$kept skipped=$skipped")
+    assert(TxTable.readWhere(spark, root, $"id" > 25L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (26L to 30L))
+    // equality on a string-stats predicate (tag ranges are per-file constants)
+    val (kt, st) = TxTable.pruneFiles(spark, root, $"tag" === "b")
+    assert(kt.size == 1 && st.size == 2)
+    // conjunction: both conjuncts must be satisfiable in the same file
+    val (kc, _) = TxTable.pruneFiles(spark, root, $"id" > 25L && $"tag" === "b")
+    assert(kc.isEmpty) // id>25 lives in file c, tag=b in file b: no file fits
+    // disjunction keeps the union of may-match sets
+    val (kd, sd) = TxTable.pruneFiles(spark, root, $"id" <= 5L || $"tag" === "c")
+    assert(kd.size == 2 && sd.size == 1)
+    // all-pruned read keeps the schema and returns no rows
+    val none = TxTable.readWhere(spark, root, $"id" > 1000L)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "tag", "value"))
+    // unsupported predicate shapes never prune (conservative prover)
+    val (_, sUnknown) = TxTable.pruneFiles(spark, root, $"id" % 2 === 0)
+    assert(sUnknown.isEmpty)
+    // a predicate on a column without recorded stats never prunes
+    val (_, sNo) = TxTable.pruneFiles(spark, root, col("nope") === 1)
+    assert(sNo.isEmpty)
+  }
+
+  test("data skipping over the compacted index layout: a band probe skips range-disjoint files") {
+    import graft.operators.DedupOps
+    // the staged-index shape rebuilt deterministically: per-batch appends
+    // in many small files, then the band-clustered 4-file compaction (at
+    // sf0.001 the staged table itself has too few files for compact(4) to
+    // rewrite, so the layout is constructed here; at sf0.01+ the staged
+    // build takes the same path and xacid_pruned_scan reads it)
+    val root = freshRoot()
+    val bands = DedupOps.minhashBands(spark, Sf)
+    TxTable.append(spark, root,
+      bands.where($"doc_id" % 2 === 0).repartition(4), op = "index_batch0")
+    TxTable.append(spark, root,
+      bands.where($"doc_id" % 2 === 1).repartition(4), op = "index_batch1")
+    TxTable.compact(spark, root, targetFiles = 4,
+      sortCols = Seq("band_no", "band_key"))
+    val pred = col("band_no") === DedupOps.ProbeBand
+    val s = TxTable.snapshot(root)
+    assert(s.commits.exists(_.op == "compact"))
+    assert(s.liveFiles.size == 4) // the range-clustered layout
+    // every live file carries commit-logged stats for the probe column
+    assert(s.liveFiles.forall(f => s.liveStats.get(f).exists(_.contains("band_no"))))
+    val (kept, skipped) = TxTable.pruneFiles(spark, root, pred)
+    // band-range clustering makes most files provably irrelevant to one band
+    assert(skipped.nonEmpty && kept.size < 4, s"kept=$kept skipped=$skipped")
+    // pre-compaction files overlap on band ranges: time travel to v1 must
+    // prune nothing for the same probe (both batches span every band)
+    val (_, skippedV1) = TxTable.pruneFiles(spark, root, pred, asOf = Some(1L))
+    assert(skippedV1.isEmpty)
+    // the data-skipping correctness contract: pruned probe == full-scan filter
+    val pruned = TxTable.readWhere(spark, root, pred)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val full = TxTable.read(spark, root).where(pred)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(pruned == full && pruned.nonEmpty)
+  }
 }
