@@ -17,20 +17,25 @@ import org.apache.spark.sql.types._
   *    size and sample rate code tables (including the 8/16-bit
   *    "follows" forms), channel assignment, sample size table, UTF-8-coded
   *    frame number, and a VERIFIED CRC-8 (poly 0x07);
-  *  - SUBFRAMES per channel: CONSTANT, VERBATIM, and FIXED predictors of
-  *    order 0–4 (the "FLAC subset" recipe: warmup samples verbatim, then
-  *    residuals), with the wasted-bits unary prefix honored;
+  *  - SUBFRAMES per channel: CONSTANT, VERBATIM, FIXED predictors of
+  *    order 0–4 (warmup samples verbatim, then residuals), and — since
+  *    r11 — LINEAR-PREDICTION subframes (`1xxxxx`, order 1–32): quantized
+  *    coefficient precision (4-bit, 0b1111 invalid), signed 5-bit shift
+  *    (negative rejected per RFC 9639), `order` signed coefficients, then
+  *    the shared residual block; reconstruction is the spec's
+  *    64-bit-accumulated dot product with arithmetic right shift.
+  *    Wasted-bits unary prefixes honored everywhere. (LPC was REJECTED
+  *    through r10 because an unverified reconstruction path is the
+  *    shortcut-decoder hazard; it ships now with the same discipline that
+  *    justified the others — a hand-derived byte-pinned wire frame, CRC
+  *    verification, corruption cases down to coefficient bits, and the
+  *    lossless PCM-rule oracle.)
   *  - RESIDUALS: both partitioned-Rice methods (4-bit and 5-bit
   *    parameters), any partition order, zigzag decode, and the escape code
   *    (raw n-bit residuals);
   *  - frame CRC-16 (poly 0x8005) VERIFIED over the whole frame;
   *  - stream-level accounting: decoded sample count must equal
   *    STREAMINFO's total (when declared), and no trailing garbage.
-  *
-  * LPC subframes (type `1xxxxx`) are rejected as Malformed: the fixture
-  * encoder targets the fixed-predictor subset, and decoding an UNVERIFIED
-  * reconstruction path would be exactly the shortcut-decoder hazard the
-  * raster-rebuilding oracles exist to catch — reject loudly instead.
   *
   * Emits exact integer sample stats (count/sum/min/max/sum-of-squares over
   * all channels) plus header fields, so the DuckDB oracle — which rebuilds
@@ -238,18 +243,9 @@ object FlacDecode {
           val effBps = bps - wasted
           if (effBps <= 0) throw Malformed
           val out = new Array[Long](blockSize)
-          if (sfType == 0) { // CONSTANT
-            val v = r.sbits(effBps)
-            java.util.Arrays.fill(out, v)
-          } else if (sfType == 1) { // VERBATIM
-            var i = 0
-            while (i < blockSize) { out(i) = r.sbits(effBps); i += 1 }
-          } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0..4
-            val order = sfType - 8
-            if (order > blockSize) throw Malformed
-            var i = 0
-            while (i < order) { out(i) = r.sbits(effBps); i += 1 }
-            // partitioned Rice residuals
+          // partitioned-Rice residual block, shared by FIXED and LPC:
+          // residuals land in out(order..) as raw (un-predicted) values
+          def readResiduals(order: Int): Unit = {
             val method = r.bits(2).toInt
             if (method > 1) throw Malformed
             val pBits = if (method == 0) 4 else 5
@@ -281,6 +277,19 @@ object FlacDecode {
               }
               p += 1
             }
+          }
+          if (sfType == 0) { // CONSTANT
+            val v = r.sbits(effBps)
+            java.util.Arrays.fill(out, v)
+          } else if (sfType == 1) { // VERBATIM
+            var i = 0
+            while (i < blockSize) { out(i) = r.sbits(effBps); i += 1 }
+          } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0..4
+            val order = sfType - 8
+            if (order > blockSize) throw Malformed
+            var i = 0
+            while (i < order) { out(i) = r.sbits(effBps); i += 1 }
+            readResiduals(order)
             // fixed-predictor reconstruction (orders 0-4, spec recurrences)
             var k = order
             while (k < blockSize) {
@@ -294,7 +303,34 @@ object FlacDecode {
               }
               k += 1
             }
-          } else throw Malformed // LPC / reserved: out of the verified subset
+          } else if (sfType >= 32) { // LPC, order 1..32 (r11: the `1xxxxx` family)
+            val order = sfType - 31
+            if (order > blockSize) throw Malformed
+            var i = 0
+            while (i < order) { out(i) = r.sbits(effBps); i += 1 }
+            // quantized-coefficient header: 4-bit precision-1 (0b1111
+            // invalid per spec), signed 5-bit shift (negative rejected —
+            // RFC 9639 forbids it; historic encoders never emit it)
+            val qlpPrec = r.bits(4).toInt + 1
+            if (qlpPrec == 16) throw Malformed
+            val shift = r.sbits(5).toInt
+            if (shift < 0) throw Malformed
+            val coefs = new Array[Long](order)
+            var j = 0
+            while (j < order) { coefs(j) = r.sbits(qlpPrec); j += 1 }
+            readResiduals(order)
+            // LPC reconstruction: coef(0) weighs the MOST RECENT sample;
+            // the 64-bit accumulator cannot overflow in-range streams
+            // (|sample| < 2^32, |coef| < 2^15, order ≤ 32 → |Σ| < 2^52)
+            var k = order
+            while (k < blockSize) {
+              var acc = 0L
+              var c = 0
+              while (c < order) { acc += coefs(c) * out(k - 1 - c); c += 1 }
+              out(k) += acc >> shift // arithmetic shift = spec's floor division
+              k += 1
+            }
+          } else throw Malformed // reserved subframe types
           var i = 0
           while (i < blockSize) {
             val v = out(i) << wasted

@@ -400,8 +400,8 @@ object MediaOps {
   /** FLAC frame block size used by the fixture encoder: small enough that
     * the sample ladder (64·(1+h24%8) ≤ 512 samples) produces one OR two
     * frames per stream — so the multi-frame walk, the short last block,
-    * and two different fixed-predictor orders (frame_no % 3) all occur in
-    * every corpus. */
+    * and all four predictor modes (FIXED orders 0-2 and the r11 LPC(2)
+    * frame, cycled by ladder-step + frame number) occur in every corpus. */
   val FlacBlockSize = 256
 
   /** Real FLAC audio payloads — the third compressed codec, and the first
@@ -461,9 +461,10 @@ object MediaOps {
     * left 0 = unknown, as the spec allows); per frame — 14-bit sync,
     * fixed-blocksize strategy, the explicit 16-bit block-size form,
     * rate/size from STREAMINFO/16-bit codes, UTF-8-coded frame number,
-    * CRC-8; one FIXED subframe of order `frame_no % 3` (verbatim warmup,
-    * zigzag Rice residuals at a mean-derived parameter, partition order 0);
-    * byte padding; CRC-16 over the whole frame.
+    * CRC-8; one subframe per frame cycling FIXED orders 0-2 and a genuine
+    * quantized-coefficient LPC(order 2, coefs [3,-1], shift 1) frame
+    * (verbatim warmup, zigzag Rice residuals at a mean-derived parameter,
+    * partition order 0); byte padding; CRC-16 over the whole frame.
     */
   private[graft] def encodeFlac(samples: Array[Int], blockSize: Int): Array[Byte] = {
     val chunks = samples.grouped(blockSize).toArray
@@ -498,21 +499,37 @@ object MediaOps {
       w.bits(chunk.length.toLong - 1, 16)
       val crc8At = w.bytes // aligned: 7 bytes
       w.bits(graft.functions.FlacDecode.crc8(crc8At, 0, crc8At.length).toLong, 8)
-      // --- subframe: FIXED, order f % 3, no wasted bits ---
-      val order = f % 3
+      // --- subframe: mode cycles FIXED orders 0-2 and (r11) a genuine
+      // LPC(order 2) frame — coefficients [3, -1], shift 1, i.e. the
+      // prediction (3·s[k-1] − s[k-2]) >> 1, a real quantized predictor
+      // between FIXED orders 1 and 2. The mode mixes the stream's sample-
+      // ladder step with the frame number so every corpus contains LPC
+      // frames at both frame positions; no wasted bits ---
+      val mode = (f + samples.length / 64) % 4
+      val order = if (mode == 3) 2 else mode
       w.bit(0)
-      w.bits(8L + order, 6)
+      if (mode == 3) w.bits(32L + (order - 1), 6) // LPC, `1xxxxx` = order-1
+      else w.bits(8L + order, 6)                  // FIXED
       w.bit(0)
       var i = 0
       while (i < order) { w.bits(chunk(i).toLong & 0xffff, 16); i += 1 }
+      if (mode == 3) {
+        w.bits(3, 4)          // coefficient precision - 1 = 3 (4-bit coefs)
+        w.bits(1, 5)          // quantization shift = 1 (non-negative)
+        w.bits(3L & 0xf, 4)   // coef[0] = 3  (weighs s[k-1])
+        w.bits(-1L & 0xf, 4)  // coef[1] = -1 (weighs s[k-2])
+      }
       val resid = new Array[Long](chunk.length - order)
       var k = order
       while (k < chunk.length) {
-        resid(k - order) = order match {
-          case 0 => chunk(k).toLong
-          case 1 => chunk(k).toLong - chunk(k - 1)
-          case 2 => chunk(k).toLong - 2L * chunk(k - 1) + chunk(k - 2)
-        }
+        resid(k - order) =
+          if (mode == 3)
+            chunk(k).toLong - ((3L * chunk(k - 1) - chunk(k - 2)) >> 1)
+          else order match {
+            case 0 => chunk(k).toLong
+            case 1 => chunk(k).toLong - chunk(k - 1)
+            case 2 => chunk(k).toLong - 2L * chunk(k - 1) + chunk(k - 2)
+          }
         k += 1
       }
       val us = resid.map(r => if (r >= 0) 2L * r else -2L * r - 1)

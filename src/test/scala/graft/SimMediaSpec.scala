@@ -436,7 +436,44 @@ class SimMediaSpec extends SparkSpec {
     assert(vals == Seq(8000L, 1L, 16L, 4L, 1L, 6L, -2L, 5L, 38L))
   }
 
-  test("FlacDecode: corruption nulls — bit flip (CRC-16), header flip (CRC-8), truncation, LPC type") {
+  test("FLAC LPC wire format is pinned: the hand-derived order-2 frame decodes exactly") {
+    // Derived independently from RFC 9639 (via a python bit packer, not the
+    // Scala encoder — the QOI discipline) for samples [3, -2, 5, 0] at
+    // blockSize 4: same STREAMINFO/frame header as the FIXED pin (CRC-8
+    // 0x13 — the header is subframe-agnostic), then subframe byte 0x42 =
+    // 0|100001|0 (LPC order 2, no wasted bits), 16-bit warmup 0x0003
+    // 0xfffe, coefficient header 0011|00001|0011|1111 (precision-1=3,
+    // shift=1, coefs [3, -1]), residual block 00|0000|0100 (rice, porder 0,
+    // param 4) and the two rice codes for residuals [10, -8]:
+    //   k=2: pred = (3·(-2) − 3) >> 1 = −5 → resid 10, zigzag 20 → 01|0100
+    //   k=3: pred = (3·5 − (−2)) >> 1 = 8 → resid −8, zigzag 15 → 1|1111
+    // padding to byte, CRC-16 0xf8d3.
+    val expected = Array(
+      0x66, 0x4c, 0x61, 0x43, 0x80, 0x00, 0x00, 0x22, 0x00, 0x04, 0x00,
+      0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x01, 0xf4, 0x00, 0xf0,
+      0x00, 0x00, 0x00, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0xf8,
+      0x70, 0x08, 0x00, 0x00, 0x03, 0x13, 0x42, 0x00, 0x03, 0xff, 0xfe,
+      0x30, 0x9f, 0x80, 0x8a, 0x7c, 0xf8, 0xd3).map(_.toByte)
+    val s = graft.functions.FlacDecode.stats(expected)
+    assert(s != null, "hand-derived LPC frame rejected")
+    assert((0 until 9).map(s.getLong) ==
+      Seq(8000L, 1L, 16L, 4L, 1L, 6L, -2L, 5L, 38L))
+    // the fixture encoder emits the same wire for these samples when its
+    // mode cycle lands on LPC: a 192-sample stream (ladder step 3) leads
+    // with an LPC subframe and must invert losslessly
+    val samples = Array.tabulate(192)(i => ((i * 73) % 900) - 450)
+    val enc = MediaOps.encodeFlac(samples, MediaOps.FlacBlockSize)
+    // subframe type byte of frame 0 sits after the 8-byte header at
+    // offset 42 (4 magic + 38 streaminfo): 0x42 = LPC order 2
+    assert((enc(50) & 0xff) == 0x42, f"subframe byte 0x${enc(50) & 0xff}%02x")
+    val es = graft.functions.FlacDecode.stats(enc)
+    assert(es != null, "encoder LPC stream rejected")
+    assert(es.getLong(3) == 192L && es.getLong(5) == samples.map(_.toLong).sum &&
+      es.getLong(8) == samples.map(v => v.toLong * v).sum)
+  }
+
+  test("FlacDecode: corruption nulls — bit flip (CRC-16), header flip (CRC-8), truncation, coefficient bits") {
     val stream = MediaOps.encodeFlac(Array.tabulate(300)(i => (i * 37) % 1000 - 500),
       MediaOps.FlacBlockSize)
     assert(graft.functions.FlacDecode.stats(stream) != null)
@@ -451,23 +488,30 @@ class SimMediaSpec extends SparkSpec {
     assert(graft.functions.FlacDecode.stats(hdrFlip) == null)
     // truncation mid-frame
     assert(graft.functions.FlacDecode.stats(stream.take(stream.length - 3)) == null)
-    // an LPC subframe type is out of the verified subset: reject loudly.
-    // Rewrite frame 0's subframe header byte (fixed order 0 = 0x10) to LPC
-    // order 1 (type 100000 → byte 0x40) and restamp both CRCs so ONLY the
-    // type check can be the rejector.
-    val lpc = stream.clone()
+    // LPC coefficient bits are CRC-protected like everything else (r11):
+    // a 192-sample stream leads with the LPC(2) subframe — its quantized
+    // coefficient header occupies the 17 bits after the 2x16-bit warmup,
+    // i.e. bytes 55-57. Flipping one coefficient bit must null the decode
+    // (the CRC-16 veto), never return silently re-predicted samples.
+    val lpcStream = MediaOps.encodeFlac(
+      Array.tabulate(192)(i => ((i * 73) % 900) - 450), MediaOps.FlacBlockSize)
+    assert((lpcStream(50) & 0xff) == 0x42) // LPC order 2 subframe leads
+    assert(graft.functions.FlacDecode.stats(lpcStream) != null)
+    val coefFlip = lpcStream.clone()
+    coefFlip(56) = (coefFlip(56) ^ 0x08).toByte
+    assert(graft.functions.FlacDecode.stats(coefFlip) == null)
+    // a reserved subframe type (01xxxx band) still rejects loudly even
+    // with both CRCs restamped, so ONLY the type check can be the rejector
+    val rsv = stream.clone()
     val f0 = 42 // frame 0 offset (4 magic + 38 streaminfo)
-    assert((lpc(f0) & 0xff) == 0xff && (lpc(f0 + 8) & 0xff) == 0x10)
-    lpc(f0 + 8) = 0x40.toByte
-    // (CRC-8 covers only the header, which is unchanged; restamp CRC-16 of
-    // this frame — it runs to the end of frame 0. With one frame per 256
-    // samples and 300 samples there are two frames; find frame 1's sync.)
-    val f1 = (f0 + 9 until lpc.length - 1).find(i =>
-      (lpc(i) & 0xff) == 0xff && (lpc(i + 1) & 0xf8) == 0xf8).get
-    val c = graft.functions.FlacDecode.crc16(lpc, f0, f1 - 2)
-    lpc(f1 - 2) = ((c >> 8) & 0xff).toByte
-    lpc(f1 - 1) = (c & 0xff).toByte
-    assert(graft.functions.FlacDecode.stats(lpc) == null)
+    assert((rsv(f0) & 0xff) == 0xff && (rsv(f0 + 8) & 0xff) == 0x10)
+    rsv(f0 + 8) = 0x20.toByte // type 010000: reserved
+    val f1 = (f0 + 9 until rsv.length - 1).find(i =>
+      (rsv(i) & 0xff) == 0xff && (rsv(i + 1) & 0xf8) == 0xf8).get
+    val c = graft.functions.FlacDecode.crc16(rsv, f0, f1 - 2)
+    rsv(f1 - 2) = ((c >> 8) & 0xff).toByte
+    rsv(f1 - 1) = (c & 0xff).toByte
+    assert(graft.functions.FlacDecode.stats(rsv) == null)
   }
 
   test("FlacDecode: generic-path streams the fixture encoder never emits decode per spec") {
@@ -601,6 +645,52 @@ class SimMediaSpec extends SparkSpec {
       w.b(0, 1); w.b(0, 6); w.b(0, 1); w.b(7, 16)
       val full = Array[Byte]('f', 'L', 'a', 'C') ++ sealFrame(w)
       assert(graft.functions.FlacDecode.stats(full) == null)
+    }
+    // (f) LPC shapes the fixture encoder never emits (r11): order 3 with a
+    // NEGATIVE coefficient at 5-bit precision and shift 0 — reconstruction
+    // is the raw dot product, no rounding
+    locally {
+      val samples = Seq(100L, -30L, 7L, 55L, -2L, 11L, 40L, -9L)
+      val coefs = Seq(2L, -3L, 1L) // pred = 2·s[k-1] − 3·s[k-2] + s[k-3]
+      def pred(k: Int): Long =
+        coefs.zipWithIndex.map { case (c, j) => c * samples(k - 1 - j) }.sum
+      val resid = (3 until 8).map(k => samples(k) - pred(k))
+      def zig(r: Long): Long = if (r >= 0) 2 * r else -2 * r - 1
+      val w = new W
+      streaminfo(w, 8, 1, 16, 8)
+      frameHeader(w, 7, 0, 0, 4, Some(7))
+      w.b(0, 1); w.b(32 + 2, 6); w.b(0, 1) // LPC order 3 (`1xxxxx`=order-1)
+      samples.take(3).foreach(v => w.b(v & 0xffff, 16))
+      w.b(4, 4) // precision-1 = 4 -> 5-bit signed coefficients
+      w.b(0, 5) // shift 0
+      coefs.foreach(c => w.b(c & 0x1f, 5))
+      w.b(0, 2); w.b(0, 4) // rice 4-bit, partition order 0
+      val k = 5 // rice parameter wide enough for these residuals
+      w.b(k.toLong, 4)
+      resid.map(zig).foreach { u =>
+        (1L to (u >>> k)).foreach(_ => w.b(0, 1)); w.b(1, 1)
+        w.b(u & ((1L << k) - 1), k)
+      }
+      assert(decode(sealFrame(w)) ==
+        Seq(8000L, 1L, 16L, 8L, 1L, samples.sum, samples.min, samples.max,
+          samples.map(v => v * v).sum))
+    }
+    // (g) LPC rejections: reserved coefficient precision 0b1111, and a
+    // negative quantization shift (forbidden by RFC 9639) — both must
+    // reject even though the CRCs are valid
+    for (badHdr <- Seq((15L, 0L), (3L, 0x1fL /* -1 in 5-bit */))) {
+      val w = new W
+      streaminfo(w, 4, 1, 16, 4)
+      frameHeader(w, 7, 0, 0, 4, Some(3))
+      w.b(0, 1); w.b(32, 6); w.b(0, 1) // LPC order 1
+      w.b(7L & 0xffff, 16)             // warmup
+      w.b(badHdr._1, 4); w.b(badHdr._2, 5)
+      w.b(1L & 0xf, 4)                 // one 4-bit coefficient
+      w.b(0, 2); w.b(0, 4); w.b(1, 4)  // rice header
+      (1 to 3).foreach(_ => { w.b(1, 1); w.b(0, 1) }) // residuals 0
+      val full = Array[Byte]('f', 'L', 'a', 'C') ++ sealFrame(w)
+      assert(graft.functions.FlacDecode.stats(full) == null,
+        s"accepted invalid LPC header $badHdr")
     }
   }
 
