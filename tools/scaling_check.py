@@ -66,15 +66,28 @@ def run_bench(sf_dir, use_cache=False, only=None, stage_only=None):
                 with open(os.path.join(REPO, detail)) as f:
                     parsed = json.load(f)
             if only and os.path.exists(cp):
-                # a restricted run (deep points) must MERGE into the cache,
-                # not replace it — otherwise a second --deep100 with new
-                # names silently drops the earlier deep points (ADVICE r10)
+                # a restricted run (deep points / re-measurements) must MERGE
+                # into the cache, not replace it — otherwise a second
+                # restricted run silently drops the earlier points (ADVICE
+                # r10). stage_detail merges too, and the headline total is
+                # recomputed over the merged query set so SCALING.md's totals
+                # line never reads a subset total as the suite total.
                 with open(cp) as f:
                     old = json.load(f)
-                for key in ("queries", "errors", "flaky"):
+                for key in ("queries", "errors", "flaky", "stage_detail"):
                     merged = dict(old.get(key, {}))
                     merged.update(parsed.get(key, {}))
                     parsed[key] = merged
+                parsed["value"] = round(sum(
+                    t for t in parsed["queries"].values() if t > 0), 3)
+                phases = dict(old.get("phases", parsed.get("phases", {})))
+                phases["queries"] = parsed["value"]
+                # stage total = merged top-level items (dot-keyed entries are
+                # attribution INSIDE acid_txtable, not additional work)
+                phases["stage"] = round(sum(
+                    t for k, t in parsed["stage_detail"].items()
+                    if "." not in k and t > 0), 3)
+                parsed["phases"] = phases
             os.makedirs(os.path.dirname(cp), exist_ok=True)
             with open(cp, "w") as f:
                 json.dump(parsed, f)
