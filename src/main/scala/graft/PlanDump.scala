@@ -145,7 +145,7 @@ object PlanDump {
         operators.RelationalOps.weightedMedianPrice(spark, sfDir)),
       ("dd_semdedup", "cluster-local pair join on the trained index (k ~ n/250 keeps clusters constant-size); centroids broadcast",
         operators.SimilarityOps.semanticDedup(spark, sfDir)),
-      ("tx_dsir_weights", "corpus explodes once (exchange reused by both stats and scoring); bucket-bounded log-ratio table broadcast",
+      ("tx_dsir_weights", "scoring is ONE codegen explode + per-doc sum of a 256-long anchored log-ratio LITERAL; the bounded-key stats pass already collected at construction — no corpus-keyed aggregate anywhere",
         operators.TextOps.dsirWeights(spark, sfDir)),
       ("sim_pca_power", "iterations run on cached 64x64 gram cells; corpus touched only by the final broadcast-direction projection",
         operators.SimilarityOps.pcaPowerProjection(spark, sfDir)),
