@@ -48,10 +48,11 @@ object DeterminismLint {
     "tx_bm25_search" -> "per-doc score sums over QUERY terms (≤ a handful), each term O(10)",
     "tx_ranked_search" -> "tf-idf score over query terms — same bounded-term argument as bm25",
     "tx_search_rbo" -> "RBO sum over list depth d ≤ 10, terms 0.9^d·overlap/d ≤ 1",
-    "geo_adamic_adar" -> "Σ 1/log(deg) over common neighbors — degree-bounded, terms ≤ 1.45",
     // -- bounded-cardinality cells: the sum ranges over a fixed small grid
     // (buckets/days), not the corpus, with O(1)-magnitude terms.
     "tx_source_js_drift" -> "JS over ≤256-bucket broadcast distributions, probability terms ≤ 1")
+    // (r11 follow-on: geo_adamic_adar joined the anchored log family —
+    // its 1/ln(deg) terms quantize on the DetLog grid, exact sums.)
     // (r10: xt_seasonality_strength is anchored — StrengthScale integer
     // moments; safe because stl components are exact-integer divisions,
     // so the quantizing round sees identical operands in both engines.)

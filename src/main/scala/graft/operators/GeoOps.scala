@@ -728,24 +728,28 @@ object GeoOps {
     * pivot's degree picked up IN the wedge row (the staged layout already
     * carries `deg`, so no extra join touches the wedge stream), a
     * map-side-combinable pair aggregate, and an ANTI join keeping
-    * non-edges. Wedge pivots always have deg ≥ 2, so ln(deg) > 0. The
-    * per-pair Σ 1/ln(deg) is a float sum of ≤deg_max terms with ~1e-15
-    * drift (libm ln is within 1 ulp across engines): the emission rounds
-    * to 6 dp and the top-[[LinkPredK]] cut orders on that same ROUNDED
-    * value (ties → (a, b)), so the cut is engine-identical — never on the
-    * raw double.
+    * non-edges. Wedge pivots always have deg ≥ 2, so ln(deg) > 0.
+    *
+    * Anchored (r11, retiring the lint-whitelist entry): each wedge's
+    * 1/ln(deg) term uses the libm-free [[graft.functions.DetLog]] chain
+    * (deg is an integer) and quantizes to the 1e12 grid, so the per-pair
+    * sum is an EXACT long aggregation — order-free at any degree — and
+    * the emission is one division + round mirrored in the oracle. The
+    * top-[[LinkPredK]] cut orders on the ROUNDED value (ties → (a, b)).
     */
   def adamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
     val e = symEdges(spark, sfDir)
+    val termQ = round(lit(1.0) / graft.functions.DetLog.ln(col("deg")) *
+      lit(1.0e12), 0).cast("long")
     val scored = e.select(col("src").as("mid"), col("dst").as("a"), col("deg"))
       .join(e.select(col("src").as("mid"), col("dst").as("b")), Seq("mid"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"),
-        sum(lit(1.0) / log(col("deg").cast("double"))).as("aa"))
+      .agg(count(lit(1)).as("common"), sum(termQ).as("aaq"))
     scored
       .join(e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
-      .select(col("a"), col("b"), col("common"), round(col("aa"), 6).as("aa_score"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("aaq").cast("double") / lit(1.0e12), 6).as("aa_score"))
       .orderBy(col("aa_score").desc, col("a"), col("b"))
       .limit(LinkPredK)
   }

@@ -550,9 +550,9 @@ object GeoPack extends QueryPack {
          |FROM ne JOIN deg da ON da.v = ne.a JOIN deg db ON db.v = ne.b
          |ORDER BY common DESC, a, b
          |LIMIT ${GeoOps.LinkPredK}""".stripMargin,
-    // same wedge stream weighted by 1/ln(deg(pivot)); emission rounds to
-    // 6 dp and the cut orders on the ROUNDED score (ties (a,b)) so the
-    // top-k membership is engine-identical despite the float sum
+    // same wedge stream weighted by 1/ln(deg(pivot)); anchored log kernel
+    // (r11): the term uses the DetLog chain quantized to the 1e12 grid so
+    // the per-pair sum is exact; the cut orders on the ROUNDED score
     "geo_adamic_adar" ->
       s"""WITH $coordsCte,
          |pts AS (SELECT event_id, lon, lat FROM coords WHERE user_id < 40),
@@ -569,7 +569,10 @@ object GeoPack extends QueryPack {
          |        FROM und GROUP BY src),
          |aa AS (
          |  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common,
-         |    round(sum(1.0 / ln(dm.deg)), 6) AS aa_score
+         |    round(CAST(sum(CAST(round(((1.0::DOUBLE /
+         |        ${graft.functions.DetLog.lnSql("dm.deg")}) *
+         |      (1000000000000.0::DOUBLE)), 0) AS BIGINT)) AS DOUBLE) /
+         |      (1000000000000.0::DOUBLE), 6) AS aa_score
          |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
          |  JOIN deg dm ON dm.v = e1.src
          |  GROUP BY e1.dst, e2.dst),

@@ -535,13 +535,21 @@ class GeoOpsSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     def aa6(score: Double): Double =
       BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the r11 anchored kernel, mirrored exactly: 1/ln(deg) through the
+    // DetLog chain, quantized to the 1e12 grid, exact integer sum — and a
+    // cross-check that the redefinition stays within a grid cell of libm
+    def tq(deg: Int): Long = java.math.BigDecimal.valueOf(
+      1.0 / graft.functions.DetLog.lnScala(deg.toLong) * 1.0e12)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
     val expect = (for {
       (a, na) <- adj.toSeq
       b <- adj.keys if a < b && !na.contains(b)
       common = na.intersect(adj(b)) if common.nonEmpty
     } yield {
-      val s = common.toSeq.sorted.map(w => 1.0 / math.log(adj(w).size.toDouble)).sum
-      (a, b, common.size.toLong, aa6(s))
+      val qs = common.toSeq.map(w => tq(adj(w).size)).sum
+      val libm = common.toSeq.map(w => 1.0 / math.log(adj(w).size.toDouble)).sum
+      assert(math.abs(qs.toDouble / 1.0e12 - libm) < 1e-9 * common.size)
+      (a, b, common.size.toLong, aa6(qs.toDouble / 1.0e12))
     }).sortBy { case (a, b, _, s) => (-s, a, b) }.take(GeoOps.LinkPredK)
     val got = GeoOps.adamicAdar(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

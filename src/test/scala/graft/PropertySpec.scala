@@ -352,6 +352,7 @@ class PropertySpec extends SparkSpec {
       "tx_dsir_weights",
       "tx_zipf_fit",
       "xt_psi_drift",
+      "geo_adamic_adar",
       // r10 anchored families (off the whitelist, so off the dynamic gate
       // below): one representative per anchored kernel — the CentroidQuant
       // mean-update (kmeans training + the semdedup consumer) and the
