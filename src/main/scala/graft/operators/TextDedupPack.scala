@@ -1287,9 +1287,12 @@ object TextDedupPack extends QueryPack {
          |  GROUP BY d)
          |SELECT CAST($k AS BIGINT) AS depth_k,
          |  max(CASE WHEN d = $k THEN a_d END) AS overlap_at_k,
-         |  round(${TextOps.RboOneMinusP} *
-         |    sum(pow(${TextOps.RboP}, CAST(d - 1 AS DOUBLE)) *
-         |        (CAST(a_d AS DOUBLE) / CAST(d AS DOUBLE))), 6) AS rbo
+         |  round((${TextOps.RboOneMinusP}::DOUBLE) *
+         |    (CAST(sum(CAST(round((([${
+        TextOps.RboPowers.map(p => s"$p::DOUBLE").mkString(", ")}][d]) *
+         |      (CAST(a_d AS DOUBLE) / CAST(d AS DOUBLE))) *
+         |      (1000000000000.0::DOUBLE), 0) AS BIGINT)) AS DOUBLE) /
+         |      (1000000000000.0::DOUBLE)), 6) AS rbo
          |FROM ag""".stripMargin
     },
     "tx_bpe_merges" -> {

@@ -1702,6 +1702,16 @@ object TextOps {
   val RboP = 0.9
   val RboOneMinusP = 0.1
 
+  /** p^(d−1) for d = 1..[[SearchTopK]] as a LEFT-ASSOCIATED multiply chain
+    * — deliberately not `pow` (glibc pow is correctly rounded, JVM
+    * Math.pow is only 1-ulp, so the two engines may disagree in the last
+    * bit); repeated correctly-rounded multiplication is identical
+    * everywhere, and the oracle re-parses these exact doubles from their
+    * shortest-repr literals.
+    */
+  val RboPowers: Seq[Double] =
+    Iterator.iterate(1.0)(_ * RboP).take(SearchTopK).toSeq
+
   /** X-P45: rank-biased overlap between the [[rankedSearch]] (tf·idf) and
     * [[bm25Search]] rankings — the standard top-weighted ranking-agreement
     * metric (Webber et al.), answering the evaluation question the search
@@ -1717,7 +1727,13 @@ object TextOps {
     * corpus; the corpus cost is the two posting-pruned searches
     * themselves. Ranks order on the 6 dp-ROUNDED scores (bit-identical
     * cross-engine per the searches' portability notes) with doc_id
-    * tie-break; the k-term weighted sum emits at 6 dp.
+    * tie-break.
+    *
+    * Anchored (r11, retiring the lint-whitelist entry): the depth weights
+    * are the precomputed [[RboPowers]] multiply chain (no libm pow), each
+    * depth's term quantizes to the 1e12 grid, and the k-term sum is an
+    * exact long aggregation — order-free — with one mirrored
+    * multiply+divide+round at emission.
     */
   def searchRbo(spark: SparkSession, sfDir: String): DataFrame = {
     val k = SearchTopK
@@ -1734,12 +1750,16 @@ object TextOps {
     val agree = depths
       .join(joined, col("r1") <= col("d") && col("r2") <= col("d"), "left")
       .groupBy(col("d")).agg(count(col("doc_id")).as("a_d"))
+    val pw = element_at(typedLit(RboPowers), col("d").cast("int"))
+    val tq = round(pw *
+      (col("a_d").cast("double") / col("d").cast("double")) * lit(1.0e12), 0)
+      .cast("long")
     agree.agg(
         max(when(col("d") === k, col("a_d"))).as("overlap_at_k"),
-        sum(pow(lit(RboP), (col("d") - 1).cast("double")) *
-          (col("a_d").cast("double") / col("d").cast("double"))).as("s"))
+        sum(tq).as("sq"))
       .select(lit(k.toLong).as("depth_k"), col("overlap_at_k"),
-        round(lit(RboOneMinusP) * col("s"), 6).as("rbo"))
+        round(lit(RboOneMinusP) *
+          (col("sq").cast("double") / lit(1.0e12)), 6).as("rbo"))
   }
 
   /** Tokens fitted by [[zipfFit]] — the classical Zipf regime is the head
