@@ -353,6 +353,9 @@ class PropertySpec extends SparkSpec {
       "tx_zipf_fit",
       "xt_psi_drift",
       "geo_adamic_adar",
+      // the MG sketch's candidate SET is partition-order-dependent by
+      // nature; the gate + exact confirm must make the OUTPUT invariant
+      "tx_top_bigrams",
       // r10 anchored families (off the whitelist, so off the dynamic gate
       // below): one representative per anchored kernel — the CentroidQuant
       // mean-update (kmeans training + the semdedup consumer) and the
