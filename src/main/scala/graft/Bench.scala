@@ -90,6 +90,7 @@ object Bench {
       "sim_pq_codes"          -> (() => SimilarityOps.pqCodes(spark, sfDir).count(): Unit),
       "tx_inverted_index"     -> (() => TextOps.invertedIndex(spark, sfDir).count(): Unit),
       "geo_z2_layout"         -> (() => GeoOps.z2Layout(spark, sfDir).count(): Unit),
+      "geo_tx_zorder"         -> (() => GeoOps.geoTxTable(spark, sfDir): Unit),
       "geo_z3_layout"         -> (() => GeoOps.z3Layout(spark, sfDir).count(): Unit),
       "geo_sym_edges"         -> (() => GeoOps.symEdges(spark, sfDir).count(): Unit),
       "geo_cc_labels"         -> (() => GeoOps.ccLabels(spark, sfDir).count(): Unit),

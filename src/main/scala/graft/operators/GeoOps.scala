@@ -860,4 +860,54 @@ object GeoOps {
     }
     z
   }
+
+  /** Bounding box probed by [[zorderTxScan]] (the z2RangeScan window). */
+  val ZTxBbox: (Int, Int, Int, Int) = (-60, 0, -30, 30)
+
+  private val geoTxBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private lazy val geoTxClearHook: Boolean = {
+    Tables.onClearDerived { id =>
+      geoTxBuilt.keys.filter(_._1 == id).foreach(geoTxBuilt.remove)
+    }
+    true
+  }
+
+  /** Event coordinates persisted as a Z-ORDER-compacted TxTable (once per
+    * session): 8 append files (the ingest-batch shape), then
+    * [[graft.sources.TxTable.compactZ]] folds them into 4 files clustered
+    * by the (lon, lat) Morton key — each file's commit-logged stats bound
+    * BOTH dimensions, the layout [[zorderTxScan]]'s pruned probe relies on.
+    */
+  private[graft] def geoTxTable(spark: SparkSession, sfDir: String): String = {
+    val _ = geoTxClearHook
+    geoTxBuilt.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_geo_z")
+      graft.sources.TxTable.append(spark, root,
+        withCoords(spark, sfDir).select(col("event_id"), col("lon"), col("lat"))
+          .repartition(8), op = "geo_ingest")
+      graft.sources.TxTable.compactZ(spark, root, targetFiles = 4,
+        xCol = "lon", yCol = "lat"): Unit
+      root
+    })
+  }
+
+  /** X-M2c: bbox probe through the Z-ORDER-compacted TxTable — the
+    * multi-dimensional data-skipping read: `readWhere` consults the
+    * commit-logged per-file (lon, lat) ranges the Morton clustering made
+    * tight on BOTH axes, so a bbox opens only the files whose quadrant
+    * intersects it (a linear lon-sort would prune lat probes not at all —
+    * AcidSpec pins that contrast). The oracle replays the bbox straight
+    * off the events derivation, so pruning is proven result-identical.
+    */
+  def zorderTxScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val (lonMin, lonMax, latMin, latMax) = ZTxBbox
+    graft.sources.TxTable.readWhere(spark, geoTxTable(spark, sfDir),
+        col("lon").between(lonMin, lonMax) &&
+          col("lat").between(latMin, latMax))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
+        min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
+        sum(col("event_id")).as("id_sum"))
+  }
 }

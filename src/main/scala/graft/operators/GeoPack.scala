@@ -45,6 +45,7 @@ object GeoPack extends QueryPack {
     "geo_geohash_keys" -> ((s, d) => GeoOps.geohashKeys(s, d)),
     "geo_grid_dbscan" -> ((s, d) => GeoOps.gridDbscan(s, d)),
     "geo_hotspots" -> ((s, d) => GeoOps.hotspots(s, d)),
+    "xacid_zorder_scan" -> ((s, d) => GeoOps.zorderTxScan(s, d)),
   )
 
   private val coordsCte =
@@ -81,6 +82,20 @@ object GeoPack extends QueryPack {
   val oracles: Map[String, String] = Map(
     // full-lattice census incl. zero cells, bounded 9-offset contributor
     // join, one-row stats; the Gi* chain mirrors the Spark association
+    // the z-order data-skipping contract: the file-pruned bbox probe must
+    // see EXACTLY the rows a raw bbox filter sees (skip counts and the
+    // linear-sort contrast are AcidSpec's half of the proof)
+    "xacid_zorder_scan" -> {
+      val (lonMin, lonMax, latMin, latMax) = GeoOps.ZTxBbox
+      s"""WITH $coordsCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |  min(lon) AS min_lon, max(lon) AS max_lon,
+         |  min(lat) AS min_lat, max(lat) AS max_lat,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM coords
+         |WHERE lon BETWEEN $lonMin AND $lonMax
+         |  AND lat BETWEEN $latMin AND $latMax""".stripMargin
+    },
     "geo_hotspots" -> {
       val d = GeoOps.HotspotCellDeg
       val (nx, ny) = (360 / d, 180 / d)

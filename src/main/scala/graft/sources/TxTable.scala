@@ -437,6 +437,53 @@ object TxTable {
     throw new IllegalStateException(s"compact lost $MaxRetries commit races at $root")
   }
 
+  /** Z-ORDER compaction (the Delta `OPTIMIZE ZORDER BY` move): rewrite the
+    * live snapshot into `targetFiles` files clustered by the interleaved
+    * Morton key of TWO integral columns, so the commit-logged per-file
+    * stats bound BOTH columns' ranges and [[readWhere]] prunes probes on
+    * EITHER dimension — where a linear sort buys skipping on its leading
+    * column only. Each column scales to the 16-bit lattice against its
+    * exact live min/max (one metadata-sized aggregate), interleaves
+    * through the library's own codegen'd [[graft.functions.ZEncode2]],
+    * and the helper columns never reach the written files. Same
+    * optimistic-commit semantics as [[compact]] (`op = "compactz"`).
+    */
+  def compactZ(spark: SparkSession, root: String, targetFiles: Int,
+               xCol: String, yCol: String): Long = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = snapshot(root)
+      if (base.liveFiles.size <= targetFiles) return base.version // no-op
+      val live = spark.read.parquet(base.liveFiles.map(f => s"$root/data/$f"): _*)
+      val cols = live.columns.toSeq
+      val mm = live.agg(min(col(xCol)).cast("long").as("x0"),
+        max(col(xCol)).cast("long").as("x1"),
+        min(col(yCol)).cast("long").as("y0"),
+        max(col(yCol)).cast("long").as("y1")).head()
+      val (x0, x1, y0, y1) =
+        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      def sc(c: String, lo: Long, hi: Long) =
+        if (hi == lo) lit(0L)
+        else expr(s"(($c - $lo) * 65535) div ${hi - lo}")
+      val arranged = live
+        .withColumn("__zx", sc(xCol, x0, x1))
+        .withColumn("__zy", sc(yCol, y0, y1))
+        .withColumn("__z",
+          graft.functions.ZCurveExpressions.z2(spark, "__zx", "__zy"))
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .select(cols.map(col): _*)
+      val rows = live.count()
+      val adds = writeData(spark, root, arranged)
+      if (tryCommit(root, base.version + 1, "compactz",
+        Map("rows_written" -> rows), adds, base.liveFiles))
+        return base.version + 1
+      adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+      attempt += 1
+    }
+    throw new IllegalStateException(s"compactZ lost $MaxRetries commit races at $root")
+  }
+
   /** Physically delete data files no version >= `keepFromVersion`
     * references — the retention GC. Returns the reclaimed file names.
     */

@@ -421,4 +421,37 @@ class AcidSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(pruned == full && pruned.nonEmpty)
   }
+
+  test("compactZ: the z-order layout prunes probes on EITHER dimension; a linear sort cannot") {
+    import spark.implicits._
+    // a dense integer lattice: both dimensions carry real spread
+    def grid() = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong * 64 + y, x.toLong, y.toLong))).toDF("id", "x", "y")
+    val zRoot = freshRoot()
+    TxTable.append(spark, zRoot, grid().repartition(8))
+    val v = TxTable.compactZ(spark, zRoot, targetFiles = 4, "x", "y")
+    assert(v == 1L && TxTable.snapshot(zRoot).commits.last.op == "compactz")
+    assert(TxTable.snapshot(zRoot).liveFiles.size == 4)
+    // z-order: BOTH dimensions' probes skip files
+    val (_, sx) = TxTable.pruneFiles(spark, zRoot, $"x" < 16L)
+    val (_, sy) = TxTable.pruneFiles(spark, zRoot, $"y" < 16L)
+    assert(sx.nonEmpty, "x-probe pruned nothing on the z layout")
+    assert(sy.nonEmpty, "y-probe pruned nothing on the z layout")
+    // contrast: the linear x-sorted layout prunes x probes but NOT y probes
+    val lRoot = freshRoot()
+    TxTable.append(spark, lRoot, grid().repartition(8))
+    TxTable.compact(spark, lRoot, targetFiles = 4, sortCols = Seq("x"))
+    val (_, lx) = TxTable.pruneFiles(spark, lRoot, $"x" < 16L)
+    val (_, ly) = TxTable.pruneFiles(spark, lRoot, $"y" < 16L)
+    assert(lx.nonEmpty && ly.isEmpty,
+      s"linear layout: x skips ${lx.size}, y skips ${ly.size}")
+    // row set untouched, and the pruned probe is result-identical
+    assert(TxTable.read(spark, zRoot).count() == 64L * 64)
+    val pruned = TxTable.readWhere(spark, zRoot, $"x" < 16L && $"y" >= 48L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val full = TxTable.read(spark, zRoot)
+      .where($"x" < 16L && $"y" >= 48L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned == full && pruned.size == 16 * 16)
+  }
 }
