@@ -185,13 +185,32 @@ object TxStats {
 
   /** Three-way compare of a stored stat string against a literal in the
     * stats domain. Long-vs-double mixes compare as double (conservative:
-    * a tie from the widening reads as "may overlap").
+    * a tie from the widening reads as "may overlap"). Strings compare in
+    * UNSIGNED UTF-8 BYTE order — the order parquet used to compute the
+    * min/max AND the order Spark's UTF8String predicates evaluate in;
+    * Java's `String.compareTo` (UTF-16 code units) disagrees with both
+    * for supplementary-plane characters (an emoji sorts BELOW U+FFFD in
+    * UTF-16 but ABOVE it in UTF-8), which could prune a file that
+    * actually matches.
     */
   private def cmp(stat: String, v: Any, t: String): Int = (t, v) match {
     case ("long", l: Long) => java.lang.Long.compare(stat.toLong, l)
     case ("long", d: Double) => java.lang.Double.compare(stat.toLong.toDouble, d)
     case ("double", d: Double) => java.lang.Double.compare(stat.toDouble, d)
-    case ("string", s: String) => stat.compareTo(s)
+    case ("string", s: String) => cmpUtf8(stat, s)
     case _ => 0
+  }
+
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 }

@@ -386,6 +386,31 @@ class AcidSpec extends SparkSpec {
     assert(sNo.isEmpty)
   }
 
+  test("string pruning orders by UTF-8 bytes, not UTF-16 code units") {
+    import spark.implicits._
+    // U+1F600 (4-byte UTF-8, surrogate pair in UTF-16) sorts ABOVE U+FFFD
+    // in UTF-8 byte order but BELOW it in Java's String.compareTo — a
+    // UTF-16-ordered prover would prove the emoji outside [min,max] of the
+    // file that contains it and WRONGLY prune it
+    val emoji = new String(Character.toChars(0x1F600))
+    val repl = "�"
+    assert(emoji.compareTo(repl) < 0) // the UTF-16 trap is real on this JVM
+    val root = freshRoot()
+    TxTable.append(spark, root,
+      Seq((1L, repl, 0L), (2L, emoji, 0L)).toDF("id", "tag", "value")
+        .repartition(1))
+    TxTable.append(spark, root,
+      Seq((3L, "a", 0L), (4L, "b", 0L)).toDF("id", "tag", "value")
+        .repartition(1))
+    // the emoji probe must KEEP file 1 ([min,max] = [repl, emoji] in UTF-8
+    // order) and may prune the ascii file
+    val got = TxTable.readWhere(spark, root, $"tag" === emoji)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L), s"got $got")
+    val (_, skipped) = TxTable.pruneFiles(spark, root, $"tag" === emoji)
+    assert(skipped.size == 1) // the ascii file is provably irrelevant
+  }
+
   test("data skipping over the compacted index layout: a band probe skips range-disjoint files") {
     import graft.operators.DedupOps
     // the staged-index shape rebuilt deterministically: per-batch appends
