@@ -169,18 +169,27 @@ object TxStats {
     } yield (cs, v)
   }
 
-  /** Literal → the stats domain (Long / Double / String), None on mismatch. */
-  private def comparable(t: String, v: Any, dt: DataType): Option[Any] = (t, dt) match {
-    case ("long", ByteType | ShortType | IntegerType | LongType | DateType) =>
-      Some(v.asInstanceOf[Number].longValue())
-    case ("double", ByteType | ShortType | IntegerType | LongType) =>
-      Some(v.asInstanceOf[Number].doubleValue())
-    case ("double", FloatType | DoubleType) =>
-      Some(v.asInstanceOf[Number].doubleValue())
-    case ("long", FloatType | DoubleType) =>
-      Some(v.asInstanceOf[Number].doubleValue())
-    case ("string", StringType) => Some(v.toString)
-    case _ => None
+  /** Literal → the stats domain (Long / Double / String), None on mismatch
+    * or on double specials the min/max order cannot reason about: NaN
+    * (Spark's EqualTo treats NaN = NaN as TRUE, but NaN sits outside any
+    * [min,max]) and ±0.0 normalize to 0.0 (Spark compares them equal while
+    * `Double.compare` orders -0.0 < 0.0 — an exact-zero probe against a
+    * file whose stats read -0.0 must not prune).
+    */
+  private def comparable(t: String, v: Any, dt: DataType): Option[Any] = {
+    def dbl(): Option[Any] = {
+      val d = v.asInstanceOf[Number].doubleValue()
+      if (d.isNaN) None else Some(if (d == 0.0) 0.0 else d)
+    }
+    (t, dt) match {
+      case ("long", ByteType | ShortType | IntegerType | LongType | DateType) =>
+        Some(v.asInstanceOf[Number].longValue())
+      case ("double", ByteType | ShortType | IntegerType | LongType) => dbl()
+      case ("double", FloatType | DoubleType) => dbl()
+      case ("long", FloatType | DoubleType) => dbl()
+      case ("string", StringType) => Some(v.toString)
+      case _ => None
+    }
   }
 
   /** Three-way compare of a stored stat string against a literal in the
@@ -196,7 +205,9 @@ object TxStats {
   private def cmp(stat: String, v: Any, t: String): Int = (t, v) match {
     case ("long", l: Long) => java.lang.Long.compare(stat.toLong, l)
     case ("long", d: Double) => java.lang.Double.compare(stat.toLong.toDouble, d)
-    case ("double", d: Double) => java.lang.Double.compare(stat.toDouble, d)
+    case ("double", d: Double) =>
+      val s = stat.toDouble
+      java.lang.Double.compare(if (s == 0.0) 0.0 else s, d)
     case ("string", s: String) => cmpUtf8(stat, s)
     case _ => 0
   }

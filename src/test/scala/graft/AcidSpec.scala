@@ -411,6 +411,26 @@ class AcidSpec extends SparkSpec {
     assert(skipped.size == 1) // the ascii file is provably irrelevant
   }
 
+  test("double pruning: NaN probes never prune; -0.0 stats keep exact-zero probes") {
+    import spark.implicits._
+    val root = freshRoot()
+    // file 1 carries {-0.0, NaN}; file 2 a disjoint positive range
+    TxTable.append(spark, root,
+      Seq((1L, -0.0), (2L, Double.NaN)).toDF("id", "v").repartition(1))
+    TxTable.append(spark, root,
+      Seq((3L, 5.0), (4L, 7.0)).toDF("id", "v").repartition(1))
+    // Spark's EqualTo(NaN, NaN) is TRUE, but NaN is outside any [min,max]:
+    // the prover must keep everything for a NaN probe
+    val (_, sNaN) = TxTable.pruneFiles(spark, root, $"v" === Double.NaN)
+    assert(sNaN.isEmpty)
+    assert(TxTable.readWhere(spark, root, $"v" === Double.NaN)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // Spark compares -0.0 == 0.0; a 0.0 probe must keep the -0.0 file
+    val zs = TxTable.readWhere(spark, root, $"v" === 0.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == Seq(1L), s"got $zs")
+  }
+
   test("data skipping over the compacted index layout: a band probe skips range-disjoint files") {
     import graft.operators.DedupOps
     // the staged-index shape rebuilt deterministically: per-batch appends
