@@ -174,7 +174,8 @@ object WavDecode {
   * decompressor: [[PngStats]] walks a binary PNG — 8-byte signature, then
   * length/type/data/CRC chunks (every CRC32 is VERIFIED, not skipped),
   * IHDR field validation (8-bit RGB truecolor), multi-IDAT zlib stream
-  * concatenation, `java.util.zip.Inflater` DEFLATE decompression, and
+  * concatenation, from-scratch DEFLATE decompression ([[ZlibInflate]], the
+  * r11 [[Inflate]] core — `java.util.zip.Inflater` until then), and
   * per-scanline UNFILTERING implementing all five PNG filter types (None /
   * Sub / Up / Average / Paeth — the fixtures cycle the filter per row, so
   * a decoder that fakes any of the five hash-mismatches the oracle) — then
@@ -235,18 +236,12 @@ object PngDecode {
       if (!seenEnd || w <= 0 || h <= 0 ||
         h.toLong * (1L + 3L * w) > Int.MaxValue) throw Malformed
       val stride = w * 3
-      val raw = new Array[Byte](h * (1 + stride))
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
-      var got = 0
-      while (got < raw.length && !inf.finished()) {
-        val k = inf.inflate(raw, got, raw.length - got)
-        if (k == 0 && inf.needsInput()) throw Malformed // truncated stream
-        got += k
-      }
-      val fullyConsumed = inf.finished() || inf.getRemaining == 0
-      inf.end()
-      if (got != raw.length || !fullyConsumed) throw Malformed
+      // r11: the concatenated IDAT zlib stream decodes through the from-
+      // scratch [[ZlibInflate]] (RFC 1950/1951 — stored/fixed/dynamic
+      // blocks, verified Adler-32), not java.util.zip.Inflater; exact
+      // output length and full-stream consumption enforced inside. Any
+      // malformation throws and nulls out below.
+      val raw = ZlibInflate.decode(idat.toByteArray, h * (1 + stride))
       // unfilter in place: prior[] is the reconstructed previous scanline
       val cur = new Array[Int](stride)
       val prior = new Array[Int](stride)
@@ -621,6 +616,7 @@ object MediaExpressions {
     FnReg.once(spark, "png_stats", exprs => PngStats(exprs.head))
     FnReg.once(spark, "qoi_stats", exprs => QoiStats(exprs.head))
     FnReg.once(spark, "flac_stats", exprs => FlacStats(exprs.head))
+    FnReg.once(spark, "gzip_stats", exprs => GzipStats(exprs.head))
     FnReg.once(spark, "ppm_ahash", exprs => PpmAHashExpr(exprs.head))
   }
 
@@ -666,5 +662,14 @@ object MediaExpressions {
   def flacStats(spark: SparkSession, payload: Column): Column = {
     ensureRegistered(spark)
     call_function("flac_stats", payload)
+  }
+
+  /** Decoded gzip member fields + content digest for a binary gzip column
+    * (RFC 1952 header walk with FHCRC verification, from-scratch RFC 1951
+    * inflate over all three block types, CRC-32 + ISIZE trailer checks).
+    */
+  def gzipStats(spark: SparkSession, payload: Column): Column = {
+    ensureRegistered(spark)
+    call_function("gzip_stats", payload)
   }
 }

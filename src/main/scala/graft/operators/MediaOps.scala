@@ -571,6 +571,182 @@ object MediaOps {
           .map(f => col(s"s.$f").as(f)): _*)
   }
 
+  /** A staged gzip payload row. */
+  case class GzipRow(doc_id: Long, payload: Array[Byte])
+
+  /** Real gzip text payloads — the sixth codec through the media-column
+    * contract, and the one a 100-TB text pipeline meets first: web-crawl
+    * text ships gzip-compressed. Each document's UTF-8 bytes are wrapped as
+    * one RFC 1952 member whose DEFLATE body cycles all three RFC 1951 block
+    * types by `doc_id % 3`:
+    *
+    *  - mode 0: hand-written STORED blocks (+ FHCRC header checksum);
+    *  - mode 1: `java.util.zip.Deflater` BEST_COMPRESSION — DYNAMIC Huffman
+    *    with genuine LZ77 matches on the repetitive corpus text (+ FEXTRA
+    *    subfield), and a fully independent encoder implementation;
+    *  - mode 2: hand-written FIXED-Huffman literal stream (+ FCOMMENT).
+    *
+    * Every member carries FNAME `doc_<id>.txt`, MTIME = doc_id, OS 255, and
+    * a trailer stamped with the JDK's CRC32 — which the from-scratch decoder
+    * re-verifies with its own table, a genuine cross-implementation check.
+    * gzip is LOSSLESS: the decode query's content md5 must equal the
+    * oracle's `md5(text)` exactly, so any Huffman/LZ77 shortcut mismatches.
+    */
+  def gzipPayloads(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "gzip_payloads") {
+      import spark.implicits._
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (docId, text) =>
+            GzipRow(docId, encodeGzip(docId, text.getBytes("UTF-8")))
+          }
+        }.toDF()
+    }
+
+  /** LSB-first bit writer for [[encodeGzip]]'s hand-written DEFLATE modes
+    * (RFC 1951 §3.1.1: fields fill bytes from the least-significant bit;
+    * Huffman codes pack MSB-of-code first — the spec's one asymmetry).
+    */
+  private final class LsbBitWriter {
+    private val buf = new java.io.ByteArrayOutputStream(256)
+    private var cur = 0
+    private var nb = 0
+    def bit(b: Int): Unit = {
+      cur |= (b & 1) << nb; nb += 1
+      if (nb == 8) { buf.write(cur); cur = 0; nb = 0 }
+    }
+    /** n-bit integer field, LSB first. */
+    def field(v: Int, n: Int): Unit = {
+      var k = 0
+      while (k < n) { bit((v >> k) & 1); k += 1 }
+    }
+    /** Huffman code, MSB of the code first. */
+    def code(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bit((v >> k) & 1); k -= 1 }
+    }
+    def align(): Unit = while (nb != 0) bit(0)
+    def raw(b: Array[Byte]): Unit = { require(nb == 0, "unaligned"); buf.write(b) }
+    def bytes: Array[Byte] = { require(nb == 0, "unaligned"); buf.toByteArray }
+  }
+
+  /** STORED-block DEFLATE (BTYPE 00): ≤65535-byte chunks, LEN/NLEN
+    * one's-complement pairs, byte-aligned raw copy. */
+  private[graft] def deflateStored(data: Array[Byte]): Array[Byte] = {
+    val w = new LsbBitWriter
+    var off = 0
+    var first = true
+    while (off < data.length || first) {
+      first = false
+      val len = math.min(0xffff, data.length - off)
+      val fin = off + len >= data.length
+      w.bit(if (fin) 1 else 0)
+      w.field(0, 2)
+      w.align()
+      w.field(len & 0xff, 8); w.field(len >> 8, 8)
+      w.field(~len & 0xff, 8); w.field((~len >> 8) & 0xff, 8)
+      w.raw(java.util.Arrays.copyOfRange(data, off, off + len))
+      off += len
+    }
+    w.bytes
+  }
+
+  /** FIXED-Huffman DEFLATE (BTYPE 01), literals only: 8-bit codes 0x30+b
+    * for bytes 0-143, 9-bit 0x190+(b-144) for 144-255, then the 7-bit
+    * end-of-block code — a legal stream from the spec's hardwired table,
+    * and a second hand-written encoder the decoder cannot share a
+    * misreading with. */
+  private[graft] def deflateFixed(data: Array[Byte]): Array[Byte] = {
+    val w = new LsbBitWriter
+    w.bit(1)       // BFINAL
+    w.field(1, 2)  // BTYPE fixed
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (b < 144) w.code(0x30 + b, 8) else w.code(0x190 + (b - 144), 9)
+      i += 1
+    }
+    w.code(0, 7)   // end-of-block (symbol 256)
+    w.align()
+    w.bytes
+  }
+
+  /** DYNAMIC-Huffman DEFLATE via the JDK's Deflater (nowrap): the
+    * independent third encoder — real LZ77 matches, real canonical tables. */
+  private[graft] def deflateDynamic(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION, true)
+    d.setInput(data)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One RFC 1952 gzip member around `data` — block type and optional
+    * header fields cycled by `docId % 3` (see [[gzipPayloads]]). */
+  private[graft] def encodeGzip(docId: Long, data: Array[Byte]): Array[Byte] = {
+    val mode = (((docId % 3) + 3) % 3).toInt
+    val deflated = mode match {
+      case 0 => deflateStored(data)
+      case 1 => deflateDynamic(data)
+      case _ => deflateFixed(data)
+    }
+    val out = new java.io.ByteArrayOutputStream(deflated.length + 64)
+    val flags = 8 | (mode match { case 0 => 2; case 1 => 4; case _ => 16 })
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(flags)
+    val mtime = docId & 0xffffffffL
+    out.write((mtime & 0xff).toInt); out.write(((mtime >> 8) & 0xff).toInt)
+    out.write(((mtime >> 16) & 0xff).toInt); out.write(((mtime >> 24) & 0xff).toInt)
+    out.write(0)    // XFL
+    out.write(0xff) // OS: unknown
+    if (mode == 1) { // FEXTRA: one 'GR' subfield (RFC 1952 §2.3.1.1 layout)
+      out.write(6); out.write(0) // XLEN = 6
+      out.write('G'); out.write('R'); out.write(2); out.write(0)
+      out.write('1'); out.write('1')
+    }
+    out.write(s"doc_${docId}.txt".getBytes("ISO-8859-1")); out.write(0) // FNAME
+    if (mode == 2) { out.write("graft".getBytes("ISO-8859-1")); out.write(0) } // FCOMMENT
+    if (mode == 0) { // FHCRC: low 16 bits of the header CRC-32 (JDK-stamped)
+      val c = new java.util.zip.CRC32()
+      val hdr = out.toByteArray
+      c.update(hdr, 0, hdr.length)
+      val v = (c.getValue & 0xffffL).toInt
+      out.write(v & 0xff); out.write(v >> 8)
+    }
+    out.write(deflated)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data, 0, data.length)
+    val cv = crc.getValue
+    out.write((cv & 0xff).toInt); out.write(((cv >> 8) & 0xff).toInt)
+    out.write(((cv >> 16) & 0xff).toInt); out.write(((cv >> 24) & 0xff).toInt)
+    val isize = data.length.toLong & 0xffffffffL
+    out.write((isize & 0xff).toInt); out.write(((isize >> 8) & 0xff).toInt)
+    out.write(((isize >> 16) & 0xff).toInt); out.write(((isize >> 24) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** REAL compressed-text decode: parse the staged gzip members with the
+    * native codegen'd [[graft.functions.GzipStats]] expression — full
+    * RFC 1952 header walk (FEXTRA/FNAME/FCOMMENT/FHCRC), from-scratch
+    * RFC 1951 inflate across stored/fixed/dynamic blocks, verified CRC-32 +
+    * ISIZE trailer — and emit member fields plus the decoded-content md5.
+    * Same fused narrow-map shape as [[pngDecode]]: zero shuffle at any
+    * scale; the oracle computes `md5(text)` directly (gzip is lossless), so
+    * ANY shortcut through the Huffman/LZ77 pipeline hash-mismatches on the
+    * full content.
+    */
+  def gzipDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = graft.functions.MediaExpressions.gzipStats(spark, col("payload"))
+    gzipPayloads(spark, sfDir)
+      .select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id") +:
+        graft.functions.GzipDecode.schema.fieldNames.toSeq
+          .map(f => col(s"s.$f").as(f)): _*)
+  }
+
   /** REAL compressed-format decode #2: parse the staged QOI payloads with
     * the native codegen'd [[graft.functions.QoiStats]] expression — strict
     * op-stream state machine (index table, diff/luma deltas, bulk runs,

@@ -39,6 +39,7 @@ object SimMediaPack extends QueryPack {
     "md_png_decode" -> ((s, d) => MediaOps.pngDecode(s, d)),
     "md_qoi_decode" -> ((s, d) => MediaOps.qoiDecode(s, d)),
     "md_flac_decode" -> ((s, d) => MediaOps.flacDecode(s, d)),
+    "md_gzip_decode" -> ((s, d) => MediaOps.gzipDecode(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
     "sim_nprobe_curve" -> ((s, d) => SimilarityOps.nprobeCurve(s, d)),
     "md_ahash" -> ((s, d) => MediaOps.ahashTable(s, d)),
@@ -910,6 +911,22 @@ object SimMediaPack extends QueryPack {
          |  CAST(max(v) AS BIGINT) AS s_max,
          |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sq_sum
          |FROM smp GROUP BY doc_id, n""".stripMargin
+    },
+    "md_gzip_decode" -> {
+      // gzip is LOSSLESS and documents.text is what was compressed, so the
+      // oracle computes md5(text) DIRECTLY — full-content equality, not a
+      // stats summary: any shortcut through the Huffman/LZ77 pipeline
+      // mismatches. Header fields replay the fixture's mode cycle
+      // (doc_id % 3): FNAME always (8), FHCRC (2) / FEXTRA (4) /
+      // FCOMMENT (16) per mode; MTIME = doc_id, OS 255.
+      """SELECT doc_id, CAST(8 AS BIGINT) AS method,
+        |  CAST(8 + (CASE CAST(doc_id % 3 AS INT)
+        |            WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END) AS BIGINT) AS flags,
+        |  CAST(doc_id AS BIGINT) AS mtime, CAST(255 AS BIGINT) AS os,
+        |  'doc_' || doc_id || '.txt' AS fname,
+        |  CAST(length(text) AS BIGINT) AS n_out,
+        |  md5(text) AS text_md5
+        |FROM documents""".stripMargin
     },
     "md_frames" ->
       """SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,

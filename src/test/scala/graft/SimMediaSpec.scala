@@ -711,6 +711,211 @@ class SimMediaSpec extends SparkSpec {
     }
   }
 
+  // ---- gzip / DEFLATE (r11: the sixth codec, the first Huffman one) ----
+
+  /** LSB-first bit writer for hand-crafting DEFLATE streams in specs —
+    * deliberately independent of the MediaOps encoder's writer. */
+  private final class DefBits {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nb = 0
+    def bit(b: Int): Unit = {
+      cur |= (b & 1) << nb; nb += 1
+      if (nb == 8) { out += cur.toByte; cur = 0; nb = 0 }
+    }
+    def field(v: Int, n: Int): Unit = (0 until n).foreach(k => bit((v >> k) & 1))
+    def code(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach(k => bit((v >> k) & 1))
+    def bytes: Array[Byte] = { while (nb != 0) bit(0); out.toArray }
+  }
+
+  test("DEFLATE wire format is pinned: hand-derived fixed-Huffman and stored streams") {
+    // fixed-Huffman: BFINAL=1 BTYPE=01, literals 'a' 'b' 'c' (codes
+    // 0x91/0x92/0x93, 8 bits), length 6 (symbol 260, 7-bit code 0000100),
+    // distance 3 (code 2, 5-bit 00010), end-of-block (7-bit 0000000) —
+    // 46 bits hand-packed LSB-first into exactly these six bytes
+    val fixedPin = Array(0x4b, 0x4c, 0x4a, 0x86, 0x20, 0x00).map(_.toByte)
+    val (out1, end1) = graft.functions.Inflate.raw(fixedPin, 0, 1 << 16)
+    assert(new String(out1, "US-ASCII") == "abcabcabc")
+    assert(end1 == 6)
+    // the JDK agrees the pinned bytes mean "abcabcabc" (cross-engine)
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(fixedPin)
+    val buf = new Array[Byte](32)
+    val n = inf.inflate(buf)
+    inf.end()
+    assert(new String(buf, 0, n, "US-ASCII") == "abcabcabc")
+    // stored: BFINAL=1 BTYPE=00, align, LEN=5 NLEN=~5, then raw "graft"
+    val storedPin = Array[Byte](0x01, 0x05, 0x00, 0xfa.toByte, 0xff.toByte,
+      'g', 'r', 'a', 'f', 't')
+    val (out2, end2) = graft.functions.Inflate.raw(storedPin, 0, 1 << 16)
+    assert(new String(out2, "US-ASCII") == "graft" && end2 == storedPin.length)
+    // my fixture encoders emit streams the JDK decodes (encoder honesty):
+    Seq(MediaOps.deflateStored _, MediaOps.deflateFixed _).foreach { enc =>
+      val data = "spark shuffle partition order key".getBytes("UTF-8")
+      val inf2 = new java.util.zip.Inflater(true)
+      inf2.setInput(enc(data) ++ Array[Byte](0)) // nowrap needs a spare byte
+      val dec = new Array[Byte](data.length + 8)
+      var got = 0
+      while (got < data.length && !inf2.finished())
+        got += inf2.inflate(dec, got, dec.length - got)
+      inf2.end()
+      assert(got == data.length && dec.take(got).sameElements(data))
+    }
+  }
+
+  test("GzipDecode: all three fixture modes decode losslessly; JDK-encoded members too") {
+    val rnd = new scala.util.Random(1951)
+    (0 until 24).foreach { i =>
+      val text = (0 until rnd.nextInt(400))
+        .map(_ => "spark key order scan " (rnd.nextInt(21))).mkString
+      val data = text.getBytes("UTF-8")
+      val docId = i.toLong
+      val payload = MediaOps.encodeGzip(docId, data)
+      val row = graft.functions.GzipDecode.stats(payload)
+      assert(row != null, s"mode ${i % 3} nulled out")
+      assert(row.getLong(0) == 8L)
+      assert(row.getLong(1) == (8 | (i % 3 match { case 0 => 2; case 1 => 4; case _ => 16 })).toLong)
+      assert(row.getLong(2) == docId)
+      assert(row.getLong(3) == 255L)
+      assert(row.getUTF8String(4).toString == s"doc_$docId.txt")
+      assert(row.getLong(5) == data.length.toLong)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(data).map("%02x".format(_)).mkString
+      assert(row.getUTF8String(6).toString == md5)
+      // the JDK decodes my members to the same bytes (cross-engine both ways)
+      val jdk = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(payload)).readAllBytes()
+      assert(jdk.sameElements(data))
+    }
+    // a JDK-authored member (GZIPOutputStream: FLG=0, no FNAME) decodes too
+    val data = "deflate huffman lz77 window".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    val row = graft.functions.GzipDecode.stats(bos.toByteArray)
+    assert(row != null && row.isNullAt(4) && row.getLong(5) == data.length.toLong)
+  }
+
+  test("GzipDecode: corruption nulls — header, checksums, trailer, truncation, garbage") {
+    val data = "the fast key order sort table scan merge".getBytes("UTF-8")
+    (0L to 2L).foreach { docId =>
+      val good = MediaOps.encodeGzip(docId, data)
+      assert(graft.functions.GzipDecode.stats(good) != null)
+      def mut(f: Array[Byte] => Array[Byte]): Unit = {
+        val m = f(good.clone())
+        assert(graft.functions.GzipDecode.stats(m) == null,
+          s"mode $docId accepted a corrupt member")
+      }
+      mut { b => b(0) = 0x1e; b }                        // bad magic
+      mut { b => b(2) = 9; b }                           // unknown method
+      mut { b => b(3) = (b(3) | 0x40).toByte; b }        // reserved FLG bit
+      mut { b => b(b.length - 5) = (b(b.length - 5) ^ 1).toByte; b } // CRC-32 flip
+      mut { b => b(b.length - 1) = (b(b.length - 1) ^ 1).toByte; b } // ISIZE flip
+      mut { b => b.dropRight(9) }                        // truncated mid-trailer
+      mut { b => b.take(14) }                            // truncated mid-header
+      mut { b => b :+ 0x00.toByte }                      // trailing garbage
+      // deflate-body bit flip: CRC-32 catches it (or the stream malforms)
+      mut { b => val i = b.length - 12; b(i) = (b(i) ^ 0x10).toByte; b }
+    }
+    // mode-0 FHCRC: flipping a header byte after the CRC16 was stamped
+    val m0 = MediaOps.encodeGzip(0L, data)
+    val fnameAt = m0.indexOfSlice("doc_0.txt".getBytes("ISO-8859-1"))
+    val hm = m0.clone(); hm(fnameAt) = 'x'
+    assert(graft.functions.GzipDecode.stats(hm) == null, "FHCRC did not fire")
+  }
+
+  test("Inflate: hand-crafted malformed streams — reserved type, bad tables, bad distances") {
+    def raw(b: Array[Byte]): Option[Array[Byte]] =
+      try Some(graft.functions.Inflate.raw(b, 0, 1 << 16)._1)
+      catch { case _: Throwable => None }
+    // BTYPE = 3 (reserved)
+    val t3 = new DefBits; t3.bit(1); t3.field(3, 2)
+    assert(raw(t3.bytes).isEmpty)
+    // stored LEN/NLEN mismatch
+    val ln = new DefBits; ln.bit(1); ln.field(0, 2)
+    assert(raw(ln.bytes ++ Array[Byte](5, 0, 0, 0, 'g', 'r', 'a', 'f', 't')).isEmpty)
+    // fixed block, back-reference with nothing in the window (distance 3 > 0 out)
+    val dt = new DefBits; dt.bit(1); dt.field(1, 2)
+    dt.code(4, 7)  // symbol 260 = length 6
+    dt.code(2, 5)  // distance code 2 = 3
+    dt.code(0, 7)
+    assert(raw(dt.bytes).isEmpty)
+    // fixed block, invalid literal symbol 286 (code 0xc6, 8 bits)
+    val inv = new DefBits; inv.bit(1); inv.field(1, 2)
+    inv.code(0xc6, 8); inv.code(0, 7)
+    assert(raw(inv.bytes).isEmpty)
+    // dynamic header: over-subscribed code-length code (all 19 lengths = 1)
+    val os = new DefBits; os.bit(1); os.field(2, 2)
+    os.field(0, 5); os.field(0, 5); os.field(15, 4) // HLIT 257, HDIST 1, HCLEN 19
+    (0 until 19).foreach(_ => os.field(1, 3))
+    assert(raw(os.bytes).isEmpty)
+    // dynamic header: repeat-previous (16) as the very first length symbol.
+    // CL code: sym 0 -> len 1, sym 16 -> len 1 (complete), everything else 0.
+    // order positions: 16 is index 0, 0 is index 3 => HCLEN >= 4.
+    val rp = new DefBits; rp.bit(1); rp.field(2, 2)
+    rp.field(0, 5); rp.field(0, 5); rp.field(0, 4) // HLIT 257, HDIST 1, HCLEN 4
+    rp.field(1, 3); rp.field(0, 3); rp.field(0, 3); rp.field(1, 3) // 16:1 17:0 18:0 0:1
+    rp.code(1, 1) // first length symbol = 16 (canonical: 0->code0, 16->code1)
+    assert(raw(rp.bytes).isEmpty)
+    // truncation mid-stream (fixed block, literal cut short)
+    val tr = new DefBits; tr.bit(1); tr.field(1, 2); tr.code(0x91 >> 4, 4)
+    assert(raw(tr.bytes).isEmpty)
+  }
+
+  test("ZlibInflate: FCHECK/FDICT/Adler discipline; bomb members cap out as null") {
+    val data = "window check adler".getBytes("UTF-8")
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val z = out.toByteArray
+    assert(graft.functions.ZlibInflate.decode(z, data.length).sameElements(data))
+    def bad(f: Array[Byte] => Array[Byte], exp: Int = data.length): Unit = {
+      val m = f(z.clone())
+      val r = try { graft.functions.ZlibInflate.decode(m, exp); true }
+              catch { case _: Throwable => false }
+      assert(!r, "accepted a corrupt zlib stream")
+    }
+    bad { b => b(0) = (b(0) ^ 0x01).toByte; b }          // method != 8 / FCHECK
+    bad { b => b(1) = (b(1) | 0x20).toByte; b }          // FDICT set
+    bad { b => b(b.length - 1) = (b(b.length - 1) ^ 1).toByte; b } // Adler flip
+    bad(identity, data.length - 1)                       // wrong expected length
+    bad { b => b :+ 0x00.toByte }                        // trailing garbage
+    // bomb guard: a member expanding past MaxOut decodes to null, one at
+    // exactly MaxOut decodes fine (the boundary is inclusive)
+    val cap = graft.functions.GzipDecode.MaxOut
+    def gzZeros(n: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(new Array[Byte](n)); gz.close()
+      bos.toByteArray
+    }
+    assert(graft.functions.GzipDecode.stats(gzZeros(cap + 1)) == null)
+    val atCap = graft.functions.GzipDecode.stats(gzZeros(cap))
+    assert(atCap != null && atCap.getLong(5) == cap.toLong)
+  }
+
+  test("gzipDecode: staged members decode to the oracle rule (lossless inversion)") {
+    val got = MediaOps.gzipDecode(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+    assert(got.size == docs.length)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val data = r.getString(1).getBytes("UTF-8")
+      val row = got(id)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(data).map("%02x".format(_)).mkString
+      assert(row.getLong(1) == 8L && row.getLong(3) == id && row.getLong(4) == 255L)
+      assert(row.getLong(2) == (8 | (id % 3 match { case 0 => 2; case 1 => 4; case _ => 16 })).toLong)
+      assert(row.getString(5) == s"doc_$id.txt")
+      assert(row.getLong(6) == data.length.toLong)
+      assert(row.getString(7) == md5, s"doc $id content digest")
+    }
+  }
+
   test("semanticDedup: one verdict per vector; pruned iff a centroid-farther over-tau neighbor exists") {
     val verdicts = SimilarityOps.semanticDedup(spark, Sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
