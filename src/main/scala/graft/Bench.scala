@@ -104,6 +104,7 @@ object Bench {
       "md_qoi_payloads"       -> (() => MediaOps.qoiPayloads(spark, sfDir).count(): Unit),
       "md_flac_payloads"      -> (() => MediaOps.flacPayloads(spark, sfDir).count(): Unit),
       "md_gzip_payloads"      -> (() => MediaOps.gzipPayloads(spark, sfDir).count(): Unit),
+      "md_gzip_concat_payloads" -> (() => MediaOps.gzipConcatPayloads(spark, sfDir).count(): Unit),
       "acid_txtable"          -> (() => AcidOps.ordersTxTable(spark, sfDir): Unit),
       "fmt_avro"              -> (() => sources.Formats.avroRoundtrip(spark, sfDir).count(): Unit),
       "fmt_exports"           -> (() => sources.Formats.stageAll(spark, sfDir)))
@@ -249,7 +250,8 @@ object Bench {
     */
   private val ForceMaterialize: Set[String] = Set(
     "md_ppm_decode", "md_wav_decode", "md_png_decode", "md_qoi_decode",
-    "md_flac_decode", "md_gzip_decode", "md_decode_features", "md_ahash")
+    "md_flac_decode", "md_gzip_decode", "md_gzip_concat",
+    "md_decode_features", "md_ahash")
 
   private val Headline: Set[String] = Set(
     "dd_minhash_candidates", "dd_clusters", "dd_sorted_neighbors",

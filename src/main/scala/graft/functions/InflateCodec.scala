@@ -364,7 +364,8 @@ object GzipDecode {
     StructField("os", LongType, nullable = false),
     StructField("fname", StringType, nullable = true),
     StructField("n_out", LongType, nullable = false),
-    StructField("text_md5", StringType, nullable = false)))
+    StructField("text_md5", StringType, nullable = false),
+    StructField("n_members", LongType, nullable = false)))
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -377,49 +378,78 @@ object GzipDecode {
     try {
       val n = bytes.length
       if (n < 18) Inflate.fail() // 10 header + ≥0 deflate + 8 trailer
-      if ((bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) Inflate.fail()
-      val cm = bytes(2) & 0xff
-      if (cm != 8) Inflate.fail()
-      val flg = bytes(3) & 0xff
-      if ((flg & 0xe0) != 0) Inflate.fail() // reserved FLG bits must be zero
-      val mtime = (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
-        ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
-      val os = bytes(9) & 0xffL
-      var off = 10
-      if ((flg & 4) != 0) { // FEXTRA
-        if (off + 2 > n) Inflate.fail()
-        val xlen = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
-        off += 2 + xlen
-        if (off > n) Inflate.fail()
-      }
-      var fname: String = null
-      if ((flg & 8) != 0) { // FNAME: zero-terminated ISO 8859-1
-        val start = off
-        while (off < n && bytes(off) != 0) off += 1
-        if (off >= n) Inflate.fail()
-        fname = new String(bytes, start, off - start, "ISO-8859-1")
-        off += 1
-      }
-      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated, skipped
-        while (off < n && bytes(off) != 0) off += 1
-        if (off >= n) Inflate.fail()
-        off += 1
-      }
-      if ((flg & 2) != 0) { // FHCRC: low 16 bits of the header CRC-32
-        if (off + 2 > n) Inflate.fail()
-        val read = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
-        if (read != (Inflate.crc32(bytes, 0, off) & 0xffffL).toInt) Inflate.fail()
-        off += 2
-      }
-      val (out, end) = Inflate.raw(bytes, off, MaxOut)
-      if (end + 8 != n) Inflate.fail() // exactly one member, nothing trailing
-      def le32(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
-        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
-      if (le32(end) != Inflate.crc32(out, 0, out.length)) Inflate.fail()
-      if (le32(end + 4) != (out.length.toLong & 0xffffffffL)) Inflate.fail()
+      // RFC 1952 §2.2: "A gzip file consists of a series of members" — the
+      // layout concatenated web-crawl archives actually use. Walk EVERY
+      // member (each header fully parsed, each CRC-32/ISIZE trailer
+      // verified); the emitted header fields are the FIRST member's, the
+      // content digest runs over the concatenated decoded bytes, and the
+      // member count is part of the output contract.
+      var off = 0
+      var nMembers = 0L
+      var total = 0L
+      var cm0 = -1L; var flg0 = -1L; var mtime0 = -1L; var os0 = -1L
+      var fname0: String = null
       val dg = md5Local.get()
       dg.reset()
-      val h = dg.digest(out)
+      while (off < n) {
+        val hdrStart = off
+        if (off + 10 > n) Inflate.fail()
+        if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b)
+          Inflate.fail()
+        val cm = bytes(off + 2) & 0xff
+        if (cm != 8) Inflate.fail()
+        val flg = bytes(off + 3) & 0xff
+        if ((flg & 0xe0) != 0) Inflate.fail() // reserved FLG bits must be zero
+        val mtime = (bytes(off + 4) & 0xffL) | ((bytes(off + 5) & 0xffL) << 8) |
+          ((bytes(off + 6) & 0xffL) << 16) | ((bytes(off + 7) & 0xffL) << 24)
+        val os = bytes(off + 9) & 0xffL
+        off += 10
+        if ((flg & 4) != 0) { // FEXTRA
+          if (off + 2 > n) Inflate.fail()
+          val xlen = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+          off += 2 + xlen
+          if (off > n) Inflate.fail()
+        }
+        var fname: String = null
+        if ((flg & 8) != 0) { // FNAME: zero-terminated ISO 8859-1
+          val start = off
+          while (off < n && bytes(off) != 0) off += 1
+          if (off >= n) Inflate.fail()
+          fname = new String(bytes, start, off - start, "ISO-8859-1")
+          off += 1
+        }
+        if ((flg & 16) != 0) { // FCOMMENT: zero-terminated, skipped
+          while (off < n && bytes(off) != 0) off += 1
+          if (off >= n) Inflate.fail()
+          off += 1
+        }
+        if ((flg & 2) != 0) { // FHCRC: low 16 bits of the member-header CRC-32
+          if (off + 2 > n) Inflate.fail()
+          val read = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+          if (read != (Inflate.crc32(bytes, hdrStart, off) & 0xffffL).toInt)
+            Inflate.fail()
+          off += 2
+        }
+        val remaining = MaxOut - total
+        if (remaining < 0) Inflate.fail()
+        val (out, end) = Inflate.raw(bytes, off, remaining.toInt)
+        if (out.length > remaining) Inflate.fail() // bomb guard across members
+        if (end + 8 > n) Inflate.fail()
+        def le32(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+        if (le32(end) != Inflate.crc32(out, 0, out.length)) Inflate.fail()
+        if (le32(end + 4) != (out.length.toLong & 0xffffffffL)) Inflate.fail()
+        off = end + 8
+        dg.update(out)
+        total += out.length
+        if (nMembers == 0L) {
+          cm0 = cm.toLong; flg0 = flg.toLong; mtime0 = mtime; os0 = os
+          fname0 = fname
+        }
+        nMembers += 1
+      }
+      if (nMembers == 0L) Inflate.fail()
+      val h = dg.digest()
       val hex = new Array[Char](32)
       var i = 0
       while (i < 16) {
@@ -428,9 +458,9 @@ object GzipDecode {
         i += 1
       }
       new GenericInternalRow(Array[Any](
-        cm.toLong, flg.toLong, mtime, os,
-        if (fname == null) null else UTF8String.fromString(fname),
-        out.length.toLong, UTF8String.fromString(new String(hex))))
+        cm0, flg0, mtime0, os0,
+        if (fname0 == null) null else UTF8String.fromString(fname0),
+        total, UTF8String.fromString(new String(hex)), nMembers))
     } catch { case scala.util.control.NonFatal(_) => null }
 }
 

@@ -685,10 +685,11 @@ object MediaOps {
     out.toByteArray
   }
 
-  /** One RFC 1952 gzip member around `data` — block type and optional
-    * header fields cycled by `docId % 3` (see [[gzipPayloads]]). */
-  private[graft] def encodeGzip(docId: Long, data: Array[Byte]): Array[Byte] = {
-    val mode = (((docId % 3) + 3) % 3).toInt
+  /** One RFC 1952 gzip member around `data`: DEFLATE block type and the
+    * optional header fields keyed by `mode` (0 stored+FHCRC, 1 dynamic+
+    * FEXTRA, 2 fixed+FCOMMENT); FNAME and MTIME explicit. */
+  private[graft] def encodeMember(mode: Int, fname: String, mtime0: Long,
+                                  data: Array[Byte]): Array[Byte] = {
     val deflated = mode match {
       case 0 => deflateStored(data)
       case 1 => deflateDynamic(data)
@@ -697,7 +698,7 @@ object MediaOps {
     val out = new java.io.ByteArrayOutputStream(deflated.length + 64)
     val flags = 8 | (mode match { case 0 => 2; case 1 => 4; case _ => 16 })
     out.write(0x1f); out.write(0x8b); out.write(8); out.write(flags)
-    val mtime = docId & 0xffffffffL
+    val mtime = mtime0 & 0xffffffffL
     out.write((mtime & 0xff).toInt); out.write(((mtime >> 8) & 0xff).toInt)
     out.write(((mtime >> 16) & 0xff).toInt); out.write(((mtime >> 24) & 0xff).toInt)
     out.write(0)    // XFL
@@ -707,7 +708,7 @@ object MediaOps {
       out.write('G'); out.write('R'); out.write(2); out.write(0)
       out.write('1'); out.write('1')
     }
-    out.write(s"doc_${docId}.txt".getBytes("ISO-8859-1")); out.write(0) // FNAME
+    out.write(fname.getBytes("ISO-8859-1")); out.write(0) // FNAME
     if (mode == 2) { out.write("graft".getBytes("ISO-8859-1")); out.write(0) } // FCOMMENT
     if (mode == 0) { // FHCRC: low 16 bits of the header CRC-32 (JDK-stamped)
       val c = new java.util.zip.CRC32()
@@ -728,6 +729,47 @@ object MediaOps {
     out.toByteArray
   }
 
+  /** Single-member gzip of a whole document (see [[gzipPayloads]]). */
+  private[graft] def encodeGzip(docId: Long, data: Array[Byte]): Array[Byte] =
+    encodeMember((((docId % 3) + 3) % 3).toInt, s"doc_${docId}.txt", docId, data)
+
+  /** Member-CONCATENATED gzip of a document: the text's bytes split into
+    * `1 + (byteLen % 3)` contiguous chunks, each wrapped as its own member
+    * (mode cycling `(docId + j) % 3`, FNAME `doc_<id>_m<j>.txt`, MTIME
+    * docId + j) and the members byte-concatenated — the layout concatenated
+    * web-crawl `.gz` archives actually have (RFC 1952 §2.2: "a series of
+    * members"). */
+  private[graft] def encodeGzipConcat(docId: Long, data: Array[Byte]): Array[Byte] = {
+    val k = 1 + (data.length % 3)
+    val out = new java.io.ByteArrayOutputStream(data.length + 64 * k)
+    var j = 0
+    while (j < k) {
+      val from = (j.toLong * data.length / k).toInt
+      val until = ((j + 1).toLong * data.length / k).toInt
+      val mode = ((((docId + j) % 3) + 3) % 3).toInt
+      out.write(encodeMember(mode, s"doc_${docId}_m$j.txt", docId + j,
+        java.util.Arrays.copyOfRange(data, from, until)))
+      j += 1
+    }
+    out.toByteArray
+  }
+
+  /** A staged member-concatenated gzip row. */
+  case class GzipConcatRow(doc_id: Long, payload: Array[Byte])
+
+  /** Staged member-concatenated gzip payloads (see [[encodeGzipConcat]]). */
+  def gzipConcatPayloads(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.derivedBig(spark, sfDir, "gzip_concat_payloads") {
+      import spark.implicits._
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (docId, text) =>
+            GzipConcatRow(docId, encodeGzipConcat(docId, text.getBytes("UTF-8")))
+          }
+        }.toDF()
+    }
+
   /** REAL compressed-text decode: parse the staged gzip members with the
     * native codegen'd [[graft.functions.GzipStats]] expression — full
     * RFC 1952 header walk (FEXTRA/FNAME/FCOMMENT/FHCRC), from-scratch
@@ -741,6 +783,22 @@ object MediaOps {
   def gzipDecode(spark: SparkSession, sfDir: String): DataFrame = {
     val stats = graft.functions.MediaExpressions.gzipStats(spark, col("payload"))
     gzipPayloads(spark, sfDir)
+      .select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id") +:
+        graft.functions.GzipDecode.schema.fieldNames.toSeq
+          .map(f => col(s"s.$f").as(f)): _*)
+  }
+
+  /** Multi-member decode over [[gzipConcatPayloads]]: the decoder must walk
+    * EVERY member (header parse, per-member CRC-32/ISIZE verify) and the
+    * concatenated content digest must equal the oracle's whole-text
+    * `md5(text)` — the member boundaries vanish exactly when the walk is
+    * right. Member count and first-member header fields replay the fixture
+    * rule, so they are oracle-predictable too.
+    */
+  def gzipConcatDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = graft.functions.MediaExpressions.gzipStats(spark, col("payload"))
+    gzipConcatPayloads(spark, sfDir)
       .select(col("doc_id"), stats.as("s"))
       .select(col("doc_id") +:
         graft.functions.GzipDecode.schema.fieldNames.toSeq

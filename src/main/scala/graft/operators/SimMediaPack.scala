@@ -40,6 +40,7 @@ object SimMediaPack extends QueryPack {
     "md_qoi_decode" -> ((s, d) => MediaOps.qoiDecode(s, d)),
     "md_flac_decode" -> ((s, d) => MediaOps.flacDecode(s, d)),
     "md_gzip_decode" -> ((s, d) => MediaOps.gzipDecode(s, d)),
+    "md_gzip_concat" -> ((s, d) => MediaOps.gzipConcatDecode(s, d)),
     "md_frames" -> ((s, d) => MediaOps.frames(s, d)),
     "sim_nprobe_curve" -> ((s, d) => SimilarityOps.nprobeCurve(s, d)),
     "md_ahash" -> ((s, d) => MediaOps.ahashTable(s, d)),
@@ -925,7 +926,24 @@ object SimMediaPack extends QueryPack {
         |  CAST(doc_id AS BIGINT) AS mtime, CAST(255 AS BIGINT) AS os,
         |  'doc_' || doc_id || '.txt' AS fname,
         |  CAST(length(text) AS BIGINT) AS n_out,
-        |  md5(text) AS text_md5
+        |  md5(text) AS text_md5,
+        |  CAST(1 AS BIGINT) AS n_members
+        |FROM documents""".stripMargin
+    },
+    "md_gzip_concat" -> {
+      // member-concatenated archives (RFC 1952 "a series of members"): the
+      // fixture splits the text bytes into 1 + (length % 3) members; a
+      // correct multi-member walk makes the boundaries vanish — content
+      // digest and length are the WHOLE text's. Header fields are the first
+      // member's (mode doc_id % 3, FNAME doc_<id>_m0.txt, MTIME doc_id).
+      """SELECT doc_id, CAST(8 AS BIGINT) AS method,
+        |  CAST(8 + (CASE CAST(doc_id % 3 AS INT)
+        |            WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END) AS BIGINT) AS flags,
+        |  CAST(doc_id AS BIGINT) AS mtime, CAST(255 AS BIGINT) AS os,
+        |  'doc_' || doc_id || '_m0.txt' AS fname,
+        |  CAST(length(text) AS BIGINT) AS n_out,
+        |  md5(text) AS text_md5,
+        |  CAST(1 + (length(text) % 3) AS BIGINT) AS n_members
         |FROM documents""".stripMargin
     },
     "md_frames" ->

@@ -794,6 +794,40 @@ class SimMediaSpec extends SparkSpec {
     gz.write(data); gz.close()
     val row = graft.functions.GzipDecode.stats(bos.toByteArray)
     assert(row != null && row.isNullAt(4) && row.getLong(5) == data.length.toLong)
+    assert(row.getLong(7) == 1L)
+  }
+
+  test("GzipDecode: member-concatenated archives walk every member; boundaries vanish") {
+    val rnd = new scala.util.Random(1952)
+    (0 until 12).foreach { i =>
+      val text = (0 until 3 + rnd.nextInt(200))
+        .map(_ => "order spark merge key ) " (rnd.nextInt(24))).mkString
+      val data = text.getBytes("UTF-8")
+      val docId = 100L + i
+      val payload = MediaOps.encodeGzipConcat(docId, data)
+      val k = 1 + (data.length % 3)
+      val row = graft.functions.GzipDecode.stats(payload)
+      assert(row != null, s"concat of $k members nulled out")
+      assert(row.getLong(7) == k.toLong)
+      assert(row.getLong(5) == data.length.toLong)
+      assert(row.getLong(2) == docId) // first member's MTIME
+      assert(row.getUTF8String(4).toString == s"doc_${docId}_m0.txt")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(data).map("%02x".format(_)).mkString
+      assert(row.getUTF8String(6).toString == md5, "concatenated content digest")
+      // the JDK agrees: GZIPInputStream in multi-member mode yields the
+      // same concatenation (cross-engine)
+      val jdk = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(payload)).readAllBytes()
+      assert(jdk.sameElements(data))
+      // corrupting the SECOND member's trailer must null the whole archive
+      if (k > 1) {
+        val m = payload.clone()
+        m(m.length - 5) = (m(m.length - 5) ^ 1).toByte
+        assert(graft.functions.GzipDecode.stats(m) == null,
+          "last member's CRC not verified")
+      }
+    }
   }
 
   test("GzipDecode: corruption nulls — header, checksums, trailer, truncation, garbage") {
@@ -913,6 +947,21 @@ class SimMediaSpec extends SparkSpec {
       assert(row.getString(5) == s"doc_$id.txt")
       assert(row.getLong(6) == data.length.toLong)
       assert(row.getString(7) == md5, s"doc $id content digest")
+      assert(row.getLong(8) == 1L)
+    }
+    // the member-concatenated staged twin: same whole-text digest, member
+    // count replaying the 1 + (bytes % 3) split rule
+    val concat = MediaOps.gzipConcatDecode(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val data = r.getString(1).getBytes("UTF-8")
+      val row = concat(id)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(data).map("%02x".format(_)).mkString
+      assert(row.getString(7) == md5 && row.getLong(6) == data.length.toLong)
+      assert(row.getLong(8) == (1 + data.length % 3).toLong)
+      assert(row.getString(5) == s"doc_${id}_m0.txt")
     }
   }
 
