@@ -61,4 +61,47 @@ object BloomAgg {
   /** Hash-j bit position of a key: the portable salted-h24 mod numBits. */
   private[graft] def pos(j: Int, key: Long, numBits: Int): Int =
     (MinHashAgg.h24(s"$j:$key") % numBits).toInt
+
+  /** String-keyed twin — a Long key's decimal form probes the SAME bits,
+    * so a filter built over `cast(col as string)` answers Long probes. */
+  private[graft] def pos(j: Int, key: String, numBits: Int): Int =
+    (MinHashAgg.h24(s"$j:$key") % numBits).toInt
+}
+
+/** String-keyed [[BloomAgg]] twin (same bit-position family, null keys
+  * skipped) — the build side of [[graft.sources.TxStats.BloomStat]]: one
+  * pass over a freshly staged file's values (grouped by
+  * `input_file_name()`) folds each column into a fixed `numBits` filter
+  * that rides the commit log and answers point probes at plan time.
+  */
+class BloomStrAgg(numBits: Int, numHashes: Int)
+    extends Aggregator[String, Array[Long], Seq[Long]] {
+  require(numBits % 64 == 0, "numBits must be a multiple of 64")
+
+  override def zero: Array[Long] = new Array[Long](numBits / 64)
+
+  override def reduce(buf: Array[Long], key: String): Array[Long] = {
+    if (key != null) {
+      var j = 0
+      while (j < numHashes) {
+        val pos = BloomAgg.pos(j, key, numBits)
+        buf(pos >> 6) |= 1L << (pos & 63)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

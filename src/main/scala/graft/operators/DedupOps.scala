@@ -1075,9 +1075,13 @@ object DedupOps {
       // the latest row set are untouched. FOUR range files (r11, was 1):
       // disjoint (band_no, band_key) ranges per file are exactly what the
       // commit-logged stats + readWhere data skipping turn into O(1)-file
-      // probes — see `xacid_pruned_scan`.
+      // probes — see `xacid_pruned_scan`. Bloom filters on band_key (r11)
+      // cover the OTHER probe shape: a key-only lookup sees every file's
+      // [min,max] span the digest space (band_no leads the sort), so only
+      // the blooms prove absence — see `xacid_bloom_scan`.
       TxTable.compact(spark, root, targetFiles = 4,
-        sortCols = Seq("band_no", "band_key")): Unit
+        sortCols = Seq("band_no", "band_key"),
+        bloomCols = Seq("band_key")): Unit
       root
     })
   }
@@ -1121,6 +1125,31 @@ object DedupOps {
     * range-driven, not an endpoint artifact.
     */
   val ProbeBand = 3
+
+  /** Bloom-driven point probe of the persisted index: look up ONE band_key
+    * WITHOUT its band_no — the cross-band membership question ("has this
+    * bucket digest been seen anywhere?"). The layout sorts by (band_no,
+    * band_key), so every file's band_key [min,max] spans essentially the
+    * whole md5 space and RANGE skipping keeps all 4 files; the per-file
+    * band_key Bloom filters recorded by the compaction ([[TxTable.compact]]
+    * `bloomCols`) are what prove absence (AcidSpec asserts bloom skips
+    * where ranges cannot; the oracle asserts the pruned read loses no
+    * rows). The probe key — the smallest band_key of [[ProbeBand]] — is
+    * itself derived through a range-pruned read (1 of 4 files), so the
+    * whole query touches metadata + the probe files, never the full index:
+    * the point-lookup path of a 100-TB stored LSH index.
+    */
+  def bloomIndexScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = minhashIndexTx(spark, sfDir)
+    val key = TxTable.readWhere(spark, root, col("band_no") === ProbeBand)
+      .agg(min(col("band_key"))).head().getString(0)
+    TxTable.readWhere(spark, root, col("band_key") === key)
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("band_no")).cast("long").as("min_band"),
+        max(col("band_no")).cast("long").as("max_band"))
+  }
 
   private def incrementalAgainst(spark: SparkSession, sfDir: String,
                                  indexBands: DataFrame): DataFrame = {

@@ -98,6 +98,7 @@ object TextDedupPack extends QueryPack {
     "dd_incremental_tx" -> ((s, d) => DedupOps.incrementalDedupTx(s, d)),
     "xacid_dedup_index" -> ((s, d) => DedupOps.dedupIndexHistory(s, d)),
     "xacid_pruned_scan" -> ((s, d) => DedupOps.prunedIndexScan(s, d)),
+    "xacid_bloom_scan" -> ((s, d) => DedupOps.bloomIndexScan(s, d)),
     "dd_fuzzy_decontam" -> ((s, d) => DedupOps.fuzzyDecontam(s, d)),
     "tx_leak_safe_splits" -> ((s, d) => TextOps.leakSafeSplits(s, d)),
   )
@@ -1544,6 +1545,19 @@ object TextDedupPack extends QueryPack {
            |  min(band_key) AS min_key, max(band_key) AS max_key
            |FROM bands WHERE band_no = ${DedupOps.ProbeBand}
            |GROUP BY band_no""".stripMargin),
+    // the bloom-pruned point probe must see EVERY occurrence of the key
+    // across ALL bands — a filter that false-negatives (or a prover that
+    // over-prunes) loses rows here and hash-mismatches
+    "xacid_bloom_scan" ->
+      Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte)(
+        s"""SELECT band_key, CAST(count(*) AS BIGINT) AS n_entries,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(min(band_no) AS BIGINT) AS min_band,
+           |  CAST(max(band_no) AS BIGINT) AS max_band
+           |FROM bands
+           |WHERE band_key = (SELECT min(band_key) FROM bands
+           |                  WHERE band_no = ${DedupOps.ProbeBand})
+           |GROUP BY band_key""".stripMargin),
     "dd_incremental" ->
       Oracle.withCtes(shinglesCte, distinctShinglesCte, mhCte, bandsCte,
         """icand AS (

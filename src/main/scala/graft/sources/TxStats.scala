@@ -40,22 +40,90 @@ object TxStats {
 
   /** One column's file-level range; min/max carried as strings so the JSON
     * commit log round-trips them exactly (`Double.toString` shortest-repr
-    * parses back to the identical double).
+    * parses back to the identical double). `bloom` is the optional
+    * point-lookup complement (see [[BloomStat]]): ranges prune RANGE
+    * probes after a clustered rewrite, but a high-cardinality equality
+    * probe on a non-leading column sees every file's [min,max] span the
+    * whole domain — the bloom is what proves absence there.
     */
-  case class ColStats(t: String, min: String, max: String)
+  case class ColStats(t: String, min: String, max: String,
+                      bloom: Option[BloomStat] = None)
+
+  /** Per-file Bloom filter over a column's values (the Delta "bloom filter
+    * index" read path): `m` bits, `k` salted-h24 probes per value — the
+    * SAME portable hash family [[graft.functions.BloomAgg]] uses, over the
+    * value's canonical decimal/UTF-8 string, so build (a one-pass
+    * aggregation at write time) and probe (driver-side, here) cannot
+    * disagree. No false negatives: an inserted value always probes
+    * all-ones, so `contains == false` is a proof of absence and pruning on
+    * it is result-identical by construction.
+    */
+  case class BloomStat(m: Int, k: Int, bits: Array[Long]) {
+    def contains(key: String): Boolean = {
+      var j = 0
+      while (j < k) {
+        val pos = graft.functions.BloomAgg.pos(j, key, m)
+        if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+        j += 1
+      }
+      true
+    }
+    def toBase64: String = {
+      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(bb.putLong)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+  }
+
+  object BloomStat {
+    def fromBase64(m: Int, k: Int, b64: String): BloomStat = {
+      val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+      val bits = new Array[Long](bb.remaining() / 8)
+      var i = 0
+      while (i < bits.length) { bits(i) = bb.getLong(); i += 1 }
+      BloomStat(m, k, bits)
+    }
+  }
+
+  /** The canonical bloom key for a bound literal in the stats domain, None
+    * when the type cannot probe. Longs use decimal form (matching the
+    * build side's `cast(col as string)`); a double probe maps through its
+    * integral value when whole — a non-whole double can never equal a row
+    * of a long-typed column, so either bloom verdict is safe, and the
+    * whole-valued case must agree with the decimal form.
+    */
+  private def bloomKey(t: String, v: Any): Option[String] = (t, v) match {
+    case ("long", l: Long) => Some(l.toString)
+    case ("long", d: Double) =>
+      // only when the double names a UNIQUE long preimage: above 2^53
+      // several longs cast to the same double and probing one of them
+      // could skip a file holding another
+      if (d == d.toLong.toDouble && math.abs(d) < 9007199254740992.0)
+        Some(d.toLong.toString)
+      else None
+    case ("string", s: String) => Some(s)
+    case _ => None
+  }
 
   /** Footer-derived stats for every skippable top-level column of `path`.
     * A column qualifies only if EVERY row group carries non-empty stats of
     * a supported type — otherwise it is dropped (conservative).
     */
   def fromFooter(conf: org.apache.hadoop.conf.Configuration,
-                 path: String): Map[String, ColStats] = {
+                 path: String): Map[String, ColStats] =
+    fromFooterWithRows(conf, path)._1
+
+  /** [[fromFooter]] plus the footer's total row count (the free sizing
+    * input for per-file bloom filters — no data read). */
+  def fromFooterWithRows(conf: org.apache.hadoop.conf.Configuration,
+                         path: String): (Map[String, ColStats], Long) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(path), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      if (blocks.isEmpty) return Map.empty
+      if (blocks.isEmpty) return (Map.empty, 0L)
+      val nRows = blocks.map(_.getRowCount).sum
       val perBlock: Seq[Map[String, ColStats]] = blocks.map { b =>
         b.getColumns.asScala.flatMap { c =>
           val name = c.getPath.toDotString
@@ -65,7 +133,7 @@ object TxStats {
         }.toMap
       }
       // a column survives only when present in every row group; ranges merge
-      perBlock.head.keySet
+      val stats = perBlock.head.keySet
         .filter(k => perBlock.forall(_.contains(k)))
         .flatMap { k =>
           val cs = perBlock.map(_(k))
@@ -79,6 +147,7 @@ object TxStats {
             case _ => None
           }
         }.toMap
+      (stats, nRows)
     } finally reader.close()
   }
 
@@ -123,10 +192,13 @@ object TxStats {
     case _ => true
   }
 
-  /** a = b (either side the attribute): range must contain the literal. */
+  /** a = b (either side the attribute): the range must contain the literal
+    * AND, when the file carries a bloom for the column, the bloom must not
+    * prove the value absent. */
   private def eqMay(stats: Map[String, ColStats], a: Expression, b: Expression): Boolean =
     bind(stats, a, b).orElse(bind(stats, b, a)).forall { case (cs, v) =>
-      cmp(cs.min, v, cs.t) <= 0 && cmp(cs.max, v, cs.t) >= 0
+      cmp(cs.min, v, cs.t) <= 0 && cmp(cs.max, v, cs.t) >= 0 &&
+        cs.bloom.forall(bl => bloomKey(cs.t, v).forall(bl.contains))
     }
 
   /** attr > lit (or >=): file may match iff max (strictly) exceeds lit.
@@ -157,6 +229,13 @@ object TxStats {
       case u: UnresolvedAttribute => Some(u.name)
       case r: AttributeReference => Some(r.name)
       case Cast(u: UnresolvedAttribute, _, _, _) => Some(u.name)
+      // an ANALYZED widening cast (Catalyst inserts cast(longCol as double)
+      // when the literal is a double): sound to see through because
+      // long→double is monotone and ATTAINS its supremum at max, so
+      // comparing cast(stat) against the literal in the double domain is
+      // exactly the predicate's own arithmetic. Truncating casts (e.g.
+      // long→int) wrap and are NOT seen through — they never prune.
+      case Cast(r: AttributeReference, DoubleType, _, _) => Some(r.name)
       case _ => None
     }
     for {

@@ -119,8 +119,14 @@ object TxTable {
               val s = node.get("stats")
               stats += f -> s.properties().asScala.map { e =>
                 val v = e.getValue
+                val bloom =
+                  if (v.has("bloom")) {
+                    val b = v.get("bloom")
+                    Some(TxStats.BloomStat.fromBase64(
+                      b.get("m").asInt(), b.get("k").asInt(), b.get("b").asText()))
+                  } else None
                 e.getKey -> TxStats.ColStats(v.get("t").asText(),
-                  v.get("min").asText(), v.get("max").asText())
+                  v.get("min").asText(), v.get("max").asText(), bloom)
               }.toMap
             }
           }
@@ -223,14 +229,35 @@ object TxTable {
   /** Staged data files: content-unique name + footer-derived column stats. */
   private case class Staged(name: String, stats: Map[String, TxStats.ColStats])
 
+  /** Bloom sizing: ~16 bits per row (k = 8 probes → sub-percent false-
+    * positive rate), floored so tiny files still discriminate, ceilinged so
+    * a log line stays bounded (2 MiB of bits ≈ 350 KiB base64 — the cost of
+    * indexing one very large file). */
+  private def bloomBits(maxRows: Long): Int =
+    (math.max(1024L, math.min(1L << 21, maxRows * 16L)) + 63L & ~63L).toInt
+  private val BloomK = 8
+
   /** Stage `df` as new immutable data files; returns their names plus the
     * per-file column min/max lifted from each parquet footer (metadata-only
     * IO — the data-skipping stats every commit records, see [[TxStats]]).
     * Files are parquet parts written by a normal distributed job, then
     * registered under content-unique names — visible to no reader until a
     * commit's atomic-exclusive link publishes them.
+    *
+    * `bloomCols` additionally folds each named column's values into a
+    * per-file [[TxStats.BloomStat]] — ONE distributed pass over the
+    * just-written (page-cached) files, grouped by `input_file_name()`,
+    * aggregating with the portable salted-h24 [[graft.functions
+    * .BloomStrAgg]] over the canonical string form (`cast(col as string)`
+    * — a Long's decimal form probes the same bits the prover asks for).
+    * Filters are sized off the footers' row counts (16 bits/row, k = 8)
+    * and recorded only for columns whose footer stats typed as long/string
+    * (double equality probes don't bloom — conservative). This is the
+    * write-amplification every bloom-indexed table format pays once per
+    * file, amortized against every future point probe.
     */
-  private def writeData(spark: SparkSession, root: String, df: DataFrame): Seq[Staged] = {
+  private def writeData(spark: SparkSession, root: String, df: DataFrame,
+                        bloomCols: Seq[String] = Nil): Seq[Staged] = {
     Files.createDirectories(dataDir(root))
     val tmp = Files.createTempDirectory(Paths.get(root), ".stage")
     df.write.mode("overwrite").parquet(tmp.toString)
@@ -238,14 +265,43 @@ object TxTable {
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       .sortBy(_.getFileName.toString)
     val conf = spark.sessionState.newHadoopConf()
-    val names = parts.map { p =>
+    val staged = parts.map { p =>
       val name = s"${java.util.UUID.randomUUID()}.parquet"
       val target = dataDir(root).resolve(name)
       Files.move(p, target): Unit
-      Staged(name, TxStats.fromFooter(conf, target.toString))
+      val (stats, rows) = TxStats.fromFooterWithRows(conf, target.toString)
+      (Staged(name, stats), rows)
     }
     deleteRecursively(tmp)
-    names
+    val names = staged.map(_._1)
+    val eligible = names.headOption.fold(Seq.empty[String]) { h =>
+      bloomCols.filter(c => h.stats.get(c).exists(s => s.t == "long" || s.t == "string"))
+    }
+    if (eligible.isEmpty || names.isEmpty) names
+    else {
+      val m = bloomBits(staged.map(_._2).max)
+      val agg = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BloomStrAgg(m, BloomK),
+        org.apache.spark.sql.Encoders.STRING)
+      val aggCols = eligible.map(c => agg(col(c).cast("string")).as(c))
+      val byFile = spark.read
+        .parquet(names.map(s => s"$root/data/${s.name}"): _*)
+        .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+        .map { r =>
+          r.getString(0) -> eligible.zipWithIndex.map { case (c, i) =>
+            c -> TxStats.BloomStat(m, BloomK, r.getSeq[Long](i + 1).toArray)
+          }.toMap
+        }.toMap
+      names.map { s =>
+        byFile.get(s.name).fold(s) { blooms =>
+          s.copy(stats = s.stats.map { case (c, cs) =>
+            c -> blooms.get(c).fold(cs)(b => cs.copy(bloom = Some(b)))
+          })
+        }
+      }
+    }
   }
 
   /** Attempt to publish version `version`. True iff this writer won the
@@ -277,6 +333,12 @@ object TxTable {
           cn.put("t", cs.t): Unit
           cn.put("min", cs.min): Unit
           cn.put("max", cs.max): Unit
+          cs.bloom.foreach { b =>
+            val bn = cn.putObject("bloom")
+            bn.put("m", b.m): Unit
+            bn.put("k", b.k): Unit
+            bn.put("b", b.toBase64): Unit
+          }
         }
       }
       lines += mapper.writeValueAsString(n)
@@ -315,11 +377,13 @@ object TxTable {
 
   private val MaxRetries = 20
 
-  /** Append-only commit (conflict-free: blind retry on a newer version). */
+  /** Append-only commit (conflict-free: blind retry on a newer version).
+    * `bloomCols` records per-file Bloom filters for those columns (see
+    * [[writeData]]) — the point-lookup half of data skipping. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-             op: String = "append"): Long = {
+             op: String = "append", bloomCols: Seq[String] = Nil): Long = {
     val rows = df.count()
-    val adds = writeData(spark, root, df)
+    val adds = writeData(spark, root, df, bloomCols)
     var attempt = 0
     while (attempt < MaxRetries) {
       val v = snapshot(root).version + 1
@@ -415,7 +479,7 @@ object TxTable {
     * for free, since the data is being rewritten anyway.
     */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 1,
-              sortCols: Seq[String] = Nil): Long = {
+              sortCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(root)
@@ -427,7 +491,7 @@ object TxTable {
             .sortWithinPartitions(sortCols.map(col): _*)
         else live.repartition(targetFiles)
       val rows = live.count()
-      val adds = writeData(spark, root, arranged)
+      val adds = writeData(spark, root, arranged, bloomCols)
       if (tryCommit(root, base.version + 1, "compact",
         Map("rows_written" -> rows), adds, base.liveFiles))
         return base.version + 1

@@ -431,6 +431,52 @@ class AcidSpec extends SparkSpec {
     assert(zs == Seq(1L), s"got $zs")
   }
 
+  test("bloom skipping: point probes prune files whose ranges all overlap; no false negatives") {
+    val root = freshRoot()
+    // four files with INTERLEAVED ids (file f holds ids ≡ f mod 4), so
+    // every file's [min,max] spans nearly the whole domain — range stats
+    // alone cannot prune an equality probe; only the blooms can
+    (0 until 4).foreach { f =>
+      val rows = (0 until 100).filter(_ % 4 == f)
+        .map(i => (i.toLong, s"key$i", i * 10L))
+      TxTable.append(spark, root,
+        rows.toDF("id", "tag", "value").repartition(1), bloomCols = Seq("id", "tag"))
+    }
+    val (kept, skipped) = TxTable.pruneFiles(spark, root, $"id" === 50L)
+    assert(kept.size == 1 && skipped.size == 3,
+      s"bloom should isolate id=50's file: kept=${kept.size}")
+    // result identity on the pruned read
+    assert(TxTable.readWhere(spark, root, $"id" === 50L)
+      .collect().map(_.getLong(0)).toSeq == Seq(50L))
+    // string-typed blooms prune too, via the identical canonical form
+    val (ks, ss) = TxTable.pruneFiles(spark, root, $"tag" === "key37")
+    assert(ks.size == 1 && ss.size == 3)
+    // NO FALSE NEGATIVES: for every present id, the containing file is kept
+    (0 until 100).foreach { i =>
+      val hits = TxTable.readWhere(spark, root, $"id" === i.toLong).count()
+      assert(hits == 1L, s"bloom false-negatived id=$i")
+    }
+    // an absent-but-in-range probe: blooms may false-positive (keep) but
+    // the READ result is still exactly empty
+    assert(TxTable.readWhere(spark, root, $"id" === 1000L).count() == 0L)
+    // In-lists probe per value: only files holding 13 or 14 survive
+    val (ki, _) = TxTable.pruneFiles(spark, root, $"id".isin(13L, 14L))
+    assert(ki.size == 2)
+    // a whole-valued double probe maps onto the long bloom's decimal form
+    val (kw, _) = TxTable.pruneFiles(spark, root, $"id" === 50.0)
+    assert(kw.size == 1)
+    // range predicates ignore blooms (ranges overlap → all kept: the bloom
+    // is an equality structure, never consulted for inequalities)
+    val (_, sr) = TxTable.pruneFiles(spark, root, $"id" > 10L)
+    assert(sr.isEmpty)
+    // a rewrite WITHOUT bloomCols drops the filters: pruning degrades to
+    // conservative keep-all, never to a wrong skip
+    TxTable.compact(spark, root, targetFiles = 2)
+    val (_, sAfter) = TxTable.pruneFiles(spark, root, $"id" === 50L)
+    assert(sAfter.isEmpty, "post-compact files have no blooms: nothing may skip")
+    assert(TxTable.readWhere(spark, root, $"id" === 50L).count() == 1L)
+  }
+
   test("data skipping over the compacted index layout: a band probe skips range-disjoint files") {
     import graft.operators.DedupOps
     // the staged-index shape rebuilt deterministically: per-batch appends

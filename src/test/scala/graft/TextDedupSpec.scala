@@ -728,6 +728,32 @@ class TextDedupSpec extends SparkSpec {
       .where(col("doc_id") % 2 === 1).count() > 0)
   }
 
+  test("bloomIndexScan: key-only probes skip via blooms where ranges cannot") {
+    import graft.sources.TxTable
+    val root = DedupOps.minhashIndexTx(spark, Sf)
+    val key = TxTable.readWhere(spark, root, col("band_no") === DedupOps.ProbeBand)
+      .agg(min(col("band_key"))).head().getString(0)
+    // the compacted layout sorts by (band_no, band_key): every file's
+    // band_key [min,max] spans essentially the whole md5 space, so a
+    // key-only equality probe is range-unskippable — the per-file blooms
+    // recorded by the compaction are what must prove absence
+    val (kept, skipped) = TxTable.pruneFiles(spark, root, col("band_key") === key)
+    assert(kept.size + skipped.size == 4, s"expected the 4-file layout")
+    assert(skipped.nonEmpty, "blooms should prove at least one file key-free")
+    // result identity: the pruned read loses no occurrence of the key
+    val full = TxTable.read(spark, root).where(col("band_key") === key)
+      .collect().map(_.toString).sorted.toSeq
+    val pruned = TxTable.readWhere(spark, root, col("band_key") === key)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == pruned && full.nonEmpty)
+    // an absent digest: whatever the blooms keep (false positives allowed),
+    // the read is exactly empty
+    val absent = "0" * 32
+    assert(TxTable.readWhere(spark, root, col("band_key") === absent).count() == 0L)
+    val (_, sAbsent) = TxTable.pruneFiles(spark, root, col("band_key") === absent)
+    assert(sAbsent.nonEmpty)
+  }
+
   test("dupSpans: coverage matches a driver-side recompute of cross-doc 5-gram spans") {
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
