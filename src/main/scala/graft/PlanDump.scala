@@ -113,6 +113,10 @@ object PlanDump {
         operators.DedupOps.incrementalDedupTx(spark, sfDir)),
       ("md_flac_decode", "staged FLAC payload scan -> one codegen'd Rice/predictor-inverting parse, zero shuffle",
         operators.MediaOps.flacDecode(spark, sfDir)),
+      ("md_gzip_decode", "staged gzip member scan -> one codegen'd Huffman/LZ77-inverting parse, zero shuffle",
+        operators.MediaOps.gzipDecode(spark, sfDir)),
+      ("xacid_bloom_scan", "driver bloom-pruned file set -> the scan reads ONLY the key's files; one tiny agg",
+        operators.DedupOps.bloomIndexScan(spark, sfDir)),
       ("dd_dup_spans", "narrow gram build; x5 position explode only AFTER the duplicate semi-join",
         operators.DedupOps.dupSpans(spark, sfDir)),
       ("tx_lm_score", "bigram stream built narrow from word arrays; model joins partial-agg'd, vocab one-row broadcast",

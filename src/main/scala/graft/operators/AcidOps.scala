@@ -125,4 +125,39 @@ object AcidOps {
   /** The commit log as data: version, operation, deterministic row metrics. */
   def history(spark: SparkSession, sfDir: String): DataFrame =
     TxTable.history(spark, ordersTxTable(spark, sfDir))
+
+  /** Exactly-once sink table over `events` (once per session): FOUR
+    * at-least-once deliveries of THREE batches — batch 1 is deliberately
+    * REDELIVERED, the replay every streaming source produces after a sink
+    * crash — through [[TxTable.appendOnce]] with `(appId, batchId)` txn
+    * identity. The duplicate delivery must leave NO trace in the data
+    * (idempotent no-op), which is exactly what [[txnSinkState]]'s oracle
+    * checks: per-type aggregates equal the raw events table's, where a
+    * double-applied batch would double a third of every group.
+    */
+  private[graft] def txnSinkTable(spark: SparkSession, sfDir: String): String = {
+    val _ = clearHookRegistered
+    built.getOrElseUpdate((System.identityHashCode(spark), sfDir + "#txn_sink"), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_txn_sink")
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      def batch(b: Int) = ev.where(col("event_id") % 3 === b)
+      TxTable.appendOnce(spark, root, batch(0), "graft_sink", 0L): Unit
+      TxTable.appendOnce(spark, root, batch(1), "graft_sink", 1L): Unit
+      TxTable.appendOnce(spark, root, batch(1), "graft_sink", 1L): Unit // redelivery
+      TxTable.appendOnce(spark, root, batch(2), "graft_sink", 2L): Unit
+      root
+    })
+  }
+
+  /** Final state of the exactly-once sink, per event type — integer-only
+    * aggregates (count, id sum, distinct users) so the equality with the
+    * raw events table is hash-exact: any double-write breaks it.
+    */
+  def txnSinkState(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.read(spark, txnSinkTable(spark, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"),
+        countDistinct(col("user_id")).as("n_users"))
 }

@@ -22,6 +22,7 @@ object LifecyclePack extends QueryPack {
     "st1_restart_poll" -> ((s, d) => LifecycleOps.restartPoll(s, d)),
     "m10_after_upsert" -> ((s, d) => LifecycleOps.afterUpsert(s, d)),
     "xacid_final_state" -> ((s, d) => AcidOps.finalState(s, d)),
+    "xacid_txn_sink" -> ((s, d) => AcidOps.txnSinkState(s, d)),
     "xacid_time_travel" -> ((s, d) => AcidOps.timeTravelV2(s, d)),
     "xacid_history" -> ((s, d) => AcidOps.history(s, d)),
   )
@@ -135,6 +136,15 @@ object LifecyclePack extends QueryPack {
          |  FROM orders WHERE o_orderkey % 97 = 0
          |)
          |SELECT * FROM final""".stripMargin,
+    // the exactly-once sink: three batches delivered FOUR times (batch 1
+    // redelivered) through appendOnce txn identity — the final state must
+    // equal the raw table's aggregates, where a double-applied batch
+    // would inflate a third of every group
+    "xacid_txn_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     // the v2 snapshot (post-TTL, pre-merge): time travel must reconstruct
     // it exactly even though v3 rewrote files afterwards
     "xacid_time_travel" ->

@@ -50,7 +50,8 @@ object TxTable {
     */
   case class Commit(version: Long, op: String, metrics: Map[String, Long],
                     adds: Seq[String], removes: Seq[String],
-                    fileStats: Map[String, Map[String, TxStats.ColStats]] = Map.empty)
+                    fileStats: Map[String, Map[String, TxStats.ColStats]] = Map.empty,
+                    txn: Option[(String, Long)] = None)
 
   case class Snapshot(version: Long, liveFiles: Seq[String], commits: Seq[Commit]) {
     /** Stats for every live file that has them (file → column → range). */
@@ -92,6 +93,7 @@ object TxTable {
           s"corrupt commit log $p (version $version): $why")
         var op = ""
         var metrics = Map.empty[String, Long]
+        var txn: Option[(String, Long)] = None
         var actions = 0
         var endCount = -1L
         val adds = Seq.newBuilder[String]
@@ -110,6 +112,8 @@ object TxTable {
             val m = ci.get("metrics")
             metrics = m.properties().asScala
               .map(e => e.getKey -> e.getValue.asLong()).toMap
+            if (ci.has("txnApp"))
+              txn = Some((ci.get("txnApp").asText(), ci.get("txnBatch").asLong()))
           }
           if (node.has("add")) {
             val f = node.get("add").asText()
@@ -137,7 +141,8 @@ object TxTable {
         if (endCount < 0) corrupt("no end marker (truncated?)")
         if (endCount != actions)
           corrupt(s"end marker declares $endCount actions, found $actions")
-        Commit(version, op, metrics, adds.result(), removes.result(), stats.result())
+        Commit(version, op, metrics, adds.result(), removes.result(),
+          stats.result(), txn)
       }
   }
 
@@ -309,7 +314,8 @@ object TxTable {
     */
   private def tryCommit(root: String, version: Long, op: String,
                         metrics: Map[String, Long],
-                        adds: Seq[Staged], removes: Seq[String]): Boolean = {
+                        adds: Seq[Staged], removes: Seq[String],
+                        txn: Option[(String, Long)] = None): Boolean = {
     Files.createDirectories(logDir(root))
     val lines = Seq.newBuilder[String]
     val mnode = mapper.createObjectNode()
@@ -317,6 +323,10 @@ object TxTable {
     val ci = mapper.createObjectNode()
     val cin = ci.putObject("commitInfo")
     cin.put("op", op): Unit
+    txn.foreach { case (app, batch) =>
+      cin.put("txnApp", app): Unit
+      cin.put("txnBatch", batch): Unit
+    }
     // set[T] is generic on its return — pin T or the JVM casts the node to
     // whatever the expression position demands
     cin.set[com.fasterxml.jackson.databind.node.ObjectNode]("metrics", mnode): Unit
@@ -391,6 +401,47 @@ object TxTable {
       attempt += 1
     }
     throw new IllegalStateException(s"append lost $MaxRetries commit races at $root")
+  }
+
+  /** EXACTLY-ONCE append for streaming sinks (the Delta `txn` action): the
+    * commit records `(appId, batchId)` and a redelivered batch — the replay
+    * every at-least-once source produces after a sink crash — finds its id
+    * already in the log and NO-OPS instead of double-writing. The check is
+    * atomic with the commit: idempotence rides the same one-owner-per-
+    * version hard-link publish as every other write, so two replays racing
+    * the same batch serialize — the loser re-reads the log, sees the
+    * winner's txn, and backs off (its staged files are deleted; a crash
+    * between staging and commit leaves only invisible, vacuumable
+    * orphans — the existing crash story). This is what makes
+    * `foreachBatch(TxTable.appendOnce(...))` an exactly-once sink on top
+    * of Structured Streaming's at-least-once batch redelivery.
+    */
+  def appendOnce(spark: SparkSession, root: String, df: DataFrame,
+                 appId: String, batchId: Long,
+                 bloomCols: Seq[String] = Nil): Long = {
+    def committed(): Option[Long] =
+      commits(root).find(_.txn.contains((appId, batchId))).map(_.version)
+    committed() match {
+      case Some(v) => v // the batch already applied: idempotent no-op
+      case None =>
+        val rows = df.count()
+        val adds = writeData(spark, root, df, bloomCols)
+        var attempt = 0
+        while (attempt < MaxRetries) {
+          committed() match {
+            case Some(v) => // a racing replay won: discard this side's files
+              adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+              return v
+            case None =>
+              val v = snapshot(root).version + 1
+              if (tryCommit(root, v, "stream_append", Map("rows_written" -> rows),
+                adds, Nil, Some((appId, batchId)))) return v
+          }
+          attempt += 1
+        }
+        throw new IllegalStateException(
+          s"appendOnce lost $MaxRetries commit races at $root")
+    }
   }
 
   /** Copy-on-write DELETE: rewrite only the files containing matching rows.

@@ -647,4 +647,24 @@ object StreamingOps {
         (col("n_inter").cast("double") /
           (col("n_batch") + col("n_index") - col("n_inter"))).as("jaccard"))
   }
+
+  /** EXACTLY-ONCE streaming sink into a [[graft.sources.TxTable]] — the
+    * write-side twin of [[graft.operators.AcidOps.txnSinkState]]: pass the
+    * returned function to `writeStream.foreachBatch`. Structured
+    * Streaming's foreachBatch contract is AT-LEAST-ONCE — after a sink
+    * crash the restarted query REDELIVERS the last batch with the same
+    * batchId — so the sink routes every batch through [[graft.sources
+    * .TxTable.appendOnce]] with `(appId, batchId)` txn identity: the replay
+    * finds its id already committed and no-ops, upgrading the pipeline to
+    * exactly-once without any sink-side dedup state (the commit log IS the
+    * state, and it survives restarts because it is the table). Spec-pinned:
+    * a redelivered batch leaves the row set byte-identical and adds no
+    * version.
+    */
+  def exactlyOnceSink(root: String, appId: String,
+                      bloomCols: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    graft.sources.TxTable.appendOnce(
+      batch.sparkSession, root, batch, appId, batchId, bloomCols): Unit
+  }
 }

@@ -431,6 +431,40 @@ class AcidSpec extends SparkSpec {
     assert(zs == Seq(1L), s"got $zs")
   }
 
+  test("appendOnce: concurrent replays of one batch commit exactly one copy; losers clean up") {
+    val root = freshRoot()
+    assert(TxTable.appendOnce(spark, root, frame(1 to 10, "a"), "app", 0L) == 0L)
+    // sequential replay: idempotent no-op returning the original version
+    assert(TxTable.appendOnce(spark, root, frame(1 to 10, "a"), "app", 0L) == 0L)
+    // concurrent replays of the SAME batch: the txn check is atomic with
+    // the one-owner-per-version commit, so exactly one applies
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val vs = (1 to 2).map(_ => Future(
+      TxTable.appendOnce(spark, root, frame(11 to 20, "b"), "app", 1L)))
+      .map(Await.result(_, Duration(180, "s")))
+    pool.shutdown()
+    assert(vs.forall(_ == 1L), s"both replays must land on v1: $vs")
+    assert(TxTable.read(spark, root).count() == 20L)
+    val txns = TxTable.snapshot(root).commits.filter(_.txn.contains(("app", 1L)))
+    assert(txns.size == 1)
+    // the losing replay deleted its staged files: data dir holds only live
+    val live = TxTable.snapshot(root).liveFiles.toSet
+    val onDisk = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "data")).iterator()
+    val extras = scala.collection.mutable.Buffer.empty[String]
+    while (onDisk.hasNext) {
+      val f = onDisk.next().getFileName.toString
+      if (!live.contains(f)) extras += f
+    }
+    assert(extras.isEmpty, s"orphaned loser files: $extras")
+    // a different app's batch 1 is a DIFFERENT transaction: it appends
+    assert(TxTable.appendOnce(spark, root, frame(21 to 25, "c"), "other", 1L) == 2L)
+    assert(TxTable.read(spark, root).count() == 25L)
+  }
+
   test("bloom skipping: point probes prune files whose ranges all overlap; no false negatives") {
     val root = freshRoot()
     // four files with INTERLEAVED ids (file f holds ids ≡ f mod 4), so

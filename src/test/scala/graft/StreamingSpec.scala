@@ -582,6 +582,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactlyOnceSink: a live stream sinks through appendOnce; redelivery no-ops") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = java.nio.file.Files.createTempDirectory("graft_xonce").toString
+    val stream = MemoryStream[(Long, String)]
+    val sink = StreamingOps.exactlyOnceSink(root, "spec_app")
+    val q = stream.toDF().toDF("id", "tag").writeStream.foreachBatch(sink).start()
+    try {
+      stream.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      stream.addData((3L, "c")); q.processAllAvailable()
+      val before = TxTable.read(spark, root).collect()
+        .map(_.toString).sorted.toSeq
+      val vBefore = TxTable.snapshot(root).version
+      assert(before.size == 3)
+      // the crash-redelivery every at-least-once source produces: the SAME
+      // batchId arrives again with the same data — row set and version
+      // must be untouched
+      sink(Seq((3L, "c")).toDF("id", "tag"), 1L)
+      val after = TxTable.read(spark, root).collect()
+        .map(_.toString).sorted.toSeq
+      assert(after == before && TxTable.snapshot(root).version == vBefore)
+      // a genuinely new batch id still appends
+      sink(Seq((4L, "d")).toDF("id", "tag"), 2L)
+      assert(TxTable.read(spark, root).count() == 4L)
+      // provenance: one stream_append per DISTINCT batch, txn ids recorded
+      val cs = TxTable.snapshot(root).commits
+      assert(cs.map(_.op).forall(_ == "stream_append"))
+      assert(cs.flatMap(_.txn).map(_._2) == Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("streamingIncrementalDedup: index compaction mid-stream cannot disturb the replay (reader isolation)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
