@@ -60,27 +60,47 @@ object Inflate {
   private[functions] def fail(): Nothing = throw Malformed
 
   /** LSB-first bit reader (RFC 1951 §3.1.1: data elements fill bytes from
-    * the least-significant bit). */
+    * the least-significant bit), backed by a 64-bit cache refilled a byte
+    * at a time — `bits(k)` is a mask+shift instead of k bounds-checked
+    * single-bit reads, and `peek9` exposes the next 9 stream bits without
+    * consuming them for the table-driven Huffman fast path. */
   private final class BitReader(bytes: Array[Byte], startByte: Int) {
-    private var pos: Long = startByte.toLong << 3
-    def bit(): Int = {
-      val i = (pos >>> 3).toInt
-      if (i >= bytes.length) fail()
-      val b = (bytes(i) >> (pos & 7L).toInt) & 1
-      pos += 1
-      b
+    private var bytePos = startByte // next byte to LOAD into the cache
+    private var cache = 0L          // stream bits, LSB first
+    private var n = 0               // live bits in cache
+    private def fill(): Unit = {
+      while (n <= 56 && bytePos < bytes.length) {
+        cache |= (bytes(bytePos) & 0xffL) << n
+        n += 8
+        bytePos += 1
+      }
     }
-    /** n-bit integer, LSB first (header fields, extra bits). */
-    def bits(n: Int): Int = {
-      var v = 0
-      var k = 0
-      while (k < n) { v |= bit() << k; k += 1 }
+    def bits(k: Int): Int = {
+      if (n < k) { fill(); if (n < k) fail() }
+      val v = (cache & ((1L << k) - 1)).toInt
+      cache >>>= k
+      n -= k
       v
     }
-    def align(): Unit = pos = (pos + 7L) & ~7L
-    def byteOff: Int = (pos >>> 3).toInt
-    def skipBytes(n: Int): Unit = pos += n.toLong << 3
-    def ceilByteOff: Int = ((pos + 7L) >>> 3).toInt
+    def bit(): Int = bits(1)
+    /** Next 9 stream bits WITHOUT consuming (zero-padded near stream end —
+      * a table hit longer than the remaining bits fails in consume). */
+    def peek9(): Int = {
+      if (n < 9) fill()
+      (cache & 0x1ff).toInt
+    }
+    def avail: Int = n
+    def consume(k: Int): Unit = {
+      if (k > n) fail()
+      cache >>>= k
+      n -= k
+    }
+    def align(): Unit = consume(n & 7)
+    /** Byte offset of the read cursor; callers align first. */
+    def byteOff: Int = bytePos - (n >> 3)
+    /** Reposition to an absolute byte offset (stored-block copy skip). */
+    def seekByte(i: Int): Unit = { bytePos = i; cache = 0L; n = 0 }
+    def ceilByteOff: Int = (((bytePos.toLong << 3) - n + 7L) >>> 3).toInt
   }
 
   /** Canonical Huffman table (RFC 1951 §3.2.2): symbols sorted by
@@ -120,11 +140,52 @@ object Inflate {
       if (lengths(i) != 0) { syms(offs(lengths(i))) = i; offs(lengths(i)) += 1 }
       i += 1
     }
+    // ---- single-level lookup table over the next 9 stream bits (the
+    // zlib fast path): the first stream bit is the code's MSB, so a code
+    // of length L occupies every table slot whose low L bits equal the
+    // BIT-REVERSED code; entry = (sym << 4) | L. Codes longer than 9 bits
+    // (and unassigned patterns of incomplete trees) leave 0 → the exact
+    // counted walk decides. DEFLATE's hot symbols are ≤ 9 bits (all of
+    // the fixed tables; dynamic tables by construction of the length
+    // limit heuristics), so the walk is the cold path.
+    val table = new Array[Char](512)
+    locally {
+      // canonical code assignment in (length, symbol) order
+      var code = 0
+      var len = 1
+      var idx = 0
+      while (len <= 15) {
+        var c = 0
+        while (c < count(len)) {
+          if (len <= 9) {
+            // reverse `code`'s low `len` bits into stream order
+            var rev = 0
+            var b = 0
+            while (b < len) { rev = (rev << 1) | ((code >> b) & 1); b += 1 }
+            val entry = ((syms(idx) << 4) | len).toChar
+            var slot = rev
+            while (slot < 512) { table(slot) = entry; slot += 1 << len }
+          }
+          idx += 1
+          code += 1
+          c += 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
   }
 
-  /** One symbol off the stream (the puff-style counted walk: `first` is the
-    * canonical first code of each length, `index` the symbol-table base). */
+  /** One symbol off the stream: 9-bit table hit on the hot path, the
+    * puff-style counted walk (`first` = canonical first code per length,
+    * `index` = symbol-table base) for >9-bit codes and the unassigned
+    * patterns of incomplete distance trees. */
   private def decodeSym(r: BitReader, h: Huff): Int = {
+    val e = h.table(r.peek9())
+    if (e != 0) {
+      r.consume(e & 15) // fails when the code is longer than the stream
+      return e >> 4
+    }
     var code = 0
     var first = 0
     var index = 0
@@ -180,12 +241,18 @@ object Inflate {
     val r = new BitReader(bytes, startByte)
     var buf = new Array[Byte](math.min(math.max(cap, 1), 1 << 14))
     var outLen = 0
-    def push(b: Byte): Unit = {
-      if (outLen == buf.length) {
-        if (outLen >= cap) fail()
-        buf = java.util.Arrays.copyOf(
-          buf, math.min(cap.toLong, buf.length * 2L).toInt)
+    // grow once per copy (bomb-capped), so the hot loops run unchecked
+    def ensure(extra: Int): Unit = {
+      val need = outLen.toLong + extra
+      if (need > cap) fail()
+      if (need > buf.length) {
+        var sz = buf.length.toLong
+        while (sz < need) sz *= 2
+        buf = java.util.Arrays.copyOf(buf, math.min(cap.toLong, sz).toInt)
       }
+    }
+    def push(b: Byte): Unit = {
+      ensure(1)
       buf(outLen) = b
       outLen += 1
     }
@@ -203,11 +270,13 @@ object Inflate {
           if (ds > 29) fail()
           val d = DistBase(ds) + r.bits(DistExtra(ds))
           if (d > outLen) fail() // reaches before output start: no preset dict
-          var k = 0
-          while (k < length) { // overlap-correct: re-read as output grows
-            val b = buf(outLen - d)
-            push(b)
-            k += 1
+          ensure(length)
+          if (d >= length) { // disjoint: one bulk copy
+            System.arraycopy(buf, outLen - d, buf, outLen, length)
+            outLen += length
+          } else { // overlapping run: re-read as output grows
+            var k = 0
+            while (k < length) { buf(outLen) = buf(outLen - d); outLen += 1; k += 1 }
           }
         }
       }
@@ -224,9 +293,10 @@ object Inflate {
           val nlen = (bytes(i + 2) & 0xff) | ((bytes(i + 3) & 0xff) << 8)
           if ((len ^ 0xffff) != nlen) fail()
           if (i + 4 + len > bytes.length) fail()
-          var k = 0
-          while (k < len) { push(bytes(i + 4 + k)); k += 1 }
-          r.skipBytes(4 + len)
+          ensure(len)
+          System.arraycopy(bytes, i + 4, buf, outLen, len)
+          outLen += len
+          r.seekByte(i + 4 + len)
         case 1 =>
           block(FixedLit, FixedDist)
         case 2 =>

@@ -265,13 +265,18 @@ def main():
             f.write("\n## 100x deep points (timing-only, worst-decile scalers)\n\n"
                     "One `graft.Bench` run at `target/scale/sf10.0` (a 100x "
                     "sf0.1 corpus from `tools/make_scale.py 100`), restricted "
-                    "to the queries whose r2 ratio led the table above; no "
-                    "staging (none reads staged tables) and no oracle replay "
-                    "(the quadratic DuckDB twins are documented-infeasible "
-                    "past 10x). `r3` = t(100x)/t(10x) against the segment's "
-                    "10x size ratio — the direct check that the steep r2 "
-                    "ratios were constant-cost dilution ending, not a "
-                    "super-linear bend.\n\n")
+                    "to the queries whose r2 ratio led the table above plus "
+                    "the top bench-cost and newest queries; staging is "
+                    "restricted to the probed queries' own staged tables "
+                    "(`--deep-stage`), and there is no oracle replay (the "
+                    "quadratic DuckDB twins are documented-infeasible past "
+                    "10x). `r3` = t(100x)/t(10x) against the segment's 10x "
+                    "size ratio — the direct check that the steep r2 ratios "
+                    "were constant-cost dilution ending, not a super-linear "
+                    "bend. Flags here are adjudicated by a like-for-like "
+                    "re-run on a quiet session: a 100x staged build earlier "
+                    "in the same JVM can inflate later timings by tens of "
+                    "percent.\n\n")
             f.write("| query | t(sf1) s | t(sf10) s | r3 (≤10x) | |\n")
             f.write("|---|---|---|---|---|\n")
             deep_flagged = []
