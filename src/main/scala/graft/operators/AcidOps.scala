@@ -160,4 +160,44 @@ object AcidOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("event_id")).as("sum_ids"),
         countDistinct(col("user_id")).as("n_users"))
+
+  /** Sentinel [[schemaEvolutionState]] groups pre-evolution rows under. */
+  val PreEvolution = "<pre-evolution>"
+
+  /** Schema-EVOLUTION table (once per session): v0 appends a slim orders
+    * projection, v1 appends the "new pipeline" batch carrying an ADDED
+    * column (`o_orderpriority`) — the additive evolution every long-lived
+    * table eventually needs. The log-recorded superset schema governs
+    * reads (O(1) metadata, no footer sampling), v0's files surface NULL
+    * for the column they predate, and time travel to v0 still reads the
+    * ORIGINAL three-column schema (schemas version with the data).
+    */
+  private[graft] def evoTable(spark: SparkSession, sfDir: String): String = {
+    val _ = clearHookRegistered
+    built.getOrElseUpdate((System.identityHashCode(spark), sfDir + "#evo"), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_evo")
+      val orders = Tables.orders(spark, sfDir)
+      TxTable.append(spark, root,
+        orders.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      TxTable.append(spark, root,
+        orders.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority")))
+      root
+    })
+  }
+
+  /** Post-evolution state, grouped by the ADDED column with pre-evolution
+    * rows surfacing as the [[PreEvolution]] sentinel — the oracle rebuilds
+    * the split from raw `orders` by the same parity rule, so a read that
+    * mis-schemas the old files (dropping them, or mis-aligning columns)
+    * hash-mismatches.
+    */
+  def schemaEvolutionState(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.read(spark, evoTable(spark, sfDir))
+      .groupBy(coalesce(col("o_orderpriority"), lit(PreEvolution)).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
 }

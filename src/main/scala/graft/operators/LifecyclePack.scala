@@ -23,6 +23,7 @@ object LifecyclePack extends QueryPack {
     "m10_after_upsert" -> ((s, d) => LifecycleOps.afterUpsert(s, d)),
     "xacid_final_state" -> ((s, d) => AcidOps.finalState(s, d)),
     "xacid_txn_sink" -> ((s, d) => AcidOps.txnSinkState(s, d)),
+    "xacid_schema_evolution" -> ((s, d) => AcidOps.schemaEvolutionState(s, d)),
     "xacid_time_travel" -> ((s, d) => AcidOps.timeTravelV2(s, d)),
     "xacid_history" -> ((s, d) => AcidOps.history(s, d)),
   )
@@ -145,6 +146,17 @@ object LifecyclePack extends QueryPack {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    // schema evolution: v0 lacks o_orderpriority entirely (files predate
+    // the column), v1 carries it — the union read groups v0 rows under the
+    // sentinel; a read that drops or mis-aligns the evolved column breaks
+    // the parity split
+    "xacid_schema_evolution" ->
+      s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN '${AcidOps.PreEvolution}'
+         |            ELSE o_orderpriority END AS priority,
+         |  count(*) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM orders GROUP BY 1""".stripMargin,
     // the v2 snapshot (post-TTL, pre-merge): time travel must reconstruct
     // it exactly even though v3 rewrote files afterwards
     "xacid_time_travel" ->

@@ -51,7 +51,8 @@ object TxTable {
   case class Commit(version: Long, op: String, metrics: Map[String, Long],
                     adds: Seq[String], removes: Seq[String],
                     fileStats: Map[String, Map[String, TxStats.ColStats]] = Map.empty,
-                    txn: Option[(String, Long)] = None)
+                    txn: Option[(String, Long)] = None,
+                    schemaJson: Option[String] = None)
 
   case class Snapshot(version: Long, liveFiles: Seq[String], commits: Seq[Commit]) {
     /** Stats for every live file that has them (file → column → range). */
@@ -59,6 +60,13 @@ object TxTable {
       val all = commits.flatMap(_.fileStats).toMap
       liveFiles.flatMap(f => all.get(f).map(f -> _)).toMap
     }
+    /** The table schema AS OF this snapshot — the latest commit-recorded
+      * schema (appends record it; schema EVOLUTION means a later append's
+      * superset schema governs reads, with old files surfacing null for
+      * the columns they predate). None on pre-schema logs: reads fall
+      * back to parquet's own footer schema. */
+    lazy val schemaJson: Option[String] =
+      commits.reverseIterator.flatMap(_.schemaJson).nextOption()
   }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -94,6 +102,7 @@ object TxTable {
         var op = ""
         var metrics = Map.empty[String, Long]
         var txn: Option[(String, Long)] = None
+        var schemaJson: Option[String] = None
         var actions = 0
         var endCount = -1L
         val adds = Seq.newBuilder[String]
@@ -114,6 +123,7 @@ object TxTable {
               .map(e => e.getKey -> e.getValue.asLong()).toMap
             if (ci.has("txnApp"))
               txn = Some((ci.get("txnApp").asText(), ci.get("txnBatch").asLong()))
+            if (ci.has("schema")) schemaJson = Some(ci.get("schema").asText())
           }
           if (node.has("add")) {
             val f = node.get("add").asText()
@@ -142,7 +152,7 @@ object TxTable {
         if (endCount != actions)
           corrupt(s"end marker declares $endCount actions, found $actions")
         Commit(version, op, metrics, adds.result(), removes.result(),
-          stats.result(), txn)
+          stats.result(), txn, schemaJson)
       }
   }
 
@@ -155,12 +165,64 @@ object TxTable {
     Snapshot(upto.lastOption.fold(-1L)(_.version), live.toSeq, upto)
   }
 
-  /** Read the table (optionally at a past version) as a DataFrame. */
+  /** Read the table (optionally at a past version) as a DataFrame. The
+    * commit-recorded schema AS OF that version governs the scan (schema
+    * evolution: files predating a column surface NULL for it, with no
+    * footer sampling — the schema is log metadata, which is what makes
+    * evolution O(1) on a 100-TB table); pre-schema logs read by footer.
+    */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     val s = snapshot(root, asOf)
     if (s.liveFiles.isEmpty)
       throw new IllegalStateException(s"empty tx table at $root (version ${s.version})")
-    spark.read.parquet(s.liveFiles.map(f => s"$root/data/$f"): _*)
+    readFiles(spark, root, s.liveFiles, s.schemaJson)
+  }
+
+  private def schemaOf(js: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(js)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Scan a file subset under the snapshot's recorded schema — EVERY
+    * multi-file read must come through here once a table can evolve:
+    * a raw parquet read over mixed-schema files takes one footer's
+    * column set, and a copy-on-write rewrite through that view would
+    * silently DROP the evolved columns from the rewritten rows.
+    */
+  private def readFiles(spark: SparkSession, root: String, files: Seq[String],
+                        schemaJson: Option[String]): DataFrame = {
+    val paths = files.map(f => s"$root/data/$f")
+    schemaJson.fold(spark.read.parquet(paths: _*)) { js =>
+      spark.read.schema(schemaOf(js)).parquet(paths: _*)
+    }
+  }
+
+  /** Validate an incoming append schema against the table's recorded one:
+    * evolution is ADDITIVE ONLY — every existing column must arrive with
+    * its name and exact type; new columns may append. Drops and type
+    * changes fail loudly (silent column loss on a 100-TB table is the
+    * unrecoverable class). Returns the schema to record: all fields
+    * nullable, because once ANY file predates a column the unified scan
+    * must be allowed to surface nulls for it.
+    */
+  private def evolvedSchema(root: String,
+                            incoming: org.apache.spark.sql.types.StructType): String = {
+    val nullable = org.apache.spark.sql.types.StructType(
+      incoming.fields.map(_.copy(nullable = true)))
+    snapshot(root).schemaJson.foreach { js =>
+      val old = schemaOf(js)
+      old.fields.foreach { f =>
+        nullable.fields.find(_.name == f.name) match {
+          case Some(g) if g.dataType == f.dataType => ()
+          case Some(g) => throw new IllegalArgumentException(
+            s"schema evolution: column ${f.name} changes type " +
+              s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+          case None => throw new IllegalArgumentException(
+            s"schema evolution: append drops column ${f.name} " +
+              "(evolution is additive only)")
+        }
+      }
+    }
+    nullable.json
   }
 
   /** Live files split by the data-skipping prover: (kept, skipped) for
@@ -181,7 +243,7 @@ object TxTable {
                  asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
     val s = snapshot(root, asOf)
     val cond =
-      try spark.read.parquet(s"$root/data/${s.liveFiles.head}")
+      try readFiles(spark, root, s.liveFiles.take(1), s.schemaJson)
         .where(predicate).queryExecution.optimizedPlan
         .collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
@@ -211,9 +273,9 @@ object TxTable {
     val (kept, _) = pruneFiles(spark, root, predicate, asOf)
     if (kept.isEmpty)
       // schema-preserving empty result: scan one footer, emit no rows
-      spark.read.parquet(s"$root/data/${s.liveFiles.head}").where(lit(false))
+      readFiles(spark, root, s.liveFiles.take(1), s.schemaJson).where(lit(false))
     else
-      spark.read.parquet(kept.map(f => s"$root/data/$f"): _*).where(predicate)
+      readFiles(spark, root, kept, s.schemaJson).where(predicate)
   }
 
   /** The log itself as data — the audit surface: one row per version with
@@ -315,7 +377,8 @@ object TxTable {
   private def tryCommit(root: String, version: Long, op: String,
                         metrics: Map[String, Long],
                         adds: Seq[Staged], removes: Seq[String],
-                        txn: Option[(String, Long)] = None): Boolean = {
+                        txn: Option[(String, Long)] = None,
+                        schemaJson: Option[String] = None): Boolean = {
     Files.createDirectories(logDir(root))
     val lines = Seq.newBuilder[String]
     val mnode = mapper.createObjectNode()
@@ -327,6 +390,7 @@ object TxTable {
       cin.put("txnApp", app): Unit
       cin.put("txnBatch", batch): Unit
     }
+    schemaJson.foreach(s => cin.put("schema", s): Unit)
     // set[T] is generic on its return — pin T or the JVM casts the node to
     // whatever the expression position demands
     cin.set[com.fasterxml.jackson.databind.node.ObjectNode]("metrics", mnode): Unit
@@ -393,11 +457,13 @@ object TxTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              op: String = "append", bloomCols: Seq[String] = Nil): Long = {
     val rows = df.count()
+    val schema = evolvedSchema(root, df.schema)
     val adds = writeData(spark, root, df, bloomCols)
     var attempt = 0
     while (attempt < MaxRetries) {
       val v = snapshot(root).version + 1
-      if (tryCommit(root, v, op, Map("rows_written" -> rows), adds, Nil)) return v
+      if (tryCommit(root, v, op, Map("rows_written" -> rows), adds, Nil,
+        schemaJson = Some(schema))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"append lost $MaxRetries commit races at $root")
@@ -425,6 +491,7 @@ object TxTable {
       case Some(v) => v // the batch already applied: idempotent no-op
       case None =>
         val rows = df.count()
+        val schema = evolvedSchema(root, df.schema)
         val adds = writeData(spark, root, df, bloomCols)
         var attempt = 0
         while (attempt < MaxRetries) {
@@ -435,7 +502,7 @@ object TxTable {
             case None =>
               val v = snapshot(root).version + 1
               if (tryCommit(root, v, "stream_append", Map("rows_written" -> rows),
-                adds, Nil, Some((appId, batchId)))) return v
+                adds, Nil, Some((appId, batchId)), Some(schema))) return v
           }
           attempt += 1
         }
@@ -455,7 +522,7 @@ object TxTable {
       val affected = filesMatching(spark, root, base, predicate)
       if (affected.isEmpty)
         return base.version // nothing to delete: no-op, no commit
-      val affectedDf = spark.read.parquet(affected.map(f => s"$root/data/$f"): _*)
+      val affectedDf = readFiles(spark, root, affected, base.schemaJson)
       val deleted = affectedDf.where(predicate).count()
       val survivors = affectedDf.where(!predicate)
       val adds = if (survivors.isEmpty) Nil else writeData(spark, root, survivors)
@@ -477,7 +544,7 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(root)
-      val live = spark.read.parquet(base.liveFiles.map(f => s"$root/data/$f"): _*)
+      val live = readFiles(spark, root, base.liveFiles, base.schemaJson)
       val cols = live.columns.toSeq
       // files holding at least one matched key — the only rewrite set
       val affected = live
@@ -492,7 +559,7 @@ object TxTable {
       val rewritten =
         if (affected.isEmpty) inserts.select(cols.map(col): _*)
         else {
-          val aff = spark.read.parquet(affected.map(f => s"$root/data/$f"): _*)
+          val aff = readFiles(spark, root, affected, base.schemaJson)
           val upd = source.select(
             keyCols.map(col) ++ updateCols.map(c => col(c).as(s"__src_$c")): _*)
           aff.join(upd, keyCols, "left")
@@ -535,7 +602,7 @@ object TxTable {
     while (attempt < MaxRetries) {
       val base = snapshot(root)
       if (base.liveFiles.size <= targetFiles) return base.version // no-op
-      val live = spark.read.parquet(base.liveFiles.map(f => s"$root/data/$f"): _*)
+      val live = readFiles(spark, root, base.liveFiles, base.schemaJson)
       val arranged =
         if (sortCols.nonEmpty)
           live.repartitionByRange(targetFiles, sortCols.map(col): _*)
@@ -569,7 +636,7 @@ object TxTable {
     while (attempt < MaxRetries) {
       val base = snapshot(root)
       if (base.liveFiles.size <= targetFiles) return base.version // no-op
-      val live = spark.read.parquet(base.liveFiles.map(f => s"$root/data/$f"): _*)
+      val live = readFiles(spark, root, base.liveFiles, base.schemaJson)
       val cols = live.columns.toSeq
       val mm = live.agg(min(col(xCol)).cast("long").as("x0"),
         max(col(xCol)).cast("long").as("x1"),
@@ -620,7 +687,7 @@ object TxTable {
   /** Names of live data files containing at least one row matching `pred`. */
   private def filesMatching(spark: SparkSession, root: String, s: Snapshot,
                             pred: Column): Seq[String] =
-    spark.read.parquet(s.liveFiles.map(f => s"$root/data/$f"): _*)
+    readFiles(spark, root, s.liveFiles, s.schemaJson)
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
       .where(pred)
       .select("__file").distinct()

@@ -431,6 +431,51 @@ class AcidSpec extends SparkSpec {
     assert(zs == Seq(1L), s"got $zs")
   }
 
+  test("schema evolution: additive append governs reads; old files surface null; rewrites keep the column") {
+    val root = freshRoot()
+    TxTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    // additive evolution: a third column arrives with a later batch
+    TxTable.append(spark, root,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "tag", "score"))
+    val df = TxTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("id", "tag", "score"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", -1L), (2L, "b", -1L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    // time travel reads the schema AS OF the version: v0 has no score
+    assert(TxTable.read(spark, root, asOf = Some(0L)).columns.toSeq ==
+      Seq("id", "tag"))
+    // non-additive appends fail loudly, never silently lose a column
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, root, Seq((5L, "e")).toDF("id", "tag"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, root,
+        Seq((5L, "e", 1.5)).toDF("id", "tag", "score")) // long -> double
+    }
+    // copy-on-write rewrites run under the union schema: a compaction
+    // folding old+new files must keep the evolved column and its nulls
+    TxTable.compact(spark, root, targetFiles = 1)
+    val after = TxTable.read(spark, root).collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(after == rows)
+    // a delete touching a pre-evolution row keeps the column too
+    val root2 = freshRoot()
+    TxTable.append(spark, root2, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    TxTable.append(spark, root2, Seq((3L, "c", 30L)).toDF("id", "tag", "score"))
+    TxTable.delete(spark, root2, $"id" === 1L)
+    val d2 = TxTable.read(spark, root2)
+    assert(d2.columns.toSeq == Seq("id", "tag", "score"))
+    assert(d2.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // predicates on the evolved column prune conservatively (old files
+    // carry no stats for it) and read correctly
+    assert(TxTable.readWhere(spark, root2, $"score" === 30L)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("appendOnce: concurrent replays of one batch commit exactly one copy; losers clean up") {
     val root = freshRoot()
     assert(TxTable.appendOnce(spark, root, frame(1 to 10, "a"), "app", 0L) == 0L)
