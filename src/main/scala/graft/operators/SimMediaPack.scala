@@ -925,7 +925,7 @@ object SimMediaPack extends QueryPack {
         |            WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END) AS BIGINT) AS flags,
         |  CAST(doc_id AS BIGINT) AS mtime, CAST(255 AS BIGINT) AS os,
         |  'doc_' || doc_id || '.txt' AS fname,
-        |  CAST(length(text) AS BIGINT) AS n_out,
+        |  CAST(strlen(text) AS BIGINT) AS n_out,
         |  md5(text) AS text_md5,
         |  CAST(1 AS BIGINT) AS n_members
         |FROM documents""".stripMargin
@@ -941,9 +941,9 @@ object SimMediaPack extends QueryPack {
         |            WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END) AS BIGINT) AS flags,
         |  CAST(doc_id AS BIGINT) AS mtime, CAST(255 AS BIGINT) AS os,
         |  'doc_' || doc_id || '_m0.txt' AS fname,
-        |  CAST(length(text) AS BIGINT) AS n_out,
+        |  CAST(strlen(text) AS BIGINT) AS n_out,
         |  md5(text) AS text_md5,
-        |  CAST(1 + (length(text) % 3) AS BIGINT) AS n_members
+        |  CAST(1 + (strlen(text) % 3) AS BIGINT) AS n_members
         |FROM documents""".stripMargin
     },
     "md_frames" ->

@@ -143,7 +143,14 @@ object TxStats {
               cs.map(_.min.toLong).min.toString, cs.map(_.max.toLong).max.toString))
             case "double" => Some(k -> ColStats("double",
               cs.map(_.min.toDouble).min.toString, cs.map(_.max.toDouble).max.toString))
-            case "string" => Some(k -> ColStats("string", cs.map(_.min).min, cs.map(_.max).max))
+            case "string" =>
+              // merge row-group ranges in the SAME order the prover compares
+              // (unsigned UTF-8 bytes): Java's String min/max is UTF-16 code
+              // units, which inverts for supplementary-plane characters and
+              // would record a file min/max excluding values the file holds
+              Some(k -> ColStats("string",
+                cs.map(_.min).reduce((a, b) => if (cmpUtf8(a, b) <= 0) a else b),
+                cs.map(_.max).reduce((a, b) => if (cmpUtf8(a, b) >= 0) a else b)))
             case _ => None
           }
         }.toMap
@@ -160,8 +167,17 @@ object TxStats {
         st.genericGetMin.toString, st.genericGetMax.toString))
       case INT32 => Some(ColStats("long",
         st.genericGetMin.toString, st.genericGetMax.toString))
-      case DOUBLE | FLOAT => Some(ColStats("double",
+      case DOUBLE => Some(ColStats("double",
         st.genericGetMin.toString, st.genericGetMax.toString))
+      case FLOAT =>
+        // widen to double BEFORE stringifying: Float.toString("0.1") parsed
+        // back as a double is 0.1d, but Spark evaluates predicates on
+        // cast(floatCol as double) = 0.10000000149... — a stat recorded at
+        // the wrong double would let strict/equality probes prune files
+        // that contain matching rows
+        def fd(v: Any): String =
+          v.asInstanceOf[java.lang.Float].floatValue.toDouble.toString
+        Some(ColStats("double", fd(st.genericGetMin), fd(st.genericGetMax)))
       case BINARY
         if pt.getLogicalTypeAnnotation.isInstanceOf[
           org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
@@ -228,7 +244,11 @@ object TxStats {
     val name = a match {
       case u: UnresolvedAttribute => Some(u.name)
       case r: AttributeReference => Some(r.name)
-      case Cast(u: UnresolvedAttribute, _, _, _) => Some(u.name)
+      // unresolved casts bind ONLY through the same monotone double
+      // widening as the resolved arm below: seeing through a TRUNCATING
+      // cast (long->int wraps) would prove ranges the predicate's own
+      // arithmetic does not honor and prune files holding matching rows
+      case Cast(u: UnresolvedAttribute, DoubleType, _, _) => Some(u.name)
       // an ANALYZED widening cast (Catalyst inserts cast(longCol as double)
       // when the literal is a double): sound to see through because
       // long→double is monotone and ATTAINS its supremum at max, so

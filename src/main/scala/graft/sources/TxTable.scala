@@ -196,20 +196,29 @@ object TxTable {
     }
   }
 
-  /** Validate an incoming append schema against the table's recorded one:
+  /** Validate an incoming append schema against the table's CURRENT one:
     * evolution is ADDITIVE ONLY — every existing column must arrive with
     * its name and exact type; new columns may append. Drops and type
     * changes fail loudly (silent column loss on a 100-TB table is the
-    * unrecoverable class). Returns the schema to record: all fields
-    * nullable, because once ANY file predates a column the unified scan
-    * must be allowed to surface nulls for it.
+    * unrecoverable class). Pre-schema logs (written before schemas were
+    * recorded) validate against a live file's FOOTER schema instead, so a
+    * narrower post-upgrade append cannot silently shadow legacy columns.
+    * Returns the schema to record: all fields nullable, because once ANY
+    * file predates a column the unified scan must be allowed to surface
+    * nulls for it. Callers re-run this INSIDE their commit retry loop —
+    * a concurrent append may have evolved the table after the first
+    * check, and committing a stale narrower schema would shadow the
+    * winner's new column for every subsequent read and rewrite.
     */
-  private def evolvedSchema(root: String,
+  private def evolvedSchema(spark: SparkSession, root: String,
                             incoming: org.apache.spark.sql.types.StructType): String = {
     val nullable = org.apache.spark.sql.types.StructType(
       incoming.fields.map(_.copy(nullable = true)))
-    snapshot(root).schemaJson.foreach { js =>
-      val old = schemaOf(js)
+    val s = snapshot(root)
+    val baseline = s.schemaJson.map(schemaOf).orElse(
+      s.liveFiles.headOption.map(f =>
+        spark.read.parquet(s"$root/data/$f").schema))
+    baseline.foreach { old =>
       old.fields.foreach { f =>
         nullable.fields.find(_.name == f.name) match {
           case Some(g) if g.dataType == f.dataType => ()
@@ -240,8 +249,16 @@ object TxTable {
     * predicate that fails analysis (unknown column) prunes nothing.
     */
   def pruneFiles(spark: SparkSession, root: String, predicate: Column,
-                 asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
-    val s = snapshot(root, asOf)
+                 asOf: Option[Long] = None): (Seq[String], Seq[String]) =
+    pruneFilesAt(spark, root, snapshot(root, asOf), predicate)
+
+  /** [[pruneFiles]] against an ALREADY-TAKEN snapshot — readWhere passes
+    * its own so the kept file list, the governing schema, and the version
+    * the caller observed are one consistent view even under concurrent
+    * commits (a second snapshot here could see a racing evolution's files
+    * and read them under the older schema). */
+  private def pruneFilesAt(spark: SparkSession, root: String, s: Snapshot,
+                           predicate: Column): (Seq[String], Seq[String]) = {
     val cond =
       try readFiles(spark, root, s.liveFiles.take(1), s.schemaJson)
         .where(predicate).queryExecution.optimizedPlan
@@ -270,7 +287,7 @@ object TxTable {
     val s = snapshot(root, asOf)
     if (s.liveFiles.isEmpty)
       throw new IllegalStateException(s"empty tx table at $root (version ${s.version})")
-    val (kept, _) = pruneFiles(spark, root, predicate, asOf)
+    val (kept, _) = pruneFilesAt(spark, root, s, predicate)
     if (kept.isEmpty)
       // schema-preserving empty result: scan one footer, emit no rows
       readFiles(spark, root, s.liveFiles.take(1), s.schemaJson).where(lit(false))
@@ -457,16 +474,25 @@ object TxTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              op: String = "append", bloomCols: Seq[String] = Nil): Long = {
     val rows = df.count()
-    val schema = evolvedSchema(root, df.schema)
+    evolvedSchema(spark, root, df.schema): Unit // fail fast, before staging IO
     val adds = writeData(spark, root, df, bloomCols)
-    var attempt = 0
-    while (attempt < MaxRetries) {
-      val v = snapshot(root).version + 1
-      if (tryCommit(root, v, op, Map("rows_written" -> rows), adds, Nil,
-        schemaJson = Some(schema))) return v
-      attempt += 1
+    try {
+      var attempt = 0
+      while (attempt < MaxRetries) {
+        // re-validated per attempt: a racing append may have evolved the
+        // table since the last check (see evolvedSchema)
+        val schema = evolvedSchema(spark, root, df.schema)
+        val v = snapshot(root).version + 1
+        if (tryCommit(root, v, op, Map("rows_written" -> rows), adds, Nil,
+          schemaJson = Some(schema))) return v
+        attempt += 1
+      }
+      throw new IllegalStateException(s"append lost $MaxRetries commit races at $root")
+    } catch {
+      case e: IllegalArgumentException => // schema conflict: unstage and fail
+        adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+        throw e
     }
-    throw new IllegalStateException(s"append lost $MaxRetries commit races at $root")
   }
 
   /** EXACTLY-ONCE append for streaming sinks (the Delta `txn` action): the
@@ -491,7 +517,7 @@ object TxTable {
       case Some(v) => v // the batch already applied: idempotent no-op
       case None =>
         val rows = df.count()
-        val schema = evolvedSchema(root, df.schema)
+        evolvedSchema(spark, root, df.schema): Unit // fail fast, before staging
         val adds = writeData(spark, root, df, bloomCols)
         var attempt = 0
         while (attempt < MaxRetries) {
@@ -500,6 +526,13 @@ object TxTable {
               adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
               return v
             case None =>
+              val schema = // per-attempt, like append (schema-race safety)
+                try evolvedSchema(spark, root, df.schema)
+                catch { case e: IllegalArgumentException =>
+                  adds.foreach(a =>
+                    Files.deleteIfExists(dataDir(root).resolve(a.name)))
+                  throw e
+                }
               val v = snapshot(root).version + 1
               if (tryCommit(root, v, "stream_append", Map("rows_written" -> rows),
                 adds, Nil, Some((appId, batchId)), Some(schema))) return v
@@ -638,15 +671,22 @@ object TxTable {
       if (base.liveFiles.size <= targetFiles) return base.version // no-op
       val live = readFiles(spark, root, base.liveFiles, base.schemaJson)
       val cols = live.columns.toSeq
-      val mm = live.agg(min(col(xCol)).cast("long").as("x0"),
-        max(col(xCol)).cast("long").as("x1"),
-        min(col(yCol)).cast("long").as("y0"),
-        max(col(yCol)).cast("long").as("y1")).head()
+      val mm = live.agg(min(col(xCol)).cast("double").as("x0"),
+        max(col(xCol)).cast("double").as("x1"),
+        min(col(yCol)).cast("double").as("y0"),
+        max(col(yCol)).cast("double").as("y1")).head()
       val (x0, x1, y0, y1) =
-        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
-      def sc(c: String, lo: Long, hi: Long) =
+        (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+      // scale in DOUBLE space with a clamp: the old integer form
+      // ((c-lo)*65535 div span) wrapped Long for ranges past ~2^47 and
+      // truncated fractional double bounds — both silently scattering the
+      // lattice and voiding the clustering this rewrite exists to buy.
+      // Layout-only arithmetic: the row set is untouched either way.
+      def sc(c: String, lo: Double, hi: Double) =
         if (hi == lo) lit(0L)
-        else expr(s"(($c - $lo) * 65535) div ${hi - lo}")
+        else least(lit(65535L), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+            .cast("long")))
       val arranged = live
         .withColumn("__zx", sc(xCol, x0, x1))
         .withColumn("__zy", sc(yCol, y0, y1))

@@ -10,11 +10,4 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
-
-  /** The Catalyst expression behind a Column (Spark 4 hides `Column.expr`
-    * behind the classic/connect split) — used by the TxTable data-skipping
-    * prover to walk scan predicates.
-    */
-  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-    classic.ExpressionUtils.expression(c)
 }

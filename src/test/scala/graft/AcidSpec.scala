@@ -431,6 +431,53 @@ class AcidSpec extends SparkSpec {
     assert(zs == Seq(1L), s"got $zs")
   }
 
+  test("float stats widen before stringify; multi-row-group string ranges merge in UTF-8 order") {
+    // 0.1f's nearest double is 0.10000000149... — a stat recorded from
+    // Float.toString ("0.1") re-parses as 0.1d and a strict probe v > 0.1
+    // would PRUNE the file that holds matching rows
+    val root = freshRoot()
+    // one file whose WHOLE range is 0.1f: a "0.1"-stringified stat makes
+    // max look equal to the probe and the strict probe prunes it
+    TxTable.append(spark, root, Seq((1L, 0.1f)).toDF("id", "v").repartition(1))
+    TxTable.append(spark, root, Seq((2L, 0.7f)).toDF("id", "v").repartition(1))
+    val (_, sf) = TxTable.pruneFiles(spark, root, $"v" > 0.1)
+    assert(sf.isEmpty, "file holding 0.1f (0.10000000149d after cast) wrongly pruned")
+    assert(TxTable.readWhere(spark, root, $"v" > 0.1).count() == 2L)
+    // equality at the exact cast-to-double value keeps the file too
+    assert(TxTable.readWhere(spark, root, $"v" === 0.1f.toDouble).count() == 1L)
+    // and the stat still prunes what it should
+    val (_, s2) = TxTable.pruneFiles(spark, root, $"v" > 0.8)
+    assert(s2.size == 2)
+
+    // string merge across ROW GROUPS: U+1F600 sorts above U+FFFD in UTF-8
+    // bytes but below it in UTF-16 code units — a Java-String min over the
+    // per-group mins would record the emoji as the FILE min and a probe
+    // for U+FFFD would prune the file that contains it
+    val emoji = new String(Character.toChars(0x1F600))
+    val repl = "�"
+    val dir = java.nio.file.Files.createTempDirectory("graft_rg").toString + "/t"
+    (1 to 4000).map(i => (i.toLong, if (i <= 2000) repl else emoji))
+      .toDF("id", "tag").repartition(1).sortWithinPartitions("id")
+      .write.option("parquet.block.size", "2048").parquet(dir)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var f: String = null
+    while (part.hasNext) {
+      val p = part.next().toString
+      if (p.endsWith(".parquet")) f = p
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf))
+    val nGroups = reader.getFooter.getBlocks.size()
+    reader.close()
+    assert(nGroups > 1, s"fixture must span row groups, got $nGroups")
+    val st = graft.sources.TxStats.fromFooter(conf, f)
+    assert(st("tag").min == repl, "UTF-16-ordered merge recorded the wrong min")
+    assert(st("tag").max == emoji, "UTF-16-ordered merge recorded the wrong max")
+  }
+
   test("schema evolution: additive append governs reads; old files surface null; rewrites keep the column") {
     val root = freshRoot()
     TxTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
