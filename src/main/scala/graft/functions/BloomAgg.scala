@@ -66,13 +66,50 @@ object BloomAgg {
     * so a filter built over `cast(col as string)` answers Long probes. */
   private[graft] def pos(j: Int, key: String, numBits: Int): Int =
     (MinHashAgg.h24(s"$j:$key") % numBits).toInt
+
+  /** All `numHashes` bit positions of a key from ONE MD5 digest (ADVICE
+    * r11): the salted family above re-digests `"$j:$key"` per probe — 8×
+    * the hashing the write-time bloom pass needs on every staged row. One
+    * 128-bit digest already carries enough independence: h1 = bytes 0–7,
+    * h2 = bytes 8–15 forced odd, position j = (h1 + j·h2) mod m — the
+    * Kirsch–Mitzenmacher double-hashing construction, whose false-positive
+    * rate matches k independent hashes. Build ([[BloomStrAgg]]) and probe
+    * ([[graft.sources.TxStats.BloomStat]]) BOTH derive through here, so
+    * they cannot disagree; the oracle-replayable Long-keyed [[BloomAgg]]
+    * stays on the salted family its DuckDB twin rebuilds.
+    */
+  private[graft] def posAll(key: String, numBits: Int, numHashes: Int): Array[Int] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < 8) {
+      h1 = (h1 << 8) | (d(i) & 0xffL)
+      h2 = (h2 << 8) | (d(i + 8) & 0xffL)
+      i += 1
+    }
+    h2 |= 1L
+    val out = new Array[Int](numHashes)
+    var j = 0
+    var h = h1
+    while (j < numHashes) {
+      out(j) = java.lang.Math.floorMod(h, numBits.toLong).toInt
+      h += h2
+      j += 1
+    }
+    out
+  }
 }
 
-/** String-keyed [[BloomAgg]] twin (same bit-position family, null keys
-  * skipped) — the build side of [[graft.sources.TxStats.BloomStat]]: one
-  * pass over a freshly staged file's values (grouped by
-  * `input_file_name()`) folds each column into a fixed `numBits` filter
-  * that rides the commit log and answers point probes at plan time.
+/** String-keyed [[BloomAgg]] twin (null keys skipped) — the build side of
+  * [[graft.sources.TxStats.BloomStat]]: one pass over a freshly staged
+  * file's values (grouped by `input_file_name()`) folds each column into a
+  * fixed `numBits` filter that rides the commit log and answers point
+  * probes at plan time. Positions come from [[BloomAgg.posAll]]'s
+  * single-digest double hashing (one MD5 per key, not one per probe) —
+  * this filter is probed only by the JVM prover, never rebuilt by the
+  * DuckDB oracle, so it is free to take the cheaper derivation.
   */
 class BloomStrAgg(numBits: Int, numHashes: Int)
     extends Aggregator[String, Array[Long], Seq[Long]] {
@@ -82,9 +119,11 @@ class BloomStrAgg(numBits: Int, numHashes: Int)
 
   override def reduce(buf: Array[Long], key: String): Array[Long] = {
     if (key != null) {
+      // one digest per key, all k positions derived from it (ADVICE r11)
+      val ps = BloomAgg.posAll(key, numBits, numHashes)
       var j = 0
       while (j < numHashes) {
-        val pos = BloomAgg.pos(j, key, numBits)
+        val pos = ps(j)
         buf(pos >> 6) |= 1L << (pos & 63)
         j += 1
       }

@@ -43,8 +43,10 @@ import org.apache.spark.sql.types._
   * compressed bytes — hash-verifies that the Rice/predictor pipeline was
   * genuinely inverted (FLAC is lossless; anything but exact equality is a
   * decoder bug). Codegen'd one-static-call-per-row like [[PngDecode]];
-  * malformed payloads (bad magic, CRC mismatch, truncation, LPC, reserved
+  * malformed payloads (bad magic, CRC mismatch, truncation, reserved
   * codes) decode to NULL (the C3 error-tolerance contract), never throw.
+  * (LPC subframes DECODE since r11 — they left the malformed class when
+  * the quantized-LPC predictor landed.)
   */
 object FlacDecode {
 

@@ -200,4 +200,67 @@ object AcidOps {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_orderkey")).as("sum_keys"),
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+
+  /** Null-accounting / prefix data-skipping fixture (r12, VERDICT r11 #3):
+    * a FOUR-file layout crossing priority range with null shape of an
+    * optional column — `opt_clerk` is stamped only on o_orderkey ≡ 0 mod 3
+    * (else NULL), and the four appends are the cells of (priority < '3' vs
+    * ≥ '3') × (stamped vs unstamped). Each new prover shape then has files
+    * it can PROVE empty: `LIKE '3%'` (a prefix range probe against the
+    * UTF-8 string stats) skips both low-priority files, `IsNull` skips the
+    * all-stamped files (footer null count 0), `IsNotNull` skips the
+    * all-null files (null count = row count — those files' opt_clerk has
+    * NO value range at all, the `t = "none"` stats path). AcidSpec asserts
+    * the skip counts; the registered oracles assert the pruned reads are
+    * lossless — the data-skipping correctness contract.
+    */
+  private[graft] def skipTable(spark: SparkSession, sfDir: String): String = {
+    val _ = clearHookRegistered
+    built.getOrElseUpdate((System.identityHashCode(spark), sfDir + "#skip"), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_skip")
+      val base = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .withColumn("opt_clerk",
+          when(col("o_orderkey") % 3 === 0,
+            concat(lit("Clerk#"), col("o_orderkey"))))
+      val lowPri = col("o_orderpriority") < "3"
+      val stamped = col("o_orderkey") % 3 === 0
+      Seq(lowPri && stamped, lowPri && !stamped,
+          !lowPri && stamped, !lowPri && !stamped).foreach { cell =>
+        TxTable.append(spark, root, base.where(cell).repartition(1)): Unit
+      }
+      root
+    })
+  }
+
+  /** Prefix-pruned scan: `o_orderpriority LIKE '3%'` opens only the two
+    * high-priority files (the prover ranges the probe as
+    * ['3', '4') against each file's UTF-8 min/max). */
+  def prefixScan(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.readWhere(spark, skipTable(spark, sfDir),
+        col("o_orderpriority").startsWith("3"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+
+  /** Null-accounting scans: the same prefix probe split by IsNull /
+    * IsNotNull on the optional column — each side's prover proof (null
+    * count 0, resp. null count = row count) leaves exactly ONE of four
+    * files open. Emitted as two labeled aggregate rows so one oracle
+    * checks both pruned reads lost nothing.
+    */
+  def nullSkipScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = skipTable(spark, sfDir)
+    def side(label: String, pred: org.apache.spark.sql.Column) =
+      TxTable.readWhere(spark, root,
+          pred && col("o_orderpriority").startsWith("3"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .withColumn("side", lit(label))
+    side("unstamped", col("opt_clerk").isNull)
+      .unionByName(side("stamped", col("opt_clerk").isNotNull))
+      .select(col("side"), col("n_orders"), col("sum_keys"), col("n_custs"))
+  }
 }

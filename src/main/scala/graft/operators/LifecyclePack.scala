@@ -26,6 +26,8 @@ object LifecyclePack extends QueryPack {
     "xacid_schema_evolution" -> ((s, d) => AcidOps.schemaEvolutionState(s, d)),
     "xacid_time_travel" -> ((s, d) => AcidOps.timeTravelV2(s, d)),
     "xacid_history" -> ((s, d) => AcidOps.history(s, d)),
+    "xacid_prefix_scan" -> ((s, d) => AcidOps.prefixScan(s, d)),
+    "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
   )
 
   private val stagesValues = LifecycleOps.Stages
@@ -190,5 +192,30 @@ object LifecyclePack extends QueryPack {
          |       WHERE o_orderkey % 10 = 3
          |         AND o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'),
          |  0""".stripMargin,
+    // prefix-pruned read (r12): the prover ranges LIKE '3%' as ['3','4')
+    // against each file's UTF-8 string stats and opens 2 of 4 files
+    // (AcidSpec asserts the count); the oracle asserts the pruned read
+    // sees exactly what a full scan's filter sees
+    "xacid_prefix_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders WHERE o_orderpriority LIKE '3%'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // null-accounting reads (r12): IsNull proves absence on the stamped
+    // files (footer null count 0), IsNotNull on the unstamped ones (null
+    // count = row count) — each side opens 1 of 4 files; the oracle
+    // replays both sides' aggregates from the raw stamping rule
+    "xacid_nullskip_scan" ->
+      """SELECT 'unstamped' AS side, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0 AND o_orderpriority LIKE '3%'
+        |UNION ALL
+        |SELECT 'stamped', count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  count(DISTINCT o_custkey)
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderpriority LIKE '3%'""".stripMargin,
   )
 }

@@ -33,8 +33,11 @@ import scala.jdk.CollectionConverters._
   *
   * Types covered: INT32/INT64 (incl. DATE days) as long, FLOAT/DOUBLE as
   * double, UTF8 BINARY as string. INT96 timestamps (Spark's default
-  * timestamp encoding) carry no usable stats by parquet convention and are
-  * skipped — those columns simply never prune.
+  * timestamp encoding) carry no usable stats by parquet convention and
+  * never range-prune — but every column, whatever its physical type,
+  * records its footer null count (r12), so IsNull/IsNotNull prove
+  * everywhere. Predicate shapes proved: =, <, ≤, >, ≥, In/InSet, And/Or,
+  * and (r12) IsNull, IsNotNull, StartsWith (LIKE 'p%' as a range probe).
   */
 object TxStats {
 
@@ -44,25 +47,38 @@ object TxStats {
     * point-lookup complement (see [[BloomStat]]): ranges prune RANGE
     * probes after a clustered rewrite, but a high-cardinality equality
     * probe on a non-leading column sees every file's [min,max] span the
-    * whole domain — the bloom is what proves absence there.
+    * whole domain — the bloom is what proves absence there. `nulls`/`rows`
+    * (r12) are the column's null count and the file's row count — the
+    * footer knows both for free, and they are what lets the prover decide
+    * `IsNull` (nulls = 0 → no row matches) and `IsNotNull` (nulls = rows →
+    * no row matches), the two shapes Delta/Iceberg both prune. Absent on
+    * pre-r12 logs — those files simply never null-prune. A column whose
+    * VALUES carry no usable range (all-null, or an unsupported physical
+    * type) records `t = "none"` with empty min/max: the range/equality
+    * arms never bind it ([[comparable]] has no "none" arm → conservative
+    * keep), but the null accounting still proves.
     */
   case class ColStats(t: String, min: String, max: String,
-                      bloom: Option[BloomStat] = None)
+                      bloom: Option[BloomStat] = None,
+                      nulls: Option[Long] = None,
+                      rows: Option[Long] = None)
 
   /** Per-file Bloom filter over a column's values (the Delta "bloom filter
-    * index" read path): `m` bits, `k` salted-h24 probes per value — the
-    * SAME portable hash family [[graft.functions.BloomAgg]] uses, over the
-    * value's canonical decimal/UTF-8 string, so build (a one-pass
-    * aggregation at write time) and probe (driver-side, here) cannot
-    * disagree. No false negatives: an inserted value always probes
-    * all-ones, so `contains == false` is a proof of absence and pruning on
-    * it is result-identical by construction.
+    * index" read path): `m` bits, `k` positions per value derived from ONE
+    * MD5 digest by double hashing ([[graft.functions.BloomAgg.posAll]]),
+    * over the value's canonical decimal/UTF-8 string — build (a one-pass
+    * aggregation at write time) and probe (driver-side, here) share that
+    * derivation, so they cannot disagree. No false negatives: an inserted
+    * value always probes all-ones, so `contains == false` is a proof of
+    * absence and pruning on it is result-identical by construction.
     */
   case class BloomStat(m: Int, k: Int, bits: Array[Long]) {
     def contains(key: String): Boolean = {
+      // same single-digest derivation as the build side (BloomAgg.posAll)
+      val ps = graft.functions.BloomAgg.posAll(key, m, k)
       var j = 0
       while (j < k) {
-        val pos = graft.functions.BloomAgg.pos(j, key, m)
+        val pos = ps(j)
         if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) return false
         j += 1
       }
@@ -76,9 +92,24 @@ object TxStats {
   }
 
   object BloomStat {
+    /** Decode + validate against the declared geometry (ADVICE r11): a
+      * truncated or hand-edited log line must surface as the reader's
+      * "corrupt commit log" diagnostic at parse time, not as an
+      * ArrayIndexOutOfBoundsException inside `contains` at plan time.
+      * Throws IllegalArgumentException; [[TxTable.commits]] maps that to
+      * its corrupt() path.
+      */
     def fromBase64(m: Int, k: Int, b64: String): BloomStat = {
-      val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
-      val bits = new Array[Long](bb.remaining() / 8)
+      require(m > 0 && m % 64 == 0, s"bloom m=$m is not a positive multiple of 64")
+      require(k > 0 && k <= 64, s"bloom k=$k out of range (1..64)")
+      val bytes =
+        try java.util.Base64.getDecoder.decode(b64)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"bloom bits not base64: ${e.getMessage}") }
+      require(bytes.length == m / 8,
+        s"bloom bits length ${bytes.length} B does not match m=$m (${m / 8} B)")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val bits = new Array[Long](m / 64)
       var i = 0
       while (i < bits.length) { bits(i) = bb.getLong(); i += 1 }
       BloomStat(m, k, bits)
@@ -124,34 +155,58 @@ object TxStats {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       if (blocks.isEmpty) return (Map.empty, 0L)
       val nRows = blocks.map(_.getRowCount).sum
-      val perBlock: Seq[Map[String, ColStats]] = blocks.map { b =>
-        b.getColumns.asScala.flatMap { c =>
-          val name = c.getPath.toDotString
-          val st = c.getStatistics
-          if (st == null || st.isEmpty || !st.hasNonNullValue) None
-          else chunkStats(c.getPrimitiveType, st).map(name -> _)
-        }.toMap
-      }
-      // a column survives only when present in every row group; ranges merge
+      // per block: name → (value range if usable, null count if declared)
+      val perBlock: Seq[Map[String, (Option[ColStats], Option[Long])]] =
+        blocks.map { b =>
+          b.getColumns.asScala.map { c =>
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            val nulls =
+              if (st != null && st.isNumNullsSet) Some(st.getNumNulls) else None
+            val range =
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else chunkStats(c.getPrimitiveType, st)
+            name -> (range, nulls)
+          }.toMap
+        }
+      // a column survives only when present in every row group; ranges and
+      // null counts merge independently — a column with no usable range
+      // (all-null, unsupported physical type) still records its null
+      // accounting under t = "none" so IsNull/IsNotNull can prove
       val stats = perBlock.head.keySet
         .filter(k => perBlock.forall(_.contains(k)))
         .flatMap { k =>
-          val cs = perBlock.map(_(k))
-          if (cs.map(_.t).distinct.size != 1) None
-          else cs.head.t match {
-            case "long" => Some(k -> ColStats("long",
-              cs.map(_.min.toLong).min.toString, cs.map(_.max.toLong).max.toString))
-            case "double" => Some(k -> ColStats("double",
-              cs.map(_.min.toDouble).min.toString, cs.map(_.max.toDouble).max.toString))
-            case "string" =>
-              // merge row-group ranges in the SAME order the prover compares
-              // (unsigned UTF-8 bytes): Java's String min/max is UTF-16 code
-              // units, which inverts for supplementary-plane characters and
-              // would record a file min/max excluding values the file holds
-              Some(k -> ColStats("string",
-                cs.map(_.min).reduce((a, b) => if (cmpUtf8(a, b) <= 0) a else b),
-                cs.map(_.max).reduce((a, b) => if (cmpUtf8(a, b) >= 0) a else b)))
-            case _ => None
+          val cols = perBlock.map(_(k))
+          val nulls =
+            if (cols.forall(_._2.isDefined)) Some(cols.flatMap(_._2).sum)
+            else None
+          val ranges = cols.map(_._1)
+          val merged: Option[ColStats] =
+            if (!ranges.forall(_.isDefined)) None
+            else {
+              val cs = ranges.flatten
+              if (cs.map(_.t).distinct.size != 1) None
+              else cs.head.t match {
+                case "long" => Some(ColStats("long",
+                  cs.map(_.min.toLong).min.toString, cs.map(_.max.toLong).max.toString))
+                case "double" => Some(ColStats("double",
+                  cs.map(_.min.toDouble).min.toString, cs.map(_.max.toDouble).max.toString))
+                case "string" =>
+                  // merge row-group ranges in the SAME order the prover compares
+                  // (unsigned UTF-8 bytes): Java's String min/max is UTF-16 code
+                  // units, which inverts for supplementary-plane characters and
+                  // would record a file min/max excluding values the file holds
+                  Some(ColStats("string",
+                    cs.map(_.min).reduce((a, b) => if (cmpUtf8(a, b) <= 0) a else b),
+                    cs.map(_.max).reduce((a, b) => if (cmpUtf8(a, b) >= 0) a else b)))
+                case _ => None
+              }
+            }
+          merged match {
+            case Some(r) => Some(k -> r.copy(nulls = nulls, rows = Some(nRows)))
+            case None if nulls.isDefined =>
+              Some(k -> ColStats("none", "", "", None, nulls, Some(nRows)))
+            case None => None
           }
         }.toMap
       (stats, nRows)
@@ -205,16 +260,96 @@ object TxStats {
     case InSet(a, hset) =>
       // OptimizeIn rewrites large In-lists to InSet over internal values
       hset.exists(v => eqMay(stats, a, Literal(v, a.dataType)))
+    // Null accounting (r12): BARE attributes only. IsNull must NOT see
+    // through casts — cast can MANUFACTURE nulls (string→int on bad input
+    // with ANSI off), so a zero-null column still matches isnull(cast(c)).
+    // (IsNotNull(cast(c)) would be sound to see through — cast never turns
+    // null into non-null — but the optimizer emits the bare-attribute form
+    // for every null-intolerant predicate, so the extra arm buys nothing.)
+    case IsNull(a: AttributeReference) =>
+      stats.get(a.name).forall(cs => !cs.nulls.contains(0L))
+    case IsNull(u: UnresolvedAttribute) =>
+      stats.get(u.name).forall(cs => !cs.nulls.contains(0L))
+    case IsNotNull(a: AttributeReference) => notNullMay(stats, a.name)
+    case IsNotNull(u: UnresolvedAttribute) => notNullMay(stats, u.name)
+    // Prefix probe (r12): LIKE 'abc%' arrives as StartsWith after
+    // LikeSimplification; a prefix is a decidable range probe against the
+    // UTF-8 string stats — see [[prefixMay]].
+    case StartsWith(a: AttributeReference, Literal(p, StringType)) if p != null =>
+      prefixMay(stats, a.name, p.toString)
+    case StartsWith(u: UnresolvedAttribute, Literal(p, StringType)) if p != null =>
+      prefixMay(stats, u.name, p.toString)
     case _ => true
+  }
+
+  /** IsNotNull(col): no row can match only when every row is null. */
+  private def notNullMay(stats: Map[String, ColStats], name: String): Boolean =
+    stats.get(name).forall { cs =>
+      !(cs.nulls.isDefined && cs.rows.isDefined && cs.nulls == cs.rows)
+    }
+
+  /** col STARTSWITH prefix: matching strings form exactly the byte-interval
+    * [prefix, upper) where `upper` is the prefix with its last non-0xff
+    * byte incremented (trailing 0xff bytes stripped; all-0xff → unbounded
+    * above). The file may match iff its [min,max] intersects that
+    * interval: max ≥ prefix and (no upper bound or min < upper). All
+    * comparisons in unsigned UTF-8 byte order — the order the stats were
+    * merged in and the order Spark's UTF8String.startsWith implies.
+    */
+  private def prefixMay(stats: Map[String, ColStats], name: String,
+                        prefix: String): Boolean =
+    stats.get(name).forall { cs =>
+      cs.t != "string" || {
+        val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        cmpBytes(cs.max.getBytes(java.nio.charset.StandardCharsets.UTF_8), p) >= 0 &&
+          prefixUpper(p).forall(u =>
+            cmpBytes(cs.min.getBytes(java.nio.charset.StandardCharsets.UTF_8), u) < 0)
+      }
+    }
+
+  /** Smallest byte string ABOVE every string with this prefix, None when
+    * unbounded (empty or all-0xff prefix). Stripping trailing 0xff widens
+    * the interval — conservative: a wider interval can only KEEP files. */
+  private[graft] def prefixUpper(p: Array[Byte]): Option[Array[Byte]] = {
+    var end = p.length
+    while (end > 0 && (p(end - 1) & 0xff) == 0xff) end -= 1
+    if (end == 0) None
+    else {
+      val u = java.util.Arrays.copyOf(p, end)
+      u(end - 1) = ((u(end - 1) & 0xff) + 1).toByte
+      Some(u)
+    }
+  }
+
+  private def cmpBytes(x: Array[Byte], y: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 
   /** a = b (either side the attribute): the range must contain the literal
     * AND, when the file carries a bloom for the column, the bloom must not
-    * prove the value absent. */
+    * prove the value absent. The bloom is consulted ONLY for integral and
+    * string literals (ADVICE r11): the build side hashes `cast(col as
+    * string)`, whose rendering agrees with the probe's decimal/identity
+    * key for exactly those types — a DateType literal (day-count long
+    * here, 'yyyy-MM-dd' there) must fall back to the range check. */
   private def eqMay(stats: Map[String, ColStats], a: Expression, b: Expression): Boolean =
-    bind(stats, a, b).orElse(bind(stats, b, a)).forall { case (cs, v) =>
+    bind(stats, a, b).orElse(bind(stats, b, a)).forall { case (cs, v, dt) =>
       cmp(cs.min, v, cs.t) <= 0 && cmp(cs.max, v, cs.t) >= 0 &&
-        cs.bloom.forall(bl => bloomKey(cs.t, v).forall(bl.contains))
+        cs.bloom.forall { bl =>
+          val probeSafe = dt match {
+            case ByteType | ShortType | IntegerType | LongType | StringType |
+                 FloatType | DoubleType => true
+            case _ => false // DateType (and anything else): range check only
+          }
+          !probeSafe || bloomKey(cs.t, v).forall(bl.contains)
+        }
     }
 
   /** attr > lit (or >=): file may match iff max (strictly) exceeds lit.
@@ -226,21 +361,22 @@ object TxStats {
   private def cmpMay(stats: Map[String, ColStats], hi: Expression, lo: Expression,
                      strict: Boolean): Boolean = {
     // hi > lo. Case 1: hi is the attribute → need max(attr) > lo.
-    bind(stats, hi, lo).forall { case (cs, v) =>
+    bind(stats, hi, lo).forall { case (cs, v, _) =>
       val c = cmp(cs.max, v, cs.t)
       if (strict) c > 0 else c >= 0
     } && // Case 2: lo is the attribute → need min(attr) < hi.
-    bind(stats, lo, hi).forall { case (cs, v) =>
+    bind(stats, lo, hi).forall { case (cs, v, _) =>
       val c = cmp(cs.min, v, cs.t)
       if (strict) c < 0 else c <= 0
     }
   }
 
-  /** (stats-for-attr, comparable literal) when `a` is a stats-carrying
-    * attribute and `b` a non-null literal of a compatible type.
+  /** (stats-for-attr, comparable literal, the literal's Spark type) when
+    * `a` is a stats-carrying attribute and `b` a non-null literal of a
+    * compatible type.
     */
   private def bind(stats: Map[String, ColStats], a: Expression,
-                   b: Expression): Option[(ColStats, Any)] = {
+                   b: Expression): Option[(ColStats, Any, DataType)] = {
     val name = a match {
       case u: UnresolvedAttribute => Some(u.name)
       case r: AttributeReference => Some(r.name)
@@ -261,11 +397,11 @@ object TxStats {
     for {
       n <- name
       cs <- stats.get(n)
-      v <- b match {
-        case Literal(v, dt) if v != null => comparable(cs.t, v, dt)
+      (v, dt) <- b match {
+        case Literal(v, dt) if v != null => comparable(cs.t, v, dt).map((_, dt))
         case _ => None
       }
-    } yield (cs, v)
+    } yield (cs, v, dt)
   }
 
   /** Literal → the stats domain (Long / Double / String), None on mismatch

@@ -136,11 +136,16 @@ object TxTable {
                 val bloom =
                   if (v.has("bloom")) {
                     val b = v.get("bloom")
-                    Some(TxStats.BloomStat.fromBase64(
+                    try Some(TxStats.BloomStat.fromBase64(
                       b.get("m").asInt(), b.get("k").asInt(), b.get("b").asText()))
+                    catch { case iae: IllegalArgumentException =>
+                      corrupt(s"column ${e.getKey} bloom: ${iae.getMessage}") }
                   } else None
                 e.getKey -> TxStats.ColStats(v.get("t").asText(),
-                  v.get("min").asText(), v.get("max").asText(), bloom)
+                  v.get("min").asText(), v.get("max").asText(), bloom,
+                  // absent on pre-r12 logs: those files never null-prune
+                  if (v.has("n")) Some(v.get("n").asLong()) else None,
+                  if (v.has("r")) Some(v.get("r").asLong()) else None)
               }.toMap
             }
           }
@@ -205,16 +210,20 @@ object TxTable {
     * narrower post-upgrade append cannot silently shadow legacy columns.
     * Returns the schema to record: all fields nullable, because once ANY
     * file predates a column the unified scan must be allowed to surface
-    * nulls for it. Callers re-run this INSIDE their commit retry loop —
-    * a concurrent append may have evolved the table after the first
-    * check, and committing a stale narrower schema would shadow the
-    * winner's new column for every subsequent read and rewrite.
+    * nulls for it. Validation is ATOMIC with the commit it guards (ADVICE
+    * r11): callers validate against the SAME snapshot whose `version + 1`
+    * they then try to claim — the one-owner-per-version hard link makes
+    * the pair atomic, because any commit landing between the snapshot and
+    * the publish forces a retry that re-snapshots and re-validates. (The
+    * earlier shape took a second snapshot for the version number, so a
+    * racing append committing a wider schema in that window was observed
+    * by the version computation but not by the validation — the stale
+    * narrower schema won the commit and shadowed the racer's new column.)
     */
-  private def evolvedSchema(spark: SparkSession, root: String,
+  private def evolvedSchema(spark: SparkSession, root: String, s: Snapshot,
                             incoming: org.apache.spark.sql.types.StructType): String = {
     val nullable = org.apache.spark.sql.types.StructType(
       incoming.fields.map(_.copy(nullable = true)))
-    val s = snapshot(root)
     val baseline = s.schemaJson.map(schemaOf).orElse(
       s.liveFiles.headOption.map(f =>
         spark.read.parquet(s"$root/data/$f").schema))
@@ -358,8 +367,22 @@ object TxTable {
     }
     deleteRecursively(tmp)
     val names = staged.map(_._1)
+    // eligibility checks the DATAFRAME schema, not just the footer stats
+    // tag (ADVICE r11): a DateType column is INT32 in the footer — tagged
+    // "long" — but `cast(col as string)` renders 'yyyy-MM-dd' while the
+    // prover probes the literal's day-count decimal, a guaranteed false
+    // negative. Only types whose canonical string form build and probe
+    // identically qualify: integrals (decimal form) and strings (identity).
+    val bloomable = {
+      import org.apache.spark.sql.types._
+      df.schema.fields.collect {
+        case f if Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+          .contains(f.dataType) => f.name
+      }.toSet
+    }
     val eligible = names.headOption.fold(Seq.empty[String]) { h =>
-      bloomCols.filter(c => h.stats.get(c).exists(s => s.t == "long" || s.t == "string"))
+      bloomCols.filter(c => bloomable(c) &&
+        h.stats.get(c).exists(s => s.t == "long" || s.t == "string"))
     }
     if (eligible.isEmpty || names.isEmpty) names
     else {
@@ -424,6 +447,9 @@ object TxTable {
           cn.put("t", cs.t): Unit
           cn.put("min", cs.min): Unit
           cn.put("max", cs.max): Unit
+          // null accounting (r12): what lets reads prune IsNull/IsNotNull
+          cs.nulls.foreach(v => cn.put("n", v): Unit)
+          cs.rows.foreach(v => cn.put("r", v): Unit)
           cs.bloom.foreach { b =>
             val bn = cn.putObject("bloom")
             bn.put("m", b.m): Unit
@@ -474,15 +500,16 @@ object TxTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              op: String = "append", bloomCols: Seq[String] = Nil): Long = {
     val rows = df.count()
-    evolvedSchema(spark, root, df.schema): Unit // fail fast, before staging IO
+    evolvedSchema(spark, root, snapshot(root), df.schema): Unit // fail fast, before staging IO
     val adds = writeData(spark, root, df, bloomCols)
     try {
       var attempt = 0
       while (attempt < MaxRetries) {
-        // re-validated per attempt: a racing append may have evolved the
-        // table since the last check (see evolvedSchema)
-        val schema = evolvedSchema(spark, root, df.schema)
-        val v = snapshot(root).version + 1
+        // validate and claim against ONE snapshot: any commit racing in
+        // between loses us the version and forces a re-validating retry
+        val base = snapshot(root)
+        val schema = evolvedSchema(spark, root, base, df.schema)
+        val v = base.version + 1
         if (tryCommit(root, v, op, Map("rows_written" -> rows), adds, Nil,
           schemaJson = Some(schema))) return v
         attempt += 1
@@ -517,7 +544,7 @@ object TxTable {
       case Some(v) => v // the batch already applied: idempotent no-op
       case None =>
         val rows = df.count()
-        evolvedSchema(spark, root, df.schema): Unit // fail fast, before staging
+        evolvedSchema(spark, root, snapshot(root), df.schema): Unit // fail fast, before staging
         val adds = writeData(spark, root, df, bloomCols)
         var attempt = 0
         while (attempt < MaxRetries) {
@@ -526,14 +553,15 @@ object TxTable {
               adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
               return v
             case None =>
-              val schema = // per-attempt, like append (schema-race safety)
-                try evolvedSchema(spark, root, df.schema)
+              val base = snapshot(root)
+              val schema = // same-snapshot validate-and-claim, like append
+                try evolvedSchema(spark, root, base, df.schema)
                 catch { case e: IllegalArgumentException =>
                   adds.foreach(a =>
                     Files.deleteIfExists(dataDir(root).resolve(a.name)))
                   throw e
                 }
-              val v = snapshot(root).version + 1
+              val v = base.version + 1
               if (tryCommit(root, v, "stream_append", Map("rows_written" -> rows),
                 adds, Nil, Some((appId, batchId)), Some(schema))) return v
           }
@@ -547,6 +575,16 @@ object TxTable {
   /** Copy-on-write DELETE: rewrite only the files containing matching rows.
     * Retries the WHOLE read-rewrite-commit cycle on a lost race, so the
     * rewrite is always against the current snapshot.
+    *
+    * Three-valued logic (r12, the r11 audit's one real defect): a row whose
+    * predicate evaluates to NULL is deleted by NEITHER branch of SQL DELETE
+    * — `where(pred)` keeps only TRUE rows, and `where(!pred)` ALSO drops
+    * NULL-evaluating rows, so the naive survivor set silently destroyed
+    * them (layout-dependently: only when co-located with a true match,
+    * since only matching files rewrite). Survivors are therefore every row
+    * where the predicate is NOT TRUE — `coalesce(!pred, true)` — matching
+    * SQL DELETE and Delta. This is the TTL path: `ts < horizon` over a
+    * nullable timestamp column evaluates NULL on every null row.
     */
   def delete(spark: SparkSession, root: String, predicate: Column): Long = {
     var attempt = 0
@@ -557,7 +595,7 @@ object TxTable {
         return base.version // nothing to delete: no-op, no commit
       val affectedDf = readFiles(spark, root, affected, base.schemaJson)
       val deleted = affectedDf.where(predicate).count()
-      val survivors = affectedDf.where(!predicate)
+      val survivors = affectedDf.where(coalesce(!predicate, lit(true)))
       val adds = if (survivors.isEmpty) Nil else writeData(spark, root, survivors)
       if (tryCommit(root, base.version + 1, "delete",
         Map("rows_deleted" -> deleted), adds, affected))
@@ -571,9 +609,28 @@ object TxTable {
   /** Copy-on-write MERGE (upsert): rows of `source` matching `target` on
     * `keyCols` overwrite the target row's `updateCols`; unmatched source
     * rows are inserted. Only files containing matched keys rewrite.
+    *
+    * Contract hardening (r12): a `source` carrying DUPLICATE keys fails
+    * loudly BEFORE any rewrite — the update join would fan every matched
+    * target row out once per duplicate, silently multiplying rows in the
+    * rewritten file (SQL MERGE and Delta both raise the multiple-matches
+    * error here). And an update that legitimately sets a column to NULL
+    * LANDS: the rewrite decides by a matched flag, not `coalesce`, which
+    * would silently keep the old value whenever the source value is null.
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keyCols: Seq[String], updateCols: Seq[String]): Long = {
+    val srcKeys = source.select(keyCols.map(col): _*)
+    val (srcRows, srcDistinct) = {
+      val r = srcKeys.agg(count(lit(1)), count_distinct(
+        struct(keyCols.map(col): _*))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    if (srcRows != srcDistinct)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
+          s"$srcRows rows, $srcDistinct distinct — each target row must " +
+          "match at most one source row")
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(root)
@@ -594,11 +651,15 @@ object TxTable {
         else {
           val aff = readFiles(spark, root, affected, base.schemaJson)
           val upd = source.select(
-            keyCols.map(col) ++ updateCols.map(c => col(c).as(s"__src_$c")): _*)
+            keyCols.map(col) ++ updateCols.map(c => col(c).as(s"__src_$c"))
+              :+ lit(true).as("__matched"): _*)
           aff.join(upd, keyCols, "left")
             .select(cols.map { c =>
               if (updateCols.contains(c))
-                coalesce(col(s"__src_$c"), col(c)).as(c)
+                // matched-flag CASE, not coalesce: a matched row takes the
+                // source value EVEN WHEN NULL (set-to-null updates land)
+                when(col("__matched"), col(s"__src_$c"))
+                  .otherwise(col(c)).as(c)
               else col(c)
             }: _*)
             .unionByName(inserts.select(cols.map(col): _*))

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.TxTable
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The minimal ACID table format: snapshot isolation, copy-on-write
   * mutation granularity, optimistic-concurrency commit races, time travel,
@@ -703,5 +704,161 @@ class AcidSpec extends SparkSpec {
     }
     // the sweep exercised real pruning, not 40 vacuous keep-everything runs
     assert(skippedTotal > 0)
+  }
+
+  test("delete under three-valued logic: null-predicate rows survive in EVERY file layout") {
+    val root = freshRoot()
+    // file A: true matches co-located with null-predicate rows (the rewrite
+    // path that destroyed them pre-r12); file B: null rows with NO true
+    // match (never rewritten — the layout where they always survived).
+    // Nullable ts via Option: ids 1-5 match (ts=10 < 100), 6-10 null,
+    // 11-15 non-match (ts=200), 16-20 null.
+    val fileA = (1 to 10).map(i =>
+      (i.toLong, if (i <= 5) Some(10L) else None)).toDF("id", "ts").repartition(1)
+    val fileB = (11 to 20).map(i =>
+      (i.toLong, if (i <= 15) Some(200L) else None)).toDF("id", "ts").repartition(1)
+    TxTable.append(spark, root, fileA)
+    TxTable.append(spark, root, fileB)
+    val v = TxTable.delete(spark, root, $"ts" < 100L)
+    assert(v == 2L)
+    val commit = TxTable.commits(root).last
+    // only file A (true matches) rewrites; file B untouched
+    val batchBFiles = TxTable.commits(root)(1).adds.toSet
+    assert(commit.removes.forall(!batchBFiles.contains(_)),
+      s"delete rewrote a file with no true-matching rows: ${commit.removes}")
+    assert(commit.metrics("rows_deleted") == 5)
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 15)
+    // SQL DELETE semantics: null-evaluating rows are NOT deleted —
+    // including the ones co-located with true matches in the rewritten file
+    assert(back.where($"ts".isNull).count() == 10,
+      "null-predicate rows were lost by the copy-on-write rewrite")
+    assert(back.where($"id".between(6, 10)).count() == 5) // the co-located nulls
+    assert(back.where($"id" <= 5).count() == 0)            // the true matches
+  }
+
+  test("TTL over a nullable timestamp keeps never-stamped rows (the delete 3VL production shape)") {
+    val root = freshRoot()
+    val rows = (1 to 30).map(i =>
+      (i.toLong, if (i % 3 == 0) None else Some(i * 100L))).toDF("id", "ts")
+    TxTable.append(spark, root, rows)
+    // TTL horizon: everything stamped before t=1500 expires; unstamped
+    // rows (ts null) are NOT expired — they have no age to measure
+    TxTable.delete(spark, root, $"ts" < 1500L)
+    val back = TxTable.read(spark, root)
+    assert(back.where($"ts".isNull).count() == 10)
+    assert(back.where($"ts".isNotNull && $"ts" < 1500L).count() == 0)
+    assert(TxTable.commits(root).last.metrics("rows_deleted") ==
+      (1 to 30).count(i => i % 3 != 0 && i * 100L < 1500L))
+  }
+
+  test("merge rejects duplicate source keys before any rewrite (the multiple-matches error)") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 10, "base"))
+    val dupSource = Seq((1L, "x", 1L), (1L, "y", 2L), (5L, "z", 3L))
+      .toDF("id", "tag", "value")
+    val before = TxTable.commits(root).length
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root, dupSource, Seq("id"), Seq("value"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // failed loudly BEFORE committing anything: no new version, same rows
+    assert(TxTable.commits(root).length == before)
+    assert(TxTable.read(spark, root).count() == 10)
+  }
+
+  test("merge can set a column to NULL: matched rows take the source value even when null") {
+    val root = freshRoot()
+    val target = (1 to 10).map(i => (i.toLong, Some(i * 10L))).toDF("id", "v")
+    TxTable.append(spark, root, target)
+    // id=3 updates to NULL (a real clear, not a no-op); id=4 to a value
+    val source = Seq((3L, None: Option[Long]), (4L, Some(999L)))
+      .toDF("id", "v")
+    TxTable.merge(spark, root, source, Seq("id"), Seq("v"))
+    val back = TxTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[java.lang.Long]("v"))).toMap
+    assert(back(3L).isEmpty, "NULL-setting update was silently dropped (coalesce kept the old value)")
+    assert(back(4L).contains(999L))
+    assert(back(5L).contains(50L)) // unmatched rows untouched
+    assert(back.size == 10)
+  }
+
+  test("null-count and prefix skipping: IsNull/IsNotNull/StartsWith prove absence; pre-r12 logs keep all") {
+    val root = freshRoot()
+    // four files crossing NAME PREFIX with NULL SHAPE of `opt`
+    def cell(ids: Range, prefix: String, stamped: Boolean) =
+      ids.map(i => (i.toLong,
+        if (stamped) Some(s"id#$i") else None, s"$prefix$i")).toDF("id", "opt", "name")
+        .repartition(1)
+    TxTable.append(spark, root, cell(1 to 20, "alpha", stamped = true))    // f0
+    TxTable.append(spark, root, cell(21 to 40, "alpha", stamped = false))  // f1
+    TxTable.append(spark, root, cell(41 to 60, "gamma", stamped = true))   // f2
+    TxTable.append(spark, root, cell(61 to 80, "gamma", stamped = false))  // f3
+    def skips(p: org.apache.spark.sql.Column): Int =
+      TxTable.pruneFiles(spark, root, p)._2.size
+    // prefix range probe: ['g','h') excludes both alpha files
+    assert(skips($"name".startsWith("g")) == 2)
+    // IsNull proves absence where the footer says 0 nulls (f0, f2)
+    assert(skips($"opt".isNull) == 2)
+    // IsNotNull proves absence where nulls = rows (f1, f3 — those files'
+    // opt has NO value range at all: the t="none" all-null stats path)
+    assert(skips($"opt".isNotNull) == 2)
+    // conjunction: exactly one file can hold stamped gamma rows
+    assert(skips($"opt".isNotNull && $"name".startsWith("g")) == 3)
+    // a prefix equal to a file's max must keep it (boundary, no off-by-one):
+    // f0 (alpha1..alpha20, max = "alpha9") is the ONLY file kept — f1's
+    // range (alpha21..alpha40) tops out below "alpha9" and prunes too
+    assert(skips($"name".startsWith("alpha9")) == 3)
+    // every pruned read is lossless vs the full-scan filter
+    Seq($"name".startsWith("g"), $"opt".isNull, $"opt".isNotNull,
+        $"opt".isNull && $"name".startsWith("a"),
+        $"opt".isNotNull && $"name".startsWith("g")).foreach { p =>
+      val pruned = TxTable.readWhere(spark, root, p).collect().map(_.getLong(0)).sorted
+      val full = TxTable.read(spark, root).where(p).collect().map(_.getLong(0)).sorted
+      assert(pruned.toSeq == full.toSeq, s"pruned read diverged for $p")
+    }
+    // pre-r12 logs carry no null accounting: strip "n"/"r" from every
+    // commit line — null probes must degrade to keep-all, reads stay right
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).foreach { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val stripped = txt.replaceAll(""","n":-?\d+,"r":\d+""", "")
+        java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+      }
+    assert(skips($"opt".isNull) == 0)
+    assert(skips($"opt".isNotNull) == 0)
+    assert(skips($"name".startsWith("g")) == 2) // ranges survive the strip
+    assert(TxTable.readWhere(spark, root, $"opt".isNull).count() == 40)
+  }
+
+  test("prefixUpper: 0xff tails strip (conservative), all-0xff is unbounded") {
+    import graft.sources.TxStats
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // plain increment
+    assert(TxStats.prefixUpper(bytes('a', 'b')).get.toSeq == bytes('a', 'c').toSeq)
+    // trailing 0xff strips, then increments the previous byte
+    assert(TxStats.prefixUpper(bytes('a', 0xff)).get.toSeq == bytes('b').toSeq)
+    assert(TxStats.prefixUpper(bytes('a', 0xff, 0xff)).get.toSeq == bytes('b').toSeq)
+    // all-0xff (and empty): no finite upper bound — the probe never
+    // prunes on the min side
+    assert(TxStats.prefixUpper(bytes(0xff, 0xff)).isEmpty)
+    assert(TxStats.prefixUpper(Array.empty[Byte]).isEmpty)
+  }
+
+  test("a corrupt bloom in the log surfaces as the corrupt-commit-log diagnostic, not an AIOOBE at plan time") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 50, "a"), bloomCols = Seq("id"))
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    val commitFile = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq.head
+    // truncate the bloom's base64 payload (keep declared m/k) — the
+    // hand-edited/short-copied log shape
+    val txt = new String(java.nio.file.Files.readAllBytes(commitFile), "UTF-8")
+    val mangled = txt.replaceAll("""("b":")[A-Za-z0-9+/=]{40}[A-Za-z0-9+/=]*(")""", "$1AAAA$2")
+    assert(mangled != txt, "fixture did not contain a bloom to mangle")
+    java.nio.file.Files.write(commitFile, mangled.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { TxTable.read(spark, root).count() }
+    assert(e.getMessage.contains("corrupt commit log") && e.getMessage.contains("bloom"))
   }
 }
