@@ -1098,6 +1098,24 @@ object DedupOps {
     incrementalAgainst(spark, sfDir,
       TxTable.read(spark, minhashIndexTx(spark, sfDir), asOf = Some(0L)))
 
+  /** [[incrementalDedupTx]] with the BATCH sourced from the index table's
+    * own CHANGE FEED (r12): version 1's insert changes ARE the ingest
+    * day's band rows, so the consumer replays `readChanges(1, 1)` instead
+    * of recomputing the batch's signatures or diffing snapshots — the CDF
+    * contract applied to the pipeline that motivated it. At 100 TB the
+    * feed of one ingest day is the day's rows, not the index. Shares
+    * `dd_incremental`'s oracle: all three routes (recompute, snapshot
+    * read, change feed) must produce the identical dedup verdicts.
+    */
+  def incrementalDedupCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = minhashIndexTx(spark, sfDir)
+    incrementalWith(spark, sfDir,
+      TxTable.read(spark, root, asOf = Some(0L)),
+      TxTable.readChanges(spark, root, fromVersion = 1L, toVersion = Some(1L))
+        .where(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version"))
+  }
+
   /** Per-version history of the persisted MinHash index. */
   def dedupIndexHistory(spark: SparkSession, sfDir: String): DataFrame =
     TxTable.history(spark, minhashIndexTx(spark, sfDir))
@@ -1152,11 +1170,16 @@ object DedupOps {
   }
 
   private def incrementalAgainst(spark: SparkSession, sfDir: String,
-                                 indexBands: DataFrame): DataFrame = {
-    val bands = minhashBands(spark, sfDir)
+                                 indexBands: DataFrame): DataFrame =
+    incrementalWith(spark, sfDir, indexBands,
+      minhashBands(spark, sfDir).where(col("doc_id") % 2 === 1))
+
+  private def incrementalWith(spark: SparkSession, sfDir: String,
+                              indexBands: DataFrame,
+                              batchBands: DataFrame): DataFrame = {
     val idx = guardBuckets(indexBands, "band_no", "band_key")
       .select(col("doc_id").as("index_doc"), col("band_no"), col("band_key"))
-    val bat = guardBuckets(bands.where(col("doc_id") % 2 === 1), "band_no", "band_key")
+    val bat = guardBuckets(batchBands, "band_no", "band_key")
       .select(col("doc_id").as("batch_doc"), col("band_no"), col("band_key"))
     val cand = bat.join(idx, Seq("band_no", "band_key"))
       .select(col("batch_doc"), col("index_doc")).distinct()

@@ -28,6 +28,7 @@ object LifecyclePack extends QueryPack {
     "xacid_history" -> ((s, d) => AcidOps.history(s, d)),
     "xacid_prefix_scan" -> ((s, d) => AcidOps.prefixScan(s, d)),
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
+    "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
   )
 
   private val stagesValues = LifecycleOps.Stages
@@ -217,5 +218,43 @@ object LifecyclePack extends QueryPack {
         |  count(DISTINCT o_custkey)
         |FROM orders
         |WHERE o_orderkey % 3 = 0 AND o_orderpriority LIKE '3%'""".stripMargin,
+    // the change data feed replayed from the raw mutation rules: appends
+    // as inserts, the TTL delete's expired rows, the merge's pre/post
+    // update images and its two insert sources (resubmissions + TTL'd
+    // correction targets re-arriving)
+    "xacid_cdf" ->
+      s"""SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+         |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |UNION ALL
+         |SELECT 1, 'insert', count(*), CAST(sum(o_orderkey) AS BIGINT),
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |UNION ALL
+         |SELECT 2, 'delete', count(*), CAST(sum(o_orderkey) AS BIGINT),
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |FROM orders WHERE o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'
+         |UNION ALL
+         |SELECT 3, 'update_preimage', count(*), CAST(sum(o_orderkey) AS BIGINT),
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |FROM orders
+         |WHERE o_orderkey % 10 = 3 AND o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
+         |UNION ALL
+         |SELECT 3, 'update_postimage', count(*), CAST(sum(o_orderkey) AS BIGINT),
+         |  CAST(sum(CAST(o_totalprice + ${AcidOps.PriceCorrection} AS DECIMAL(14,2))) AS DOUBLE)
+         |FROM orders
+         |WHERE o_orderkey % 10 = 3 AND o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
+         |UNION ALL
+         |SELECT 3, 'insert', count(*), CAST(sum(k) AS BIGINT),
+         |  CAST(sum(CAST(p AS DECIMAL(14,2))) AS DOUBLE)
+         |FROM (
+         |  SELECT o_orderkey + ${AcidOps.InsertKeyOffset} AS k, o_totalprice AS p
+         |  FROM orders WHERE o_orderkey % 97 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice + ${AcidOps.PriceCorrection}
+         |  FROM orders
+         |  WHERE o_orderkey % 10 = 3 AND o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'
+         |) reinserts""".stripMargin,
   )
 }

@@ -96,6 +96,7 @@ object TextDedupPack extends QueryPack {
     "tx_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "dd_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "dd_incremental_tx" -> ((s, d) => DedupOps.incrementalDedupTx(s, d)),
+    "dd_incremental_cdf" -> ((s, d) => DedupOps.incrementalDedupCdf(s, d)),
     "xacid_dedup_index" -> ((s, d) => DedupOps.dedupIndexHistory(s, d)),
     "xacid_pruned_scan" -> ((s, d) => DedupOps.prunedIndexScan(s, d)),
     "xacid_bloom_scan" -> ((s, d) => DedupOps.bloomIndexScan(s, d)),
@@ -1780,10 +1781,13 @@ object TextDedupPack extends QueryPack {
   /** The persisted-index incremental run must reproduce the one-shot
     * recompute bit-for-bit: `dd_incremental_tx` (TxTable snapshot read at
     * v0) SHARES `dd_incremental`'s oracle SQL, so the driver's hash
-    * compare IS the equivalence proof (VERDICT r9 #8).
+    * compare IS the equivalence proof (VERDICT r9 #8). `dd_incremental_cdf`
+    * (r12) joins the same equivalence class with the batch sourced from
+    * the index's CHANGE FEED — three routes, one oracle.
     */
   val oracles: Map[String, String] =
-    baseOracles + ("dd_incremental_tx" -> baseOracles("dd_incremental"))
+    baseOracles + ("dd_incremental_tx" -> baseOracles("dd_incremental")) +
+      ("dd_incremental_cdf" -> baseOracles("dd_incremental"))
 
   private def stopSeq: Seq[String] = TextFunctions.LangProfiles.head._2
 

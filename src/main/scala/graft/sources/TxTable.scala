@@ -52,7 +52,8 @@ object TxTable {
                     adds: Seq[String], removes: Seq[String],
                     fileStats: Map[String, Map[String, TxStats.ColStats]] = Map.empty,
                     txn: Option[(String, Long)] = None,
-                    schemaJson: Option[String] = None)
+                    schemaJson: Option[String] = None,
+                    cdc: Seq[String] = Nil)
 
   case class Snapshot(version: Long, liveFiles: Seq[String], commits: Seq[Commit]) {
     /** Stats for every live file that has them (file → column → range). */
@@ -73,6 +74,7 @@ object TxTable {
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def dataDir(root: String): Path = Paths.get(root, "data")
+  private def cdcDir(root: String): Path = Paths.get(root, "cdc")
 
   /** Parse every committed version in order.
     *
@@ -107,6 +109,7 @@ object TxTable {
         var endCount = -1L
         val adds = Seq.newBuilder[String]
         val removes = Seq.newBuilder[String]
+        val cdcFiles = Seq.newBuilder[String]
         val stats = Map.newBuilder[String, Map[String, TxStats.ColStats]]
         val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty)
         if (lines.isEmpty) corrupt("empty file")
@@ -150,6 +153,7 @@ object TxTable {
             }
           }
           if (node.has("remove")) { removes += node.get("remove").asText(); actions += 1 }
+          if (node.has("cdc")) { cdcFiles += node.get("cdc").asText(); actions += 1 }
           if (node.has("end")) endCount = node.get("end").asLong()
         }
         if (op.isEmpty) corrupt("no commitInfo line")
@@ -157,7 +161,7 @@ object TxTable {
         if (endCount != actions)
           corrupt(s"end marker declares $endCount actions, found $actions")
         Commit(version, op, metrics, adds.result(), removes.result(),
-          stats.result(), txn, schemaJson)
+          stats.result(), txn, schemaJson, cdcFiles.result())
       }
   }
 
@@ -319,6 +323,65 @@ object TxTable {
       "rows_inserted", "rows_deleted")
   }
 
+  /** CHANGE DATA FEED (r12, the Delta CDF move): row-level changes of every
+    * commit in `[fromVersion, toVersion]` as one DataFrame — the table's
+    * columns plus `_change_type` ('insert' | 'delete' | 'update_preimage' |
+    * 'update_postimage') and `_commit_version`. This is what turns
+    * downstream incremental consumers (a persisted dedup index, an
+    * incremental MV) from snapshot-diffing — two full scans per refresh —
+    * into replaying exactly the rows that changed: at 100 TB the changes of
+    * a day's mutations are MBs where the snapshots are the whole table.
+    *
+    * Sources per commit, by ACTION SHAPE (op strings are free-form labels):
+    *  - commits carrying `cdc` files (delete/merge since r12): read those —
+    *    they carry the exact change rows, pre/post images included;
+    *  - pure-add commits (appends, stream appends): the added data files
+    *    ARE the insert rows — no change files were written (the Delta
+    *    optimization: appends never pay CDF write amplification), each read
+    *    under the schema AS OF its commit;
+    *  - compaction commits (`compact`/`compactz`): layout surgery, row set
+    *    unchanged — no change rows by definition;
+    *  - a rewriting commit WITHOUT cdc files (a pre-r12 delete/merge):
+    *    fails loudly — its row-level changes were never recorded, and
+    *    silently skipping a mutation is the one wrong answer.
+    * Batches union by name with missing columns allowed, so a feed spanning
+    * a schema evolution surfaces NULL for columns a batch predates.
+    */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Option[Long] = None): DataFrame = {
+    val all = commits(root)
+    val hi = toVersion.getOrElse(all.lastOption.fold(-1L)(_.version))
+    val range = all.filter(c => c.version >= fromVersion && c.version <= hi)
+    if (range.isEmpty)
+      throw new IllegalArgumentException(
+        s"readChanges: no commits in [$fromVersion, $hi] at $root")
+    def schemaAt(v: Long): Option[String] =
+      all.filter(_.version <= v).reverseIterator.flatMap(_.schemaJson).nextOption()
+    val frames = range.flatMap { c =>
+      val batch: Option[DataFrame] =
+        if (c.cdc.nonEmpty)
+          Some(spark.read.parquet(c.cdc.map(f => s"$root/cdc/$f"): _*))
+        else if (c.op == "compact" || c.op == "compactz") None
+        else if (c.removes.isEmpty)
+          if (c.adds.isEmpty) None
+          else Some(readFiles(spark, root, c.adds, schemaAt(c.version))
+            .withColumn("_change_type", lit("insert")))
+        else throw new IllegalStateException(
+          s"readChanges: version ${c.version} (op ${c.op}) rewrites files " +
+            "but recorded no change data (pre-CDF log)")
+      batch.map(_.withColumn("_commit_version", lit(c.version)))
+    }
+    frames.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        // only no-change commits in range: empty feed under the current schema
+        val s = snapshot(root, Some(hi))
+        readFiles(spark, root, s.liveFiles.take(1), s.schemaJson)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L))
+          .where(lit(false))
+      }
+  }
+
   /** Staged data files: content-unique name + footer-derived column stats. */
   private case class Staged(name: String, stats: Map[String, TxStats.ColStats])
 
@@ -411,6 +474,32 @@ object TxTable {
     }
   }
 
+  /** Stage `df` as immutable CHANGE files under `cdc/` — the Delta
+    * `_change_data` move (r12): row-level changes of a mutating commit
+    * (column values + `_change_type`), written by a normal distributed
+    * job, referenced by `cdc` actions in the commit line, visible to no
+    * consumer until the commit publishes. No column stats — change files
+    * are consumed sequentially by version, never predicate-pruned.
+    */
+  private def writeCdc(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    Files.createDirectories(cdcDir(root))
+    val tmp = Files.createTempDirectory(Paths.get(root), ".stagecdc")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val parts = Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString)
+    val names = parts.map { p =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      Files.move(p, cdcDir(root).resolve(name)): Unit
+      name
+    }
+    deleteRecursively(tmp)
+    names
+  }
+
+  private def dropCdc(root: String, names: Seq[String]): Unit =
+    names.foreach(n => Files.deleteIfExists(cdcDir(root).resolve(n)))
+
   /** Attempt to publish version `version`. True iff this writer won the
     * rename race for that version number.
     */
@@ -418,7 +507,8 @@ object TxTable {
                         metrics: Map[String, Long],
                         adds: Seq[Staged], removes: Seq[String],
                         txn: Option[(String, Long)] = None,
-                        schemaJson: Option[String] = None): Boolean = {
+                        schemaJson: Option[String] = None,
+                        cdc: Seq[String] = Nil): Boolean = {
     Files.createDirectories(logDir(root))
     val lines = Seq.newBuilder[String]
     val mnode = mapper.createObjectNode()
@@ -464,10 +554,14 @@ object TxTable {
       val n = mapper.createObjectNode(); n.put("remove", r): Unit
       lines += mapper.writeValueAsString(n)
     }
+    cdc.foreach { c =>
+      val n = mapper.createObjectNode(); n.put("cdc", c): Unit
+      lines += mapper.writeValueAsString(n)
+    }
     // trailing integrity marker: action count, so any truncation — even one
     // severing whole lines — is detectable at read time (see [[commits]])
     val endN = mapper.createObjectNode()
-    endN.put("end", (adds.size + removes.size).toLong): Unit
+    endN.put("end", (adds.size + removes.size + cdc.size).toLong): Unit
     lines += mapper.writeValueAsString(endN)
     val tmp = Files.createTempFile(logDir(root), ".commit", ".tmp")
     Files.write(tmp, lines.result().mkString("\n").getBytes("UTF-8"))
@@ -597,10 +691,17 @@ object TxTable {
       val deleted = affectedDf.where(predicate).count()
       val survivors = affectedDf.where(coalesce(!predicate, lit(true)))
       val adds = if (survivors.isEmpty) Nil else writeData(spark, root, survivors)
+      // change data feed (r12): the commit carries the deleted rows as
+      // change files, so downstream incremental consumers replay row-level
+      // deletes instead of diffing snapshots (the Delta CDF move)
+      val cdc = writeCdc(spark, root,
+        affectedDf.where(coalesce(predicate, lit(false)))
+          .withColumn("_change_type", lit("delete")))
       if (tryCommit(root, base.version + 1, "delete",
-        Map("rows_deleted" -> deleted), adds, affected))
+        Map("rows_deleted" -> deleted), adds, affected, cdc = cdc))
         return base.version + 1
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+      dropCdc(root, cdc)
       attempt += 1
     }
     throw new IllegalStateException(s"delete lost $MaxRetries commit races at $root")
@@ -646,31 +747,43 @@ object TxTable {
       val inserts = source.join(
         live.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
       val nInserts = inserts.count()
-      val rewritten =
-        if (affected.isEmpty) inserts.select(cols.map(col): _*)
+      val ins = inserts.select(cols.map(col): _*)
+      val insChanges = ins.withColumn("_change_type", lit("insert"))
+      val (rewritten, changes) =
+        if (affected.isEmpty) (ins, insChanges)
         else {
           val aff = readFiles(spark, root, affected, base.schemaJson)
           val upd = source.select(
             keyCols.map(col) ++ updateCols.map(c => col(c).as(s"__src_$c"))
               :+ lit(true).as("__matched"): _*)
-          aff.join(upd, keyCols, "left")
-            .select(cols.map { c =>
-              if (updateCols.contains(c))
-                // matched-flag CASE, not coalesce: a matched row takes the
-                // source value EVEN WHEN NULL (set-to-null updates land)
-                when(col("__matched"), col(s"__src_$c"))
-                  .otherwise(col(c)).as(c)
-              else col(c)
-            }: _*)
-            .unionByName(inserts.select(cols.map(col): _*))
+          val joined = aff.join(upd, keyCols, "left")
+          val updatedSel = cols.map { c =>
+            if (updateCols.contains(c))
+              // matched-flag CASE, not coalesce: a matched row takes the
+              // source value EVEN WHEN NULL (set-to-null updates land)
+              when(col("__matched"), col(s"__src_$c"))
+                .otherwise(col(c)).as(c)
+            else col(c)
+          }
+          // change data feed (r12): matched rows emit pre- and post-image,
+          // unmatched source rows emit inserts — the Delta CDF row kinds
+          val matched = joined.where(col("__matched"))
+          val pre = matched.select(cols.map(col): _*)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = matched.select(updatedSel: _*)
+            .withColumn("_change_type", lit("update_postimage"))
+          (joined.select(updatedSel: _*).unionByName(ins),
+            pre.unionByName(post).unionByName(insChanges))
         }
       val updated = matchedKeys
       val adds = writeData(spark, root, rewritten)
+      val cdc = writeCdc(spark, root, changes)
       if (tryCommit(root, base.version + 1, "merge",
         Map("rows_updated" -> updated, "rows_inserted" -> nInserts),
-        adds, affected))
+        adds, affected, cdc = cdc))
         return base.version + 1
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+      dropCdc(root, cdc)
       attempt += 1
     }
     throw new IllegalStateException(s"merge lost $MaxRetries commit races at $root")
@@ -768,7 +881,9 @@ object TxTable {
   }
 
   /** Physically delete data files no version >= `keepFromVersion`
-    * references — the retention GC. Returns the reclaimed file names.
+    * references — the retention GC — and (r12) the CHANGE files of commits
+    * below retention: a change file belongs to exactly one commit, so its
+    * retention is that commit's. Returns the reclaimed file names.
     */
   def vacuum(root: String, keepFromVersion: Long): Seq[String] = {
     val all = commits(root)
@@ -782,7 +897,14 @@ object TxTable {
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
     val garbage = onDisk.filterNot(referenced)
     garbage.foreach(g => Files.deleteIfExists(dataDir(root).resolve(g)))
-    garbage.sorted
+    val keptCdc = all.filter(_.version >= keepFromVersion).flatMap(_.cdc).toSet
+    val cdcGarbage =
+      if (!Files.isDirectory(cdcDir(root))) Nil
+      else Files.list(cdcDir(root)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .filterNot(keptCdc).toSeq
+    cdcGarbage.foreach(g => Files.deleteIfExists(cdcDir(root).resolve(g)))
+    (garbage ++ cdcGarbage).sorted
   }
 
   /** Names of live data files containing at least one row matching `pred`. */

@@ -316,8 +316,8 @@ class AcidSpec extends SparkSpec {
     val log1 = java.nio.file.Paths.get(root, "_log", f"${1L}%020d.json")
     val intact = java.nio.file.Files.readAllBytes(log1)
     val lines = new String(intact, "UTF-8").split("\n")
-    assert(lines.length == 4) // commitInfo, add, remove, end marker
-    // (a) truncation severing WHOLE trailing lines (remove + end marker):
+    assert(lines.length == 5) // commitInfo, add, remove, cdc (r12), end marker
+    // (a) truncation severing WHOLE trailing lines (cdc + end marker):
     // every surviving line still parses — the pre-r10 reader accepted this
     // silently, resurrecting the 10 deleted rows next to their rewrite.
     // Pin that the broken variant really is blind to this corruption:
@@ -844,6 +844,71 @@ class AcidSpec extends SparkSpec {
     // prunes on the min side
     assert(TxStats.prefixUpper(bytes(0xff, 0xff)).isEmpty)
     assert(TxStats.prefixUpper(Array.empty[Byte]).isEmpty)
+  }
+
+  test("change data feed: inserts, deletes, update pre/post images; compaction emits none") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 20, "a").repartition(2))   // v0
+    TxTable.delete(spark, root, $"id" <= 5)                           // v1
+    TxTable.merge(spark, root,                                        // v2
+      Seq((6L, "x", 600L), (100L, "n", 1L)).toDF("id", "tag", "value"),
+      Seq("id"), Seq("value"))
+    TxTable.compact(spark, root, targetFiles = 1)                     // v3
+    val ch = TxTable.readChanges(spark, root, 0L)
+    assert(ch.where($"_commit_version" === 0 && $"_change_type" === "insert")
+      .count() == 20)
+    val dels = ch.where($"_commit_version" === 1).collect()
+    assert(dels.length == 5 &&
+      dels.forall(_.getAs[String]("_change_type") == "delete") &&
+      dels.map(_.getAs[Long]("id")).sorted.toSeq == (1L to 5L))
+    val pre = ch.where($"_commit_version" === 2 &&
+      $"_change_type" === "update_preimage").collect()
+    assert(pre.length == 1 && pre(0).getAs[Long]("id") == 6L &&
+      pre(0).getAs[Long]("value") == 60L)
+    val post = ch.where($"_commit_version" === 2 &&
+      $"_change_type" === "update_postimage").collect()
+    assert(post.length == 1 && post(0).getAs[Long]("value") == 600L &&
+      post(0).getAs[String]("tag") == "a") // non-update cols keep target values
+    val ins = ch.where($"_commit_version" === 2 && $"_change_type" === "insert")
+      .collect()
+    assert(ins.length == 1 && ins(0).getAs[Long]("id") == 100L)
+    // compaction is layout surgery: the row set did not change
+    assert(ch.where($"_commit_version" === 3).count() == 0)
+  }
+
+  test("change-feed retention: vacuum reclaims cdc files below the kept version; a pre-CDF mutation fails loudly") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 20, "a"))                  // v0
+    TxTable.delete(spark, root, $"id" <= 5)                           // v1
+    TxTable.merge(spark, root, Seq((6L, "x", 0L)).toDF("id", "tag", "value"),
+      Seq("id"), Seq("value"))                                        // v2
+    val v1cdc = TxTable.commits(root).find(_.version == 1L).get.cdc
+    assert(v1cdc.nonEmpty)
+    val reclaimed = TxTable.vacuum(root, keepFromVersion = 2L)
+    assert(v1cdc.forall(reclaimed.contains), "v1's change files survived retention")
+    // the retained commit's feed still reads
+    assert(TxTable.readChanges(spark, root, 2L, Some(2L)).count() == 2) // pre+post
+    // and the reclaimed range now fails loudly (its cdc files are gone —
+    // same contract as time travel below retention)
+    intercept[Exception] {
+      TxTable.readChanges(spark, root, 1L, Some(1L)).count()
+    }: Unit
+    // a PRE-CDF log (mutation without cdc actions) must refuse, not skip:
+    // strip v2's cdc lines and fix the end marker to simulate an old log
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    val v2file = logDir.resolve(f"${2L}%020d.json")
+    val lines = new String(java.nio.file.Files.readAllBytes(v2file), "UTF-8")
+      .split("\n").toSeq
+    val kept = lines.filterNot(_.startsWith("""{"cdc""""))
+    val actions = kept.count(l =>
+      l.startsWith("""{"add"""") || l.startsWith("""{"remove""""))
+    val fixed = kept.map(l =>
+      if (l.startsWith("""{"end"""")) s"""{"end":$actions}""" else l)
+    java.nio.file.Files.write(v2file, fixed.mkString("\n").getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      TxTable.readChanges(spark, root, 2L, Some(2L)).count()
+    }
+    assert(e.getMessage.contains("no change data"))
   }
 
   test("a corrupt bloom in the log surfaces as the corrupt-commit-log diagnostic, not an AIOOBE at plan time") {

@@ -660,4 +660,57 @@ class StreamingSpec extends SparkSpec {
         TxTable.read(spark, root).count())
     } finally q.stop()
   }
+
+  test("a change-feed consumer tails the commit log: each poll applies only NEW versions and tracks every snapshot") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    // the CDF consumer loop (r12): a downstream keyed MV applies
+    // readChanges(lastSeen+1, latest) per poll — row-level replay, never a
+    // snapshot diff. At 100 TB the poll reads a day's changes, not the
+    // table; this is the consumer shape the feed exists for.
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val mv = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    var lastSeen = -1L
+    def poll(): Unit = {
+      val latest = TxTable.snapshot(root).version
+      if (latest > lastSeen) {
+        val ch = TxTable.readChanges(spark, root, lastSeen + 1, Some(latest))
+          .collect().sortBy(_.getAs[Long]("_commit_version"))
+        ch.foreach { r =>
+          val id = r.getAs[Long]("id")
+          r.getAs[String]("_change_type") match {
+            case "insert" | "update_postimage" =>
+              mv(id) = (r.getAs[String]("tag"), r.getAs[Long]("value"))
+            case "delete" => mv.remove(id): Unit
+            case "update_preimage" => () // informational; postimage lands the row
+          }
+        }
+        lastSeen = latest
+      }
+    }
+    def snapshotMap(): Map[Long, (String, Long)] =
+      TxTable.read(spark, root).collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[String]("tag"), r.getAs[Long]("value"))).toMap
+    def frame(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, tag, i * 10L)).toDF("id", "tag", "value")
+    TxTable.append(spark, root, frame(1 to 30, "a").repartition(2))
+    poll(); assert(mv.toMap == snapshotMap())
+    TxTable.merge(spark, root,
+      frame(21 to 40, "b").withColumn("value", col("id") * 100L),
+      Seq("id"), Seq("value"))
+    TxTable.delete(spark, root, col("id") <= 10)
+    poll() // ONE poll catches up on BOTH pending versions, in order
+    assert(mv.toMap == snapshotMap())
+    assert(mv(25L) == ("a", 2500L)) // updated in place, tag kept
+    assert(!mv.contains(5L))
+    // layout churn is invisible to the consumer
+    TxTable.compact(spark, root, targetFiles = 1)
+    val before = mv.toMap
+    poll()
+    assert(mv.toMap == before && mv.toMap == snapshotMap())
+    // an idle poll (no new versions) is a no-op, not a re-apply
+    poll()
+    assert(mv.toMap == before)
+  }
 }
