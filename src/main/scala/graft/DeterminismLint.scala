@@ -42,28 +42,23 @@ object DeterminismLint {
     // the shared centroid mean-update is decimal-anchored at CentroidQuant
     // and the PCA power iteration runs on exact integer fixed point
     // (PcVecScale), so those queries now pass the lint on their own plans.)
-    // -- bounded-term chains: the rounded sum has a small, data-independent
-    // term count, so drift ≤ terms·ulp(magnitude) sits orders below the grid.
-    "sim_hybrid_rrf" -> "≤2 reciprocal-rank terms per doc (one per source list), terms ≤ 1/60",
-    "tx_bm25_search" -> "per-doc score sums over QUERY terms (≤ a handful), each term O(10)",
-    "tx_ranked_search" -> "tf-idf score over query terms — same bounded-term argument as bm25",
-    // -- inherited-only (r11): rbo's OWN kernel is anchored (RboPowers
-    // multiply chain + per-term 1e12 grid, exact k-term sum); the rounds
-    // the lint sees are the EMBEDDED tx_ranked_search / tx_bm25_search
-    // sub-plans' score emissions, each whitelisted above with the
-    // bounded-term proof — this entry carries no proof of its own.
-    "tx_search_rbo" -> "inherited: embedded ranked/bm25 sub-plan score rounds (bounded-term proofs above); rbo's own depth sum is grid-anchored",
+    // (r12: the search-score family — tx_ranked_search, tx_bm25_search,
+    // and their inheritors sim_hybrid_rrf / tx_search_rbo — is GONE: each
+    // per-term contribution (a bit-identical cross-engine IEEE chain)
+    // quantizes to the TextOps.LogScale 1e12 grid BEFORE the per-doc sum,
+    // so the aggregation is an exact long sum and the plans pass the lint
+    // on their own.)
     // -- bounded-cardinality cells: the sum ranges over a fixed small grid
     // (buckets/days), not the corpus, with O(1)-magnitude terms.
     "tx_source_js_drift" -> "JS over ≤256-bucket broadcast distributions, probability terms ≤ 1")
-    // (r11 follow-ons: geo_adamic_adar joined the anchored log family —
-    // its 1/ln(deg) terms quantize on the DetLog grid, exact sums.
-    // tx_source_js_drift stays: its log2(p/m) argument is a ratio of
-    // integer PRODUCTS (2·c·n_r vs c·n_r + r·n_s) whose magnitudes
-    // overflow 64-bit integers at extreme corpus scale, so an
-    // integer-argument DetLog anchor would trade a scale-free ulp bound
-    // for a hard arithmetic ceiling — the bounded-cell proof is the
-    // stronger position.)
+    // (tx_source_js_drift stays — deliberately, not as debt: its
+    // log2(p/m) argument is a ratio of integer PRODUCTS (2·c·n_r vs
+    // c·n_r + r·n_s) whose magnitudes overflow 64-bit integers at extreme
+    // corpus scale, so an integer-argument DetLog anchor would trade the
+    // scale-free bounded-cell ulp bound for a hard arithmetic ceiling;
+    // and grid-quantizing the libm log2 output directly would reintroduce
+    // the cross-engine last-ulp instability the DetLog family exists to
+    // avoid. The ≤256-cell proof is the stronger position.)
     // (r10: xt_seasonality_strength is anchored — StrengthScale integer
     // moments; safe because stl components are exact-integer divisions,
     // so the quantizing round sees identical operands in both engines.)

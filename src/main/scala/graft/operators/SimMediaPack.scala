@@ -463,12 +463,16 @@ object SimMediaPack extends QueryPack {
          |dfreq AS (SELECT word, count(*) AS df FROM post GROUP BY word),
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |lexscored AS (
-         |  SELECT doc_id, sum(tf * (CAST(n_docs AS DOUBLE) / df)) AS raw_score
+         |  SELECT doc_id,
+         |    sum(CAST(round(tf * (CAST(n_docs AS DOUBLE) / df)
+         |                   * ${TextOps.LogScale}.0, 0) AS BIGINT)) AS score_q
          |  FROM post JOIN dfreq USING (word), n
          |  GROUP BY doc_id),
          |lexpool AS (
-         |  SELECT doc_id, round(raw_score, 6) AS score FROM lexscored
-         |  ORDER BY raw_score DESC, doc_id LIMIT ${SimilarityOps.HybridPoolK}),
+         |  SELECT doc_id,
+         |    round(CAST(score_q AS DOUBLE) / ${TextOps.LogScale}.0, 6) AS score
+         |  FROM lexscored
+         |  ORDER BY score_q DESC, doc_id LIMIT ${SimilarityOps.HybridPoolK}),
          |lexrank AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
          |  FROM lexpool),

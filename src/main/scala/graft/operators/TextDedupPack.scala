@@ -1189,12 +1189,14 @@ object TextDedupPack extends QueryPack {
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |scored AS (
          |  SELECT doc_id, count(*) AS n_terms_hit,
-         |    sum(tf * (CAST(n_docs AS DOUBLE) / df)) AS raw_score
+         |    sum(CAST(round(tf * (CAST(n_docs AS DOUBLE) / df)
+         |                   * ${TextOps.LogScale}.0, 0) AS BIGINT)) AS score_q
          |  FROM post JOIN dfreq USING (word), n
          |  GROUP BY doc_id)
-         |SELECT doc_id, n_terms_hit, round(raw_score, 6) AS score
+         |SELECT doc_id, n_terms_hit,
+         |  round(CAST(score_q AS DOUBLE) / ${TextOps.LogScale}.0, 6) AS score
          |FROM scored
-         |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
+         |ORDER BY score_q DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
     },
     // BM25 twin: rebuilt from the text; dl/avgdl and every constant are
     // spelled as the SAME double expressions Spark evaluates ((1.2 + 1),
@@ -1215,14 +1217,15 @@ object TextDedupPack extends QueryPack {
          |dfreq AS (SELECT word, count(*) AS df FROM post GROUP BY word),
          |scored AS (
          |  SELECT p.doc_id, count(*) AS n_terms_hit,
-         |    sum(((CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1))) /
+         |    sum(CAST(round((((CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1))) /
          |        (tf + 1.2 * ((1 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
-         |      AS raw_score
+         |                   * ${TextOps.LogScale}.0, 0) AS BIGINT)) AS score_q
          |  FROM post p JOIN dfreq USING (word) JOIN dls USING (doc_id), stats
          |  GROUP BY p.doc_id)
-         |SELECT doc_id, n_terms_hit, round(raw_score, 6) AS score
+         |SELECT doc_id, n_terms_hit,
+         |  round(CAST(score_q AS DOUBLE) / ${TextOps.LogScale}.0, 6) AS score
          |FROM scored
-         |ORDER BY raw_score DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
+         |ORDER BY score_q DESC, doc_id LIMIT ${TextOps.SearchTopK}""".stripMargin
     },
     // rational n_docs/df idf (two-op IEEE chain, bit-identical), raw-score
     // rank with term tie-break; the window twin of the TopKPerKeyExec cut
@@ -1262,20 +1265,26 @@ object TextDedupPack extends QueryPack {
          |  GROUP BY doc_id, word),
          |dfreq AS (SELECT word, count(*) AS df FROM post GROUP BY word),
          |tfidf AS (
-         |  SELECT doc_id, round(sum(tf * (CAST(n_docs AS DOUBLE) / df)), 6) AS score
-         |  FROM post JOIN dfreq USING (word), stats
-         |  GROUP BY doc_id
-         |  ORDER BY sum(tf * (CAST(n_docs AS DOUBLE) / df)) DESC, doc_id LIMIT $k),
+         |  SELECT doc_id,
+         |    round(CAST(score_q AS DOUBLE) / ${TextOps.LogScale}.0, 6) AS score
+         |  FROM (
+         |    SELECT doc_id,
+         |      sum(CAST(round(tf * (CAST(n_docs AS DOUBLE) / df)
+         |                     * ${TextOps.LogScale}.0, 0) AS BIGINT)) AS score_q
+         |    FROM post JOIN dfreq USING (word), stats
+         |    GROUP BY doc_id)
+         |  ORDER BY score_q DESC, doc_id LIMIT $k),
          |bm25 AS (
-         |  SELECT p.doc_id,
-         |    round(sum(((CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1))) /
-         |        (tf + 1.2 * ((1 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))), 6)
-         |      AS score
-         |  FROM post p JOIN dfreq USING (word) JOIN dls USING (doc_id), stats
-         |  GROUP BY p.doc_id
-         |  ORDER BY sum(((CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1))) /
-         |        (tf + 1.2 * ((1 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) DESC,
-         |    p.doc_id LIMIT $k),
+         |  SELECT doc_id,
+         |    round(CAST(score_q AS DOUBLE) / ${TextOps.LogScale}.0, 6) AS score
+         |  FROM (
+         |    SELECT p.doc_id,
+         |      sum(CAST(round((((CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1))) /
+         |          (tf + 1.2 * ((1 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |                     * ${TextOps.LogScale}.0, 0) AS BIGINT)) AS score_q
+         |    FROM post p JOIN dfreq USING (word) JOIN dls USING (doc_id), stats
+         |    GROUP BY p.doc_id)
+         |  ORDER BY score_q DESC, doc_id LIMIT $k),
          |r1 AS (SELECT doc_id,
          |         row_number() OVER (ORDER BY score DESC, doc_id) AS r1 FROM tfidf),
          |r2 AS (SELECT doc_id,

@@ -1090,15 +1090,24 @@ object TextOps {
       .where(col("bucket").isin(buckets: _*) && col("word").isin(terms: _*))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val dfreq = post.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // per-term contributions quantize to the [[LogScale]] integer grid
+    // BEFORE summing (r12, the whitelist-retiring move): each term score is
+    // a bit-identical IEEE chain in both engines, so the grid round sees
+    // identical operands, and the per-doc sum is then an EXACT long sum —
+    // order-free under any partial-aggregation association. The 1e-12 grid
+    // sits 6 orders below the 6-dp emission.
+    val q = lit(LogScale.toDouble)
     post
       .join(broadcast(dfreq), Seq("word"))
       .crossJoin(broadcast(nDocs))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
-        sum(col("tf") * (col("n_docs").cast("double") / col("df"))).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+        sum(round(col("tf") * (col("n_docs").cast("double") / col("df")) * q, 0)
+          .cast("long")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
       .limit(k)
-      .select(col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("score_q").cast("double") / q, 6).as("score"))
   }
 
   /** BM25 shape parameters (the standard Robertson defaults). */
@@ -1136,14 +1145,19 @@ object TextOps {
       ((col("n_docs").cast("double") / col("df")) * (col("tf") * lit(Bm25K1 + 1))) /
         (col("tf") + lit(Bm25K1) *
           (lit(1 - Bm25B) + lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
+    // LogScale-grid quantization before the sum (r12): exact long
+    // aggregation, association-order-free — see [[rankedSearch]]
+    val q = lit(LogScale.toDouble)
     post
       .join(broadcast(dfreq), Seq("word"))
       .crossJoin(broadcast(indexDocStats(spark, sfDir)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms_hit"), sum(contrib).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(round(contrib * q, 0).cast("long")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
       .limit(k)
-      .select(col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("score_q").cast("double") / q, 6).as("score"))
   }
 
   /** The phrase the registered positional query matches (in order). */

@@ -399,10 +399,13 @@ class PropertySpec extends SparkSpec {
     val unrounded = df.groupBy("k").agg(sum(col("x")).as("s"))
     assert(graft.DeterminismLint.check("ok_unrounded", unrounded).isEmpty)
     // whitelisted names short-circuit, and no whitelist entry is stale
-    assert(graft.DeterminismLint.check("sim_hybrid_rrf", direct).isEmpty)
-    // the r10-anchored centroid family is OFF the whitelist: its name no
-    // longer short-circuits a genuinely bad plan
+    assert(graft.DeterminismLint.check("tx_source_js_drift", direct).isEmpty)
+    // the r10-anchored centroid family and the r12-anchored search-score
+    // family are OFF the whitelist: their names no longer short-circuit a
+    // genuinely bad plan
     assert(graft.DeterminismLint.check("sim_kmeans_centroids", direct).nonEmpty)
+    assert(graft.DeterminismLint.check("sim_hybrid_rrf", direct).nonEmpty)
+    assert(graft.DeterminismLint.check("tx_bm25_search", direct).nonEmpty)
     graft.DeterminismLint.Bounded.keys.foreach(w =>
       assert(graft.SparkEntry.queries.contains(w), s"stale whitelist entry $w"))
   }
