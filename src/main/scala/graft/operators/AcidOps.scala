@@ -219,6 +219,43 @@ object AcidOps {
         sum(col("o_orderkey")).as("sum_keys"),
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
 
+  /** Merge-on-read DELETE fixture (r12): a four-file orders projection
+    * takes TWO deletion-vector deletes — a key-mod sweep, then an
+    * overlapping status-conditioned one (overlap forces replacement-vector
+    * bitmap merges on the shared files) — with NO data file ever
+    * rewritten (AcidSpec pins that physically; the commit log records
+    * only `dv` actions). At 100 TB this is the shape that makes surgical
+    * deletes metadata-speed: the vectors are deleted-rows/8 bits of
+    * sidecar, and compaction materializes them later.
+    */
+  private[graft] def morTable(spark: SparkSession, sfDir: String): String = {
+    val _ = clearHookRegistered
+    built.getOrElseUpdate((System.identityHashCode(spark), sfDir + "#mor"), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_mor")
+      val slim = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      TxTable.append(spark, root,
+        slim.repartitionByRange(4, col("o_orderkey")))
+      TxTable.deleteMor(spark, root, col("o_orderkey") % 7 === 0): Unit
+      TxTable.deleteMor(spark, root,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0): Unit
+      root
+    })
+  }
+
+  /** Final state of the MOR table — the vectors applied at scan time; the
+    * oracle replays both delete predicates against raw orders, so a
+    * reader that misses a vector (resurrection) or over-applies one
+    * hash-mismatches.
+    */
+  def dvState(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.read(spark, morTable(spark, sfDir))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+
   /** Null-accounting / prefix data-skipping fixture (r12, VERDICT r11 #3):
     * a FOUR-file layout crossing priority range with null shape of an
     * optional column — `opt_clerk` is stamped only on o_orderkey ≡ 0 mod 3

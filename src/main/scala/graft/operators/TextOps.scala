@@ -39,15 +39,16 @@ object TextOps {
     * (foldRight + when-chain ⇒ first profile in LangProfiles wins ties),
     * 'und' when no profile hits.
     */
-  private[operators] def predictedLangExpr: org.apache.spark.sql.Column = {
-    val hits = LangProfiles.map { case (lang, prof) =>
-      lang -> profileHits(col("text"), prof)
-    }
-    val best = hits.map(_._2).reduce(greatest(_, _))
-    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
-      when(h === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
+  private[operators] def predictedLangExpr(
+      spark: SparkSession): org.apache.spark.sql.Column =
+    // r12: the composed four-profile when-chain became the codegen'd
+    // single-pass [[graft.functions.PredictedLang]] kernel — semantics
+    // identical (same tokenization, per-profile counts, first-profile tie
+    // rule, und fallback incl. NULL text), but each occurrence the
+    // optimizer inlines is ONE fused byte scan instead of ~20
+    // codegen-incompatible higher-order trees (the tx_stratified_sample
+    // pushed-Filter plan carried 81 `split` copies before this).
+    graft.functions.LangIdExpressions.predictedLang(spark)
 
   /** Quality scoring: length / word-shape / stopword-ratio heuristics. */
   def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
@@ -265,12 +266,15 @@ object TextOps {
     * [[predictedLangExpr]]; also surfaces the per-language hit counts.
     */
   def languageId(spark: SparkSession, sfDir: String): DataFrame = {
-    val hits = LangProfiles.map { case (lang, prof) =>
-      lang -> profileHits(col("text"), prof)
+    // per-language counts are 16-bit lanes of ONE packed LangHits pass
+    // (subexpression elimination collapses the repeated call in-project)
+    val packed = graft.functions.LangIdExpressions.langHits(spark)
+    val hits = LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> (shiftright(packed, 16 * i).bitwiseAND(lit(0xffffL)))
     }
     Tables.documents(spark, sfDir).select(
       (col("doc_id") +: hits.map { case (l, h) => h.cast("long").as(s"hits_$l") } :+
-        predictedLangExpr.as("predicted_lang")): _*)
+        predictedLangExpr(spark).as("predicted_lang")): _*)
   }
 
   /** X-C81: language-ID evaluation — per-language precision/recall/F1 of
@@ -294,7 +298,7 @@ object TextOps {
     */
   def langidEval(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir)
-      .select(col("lang"), predictedLangExpr.as("pred"))
+      .select(col("lang"), predictedLangExpr(spark).as("pred"))
     val nTrue = base.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
     val nPred = base.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
       .withColumnRenamed("pred", "lang")
@@ -332,7 +336,7 @@ object TextOps {
       .select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_words"),
         qualityScoreExpr.as("quality_score"),
-        predictedLangExpr.as("predicted_lang"))
+        predictedLangExpr(spark).as("predicted_lang"))
       .where(col("quality_score") >= MinQuality && col("predicted_lang") === "en")
       .join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
   }
@@ -350,7 +354,7 @@ object TextOps {
     val l = col("predicted_lang") === "en"
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), qualityScoreExpr.as("quality_score"),
-        predictedLangExpr.as("predicted_lang"))
+        predictedLangExpr(spark).as("predicted_lang"))
       .join(broadcast(dupDrop), Seq("doc_id"), "left")
       .agg(
         count(lit(1)).as("n_total"),
@@ -501,7 +505,7 @@ object TextOps {
       when(col("predicted_lang") === lang, lit(r)).otherwise(acc)
     }
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), predictedLangExpr.as("predicted_lang"))
+      .select(col("doc_id"), predictedLangExpr(spark).as("predicted_lang"))
       .withColumn("bucket",
         Tables.h24(concat(lit("sample:"), col("doc_id").cast("string"))) % 100)
       .where(col("bucket") < rate)
@@ -805,23 +809,39 @@ object TextOps {
       transform(sequence(lit(1), size(w) - 1), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    def stream = Tables.documents(spark, sfDir)
+    // the sketch pass and the exact-confirm pass both need the distinct-
+    // bigram stream; CONSTRUCTING it (split + per-word concat +
+    // array_distinct) dominates, so materialize the per-doc bigram ARRAYS
+    // once and re-explode per pass (VERDICT r11 #7). Caching at the
+    // pre-explode level matters: the array rows are corpus-cardinality
+    // (one per doc, columnar-compressed), where the exploded stream is
+    // ~200× more rows — a full exploded-level cache was MEASURED SLOWER
+    // than the rebuild at the 100× deep point (82 s vs 73 s; the per-row
+    // cache overhead outran the saved build). Explode + hash per pass is
+    // the cheap part.
+    val arrays = Tables.documents(spark, sfDir)
       .select(col("lang"), col("doc_id"), words(col("text")).as("w"))
-      .select(col("lang"), explode(array_distinct(bigrams)).as("bigram"))
+      .select(col("lang"), array_distinct(bigrams).as("bgs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def stream = arrays
+      .select(col("lang"), explode(col("bgs")).as("bigram"))
+      .withColumn("bh", xxhash64(col("bigram")))
 
     val mg = udaf(new graft.functions.FrequencyAgg(mgCapacity))
     val sketch = stream.groupBy(col("lang"))
-      .agg(mg(xxhash64(col("bigram"))).as("cands"), count(lit(1)).as("n_lang"))
+      .agg(mg(col("bh")).as("cands"), count(lit(1)).as("n_lang"))
     val cands = sketch.select(col("lang"), explode(col("cands")).as("bh"),
       col("n_lang"))
     // exact confirm over candidate keys only: the aggregate's key set is
     // ≤ capacity per language by construction, so it collects driver-side
-    // like centroids/codebooks do — one sketch scan + one confirm scan total
-    val confirmed = stream.withColumn("bh", xxhash64(col("bigram")))
-      .join(broadcast(cands), Seq("lang", "bh"))
-      .groupBy(col("lang"), col("n_lang"), col("bigram"))
-      .agg(count(lit(1)).as("doc_freq"))
-      .collect()
+    // like centroids/codebooks do — one bigram build + two cheap re-explodes
+    val confirmed =
+      try stream
+        .join(broadcast(cands), Seq("lang", "bh"))
+        .groupBy(col("lang"), col("n_lang"), col("bigram"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .collect()
+      finally { arrays.unpersist(); () }
     val byLang = confirmed.groupBy(_.getString(0))
     val gatePassed = byLang.nonEmpty && byLang.forall { case (_, rows) =>
       val nLang = rows.head.getLong(1)

@@ -53,9 +53,11 @@ object TxTable {
                     fileStats: Map[String, Map[String, TxStats.ColStats]] = Map.empty,
                     txn: Option[(String, Long)] = None,
                     schemaJson: Option[String] = None,
-                    cdc: Seq[String] = Nil)
+                    cdc: Seq[String] = Nil,
+                    dvs: Seq[(String, String)] = Nil)
 
-  case class Snapshot(version: Long, liveFiles: Seq[String], commits: Seq[Commit]) {
+  case class Snapshot(version: Long, liveFiles: Seq[String], commits: Seq[Commit],
+                      liveDvs: Map[String, String] = Map.empty) {
     /** Stats for every live file that has them (file → column → range). */
     lazy val liveStats: Map[String, Map[String, TxStats.ColStats]] = {
       val all = commits.flatMap(_.fileStats).toMap
@@ -75,6 +77,7 @@ object TxTable {
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def dataDir(root: String): Path = Paths.get(root, "data")
   private def cdcDir(root: String): Path = Paths.get(root, "cdc")
+  private def dvDir(root: String): Path = Paths.get(root, "dv")
 
   /** Parse every committed version in order.
     *
@@ -110,6 +113,7 @@ object TxTable {
         val adds = Seq.newBuilder[String]
         val removes = Seq.newBuilder[String]
         val cdcFiles = Seq.newBuilder[String]
+        val dvActions = Seq.newBuilder[(String, String)]
         val stats = Map.newBuilder[String, Map[String, TxStats.ColStats]]
         val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty)
         if (lines.isEmpty) corrupt("empty file")
@@ -154,6 +158,11 @@ object TxTable {
           }
           if (node.has("remove")) { removes += node.get("remove").asText(); actions += 1 }
           if (node.has("cdc")) { cdcFiles += node.get("cdc").asText(); actions += 1 }
+          if (node.has("dv")) {
+            val d = node.get("dv")
+            dvActions += ((d.get("f").asText(), d.get("p").asText()))
+            actions += 1
+          }
           if (node.has("end")) endCount = node.get("end").asLong()
         }
         if (op.isEmpty) corrupt("no commitInfo line")
@@ -161,17 +170,26 @@ object TxTable {
         if (endCount != actions)
           corrupt(s"end marker declares $endCount actions, found $actions")
         Commit(version, op, metrics, adds.result(), removes.result(),
-          stats.result(), txn, schemaJson, cdcFiles.result())
+          stats.result(), txn, schemaJson, cdcFiles.result(), dvActions.result())
       }
   }
 
-  /** Snapshot at `asOf` (inclusive) or latest. */
+  /** Snapshot at `asOf` (inclusive) or latest. Deletion-vector replay: a
+    * `dv` action binds the LATEST vector for its file (replacement
+    * vectors are cumulative — the writer merged the old bitmap in);
+    * removing a file retires its vector with it. */
   def snapshot(root: String, asOf: Option[Long] = None): Snapshot = {
     val all = commits(root)
     val upto = asOf.fold(all)(v => all.filter(_.version <= v))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    upto.foreach { c => live ++= c.adds; live --= c.removes }
-    Snapshot(upto.lastOption.fold(-1L)(_.version), live.toSeq, upto)
+    val dv = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    upto.foreach { c =>
+      live ++= c.adds
+      live --= c.removes
+      c.removes.foreach(dv.remove)
+      c.dvs.foreach { case (f, p) => dv(f) = p }
+    }
+    Snapshot(upto.lastOption.fold(-1L)(_.version), live.toSeq, upto, dv.toMap)
   }
 
   /** Read the table (optionally at a past version) as a DataFrame. The
@@ -184,7 +202,7 @@ object TxTable {
     val s = snapshot(root, asOf)
     if (s.liveFiles.isEmpty)
       throw new IllegalStateException(s"empty tx table at $root (version ${s.version})")
-    readFiles(spark, root, s.liveFiles, s.schemaJson)
+    readLive(spark, root, s, s.liveFiles)
   }
 
   private def schemaOf(js: String): org.apache.spark.sql.types.StructType =
@@ -203,6 +221,51 @@ object TxTable {
     schemaJson.fold(spark.read.parquet(paths: _*)) { js =>
       spark.read.schema(schemaOf(js)).parquet(paths: _*)
     }
+  }
+
+  /** Load the snapshot's deletion vectors for a scan's file subset —
+    * driver-side sidecar reads, only for files that actually carry
+    * deletes (metadata-sized: a DV is deleted-rows/8 bits). */
+  private def loadDvs(root: String, s: Snapshot, files: Seq[String]): TxDv.DvMap =
+    TxDv.DvMap(files.flatMap(f => s.liveDvs.get(f).map { p =>
+      f -> TxDv.Bitmap.deserialize(
+        Files.readAllBytes(dvDir(root).resolve(p)))
+    }).toMap)
+
+  /** SNAPSHOT-GOVERNED scan (r12): schema injection + merge-on-read
+    * deletion vectors. Every live read — user reads, readWhere survivors,
+    * and the copy-on-write mutation/compaction read sides — comes through
+    * here, so a row a DV marks deleted is invisible everywhere at once
+    * and a rewrite materializes the deletes it reads through. When no
+    * scanned file carries a vector this is exactly the plain schema read
+    * (zero overhead — no metadata columns, no filter).
+    */
+  private def readLive(spark: SparkSession, root: String, s: Snapshot,
+                       files: Seq[String]): DataFrame = {
+    val dvs = loadDvs(root, s, files)
+    if (dvs.vectors.isEmpty) readFiles(spark, root, files, s.schemaJson)
+    else readFilesMor(spark, root, files, s.schemaJson, dvs)
+      .drop("__dv_file", "__dv_row")
+  }
+
+  /** DV-filtered scan KEEPING the (__dv_file, __dv_row) helper columns —
+    * [[deleteMor]] needs them to address the rows it marks. The
+    * anti-filter is the codegen'd [[DvAntiFilter]] over parquet's
+    * `_metadata` (file_name, row_index) — positions are stable because
+    * parquet row order within an immutable file is. */
+  private def readFilesMor(spark: SparkSession, root: String, files: Seq[String],
+                           schemaJson: Option[String],
+                           dvs: TxDv.DvMap): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val paths = files.map(f => s"$root/data/$f")
+    val base = schemaJson.fold(spark.read)(js => spark.read.schema(schemaOf(js)))
+      .parquet(paths: _*)
+      .withColumn("__dv_file", col("_metadata.file_name"))
+      .withColumn("__dv_row", col("_metadata.row_index"))
+    if (dvs.vectors.isEmpty) base
+    else base.where(GraftBridge.column(DvAntiFilter(
+      GraftBridge.expression(col("__dv_file")),
+      GraftBridge.expression(col("__dv_row")), dvs)))
   }
 
   /** Validate an incoming append schema against the table's CURRENT one:
@@ -305,7 +368,9 @@ object TxTable {
       // schema-preserving empty result: scan one footer, emit no rows
       readFiles(spark, root, s.liveFiles.take(1), s.schemaJson).where(lit(false))
     else
-      readFiles(spark, root, kept, s.schemaJson).where(predicate)
+      // DV-aware: pruning stays sound under merge-on-read deletes (a DV
+      // only REMOVES rows, so per-file ranges remain valid upper bounds)
+      readLive(spark, root, s, kept).where(predicate)
   }
 
   /** The log itself as data — the audit surface: one row per version with
@@ -508,7 +573,8 @@ object TxTable {
                         adds: Seq[Staged], removes: Seq[String],
                         txn: Option[(String, Long)] = None,
                         schemaJson: Option[String] = None,
-                        cdc: Seq[String] = Nil): Boolean = {
+                        cdc: Seq[String] = Nil,
+                        dvActions: Seq[(String, String)] = Nil): Boolean = {
     Files.createDirectories(logDir(root))
     val lines = Seq.newBuilder[String]
     val mnode = mapper.createObjectNode()
@@ -558,10 +624,18 @@ object TxTable {
       val n = mapper.createObjectNode(); n.put("cdc", c): Unit
       lines += mapper.writeValueAsString(n)
     }
+    dvActions.foreach { case (f, p) =>
+      val n = mapper.createObjectNode()
+      val d = n.putObject("dv")
+      d.put("f", f): Unit
+      d.put("p", p): Unit
+      lines += mapper.writeValueAsString(n)
+    }
     // trailing integrity marker: action count, so any truncation — even one
     // severing whole lines — is detectable at read time (see [[commits]])
     val endN = mapper.createObjectNode()
-    endN.put("end", (adds.size + removes.size + cdc.size).toLong): Unit
+    endN.put("end",
+      (adds.size + removes.size + cdc.size + dvActions.size).toLong): Unit
     lines += mapper.writeValueAsString(endN)
     val tmp = Files.createTempFile(logDir(root), ".commit", ".tmp")
     Files.write(tmp, lines.result().mkString("\n").getBytes("UTF-8"))
@@ -687,7 +761,7 @@ object TxTable {
       val affected = filesMatching(spark, root, base, predicate)
       if (affected.isEmpty)
         return base.version // nothing to delete: no-op, no commit
-      val affectedDf = readFiles(spark, root, affected, base.schemaJson)
+      val affectedDf = readLive(spark, root, base, affected)
       val deleted = affectedDf.where(predicate).count()
       val survivors = affectedDf.where(coalesce(!predicate, lit(true)))
       val adds = if (survivors.isEmpty) Nil else writeData(spark, root, survivors)
@@ -705,6 +779,66 @@ object TxTable {
       attempt += 1
     }
     throw new IllegalStateException(s"delete lost $MaxRetries commit races at $root")
+  }
+
+  /** MERGE-ON-READ DELETE via deletion vectors (r12, the Delta DV /
+    * Iceberg positional-delete move): instead of rewriting every file that
+    * holds a match — the copy-on-write [[delete]], whose write
+    * amplification is the WHOLE FILE per kilobyte of matches — commit,
+    * per affected file, a bitmap over the matching rows' parquet
+    * positions (a sidecar of deleted-rows/8 bits) and let every reader
+    * apply it as an anti-filter. At 100 TB this turns a surgical DELETE
+    * from a data rewrite into a metadata write; [[compact]] later
+    * materializes accumulated vectors into clean files (and a
+    * copy-on-write mutation touching a vectored file does the same in
+    * passing). Same SQL three-valued-logic semantics as [[delete]]
+    * (NULL-predicate rows are not deleted — they simply stay unmarked),
+    * same optimistic retry, same change-data-feed rows; `rows_deleted`
+    * counts LIVE matches only (re-deleting marked rows is a no-op), and a
+    * re-delete on an already-vectored file commits a REPLACEMENT vector
+    * with the old bitmap merged in.
+    */
+  def deleteMor(spark: SparkSession, root: String, predicate: Column): Long = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = snapshot(root)
+      val scan = readFilesMor(spark, root, base.liveFiles, base.schemaJson,
+        loadDvs(root, base, base.liveFiles))
+      val dvAgg = org.apache.spark.sql.functions.udaf(new TxDv.DvAgg(),
+        org.apache.spark.sql.Encoders.scalaLong)
+      // per-file bitmaps of the matching LIVE rows, aggregated where the
+      // rows are (the bloom-build shape); only affected files reach the
+      // driver, each as one bitmap row
+      val perFile = scan.where(predicate)
+        .groupBy(col("__dv_file"))
+        .agg(dvAgg(col("__dv_row")).as("bm"), count(lit(1)).as("n"))
+        .collect()
+      if (perFile.isEmpty) return base.version // nothing to delete: no-op
+      val deleted = perFile.map(_.getAs[Long]("n")).sum
+      Files.createDirectories(dvDir(root))
+      val existing = loadDvs(root, base, base.liveFiles)
+      val dvActions = perFile.map { r =>
+        val f = r.getAs[String]("__dv_file")
+        val add = TxDv.Bitmap.deserialize(r.getAs[Array[Byte]]("bm"))
+        val merged = existing.vectors.get(f).fold(add)(old => add.or(old))
+        val name = s"${java.util.UUID.randomUUID()}.dv"
+        Files.write(dvDir(root).resolve(name), merged.serialize): Unit
+        (f, name)
+      }.toSeq
+      // change feed: identical delete rows to the copy-on-write path
+      val cdc = writeCdc(spark, root,
+        scan.where(coalesce(predicate, lit(false)))
+          .drop("__dv_file", "__dv_row")
+          .withColumn("_change_type", lit("delete")))
+      if (tryCommit(root, base.version + 1, "delete_mor",
+        Map("rows_deleted" -> deleted), Nil, Nil, cdc = cdc,
+        dvActions = dvActions))
+        return base.version + 1
+      dvActions.foreach { case (_, p) => Files.deleteIfExists(dvDir(root).resolve(p)) }
+      dropCdc(root, cdc)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"deleteMor lost $MaxRetries commit races at $root")
   }
 
   /** Copy-on-write MERGE (upsert): rows of `source` matching `target` on
@@ -735,7 +869,7 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(root)
-      val live = readFiles(spark, root, base.liveFiles, base.schemaJson)
+      val live = readLive(spark, root, base, base.liveFiles)
       val cols = live.columns.toSeq
       // files holding at least one matched key — the only rewrite set
       val affected = live
@@ -752,7 +886,7 @@ object TxTable {
       val (rewritten, changes) =
         if (affected.isEmpty) (ins, insChanges)
         else {
-          val aff = readFiles(spark, root, affected, base.schemaJson)
+          val aff = readLive(spark, root, base, affected)
           val upd = source.select(
             keyCols.map(col) ++ updateCols.map(c => col(c).as(s"__src_$c"))
               :+ lit(true).as("__matched"): _*)
@@ -808,8 +942,11 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(root)
-      if (base.liveFiles.size <= targetFiles) return base.version // no-op
-      val live = readFiles(spark, root, base.liveFiles, base.schemaJson)
+      // a table carrying deletion vectors always compacts: compaction is
+      // the pass that MATERIALIZES merge-on-read deletes into clean files
+      if (base.liveFiles.size <= targetFiles && base.liveDvs.isEmpty)
+        return base.version // no-op
+      val live = readLive(spark, root, base, base.liveFiles)
       val arranged =
         if (sortCols.nonEmpty)
           live.repartitionByRange(targetFiles, sortCols.map(col): _*)
@@ -842,8 +979,9 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(root)
-      if (base.liveFiles.size <= targetFiles) return base.version // no-op
-      val live = readFiles(spark, root, base.liveFiles, base.schemaJson)
+      if (base.liveFiles.size <= targetFiles && base.liveDvs.isEmpty)
+        return base.version // no-op (see compact: DVs force materialization)
+      val live = readLive(spark, root, base, base.liveFiles)
       val cols = live.columns.toSeq
       val mm = live.agg(min(col(xCol)).cast("double").as("x0"),
         max(col(xCol)).cast("double").as("x1"),
@@ -904,13 +1042,26 @@ object TxTable {
         .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
         .filterNot(keptCdc).toSeq
     cdcGarbage.foreach(g => Files.deleteIfExists(cdcDir(root).resolve(g)))
-    (garbage ++ cdcGarbage).sorted
+    // deletion-vector sidecars: retained iff some kept snapshot's live DV
+    // set references them (replaced vectors and vectors of rewritten
+    // files age out exactly like data files)
+    val keptDvs = all.filter(_.version >= keepFromVersion).map(_.version)
+      .flatMap(v => snapshot(root, Some(v)).liveDvs.values).toSet
+    val dvGarbage =
+      if (!Files.isDirectory(dvDir(root))) Nil
+      else Files.list(dvDir(root)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".dv"))
+        .filterNot(keptDvs).toSeq
+    dvGarbage.foreach(g => Files.deleteIfExists(dvDir(root).resolve(g)))
+    (garbage ++ cdcGarbage ++ dvGarbage).sorted
   }
 
-  /** Names of live data files containing at least one row matching `pred`. */
+  /** Names of live data files containing at least one LIVE row matching
+    * `pred` (DV-aware: a file whose only matches are already
+    * vector-deleted is not rewritten). */
   private def filesMatching(spark: SparkSession, root: String, s: Snapshot,
                             pred: Column): Seq[String] =
-    readFiles(spark, root, s.liveFiles, s.schemaJson)
+    readLive(spark, root, s, s.liveFiles)
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
       .where(pred)
       .select("__file").distinct()

@@ -911,6 +911,95 @@ class AcidSpec extends SparkSpec {
     assert(e.getMessage.contains("no change data"))
   }
 
+  test("deletion vectors: merge-on-read delete rewrites NO file; reads, time travel, readWhere, CDF all apply them") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 40, "a").repartition(2)) // v0: 2 files
+    val filesBefore = TxTable.snapshot(root).liveFiles.toSet
+    val v = TxTable.deleteMor(spark, root, $"id" <= 10)             // v1
+    assert(v == 1L)
+    val c = TxTable.commits(root).last
+    assert(c.op == "delete_mor" && c.adds.isEmpty && c.removes.isEmpty &&
+      c.dvs.nonEmpty && c.metrics("rows_deleted") == 10)
+    // the whole point: zero data files touched
+    assert(TxTable.snapshot(root).liveFiles.toSet == filesBefore)
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 30 && back.where($"id" <= 10).count() == 0)
+    // time travel to v0 sees every row (vectors version with the log)
+    assert(TxTable.read(spark, root, asOf = Some(0L)).count() == 40)
+    // overlapping re-delete: only LIVE matches count; replacement vector
+    // carries the merged bitmap
+    val v2 = TxTable.deleteMor(spark, root, $"id" <= 15)
+    assert(v2 == 2L &&
+      TxTable.commits(root).last.metrics("rows_deleted") == 5)
+    assert(TxTable.read(spark, root).count() == 25)
+    // re-deleting fully-marked rows is a version-preserving no-op
+    assert(TxTable.deleteMor(spark, root, $"id" <= 15) == 2L)
+    // the pruned-scan path applies vectors too
+    assert(TxTable.readWhere(spark, root, $"id" <= 20).count() == 5)
+    // the change feed carries exactly the marked rows
+    val ch = TxTable.readChanges(spark, root, 1L, Some(2L)).collect()
+    assert(ch.length == 15 &&
+      ch.forall(_.getAs[String]("_change_type") == "delete") &&
+      ch.map(_.getAs[Long]("id")).sorted.toSeq == (1L to 15L))
+  }
+
+  test("deletion vectors under three-valued logic: null-predicate rows stay unmarked") {
+    val root = freshRoot()
+    val rows = (1 to 30).map(i =>
+      (i.toLong, if (i % 3 == 0) None else Some(i * 100L))).toDF("id", "ts")
+    TxTable.append(spark, root, rows)
+    TxTable.deleteMor(spark, root, $"ts" < 1500L)
+    val back = TxTable.read(spark, root)
+    assert(back.where($"ts".isNull).count() == 10)
+    assert(back.where($"ts".isNotNull && $"ts" < 1500L).count() == 0)
+  }
+
+  test("compaction materializes deletion vectors; vacuum retires data files AND sidecars") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 40, "a").repartition(2))
+    TxTable.deleteMor(spark, root, $"id" % 4 === 0)                 // v1: 10 marked
+    // a table at target file count but carrying vectors still compacts —
+    // compaction IS the materialization pass
+    val v = TxTable.compact(spark, root, targetFiles = 2)
+    assert(v == 2L)
+    val s = TxTable.snapshot(root)
+    assert(s.liveDvs.isEmpty, "compaction left vectors on rewritten files")
+    assert(TxTable.read(spark, root).count() == 30)
+    assert(TxTable.read(spark, root).where($"id" % 4 === 0).count() == 0)
+    // vacuum below the compaction: old data files and the sidecar go
+    val dvFiles = TxTable.commits(root)(1).dvs.map(_._2)
+    val reclaimed = TxTable.vacuum(root, keepFromVersion = 2L)
+    assert(dvFiles.forall(reclaimed.contains), "replaced sidecar survived vacuum")
+    intercept[Exception] {
+      TxTable.read(spark, root, asOf = Some(1L)).count()
+    }: Unit
+  }
+
+  test("copy-on-write mutations read THROUGH deletion vectors and retire them with the file") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 20, "a").repartition(1))
+    TxTable.deleteMor(spark, root, $"id" <= 5)
+    // CoW delete on the vectored file: the rewrite must not resurrect the
+    // 5 marked rows, and the rewritten file carries no vector
+    TxTable.delete(spark, root, $"id" > 15)
+    val s = TxTable.snapshot(root)
+    assert(s.liveDvs.isEmpty)
+    val back = TxTable.read(spark, root).collect().map(_.getAs[Long]("id")).sorted
+    assert(back.toSeq == (6L to 15L))
+    // and a merge through a vector: the marked row is NOT live, so its
+    // key INSERTS as a fresh source row (upsert semantics) — the old
+    // vector-deleted row must not resurrect beside it
+    TxTable.deleteMor(spark, root, $"id" === 6L)
+    TxTable.merge(spark, root,
+      Seq((6L, "x", 999L), (7L, "x", 777L)).toDF("id", "tag", "value"),
+      Seq("id"), Seq("value"))
+    val after = TxTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"), r.getAs[Long]("value")))
+    assert(after.count(_._1 == 6L) == 1, "vector-deleted row resurrected beside its re-insert")
+    assert(after.find(_._1 == 6L).contains((6L, "x", 999L))) // inserted whole source row
+    assert(after.find(_._1 == 7L).contains((7L, "a", 777L))) // updated in place, tag kept
+  }
+
   test("a corrupt bloom in the log surfaces as the corrupt-commit-log diagnostic, not an AIOOBE at plan time") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 50, "a"), bloomCols = Seq("id"))
