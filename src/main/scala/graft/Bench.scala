@@ -108,6 +108,8 @@ object Bench {
       "acid_txtable"          -> (() => AcidOps.ordersTxTable(spark, sfDir): Unit),
       "acid_txn_sink"         -> (() => AcidOps.txnSinkTable(spark, sfDir): Unit),
       "acid_evo"              -> (() => AcidOps.evoTable(spark, sfDir): Unit),
+      "acid_skip"             -> (() => AcidOps.skipTable(spark, sfDir): Unit),
+      "acid_mor"              -> (() => AcidOps.morTable(spark, sfDir): Unit),
       "fmt_avro"              -> (() => sources.Formats.avroRoundtrip(spark, sfDir).count(): Unit),
       "fmt_exports"           -> (() => sources.Formats.stageAll(spark, sfDir)))
     // Dev loop (the 100x deep-point runs): SPARK_GRAFT_STAGE_ONLY=a,b

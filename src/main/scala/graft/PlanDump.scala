@@ -111,6 +111,16 @@ object PlanDump {
         operators.DedupOps.incrementalDedup(spark, sfDir)),
       ("dd_incremental_tx", "index side is the PERSISTED TxTable v0 snapshot: plain parquet scan from the commit log",
         operators.DedupOps.incrementalDedupTx(spark, sfDir)),
+      ("dd_incremental_cdf", "batch side is the index's OWN change feed (v1 inserts): replay, not recompute",
+        operators.DedupOps.incrementalDedupCdf(spark, sfDir)),
+      ("xacid_cdf", "per-commit change batches: appends read as-written data files, mutations read cdc files; one union agg",
+        operators.AcidOps.changeFeed(spark, sfDir)),
+      ("xacid_dv_scan", "merge-on-read scan: codegen'd deletion-vector anti-filter over _metadata (file,row), zero rewrites",
+        operators.AcidOps.dvState(spark, sfDir)),
+      ("xacid_prefix_scan", "LIKE 'p%' ranged by the prover against UTF-8 file stats: 2 of 4 files ever open",
+        operators.AcidOps.prefixScan(spark, sfDir)),
+      ("tx_stratified_sample", "ONE fused codegen'd langid pass per inlined occurrence (was 81 split() trees outside codegen)",
+        operators.TextOps.stratifiedSample(spark, sfDir)),
       ("md_flac_decode", "staged FLAC payload scan -> one codegen'd Rice/predictor-inverting parse, zero shuffle",
         operators.MediaOps.flacDecode(spark, sfDir)),
       ("md_gzip_decode", "staged gzip member scan -> one codegen'd Huffman/LZ77-inverting parse, zero shuffle",

@@ -18,8 +18,11 @@ import scala.jdk.CollectionConverters._
   *
   * A commit file holds one JSON action per line: first a `commitInfo` line
   * (operation name + deterministic row metrics), then `add`/`remove` lines
-  * naming data files. A reader replays the log in version order: live
-  * files = adds minus removes — reading AT a version is time travel, and a
+  * naming data files, `cdc` lines naming row-level change files (r12, the
+  * change data feed), and `dv` lines binding deletion-vector sidecars to
+  * files (r12, merge-on-read deletes). A reader replays the log in version
+  * order: live files = adds minus removes, each file's latest vector
+  * applies — reading AT a version is time travel, and a
   * reader never sees a half-written commit because versions become visible
   * only via an ATOMIC-EXCLUSIVE hard link (`Files.createLink` of a staged
   * temp file onto the next version number — POSIX link(2) fails if the

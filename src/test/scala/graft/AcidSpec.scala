@@ -911,6 +911,20 @@ class AcidSpec extends SparkSpec {
     assert(e.getMessage.contains("no change data"))
   }
 
+  test("change feed spans schema evolution: pre-evolution batches surface NULL for later columns") {
+    val root = freshRoot()
+    TxTable.append(spark, root, Seq((1L, "a")).toDF("id", "tag"))
+    TxTable.append(spark, root,
+      Seq((2L, "b", Some(20L))).toDF("id", "tag", "value")) // additive evolution
+    val ch = TxTable.readChanges(spark, root, 0L).collect()
+    assert(ch.length == 2 && ch.forall(_.getAs[String]("_change_type") == "insert"))
+    val v0 = ch.find(_.getAs[Long]("_commit_version") == 0L).get
+    assert(v0.isNullAt(v0.fieldIndex("value")),
+      "pre-evolution insert batch should surface NULL for the later column")
+    val v1 = ch.find(_.getAs[Long]("_commit_version") == 1L).get
+    assert(v1.getAs[Long]("value") == 20L)
+  }
+
   test("deletion vectors: merge-on-read delete rewrites NO file; reads, time travel, readWhere, CDF all apply them") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 40, "a").repartition(2)) // v0: 2 files
