@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** STREAMING CHANGE FEED over a [[TxTable]] commit log (r12) — the Delta
+  * `readChangeFeed` streaming mode, re-expressed as a Structured Streaming
+  * V1 `Source` (the DeltaSource/FileStreamSource shape: the commit log IS
+  * the write-ahead log, so offsets are simply table VERSIONS):
+  *
+  * {{{
+  * spark.readStream.format("graft-tx-changes")
+  *   .option("root", tableRoot).option("startVersion", "0").load()
+  * }}}
+  *
+  * Each micro-batch is `readChanges(lastSeen+1, latest)` — row-level
+  * changes with `_change_type` / `_commit_version` — so any Structured
+  * Streaming program (windowed aggregates, `foreachBatch` into a
+  * downstream index, another TxTable via the exactly-once sink) consumes
+  * mutations incrementally with NO snapshot diffing and NO sink-side
+  * polling loop. Offsets serialize as the version number, so checkpoint
+  * recovery resumes exactly after the last committed batch; compaction
+  * commits contribute empty batches (layout surgery is not a change);
+  * a pre-CDF mutation in the consumed range fails loudly (readChanges'
+  * contract), never silently drops a mutation.
+  *
+  * The batch DataFrame is computed by the ordinary batch reader and
+  * wrapped streaming via `internalCreateDataFrame` — columns are aligned
+  * to the source's FIXED schema (the table schema at source creation +
+  * the two feed columns), with batches that predate a schema evolution
+  * surfacing NULL for columns they lack.
+  */
+class TxChangesSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tx-changes"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), TxChangesSource.schemaFor(
+      TxChangesSource.rootOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new TxChangesSource(ctx.sparkSession, TxChangesSource.rootOf(parameters),
+      parameters.get("startVersion").map(_.toLong).getOrElse(0L))
+}
+
+object TxChangesSource {
+  private[sources] def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-tx-changes needs option root=<table dir>"))
+
+  /** The feed's fixed schema: the table schema as of source creation plus
+    * `_change_type` and `_commit_version`. Pre-schema logs fall back to a
+    * live file's footer (same rule as the batch reader). */
+  private[sources] def schemaFor(root: String): StructType = {
+    val s = TxTable.snapshot(root)
+    val base = s.schemaJson.map(TxTable.schemaOf).getOrElse {
+      val f = s.liveFiles.headOption.getOrElse(
+        throw new IllegalStateException(s"empty tx table at $root"))
+      SparkSession.active.read.parquet(s"$root/data/$f").schema
+    }
+    base.add("_change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
+  }
+}
+
+class TxChangesSource(spark: SparkSession, root: String, startVersion: Long)
+    extends Source {
+
+  private val schema0 = TxChangesSource.schemaFor(root)
+
+  override def schema: StructType = schema0
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json().toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = TxTable.snapshot(root).version
+    if (v < startVersion) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver(_) + 1).getOrElse(startVersion)
+    val to = ver(end)
+    val batch =
+      if (from > to)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+      else {
+        val df = TxTable.readChanges(spark, root, from, Some(to))
+        // align to the fixed source schema: a batch predating a schema
+        // evolution lacks the later columns — surface NULL for them
+        df.select(schema0.fields.map { f =>
+          if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      }
+    org.apache.spark.sql.GraftBridge.streamingDataFrame(
+      spark, batch.queryExecution.toRdd, schema0)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -208,7 +208,7 @@ object TxTable {
     readLive(spark, root, s, s.liveFiles)
   }
 
-  private def schemaOf(js: String): org.apache.spark.sql.types.StructType =
+  private[sources] def schemaOf(js: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(js)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 

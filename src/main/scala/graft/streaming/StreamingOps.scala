@@ -667,4 +667,20 @@ object StreamingOps {
     graft.sources.TxTable.appendOnce(
       batch.sparkSession, root, batch, appId, batchId, bloomCols): Unit
   }
+
+  /** A TxTable's CHANGE FEED as a streaming DataFrame (r12) — the read
+    * half of the CDC loop whose write half is [[exactlyOnceSink]]: table
+    * versions are the offsets (the commit log is the write-ahead log), so
+    * each micro-batch carries exactly the row-level changes of the
+    * versions committed since the last batch, with `_change_type` and
+    * `_commit_version` columns. Chain the two and mutations flow
+    * table → feed → transform → exactly-once table with end-to-end
+    * exactly-once semantics and no snapshot diffing anywhere.
+    */
+  def changeFeedStream(spark: SparkSession, root: String,
+                       startVersion: Long = 0L): DataFrame =
+    spark.readStream.format("graft-tx-changes")
+      .option("root", root)
+      .option("startVersion", startVersion.toString)
+      .load()
 }

@@ -19,4 +19,15 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** A STREAMING DataFrame over already-computed batch rows — what a V1
+    * streaming `Source.getBatch` must return (the FileStreamSource /
+    * DeltaSource shape: `internalCreateDataFrame(rdd, schema,
+    * isStreaming = true)`, which is private[sql]). */
+  def streamingDataFrame(spark: SparkSession,
+                         rdd: org.apache.spark.rdd.RDD[
+                           org.apache.spark.sql.catalyst.InternalRow],
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

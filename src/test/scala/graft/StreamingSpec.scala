@@ -4,6 +4,7 @@ import graft.streaming.StreamingOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 case class Ev(ts: Timestamp, event_type: String)
 case class Doc(ts: Timestamp, text_hash: String)
@@ -658,6 +659,119 @@ class StreamingSpec extends SparkSpec {
       // through the longer log — time travel is the isolation mechanism
       assert(TxTable.read(spark, root, asOf = Some(0L)).count() ==
         TxTable.read(spark, root).count())
+    } finally q.stop()
+  }
+
+  test("graft-tx-changes: a streaming query consumes the commit log incrementally; versions are offsets") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_stream").toString
+    def frame(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, tag, i * 10L)).toDF("id", "tag", "value")
+    TxTable.append(spark, root, frame(1 to 20, "a").repartition(2)) // v0 pre-stream
+    val q = StreamingOps.changeFeedStream(spark, root)
+      .writeStream.format("memory").queryName("cdf_stream")
+      .outputMode("append").start()
+    def sink(): Set[(Long, String, Long)] =
+      spark.table("cdf_stream").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"),
+          r.getAs[Long]("_commit_version"))).toSet
+    try {
+      q.processAllAvailable()
+      assert(sink().count(t => t._3 == 0L && t._2 == "insert") == 20)
+      TxTable.delete(spark, root, col("id") <= 5)                   // v1
+      q.processAllAvailable()
+      assert(sink().filter(_._3 == 1L) ==
+        (1L to 5L).map((_, "delete", 1L)).toSet)
+      TxTable.merge(spark, root,                                    // v2
+        Seq((6L, "x", 600L), (100L, "n", 1L)).toDF("id", "tag", "value"),
+        Seq("id"), Seq("value"))
+      q.processAllAvailable()
+      assert(sink().filter(_._3 == 2L) == Set(
+        (6L, "update_preimage", 2L), (6L, "update_postimage", 2L),
+        (100L, "insert", 2L)))
+      TxTable.compact(spark, root, targetFiles = 1)                 // v3: layout only
+      TxTable.deleteMor(spark, root, col("id") === 7L)              // v4: vector delete
+      q.processAllAvailable()
+      assert(sink().filter(_._3 == 3L).isEmpty, "compaction is not a change")
+      assert(sink().filter(_._3 == 4L) == Set((7L, "delete", 4L)))
+      // the stream's cumulative content IS the batch feed replay
+      val batch = TxTable.readChanges(spark, root, 0L).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"),
+          r.getAs[Long]("_commit_version"))).toSet
+      assert(sink() == batch)
+    } finally q.stop()
+    // startVersion skips history: a late subscriber sees only v2+
+    val q2 = StreamingOps.changeFeedStream(spark, root, startVersion = 2L)
+      .writeStream.format("memory").queryName("cdf_stream_late")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val late = spark.table("cdf_stream_late").collect()
+        .map(_.getAs[Long]("_commit_version")).toSet
+      assert(late == Set(2L, 4L)) // v3's compaction contributes nothing
+    } finally q2.stop()
+  }
+
+  test("graft-tx-changes: checkpoint recovery resumes after the last committed version, no redelivery") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt_loc").toString
+    TxTable.append(spark, root,
+      (1 to 20).map(i => (i.toLong, i * 10L)).toDF("id", "value"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    def run(): Unit = {
+      val q = StreamingOps.changeFeedStream(spark, root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          b.collect().foreach(r => seen.add((r.getAs[Long]("_commit_version"),
+            r.getAs[Long]("id"), r.getAs[String]("_change_type"))): Unit)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(seen.size == 20 && seen.asScala.forall(_._1 == 0L))
+    // mutations land while NO query is running; the restarted query must
+    // resume from the checkpointed version offset — v0 is not redelivered
+    TxTable.delete(spark, root, col("id") <= 3)
+    TxTable.deleteMor(spark, root, col("id") === 10L)
+    run()
+    val phase2 = seen.asScala.filter(_._1 > 0L).toSet
+    assert(seen.size == 24, s"redelivery or loss: ${seen.size} rows total")
+    assert(phase2 == Set((1L, 1L, "delete"), (1L, 2L, "delete"),
+      (1L, 3L, "delete"), (2L, 10L, "delete")))
+  }
+
+  test("change feed chained into the exactly-once sink: an incremental table-to-table mirror") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val src = java.nio.file.Files.createTempDirectory("graft_cdf_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_cdf_dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_mirror_ckpt").toString
+    def frame(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+    TxTable.append(spark, src, frame(1 to 10, "a"))
+    // the CDC loop end-to-end: versions in -> txn-idempotent appends out
+    val q = StreamingOps.changeFeedStream(spark, src)
+      .where(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingOps.exactlyOnceSink(dst, appId = "mirror"))
+      .start()
+    try {
+      q.processAllAvailable()
+      TxTable.append(spark, src, frame(11 to 25, "b"))
+      q.processAllAvailable()
+      val mirrored = TxTable.read(spark, dst)
+      assert(mirrored.count() == 25)
+      assert(mirrored.exceptAll(TxTable.read(spark, src)).count() == 0)
+      // provenance: every mirror commit is a distinct-batch stream append
+      val cs = TxTable.snapshot(dst).commits.filter(_.metrics.getOrElse("rows_written", 0L) > 0)
+      assert(cs.forall(_.op == "stream_append"))
+      assert(cs.flatMap(_.txn).map(_._2).distinct.size == cs.size)
     } finally q.stop()
   }
 
