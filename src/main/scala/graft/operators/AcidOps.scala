@@ -219,6 +219,29 @@ object AcidOps {
         sum(col("o_orderkey")).as("sum_keys"),
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
 
+  /** Incremental MATERIALIZED VIEW maintained from the change feed (r12):
+    * the per-status orders aggregate folded as one SIGNED aggregation over
+    * the feed — insert and update_postimage rows add, delete and
+    * update_preimage rows subtract — with the table itself never
+    * rescanned. At 100 TB this is the MV-refresh contract CDF exists for:
+    * refresh cost ∝ changes, not table. The oracle aggregates the FINAL
+    * state replayed from raw mutation rules, so the hash equality is an
+    * ALGEBRAIC completeness proof of the feed — a dropped change kind, a
+    * double-applied batch, or a mis-imaged update breaks the fold exactly
+    * (all arithmetic exact: counts/keys are longs, prices fold as
+    * DECIMAL(14,2) terms).
+    */
+  def incrementalMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L) // delete, update_preimage
+    TxTable.readChanges(spark, ordersTxTable(spark, sfDir), fromVersion = 0L)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(sign).as("n_orders"),
+        sum(sign * col("o_orderkey")).as("sum_keys"),
+        sum(col("o_totalprice").cast("decimal(14,2)") * sign)
+          .cast("double").as("total"))
+  }
+
   /** Merge-on-read DELETE fixture (r12): a four-file orders projection
     * takes TWO deletion-vector deletes — a key-mod sweep, then an
     * overlapping status-conditioned one (overlap forces replacement-vector

@@ -30,6 +30,7 @@ object LifecyclePack extends QueryPack {
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
     "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
     "xacid_dv_scan" -> ((s, d) => AcidOps.dvState(s, d)),
+    "xacid_mv" -> ((s, d) => AcidOps.incrementalMv(s, d)),
   )
 
   private val stagesValues = LifecycleOps.Stages
@@ -268,5 +269,27 @@ object LifecyclePack extends QueryPack {
         |WHERE NOT (o_orderkey % 7 = 0)
         |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
         |GROUP BY o_orderstatus""".stripMargin,
+    // the change-feed-maintained MV must equal the FINAL state aggregate
+    // (the same replay CTE as xacid_final_state, rolled up by status):
+    // inserts − deletes + postimages − preimages is algebraically the
+    // final state iff the feed is complete and exactly-once
+    "xacid_mv" ->
+      s"""WITH final AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + ${AcidOps.PriceCorrection}
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice + ${AcidOps.PriceCorrection}
+         |  FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}' AND o_orderkey % 10 = 3
+         |  UNION ALL
+         |  SELECT o_orderkey + ${AcidOps.InsertKeyOffset}, 'R', o_totalprice
+         |  FROM orders WHERE o_orderkey % 97 = 0
+         |)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM final GROUP BY o_orderstatus""".stripMargin,
   )
 }

@@ -97,6 +97,16 @@ class TxChangesSource(spark: SparkSession, root: String, startVersion: Long)
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
       else {
         val df = TxTable.readChanges(spark, root, from, Some(to))
+        // a MID-STREAM schema evolution surfaces as batch columns beyond
+        // the source's fixed schema: FAIL (the Delta stream-restart
+        // contract) — silently projecting the new column away would feed
+        // every downstream consumer a feed that never mentions it
+        val extra = df.columns.toSet -- schema0.fieldNames.toSet
+        if (extra.nonEmpty)
+          throw new IllegalStateException(
+            s"graft-tx-changes: table at $root evolved mid-stream " +
+              s"(new columns ${extra.mkString(", ")}); restart the stream " +
+              "to adopt the new schema")
         // align to the fixed source schema: a batch predating a schema
         // evolution lacks the later columns — surface NULL for them
         df.select(schema0.fields.map { f =>

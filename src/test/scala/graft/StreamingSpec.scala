@@ -745,6 +745,38 @@ class StreamingSpec extends SparkSpec {
       (1L, 3L, "delete"), (2L, 10L, "delete")))
   }
 
+  test("graft-tx-changes: a mid-stream schema evolution fails the stream loudly, never silently drops the column") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_evo").toString
+    TxTable.append(spark, root, Seq((1L, "a")).toDF("id", "tag"))
+    val q = StreamingOps.changeFeedStream(spark, root)
+      .writeStream.format("memory").queryName("cdf_evo_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // additive evolution lands while the stream is up
+      TxTable.append(spark, root,
+        Seq((2L, "b", Some(9L))).toDF("id", "tag", "value"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getCause != null &&
+        String.valueOf(e.getCause.getMessage).contains("evolved mid-stream"),
+        s"wrong failure: ${e.getCause}")
+    } finally q.stop()
+    // a RESTARTED stream adopts the evolved schema and NULL-fills old batches
+    val q2 = StreamingOps.changeFeedStream(spark, root)
+      .writeStream.format("memory").queryName("cdf_evo_stream2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("cdf_evo_stream2").collect()
+        .map(r => (r.getAs[Long]("id"), Option(r.getAs[java.lang.Long]("value")))).toMap
+      assert(rows == Map(1L -> None, 2L -> Some(9L)))
+    } finally q2.stop()
+  }
+
   test("change feed chained into the exactly-once sink: an incremental table-to-table mirror") {
     import spark.implicits._
     import graft.sources.TxTable
