@@ -59,11 +59,18 @@ object TxTable {
                     cdc: Seq[String] = Nil,
                     dvs: Seq[(String, String)] = Nil)
 
+  /** One committed version view. `commits` holds the replayed TAIL — every
+    * commit when no checkpoint accelerated the build, else only the
+    * commits after the checkpoint (r12: `baseStats`/`baseSchema` carry the
+    * checkpointed state those earlier commits folded into).
+    */
   case class Snapshot(version: Long, liveFiles: Seq[String], commits: Seq[Commit],
-                      liveDvs: Map[String, String] = Map.empty) {
+                      liveDvs: Map[String, String] = Map.empty,
+                      baseStats: Map[String, Map[String, TxStats.ColStats]] = Map.empty,
+                      baseSchema: Option[String] = None) {
     /** Stats for every live file that has them (file → column → range). */
     lazy val liveStats: Map[String, Map[String, TxStats.ColStats]] = {
-      val all = commits.flatMap(_.fileStats).toMap
+      val all = baseStats ++ commits.flatMap(_.fileStats)
       liveFiles.flatMap(f => all.get(f).map(f -> _)).toMap
     }
     /** The table schema AS OF this snapshot — the latest commit-recorded
@@ -73,6 +80,7 @@ object TxTable {
       * back to parquet's own footer schema. */
     lazy val schemaJson: Option[String] =
       commits.reverseIterator.flatMap(_.schemaJson).nextOption()
+        .orElse(baseSchema)
   }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -97,11 +105,21 @@ object TxTable {
     * undetectable (every remaining line still parses) — that broken-variant
     * behavior is pinned by AcidSpec's corruption case.
     */
-  def commits(root: String): Seq[Commit] = {
+  def commits(root: String): Seq[Commit] = commitsInRange(root, 0L, None)
+
+  /** Commit files with version in [from, to] — the tail parse a
+    * checkpoint-accelerated snapshot does instead of replaying the whole
+    * log (r12). */
+  private def commitsInRange(root: String, from: Long,
+                             to: Option[Long]): Seq[Commit] = {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) return Seq.empty
     Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .filter { p =>
+        val v = p.getFileName.toString.stripSuffix(".json").toLong
+        v >= from && to.forall(v <= _)
+      }
       .toSeq.sortBy(_.getFileName.toString)
       .map { p =>
         val version = p.getFileName.toString.stripSuffix(".json").toLong
@@ -139,25 +157,10 @@ object TxTable {
             val f = node.get("add").asText()
             adds += f
             actions += 1
-            if (node.has("stats")) {
-              val s = node.get("stats")
-              stats += f -> s.properties().asScala.map { e =>
-                val v = e.getValue
-                val bloom =
-                  if (v.has("bloom")) {
-                    val b = v.get("bloom")
-                    try Some(TxStats.BloomStat.fromBase64(
-                      b.get("m").asInt(), b.get("k").asInt(), b.get("b").asText()))
-                    catch { case iae: IllegalArgumentException =>
-                      corrupt(s"column ${e.getKey} bloom: ${iae.getMessage}") }
-                  } else None
-                e.getKey -> TxStats.ColStats(v.get("t").asText(),
-                  v.get("min").asText(), v.get("max").asText(), bloom,
-                  // absent on pre-r12 logs: those files never null-prune
-                  if (v.has("n")) Some(v.get("n").asLong()) else None,
-                  if (v.has("r")) Some(v.get("r").asLong()) else None)
-              }.toMap
-            }
+            if (node.has("stats"))
+              try stats += f -> parseStatsNode(node.get("stats"))
+              catch { case iae: IllegalArgumentException =>
+                corrupt(iae.getMessage) }
           }
           if (node.has("remove")) { removes += node.get("remove").asText(); actions += 1 }
           if (node.has("cdc")) { cdcFiles += node.get("cdc").asText(); actions += 1 }
@@ -177,22 +180,192 @@ object TxTable {
       }
   }
 
+  /** Per-column stats of one JSON stats node (shared by `add` actions and
+    * checkpoint `file` lines); throws IllegalArgumentException on a
+    * malformed bloom — callers surface their corrupt diagnostic. */
+  private def parseStatsNode(s: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, TxStats.ColStats] =
+    s.properties().asScala.map { e =>
+      val v = e.getValue
+      val bloom =
+        if (v.has("bloom")) {
+          val b = v.get("bloom")
+          try Some(TxStats.BloomStat.fromBase64(
+            b.get("m").asInt(), b.get("k").asInt(), b.get("b").asText()))
+          catch { case iae: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"column ${e.getKey} bloom: ${iae.getMessage}") }
+        } else None
+      e.getKey -> TxStats.ColStats(v.get("t").asText(),
+        v.get("min").asText(), v.get("max").asText(), bloom,
+        // absent on pre-r12 logs: those files never null-prune
+        if (v.has("n")) Some(v.get("n").asLong()) else None,
+        if (v.has("r")) Some(v.get("r").asLong()) else None)
+    }.toMap
+
+  /** Mirror of [[parseStatsNode]]: write a stats map into `sn`. */
+  private def writeStatsNode(sn: com.fasterxml.jackson.databind.node.ObjectNode,
+                             stats: Map[String, TxStats.ColStats]): Unit =
+    stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+      val cn = sn.putObject(c)
+      cn.put("t", cs.t): Unit
+      cn.put("min", cs.min): Unit
+      cn.put("max", cs.max): Unit
+      cs.nulls.foreach(v => cn.put("n", v): Unit)
+      cs.rows.foreach(v => cn.put("r", v): Unit)
+      cs.bloom.foreach { b =>
+        val bn = cn.putObject("bloom")
+        bn.put("m", b.m): Unit
+        bn.put("k", b.k): Unit
+        bn.put("b", b.toBase64): Unit
+      }
+    }
+
+  /** LOG CHECKPOINT state (r12, the Delta checkpoint move): the fully
+    * folded snapshot at a version, written to
+    * `_log/<%020d>.checkpoint.json` so a reader replays checkpoint + tail
+    * instead of the WHOLE log — without it, snapshot cost grows linearly
+    * with table lifetime (a 100-TB table accumulates 10⁵+ commits, and
+    * every read takes a snapshot). Commit files are never deleted, so
+    * time travel below a checkpoint still replays raw history.
+    */
+  private case class CheckpointState(version: Long, liveFiles: Seq[String],
+                                     fileStats: Map[String, Map[String, TxStats.ColStats]],
+                                     liveDvs: Map[String, String],
+                                     schemaJson: Option[String])
+
+  /** Checkpoint every N commits (auto, best-effort, after a won publish). */
+  private val CheckpointInterval = 20L
+
+  /** Write a checkpoint of the CURRENT snapshot; returns its version.
+    * Concurrency-safe via the same exclusive hard link as commits — at
+    * most one writer owns a checkpoint version; a lost race is a no-op
+    * (the state at that version is deterministic, both writers agree).
+    */
+  def checkpoint(root: String): Long = {
+    val s = snapshot(root)
+    require(s.version >= 0, s"nothing to checkpoint at $root")
+    val lines = Seq.newBuilder[String]
+    val info = mapper.createObjectNode()
+    val ci = info.putObject("checkpointInfo")
+    ci.put("v", s.version): Unit
+    s.schemaJson.foreach(js => ci.put("schema", js): Unit)
+    lines += mapper.writeValueAsString(info)
+    var actions = 0
+    s.liveFiles.foreach { f =>
+      val n = mapper.createObjectNode()
+      n.put("file", f): Unit
+      s.liveStats.get(f).filter(_.nonEmpty).foreach { st =>
+        writeStatsNode(n.putObject("stats"), st)
+      }
+      lines += mapper.writeValueAsString(n)
+      actions += 1
+    }
+    s.liveDvs.toSeq.sortBy(_._1).foreach { case (f, p) =>
+      val n = mapper.createObjectNode()
+      val d = n.putObject("dv")
+      d.put("f", f): Unit
+      d.put("p", p): Unit
+      lines += mapper.writeValueAsString(n)
+      actions += 1
+    }
+    val endN = mapper.createObjectNode()
+    endN.put("end", actions.toLong): Unit
+    lines += mapper.writeValueAsString(endN)
+    val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
+    Files.write(tmp, lines.result().mkString("\n").getBytes("UTF-8"))
+    val target = logDir(root).resolve(f"${s.version}%020d.checkpoint.json")
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp): Unit }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp): Unit }
+    s.version
+  }
+
+  /** Latest checkpoint with version ≤ `asOf` (or any), parsed — same
+    * fail-loudly integrity contract as commit files. */
+  private def latestCheckpoint(root: String,
+                               asOf: Option[Long]): Option[CheckpointState] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return None
+    val candidates = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.checkpoint\\.json"))
+      .filter { p =>
+        val v = p.getFileName.toString.stripSuffix(".checkpoint.json").toLong
+        asOf.forall(v <= _)
+      }.toSeq.sortBy(_.getFileName.toString)
+    candidates.lastOption.map { p =>
+      val version = p.getFileName.toString.stripSuffix(".checkpoint.json").toLong
+      def corrupt(why: String): Nothing = throw new IllegalStateException(
+        s"corrupt checkpoint $p (version $version): $why")
+      val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      if (lines.isEmpty) corrupt("empty file")
+      var schema: Option[String] = None
+      var sawInfo = false
+      var actions = 0
+      var endCount = -1L
+      val files = Seq.newBuilder[String]
+      val stats = Map.newBuilder[String, Map[String, TxStats.ColStats]]
+      val dvs = Map.newBuilder[String, String]
+      lines.foreach { line =>
+        val node =
+          try mapper.readTree(line)
+          catch { case e: com.fasterxml.jackson.core.JacksonException =>
+            corrupt(s"unparseable line: ${e.getMessage}") }
+        if (node.has("checkpointInfo")) {
+          sawInfo = true
+          val ci = node.get("checkpointInfo")
+          if (ci.get("v").asLong() != version)
+            corrupt(s"declares version ${ci.get("v").asLong()}")
+          if (ci.has("schema")) schema = Some(ci.get("schema").asText())
+        }
+        if (node.has("file")) {
+          val f = node.get("file").asText()
+          files += f
+          actions += 1
+          if (node.has("stats"))
+            try stats += f -> parseStatsNode(node.get("stats"))
+            catch { case iae: IllegalArgumentException => corrupt(iae.getMessage) }
+        }
+        if (node.has("dv")) {
+          val d = node.get("dv")
+          dvs += ((d.get("f").asText(), d.get("p").asText()))
+          actions += 1
+        }
+        if (node.has("end")) endCount = node.get("end").asLong()
+      }
+      if (!sawInfo) corrupt("no checkpointInfo line")
+      if (endCount < 0) corrupt("no end marker (truncated?)")
+      if (endCount != actions)
+        corrupt(s"end marker declares $endCount actions, found $actions")
+      CheckpointState(version, files.result(), stats.result(),
+        dvs.result(), schema)
+    }
+  }
+
   /** Snapshot at `asOf` (inclusive) or latest. Deletion-vector replay: a
     * `dv` action binds the LATEST vector for its file (replacement
     * vectors are cumulative — the writer merged the old bitmap in);
-    * removing a file retires its vector with it. */
+    * removing a file retires its vector with it. When a checkpoint at or
+    * below the target exists, only the TAIL commits after it are parsed
+    * (r12) — the read-side cost no longer grows with table lifetime.
+    */
   def snapshot(root: String, asOf: Option[Long] = None): Snapshot = {
-    val all = commits(root)
-    val upto = asOf.fold(all)(v => all.filter(_.version <= v))
+    val cp = latestCheckpoint(root, asOf)
+    val upto = commitsInRange(root, cp.fold(0L)(_.version + 1L), asOf)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val dv = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    cp.foreach { st => live ++= st.liveFiles; dv ++= st.liveDvs }
     upto.foreach { c =>
       live ++= c.adds
       live --= c.removes
       c.removes.foreach(dv.remove)
       c.dvs.foreach { case (f, p) => dv(f) = p }
     }
-    Snapshot(upto.lastOption.fold(-1L)(_.version), live.toSeq, upto, dv.toMap)
+    val version = upto.lastOption.map(_.version)
+      .orElse(cp.map(_.version)).getOrElse(-1L)
+    Snapshot(version, live.toSeq, upto, dv.toMap,
+      cp.fold(Map.empty[String, Map[String, TxStats.ColStats]])(_.fileStats),
+      cp.flatMap(_.schemaJson))
   }
 
   /** Read the table (optionally at a past version) as a DataFrame. The
@@ -596,27 +769,11 @@ object TxTable {
     lines += mapper.writeValueAsString(ci)
     adds.foreach { a =>
       val n = mapper.createObjectNode(); n.put("add", a.name): Unit
-      if (a.stats.nonEmpty) {
+      if (a.stats.nonEmpty)
         // stats ride INSIDE the add action line, so the action count (and
         // with it the end-marker integrity contract) is unchanged and logs
         // without stats stay readable
-        val sn = n.putObject("stats")
-        a.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
-          val cn = sn.putObject(c)
-          cn.put("t", cs.t): Unit
-          cn.put("min", cs.min): Unit
-          cn.put("max", cs.max): Unit
-          // null accounting (r12): what lets reads prune IsNull/IsNotNull
-          cs.nulls.foreach(v => cn.put("n", v): Unit)
-          cs.rows.foreach(v => cn.put("r", v): Unit)
-          cs.bloom.foreach { b =>
-            val bn = cn.putObject("bloom")
-            bn.put("m", b.m): Unit
-            bn.put("k", b.k): Unit
-            bn.put("b", b.toBase64): Unit
-          }
-        }
-      }
+        writeStatsNode(n.putObject("stats"), a.stats)
       lines += mapper.writeValueAsString(n)
     }
     removes.foreach { r =>
@@ -656,6 +813,12 @@ object TxTable {
       // reliably lands both writers in the window.
       Files.createLink(target, tmp)
       Files.deleteIfExists(tmp): Unit
+      // auto-checkpoint every CheckpointInterval commits (best-effort: a
+      // checkpoint is a read accelerator, never required for correctness;
+      // the exclusive link makes concurrent attempts collapse to one)
+      if (version > 0 && version % CheckpointInterval == 0)
+        try checkpoint(root): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>

@@ -1014,6 +1014,63 @@ class AcidSpec extends SparkSpec {
     assert(after.find(_._1 == 7L).contains((7L, "a", 777L))) // updated in place, tag kept
   }
 
+  test("log checkpoint: snapshot replays checkpoint + tail; stats, vectors, schema all survive; pre-checkpoint commits never parse") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 40, "a").repartition(2))      // v0
+    TxTable.delete(spark, root, $"id" > 35)                              // v1
+    TxTable.deleteMor(spark, root, $"id" === 1L)                         // v2
+    TxTable.append(spark, root, (41 to 50).map(i =>                      // v3 + evolution
+      (i.toLong, "b", i * 10L, Some(i.toLong))).toDF("id", "tag", "value", "extra"))
+    val cpV = TxTable.checkpoint(root)
+    assert(cpV == 3L)
+    TxTable.delete(spark, root, $"id" === 41L)                           // v4 tail
+    val s = TxTable.snapshot(root)
+    assert(s.version == 4L && s.commits.map(_.version) == Seq(4L),
+      "checkpointed snapshot should replay only the tail")
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 40 - 5 - 1 + 10 - 1)
+    // vectors survive the checkpoint; evolved schema governs reads
+    assert(back.where($"id" === 1L).count() == 0)
+    assert(back.columns.contains("extra"))
+    assert(back.where($"extra".isNotNull).count() == 9)
+    // checkpointed per-file stats still prove: nothing can match id >= 60
+    assert(TxTable.pruneFiles(spark, root, $"id" >= 60L)._1.isEmpty)
+    // the checkpoint BOUNDS the read set: corrupt a PRE-checkpoint commit
+    // file — latest reads never parse it; below-checkpoint time travel
+    // still replays raw history and fails loudly on the corruption
+    val log0 = java.nio.file.Paths.get(root, "_log", f"${0L}%020d.json")
+    val intact = java.nio.file.Files.readAllBytes(log0)
+    java.nio.file.Files.write(log0, "garbage".getBytes("UTF-8"))
+    assert(TxTable.read(spark, root).count() == 43)
+    intercept[IllegalStateException] {
+      TxTable.read(spark, root, asOf = Some(1L)).count()
+    }: Unit
+    java.nio.file.Files.write(log0, intact)
+    // time travel below the checkpoint replays raw commits (restored)
+    assert(TxTable.read(spark, root, asOf = Some(0L)).count() == 40)
+    // and AT a version between checkpoint and head
+    assert(TxTable.read(spark, root, asOf = Some(3L)).count() == 44)
+  }
+
+  test("auto-checkpoint lands on the interval; a corrupt checkpoint fails loudly, never silently degrades") {
+    val root = freshRoot()
+    (0 to 20).foreach(i =>
+      TxTable.append(spark, root, frame(i * 10 until i * 10 + 2, s"t$i")))
+    val cps = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_log"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".checkpoint.json")).toSeq
+    assert(cps == Seq(f"${20L}%020d.checkpoint.json"), s"got $cps")
+    assert(TxTable.read(spark, root).count() == 42)
+    // a corrupt checkpoint must fail loudly: silently falling back would
+    // mask storage corruption (same stance as commit files)
+    val cp = java.nio.file.Paths.get(root, "_log", cps.head)
+    val txt = new String(java.nio.file.Files.readAllBytes(cp), "UTF-8")
+    java.nio.file.Files.write(cp,
+      txt.split("\n").dropRight(1).mkString("\n").getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { TxTable.read(spark, root).count() }
+    assert(e.getMessage.contains("corrupt checkpoint"), e.getMessage)
+  }
+
   test("a corrupt bloom in the log surfaces as the corrupt-commit-log diagnostic, not an AIOOBE at plan time") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 50, "a"), bloomCols = Seq("id"))
