@@ -117,6 +117,8 @@ object PlanDump {
         operators.AcidOps.changeFeed(spark, sfDir)),
       ("xacid_dv_scan", "merge-on-read scan: codegen'd deletion-vector anti-filter over _metadata (file,row), zero rewrites",
         operators.AcidOps.dvState(spark, sfDir)),
+      ("xacid_mv", "MV as ONE signed aggregation over the change feed; refresh cost ~ changes, never the table",
+        operators.AcidOps.incrementalMv(spark, sfDir)),
       ("xacid_prefix_scan", "LIKE 'p%' ranged by the prover against UTF-8 file stats: 2 of 4 files ever open",
         operators.AcidOps.prefixScan(spark, sfDir)),
       ("tx_stratified_sample", "ONE fused codegen'd langid pass per inlined occurrence (was 81 split() trees outside codegen)",

@@ -1052,6 +1052,23 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.read(spark, root, asOf = Some(3L)).count() == 44)
   }
 
+  test("checkpointed bloom filters prune identically to the raw log's") {
+    val root = freshRoot()
+    // hash-split files: every file spans ~the full id range, so ONLY the
+    // blooms can prove point absence — the exact stats class a checkpoint
+    // must round-trip bit-for-bit
+    TxTable.append(spark, root, frame(1 to 40, "a").repartition(2),
+      bloomCols = Seq("id"))
+    def skipsPerProbe(): Seq[Int] =
+      (1L to 60L).map(i => TxTable.pruneFiles(spark, root, $"id" === i)._2.size)
+    val before = skipsPerProbe()
+    assert(before.take(40).sum > 0, "bloom skipping never fired pre-checkpoint")
+    TxTable.checkpoint(root): Unit
+    assert(TxTable.snapshot(root).commits.isEmpty) // stats come FROM the checkpoint
+    assert(skipsPerProbe() == before,
+      "checkpointed stats/blooms prune differently from the raw log's")
+  }
+
   test("auto-checkpoint lands on the interval; a corrupt checkpoint fails loudly, never silently degrades") {
     val root = freshRoot()
     (0 to 20).foreach(i =>
