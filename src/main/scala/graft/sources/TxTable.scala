@@ -232,7 +232,8 @@ object TxTable {
   private case class CheckpointState(version: Long, liveFiles: Seq[String],
                                      fileStats: Map[String, Map[String, TxStats.ColStats]],
                                      liveDvs: Map[String, String],
-                                     schemaJson: Option[String])
+                                     schemaJson: Option[String],
+                                     txns: Map[(String, Long), Long])
 
   /** Checkpoint every N commits (auto, best-effort, after a won publish). */
   private val CheckpointInterval = 20L
@@ -269,6 +270,21 @@ object TxTable {
       lines += mapper.writeValueAsString(n)
       actions += 1
     }
+    // transaction identities ride the checkpoint (the Delta SetTransaction
+    // move): appendOnce's idempotence lookup — the streaming-sink hot
+    // path — then probes checkpoint + tail instead of the whole log
+    commits(root).filter(_.version <= s.version)
+      .flatMap(c => c.txn.map(t => (t, c.version)))
+      .sortBy { case ((a, b), _) => (a, b) }
+      .foreach { case ((app, batch), v) =>
+        val n = mapper.createObjectNode()
+        val t = n.putObject("txn")
+        t.put("a", app): Unit
+        t.put("b", batch): Unit
+        t.put("v", v): Unit
+        lines += mapper.writeValueAsString(n)
+        actions += 1
+      }
     val endN = mapper.createObjectNode()
     endN.put("end", actions.toLong): Unit
     lines += mapper.writeValueAsString(endN)
@@ -306,6 +322,7 @@ object TxTable {
       val files = Seq.newBuilder[String]
       val stats = Map.newBuilder[String, Map[String, TxStats.ColStats]]
       val dvs = Map.newBuilder[String, String]
+      val txns = Map.newBuilder[(String, Long), Long]
       lines.foreach { line =>
         val node =
           try mapper.readTree(line)
@@ -331,6 +348,11 @@ object TxTable {
           dvs += ((d.get("f").asText(), d.get("p").asText()))
           actions += 1
         }
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          txns += ((t.get("a").asText(), t.get("b").asLong()) -> t.get("v").asLong())
+          actions += 1
+        }
         if (node.has("end")) endCount = node.get("end").asLong()
       }
       if (!sawInfo) corrupt("no checkpointInfo line")
@@ -338,7 +360,7 @@ object TxTable {
       if (endCount != actions)
         corrupt(s"end marker declares $endCount actions, found $actions")
       CheckpointState(version, files.result(), stats.result(),
-        dvs.result(), schema)
+        dvs.result(), schema, txns.result())
     }
   }
 
@@ -872,8 +894,16 @@ object TxTable {
   def appendOnce(spark: SparkSession, root: String, df: DataFrame,
                  appId: String, batchId: Long,
                  bloomCols: Seq[String] = Nil): Long = {
-    def committed(): Option[Long] =
-      commits(root).find(_.txn.contains((appId, batchId))).map(_.version)
+    // idempotence lookup through checkpoint + tail (r12): transaction
+    // identities ride checkpoints, so the per-attempt probe on the
+    // streaming-sink hot path stays O(commits since checkpoint) instead
+    // of replaying a long-lived table's whole log
+    def committed(): Option[Long] = {
+      val cp = latestCheckpoint(root, None)
+      cp.flatMap(_.txns.get((appId, batchId)))
+        .orElse(commitsInRange(root, cp.fold(0L)(_.version + 1L), None)
+          .find(_.txn.contains((appId, batchId))).map(_.version))
+    }
     committed() match {
       case Some(v) => v // the batch already applied: idempotent no-op
       case None =>

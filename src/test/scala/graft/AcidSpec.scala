@@ -1088,6 +1088,30 @@ class AcidSpec extends SparkSpec {
     assert(e.getMessage.contains("corrupt checkpoint"), e.getMessage)
   }
 
+  test("txn identities ride checkpoints: redelivery below the checkpoint no-ops without replaying the old log") {
+    val root = freshRoot()
+    (0 to 4).foreach(b => TxTable.appendOnce(spark, root,
+      frame(b * 10 + 1 to b * 10 + 5, s"b$b"), "app", b.toLong): Unit)
+    TxTable.checkpoint(root): Unit // v4 checkpoint carries all 5 txn ids
+    TxTable.appendOnce(spark, root, frame(100 to 104, "tail"), "app", 5L): Unit
+    // corrupt a PRE-checkpoint commit: the idempotence probe (and every
+    // latest-read path) must never parse it once a checkpoint covers it
+    val log1 = java.nio.file.Paths.get(root, "_log", f"${1L}%020d.json")
+    val intact = java.nio.file.Files.readAllBytes(log1)
+    java.nio.file.Files.write(log1, "garbage".getBytes("UTF-8"))
+    // redelivery of a below-checkpoint batch: no-op at its recorded version
+    assert(TxTable.appendOnce(spark, root,
+      frame(11 to 15, "b1"), "app", 1L) == 1L)
+    // redelivery of a tail batch: found by the tail parse alone
+    assert(TxTable.appendOnce(spark, root,
+      frame(100 to 104, "tail"), "app", 5L) == 5L)
+    // a genuinely new batch still appends through the checkpointed path
+    assert(TxTable.appendOnce(spark, root,
+      frame(200 to 204, "new"), "app", 6L) == 6L)
+    java.nio.file.Files.write(log1, intact)
+    assert(TxTable.read(spark, root).count() == 25 + 5 + 5)
+  }
+
   test("a corrupt bloom in the log surfaces as the corrupt-commit-log diagnostic, not an AIOOBE at plan time") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 50, "a"), bloomCols = Seq("id"))
