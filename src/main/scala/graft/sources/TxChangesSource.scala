@@ -40,7 +40,7 @@ class TxChangesSourceProvider extends StreamSourceProvider with DataSourceRegist
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), TxChangesSource.schemaFor(
+    (shortName(), TxChangesSource.schemaFor(ctx.sparkSession,
       TxChangesSource.rootOf(parameters)))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -57,13 +57,16 @@ object TxChangesSource {
 
   /** The feed's fixed schema: the table schema as of source creation plus
     * `_change_type` and `_commit_version`. Pre-schema logs fall back to a
-    * live file's footer (same rule as the batch reader). */
-  private[sources] def schemaFor(root: String): StructType = {
+    * live file's footer (same rule as the batch reader). The footer read
+    * goes through the PROVIDER'S session, not `SparkSession.active`
+    * (ADVICE r12) — in a multi-session deployment the active session can
+    * be a different one with different conf/catalog state. */
+  private[sources] def schemaFor(spark: SparkSession, root: String): StructType = {
     val s = TxTable.snapshot(root)
     val base = s.schemaJson.map(TxTable.schemaOf).getOrElse {
       val f = s.liveFiles.headOption.getOrElse(
         throw new IllegalStateException(s"empty tx table at $root"))
-      SparkSession.active.read.parquet(s"$root/data/$f").schema
+      spark.read.parquet(s"$root/data/$f").schema
     }
     base.add("_change_type", StringType, nullable = false)
       .add("_commit_version", LongType, nullable = false)
@@ -73,7 +76,7 @@ object TxChangesSource {
 class TxChangesSource(spark: SparkSession, root: String, startVersion: Long)
     extends Source {
 
-  private val schema0 = TxChangesSource.schemaFor(root)
+  private val schema0 = TxChangesSource.schemaFor(spark, root)
 
   override def schema: StructType = schema0
 

@@ -71,6 +71,17 @@ object TxStats {
     * derivation, so they cannot disagree. No false negatives: an inserted
     * value always probes all-ones, so `contains == false` is a proof of
     * absence and pruning on it is result-identical by construction.
+    *
+    * HASH-VERSIONED on disk (ADVICE r12): the serialized form carries
+    * `"h": 2` naming this MD5-double-hashing family. A persisted filter is
+    * a PROOF-OF-ABSENCE structure — probing bits built by a different hash
+    * family returns false for values the file HOLDS, which reads as a
+    * proof and silently prunes live data — so a bloom whose version is
+    * absent (logs written before versioning, which could carry either the
+    * retired salted-h24 family or this one — undecidable) or unknown (a
+    * future family) is NOT probed at all: the parser drops it and the file
+    * falls back to the range check. Conservative in the only safe
+    * direction — pruning degrades, answers never change.
     */
   case class BloomStat(m: Int, k: Int, bits: Array[Long]) {
     def contains(key: String): Boolean = {
@@ -92,6 +103,13 @@ object TxStats {
   }
 
   object BloomStat {
+    /** The hash family this build writes and probes: 2 = one MD5 digest,
+      * Kirsch–Mitzenmacher double hashing ([[graft.functions.BloomAgg
+      * .posAll]]). Version 1 was the retired salted-h24 family; it was
+      * never written WITH a version marker, so unversioned blooms are
+      * ambiguous and never probed (see [[BloomStat]]). */
+    val HashVersion = 2
+
     /** Decode + validate against the declared geometry (ADVICE r11): a
       * truncated or hand-edited log line must surface as the reader's
       * "corrupt commit log" diagnostic at parse time, not as an

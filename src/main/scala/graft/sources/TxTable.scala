@@ -188,7 +188,13 @@ object TxTable {
     s.properties().asScala.map { e =>
       val v = e.getValue
       val bloom =
-        if (v.has("bloom")) {
+        // hash-version gate (ADVICE r12): only blooms declaring THIS
+        // build's hash family ("h": 2) are probed — an unversioned bloom
+        // (pre-versioning log: could be the retired salted family or this
+        // one) or a future version is dropped, so the file keeps range
+        // checks only instead of risking a wrong proof of absence
+        if (v.has("bloom") &&
+            v.get("bloom").path("h").asInt(0) == TxStats.BloomStat.HashVersion) {
           val b = v.get("bloom")
           try Some(TxStats.BloomStat.fromBase64(
             b.get("m").asInt(), b.get("k").asInt(), b.get("b").asText()))
@@ -217,6 +223,7 @@ object TxTable {
         val bn = cn.putObject("bloom")
         bn.put("m", b.m): Unit
         bn.put("k", b.k): Unit
+        bn.put("h", TxStats.BloomStat.HashVersion): Unit
         bn.put("b", b.toBase64): Unit
       }
     }
@@ -666,9 +673,12 @@ object TxTable {
     * `bloomCols` additionally folds each named column's values into a
     * per-file [[TxStats.BloomStat]] — ONE distributed pass over the
     * just-written (page-cached) files, grouped by `input_file_name()`,
-    * aggregating with the portable salted-h24 [[graft.functions
-    * .BloomStrAgg]] over the canonical string form (`cast(col as string)`
-    * — a Long's decimal form probes the same bits the prover asks for).
+    * aggregating with [[graft.functions.BloomStrAgg]] (one MD5 digest per
+    * key, double-hashed to k positions — the same [[graft.functions
+    * .BloomAgg.posAll]] derivation the prover's probe uses, recorded on
+    * disk as hash version `"h": 2`) over the canonical string form
+    * (`cast(col as string)` — a Long's decimal form probes the same bits
+    * the prover asks for).
     * Filters are sized off the footers' row counts (16 bits/row, k = 8)
     * and recorded only for columns whose footer stats typed as long/string
     * (double equality probes don't bloom — conservative). This is the
@@ -998,8 +1008,12 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(root)
+      // ONE sidecar deserialization per attempt (ADVICE r12): the same
+      // DvMap drives the scan's anti-filter and the replacement-vector
+      // merge below
+      val existing = loadDvs(root, base, base.liveFiles)
       val scan = readFilesMor(spark, root, base.liveFiles, base.schemaJson,
-        loadDvs(root, base, base.liveFiles))
+        existing)
       val dvAgg = org.apache.spark.sql.functions.udaf(new TxDv.DvAgg(),
         org.apache.spark.sql.Encoders.scalaLong)
       // per-file bitmaps of the matching LIVE rows, aggregated where the
@@ -1012,7 +1026,6 @@ object TxTable {
       if (perFile.isEmpty) return base.version // nothing to delete: no-op
       val deleted = perFile.map(_.getAs[Long]("n")).sum
       Files.createDirectories(dvDir(root))
-      val existing = loadDvs(root, base, base.liveFiles)
       val dvActions = perFile.map { r =>
         val f = r.getAs[String]("__dv_file")
         val add = TxDv.Bitmap.deserialize(r.getAs[Array[Byte]]("bm"))

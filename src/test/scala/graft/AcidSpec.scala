@@ -604,6 +604,44 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.readWhere(spark, root, $"id" === 50L).count() == 1L)
   }
 
+  test("bloom hash-versioning: unversioned or foreign-version blooms are never probed — pruning degrades, answers never change") {
+    val root = freshRoot()
+    // two files with interleaved ids (ranges overlap): only blooms can prune
+    (0 until 2).foreach { f =>
+      val rows = (0 until 100).filter(_ % 2 == f)
+        .map(i => (i.toLong, s"key$i", i * 10L))
+      TxTable.append(spark, root,
+        rows.toDF("id", "tag", "value").repartition(1), bloomCols = Seq("id"))
+    }
+    // this build stamps its hash family on every serialized bloom
+    val logs = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_log"))
+      .iterator().asScala.filter(_.getFileName.toString.endsWith(".json")).toSeq
+    val texts = logs.map(p =>
+      p -> new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    assert(texts.forall(_._2.contains("\"h\":2")),
+      "blooms must carry the hash-version marker on disk")
+    val (k0, s0) = TxTable.pruneFiles(spark, root, $"id" === 50L)
+    assert(k0.size == 1 && s0.size == 1)
+    // strip the marker — the shape of a log written before versioning,
+    // whose bits could come from EITHER hash family (undecidable): the
+    // prover must fall back to ranges, not risk a wrong proof of absence
+    texts.foreach { case (p, t) =>
+      java.nio.file.Files.write(p,
+        t.replace("\"h\":2,", "").getBytes("UTF-8")): Unit
+    }
+    val (k1, s1) = TxTable.pruneFiles(spark, root, $"id" === 50L)
+    assert(s1.isEmpty && k1.size == 2, "unversioned blooms must not prune")
+    assert(TxTable.readWhere(spark, root, $"id" === 50L).count() == 1L)
+    // a FUTURE hash version is equally unprobeable: conservative keep
+    texts.foreach { case (p, t) =>
+      java.nio.file.Files.write(p,
+        t.replace("\"h\":2,", "\"h\":9,").getBytes("UTF-8")): Unit
+    }
+    val (k2, s2) = TxTable.pruneFiles(spark, root, $"id" === 50L)
+    assert(s2.isEmpty && k2.size == 2, "future-version blooms must not prune")
+    assert(TxTable.readWhere(spark, root, $"id" === 50L).count() == 1L)
+  }
+
   test("data skipping over the compacted index layout: a band probe skips range-disjoint files") {
     import graft.operators.DedupOps
     // the staged-index shape rebuilt deterministically: per-batch appends
