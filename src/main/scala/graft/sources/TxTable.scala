@@ -57,7 +57,8 @@ object TxTable {
                     txn: Option[(String, Long)] = None,
                     schemaJson: Option[String] = None,
                     cdc: Seq[String] = Nil,
-                    dvs: Seq[(String, String)] = Nil)
+                    dvs: Seq[(String, String)] = Nil,
+                    dataChange: Boolean = true)
 
   /** One committed version view. `commits` holds the replayed TAIL — every
     * commit when no checkpoint accelerated the build, else only the
@@ -129,6 +130,7 @@ object TxTable {
         var metrics = Map.empty[String, Long]
         var txn: Option[(String, Long)] = None
         var schemaJson: Option[String] = None
+        var dataChange = true
         var actions = 0
         var endCount = -1L
         val adds = Seq.newBuilder[String]
@@ -152,6 +154,9 @@ object TxTable {
             if (ci.has("txnApp"))
               txn = Some((ci.get("txnApp").asText(), ci.get("txnBatch").asLong()))
             if (ci.has("schema")) schemaJson = Some(ci.get("schema").asText())
+            // layout-only marker (r13, the Delta dataChange move): absent
+            // means true — a mutation; compaction writes false
+            if (ci.has("dataChange")) dataChange = ci.get("dataChange").asBoolean()
           }
           if (node.has("add")) {
             val f = node.get("add").asText()
@@ -176,7 +181,8 @@ object TxTable {
         if (endCount != actions)
           corrupt(s"end marker declares $endCount actions, found $actions")
         Commit(version, op, metrics, adds.result(), removes.result(),
-          stats.result(), txn, schemaJson, cdcFiles.result(), dvActions.result())
+          stats.result(), txn, schemaJson, cdcFiles.result(), dvActions.result(),
+          dataChange)
       }
   }
 
@@ -602,51 +608,158 @@ object TxTable {
     * into replaying exactly the rows that changed: at 100 TB the changes of
     * a day's mutations are MBs where the snapshots are the whole table.
     *
-    * Sources per commit, by ACTION SHAPE (op strings are free-form labels):
+    * Sources per commit, by ACTION SHAPE ALONE (op strings are free-form
+    * labels and are never consulted — VERDICT r12 #2):
     *  - commits carrying `cdc` files (delete/merge since r12): read those —
     *    they carry the exact change rows, pre/post images included;
     *  - pure-add commits (appends, stream appends): the added data files
     *    ARE the insert rows — no change files were written (the Delta
     *    optimization: appends never pay CDF write amplification), each read
     *    under the schema AS OF its commit;
-    *  - compaction commits (`compact`/`compactz`): layout surgery, row set
-    *    unchanged — no change rows by definition;
-    *  - a rewriting commit WITHOUT cdc files (a pre-r12 delete/merge):
-    *    fails loudly — its row-level changes were never recorded, and
-    *    silently skipping a mutation is the one wrong answer.
-    * Batches union by name with missing columns allowed, so a feed spanning
-    * a schema evolution surfaces NULL for columns a batch predates.
+    *  - a rewriting (remove+add) commit without cdc files is changeless
+    *    ONLY when BOTH hold: it declares `dataChange: false` (the Delta
+    *    layout-only marker, written by compact/compactZ) AND a
+    *    ROW-PRESERVATION PROOF from the log's own recorded per-file row
+    *    counts confirms it — Σ adds' rows equals Σ removes' LIVE rows
+    *    (recorded rows minus each removed file's deletion-vector
+    *    cardinality at the prior version). Neither signal suffices alone:
+    *    an update-only MERGE is row-preserving yet mutates values, and a
+    *    flag is one writer's word. A rewrite missing the flag, failing
+    *    the proof, or lacking row accounting (pre-r12 log) FAILS LOUDLY
+    *    whatever its op label: a buggy or external writer naming a
+    *    mutating commit "compact" must never be silently dropped from
+    *    the feed — that is the silent-data-loss class this function
+    *    exists to prevent;
+    *  - a dv-carrying commit without cdc files fails loudly for the same
+    *    reason (rows vanish from reads with no recorded changes).
+    *
+    * PLAN SHAPE (VERDICT r12 #6): change files are grouped by
+    * (change-class, schema-version) and each group reads as ONE multi-path
+    * parquet scan — `_commit_version` comes from a broadcast join of
+    * `_metadata.file_name` against the driver's metadata-sized (file →
+    * version) map, NOT from one per-commit DataFrame — so the plan node
+    * count is CONSTANT in the version-range length and a late subscriber
+    * over thousands of versions pays one scan per class, not one per
+    * commit. Groups union by name with missing columns allowed, so a feed
+    * spanning a schema evolution surfaces NULL for columns a batch
+    * predates.
     */
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
                   toVersion: Option[Long] = None): DataFrame = {
+    import spark.implicits._
     val all = commits(root)
     val hi = toVersion.getOrElse(all.lastOption.fold(-1L)(_.version))
     val range = all.filter(c => c.version >= fromVersion && c.version <= hi)
     if (range.isEmpty)
       throw new IllegalArgumentException(
         s"readChanges: no commits in [$fromVersion, $hi] at $root")
+    // row count recorded on each add action (footer stats ride the log)
+    val rowsOf: Map[String, Long] = all.flatMap(_.fileStats.toSeq.flatMap {
+      case (f, st) => st.values.flatMap(_.rows).headOption.map(f -> _)
+    }).toMap
+    // each in-range version's PRE-commit live deletion vectors (one fold
+    // over the metadata-sized log): the row-preservation proof charges a
+    // removed file only for rows still live under its vector
+    val inRange = range.map(_.version).toSet
+    val dvBefore = Map.newBuilder[Long, Map[String, String]]
+    val dvState = scala.collection.mutable.Map.empty[String, String]
+    all.foreach { c =>
+      if (inRange(c.version)) dvBefore += c.version -> dvState.toMap
+      c.removes.foreach(dvState.remove)
+      c.dvs.foreach { case (f, p) => dvState(f) = p }
+    }
+    val dvAt = dvBefore.result()
     def schemaAt(v: Long): Option[String] =
       all.filter(_.version <= v).reverseIterator.flatMap(_.schemaJson).nextOption()
-    val frames = range.flatMap { c =>
-      val batch: Option[DataFrame] =
-        if (c.cdc.nonEmpty)
-          Some(spark.read.parquet(c.cdc.map(f => s"$root/cdc/$f"): _*))
-        else if (c.op == "compact" || c.op == "compactz") None
-        else if (c.removes.isEmpty)
-          if (c.adds.isEmpty) None
-          else Some(readFiles(spark, root, c.adds, schemaAt(c.version))
-            .withColumn("_change_type", lit("insert")))
-        else throw new IllegalStateException(
+    // Σ live rows over files, None when any file lacks row accounting
+    def liveRows(files: Seq[String], dvs: Map[String, String]): Option[Long] =
+      files.foldLeft(Option(0L)) { (acc, f) =>
+        for {
+          sum <- acc
+          rows <- rowsOf.get(f)
+        } yield sum + rows - dvs.get(f).fold(0L) { p =>
+          TxDv.Bitmap.deserialize(
+            Files.readAllBytes(dvDir(root).resolve(p))).cardinality
+        }
+      }
+    // classify by shape; accumulate (file → version) per (class, schema)
+    val cdcBydSchema = scala.collection.mutable.LinkedHashMap
+      .empty[Option[String], scala.collection.mutable.Buffer[(String, Long)]]
+    val insBySchema = scala.collection.mutable.LinkedHashMap
+      .empty[Option[String], scala.collection.mutable.Buffer[(String, Long)]]
+    range.foreach { c =>
+      if (c.cdc.nonEmpty)
+        cdcBydSchema.getOrElseUpdate(schemaAt(c.version),
+          scala.collection.mutable.Buffer.empty) ++= c.cdc.map((_, c.version))
+      else if (c.dvs.nonEmpty)
+        throw new IllegalStateException(
+          s"readChanges: version ${c.version} (op ${c.op}) commits deletion " +
+            "vectors but recorded no change data — rows vanish from reads " +
+            "with no replayable changes")
+      else if (!c.dataChange) {
+        // layout-only CLAIM, verified: the flag alone is one writer's word
+        // (a row-preserving update-only MERGE would also pass a pure
+        // Σ-rows check, so neither signal suffices alone) — changeless
+        // needs the declaration AND the log's own row accounting to agree
+        (liveRows(c.adds, Map.empty), liveRows(c.removes, dvAt(c.version))) match {
+          case (Some(a), Some(r)) if a == r => () // proven layout surgery
+          case (Some(a), Some(r)) => throw new IllegalStateException(
+            s"readChanges: version ${c.version} (op ${c.op}) declares " +
+              s"dataChange=false but rewrites the row set ($a rows written " +
+              s"vs $r live rows removed)")
+          case _ => throw new IllegalStateException(
+            s"readChanges: version ${c.version} (op ${c.op}) declares " +
+              "dataChange=false but carries no row accounting to prove it")
+        }
+      } else if (c.removes.nonEmpty)
+        throw new IllegalStateException(
           s"readChanges: version ${c.version} (op ${c.op}) rewrites files " +
-            "but recorded no change data (pre-CDF log)")
-      batch.map(_.withColumn("_commit_version", lit(c.version)))
+            "but recorded no change data (pre-CDF log, or an external " +
+            "mutation without change capture)")
+      else if (c.adds.nonEmpty)
+        insBySchema.getOrElseUpdate(schemaAt(c.version),
+          scala.collection.mutable.Buffer.empty) ++= c.adds.map((_, c.version))
     }
-    frames.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
+    // one multi-path scan per (class, schema) group; _commit_version via a
+    // broadcast join on the parquet scan's own _metadata.file_name
+    def versionJoin(df: DataFrame, byFile: Seq[(String, Long)]): DataFrame = {
+      val vmap = byFile.toDF("__feed_file", "_commit_version")
+      df.withColumn("__feed_file", col("_metadata.file_name"))
+        .join(broadcast(vmap), "__feed_file")
+        .drop("__feed_file")
+    }
+    val cdcFrames = cdcBydSchema.toSeq.map { case (js, filesWithVer) =>
+      val reader = js.fold(spark.read)(j => spark.read.schema(
+        schemaOf(j).add("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      versionJoin(
+        reader.parquet(filesWithVer.map { case (f, _) => s"$root/cdc/$f" }.toSeq: _*),
+        filesWithVer.toSeq)
+    }
+    val insFrames = insBySchema.toSeq.map { case (js, addsWithVer) =>
+      versionJoin(
+        readFiles(spark, root, addsWithVer.map(_._1).toSeq, js)
+          .withColumn("_change_type", lit("insert")),
+        addsWithVer.toSeq)
+    }
+    (cdcFrames ++ insFrames)
+      .reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
-        // only no-change commits in range: empty feed under the current schema
+        // only no-change commits in range: empty feed under the as-of
+        // schema — built from the RECORDED schema when there is one
+        // (ADVICE r12: a fully-deleted snapshot has no live file to
+        // borrow a footer from; zero-path parquet reads throw)
         val s = snapshot(root, Some(hi))
-        readFiles(spark, root, s.liveFiles.take(1), s.schemaJson)
-          .withColumn("_change_type", lit("insert"))
+        val empty = s.schemaJson match {
+          case Some(js) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(js))
+          case None =>
+            if (s.liveFiles.isEmpty) throw new IllegalStateException(
+              s"readChanges: empty feed over a pre-schema log with no live " +
+                s"files at $root — the feed schema is unknowable")
+            readFiles(spark, root, s.liveFiles.take(1), None).where(lit(false))
+        }
+        empty.withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(0L))
           .where(lit(false))
       }
@@ -782,7 +895,8 @@ object TxTable {
                         txn: Option[(String, Long)] = None,
                         schemaJson: Option[String] = None,
                         cdc: Seq[String] = Nil,
-                        dvActions: Seq[(String, String)] = Nil): Boolean = {
+                        dvActions: Seq[(String, String)] = Nil,
+                        dataChange: Boolean = true): Boolean = {
     Files.createDirectories(logDir(root))
     val lines = Seq.newBuilder[String]
     val mnode = mapper.createObjectNode()
@@ -795,6 +909,9 @@ object TxTable {
       cin.put("txnBatch", batch): Unit
     }
     schemaJson.foreach(s => cin.put("schema", s): Unit)
+    // layout-only commits declare themselves (r13): the change feed treats
+    // a rewrite as changeless only under this flag AND a row-count proof
+    if (!dataChange) cin.put("dataChange", false): Unit
     // set[T] is generic on its return — pin T or the JVM casts the node to
     // whatever the expression position demands
     cin.set[com.fasterxml.jackson.databind.node.ObjectNode]("metrics", mnode): Unit
@@ -1164,7 +1281,7 @@ object TxTable {
       val rows = live.count()
       val adds = writeData(spark, root, arranged, bloomCols)
       if (tryCommit(root, base.version + 1, "compact",
-        Map("rows_written" -> rows), adds, base.liveFiles))
+        Map("rows_written" -> rows), adds, base.liveFiles, dataChange = false))
         return base.version + 1
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
       attempt += 1
@@ -1219,7 +1336,7 @@ object TxTable {
       val rows = live.count()
       val adds = writeData(spark, root, arranged)
       if (tryCommit(root, base.version + 1, "compactz",
-        Map("rows_written" -> rows), adds, base.liveFiles))
+        Map("rows_written" -> rows), adds, base.liveFiles, dataChange = false))
         return base.version + 1
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
       attempt += 1

@@ -963,6 +963,96 @@ class AcidSpec extends SparkSpec {
     assert(v1.getAs[Long]("value") == 20L)
   }
 
+  test("change feed classifies by action shape, never op label: a relabeled rewrite fails loudly; a verified layout-only commit is changeless") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 10, "a").repartition(1))  // v0: fileA
+    TxTable.append(spark, root, frame(11 to 30, "b").repartition(1)) // v1: fileB
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    def logLines(v: Long): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        logDir.resolve(f"$v%020d.json")), "UTF-8").split("\n").toSeq
+    def craft(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+        lines.mkString("\n").getBytes("UTF-8")): Unit
+    val addA = logLines(0L).find(_.startsWith("""{"add"""")).get
+    val fileA = TxTable.commits(root).head.adds.head
+    val addB = logLines(1L).find(_.startsWith("""{"add"""")).get
+    // an EXTERNAL writer commits a rewrite (removes fileA, adds nothing
+    // row-equivalent) LABELED "compact" — no dataChange declaration: the
+    // feed must refuse, whatever the label says
+    craft(2L, Seq(
+      """{"commitInfo":{"op":"compact","metrics":{}}}""",
+      s"""{"remove":"$fileA"}""",
+      addB, """{"end":2}"""))
+    val e1 = intercept[IllegalStateException] {
+      TxTable.readChanges(spark, root, 0L).count()
+    }
+    assert(e1.getMessage.contains("no change data"), e1.getMessage)
+    // a FORGED dataChange=false on the same rewrite: the row-preservation
+    // proof (10 removed vs 20 added) catches the lie
+    craft(2L, Seq(
+      """{"commitInfo":{"op":"compact","dataChange":false,"metrics":{}}}""",
+      s"""{"remove":"$fileA"}""",
+      addB, """{"end":2}"""))
+    val e2 = intercept[IllegalStateException] {
+      TxTable.readChanges(spark, root, 0L).count()
+    }
+    assert(e2.getMessage.contains("rewrites the row set"), e2.getMessage)
+    // a GENUINE layout-only commit (fileA rewritten verbatim under a new
+    // name, declared AND row-count-proven) is changeless — even under a
+    // mutation-ish label
+    val fileA2 = s"${java.util.UUID.randomUUID()}.parquet"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(root, "data", fileA),
+      java.nio.file.Paths.get(root, "data", fileA2)): Unit
+    craft(2L, Seq(
+      """{"commitInfo":{"op":"delete","dataChange":false,"metrics":{}}}""",
+      s"""{"remove":"$fileA"}""",
+      addA.replace(fileA, fileA2), """{"end":2}"""))
+    val ch = TxTable.readChanges(spark, root, 0L)
+    assert(ch.count() == 30 &&
+      ch.where($"_commit_version" === 2L).count() == 0)
+    // and the library's own compaction declares itself: proven changeless
+    TxTable.compact(spark, root, targetFiles = 1)
+    assert(TxTable.readChanges(spark, root, 3L).count() == 0)
+  }
+
+  test("batch change feed plan size is constant in the version-range length") {
+    val root = freshRoot()
+    (0 until 40).foreach { i =>
+      TxTable.append(spark, root,
+        Seq((i.toLong, s"t$i", i * 10L)).toDF("id", "tag", "value")
+          .repartition(1)): Unit
+    }
+    def nodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case n => n }.size
+    val small = TxTable.readChanges(spark, root, 0L, Some(3L))
+    val full = TxTable.readChanges(spark, root, 0L, None)
+    assert(nodes(full) == nodes(small),
+      s"plan must not grow with range: ${nodes(small)} vs ${nodes(full)}")
+    // grouped multi-path read still attributes versions per file
+    assert(full.count() == 40)
+    assert(full.select("_commit_version").distinct().count() == 40)
+    assert(full.where($"_commit_version" === 17L).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(17L))
+  }
+
+  test("empty feed over a fully-deleted snapshot builds from the recorded schema (zero-path parquet reads would throw)") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 5, "a"))      // v0
+    TxTable.delete(spark, root, $"id" >= 0L)             // v1: table now empty
+    assert(TxTable.snapshot(root).liveFiles.isEmpty)
+    // a no-action layout commit lands on the EMPTY table (external writer)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_log").resolve(f"${2L}%020d.json"),
+      Seq("""{"commitInfo":{"op":"noop","dataChange":false,"metrics":{}}}""",
+        """{"end":0}""").mkString("\n").getBytes("UTF-8")): Unit
+    val feed = TxTable.readChanges(spark, root, 2L, Some(2L))
+    assert(feed.count() == 0)
+    assert(feed.columns.toSeq ==
+      Seq("id", "tag", "value", "_change_type", "_commit_version"))
+  }
+
   test("deletion vectors: merge-on-read delete rewrites NO file; reads, time travel, readWhere, CDF all apply them") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 40, "a").repartition(2)) // v0: 2 files
