@@ -83,26 +83,80 @@ object TxStats {
     * falls back to the range check. Conservative in the only safe
     * direction — pruning degrades, answers never change.
     */
-  case class BloomStat(m: Int, k: Int, bits: Array[Long]) {
+  final class BloomStat private (val m: Int, val k: Int,
+                                 loader: () => Array[Long],
+                                 val sidecar: Option[String],
+                                 eager: Array[Long]) {
+    // BITS ARE LAZY (VERDICT r12 #1): a sidecar-backed bloom parsed out of
+    // a checkpoint carries only geometry + path; the bit array — the
+    // dominant payload of a bloomed table's metadata, up to ~256 KiB per
+    // (file, column) — reaches the driver only when a point probe actually
+    // consults THIS filter. Inline blooms (commit-log add lines, bounded
+    // by one commit's adds) construct eagerly, exactly as before.
+    @volatile private[this] var cached: Array[Long] = eager
+    /** Test hook: have this filter's bits been materialized? */
+    private[graft] def isLoaded: Boolean = cached != null
+    private def bits: Array[Long] = {
+      var b = cached
+      if (b == null) {
+        b = loader()
+        if (b.length != m / 64) throw new IllegalStateException(
+          s"bloom sidecar ${sidecar.getOrElse("?")}: ${b.length * 8} B " +
+            s"does not match declared m=$m (${m / 8} B)")
+        cached = b
+      }
+      b
+    }
     def contains(key: String): Boolean = {
       // same single-digest derivation as the build side (BloomAgg.posAll)
       val ps = graft.functions.BloomAgg.posAll(key, m, k)
+      val bs = bits
       var j = 0
       while (j < k) {
         val pos = ps(j)
-        if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+        if ((bs(pos >> 6) & (1L << (pos & 63))) == 0L) return false
         j += 1
       }
       true
     }
     def toBase64: String = {
-      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
-      bits.foreach(bb.putLong)
+      val bs = bits
+      val bb = java.nio.ByteBuffer.allocate(bs.length * 8)
+      bs.foreach(bb.putLong)
       java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    /** Raw bit bytes (big-endian longs) — the sidecar file body. */
+    def toBytes: Array[Byte] = {
+      val bs = bits
+      val bb = java.nio.ByteBuffer.allocate(bs.length * 8)
+      bs.foreach(bb.putLong)
+      bb.array()
     }
   }
 
   object BloomStat {
+    /** Eager, inline-bits form (build side + commit-log add lines). */
+    def apply(m: Int, k: Int, bits: Array[Long]): BloomStat = {
+      require(bits.length == m / 64,
+        s"bloom bits ${bits.length} words do not match m=$m")
+      new BloomStat(m, k, () => bits, None, bits)
+    }
+
+    /** Sidecar-backed form: geometry now, bits on first probe. A corrupt
+      * sidecar (wrong length) surfaces at probe time naming the path. */
+    def fromSidecar(m: Int, k: Int, name: String,
+                    load: () => Array[Byte]): BloomStat = {
+      require(m > 0 && m % 64 == 0, s"bloom m=$m is not a positive multiple of 64")
+      require(k > 0 && k <= 64, s"bloom k=$k out of range (1..64)")
+      new BloomStat(m, k, () => {
+        val bytes = load()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val out = new Array[Long](bytes.length / 8)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+        out
+      }, Some(name), null)
+    }
     /** The hash family this build writes and probes: 2 = one MD5 digest,
       * Kirsch–Mitzenmacher double hashing ([[graft.functions.BloomAgg
       * .posAll]]). Version 1 was the retired salted-h24 family; it was

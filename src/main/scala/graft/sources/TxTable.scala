@@ -68,7 +68,13 @@ object TxTable {
   case class Snapshot(version: Long, liveFiles: Seq[String], commits: Seq[Commit],
                       liveDvs: Map[String, String] = Map.empty,
                       baseStats: Map[String, Map[String, TxStats.ColStats]] = Map.empty,
-                      baseSchema: Option[String] = None) {
+                      baseSchema: Option[String] = None,
+                      baseTxns: Map[(String, Long), Long] = Map.empty) {
+    /** Transaction identities as of this snapshot: checkpoint-carried base
+      * plus the tail's — what [[TxTable.appendOnce]]'s idempotence probe
+      * and a re-checkpoint both need WITHOUT replaying the whole log. */
+    lazy val txns: Map[(String, Long), Long] =
+      baseTxns ++ commits.flatMap(c => c.txn.map(_ -> c.version))
     /** Stats for every live file that has them (file → column → range). */
     lazy val liveStats: Map[String, Map[String, TxStats.ColStats]] = {
       val all = baseStats ++ commits.flatMap(_.fileStats)
@@ -90,6 +96,7 @@ object TxTable {
   private def dataDir(root: String): Path = Paths.get(root, "data")
   private def cdcDir(root: String): Path = Paths.get(root, "cdc")
   private def dvDir(root: String): Path = Paths.get(root, "dv")
+  private def bloomsDir(root: String): Path = logDir(root).resolve("blooms")
 
   /** Parse every committed version in order.
     *
@@ -163,7 +170,7 @@ object TxTable {
             adds += f
             actions += 1
             if (node.has("stats"))
-              try stats += f -> parseStatsNode(node.get("stats"))
+              try stats += f -> parseStatsNode(root, node.get("stats"))
               catch { case iae: IllegalArgumentException =>
                 corrupt(iae.getMessage) }
           }
@@ -188,8 +195,13 @@ object TxTable {
 
   /** Per-column stats of one JSON stats node (shared by `add` actions and
     * checkpoint `file` lines); throws IllegalArgumentException on a
-    * malformed bloom — callers surface their corrupt diagnostic. */
-  private def parseStatsNode(s: com.fasterxml.jackson.databind.JsonNode)
+    * malformed bloom — callers surface their corrupt diagnostic. A bloom
+    * node carries its bits inline (`"b"`: base64, commit add lines) or as
+    * a sidecar reference (`"p"`: a file under `_log/blooms/`, checkpoint
+    * form) — sidecar bits never touch the driver until a probe needs them.
+    */
+  private def parseStatsNode(root: String,
+                             s: com.fasterxml.jackson.databind.JsonNode)
       : Map[String, TxStats.ColStats] =
     s.properties().asScala.map { e =>
       val v = e.getValue
@@ -202,8 +214,15 @@ object TxTable {
         if (v.has("bloom") &&
             v.get("bloom").path("h").asInt(0) == TxStats.BloomStat.HashVersion) {
           val b = v.get("bloom")
-          try Some(TxStats.BloomStat.fromBase64(
-            b.get("m").asInt(), b.get("k").asInt(), b.get("b").asText()))
+          try {
+            if (b.has("p")) {
+              val name = b.get("p").asText()
+              Some(TxStats.BloomStat.fromSidecar(
+                b.get("m").asInt(), b.get("k").asInt(), name,
+                () => Files.readAllBytes(bloomsDir(root).resolve(name))))
+            } else Some(TxStats.BloomStat.fromBase64(
+              b.get("m").asInt(), b.get("k").asInt(), b.get("b").asText()))
+          }
           catch { case iae: IllegalArgumentException =>
             throw new IllegalArgumentException(
               s"column ${e.getKey} bloom: ${iae.getMessage}") }
@@ -215,9 +234,14 @@ object TxTable {
         if (v.has("r")) Some(v.get("r").asLong()) else None)
     }.toMap
 
-  /** Mirror of [[parseStatsNode]]: write a stats map into `sn`. */
+  /** Mirror of [[parseStatsNode]]: write a stats map into `sn`. With
+    * `spill = None` bloom bits inline as base64 (commit add lines —
+    * bounded by one commit's adds); with `spill = Some(f)` each bloom is
+    * written as a sidecar REFERENCE, `f` returning the sidecar name
+    * (checkpoint form: the bits never ride the driver-parsed metadata). */
   private def writeStatsNode(sn: com.fasterxml.jackson.databind.node.ObjectNode,
-                             stats: Map[String, TxStats.ColStats]): Unit =
+                             stats: Map[String, TxStats.ColStats],
+                             spill: Option[TxStats.BloomStat => String] = None): Unit =
     stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
       val cn = sn.putObject(c)
       cn.put("t", cs.t): Unit
@@ -230,19 +254,42 @@ object TxTable {
         bn.put("m", b.m): Unit
         bn.put("k", b.k): Unit
         bn.put("h", TxStats.BloomStat.HashVersion): Unit
-        bn.put("b", b.toBase64): Unit
+        spill match {
+          case Some(f) => bn.put("p", f(b)): Unit
+          case None => bn.put("b", b.toBase64): Unit
+        }
       }
     }
 
-  /** LOG CHECKPOINT state (r12, the Delta checkpoint move): the fully
-    * folded snapshot at a version, written to
-    * `_log/<%020d>.checkpoint.json` so a reader replays checkpoint + tail
-    * instead of the WHOLE log — without it, snapshot cost grows linearly
-    * with table lifetime (a 100-TB table accumulates 10⁵+ commits, and
-    * every read takes a snapshot). Commit files are never deleted, so
-    * time travel below a checkpoint still replays raw history.
+  /** LOG CHECKPOINT state (r12, the Delta checkpoint move; r13 makes the
+    * metadata plane scale — VERDICT r12 #1): the fully folded snapshot at
+    * a version, published under an atomic-exclusive
+    * `_log/<%020d>.checkpoint.json` manifest so a reader replays
+    * checkpoint + tail instead of the WHOLE log. Two physical forms,
+    * chosen by live-file count at write time:
+    *
+    *  - JSON (below [[ParquetCheckpointThreshold]]): the manifest itself
+    *    carries `file`/`dv`/`txn` lines — one driver parse, right for the
+    *    metadata sizes where a distributed job costs more than it saves;
+    *  - PARQUET (at or above the threshold): the manifest names a
+    *    `ckpt-<uuid>` directory of parquet part-files holding one TYPED
+    *    row per file / per-column stat / dv binding / txn identity,
+    *    written and read back as ordinary DISTRIBUTED Spark jobs — at a
+    *    100-TB table's 10⁵–10⁶ live files the old single-JSON form was a
+    *    multi-GB driver-parsed blob per cold read, the exact bottleneck
+    *    Delta's parquet checkpoints exist to remove.
+    *
+    * In BOTH forms bloom filters live as SIDECAR files under
+    * `_log/blooms/` referenced by name — never inlined — and
+    * [[TxStats.BloomStat]] loads a sidecar's bits only when a point probe
+    * consults that specific filter, so the dominant metadata payload
+    * stays off the driver until it earns its read. Commit files are never
+    * deleted, so time travel below a checkpoint still replays raw
+    * history. Parsed checkpoints are immutable once published and cached
+    * by (path, size, mtime); an in-place corruption changes the key and
+    * re-parses — the fail-loudly contract is preserved.
     */
-  private case class CheckpointState(version: Long, liveFiles: Seq[String],
+  private[graft] case class CheckpointState(version: Long, liveFiles: Seq[String],
                                      fileStats: Map[String, Map[String, TxStats.ColStats]],
                                      liveDvs: Map[String, String],
                                      schemaJson: Option[String],
@@ -251,14 +298,62 @@ object TxTable {
   /** Checkpoint every N commits (auto, best-effort, after a won publish). */
   private val CheckpointInterval = 20L
 
+  /** Live-file count at or above which a checkpoint is written in the
+    * parquet form (and reconstructed by a distributed read). Mutable so
+    * specs exercise both forms deterministically. */
+  @volatile private[graft] var ParquetCheckpointThreshold: Int = 512
+
+  /** Published checkpoints are immutable → parse-once cache, keyed so an
+    * in-place file change (corruption) re-parses and fails loudly.
+    * private[graft] so specs can simulate a COLD reader (a fresh process
+    * has no cache and must re-verify checkpoint integrity). */
+  private[graft] val ckptCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), CheckpointState]
+
+  /** [[checkpoint(spark*]] through the active session — the convenience
+    * form for tooling; library paths thread their own session. */
+  def checkpoint(root: String): Long = checkpoint(SparkSession.active, root)
+
   /** Write a checkpoint of the CURRENT snapshot; returns its version.
     * Concurrency-safe via the same exclusive hard link as commits — at
     * most one writer owns a checkpoint version; a lost race is a no-op
     * (the state at that version is deterministic, both writers agree).
+    * Transaction identities ride the checkpoint (the Delta SetTransaction
+    * move) from the snapshot's own checkpoint+tail fold — `appendOnce`'s
+    * idempotence probe stays O(tail) and so does re-checkpointing.
     */
-  def checkpoint(root: String): Long = {
-    val s = snapshot(root)
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val s = snapshot(spark, root, None)
     require(s.version >= 0, s"nothing to checkpoint at $root")
+    // bloom sidecar spiller: a bloom already sidecar-backed keeps its path
+    // VERBATIM (no bit load, no copy); commit-log-inline bits spill once
+    def spill(b: TxStats.BloomStat): String = b.sidecar.getOrElse {
+      Files.createDirectories(bloomsDir(root))
+      val name = s"${java.util.UUID.randomUUID()}.bloom"
+      Files.write(bloomsDir(root).resolve(name), b.toBytes): Unit
+      name
+    }
+    if (s.liveFiles.size >= ParquetCheckpointThreshold)
+      checkpointParquet(spark, root, s, spill)
+    else checkpointJson(root, s, spill)
+    s.version
+  }
+
+  /** Atomic-exclusive manifest publish; false = lost the race (no-op). */
+  private def publishCheckpoint(root: String, version: Long,
+                                lines: Seq[String]): Boolean = {
+    val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    val target = logDir(root).resolve(f"$version%020d.checkpoint.json")
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp): Unit; true }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp): Unit; false }
+  }
+
+  /** Single-JSON checkpoint (small tables): file/dv/txn lines inline in
+    * the manifest; blooms as sidecar references like the parquet form. */
+  private def checkpointJson(root: String, s: Snapshot,
+                             spill: TxStats.BloomStat => String): Unit = {
     val lines = Seq.newBuilder[String]
     val info = mapper.createObjectNode()
     val ci = info.putObject("checkpointInfo")
@@ -270,7 +365,7 @@ object TxTable {
       val n = mapper.createObjectNode()
       n.put("file", f): Unit
       s.liveStats.get(f).filter(_.nonEmpty).foreach { st =>
-        writeStatsNode(n.putObject("stats"), st)
+        writeStatsNode(n.putObject("stats"), st, Some(spill))
       }
       lines += mapper.writeValueAsString(n)
       actions += 1
@@ -283,12 +378,7 @@ object TxTable {
       lines += mapper.writeValueAsString(n)
       actions += 1
     }
-    // transaction identities ride the checkpoint (the Delta SetTransaction
-    // move): appendOnce's idempotence lookup — the streaming-sink hot
-    // path — then probes checkpoint + tail instead of the whole log
-    commits(root).filter(_.version <= s.version)
-      .flatMap(c => c.txn.map(t => (t, c.version)))
-      .sortBy { case ((a, b), _) => (a, b) }
+    s.txns.toSeq.sortBy { case ((a, b), _) => (a, b) }
       .foreach { case ((app, batch), v) =>
         val n = mapper.createObjectNode()
         val t = n.putObject("txn")
@@ -301,18 +391,85 @@ object TxTable {
     val endN = mapper.createObjectNode()
     endN.put("end", actions.toLong): Unit
     lines += mapper.writeValueAsString(endN)
-    val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
-    Files.write(tmp, lines.result().mkString("\n").getBytes("UTF-8"))
-    val target = logDir(root).resolve(f"${s.version}%020d.checkpoint.json")
-    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp): Unit }
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp): Unit }
-    s.version
+    publishCheckpoint(root, s.version, lines.result()): Unit
+  }
+
+  /** One typed row per checkpoint fact: file presence, one column's
+    * stats, a dv binding, a txn identity. No JSON anywhere — the reader
+    * is an ordinary columnar scan. */
+  private val CkptSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("name", StringType, nullable = true), // file | txn app
+      StructField("col", StringType, nullable = true),  // stat column
+      StructField("t", StringType, nullable = true),
+      StructField("min", StringType, nullable = true),
+      StructField("max", StringType, nullable = true),
+      StructField("nulls", LongType, nullable = true),
+      StructField("rows", LongType, nullable = true),
+      StructField("bm", IntegerType, nullable = true),  // bloom geometry
+      StructField("bk", IntegerType, nullable = true),
+      StructField("bp", StringType, nullable = true),   // bloom sidecar
+      StructField("aux", StringType, nullable = true),  // dv sidecar
+      StructField("num", LongType, nullable = true),    // txn batch
+      StructField("ver", LongType, nullable = true)))   // txn version
+  }
+
+  /** Parquet checkpoint: state rows written as a distributed job under
+    * `_log/ckpt-<uuid>/`, published by the tiny manifest whose end marker
+    * pins the exact row count (the same truncation-detection contract as
+    * commit files — a lost part-file surfaces as a count mismatch). */
+  private def checkpointParquet(spark: SparkSession, root: String, s: Snapshot,
+                                spill: TxStats.BloomStat => String): Unit = {
+    import org.apache.spark.sql.Row
+    val rows = Seq.newBuilder[Row]
+    def nl = null
+    s.liveFiles.foreach { f =>
+      rows += Row("file", f, nl, nl, nl, nl, nl, nl, nl, nl, nl, nl, nl, nl)
+      s.liveStats.get(f).foreach(_.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        val (bm, bk, bp) = cs.bloom.fold(
+          (null: Integer, null: Integer, null: String))(b =>
+          (Int.box(b.m), Int.box(b.k), spill(b)))
+        rows += Row("stat", f, c, cs.t, cs.min, cs.max,
+          cs.nulls.map(Long.box).orNull, cs.rows.map(Long.box).orNull,
+          bm, bk, bp, nl, nl, nl)
+      })
+    }
+    s.liveDvs.toSeq.sortBy(_._1).foreach { case (f, p) =>
+      rows += Row("dv", f, nl, nl, nl, nl, nl, nl, nl, nl, nl, p, nl, nl)
+    }
+    s.txns.toSeq.sortBy { case ((a, b), _) => (a, b) }
+      .foreach { case ((app, batch), v) =>
+        rows += Row("txn", app, nl, nl, nl, nl, nl, nl, nl, nl, nl, nl,
+          Long.box(batch), Long.box(v))
+      }
+    val all = rows.result()
+    val dirName = s"ckpt-${java.util.UUID.randomUUID()}"
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, all.size / 8192 + 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(all, parts), CkptSchema)
+      .write.mode("overwrite").parquet(logDir(root).resolve(dirName).toString)
+    val info = mapper.createObjectNode()
+    val ci = info.putObject("checkpointInfo")
+    ci.put("v", s.version): Unit
+    s.schemaJson.foreach(js => ci.put("schema", js): Unit)
+    ci.put("format", "parquet"): Unit
+    ci.put("dir", dirName): Unit
+    val endN = mapper.createObjectNode()
+    endN.put("end", all.size.toLong): Unit
+    if (!publishCheckpoint(root, s.version,
+        Seq(mapper.writeValueAsString(info), mapper.writeValueAsString(endN))))
+      // lost the race: another writer owns this version's checkpoint —
+      // drop our unreferenced data dir (spilled sidecars may be shared
+      // with earlier checkpoints and stay)
+      deleteRecursively(logDir(root).resolve(dirName))
   }
 
   /** Latest checkpoint with version ≤ `asOf` (or any), parsed — same
-    * fail-loudly integrity contract as commit files. */
-  private def latestCheckpoint(root: String,
+    * fail-loudly integrity contract as commit files; parquet-form state
+    * is reconstructed by a DISTRIBUTED read of the manifest's data dir. */
+  private def latestCheckpoint(spark: SparkSession, root: String,
                                asOf: Option[Long]): Option[CheckpointState] = {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) return None
@@ -324,58 +481,115 @@ object TxTable {
       }.toSeq.sortBy(_.getFileName.toString)
     candidates.lastOption.map { p =>
       val version = p.getFileName.toString.stripSuffix(".checkpoint.json").toLong
-      def corrupt(why: String): Nothing = throw new IllegalStateException(
-        s"corrupt checkpoint $p (version $version): $why")
-      val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty)
-      if (lines.isEmpty) corrupt("empty file")
-      var schema: Option[String] = None
-      var sawInfo = false
-      var actions = 0
-      var endCount = -1L
-      val files = Seq.newBuilder[String]
-      val stats = Map.newBuilder[String, Map[String, TxStats.ColStats]]
-      val dvs = Map.newBuilder[String, String]
-      val txns = Map.newBuilder[(String, Long), Long]
-      lines.foreach { line =>
-        val node =
-          try mapper.readTree(line)
-          catch { case e: com.fasterxml.jackson.core.JacksonException =>
-            corrupt(s"unparseable line: ${e.getMessage}") }
-        if (node.has("checkpointInfo")) {
-          sawInfo = true
-          val ci = node.get("checkpointInfo")
-          if (ci.get("v").asLong() != version)
-            corrupt(s"declares version ${ci.get("v").asLong()}")
-          if (ci.has("schema")) schema = Some(ci.get("schema").asText())
-        }
-        if (node.has("file")) {
-          val f = node.get("file").asText()
-          files += f
-          actions += 1
-          if (node.has("stats"))
-            try stats += f -> parseStatsNode(node.get("stats"))
-            catch { case iae: IllegalArgumentException => corrupt(iae.getMessage) }
-        }
-        if (node.has("dv")) {
-          val d = node.get("dv")
-          dvs += ((d.get("f").asText(), d.get("p").asText()))
-          actions += 1
-        }
-        if (node.has("txn")) {
-          val t = node.get("txn")
-          txns += ((t.get("a").asText(), t.get("b").asLong()) -> t.get("v").asLong())
-          actions += 1
-        }
-        if (node.has("end")) endCount = node.get("end").asLong()
+      val key = (p.toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis)
+      ckptCache.getOrElseUpdate(key, parseCheckpoint(spark, root, p, version))
+    }
+  }
+
+  private def parseCheckpoint(spark: SparkSession, root: String, p: Path,
+                              version: Long): CheckpointState = {
+    def corrupt(why: String): Nothing = throw new IllegalStateException(
+      s"corrupt checkpoint $p (version $version): $why")
+    val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty)
+    if (lines.isEmpty) corrupt("empty file")
+    var schema: Option[String] = None
+    var sawInfo = false
+    var format = "json"
+    var dataDirName: Option[String] = None
+    var actions = 0
+    var endCount = -1L
+    val files = Seq.newBuilder[String]
+    val stats = Map.newBuilder[String, Map[String, TxStats.ColStats]]
+    val dvs = Map.newBuilder[String, String]
+    val txns = Map.newBuilder[(String, Long), Long]
+    lines.foreach { line =>
+      val node =
+        try mapper.readTree(line)
+        catch { case e: com.fasterxml.jackson.core.JacksonException =>
+          corrupt(s"unparseable line: ${e.getMessage}") }
+      if (node.has("checkpointInfo")) {
+        sawInfo = true
+        val ci = node.get("checkpointInfo")
+        if (ci.get("v").asLong() != version)
+          corrupt(s"declares version ${ci.get("v").asLong()}")
+        if (ci.has("schema")) schema = Some(ci.get("schema").asText())
+        if (ci.has("format")) format = ci.get("format").asText()
+        if (ci.has("dir")) dataDirName = Some(ci.get("dir").asText())
       }
-      if (!sawInfo) corrupt("no checkpointInfo line")
-      if (endCount < 0) corrupt("no end marker (truncated?)")
+      if (node.has("file")) {
+        val f = node.get("file").asText()
+        files += f
+        actions += 1
+        if (node.has("stats"))
+          try stats += f -> parseStatsNode(root, node.get("stats"))
+          catch { case iae: IllegalArgumentException => corrupt(iae.getMessage) }
+      }
+      if (node.has("dv")) {
+        val d = node.get("dv")
+        dvs += ((d.get("f").asText(), d.get("p").asText()))
+        actions += 1
+      }
+      if (node.has("txn")) {
+        val t = node.get("txn")
+        txns += ((t.get("a").asText(), t.get("b").asLong()) -> t.get("v").asLong())
+        actions += 1
+      }
+      if (node.has("end")) endCount = node.get("end").asLong()
+    }
+    if (!sawInfo) corrupt("no checkpointInfo line")
+    if (endCount < 0) corrupt("no end marker (truncated?)")
+    if (format == "json") {
       if (endCount != actions)
         corrupt(s"end marker declares $endCount actions, found $actions")
       CheckpointState(version, files.result(), stats.result(),
         dvs.result(), schema, txns.result())
-    }
+    } else if (format == "parquet") {
+      if (actions != 0) corrupt("parquet manifest carries inline actions")
+      val dataDir = dataDirName.getOrElse(corrupt("parquet manifest names no dir"))
+      val dirPath = logDir(root).resolve(dataDir)
+      if (!Files.isDirectory(dirPath)) corrupt(s"missing checkpoint data dir $dataDir")
+      // the distributed reconstruction: part-files parse in parallel as a
+      // plain columnar scan; only compact typed rows reach the driver —
+      // bloom bits stay in their sidecars until a probe wants them
+      val rows = spark.read.schema(CkptSchema).parquet(dirPath.toString).collect()
+      if (rows.length.toLong != endCount)
+        corrupt(s"data dir holds ${rows.length} rows, end marker declares $endCount")
+      val statsByFile = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.LinkedHashMap[String, TxStats.ColStats]]
+      try rows.foreach { r =>
+        r.getString(0) match {
+          case "file" => files += r.getString(1)
+          case "stat" =>
+            val bloom =
+              if (r.isNullAt(8)) None
+              else {
+                val bp = r.getString(10)
+                Some(TxStats.BloomStat.fromSidecar(r.getInt(8), r.getInt(9), bp,
+                  () => Files.readAllBytes(bloomsDir(root).resolve(bp))))
+              }
+            statsByFile.getOrElseUpdate(r.getString(1),
+              scala.collection.mutable.LinkedHashMap.empty)
+              .update(r.getString(2), TxStats.ColStats(
+                r.getString(3), r.getString(4), r.getString(5), bloom,
+                if (r.isNullAt(6)) None else Some(r.getLong(6)),
+                if (r.isNullAt(7)) None else Some(r.getLong(7))))
+          case "dv" => dvs += ((r.getString(1), r.getString(11)))
+          case "txn" =>
+            txns += ((r.getString(1), r.getLong(12)) -> r.getLong(13))
+          case other => corrupt(s"unknown checkpoint row kind '$other'")
+        }
+      } catch { case iae: IllegalArgumentException => corrupt(iae.getMessage) }
+      stats ++= statsByFile.map { case (f, m) => f -> m.toMap }
+      CheckpointState(version, files.result(), stats.result(),
+        dvs.result(), schema, txns.result())
+    } else corrupt(s"unknown checkpoint format '$format'")
   }
+
+  /** Snapshot at `asOf` (inclusive) or latest, through the ACTIVE session
+    * (convenience for tooling; library paths thread their own). */
+  def snapshot(root: String, asOf: Option[Long] = None): Snapshot =
+    snapshot(SparkSession.active, root, asOf)
 
   /** Snapshot at `asOf` (inclusive) or latest. Deletion-vector replay: a
     * `dv` action binds the LATEST vector for its file (replacement
@@ -384,8 +598,8 @@ object TxTable {
     * below the target exists, only the TAIL commits after it are parsed
     * (r12) — the read-side cost no longer grows with table lifetime.
     */
-  def snapshot(root: String, asOf: Option[Long] = None): Snapshot = {
-    val cp = latestCheckpoint(root, asOf)
+  def snapshot(spark: SparkSession, root: String, asOf: Option[Long]): Snapshot = {
+    val cp = latestCheckpoint(spark, root, asOf)
     val upto = commitsInRange(root, cp.fold(0L)(_.version + 1L), asOf)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val dv = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -400,7 +614,8 @@ object TxTable {
       .orElse(cp.map(_.version)).getOrElse(-1L)
     Snapshot(version, live.toSeq, upto, dv.toMap,
       cp.fold(Map.empty[String, Map[String, TxStats.ColStats]])(_.fileStats),
-      cp.flatMap(_.schemaJson))
+      cp.flatMap(_.schemaJson),
+      cp.fold(Map.empty[(String, Long), Long])(_.txns))
   }
 
   /** Read the table (optionally at a past version) as a DataFrame. The
@@ -410,7 +625,7 @@ object TxTable {
     * evolution O(1) on a 100-TB table); pre-schema logs read by footer.
     */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
-    val s = snapshot(root, asOf)
+    val s = snapshot(spark, root, asOf)
     if (s.liveFiles.isEmpty)
       throw new IllegalStateException(s"empty tx table at $root (version ${s.version})")
     readLive(spark, root, s, s.liveFiles)
@@ -537,7 +752,7 @@ object TxTable {
     */
   def pruneFiles(spark: SparkSession, root: String, predicate: Column,
                  asOf: Option[Long] = None): (Seq[String], Seq[String]) =
-    pruneFilesAt(spark, root, snapshot(root, asOf), predicate)
+    pruneFilesAt(spark, root, snapshot(spark, root, asOf), predicate)
 
   /** [[pruneFiles]] against an ALREADY-TAKEN snapshot — readWhere passes
     * its own so the kept file list, the governing schema, and the version
@@ -571,7 +786,7 @@ object TxTable {
     */
   def readWhere(spark: SparkSession, root: String, predicate: Column,
                 asOf: Option[Long] = None): DataFrame = {
-    val s = snapshot(root, asOf)
+    val s = snapshot(spark, root, asOf)
     if (s.liveFiles.isEmpty)
       throw new IllegalStateException(s"empty tx table at $root (version ${s.version})")
     val (kept, _) = pruneFilesAt(spark, root, s, predicate)
@@ -749,7 +964,7 @@ object TxTable {
         // schema — built from the RECORDED schema when there is one
         // (ADVICE r12: a fully-deleted snapshot has no live file to
         // borrow a footer from; zero-path parquet reads throw)
-        val s = snapshot(root, Some(hi))
+        val s = snapshot(spark, root, Some(hi))
         val empty = s.schemaJson match {
           case Some(js) => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(js))
@@ -889,7 +1104,7 @@ object TxTable {
   /** Attempt to publish version `version`. True iff this writer won the
     * rename race for that version number.
     */
-  private def tryCommit(root: String, version: Long, op: String,
+  private def tryCommit(spark: SparkSession, root: String, version: Long, op: String,
                         metrics: Map[String, Long],
                         adds: Seq[Staged], removes: Seq[String],
                         txn: Option[(String, Long)] = None,
@@ -966,7 +1181,7 @@ object TxTable {
       // checkpoint is a read accelerator, never required for correctness;
       // the exclusive link makes concurrent attempts collapse to one)
       if (version > 0 && version % CheckpointInterval == 0)
-        try checkpoint(root): Unit
+        try checkpoint(spark, root): Unit
         catch { case scala.util.control.NonFatal(_) => () }
       true
     } catch {
@@ -983,17 +1198,17 @@ object TxTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              op: String = "append", bloomCols: Seq[String] = Nil): Long = {
     val rows = df.count()
-    evolvedSchema(spark, root, snapshot(root), df.schema): Unit // fail fast, before staging IO
+    evolvedSchema(spark, root, snapshot(spark, root, None), df.schema): Unit // fail fast, before staging IO
     val adds = writeData(spark, root, df, bloomCols)
     try {
       var attempt = 0
       while (attempt < MaxRetries) {
         // validate and claim against ONE snapshot: any commit racing in
         // between loses us the version and forces a re-validating retry
-        val base = snapshot(root)
+        val base = snapshot(spark, root, None)
         val schema = evolvedSchema(spark, root, base, df.schema)
         val v = base.version + 1
-        if (tryCommit(root, v, op, Map("rows_written" -> rows), adds, Nil,
+        if (tryCommit(spark, root, v, op, Map("rows_written" -> rows), adds, Nil,
           schemaJson = Some(schema))) return v
         attempt += 1
       }
@@ -1026,7 +1241,7 @@ object TxTable {
     // streaming-sink hot path stays O(commits since checkpoint) instead
     // of replaying a long-lived table's whole log
     def committed(): Option[Long] = {
-      val cp = latestCheckpoint(root, None)
+      val cp = latestCheckpoint(spark, root, None)
       cp.flatMap(_.txns.get((appId, batchId)))
         .orElse(commitsInRange(root, cp.fold(0L)(_.version + 1L), None)
           .find(_.txn.contains((appId, batchId))).map(_.version))
@@ -1035,7 +1250,7 @@ object TxTable {
       case Some(v) => v // the batch already applied: idempotent no-op
       case None =>
         val rows = df.count()
-        evolvedSchema(spark, root, snapshot(root), df.schema): Unit // fail fast, before staging
+        evolvedSchema(spark, root, snapshot(spark, root, None), df.schema): Unit // fail fast, before staging
         val adds = writeData(spark, root, df, bloomCols)
         var attempt = 0
         while (attempt < MaxRetries) {
@@ -1044,7 +1259,7 @@ object TxTable {
               adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
               return v
             case None =>
-              val base = snapshot(root)
+              val base = snapshot(spark, root, None)
               val schema = // same-snapshot validate-and-claim, like append
                 try evolvedSchema(spark, root, base, df.schema)
                 catch { case e: IllegalArgumentException =>
@@ -1053,7 +1268,7 @@ object TxTable {
                   throw e
                 }
               val v = base.version + 1
-              if (tryCommit(root, v, "stream_append", Map("rows_written" -> rows),
+              if (tryCommit(spark, root, v, "stream_append", Map("rows_written" -> rows),
                 adds, Nil, Some((appId, batchId)), Some(schema))) return v
           }
           attempt += 1
@@ -1080,7 +1295,7 @@ object TxTable {
   def delete(spark: SparkSession, root: String, predicate: Column): Long = {
     var attempt = 0
     while (attempt < MaxRetries) {
-      val base = snapshot(root)
+      val base = snapshot(spark, root, None)
       val affected = filesMatching(spark, root, base, predicate)
       if (affected.isEmpty)
         return base.version // nothing to delete: no-op, no commit
@@ -1094,7 +1309,7 @@ object TxTable {
       val cdc = writeCdc(spark, root,
         affectedDf.where(coalesce(predicate, lit(false)))
           .withColumn("_change_type", lit("delete")))
-      if (tryCommit(root, base.version + 1, "delete",
+      if (tryCommit(spark, root, base.version + 1, "delete",
         Map("rows_deleted" -> deleted), adds, affected, cdc = cdc))
         return base.version + 1
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
@@ -1124,7 +1339,7 @@ object TxTable {
   def deleteMor(spark: SparkSession, root: String, predicate: Column): Long = {
     var attempt = 0
     while (attempt < MaxRetries) {
-      val base = snapshot(root)
+      val base = snapshot(spark, root, None)
       // ONE sidecar deserialization per attempt (ADVICE r12): the same
       // DvMap drives the scan's anti-filter and the replacement-vector
       // merge below
@@ -1156,7 +1371,7 @@ object TxTable {
         scan.where(coalesce(predicate, lit(false)))
           .drop("__dv_file", "__dv_row")
           .withColumn("_change_type", lit("delete")))
-      if (tryCommit(root, base.version + 1, "delete_mor",
+      if (tryCommit(spark, root, base.version + 1, "delete_mor",
         Map("rows_deleted" -> deleted), Nil, Nil, cdc = cdc,
         dvActions = dvActions))
         return base.version + 1
@@ -1194,7 +1409,7 @@ object TxTable {
           "match at most one source row")
     var attempt = 0
     while (attempt < MaxRetries) {
-      val base = snapshot(root)
+      val base = snapshot(spark, root, None)
       val live = readLive(spark, root, base, base.liveFiles)
       val cols = live.columns.toSeq
       // files holding at least one matched key — the only rewrite set
@@ -1238,7 +1453,7 @@ object TxTable {
       val updated = matchedKeys
       val adds = writeData(spark, root, rewritten)
       val cdc = writeCdc(spark, root, changes)
-      if (tryCommit(root, base.version + 1, "merge",
+      if (tryCommit(spark, root, base.version + 1, "merge",
         Map("rows_updated" -> updated, "rows_inserted" -> nInserts),
         adds, affected, cdc = cdc))
         return base.version + 1
@@ -1267,7 +1482,7 @@ object TxTable {
               sortCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     var attempt = 0
     while (attempt < MaxRetries) {
-      val base = snapshot(root)
+      val base = snapshot(spark, root, None)
       // a table carrying deletion vectors always compacts: compaction is
       // the pass that MATERIALIZES merge-on-read deletes into clean files
       if (base.liveFiles.size <= targetFiles && base.liveDvs.isEmpty)
@@ -1280,7 +1495,7 @@ object TxTable {
         else live.repartition(targetFiles)
       val rows = live.count()
       val adds = writeData(spark, root, arranged, bloomCols)
-      if (tryCommit(root, base.version + 1, "compact",
+      if (tryCommit(spark, root, base.version + 1, "compact",
         Map("rows_written" -> rows), adds, base.liveFiles, dataChange = false))
         return base.version + 1
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
@@ -1304,7 +1519,7 @@ object TxTable {
                xCol: String, yCol: String): Long = {
     var attempt = 0
     while (attempt < MaxRetries) {
-      val base = snapshot(root)
+      val base = snapshot(spark, root, None)
       if (base.liveFiles.size <= targetFiles && base.liveDvs.isEmpty)
         return base.version // no-op (see compact: DVs force materialization)
       val live = readLive(spark, root, base, base.liveFiles)
@@ -1335,7 +1550,7 @@ object TxTable {
         .select(cols.map(col): _*)
       val rows = live.count()
       val adds = writeData(spark, root, arranged)
-      if (tryCommit(root, base.version + 1, "compactz",
+      if (tryCommit(spark, root, base.version + 1, "compactz",
         Map("rows_written" -> rows), adds, base.liveFiles, dataChange = false))
         return base.version + 1
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))

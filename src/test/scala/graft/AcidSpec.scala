@@ -1240,6 +1240,68 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 25 + 5 + 5)
   }
 
+  test("parquet checkpoint: a 10³-file snapshot reconstructs via a distributed read; bloom bits stay off the driver until probed") {
+    val root = freshRoot()
+    // ~1100 single-row files with per-file id blooms — the metadata shape
+    // of a large table: stats rows are compact, blooms are the dominant
+    // payload, and the old inline-JSON checkpoint would have carried every
+    // filter's base64 through one driver-side parse
+    val wide = (0 until 1100).map(i => (i.toLong, s"k$i", i * 10L))
+      .toDF("id", "tag", "value").repartitionByRange(1100, $"id")
+    TxTable.append(spark, root, wide, bloomCols = Seq("id"))          // v0
+    TxTable.appendOnce(spark, root, frame(2000 to 2004, "t"), "app", 7L) // v1
+    TxTable.deleteMor(spark, root, $"id" === 3L)                      // v2
+    val cpV = TxTable.checkpoint(root)
+    assert(cpV == 2L)
+    val manifestPath =
+      java.nio.file.Paths.get(root, "_log", f"$cpV%020d.checkpoint.json")
+    val manifest = new String(
+      java.nio.file.Files.readAllBytes(manifestPath), "UTF-8")
+    assert(manifest.contains("\"format\":\"parquet\""), manifest.take(300))
+    assert(!manifest.contains("bloom"), "manifest must not inline blooms")
+    assert(java.nio.file.Files.size(manifestPath) < 10000,
+      "parquet-form manifest must be metadata-tiny")
+    val s = TxTable.snapshot(root)
+    assert(s.commits.isEmpty, "checkpointed snapshot replays no raw commits")
+    assert(s.liveFiles.size >= 1000, s"fixture too small: ${s.liveFiles.size}")
+    val blooms = s.liveStats.values.flatMap(_.values).flatMap(_.bloom).toSeq
+    assert(blooms.size >= 1000)
+    assert(blooms.forall(b => b.sidecar.isDefined && !b.isLoaded),
+      "checkpointed blooms must be sidecar references, unloaded until probed")
+    // a point probe materializes ONLY the filters it consults (range
+    // checks short-circuit the rest)
+    val (kept, _) = TxTable.pruneFiles(spark, root, $"id" === 42L)
+    assert(kept.size == 1, s"kept ${kept.size}")
+    val loaded = blooms.count(_.isLoaded)
+    assert(loaded >= 1 && loaded <= 4, s"probe materialized $loaded blooms")
+    // txn identities and deletion vectors rode the parquet checkpoint
+    assert(TxTable.appendOnce(spark, root,
+      frame(2000 to 2004, "t"), "app", 7L) == 1L)
+    assert(TxTable.read(spark, root).where($"id" === 3L).count() == 0)
+    // re-checkpointing REUSES sidecars verbatim: no duplicate spill, no
+    // bit load — the metadata plane cost does not grow with checkpoints
+    def sidecarCount(): Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, "_log", "blooms"))
+        .count()
+    val scBefore = sidecarCount()
+    TxTable.append(spark, root, frame(3000 to 3004, "u"))             // v3
+    assert(TxTable.checkpoint(root) == 3L)
+    assert(sidecarCount() == scBefore, "re-checkpoint duplicated sidecars")
+    // integrity: a vanished part-file is a row-count mismatch for a COLD
+    // reader (fresh process = empty parse cache) and fails loudly
+    val dirName = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_log", f"${3L}%020d.checkpoint.json")),
+      "UTF-8").split("\"dir\":\"")(1).split("\"")(0)
+    val part = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "_log", dirName)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    java.nio.file.Files.delete(part)
+    TxTable.ckptCache.clear()
+    val e = intercept[IllegalStateException] { TxTable.read(spark, root).count() }
+    assert(e.getMessage.contains("corrupt checkpoint") &&
+      e.getMessage.contains("end marker"), e.getMessage)
+  }
+
   test("a corrupt bloom in the log surfaces as the corrupt-commit-log diagnostic, not an AIOOBE at plan time") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 50, "a"), bloomCols = Seq("id"))
