@@ -311,6 +311,24 @@ object AcidOps {
     })
   }
 
+  /** Registered-connector scan (r13, VERDICT r12 #3): the same skip-table
+    * read through `spark.read.format("graft-tx")` — the DataSource surface
+    * a SQL-only user gets — with a compound predicate whose BOTH halves
+    * prune through the connector's FileIndex (prefix range + null
+    * accounting): of the four files only the stamped-high-priority one is
+    * opened. The oracle replays the filter from the raw stamping rule, so
+    * a connector scan that mis-schemas, over-prunes, or misses the
+    * snapshot hash-mismatches.
+    */
+  def connectorScan(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft-tx").load(skipTable(spark, sfDir))
+      .where(col("o_orderpriority").startsWith("3") &&
+        col("opt_clerk").isNotNull)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+
   /** Prefix-pruned scan: `o_orderpriority LIKE '3%'` opens only the two
     * high-priority files (the prover ranges the probe as
     * ['3', '4') against each file's UTF-8 min/max). */

@@ -27,6 +27,7 @@ object LifecyclePack extends QueryPack {
     "xacid_time_travel" -> ((s, d) => AcidOps.timeTravelV2(s, d)),
     "xacid_history" -> ((s, d) => AcidOps.history(s, d)),
     "xacid_prefix_scan" -> ((s, d) => AcidOps.prefixScan(s, d)),
+    "xacid_connector_scan" -> ((s, d) => AcidOps.connectorScan(s, d)),
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
     "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
     "xacid_dv_scan" -> ((s, d) => AcidOps.dvState(s, d)),
@@ -204,6 +205,16 @@ object LifecyclePack extends QueryPack {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
         |  count(DISTINCT o_custkey) AS n_custs
         |FROM orders WHERE o_orderpriority LIKE '3%'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // the registered graft-tx connector (r13): same table through the
+    // DataSource surface, compound prefix+notnull predicate pruned by the
+    // connector's FileIndex — the oracle replays from the stamping rule
+    "xacid_connector_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders
+        |WHERE o_orderpriority LIKE '3%' AND o_orderkey % 3 = 0
         |GROUP BY o_orderpriority""".stripMargin,
     // null-accounting reads (r12): IsNull proves absence on the stamped
     // files (footer null count 0), IsNotNull on the unstamped ones (null

@@ -1240,6 +1240,50 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 25 + 5 + 5)
   }
 
+  test("graft-tx batch connector: registered scans push filters into the skipping prover; pruned set matches readWhere's") {
+    import graft.sources.TxFileIndex
+    val root = freshRoot()
+    // interleaved ids: ranges overlap, only blooms isolate a point probe —
+    // the connector must reach the same prover readWhere uses
+    (0 until 4).foreach { f =>
+      val rows = (0 until 100).filter(_ % 4 == f)
+        .map(i => (i.toLong, s"key$i", i * 10L))
+      TxTable.append(spark, root,
+        rows.toDF("id", "tag", "value").repartition(1), bloomCols = Seq("id"))
+    }
+    val df = spark.read.format("graft-tx").load(root).where($"id" === 50L)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(50L))
+    val (kept, skipped) = TxTable.pruneFiles(spark, root, $"id" === 50L)
+    assert(kept.size == 1 && skipped.size == 3)
+    // plan shape: the connector's scan opened exactly readWhere's kept set
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val index = scan.relation.location.asInstanceOf[TxFileIndex]
+    assert(index.lastListing.contains((1, 3)), s"got ${index.lastListing}")
+    assert(scan.metrics("numFiles").value == 1,
+      s"scan opened ${scan.metrics("numFiles").value} files")
+    // SQL surface over the registered source
+    spark.read.format("graft-tx").load(root).createOrReplaceTempView("tx_conn")
+    assert(spark.sql("SELECT count(*) AS n FROM tx_conn WHERE id > 90")
+      .head().getLong(0) == 9L)
+    // time travel via option
+    assert(spark.read.format("graft-tx").option("versionAsOf", "0")
+      .load(root).count() == 25L)
+    // schema evolution: pre-evolution files surface NULL through the scan
+    TxTable.append(spark, root,
+      Seq((1000L, "x", 1L, "new")).toDF("id", "tag", "value", "extra"))
+    val evo = spark.read.format("graft-tx").load(root)
+    assert(evo.where($"extra".isNull).count() == 100L)
+    // live deletion vectors refuse loudly (a plain parquet scan would
+    // resurrect the deleted rows)
+    TxTable.deleteMor(spark, root, $"id" === 7L)
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft-tx").load(root).count()
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
   test("parquet checkpoint: a 10³-file snapshot reconstructs via a distributed read; bloom bits stay off the driver until probed") {
     val root = freshRoot()
     // ~1100 single-row files with per-file id blooms — the metadata shape
