@@ -519,6 +519,15 @@ object TxStats {
     case _ => 0
   }
 
+  /** Three-way compare of two stat-domain strings under type tag `t` —
+    * the rebase conflict checker's range-disjointness test. */
+  private[sources] def statCompare(a: String, b: String, t: String): Int = t match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "string" => cmpUtf8(a, b)
+    case _ => 0
+  }
+
   private def cmpUtf8(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)

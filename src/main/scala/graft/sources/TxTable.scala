@@ -760,20 +760,27 @@ object TxTable {
     * commits (a second snapshot here could see a racing evolution's files
     * and read them under the older schema). */
   private def pruneFilesAt(spark: SparkSession, root: String, s: Snapshot,
-                           predicate: Column): (Seq[String], Seq[String]) = {
-    val cond =
-      try readFiles(spark, root, s.liveFiles.take(1), s.schemaJson)
-        .where(predicate).queryExecution.optimizedPlan
-        .collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+                           predicate: Column): (Seq[String], Seq[String]) =
+    normalizedCondition(spark, root, s, predicate)
+      .fold((s.liveFiles, Seq.empty[String])) { e =>
+        s.liveFiles.partition { f =>
+          s.liveStats.get(f).forall(TxStats.mayMatch(_, e))
         }
-      catch { case scala.util.control.NonFatal(_) => None }
-    cond.fold((s.liveFiles, Seq.empty[String])) { e =>
-      s.liveFiles.partition { f =>
-        s.liveStats.get(f).forall(TxStats.mayMatch(_, e))
       }
-    }
-  }
+
+  /** The predicate as the OPTIMIZED plan's Filter condition, resolved
+    * against one live file's schema (typed attributes, folded literal
+    * casts, In→InSet) — what both the skipping prover and the rebase
+    * conflict checker match against. None when analysis fails. */
+  private def normalizedCondition(spark: SparkSession, root: String,
+                                  s: Snapshot, predicate: Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    try readFiles(spark, root, s.liveFiles.take(1), s.schemaJson)
+      .where(predicate).queryExecution.optimizedPlan
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Predicate-pushdown read: skip every live file whose commit-logged
     * column ranges prove it cannot contain a matching row, then apply the
@@ -1192,6 +1199,78 @@ object TxTable {
 
   private val MaxRetries = 20
 
+  /** Test seam: invoked once on entry to [[commitWithRebase]] so a spec
+    * can deterministically inject a racing commit between a mutation's
+    * read-rewrite cycle and its publish. No-op in production. */
+  @volatile private[graft] var raceHook: () => Unit = () => ()
+  /** Telemetry/test counters: read-rewrite cycles run vs commits that
+    * landed by REBASE (no cycle re-run) after a lost race. */
+  private[graft] val rewriteCycles = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val rebaseCommits = new java.util.concurrent.atomic.AtomicLong
+
+  /** FILE-DISJOINT CONCURRENT COMMITS (VERDICT r12 #4, the Delta conflict
+    * checker move): publish a fully-staged copy-on-write commit, and on a
+    * lost version race REBASE it — re-claim the next version with the SAME
+    * staged adds/removes/cdc, no read-rewrite re-run — as long as every
+    * winning commit is provably disjoint from this commit's reads:
+    *
+    *  - a winner REMOVING or binding a DELETION VECTOR to any file in
+    *    `readSet` (the files this mutation rewrote / marked) conflicts —
+    *    the staged rewrite read content the winner has since changed;
+    *  - a winner's ADDED files conflict when `addsConflict` says their
+    *    commit-logged stats cannot PROVE the new rows irrelevant to this
+    *    mutation (a delete's predicate may match them; a merge's source
+    *    keys may collide). Files without stats conflict — proof or retry.
+    *
+    * Sound under write-serializable semantics (the Delta default): the
+    * rebased mutation is logically ordered BEFORE the disjoint winners it
+    * jumped over — a racing blind append's rows were never in its
+    * snapshot, exactly as if the append committed second. True conflicts
+    * return None and the caller re-runs the whole cycle against the new
+    * snapshot (the pre-r13 behavior, now the exception instead of the
+    * rule: at 100 TB continuous compaction + streaming appends + deletes
+    * race constantly, and serializing every writer through full re-reads
+    * is the difference between minutes and hours of mutation latency).
+    */
+  private def commitWithRebase(root: String, baseVersion: Long,
+                               readSet: Set[String],
+                               addsConflict: Commit => Boolean)(
+                               publish: Long => Boolean): Option[Long] = {
+    raceHook()
+    var head = baseVersion
+    var tries = 0
+    while (tries <= MaxRetries) {
+      if (publish(head + 1)) {
+        if (head != baseVersion) rebaseCommits.incrementAndGet(): Unit
+        return Some(head + 1)
+      }
+      val winners = commitsInRange(root, head + 1, None)
+      if (winners.isEmpty || winners.exists(w =>
+          w.removes.exists(readSet) ||
+          w.dvs.exists { case (f, _) => readSet(f) } ||
+          addsConflict(w)))
+        return None // true conflict: the caller re-runs the cycle
+      head = winners.last.version
+      tries += 1
+    }
+    None
+  }
+
+  /** [[commitWithRebase]]'s adds test for predicate mutations: a winner's
+    * added file conflicts unless its stats PROVE no row can match the
+    * mutation's predicate (a racing append may carry rows this DELETE
+    * should have seen — under write-serializability a blind append lands
+    * AFTER the delete, which is exactly what rebasing encodes, so only
+    * provably-irrelevant adds are safe to jump over conservatively). */
+  private def predicateAddsConflict(
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])(
+      w: Commit): Boolean =
+    w.adds.exists { f =>
+      cond.fold(true) { e =>
+        w.fileStats.get(f).filter(_.nonEmpty).forall(TxStats.mayMatch(_, e))
+      }
+    }
+
   /** Append-only commit (conflict-free: blind retry on a newer version).
     * `bloomCols` records per-file Bloom filters for those columns (see
     * [[writeData]]) — the point-lookup half of data skipping. */
@@ -1295,6 +1374,7 @@ object TxTable {
   def delete(spark: SparkSession, root: String, predicate: Column): Long = {
     var attempt = 0
     while (attempt < MaxRetries) {
+      rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       val affected = filesMatching(spark, root, base, predicate)
       if (affected.isEmpty)
@@ -1309,12 +1389,20 @@ object TxTable {
       val cdc = writeCdc(spark, root,
         affectedDf.where(coalesce(predicate, lit(false)))
           .withColumn("_change_type", lit("delete")))
-      if (tryCommit(spark, root, base.version + 1, "delete",
-        Map("rows_deleted" -> deleted), adds, affected, cdc = cdc))
-        return base.version + 1
-      adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
-      dropCdc(root, cdc)
-      attempt += 1
+      // lost races rebase over file-disjoint winners (r13): adds conflict
+      // unless proven unmatchable by the normalized predicate
+      val cond = normalizedCondition(spark, root, base, predicate)
+      commitWithRebase(root, base.version, affected.toSet,
+        predicateAddsConflict(cond)) { v =>
+        tryCommit(spark, root, v, "delete",
+          Map("rows_deleted" -> deleted), adds, affected, cdc = cdc)
+      } match {
+        case Some(v) => return v
+        case None =>
+          adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+          dropCdc(root, cdc)
+          attempt += 1
+      }
     }
     throw new IllegalStateException(s"delete lost $MaxRetries commit races at $root")
   }
@@ -1339,6 +1427,7 @@ object TxTable {
   def deleteMor(spark: SparkSession, root: String, predicate: Column): Long = {
     var attempt = 0
     while (attempt < MaxRetries) {
+      rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       // ONE sidecar deserialization per attempt (ADVICE r12): the same
       // DvMap drives the scan's anti-filter and the replacement-vector
@@ -1371,13 +1460,23 @@ object TxTable {
         scan.where(coalesce(predicate, lit(false)))
           .drop("__dv_file", "__dv_row")
           .withColumn("_change_type", lit("delete")))
-      if (tryCommit(spark, root, base.version + 1, "delete_mor",
-        Map("rows_deleted" -> deleted), Nil, Nil, cdc = cdc,
-        dvActions = dvActions))
-        return base.version + 1
-      dvActions.foreach { case (_, p) => Files.deleteIfExists(dvDir(root).resolve(p)) }
-      dropCdc(root, cdc)
-      attempt += 1
+      // rebase over file-disjoint winners (r13): read set = the files this
+      // pass binds REPLACEMENT vectors to (their merged bitmaps embed the
+      // base vectors — a racing vector on one would be lost)
+      val cond = normalizedCondition(spark, root, base, predicate)
+      commitWithRebase(root, base.version, dvActions.map(_._1).toSet,
+        predicateAddsConflict(cond)) { v =>
+        tryCommit(spark, root, v, "delete_mor",
+          Map("rows_deleted" -> deleted), Nil, Nil, cdc = cdc,
+          dvActions = dvActions)
+      } match {
+        case Some(v) => return v
+        case None =>
+          dvActions.foreach { case (_, p) =>
+            Files.deleteIfExists(dvDir(root).resolve(p)) }
+          dropCdc(root, cdc)
+          attempt += 1
+      }
     }
     throw new IllegalStateException(s"deleteMor lost $MaxRetries commit races at $root")
   }
@@ -1407,8 +1506,36 @@ object TxTable {
         s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
           s"$srcRows rows, $srcDistinct distinct — each target row must " +
           "match at most one source row")
+    // bounds of the FIRST key column, once (the rebase conflict test): a
+    // winner's added file provably holds none of this merge's keys when
+    // its stat range for k0 is disjoint from [lo, hi] — coarse, sound
+    val k0 = keyCols.head
+    val keyBounds: Option[(String, String, String)] = {
+      import org.apache.spark.sql.types._
+      source.schema(k0).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val r = source.agg(min(col(k0)).cast("long"),
+            max(col(k0)).cast("long")).head()
+          if (r.isNullAt(0)) None
+          else Some(("long", r.getLong(0).toString, r.getLong(1).toString))
+        case StringType =>
+          val r = source.agg(min(col(k0)), max(col(k0))).head()
+          if (r.isNullAt(0)) None
+          else Some(("string", r.getString(0), r.getString(1)))
+        case _ => None // unprovable type: any winner adds conflict
+      }
+    }
+    def keyAddsConflict(w: Commit): Boolean = w.adds.exists { f =>
+      !(for {
+        (t, lo, hi) <- keyBounds
+        cs <- w.fileStats.get(f).flatMap(_.get(k0))
+        if cs.t == t
+      } yield TxStats.statCompare(cs.max, lo, t) < 0 ||
+        TxStats.statCompare(cs.min, hi, t) > 0).getOrElse(false)
+    }
     var attempt = 0
     while (attempt < MaxRetries) {
+      rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       val live = readLive(spark, root, base, base.liveFiles)
       val cols = live.columns.toSeq
@@ -1453,13 +1580,20 @@ object TxTable {
       val updated = matchedKeys
       val adds = writeData(spark, root, rewritten)
       val cdc = writeCdc(spark, root, changes)
-      if (tryCommit(spark, root, base.version + 1, "merge",
-        Map("rows_updated" -> updated, "rows_inserted" -> nInserts),
-        adds, affected, cdc = cdc))
-        return base.version + 1
-      adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
-      dropCdc(root, cdc)
-      attempt += 1
+      // rebase over file-disjoint winners (r13): conflicts are a winner
+      // touching my rewrite set, or adding files that MAY hold my keys
+      // (they would change the matched/insert decisions this cycle made)
+      commitWithRebase(root, base.version, affected.toSet, keyAddsConflict) { v =>
+        tryCommit(spark, root, v, "merge",
+          Map("rows_updated" -> updated, "rows_inserted" -> nInserts),
+          adds, affected, cdc = cdc)
+      } match {
+        case Some(v) => return v
+        case None =>
+          adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+          dropCdc(root, cdc)
+          attempt += 1
+      }
     }
     throw new IllegalStateException(s"merge lost $MaxRetries commit races at $root")
   }
@@ -1495,11 +1629,18 @@ object TxTable {
         else live.repartition(targetFiles)
       val rows = live.count()
       val adds = writeData(spark, root, arranged, bloomCols)
-      if (tryCommit(spark, root, base.version + 1, "compact",
-        Map("rows_written" -> rows), adds, base.liveFiles, dataChange = false))
-        return base.version + 1
-      adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
-      attempt += 1
+      // rebase over PURE APPENDS (r13): compaction reads every base live
+      // file, so any racing remove/dv conflicts — but a blind append's
+      // files simply stay live beside the compacted layout
+      commitWithRebase(root, base.version, base.liveFiles.toSet, _ => false) { v =>
+        tryCommit(spark, root, v, "compact",
+          Map("rows_written" -> rows), adds, base.liveFiles, dataChange = false)
+      } match {
+        case Some(v) => return v
+        case None =>
+          adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+          attempt += 1
+      }
     }
     throw new IllegalStateException(s"compact lost $MaxRetries commit races at $root")
   }
@@ -1550,11 +1691,16 @@ object TxTable {
         .select(cols.map(col): _*)
       val rows = live.count()
       val adds = writeData(spark, root, arranged)
-      if (tryCommit(spark, root, base.version + 1, "compactz",
-        Map("rows_written" -> rows), adds, base.liveFiles, dataChange = false))
-        return base.version + 1
-      adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
-      attempt += 1
+      // same pure-append rebase as [[compact]]
+      commitWithRebase(root, base.version, base.liveFiles.toSet, _ => false) { v =>
+        tryCommit(spark, root, v, "compactz",
+          Map("rows_written" -> rows), adds, base.liveFiles, dataChange = false)
+      } match {
+        case Some(v) => return v
+        case None =>
+          adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+          attempt += 1
+      }
     }
     throw new IllegalStateException(s"compactZ lost $MaxRetries commit races at $root")
   }

@@ -1240,6 +1240,93 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 25 + 5 + 5)
   }
 
+  test("file-disjoint concurrent merges: the race loser rebases its staged commit; overlapping keys force the full re-run") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 50, "a").repartitionByRange(2, $"id"))
+    val srcA = (1 to 5).map(i => (i.toLong, "a", 1000L + i)).toDF("id", "tag", "value")
+    val srcB = (30 to 34).map(i => (i.toLong, "a", 2000L + i)).toDF("id", "tag", "value")
+    val cycles0 = TxTable.rewriteCycles.get()
+    val rebases0 = TxTable.rebaseCommits.get()
+    // deterministic race: B fully stages against v0, then A commits first
+    TxTable.raceHook = () => {
+      TxTable.raceHook = () => ()
+      TxTable.merge(spark, root, srcA, Seq("id"), Seq("value")): Unit
+    }
+    try {
+      val vB = TxTable.merge(spark, root, srcB, Seq("id"), Seq("value"))
+      assert(vB == 2L, s"loser should rebase onto the winner's head, got $vB")
+    } finally TxTable.raceHook = () => ()
+    assert(TxTable.rewriteCycles.get() - cycles0 == 2,
+      "exactly ONE read-rewrite cycle per merge")
+    assert(TxTable.rebaseCommits.get() - rebases0 == 1,
+      "the loser must land by rebase, not by re-running")
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 50)
+    assert(back.where($"id".between(1, 5) && $"value" === $"id" + 1000L).count() == 5)
+    assert(back.where($"id".between(30, 34) && $"value" === $"id" + 2000L).count() == 5)
+    val cs = TxTable.commits(root).filter(_.op == "merge")
+    assert(cs.size == 2 && cs.forall(_.removes.size == 1),
+      "each disjoint merge rewrites exactly one file")
+    // the change feed sees both mutations' staged change files
+    assert(TxTable.readChanges(spark, root, 1L)
+      .where($"_change_type" === "update_postimage").count() == 10)
+    // OVERLAPPING keys touch the same file: a true conflict — the loser
+    // re-runs on the winner's output and the updates compose serially
+    val srcC = (1 to 3).map(i => (i.toLong, "a", 3000L + i)).toDF("id", "tag", "value")
+    val srcD = (3 to 6).map(i => (i.toLong, "a", 4000L + i)).toDF("id", "tag", "value")
+    val cycles1 = TxTable.rewriteCycles.get()
+    TxTable.raceHook = () => {
+      TxTable.raceHook = () => ()
+      TxTable.merge(spark, root, srcC, Seq("id"), Seq("value")): Unit
+    }
+    try TxTable.merge(spark, root, srcD, Seq("id"), Seq("value")): Unit
+    finally TxTable.raceHook = () => ()
+    assert(TxTable.rewriteCycles.get() - cycles1 == 3,
+      "an overlapping winner must force the full re-run")
+    val after = TxTable.read(spark, root)
+    assert(after.count() == 50)
+    assert(after.where($"id" === 2L).head().getAs[Long]("value") == 3002L)
+    assert(after.where($"id" === 3L).head().getAs[Long]("value") == 4003L)
+  }
+
+  test("delete and compaction rebase over racing pure appends; a possibly-matching append is a true conflict") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 30, "a").repartition(3))
+    // a blind append whose rows PROVABLY cannot match the delete predicate
+    TxTable.raceHook = () => {
+      TxTable.raceHook = () => ()
+      TxTable.append(spark, root, frame(100 to 110, "late").repartition(1)): Unit
+    }
+    val rebases0 = TxTable.rebaseCommits.get()
+    try assert(TxTable.delete(spark, root, $"id" <= 10L) == 2L)
+    finally TxTable.raceHook = () => ()
+    assert(TxTable.rebaseCommits.get() - rebases0 == 1)
+    assert(TxTable.read(spark, root).count() == 20 + 11)
+    // compaction rebases over appends too: the racer's file stays live
+    // beside the compacted layout
+    TxTable.raceHook = () => {
+      TxTable.raceHook = () => ()
+      TxTable.append(spark, root, frame(200 to 204, "tail").repartition(1)): Unit
+    }
+    try assert(TxTable.compact(spark, root, targetFiles = 1) == 4L)
+    finally TxTable.raceHook = () => ()
+    assert(TxTable.read(spark, root).count() == 36)
+    assert(TxTable.snapshot(root).liveFiles.size == 2,
+      "compacted file + the racing append's file")
+    // an append whose rows MAY match the predicate is a true conflict:
+    // the delete re-runs and catches the racer's rows (serial order)
+    TxTable.raceHook = () => {
+      TxTable.raceHook = () => ()
+      TxTable.append(spark, root, frame(11 to 15, "racer").repartition(1)): Unit
+    }
+    val cycles0 = TxTable.rewriteCycles.get()
+    try TxTable.delete(spark, root, $"id" <= 15L): Unit
+    finally TxTable.raceHook = () => ()
+    assert(TxTable.rewriteCycles.get() - cycles0 == 2,
+      "a possibly-matching append must force the full re-run")
+    assert(TxTable.read(spark, root).where($"id" <= 15L).count() == 0)
+  }
+
   test("graft-tx batch connector: registered scans push filters into the skipping prover; pruned set matches readWhere's") {
     import graft.sources.TxFileIndex
     val root = freshRoot()
