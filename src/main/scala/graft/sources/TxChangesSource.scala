@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *
   * {{{
   * spark.readStream.format("graft-tx-changes")
-  *   .option("root", tableRoot).option("startVersion", "0").load()
+  *   .option("root", tableRoot).option("startVersion", "0")
+  *   .option("maxVersionsPerTrigger", "100") // page a long backlog
+  *   .load()
   * }}}
   *
   * Each micro-batch is `readChanges(lastSeen+1, latest)` — row-level
@@ -47,7 +49,12 @@ class TxChangesSourceProvider extends StreamSourceProvider with DataSourceRegist
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new TxChangesSource(ctx.sparkSession, TxChangesSource.rootOf(parameters),
-      parameters.get("startVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("maxVersionsPerTrigger").map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+        n
+      })
 }
 
 object TxChangesSource {
@@ -73,7 +80,8 @@ object TxChangesSource {
   }
 }
 
-class TxChangesSource(spark: SparkSession, root: String, startVersion: Long)
+class TxChangesSource(spark: SparkSession, root: String, startVersion: Long,
+                      maxVersionsPerTrigger: Option[Long] = None)
     extends Source {
 
   private val schema0 = TxChangesSource.schemaFor(spark, root)
@@ -86,14 +94,31 @@ class TxChangesSource(spark: SparkSession, root: String, startVersion: Long)
     case other => other.json().toLong
   }
 
+  /** Highest version already HANDED OUT as a batch end (advanced in
+    * [[getBatch]], including checkpoint-recovery replays) — the base the
+    * rate limit counts from. The DeltaSource `maxFilesPerTrigger` shape
+    * (VERDICT r12 #5): without it, a late subscriber over a long history
+    * gets the whole backlog as ONE micro-batch. */
+  @volatile private var handedOut: Long = startVersion - 1L
+
   override def getOffset: Option[Offset] = {
-    val v = TxTable.snapshot(root).version
-    if (v < startVersion) None else Some(LongOffset(v))
+    val v = TxTable.snapshot(spark, root, None).version
+    if (v < startVersion) None
+    else {
+      // page through the backlog: at most maxVersionsPerTrigger versions
+      // beyond what getBatch has already served (unbounded when unset)
+      val capped = maxVersionsPerTrigger
+        .fold(v)(m => math.min(v, math.max(handedOut, startVersion - 1L) + m))
+      if (capped < startVersion) None else Some(LongOffset(capped))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver(_) + 1).getOrElse(startVersion)
     val to = ver(end)
+    // rate-limit base: covers normal progress AND checkpoint recovery
+    // (the first getBatch replays the last committed range)
+    if (to > handedOut) handedOut = to
     val batch =
       if (from > to)
         spark.createDataFrame(

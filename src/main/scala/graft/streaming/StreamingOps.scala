@@ -678,9 +678,12 @@ object StreamingOps {
     * exactly-once semantics and no snapshot diffing anywhere.
     */
   def changeFeedStream(spark: SparkSession, root: String,
-                       startVersion: Long = 0L): DataFrame =
-    spark.readStream.format("graft-tx-changes")
+                       startVersion: Long = 0L,
+                       maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-tx-changes")
       .option("root", root)
       .option("startVersion", startVersion.toString)
-      .load()
+    maxVersionsPerTrigger.fold(r)(m =>
+      r.option("maxVersionsPerTrigger", m.toString)).load()
+  }
 }

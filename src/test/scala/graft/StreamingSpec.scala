@@ -745,6 +745,49 @@ class StreamingSpec extends SparkSpec {
       (1L, 3L, "delete"), (2L, 10L, "delete")))
   }
 
+  test("graft-tx-changes: maxVersionsPerTrigger pages a long backlog; the bounded batches concatenate to the unbounded replay") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_rate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_rate_ckpt").toString
+    (0 until 7).foreach { v =>
+      TxTable.append(spark, root,
+        Seq((v.toLong, s"t$v")).toDF("id", "tag").repartition(1)): Unit
+    }
+    // (batchId, version) pairs per delivered row
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def run(): Unit = {
+      val q = StreamingOps.changeFeedStream(spark, root,
+          maxVersionsPerTrigger = Some(2L))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         id: Long) =>
+          b.collect().foreach(r =>
+            seen.add((id, r.getAs[Long]("_commit_version"))): Unit)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val byBatch = seen.asScala.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch.size >= 4,
+      s"a 7-version backlog at 2/trigger must page: ${byBatch.size} batches")
+    assert(byBatch.values.forall(_.size <= 2),
+      s"a batch exceeded the trigger bound: $byBatch")
+    // the paged union is exactly the unbounded replay
+    assert(seen.asScala.map(_._2).toSeq.sorted == (0L to 6L),
+      s"paging lost or duplicated versions: ${seen.asScala.toSeq.sorted}")
+    // composes with checkpoint recovery: the restarted stream pages ONWARD
+    (7 until 10).foreach { v =>
+      TxTable.append(spark, root,
+        Seq((v.toLong, s"t$v")).toDF("id", "tag").repartition(1)): Unit
+    }
+    run()
+    assert(seen.asScala.map(_._2).toSeq.sorted == (0L to 9L),
+      "recovery must resume paging after the committed offset")
+  }
+
   test("graft-tx-changes: a mid-stream schema evolution fails the stream loudly, never silently drops the column") {
     import spark.implicits._
     import graft.sources.TxTable
