@@ -406,25 +406,30 @@ object TextOps {
     * order-free, divided and rounded once at emission.
     */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = col("w")
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val B = DsirBuckets
+    // stats pass (r13, VERDICT r12 #7): the codegen'd [[graft.functions
+    // .DsirHist]] kernel emits ONE 256-long bucket histogram per document
+    // (slices hashed in place, single-block FastMd5), and posexplode
+    // carries ≤256 rows/doc — not ~10⁴ exploded bigram strings — into the
+    // 256-group map-side-combined sum. Bucket values are bit-identical to
+    // the composed h24(bigram) % B, so sc/tc (and with them the oracle's
+    // replay) are unchanged.
+    import org.apache.spark.sql.GraftBridge
+    val histCol = GraftBridge.column(graft.functions.DsirHist(
+      GraftBridge.expression(col("text")), B))
     val stats = Tables.documents(spark, sfDir)
       .select((qualityScoreExpr >= MinQuality).as("in_target"),
-        words(col("text")).as("w"))
-      .select(col("in_target"), explode(bigrams).as("bigram"))
-      .select(col("in_target"), (Tables.h24(col("bigram")) % B).as("f"))
+        histCol.as("hist"))
+      .select(col("in_target"), posexplode(col("hist")).as(Seq("f", "c")))
+      .where(col("c") > 0L)
       .groupBy(col("f"))
-      .agg(count(lit(1)).as("sc"),
-        sum(when(col("in_target"), 1L).otherwise(0L)).as("tc"))
+      .agg(sum(col("c")).as("sc"),
+        sum(when(col("in_target"), col("c")).otherwise(0L)).as("tc"))
       .collect()
     val sc = Array.fill(B)(0L)
     val tc = Array.fill(B)(0L)
     stats.foreach { r =>
-      val f = r.getLong(0).toInt; sc(f) = r.getLong(1); tc(f) = r.getLong(2)
+      val f = r.getInt(0); sc(f) = r.getLong(1); tc(f) = r.getLong(2)
     }
     val (sTot, tTot) = (sc.sum, tc.sum)
     import graft.functions.DetLog.lnScala
@@ -438,14 +443,21 @@ object TextOps {
         lnScala(sc(f) + 1)) + lnScala(sTot.toLong + B)
       q(chain * 1.0e12)
     }
-    val lqArr = typedLit(lq.toSeq)
+    // scoring pass (r13, VERDICT r12 #7): the codegen'd [[graft.functions
+    // .DsirScore]] kernel — one linear pass per document hashing bigram
+    // text SLICES in place — replaces the explode + concat_ws +
+    // element_at(256-literal) shape (~10⁴ exploded rows per document and
+    // a string allocation per bigram, the 55 s 100× deep point). n_feats
+    // is size(words)−1 by construction; docs with no bigrams are dropped,
+    // exactly as the exploded form's empty arrays produced no row.
+    import org.apache.spark.sql.GraftBridge
+    val wqKernel = GraftBridge.column(graft.functions.DsirScore(
+      GraftBridge.expression(col("text")), lq))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(element_at(lqArr, (Tables.h24(col("bigram")) % B).cast("int") + 1))
-          .as("wq"))
+      .select(col("doc_id"),
+        (size(words(col("text"))) - 1).cast("long").as("n_feats"),
+        wqKernel.as("wq"))
+      .where(col("n_feats") >= 1)
       .select(col("doc_id"), col("n_feats"),
         round(col("wq").cast("double") / lit(1.0e12), 6).as("dsir_weight"))
       .withColumn("selected", col("dsir_weight") > 0)

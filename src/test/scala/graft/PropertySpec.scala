@@ -19,6 +19,24 @@ class PropertySpec extends SparkSpec {
       (r.seed, r.retrieve)
     }.drop(1).flatMap(_._2).take(n).toSeq
 
+  test("FastMd5.h24 is bit-identical to MessageDigest's h24 across the single-block boundary") {
+    import graft.functions.{FastMd5, MinHashAgg}
+    val rnd = new scala.util.Random(42)
+    val cases = Seq("", " ", "a b", "é ü", "é" * 40, "🎉 emoji pair",
+      "word1 word2") ++
+      (0 to 120).map(n => rnd.alphanumeric.take(n).mkString) ++
+      (1 to 200).map(_ => rnd.nextString(rnd.nextInt(60)))
+    cases.foreach { s =>
+      assert(FastMd5.h24(s) == MinHashAgg.h24(s),
+        s"h24 mismatch for '${s.take(20)}…' (${s.getBytes("UTF-8").length} B)")
+    }
+    // slice form equals whole-string form on interior slices (the kernel
+    // hashes bigram text slices in place)
+    val text = "alpha beta gamma delta epsilon".getBytes("UTF-8")
+    assert(FastMd5.h24(text, 0, 10) == FastMd5.h24("alpha beta"))
+    assert(FastMd5.h24(text, 6, 10) == FastMd5.h24("beta gamma"))
+  }
+
   test("VecDot equals a driver-side fold for random float vectors") {
     import spark.implicits._
     val gen = Gen.listOfN(64, Gen.chooseNum(-10.0f, 10.0f))
