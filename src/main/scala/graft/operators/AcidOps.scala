@@ -329,6 +329,46 @@ object AcidOps {
         sum(col("o_orderkey")).as("sum_keys"),
         countDistinct(col("o_custkey")).as("n_custs"))
 
+  /** SQL-DML fixture (r13): a slim orders table mutated ENTIRELY through
+    * the [[graft.sources.TxCatalog]] SQL surface — `DELETE FROM` (the CoW
+    * delete path: pruning, 3VL, CDF, rebase) and `INSERT INTO` (an append
+    * commit) — built once per session. */
+  private[graft] def sqlDmlTable(spark: SparkSession, sfDir: String): String = {
+    val _ = clearHookRegistered
+    built.getOrElseUpdate((System.identityHashCode(spark), sfDir + "#sqldml"), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_sqldml")
+      TxTable.append(spark, root, Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      val p = java.nio.file.Paths.get(root)
+      spark.conf.set("spark.sql.catalog.graft_sql", "graft.sources.TxCatalog")
+      spark.conf.set("spark.sql.catalog.graft_sql.root", p.getParent.toString)
+      val t = s"graft_sql.`${p.getFileName}`"
+      // the predicate must be V1-Filter-expressible: SupportsDelete is the
+      // metadata-delete surface, and an arithmetic condition (o_orderkey %
+      // 5 = 0) correctly FAILS analysis instead of half-applying — the
+      // full rewrite plan is the Scala API's job
+      spark.sql(s"DELETE FROM $t WHERE o_orderkey <= 2000"): Unit
+      spark.sql(s"INSERT INTO $t VALUES (${2000000000L}, 42, 99.99)"): Unit
+      root
+    })
+  }
+
+  /** State after the SQL mutations, read back through the SQL surface and
+    * aggregated per key-modulo bucket — the oracle replays the DELETE's
+    * predicate complement plus the INSERT row from raw `orders`, so a SQL
+    * statement that half-applies, double-applies, or misses the commit
+    * log hash-mismatches.
+    */
+  def sqlDmlState(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = sqlDmlTable(spark, sfDir)
+    val t = s"graft_sql.`${java.nio.file.Paths.get(root).getFileName}`"
+    spark.sql(
+      s"""SELECT o_orderkey % 7 AS bucket, count(*) AS n_orders,
+         |  sum(o_orderkey) AS sum_keys,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM $t GROUP BY o_orderkey % 7""".stripMargin)
+  }
+
   /** Prefix-pruned scan: `o_orderpriority LIKE '3%'` opens only the two
     * high-priority files (the prover ranges the probe as
     * ['3', '4') against each file's UTF-8 min/max). */

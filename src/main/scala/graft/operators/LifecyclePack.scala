@@ -28,6 +28,7 @@ object LifecyclePack extends QueryPack {
     "xacid_history" -> ((s, d) => AcidOps.history(s, d)),
     "xacid_prefix_scan" -> ((s, d) => AcidOps.prefixScan(s, d)),
     "xacid_connector_scan" -> ((s, d) => AcidOps.connectorScan(s, d)),
+    "xacid_sql_dml" -> ((s, d) => AcidOps.sqlDmlState(s, d)),
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
     "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
     "xacid_dv_scan" -> ((s, d) => AcidOps.dvState(s, d)),
@@ -216,6 +217,20 @@ object LifecyclePack extends QueryPack {
         |FROM orders
         |WHERE o_orderpriority LIKE '3%' AND o_orderkey % 3 = 0
         |GROUP BY o_orderpriority""".stripMargin,
+    // SQL DML surface (r13): the TxCatalog's DELETE FROM + INSERT INTO
+    // replayed from the raw rules — delete complement plus the literal
+    // inserted row
+    "xacid_sql_dml" ->
+      """SELECT bucket, count(*) AS n_orders,
+        |  CAST(sum(k) AS BIGINT) AS sum_keys,
+        |  CAST(sum(CAST(p AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey % 7 AS bucket, o_orderkey AS k, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey > 2000
+        |  UNION ALL
+        |  SELECT 2000000000 % 7, 2000000000, 99.99
+        |)
+        |GROUP BY bucket""".stripMargin,
     // null-accounting reads (r12): IsNull proves absence on the stamped
     // files (footer null count 0), IsNotNull on the unstamped ones (null
     // count = row count) — each side opens 1 of 4 files; the oracle

@@ -1240,6 +1240,45 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 25 + 5 + 5)
   }
 
+  test("SQL DML catalog: INSERT INTO / DELETE FROM / time-travel SELECT land as ordinary commits") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val troot = s"$base/default/ev"
+    TxTable.append(spark, troot, frame(1 to 20, "a"))
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", base)
+    // SELECT through the V1 bridge (filters pushed into readWhere)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_cat.default.ev WHERE id > 15")
+      .head().getLong(0) == 5L)
+    // INSERT INTO = an ordinary append commit (schema-validated)
+    spark.sql("INSERT INTO graft_cat.default.ev VALUES (100, 'sql', 1000)")
+    assert(TxTable.read(spark, troot).count() == 21)
+    assert(TxTable.commits(troot).last.op == "append")
+    // DELETE FROM = the full CoW delete path: metrics, change feed, 3VL
+    spark.sql("DELETE FROM graft_cat.default.ev WHERE id <= 5")
+    assert(TxTable.read(spark, troot).count() == 16)
+    val del = TxTable.commits(troot).last
+    assert(del.op == "delete" && del.metrics("rows_deleted") == 5 &&
+      del.cdc.nonEmpty, s"got $del")
+    assert(TxTable.readChanges(spark, troot, del.version, Some(del.version))
+      .where($"_change_type" === "delete").count() == 5)
+    // time travel reads the log, not the latest state
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_cat.default.ev VERSION AS OF 0")
+      .head().getLong(0) == 20L)
+    // projection-only and COUNT(*) shapes cross the bridge too
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cat.default.ev")
+      .head().getLong(0) == 16L)
+    assert(spark.sql(
+      "SELECT tag FROM graft_cat.default.ev WHERE id = 100").head()
+      .getString(0) == "sql")
+    // a mutation against a time-travel view refuses
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_cat.default.ev VERSION AS OF 0 WHERE id = 1")
+    }
+    assert(e != null)
+  }
+
   test("file-disjoint concurrent merges: the race loser rebases its staged commit; overlapping keys force the full re-run") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 50, "a").repartitionByRange(2, $"id"))
