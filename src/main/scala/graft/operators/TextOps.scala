@@ -811,29 +811,23 @@ object TextOps {
     */
   def topBigramsPerLang(spark: SparkSession, sfDir: String, k: Int = 3,
                         mgCapacity: Int = 4096): DataFrame = {
-    // materialize the word array ONCE per row before the bigram lambda:
-    // expressions inside transform()'s lambda are outside common-
-    // subexpression elimination, so referencing words(text) there re-runs
-    // the split per element_at — O(words²) per doc. Projecting it to an
-    // attribute first made this query 5.5x faster at sf0.1 (3.6 s → 0.65 s).
-    val w = col("w")
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
     // the sketch pass and the exact-confirm pass both need the distinct-
-    // bigram stream; CONSTRUCTING it (split + per-word concat +
-    // array_distinct) dominates, so materialize the per-doc bigram ARRAYS
-    // once and re-explode per pass (VERDICT r11 #7). Caching at the
-    // pre-explode level matters: the array rows are corpus-cardinality
-    // (one per doc, columnar-compressed), where the exploded stream is
-    // ~200× more rows — a full exploded-level cache was MEASURED SLOWER
-    // than the rebuild at the 100× deep point (82 s vs 73 s; the per-row
-    // cache overhead outran the saved build). Explode + hash per pass is
-    // the cheap part.
+    // bigram stream; CONSTRUCTING it dominates, so materialize the per-doc
+    // bigram ARRAYS once and re-explode per pass (VERDICT r11 #7). Caching
+    // at the pre-explode level matters: the array rows are
+    // corpus-cardinality (one per doc, columnar-compressed), where the
+    // exploded stream is ~200× more rows — a full exploded-level cache was
+    // MEASURED SLOWER than the rebuild at the 100× deep point (82 s vs
+    // 73 s; the per-row cache overhead outran the saved build). r13: the
+    // construction itself is the fused [[graft.functions.TextBigrams]]
+    // kernel — one byte walk copying bigram SLICES, first-occurrence dedup
+    // in the same pass — replacing split + transform/concat_ws +
+    // array_distinct (byte-identical output strings, oracle unchanged).
+    import org.apache.spark.sql.GraftBridge
+    val bgsKernel = GraftBridge.column(graft.functions.TextBigrams(
+      GraftBridge.expression(col("text")), distinct = true))
     val arrays = Tables.documents(spark, sfDir)
-      .select(col("lang"), col("doc_id"), words(col("text")).as("w"))
-      .select(col("lang"), array_distinct(bigrams).as("bgs"))
+      .select(col("lang"), bgsKernel.as("bgs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def stream = arrays
       .select(col("lang"), explode(col("bgs")).as("bigram"))
@@ -903,15 +897,13 @@ object TextOps {
     * stable across engines.
     */
   def bigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = col("w")
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    // occurrences, NOT distinct: coverage weights repeated bigrams
+    // occurrences, NOT distinct: coverage weights repeated bigrams; the
+    // array is the r13 [[graft.functions.TextBigrams]] slice kernel
+    import org.apache.spark.sql.GraftBridge
+    val bgsKernel = GraftBridge.column(graft.functions.TextBigrams(
+      GraftBridge.expression(col("text")), distinct = false))
     val occ = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"), explode(bgsKernel).as("bigram"))
     val model = occ.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(CoverageModelSize)
       .select(col("bigram"), lit(1L).as("hit"))
