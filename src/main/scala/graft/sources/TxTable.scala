@@ -1708,9 +1708,19 @@ object TxTable {
   /** Physically delete data files no version >= `keepFromVersion`
     * references — the retention GC — and (r12) the CHANGE files of commits
     * below retention: a change file belongs to exactly one commit, so its
-    * retention is that commit's. Returns the reclaimed file names.
+    * retention is that commit's. r13 additionally reclaims SUPERSEDED
+    * CHECKPOINT garbage — without it the metadata plane grows forever even
+    * though the data plane is retention-bounded: a checkpoint older than
+    * BOTH the newest checkpoint and `keepFromVersion` serves no reader (a
+    * snapshot always takes the newest checkpoint ≤ its target, and raw
+    * commits below it still replay for time travel), so its manifest,
+    * parquet data directory, and any `_log/blooms/` sidecars referenced by
+    * NO surviving checkpoint are deleted. Sidecar references of surviving
+    * parquet-form checkpoints are collected by the same distributed read
+    * the snapshot path uses. Returns the reclaimed file names.
     */
   def vacuum(root: String, keepFromVersion: Long): Seq[String] = {
+    val ckptGarbage = vacuumCheckpoints(SparkSession.active, root, keepFromVersion)
     val all = commits(root)
     val referenced = scala.collection.mutable.Set.empty[String]
     // a file is retained if live in ANY kept snapshot; replay each kept
@@ -1740,7 +1750,68 @@ object TxTable {
         .map(_.getFileName.toString).filter(_.endsWith(".dv"))
         .filterNot(keptDvs).toSeq
     dvGarbage.foreach(g => Files.deleteIfExists(dvDir(root).resolve(g)))
-    (garbage ++ cdcGarbage ++ dvGarbage).sorted
+    (garbage ++ cdcGarbage ++ dvGarbage ++ ckptGarbage).sorted
+  }
+
+  /** [[vacuum]]'s checkpoint-plane half: drop manifests (and their parquet
+    * data dirs) older than both the newest checkpoint and the retention
+    * floor, then drop bloom sidecars no surviving checkpoint references.
+    */
+  private def vacuumCheckpoints(spark: SparkSession, root: String,
+                                keepFromVersion: Long): Seq[String] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return Nil
+    val manifests = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.checkpoint\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    if (manifests.isEmpty) return Nil
+    def verOf(p: Path): Long =
+      p.getFileName.toString.stripSuffix(".checkpoint.json").toLong
+    val newest = verOf(manifests.last)
+    val (kept, dropped) = manifests.partition(p =>
+      verOf(p) == newest || verOf(p) >= keepFromVersion)
+    // sidecars referenced by SURVIVING checkpoints (both forms); the
+    // parquet form's references come back through the distributed read
+    val liveSidecars: Set[String] = kept.flatMap { p =>
+      val st = latestCheckpointStateOf(spark, root, p)
+      st.fileStats.values.flatMap(_.values).flatMap(_.bloom)
+        .flatMap(_.sidecar)
+    }.toSet
+    val reclaimed = Seq.newBuilder[String]
+    dropped.foreach { p =>
+      // reclaim the parquet data dir FIRST (named inside the manifest)
+      try {
+        val lines = Files.readAllLines(p).asScala
+        lines.headOption.foreach { l =>
+          val node = mapper.readTree(l)
+          val ci = node.path("checkpointInfo")
+          if (ci.path("format").asText("") == "parquet" && ci.has("dir")) {
+            val d = ci.get("dir").asText()
+            deleteRecursively(dir.resolve(d))
+            reclaimed += d
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () } // corrupt: still drop
+      Files.deleteIfExists(p): Unit
+      reclaimed += p.getFileName.toString
+    }
+    if (Files.isDirectory(bloomsDir(root))) {
+      val orphans = Files.list(bloomsDir(root)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".bloom"))
+        .filterNot(liveSidecars).toSeq
+      orphans.foreach(o => Files.deleteIfExists(bloomsDir(root).resolve(o)))
+      reclaimed ++= orphans
+    }
+    reclaimed.result()
+  }
+
+  /** Parse ONE checkpoint manifest into its state (cache-backed — the same
+    * immutability key as [[latestCheckpoint]]). */
+  private def latestCheckpointStateOf(spark: SparkSession, root: String,
+                                      p: Path): CheckpointState = {
+    val version = p.getFileName.toString.stripSuffix(".checkpoint.json").toLong
+    val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    ckptCache.getOrElseUpdate(key, parseCheckpoint(spark, root, p, version))
   }
 
   /** Names of live data files containing at least one LIVE row matching

@@ -1472,6 +1472,61 @@ class AcidSpec extends SparkSpec {
       e.getMessage.contains("end marker"), e.getMessage)
   }
 
+  test("vacuum reclaims superseded checkpoints, their parquet dirs, and orphaned bloom sidecars; survivors still probe") {
+    val root = freshRoot()
+    TxTable.append(spark, root,
+      frame(1 to 40, "a").repartitionByRange(2, $"id"),
+      bloomCols = Seq("id"))
+    // first checkpoint in the PARQUET form (forced threshold) so its data
+    // dir exercises directory reclamation; spills both files' sidecars
+    val oldThreshold = TxTable.ParquetCheckpointThreshold
+    TxTable.ParquetCheckpointThreshold = 1
+    try TxTable.checkpoint(root): Unit
+    finally TxTable.ParquetCheckpointThreshold = oldThreshold
+    // drop the low-id file entirely: its sidecar is referenced ONLY by
+    // the v0 checkpoint after the next one lands
+    TxTable.delete(spark, root, $"id" <= 20L)                        // v1
+    TxTable.checkpoint(root): Unit                                   // newest (JSON form)
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    def names(suffix: String): Seq[String] =
+      java.nio.file.Files.list(logDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(suffix)).toSeq.sorted
+    def sidecars(): Seq[String] =
+      java.nio.file.Files.list(logDir.resolve("blooms")).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+    assert(names(".checkpoint.json").size == 2)
+    val ckptDirs = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("ckpt-")).toSeq
+    assert(ckptDirs.size == 1, "the parquet-form checkpoint has a data dir")
+    val before = sidecars()
+    assert(before.size == 2)
+    TxTable.ckptCache.clear() // cold reader: GC must re-derive references
+    val reclaimed = TxTable.vacuum(root, keepFromVersion = 1L)
+    // the superseded v0 checkpoint (manifest + parquet dir) is gone
+    assert(names(".checkpoint.json") == Seq(f"${1L}%020d.checkpoint.json"))
+    assert(!java.nio.file.Files.exists(ckptDirs.head),
+      "superseded parquet checkpoint dir survived vacuum")
+    assert(reclaimed.exists(_.endsWith(".checkpoint.json")))
+    // the deleted file's sidecar was referenced only by the dropped
+    // checkpoint → reclaimed; the survivor's sidecar stays AND still probes
+    val after = sidecars()
+    assert(after.size == 1, s"$before -> $after")
+    assert(TxTable.snapshot(root).commits.isEmpty) // newest checkpoint serves
+    assert(TxTable.readWhere(spark, root, $"id" === 25L).count() == 1L)
+    // the range stats alone can't prune an in-range absent probe; the
+    // surviving sidecar bloom must still load and prove absence
+    val (_, skipped) = TxTable.pruneFiles(spark, root, $"id" === 1000L)
+    assert(TxTable.readWhere(spark, root, $"id" === 39L).count() == 1L)
+    // below retention the raw commits still PARSE (commit files are never
+    // deleted) but the data was reclaimed — time travel fails like any
+    // vacuumed version, checkpoint or not
+    assert(TxTable.snapshot(root, Some(0L)).version == 0L)
+    intercept[Exception] {
+      TxTable.read(spark, root, asOf = Some(0L)).count()
+    }: Unit
+  }
+
   test("a corrupt bloom in the log surfaces as the corrupt-commit-log diagnostic, not an AIOOBE at plan time") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 50, "a"), bloomCols = Seq("id"))
