@@ -1037,6 +1037,27 @@ class AcidSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(17L))
   }
 
+  test("readChanges is checkpoint-accelerated: a tail feed never parses pre-checkpoint commits") {
+    val root = freshRoot()
+    (0 until 5).foreach(i => TxTable.append(spark, root,
+      frame(i * 10 + 1 to i * 10 + 5, s"t$i")): Unit)   // v0..v4
+    TxTable.checkpoint(root): Unit                       // at v4
+    TxTable.delete(spark, root, $"id" <= 3L)             // v5 (cdc)
+    // corrupt a PRE-checkpoint commit: a tail feed must never parse it
+    val log0 = java.nio.file.Paths.get(root, "_log", f"${0L}%020d.json")
+    val intact = java.nio.file.Files.readAllBytes(log0)
+    java.nio.file.Files.write(log0, "garbage".getBytes("UTF-8"))
+    val ch = TxTable.readChanges(spark, root, 5L, Some(5L)).collect()
+    assert(ch.length == 3 &&
+      ch.forall(_.getAs[String]("_change_type") == "delete"))
+    // a from-zero replay still walks raw history and fails loudly on it
+    intercept[IllegalStateException] {
+      TxTable.readChanges(spark, root, 0L).count()
+    }: Unit
+    java.nio.file.Files.write(log0, intact)
+    assert(TxTable.readChanges(spark, root, 0L).count() == 25 + 3)
+  }
+
   test("empty feed over a fully-deleted snapshot builds from the recorded schema (zero-path parquet reads would throw)") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 5, "a"))      // v0
