@@ -58,7 +58,8 @@ object TxTable {
                     schemaJson: Option[String] = None,
                     cdc: Seq[String] = Nil,
                     dvs: Seq[(String, String)] = Nil,
-                    dataChange: Boolean = true)
+                    dataChange: Boolean = true,
+                    protocol: Option[(Int, Int)] = None)
 
   /** One committed version view. `commits` holds the replayed TAIL — every
     * commit when no checkpoint accelerated the build, else only the
@@ -69,7 +70,13 @@ object TxTable {
                       liveDvs: Map[String, String] = Map.empty,
                       baseStats: Map[String, Map[String, TxStats.ColStats]] = Map.empty,
                       baseSchema: Option[String] = None,
-                      baseTxns: Map[(String, Long), Long] = Map.empty) {
+                      baseTxns: Map[(String, Long), Long] = Map.empty,
+                      baseProtocol: (Int, Int) = (1, 1)) {
+    /** The table's (minReader, minWriter) PROTOCOL as of this snapshot —
+      * the latest protocol action wins (protocol upgrades are commits). */
+    lazy val protocol: (Int, Int) =
+      commits.reverseIterator.flatMap(_.protocol).nextOption()
+        .getOrElse(baseProtocol)
     /** Transaction identities as of this snapshot: checkpoint-carried base
       * plus the tail's — what [[TxTable.appendOnce]]'s idempotence probe
       * and a re-checkpoint both need WITHOUT replaying the whole log. */
@@ -138,6 +145,7 @@ object TxTable {
         var txn: Option[(String, Long)] = None
         var schemaJson: Option[String] = None
         var dataChange = true
+        var protocol: Option[(Int, Int)] = None
         var actions = 0
         var endCount = -1L
         val adds = Seq.newBuilder[String]
@@ -164,6 +172,18 @@ object TxTable {
             // layout-only marker (r13, the Delta dataChange move): absent
             // means true — a mutation; compaction writes false
             if (ci.has("dataChange")) dataChange = ci.get("dataChange").asBoolean()
+            // protocol gate (r13, the Delta protocol action): a log whose
+            // minReader exceeds what this library understands must REFUSE
+            // here — misreading a future feature (an unknown action kind,
+            // a new skipping structure) is silent corruption
+            if (ci.has("protocol")) {
+              val pr = ci.get("protocol")
+              val (r, w) = (pr.path("r").asInt(1), pr.path("w").asInt(1))
+              if (r > SupportedReaderVersion) throw new IllegalStateException(
+                s"table at $root requires reader protocol version $r; this " +
+                  s"library supports $SupportedReaderVersion — upgrade to read")
+              protocol = Some((r, w))
+            }
           }
           if (node.has("add")) {
             val f = node.get("add").asText()
@@ -189,7 +209,7 @@ object TxTable {
           corrupt(s"end marker declares $endCount actions, found $actions")
         Commit(version, op, metrics, adds.result(), removes.result(),
           stats.result(), txn, schemaJson, cdcFiles.result(), dvActions.result(),
-          dataChange)
+          dataChange, protocol)
       }
   }
 
@@ -293,7 +313,8 @@ object TxTable {
                                      fileStats: Map[String, Map[String, TxStats.ColStats]],
                                      liveDvs: Map[String, String],
                                      schemaJson: Option[String],
-                                     txns: Map[(String, Long), Long])
+                                     txns: Map[(String, Long), Long],
+                                     protocol: (Int, Int) = (1, 1))
 
   /** Checkpoint every N commits (auto, best-effort, after a won publish). */
   private val CheckpointInterval = 20L
@@ -358,6 +379,8 @@ object TxTable {
     val info = mapper.createObjectNode()
     val ci = info.putObject("checkpointInfo")
     ci.put("v", s.version): Unit
+    ci.put("r", s.protocol._1): Unit
+    ci.put("w", s.protocol._2): Unit
     s.schemaJson.foreach(js => ci.put("schema", js): Unit)
     lines += mapper.writeValueAsString(info)
     var actions = 0
@@ -453,6 +476,8 @@ object TxTable {
     val info = mapper.createObjectNode()
     val ci = info.putObject("checkpointInfo")
     ci.put("v", s.version): Unit
+    ci.put("r", s.protocol._1): Unit
+    ci.put("w", s.protocol._2): Unit
     s.schemaJson.foreach(js => ci.put("schema", js): Unit)
     ci.put("format", "parquet"): Unit
     ci.put("dir", dirName): Unit
@@ -496,6 +521,7 @@ object TxTable {
     var schema: Option[String] = None
     var sawInfo = false
     var format = "json"
+    var protocolRw: (Int, Int) = (1, 1)
     var dataDirName: Option[String] = None
     var actions = 0
     var endCount = -1L
@@ -516,6 +542,14 @@ object TxTable {
         if (ci.has("schema")) schema = Some(ci.get("schema").asText())
         if (ci.has("format")) format = ci.get("format").asText()
         if (ci.has("dir")) dataDirName = Some(ci.get("dir").asText())
+        // the folded protocol rides the checkpoint, so a checkpoint-
+        // accelerated reader is version-gated without parsing commit 0
+        protocolRw = (ci.path("r").asInt(1), ci.path("w").asInt(1))
+        if (protocolRw._1 > SupportedReaderVersion)
+          throw new IllegalStateException(
+            s"table at $root requires reader protocol version " +
+              s"${protocolRw._1}; this library supports " +
+              s"$SupportedReaderVersion — upgrade to read")
       }
       if (node.has("file")) {
         val f = node.get("file").asText()
@@ -543,7 +577,7 @@ object TxTable {
       if (endCount != actions)
         corrupt(s"end marker declares $endCount actions, found $actions")
       CheckpointState(version, files.result(), stats.result(),
-        dvs.result(), schema, txns.result())
+        dvs.result(), schema, txns.result(), protocolRw)
     } else if (format == "parquet") {
       if (actions != 0) corrupt("parquet manifest carries inline actions")
       val dataDir = dataDirName.getOrElse(corrupt("parquet manifest names no dir"))
@@ -582,7 +616,7 @@ object TxTable {
       } catch { case iae: IllegalArgumentException => corrupt(iae.getMessage) }
       stats ++= statsByFile.map { case (f, m) => f -> m.toMap }
       CheckpointState(version, files.result(), stats.result(),
-        dvs.result(), schema, txns.result())
+        dvs.result(), schema, txns.result(), protocolRw)
     } else corrupt(s"unknown checkpoint format '$format'")
   }
 
@@ -615,7 +649,8 @@ object TxTable {
     Snapshot(version, live.toSeq, upto, dv.toMap,
       cp.fold(Map.empty[String, Map[String, TxStats.ColStats]])(_.fileStats),
       cp.flatMap(_.schemaJson),
-      cp.fold(Map.empty[(String, Long), Long])(_.txns))
+      cp.fold(Map.empty[(String, Long), Long])(_.txns),
+      cp.fold((1, 1))(_.protocol))
   }
 
   /** Read the table (optionally at a past version) as a DataFrame. The
@@ -1139,6 +1174,12 @@ object TxTable {
     val ci = mapper.createObjectNode()
     val cin = ci.putObject("commitInfo")
     cin.put("op", op): Unit
+    if (version == 0L) {
+      // birth certificate: the table's protocol rides its first commit
+      val pr = cin.putObject("protocol")
+      pr.put("r", SupportedReaderVersion): Unit
+      pr.put("w", SupportedWriterVersion): Unit
+    }
     txn.foreach { case (app, batch) =>
       cin.put("txnApp", app): Unit
       cin.put("txnBatch", batch): Unit
@@ -1211,6 +1252,29 @@ object TxTable {
   }
 
   private val MaxRetries = 20
+
+  /** PROTOCOL versions (r13, the Delta protocol action): what this build
+    * can read and write. A table's first commit records `protocol` in its
+    * commitInfo (and later commits may UPGRADE it); checkpoints carry the
+    * folded value so checkpoint-accelerated readers are gated too. A log
+    * requiring a higher reader version refuses at parse time; a higher
+    * WRITER version leaves the table readable but makes every commit path
+    * refuse — the old-writer-corrupts-new-feature class (e.g. a writer
+    * that doesn't know deletion vectors rewriting a DV'd file without
+    * materializing them) is cut off at the door.
+    */
+  val SupportedReaderVersion = 1
+  val SupportedWriterVersion = 1
+
+  /** Refuse to COMMIT against a table whose protocol demands a newer
+    * writer (reads stay allowed — reader gating happens at parse time). */
+  private def assertWritable(root: String, s: Snapshot): Unit =
+    if (s.protocol._2 > SupportedWriterVersion)
+      throw new IllegalStateException(
+        s"table at $root requires writer protocol version ${s.protocol._2}; " +
+          s"this library supports writer version $SupportedWriterVersion — " +
+          "the table stays readable, but a commit could corrupt features " +
+          "this writer does not understand")
 
   /** Test seam: invoked once on entry to [[commitWithRebase]] so a spec
     * can deterministically inject a racing commit between a mutation's
@@ -1290,7 +1354,9 @@ object TxTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              op: String = "append", bloomCols: Seq[String] = Nil): Long = {
     val rows = df.count()
-    evolvedSchema(spark, root, snapshot(spark, root, None), df.schema): Unit // fail fast, before staging IO
+    val pre = snapshot(spark, root, None)
+    assertWritable(root, pre) // protocol-gate BEFORE staging IO
+    evolvedSchema(spark, root, pre, df.schema): Unit // fail fast, before staging IO
     val adds = writeData(spark, root, df, bloomCols)
     try {
       var attempt = 0
@@ -1298,6 +1364,7 @@ object TxTable {
         // validate and claim against ONE snapshot: any commit racing in
         // between loses us the version and forces a re-validating retry
         val base = snapshot(spark, root, None)
+        assertWritable(root, base)
         val schema = evolvedSchema(spark, root, base, df.schema)
         val v = base.version + 1
         if (tryCommit(spark, root, v, op, Map("rows_written" -> rows), adds, Nil,
@@ -1342,7 +1409,9 @@ object TxTable {
       case Some(v) => v // the batch already applied: idempotent no-op
       case None =>
         val rows = df.count()
-        evolvedSchema(spark, root, snapshot(spark, root, None), df.schema): Unit // fail fast, before staging
+        val pre = snapshot(spark, root, None)
+        assertWritable(root, pre) // protocol-gate BEFORE staging IO
+        evolvedSchema(spark, root, pre, df.schema): Unit // fail fast, before staging
         val adds = writeData(spark, root, df, bloomCols)
         var attempt = 0
         while (attempt < MaxRetries) {
@@ -1352,6 +1421,7 @@ object TxTable {
               return v
             case None =>
               val base = snapshot(spark, root, None)
+              assertWritable(root, base)
               val schema = // same-snapshot validate-and-claim, like append
                 try evolvedSchema(spark, root, base, df.schema)
                 catch { case e: IllegalArgumentException =>
@@ -1389,6 +1459,7 @@ object TxTable {
     while (attempt < MaxRetries) {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
+      assertWritable(root, base)
       val affected = filesMatching(spark, root, base, predicate)
       if (affected.isEmpty)
         return base.version // nothing to delete: no-op, no commit
@@ -1442,6 +1513,7 @@ object TxTable {
     while (attempt < MaxRetries) {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
+      assertWritable(root, base)
       // ONE sidecar deserialization per attempt (ADVICE r12): the same
       // DvMap drives the scan's anti-filter and the replacement-vector
       // merge below
@@ -1550,6 +1622,7 @@ object TxTable {
     while (attempt < MaxRetries) {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
+      assertWritable(root, base)
       val live = readLive(spark, root, base, base.liveFiles)
       val cols = live.columns.toSeq
       // files holding at least one matched key — the only rewrite set
@@ -1630,6 +1703,7 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(spark, root, None)
+      assertWritable(root, base)
       // a table carrying deletion vectors always compacts: compaction is
       // the pass that MATERIALIZES merge-on-read deletes into clean files
       if (base.liveFiles.size <= targetFiles && base.liveDvs.isEmpty)
@@ -1674,6 +1748,7 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = snapshot(spark, root, None)
+      assertWritable(root, base)
       if (base.liveFiles.size <= targetFiles && base.liveDvs.isEmpty)
         return base.version // no-op (see compact: DVs force materialization)
       val live = readLive(spark, root, base, base.liveFiles)

@@ -1493,6 +1493,51 @@ class AcidSpec extends SparkSpec {
       e.getMessage.contains("end marker"), e.getMessage)
   }
 
+  test("protocol gating: a future-versioned log refuses old readers and writers loudly instead of being misread") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 10, "a"))
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    // the birth certificate rides commit 0
+    val log0 = new String(java.nio.file.Files.readAllBytes(
+      logDir.resolve(f"${0L}%020d.json")), "UTF-8")
+    assert(log0.contains("\"protocol\":{\"r\":1,\"w\":1}"), log0.take(200))
+    // a WRITER upgrade lands as a later commit (a future-featured writer):
+    // the table stays readable, every commit path refuses
+    java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"),
+      ("""{"commitInfo":{"op":"upgrade","protocol":{"r":1,"w":2},"metrics":{}}}""" +
+        "\n" + """{"end":0}""").getBytes("UTF-8")): Unit
+    assert(TxTable.read(spark, root).count() == 10)
+    val e1 = intercept[IllegalStateException] {
+      TxTable.append(spark, root, frame(11 to 12, "b"))
+    }
+    assert(e1.getMessage.contains("writer protocol version 2"), e1.getMessage)
+    intercept[IllegalStateException] {
+      TxTable.delete(spark, root, $"id" === 1L)
+    }: Unit
+    intercept[IllegalStateException] {
+      TxTable.compact(spark, root, targetFiles = 1)
+    }: Unit
+    // the folded protocol rides checkpoints: a checkpoint-accelerated
+    // writer is gated without parsing the upgrade commit
+    TxTable.checkpoint(root): Unit
+    assert(TxTable.snapshot(root).commits.isEmpty)
+    intercept[IllegalStateException] {
+      TxTable.append(spark, root, frame(11 to 12, "b"))
+    }: Unit
+    assert(TxTable.read(spark, root).count() == 10)
+    // a READER bump refuses every read path loudly
+    val root2 = freshRoot()
+    TxTable.append(spark, root2, frame(1 to 5, "a"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root2, "_log", f"${1L}%020d.json"),
+      ("""{"commitInfo":{"op":"upgrade","protocol":{"r":2,"w":2},"metrics":{}}}""" +
+        "\n" + """{"end":0}""").getBytes("UTF-8")): Unit
+    val e2 = intercept[IllegalStateException] {
+      TxTable.read(spark, root2).count()
+    }
+    assert(e2.getMessage.contains("reader protocol version 2"), e2.getMessage)
+  }
+
   test("vacuum reclaims superseded checkpoints, their parquet dirs, and orphaned bloom sidecars; survivors still probe") {
     val root = freshRoot()
     TxTable.append(spark, root,
