@@ -29,6 +29,8 @@ object LifecyclePack extends QueryPack {
     "xacid_prefix_scan" -> ((s, d) => AcidOps.prefixScan(s, d)),
     "xacid_connector_scan" -> ((s, d) => AcidOps.connectorScan(s, d)),
     "xacid_sql_dml" -> ((s, d) => AcidOps.sqlDmlState(s, d)),
+    "xacid_sql_merge" -> ((s, d) => AcidOps.sqlMergeState(s, d)),
+    "xacid_sql_overwrite" -> ((s, d) => AcidOps.sqlOverwriteState(s, d)),
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
     "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
     "xacid_dv_scan" -> ((s, d) => AcidOps.dvState(s, d)),
@@ -231,6 +233,44 @@ object LifecyclePack extends QueryPack {
         |  SELECT 2000000000 % 7, 2000000000, 99.99
         |)
         |GROUP BY bucket""".stripMargin,
+    // the SQL star-merge's update/insert rules and the SQL update's
+    // arithmetic predicate, replayed from raw orders: corrections (+1.5 on
+    // key ≡ 3 mod 10) update in place, resubmissions (key + 10⁹, status
+    // 'R' on key ≡ 0 mod 97) insert, then key ≡ 7 mod 20 takes +0.25 —
+    // both constants exact in IEEE double, hash-identical cross-engine
+    "xacid_sql_merge" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 10 = 3
+         |         THEN o_totalprice + ${AcidOps.PriceCorrection}
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + ${AcidOps.InsertKeyOffset}, 'R', o_totalprice
+         |  FROM orders WHERE o_orderkey % 97 = 0
+         |), updated AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 20 = 7 THEN o_totalprice + 0.25
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM merged
+         |)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM updated GROUP BY o_orderstatus""".stripMargin,
+    // the atomic overwrite's two visible snapshots, replayed from raw
+    // orders: the final state is the overwrite SELECT (key ≡ 1 mod 4,
+    // +10.0), v0 is the seeded even-key half — an overwrite that leaks
+    // old rows into the final state or breaks time travel mismatches
+    "xacid_sql_overwrite" ->
+      """SELECT 'final' AS side, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(sum(CAST(o_totalprice + 10.0 AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT 'v0', count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     // null-accounting reads (r12): IsNull proves absence on the stamped
     // files (footer null count 0), IsNotNull on the unstamped ones (null
     // count = row count) — each side opens 1 of 4 files; the oracle

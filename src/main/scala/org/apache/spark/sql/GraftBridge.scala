@@ -30,4 +30,16 @@ object GraftBridge {
                          schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse boundary: a re-executable BATCH DataFrame over a
+    * streaming micro-batch's rows — what a V1 `Sink.addBatch` body needs
+    * before running multi-job batch logic (count + write + stats pass)
+    * against the handed-in incremental DataFrame (the ForeachBatchSink
+    * wrapping move). */
+  def batchDataFrame(spark: SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[
+                       org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -1261,6 +1261,206 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() == 25 + 5 + 5)
   }
 
+  test("copy-on-write UPDATE: TRUE rows take assignments evaluated against the OLD row; 3VL; CDF pre/post images; untouched files survive") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 50, "a").repartitionByRange(2, $"id"))
+    val v = TxTable.update(spark, root, $"id" <= 10L,
+      Map("value" -> (col("value") + col("id")), "tag" -> lit("upd")))
+    val c = TxTable.commits(root).last
+    assert(c.op == "update" && c.metrics("rows_updated") == 10)
+    assert(c.removes.size == 1, s"update rewrote ${c.removes.size} files " +
+      "(only the low-range file holds TRUE rows)")
+    val back = TxTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("tag"), r.getAs[Long]("value")))).toMap
+    (1 to 10).foreach(i => assert(back(i.toLong) == (("upd", i * 10L + i)),
+      s"id $i: ${back(i.toLong)}")) // value + id saw the OLD value
+    (11 to 50).foreach(i => assert(back(i.toLong) == (("a", i * 10L))))
+    // change feed: pre/post image pairs, exact sums
+    val byType = TxTable.readChanges(spark, root, v, Some(v))
+      .groupBy($"_change_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byType(("update_preimage")) == ((10L, (1 to 10).map(_ * 10L).sum)))
+    assert(byType(("update_postimage")) == ((10L, (1 to 10).map(i => i * 11L).sum)))
+    // first CDF use upgraded the writer protocol on the update commit
+    assert(TxTable.snapshot(root).protocol == ((1, 2)))
+    // three-valued logic: a NULL-evaluating predicate updates NOTHING
+    val root2 = freshRoot()
+    TxTable.append(spark, root2,
+      Seq((1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(1L)))
+        .toDF("id", "opt"))
+    TxTable.update(spark, root2, $"opt" > 2L, Map("id" -> (col("id") + 100L)))
+    assert(TxTable.read(spark, root2).select("id").as[Long].collect()
+      .sorted.toSeq == Seq(2L, 3L, 101L))
+    // unknown assignment column refuses before any rewrite
+    intercept[IllegalArgumentException] {
+      TxTable.update(spark, root2, lit(true), Map("nope" -> lit(1)))
+    }: Unit
+    // no TRUE rows: no-op, no commit
+    val vBefore = TxTable.snapshot(root2).version
+    assert(TxTable.update(spark, root2, $"id" > 999L,
+      Map("id" -> lit(0L))) == vBefore)
+  }
+
+  test("atomic overwrite: ONE commit displaces every live row; time travel intact; CDF replays delete-all + insert-all") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 30, "old").repartition(2))
+    TxTable.deleteMor(spark, root, $"id" === 5L) // live DV: only LIVE rows displace
+    val preLive = TxTable.snapshot(root).liveFiles.toSet
+    val v = TxTable.overwrite(spark, root, frame(100 to 109, "new"))
+    assert(v == 2L)
+    val c = TxTable.commits(root).last
+    assert(c.op == "overwrite" && c.removes.toSet == preLive)
+    assert(c.metrics("rows_deleted") == 29 && c.metrics("rows_written") == 10)
+    val back = TxTable.read(spark, root)
+    assert(back.count() == 10 && back.where($"tag" === "old").count() == 0)
+    assert(TxTable.read(spark, root, asOf = Some(1L)).count() == 29,
+      "time travel to the pre-overwrite snapshot must survive")
+    val byType = TxTable.readChanges(spark, root, v, Some(v))
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 29L, "insert" -> 10L))
+    assert(TxTable.snapshot(root).liveDvs.isEmpty,
+      "vectors retire with the files they marked")
+    // overwriting a fully-deleted table is a pure add (no displaced rows,
+    // no change files — the adds ARE the inserts)
+    TxTable.delete(spark, root, lit(true))
+    val v2 = TxTable.overwrite(spark, root, frame(200 to 204, "x"))
+    assert(TxTable.read(spark, root).count() == 5)
+    assert(TxTable.commits(root).last.cdc.isEmpty)
+    assert(TxTable.readChanges(spark, root, v2, Some(v2))
+      .where($"_change_type" === "insert").count() == 5)
+  }
+
+  test("SQL MERGE INTO: full upsert semantics through the catalog — star forms, set-to-NULL, dup-key rejection, loud refusals") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 30, "base"))
+    val p = java.nio.file.Paths.get(root)
+    spark.conf.set("spark.sql.catalog.graft_sqlm", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sqlm.root", p.getParent.toString)
+    val t = s"graft_sqlm.`${p.getFileName}`"
+    Seq((1L, "upd", 1000L), (2L, null.asInstanceOf[String], 2000L),
+        (101L, "ins", 5L))
+      .toDF("id", "tag", "value").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING merge_src s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET tag = s.tag, value = s.value
+         |WHEN NOT MATCHED THEN INSERT (id, tag, value)
+         |  VALUES (s.id, s.tag, s.value)""".stripMargin): Unit
+    val c = TxTable.commits(root).last
+    assert(c.op == "merge" &&
+      c.metrics("rows_updated") == 2 && c.metrics("rows_inserted") == 1)
+    val back = TxTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("tag"), r.getAs[Long]("value")))).toMap
+    assert(back.size == 31)
+    assert(back(1L) == (("upd", 1000L)))
+    assert(back(2L) == ((null, 2000L)), "set-to-NULL must land via SQL")
+    assert(back(101L) == (("ins", 5L)))
+    assert(back(3L) == (("base", 30L)))
+    // star forms: UPDATE SET * / INSERT * — the canonical upsert
+    Seq((4L, "star", 4000L), (102L, "star", 6L)).toDF("id", "tag", "value")
+      .createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+    val back2 = TxTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("tag"), r.getAs[Long]("value")))).toMap
+    assert(back2(4L) == (("star", 4000L)) && back2(102L) == (("star", 6L)))
+    // duplicate source keys refuse BEFORE any rewrite (the Scala
+    // contract, arriving via SQL)
+    Seq((5L, "a", 1L), (5L, "b", 2L)).toDF("id", "tag", "value")
+      .createOrReplaceTempView("merge_dup")
+    val eDup = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO $t tgt USING merge_dup s ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(eDup.getMessage.contains("duplicate keys"), eDup.getMessage)
+    // a computed SET that disagrees with the INSERT value refuses loudly
+    // (one source projection serves both roles)
+    val eDiff = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET value = s.value + 1
+           |WHEN NOT MATCHED THEN INSERT (id, tag, value)
+           |  VALUES (s.id, s.tag, s.value)""".stripMargin)
+    }
+    assert(eDiff.getMessage.contains("same expression"), eDiff.getMessage)
+    // ... but a computed value CONSISTENT across both roles is accepted
+    spark.sql(
+      s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET value = s.value + 1, tag = s.tag
+         |WHEN NOT MATCHED THEN INSERT (id, tag, value)
+         |  VALUES (s.id, s.tag, s.value + 1)""".stripMargin): Unit
+    assert(TxTable.read(spark, root).where($"id" === 4L)
+      .head().getAs[Long]("value") == 4001L)
+    // WHEN MATCHED THEN DELETE refuses (not an upsert)
+    val eDel = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(eDel.getMessage.contains("WHEN MATCHED"), eDel.getMessage)
+  }
+
+  test("SQL UPDATE: arbitrary Catalyst assignments and predicate through the catalog; 3VL; CDF pre/post") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 20, "base"))
+    val p = java.nio.file.Paths.get(root)
+    spark.conf.set("spark.sql.catalog.graft_squ", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_squ.root", p.getParent.toString)
+    val t = s"graft_squ.`${p.getFileName}`"
+    // an ARITHMETIC predicate — exactly the shape SupportsDelete's
+    // V1-filter surface refuses for DELETE — runs here, because UPDATE
+    // takes the full Catalyst expression path
+    spark.sql(s"UPDATE $t SET value = value * 2, tag = 'x2' " +
+      "WHERE id % 2 = 0"): Unit
+    val c = TxTable.commits(root).last
+    assert(c.op == "update" && c.metrics("rows_updated") == 10)
+    val back = TxTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("tag"), r.getAs[Long]("value")))).toMap
+    (1 to 20).foreach { i =>
+      if (i % 2 == 0) assert(back(i.toLong) == (("x2", i * 20L)))
+      else assert(back(i.toLong) == (("base", i * 10L)))
+    }
+    // set-to-NULL via SQL UPDATE
+    spark.sql(s"UPDATE $t SET tag = NULL WHERE id = 3"): Unit
+    assert(TxTable.read(spark, root).where($"id" === 3L)
+      .head().getAs[String]("tag") == null)
+    // WHERE-less UPDATE touches every row
+    spark.sql(s"UPDATE $t SET value = 0"): Unit
+    assert(TxTable.read(spark, root).agg(sum($"value")).head().getLong(0) == 0L)
+  }
+
+  test("SQL INSERT OVERWRITE: one atomic commit; pre-overwrite snapshot time-travels; CDF replays delete-all + insert-all") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 20, "old"))
+    val p = java.nio.file.Paths.get(root)
+    spark.conf.set("spark.sql.catalog.graft_sqo", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sqo.root", p.getParent.toString)
+    val t = s"graft_sqo.`${p.getFileName}`"
+    spark.sql(s"INSERT OVERWRITE $t VALUES (500, 'new', 1), (501, 'new', 2)"): Unit
+    // ONE commit — not DELETE's version plus INSERT's
+    val cs = TxTable.commits(root)
+    assert(cs.size == 2 && cs.last.op == "overwrite")
+    assert(cs.last.metrics("rows_deleted") == 20 &&
+      cs.last.metrics("rows_written") == 2)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 0")
+      .head().getLong(0) == 20L)
+    val byType = TxTable.readChanges(spark, root, 1L, Some(1L))
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 20L, "insert" -> 2L))
+  }
+
   test("SQL DML catalog: INSERT INTO / DELETE FROM / time-travel SELECT land as ordinary commits") {
     val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val troot = s"$base/default/ev"
@@ -1422,13 +1622,75 @@ class AcidSpec extends SparkSpec {
       Seq((1000L, "x", 1L, "new")).toDF("id", "tag", "value", "extra"))
     val evo = spark.read.format("graft-tx").load(root)
     assert(evo.where($"extra".isNull).count() == 100L)
-    // live deletion vectors refuse loudly (a plain parquet scan would
-    // resurrect the deleted rows)
+    // live deletion vectors COMPOSE (r14, replacing the r13 refusal): the
+    // connector must not resurrect the vector-deleted row
     TxTable.deleteMor(spark, root, $"id" === 7L)
+    val afterDv = spark.read.format("graft-tx").load(root)
+    assert(afterDv.where($"id" === 7L).count() == 0L)
+    assert(afterDv.count() == TxTable.read(spark, root).count())
+  }
+
+  test("graft-tx connector over a merge-on-read table: row-identical to TxTable.read, still a FileSourceScanExec, clean files keep pushdown") {
+    import graft.sources.{TxDvParquetFileFormat, TxFileIndex}
+    val root = freshRoot()
+    // 4 range-disjoint files; two overlapping MoR deletes vector TWO of
+    // them (replacement-merge on the shared file), none ever rewrites
+    TxTable.append(spark, root,
+      frame(1 to 100, "a").repartitionByRange(4, $"id"))
+    TxTable.deleteMor(spark, root, $"id" % 7 === 0L && $"id" <= 70L): Unit
+    TxTable.deleteMor(spark, root, $"id" <= 30L && $"id" % 5 === 0L): Unit
+    val s = TxTable.snapshot(root)
+    assert(s.liveDvs.nonEmpty && s.liveDvs.size < s.liveFiles.size,
+      "fixture needs vectored AND clean files")
+    val conn = spark.read.format("graft-tx").load(root)
+    val lib = TxTable.read(spark, root)
+    // row-identical to the library's own MoR scan
+    assert(conn.count() == lib.count())
+    assert(conn.exceptAll(lib).count() == 0 && lib.exceptAll(conn).count() == 0)
+    // plan shape: still the FileIndex-pruned FileSourceScanExec, now over
+    // the DV-filtering parquet format
+    val probed = conn.where($"id" === 95L)
+    assert(probed.collect().map(_.getLong(0)).toSeq == Seq(95L))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.relation.fileFormat.isInstanceOf[TxDvParquetFileFormat])
+    assert(scan.relation.location.asInstanceOf[TxFileIndex]
+      .lastListing.exists(_._1 < s.liveFiles.size),
+      "stats pruning must stay sound under DVs (vectors only remove rows)")
+    // a vectored-file probe: both deletes' rows are gone (14 by the mod-7
+    // sweep, 15 by the overlapping second delete), their file-mate lives
+    assert(conn.where($"id".isin(14L, 15L, 16L)).collect()
+      .map(_.getLong(0)).toSeq == Seq(16L))
+    // zero-overhead path: compaction materializes the vectors and the
+    // connector falls back to the stock vectorized format
+    TxTable.compact(spark, root, targetFiles = 2): Unit
+    val clean = spark.read.format("graft-tx").load(root)
+    val cleanScan = clean.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(!cleanScan.relation.fileFormat.isInstanceOf[TxDvParquetFileFormat])
+    assert(clean.count() == lib.count())
+  }
+
+  test("graft-tx connector fails loudly on a vanished live file, naming it — never a silent partial scan") {
+    val root = freshRoot()
+    (0 until 3).foreach { f =>
+      TxTable.append(spark, root, frame(f * 10 + 1 to f * 10 + 10, s"b$f")
+        .repartition(1))
+    }
+    // external deletion / storage loss of ONE live file (the library's own
+    // vacuum respects retention and never produces this state)
+    val victim = TxTable.snapshot(root).liveFiles.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "data", victim))
     val e = intercept[IllegalStateException] {
       spark.read.format("graft-tx").load(root).count()
     }
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    assert(e.getMessage.contains("missing from") &&
+      e.getMessage.contains(victim), e.getMessage)
+    // the Scala path fails loudly on the identical state (parquet-open) —
+    // the connector must not be the one reader that masks it
+    intercept[Exception] { TxTable.read(spark, root).count() }: Unit
   }
 
   test("parquet checkpoint: a 10³-file snapshot reconstructs via a distributed read; bloom bits stay off the driver until probed") {
@@ -1504,13 +1766,13 @@ class AcidSpec extends SparkSpec {
     // a WRITER upgrade lands as a later commit (a future-featured writer):
     // the table stays readable, every commit path refuses
     java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"),
-      ("""{"commitInfo":{"op":"upgrade","protocol":{"r":1,"w":2},"metrics":{}}}""" +
+      ("""{"commitInfo":{"op":"upgrade","protocol":{"r":1,"w":3},"metrics":{}}}""" +
         "\n" + """{"end":0}""").getBytes("UTF-8")): Unit
     assert(TxTable.read(spark, root).count() == 10)
     val e1 = intercept[IllegalStateException] {
       TxTable.append(spark, root, frame(11 to 12, "b"))
     }
-    assert(e1.getMessage.contains("writer protocol version 2"), e1.getMessage)
+    assert(e1.getMessage.contains("writer protocol version 3"), e1.getMessage)
     intercept[IllegalStateException] {
       TxTable.delete(spark, root, $"id" === 1L)
     }: Unit
@@ -1530,12 +1792,58 @@ class AcidSpec extends SparkSpec {
     TxTable.append(spark, root2, frame(1 to 5, "a"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root2, "_log", f"${1L}%020d.json"),
-      ("""{"commitInfo":{"op":"upgrade","protocol":{"r":2,"w":2},"metrics":{}}}""" +
+      ("""{"commitInfo":{"op":"upgrade","protocol":{"r":3,"w":3},"metrics":{}}}""" +
         "\n" + """{"end":0}""").getBytes("UTF-8")): Unit
     val e2 = intercept[IllegalStateException] {
       TxTable.read(spark, root2).count()
     }
-    assert(e2.getMessage.contains("reader protocol version 2"), e2.getMessage)
+    assert(e2.getMessage.contains("reader protocol version 3"), e2.getMessage)
+  }
+
+  test("feature use upgrades the protocol: DVs demand reader+writer 2, CDF demands writer 2; a build pinned below refuses") {
+    // CDF (first delete writes change files) → writer 2, reader stays 1
+    val cowRoot = freshRoot()
+    TxTable.append(spark, cowRoot, frame(1 to 20, "a"))
+    assert(TxTable.snapshot(cowRoot).protocol == ((1, 1)))
+    TxTable.delete(spark, cowRoot, $"id" <= 5L)
+    assert(TxTable.snapshot(cowRoot).protocol == ((1, 2)))
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cowRoot, "_log", f"${1L}%020d.json")), "UTF-8")
+    assert(log1.contains("\"protocol\":{\"r\":1,\"w\":2}"), log1.take(200))
+    // DVs → reader AND writer 2, atomically on the first dv commit
+    val morRoot = freshRoot()
+    TxTable.append(spark, morRoot, frame(1 to 20, "a"))
+    TxTable.deleteMor(spark, morRoot, $"id" <= 5L)
+    assert(TxTable.snapshot(morRoot).protocol == ((2, 2)))
+    // a LATER feature commit upgrades nothing further (idempotent)
+    TxTable.deleteMor(spark, morRoot, $"id" === 6L)
+    assert(TxTable.commits(morRoot).last.protocol.isEmpty,
+      "second dv commit must not re-record the protocol")
+    try {
+      // an old WRITER (this library's own pre-DV rounds) meets the table:
+      // every commit path refuses; reads stay allowed on the CDF table
+      TxTable.writerVersionOverride = Some(1)
+      val e = intercept[IllegalStateException] {
+        TxTable.append(spark, morRoot, frame(30 to 32, "b"))
+      }
+      assert(e.getMessage.contains("writer protocol version 2"), e.getMessage)
+      intercept[IllegalStateException] {
+        TxTable.append(spark, cowRoot, frame(30 to 32, "b"))
+      }: Unit
+      assert(TxTable.read(spark, cowRoot).count() == 15)
+      // an old READER refuses the DV table at parse time (it would
+      // silently resurrect vector-deleted rows) but still reads the
+      // CDF-only table, whose reader demand never rose
+      TxTable.readerVersionOverride = Some(1)
+      val e2 = intercept[IllegalStateException] {
+        TxTable.read(spark, morRoot).count()
+      }
+      assert(e2.getMessage.contains("reader protocol version 2"), e2.getMessage)
+      assert(TxTable.read(spark, cowRoot).count() == 15)
+    } finally {
+      TxTable.writerVersionOverride = None
+      TxTable.readerVersionOverride = None
+    }
   }
 
   test("vacuum reclaims superseded checkpoints, their parquet dirs, and orphaned bloom sidecars; survivors still probe") {
@@ -1568,7 +1876,20 @@ class AcidSpec extends SparkSpec {
     val before = sidecars()
     assert(before.size == 2)
     TxTable.ckptCache.clear() // cold reader: GC must re-derive references
-    val reclaimed = TxTable.vacuum(root, keepFromVersion = 1L)
+    // grace window (ADVICE r13): an unreferenced sidecar younger than the
+    // window may be a CONCURRENT checkpoint's in-flight spill (sidecars
+    // land before their manifest publishes) — this vacuum must reclaim the
+    // superseded checkpoint but leave the young orphan sidecar alone
+    val graceReclaimed = TxTable.vacuum(root, keepFromVersion = 1L)
+    assert(!graceReclaimed.exists(_.endsWith(".bloom")),
+      s"vacuum reclaimed a sidecar inside the grace window: $graceReclaimed")
+    assert(sidecars().size == 2)
+    // past the window the orphan is true garbage
+    val oldGrace = TxTable.SidecarGraceMs
+    TxTable.SidecarGraceMs = 0L
+    val reclaimed =
+      try graceReclaimed ++ TxTable.vacuum(root, keepFromVersion = 1L)
+      finally TxTable.SidecarGraceMs = oldGrace
     // the superseded v0 checkpoint (manifest + parquet dir) is gone
     assert(names(".checkpoint.json") == Seq(f"${1L}%020d.checkpoint.json"))
     assert(!java.nio.file.Files.exists(ckptDirs.head),

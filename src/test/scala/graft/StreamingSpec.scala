@@ -829,12 +829,15 @@ class StreamingSpec extends SparkSpec {
     def frame(ids: Range, tag: String) =
       ids.map(i => (i.toLong, tag)).toDF("id", "tag")
     TxTable.append(spark, src, frame(1 to 10, "a"))
-    // the CDC loop end-to-end: versions in -> txn-idempotent appends out
+    // the CDC loop end-to-end through BOTH registered halves (r14): the
+    // graft-tx-changes SOURCE feeds the graft-tx SINK — versions in,
+    // txn-idempotent appends out, no foreachBatch glue
     val q = StreamingOps.changeFeedStream(spark, src)
       .where(col("_change_type") === "insert")
       .drop("_change_type", "_commit_version")
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch(StreamingOps.exactlyOnceSink(dst, appId = "mirror"))
+      .writeStream.format("graft-tx")
+      .option("path", dst).option("txnAppId", "mirror")
+      .option("checkpointLocation", ckpt)
       .start()
     try {
       q.processAllAvailable()
@@ -848,6 +851,64 @@ class StreamingSpec extends SparkSpec {
       assert(cs.forall(_.op == "stream_append"))
       assert(cs.flatMap(_.txn).map(_._2).distinct.size == cs.size)
     } finally q.stop()
+  }
+
+  test("registered graft-tx sink: exactly-once stream_appends; a FORCED checkpoint redelivery no-ops; bad options refuse at start") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = java.nio.file.Files.createTempDirectory("graft_regsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_regsink_ckpt").toString
+    val stream = MemoryStream[(Long, String)]
+    def start() = stream.toDF().toDF("id", "tag").writeStream
+      .format("graft-tx").option("path", root)
+      .option("txnAppId", "reg_sink")
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      stream.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      stream.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    assert(TxTable.read(spark, root).count() == 3)
+    val vBefore = TxTable.snapshot(root).version
+    // FORCE the redelivery every at-least-once pipeline produces: drop the
+    // sink-side commit record of the last batch, so the restarted query
+    // re-runs batch 1 against the sink — whose (appId, batchId) probe must
+    // no-op instead of double-writing
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc")): Unit
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(TxTable.read(spark, root).count() == 3, "redelivery double-wrote")
+      assert(TxTable.snapshot(root).version == vBefore)
+      // a genuinely new batch still appends through the same query
+      stream.addData((4L, "d")); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(TxTable.read(spark, root).count() == 4)
+    val cs = TxTable.snapshot(root).commits
+    assert(cs.map(_.op).forall(_ == "stream_append"))
+    assert(cs.flatMap(_.txn).map(_._2).sorted == Seq(0L, 1L, 2L))
+    // contract refusals, all at start(): a missing txnAppId would break
+    // restart dedup silently, partitioning and non-append modes lie about
+    // what the commit log records
+    intercept[IllegalArgumentException] {
+      stream.toDF().toDF("id", "tag").writeStream.format("graft-tx")
+        .option("path", root)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_rs2").toString)
+        .start()
+    }: Unit
+    intercept[IllegalArgumentException] {
+      stream.toDF().toDF("id", "tag").writeStream.format("graft-tx")
+        .option("path", root).option("txnAppId", "x")
+        .partitionBy("tag")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_rs3").toString)
+        .start()
+    }: Unit
   }
 
   test("a change-feed consumer tails the commit log: each poll applies only NEW versions and tracks every snapshot") {
