@@ -82,4 +82,65 @@ object FastMd5 {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     h24(b, 0, b.length)
   }
+
+  /** FIVE independent 24-bit slices of md5(b[off, off+len)) into
+    * `out(0..4)` — slice s is digest bytes 3s..3s+2 big-endian, the JVM
+    * twin of `conv(substring(md5(c), 1+6s, 6), 16, 10)` ([[graft.Tables
+    * .h24Slice]]). One digest carries all five draws; allocation-free for
+    * len ≤ 55 like [[h24]] (the bootstrap kernel's per-row hot path).
+    */
+  def h24Slices(b: Array[Byte], off: Int, len: Int, out: Array[Long]): Unit = {
+    if (len > 55) {
+      val md = mdPool.get()
+      md.reset()
+      md.update(b, off, len)
+      val d = md.digest()
+      var s = 0
+      while (s < 5) {
+        out(s) = ((d(3 * s) & 0xffL) << 16) | ((d(3 * s + 1) & 0xffL) << 8) |
+          (d(3 * s + 2) & 0xffL)
+        s += 1
+      }
+      return
+    }
+    val m0 = new Array[Int](16)
+    var i = 0
+    while (i < len) {
+      m0(i >> 2) |= (b(off + i) & 0xff) << ((i & 3) << 3)
+      i += 1
+    }
+    m0(len >> 2) |= 0x80 << ((len & 3) << 3)
+    m0(14) = len << 3
+    var a = 0x67452301
+    var bb = 0xefcdab89
+    var c = 0x98badcfe
+    var d = 0x10325476
+    var j = 0
+    while (j < 64) {
+      var f = 0
+      var g = 0
+      if (j < 16) { f = (bb & c) | (~bb & d); g = j }
+      else if (j < 32) { f = (d & bb) | (~d & c); g = (5 * j + 1) & 15 }
+      else if (j < 48) { f = bb ^ c ^ d; g = (3 * j + 5) & 15 }
+      else { f = c ^ (bb | ~d); g = (7 * j) & 15 }
+      val tmp = d
+      d = c
+      c = bb
+      bb = bb + Integer.rotateLeft(a + f + K(j) + m0(g), S(j))
+      a = tmp
+      j += 1
+    }
+    val ra = a + 0x67452301
+    val rb = bb + 0xefcdab89
+    val rc = c + 0x98badcfe
+    val rd = d + 0x10325476
+    // digest byte k of a word is (word >>> 8k) & 0xff (little-endian
+    // encode); slice s composes digest bytes 3s..3s+2 big-endian
+    @inline def db(w: Int, k: Int): Long = (w >>> (k << 3)) & 0xffL
+    out(0) = (db(ra, 0) << 16) | (db(ra, 1) << 8) | db(ra, 2)
+    out(1) = (db(ra, 3) << 16) | (db(rb, 0) << 8) | db(rb, 1)
+    out(2) = (db(rb, 2) << 16) | (db(rb, 3) << 8) | db(rc, 0)
+    out(3) = (db(rc, 1) << 16) | (db(rc, 2) << 8) | db(rc, 3)
+    out(4) = (db(rd, 0) << 16) | (db(rd, 1) << 8) | db(rd, 2)
+  }
 }

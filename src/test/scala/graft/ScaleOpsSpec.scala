@@ -466,4 +466,35 @@ class ScaleOpsSpec extends SparkSpec {
       assert(w.windowSpec.partitionSpec.nonEmpty,
         "corpus-sized rank window lost its day partitioning"))
   }
+
+  test("BootWeights kernel is bit-identical to the composed h24Slice inverse-CDF draw (oracle unchanged)") {
+    import org.apache.spark.sql.{Column, GraftBridge}
+    // numeric keys (the production shape), a zero, and a key long enough
+    // that "g:"+key crosses FastMd5's single-block boundary (fallback path)
+    import spark.implicits._
+    val keys = ((0L to 400L).map(_.toString) :+ "9" * 60 :+ "123456789012345")
+    val df = keys.toSeq.toDF("key")
+    def composed(b: Int): Column = {
+      val h = Tables.h24Slice(concat(lit(s"${b / 5}:"), col("key")), b % 5)
+      when(h < ScaleOps.BootCdf24(0), 0L).when(h < ScaleOps.BootCdf24(1), 1L)
+        .when(h < ScaleOps.BootCdf24(2), 2L).when(h < ScaleOps.BootCdf24(3), 3L)
+        .when(h < ScaleOps.BootCdf24(4), 4L).otherwise(5L)
+    }
+    val kernel = GraftBridge.column(graft.functions.BootWeights(
+      GraftBridge.expression(col("key")),
+      ScaleOps.BootCdf24.toArray, ScaleOps.BootReplicates))
+    val mismatches = df
+      .select(col("key"),
+        array((0 until ScaleOps.BootReplicates).map(composed): _*).as("a"),
+        kernel.as("b"))
+      .where(not(col("a") <=> col("b")))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"kernel drifted from the composed form: ${mismatches.take(2).mkString}")
+    // weights are genuinely Poisson-ish: all 6 buckets occur across keys
+    val dist = df.select(explode(kernel).as("w")).groupBy("w").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L), s"$dist")
+    assert(dist(0L) > dist(2L) && dist(1L) > dist(3L), s"$dist")
+  }
 }
