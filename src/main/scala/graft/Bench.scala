@@ -110,6 +110,9 @@ object Bench {
       "acid_evo"              -> (() => AcidOps.evoTable(spark, sfDir): Unit),
       "acid_skip"             -> (() => AcidOps.skipTable(spark, sfDir): Unit),
       "acid_mor"              -> (() => AcidOps.morTable(spark, sfDir): Unit),
+      "acid_sqldml"           -> (() => AcidOps.sqlDmlTable(spark, sfDir): Unit),
+      "acid_sqlmerge"         -> (() => AcidOps.sqlMergeTable(spark, sfDir): Unit),
+      "acid_sqlover"          -> (() => AcidOps.sqlOverwriteTable(spark, sfDir): Unit),
       "fmt_avro"              -> (() => sources.Formats.avroRoundtrip(spark, sfDir).count(): Unit),
       "fmt_exports"           -> (() => sources.Formats.stageAll(spark, sfDir)))
     // Dev loop (the 100x deep-point runs): SPARK_GRAFT_STAGE_ONLY=a,b
