@@ -343,10 +343,9 @@ object AcidOps {
       spark.conf.set("spark.sql.catalog.graft_sql", "graft.sources.TxCatalog")
       spark.conf.set("spark.sql.catalog.graft_sql.root", p.getParent.toString)
       val t = s"graft_sql.`${p.getFileName}`"
-      // the predicate must be V1-Filter-expressible: SupportsDelete is the
-      // metadata-delete surface, and an arithmetic condition (o_orderkey %
-      // 5 = 0) correctly FAILS analysis instead of half-applying — the
-      // full rewrite plan is the Scala API's job
+      // since r14 SQL DELETE routes through TxDmlRewrite's full-Catalyst
+      // command (arithmetic predicates included); this fixture keeps the
+      // simple range predicate so the oracle replay is unchanged
       spark.sql(s"DELETE FROM $t WHERE o_orderkey <= 2000"): Unit
       spark.sql(s"INSERT INTO $t VALUES (${2000000000L}, 42, 99.99)"): Unit
       root

@@ -36,8 +36,12 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *  - `UPDATE t SET c = expr, … [WHERE pred]` — assignments are
   *    expressions over the row's own columns evaluated against the OLD
   *    row, three-valued-logic predicate, any Catalyst-expressible
-  *    condition (the full rewrite path, unlike DELETE's V1-filter
-  *    surface, because [[TxTable.update]] takes Columns directly).
+  *    condition (the full rewrite path, because [[TxTable.update]] takes
+  *    Columns directly).
+  *  - `DELETE FROM t WHERE pred` — likewise the FULL [[TxTable.delete]]
+  *    path with any Catalyst-expressible predicate; the
+  *    `SupportsDelete`/V1-filter surface remains for non-SQL callers,
+  *    but SQL no longer inherits its translation ceiling.
   *
   * Resolved target/source ATTRIBUTE IDS do not survive into the
   * commands' re-planned reads, so target-side expressions are rewritten
@@ -57,6 +61,15 @@ object TxDmlRewrite extends Rule[LogicalPlan] {
       TxDmlRules.asTxTable(u.table) match {
         case Some(t) => TxDmlRules.updateCommand(t, u)
         case None => u
+      }
+    // DELETE routes through the same full-Catalyst command (r14): the
+    // SupportsDelete surface stays for non-SQL callers, but SQL no longer
+    // inherits its V1-filter ceiling — an arithmetic predicate
+    // (`WHERE id % 5 = 0`) deletes instead of failing analysis
+    case d: DeleteFromTable if d.resolved =>
+      TxDmlRules.asTxTable(d.table) match {
+        case Some(t) => TxDmlRules.deleteCommand(t, d)
+        case None => d
       }
   }
 }
@@ -182,6 +195,22 @@ private[sources] object TxDmlRules {
       .map(e => GraftBridge.column(byName(e)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     TxUpdateCommand(t.root, cond, assigns)
+  }
+
+  def deleteCommand(t: TxV2Table, d: DeleteFromTable): LogicalPlan = {
+    t.asOf.foreach(v => refuse(s"cannot DELETE FROM a VERSION AS OF $v view"))
+    TxDeleteCommand(t.root, GraftBridge.column(byName(d.condition)))
+  }
+}
+
+/** Runnable DELETE: the full [[TxTable.delete]] path (CoW pruning, 3VL,
+  * CDF, rebase) with any Catalyst-expressible predicate — SQL DELETE's
+  * surface matches the Scala API's instead of the V1 filter tree's. */
+case class TxDeleteCommand(root: String, condition: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxTable.delete(spark, root, condition): Unit
+    Nil
   }
 }
 

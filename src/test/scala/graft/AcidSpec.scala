@@ -1483,13 +1483,18 @@ class AcidSpec extends SparkSpec {
       del.cdc.nonEmpty, s"got $del")
     assert(TxTable.readChanges(spark, troot, del.version, Some(del.version))
       .where($"_change_type" === "delete").count() == 5)
+    // an ARITHMETIC predicate — beyond the V1 filter tree — deletes too
+    // (r14: SQL DELETE routes through the full-Catalyst command)
+    spark.sql("DELETE FROM graft_cat.default.ev WHERE id % 7 = 0")
+    assert(TxTable.read(spark, troot).where($"id" % 7 === 0).count() == 0)
+    assert(TxTable.commits(troot).last.metrics("rows_deleted") == 2) // 7, 14
     // time travel reads the log, not the latest state
     assert(spark.sql(
       "SELECT count(*) AS n FROM graft_cat.default.ev VERSION AS OF 0")
       .head().getLong(0) == 20L)
     // projection-only and COUNT(*) shapes cross the bridge too
     assert(spark.sql("SELECT count(*) AS n FROM graft_cat.default.ev")
-      .head().getLong(0) == 16L)
+      .head().getLong(0) == 14L)
     assert(spark.sql(
       "SELECT tag FROM graft_cat.default.ev WHERE id = 100").head()
       .getString(0) == "sql")
