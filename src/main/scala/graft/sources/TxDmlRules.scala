@@ -96,14 +96,36 @@ private[sources] object TxDmlRules {
   }
 
   /** Rewrite target-table attribute references to name-based ones, so the
-    * expression re-resolves against the command's own fresh scan. */
-  private def byName(e: Expression): Expression =
+    * expression re-resolves against the command's own fresh scan. SOUND
+    * only for self-contained expressions: a subquery's internal attributes
+    * would be rewritten too and mis-resolve against the outer scan, so
+    * plan-bearing expressions refuse loudly first. */
+  private def byName(e: Expression): Expression = {
+    if (e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      refuse("subqueries in UPDATE/DELETE conditions or assignments are " +
+        "not supported (the predicate re-resolves against the mutation's " +
+        "own scan); materialize the subquery and use MERGE, or the Scala API")
     e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
+  }
+
+  /** Duplicate assignment targets silently last-write-win through a Map —
+    * the half-apply class; refuse them before any command is built. */
+  private def assertDistinctTargets(names: Seq[String]): Unit = {
+    val dup = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    if (dup.nonEmpty)
+      refuse(s"column(s) ${dup.mkString(", ")} assigned more than once")
+  }
 
   def mergeCommand(t: TxV2Table, m: MergeIntoTable): LogicalPlan = {
     t.asOf.foreach(v => refuse(s"cannot MERGE INTO a VERSION AS OF $v view"))
+    if (m.withSchemaEvolution)
+      refuse("WITH SCHEMA EVOLUTION is not supported through MERGE " +
+        "(evolution is additive-by-append: INSERT INTO with the wider " +
+        "schema first, then MERGE) — ignoring the clause would silently " +
+        "drop the source's new columns")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
     // ON: conjunction of target-attr = source-attr equalities
@@ -117,6 +139,11 @@ private[sources] object TxDmlRules {
           "the ON condition must be a conjunction of target-column = " +
             s"source-column equalities; got ${other.sql}")
       }
+    val dupKeys = keyPairs.map(_._1.name).groupBy(identity)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    if (dupKeys.nonEmpty)
+      refuse(s"key column(s) ${dupKeys.mkString(", ")} appear more than " +
+        "once in the ON condition")
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("WHEN NOT MATCHED BY SOURCE is not supported " +
         "(the upsert primitive never touches unmatched target rows)")
@@ -141,6 +168,8 @@ private[sources] object TxDmlRules {
       case ar: AttributeReference => ar.name
       case other => refuse(s"assignment target must be a column, got ${other.sql}")
     }
+    assertDistinctTargets(updateAssignments.map(nameOf))
+    assertDistinctTargets(insertAssignments.map(nameOf))
     val insertByName = insertAssignments.map(a => nameOf(a) -> a.value).toMap
     val targetCols = m.targetTable.output
     val missing = targetCols.map(_.name).filterNot(insertByName.contains)
@@ -191,6 +220,7 @@ private[sources] object TxDmlRules {
       }
       n -> GraftBridge.column(byName(a.value))
     }
+    assertDistinctTargets(assigns.map(_._1))
     val cond = u.condition
       .map(e => GraftBridge.column(byName(e)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))

@@ -1407,6 +1407,25 @@ class AcidSpec extends SparkSpec {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(eDel.getMessage.contains("WHEN MATCHED"), eDel.getMessage)
+    // WITH SCHEMA EVOLUTION refuses — ignoring it would silently drop the
+    // source's new columns (evolution is additive-by-append)
+    val eEvo = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $t tgt
+           |USING merge_src2 s ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(eEvo.getMessage.contains("SCHEMA EVOLUTION"), eEvo.getMessage)
+    // a duplicated assignment target would last-write-win through a map —
+    // the half-apply class — so it refuses
+    val eDup2 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET value = s.value, value = s.value
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(eDup2.getMessage.contains("more than once"), eDup2.getMessage)
   }
 
   test("SQL UPDATE: arbitrary Catalyst assignments and predicate through the catalog; 3VL; CDF pre/post") {
@@ -1437,6 +1456,18 @@ class AcidSpec extends SparkSpec {
     // WHERE-less UPDATE touches every row
     spark.sql(s"UPDATE $t SET value = 0"): Unit
     assert(TxTable.read(spark, root).agg(sum($"value")).head().getLong(0) == 0L)
+    // a subquery predicate would mis-resolve through the name-based
+    // rebinding (its internal attributes would be rewritten too) — refuse
+    val eSub = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE $t SET value = 1 " +
+        s"WHERE id IN (SELECT id FROM $t WHERE tag IS NULL)")
+    }
+    assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
+    // duplicate SET targets refuse instead of last-write-winning
+    val eDup = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE $t SET value = 1, value = 2")
+    }
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
   }
 
   test("SQL INSERT OVERWRITE: one atomic commit; pre-overwrite snapshot time-travels; CDF replays delete-all + insert-all") {
