@@ -219,6 +219,19 @@ object AcidOps {
         sum(col("o_orderkey")).as("sum_keys"),
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
 
+  /** The SAME complete feed read through the REGISTERED source's
+    * `readChangeFeed` option (r14) — the SQL/connector surface for batch
+    * CDC — sharing [[changeFeed]]'s oracle: the hash equality proves the
+    * registered path loses/duplicates nothing vs the library path. */
+  def changeFeedConnector(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft-tx")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(ordersTxTable(spark, sfDir))
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+
   /** Incremental MATERIALIZED VIEW maintained from the change feed (r12):
     * the per-status orders aggregate folded as one SIGNED aggregation over
     * the feed — insert and update_postimage rows add, delete and

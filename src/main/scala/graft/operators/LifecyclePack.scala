@@ -33,6 +33,7 @@ object LifecyclePack extends QueryPack {
     "xacid_sql_overwrite" -> ((s, d) => AcidOps.sqlOverwriteState(s, d)),
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
     "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
+    "xacid_cdf_connector" -> ((s, d) => AcidOps.changeFeedConnector(s, d)),
     "xacid_dv_scan" -> ((s, d) => AcidOps.dvState(s, d)),
     "xacid_mv" -> ((s, d) => AcidOps.incrementalMv(s, d)),
   )
@@ -43,6 +44,46 @@ object LifecyclePack extends QueryPack {
 
   private val compRe = """([0-9a-zA-Z_-]+)\s+([0-9a-zA-Z_]+)\s+([0-9a-zA-Z_-]+)\s+([0-9a-zA-Z_-]+)"""
   private val snapRe = """([0-9a-zA-Z_-]+)\s+([0-9a-zA-Z_]+)\s+([0-9a-zA-Z_-]+)"""
+
+  // the change data feed replayed from the raw mutation rules: appends as
+  // inserts, the TTL delete's expired rows, the merge's pre/post update
+  // images and its two insert sources (resubmissions + TTL'd correction
+  // targets re-arriving) — shared by the library-path and connector-path
+  // feed queries, so their hash equality is a single-oracle equivalence
+  private val cdfOracleSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+       |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+       |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |UNION ALL
+       |SELECT 1, 'insert', count(*), CAST(sum(o_orderkey) AS BIGINT),
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       |UNION ALL
+       |SELECT 2, 'delete', count(*), CAST(sum(o_orderkey) AS BIGINT),
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       |FROM orders WHERE o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'
+       |UNION ALL
+       |SELECT 3, 'update_preimage', count(*), CAST(sum(o_orderkey) AS BIGINT),
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       |FROM orders
+       |WHERE o_orderkey % 10 = 3 AND o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
+       |UNION ALL
+       |SELECT 3, 'update_postimage', count(*), CAST(sum(o_orderkey) AS BIGINT),
+       |  CAST(sum(CAST(o_totalprice + ${AcidOps.PriceCorrection} AS DECIMAL(14,2))) AS DOUBLE)
+       |FROM orders
+       |WHERE o_orderkey % 10 = 3 AND o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
+       |UNION ALL
+       |SELECT 3, 'insert', count(*), CAST(sum(k) AS BIGINT),
+       |  CAST(sum(CAST(p AS DECIMAL(14,2))) AS DOUBLE)
+       |FROM (
+       |  SELECT o_orderkey + ${AcidOps.InsertKeyOffset} AS k, o_totalprice AS p
+       |  FROM orders WHERE o_orderkey % 97 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice + ${AcidOps.PriceCorrection}
+       |  FROM orders
+       |  WHERE o_orderkey % 10 = 3 AND o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'
+       |) reinserts""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "st2_removal_plan" ->
@@ -290,40 +331,11 @@ object LifecyclePack extends QueryPack {
     // as inserts, the TTL delete's expired rows, the merge's pre/post
     // update images and its two insert sources (resubmissions + TTL'd
     // correction targets re-arriving)
-    "xacid_cdf" ->
-      s"""SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
-         |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
-         |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-         |UNION ALL
-         |SELECT 1, 'insert', count(*), CAST(sum(o_orderkey) AS BIGINT),
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
-         |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
-         |UNION ALL
-         |SELECT 2, 'delete', count(*), CAST(sum(o_orderkey) AS BIGINT),
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
-         |FROM orders WHERE o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'
-         |UNION ALL
-         |SELECT 3, 'update_preimage', count(*), CAST(sum(o_orderkey) AS BIGINT),
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
-         |FROM orders
-         |WHERE o_orderkey % 10 = 3 AND o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
-         |UNION ALL
-         |SELECT 3, 'update_postimage', count(*), CAST(sum(o_orderkey) AS BIGINT),
-         |  CAST(sum(CAST(o_totalprice + ${AcidOps.PriceCorrection} AS DECIMAL(14,2))) AS DOUBLE)
-         |FROM orders
-         |WHERE o_orderkey % 10 = 3 AND o_orderdate >= TIMESTAMP '${AcidOps.TtlCutoff}'
-         |UNION ALL
-         |SELECT 3, 'insert', count(*), CAST(sum(k) AS BIGINT),
-         |  CAST(sum(CAST(p AS DECIMAL(14,2))) AS DOUBLE)
-         |FROM (
-         |  SELECT o_orderkey + ${AcidOps.InsertKeyOffset} AS k, o_totalprice AS p
-         |  FROM orders WHERE o_orderkey % 97 = 0
-         |  UNION ALL
-         |  SELECT o_orderkey, o_totalprice + ${AcidOps.PriceCorrection}
-         |  FROM orders
-         |  WHERE o_orderkey % 10 = 3 AND o_orderdate < TIMESTAMP '${AcidOps.TtlCutoff}'
-         |) reinserts""".stripMargin,
+    "xacid_cdf" -> cdfOracleSql,
+    // the registered source's readChangeFeed option replays the SAME feed
+    // (r14): identical oracle — hash equality proves the connector path
+    // loses/duplicates nothing vs the library path
+    "xacid_cdf_connector" -> cdfOracleSql,
     // merge-on-read deletes: two overlapping deletion-vector sweeps, no
     // file rewritten — the scan-time anti-filter must reproduce exactly
     // the conjunction of both predicates' complements

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 
 /** BATCH CONNECTOR for [[TxTable]] (VERDICT r12 #3) — the registered
@@ -103,6 +103,26 @@ class TxSource extends RelationProvider with DataSourceRegister
         "graft-tx needs a table root: load(<root>) or option root=<root>"))
     val spark = ctx.sparkSession
     val asOf = parameters.get("versionAsOf").map(_.toLong)
+    // BATCH CHANGE FEED through the registered source (r14, the Delta
+    // `readChangeFeed` spelling) — the SQL/connector surface for
+    // [[TxTable.readChanges]]:
+    //   spark.read.format("graft-tx").option("readChangeFeed", "true")
+    //     .option("startingVersion", "0")[.option("endingVersion", "7")]
+    //     .load(root)
+    // Rows cross one conversion boundary (a feed is consumed sequentially
+    // by version, never predicate-pruned — the catalog-bridge trade);
+    // the streaming twin is the registered `graft-tx-changes` source.
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      if (asOf.isDefined) throw new IllegalArgumentException(
+        "graft-tx: versionAsOf does not compose with readChangeFeed — " +
+          "bound the feed with startingVersion/endingVersion instead")
+      val start = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "graft-tx readChangeFeed needs option startingVersion=<v> " +
+            "(and optionally endingVersion)")).toLong
+      val end = parameters.get("endingVersion").map(_.toLong)
+      return new TxCdfRelation(ctx, root, start, end)
+    }
     val s = TxTable.snapshot(spark, root, asOf)
     if (s.liveFiles.isEmpty)
       throw new IllegalStateException(
@@ -118,6 +138,22 @@ class TxSource extends RelationProvider with DataSourceRegister
     HadoopFsRelation(new TxFileIndex(spark, root, s), new StructType(),
       schema, None, fmt, parameters)(spark)
   }
+}
+
+/** The batch change feed as a V1 relation: `buildScan` replays
+  * [[TxTable.readChanges]] over `[startingVersion, endingVersion]` (open
+  * end = latest), schema included — table columns as of the range's end
+  * plus `_change_type` / `_commit_version`. The fail-loud contract rides
+  * through unchanged: a pre-CDF mutation or forged layout commit in the
+  * range throws at scan time, never silently drops a change. */
+private[sources] class TxCdfRelation(ctx: SQLContext, root: String,
+                                     start: Long, end: Option[Long])
+    extends BaseRelation with TableScan {
+  private lazy val df = TxTable.readChanges(ctx.sparkSession, root, start, end)
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    df.rdd
 }
 
 /** The V1 sink behind `writeStream.format("graft-tx")`: each micro-batch

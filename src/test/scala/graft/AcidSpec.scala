@@ -1709,6 +1709,38 @@ class AcidSpec extends SparkSpec {
     assert(clean.count() == lib.count())
   }
 
+  test("graft-tx readChangeFeed: the batch feed through the registered source — bounded ranges, SQL surface, loud refusals") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 20, "a"))         // v0
+    TxTable.delete(spark, root, $"id" <= 5L)                 // v1
+    TxTable.merge(spark, root, Seq((6L, "m", 0L)).toDF("id", "tag", "value"),
+      Seq("id"), Seq("value"))                               // v2
+    def feed(opts: (String, String)*) = {
+      val r = spark.read.format("graft-tx").option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(root)
+    }
+    // identical to the library path, _change_type/_commit_version included
+    val conn = feed("startingVersion" -> "0")
+    val lib = TxTable.readChanges(spark, root, 0L)
+    assert(conn.count() == lib.count())
+    assert(conn.exceptAll(lib).count() == 0 && lib.exceptAll(conn).count() == 0)
+    // a bounded range pages like the library call
+    assert(feed("startingVersion" -> "1", "endingVersion" -> "1")
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("delete" -> 5L))
+    // SQL over the feed
+    feed("startingVersion" -> "0").createOrReplaceTempView("tx_feed")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM tx_feed WHERE _change_type = 'update_postimage'")
+      .head().getLong(0) == 1L)
+    // refusals: missing startingVersion; versionAsOf does not compose
+    intercept[IllegalArgumentException] { feed().collect() }: Unit
+    intercept[IllegalArgumentException] {
+      feed("startingVersion" -> "0", "versionAsOf" -> "1").collect()
+    }: Unit
+  }
+
   test("graft-tx connector fails loudly on a vanished live file, naming it — never a silent partial scan") {
     val root = freshRoot()
     (0 until 3).foreach { f =>
