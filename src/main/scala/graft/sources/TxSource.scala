@@ -112,6 +112,10 @@ class TxSource extends RelationProvider with DataSourceRegister
     // Rows cross one conversion boundary (a feed is consumed sequentially
     // by version, never predicate-pruned — the catalog-bridge trade);
     // the streaming twin is the registered `graft-tx-changes` source.
+    // audit surface (the DESCRIBE HISTORY analog): option history=true
+    // returns the commit log as data — version, op, row metrics
+    if (parameters.get("history").exists(_.equalsIgnoreCase("true")))
+      return new TxHistoryRelation(ctx, root)
     if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
       if (asOf.isDefined) throw new IllegalArgumentException(
         "graft-tx: versionAsOf does not compose with readChangeFeed — " +
@@ -150,6 +154,18 @@ private[sources] class TxCdfRelation(ctx: SQLContext, root: String,
                                      start: Long, end: Option[Long])
     extends BaseRelation with TableScan {
   private lazy val df = TxTable.readChanges(ctx.sparkSession, root, start, end)
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    df.rdd
+}
+
+/** The commit log as a V1 relation (`option("history", "true")`) — the
+  * metadata-sized audit table [[TxTable.history]] returns, behind the
+  * registered source so SQL users read provenance without the Scala API. */
+private[sources] class TxHistoryRelation(ctx: SQLContext, root: String)
+    extends BaseRelation with TableScan {
+  private lazy val df = TxTable.history(ctx.sparkSession, root)
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = df.schema
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =

@@ -1739,6 +1739,11 @@ class AcidSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       feed("startingVersion" -> "0", "versionAsOf" -> "1").collect()
     }: Unit
+    // the audit surface: option history=true is the commit log as data
+    val hist = spark.read.format("graft-tx").option("history", "true")
+      .load(root).collect().map(r =>
+        (r.getAs[Long]("version"), r.getAs[String]("op")))
+    assert(hist.toSeq == Seq((0L, "append"), (1L, "delete"), (2L, "merge")))
   }
 
   test("graft-tx connector fails loudly on a vanished live file, naming it — never a silent partial scan") {
