@@ -1513,6 +1513,35 @@ object TxTable {
     }
   }
 
+  /** Refuse NONDETERMINISTIC mutation expressions (r14): a mutation
+    * predicate/assignment is evaluated several times — the files-matching
+    * pass, the rewrite, the change-capture frames, and every optimistic
+    * retry — so a nondeterministic expression (rand(), current_timestamp)
+    * would delete one row set, capture a DIFFERENT one in the feed, and
+    * write a third (the Delta stance: such expressions refuse loudly).
+    * Evaluate-once semantics belong to the caller: materialize first. */
+  private def assertDeterministic(spark: SparkSession, root: String,
+                                  s: Snapshot, what: String,
+                                  cols: Seq[Column]): Unit = {
+    if (s.liveFiles.isEmpty || cols.isEmpty) return
+    // determinism is only visible on RESOLVED expressions (the Column API
+    // builds unresolved nodes whose default is deterministic), so analyze
+    // a one-file probe projection; an expression that fails analysis here
+    // is skipped — the mutation itself will fail loudly on it anyway
+    val analyzed =
+      try Some(readFiles(spark, root, s.liveFiles.take(1), s.schemaJson)
+        .select(cols: _*).queryExecution.analyzed)
+      catch { case scala.util.control.NonFatal(_) => None }
+    analyzed.foreach { plan =>
+      if (plan.expressions.exists(_.exists(!_.deterministic)))
+        throw new IllegalArgumentException(
+          s"$what must be deterministic — the mutation re-evaluates it " +
+            "across its matching, rewrite, change-capture, and retry " +
+            "passes, and each pass would see a different row set; " +
+            "materialize the values first")
+    }
+  }
+
   /** Copy-on-write DELETE: rewrite only the files containing matching rows.
     * Retries the WHOLE read-rewrite-commit cycle on a lost race, so the
     * rewrite is always against the current snapshot.
@@ -1533,6 +1562,7 @@ object TxTable {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       assertWritable(root, base)
+      assertDeterministic(spark, root, base, "delete predicate", Seq(predicate))
       val affected = filesMatching(spark, root, base, predicate)
       if (affected.isEmpty)
         return base.version // nothing to delete: no-op, no commit
@@ -1588,6 +1618,7 @@ object TxTable {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       assertWritable(root, base)
+      assertDeterministic(spark, root, base, "delete predicate", Seq(predicate))
       // ONE sidecar deserialization per attempt (ADVICE r12): the same
       // DvMap drives the scan's anti-filter and the replacement-vector
       // merge below
@@ -1781,6 +1812,9 @@ object TxTable {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       assertWritable(root, base)
+      assertDeterministic(spark, root, base, "update predicate", Seq(predicate))
+      assertDeterministic(spark, root, base, "update assignments",
+        assignments.values.toSeq)
       val affected = filesMatching(spark, root, base, predicate)
       if (affected.isEmpty)
         return base.version // nothing to update: no-op, no commit

@@ -1301,6 +1301,21 @@ class AcidSpec extends SparkSpec {
     val vBefore = TxTable.snapshot(root2).version
     assert(TxTable.update(spark, root2, $"id" > 999L,
       Map("id" -> lit(0L))) == vBefore)
+    // nondeterministic predicates/assignments refuse (the Delta stance):
+    // the mutation re-evaluates them across matching, rewrite, change
+    // capture, and retries — each pass would see a DIFFERENT row set
+    intercept[IllegalArgumentException] {
+      TxTable.update(spark, root2, rand() > 0.5, Map("id" -> lit(0L)))
+    }: Unit
+    intercept[IllegalArgumentException] {
+      TxTable.update(spark, root2, $"id" > 0L, Map("id" -> (rand() * 10)))
+    }: Unit
+    intercept[IllegalArgumentException] {
+      TxTable.delete(spark, root2, rand() > 0.5)
+    }: Unit
+    intercept[IllegalArgumentException] {
+      TxTable.deleteMor(spark, root2, rand() > 0.5)
+    }: Unit
   }
 
   test("atomic overwrite: ONE commit displaces every live row; time travel intact; CDF replays delete-all + insert-all") {
