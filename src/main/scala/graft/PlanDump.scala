@@ -217,7 +217,7 @@ object PlanDump {
         operators.MediaOps.ahashNearDups(spark, sfDir)),
       ("sim_nprobe_curve", "3 curve points reuse ONE staged index; probes broadcast, cost leg joins list sizes (metadata-sized)",
         operators.SimilarityOps.nprobeCurve(spark, sfDir)),
-      ("xa_bootstrap_ci", "32 replicates in ONE pass: 64 B-counter aggs map-side-combined; 7 digests/row carry all weights",
+      ("xa_bootstrap_ci", "32 replicates in ONE pass: the fused BootWeights kernel emits the weight vector once per row (7 single-block digests, r14); 64 B-counter aggs map-side-combined",
         operators.ScaleOps.bootstrapCi(spark, sfDir)))
 
     val sb = new StringBuilder
