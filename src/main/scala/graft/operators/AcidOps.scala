@@ -350,15 +350,22 @@ object AcidOps {
     val _ = clearHookRegistered
     built.getOrElseUpdate((System.identityHashCode(spark), sfDir + "#sqldml"), {
       val root = Tables.uniqueStageDir(spark, sfDir, "txtable_sqldml")
-      TxTable.append(spark, root, Tables.orders(spark, sfDir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
       val p = java.nio.file.Paths.get(root)
       spark.conf.set("spark.sql.catalog.graft_sql", "graft.sources.TxCatalog")
       spark.conf.set("spark.sql.catalog.graft_sql.root", p.getParent.toString)
       val t = s"graft_sql.`${p.getFileName}`"
-      // since r14 SQL DELETE routes through TxDmlRewrite's full-Catalyst
-      // command (arithmetic predicates included); this fixture keeps the
-      // simple range predicate so the oracle replay is unchanged
+      // the WHOLE lifecycle is SQL (r14: CREATE TABLE became possible —
+      // v0 is a `create` commit recording the schema): create, seed via
+      // INSERT INTO … SELECT, mutate. SQL DELETE routes through
+      // TxDmlRewrite's full-Catalyst command (arithmetic predicates
+      // included); this fixture keeps the simple range predicate so the
+      // oracle replay is unchanged.
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_sql_dml_seed")
+      spark.sql(s"CREATE TABLE $t " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)"): Unit
+      spark.sql(s"INSERT INTO $t SELECT * FROM graft_sql_dml_seed"): Unit
       spark.sql(s"DELETE FROM $t WHERE o_orderkey <= 2000"): Unit
       spark.sql(s"INSERT INTO $t VALUES (${2000000000L}, 42, 99.99)"): Unit
       root

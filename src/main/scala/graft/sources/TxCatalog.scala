@@ -93,13 +93,25 @@ class TxCatalog extends TableCatalog {
     new TxV2Table(p, ident.toString, Some(version.toLong))
   }
 
+  /** `CREATE TABLE` (and the create half of CTAS) — r14: version 0 is a
+    * `create` commit recording the schema; the first INSERT validates
+    * additively against it. Partitioning transforms refuse (layout is the
+    * compactor's job); provider/location-style properties Spark attaches
+    * are ignored — identifiers ARE locations in this catalog. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft-tx tables are created by their first append " +
-        "(TxTable.append or INSERT INTO an existing table); CREATE TABLE " +
-        "has no commit to record")
+                           properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft-tx tables do not take PARTITIONED BY (clustered layout is " +
+          "the compactor's job: TxTable.compact/compactZ)")
+    val p = pathOf(ident)
+    if (isTable(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    TxTable.create(SparkSession.active, p, schema): Unit
+    new TxV2Table(p, ident.toString, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -128,9 +128,13 @@ class TxSource extends RelationProvider with DataSourceRegister
       return new TxCdfRelation(ctx, root, start, end)
     }
     val s = TxTable.snapshot(spark, root, asOf)
-    if (s.liveFiles.isEmpty)
+    // empty-with-recorded-schema is a legitimate state (a created or
+    // fully-deleted table): the relation is simply zero files under the
+    // recorded schema; only a schema-LESS empty log refuses
+    if (s.liveFiles.isEmpty && s.schemaJson.isEmpty)
       throw new IllegalStateException(
-        s"graft-tx: empty tx table at $root (version ${s.version})")
+        s"graft-tx: empty tx table at $root (version ${s.version}) with " +
+          "no recorded schema")
     val schema = s.schemaJson.map(TxTable.schemaOf).getOrElse(
       spark.read.parquet(s"$root/data/${s.liveFiles.head}").schema)
     // merge-on-read composition (r14): vectored snapshots take the
@@ -265,12 +269,16 @@ class TxFileIndex(spark: SparkSession, root: String,
   // silent-row-loss class the format everywhere else refuses; the Scala
   // read path fails at parquet-open time on the identical state).
   private lazy val statuses: Map[String, FileStatus] = {
-    val dir = new HPath(s"$root/data")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val live = snapshot.liveFiles.toSet
-    val m = fs.listStatus(dir).collect {
-      case st if live(st.getPath.getName) => st.getPath.getName -> st
-    }.toMap
+    val m =
+      if (snapshot.liveFiles.isEmpty) Map.empty[String, FileStatus] // created/empty
+      else {
+        val dir = new HPath(s"$root/data")
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val live = snapshot.liveFiles.toSet
+        fs.listStatus(dir).collect {
+          case st if live(st.getPath.getName) => st.getPath.getName -> st
+        }.toMap
+      }
     val missing = snapshot.liveFiles.filterNot(m.contains)
     if (missing.nonEmpty)
       throw new IllegalStateException(

@@ -688,9 +688,32 @@ object TxTable {
     */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     val s = snapshot(spark, root, asOf)
-    if (s.liveFiles.isEmpty)
-      throw new IllegalStateException(s"empty tx table at $root (version ${s.version})")
+    // empty is a legitimate state once a schema is recorded (a created or
+    // fully-deleted table): readLive surfaces the empty frame under it,
+    // and refuses only when the schema is genuinely unknowable
     readLive(spark, root, s, s.liveFiles)
+  }
+
+  /** CREATE an empty table (r14, the SQL `CREATE TABLE` surface): version
+    * 0 is a `create` commit carrying the schema and NO file actions —
+    * reads return the empty frame under it, the first append validates
+    * additively against it, and the one-owner-per-version hard link makes
+    * racing creates serialize (the loser fails loudly). Refuses when the
+    * table already has any commit.
+    */
+  def create(spark: SparkSession, root: String,
+             schema: org.apache.spark.sql.types.StructType): Long = {
+    val pre = snapshot(spark, root, None)
+    if (pre.version >= 0)
+      throw new IllegalStateException(
+        s"tx table at $root already exists (version ${pre.version})")
+    val nullable = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+    if (!tryCommit(spark, root, 0L, "create", Map.empty, Nil, Nil,
+        schemaJson = Some(nullable.json)))
+      throw new IllegalStateException(
+        s"tx table at $root already exists (lost the create race)")
+    0L
   }
 
   private[sources] def schemaOf(js: String): org.apache.spark.sql.types.StructType =
@@ -730,6 +753,17 @@ object TxTable {
     */
   private def readLive(spark: SparkSession, root: String, s: Snapshot,
                        files: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      // a created or fully-deleted table: the RECORDED schema defines the
+      // empty frame (zero-path parquet reads throw); with no recorded
+      // schema the shape is unknowable — refuse, never guess
+      return s.schemaJson match {
+        case Some(js) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(js))
+        case None => throw new IllegalStateException(
+          s"empty tx table at $root (version ${s.version}) with no " +
+            "recorded schema — pre-schema logs cannot define an empty read")
+      }
     val dvs = loadDvs(root, s, files)
     if (dvs.vectors.isEmpty) readFiles(spark, root, files, s.schemaJson)
     else readFilesMor(spark, root, files, s.schemaJson, dvs)
@@ -857,7 +891,7 @@ object TxTable {
                 asOf: Option[Long] = None): DataFrame = {
     val s = snapshot(spark, root, asOf)
     if (s.liveFiles.isEmpty)
-      throw new IllegalStateException(s"empty tx table at $root (version ${s.version})")
+      return readLive(spark, root, s, Nil).where(predicate)
     val (kept, _) = pruneFilesAt(spark, root, s, predicate)
     if (kept.isEmpty)
       // schema-preserving empty result: scan one footer, emit no rows
@@ -1619,6 +1653,8 @@ object TxTable {
       val base = snapshot(spark, root, None)
       assertWritable(root, base)
       assertDeterministic(spark, root, base, "delete predicate", Seq(predicate))
+      if (base.liveFiles.isEmpty)
+        return base.version // created/fully-deleted table: nothing to mark
       // ONE sidecar deserialization per attempt (ADVICE r12): the same
       // DvMap drives the scan's anti-filter and the replacement-vector
       // merge below

@@ -1507,6 +1507,67 @@ class AcidSpec extends SparkSpec {
     assert(byType == Map("delete" -> 20L, "insert" -> 2L))
   }
 
+  test("CREATE TABLE / CTAS: v0 is a create commit; empty-with-schema reads are well-defined everywhere; schema-less empty still refuses") {
+    val base = java.nio.file.Files.createTempDirectory("graft_create").toString
+    spark.conf.set("spark.sql.catalog.graft_ct", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ct.root", base)
+    spark.sql("CREATE TABLE graft_ct.default.fresh " +
+      "(id BIGINT, tag STRING, value BIGINT)"): Unit
+    val troot = s"$base/default/fresh"
+    val c0 = TxTable.commits(troot).head
+    assert(c0.op == "create" && c0.adds.isEmpty && c0.schemaJson.isDefined)
+    // empty reads: SQL, Scala, connector — zero rows UNDER the schema
+    assert(spark.sql("SELECT count(*) AS n FROM graft_ct.default.fresh")
+      .head().getLong(0) == 0L)
+    assert(TxTable.read(spark, troot).columns.toSeq ==
+      Seq("id", "tag", "value"))
+    assert(TxTable.readWhere(spark, troot, $"id" > 0L).count() == 0L)
+    assert(spark.read.format("graft-tx").load(troot).count() == 0L)
+    // mutations on the empty table no-op (and don't throw on zero paths)
+    assert(TxTable.delete(spark, troot, $"id" === 1L) == 0L)
+    assert(TxTable.deleteMor(spark, troot, $"id" === 1L) == 0L)
+    // a MERGE into the created table inserts everything
+    TxTable.merge(spark, troot,
+      Seq((1L, "a", 10L)).toDF("id", "tag", "value"), Seq("id"), Seq("value"))
+    assert(TxTable.read(spark, troot).count() == 1L)
+    // the created schema GOVERNS: an insert changing a column's type fails
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_ct.default.fresh VALUES (2, 3, 'oops')")
+    }: Unit
+    // INSERT INTO works; re-create refuses; PARTITIONED BY refuses
+    spark.sql("INSERT INTO graft_ct.default.fresh VALUES (2, 'b', 20)"): Unit
+    assert(spark.sql("SELECT sum(value) AS s FROM graft_ct.default.fresh")
+      .head().getLong(0) == 30L)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ct.default.fresh (id BIGINT)")
+    }: Unit
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ct.default.parted (id BIGINT) " +
+        "PARTITIONED BY (id)")
+    }: Unit
+    // CTAS: create + write, end to end through SQL
+    spark.sql("CREATE TABLE graft_ct.default.ctas AS " +
+      "SELECT id, value * 2 AS dbl FROM graft_ct.default.fresh"): Unit
+    val ctasRows = spark.sql(
+      "SELECT id, dbl FROM graft_ct.default.ctas ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ctasRows == Seq((1L, 20L), (2L, 40L)))
+    assert(TxTable.commits(s"$base/default/ctas").map(_.op) ==
+      Seq("create", "append"))
+    // a schema-LESS empty log still refuses (the shape is unknowable)
+    val bare = freshRoot()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(bare, "_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bare, "_log", f"${0L}%020d.json"),
+      ("""{"commitInfo":{"op":"external","metrics":{}}}""" + "\n" +
+        """{"end":0}""").getBytes("UTF-8")): Unit
+    val e = intercept[IllegalStateException] {
+      TxTable.read(spark, bare).count()
+    }
+    assert(e.getMessage.contains("no recorded schema"), e.getMessage)
+  }
+
   test("SQL DML catalog: INSERT INTO / DELETE FROM / time-travel SELECT land as ordinary commits") {
     val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val troot = s"$base/default/ev"
