@@ -27,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `h24Slice(md5(s"${b/5}:$key"), b%5)` against the caller's integer
   * breakpoints — bit-identical to the composed column form (spec-pinned
   * property) and to the DuckDB replay, so the fusion is hash-checkable.
+  * Scope of the bit-identity claim: NON-NULL keys. A NULL key yields a
+  * NULL vector here (standard null-intolerant expression semantics),
+  * where the composed CASE chain fell through `md5(NULL) → NULL` to its
+  * `otherwise(5)` arm — an artifact, not a semantic; the one caller
+  * hashes a cast of a non-null key column.
   */
 object BootKernel {
 

@@ -88,6 +88,13 @@ object FastMd5 {
     * twin of `conv(substring(md5(c), 1+6s, 6), 16, 10)` ([[graft.Tables
     * .h24Slice]]). One digest carries all five draws; allocation-free for
     * len ≤ 55 like [[h24]] (the bootstrap kernel's per-row hot path).
+    *
+    * The compression core is DELIBERATELY duplicated from [[h24]] rather
+    * than factored: the shared-core shapes either allocate per call (a
+    * 4-int tuple) or thread a buffer through [[h24]]'s own hot path, and
+    * both copies are independently drift-pinned — h24 property-tested
+    * against [[MinHashAgg.h24]], this method against the composed
+    * `h24Slice` column form (ScaleOpsSpec's BootWeights bit-identity).
     */
   def h24Slices(b: Array[Byte], off: Int, len: Int, out: Array[Long]): Unit = {
     if (len > 55) {

@@ -117,9 +117,32 @@ class TxCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "ALTER TABLE: graft-tx schema evolution is additive-by-append")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE would delete a commit log; remove the directory explicitly")
+  /** DROP TABLE succeeds only for a table that never held data — every
+    * commit action-free (the created-but-never-written state, which is
+    * exactly what Spark's CTAS failure path must clean up so a retried
+    * CTAS does not hit TableAlreadyExists forever). A table with any
+    * data/dv action in its history refuses: dropping a commit log is the
+    * destroy-provenance move this format never does implicitly. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!isTable(p)) return false
+    val commits = TxTable.commits(p)
+    val dataless = commits.forall(c =>
+      c.adds.isEmpty && c.removes.isEmpty && c.dvs.isEmpty && c.cdc.isEmpty)
+    if (!dataless)
+      throw new UnsupportedOperationException(
+        "DROP TABLE would delete a commit log with data history; " +
+          "remove the directory explicitly")
+    def rm(path: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(path)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(path).iterator().asScala.foreach(rm)
+      }
+      Files.deleteIfExists(path): Unit
+    }
+    rm(Paths.get(p))
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")

@@ -178,6 +178,18 @@ private[sources] object TxDmlRules {
         s"${missing.mkString(", ")}) — the insert row IS the source row")
     val keyNames = keyPairs.map(_._1.name)
     val keySourceByName = keyPairs.map { case (tk, sk) => tk.name -> sk }.toMap
+    // the projected source JOINS on its key columns, so a key column's
+    // INSERT value must be exactly its ON source side — otherwise the
+    // command would match on the transformed key and silently change the
+    // matched/insert split (SQL matches on the ON condition alone)
+    keyPairs.foreach { case (tk, sk) =>
+      val ins = insertByName(tk.name)
+      if (!ins.semanticEquals(sk))
+        refuse(s"key column ${tk.name}: the INSERT value (${ins.sql}) must " +
+          s"be its ON source column (${sk.sql}) — the merge joins the " +
+          "projected source on it; transform keys by pre-projecting the " +
+          "source so the ON condition sees the final key")
+    }
     // one source projection serves both roles: SET values must agree with
     // INSERT values; a key column's SET value must be its ON source side
     val updateCols = updateAssignments.flatMap { a =>

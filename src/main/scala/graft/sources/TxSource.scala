@@ -113,9 +113,17 @@ class TxSource extends RelationProvider with DataSourceRegister
     // by version, never predicate-pruned — the catalog-bridge trade);
     // the streaming twin is the registered `graft-tx-changes` source.
     // audit surface (the DESCRIBE HISTORY analog): option history=true
-    // returns the commit log as data — version, op, row metrics
-    if (parameters.get("history").exists(_.equalsIgnoreCase("true")))
+    // returns the commit log as data — version, op, row metrics; it
+    // refuses to COMBINE with the other read modes rather than silently
+    // preempting them (same stance as versionAsOf + readChangeFeed below)
+    if (parameters.get("history").exists(_.equalsIgnoreCase("true"))) {
+      if (asOf.isDefined ||
+          parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+        throw new IllegalArgumentException(
+          "graft-tx: history=true does not compose with versionAsOf or " +
+            "readChangeFeed — the history relation is the whole commit log")
       return new TxHistoryRelation(ctx, root)
+    }
     if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
       if (asOf.isDefined) throw new IllegalArgumentException(
         "graft-tx: versionAsOf does not compose with readChangeFeed — " +

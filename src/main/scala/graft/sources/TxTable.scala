@@ -72,11 +72,20 @@ object TxTable {
                       baseSchema: Option[String] = None,
                       baseTxns: Map[(String, Long), Long] = Map.empty,
                       baseProtocol: (Int, Int) = (1, 1)) {
-    /** The table's (minReader, minWriter) PROTOCOL as of this snapshot —
-      * the latest protocol action wins (protocol upgrades are commits). */
+    /** The table's (minReader, minWriter) PROTOCOL as of this snapshot.
+      * Folded MONOTONE (component-wise max), not last-action-wins (r14):
+      * a lost-race REBASE republishes its commit verbatim, including a
+      * protocol upgrade computed against the PRE-race base — if a racing
+      * feature commit (say deletion vectors demanding reader 2) won the
+      * version in between, a last-wins fold would let the rebased
+      * commit's lower upgrade silently DOWNGRADE the folded protocol
+      * below what the live vectors demand, and an old reader would pass
+      * the gate straight into resurrecting deleted rows. Upgrades only:
+      * no legitimate downgrade path exists in this format. */
     lazy val protocol: (Int, Int) =
-      commits.reverseIterator.flatMap(_.protocol).nextOption()
-        .getOrElse(baseProtocol)
+      commits.flatMap(_.protocol).foldLeft(baseProtocol) {
+        case ((r0, w0), (r1, w1)) => (math.max(r0, r1), math.max(w0, w1))
+      }
     /** Transaction identities as of this snapshot: checkpoint-carried base
       * plus the tail's — what [[TxTable.appendOnce]]'s idempotence probe
       * and a re-checkpoint both need WITHOUT replaying the whole log. */
@@ -525,14 +534,25 @@ object TxTable {
                                p: Path): CheckpointState = {
     val version = p.getFileName.toString.stripSuffix(".checkpoint.json").toLong
     val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
-    val st = ckptCache.getOrElseUpdate(key, parseCheckpoint(spark, root, p, version))
-    val dir = p.getParent
-    ckptCache.keys.foreach { case k @ (kp, _, _) =>
-      val kPath = Paths.get(kp)
-      val name = kPath.getFileName.toString
-      if (kPath.getParent == dir && name.matches("\\d{20}\\.checkpoint\\.json") &&
-          name.stripSuffix(".checkpoint.json").toLong < version)
-        ckptCache.remove(k): Unit
+    var inserted = false
+    val st = ckptCache.getOrElseUpdate(key, {
+      inserted = true
+      parseCheckpoint(spark, root, p, version)
+    })
+    // evict only when a NEW state was just parsed (r14, the code-review
+    // catch on the r13 fix): evicting on every ACCESS made a workload
+    // alternating time-travel and latest reads re-run the older
+    // checkpoint's distributed parse per alternation — the bound only
+    // needs superseded entries dropped when a newer one first lands
+    if (inserted) {
+      val dir = p.getParent
+      ckptCache.keys.foreach { case k @ (kp, _, _) =>
+        val kPath = Paths.get(kp)
+        val name = kPath.getFileName.toString
+        if (kPath.getParent == dir && name.matches("\\d{20}\\.checkpoint\\.json") &&
+            name.stripSuffix(".checkpoint.json").toLong < version)
+          ckptCache.remove(k): Unit
+      }
     }
     st
   }
@@ -1567,12 +1587,21 @@ object TxTable {
         .select(cols: _*).queryExecution.analyzed)
       catch { case scala.util.control.NonFatal(_) => None }
     analyzed.foreach { plan =>
-      if (plan.expressions.exists(_.exists(!_.deterministic)))
+      // nondeterministic proper (rand()), AND the current_timestamp/
+      // current_date family: those are Catalyst-"deterministic" but fold
+      // to a FRESH instant per query execution, and the mutation runs
+      // several executions — the TTL-cutoff-drifts-between-passes trap
+      val bad = plan.expressions.exists(_.exists(e =>
+        !e.deterministic || e.containsPattern(
+          org.apache.spark.sql.catalyst.trees.TreePattern.CURRENT_LIKE)))
+      if (bad)
         throw new IllegalArgumentException(
           s"$what must be deterministic — the mutation re-evaluates it " +
             "across its matching, rewrite, change-capture, and retry " +
-            "passes, and each pass would see a different row set; " +
-            "materialize the values first")
+            "passes, and each pass would see a different row set " +
+            "(current_timestamp/current_date fold per execution: compute " +
+            "the cutoff once and pass it as a literal); materialize the " +
+            "values first")
     }
   }
 
@@ -1858,14 +1887,23 @@ object TxTable {
       val cols = affectedDf.columns.toSeq
       assignments.keys.foreach(k => require(cols.contains(k),
         s"update: unknown column $k (table has ${cols.mkString(", ")})"))
+      // assignment values CAST to the column's current type (SQL UPDATE's
+      // store-assignment semantics, and what Spark's own row-level UPDATE
+      // resolution does): without it `value * 1.5` on a BIGINT column
+      // would silently WIDEN the rewritten file's type — the commit
+      // succeeds, and every later read under the recorded schema throws
+      // on the drifted parquet file (a bricked table after an ack'd write)
+      val assigned = assignments.map { case (c, v) =>
+        c -> v.cast(affectedDf.schema(c).dataType)
+      }
       val hit = coalesce(predicate, lit(false))
       val rewritten = affectedDf.select(cols.map { c =>
-        assignments.get(c).fold(col(c))(v => when(hit, v).otherwise(col(c)).as(c))
+        assigned.get(c).fold(col(c))(v => when(hit, v).otherwise(col(c)).as(c))
       }: _*)
       val matched = affectedDf.where(hit)
       val updated = matched.count()
       val post = matched.select(cols.map(c =>
-        assignments.get(c).fold(col(c))(_.as(c))): _*)
+        assigned.get(c).fold(col(c))(_.as(c))): _*)
       val cdc = writeCdc(spark, root,
         matched.withColumn("_change_type", lit("update_preimage"))
           .unionByName(post.withColumn("_change_type", lit("update_postimage"))))

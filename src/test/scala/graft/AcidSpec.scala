@@ -1441,6 +1441,17 @@ class AcidSpec extends SparkSpec {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(eDup2.getMessage.contains("more than once"), eDup2.getMessage)
+    // a KEY-TRANSFORMING insert refuses: the projected source joins on
+    // its key column, so INSERT (id) VALUES (s.id + 100) would change the
+    // matched/insert split itself — SQL matches on the ON condition alone
+    val eKey = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET tag = s.tag, value = s.value
+           |WHEN NOT MATCHED THEN INSERT (id, tag, value)
+           |  VALUES (s.id + 100, s.tag, s.value)""".stripMargin)
+    }
+    assert(eKey.getMessage.contains("ON source column"), eKey.getMessage)
   }
 
   test("SQL UPDATE: arbitrary Catalyst assignments and predicate through the catalog; 3VL; CDF pre/post") {
@@ -1478,6 +1489,22 @@ class AcidSpec extends SparkSpec {
         s"WHERE id IN (SELECT id FROM $t WHERE tag IS NULL)")
     }
     assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
+    // store-assignment semantics: a widening expression casts back to the
+    // column's type — the rewritten file must NOT drift to DOUBLE (the
+    // recorded BIGINT schema would brick every later read of it)
+    spark.sql(s"UPDATE $t SET value = (id * 3) * 1.5 WHERE id = 4"): Unit
+    val v4 = TxTable.read(spark, root).where($"id" === 4L).head()
+    assert(v4.schema("value").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(v4.getAs[Long]("value") == 18L) // 18.0 cast back to long
+    assert(TxTable.read(spark, root).count() == 20L) // table still readable
+    // current_timestamp folds to a FRESH instant per execution and the
+    // mutation runs several — refuse like rand() (the TTL drift trap)
+    val eNow = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE $t SET value = 1 " +
+        "WHERE tag = CAST(current_timestamp() AS STRING)")
+    }
+    assert(eNow.getMessage.contains("deterministic"), eNow.getMessage)
     // duplicate SET targets refuse instead of last-write-winning
     val eDup = intercept[UnsupportedOperationException] {
       spark.sql(s"UPDATE $t SET value = 1, value = 2")
@@ -1544,6 +1571,20 @@ class AcidSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("CREATE TABLE graft_ct.default.parted (id BIGINT) " +
         "PARTITIONED BY (id)")
+    }: Unit
+    // a FAILED CTAS must not leave a permanently stuck half-created
+    // table: Spark's failure callback drops it (dropTable succeeds for
+    // data-less tables — exactly this cleanup), so the retry goes through
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ct.default.ctas AS " +
+        "SELECT raise_error('boom') AS id FROM graft_ct.default.fresh")
+    }: Unit
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$base/default/ctas", "_log")),
+      "failed CTAS left a half-created table behind")
+    // ... while DROP of a table WITH data history still refuses
+    intercept[UnsupportedOperationException] {
+      spark.sql("DROP TABLE graft_ct.default.fresh")
     }: Unit
     // CTAS: create + write, end to end through SQL
     spark.sql("CREATE TABLE graft_ct.default.ctas AS " +
@@ -1820,6 +1861,16 @@ class AcidSpec extends SparkSpec {
       .load(root).collect().map(r =>
         (r.getAs[Long]("version"), r.getAs[String]("op")))
     assert(hist.toSeq == Seq((0L, "append"), (1L, "delete"), (2L, "merge")))
+    // conflicting read modes refuse rather than silently preempting
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-tx").option("history", "true")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(root).collect()
+    }: Unit
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-tx").option("history", "true")
+        .option("versionAsOf", "1").load(root).collect()
+    }: Unit
   }
 
   test("graft-tx connector fails loudly on a vanished live file, naming it — never a silent partial scan") {
@@ -1968,6 +2019,17 @@ class AcidSpec extends SparkSpec {
     TxTable.deleteMor(spark, morRoot, $"id" === 6L)
     assert(TxTable.commits(morRoot).last.protocol.isEmpty,
       "second dv commit must not re-record the protocol")
+    // the fold is MONOTONE, not last-action-wins: a rebased commit can
+    // legitimately republish a LOWER upgrade computed pre-race (it jumped
+    // over the dv commit) — the folded protocol must never downgrade
+    // below what the live vectors demand
+    val vNext = TxTable.snapshot(morRoot).version + 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(morRoot, "_log", f"$vNext%020d.json"),
+      ("""{"commitInfo":{"op":"rebased","protocol":{"r":1,"w":2},"metrics":{}}}""" +
+        "\n" + """{"end":0}""").getBytes("UTF-8")): Unit
+    assert(TxTable.snapshot(morRoot).protocol == ((2, 2)),
+      "a lower rebased upgrade silently downgraded the folded protocol")
     try {
       // an old WRITER (this library's own pre-DV rounds) meets the table:
       // every commit path refuses; reads stay allowed on the CDF table
