@@ -32,13 +32,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reference's own mutation surface is SQL strings against its engine
   * (`/root/reference/geomesa.py:56-59`, `node.py:168-172`) — this catalog
   * is that surface for the sandbox's format, with every statement landing
-  * as an ordinary optimistic commit: INSERT INTO is [[TxTable.append]]
-  * (additive schema evolution included), DELETE FROM is the full
-  * [[TxTable.delete]] path — copy-on-write file pruning, three-valued
-  * logic, change-data-feed capture, lost-race rebase — via
-  * `SupportsDelete.deleteWhere` with the V1 filter tree translated to a
-  * Column predicate ([[TxFilters]]); an untranslatable predicate fails
-  * analysis loudly (`canDeleteWhere`) rather than half-deleting.
+  * as an ordinary optimistic commit: CREATE TABLE / the create half of
+  * CTAS is [[TxTable.create]] (r14 — a v0 `create` commit recording the
+  * schema), INSERT INTO is [[TxTable.append]] (additive schema evolution
+  * included), INSERT OVERWRITE is the atomic [[TxTable.overwrite]] via
+  * `SupportsTruncate` (r14), and DELETE FROM / UPDATE / MERGE INTO route
+  * through [[TxDmlRewrite]]'s full-Catalyst commands (r14) onto
+  * [[TxTable.delete]]/[[TxTable.update]]/[[TxTable.merge]] — copy-on-write
+  * file pruning, three-valued logic, change-data-feed capture, lost-race
+  * rebase, dup-key rejection all included. The `SupportsDelete` surface
+  * below ([[TxFilters]] translating the V1 filter tree) remains for
+  * non-SQL DSv2 callers; SQL no longer inherits its translation ceiling.
   *
   * READ PATH: scans bridge through [[V1Scan]] (the JDBC-source shape) —
   * pushed filters drive [[TxTable.readWhere]]'s file skipping and column
