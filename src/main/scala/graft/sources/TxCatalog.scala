@@ -97,11 +97,30 @@ class TxCatalog extends TableCatalog {
     new TxV2Table(p, ident.toString, Some(version.toLong))
   }
 
+  /** `TIMESTAMP AS OF <t>` time travel (r15): Spark hands the instant in
+    * MICROseconds since epoch; it resolves to the latest commit
+    * at-or-before it ([[TxTable.versionAtTimestamp]] — the Delta rule,
+    * refusing instants before the first commit) and reads are then
+    * version-pinned exactly like `VERSION AS OF`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    new TxV2Table(p, ident.toString,
+      Some(TxTable.versionAtTimestamp(p, timestamp / 1000L)))
+  }
+
   /** `CREATE TABLE` (and the create half of CTAS) — r14: version 0 is a
     * `create` commit recording the schema; the first INSERT validates
     * additively against it. Partitioning transforms refuse (layout is the
     * compactor's job); provider/location-style properties Spark attaches
-    * are ignored — identifiers ARE locations in this catalog. */
+    * are ignored — identifiers ARE locations in this catalog. An explicit
+    * `NOT NULL` column REFUSES naming the columns (ADVICE r14): the format
+    * stores every column nullable — schema evolution may backfill NULL
+    * into files predating a column — so silently dropping a user-declared
+    * constraint would be the quiet-coercion class this catalog otherwise
+    * avoids. (CTAS through [[stageCreate]] coerces instead, documented
+    * there: a query schema's non-nullable aggregate outputs are inferred
+    * facts, not declared constraints.) */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -109,6 +128,13 @@ class TxCatalog extends TableCatalog {
       throw new UnsupportedOperationException(
         "graft-tx tables do not take PARTITIONED BY (clustered layout is " +
           "the compactor's job: TxTable.compact/compactZ)")
+    val nonNullable = schema.fields.filterNot(_.nullable).map(_.name)
+    if (nonNullable.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-tx CREATE TABLE: column(s) ${nonNullable.mkString(", ")} " +
+          "declared NOT NULL, but the format stores every column nullable " +
+          "(schema evolution NULL-fills files predating a column) — drop " +
+          "the constraint rather than have it silently unenforced")
     val p = pathOf(ident)
     if (isTable(p))
       throw new org.apache.spark.sql.catalyst.analysis

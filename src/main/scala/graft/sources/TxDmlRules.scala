@@ -24,15 +24,19 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * SUPPORTED SHAPES map exactly onto the primitives, refusing LOUDLY
   * (never half-applying) outside them:
   *
-  *  - `MERGE INTO t USING s ON t.k = s.k [AND …] WHEN MATCHED THEN
-  *    UPDATE SET … WHEN NOT MATCHED THEN INSERT …` — the canonical
-  *    upsert, `SET *` / `INSERT *` included. The ON condition must be a
-  *    conjunction of target-column = source-column equalities; actions
-  *    must be unconditional (no `AND <cond>` clauses); and because the
-  *    primitive feeds ONE source projection to both roles, each updated
-  *    column's SET value must be the same expression as its INSERT value
-  *    (pre-project the source for computed updates). DELETE actions and
-  *    WHEN NOT MATCHED BY SOURCE refuse.
+  *  - `MERGE INTO t USING s ON t.k = s.k [AND …]` with the FULL clause
+  *    surface (r15, VERDICT r14 #1 — via [[TxTable.mergeFull]]):
+  *    `WHEN MATCHED [AND cond] THEN UPDATE SET …` / `THEN DELETE` chains
+  *    (first-match-wins; only the last clause of a chain may omit its
+  *    condition — an earlier unconditional clause would dead-code the
+  *    rest, Delta's refusal), `WHEN NOT MATCHED [AND cond] THEN INSERT`
+  *    chains, and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+  *    UPDATE/DELETE` (whose expressions may reference target columns
+  *    only). SET and INSERT values are independent expressions; `SET *` /
+  *    `INSERT *` included. The ON condition must be a conjunction of
+  *    target-column = source-column equalities. Remaining refusals:
+  *    WITH SCHEMA EVOLUTION, subqueries in clause expressions,
+  *    duplicated assignment targets, ambiguous source column names.
   *  - `UPDATE t SET c = expr, … [WHERE pred]` — assignments are
   *    expressions over the row's own columns evaluated against the OLD
   *    row, three-valued-logic predicate, any Catalyst-expressible
@@ -144,80 +148,127 @@ private[sources] object TxDmlRules {
     if (dupKeys.nonEmpty)
       refuse(s"key column(s) ${dupKeys.mkString(", ")} appear more than " +
         "once in the ON condition")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported " +
-        "(the upsert primitive never touches unmatched target rows)")
-    val updateAssignments = m.matchedActions match {
-      case Seq(UpdateAction(None, assigns, _)) => assigns
-      case Seq(UpdateAction(Some(_), _, _)) =>
-        refuse("conditional WHEN MATCHED AND <cond> is not supported")
-      case other => refuse(
-        "exactly one unconditional WHEN MATCHED THEN UPDATE is required " +
-          s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
-    }
-    val insertAssignments = m.notMatchedActions match {
-      case Seq(InsertAction(None, assigns)) => assigns
-      case Seq(InsertAction(Some(_), _)) =>
-        refuse("conditional WHEN NOT MATCHED AND <cond> is not supported")
-      case other => refuse(
-        "exactly one unconditional WHEN NOT MATCHED THEN INSERT is " +
-          "required (unmatched source rows always insert — the upsert " +
-          s"contract); got ${other.map(_.getClass.getSimpleName).mkString(", ")}")
-    }
+    val keyNames = keyPairs.map(_._1.name)
+    val keyByExprId = keyPairs.map { case (tk, sk) => sk.exprId -> tk.name }.toMap
+    val targetCols = m.targetTable.output
+    // the command's source plan: ON source keys under the TARGET key
+    // names, plus every other REFERENCED source column under its own name
+    // — mergeFull prefixes all of them __src_ before the join, which is
+    // how clause expressions address the source side unambiguously
     def nameOf(a: Assignment): String = a.key match {
       case ar: AttributeReference => ar.name
       case other => refuse(s"assignment target must be a column, got ${other.sql}")
     }
-    assertDistinctTargets(updateAssignments.map(nameOf))
-    assertDistinctTargets(insertAssignments.map(nameOf))
-    val insertByName = insertAssignments.map(a => nameOf(a) -> a.value).toMap
-    val targetCols = m.targetTable.output
-    val missing = targetCols.map(_.name).filterNot(insertByName.contains)
-    if (missing.nonEmpty)
-      refuse(s"INSERT must assign every target column (missing " +
-        s"${missing.mkString(", ")}) — the insert row IS the source row")
-    val keyNames = keyPairs.map(_._1.name)
-    val keySourceByName = keyPairs.map { case (tk, sk) => tk.name -> sk }.toMap
-    // the projected source JOINS on its key columns, so a key column's
-    // INSERT value must be exactly its ON source side — otherwise the
-    // command would match on the transformed key and silently change the
-    // matched/insert split (SQL matches on the ON condition alone)
-    keyPairs.foreach { case (tk, sk) =>
-      val ins = insertByName(tk.name)
-      if (!ins.semanticEquals(sk))
-        refuse(s"key column ${tk.name}: the INSERT value (${ins.sql}) must " +
-          s"be its ON source column (${sk.sql}) — the merge joins the " +
-          "projected source on it; transform keys by pre-projecting the " +
-          "source so the ON condition sees the final key")
+    val clauseExprs: Seq[Expression] =
+      (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+        .flatMap {
+          case UpdateAction(c, assigns, _) => c.toSeq ++ assigns.map(_.value)
+          case InsertAction(c, assigns) => c.toSeq ++ assigns.map(_.value)
+          case DeleteAction(c) => c.toSeq
+          case other => refuse(s"unsupported MERGE action ${other.getClass.getSimpleName}")
+        }
+    val referencedSrc = clauseExprs.flatMap(_.collect {
+      case a: AttributeReference if sourceOut.contains(a) => a
+    }).filterNot(a => keyByExprId.contains(a.exprId))
+      .groupBy(_.exprId).map(_._2.head).toSeq.sortBy(_.name)
+    val dupSrcNames = referencedSrc.groupBy(_.name)
+      .collect { case (n, as) if as.size > 1 => n }
+    if (dupSrcNames.nonEmpty)
+      refuse(s"source column name(s) ${dupSrcNames.mkString(", ")} are " +
+        "ambiguous (the source plan outputs them more than once); " +
+        "pre-project the source with distinct names")
+    val collisions = referencedSrc.map(_.name).toSet.intersect(keyNames.toSet)
+    if (collisions.nonEmpty)
+      refuse(s"source column(s) ${collisions.mkString(", ")} collide with " +
+        "the projected key names; pre-project the source with distinct names")
+    // rewrite clause expressions to the joined-row convention: target
+    // columns by name, source columns as __src_<projected name>; refuse
+    // subqueries (re-resolution against the mutation's own scan would
+    // mis-bind their internal attributes)
+    def rewrite(e: Expression): org.apache.spark.sql.Column = {
+      if (e.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        refuse("subqueries in MERGE conditions or values are not " +
+          "supported; materialize the subquery into the source")
+      GraftBridge.column(e.transform {
+        case a: AttributeReference if keyByExprId.contains(a.exprId) =>
+          UnresolvedAttribute.quoted("__src_" + keyByExprId(a.exprId))
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute.quoted("__src_" + a.name)
+        case a: AttributeReference =>
+          UnresolvedAttribute.quoted(a.name)
+      })
     }
-    // one source projection serves both roles: SET values must agree with
-    // INSERT values; a key column's SET value must be its ON source side
-    val updateCols = updateAssignments.flatMap { a =>
-      val n = nameOf(a)
-      if (keyNames.contains(n)) {
-        if (!a.value.semanticEquals(keySourceByName(n)))
-          refuse(s"key column $n cannot be SET to a different value than " +
-            "its ON equality (key-changing updates are not an upsert)")
-        None // join-equal by construction: updating it is a no-op
-      } else {
-        val ins = insertByName(n)
-        if (!a.value.semanticEquals(ins))
-          refuse(s"column $n: the UPDATE SET value (${a.value.sql}) and the " +
-            s"INSERT value (${ins.sql}) must be the same expression — the " +
-            "merge feeds one source projection to both; pre-project the " +
-            "source (USING (SELECT …) s) for computed updates")
-        Some(n)
+    def refuseSourceRefs(where: String, es: Seq[Expression]): Unit =
+      es.foreach(e => e.collectFirst {
+        case a: AttributeReference if sourceOut.contains(a) => a
+      }.foreach(a => refuse(s"$where cannot reference source column " +
+        s"${a.name} — those rows have no source side")))
+    def refuseTargetRefs(where: String, es: Seq[Expression]): Unit =
+      es.foreach(e => e.collectFirst {
+        case a: AttributeReference if targetOut.contains(a) => a
+      }.foreach(a => refuse(s"$where cannot reference target column " +
+        s"${a.name} — those rows have no target side")))
+    // clause-order semantics are SQL MERGE's (first TRUE condition wins),
+    // so a non-last unconditional clause would shadow its successors —
+    // refuse like Delta does rather than silently dead-code them
+    def assertLastUnconditional(kind: String, conds: Seq[Option[Expression]]): Unit =
+      conds.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        if (c.isEmpty) refuse(
+          s"only the last $kind clause can omit its condition (clause " +
+            s"${i + 1} of ${conds.size} is unconditional and would shadow " +
+            "the rest)")
       }
+    val matchedClauses = m.matchedActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        assertDistinctTargets(assigns.map(nameOf))
+        (cond, TxTable.MergeClause(cond.map(rewrite),
+          TxTable.MergeUpdate(assigns.map(a => nameOf(a) -> rewrite(a.value)).toMap)))
+      case DeleteAction(cond) =>
+        (cond, TxTable.MergeClause(cond.map(rewrite), TxTable.MergeDelete))
+      case other => refuse(
+        s"unsupported WHEN MATCHED action ${other.getClass.getSimpleName}")
     }
-    // the source, projected to the target schema (insert defines every
-    // column; types cast to the target's — evolvedSchema wants exactness)
-    val projectList = targetCols.map { ta =>
-      val v = insertByName(ta.name)
-      val cast = if (v.dataType == ta.dataType) v else Cast(v, ta.dataType)
-      Alias(cast, ta.name)()
+    assertLastUnconditional("WHEN MATCHED", matchedClauses.map(_._1))
+    val insertClauses = m.notMatchedActions.map {
+      case InsertAction(cond, assigns) =>
+        refuseTargetRefs("WHEN NOT MATCHED conditions/values",
+          cond.toSeq ++ assigns.map(_.value))
+        assertDistinctTargets(assigns.map(nameOf))
+        val byName = assigns.map(a => nameOf(a) -> a.value).toMap
+        val missing = targetCols.map(_.name).filterNot(byName.contains)
+        if (missing.nonEmpty)
+          refuse(s"INSERT must assign every target column (missing " +
+            s"${missing.mkString(", ")})")
+        (cond, (cond.map(rewrite),
+          byName.map { case (n, v) => n -> rewrite(v) }))
+      case other => refuse(
+        s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
     }
-    TxMergeCommand(t.root, Project(projectList, m.sourceTable),
-      keyNames, updateCols)
+    assertLastUnconditional("WHEN NOT MATCHED", insertClauses.map(_._1))
+    val nmbsClauses = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        refuseSourceRefs("WHEN NOT MATCHED BY SOURCE conditions/values",
+          cond.toSeq ++ assigns.map(_.value))
+        assertDistinctTargets(assigns.map(nameOf))
+        (cond, TxTable.MergeClause(cond.map(rewrite),
+          TxTable.MergeUpdate(assigns.map(a => nameOf(a) -> rewrite(a.value)).toMap)))
+      case DeleteAction(cond) =>
+        refuseSourceRefs("WHEN NOT MATCHED BY SOURCE conditions", cond.toSeq)
+        (cond, TxTable.MergeClause(cond.map(rewrite), TxTable.MergeDelete))
+      case other => refuse(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
+    }
+    assertLastUnconditional("WHEN NOT MATCHED BY SOURCE", nmbsClauses.map(_._1))
+    val projectList =
+      keyPairs.map { case (tk, sk) =>
+        val cast = if (sk.dataType == tk.dataType) sk
+                   else Cast(sk, tk.dataType, None,
+                     org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+        Alias(cast, tk.name)()
+      } ++ referencedSrc.map(a => Alias(a, a.name)())
+    TxMergeFullCommand(t.root, Project(projectList, m.sourceTable), keyNames,
+      matchedClauses.map(_._2), insertClauses.map(_._2), nmbsClauses.map(_._2))
   }
 
   def updateCommand(t: TxV2Table, u: UpdateTable): LogicalPlan = {
@@ -256,16 +307,24 @@ case class TxDeleteCommand(root: String, condition: org.apache.spark.sql.Column)
   }
 }
 
-/** Runnable MERGE: executes [[TxTable.merge]] against the projected
-  * source plan — dup-key rejection, NULL-set updates, CDF capture, and
-  * rebase all included, because it IS the Scala path. */
-case class TxMergeCommand(root: String, source: LogicalPlan,
-                          keyCols: Seq[String], updateCols: Seq[String])
+/** Runnable MERGE (r15 — the generalized surface): executes
+  * [[TxTable.mergeFull]] against the projected source plan — conditional
+  * clause chains, matched DELETEs, NOT-MATCHED-BY-SOURCE clauses, dup-key
+  * rejection, NULL-set updates, CDF capture, and rebase all included,
+  * because it IS the Scala path. Clause expressions ride as Columns (not
+  * Expressions) for the same checkAnalysis-dodging reason as
+  * [[TxUpdateCommand]]. */
+case class TxMergeFullCommand(root: String, source: LogicalPlan,
+                              keyCols: Seq[String],
+                              matched: Seq[TxTable.MergeClause],
+                              notMatched: Seq[(Option[org.apache.spark.sql.Column],
+                                Map[String, org.apache.spark.sql.Column])],
+                              notMatchedBySource: Seq[TxTable.MergeClause])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    TxTable.merge(spark, root, GraftBridge.ofRows(spark, source),
-      keyCols, updateCols): Unit
+    TxTable.mergeFull(spark, root, GraftBridge.ofRows(spark, source),
+      keyCols, matched, notMatched, notMatchedBySource): Unit
     Nil
   }
 }

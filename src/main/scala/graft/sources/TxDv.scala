@@ -101,19 +101,67 @@ object TxDv {
       org.apache.spark.sql.Encoders.BINARY
   }
 
-  /** Immutable scan-side view: file name → bitmap, built driver-side from
-    * the snapshot's live dv sidecars at plan time (metadata-sized reads:
-    * only files that actually carry deletes have sidecars). Shipped to
-    * executors inside the [[DvAntiFilter]] expression via the codegen
-    * reference mechanism — the same broadcast-literal shape as centroids
-    * and codebooks.
+  /** Driver-side bitmap view: file name → bitmap, loaded from sidecars at
+    * plan/mutation time. Since r15 this never rides a task closure — scans
+    * ship [[DvRefs]] (names only) instead; the remaining consumers are the
+    * driver-local ones that genuinely need bitmap CONTENT there (the
+    * replacement-vector merge in deleteMor, the change feed's cardinality
+    * accounting).
     */
-  final case class DvMap(vectors: Map[String, Bitmap]) extends Serializable {
+  final case class DvMap(vectors: Map[String, Bitmap]) extends Serializable
+
+  /** Per-file deletion-vector DESCRIPTORS (r15, VERDICT r14 #2 — the Delta
+    * shape): what a scan ships to tasks is the metadata-sized (file name →
+    * sidecar name) map plus the sidecar directory; bitmap BYTES are read
+    * EXECUTOR-SIDE at first probe of that file and cached per process in
+    * [[BitmapCache]]. Task binaries are therefore independent of vector
+    * mass — a table carrying 10⁹ vector-marked rows ships kilobytes of
+    * names, not ~125 MB of bitmaps, and each executor reads only the
+    * sidecars of files its tasks actually touch.
+    */
+  final case class DvRefs(dvDir: String, refs: Map[String, String])
+      extends Serializable {
+    def isEmpty: Boolean = refs.isEmpty
+    /** Sidecar name bound to a BARE data-file name, if any. */
+    def refOf(fileName: String): Option[String] = refs.get(fileName)
     def deleted(file: UTF8String, rowIndex: Long): Boolean = {
       val f = file.toString
       // scans see absolute paths; dv keys are bare file names
       val name = f.substring(f.lastIndexOf('/') + 1)
-      vectors.get(name).exists(_.get(rowIndex))
+      refs.get(name) match {
+        case Some(ref) => BitmapCache.get(dvDir, ref).get(rowIndex)
+        case None => false
+      }
+    }
+  }
+
+  /** Process-wide sidecar bitmap cache (executor-side on a cluster; the
+    * one JVM in local mode). Sidecars are immutable once written — a
+    * re-delete commits a REPLACEMENT sidecar under a fresh name — so
+    * entries never invalidate; an LRU bound keeps a long-lived executor
+    * from accumulating every vector it ever scanned.
+    */
+  object BitmapCache {
+    private val MaxEntries = 1024
+    private val cache =
+      new java.util.LinkedHashMap[(String, String), Bitmap](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), Bitmap]): Boolean =
+          size() > MaxEntries
+      }
+    def get(dvDir: String, ref: String): Bitmap = {
+      val key = (dvDir, ref)
+      val hit = cache.synchronized(cache.get(key))
+      if (hit != null) return hit
+      // deserialize OUTSIDE the lock: first touch of a large sidecar must
+      // not serialize the other 31 scan threads behind one file read
+      val bm = Bitmap.deserialize(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dvDir).resolve(ref)))
+      cache.synchronized {
+        val raced = cache.get(key)
+        if (raced != null) raced
+        else { cache.put(key, bm): Unit; bm }
+      }
     }
   }
 }
@@ -121,10 +169,13 @@ object TxDv {
 /** (file_name, row_index) → row SURVIVES (not marked deleted) — the scan's
   * merge-on-read anti-filter. Null-intolerant like any predicate input;
   * codegen is one static-shaped virtual call on the referenced [[TxDv
-  * .DvMap]], so the filter stays inside whole-stage codegen.
+  * .DvRefs]], so the filter stays inside whole-stage codegen. Since r15
+  * the reference object carries sidecar NAMES only — bitmap bytes load
+  * executor-side through [[TxDv.BitmapCache]] at first probe, so the task
+  * binary is independent of how many rows the vectors mark.
   */
 case class DvAntiFilter(left: Expression, right: Expression,
-                        dvs: TxDv.DvMap) extends BinaryExpression {
+                        dvs: TxDv.DvRefs) extends BinaryExpression {
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -137,7 +188,7 @@ case class DvAntiFilter(left: Expression, right: Expression,
     !dvs.deleted(f.asInstanceOf[UTF8String], r.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("dvMap", dvs, classOf[TxDv.DvMap].getName)
+    val ref = ctx.addReferenceObj("dvRefs", dvs, classOf[TxDv.DvRefs].getName)
     nullSafeCodeGen(ctx, ev, (f, r) => s"${ev.value} = !$ref.deleted($f, $r);")
   }
 

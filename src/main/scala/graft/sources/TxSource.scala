@@ -102,7 +102,23 @@ class TxSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException(
         "graft-tx needs a table root: load(<root>) or option root=<root>"))
     val spark = ctx.sparkSession
-    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    val versionOpt = parameters.get("versionAsOf").map(_.toLong)
+    // TIMESTAMP time travel (r15, the Delta `timestampAsOf` spelling):
+    // resolves to the latest commit at-or-before the instant — epoch
+    // millis, or a 'yyyy-MM-dd HH:mm:ss[.fff]' literal read in the JVM
+    // zone (the java.sql.Timestamp contract). Composing both pins refuses:
+    // they could name different versions and one would silently win.
+    val tsOpt = parameters.get("timestampAsOf").map { raw =>
+      val millis =
+        if (raw.forall(_.isDigit)) raw.toLong
+        else java.sql.Timestamp.valueOf(raw).getTime
+      TxTable.versionAtTimestamp(root, millis)
+    }
+    if (versionOpt.isDefined && tsOpt.isDefined)
+      throw new IllegalArgumentException(
+        "graft-tx: versionAsOf and timestampAsOf do not compose — they " +
+          "could resolve to different versions; pin exactly one")
+    val asOf = versionOpt.orElse(tsOpt)
     // BATCH CHANGE FEED through the registered source (r14, the Delta
     // `readChangeFeed` spelling) — the SQL/connector surface for
     // [[TxTable.readChanges]]:
@@ -147,10 +163,11 @@ class TxSource extends RelationProvider with DataSourceRegister
       spark.read.parquet(s"$root/data/${s.liveFiles.head}").schema)
     // merge-on-read composition (r14): vectored snapshots take the
     // DV-filtering format; DV-free snapshots keep the stock one (zero
-    // overhead — the common steady state between deletes and compaction)
+    // overhead — the common steady state between deletes and compaction).
+    // The format ships DESCRIPTORS only (r15): executors read the bitmaps.
     val fmt =
       if (s.liveDvs.isEmpty) new ParquetFileFormat()
-      else new TxDvParquetFileFormat(TxTable.loadDvs(root, s, s.liveFiles))
+      else new TxDvParquetFileFormat(TxTable.dvRefs(root, s, s.liveFiles))
     HadoopFsRelation(new TxFileIndex(spark, root, s), new StructType(),
       schema, None, fmt, parameters)(spark)
   }
@@ -201,37 +218,40 @@ class TxSink(spark: SparkSession, root: String, appId: String,
 }
 
 /** [[ParquetFileFormat]] that applies a snapshot's DELETION VECTORS at the
-  * reader (r14, VERDICT r13 #2) — what lets the registered connector read
-  * a merge-on-read table instead of refusing until compaction:
+  * reader (r14, VERDICT r13 #2; r15 closes both of r14's watch items) —
+  * what lets the registered connector read a merge-on-read table instead
+  * of refusing until compaction. PER-FILE selection (r15, VERDICT r14 #4):
   *
-  *  - a file WITHOUT a vector reads exactly as stock parquet, pushed
-  *    filters included;
+  *  - a file WITHOUT a vector reads exactly as stock parquet — pushed
+  *    filters, vectorized decode, AND the columnar batch handoff into
+  *    whole-stage codegen (`supportBatch` is the stock rule again, no
+  *    longer globally false);
   *  - a file WITH a vector reads whole (`isSplitable` = false for that
   *    file only) and with NO pushed parquet filters — row-group/page
   *    skipping would break position accounting — then drops the bitmap's
-  *    positions from the streamed rows. Positions are stable because
-  *    parquet row order within an immutable file is (the same
-  *    `_metadata.row_index` contract [[TxTable]]'s own MoR scan relies
-  *    on), and the query's own filters still apply above the scan, where
-  *    Spark re-evaluates them regardless of pushdown.
+  *    positions from the streamed rows, re-packing survivors into
+  *    columnar batches when the scan runs columnar (the RowToColumnarExec
+  *    move, through [[org.apache.spark.sql.GraftBridge
+  *    .rowsToColumnarBatches]]). Positions are stable because parquet row
+  *    order within an immutable file is (the same `_metadata.row_index`
+  *    contract [[TxTable]]'s own MoR scan relies on), and the query's own
+  *    filters still apply above the scan, where Spark re-evaluates them
+  *    regardless of pushdown.
   *
-  * `supportBatch` is false so rows cross the scan boundary individually —
-  * parquet DECODE stays vectorized (the reader materializes rows off its
-  * columnar batches), which is the price of row-level masking without
-  * rewriting Spark's batch pipeline; the connector only selects this
-  * format when live vectors exist, so DV-free tables pay nothing. A DV is
-  * a transitional state by design — compaction materializes it back into
-  * clean files and the stock format.
+  * The masking cost is confined to exactly the vectored files; a DV is a
+  * transitional state by design — compaction materializes it back into
+  * clean files and the connector selects the stock format again. The
+  * format carries [[TxDv.DvRefs]] — sidecar NAMES (r15, VERDICT r14 #2):
+  * bitmap bytes are read EXECUTOR-side at reader open through
+  * [[TxDv.BitmapCache]], so the task binary is independent of vector mass.
   */
-class TxDvParquetFileFormat(dvs: TxDv.DvMap) extends ParquetFileFormat {
-
-  override def supportBatch(sparkSession: SparkSession,
-                            schema: StructType): Boolean = false
+class TxDvParquetFileFormat(private[sources] val dvs: TxDv.DvRefs)
+    extends ParquetFileFormat {
 
   override def isSplitable(sparkSession: SparkSession,
                            options: Map[String, String],
                            path: HPath): Boolean =
-    !dvs.vectors.contains(path.getName)
+    dvs.refOf(path.getName).isEmpty
 
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession,
@@ -242,20 +262,46 @@ class TxDvParquetFileFormat(dvs: TxDv.DvMap) extends ParquetFileFormat {
       options: Map[String, String],
       hadoopConf: org.apache.hadoop.conf.Configuration)
       : PartitionedFile => Iterator[InternalRow] = {
-    val withFilters = super.buildReaderWithPartitionValues(sparkSession,
+    import org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH
+    // what the scan expects from every file's iterator: batches when the
+    // plan went columnar, rows otherwise — vectored files must match it
+    val scanWantsBatches =
+      options.get(OPTION_RETURNING_BATCH).exists(_.equalsIgnoreCase("true"))
+    val clean = super.buildReaderWithPartitionValues(sparkSession,
       dataSchema, partitionSchema, requiredSchema, filters, options, hadoopConf)
-    val unfiltered = super.buildReaderWithPartitionValues(sparkSession,
-      dataSchema, partitionSchema, requiredSchema, Nil, options, hadoopConf)
-    val vectors = dvs.vectors
-    file => vectors.get(file.toPath.getName) match {
-      case None => withFilters(file)
-      case Some(bm) =>
+    // the masked path needs a ROW stream whatever the scan consumes:
+    // positions are per-row coordinates
+    val masked = super.buildReaderWithPartitionValues(sparkSession,
+      dataSchema, partitionSchema, requiredSchema, Nil,
+      options + (OPTION_RETURNING_BATCH -> "false"), hadoopConf)
+    val resultSchema = StructType(requiredSchema.fields ++ partitionSchema.fields)
+    val refs = dvs
+    file => refs.refOf(file.toPath.getName) match {
+      case None => clean(file)
+      case Some(ref) =>
         // whole-file, pushdown-free read: row N of the stream IS parquet
-        // position N, the coordinate the vector was written against
+        // position N, the coordinate the vector was written against; the
+        // bitmap loads HERE — executor-side, cached per process
+        val bm = TxDv.BitmapCache.get(refs.dvDir, ref)
         var idx = -1L
-        unfiltered(file).filter { _ => idx += 1; !bm.get(idx) }
+        val survivors = masked(file).filter { _ => idx += 1; !bm.get(idx) }
+        if (scanWantsBatches)
+          org.apache.spark.sql.GraftBridge
+            .rowsToColumnarBatches(resultSchema, survivors)
+            .asInstanceOf[Iterator[InternalRow]]
+        else survivors
     }
   }
+
+  // ParquetFileFormat's inherited equality says "any ParquetFileFormat" —
+  // under it a DV-masking format equals the stock one (and another
+  // instance masking DIFFERENT vectors), a latent false plan-cache-reuse
+  // hazard (ADVICE r14). Equality must include the vectors applied.
+  override def equals(other: Any): Boolean = other match {
+    case t: TxDvParquetFileFormat => t.dvs == dvs
+    case _ => false
+  }
+  override def hashCode(): Int = dvs.hashCode()
 }
 
 /** The pushdown seam: live files of one pinned snapshot, pruned per query

@@ -59,7 +59,8 @@ object TxTable {
                     cdc: Seq[String] = Nil,
                     dvs: Seq[(String, String)] = Nil,
                     dataChange: Boolean = true,
-                    protocol: Option[(Int, Int)] = None)
+                    protocol: Option[(Int, Int)] = None,
+                    ts: Option[Long] = None)
 
   /** One committed version view. `commits` holds the replayed TAIL — every
     * commit when no checkpoint accelerated the build, else only the
@@ -155,6 +156,7 @@ object TxTable {
         var schemaJson: Option[String] = None
         var dataChange = true
         var protocol: Option[(Int, Int)] = None
+        var ts: Option[Long] = None
         var actions = 0
         var endCount = -1L
         val adds = Seq.newBuilder[String]
@@ -178,6 +180,11 @@ object TxTable {
             if (ci.has("txnApp"))
               txn = Some((ci.get("txnApp").asText(), ci.get("txnBatch").asLong()))
             if (ci.has("schema")) schemaJson = Some(ci.get("schema").asText())
+            // wall clock of the publish (r15, the Delta commitInfo
+            // timestamp): metadata only — never enters query results —
+            // read by history() and TIMESTAMP AS OF resolution; absent on
+            // pre-r15 logs (those resolve by commit-file mtime)
+            if (ci.has("ts")) ts = Some(ci.get("ts").asLong())
             // layout-only marker (r13, the Delta dataChange move): absent
             // means true — a mutation; compaction writes false
             if (ci.has("dataChange")) dataChange = ci.get("dataChange").asBoolean()
@@ -218,7 +225,7 @@ object TxTable {
           corrupt(s"end marker declares $endCount actions, found $actions")
         Commit(version, op, metrics, adds.result(), removes.result(),
           stats.result(), txn, schemaJson, cdcFiles.result(), dvActions.result(),
-          dataChange, protocol)
+          dataChange, protocol, ts)
       }
   }
 
@@ -754,14 +761,26 @@ object TxTable {
     }
   }
 
-  /** Load the snapshot's deletion vectors for a scan's file subset —
-    * driver-side sidecar reads, only for files that actually carry
-    * deletes (metadata-sized: a DV is deleted-rows/8 bits). */
+  /** Load the snapshot's deletion-vector BITMAPS for a file subset —
+    * driver-side sidecar reads, for the consumers that need bitmap content
+    * on the driver (deleteMor's replacement-vector merge). Scans never
+    * call this since r15: they ship [[dvRefs]] (names only) and read
+    * bitmaps executor-side. */
   private[sources] def loadDvs(root: String, s: Snapshot, files: Seq[String]): TxDv.DvMap =
     TxDv.DvMap(files.flatMap(f => s.liveDvs.get(f).map { p =>
       f -> TxDv.Bitmap.deserialize(
         Files.readAllBytes(dvDir(root).resolve(p)))
     }).toMap)
+
+  /** The snapshot's deletion-vector DESCRIPTORS for a scan's file subset
+    * (r15, VERDICT r14 #2): file → sidecar name, metadata-sized however
+    * many rows the vectors mark — what scan closures ship instead of
+    * bitmaps; executors read sidecar bytes at first probe via
+    * [[TxDv.BitmapCache]]. */
+  private[sources] def dvRefs(root: String, s: Snapshot,
+                              files: Seq[String]): TxDv.DvRefs =
+    TxDv.DvRefs(dvDir(root).toString,
+      files.flatMap(f => s.liveDvs.get(f).map(f -> _)).toMap)
 
   /** SNAPSHOT-GOVERNED scan (r12): schema injection + merge-on-read
     * deletion vectors. Every live read — user reads, readWhere survivors,
@@ -784,8 +803,8 @@ object TxTable {
           s"empty tx table at $root (version ${s.version}) with no " +
             "recorded schema — pre-schema logs cannot define an empty read")
       }
-    val dvs = loadDvs(root, s, files)
-    if (dvs.vectors.isEmpty) readFiles(spark, root, files, s.schemaJson)
+    val dvs = dvRefs(root, s, files)
+    if (dvs.isEmpty) readFiles(spark, root, files, s.schemaJson)
     else readFilesMor(spark, root, files, s.schemaJson, dvs)
       .drop("__dv_file", "__dv_row")
   }
@@ -797,14 +816,14 @@ object TxTable {
     * parquet row order within an immutable file is. */
   private def readFilesMor(spark: SparkSession, root: String, files: Seq[String],
                            schemaJson: Option[String],
-                           dvs: TxDv.DvMap): DataFrame = {
+                           dvs: TxDv.DvRefs): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val paths = files.map(f => s"$root/data/$f")
     val base = schemaJson.fold(spark.read)(js => spark.read.schema(schemaOf(js)))
       .parquet(paths: _*)
       .withColumn("__dv_file", col("_metadata.file_name"))
       .withColumn("__dv_row", col("_metadata.row_index"))
-    if (dvs.vectors.isEmpty) base
+    if (dvs.isEmpty) base
     else base.where(GraftBridge.column(DvAntiFilter(
       GraftBridge.expression(col("__dv_file")),
       GraftBridge.expression(col("__dv_row")), dvs)))
@@ -923,17 +942,20 @@ object TxTable {
   }
 
   /** The log itself as data — the audit surface: one row per version with
-    * op, per-op row metrics (missing → 0), and file action counts.
+    * op, the commit wall clock (r15 — answers "when", NULL on pre-r15
+    * commits that recorded none), per-op row metrics (missing → 0), and
+    * file action counts.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     commits(root).map { c =>
       (c.version, c.op,
+        c.ts.map(new java.sql.Timestamp(_)).orNull,
         c.metrics.getOrElse("rows_written", 0L),
         c.metrics.getOrElse("rows_updated", 0L),
         c.metrics.getOrElse("rows_inserted", 0L),
         c.metrics.getOrElse("rows_deleted", 0L))
-    }.toDF("version", "op", "rows_written", "rows_updated",
+    }.toDF("version", "op", "timestamp", "rows_written", "rows_updated",
       "rows_inserted", "rows_deleted")
   }
 
@@ -1256,6 +1278,10 @@ object TxTable {
     val ci = mapper.createObjectNode()
     val cin = ci.putObject("commitInfo")
     cin.put("op", op): Unit
+    // commit wall clock (r15): metadata only — drives history()'s audit
+    // column and TIMESTAMP AS OF resolution, never a query result, so
+    // determinism of registered oracles is untouched
+    cin.put("ts", commitClock()): Unit
     // birth certificate: the table's protocol rides its first commit at
     // the BASELINE — a table demands only the features it uses, and
     // feature commits carry their own UPGRADE action (r14, VERDICT r13 #8)
@@ -1340,6 +1366,44 @@ object TxTable {
   }
 
   private val MaxRetries = 20
+
+  /** Commit wall-clock source — a test seam so timestamp-resolution specs
+    * can pin exact boundaries; production is the system clock. */
+  @volatile private[graft] var commitClock: () => Long =
+    () => System.currentTimeMillis()
+
+  /** Resolve a wall-clock instant to the LATEST committed version whose
+    * commit timestamp is ≤ `tsMillis` — the Delta `timestampAsOf` rule —
+    * refusing an instant BEFORE the first commit (there is no table state
+    * to serve) rather than silently returning the oldest. Pre-r15 commits
+    * that recorded no timestamp resolve by their commit FILE's modification
+    * time (the Delta fallback for the same gap), and the sequence is
+    * MONOTONIZED (each commit's effective time is at least its
+    * predecessor's) so clock skew between racing writers cannot make
+    * resolution non-contiguous: version k is chosen iff k is the last
+    * commit at-or-before the instant under the adjusted clock.
+    */
+  def versionAtTimestamp(root: String, tsMillis: Long): Long = {
+    val all = commits(root)
+    if (all.isEmpty)
+      throw new IllegalArgumentException(s"no tx table at $root")
+    def fileTime(v: Long): Long =
+      try Files.getLastModifiedTime(logDir(root).resolve(f"$v%020d.json")).toMillis
+      catch { case _: java.io.IOException => Long.MinValue }
+    var prev = Long.MinValue
+    val effective = all.map { c =>
+      val t = math.max(c.ts.getOrElse(fileTime(c.version)), prev)
+      prev = t
+      (c.version, t)
+    }
+    val atOrBefore = effective.filter(_._2 <= tsMillis)
+    if (atOrBefore.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis (${java.time.Instant.ofEpochMilli(tsMillis)}) " +
+          s"is before the first commit of $root at ${effective.head._2} " +
+          s"(${java.time.Instant.ofEpochMilli(effective.head._2)})")
+    atOrBefore.last._1
+  }
 
   /** PROTOCOL versions (r13, the Delta protocol action): what this build
     * can read and write. A table's first commit records `protocol` in its
@@ -1500,7 +1564,10 @@ object TxTable {
       }
       throw new IllegalStateException(s"append lost $MaxRetries commit races at $root")
     } catch {
-      case e: IllegalArgumentException => // schema conflict: unstage and fail
+      // every abnormal exit unstages (ADVICE r14): schema conflicts AND
+      // mid-loop protocol refusals / race exhaustion — staged files must
+      // never outlive a failed append
+      case scala.util.control.NonFatal(e) =>
         adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
         throw e
     }
@@ -1540,30 +1607,33 @@ object TxTable {
         assertWritable(root, pre) // protocol-gate BEFORE staging IO
         evolvedSchema(spark, root, pre, df.schema): Unit // fail fast, before staging
         val adds = writeData(spark, root, df, bloomCols)
-        var attempt = 0
-        while (attempt < MaxRetries) {
-          committed() match {
-            case Some(v) => // a racing replay won: discard this side's files
-              adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
-              return v
-            case None =>
-              val base = snapshot(spark, root, None)
-              assertWritable(root, base)
-              val schema = // same-snapshot validate-and-claim, like append
-                try evolvedSchema(spark, root, base, df.schema)
-                catch { case e: IllegalArgumentException =>
-                  adds.foreach(a =>
-                    Files.deleteIfExists(dataDir(root).resolve(a.name)))
-                  throw e
-                }
-              val v = base.version + 1
-              if (tryCommit(spark, root, v, "stream_append", Map("rows_written" -> rows),
-                adds, Nil, Some((appId, batchId)), Some(schema))) return v
+        try {
+          var attempt = 0
+          while (attempt < MaxRetries) {
+            committed() match {
+              case Some(v) => // a racing replay won: discard this side's files
+                adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+                return v
+              case None =>
+                val base = snapshot(spark, root, None)
+                assertWritable(root, base)
+                // same-snapshot validate-and-claim, like append
+                val schema = evolvedSchema(spark, root, base, df.schema)
+                val v = base.version + 1
+                if (tryCommit(spark, root, v, "stream_append", Map("rows_written" -> rows),
+                  adds, Nil, Some((appId, batchId)), Some(schema))) return v
+            }
+            attempt += 1
           }
-          attempt += 1
+          throw new IllegalStateException(
+            s"appendOnce lost $MaxRetries commit races at $root")
+        } catch {
+          // every abnormal exit unstages (ADVICE r14) — schema conflicts,
+          // protocol refusals, race exhaustion alike
+          case scala.util.control.NonFatal(e) =>
+            adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+            throw e
         }
-        throw new IllegalStateException(
-          s"appendOnce lost $MaxRetries commit races at $root")
     }
   }
 
@@ -1578,13 +1648,21 @@ object TxTable {
                                   s: Snapshot, what: String,
                                   cols: Seq[Column]): Unit = {
     if (s.liveFiles.isEmpty || cols.isEmpty) return
+    assertDeterministicOn(
+      readFiles(spark, root, s.liveFiles.take(1), s.schemaJson), what, cols)
+  }
+
+  /** [[assertDeterministic]] against an explicit probe frame — mergeFull
+    * probes the JOINED (target + __src_) shape its clauses resolve on. */
+  private def assertDeterministicOn(probe: => DataFrame, what: String,
+                                    cols: Seq[Column]): Unit = {
+    if (cols.isEmpty) return
     // determinism is only visible on RESOLVED expressions (the Column API
     // builds unresolved nodes whose default is deterministic), so analyze
     // a one-file probe projection; an expression that fails analysis here
     // is skipped — the mutation itself will fail loudly on it anyway
     val analyzed =
-      try Some(readFiles(spark, root, s.liveFiles.take(1), s.schemaJson)
-        .select(cols: _*).queryExecution.analyzed)
+      try Some(probe.select(cols: _*).queryExecution.analyzed)
       catch { case scala.util.control.NonFatal(_) => None }
     analyzed.foreach { plan =>
       // nondeterministic proper (rand()), AND the current_timestamp/
@@ -1621,7 +1699,9 @@ object TxTable {
     */
   def delete(spark: SparkSession, root: String, predicate: Column): Long = {
     var attempt = 0
-    while (attempt < MaxRetries) {
+    var pendingAdds: Seq[Staged] = Nil
+    var pendingCdc: Seq[String] = Nil
+    try while (attempt < MaxRetries) {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       assertWritable(root, base)
@@ -1633,12 +1713,14 @@ object TxTable {
       val deleted = affectedDf.where(predicate).count()
       val survivors = affectedDf.where(coalesce(!predicate, lit(true)))
       val adds = if (survivors.isEmpty) Nil else writeData(spark, root, survivors)
+      pendingAdds = adds
       // change data feed (r12): the commit carries the deleted rows as
       // change files, so downstream incremental consumers replay row-level
       // deletes instead of diffing snapshots (the Delta CDF move)
       val cdc = writeCdc(spark, root,
         affectedDf.where(coalesce(predicate, lit(false)))
           .withColumn("_change_type", lit("delete")))
+      pendingCdc = cdc
       // lost races rebase over file-disjoint winners (r13): adds conflict
       // unless proven unmatchable by the normalized predicate
       val cond = normalizedCondition(spark, root, base, predicate)
@@ -1652,8 +1734,16 @@ object TxTable {
         case None =>
           adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
           dropCdc(root, cdc)
+          pendingAdds = Nil
+          pendingCdc = Nil
           attempt += 1
       }
+    } catch {
+      // abnormal exits unstage the CURRENT attempt's files (ADVICE r14)
+      case scala.util.control.NonFatal(e) =>
+        pendingAdds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+        dropCdc(root, pendingCdc)
+        throw e
     }
     throw new IllegalStateException(s"delete lost $MaxRetries commit races at $root")
   }
@@ -1677,19 +1767,20 @@ object TxTable {
     */
   def deleteMor(spark: SparkSession, root: String, predicate: Column): Long = {
     var attempt = 0
-    while (attempt < MaxRetries) {
+    var pendingDvs: Seq[(String, String)] = Nil
+    var pendingCdc: Seq[String] = Nil
+    try while (attempt < MaxRetries) {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       assertWritable(root, base)
       assertDeterministic(spark, root, base, "delete predicate", Seq(predicate))
       if (base.liveFiles.isEmpty)
         return base.version // created/fully-deleted table: nothing to mark
-      // ONE sidecar deserialization per attempt (ADVICE r12): the same
-      // DvMap drives the scan's anti-filter and the replacement-vector
-      // merge below
+      // driver-side bitmaps for the replacement-vector merge below; the
+      // scan itself ships descriptors only (r15 — executors read sidecars)
       val existing = loadDvs(root, base, base.liveFiles)
       val scan = readFilesMor(spark, root, base.liveFiles, base.schemaJson,
-        existing)
+        dvRefs(root, base, base.liveFiles))
       val dvAgg = org.apache.spark.sql.functions.udaf(new TxDv.DvAgg(),
         org.apache.spark.sql.Encoders.scalaLong)
       // per-file bitmaps of the matching LIVE rows, aggregated where the
@@ -1710,11 +1801,13 @@ object TxTable {
         Files.write(dvDir(root).resolve(name), merged.serialize): Unit
         (f, name)
       }.toSeq
+      pendingDvs = dvActions
       // change feed: identical delete rows to the copy-on-write path
       val cdc = writeCdc(spark, root,
         scan.where(coalesce(predicate, lit(false)))
           .drop("__dv_file", "__dv_row")
           .withColumn("_change_type", lit("delete")))
+      pendingCdc = cdc
       // rebase over file-disjoint winners (r13): read set = the files this
       // pass binds REPLACEMENT vectors to (their merged bitmaps embed the
       // base vectors — a racing vector on one would be lost)
@@ -1731,8 +1824,16 @@ object TxTable {
           dvActions.foreach { case (_, p) =>
             Files.deleteIfExists(dvDir(root).resolve(p)) }
           dropCdc(root, cdc)
+          pendingDvs = Nil
+          pendingCdc = Nil
           attempt += 1
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        pendingDvs.foreach { case (_, p) =>
+          Files.deleteIfExists(dvDir(root).resolve(p)) }
+        dropCdc(root, pendingCdc)
+        throw e
     }
     throw new IllegalStateException(s"deleteMor lost $MaxRetries commit races at $root")
   }
@@ -1765,32 +1866,12 @@ object TxTable {
     // bounds of the FIRST key column, once (the rebase conflict test): a
     // winner's added file provably holds none of this merge's keys when
     // its stat range for k0 is disjoint from [lo, hi] — coarse, sound
-    val k0 = keyCols.head
-    val keyBounds: Option[(String, String, String)] = {
-      import org.apache.spark.sql.types._
-      source.schema(k0).dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          val r = source.agg(min(col(k0)).cast("long"),
-            max(col(k0)).cast("long")).head()
-          if (r.isNullAt(0)) None
-          else Some(("long", r.getLong(0).toString, r.getLong(1).toString))
-        case StringType =>
-          val r = source.agg(min(col(k0)), max(col(k0))).head()
-          if (r.isNullAt(0)) None
-          else Some(("string", r.getString(0), r.getString(1)))
-        case _ => None // unprovable type: any winner adds conflict
-      }
-    }
-    def keyAddsConflict(w: Commit): Boolean = w.adds.exists { f =>
-      !(for {
-        (t, lo, hi) <- keyBounds
-        cs <- w.fileStats.get(f).flatMap(_.get(k0))
-        if cs.t == t
-      } yield TxStats.statCompare(cs.max, lo, t) < 0 ||
-        TxStats.statCompare(cs.min, hi, t) > 0).getOrElse(false)
-    }
+    val keyBounds = sourceKeyBounds(source, keyCols.head)
+    val keyAddsConflict = keyAddsConflictFn(keyCols.head, keyBounds)
     var attempt = 0
-    while (attempt < MaxRetries) {
+    var pendingAdds: Seq[Staged] = Nil
+    var pendingCdc: Seq[String] = Nil
+    try while (attempt < MaxRetries) {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       assertWritable(root, base)
@@ -1836,7 +1917,9 @@ object TxTable {
         }
       val updated = matchedKeys
       val adds = writeData(spark, root, rewritten)
+      pendingAdds = adds
       val cdc = writeCdc(spark, root, changes)
+      pendingCdc = cdc
       // rebase over file-disjoint winners (r13): conflicts are a winner
       // touching my rewrite set, or adding files that MAY hold my keys
       // (they would change the matched/insert decisions this cycle made)
@@ -1850,10 +1933,282 @@ object TxTable {
         case None =>
           adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
           dropCdc(root, cdc)
+          pendingAdds = Nil
+          pendingCdc = Nil
           attempt += 1
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        pendingAdds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+        dropCdc(root, pendingCdc)
+        throw e
     }
     throw new IllegalStateException(s"merge lost $MaxRetries commit races at $root")
+  }
+
+  /** Bounds of one source key column, for the rebase conflict test: a
+    * winner's added file provably holds none of a merge's keys when its
+    * stat range for the column is disjoint from [lo, hi] — coarse, sound.
+    * None = unprovable type or empty source (any winner's adds conflict).
+    */
+  private def sourceKeyBounds(source: DataFrame,
+                              k0: String): Option[(String, String, String)] = {
+    import org.apache.spark.sql.types._
+    source.schema(k0).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val r = source.agg(min(col(k0)).cast("long"),
+          max(col(k0)).cast("long")).head()
+        if (r.isNullAt(0)) None
+        else Some(("long", r.getLong(0).toString, r.getLong(1).toString))
+      case StringType =>
+        val r = source.agg(min(col(k0)), max(col(k0))).head()
+        if (r.isNullAt(0)) None
+        else Some(("string", r.getString(0), r.getString(1)))
+      case _ => None // unprovable type: any winner adds conflict
+    }
+  }
+
+  /** [[commitWithRebase]] adds test for key-joined merges: a winner's
+    * added file conflicts unless its commit-logged stats for the first
+    * key column prove disjointness from the merge's key bounds. */
+  private def keyAddsConflictFn(k0: String,
+                                keyBounds: Option[(String, String, String)])
+      : Commit => Boolean = w =>
+    w.adds.exists { f =>
+      !(for {
+        (t, lo, hi) <- keyBounds
+        cs <- w.fileStats.get(f).flatMap(_.get(k0))
+        if cs.t == t
+      } yield TxStats.statCompare(cs.max, lo, t) < 0 ||
+        TxStats.statCompare(cs.min, hi, t) > 0).getOrElse(false)
+    }
+
+  /** One generalized-MERGE clause (r15): `condition` evaluates over the
+    * JOINED row — target columns by name, source columns as
+    * `__src_<name>` — None meaning unconditional; clause order is
+    * first-match-wins, SQL MERGE's rule. */
+  sealed trait MergeAction
+  /** Matched/not-matched-by-source rows take these assignments (target
+    * column → expression over the joined row), other columns unchanged. */
+  final case class MergeUpdate(assignments: Map[String, Column]) extends MergeAction
+  /** Matched/not-matched-by-source rows are removed. */
+  case object MergeDelete extends MergeAction
+  final case class MergeClause(condition: Option[Column], action: MergeAction)
+
+  /** ANSI store-assignment cast (ADVICE r14): assignment/insert values
+    * align to the column's recorded type ERRORING on overflow/invalid
+    * conversions — a plain Cast under non-ANSI evaluation lands NULL
+    * instead, silently corrupting the value a user thought they wrote. */
+  private def ansiCast(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val e = GraftBridge.expression(c)
+    if (e.resolved && e.dataType == dt) c
+    else GraftBridge.column(org.apache.spark.sql.catalyst.expressions.Cast(
+      e, dt, None, org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
+  }
+
+  /** GENERALIZED copy-on-write MERGE (r15, VERDICT r14 #1 — the full SQL
+    * MERGE surface): conditional `WHEN MATCHED [AND cond] THEN
+    * UPDATE/DELETE` clause chains, conditional NOT-MATCHED inserts, and
+    * `WHEN NOT MATCHED BY SOURCE` clauses, executed with the format's
+    * semantics — dup-source-key rejection BEFORE any rewrite, CDF rows for
+    * every outcome (update pre/post images, deletes, inserts), file-level
+    * copy-on-write, and lost-race rebase over provably-disjoint winners.
+    *
+    * CONVENTION: `source`'s join keys must be named exactly `keyCols` (the
+    * target key names — pre-project the source); inside conditions and
+    * assignment values, target columns go by name and source columns by
+    * `__src_<name>` (every source column is prefixed before the join, keys
+    * included). Clause semantics are SQL MERGE's: per row the FIRST clause
+    * whose condition is TRUE fires (NULL/false falls through); a matched
+    * row where no clause fires survives untouched and does NOT force its
+    * file to rewrite. `notMatched` clauses insert source rows matching no
+    * live key — each assigns EVERY target column; `notMatchedBySource`
+    * clause conditions/assignments may reference target columns only
+    * (source columns are NULL on those rows by construction). Assignment
+    * and insert values take ANSI store-assignment casts to the column's
+    * recorded type.
+    *
+    * The canonical upsert ([[merge]]) remains the slimmer primitive for
+    * the unconditional-update-plus-insert shape; SQL MERGE routes here.
+    */
+  def mergeFull(spark: SparkSession, root: String, source: DataFrame,
+                keyCols: Seq[String],
+                matched: Seq[MergeClause],
+                notMatched: Seq[(Option[Column], Map[String, Column])],
+                notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+    require(keyCols.nonEmpty, "mergeFull: no key columns")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeFull: no clauses")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"mergeFull: source lacks key column $k (pre-project the source so " +
+        "its join keys carry the target key names)"))
+    // dup-key rejection before ANY rewrite — a duplicated source key would
+    // fan matched target rows out once per duplicate (the SQL MERGE
+    // multiple-matches error, and Delta's)
+    val (srcRows, srcDistinct) = {
+      val r = source.agg(count(lit(1)), count_distinct(
+        struct(keyCols.map(col): _*))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    if (srcRows != srcDistinct)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
+          s"$srcRows rows, $srcDistinct distinct — each target row must " +
+          "match at most one source row")
+    val keyBounds = sourceKeyBounds(source, keyCols.head)
+    // source columns arrive prefixed on the joined row; __matched marks
+    // the join side a row came from
+    val srcP = source.select(
+      source.columns.toSeq.map(c => col(c).as(s"__src_$c")) :+
+        lit(true).as("__matched"): _*)
+    val matchedDeleteIdx = matched.zipWithIndex.collect {
+      case (MergeClause(_, MergeDelete), i) => i }
+    val matchedUpdate = matched.zipWithIndex.collect {
+      case (MergeClause(_, MergeUpdate(a)), i) => i -> a }
+    val nmbsDeleteIdx = notMatchedBySource.zipWithIndex.collect {
+      case (MergeClause(_, MergeDelete), i) => i }
+    val nmbsUpdate = notMatchedBySource.zipWithIndex.collect {
+      case (MergeClause(_, MergeUpdate(a)), i) => i -> a }
+    def fire(c: Option[Column]): Column = c.fold(lit(true))(coalesce(_, lit(false)))
+    val isM = coalesce(col("__matched"), lit(false))
+    // first-matching-clause-wins: a when-chain indexing the firing clause
+    // (folded from the back so clause 0's test lands outermost)
+    def actionIdx(clauses: Seq[MergeClause], side: Column): Column =
+      clauses.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
+        case (tail, (cl, i)) => when(side && fire(cl.condition), lit(i)).otherwise(tail)
+      }
+    val mact = if (matched.isEmpty) lit(null).cast("int")
+               else actionIdx(matched, isM)
+    val nact = if (notMatchedBySource.isEmpty) lit(null).cast("int")
+               else actionIdx(notMatchedBySource, !isM)
+    var attempt = 0
+    var pendingAdds: Seq[Staged] = Nil
+    var pendingCdc: Seq[String] = Nil
+    try while (attempt < MaxRetries) {
+      rewriteCycles.incrementAndGet(): Unit
+      val base = snapshot(spark, root, None)
+      assertWritable(root, base)
+      val live = readLive(spark, root, base, base.liveFiles)
+      val cols = live.columns.toSeq
+      require(!cols.exists(c => c.startsWith("__src_") || c == "__matched"),
+        "mergeFull: target column names collide with the __src_/__matched helpers")
+      val joinCond = keyCols.map(k => live(k) === srcP(s"__src_$k")).reduce(_ && _)
+      // determinism probe over the JOINED shape (the same trap assertDeterministic
+      // guards for delete/update): conditions and assignments re-evaluate
+      // across matching, rewrite, change capture, and retries
+      val allExprs = matched.flatMap(_.condition) ++
+        matchedUpdate.flatMap(_._2.values) ++
+        notMatched.flatMap { case (c, a) => c.toSeq ++ a.values } ++
+        notMatchedBySource.flatMap(_.condition) ++ nmbsUpdate.flatMap(_._2.values)
+      assertDeterministicOn(
+        live.limit(1).join(srcP.limit(1), joinCond, "left"),
+        "merge clause conditions/assignments", allExprs)
+      def withActs(df: DataFrame): DataFrame =
+        df.join(srcP, keyCols.map(k => df(k) === srcP(s"__src_$k")).reduce(_ && _),
+            "left")
+          .withColumn("__mact", mact)
+          .withColumn("__nact", nact)
+      // affected = files holding at least one row where SOME clause fires
+      // (a matched row no clause touches does not rewrite its file)
+      val fires = col("__mact").isNotNull || col("__nact").isNotNull
+      val affected = withActs(
+          live.withColumn("__file", element_at(split(input_file_name(), "/"), -1)))
+        .where(fires)
+        .select("__file").distinct().collect().map(_.getString(0)).toSeq
+      // inserts: source rows matching NO live key, routed through the
+      // first firing not-matched clause (conditions over __src_ columns)
+      val unmatched = srcP.join(live.select(keyCols.map(col): _*).distinct(),
+        keyCols.map(k => srcP(s"__src_$k") === live(k)).reduce(_ && _),
+        "left_anti")
+      def castTo(c: String, v: Column): Column =
+        ansiCast(v, live.schema(c).dataType).as(c)
+      val iact = if (notMatched.isEmpty) lit(null).cast("int")
+        else notMatched.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
+          case (tail, ((cond, _), i)) => when(fire(cond), lit(i)).otherwise(tail)
+        }
+      val routed = unmatched.withColumn("__iact", iact)
+      val inserts = notMatched.zipWithIndex.map { case ((_, values), i) =>
+        cols.foreach(c => require(values.contains(c),
+          s"mergeFull: not-matched clause $i must assign every target " +
+            s"column (missing $c)"))
+        routed.where(col("__iact") === i)
+          .select(cols.map(c => castTo(c, values(c))): _*)
+      }.reduceOption(_.unionByName(_))
+        .getOrElse(live.limit(0).select(cols.map(col): _*))
+      val nInserts = inserts.count()
+      if (affected.isEmpty && nInserts == 0)
+        return base.version // nothing fires anywhere: no-op, no commit
+      // rewrite only the affected files; route each row by its clause
+      val joinedA = withActs(readLive(spark, root, base, affected))
+      val mDel = coalesce(matchedDeleteIdx.headOption.map(_ =>
+        col("__mact").isin(matchedDeleteIdx.map(Int.box): _*)).getOrElse(lit(false)),
+        lit(false))
+      val nDel = coalesce(nmbsDeleteIdx.headOption.map(_ =>
+        col("__nact").isin(nmbsDeleteIdx.map(Int.box): _*)).getOrElse(lit(false)),
+        lit(false))
+      val isDel = mDel || nDel
+      def newVal(c: String): Column = {
+        val cases =
+          matchedUpdate.collect { case (i, a) if a.contains(c) =>
+            (col("__mact") === i) -> a(c) } ++
+          nmbsUpdate.collect { case (i, a) if a.contains(c) =>
+            (col("__nact") === i) -> a(c) }
+        cases.reverse.foldLeft(col(c)) { case (tail, (hit, v)) =>
+          when(hit, ansiCast(v, live.schema(c).dataType)).otherwise(tail)
+        }.as(c)
+      }
+      val rewritten = joinedA.where(!isDel)
+        .select(cols.map(newVal): _*)
+        .unionByName(inserts)
+      val updFires = coalesce(
+        (matchedUpdate.map { case (i, _) => col("__mact") === i } ++
+          nmbsUpdate.map { case (i, _) => col("__nact") === i })
+          .reduceOption(_ || _).getOrElse(lit(false)), lit(false))
+      val nUpdated = joinedA.where(updFires).count()
+      val nDeleted = joinedA.where(isDel).count()
+      // CDF: deletes carry the removed rows, updates pre+post images,
+      // inserts the new rows — every outcome replayable downstream
+      val changes = joinedA.where(isDel).select(cols.map(col): _*)
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(joinedA.where(updFires).select(cols.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage")))
+        .unionByName(joinedA.where(updFires).select(cols.map(newVal): _*)
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(inserts.withColumn("_change_type", lit("insert")))
+      val adds = if (rewritten.isEmpty) Nil else writeData(spark, root, rewritten)
+      pendingAdds = adds
+      val cdc = writeCdc(spark, root, changes)
+      pendingCdc = cdc
+      // rebase: a winner touching my rewrite set conflicts; its ADDS
+      // conflict unless provably outside my key range — and with
+      // NOT-MATCHED-BY-SOURCE clauses ANY added row is in scope (it would
+      // have been an unmatched target row), so every add conflicts
+      val addsConflict: Commit => Boolean =
+        if (notMatchedBySource.nonEmpty) w => w.adds.nonEmpty
+        else keyAddsConflictFn(keyCols.head, keyBounds)
+      commitWithRebase(root, base.version, affected.toSet, addsConflict) { v =>
+        tryCommit(spark, root, v, "merge",
+          Map("rows_updated" -> nUpdated, "rows_inserted" -> nInserts,
+            "rows_deleted" -> nDeleted),
+          adds, affected, cdc = cdc,
+          protocolUpgrade = featureProtocol(base, dvs = false, cdc = cdc.nonEmpty))
+      } match {
+        case Some(v) => return v
+        case None =>
+          adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+          dropCdc(root, cdc)
+          pendingAdds = Nil
+          pendingCdc = Nil
+          attempt += 1
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        pendingAdds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+        dropCdc(root, pendingCdc)
+        throw e
+    }
+    throw new IllegalStateException(s"mergeFull lost $MaxRetries commit races at $root")
   }
 
   /** Copy-on-write UPDATE (r14, the SQL-UPDATE half of VERDICT r13 #1):
@@ -1873,7 +2228,9 @@ object TxTable {
              assignments: Map[String, Column]): Long = {
     require(assignments.nonEmpty, "update: no assignments")
     var attempt = 0
-    while (attempt < MaxRetries) {
+    var pendingAdds: Seq[Staged] = Nil
+    var pendingCdc: Seq[String] = Nil
+    try while (attempt < MaxRetries) {
       rewriteCycles.incrementAndGet(): Unit
       val base = snapshot(spark, root, None)
       assertWritable(root, base)
@@ -1892,9 +2249,11 @@ object TxTable {
       // resolution does): without it `value * 1.5` on a BIGINT column
       // would silently WIDEN the rewritten file's type — the commit
       // succeeds, and every later read under the recorded schema throws
-      // on the drifted parquet file (a bricked table after an ack'd write)
+      // on the drifted parquet file (a bricked table after an ack'd
+      // write). ANSI evaluation (ADVICE r14): an overflowing/invalid
+      // value ERRORS instead of landing NULL.
       val assigned = assignments.map { case (c, v) =>
-        c -> v.cast(affectedDf.schema(c).dataType)
+        c -> ansiCast(v, affectedDf.schema(c).dataType)
       }
       val hit = coalesce(predicate, lit(false))
       val rewritten = affectedDf.select(cols.map { c =>
@@ -1907,7 +2266,9 @@ object TxTable {
       val cdc = writeCdc(spark, root,
         matched.withColumn("_change_type", lit("update_preimage"))
           .unionByName(post.withColumn("_change_type", lit("update_postimage"))))
+      pendingCdc = cdc
       val adds = writeData(spark, root, rewritten)
+      pendingAdds = adds
       val cond = normalizedCondition(spark, root, base, predicate)
       commitWithRebase(root, base.version, affected.toSet,
         predicateAddsConflict(cond)) { v =>
@@ -1919,8 +2280,15 @@ object TxTable {
         case None =>
           adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
           dropCdc(root, cdc)
+          pendingAdds = Nil
+          pendingCdc = Nil
           attempt += 1
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        pendingAdds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+        dropCdc(root, pendingCdc)
+        throw e
     }
     throw new IllegalStateException(s"update lost $MaxRetries commit races at $root")
   }
@@ -1947,6 +2315,9 @@ object TxTable {
     val adds = writeData(spark, root, df)
     def unstage(): Unit =
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+    // the CURRENT attempt's uncommitted change files, so the abnormal-exit
+    // cleanup below can drop them too (a committed attempt returned first)
+    var pendingCdc: Seq[String] = Nil
     try {
       var attempt = 0
       while (attempt < MaxRetries) {
@@ -1966,6 +2337,7 @@ object TxTable {
                   newRows.withColumn("_change_type", lit("insert")),
                   allowMissingColumns = true)))
           }
+        pendingCdc = cdc
         val v = base.version + 1
         if (tryCommit(spark, root, v, "overwrite",
             Map("rows_written" -> rows, "rows_deleted" -> deleted),
@@ -1974,14 +2346,20 @@ object TxTable {
               cdc = cdc.nonEmpty)))
           return v
         dropCdc(root, cdc)
+        pendingCdc = Nil
         attempt += 1
       }
-      unstage()
+      // unstaged by the NonFatal handler below
       throw new IllegalStateException(
         s"overwrite lost $MaxRetries commit races at $root")
     } catch {
-      case e: IllegalArgumentException => // schema conflict: unstage and fail
+      // EVERY abnormal exit unstages (ADVICE r14): not just the schema
+      // conflict — a mid-loop protocol refusal (IllegalStateException after
+      // a concurrent upgrade) or a failed Spark job during change capture
+      // would otherwise permanently leak the staged parquet files
+      case scala.util.control.NonFatal(e) =>
         unstage()
+        dropCdc(root, pendingCdc)
         throw e
     }
   }
@@ -2108,40 +2486,68 @@ object TxTable {
     * NO surviving checkpoint are deleted. Sidecar references of surviving
     * parquet-form checkpoints are collected by the same distributed read
     * the snapshot path uses. Returns the reclaimed file names.
+    *
+    * STAGED-FILE grace window (ADVICE r14 — the data-plane half of the
+    * bloom-sidecar fix): every writer stages data/cdc/dv files BEFORE its
+    * commit publishes, so a file on disk that appears in NO commit is
+    * either an IN-FLIGHT write's staging or a crash orphan — and a
+    * concurrent vacuum reclaiming the former would let the subsequently
+    * successful commit reference missing files (acknowledged write, lost
+    * data). Never-logged files therefore only reclaim once older than
+    * [[StagedGraceMs]]; files the log DOES reference were fully committed,
+    * so retention alone governs them (a post-delete vacuum still reclaims
+    * displaced files immediately, as before).
     */
   def vacuum(root: String, keepFromVersion: Long): Seq[String] = {
     val ckptGarbage = vacuumCheckpoints(SparkSession.active, root, keepFromVersion)
     val all = commits(root)
+    val now = System.currentTimeMillis()
+    def agedOut(dir: Path, name: String): Boolean =
+      try now - Files.getLastModifiedTime(dir.resolve(name)).toMillis >= StagedGraceMs
+      catch { case _: java.io.IOException => false } // raced away: not ours
     val referenced = scala.collection.mutable.Set.empty[String]
     // a file is retained if live in ANY kept snapshot; replay each kept
     // version's live set (log is metadata-sized, this is driver arithmetic)
     all.filter(_.version >= keepFromVersion).map(_.version).foreach { v =>
       referenced ++= snapshot(root, Some(v)).liveFiles
     }
+    // everything any commit EVER named — the committed universe; disk
+    // files outside it are possibly-in-flight staging (grace-windowed)
+    val everLogged = all.flatMap(c => c.adds ++ c.removes).toSet
     val onDisk = Files.list(dataDir(root)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
     val garbage = onDisk.filterNot(referenced)
+      .filter(f => everLogged(f) || agedOut(dataDir(root), f))
     garbage.foreach(g => Files.deleteIfExists(dataDir(root).resolve(g)))
     val keptCdc = all.filter(_.version >= keepFromVersion).flatMap(_.cdc).toSet
+    val everCdc = all.flatMap(_.cdc).toSet
     val cdcGarbage =
       if (!Files.isDirectory(cdcDir(root))) Nil
       else Files.list(cdcDir(root)).iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-        .filterNot(keptCdc).toSeq
+        .filterNot(keptCdc)
+        .filter(f => everCdc(f) || agedOut(cdcDir(root), f)).toSeq
     cdcGarbage.foreach(g => Files.deleteIfExists(cdcDir(root).resolve(g)))
     // deletion-vector sidecars: retained iff some kept snapshot's live DV
     // set references them (replaced vectors and vectors of rewritten
     // files age out exactly like data files)
     val keptDvs = all.filter(_.version >= keepFromVersion).map(_.version)
       .flatMap(v => snapshot(root, Some(v)).liveDvs.values).toSet
+    val everDv = all.flatMap(_.dvs.map(_._2)).toSet
     val dvGarbage =
       if (!Files.isDirectory(dvDir(root))) Nil
       else Files.list(dvDir(root)).iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".dv"))
-        .filterNot(keptDvs).toSeq
+        .filterNot(keptDvs)
+        .filter(f => everDv(f) || agedOut(dvDir(root), f)).toSeq
     dvGarbage.foreach(g => Files.deleteIfExists(dvDir(root).resolve(g)))
     (garbage ++ cdcGarbage ++ dvGarbage ++ ckptGarbage).sorted
   }
+
+  /** Minimum age before a NEVER-COMMITTED data/cdc/dv file is
+    * vacuum-reclaimed (see the staged-file note in [[vacuum]]). Mutable so
+    * specs exercise both sides of the window deterministically. */
+  @volatile private[graft] var StagedGraceMs: Long = 15L * 60L * 1000L
 
   /** [[vacuum]]'s checkpoint-plane half: drop manifests (and their parquet
     * data dirs) older than both the newest checkpoint and the retention

@@ -42,4 +42,20 @@ object GraftBridge {
                      schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Re-pack a row stream into [[org.apache.spark.sql.vectorized
+    * .ColumnarBatch]]es (the `RowToColumnarExec` per-partition move —
+    * `RowToColumnConverter` is private[execution], so the implementation
+    * lives in [[execution.GraftColumnarBridge]]): what a FileFormat reader
+    * must hand a columnar scan for the files it can only produce rows for
+    * (graft-tx's deletion-vector row masking), so the CLEAN files of the
+    * same relation keep the vectorized batch path end-to-end. The batch
+    * contract's usual caveat applies: consumers exhaust a batch before
+    * pulling the next (vectors are reused), which is exactly how
+    * whole-stage codegen consumes file-scan batches. */
+  def rowsToColumnarBatches(schema: org.apache.spark.sql.types.StructType,
+                            rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+                            batchSize: Int = 4096)
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    execution.GraftColumnarBridge.rowsToColumnarBatches(schema, rows, batchSize)
 }

@@ -158,7 +158,7 @@ class AcidSpec extends SparkSpec {
     assert(ids == ids.sorted)
     // history records the op with its audit metric
     val h = TxTable.history(spark, root).collect().find(_.getLong(0) == 4L).get
-    assert(h.getString(1) == "compact" && h.getLong(2) == 200L)
+    assert(h.getString(1) == "compact" && h.getAs[Long]("rows_written") == 200L)
     // time travel to a pre-compaction version still reads the OLD files...
     assert(TxTable.read(spark, root, asOf = Some(3L)).count() == 200)
     // ...until retention drops below the compaction: vacuum reclaims all 8
@@ -276,11 +276,32 @@ class AcidSpec extends SparkSpec {
     assert(spark.read.parquet(dataDir.toString).count() == 30)
     // the log-driven reader does not
     assert(TxTable.read(spark, root).count() == 20)
-    // and vacuum reclaims exactly the orphans, even at full retention
-    val reclaimed = TxTable.vacuum(root, keepFromVersion = 0L)
-    assert(reclaimed.toSet == orphans.toSet)
+    // STAGED-FILE GRACE WINDOW (ADVICE r14): a never-logged data file is
+    // indistinguishable from an IN-FLIGHT writer's staging, so a vacuum
+    // inside the window must NOT reclaim it — a concurrent writer's
+    // about-to-commit files reclaimed here would turn its successful
+    // commit into acknowledged-write data loss
+    assert(TxTable.vacuum(root, keepFromVersion = 0L).isEmpty,
+      "vacuum reclaimed young never-committed files inside the grace window")
+    assert(orphans.forall(o => java.nio.file.Files.exists(dataDir.resolve(o))))
+    // past the window the same files are true crash orphans and reclaim
+    val oldGrace = TxTable.StagedGraceMs
+    try {
+      TxTable.StagedGraceMs = 0L
+      val reclaimed = TxTable.vacuum(root, keepFromVersion = 0L)
+      assert(reclaimed.toSet == orphans.toSet)
+    } finally TxTable.StagedGraceMs = oldGrace
     assert(TxTable.read(spark, root).count() == 20)
     assert(spark.read.parquet(dataDir.toString).count() == 20)
+    // committed-then-displaced files are NOT grace-protected: the log
+    // names them, so retention alone governs — a post-delete vacuum still
+    // reclaims immediately (the pre-r15 behavior, preserved)
+    TxTable.delete(spark, root, $"id" <= 5)
+    val displaced = TxTable.commits(root).last.removes
+    assert(displaced.nonEmpty)
+    val reclaimed2 = TxTable.vacuum(root, keepFromVersion = TxTable.snapshot(root).version)
+    assert(displaced.forall(reclaimed2.contains),
+      "freshly displaced committed files must reclaim without a grace wait")
   }
 
   test("vacuum vs a reader on an old snapshot: retained versions keep their files; below retention fails loudly") {
@@ -1396,32 +1417,27 @@ class AcidSpec extends SparkSpec {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(eDup.getMessage.contains("duplicate keys"), eDup.getMessage)
-    // a computed SET that disagrees with the INSERT value refuses loudly
-    // (one source projection serves both roles)
-    val eDiff = intercept[UnsupportedOperationException] {
-      spark.sql(
-        s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
-           |WHEN MATCHED THEN UPDATE SET value = s.value + 1
-           |WHEN NOT MATCHED THEN INSERT (id, tag, value)
-           |  VALUES (s.id, s.tag, s.value)""".stripMargin)
-    }
-    assert(eDiff.getMessage.contains("same expression"), eDiff.getMessage)
-    // ... but a computed value CONSISTENT across both roles is accepted
+    // a computed SET may DIVERGE from the INSERT value (r15 — the
+    // generalized merge evaluates SET and INSERT independently; the old
+    // one-projection refusal is retired)
     spark.sql(
       s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
          |WHEN MATCHED THEN UPDATE SET value = s.value + 1, tag = s.tag
          |WHEN NOT MATCHED THEN INSERT (id, tag, value)
-         |  VALUES (s.id, s.tag, s.value + 1)""".stripMargin): Unit
+         |  VALUES (s.id, s.tag, s.value)""".stripMargin): Unit
     assert(TxTable.read(spark, root).where($"id" === 4L)
       .head().getAs[Long]("value") == 4001L)
-    // WHEN MATCHED THEN DELETE refuses (not an upsert)
-    val eDel = intercept[UnsupportedOperationException] {
-      spark.sql(
-        s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
-           |WHEN MATCHED THEN DELETE
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(eDel.getMessage.contains("WHEN MATCHED"), eDel.getMessage)
+    assert(TxTable.read(spark, root).where($"id" === 102L)
+      .head().getAs[Long]("value") == 7L)
+    // WHEN MATCHED THEN DELETE executes (r15) — a delete-by-join commit
+    // with CDF delete rows and exact metrics
+    spark.sql(
+      s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin): Unit
+    assert(TxTable.read(spark, root).where($"id".isin(4L, 102L)).count() == 0)
+    val cDel = TxTable.commits(root).last
+    assert(cDel.op == "merge" && cDel.metrics("rows_deleted") == 2 &&
+      cDel.metrics("rows_updated") == 0 && cDel.metrics("rows_inserted") == 0)
     // WITH SCHEMA EVOLUTION refuses — ignoring it would silently drop the
     // source's new columns (evolution is additive-by-append)
     val eEvo = intercept[UnsupportedOperationException] {
@@ -1441,17 +1457,105 @@ class AcidSpec extends SparkSpec {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(eDup2.getMessage.contains("more than once"), eDup2.getMessage)
-    // a KEY-TRANSFORMING insert refuses: the projected source joins on
-    // its key column, so INSERT (id) VALUES (s.id + 100) would change the
-    // matched/insert split itself — SQL matches on the ON condition alone
-    val eKey = intercept[UnsupportedOperationException] {
+    // a KEY-TRANSFORMING insert executes (r15): SQL matches on the ON
+    // condition alone, and the INSERT values are free expressions — the
+    // old one-projection ceiling forced a refusal here; the generalized
+    // merge lands the transformed key (ids 4/102 were deleted above, so
+    // both source rows are unmatched and insert at +100000)
+    spark.sql(
+      s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET tag = s.tag, value = s.value
+         |WHEN NOT MATCHED THEN INSERT (id, tag, value)
+         |  VALUES (s.id + 100000, s.tag, s.value)""".stripMargin): Unit
+    assert(TxTable.read(spark, root).where($"id".isin(100004L, 100102L))
+      .count() == 2)
+    assert(TxTable.read(spark, root).where($"id".isin(4L, 102L)).count() == 0,
+      "the transformed-key insert must not resurrect the ON-key rows")
+  }
+
+  test("SQL MERGE generalized (r15): conditional clauses first-match-wins, matched DELETE, conditional INSERT routing, NOT MATCHED BY SOURCE") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 10, "base")) // value = id*10
+    val p = java.nio.file.Paths.get(root)
+    spark.conf.set("spark.sql.catalog.graft_gm", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_gm.root", p.getParent.toString)
+    val t = s"graft_gm.`${p.getFileName}`"
+    Seq((2L, "s", 200L), (3L, "s", 300L), (4L, "s", 400L), (5L, "s", 500L),
+        (11L, "s", 1100L), (12L, "s", 1200L))
+      .toDF("id", "tag", "value").createOrReplaceTempView("gm_src")
+    val vFull = {
       spark.sql(
-        s"""MERGE INTO $t tgt USING merge_src2 s ON tgt.id = s.id
-           |WHEN MATCHED THEN UPDATE SET tag = s.tag, value = s.value
-           |WHEN NOT MATCHED THEN INSERT (id, tag, value)
-           |  VALUES (s.id + 100, s.tag, s.value)""".stripMargin)
+        s"""MERGE INTO $t tgt USING gm_src s ON tgt.id = s.id
+           |WHEN MATCHED AND tgt.id = 2 THEN DELETE
+           |WHEN MATCHED AND s.value > 350 THEN
+           |  UPDATE SET value = s.value + tgt.value, tag = 'cond'
+           |WHEN MATCHED THEN UPDATE SET value = s.value, tag = 'fall'
+           |WHEN NOT MATCHED AND s.id % 2 = 1 THEN
+           |  INSERT (id, tag, value) VALUES (s.id, 'odd', s.value)
+           |WHEN NOT MATCHED THEN
+           |  INSERT (id, tag, value) VALUES (s.id, 'even', s.value)""".stripMargin): Unit
+      TxTable.snapshot(root).version
     }
-    assert(eKey.getMessage.contains("ON source column"), eKey.getMessage)
+    val back = TxTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("tag"), r.getAs[Long]("value")))).toMap
+    assert(!back.contains(2L), "matched DELETE clause must fire first for id=2")
+    // first-match-wins: id=4 (400>350) and id=5 (500>350) take the
+    // conditional clause, never the unconditional fallback below it
+    assert(back(4L) == (("cond", 440L)) && back(5L) == (("cond", 550L)))
+    assert(back(3L) == (("fall", 300L)))
+    // conditional INSERT routing: first firing NOT MATCHED clause wins
+    assert(back(11L) == (("odd", 1100L)) && back(12L) == (("even", 1200L)))
+    // untouched rows survive verbatim
+    assert(back(1L) == (("base", 10L)) && back(7L) == (("base", 70L)))
+    val c = TxTable.commits(root).last
+    assert(c.metrics("rows_deleted") == 1 && c.metrics("rows_updated") == 3 &&
+      c.metrics("rows_inserted") == 2, c.metrics.toString)
+    // the change feed replays every outcome of that one commit
+    val feed = TxTable.readChanges(spark, root, vFull, Some(vFull))
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("delete" -> 1L, "update_preimage" -> 3L,
+      "update_postimage" -> 3L, "insert" -> 2L), feed.toString)
+    // WHEN NOT MATCHED BY SOURCE: unmatched target rows take the clause
+    // chain (target-only expressions), matched rows the matched chain
+    spark.sql(
+      s"""MERGE INTO $t tgt USING gm_src s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET tag = 'seen'
+         |WHEN NOT MATCHED BY SOURCE AND tgt.id <= 6 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'""".stripMargin): Unit
+    val back2 = TxTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("tag")).toMap
+    assert(Seq(3L, 4L, 5L, 11L, 12L).forall(back2(_) == "seen"))
+    assert(Seq(1L, 6L).forall(!back2.contains(_)), "NMBS delete must fire for id ≤ 6")
+    assert(Seq(7L, 8L, 9L, 10L).forall(back2(_) == "stale"))
+    val c2 = TxTable.commits(root).last
+    assert(c2.metrics("rows_updated") == 9 && c2.metrics("rows_deleted") == 2)
+    // remaining refusals: a non-last unconditional clause dead-codes its
+    // successors (Spark's PARSER already enforces this for SQL —
+    // NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION — so our rule-level
+    // assertLastUnconditional is defense-in-depth for direct-plan callers);
+    // NMBS expressions cannot reference the (absent) source
+    val eOrder = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(
+        s"""MERGE INTO $t tgt USING gm_src s ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET tag = 'a'
+           |WHEN MATCHED AND tgt.id = 3 THEN DELETE""".stripMargin)
+    }
+    assert(eOrder.getCondition == "NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION",
+      eOrder.getMessage)
+    // Spark's analyzer resolves NMBS expressions against the target ONLY,
+    // so a source reference dies in resolution (UNRESOLVED_COLUMN) before
+    // our rule's refuseSourceRefs can fire — that refusal guards
+    // direct-plan callers handing us a pre-resolved source attribute
+    val eNmbs = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        s"""MERGE INTO $t tgt USING gm_src s ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET tag = 'a'
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = s.tag""".stripMargin)
+    }
+    assert(Option(eNmbs.getCondition).exists(_.startsWith("UNRESOLVED_COLUMN")) ||
+      eNmbs.getMessage.contains("cannot reference source"), eNmbs.getMessage)
   }
 
   test("SQL UPDATE: arbitrary Catalyst assignments and predicate through the catalog; 3VL; CDF pre/post") {
@@ -1811,6 +1915,38 @@ class AcidSpec extends SparkSpec {
     assert(scan.relation.location.asInstanceOf[TxFileIndex]
       .lastListing.exists(_._1 < s.liveFiles.size),
       "stats pruning must stay sound under DVs (vectors only remove rows)")
+    // PER-FILE format selection (r15, VERDICT r14 #4): the MoR scan stays
+    // COLUMNAR — clean files hand vectorized batches straight through;
+    // vectored files re-pack masked survivors into batches — and the
+    // query's filters are still PUSHED (clean files row-group-skip on
+    // them; vectored files re-evaluate above the scan)
+    assert(scan.supportsColumnar,
+      "a MoR snapshot must not demote the whole relation to row scan")
+    assert(scan.metadata("PushedFilters").contains("id"),
+      s"filters not pushed: ${scan.metadata("PushedFilters")}")
+    // DV bitmaps no longer ride the task closure (r15, VERDICT r14 #2):
+    // the format ships sidecar NAMES; its serialized size is independent
+    // of how many rows the vectors mark. 29 marked rows here — compare
+    // against a same-shape table with ~20x the marked rows.
+    def closureBytes(r: String): Int = {
+      val snap = TxTable.snapshot(r)
+      val fmt = new TxDvParquetFileFormat(
+        graft.sources.TxDv.DvRefs(s"$r/dv", snap.liveDvs))
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(fmt)
+      oos.close()
+      bos.size()
+    }
+    val heavyRoot = freshRoot()
+    TxTable.append(spark, heavyRoot,
+      frame(1 to 2000, "a").repartitionByRange(4, $"id"))
+    TxTable.deleteMor(spark, heavyRoot, $"id" % 3 =!= 0L): Unit // ~1333 marked
+    val (lightSz, heavySz) = (closureBytes(root), closureBytes(heavyRoot))
+    assert(math.abs(lightSz - heavySz) < 512,
+      s"task-closure size tracks vector mass: $lightSz vs $heavySz bytes")
+    assert(spark.read.format("graft-tx").load(heavyRoot).count() ==
+      TxTable.read(spark, heavyRoot).count())
     // a vectored-file probe: both deletes' rows are gone (14 by the mod-7
     // sweep, 15 by the overlapping second delete), their file-mate lives
     assert(conn.where($"id".isin(14L, 15L, 16L)).collect()
@@ -2139,5 +2275,132 @@ class AcidSpec extends SparkSpec {
     java.nio.file.Files.write(commitFile, mangled.getBytes("UTF-8"))
     val e = intercept[IllegalStateException] { TxTable.read(spark, root).count() }
     assert(e.getMessage.contains("corrupt commit log") && e.getMessage.contains("bloom"))
+  }
+
+  test("abnormal mutation exits unstage: a delete failing after staging leaves no data/cdc strays") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 40, "a").repartition(2))
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    def dataFiles(): Set[String] =
+      java.nio.file.Files.list(dataDir).iterator().asScala
+        .map(_.getFileName.toString).toSet
+    val before = dataFiles()
+    // raceHook fires AFTER the attempt staged its rewrite + change files
+    // and right before the publish — the exact window where an abnormal
+    // exit (a failed job, a protocol refusal) used to leak staged files
+    TxTable.raceHook = () => throw new RuntimeException("injected failure")
+    try {
+      val e = intercept[RuntimeException] {
+        TxTable.delete(spark, root, $"id" <= 10)
+      }
+      assert(e.getMessage == "injected failure")
+    } finally TxTable.raceHook = () => ()
+    assert(dataFiles() == before,
+      s"failed delete leaked staged data files: ${dataFiles().diff(before)}")
+    val cdcDir = java.nio.file.Paths.get(root, "cdc")
+    assert(!java.nio.file.Files.isDirectory(cdcDir) ||
+      java.nio.file.Files.list(cdcDir).count() == 0,
+      "failed delete leaked staged change files")
+    // the table is untouched and still mutable
+    assert(TxTable.read(spark, root).count() == 40)
+    TxTable.delete(spark, root, $"id" <= 10)
+    assert(TxTable.read(spark, root).count() == 30)
+  }
+
+  test("overwrite unstages on a mid-loop failure, not only on schema conflicts") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 30, "a").repartition(2))
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val live = TxTable.snapshot(root).liveFiles
+    // externally delete one live file: overwrite's pre-checks pass and it
+    // STAGES its replacement, then the in-loop change capture's read of
+    // the displaced snapshot fails — a mid-loop abnormal exit that is
+    // neither an IllegalArgumentException nor race exhaustion
+    java.nio.file.Files.delete(dataDir.resolve(live.head))
+    def dataFiles(): Set[String] =
+      java.nio.file.Files.list(dataDir).iterator().asScala
+        .map(_.getFileName.toString).toSet
+    val before = dataFiles()
+    intercept[Exception] {
+      TxTable.overwrite(spark, root, frame(100 to 120, "b"))
+    }: Unit
+    assert(dataFiles() == before,
+      s"failed overwrite leaked staged data files: ${dataFiles().diff(before)}")
+  }
+
+  test("commit timestamps: TIMESTAMP AS OF resolves latest-at-or-before, refuses before-first; history carries the wall clock") {
+    val root = freshRoot()
+    val t0 = 1700000000000L
+    val clock = new java.util.concurrent.atomic.AtomicLong(t0)
+    TxTable.commitClock = () => clock.get()
+    try {
+      TxTable.append(spark, root, frame(1 to 10, "a"))  // v0 @ t0
+      clock.set(t0 + 10000)
+      TxTable.append(spark, root, frame(11 to 20, "b")) // v1 @ t0+10s
+      clock.set(t0 + 20000)
+      TxTable.delete(spark, root, $"id" <= 5)           // v2 @ t0+20s
+    } finally TxTable.commitClock = () => System.currentTimeMillis()
+    // the Delta rule: latest commit whose timestamp is ≤ the instant
+    assert(TxTable.versionAtTimestamp(root, t0) == 0L)
+    assert(TxTable.versionAtTimestamp(root, t0 + 9999) == 0L)
+    assert(TxTable.versionAtTimestamp(root, t0 + 10000) == 1L)
+    assert(TxTable.versionAtTimestamp(root, t0 + 15000) == 1L)
+    assert(TxTable.versionAtTimestamp(root, t0 + 999999999L) == 2L)
+    // before the first commit there is no table state to serve: refuse
+    val eEarly = intercept[IllegalArgumentException] {
+      TxTable.versionAtTimestamp(root, t0 - 1)
+    }
+    assert(eEarly.getMessage.contains("before the first commit"))
+    // history answers "when": the audit column carries the commit clock
+    val h = TxTable.history(spark, root).collect().map(r =>
+      r.getAs[Long]("version") ->
+        Option(r.getAs[java.sql.Timestamp]("timestamp")).map(_.getTime)).toMap
+    assert(h == Map(0L -> Some(t0), 1L -> Some(t0 + 10000), 2L -> Some(t0 + 20000)))
+    // the connector spelling: timestampAsOf reads the resolved snapshot
+    assert(spark.read.format("graft-tx")
+      .option("timestampAsOf", (t0 + 15000).toString).load(root).count() == 20)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-tx").option("timestampAsOf", (t0 + 15000).toString)
+        .option("versionAsOf", "0").load(root).collect()
+    }: Unit
+    // SQL TIMESTAMP AS OF through the catalog (micros arrive from Spark)
+    val p = java.nio.file.Paths.get(root)
+    spark.conf.set("spark.sql.catalog.graft_ts", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ts.root", p.getParent.toString)
+    val t = s"graft_ts.`${p.getFileName}`"
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val litTs = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(t0 + 15000), zone)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF '$litTs'")
+      .head().getLong(0) == 20L)
+    // pre-timestamp commits (r14-and-older logs) resolve by commit-file
+    // mtime — the Delta fallback — monotonized against their neighbors
+    val v1File = java.nio.file.Paths.get(root, "_log", f"${1L}%020d.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(v1File), "UTF-8")
+    val stripped = txt.replaceFirst(""""ts":\d+,""", "")
+    assert(stripped != txt, "fixture commit carried no ts to strip")
+    java.nio.file.Files.write(v1File, stripped.getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(v1File,
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 10000))
+    assert(TxTable.versionAtTimestamp(root, t0 + 15000) == 1L)
+  }
+
+  test("SQL CREATE TABLE refuses NOT NULL columns loudly, naming them") {
+    val base = freshRoot()
+    spark.conf.set("spark.sql.catalog.graft_nn", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_nn.root", base)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE graft_nn.t_nn " +
+        "(id BIGINT NOT NULL, tag STRING, value BIGINT NOT NULL)")
+    }
+    assert(e.getMessage.contains("id") && e.getMessage.contains("value") &&
+      e.getMessage.contains("NOT NULL"), e.getMessage)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(base, "t_nn", "_log")),
+      "refused CREATE TABLE must leave no table behind")
+    // the constraint-free form still creates
+    spark.sql("CREATE TABLE graft_nn.t_ok (id BIGINT, tag STRING)"): Unit
+    assert(spark.sql("SELECT * FROM graft_nn.t_ok").count() == 0)
   }
 }
