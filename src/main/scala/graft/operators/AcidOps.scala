@@ -33,6 +33,9 @@ object AcidOps {
 
   val InsertKeyOffset = 1000000000L
   val PriceCorrection = 1.5
+  /** Matched-DELETE threshold of the generalized-merge fixture — exact in
+    * IEEE double, so the clause routes identically cross-engine. */
+  val MergeDeleteThreshold = 200000.0
   val TtlCutoff = "1996-01-01 00:00:00"
 
   private val built =
@@ -122,9 +125,12 @@ object AcidOps {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
 
-  /** The commit log as data: version, operation, deterministic row metrics. */
+  /** The commit log as data: version, operation, deterministic row
+    * metrics. The r15 `timestamp` audit column is projected away HERE —
+    * wall clock is provenance, not replayable-from-raw-tables state, so
+    * it never enters the oracle-checked result. */
   def history(spark: SparkSession, sfDir: String): DataFrame =
-    TxTable.history(spark, ordersTxTable(spark, sfDir))
+    TxTable.history(spark, ordersTxTable(spark, sfDir)).drop("timestamp")
 
   /** Exactly-once sink table over `events` (once per session): FOUR
     * at-least-once deliveries of THREE batches — batch 1 is deliberately
@@ -434,6 +440,81 @@ object AcidOps {
   def sqlMergeState(spark: SparkSession, sfDir: String): DataFrame = {
     val root = sqlMergeTable(spark, sfDir)
     val t = s"graft_sqlm.`${java.nio.file.Paths.get(root).getFileName}`"
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  sum(o_orderkey) AS sum_keys,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM $t GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  /** Generalized SQL MERGE fixture (r15, VERDICT r14 #1): the FULL clause
+    * surface in two statements through the catalog —
+    *
+    *  1. a five-clause MERGE: conditional matched DELETE (price >
+    *     [[MergeDeleteThreshold]] fires FIRST), conditional matched
+    *     UPDATE (even source key: price doubles via `tgt + s`, status
+    *     'M'), unconditional matched UPDATE fallback (price + 0.5), and
+    *     parity-routed conditional INSERTs ('I1' odd / 'I2' even) — every
+    *     routing decision is first-match-wins;
+    *  2. a NOT-MATCHED-BY-SOURCE statement: matched keys ≡ 0 mod 1000
+    *     take status 'K'; unmatched target rows delete when key ≡ 4 mod
+    *     10, take status 'U' when ≡ 7 — target-only expressions, the NMBS
+    *     contract.
+    *
+    * Source = keys ≡ 0 mod 3 (match the seed) plus keys ≡ 0 mod 89
+    * re-keyed +[[InsertKeyOffset]] (insert). Both statements land as
+    * single `merge` commits of [[TxTable.mergeFull]] behind
+    * [[graft.sources.TxDmlRewrite]]. */
+  private[graft] def sqlMergeFullTable(spark: SparkSession, sfDir: String): String = {
+    val _ = clearHookRegistered
+    built.getOrElseUpdate((System.identityHashCode(spark), sfDir + "#sqlmfull"), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_sqlmfull")
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      TxTable.append(spark, root, orders)
+      val p = java.nio.file.Paths.get(root)
+      spark.conf.set("spark.sql.catalog.graft_mfull", "graft.sources.TxCatalog")
+      spark.conf.set("spark.sql.catalog.graft_mfull.root", p.getParent.toString)
+      val t = s"graft_mfull.`${p.getFileName}`"
+      orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .unionByName(orders.where(col("o_orderkey") % 89 === 0)
+          .select((col("o_orderkey") + lit(InsertKeyOffset)).as("o_orderkey"),
+            col("o_totalprice")))
+        .createOrReplaceTempView("graft_sql_mfull_source")
+      spark.sql(
+        s"""MERGE INTO $t tgt USING graft_sql_mfull_source s
+           |ON tgt.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND tgt.o_totalprice > $MergeDeleteThreshold THEN DELETE
+           |WHEN MATCHED AND s.o_orderkey % 2 = 0 THEN
+           |  UPDATE SET o_totalprice = tgt.o_totalprice + s.o_totalprice,
+           |             o_orderstatus = 'M'
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 0.5
+           |WHEN NOT MATCHED AND s.o_orderkey % 2 = 1 THEN
+           |  INSERT (o_orderkey, o_orderstatus, o_totalprice)
+           |  VALUES (s.o_orderkey, 'I1', s.o_totalprice)
+           |WHEN NOT MATCHED THEN
+           |  INSERT (o_orderkey, o_orderstatus, o_totalprice)
+           |  VALUES (s.o_orderkey, 'I2', s.o_totalprice)""".stripMargin): Unit
+      spark.sql(
+        s"""MERGE INTO $t tgt USING graft_sql_mfull_source s
+           |ON tgt.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND tgt.o_orderkey % 1000 = 0 THEN
+           |  UPDATE SET o_orderstatus = 'K'
+           |WHEN NOT MATCHED BY SOURCE AND tgt.o_orderkey % 10 = 4 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND tgt.o_orderkey % 10 = 7 THEN
+           |  UPDATE SET o_orderstatus = 'U'""".stripMargin): Unit
+      root
+    })
+  }
+
+  /** Per-status aggregate of the post-merge state — the oracle replays
+    * both statements' clause routing from raw `orders`, so a wrong
+    * first-match-wins order, a mis-routed insert, an NMBS clause that
+    * touches matched rows, or a half-applied delete all hash-mismatch. */
+  def sqlMergeFullState(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = sqlMergeFullTable(spark, sfDir)
+    val t = s"graft_mfull.`${java.nio.file.Paths.get(root).getFileName}`"
     spark.sql(
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          |  sum(o_orderkey) AS sum_keys,

@@ -30,6 +30,7 @@ object LifecyclePack extends QueryPack {
     "xacid_connector_scan" -> ((s, d) => AcidOps.connectorScan(s, d)),
     "xacid_sql_dml" -> ((s, d) => AcidOps.sqlDmlState(s, d)),
     "xacid_sql_merge" -> ((s, d) => AcidOps.sqlMergeState(s, d)),
+    "xacid_sql_merge_full" -> ((s, d) => AcidOps.sqlMergeFullState(s, d)),
     "xacid_sql_overwrite" -> ((s, d) => AcidOps.sqlOverwriteState(s, d)),
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
     "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
@@ -299,6 +300,52 @@ object LifecyclePack extends QueryPack {
          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
          |FROM updated GROUP BY o_orderstatus""".stripMargin,
+    // the generalized merge's two statements replayed from raw orders.
+    // Statement 1 over matched keys (≡ 0 mod 3): price > threshold
+    // deletes FIRST, else even keys double (tgt + src price, status 'M'),
+    // else +0.5; keys ≡ 0 mod 89 insert at key+10⁹ routed 'I1' (odd) /
+    // 'I2' (even) — parity survives the even offset. Statement 2: matched
+    // keys (≡ 0 mod 3 below 10⁹, or ≥ 10⁹ — all inserted keys came from
+    // the source) take 'K' when ≡ 0 mod 1000; unmatched rows delete when
+    // ≡ 4 mod 10, take 'U' when ≡ 7 mod 10. All constants exact in IEEE
+    // double, hash-identical cross-engine.
+    "xacid_sql_merge_full" ->
+      s"""WITH m1 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE o_orderstatus END
+         |      AS o_orderstatus,
+         |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + o_totalprice
+         |         ELSE o_totalprice + 0.5 END AS o_totalprice
+         |  FROM orders
+         |  WHERE o_orderkey % 3 = 0
+         |    AND NOT (o_totalprice > ${AcidOps.MergeDeleteThreshold})
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 3 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + ${AcidOps.InsertKeyOffset},
+         |    CASE WHEN o_orderkey % 2 = 1 THEN 'I1' ELSE 'I2' END,
+         |    o_totalprice
+         |  FROM orders WHERE o_orderkey % 89 = 0
+         |), m2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN (o_orderkey % 3 = 0 OR
+         |               o_orderkey >= ${AcidOps.InsertKeyOffset})
+         |              AND o_orderkey % 1000 = 0 THEN 'K'
+         |         WHEN NOT (o_orderkey % 3 = 0 OR
+         |                   o_orderkey >= ${AcidOps.InsertKeyOffset})
+         |              AND o_orderkey % 10 = 7 THEN 'U'
+         |         ELSE o_orderstatus END AS o_orderstatus,
+         |    o_totalprice
+         |  FROM m1
+         |  WHERE NOT (NOT (o_orderkey % 3 = 0 OR
+         |                  o_orderkey >= ${AcidOps.InsertKeyOffset})
+         |             AND o_orderkey % 10 = 4)
+         |)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM m2 GROUP BY o_orderstatus""".stripMargin,
     // the atomic overwrite's two visible snapshots, replayed from raw
     // orders: the final state is the overwrite SELECT (key ≡ 1 mod 4,
     // +10.0), v0 is the seeded even-key half — an overwrite that leaks
