@@ -171,12 +171,14 @@ object AcidOps {
   val PreEvolution = "<pre-evolution>"
 
   /** Schema-EVOLUTION table (once per session): v0 appends a slim orders
-    * projection, v1 appends the "new pipeline" batch carrying an ADDED
-    * column (`o_orderpriority`) — the additive evolution every long-lived
-    * table eventually needs. The log-recorded superset schema governs
-    * reads (O(1) metadata, no footer sampling), v0's files surface NULL
-    * for the column they predate, and time travel to v0 still reads the
-    * ORIGINAL three-column schema (schemas version with the data).
+    * projection; v1 (r15, VERDICT r14 #7) is a METADATA-ONLY widening —
+    * SQL `ALTER TABLE ADD COLUMNS (o_orderpriority STRING)` through the
+    * catalog, a `schema_evolve` commit with zero file actions; v2 appends
+    * the "new pipeline" batch carrying the column. The log-recorded
+    * superset schema governs reads (O(1) metadata, no footer sampling),
+    * v0's files surface NULL for the column they predate, and time travel
+    * to v0 still reads the ORIGINAL three-column schema (schemas version
+    * with the data).
     */
   private[graft] def evoTable(spark: SparkSession, sfDir: String): String = {
     val _ = clearHookRegistered
@@ -186,6 +188,11 @@ object AcidOps {
       TxTable.append(spark, root,
         orders.where(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      val p = java.nio.file.Paths.get(root)
+      spark.conf.set("spark.sql.catalog.graft_evo", "graft.sources.TxCatalog")
+      spark.conf.set("spark.sql.catalog.graft_evo.root", p.getParent.toString)
+      spark.sql(s"ALTER TABLE graft_evo.`${p.getFileName}` " +
+        "ADD COLUMNS (o_orderpriority STRING)"): Unit
       TxTable.append(spark, root,
         orders.where(col("o_orderkey") % 2 === 1)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),

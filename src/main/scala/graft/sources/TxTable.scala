@@ -743,6 +743,85 @@ object TxTable {
     0L
   }
 
+  /** METADATA-ONLY additive schema evolution (r15, VERDICT r14 #7 — the
+    * Delta `ALTER TABLE ADD COLUMNS` move): commit the widened schema with
+    * NO file actions, so a user widens an empty or 100-TB table without
+    * writing a row. Validation is [[evolvedSchema]]'s additive contract
+    * (every existing column kept at its type; new columns append,
+    * coerced nullable); reads NULL-fill files predating the columns
+    * exactly as append-evolution does — the schema is log metadata either
+    * way. The commit declares `dataChange: false` with zero actions, which
+    * the change feed's row-accounting proof verifies as changeless (0 = 0).
+    */
+  def evolveSchema(spark: SparkSession, root: String,
+                   widened: org.apache.spark.sql.types.StructType): Long = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = snapshot(spark, root, None)
+      if (base.version < 0)
+        throw new IllegalArgumentException(s"no tx table at $root")
+      assertWritable(root, base)
+      val claimed = evolvedSchema(spark, root, base, widened)
+      val v = base.version + 1
+      if (tryCommit(spark, root, v, "schema_evolve", Map.empty, Nil, Nil,
+          schemaJson = Some(claimed), dataChange = false)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"evolveSchema lost $MaxRetries commit races at $root")
+  }
+
+  /** ATOMIC CTAS staging (r15, VERDICT r14 #5) — the write half of a
+    * staged create: data files land under a root that is NOT yet a table
+    * (`_log/` does not exist until [[commitCtas]] publishes), so a racing
+    * reader sees "no such table" the whole time. Returns the staged adds
+    * plus the footer-counted row total for the commit's metrics. */
+  private[sources] def stageCtas(spark: SparkSession, root: String,
+                                 df: DataFrame): (Seq[Staged], Long) = {
+    val adds = writeData(spark, root, df)
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = adds.map(a => TxStats
+      .fromFooterWithRows(conf, dataDir(root).resolve(a.name).toString)._2).sum
+    (adds, rows)
+  }
+
+  /** The publish half of atomic CTAS: ONE v0 `create` commit carrying the
+    * schema AND the staged adds — a reader sees no table until the log
+    * link lands, then the complete one; there is no created-empty middle.
+    * A racing creator losing the v0 link unstages and fails
+    * TableAlreadyExists-shaped, exactly like [[create]]. */
+  private[sources] def commitCtas(spark: SparkSession, root: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  adds: Seq[Staged], rows: Long): Long = {
+    val nullable = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+    if (!tryCommit(spark, root, 0L, "create",
+        Map("rows_written" -> rows), adds, Nil,
+        schemaJson = Some(nullable.json))) {
+      abortCtas(root, adds)
+      throw new IllegalStateException(
+        s"tx table at $root already exists (lost the create race)")
+    }
+    0L
+  }
+
+  /** The failure half of atomic CTAS: drop the staged files and, when the
+    * root never became a table (no `_log/`), the staging directories too —
+    * a failed CTAS leaves NO table behind (no created-empty state for a
+    * retry to trip over). */
+  private[sources] def abortCtas(root: String, adds: Seq[Staged]): Unit = {
+    adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
+    if (!Files.isDirectory(logDir(root))) {
+      // remove only what staging created, only if empty — a concurrent
+      // CTAS that WON may be using the same dirs
+      def rmIfEmpty(p: Path): Unit =
+        try Files.deleteIfExists(p): Unit
+        catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+      rmIfEmpty(dataDir(root))
+      rmIfEmpty(Paths.get(root))
+    }
+  }
+
   private[sources] def schemaOf(js: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(js)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1139,7 +1218,8 @@ object TxTable {
   }
 
   /** Staged data files: content-unique name + footer-derived column stats. */
-  private case class Staged(name: String, stats: Map[String, TxStats.ColStats])
+  private[sources] case class Staged(name: String,
+                                     stats: Map[String, TxStats.ColStats])
 
   /** Bloom sizing: ~16 bits per row (k = 8 probes → sub-percent false-
     * positive rate), floored so tiny files still discriminate, ceilinged so
@@ -1175,19 +1255,24 @@ object TxTable {
                         bloomCols: Seq[String] = Nil): Seq[Staged] = {
     Files.createDirectories(dataDir(root))
     val tmp = Files.createTempDirectory(Paths.get(root), ".stage")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val parts = Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      .sortBy(_.getFileName.toString)
-    val conf = spark.sessionState.newHadoopConf()
-    val staged = parts.map { p =>
-      val name = s"${java.util.UUID.randomUUID()}.parquet"
-      val target = dataDir(root).resolve(name)
-      Files.move(p, target): Unit
-      val (stats, rows) = TxStats.fromFooterWithRows(conf, target.toString)
-      (Staged(name, stats), rows)
-    }
-    deleteRecursively(tmp)
+    // a FAILED write job must not leak its temp dir (it would also keep a
+    // CTAS abort from removing the staging root) — registered files are
+    // the retry loops' cleanup; the tmp dir is ours
+    val staged =
+      try {
+        df.write.mode("overwrite").parquet(tmp.toString)
+        val parts = Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+        val conf = spark.sessionState.newHadoopConf()
+        parts.map { p =>
+          val name = s"${java.util.UUID.randomUUID()}.parquet"
+          val target = dataDir(root).resolve(name)
+          Files.move(p, target): Unit
+          val (stats, rows) = TxStats.fromFooterWithRows(conf, target.toString)
+          (Staged(name, stats), rows)
+        }
+      } finally deleteRecursively(tmp)
     val names = staged.map(_._1)
     // eligibility checks the DATAFRAME schema, not just the footer stats
     // tag (ADVICE r11): a DateType column is INT32 in the footer — tagged

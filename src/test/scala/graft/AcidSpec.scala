@@ -1676,9 +1676,9 @@ class AcidSpec extends SparkSpec {
       spark.sql("CREATE TABLE graft_ct.default.parted (id BIGINT) " +
         "PARTITIONED BY (id)")
     }: Unit
-    // a FAILED CTAS must not leave a permanently stuck half-created
-    // table: Spark's failure callback drops it (dropTable succeeds for
-    // data-less tables — exactly this cleanup), so the retry goes through
+    // a FAILED CTAS leaves NOTHING behind (r15, the StagingTableCatalog
+    // move): abortStagedChanges drops the staged files and the staging
+    // dirs — no table, no directory, nothing for a retry to trip over
     intercept[Exception] {
       spark.sql("CREATE TABLE graft_ct.default.ctas AS " +
         "SELECT raise_error('boom') AS id FROM graft_ct.default.fresh")
@@ -1686,19 +1686,26 @@ class AcidSpec extends SparkSpec {
     assert(!java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(s"$base/default/ctas", "_log")),
       "failed CTAS left a half-created table behind")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/default/ctas")),
+      "failed CTAS left its staging directory behind")
     // ... while DROP of a table WITH data history still refuses
     intercept[UnsupportedOperationException] {
       spark.sql("DROP TABLE graft_ct.default.fresh")
     }: Unit
-    // CTAS: create + write, end to end through SQL
+    // CTAS: ATOMIC since r15 — ONE v0 create commit carrying schema AND
+    // the query's data; there is no created-empty middle version
     spark.sql("CREATE TABLE graft_ct.default.ctas AS " +
       "SELECT id, value * 2 AS dbl FROM graft_ct.default.fresh"): Unit
     val ctasRows = spark.sql(
       "SELECT id, dbl FROM graft_ct.default.ctas ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(ctasRows == Seq((1L, 20L), (2L, 40L)))
-    assert(TxTable.commits(s"$base/default/ctas").map(_.op) ==
-      Seq("create", "append"))
+    val ctasCommits = TxTable.commits(s"$base/default/ctas")
+    assert(ctasCommits.map(_.op) == Seq("create"),
+      s"atomic CTAS must be one v0 commit, got ${ctasCommits.map(_.op)}")
+    assert(ctasCommits.head.adds.nonEmpty &&
+      ctasCommits.head.metrics("rows_written") == 2L)
     // a schema-LESS empty log still refuses (the shape is unknowable)
     val bare = freshRoot()
     java.nio.file.Files.createDirectories(
@@ -2402,5 +2409,145 @@ class AcidSpec extends SparkSpec {
     // the constraint-free form still creates
     spark.sql("CREATE TABLE graft_nn.t_ok (id BIGINT, tag STRING)"): Unit
     assert(spark.sql("SELECT * FROM graft_nn.t_ok").count() == 0)
+  }
+
+  test("atomic CTAS (r15): a racing reader sees no table or the complete one, never a partial/empty middle; REPLACE refuses") {
+    val base = java.nio.file.Files.createTempDirectory("graft_actas").toString
+    spark.conf.set("spark.sql.catalog.graft_act", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_act.root", base)
+    val troot = s"$base/default/slow"
+    // a source whose rows take real wall-clock to produce, so the staged
+    // write is racomfortably observable from the polling thread
+    val slow = org.apache.spark.sql.functions.udf { (id: Long) =>
+      Thread.sleep(30); id
+    }
+    spark.udf.register("graft_slow_id", slow)
+    spark.range(0, 64, 1, 8).createOrReplaceTempView("graft_actas_src")
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var done = false
+    @volatile var readerFailure: Option[String] = None
+    val reader = new Thread(() => {
+      while (!done) {
+        try {
+          if (java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(troot, "_log"))) {
+            val n = TxTable.read(spark, troot).count()
+            observed.add(n): Unit
+            if (n != 64L)
+              readerFailure = Some(s"saw a PARTIAL table: $n of 64 rows")
+          }
+        } catch {
+          case _: InterruptedException => ()
+          case e: Exception =>
+            readerFailure = Some(s"reader threw mid-race: ${e.getMessage}")
+        }
+        Thread.sleep(10)
+      }
+    })
+    reader.start()
+    try spark.sql("CREATE TABLE graft_act.default.slow AS " +
+      "SELECT graft_slow_id(id) AS id FROM graft_actas_src"): Unit
+    finally { done = true; reader.join(5000) }
+    assert(readerFailure.isEmpty, readerFailure.getOrElse(""))
+    // the committed table: ONE v0 commit, complete
+    assert(TxTable.commits(troot).map(_.op) == Seq("create"))
+    assert(TxTable.read(spark, troot).count() == 64L)
+    // REPLACE TABLE refuses (displacing a commit log's history), both
+    // spellings; CREATE OR REPLACE of a FRESH ident still creates
+    val eRep = intercept[UnsupportedOperationException] {
+      spark.sql("REPLACE TABLE graft_act.default.slow AS SELECT 1 AS one")
+    }
+    assert(eRep.getMessage.contains("history"), eRep.getMessage)
+    intercept[UnsupportedOperationException] {
+      spark.sql("CREATE OR REPLACE TABLE graft_act.default.slow " +
+        "AS SELECT 1 AS one")
+    }: Unit
+    spark.sql("CREATE OR REPLACE TABLE graft_act.default.fresh2 " +
+      "AS SELECT 7L AS id"): Unit
+    assert(TxTable.read(spark, s"$base/default/fresh2").count() == 1L)
+  }
+
+  test("batch write through the registered source (r15): SaveMode semantics land as format commits") {
+    val root = freshRoot()
+    val df = frame(1 to 10, "a")
+    // Append creates on first write
+    df.write.format("graft-tx").mode("append").save(root)
+    assert(TxTable.commits(root).map(_.op) == Seq("append"))
+    // second Append appends
+    frame(11 to 15, "b").write.format("graft-tx").mode("append").save(root)
+    assert(TxTable.read(spark, root).count() == 15L)
+    // Overwrite is the ATOMIC one-commit displacement (removes-all + adds)
+    frame(21 to 24, "c").write.format("graft-tx").mode("overwrite").save(root)
+    val ow = TxTable.commits(root).last
+    assert(ow.op == "overwrite" && ow.removes.nonEmpty && ow.adds.nonEmpty)
+    assert(TxTable.read(spark, root).select(sum($"id")).head().getLong(0) ==
+      (21L to 24L).sum)
+    // ... with the pre-overwrite snapshot still travelable
+    assert(TxTable.read(spark, root, Some(ow.version - 1)).count() == 15L)
+    // ErrorIfExists refuses on ANY commit; Ignore no-ops
+    intercept[Exception] {
+      frame(1 to 2, "x").write.format("graft-tx")
+        .mode("errorifexists").save(root)
+    }: Unit
+    val vBefore = TxTable.commits(root).last.version
+    frame(1 to 2, "x").write.format("graft-tx").mode("ignore").save(root)
+    assert(TxTable.commits(root).last.version == vBefore,
+      "SaveMode.Ignore must not commit against an existing table")
+    // ErrorIfExists / Ignore WRITE when the table does not exist
+    val root2 = freshRoot()
+    frame(1 to 3, "y").write.format("graft-tx").mode("errorifexists").save(root2)
+    assert(TxTable.read(spark, root2).count() == 3L)
+    // partitionBy refuses like every write surface of the format
+    intercept[Exception] {
+      frame(1 to 2, "z").write.format("graft-tx").partitionBy("tag")
+        .mode("append").save(freshRoot())
+    }: Unit
+  }
+
+  test("ALTER TABLE ADD COLUMNS (r15): a metadata-only schema commit; old files NULL-fill; refusals are loud") {
+    val base = java.nio.file.Files.createTempDirectory("graft_alter").toString
+    spark.conf.set("spark.sql.catalog.graft_al", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_al.root", base)
+    val troot = s"$base/default/ev"
+    TxTable.append(spark, troot, frame(1 to 10, "a"))
+    val t = "graft_al.default.ev"
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE, note STRING)"): Unit
+    // the commit is METADATA-ONLY: no file actions, dataChange=false,
+    // and the change feed's row-accounting proof accepts it as changeless
+    val c = TxTable.commits(troot).last
+    assert(c.op == "schema_evolve" && c.adds.isEmpty && c.removes.isEmpty &&
+      !c.dataChange && c.schemaJson.isDefined)
+    assert(TxTable.readChanges(spark, troot, c.version, Some(c.version))
+      .count() == 0L)
+    // pre-evolution files read NULL-filled under the widened schema,
+    // through the library, SQL, and connector alike
+    assert(TxTable.read(spark, troot).columns.toSeq ==
+      Seq("id", "tag", "value", "score", "note"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE score IS NULL")
+      .head().getLong(0) == 10L)
+    assert(spark.read.format("graft-tx").load(troot)
+      .where($"note".isNull).count() == 10L)
+    // post-evolution writes carry the new columns
+    spark.sql(s"INSERT INTO $t VALUES (11, 'b', 110, 0.5, 'n')"): Unit
+    assert(spark.sql(s"SELECT sum(score) AS s FROM $t").head().getDouble(0)
+      == 0.5)
+    // time travel BEFORE the evolution still reads the narrow schema
+    assert(TxTable.read(spark, troot, Some(c.version - 1)).columns.toSeq ==
+      Seq("id", "tag", "value"))
+    // refusals: NOT NULL, DEFAULT, existing column, non-ADD changes
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (must BIGINT NOT NULL)")
+    }: Unit
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (defd BIGINT DEFAULT 7)")
+    }: Unit
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (id BIGINT)")
+    }: Unit
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label")
+    }: Unit
+    // the refused statements committed nothing
+    assert(TxTable.commits(troot).count(_.op == "schema_evolve") == 1)
   }
 }
