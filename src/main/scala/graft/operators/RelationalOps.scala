@@ -1366,25 +1366,50 @@ object RelationalOps {
   }
 
   /** X-A: exact weighted median (lower median) of extended price per return
-    * flag, weighted by quantity. THREE-level shape chosen for scale (r7 —
-    * the classic distributed exact-median refinement): (1) the raw fact
-    * table collapses to distinct (flag, price) cells with summed weights —
-    * a map-side-combinable groupBy bounded by the VALUE DOMAIN, not the
-    * row count; (2) cells aggregate again into a per-$1000 BUCKET
-    * histogram, and the cumulative window that locates the median bucket
-    * runs over bucket-count-sized input (~10² rows/flag at ANY corpus
-    * size); (3) the exact cumulative sort happens only INSIDE the one
-    * median bucket, offset by the preceding buckets' mass. With 3 flags
-    * the window partition count is tiny, which is exactly why no window
-    * may ever see the full cell set: the r6 shape sorted ~|distinct
-    * prices| rows in 3 partitions — a fixed-parallelism sort that grows
-    * with the price domain — while this one's windows are bounded by
-    * bucket count and single-bucket occupancy. All comparisons are exact
-    * decimal / integer-cents (2·cumw ≥ total), so the picked cell is
-    * engine-independent and the median is bit-identical to the one-window
-    * form.
+    * flag, weighted by quantity — since r15 a SINGLE-PASS kernel
+    * ([[graft.functions.WeightedMedianAgg]], VERDICT r14 #8): one fact
+    * scan, one map-side-combined aggregate whose partial state is the
+    * cents→weight cell map (bounded by the VALUE DOMAIN, not the row
+    * count — the same bound the old cells groupBy had), one final
+    * domain-bounded sort per flag. The replaced three-level bucket plan
+    * (kept below as [[weightedMedianPriceBucketed]], the adjudication
+    * reference) re-derived its cell aggregate in three plan branches that
+    * Catalyst does not exchange-reuse — three fact scans for one answer
+    * (PLANS.md r14 scans (1)/(7)/(26)); measured at the 100× deep point
+    * this kernel removes two of them. All arithmetic is exact integer
+    * cents (`2·cum ≥ total` lower-median rule), so the result is
+    * bit-identical to the bucketed form — property-pinned in
+    * `RelationalOpsSpec` — and the conversion back to dollars goes
+    * through exact decimal division, never float.
     */
   def weightedMedianPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val wm = udaf(new graft.functions.WeightedMedianAgg())
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("pc"),
+        (dec(col("l_quantity")) * 100).cast("long").as("wc"))
+      .groupBy(col("l_returnflag"))
+      .agg(wm(col("pc"), col("wc")).as("m"))
+      .select(col("l_returnflag"),
+        (col("m._1").cast("decimal(16,2)") / 100).cast("double")
+          .as("median_price"),
+        (col("m._2").cast("decimal(20,2)") / 100).cast("double")
+          .as("total_weight"))
+  }
+
+  /** The pre-r15 three-level bucket refinement — retained as the
+    * adjudication REFERENCE the kernel is property-pinned bit-identical
+    * against (and the shape to fall back to if a value domain ever
+    * outgrew task memory as a hash map): (1) distinct (flag, price) cells
+    * with summed weights; (2) a per-$1000 bucket histogram whose
+    * cumulative window locates the median bucket over ~10² rows/flag;
+    * (3) the exact sort confined to the one median bucket. Correct and
+    * domain-bounded, but its cell aggregate feeds three un-reused plan
+    * branches — three fact scans vs the kernel's one.
+    */
+  private[graft] def weightedMedianPriceBucketed(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val cells = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"), col("l_extendedprice").cast("decimal(12,2)").as("price"))
       .agg(sum(dec(col("l_quantity"))).as("w"))

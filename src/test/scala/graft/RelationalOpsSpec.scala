@@ -598,13 +598,25 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
-  test("weightedMedianPrice: window runs over aggregated cells, median is the exact lower weighted median") {
+  test("weightedMedianPrice: single-pass kernel (r15), exact lower weighted median, bit-identical to the bucketed reference") {
     val df = RelationalOps.weightedMedianPrice(spark, Sf)
-    // the raw fact table must collapse to (flag, price) cells BEFORE any
-    // window: aggregate below the window in the plan, or 100 TB of rows
-    // would funnel through 3 window partitions
+    // the r15 kernel shape: ONE fact scan, no windows, no joins — the
+    // whole answer is one map-side-combined aggregate (the replaced
+    // three-level plan re-scanned the fact table in three un-reused
+    // branches)
     val p = df.queryExecution.optimizedPlan.toString
-    assert(p.indexOf("Window") < p.lastIndexOf("Aggregate"))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.sliding("Relation".length).count(_ == "Relation") == 1,
+      "kernel plan must scan the fact table exactly once:\n" + p)
+    // bit-identical to the retained three-level bucket reference — the
+    // adjudication pin: same (flag, median, total) DOUBLES, exactly
+    val kernel = df.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val reference = RelationalOps.weightedMedianPriceBucketed(spark, Sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(kernel == reference,
+      s"kernel $kernel differs from bucketed reference $reference")
     val med = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     // independent check: med is the smallest price whose cumulative weight
     // reaches half the flag's total
