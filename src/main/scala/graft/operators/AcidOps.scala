@@ -569,6 +569,47 @@ object AcidOps {
       agg("v0", s"$t VERSION AS OF 0"))
   }
 
+  /** RESTORE fixture (r15): v0 appends even keys, v1 odd keys, v2 deletes
+    * keys ≡ 0 mod 5, v3 RESTORES to v1 — driven through the SQL `CALL`
+    * surface (`CALL <cat>.restore(...)`), so the oracle row exercises the
+    * ProcedureCatalog seam end-to-end. Restore never rewrites history:
+    * the deleted middle state stays time-travelable. */
+  private[graft] def restoreTable(spark: SparkSession, sfDir: String): String = {
+    val _ = clearHookRegistered
+    built.getOrElseUpdate((System.identityHashCode(spark), sfDir + "#restore"), {
+      val root = Tables.uniqueStageDir(spark, sfDir, "txtable_restore")
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      TxTable.append(spark, root, orders.where(col("o_orderkey") % 2 === 0))
+      TxTable.append(spark, root, orders.where(col("o_orderkey") % 2 === 1))
+      TxTable.delete(spark, root, col("o_orderkey") % 5 === 0): Unit
+      val p = java.nio.file.Paths.get(root)
+      spark.conf.set("spark.sql.catalog.graft_rst", "graft.sources.TxCatalog")
+      spark.conf.set("spark.sql.catalog.graft_rst.root", p.getParent.toString)
+      spark.sql(s"CALL graft_rst.restore('${p.getFileName}', 1)"): Unit
+      root
+    })
+  }
+
+  /** Both sides of the restore in one result: the restored FINAL state
+    * (== the full v1 table — every deleted row back) and the pre-restore
+    * v2 state (the delete still visible to time travel, because restore
+    * adds history rather than erasing it). The oracle replays both from
+    * raw `orders`, so a restore that loses rows, resurrects the wrong
+    * set, or rewrites history hash-mismatches. */
+  def restoreState(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = restoreTable(spark, sfDir)
+    val restoredV = TxTable.commits(root).last.version
+    val t = s"graft_rst.`${java.nio.file.Paths.get(root).getFileName}`"
+    def agg(side: String, from: String) =
+      s"""SELECT '$side' AS side, count(*) AS n_orders,
+         |  sum(o_orderkey) AS sum_keys,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM $from""".stripMargin
+    spark.sql(agg("final", t) + "\nUNION ALL\n" +
+      agg("pre_restore", s"$t VERSION AS OF ${restoredV - 1}"))
+  }
+
   /** Prefix-pruned scan: `o_orderpriority LIKE '3%'` opens only the two
     * high-priority files (the prover ranges the probe as
     * ['3', '4') against each file's UTF-8 min/max). */

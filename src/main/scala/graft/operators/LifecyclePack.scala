@@ -32,6 +32,7 @@ object LifecyclePack extends QueryPack {
     "xacid_sql_merge" -> ((s, d) => AcidOps.sqlMergeState(s, d)),
     "xacid_sql_merge_full" -> ((s, d) => AcidOps.sqlMergeFullState(s, d)),
     "xacid_sql_overwrite" -> ((s, d) => AcidOps.sqlOverwriteState(s, d)),
+    "xacid_restore" -> ((s, d) => AcidOps.restoreState(s, d)),
     "xacid_nullskip_scan" -> ((s, d) => AcidOps.nullSkipScan(s, d)),
     "xacid_cdf" -> ((s, d) => AcidOps.changeFeed(s, d)),
     "xacid_cdf_connector" -> ((s, d) => AcidOps.changeFeedConnector(s, d)),
@@ -346,6 +347,20 @@ object LifecyclePack extends QueryPack {
          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
          |FROM m2 GROUP BY o_orderstatus""".stripMargin,
+    // the restore's two visible snapshots, replayed from raw orders: the
+    // restored final state is the FULL v1 table (every key-≡-0-mod-5 row
+    // the delete removed is back), the pre-restore state still shows the
+    // delete — restore adds history, it never erases it
+    "xacid_restore" ->
+      """SELECT 'final' AS side, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM orders
+        |UNION ALL
+        |SELECT 'pre_restore', count(*),
+        |  CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
     // the atomic overwrite's two visible snapshots, replayed from raw
     // orders: the final state is the overwrite SELECT (key ≡ 1 mod 4,
     // +10.0), v0 is the seeded even-key half — an overwrite that leaks

@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * keeps Spark's vectorized parquet reader — both views of the same
   * commit log.
   */
-class TxCatalog extends TableCatalog with StagingTableCatalog {
+class TxCatalog extends TableCatalog with StagingTableCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -260,6 +261,26 @@ class TxCatalog extends TableCatalog with StagingTableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
+
+  /** SQL `CALL` procedures (r15): the operational verbs — compaction,
+    * vacuum, restore — behind the DSv2 `ProcedureCatalog` seam; see
+    * [[TxProcedures]]. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql
+      .connector.catalog.procedures.UnboundProcedure =
+    TxProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    TxProcedures.Names.map(Identifier.of(namespace, _)).toArray
+
+  /** A procedure's `table` argument (dotted `ns.name`) → the table's
+    * directory, refusing when no table lives there. */
+  private[sources] def resolveTableRoot(dotted: String): String = {
+    val parts = dotted.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    p
+  }
 }
 
 /** One TxTable behind the DSv2 Table API: V1-bridged reads with

@@ -2449,6 +2449,121 @@ object TxTable {
     }
   }
 
+  /** RESTORE the table to the state it had at `toVersion` (r15, the Delta
+    * `RESTORE TABLE` move) — as a NEW commit, never by rewriting history:
+    * removes = files live now but not then, adds = files live then but not
+    * now (re-committed with their logged stats, blooms included — the
+    * files themselves still exist unless vacuum reclaimed them, in which
+    * case restore FAILS LOUDLY naming them rather than committing
+    * references to missing data), and deletion-vector bindings are
+    * reconciled per file: a file whose target-version vector differs
+    * rebinds it (replacement semantics — latest action wins), and a file
+    * that gained a vector SINCE the target binds a fresh EMPTY vector
+    * (zero marked rows — exactly the target's row visibility) because the
+    * format has no unbind action. Schema reverts to the target version's
+    * recorded schema (replay takes the latest), so a restore across an
+    * evolution reads the narrow schema again. CDF follows the overwrite
+    * discipline: delete-all current rows + insert-all restored rows, so
+    * downstream incremental consumers replay the restore row-level.
+    * Restoring to the current version is a no-op (no commit). Time travel
+    * BEFORE the restore still sees the pre-restore states — restore adds
+    * history, it never erases it.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    var attempt = 0
+    var pendingCdc: Seq[String] = Nil
+    var pendingDvs: Seq[(String, String)] = Nil
+    try while (attempt < MaxRetries) {
+      val base = snapshot(spark, root, None)
+      if (base.version < 0)
+        throw new IllegalArgumentException(s"no tx table at $root")
+      assertWritable(root, base)
+      if (toVersion == base.version) return base.version
+      if (toVersion > base.version || toVersion < 0)
+        throw new IllegalArgumentException(
+          s"restore: version $toVersion does not exist " +
+            s"(table is at ${base.version})")
+      val target = snapshot(spark, root, Some(toVersion))
+      val curLive = base.liveFiles.toSet
+      val tgtLive = target.liveFiles.toSet
+      val readds = target.liveFiles.filterNot(curLive)
+      val removes = base.liveFiles.filterNot(tgtLive)
+      val missing = readds.filterNot(f => Files.exists(dataDir(root).resolve(f)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"restore to version $toVersion needs data file(s) vacuum " +
+            s"already reclaimed: ${missing.sorted.mkString(", ")} — " +
+            "the state is no longer reconstructable")
+      val missingDvs = target.liveDvs.filter { case (_, p) =>
+        !Files.exists(dvDir(root).resolve(p)) }
+      if (missingDvs.nonEmpty)
+        throw new IllegalStateException(
+          s"restore to version $toVersion needs deletion-vector sidecar(s) " +
+            s"vacuum already reclaimed: ${missingDvs.values.toSeq.sorted
+              .mkString(", ")}")
+      // per-file vector reconciliation over the files live in the TARGET:
+      // re-adds rebind their target vector (removal retired any binding);
+      // shared files rebind on difference; a vector gained since the
+      // target clears via a fresh empty sidecar
+      val fresh = Seq.newBuilder[String]
+      val dvActions = target.liveFiles.flatMap { f =>
+        val tgt = target.liveDvs.get(f)
+        val cur = if (curLive(f)) base.liveDvs.get(f) else None
+        (tgt, cur) match {
+          case (Some(p), _) if !curLive(f) || !cur.contains(p) => Some(f -> p)
+          case (None, Some(_)) =>
+            val name = s"${java.util.UUID.randomUUID()}.dv"
+            Files.createDirectories(dvDir(root))
+            Files.write(dvDir(root).resolve(name),
+              new TxDv.Bitmap().serialize): Unit
+            fresh += name
+            Some(f -> name)
+          case _ => None
+        }
+      }
+      val freshSidecars = fresh.result()
+      pendingDvs = freshSidecars.map(("", _))
+      val adds = readds.map(f =>
+        Staged(f, target.liveStats.getOrElse(f, Map.empty)))
+      // change capture: the overwrite discipline — current rows out,
+      // restored rows in (schemas may differ across an evolution; the
+      // union NULL-fills, and the feed reads under the commit's schema)
+      val curRows = readLive(spark, root, base, base.liveFiles)
+      val tgtRows = readLive(spark, root, target, target.liveFiles)
+      val (deleted, written) = (curRows.count(), tgtRows.count())
+      val cdc = writeCdc(spark, root,
+        curRows.withColumn("_change_type", lit("delete"))
+          .unionByName(tgtRows.withColumn("_change_type", lit("insert")),
+            allowMissingColumns = true))
+      pendingCdc = cdc
+      val v = base.version + 1
+      if (tryCommit(spark, root, v, "restore",
+          Map("rows_written" -> written, "rows_deleted" -> deleted,
+            "restored_version" -> toVersion),
+          adds, removes, cdc = cdc, dvActions = dvActions,
+          schemaJson = target.schemaJson,
+          protocolUpgrade = featureProtocol(base, dvs = dvActions.nonEmpty,
+            cdc = cdc.nonEmpty)))
+        return v
+      dropCdc(root, cdc)
+      freshSidecars.foreach(p =>
+        Files.deleteIfExists(dvDir(root).resolve(p)): Unit)
+      pendingCdc = Nil
+      pendingDvs = Nil
+      attempt += 1
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        dropCdc(root, pendingCdc)
+        // only the fresh EMPTY sidecars are this attempt's staging; the
+        // target's own sidecars must survive
+        pendingDvs.foreach { case (_, p) =>
+          Files.deleteIfExists(dvDir(root).resolve(p)): Unit }
+        throw e
+    }
+    throw new IllegalStateException(
+      s"restore lost $MaxRetries commit races at $root")
+  }
+
   /** Bin-packing COMPACTION: rewrite the current snapshot's live data
     * files into `targetFiles` files, committed as one remove+add version
     * (`op = "compact"`). Pure layout surgery — the row set is untouched

@@ -2550,4 +2550,101 @@ class AcidSpec extends SparkSpec {
     // the refused statements committed nothing
     assert(TxTable.commits(troot).count(_.op == "schema_evolve") == 1)
   }
+
+  test("RESTORE (r15): a new commit reverts live set, schema, and vectors; CDF replays it; vacuumed states refuse; history survives") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 20, "a")) // v0
+    val v0 = TxTable.snapshot(root).version
+    TxTable.delete(spark, root, $"id" <= 5L): Unit // v1: CoW rewrite
+    TxTable.deleteMor(spark, root, $"id" === 10L): Unit // v2: vector on a live file
+    TxTable.append(spark, root, frame(21 to 25, "b")
+      .withColumn("extra", lit(1L))): Unit // v3: evolution + new file
+    assert(TxTable.read(spark, root).columns.contains("extra"))
+    // restore to v0: files revert, the post-v0 vector CLEARS (empty
+    // replacement), the schema narrows back
+    val rv = TxTable.restore(spark, root, v0)
+    val back = TxTable.read(spark, root)
+    assert(back.columns.toSeq == Seq("id", "tag", "value"))
+    assert(back.collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+      (1L to 20L), "restored row set must be exactly v0's")
+    val rc = TxTable.commits(root).last
+    assert(rc.op == "restore" && rc.version == rv &&
+      rc.metrics("restored_version") == v0)
+    // restore is HISTORY-ADDITIVE: the pre-restore states still travel
+    assert(TxTable.read(spark, root, Some(rv - 1)).count() == 20L - 5 - 1 + 5)
+    assert(TxTable.read(spark, root, Some(rv - 1)).columns.contains("extra"))
+    // CDF: the restore replays as delete-all-current + insert-all-restored
+    val feed = TxTable.readChanges(spark, root, rv, Some(rv))
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("delete" -> 19L, "insert" -> 20L), feed.toString)
+    // restoring to the CURRENT version is a no-op (no commit)
+    assert(TxTable.restore(spark, root, rv) == rv &&
+      TxTable.commits(root).last.version == rv)
+    // a nonexistent version refuses
+    intercept[IllegalArgumentException] {
+      TxTable.restore(spark, root, rv + 10)
+    }: Unit
+    // vacuum past a state, then try to restore INTO it: loud refusal
+    // naming the reclaimed files, and NO commit happened
+    val vPre = TxTable.commits(root).last.version
+    TxTable.vacuum(root, vPre): Unit // reclaims v0-..-era displaced files
+    val e = intercept[IllegalStateException] {
+      TxTable.restore(spark, root, rv - 1)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    assert(TxTable.commits(root).last.version == vPre,
+      "failed restore must not commit")
+  }
+
+  test("CALL procedures (r15): compact / compact_zorder / vacuum / restore through SQL; unknown procedures refuse") {
+    val base = java.nio.file.Files.createTempDirectory("graft_call").toString
+    spark.conf.set("spark.sql.catalog.graft_pr", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pr.root", base)
+    val troot = s"$base/default/ops"
+    TxTable.append(spark, troot, frame(1 to 10, "a"))
+    TxTable.append(spark, troot, frame(11 to 20, "b"))
+    TxTable.append(spark, troot, frame(21 to 30, "c"))
+    assert(TxTable.snapshot(troot).liveFiles.size > 1)
+    // compact via CALL: one layout-only commit, row set untouched
+    val cv = spark.sql(
+      "CALL graft_pr.compact(`table` => 'default.ops', target_files => 1)")
+      .head().getLong(0)
+    assert(TxTable.commits(troot).last.op == "compact" &&
+      TxTable.commits(troot).last.version == cv)
+    assert(TxTable.snapshot(troot).liveFiles.size == 1)
+    assert(TxTable.read(spark, troot).count() == 30L)
+    // restore via CALL: back to the pre-compact version's state (same
+    // rows — compaction is layout surgery — but the FILE SET reverts)
+    val restored = spark.sql(
+      s"CALL graft_pr.restore('default.ops', ${cv - 1})").head()
+    assert(restored.getLong(0) == cv - 1 && restored.getLong(1) == cv + 1)
+    assert(TxTable.snapshot(troot).liveFiles.size > 1)
+    assert(TxTable.read(spark, troot).count() == 30L)
+    // vacuum via CALL: retention from the restore commit reclaims the
+    // compacted file (live only in the vacuumed-away middle state)
+    val reclaimed = spark.sql(
+      s"CALL graft_pr.vacuum('default.ops', keep_from_version => ${cv + 1})")
+      .head().getLong(0)
+    assert(reclaimed >= 1L, s"expected the compacted file reclaimed, got $reclaimed")
+    assert(TxTable.read(spark, troot).count() == 30L)
+    // compact_zorder via CALL
+    val zv = spark.sql(
+      "CALL graft_pr.compact_zorder('default.ops', 2, 'id', 'value')")
+      .head().getLong(0)
+    assert(TxTable.commits(troot).last.version == zv &&
+      TxTable.read(spark, troot).count() == 30L)
+    // refusals: unknown procedure (naming the known set), unknown table
+    // Spark wraps the load failure (FAILED_TO_LOAD_ROUTINE); our refusal
+    // naming the known set rides the cause chain
+    val eUnknown = intercept[Exception] {
+      spark.sql("CALL graft_pr.frobnicate('default.ops')")
+    }
+    val msgs = Iterator.iterate(eUnknown: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("compact"), msgs)
+    intercept[Exception] {
+      spark.sql("CALL graft_pr.compact(`table` => 'default.nosuch')")
+    }: Unit
+  }
 }
