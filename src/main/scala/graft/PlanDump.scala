@@ -157,7 +157,7 @@ object PlanDump {
         operators.GeoOps.sssp(spark, sfDir)),
       ("xt_autocorr_daily", "day+1 self-join on the per-day aggregate: hash-partitioned, no single-partition window",
         operators.TimeSeriesOps.dailyAutocorr(spark, sfDir)),
-      ("xa_weighted_median", "three-level exact median: cells -> bucket histogram window -> in-bucket refine; no full-domain sort",
+      ("xa_weighted_median", "single-pass WeightedMedianAgg kernel (r15): one fact scan, one map-side-combined aggregate, domain-bounded final sort — no windows, no joins",
         operators.RelationalOps.weightedMedianPrice(spark, sfDir)),
       ("dd_semdedup", "cluster-local pair join on the trained index (k ~ n/250 keeps clusters constant-size); centroids broadcast",
         operators.SimilarityOps.semanticDedup(spark, sfDir)),
