@@ -112,7 +112,9 @@ object Bench {
       "acid_mor"              -> (() => AcidOps.morTable(spark, sfDir): Unit),
       "acid_sqldml"           -> (() => AcidOps.sqlDmlTable(spark, sfDir): Unit),
       "acid_sqlmerge"         -> (() => AcidOps.sqlMergeTable(spark, sfDir): Unit),
+      "acid_sqlmfull"         -> (() => AcidOps.sqlMergeFullTable(spark, sfDir): Unit),
       "acid_sqlover"          -> (() => AcidOps.sqlOverwriteTable(spark, sfDir): Unit),
+      "acid_restore"          -> (() => AcidOps.restoreTable(spark, sfDir): Unit),
       "fmt_avro"              -> (() => sources.Formats.avroRoundtrip(spark, sfDir).count(): Unit),
       "fmt_exports"           -> (() => sources.Formats.stageAll(spark, sfDir)))
     // Dev loop (the 100x deep-point runs): SPARK_GRAFT_STAGE_ONLY=a,b

@@ -32,16 +32,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reference's own mutation surface is SQL strings against its engine
   * (`/root/reference/geomesa.py:56-59`, `node.py:168-172`) — this catalog
   * is that surface for the sandbox's format, with every statement landing
-  * as an ordinary optimistic commit: CREATE TABLE / the create half of
-  * CTAS is [[TxTable.create]] (r14 — a v0 `create` commit recording the
-  * schema), INSERT INTO is [[TxTable.append]] (additive schema evolution
-  * included), INSERT OVERWRITE is the atomic [[TxTable.overwrite]] via
-  * `SupportsTruncate` (r14), and DELETE FROM / UPDATE / MERGE INTO route
-  * through [[TxDmlRewrite]]'s full-Catalyst commands (r14) onto
-  * [[TxTable.delete]]/[[TxTable.update]]/[[TxTable.merge]] — copy-on-write
-  * file pruning, three-valued logic, change-data-feed capture, lost-race
-  * rebase, dup-key rejection all included. The `SupportsDelete` surface
-  * below ([[TxFilters]] translating the V1 filter tree) remains for
+  * as an ordinary optimistic commit: CREATE TABLE is [[TxTable.create]]
+  * (r14 — a v0 `create` commit recording the schema) and CTAS stages
+  * ATOMICALLY through [[stageCreate]] (r15 — one v0 commit carrying
+  * schema AND data, no created-empty middle); INSERT INTO is
+  * [[TxTable.append]] (additive schema evolution included), INSERT
+  * OVERWRITE the atomic [[TxTable.overwrite]] via `SupportsTruncate`
+  * (r14); DELETE FROM / UPDATE / MERGE INTO route through
+  * [[TxDmlRewrite]]'s full-Catalyst commands onto [[TxTable.delete]]/
+  * [[TxTable.update]]/[[TxTable.mergeFull]] (r15 — the FULL MERGE clause
+  * surface: conditional chains, matched DELETE, NOT MATCHED BY SOURCE) —
+  * copy-on-write file pruning, three-valued logic, change-data-feed
+  * capture, lost-race rebase, dup-key rejection all included; ALTER
+  * TABLE ADD COLUMNS is a metadata-only [[TxTable.evolveSchema]] commit
+  * (r15); `TIMESTAMP AS OF` resolves through
+  * [[TxTable.versionAtTimestamp]] (r15); and the operational verbs —
+  * compaction, vacuum, restore — run via SQL `CALL` through
+  * [[TxProcedures]] (r15). The `SupportsDelete` surface below
+  * ([[TxFilters]] translating the V1 filter tree) remains for
   * non-SQL DSv2 callers; SQL no longer inherits its translation ceiling.
   *
   * READ PATH: scans bridge through [[V1Scan]] (the JDBC-source shape) —

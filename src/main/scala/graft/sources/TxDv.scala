@@ -124,16 +124,35 @@ object TxDv {
     def isEmpty: Boolean = refs.isEmpty
     /** Sidecar name bound to a BARE data-file name, if any. */
     def refOf(fileName: String): Option[String] = refs.get(fileName)
+    /** Per-instance file→bitmap memo so the PER-ROW probe is one
+      * lock-free ConcurrentHashMap read — [[BitmapCache]]'s synchronized
+      * LRU is only touched on the FIRST probe of each file (32 scan
+      * threads serializing on one monitor per row would undo the win of
+      * shipping descriptors). Transient: rebuilt empty wherever the
+      * closure deserializes, bounded by this scan's vectored-file count.
+      */
+    @transient private lazy val resolved =
+      new java.util.concurrent.ConcurrentHashMap[String, Bitmap]()
     def deleted(file: UTF8String, rowIndex: Long): Boolean = {
       val f = file.toString
       // scans see absolute paths; dv keys are bare file names
       val name = f.substring(f.lastIndexOf('/') + 1)
+      val hit = resolved.get(name)
+      if (hit != null) return hit.get(rowIndex)
       refs.get(name) match {
-        case Some(ref) => BitmapCache.get(dvDir, ref).get(rowIndex)
-        case None => false
+        case Some(ref) =>
+          val bm = BitmapCache.get(dvDir, ref)
+          resolved.putIfAbsent(name, bm): Unit
+          bm.get(rowIndex)
+        case None =>
+          resolved.putIfAbsent(name, EmptyBitmap): Unit
+          false
       }
     }
   }
+
+  /** Shared zero-bit vector for [[DvRefs]]' negative memo entries. */
+  private val EmptyBitmap = new Bitmap()
 
   /** Process-wide sidecar bitmap cache (executor-side on a cluster; the
     * one JVM in local mode). Sidecars are immutable once written — a

@@ -84,12 +84,21 @@ class TxSource extends RelationProvider with DataSourceRegister
           "compactor's job: TxTable.compact/compactZ)")
     val bloomCols = parameters.get("bloomCols")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-    val exists = TxTable.commits(root).nonEmpty
+    // existence = any published commit file — a cheap directory probe,
+    // not a full log replay (this runs per batch write)
+    val exists = {
+      val log = java.nio.file.Paths.get(root, "_log")
+      java.nio.file.Files.isDirectory(log) && {
+        val s = java.nio.file.Files.list(log)
+        try s.anyMatch(p => p.getFileName.toString.endsWith(".json"))
+        finally s.close()
+      }
+    }
     mode match {
       case SaveMode.Append =>
         TxTable.append(ctx.sparkSession, root, data, bloomCols = bloomCols): Unit
       case SaveMode.Overwrite =>
-        if (exists) TxTable.overwrite(ctx.sparkSession, root, data): Unit
+        if (exists) TxTable.overwrite(ctx.sparkSession, root, data, bloomCols): Unit
         else TxTable.append(ctx.sparkSession, root, data, bloomCols = bloomCols): Unit
       case SaveMode.ErrorIfExists =>
         if (exists) throw new org.apache.spark.sql.catalyst.analysis
@@ -345,7 +354,13 @@ class TxDvParquetFileFormat(private[sources] val dvs: TxDv.DvRefs)
   // ParquetFileFormat's inherited equality says "any ParquetFileFormat" —
   // under it a DV-masking format equals the stock one (and another
   // instance masking DIFFERENT vectors), a latent false plan-cache-reuse
-  // hazard (ADVICE r14). Equality must include the vectors applied.
+  // hazard (ADVICE r14). Equality here includes the vectors applied.
+  // KNOWN ASYMMETRY: the stock class's own equals still answers true
+  // against this one (its isInstanceOf test is not overridable from a
+  // subclass), so in the stock-compares-first direction the guard that
+  // actually holds is `TxFileIndex` reference inequality — every relation
+  // load builds a fresh index, so HadoopFsRelation's case-class equality
+  // fails on the index field before format equality is ever consulted.
   override def equals(other: Any): Boolean = other match {
     case t: TxDvParquetFileFormat => t.dvs == dvs
     case _ => false

@@ -777,13 +777,8 @@ object TxTable {
     * reader sees "no such table" the whole time. Returns the staged adds
     * plus the footer-counted row total for the commit's metrics. */
   private[sources] def stageCtas(spark: SparkSession, root: String,
-                                 df: DataFrame): (Seq[Staged], Long) = {
-    val adds = writeData(spark, root, df)
-    val conf = spark.sessionState.newHadoopConf()
-    val rows = adds.map(a => TxStats
-      .fromFooterWithRows(conf, dataDir(root).resolve(a.name).toString)._2).sum
-    (adds, rows)
-  }
+                                 df: DataFrame): (Seq[Staged], Long) =
+    writeDataWithRows(spark, root, df)
 
   /** The publish half of atomic CTAS: ONE v0 `create` commit carrying the
     * schema AND the staged adds — a reader sees no table until the log
@@ -1252,7 +1247,15 @@ object TxTable {
     * file, amortized against every future point probe.
     */
   private def writeData(spark: SparkSession, root: String, df: DataFrame,
-                        bloomCols: Seq[String] = Nil): Seq[Staged] = {
+                        bloomCols: Seq[String] = Nil): Seq[Staged] =
+    writeDataWithRows(spark, root, df, bloomCols)._1
+
+  /** [[writeData]] plus the footer-counted total row count — for callers
+    * that need the count for commit metrics (atomic CTAS) without paying
+    * a second footer pass over files this staging JUST read. */
+  private def writeDataWithRows(spark: SparkSession, root: String, df: DataFrame,
+                                bloomCols: Seq[String] = Nil)
+      : (Seq[Staged], Long) = {
     Files.createDirectories(dataDir(root))
     val tmp = Files.createTempDirectory(Paths.get(root), ".stage")
     // a FAILED write job must not leak its temp dir (it would also keep a
@@ -1291,7 +1294,8 @@ object TxTable {
       bloomCols.filter(c => bloomable(c) &&
         h.stats.get(c).exists(s => s.t == "long" || s.t == "string"))
     }
-    if (eligible.isEmpty || names.isEmpty) names
+    val totalRows = staged.map(_._2).sum
+    val out = if (eligible.isEmpty || names.isEmpty) names
     else {
       val m = bloomBits(staged.map(_._2).max)
       val agg = org.apache.spark.sql.functions.udaf(
@@ -1316,6 +1320,7 @@ object TxTable {
         }
       }
     }
+    (out, totalRows)
   }
 
   /** Stage `df` as immutable CHANGE files under `cdc/` — the Delta
@@ -1328,17 +1333,19 @@ object TxTable {
   private def writeCdc(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
     Files.createDirectories(cdcDir(root))
     val tmp = Files.createTempDirectory(Paths.get(root), ".stagecdc")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val parts = Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      .sortBy(_.getFileName.toString)
-    val names = parts.map { p =>
-      val name = s"${java.util.UUID.randomUUID()}.parquet"
-      Files.move(p, cdcDir(root).resolve(name)): Unit
-      name
-    }
-    deleteRecursively(tmp)
-    names
+    // same leak guard as writeData: a FAILED change-capture job must not
+    // leave its temp dir under the table root
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val parts = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString)
+      parts.map { p =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        Files.move(p, cdcDir(root).resolve(name)): Unit
+        name
+      }
+    } finally deleteRecursively(tmp)
   }
 
   private def dropCdc(root: String, names: Seq[String]): Unit =
@@ -1883,10 +1890,12 @@ object TxTable {
         val add = TxDv.Bitmap.deserialize(r.getAs[Array[Byte]]("bm"))
         val merged = existing.vectors.get(f).fold(add)(old => add.or(old))
         val name = s"${java.util.UUID.randomUUID()}.dv"
+        // registered for abnormal-exit cleanup BEFORE the write: a failed
+        // write at sidecar k must still unstage sidecars 1..k
+        pendingDvs = pendingDvs :+ ((f, name))
         Files.write(dvDir(root).resolve(name), merged.serialize): Unit
         (f, name)
       }.toSeq
-      pendingDvs = dvActions
       // change feed: identical delete rows to the copy-on-write path
       val cdc = writeCdc(spark, root,
         scan.where(coalesce(predicate, lit(false)))
@@ -2176,8 +2185,10 @@ object TxTable {
       assertWritable(root, base)
       val live = readLive(spark, root, base, base.liveFiles)
       val cols = live.columns.toSeq
-      require(!cols.exists(c => c.startsWith("__src_") || c == "__matched"),
-        "mergeFull: target column names collide with the __src_/__matched helpers")
+      require(!cols.exists(c => c.startsWith("__src_") ||
+          Set("__matched", "__mact", "__nact", "__iact", "__file")(c)),
+        "mergeFull: target column names collide with the " +
+          "__src_/__matched/__mact/__nact/__iact/__file helpers")
       val joinCond = keyCols.map(k => live(k) === srcP(s"__src_$k")).reduce(_ && _)
       // determinism probe over the JOINED shape (the same trap assertDeterministic
       // guards for delete/update): conditions and assignments re-evaluate
@@ -2392,12 +2403,13 @@ object TxTable {
     * displaced rows against the new snapshot and retries. Schema follows
     * the additive-evolution rule like append.
     */
-  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+                bloomCols: Seq[String] = Nil): Long = {
     val rows = df.count()
     val pre = snapshot(spark, root, None)
     assertWritable(root, pre) // protocol-gate BEFORE staging IO
     evolvedSchema(spark, root, pre, df.schema): Unit // fail fast, before staging
-    val adds = writeData(spark, root, df)
+    val adds = writeData(spark, root, df, bloomCols)
     def unstage(): Unit =
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
     // the CURRENT attempt's uncommitted change files, so the abnormal-exit
@@ -2505,7 +2517,6 @@ object TxTable {
       // re-adds rebind their target vector (removal retired any binding);
       // shared files rebind on difference; a vector gained since the
       // target clears via a fresh empty sidecar
-      val fresh = Seq.newBuilder[String]
       val dvActions = target.liveFiles.flatMap { f =>
         val tgt = target.liveDvs.get(f)
         val cur = if (curLive(f)) base.liveDvs.get(f) else None
@@ -2514,15 +2525,15 @@ object TxTable {
           case (None, Some(_)) =>
             val name = s"${java.util.UUID.randomUUID()}.dv"
             Files.createDirectories(dvDir(root))
+            // registered BEFORE the write so a partial write still cleans
+            pendingDvs = pendingDvs :+ (("", name))
             Files.write(dvDir(root).resolve(name),
               new TxDv.Bitmap().serialize): Unit
-            fresh += name
             Some(f -> name)
           case _ => None
         }
       }
-      val freshSidecars = fresh.result()
-      pendingDvs = freshSidecars.map(("", _))
+      val freshSidecars = pendingDvs.map(_._2)
       val adds = readds.map(f =>
         Staged(f, target.liveStats.getOrElse(f, Map.empty)))
       // change capture: the overwrite discipline — current rows out,

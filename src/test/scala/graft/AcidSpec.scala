@@ -2551,6 +2551,40 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.commits(troot).count(_.op == "schema_evolve") == 1)
   }
 
+  test("a failed mutation job leaves no staging residue (r15): temp dirs and staged files all unstage") {
+    val root = freshRoot()
+    TxTable.append(spark, root, frame(1 to 10, "a")) // values 10..100
+    def residue(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val top = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .iterator().asScala.map(_.getFileName.toString).toSeq
+      val data = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root, "data"))
+        .iterator().asScala.map(_.getFileName.toString).toSeq
+      (top.filter(_.startsWith(".stage")) ++ data).sorted
+    }
+    val before = residue()
+    // the assignment throws MID-JOB on value >= 80 (assert_true), inside
+    // the change-capture write — the first distributed job update runs
+    intercept[Exception] {
+      TxTable.update(spark, root, lit(true),
+        Map("value" -> (col("value") +
+          expr("assert_true(value < 80, 'boom')").cast("long"))))
+    }: Unit
+    assert(residue() == before,
+      s"failed update left staging residue: ${residue().diff(before)}")
+    // same discipline on a failed delete predicate evaluated in the
+    // rewrite/count jobs
+    intercept[Exception] {
+      TxTable.delete(spark, root,
+        coalesce(expr("assert_true(value < 80, 'boom')").cast("boolean"),
+          lit(true)))
+    }: Unit
+    assert(residue() == before)
+    assert(TxTable.read(spark, root).count() == 10L,
+      "failed mutations must leave the table state untouched")
+  }
+
   test("RESTORE (r15): a new commit reverts live set, schema, and vectors; CDF replays it; vacuumed states refuse; history survives") {
     val root = freshRoot()
     TxTable.append(spark, root, frame(1 to 20, "a")) // v0
