@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object TxProcedures {
 
-  val Names: Seq[String] = Seq("compact", "compact_zorder", "vacuum", "restore")
+  val Names: Seq[String] =
+    Seq("compact", "compact_zorder", "vacuum", "restore", "history")
 
   def load(catalog: TxCatalog, ident: Identifier): UnboundProcedure = {
     val full = (ident.namespace() :+ ident.name()).mkString(".")
@@ -111,6 +112,29 @@ private[sources] object TxProcedures {
             val v = TxTable.restore(spark, catalog.resolveTableRoot(row._1),
               target)
             Seq(new GenericInternalRow(Array[Any](target, v)))
+          })
+      }
+      case n @ "history" => new UnboundProcedure {
+        override def name(): String = n
+        override def description(): String =
+          "the commit log as rows — version, op, wall clock, row metrics " +
+            "(the DESCRIBE HISTORY analog; same data as option history=true)"
+        override def bind(inputType: StructType): BoundProcedure = bound(n,
+          Seq(ProcedureParameter.in("table", StringType).build()),
+          new StructType().add("version", LongType).add("op", StringType)
+            .add("timestamp", org.apache.spark.sql.types.TimestampType)
+            .add("rows_written", LongType).add("rows_updated", LongType)
+            .add("rows_inserted", LongType).add("rows_deleted", LongType),
+          { (_, row) =>
+            TxTable.commits(catalog.resolveTableRoot(row._1)).map { c =>
+              new GenericInternalRow(Array[Any](
+                c.version, UTF8String.fromString(c.op),
+                c.ts.map(m => (m * 1000L): java.lang.Long).orNull, // ms → µs
+                c.metrics.getOrElse("rows_written", 0L),
+                c.metrics.getOrElse("rows_updated", 0L),
+                c.metrics.getOrElse("rows_inserted", 0L),
+                c.metrics.getOrElse("rows_deleted", 0L)))
+            }
           })
       }
       case other => throw new UnsupportedOperationException(

@@ -202,11 +202,46 @@ class TxSource extends RelationProvider with DataSourceRegister
       if (asOf.isDefined) throw new IllegalArgumentException(
         "graft-tx: versionAsOf does not compose with readChangeFeed — " +
           "bound the feed with startingVersion/endingVersion instead")
-      val start = parameters.getOrElse("startingVersion",
+      // timestamp bounds (r15, the Delta startingTimestamp/endingTimestamp
+      // spelling): each resolves through the same latest-at-or-before rule
+      // as TIMESTAMP AS OF — except a STARTING timestamp between commits
+      // starts at the NEXT commit (the feed semantics: "changes since this
+      // instant" must not replay a commit that happened before it); a
+      // version and a timestamp for the same bound refuse to compose.
+      def ts(raw: String): Long =
+        if (raw.forall(_.isDigit)) raw.toLong
+        else java.sql.Timestamp.valueOf(raw).getTime
+      val startTs = parameters.get("startingTimestamp")
+      val endTs = parameters.get("endingTimestamp")
+      if (startTs.isDefined && parameters.contains("startingVersion"))
         throw new IllegalArgumentException(
-          "graft-tx readChangeFeed needs option startingVersion=<v> " +
-            "(and optionally endingVersion)")).toLong
+          "graft-tx readChangeFeed: startingVersion and startingTimestamp " +
+            "do not compose — they could name different versions; pin one")
+      if (endTs.isDefined && parameters.contains("endingVersion"))
+        throw new IllegalArgumentException(
+          "graft-tx readChangeFeed: endingVersion and endingTimestamp " +
+            "do not compose — they could name different versions; pin one")
+      val start = parameters.get("startingVersion").map(_.toLong)
+        .orElse(startTs.map { raw =>
+          val millis = ts(raw)
+          // at-or-before version v means: v's changes predate the instant
+          // unless v committed exactly AT it — start from the first commit
+          // whose effective time is ≥ the instant
+          try {
+            val v = TxTable.versionAtTimestamp(root, millis)
+            if (TxTable.timestampOfVersion(root, v) >= millis) v else v + 1
+          } catch {
+            // an instant BEFORE the first commit starts the feed at 0 —
+            // "everything since then", the Delta rule for starting bounds
+            case _: IllegalArgumentException => 0L
+          }
+        })
+        .getOrElse(throw new IllegalArgumentException(
+          "graft-tx readChangeFeed needs option startingVersion=<v> or " +
+            "startingTimestamp=<t> (and optionally endingVersion/" +
+            "endingTimestamp)"))
       val end = parameters.get("endingVersion").map(_.toLong)
+        .orElse(endTs.map(raw => TxTable.versionAtTimestamp(root, ts(raw))))
       return new TxCdfRelation(ctx, root, start, end)
     }
     val s = TxTable.snapshot(spark, root, asOf)

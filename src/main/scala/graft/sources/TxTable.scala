@@ -1476,18 +1476,7 @@ object TxTable {
     * commit at-or-before the instant under the adjusted clock.
     */
   def versionAtTimestamp(root: String, tsMillis: Long): Long = {
-    val all = commits(root)
-    if (all.isEmpty)
-      throw new IllegalArgumentException(s"no tx table at $root")
-    def fileTime(v: Long): Long =
-      try Files.getLastModifiedTime(logDir(root).resolve(f"$v%020d.json")).toMillis
-      catch { case _: java.io.IOException => Long.MinValue }
-    var prev = Long.MinValue
-    val effective = all.map { c =>
-      val t = math.max(c.ts.getOrElse(fileTime(c.version)), prev)
-      prev = t
-      (c.version, t)
-    }
+    val effective = effectiveTimes(root)
     val atOrBefore = effective.filter(_._2 <= tsMillis)
     if (atOrBefore.isEmpty)
       throw new IllegalArgumentException(
@@ -1496,6 +1485,31 @@ object TxTable {
           s"(${java.time.Instant.ofEpochMilli(effective.head._2)})")
     atOrBefore.last._1
   }
+
+  /** Every commit's EFFECTIVE wall clock: the recorded `ts` (commit-file
+    * mtime fallback for pre-r15 logs), monotonized so clock skew between
+    * racing writers cannot reorder resolution. */
+  private def effectiveTimes(root: String): Seq[(Long, Long)] = {
+    val all = commits(root)
+    if (all.isEmpty)
+      throw new IllegalArgumentException(s"no tx table at $root")
+    def fileTime(v: Long): Long =
+      try Files.getLastModifiedTime(logDir(root).resolve(f"$v%020d.json")).toMillis
+      catch { case _: java.io.IOException => Long.MinValue }
+    var prev = Long.MinValue
+    all.map { c =>
+      val t = math.max(c.ts.getOrElse(fileTime(c.version)), prev)
+      prev = t
+      (c.version, t)
+    }
+  }
+
+  /** The effective (monotonized) wall clock of one committed version —
+    * what the change feed's timestamp bounds compare against. */
+  private[sources] def timestampOfVersion(root: String, version: Long): Long =
+    effectiveTimes(root).find(_._1 == version).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit at version $version of $root"))
 
   /** PROTOCOL versions (r13, the Delta protocol action): what this build
     * can read and write. A table's first commit records `protocol` in its

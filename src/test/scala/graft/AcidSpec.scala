@@ -2381,6 +2381,30 @@ class AcidSpec extends SparkSpec {
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     assert(spark.sql(s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF '$litTs'")
       .head().getLong(0) == 20L)
+    // CDF timestamp bounds (r15, the Delta startingTimestamp/
+    // endingTimestamp spelling): a STARTING instant between commits
+    // starts at the NEXT commit ("changes since this instant" never
+    // replays an earlier commit); an ENDING instant takes
+    // latest-at-or-before; before-first STARTS at 0 ("everything since")
+    def feedCount(opts: (String, String)*): Long = {
+      val r = spark.read.format("graft-tx").option("readChangeFeed", "true")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+        .load(root).count()
+    }
+    // v0 inserts 10, v1 inserts 10, v2 deletes 5
+    assert(feedCount("startingTimestamp" -> (t0 + 10000).toString) == 15L)
+    assert(feedCount("startingTimestamp" -> (t0 + 10001).toString) == 5L)
+    assert(feedCount("startingTimestamp" -> (t0 - 5000).toString) == 25L)
+    assert(feedCount("startingVersion" -> "0",
+      "endingTimestamp" -> (t0 + 15000).toString) == 20L)
+    intercept[IllegalArgumentException] {
+      feedCount("startingVersion" -> "0",
+        "startingTimestamp" -> t0.toString)
+    }: Unit
+    intercept[IllegalArgumentException] {
+      feedCount("startingTimestamp" -> t0.toString,
+        "endingVersion" -> "1", "endingTimestamp" -> (t0 + 10000).toString)
+    }: Unit
     // pre-timestamp commits (r14-and-older logs) resolve by commit-file
     // mtime — the Delta fallback — monotonized against their neighbors
     val v1File = java.nio.file.Paths.get(root, "_log", f"${1L}%020d.json")
@@ -2669,6 +2693,13 @@ class AcidSpec extends SparkSpec {
     assert(TxTable.commits(troot).last.version == zv &&
       TxTable.read(spark, troot).count() == 30L)
     // refusals: unknown procedure (naming the known set), unknown table
+    // history via CALL — the DESCRIBE HISTORY analog as a procedure
+    val hist = spark.sql("CALL graft_pr.history('default.ops')").collect()
+    assert(hist.length == TxTable.commits(troot).size)
+    assert(hist.map(_.getString(1)).toSet ==
+      TxTable.commits(troot).map(_.op).toSet)
+    assert(hist.forall(r => r.getTimestamp(2) != null),
+      "r15 commits must all carry a wall clock")
     // Spark wraps the load failure (FAILED_TO_LOAD_ROUTINE); our refusal
     // naming the known set rides the cause chain
     val eUnknown = intercept[Exception] {
