@@ -313,9 +313,16 @@ class TxV2Table(private[sources] val root: String, ident: String,
     }
   }
 
+  // AUTOMATIC_SCHEMA_EVOLUTION (r15): lets the analyzer's
+  // ResolveMergeIntoSchemaEvolution widen this table for
+  // `MERGE WITH SCHEMA EVOLUTION` — it computes AddColumn diffs from the
+  // merge source and applies them through TxCatalog.alterTable, which is
+  // the metadata-only `schema_evolve` commit; non-additive diffs (type
+  // changes, nested fields) refuse there, loudly
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(root, asOf, schema())

@@ -125,11 +125,16 @@ private[sources] object TxDmlRules {
 
   def mergeCommand(t: TxV2Table, m: MergeIntoTable): LogicalPlan = {
     t.asOf.foreach(v => refuse(s"cannot MERGE INTO a VERSION AS OF $v view"))
-    if (m.withSchemaEvolution)
-      refuse("WITH SCHEMA EVOLUTION is not supported through MERGE " +
-        "(evolution is additive-by-append: INSERT INTO with the wider " +
-        "schema first, then MERGE) — ignoring the clause would silently " +
-        "drop the source's new columns")
+    // WITH SCHEMA EVOLUTION (r15): by the time this rule sees the plan,
+    // the analyzer's ResolveMergeIntoSchemaEvolution has ALREADY widened
+    // the table — it computed AddColumn diffs from the source and ran
+    // them through TxCatalog.alterTable (the table declares
+    // AUTOMATIC_SCHEMA_EVOLUTION), i.e. a metadata-only `schema_evolve`
+    // commit — and the target here resolves under the widened schema.
+    // The evolution commit is durable even if the merge itself later
+    // fails (two commits, the documented trade; Delta folds both into
+    // one transaction). Non-additive changes (type widening, nested
+    // fields) refuse inside alterTable, loudly.
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
     // ON: conjunction of target-attr = source-attr equalities
@@ -236,12 +241,18 @@ private[sources] object TxDmlRules {
           cond.toSeq ++ assigns.map(_.value))
         assertDistinctTargets(assigns.map(nameOf))
         val byName = assigns.map(a => nameOf(a) -> a.value).toMap
-        val missing = targetCols.map(_.name).filterNot(byName.contains)
-        if (missing.nonEmpty)
-          refuse(s"INSERT must assign every target column (missing " +
-            s"${missing.mkString(", ")})")
-        (cond, (cond.map(rewrite),
-          byName.map { case (n, v) => n -> rewrite(v) }))
+        val unknown = byName.keys.filterNot(n => targetCols.exists(_.name == n))
+        if (unknown.nonEmpty)
+          refuse(s"INSERT assigns unknown column(s) ${unknown.mkString(", ")}")
+        // unassigned target columns NULL-fill (r15 — the Delta/Spark
+        // alignment semantics; also what evolution-added columns need,
+        // since a pre-evolution INSERT list cannot name them)
+        val filled = targetCols.map { ta =>
+          ta.name -> byName.get(ta.name).map(rewrite).getOrElse(
+            GraftBridge.column(org.apache.spark.sql.catalyst.expressions
+              .Literal(null, ta.dataType)))
+        }.toMap
+        (cond, (cond.map(rewrite), filled))
       case other => refuse(
         s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
     }

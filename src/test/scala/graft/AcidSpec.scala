@@ -1438,16 +1438,6 @@ class AcidSpec extends SparkSpec {
     val cDel = TxTable.commits(root).last
     assert(cDel.op == "merge" && cDel.metrics("rows_deleted") == 2 &&
       cDel.metrics("rows_updated") == 0 && cDel.metrics("rows_inserted") == 0)
-    // WITH SCHEMA EVOLUTION refuses — ignoring it would silently drop the
-    // source's new columns (evolution is additive-by-append)
-    val eEvo = intercept[UnsupportedOperationException] {
-      spark.sql(
-        s"""MERGE WITH SCHEMA EVOLUTION INTO $t tgt
-           |USING merge_src2 s ON tgt.id = s.id
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(eEvo.getMessage.contains("SCHEMA EVOLUTION"), eEvo.getMessage)
     // a duplicated assignment target would last-write-win through a map —
     // the half-apply class — so it refuses
     val eDup2 = intercept[UnsupportedOperationException] {
@@ -1471,6 +1461,18 @@ class AcidSpec extends SparkSpec {
       .count() == 2)
     assert(TxTable.read(spark, root).where($"id".isin(4L, 102L)).count() == 0,
       "the transformed-key insert must not resurrect the ON-key rows")
+    // WITH SCHEMA EVOLUTION is supported since r15 (dedicated spec
+    // below); with a source adding NO columns it degrades to a plain
+    // merge — no schema_evolve commit appears
+    val nBefore = TxTable.commits(root).size
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t tgt
+         |USING merge_src2 s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+    val opsAfter = TxTable.commits(root).map(_.op)
+    assert(!opsAfter.contains("schema_evolve"), opsAfter.toString)
+    assert(TxTable.commits(root).size == nBefore + 1, opsAfter.toString)
   }
 
   test("SQL MERGE generalized (r15): conditional clauses first-match-wins, matched DELETE, conditional INSERT routing, NOT MATCHED BY SOURCE") {
@@ -2607,6 +2609,63 @@ class AcidSpec extends SparkSpec {
     assert(residue() == before)
     assert(TxTable.read(spark, root).count() == 10L,
       "failed mutations must leave the table state untouched")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION (r15): source columns widen the table as a schema_evolve commit; partial INSERT NULL-fills") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mse").toString
+    val troot = s"$base/default/ev"
+    TxTable.append(spark, troot, frame(1 to 6, "a"))
+    spark.conf.set("spark.sql.catalog.graft_mse", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mse.root", base)
+    val t = "graft_mse.default.ev"
+    Seq((2L, 20L, "n2"), (7L, 70L, "n7"))
+      .toDF("id", "score", "note").createOrReplaceTempView("mse_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t tgt USING mse_src s
+         |ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET score = s.score, note = s.note
+         |WHEN NOT MATCHED THEN INSERT (id, score, note)
+         |  VALUES (s.id, s.score, s.note)""".stripMargin): Unit
+    // the widening landed as the analyzer-driven ALTER: a metadata-only
+    // schema_evolve commit, then the merge — two commits, evolution first
+    val ops = TxTable.commits(troot).map(_.op)
+    assert(ops == Seq("append", "schema_evolve", "merge"), ops.toString)
+    val back = spark.sql(s"SELECT * FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("score")),
+        Option(r.getAs[String]("note")))).toSeq
+    // matched row took the new columns; untouched rows NULL-backfill;
+    // the inserted row NULL-fills the PRE-evolution columns it never named
+    assert(back.find(_._1 == 2L).get == ((2L, Some(20L), Some("n2"))))
+    assert(back.find(_._1 == 1L).get == ((1L, None, None)))
+    assert(back.find(_._1 == 7L).get == ((7L, Some(70L), Some("n7"))))
+    val ins = spark.sql(s"SELECT tag, value FROM $t WHERE id = 7").head()
+    assert(ins.isNullAt(0) && ins.isNullAt(1),
+      "partial INSERT must NULL-fill unassigned pre-evolution columns")
+    // time travel BEFORE the evolution still reads the narrow schema
+    assert(TxTable.read(spark, troot, Some(0)).columns.toSeq ==
+      Seq("id", "tag", "value"))
+    // a source column whose TYPE conflicts with an existing target column
+    // is a non-additive change: the ALTER path refuses loudly, no commit
+    Seq((1L, "oops")).toDF("id", "value").createOrReplaceTempView("mse_bad")
+    val nCommits = TxTable.commits(troot).size
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $t tgt USING mse_bad s
+           |ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+    }: Unit
+    assert(TxTable.commits(troot).size == nCommits,
+      "a refused evolution must commit nothing")
+    // partial INSERT without evolution also NULL-fills (the Delta/Spark
+    // alignment semantics); keys transform by pre-projecting the source
+    spark.sql("SELECT id + 100 AS id, score FROM mse_src")
+      .createOrReplaceTempView("mse_shift")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING mse_shift s ON tgt.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, score) VALUES (s.id, s.score)
+         |""".stripMargin): Unit
+    val p102 = spark.sql(s"SELECT tag, value, note FROM $t WHERE id = 102").head()
+    assert(p102.isNullAt(0) && p102.isNullAt(1) && p102.isNullAt(2))
   }
 
   test("RESTORE (r15): a new commit reverts live set, schema, and vectors; CDF replays it; vacuumed states refuse; history survives") {
