@@ -33,10 +33,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *    chains, and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
   *    UPDATE/DELETE` (whose expressions may reference target columns
   *    only). SET and INSERT values are independent expressions; `SET *` /
-  *    `INSERT *` included. The ON condition must be a conjunction of
-  *    target-column = source-column equalities. Remaining refusals:
-  *    WITH SCHEMA EVOLUTION, subqueries in clause expressions,
-  *    duplicated assignment targets, ambiguous source column names.
+  *    `INSERT *` included; partial INSERT lists NULL-fill unassigned
+  *    columns (the Delta/Spark alignment semantics). `WITH SCHEMA
+  *    EVOLUTION` works (r15): the analyzer widens the table through the
+  *    catalog's ALTER path — a metadata-only `schema_evolve` commit —
+  *    before this rule runs (see [[mergeCommand]]). The ON condition must
+  *    be a conjunction of target-column = source-column equalities.
+  *    Remaining refusals: subqueries in clause expressions, duplicated
+  *    assignment targets, ambiguous source column names.
   *  - `UPDATE t SET c = expr, … [WHERE pred]` — assignments are
   *    expressions over the row's own columns evaluated against the OLD
   *    row, three-valued-logic predicate, any Catalyst-expressible
