@@ -68,18 +68,24 @@ object TxChangesSource {
     * goes through the PROVIDER'S session, not `SparkSession.active`
     * (ADVICE r12) — in a multi-session deployment the active session can
     * be a different one with different conf/catalog state. */
-  private[sources] def schemaFor(spark: SparkSession, root: String): StructType = {
+  private[sources] def schemaFor(spark: SparkSession, root: String): StructType =
+    tableSchemaFor(spark, root)
+      .add("_change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
+
+  /** The TABLE schema half of [[schemaFor]] — also the fixed schema of
+    * the r15 table stream ([[TxStreamSource]]), which carries no feed
+    * columns. */
+  private[sources] def tableSchemaFor(spark: SparkSession, root: String): StructType = {
     // the snapshot too threads the provider's session (ADVICE r13): a
     // checkpoint-accelerated snapshot can run a distributed parquet read,
     // which must land on THIS session, not whichever is `active`
     val s = TxTable.snapshot(spark, root, None)
-    val base = s.schemaJson.map(TxTable.schemaOf).getOrElse {
+    s.schemaJson.map(TxTable.schemaOf).getOrElse {
       val f = s.liveFiles.headOption.getOrElse(
         throw new IllegalStateException(s"empty tx table at $root"))
       spark.read.parquet(s"$root/data/$f").schema
     }
-    base.add("_change_type", StringType, nullable = false)
-      .add("_commit_version", LongType, nullable = false)
   }
 }
 

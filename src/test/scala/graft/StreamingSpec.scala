@@ -963,4 +963,68 @@ class StreamingSpec extends SparkSpec {
     poll()
     assert(mv.toMap == before)
   }
+
+  test("graft-tx table stream (r15): opening snapshot then appends; compaction contributes nothing; a mutation fails loudly") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_stream").toString
+    def frame(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, tag, i * 10L)).toDF("id", "tag", "value")
+    TxTable.append(spark, root, frame(1 to 20, "a").repartition(2)) // v0
+    TxTable.delete(spark, root, col("id") > 18L)                    // v1 (pre-stream)
+    val q = spark.readStream.format("graft-tx").load(root)
+      .writeStream.format("memory").queryName("tbl_stream")
+      .outputMode("append").start()
+    def sink(): Seq[Long] =
+      spark.table("tbl_stream").collect().map(_.getAs[Long]("id")).toSeq.sorted
+    try {
+      // first batch: the OPENING snapshot (the pre-stream delete applied)
+      q.processAllAvailable()
+      assert(sink() == (1L to 18L))
+      // appends stream as they commit
+      TxTable.append(spark, root, frame(21 to 25, "b"))             // v2
+      q.processAllAvailable()
+      assert(sink() == ((1L to 18L) ++ (21L to 25L)))
+      // compaction (dataChange=false) re-emits NOTHING — re-reading the
+      // compacted files would duplicate every row
+      TxTable.compact(spark, root, targetFiles = 1)                 // v3
+      q.processAllAvailable()
+      assert(sink() == ((1L to 18L) ++ (21L to 25L)))
+      // appends after a compaction keep streaming
+      TxTable.append(spark, root, frame(26 to 26, "c"))             // v4
+      q.processAllAvailable()
+      assert(sink().contains(26L))
+    } finally q.stop()
+    // a MUTATING commit in range fails the stream loudly: restart the
+    // stream over a table that then deletes — the next batch must throw
+    val q2 = spark.readStream.format("graft-tx")
+      .option("startingVersion", (TxTable.snapshot(root).version + 1).toString)
+      .load(root)
+      .writeStream.format("memory").queryName("tbl_stream2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      TxTable.delete(spark, root, col("id") === 3L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("append-only table stream"), msgs)
+    } finally q2.stop()
+    // startingVersion mode: appends from that version on, no snapshot
+    val root2 = java.nio.file.Files.createTempDirectory("graft_tbl_sv").toString
+    TxTable.append(spark, root2, frame(1 to 10, "a"))  // v0 — skipped
+    TxTable.append(spark, root2, frame(11 to 15, "b")) // v1 — streamed
+    val q3 = spark.readStream.format("graft-tx")
+      .option("startingVersion", "1").load(root2)
+      .writeStream.format("memory").queryName("tbl_stream3")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("tbl_stream3").collect()
+        .map(_.getAs[Long]("id")).toSeq.sorted == (11L to 15L))
+    } finally q3.stop()
+  }
 }
