@@ -54,7 +54,8 @@ class TxChangesSourceProvider extends StreamSourceProvider with DataSourceRegist
         val n = v.toLong
         require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
         n
-      })
+      },
+      Some(new TxSourceState(ctx.sparkSession, metadataPath)))
 }
 
 object TxChangesSource {
@@ -89,49 +90,128 @@ object TxChangesSource {
   }
 }
 
-class TxChangesSource(spark: SparkSession, root: String, startVersion: Long,
-                      maxVersionsPerTrigger: Option[Long] = None)
-    extends Source {
+/** Tiny per-source PERSISTED state (r15, closing the restart-regression
+  * class a self-review surfaced): the pinned first version and the
+  * highest version handed out as a batch end, stored as one small JSON
+  * file under the query's source-metadata directory. Without it, a
+  * restarted source re-derived both from scratch — the rate-limit base
+  * regressed below the committed offset (and `MicroBatchExecution`
+  * treats ANY offset change as new data, `!=` not `>`), re-serving
+  * already-delivered versions as fresh batches; and the table stream's
+  * initial snapshot re-pinned to the CURRENT latest version on a
+  * replayed batch 0, double-emitting whatever committed in between. A
+  * torn/unreadable file degrades to the old derive-from-scratch path,
+  * never worse. Goes through Hadoop's FileSystem so checkpoint dirs on
+  * any supported filesystem work.
+  */
+private[sources] final class TxSourceState(spark: SparkSession,
+                                           metadataPath: String) {
+  private val path = new org.apache.hadoop.fs.Path(metadataPath, "graft-source-state")
+  private def fs = path.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private val schema0 = TxChangesSource.schemaFor(spark, root)
+  def load(): Option[(Long, Long)] =
+    try {
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        val m = txt.trim.split(",")
+        Some((m(0).toLong, m(1).toLong))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-  override def schema: StructType = schema0
+  def save(first: Long, handedOut: Long): Unit =
+    try {
+      val out = fs.create(path, true)
+      try out.write(s"$first,$handedOut".getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+}
 
-  private def ver(o: Offset): Long = o match {
+/** Shared version-offset scaffolding of the two streaming sources (the
+  * change feed and the r15 table stream): offsets ARE table versions;
+  * `maxVersionsPerTrigger` pages the backlog from the persisted
+  * handed-out base, so neither a late subscriber nor a restarted one
+  * floods or re-serves. */
+private[sources] abstract class TxVersionedSource(
+    spark: SparkSession, root: String,
+    state: Option[TxSourceState],
+    maxVersionsPerTrigger: Option[Long]) extends Source {
+
+  /** First version this stream serves — pinned across restarts by the
+    * persisted state when present. */
+  protected def firstVersion: Long
+
+  protected def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => LongOffset(s).offset
     case other => other.json().toLong
   }
 
   /** Highest version already HANDED OUT as a batch end (advanced in
-    * [[getBatch]], including checkpoint-recovery replays) — the base the
-    * rate limit counts from. The DeltaSource `maxFilesPerTrigger` shape
-    * (VERDICT r12 #5): without it, a late subscriber over a long history
-    * gets the whole backlog as ONE micro-batch. */
-  @volatile private var handedOut: Long = startVersion - 1L
+    * `getBatch`, including checkpoint-recovery replays, and persisted) —
+    * the base the rate limit counts from. The DeltaSource
+    * `maxFilesPerTrigger` shape (VERDICT r12 #5). */
+  @volatile protected var handedOut: Long = Long.MinValue
+
+  private def handedBase: Long =
+    if (handedOut != Long.MinValue) handedOut
+    else {
+      handedOut = state.flatMap(_.load()).map(_._2).getOrElse(firstVersion - 1L)
+      handedOut
+    }
 
   override def getOffset: Option[Offset] = {
     val v = TxTable.snapshot(spark, root, None).version
-    if (v < startVersion) None
+    if (v < firstVersion) None
     else {
       // page through the backlog: at most maxVersionsPerTrigger versions
       // beyond what getBatch has already served (unbounded when unset)
       val capped = maxVersionsPerTrigger
-        .fold(v)(m => math.min(v, math.max(handedOut, startVersion - 1L) + m))
-      if (capped < startVersion) None else Some(LongOffset(capped))
+        .fold(v)(m => math.min(v, math.max(handedBase, firstVersion - 1L) + m))
+      if (capped < firstVersion) None else Some(LongOffset(capped))
     }
   }
+
+  /** Advance + persist the rate-limit base — every getBatch calls this
+    * first (normal progress AND checkpoint-recovery replays). */
+  protected def handOut(to: Long): Unit =
+    if (to > handedBase) {
+      handedOut = to
+      state.foreach(_.save(firstVersion, to))
+    }
+
+  /** The empty streaming frame / batch-wrapping tail shared by both
+    * sources. */
+  protected def wrap(batch: DataFrame, schema0: StructType): DataFrame =
+    org.apache.spark.sql.GraftBridge.streamingDataFrame(
+      spark, batch.queryExecution.toRdd, schema0)
+
+  protected def emptyBatch(schema0: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+
+  override def stop(): Unit = ()
+}
+
+class TxChangesSource(spark: SparkSession, root: String, startVersion: Long,
+                      maxVersionsPerTrigger: Option[Long] = None,
+                      state: Option[TxSourceState] = None)
+    extends TxVersionedSource(spark, root, state, maxVersionsPerTrigger) {
+
+  private val schema0 = TxChangesSource.schemaFor(spark, root)
+
+  override def schema: StructType = schema0
+
+  override protected def firstVersion: Long = startVersion
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver(_) + 1).getOrElse(startVersion)
     val to = ver(end)
-    // rate-limit base: covers normal progress AND checkpoint recovery
-    // (the first getBatch replays the last committed range)
-    if (to > handedOut) handedOut = to
+    handOut(to)
     val batch =
-      if (from > to)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+      if (from > to) emptyBatch(schema0)
       else {
         val df = TxTable.readChanges(spark, root, from, Some(to))
         // a MID-STREAM schema evolution surfaces as batch columns beyond
@@ -151,9 +231,6 @@ class TxChangesSource(spark: SparkSession, root: String, startVersion: Long,
           else lit(null).cast(f.dataType).as(f.name)
         }.toSeq: _*)
       }
-    org.apache.spark.sql.GraftBridge.streamingDataFrame(
-      spark, batch.queryExecution.toRdd, schema0)
+    wrap(batch, schema0)
   }
-
-  override def stop(): Unit = ()
 }

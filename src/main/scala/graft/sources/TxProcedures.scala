@@ -7,7 +7,6 @@ import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL `CALL` surface for the format's OPERATIONAL verbs (r15, the DSv2
   * `ProcedureCatalog` seam Spark 4 ships): the maintenance every
@@ -119,23 +118,22 @@ private[sources] object TxProcedures {
         override def description(): String =
           "the commit log as rows — version, op, wall clock, row metrics " +
             "(the DESCRIBE HISTORY analog; same data as option history=true)"
-        override def bind(inputType: StructType): BoundProcedure = bound(n,
-          Seq(ProcedureParameter.in("table", StringType).build()),
-          new StructType().add("version", LongType).add("op", StringType)
-            .add("timestamp", org.apache.spark.sql.types.TimestampType)
-            .add("rows_written", LongType).add("rows_updated", LongType)
-            .add("rows_inserted", LongType).add("rows_deleted", LongType),
-          { (_, row) =>
-            TxTable.commits(catalog.resolveTableRoot(row._1)).map { c =>
-              new GenericInternalRow(Array[Any](
-                c.version, UTF8String.fromString(c.op),
-                c.ts.map(m => (m * 1000L): java.lang.Long).orNull, // ms → µs
-                c.metrics.getOrElse("rows_written", 0L),
-                c.metrics.getOrElse("rows_updated", 0L),
-                c.metrics.getOrElse("rows_inserted", 0L),
-                c.metrics.getOrElse("rows_deleted", 0L)))
-            }
-          })
+        override def bind(inputType: StructType): BoundProcedure = {
+          // schema AND rows both derive from TxTable.history — the ONE
+          // definition of the audit shape, so the procedure cannot drift
+          // from the relation it mirrors (option history=true); a logless
+          // root yields the empty frame under that same schema
+          val historySchema = TxTable
+            .history(SparkSession.active, "/graft-nonexistent-schema-probe")
+            .schema
+          bound(n,
+            Seq(ProcedureParameter.in("table", StringType).build()),
+            historySchema,
+            { (spark, row) =>
+              TxTable.history(spark, catalog.resolveTableRoot(row._1))
+                .queryExecution.executedPlan.executeCollect().toSeq
+            })
+        }
       }
       case other => throw new UnsupportedOperationException(
         s"unknown graft-tx procedure $full (no '$other'); available: " +

@@ -77,7 +77,8 @@ class TxSource extends RelationProvider with DataSourceRegister
         val n = v.toLong
         require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
         n
-      })
+      },
+      Some(new TxSourceState(ctx.sparkSession, metadataPath)))
 
   private def streamRootOf(parameters: Map[String, String]): String =
     parameters.get("path").orElse(parameters.get("root")).getOrElse(
@@ -253,27 +254,43 @@ class TxSource extends RelationProvider with DataSourceRegister
         throw new IllegalArgumentException(
           "graft-tx readChangeFeed: endingVersion and endingTimestamp " +
             "do not compose — they could name different versions; pin one")
+      // ONE effective-times pass answers both bounds (each entry is a
+      // commit's monotonized wall clock — ties are legitimate under
+      // clock-skew monotonization, and the FIRST tied commit must count
+      // for a starting bound)
+      lazy val times = TxTable.effectiveTimes(root)
       val start = parameters.get("startingVersion").map(_.toLong)
         .orElse(startTs.map { raw =>
           val millis = ts(raw)
-          // at-or-before version v means: v's changes predate the instant
-          // unless v committed exactly AT it — start from the first commit
-          // whose effective time is ≥ the instant
-          try {
-            val v = TxTable.versionAtTimestamp(root, millis)
-            if (TxTable.timestampOfVersion(root, v) >= millis) v else v + 1
-          } catch {
-            // an instant BEFORE the first commit starts the feed at 0 —
-            // "everything since then", the Delta rule for starting bounds
-            case _: IllegalArgumentException => 0L
-          }
+          // the first commit whose effective time is ≥ the instant:
+          // "changes since this instant" — an instant before the first
+          // commit starts at 0 (everything since), one after the last
+          // refuses loudly rather than surfacing a confusing empty-range
+          // error at scan time
+          times.find(_._2 >= millis).map(_._1).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-tx readChangeFeed: startingTimestamp $raw is after " +
+                s"the latest commit of $root at " +
+                s"${java.time.Instant.ofEpochMilli(times.last._2)}"))
         })
         .getOrElse(throw new IllegalArgumentException(
           "graft-tx readChangeFeed needs option startingVersion=<v> or " +
             "startingTimestamp=<t> (and optionally endingVersion/" +
             "endingTimestamp)"))
       val end = parameters.get("endingVersion").map(_.toLong)
-        .orElse(endTs.map(raw => TxTable.versionAtTimestamp(root, ts(raw))))
+        .orElse(endTs.map { raw =>
+          val millis = ts(raw)
+          // ending bound: latest commit at-or-before the instant — the
+          // TIMESTAMP AS OF rule, refusing instants before the first
+          // commit (there are no changes to serve)
+          val atOrBefore = times.filter(_._2 <= millis)
+          if (atOrBefore.isEmpty)
+            throw new IllegalArgumentException(
+              s"graft-tx readChangeFeed: endingTimestamp $raw is before " +
+                s"the first commit of $root at " +
+                s"${java.time.Instant.ofEpochMilli(times.head._2)}")
+          atOrBefore.last._1
+        })
       return new TxCdfRelation(ctx, root, start, end)
     }
     val s = TxTable.snapshot(spark, root, asOf)

@@ -1,8 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.execution.streaming.Offset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -16,12 +15,16 @@ import org.apache.spark.sql.types.StructType
   *   .option("maxVersionsPerTrigger", "100")  // page the version backlog
   * }}}
   *
-  * The FIRST micro-batch is the full snapshot as of source start (one
-  * batch — the Delta initial-snapshot move), and every later batch is the
-  * rows APPENDED by the commits it covers, read from their data files
-  * (appends pay no change capture, so this is the cheapest possible
-  * tail). Offsets are table versions, exactly like the feed source, so
-  * checkpoint recovery resumes after the last committed batch.
+  * The FIRST micro-batch is the full snapshot as of the stream's pinned
+  * start version (one batch — the Delta initial-snapshot move), and every
+  * later batch is the rows APPENDED by the commits it covers, read from
+  * their data files (appends pay no change capture, so this is the
+  * cheapest possible tail). Offsets are table versions, exactly like the
+  * feed source; the start version and rate-limit base persist in the
+  * query's source-metadata directory ([[TxSourceState]]), so checkpoint
+  * recovery replays batch 0 against the SAME snapshot it originally
+  * read — a re-derived "latest" would double-emit whatever committed
+  * between the crash and the restart.
   *
   * CONTRACT ON MUTATIONS: a commit that REMOVES files or commits deletion
   * vectors inside the consumed range FAILS the stream loudly — an
@@ -37,50 +40,41 @@ import org.apache.spark.sql.types.StructType
   */
 class TxStreamSource(spark: SparkSession, root: String,
                      startingVersion: Option[Long],
-                     maxVersionsPerTrigger: Option[Long] = None)
-    extends Source {
+                     maxVersionsPerTrigger: Option[Long],
+                     stateOpt: Option[TxSourceState])
+    extends TxVersionedSource(spark, root, stateOpt, maxVersionsPerTrigger) {
 
-  /** The snapshot the stream opens on: its version is the first batch's
-    * END (inclusive); `startingVersion` replaces the snapshot with
-    * "appends from this version on" (the Delta spelling). */
-  private val startSnapshot = TxTable.snapshot(spark, root, None)
-  private val firstVersion: Long = startingVersion.getOrElse {
-    if (startSnapshot.version < 0)
-      throw new IllegalArgumentException(s"no tx table at $root")
-    startSnapshot.version
-  }
+  /** The stream's first version, PINNED across restarts: the persisted
+    * state wins (a recovered source must replay batch 0 against the same
+    * snapshot), else the explicit `startingVersion`, else the latest
+    * version at source creation — persisted immediately. */
+  private val pinnedFirst: Long = stateOpt.flatMap(_.load()).map(_._1)
+    .getOrElse {
+      val f = startingVersion.getOrElse {
+        val v = TxTable.snapshot(spark, root, None).version
+        if (v < 0)
+          throw new IllegalArgumentException(s"no tx table at $root")
+        v
+      }
+      stateOpt.foreach(_.save(f, f - 1L))
+      f
+    }
   private val initialSnapshot = startingVersion.isEmpty
+
+  override protected def firstVersion: Long = pinnedFirst
 
   private val schema0: StructType = TxChangesSource.tableSchemaFor(spark, root)
 
   override def schema: StructType = schema0
 
-  private def ver(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json().toLong
-  }
-
-  /** Highest version already handed out as a batch end — the rate-limit
-    * base (the feed source's `maxVersionsPerTrigger` shape). */
-  @volatile private var handedOut: Long = firstVersion - 1L
-
-  override def getOffset: Option[Offset] = {
-    val v = TxTable.snapshot(spark, root, None).version
-    if (v < firstVersion) None
-    else {
-      val capped = maxVersionsPerTrigger
-        .fold(v)(m => math.min(v, math.max(handedOut, firstVersion - 1L) + m))
-      if (capped < firstVersion) None else Some(LongOffset(capped))
-    }
-  }
-
   /** Rows appended by commits in [from, to]: add-only commits read from
     * their data files; mutation commits FAIL; layout/metadata-only
-    * commits contribute nothing. */
+    * commits contribute nothing. Range-bounded log parse — a per-trigger
+    * full replay would grow with table lifetime (the r13 readChanges
+    * lesson). */
   private def appendedRows(from: Long, to: Long): Option[DataFrame] = {
-    val range = TxTable.commits(root)
-      .filter(c => c.version >= from && c.version <= to)
+    if (from > to) return None
+    val range = TxTable.commitsInRange(root, math.max(from, 0L), Some(to))
     range.foreach { c =>
       if (c.dataChange && (c.removes.nonEmpty || c.dvs.nonEmpty))
         throw new IllegalStateException(
@@ -97,7 +91,7 @@ class TxStreamSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = ver(end)
-    if (to > handedOut) handedOut = to
+    handOut(to)
     // mid-stream evolution beyond the fixed schema: fail with the
     // restart contract (checked on the LOG's recorded schema — cheaper
     // and sooner than a per-batch column diff)
@@ -113,27 +107,23 @@ class TxStreamSource(spark: SparkSession, root: String,
     val tail = start match {
       case Some(s) => appendedRows(ver(s) + 1, to)
       case None if initialSnapshot =>
-        // first batch: the opening snapshot (its version ≤ to by
-        // construction) plus any appends that landed before the first
-        // trigger fired. The snapshot goes through the SNAPSHOT-GOVERNED
-        // reader — a merge-on-read table's deletion vectors apply; a raw
-        // file read would resurrect the vector-deleted rows
+        // batch 0: the snapshot AT THE PINNED VERSION (deterministic
+        // under recovery replay) plus any appends up to the offset. The
+        // snapshot goes through the SNAPSHOT-GOVERNED reader — a
+        // merge-on-read table's deletion vectors apply; a raw file read
+        // would resurrect the vector-deleted rows
+        val pinned = TxTable.snapshot(spark, root, Some(pinnedFirst))
         val snap =
-          if (startSnapshot.liveFiles.isEmpty) None
-          else Some(TxTable.read(spark, root, Some(startSnapshot.version))
+          if (pinned.liveFiles.isEmpty) None
+          else Some(TxTable.read(spark, root, Some(pinnedFirst))
             .select(schema0.fieldNames.map(col).toIndexedSeq: _*))
-        val later = appendedRows(firstVersion + 1, to)
+        val later = appendedRows(pinnedFirst + 1, to)
         (snap, later) match {
           case (Some(a), Some(b)) => Some(a.unionByName(b))
           case (a, b) => a.orElse(b)
         }
-      case None => appendedRows(firstVersion, to)
+      case None => appendedRows(pinnedFirst, to)
     }
-    val batch = tail.getOrElse(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0))
-    org.apache.spark.sql.GraftBridge.streamingDataFrame(
-      spark, batch.queryExecution.toRdd, schema0)
+    wrap(tail.getOrElse(emptyBatch(schema0)), schema0)
   }
-
-  override def stop(): Unit = ()
 }

@@ -135,7 +135,7 @@ object TxTable {
   /** Commit files with version in [from, to] — the tail parse a
     * checkpoint-accelerated snapshot does instead of replaying the whole
     * log (r12). */
-  private def commitsInRange(root: String, from: Long,
+  private[sources] def commitsInRange(root: String, from: Long,
                              to: Option[Long]): Seq[Commit] = {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -1489,7 +1489,7 @@ object TxTable {
   /** Every commit's EFFECTIVE wall clock: the recorded `ts` (commit-file
     * mtime fallback for pre-r15 logs), monotonized so clock skew between
     * racing writers cannot reorder resolution. */
-  private def effectiveTimes(root: String): Seq[(Long, Long)] = {
+  private[sources] def effectiveTimes(root: String): Seq[(Long, Long)] = {
     val all = commits(root)
     if (all.isEmpty)
       throw new IllegalArgumentException(s"no tx table at $root")
@@ -1503,13 +1503,6 @@ object TxTable {
       (c.version, t)
     }
   }
-
-  /** The effective (monotonized) wall clock of one committed version —
-    * what the change feed's timestamp bounds compare against. */
-  private[sources] def timestampOfVersion(root: String, version: Long): Long =
-    effectiveTimes(root).find(_._1 == version).map(_._2).getOrElse(
-      throw new IllegalArgumentException(
-        s"no commit at version $version of $root"))
 
   /** PROTOCOL versions (r13, the Delta protocol action): what this build
     * can read and write. A table's first commit records `protocol` in its

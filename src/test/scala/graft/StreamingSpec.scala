@@ -1013,6 +1013,46 @@ class StreamingSpec extends SparkSpec {
         .mkString(" | ")
       assert(msgs.contains("append-only table stream"), msgs)
     } finally q2.stop()
+    // CHECKPOINT RECOVERY under the rate limit (the r15 self-review
+    // scenario): the handed-out base and pinned start version persist in
+    // the source-metadata dir, so a restarted stream serves ONLY what
+    // committed while it was down — an in-memory-only base would regress
+    // below the committed offset and re-serve already-delivered versions
+    // (MicroBatchExecution treats ANY offset change as new data)
+    val rootR = java.nio.file.Files.createTempDirectory("graft_tbl_rec").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tbl_ckpt").toString
+    TxTable.append(spark, rootR, frame(1 to 10, "a")) // v0
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def startRec() = spark.readStream.format("graft-tx")
+      .option("maxVersionsPerTrigger", "1").load(rootR)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => delivered.add(r.getAs[Long]("id")): Unit)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val qr = startRec()
+    try {
+      qr.processAllAvailable()
+      TxTable.append(spark, rootR, frame(11 to 12, "b")) // v1
+      TxTable.append(spark, rootR, frame(13 to 14, "b")) // v2
+      qr.processAllAvailable()
+      assert(delivered.size == 14)
+    } finally qr.stop()
+    TxTable.append(spark, rootR, frame(15 to 16, "c")) // v3, while DOWN
+    delivered.clear()
+    val qr2 = startRec()
+    try {
+      qr2.processAllAvailable()
+      // a correct recovery delivers EXACTLY the offline append — a
+      // regressed rate-limit base would re-serve v1/v2's rows here
+      val ids = {
+        import scala.jdk.CollectionConverters._
+        delivered.iterator().asScala.toSeq.sorted
+      }
+      assert(ids == Seq(15L, 16L),
+        s"recovery must deliver only the offline append, got $ids")
+    } finally qr2.stop()
     // startingVersion mode: appends from that version on, no snapshot
     val root2 = java.nio.file.Files.createTempDirectory("graft_tbl_sv").toString
     TxTable.append(spark, root2, frame(1 to 10, "a"))  // v0 — skipped
