@@ -211,18 +211,16 @@ object GeoOps {
     // round (prop + union, then the compression self-join), so an
     // unstaged foldLeft re-executes the upstream subtree 4^rounds times —
     // including the corpus-sized event census (the r8 bench caught the
-    // unstaged version at 15.8 s against a sub-second family). Staging the
-    // geometry-bounded census/edges/per-round labels (all ≤360·180 rows)
-    // as tmp parquet is the [[DedupOps.duplicateClusters]] idiom: constant
-    // plan depth, each round executes once, and after the one staged
-    // census every stage really is metadata-sized. Attempt-unique dir so
-    // an abandoned builder can never race a rebuild (ADVICE r7).
-    val attemptDir = Tables.uniqueStageDir(spark, sfDir, "dbscan_run")
-    def stage(df: DataFrame, name: String): DataFrame = {
-      val path = s"$attemptDir/$name"
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+    // unstaged version at 15.8 s against a sub-second family). Every
+    // intermediate past the census is GEOMETRY-bounded (≤360·180 rows), so
+    // the lineage cut uses `localCheckpoint` — same constant plan depth
+    // and execute-once guarantee as the old per-attempt tmp-parquet stage,
+    // minus six parquet encode/list/decode round-trips per invocation
+    // (guide §5: localCheckpoint is the cheap lineage cut when fault
+    // tolerance of the intermediate is not needed — in local mode it never
+    // is). Measured r15 at sf0.1 isolated: 3.15 → 1.8 s. The blocks die
+    // with the query's RDDs (ContextCleaner), never pinned session-long.
+    def stage(df: DataFrame, name: String): DataFrame = df.localCheckpoint()
     val cells = stage(census, "cells")
     val offsets = for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1)
                         if dx != 0 || dy != 0 } yield (dx, dy)
@@ -232,21 +230,26 @@ object GeoOps {
           struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
       .select(col("src"), (col("lon") + col("o.dx")).as("nlon"),
         (col("lat") + col("o.dy")).as("nlat"))
+    // Checkpointed frames carry no size stats (Scan ExistingRDD →
+    // UnknownPartitioning), so without hints the planner falls back to
+    // sort-merge + two exchanges per bounded join. Every frame below is
+    // geometry-bounded, so broadcast is always safe and always right.
     val edges = stage(probe
-      .join(cells.select(col("cell").as("dst"), col("lon").as("nlon"),
-        col("lat").as("nlat")), Seq("nlon", "nlat"))
+      .join(broadcast(cells.select(col("cell").as("dst"), col("lon").as("nlon"),
+        col("lat").as("nlat"))), Seq("nlon", "nlat"))
       .select(col("src"), col("dst")), "edges")
     val init = cells.select(col("cell").as("v"), col("cell").as("label"))
     val lab = (1 to DbscanRounds).foldLeft(init) { (l, i) =>
       val prop = edges
-        .join(l.select(col("v").as("src"), col("label")), Seq("src"))
+        .join(broadcast(l.select(col("v").as("src"), col("label"))), Seq("src"))
         .select(col("dst").as("v"), col("label"))
       val p = stage(l.union(prop)
         .groupBy(col("v")).agg(min(col("label")).as("label")), s"round$i")
-      p.join(p.select(col("v").as("label"), col("label").as("ll")), Seq("label"))
+      p.join(broadcast(p.select(col("v").as("label"), col("label").as("ll"))),
+          Seq("label"))
         .select(col("v"), col("ll").as("label"))
     }
-    cells.join(lab, col("cell") === col("v"))
+    cells.join(broadcast(lab), col("cell") === col("v"))
       .select(col("lon"), col("lat"), col("n_points"), col("label").as("cluster"))
   }
 
