@@ -921,11 +921,18 @@ object RelationalOps {
     */
   def cmsSupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val cms = udaf(new graft.functions.CountMinAgg(CmsDepth, CmsWidth))
-    val sketch: Seq[Long] = Tables.lineitem(spark, sfDir)
-      .agg(cms(col("l_suppkey")).as("sk")).head.getSeq[Long](0)
-    val sketchLit = array(sketch.map(lit): _*)
+    // The finished block stays IN-PLAN as a one-row frame broadcast onto
+    // the exact aggregate — r15: the old shape `.head`-collected it and
+    // re-embedded it as a 1024-element array literal, which serialized the
+    // sketch into the plan AND forced two sequential driver jobs (sketch
+    // pass, then estimate pass). One action now runs both lineitem passes
+    // as parallel branches (the cmsJoinEstimate move); `element_at` probes
+    // the sketch column instead of the literal — same cells, same `least`,
+    // identical estimates.
+    val sketch = Tables.lineitem(spark, sfDir)
+      .agg(cms(col("l_suppkey")).as("sk"))
     val estCols = (0 until CmsDepth).map { j =>
-      element_at(sketchLit,
+      element_at(col("sk"),
         (lit(j * CmsWidth) +
           Tables.h24(concat(lit(s"$j:"), col("l_suppkey").cast("string"))) % CmsWidth +
           lit(1)).cast("int"))
@@ -933,6 +940,7 @@ object RelationalOps {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(sketch))
       .select(col("l_suppkey"), col("exact_cnt"), least(estCols: _*).as("cms_est"))
   }
 

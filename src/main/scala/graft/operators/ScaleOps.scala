@@ -661,10 +661,13 @@ object ScaleOps {
     val members = Tables.orders(spark, sfDir)
       .where(col("o_totalprice") > BloomMemberThreshold)
       .select(col("o_custkey"))
-    val words: Seq[Long] = members.agg(bloom(col("o_custkey"))).head.getSeq[Long](0)
+    // the finished 1 KB filter stays IN-PLAN as a one-row broadcast (the
+    // cmsJoinEstimate move, r15) instead of a `.head` collect + re-embedded
+    // 128-element literal: one action, build and probe as one job
+    val bloomDf = members.agg(bloom(col("o_custkey")).as("bw"))
     val probed = Tables.customer(spark, sfDir)
       .select(col("c_custkey"))
-      .withColumn("bw", array(words.map(lit): _*))
+      .crossJoin(broadcast(bloomDf))
       .withColumns(
         (0 until BloomHashes).map { j =>
           s"pos_$j" ->
