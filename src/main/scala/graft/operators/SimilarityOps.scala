@@ -868,28 +868,51 @@ object SimilarityOps {
     * division — engine-identical doubles.
     */
   def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    // r15 restructure (the nprobeCurve move): the old shape ran one corpus
+    // scan + broadcast cross-join PER prefix length, re-reading and
+    // re-pairing the corpus three times to evaluate cosines over nested
+    // prefixes of the SAME pair stream. One scan now computes all three
+    // sliced prefixes and norms per row (identical row-level work to
+    // three one-slice scans), pairs once, and emits the three cosines
+    // through a struct explode; top-k runs per (dims, query) through the
+    // same bounded-heap operator, and one semi-join + grouped count
+    // replaces three. Per-dims rank semantics, cosine expressions, and
+    // the recall division are token-identical — same oracle. The dims
+    // domain left-joins the grouped hits so a zero-hit prefix still emits
+    // its row (count-on-empty parity with the old per-leg aggregate).
     val exact = bruteForceTopK(spark, sfDir).select(col("query_id"), col("vec_id"))
     val nq = queryVecs(spark, sfDir).agg(count(lit(1)).as("n_queries"))
-    MatryoshkaDims.map { m =>
-      val base = withNorm(spark, vecs(spark, sfDir)
-        .select(col("vec_id"), slice(col("embedding"), 1, m).as("em")),
-        "em", "nb")
-      val qm = withNorm(spark, queryVecs(spark, sfDir)
-        .select(col("query_id"), slice(col("q"), 1, m).as("qm")), "qm", "na")
-      val pairs = base
-        .crossJoin(broadcast(qm))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          hoistedCos(spark, "qm", "em").as("cosine"))
-      graft.plans.TopKPerKey(pairs, TopK, Seq("query_id"),
-          Seq("cosine" -> false, "vec_id" -> true))
-        .join(broadcast(exact), Seq("query_id", "vec_id"), "leftsemi")
-        .agg(count(lit(1)).as("total_hits"))
-        .crossJoin(broadcast(nq))
-        .select(lit(m.toLong).as("dims"), col("n_queries"), col("total_hits"),
-          (col("total_hits").cast("double") / (col("n_queries") * TopK))
-            .as("recall_at_k"))
-    }.reduce(_.unionAll(_))
+    def sliced(df: DataFrame, vecCol: String, pre: String): DataFrame =
+      MatryoshkaDims.foldLeft(df) { (d, m) =>
+        d.withColumn(s"$pre$m", slice(col(vecCol), 1, m))
+          .withColumn(s"${pre}n$m",
+            sqrt(VectorExpressions.vecDot(spark, s"$pre$m", s"$pre$m")))
+      }.drop(vecCol)
+    val base = sliced(vecs(spark, sfDir).select(col("vec_id"), col("embedding")),
+      "embedding", "em")
+    val qm = sliced(queryVecs(spark, sfDir), "q", "qm")
+    val pairs = base
+      .crossJoin(broadcast(qm))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        explode(array(MatryoshkaDims.map { m =>
+          struct(lit(m.toLong).as("dims"),
+            round(VectorExpressions.vecDot(spark, s"qm$m", s"em$m") /
+              (col(s"qmn$m") * col(s"emn$m")), 6).as("cosine"))
+        }: _*)).as("e"))
+      .select(col("query_id"), col("vec_id"),
+        col("e.dims").as("dims"), col("e.cosine").as("cosine"))
+    val hits = graft.plans.TopKPerKey(pairs, TopK, Seq("dims", "query_id"),
+        Seq("cosine" -> false, "vec_id" -> true))
+      .join(broadcast(exact), Seq("query_id", "vec_id"), "leftsemi")
+      .groupBy(col("dims")).agg(count(lit(1)).as("th"))
+    nq.select(explode(array(MatryoshkaDims.map(m => lit(m.toLong)): _*))
+        .as("dims"), col("n_queries"))
+      .join(hits, Seq("dims"), "left")
+      .select(col("dims"), col("n_queries"),
+        coalesce(col("th"), lit(0L)).as("total_hits"),
+        (coalesce(col("th"), lit(0L)).cast("double") /
+          (col("n_queries") * TopK)).as("recall_at_k"))
   }
 
   /** Fixed-point scale for [[gramMatrix]]: 2^12 — floats widen to double
