@@ -1245,8 +1245,15 @@ object RelationalOps {
     // through the grouping aggregate cost more than the sort-merge
     // self-join they replaced, and the set build forfeits the pair
     // count's map-side combine; adjudication pinned in SCALING.md).
+    // r15: hash-partition by the BASKET key before the distinct — a
+    // HashPartitioning on `ok` satisfies the distinct's ClusteredDistribution
+    // on (ok, pk) AND the self-join's requirement on `ok`, so the dedup and
+    // both join sides share ONE exchange of the item stream instead of a
+    // (ok,pk) distinct exchange followed by a second join exchange
+    // (guide §2.4: two operations keyed the same way share one exchange).
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(col("ok"))
       .distinct()
     val nBaskets = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
