@@ -1643,11 +1643,12 @@ object TxTable {
     * [[writeData]]) — the point-lookup half of data skipping. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              op: String = "append", bloomCols: Seq[String] = Nil): Long = {
-    val rows = df.count()
     val pre = snapshot(spark, root, None)
     assertWritable(root, pre) // protocol-gate BEFORE staging IO
     evolvedSchema(spark, root, pre, df.schema): Unit // fail fast, before staging IO
-    val adds = writeData(spark, root, df, bloomCols)
+    // rows_written comes from the staged files' footers — r15: a separate
+    // df.count() re-executed the whole incoming lineage a second time
+    val (adds, rows) = writeDataWithRows(spark, root, df, bloomCols)
     try {
       var attempt = 0
       while (attempt < MaxRetries) {
@@ -1701,11 +1702,11 @@ object TxTable {
     committed() match {
       case Some(v) => v // the batch already applied: idempotent no-op
       case None =>
-        val rows = df.count()
         val pre = snapshot(spark, root, None)
         assertWritable(root, pre) // protocol-gate BEFORE staging IO
         evolvedSchema(spark, root, pre, df.schema): Unit // fail fast, before staging
-        val adds = writeData(spark, root, df, bloomCols)
+        // footer-counted rows (r15): no second pass over the batch
+        val (adds, rows) = writeDataWithRows(spark, root, df, bloomCols)
         try {
           var attempt = 0
           while (attempt < MaxRetries) {
@@ -1953,21 +1954,15 @@ object TxTable {
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keyCols: Seq[String], updateCols: Seq[String]): Long = {
-    val srcKeys = source.select(keyCols.map(col): _*)
-    val (srcRows, srcDistinct) = {
-      val r = srcKeys.agg(count(lit(1)), count_distinct(
-        struct(keyCols.map(col): _*))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // dup-key rejection + first-key bounds (the rebase conflict test) in
+    // ONE source pass — r15: these were two sequential driver actions,
+    // each re-executing the source lineage
+    val (srcRows, srcDistinct, keyBounds) = sourceKeyProfile(source, keyCols)
     if (srcRows != srcDistinct)
       throw new IllegalArgumentException(
         s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
           s"$srcRows rows, $srcDistinct distinct — each target row must " +
           "match at most one source row")
-    // bounds of the FIRST key column, once (the rebase conflict test): a
-    // winner's added file provably holds none of this merge's keys when
-    // its stat range for k0 is disjoint from [lo, hi] — coarse, sound
-    val keyBounds = sourceKeyBounds(source, keyCols.head)
     val keyAddsConflict = keyAddsConflictFn(keyCols.head, keyBounds)
     var attempt = 0
     var pendingAdds: Seq[Staged] = Nil
@@ -1978,16 +1973,24 @@ object TxTable {
       assertWritable(root, base)
       val live = readLive(spark, root, base, base.liveFiles)
       val cols = live.columns.toSeq
-      // files holding at least one matched key — the only rewrite set
-      val affected = live
-        .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
-        .join(source.select(keyCols.map(col): _*).distinct(), keyCols)
-        .select("__file").distinct().collect().map(_.getString(0)).toSeq
-      val matchedKeys = live.select(keyCols.map(col): _*).distinct()
-        .join(source.select(keyCols.map(col): _*).distinct(), keyCols).count()
+      // files holding at least one matched key (the only rewrite set) AND
+      // the distinct matched-key count, in ONE live-side pass — r15: these
+      // were two sequential actions over the same join. collect_set is
+      // bounded by the live FILE count (planning metadata, the same state
+      // the commit log already holds on the driver).
+      val (affected, matchedKeys) = {
+        val r = live
+          .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+          .join(source.select(keyCols.map(col): _*).distinct(), keyCols)
+          .agg(collect_set(col("__file")),
+            count_distinct(struct(keyCols.map(col): _*))).head()
+        (r.getSeq[String](0), r.getLong(1))
+      }
+      // source keys are distinct (checked above), so every source row
+      // either matches a live key or inserts: no third count needed
+      val nInserts = srcRows - matchedKeys
       val inserts = source.join(
         live.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-      val nInserts = inserts.count()
       val ins = inserts.select(cols.map(col): _*)
       val insChanges = ins.withColumn("_change_type", lit("insert"))
       val (rewritten, changes) =
@@ -2047,25 +2050,38 @@ object TxTable {
     throw new IllegalStateException(s"merge lost $MaxRetries commit races at $root")
   }
 
-  /** Bounds of one source key column, for the rebase conflict test: a
+  /** One source pass computing the dup-key profile (row count, distinct
+    * key count) AND the first-key bounds for the rebase conflict test: a
     * winner's added file provably holds none of a merge's keys when its
     * stat range for the column is disjoint from [lo, hi] — coarse, sound.
-    * None = unprovable type or empty source (any winner's adds conflict).
+    * Bounds are None for unprovable types or an empty source (any winner's
+    * adds then conflict). r15: merge/mergeFull previously ran the dup
+    * check and the bounds as two sequential driver actions, each
+    * re-executing the source lineage.
     */
-  private def sourceKeyBounds(source: DataFrame,
-                              k0: String): Option[(String, String, String)] = {
+  private def sourceKeyProfile(source: DataFrame, keyCols: Seq[String])
+      : (Long, Long, Option[(String, String, String)]) = {
     import org.apache.spark.sql.types._
+    val k0 = keyCols.head
+    val counts = Seq(count(lit(1)), count_distinct(
+      struct(keyCols.map(col): _*)))
     source.schema(k0).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val r = source.agg(min(col(k0)).cast("long"),
-          max(col(k0)).cast("long")).head()
-        if (r.isNullAt(0)) None
-        else Some(("long", r.getLong(0).toString, r.getLong(1).toString))
+        val r = source.agg(counts.head,
+          counts(1) +: Seq(min(col(k0)).cast("long"),
+            max(col(k0)).cast("long")): _*).head()
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None
+          else Some(("long", r.getLong(2).toString, r.getLong(3).toString)))
       case StringType =>
-        val r = source.agg(min(col(k0)), max(col(k0))).head()
-        if (r.isNullAt(0)) None
-        else Some(("string", r.getString(0), r.getString(1)))
-      case _ => None // unprovable type: any winner adds conflict
+        val r = source.agg(counts.head,
+          counts(1) +: Seq(min(col(k0)), max(col(k0))): _*).head()
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None
+          else Some(("string", r.getString(2), r.getString(3))))
+      case _ => // unprovable type: any winner adds conflict
+        val r = source.agg(counts.head, counts(1)).head()
+        (r.getLong(0), r.getLong(1), None)
     }
   }
 
@@ -2146,18 +2162,14 @@ object TxTable {
         "its join keys carry the target key names)"))
     // dup-key rejection before ANY rewrite — a duplicated source key would
     // fan matched target rows out once per duplicate (the SQL MERGE
-    // multiple-matches error, and Delta's)
-    val (srcRows, srcDistinct) = {
-      val r = source.agg(count(lit(1)), count_distinct(
-        struct(keyCols.map(col): _*))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // multiple-matches error, and Delta's). Profiled together with the
+    // rebase key bounds in one source pass (r15).
+    val (srcRows, srcDistinct, keyBounds) = sourceKeyProfile(source, keyCols)
     if (srcRows != srcDistinct)
       throw new IllegalArgumentException(
         s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
           s"$srcRows rows, $srcDistinct distinct — each target row must " +
           "match at most one source row")
-    val keyBounds = sourceKeyBounds(source, keyCols.head)
     // source columns arrive prefixed on the joined row; __matched marks
     // the join side a row came from
     val srcP = source.select(
@@ -2268,8 +2280,15 @@ object TxTable {
         (matchedUpdate.map { case (i, _) => col("__mact") === i } ++
           nmbsUpdate.map { case (i, _) => col("__nact") === i })
           .reduceOption(_ || _).getOrElse(lit(false)), lit(false))
-      val nUpdated = joinedA.where(updFires).count()
-      val nDeleted = joinedA.where(isDel).count()
+      // update + delete counters in ONE pass over the affected files —
+      // r15: two sequential counts re-read and re-joined the rewrite set
+      val (nUpdated, nDeleted) = {
+        val r = joinedA.agg(
+          sum(when(updFires, 1L).otherwise(0L)),
+          sum(when(isDel, 1L).otherwise(0L))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
       // CDF: deletes carry the removed rows, updates pre+post images,
       // inserts the new rows — every outcome replayable downstream
       val changes = joinedA.where(isDel).select(cols.map(col): _*)
@@ -2412,11 +2431,11 @@ object TxTable {
     */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 bloomCols: Seq[String] = Nil): Long = {
-    val rows = df.count()
     val pre = snapshot(spark, root, None)
     assertWritable(root, pre) // protocol-gate BEFORE staging IO
     evolvedSchema(spark, root, pre, df.schema): Unit // fail fast, before staging
-    val adds = writeData(spark, root, df, bloomCols)
+    // footer-counted rows (r15): no second pass over the replacement data
+    val (adds, rows) = writeDataWithRows(spark, root, df, bloomCols)
     def unstage(): Unit =
       adds.foreach(a => Files.deleteIfExists(dataDir(root).resolve(a.name)))
     // the CURRENT attempt's uncommitted change files, so the abnormal-exit
