@@ -187,7 +187,7 @@ object PlanDump {
         operators.TimeSeriesOps.stlDecompose(spark, sfDir)),
       ("geo_ppr", "frontier-local rounds: edges join positive-mass rows only; inflow+teleport sum in one grouped union",
         operators.GeoOps.personalizedPageRank(spark, sfDir)),
-      ("xa_basket_pairs", "within-basket self-join (fan-out bounded by basket size), map-side support count, cut before lift join",
+      ("xa_basket_pairs", "within-basket self-join (fan-out bounded by basket size); distinct + join share ONE basket-key exchange (r15); map-side support count, cut before lift join",
         operators.RelationalOps.basketPairs(spark, sfDir)),
       ("xa_rfm_segments", "quintile boundaries as a 12-number broadcast; scores are integer comparisons in the scan projection",
         operators.RelationalOps.rfmSegments(spark, sfDir)),
@@ -215,7 +215,7 @@ object PlanDump {
         operators.GeoOps.hotspots(spark, sfDir)),
       ("md_ahash_neardups", "hash inside the decode projection; 4x16-bit band equi-joins (never images^2), codegen'd xor/bit_count verify",
         operators.MediaOps.ahashNearDups(spark, sfDir)),
-      ("sim_nprobe_curve", "3 curve points reuse ONE staged index; probes broadcast, cost leg joins list sizes (metadata-sized)",
+      ("sim_nprobe_curve", "ONE probe-rank-tagged candidate build serves every curve point (r15); per-point = rank-prefix filter + top-k over checkpointed panel-bounded candidates",
         operators.SimilarityOps.nprobeCurve(spark, sfDir)),
       ("xa_bootstrap_ci", "32 replicates in ONE pass: the fused BootWeights kernel emits the weight vector once per row (7 single-block digests, r14); 64 B-counter aggs map-side-combined",
         operators.ScaleOps.bootstrapCi(spark, sfDir)))
