@@ -209,7 +209,7 @@ object PlanDump {
         operators.TextOps.perplexityBuckets(spark, sfDir)),
       ("tx_quality_classifier", "each IRLS step = one scan + a 9-scalar map-side-combined agg; beta re-broadcast; data never collects",
         operators.TextOps.qualityClassifier(spark, sfDir)),
-      ("xt_markov_attribution", "paths from two windows on ONE user sort; all 5 absorption variants are literal chains over the one-row matrix",
+      ("xt_markov_attribution", "path-is-a-prefix: ONE window pass (rn, running purchase count, lead) + one conditional agg — no fp join, no anti-join, no union (r15); all 5 absorption variants are literal chains over the one-row matrix",
         operators.TimeSeriesOps.markovAttribution(spark, sfDir)),
       ("geo_hotspots", "corpus collapses to the 72-cell lattice map-side; 9-offset replicate join + one-row stats broadcast",
         operators.GeoOps.hotspots(spark, sfDir)),

@@ -422,7 +422,7 @@ object TimeSeriesOps {
     *
     * Determinism, layered on the [[stationaryMix]] discipline:
     * transition counts are one conditional-agg pivot of exact BIGINTs
-    * (path building = two windows sharing one user-stream sort);
+    * (path building = ONE window pass on one user-stream sort — r15);
     * probabilities are exact-count divisions; absorption probabilities
     * come from [[AttribIters]] UNROLLED iterations a ← p_CONV + P·a per
     * variant (base + one per removed channel), every dot product a
@@ -433,34 +433,43 @@ object TimeSeriesOps {
   def markovAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // r15 restructure (oracle-proven identical counts): the path is always
+    // a PREFIX of the user stream — rows before the first purchase are by
+    // definition non-purchase, and a user with no purchase keeps every row
+    // — so the filtered-stream lead IS the full-stream lead (contiguity),
+    // a lead of "purchase" seen from a path row can only be the FIRST
+    // purchase, the path's row_number is the stream's rn, and "first path
+    // row" is rn=1. That collapses the old shape (first-purchase groupBy +
+    // join back, a second window over the filtered stream, a path.distinct
+    // anti-join for empty paths, and a 3-way union re-executing those
+    // subtrees) into ONE window pass (rn + running purchase count + lead,
+    // all on the same user sort) feeding ONE conditional aggregate.
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("rn", row_number().over(byUser))
-    val fp = ev.where(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(min(col("rn")).as("fp"))
-    val path = ev.join(fp, Seq("user_id"), "left")
-      .where(col("event_type") =!= "purchase" &&
-        (col("fp").isNull || col("rn") < col("fp")))
-    val wPath = Window.partitionBy(col("user_id")).orderBy(col("rn"))
-    val steps = path
-      .withColumn("nxt", lead(col("event_type"), 1).over(wPath))
-      .withColumn("prn", row_number().over(wPath))
-    val chanTrans = steps.select(col("event_type").as("f"),
-      coalesce(col("nxt"),
-        when(col("fp").isNotNull, "CONV").otherwise("NULL")).as("t"))
-    val startTrans = steps.where(col("prn") === 1)
-      .select(lit("START").as("f"), col("event_type").as("t"))
-    // a user whose first event IS the purchase has an empty path: START→CONV
-    val emptyPath = fp
-      .join(path.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
-      .select(lit("START").as("f"), lit("CONV").as("t"))
-    val trans = chanTrans.unionAll(startTrans).unionAll(emptyPath)
+      .withColumn("cp",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+    // cp = purchases at-or-before this row: 0 exactly on path rows
+    val isPath = col("cp") === 0L
+    val tcol = when(col("nxt").isNull, "NULL")
+      .when(col("nxt") === "purchase", "CONV")
+      .otherwise(col("nxt"))
     val froms = "START" +: MarkovChannels
     val tos = MarkovChannels ++ Seq("CONV", "NULL")
+    def cCond(f: String, t: String): Column =
+      if (f == "START" && t == "CONV")
+        // empty path: the user's FIRST event is the purchase
+        col("rn") === 1 && col("event_type") === "purchase"
+      else if (f == "START")
+        // non-empty path: START credits the first path row's type
+        isPath && col("rn") === 1 && col("event_type") === t
+      else
+        isPath && col("event_type") === f && tcol === t
     val cAggs = froms.flatMap(f => tos.map(t =>
-      sum(when(col("f") === f && col("t") === t, 1L).otherwise(0L))
-        .as(s"c_${f}_$t")))
-    val wide = trans.agg(cAggs.head, cAggs.tail: _*)
+      sum(when(cCond(f, t), 1L).otherwise(0L)).as(s"c_${f}_$t")))
+    val wide = ev.agg(cAggs.head, cAggs.tail: _*)
     def rowSum(f: String): Column =
       tos.map(t => col(s"c_${f}_$t")).reduceLeft(_ + _)
     val probs = wide.select(froms.flatMap(f => tos.map { t =>
