@@ -2224,24 +2224,52 @@ object TxTable {
             "left")
           .withColumn("__mact", mact)
           .withColumn("__nact", nact)
-      // affected = files holding at least one row where SOME clause fires
-      // (a matched row no clause touches does not rewrite its file)
       val fires = col("__mact").isNotNull || col("__nact").isNotNull
-      val affected = withActs(
-          live.withColumn("__file", element_at(split(input_file_name(), "/"), -1)))
-        .where(fires)
-        .select("__file").distinct().collect().map(_.getString(0)).toSeq
-      // inserts: source rows matching NO live key, routed through the
-      // first firing not-matched clause (conditions over __src_ columns)
-      val unmatched = srcP.join(live.select(keyCols.map(col): _*).distinct(),
-        keyCols.map(k => srcP(s"__src_$k") === live(k)).reduce(_ && _),
-        "left_anti")
+      val mDel = coalesce(matchedDeleteIdx.headOption.map(_ =>
+        col("__mact").isin(matchedDeleteIdx.map(Int.box): _*)).getOrElse(lit(false)),
+        lit(false))
+      val nDel = coalesce(nmbsDeleteIdx.headOption.map(_ =>
+        col("__nact").isin(nmbsDeleteIdx.map(Int.box): _*)).getOrElse(lit(false)),
+        lit(false))
+      val isDel = mDel || nDel
+      val updFires = coalesce(
+        (matchedUpdate.map { case (i, _) => col("__mact") === i } ++
+          nmbsUpdate.map { case (i, _) => col("__nact") === i })
+          .reduceOption(_ || _).getOrElse(lit(false)), lit(false))
       def castTo(c: String, v: Column): Column =
         ansiCast(v, live.schema(c).dataType).as(c)
       val iact = if (notMatched.isEmpty) lit(null).cast("int")
         else notMatched.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
           case (tail, ((cond, _), i)) => when(fire(cond), lit(i)).otherwise(tail)
         }
+      // ONE stats pass over the live⋈source join (r15): the affected
+      // files (rows where some clause fires — a matched row no clause
+      // touches does not rewrite its file) and the update/delete counters
+      // come from a single aggregation — previously two sequential driver
+      // actions (file collect over the full live join, then a two-counter
+      // agg re-reading and re-joining the affected files). Firing rows
+      // live only in affected files, so full-live counts equal
+      // affected-file counts; collect_set is bounded by the live FILE
+      // count (planning metadata). The join stays LEFT from the live side
+      // — a one-action full-outer variant folding the insert count in too
+      // was built, measured (wash locally), and REJECTED: full-outer
+      // cannot broadcast the source, so it would shuffle the whole live
+      // side at scale where this shape broadcasts.
+      val statR = withActs(
+          live.withColumn("__file", element_at(split(input_file_name(), "/"), -1)))
+        .agg(
+          collect_set(when(fires, col("__file"))).as("files"),
+          sum(when(updFires, 1L).otherwise(0L)),
+          sum(when(isDel, 1L).otherwise(0L)))
+        .head()
+      val affected = statR.getSeq[String](0)
+      val nUpdated = if (statR.isNullAt(1)) 0L else statR.getLong(1)
+      val nDeleted = if (statR.isNullAt(2)) 0L else statR.getLong(2)
+      // inserts: source rows matching NO live key, routed through the
+      // first firing not-matched clause (conditions over __src_ columns)
+      val unmatched = srcP.join(live.select(keyCols.map(col): _*).distinct(),
+        keyCols.map(k => srcP(s"__src_$k") === live(k)).reduce(_ && _),
+        "left_anti")
       val routed = unmatched.withColumn("__iact", iact)
       val inserts = notMatched.zipWithIndex.map { case ((_, values), i) =>
         cols.foreach(c => require(values.contains(c),
@@ -2256,13 +2284,6 @@ object TxTable {
         return base.version // nothing fires anywhere: no-op, no commit
       // rewrite only the affected files; route each row by its clause
       val joinedA = withActs(readLive(spark, root, base, affected))
-      val mDel = coalesce(matchedDeleteIdx.headOption.map(_ =>
-        col("__mact").isin(matchedDeleteIdx.map(Int.box): _*)).getOrElse(lit(false)),
-        lit(false))
-      val nDel = coalesce(nmbsDeleteIdx.headOption.map(_ =>
-        col("__nact").isin(nmbsDeleteIdx.map(Int.box): _*)).getOrElse(lit(false)),
-        lit(false))
-      val isDel = mDel || nDel
       def newVal(c: String): Column = {
         val cases =
           matchedUpdate.collect { case (i, a) if a.contains(c) =>
@@ -2276,19 +2297,6 @@ object TxTable {
       val rewritten = joinedA.where(!isDel)
         .select(cols.map(newVal): _*)
         .unionByName(inserts)
-      val updFires = coalesce(
-        (matchedUpdate.map { case (i, _) => col("__mact") === i } ++
-          nmbsUpdate.map { case (i, _) => col("__nact") === i })
-          .reduceOption(_ || _).getOrElse(lit(false)), lit(false))
-      // update + delete counters in ONE pass over the affected files —
-      // r15: two sequential counts re-read and re-joined the rewrite set
-      val (nUpdated, nDeleted) = {
-        val r = joinedA.agg(
-          sum(when(updFires, 1L).otherwise(0L)),
-          sum(when(isDel, 1L).otherwise(0L))).head()
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
       // CDF: deletes carry the removed rows, updates pre+post images,
       // inserts the new rows — every outcome replayable downstream
       val changes = joinedA.where(isDel).select(cols.map(col): _*)
@@ -2863,6 +2871,18 @@ object TxTable {
   /** Names of live data files containing at least one LIVE row matching
     * `pred` (DV-aware: a file whose only matches are already
     * vector-deleted is not rewritten). */
+  /** Affected files AND the matching-row count for a DELETE/UPDATE — two
+    * actions BY DESIGN (r15 adjudication): a fused one-action variant
+    * (`agg(collect_set(when(hit, __file)), sum(when(hit, 1)))` over the
+    * full live set) was built and measured, and REJECTED — the aggregate
+    * must evaluate every row, so the predicate can no longer push down to
+    * the parquet scan, trading two SELECTIVE scans (stats/row-group
+    * skipping on both) for one FULL scan. At 100 TB a surgical mutation's
+    * predicate prunes almost everything; keeping pushdown on the discovery
+    * pass is worth the second (affected-files-only, also pushed-down)
+    * counting pass. Locally the fusion measured a wash-to-regression on
+    * the ACID stage items (24.4 → 27.1 s same-conditions).
+    */
   private def filesMatching(spark: SparkSession, root: String, s: Snapshot,
                             pred: Column): Seq[String] =
     readLive(spark, root, s, s.liveFiles)
