@@ -550,14 +550,18 @@ object RelationalOps {
   /** X-A: Q16-shaped supplier variety — distinct suppliers per (brand, size),
     * from the distinct (part, supplier) pairs lineitem witnesses (this corpus
     * has no partsupp table; lineitem IS the association), excluding one brand
-    * and "complaint" suppliers (negative balance here). Scale shape: the pair
-    * distinct is the one fact shuffle; part and the tiny exclusion set are
-    * broadcast — the anti-join costs nothing. countDistinct over the already-
-    * distinct pairs adds no extra exchange (partial distinct is a no-op).
+    * and "complaint" suppliers (negative balance here). Scale shape (r15):
+    * the fact table never shuffles — part and the tiny exclusion set are
+    * broadcast onto the scan, and countDistinct's OWN partial phase is the
+    * dedup (map-side distinct on (brand, size, supplier), then two
+    * small exchanges over that bounded cardinality). The previous explicit
+    * (part, supplier) `.distinct()` was a redundant fact-wide exchange:
+    * countDistinct replans the same partial-distinct phases regardless of
+    * whether its input is pre-deduplicated.
     */
   def supplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
     val p = Tables.part(spark, sfDir)
       .where(col("p_brand") =!= "Brand#1")
       .select(col("p_partkey"), col("p_brand"), col("p_size"))

@@ -1541,11 +1541,18 @@ object TextOps {
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     val nWords = size(words(col("text"))).cast("double")
     val nStop = profileHits(col("text"), LangProfiles.head._2).cast("double")
+    // r15: localCheckpoint the 3-doubles-per-doc feature frame — the two
+    // IRLS passes and the confusion pass each re-ran the tokenizer and
+    // profile scans otherwise (the three aggregates are separate exchanges,
+    // so AQE exchange reuse never dedups the scan subtree). The
+    // materialized state is 24 bytes/doc regardless of corpus size; the
+    // tokenize cost drops from 3 passes to 1.
     val f = Tables.documents(spark, sfDir).select(
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
       (nStop / nWords).as("x1"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") / nWords)
         .as("x2"))
+      .localCheckpoint()
     def q(c: Column) = round(c, 9).cast("decimal(38,9)")
     def stepAgg(df: DataFrame, t: Column): DataFrame = {
       val p = lit(0.5) + lit(0.5) * t / (lit(1.0) + abs(t))
