@@ -369,18 +369,18 @@ object TimeSeriesOps {
   def firstTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(spark, sfDir)
+    // r15: the credited TYPE comes straight out of the window —
+    // `first(touch-type-or-null, ignoreNulls)` over the unbounded-preceding
+    // frame is the earliest preceding non-purchase row's type, exactly the
+    // row the old min(rn)-then-join-back fetched. One window pass, no
+    // row_number, no (user, rn) join; same frame order, same 'none' fill.
+    val credited = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("rn", row_number().over(byUser))
-    val withTouch = ev
-      .withColumn("touch_rn",
-        min(when(col("event_type") =!= "purchase", col("rn")))
+      .withColumn("touch_type0",
+        first(when(col("event_type") =!= "purchase", col("event_type")), true)
           .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
       .where(col("event_type") === "purchase")
-    val touches = ev.select(col("user_id"), col("rn").as("touch_rn"),
-      col("event_type").as("touch_type"))
-    val credited = withTouch.join(touches, Seq("user_id", "touch_rn"), "left")
-      .select(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .select(coalesce(col("touch_type0"), lit("none")).as("touch_type"))
     // r15: the total is a window SUM over the type-cardinality aggregate —
     // the old separate `credited.agg(count)` branch re-executed the whole
     // scan→window→join pipeline a second time just to divide by its row
@@ -514,32 +514,31 @@ object TimeSeriesOps {
     * buy) are reported under 'none' so the shares still sum to 1.
     *
     * Window discipline: "nearest preceding non-purchase" is
-    * max(CASE WHEN touch THEN rn END) over the unbounded-preceding frame —
-    * a plain MAX aggregate (null-skipping by definition in both engines),
-    * avoiding last_value(... IGNORE NULLS) portability; the credited row
-    * comes back via an equi-join on (user, rn). Counts exact, one
-    * division for the share.
+    * last(CASE WHEN touch THEN type END, ignoreNulls) over the
+    * unbounded-preceding frame — the credited TYPE directly, no join-back
+    * (r15; the DuckDB oracle keeps its max(rn)+join spelling, which
+    * fetches the same row). Counts exact, one division for the share.
     *
-    * Scale shape: two windows share ONE (user_id, ts, event_id) sort; the
-    * join back is user+rn equi (hash), and the rollup is type-cardinality.
+    * Scale shape: ONE window on one (user_id, ts, event_id) sort, then a
+    * type-cardinality rollup. Nothing joins, nothing re-scans.
     */
   def attribution(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("rn", row_number().over(byUser))
     // the preceding-touch window must run on the FULL stream (filtering to
-    // purchases first would make "preceding" skip over non-purchase rows)
-    val withTouch = ev
-      .withColumn("touch_rn",
-        max(when(col("event_type") =!= "purchase", col("rn")))
+    // purchases first would make "preceding" skip over non-purchase rows).
+    // r15: the credited TYPE comes straight out of the window —
+    // `last(touch-type-or-null, ignoreNulls)` over the unbounded-preceding
+    // frame is the nearest preceding non-purchase row's type, exactly the
+    // row the old max(rn)-then-join-back fetched. One window pass, no
+    // row_number, no (user, rn) join; same frame order, same 'none' fill.
+    val credited = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("touch_type0",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true)
           .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
       .where(col("event_type") === "purchase")
-    val touches = ev.select(col("user_id"), col("rn").as("touch_rn"),
-      col("event_type").as("touch_type"))
-    val credited = withTouch.join(touches, Seq("user_id", "touch_rn"), "left")
-      .select(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .select(coalesce(col("touch_type0"), lit("none")).as("touch_type"))
     // r15: the total is a window SUM over the type-cardinality aggregate —
     // the old separate `credited.agg(count)` branch re-executed the whole
     // scan→window→join pipeline a second time just to divide by its row
