@@ -1181,12 +1181,22 @@ object DedupOps {
       .select(col("doc_id").as("index_doc"), col("band_no"), col("band_key"))
     val bat = guardBuckets(batchBands, "band_no", "band_key")
       .select(col("doc_id").as("batch_doc"), col("band_no"), col("band_key"))
+    // r15: cand and the shingle sliver are each referenced three times
+    // downstream, feeding DIFFERENT exchanges (the candDocs union legs,
+    // the sizes groupBy, and the two verify joins) — exchange reuse never
+    // dedups them, so without the cuts the band join ran twice and the
+    // corpus-sized posting scan + semi-join three times per query. Both
+    // frames are candidate-sliver-sized by dedup's premise (pairs, and
+    // candidate docs' shingles), so localCheckpoint materializes kilobytes
+    // per 100-TB-scale match surface and cuts the repeated passes.
     val cand = bat.join(idx, Seq("band_no", "band_key"))
       .select(col("batch_doc"), col("index_doc")).distinct()
+      .localCheckpoint()
     val candDocs = cand.select(col("batch_doc").as("doc_id"))
       .unionAll(cand.select(col("index_doc").as("doc_id"))).distinct()
     val sh = distinctShingles(spark, sfDir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("batch_doc"), col("shingle")), Seq("batch_doc"))
