@@ -107,7 +107,7 @@ object PlanDump {
         spark.read.format("graft-cmd").option("sfdir", sfDir)
           .option("command", "uptime").option("exec", "flaky").load()
           .select("node", "exit_status")),
-      ("dd_incremental", "batch bands join STORED index bands (never self-join); verify pruned by broadcast semi-join",
+      ("dd_incremental", "batch bands join STORED index bands (never self-join); candidate pairs + shingle sliver checkpointed once (r15), verify reads the sliver",
         operators.DedupOps.incrementalDedup(spark, sfDir)),
       ("dd_incremental_tx", "index side is the PERSISTED TxTable v0 snapshot: plain parquet scan from the commit log",
         operators.DedupOps.incrementalDedupTx(spark, sfDir)),
@@ -207,7 +207,7 @@ object PlanDump {
         operators.ScaleOps.expectations(spark, sfDir)),
       ("tx_perplexity_buckets", "lm plan unchanged; tercile ranks window BY LANGUAGE (no global sort); rollup is lang x 3 rows",
         operators.TextOps.perplexityBuckets(spark, sfDir)),
-      ("tx_quality_classifier", "each IRLS step = one scan + a 9-scalar map-side-combined agg; beta re-broadcast; data never collects",
+      ("tx_quality_classifier", "features checkpointed once (24 B/doc, r15); each IRLS step = a 9-scalar map-side-combined agg over the checkpoint; beta re-broadcast; data never collects",
         operators.TextOps.qualityClassifier(spark, sfDir)),
       ("xt_markov_attribution", "path-is-a-prefix: ONE window pass (rn, running purchase count, lead) + one conditional agg — no fp join, no anti-join, no union (r15); all 5 absorption variants are literal chains over the one-row matrix",
         operators.TimeSeriesOps.markovAttribution(spark, sfDir)),
