@@ -1094,11 +1094,10 @@ object TimeSeriesOps {
     * corpora use this form. Two exact order statistics per entity
     * (`percentile(…, 0.5)` — the same linear-interpolation definition as
     * DuckDB's `quantile_cont`, the established exact-percentile twin of
-    * `xa_price_percentiles`): one aggregation for the median, a join back
-    * for |x−med|, one aggregation for the MAD, then a final join + filter.
-    * Everything hash-partitions on `user_id`, and stages 2–4 reuse stage
-    * 1's partitioning (no new exchange after the first shuffle at scale —
-    * the stats sides are entity-count-sized). Exact percentile keeps the
+    * `xa_price_percentiles`), both as FULL-FRAME window aggregates over
+    * ONE user_id partitioning (r15 — the old aggregate-then-join-back ×2
+    * shape cost the same percentile work plus two joins); the filter then
+    * reads med/n/mad off the same row. Exact percentile keeps the
     * full per-entity multiset; per-USER groups are bounded (an entity's
     * history, not the corpus), which is what makes exact order statistics
     * affordable here — corpus-wide quantiles go through the
@@ -1108,17 +1107,21 @@ object TimeSeriesOps {
     * [[valueOutliers]]).
     */
   def madOutliers(spark: SparkSession, sfDir: String, zCut: Double = MadZ): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    // r15: both exact order statistics are FULL-FRAME window aggregates
+    // over one user_id partitioning — WindowExec evaluates an unbounded-
+    // frame aggregate once per partition, so this is the same per-entity
+    // percentile work as the old groupBy form but with ONE exchange and
+    // NO join-backs (the old shape aggregated twice and joined the stats
+    // back twice). Same percentile kernel, same values, same filter.
+    val byUser = Window.partitionBy(col("user_id"))
+    val dev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"))
-    val med = ev.groupBy(col("user_id"))
-      .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
-    val dev = ev.join(med, Seq("user_id"))
-      .select(col("user_id"), col("event_id"), col("value"), col("med"), col("n"),
-        abs(col("value") - col("med")).as("dev"))
-    val mad = dev.groupBy(col("user_id"))
-      .agg(expr("percentile(dev, 0.5)").as("mad"))
+      .withColumn("med", expr("percentile(value, 0.5)").over(byUser))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("dev", abs(col("value") - col("med")))
+      .withColumn("mad", expr("percentile(dev, 0.5)").over(byUser))
     val mz = lit(MadK) * (col("value") - col("med")) / col("mad")
-    dev.join(mad, Seq("user_id"))
+    dev
       .where(col("n") > 2 && col("mad") > 0 && abs(mz) > zCut)
       .select(col("event_id"), col("user_id"), col("value"), round(mz, 6).as("mz"))
   }
