@@ -761,11 +761,17 @@ object RelationalOps {
         .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("supp_nation"))
+    // r15: the selective region-customer filter applies to ORDERS before
+    // the fact-fact join (was: after), so the orderkey shuffle carries
+    // only the region's orders — and when the filtered side drops under
+    // the broadcast threshold the fact-fact shuffle disappears entirely.
+    val regOrders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(regOrders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
       .agg((sum(when(col("supp_nation") === nation, revenueExpr)).cast("double") /
