@@ -183,6 +183,13 @@ object TimeSeriesOps {
     * cross-engine hashing.
     */
   def valueOutliers(spark: SparkSession, sfDir: String, zCut: Double = OutlierZ): DataFrame = {
+    // r15 adjudication: the madOutliers full-frame-window rewrite was
+    // applied here too and REJECTED on measurement (0.47 → 0.52 s
+    // isolated, control flat) — these moments are cheap hash-aggregable
+    // sums, so the window's mandatory per-partition SORT costs more than
+    // the second scan + broadcast join it removes. madOutliers won
+    // because its percentile aggregate is sort-backed either way and it
+    // paid TWO agg+join rounds. Kept the aggregate-then-join shape.
     val dec = col("value").cast("decimal(12,2)")
     val stats = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
