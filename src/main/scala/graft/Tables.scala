@@ -131,6 +131,33 @@ object Tables {
   private val bucketedTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
 
+  /** [[derivedBig]] staged as a BUCKETED catalog table (hash-bucketed and
+    * sorted by `key` into [[NumBuckets]] buckets): for a derived layout that
+    * downstream operators repeatedly JOIN or AGGREGATE on `key`, the scan
+    * itself reports hash partitioning, so those consumers need no exchange
+    * on this side — the [[bucketed]] corpus-table move applied to a derived
+    * table (guide §6 / §2.4). At 100 TB this is the difference between an
+    * iterative graph query shuffling its edge list every round and shuffling
+    * only the vertex-sized message vector.
+    */
+  private[graft] def derivedBigBucketed(spark: SparkSession, sfDir: String,
+                                        name: String, key: String)
+                                       (build: => DataFrame): DataFrame =
+    derivedCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name), {
+        val path = uniqueStageDir(spark, sfDir, name)
+        // catalog name carries the attempt suffix (see [[bucketed]]): an
+        // abandoned attempt must never DROP/replace a live attempt's entry
+        val tbl = s"graft_${name}_" + path.substring(path.lastIndexOf('/') + 1)
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        build.write.mode("overwrite")
+          .option("path", path)
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .format("parquet").saveAsTable(tbl)
+        bucketedTables.add((System.identityHashCode(spark), tbl)): Unit
+        spark.table(tbl)
+      })
+
   def bucketedOrders(spark: SparkSession, sfDir: String): DataFrame =
     bucketed(spark, sfDir, "orders", "o_orderkey")
 

@@ -1457,9 +1457,30 @@ object DedupOps {
     // DOWNSTREAM is now cheap, so the two 20M-row sorts SMJ would run on
     // the posting sides are the cost floor — hash-building one side skips
     // both (the same adjudication as the verify joins below)
-    val cand = pa.join(pb.hint("shuffle_hash"), Seq("token"))
-      .where(col("rep_a") < col("rep_b"))
+    // r16: ASYMMETRIC MID-PREFIX (the PPJoin+ indexing/probing-prefix
+    // split). Orient each pair canonically by (n, doc_id) — side a is the
+    // SMALLER set — instead of by doc_id alone. Then for a true pair the
+    // first common token w under the global order (the row the losslessness
+    // argument already rests on) satisfies a TIGHTER bound on a's side:
+    // |∩| ≥ O = ⌈t/(1+t)·(n_a+n_b)⌉ ≥ ⌈2t/(1+t)·n_a⌉ because n_b ≥ n_a,
+    // so r_a(w) ≤ n_a − ⌈2t/(1+t)·n_a⌉ + 1 — at t = 9/10 that is ~5.3% of
+    // n_a versus the staged prefix's ~10%, halving side a's posting rows
+    // before any pair forms (b's side keeps the standard prefix, which is
+    // exactly what O ≥ ⌈t·n_b⌉ — from n_a ≥ t·n_b — licenses). Lossless by
+    // the same keep-if-ANY-row-survives semantics: w's row passes this
+    // bound, the length filter, the positional filter, and the pair-level
+    // sig filters, so at least one row per true pair still reaches verify.
+    // ⌈2·Num·n/(Num+Den)⌉ as exact integer ceiling division.
+    val cand = pa
+      .where(col("r_a") <= col("n_a") -
+        expr(s"(n_a * ${2 * PpjNum} + ${PpjNum + PpjDen - 1}) div ${PpjNum + PpjDen}") + 1)
+      .join(pb.hint("shuffle_hash"), Seq("token"))
+      .where(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("rep_a") < col("rep_b")))
       // length filter: t·max(n_a,n_b) ≤ min(n_a,n_b), integer-exact
+      // (n_a ≤ n_b by the canonical orientation, but keep the symmetric
+      // spelling — it costs nothing and stays correct if the orientation
+      // predicate ever moves)
       .where(least(col("n_a"), col("n_b")) * PpjDen >=
         greatest(col("n_a"), col("n_b")) * PpjNum)
       // positional filter: 1 + min(remaining) bounds |∩| at this match

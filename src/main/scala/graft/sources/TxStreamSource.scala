@@ -75,6 +75,22 @@ class TxStreamSource(spark: SparkSession, root: String,
   private def appendedRows(from: Long, to: Long): Option[DataFrame] = {
     if (from > to) return None
     val range = TxTable.commitsInRange(root, math.max(from, 0L), Some(to))
+    // mid-stream evolution beyond the fixed schema: fail with the restart
+    // contract. r16 (VERDICT r15 #7): checked on the RANGE's own recorded
+    // schemas — any evolution visible at `to` must have been committed by
+    // some version inside a consumed range, so per-range checking keeps the
+    // same failure surface (the batch that consumes the evolving commit
+    // fails) WITHOUT rebuilding a whole snapshot (checkpoint lookup + full
+    // log-tail parse) on every micro-batch, which grew with table lifetime.
+    range.flatMap(_.schemaJson).foreach { sj =>
+      val extra =
+        TxTable.schemaOf(sj).fieldNames.toSet -- schema0.fieldNames.toSet
+      if (extra.nonEmpty)
+        throw new IllegalStateException(
+          s"graft-tx stream: table at $root evolved mid-stream (new " +
+            s"columns ${extra.mkString(", ")}); restart the stream to " +
+            "adopt the new schema")
+    }
     range.foreach { c =>
       if (c.dataChange && (c.removes.nonEmpty || c.dvs.nonEmpty))
         throw new IllegalStateException(
@@ -92,18 +108,6 @@ class TxStreamSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = ver(end)
     handOut(to)
-    // mid-stream evolution beyond the fixed schema: fail with the
-    // restart contract (checked on the LOG's recorded schema — cheaper
-    // and sooner than a per-batch column diff)
-    TxTable.snapshot(spark, root, Some(to)).schemaJson
-      .map(TxTable.schemaOf).foreach { live =>
-        val extra = live.fieldNames.toSet -- schema0.fieldNames.toSet
-        if (extra.nonEmpty)
-          throw new IllegalStateException(
-            s"graft-tx stream: table at $root evolved mid-stream (new " +
-              s"columns ${extra.mkString(", ")}); restart the stream to " +
-              "adopt the new schema")
-      }
     val tail = start match {
       case Some(s) => appendedRows(ver(s) + 1, to)
       case None if initialSnapshot =>
@@ -111,7 +115,9 @@ class TxStreamSource(spark: SparkSession, root: String,
         // under recovery replay) plus any appends up to the offset. The
         // snapshot goes through the SNAPSHOT-GOVERNED reader — a
         // merge-on-read table's deletion vectors apply; a raw file read
-        // would resurrect the vector-deleted rows
+        // would resurrect the vector-deleted rows. (Commits ≤ pinnedFirst
+        // need no evolution check: in this branch pinnedFirst is the
+        // version schema0 itself was derived from.)
         val pinned = TxTable.snapshot(spark, root, Some(pinnedFirst))
         val snap =
           if (pinned.liveFiles.isEmpty) None
