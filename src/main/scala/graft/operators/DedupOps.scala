@@ -1367,7 +1367,15 @@ object DedupOps {
     * once and shares across every set-similarity pass.
     */
   private[graft] def ppjSets(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derivedBig(spark, sfDir, "ppj_sets") {
+    // r16: staged BUCKETED by doc_id (guide §6/§2.4): every downstream
+    // doc-keyed consumer — the rep-filter joins, the prefix rank window,
+    // and above all the verify joins that attach each candidate side's
+    // token ARRAY — then needs NO exchange on this side. The verify array
+    // exchanges were the query's dominant remaining cost (the r12 audit
+    // measured the two array joins at 8.5 of 10.5 s at sf1.0): the arrays
+    // are the corpus's token mass, and with the bucketed layout they are
+    // read pre-partitioned instead of shuffled per query.
+    Tables.derivedBigBucketed(spark, sfDir, "ppj_sets", "doc_id") {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), explode(words(col("text"))).as("token"))
         .distinct()
@@ -1390,10 +1398,17 @@ object DedupOps {
     * ceiling ⌈Num·n/Den⌉ = (n·Num + Den − 1) div Den.
     */
   private[graft] def ppjPrefix(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.derivedBig(spark, sfDir, "ppj_prefix") {
+    // r16: staged BUCKETED by token — the candidate self-join's equi-key —
+    // so BOTH posting sides of [[prefixJaccard]]'s pair join read
+    // pre-partitioned (no per-query exchange of the prefix postings). The
+    // rep filter broadcasts (group-count-sized): a broadcast join preserves
+    // the streamed side's bucketed doc_id partitioning, so the rank window
+    // below needs no exchange either.
+    Tables.derivedBigBucketed(spark, sfDir, "ppj_prefix", "token") {
       val sets = ppjSets(spark, sfDir)
       val groups = sets.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
-      val repSets = sets.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+      val repSets = sets.join(broadcast(groups.select(col("rep").as("doc_id"))),
+        Seq("doc_id"))
       val toks = repSets.select(col("doc_id"), explode(col("ts")).as("token"))
       val df = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
@@ -1430,7 +1445,12 @@ object DedupOps {
     val sets = ppjSets(spark, sfDir)
     val groups = sets.groupBy(col("h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
-    val repSets = sets.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+    // rep filter broadcasts (group-count-sized — dedup's premise keeps it
+    // far under any broadcast cap): the broadcast join preserves the
+    // bucketed scan's doc_id partitioning, so the verify joins below see
+    // a pre-partitioned array side
+    val repSets = sets.join(broadcast(groups.select(col("rep").as("doc_id"))),
+      Seq("doc_id"))
     val prefix = ppjPrefix(spark, sfDir)
     val pa = prefix.select(col("token"), col("doc_id").as("rep_a"),
       col("r").as("r_a"), col("n").as("n_a"), col("sig").as("sig_a"))
