@@ -1723,8 +1723,20 @@ object TextOps {
     * collapse); df and n_docs re-aggregate from it and broadcast.
     */
   def keyphrases(spark: SparkSession, sfDir: String): DataFrame = {
+    // r16 (VERDICT r15 #5): hash-partition by doc_id BEFORE the (doc,
+    // term) collapse — HashPartitioning(doc_id) satisfies the tf
+    // aggregate's ClusteredDistribution on (doc_id, term) AND
+    // TopKPerKey's requirement on doc_id, so the collapse and the heap
+    // cut share ONE exchange (guide §2.4). The trade: the exchange
+    // carries raw exploded tokens instead of map-side (doc, term)
+    // partials — per-partition volume stays bounded by document length
+    // (no degenerate key: doc_id is unique per document). Measured
+    // (QTime 4-rep mins, control flat): sf1.0 2.25 -> 1.65 s (−27%);
+    // at sf0.1 it costs +0.12 s (0.69 -> 0.81 — the raw-token shuffle
+    // isn't yet offset at toy scale), accepted for the scale win.
     val tf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
