@@ -1951,6 +1951,17 @@ object TxTable {
     * error here). And an update that legitimately sets a column to NULL
     * LANDS: the rewrite decides by a matched flag, not `coalesce`, which
     * would silently keep the old value whenever the source value is null.
+    *
+    * PRECONDITION — deterministic source (r16, ADVICE r15): `source` is
+    * executed more than once (the key profile, the matched-key join, the
+    * insert anti-join), and the commit's `rows_inserted` metric is
+    * derived as srcRows − matchedKeys from two of those executions. A
+    * source whose rows differ between executions (e.g. one built on
+    * `rand()` or a non-idempotent read) can silently record a wrong
+    * insert count and write an update set inconsistent with the profile
+    * that admitted it. This is the standard lake-writer contract (Delta's
+    * MERGE documents the same multi-scan behavior); sources must be
+    * deterministic or pre-materialized by the caller.
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keyCols: Seq[String], updateCols: Seq[String]): Long = {
