@@ -541,6 +541,17 @@ object RelationalOps {
     val flags = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
+      // r16: hash-partition by the order key BEFORE the (order, supplier)
+      // reduction — HashPartitioning(l_orderkey) satisfies the groupBy's
+      // ClusteredDistribution on (l_orderkey, l_suppkey) AND both windows'
+      // requirement on l_orderkey, so the reduction and the window ride
+      // ONE exchange instead of an (ok, sk) exchange followed by a second
+      // ok exchange of nearly the same rows (duplicate (ok, sk) within a
+      // map task is rare, so the traded partial agg compressed little;
+      // guide §2.4 — the tx_keyphrases/sim_srp_knn_join move). Measured
+      // (QTime 4-rep, control flat): sf0.1 min 1.01 -> 0.73 s; sf1.0
+      // median 1.55 -> 1.31 s (mins flat 1.26 -> 1.24).
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays, 1)
         .otherwise(0)).as("any_late"))
@@ -597,6 +608,15 @@ object RelationalOps {
       .where(col("p_size") <= maxSize).select(col("p_partkey"))
     val unit = Tables.lineitem(spark, sfDir)
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // r16: one part-key exchange serves both the (part, supplier)
+      // reduction and the per-part winner window (the xj_q21 /
+      // tx_keyphrases move, guide §2.4); the input is already pruned to
+      // the broadcast part filter, and per-task (part, supplier)
+      // duplication is low so the traded partial agg compressed little.
+      // Measured (QTime 4-rep mins, control flat): sf0.1 0.82 -> 0.67 s;
+      // sf1.0 a wash (0.83 -> 0.90 min, 1.04 -> 0.95 median) — kept for
+      // the strictly-fewer-exchange plan and the sf0.1 win.
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") /
         sum(dec(col("l_quantity"))).cast("double")).as("unit_price"))
